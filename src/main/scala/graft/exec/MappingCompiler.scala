@@ -1,0 +1,219 @@
+package graft.exec
+
+import graft.model._
+import graft.sources.SourceReader
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Compiles a parsed [[MappingDoc]] into one DataFrame of quads
+  * `(s, p, o, g)` — the whole-mapping plan the reference executes row-by-row
+  * in `semantify_*` (reference: semantify.py:6246-8105), re-expressed as a
+  * declarative Spark pipeline:
+  *
+  *   scan → [joins] → single-pass term projection (array+explode) →
+  *   union across TriplesMaps → dropDuplicates → sink
+  *
+  * Scale design decisions (100 TB target):
+  *   - ONE scan per TriplesMap: all non-join predicate-object maps compile
+  *     into a single `explode(filter(array(struct(s,p,o,g)…)))` projection,
+  *     so a 15-POM mapping costs one pass, not 15 (the reference pays per-POM
+  *     cost — BASELINE.md "mappings" axis).
+  *   - RefObjectMap joins (SURVEY J1/J2) are equi-joins on the child/parent
+  *     attrs; parent subject sets are deduplicated before the join and
+  *     cached/reused across probes like the reference's `join_table`
+  *     (reference: semantify.py:67-68, 6997-7004).
+  *   - Self-join elimination (SURVEY J6; reference: semantify.py:1450-1623):
+  *     same source + child==parent ⇒ the join is rewritten to an inline
+  *     projection of the parent subject template — a narrow map, no shuffle.
+  *   - Duplicate elimination (SURVEY D2): the reference's PTT hash tables
+  *     become a shuffle-based `dropDuplicates` (spillable, partitioned by
+  *     hash of the quad) — no driver-side state.
+  */
+object MappingCompiler {
+
+  final case class Options(
+      removeDuplicates: Boolean = true,
+      dedupSourceRows: Boolean = false,
+      baseIri: Option[String] = None)
+
+  private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  def compile(spark: SparkSession, doc: MappingDoc, opts: Options = Options()): DataFrame = {
+    val rewritten = rewrite(doc)
+    val parentSubjectCache = collection.mutable.Map.empty[String, DataFrame]
+    val perTm = rewritten.triplesMaps.map(tm => compileTm(spark, tm, rewritten, opts, parentSubjectCache))
+    val all = perTm.reduceLeft(_.unionByName(_))
+    if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
+  }
+
+  /** Mapping-level logical rewrites (SURVEY §4): POM dedup (D5) and
+    * self-join elimination (J6).
+    */
+  def rewrite(doc: MappingDoc): MappingDoc = {
+    val byId = doc.triplesMaps.map(tm => tm.id -> tm).toMap
+    val tms = doc.triplesMaps.map { tm =>
+      val poms = tm.poms.distinct.map { pom =>
+        pom.objectMap.refObject match {
+          case Some(RefObjectMap(parentId, Some(jc))) =>
+            byId.get(parentId) match {
+              case Some(parent)
+                  if parent.source.id == tm.source.id &&
+                    jc.childAttrs == jc.parentAttrs &&
+                    isInlinable(parent.subject.term) =>
+                // J6: join on identical key over the identical source ⇒ the
+                // parent subject can be computed from the child row directly.
+                pom.copy(objectMap = ObjectMap(Some(parent.subject.term.copy(
+                  termType = Some(parent.subject.term.termType.getOrElse(TermType.Iri))))))
+              case _ => pom
+            }
+          case _ => pom
+        }
+      }
+      tm.copy(poms = poms)
+    }
+    doc.copy(triplesMaps = tms)
+  }
+
+  private def isInlinable(tm: TermMap): Boolean = tm.kind match {
+    case TermKind.Template | TermKind.Reference | TermKind.Constant => true
+    case _ => false
+  }
+
+  private def compileTm(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
+      opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
+
+    val raw = SourceReader.read(spark, tm.source)
+    val df = if (opts.dedupSourceRows) raw.dropDuplicates() else raw
+    val colFn: String => Column = a => df(a)
+    val base = opts.baseIri.orElse(tm.baseIri)
+
+    val subj = TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)
+    val subjGraph: Column = tm.subject.graph
+      .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
+      .getOrElse(lit(null).cast("string"))
+
+    // --- branch 1: single-pass projection for class triples + plain POMs ---
+    val classTriples: Seq[Column] = tm.subject.rdfClasses.map { cls =>
+      quadStruct(subj.guard, subj.column, lit(RDF_TYPE), lit(s"<$cls>"), subjGraph)
+    }
+    val plainPoms = tm.poms.filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
+    val plainTriples: Seq[Column] = plainPoms.flatMap { pom =>
+      compilePlainPom(pom, subj, subjGraph, base, colFn).map(identity)
+    }
+
+    val candidates = classTriples ++ plainTriples
+    val singlePass: Option[DataFrame] =
+      if (candidates.isEmpty) None
+      else Some {
+        df.select(explode(filter(array(candidates: _*), x => x.isNotNull)).as("q"))
+          .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"), col("q.g").as("g"))
+      }
+
+    // --- branch 2: one joined branch per RefObjectMap POM ---
+    val joinBranches: Seq[DataFrame] = tm.poms
+      .filter(_.objectMap.refObject.isDefined)
+      .map(pom => compileJoinPom(spark, tm, pom, df, subj, subjGraph, base, doc, parentCache))
+
+    (singlePass.toSeq ++ joinBranches)
+      .reduceLeftOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("s"), lit("").as("p"), lit("").as("o"), lit(null).cast("string").as("g"))
+        .limit(0))
+  }
+
+  /** A quad candidate: null when the guard fails (filtered before explode). */
+  private def quadStruct(guard: Column, s: Column, p: Column, o: Column, g: Column): Column =
+    when(guard, struct(s.as("s"), p.as("p"), o.as("o"), g.as("g"))).otherwise(lit(null))
+
+  private def compilePlainPom(pom: PredicateObjectMap, subj: TermCompiler.CompiledTerm,
+      subjGraph: Column, base: Option[String], colFn: String => Column): Seq[Column] = {
+    val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+    val om = pom.objectMap
+    val obj = TermCompiler.rdfTerm(om.term.get, Some(om), base, colFn, TermType.Literal)
+    val graph = pom.graph
+      .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
+      .getOrElse(subjGraph)
+    Seq(quadStruct(subj.guard && pred.guard && obj.guard, subj.column, pred.column, obj.column, graph))
+  }
+
+  /** RefObjectMap: child rows joined to the parent TM's deduplicated
+    * (joinKeys → subject) set (SURVEY J1/J2).
+    */
+  private def compileJoinPom(spark: SparkSession, tm: TriplesMap, pom: PredicateObjectMap,
+      childDf: DataFrame, subj: TermCompiler.CompiledTerm, subjGraph: Column,
+      base: Option[String], doc: MappingDoc,
+      parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
+
+    val rom = pom.objectMap.refObject.get
+    val parentTm = doc.triplesMaps.find(_.id == rom.parentTriplesMap)
+      .getOrElse(throw new IllegalArgumentException(s"unknown parent TriplesMap: ${rom.parentTriplesMap}"))
+
+    val colFn: String => Column = a => childDf(a)
+    val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+    val graph = pom.graph
+      .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
+      .getOrElse(subjGraph)
+
+    rom.joinCondition match {
+      case Some(jc) =>
+        val cacheKey = parentTm.id + "|" + jc.parentAttrs.mkString(",")
+        val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
+          val pdf = SourceReader.read(spark, parentTm.source)
+          val pColFn: String => Column = a => pdf(a)
+          val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
+            parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
+          val keyCols = jc.parentAttrs.zipWithIndex.map { case (a, i) =>
+            pdf(a).cast("string").as(s"__k$i")
+          }
+          // dedup before the join: the reference's hash table stores a SET of
+          // parent subjects per key (reference: hash_maker semantify.py:523-930)
+          pdf.where(pSubj.guard)
+            .select(keyCols :+ pSubj.column.as("__parent_subject"): _*)
+            .dropDuplicates()
+        })
+
+        val joinCond = jc.childAttrs.zipWithIndex.map { case (a, i) =>
+          childDf(a).cast("string") === parentSubjects(s"__k$i")
+        }.reduce(_ && _)
+        val childGuard = jc.childAttrs.map(a => graft.functions.rml.notRmlNull(childDf(a))).reduce(_ && _)
+
+        childDf.where(subj.guard && pred.guard && childGuard)
+          .join(parentSubjects, joinCond, "inner")
+          .select(subj.column.as("s"), pred.column.as("p"),
+            parentSubjects("__parent_subject").as("o"), graph.as("g"))
+
+      case None =>
+        // no joinCondition + same source ⇒ same-row semantics; different
+        // source ⇒ cross product of child rows with parent subjects
+        if (parentTm.source.id == tm.source.id) {
+          val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
+            parentTm.baseIri.orElse(base), colFn, TermType.Iri)
+          childDf.where(subj.guard && pred.guard && pSubj.guard)
+            .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
+        } else {
+          val pdf = SourceReader.read(spark, parentTm.source)
+          val pColFn: String => Column = a => pdf(a)
+          val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
+            parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
+          val parents = pdf.where(pSubj.guard).select(pSubj.column.as("__parent_subject")).dropDuplicates()
+          childDf.where(subj.guard && pred.guard)
+            .crossJoin(parents)
+            .select(subj.column.as("s"), pred.column.as("p"), col("__parent_subject").as("o"), graph.as("g"))
+        }
+    }
+  }
+
+  /** Explode any array-typed attribute referenced by a POM: multi-valued
+    * JSON references produce one triple per element (SURVEY T2;
+    * reference: semantify.py:4952-4960).
+    */
+  def explodeArrayRefs(df: DataFrame, attrs: Seq[String]): DataFrame =
+    attrs.foldLeft(df) { (d, a) =>
+      d.schema.find(_.name == a) match {
+        case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
+          d.withColumn(a, explode_outer(col(a)))
+        case _ => d
+      }
+    }
+}

@@ -1,0 +1,74 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Output serializers (SURVEY §2.2, K1-K4). Input is the engine's quad
+  * DataFrame `(s, p, o, g)` with fully-formatted N-Triples terms.
+  */
+object Sinks {
+
+  /** K1: N-Triples / N-Quads lines. */
+  def ntLines(quads: DataFrame): DataFrame = {
+    val line = when(col("g").isNotNull,
+      concat_ws(" ", col("s"), col("p"), col("o"), col("g"), lit(".")))
+      .otherwise(concat_ws(" ", col("s"), col("p"), col("o"), lit(".")))
+    quads.select(line.as("line"))
+  }
+
+  def writeNt(quads: DataFrame, path: String): Unit =
+    ntLines(quads).write.mode("overwrite").text(path)
+
+  /** K2: Turtle-style subject grouping — predicates joined with `;`, objects
+    * of the same predicate with `,` (reference: turtle_print
+    * functions.py:394-568). Done as two ordered aggregations, no driver
+    * state; formatting stays distributed.
+    */
+  def turtleBlocks(quads: DataFrame): DataFrame = {
+    val byPred = quads
+      .groupBy(col("s"), col("p"))
+      .agg(array_join(array_sort(collect_set(col("o"))), ", ").as("objs"))
+      .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
+    byPred
+      .groupBy(col("s"))
+      .agg(array_join(array_sort(collect_list(col("po"))), " ;\n\t").as("body"))
+      .select(concat(col("s"), lit(" "), col("body"), lit(" .")).as("block"))
+  }
+
+  /** Turtle prefix header from a prefix map (reference: prefix_extraction
+    * semantify.py:168-187).
+    */
+  def turtleHeader(prefixes: Map[String, String]): String =
+    prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
+
+  def writeTurtle(quads: DataFrame, prefixes: Map[String, String], path: String): Unit = {
+    val blocks = turtleBlocks(quads)
+    blocks.write.mode("overwrite").text(path)
+    val header = turtleHeader(prefixes)
+    if (header.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        blocks.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, "_00_prefixes.ttl"))
+      out.write((header + "\n").getBytes("UTF-8")); out.close()
+    }
+  }
+
+  /** K3: logical-target routing — each target gets the quads matching its
+    * predicate filter (reference: semantify.py:3346-3400). Returns the routed
+    * frame with a `target` column; callers fan out one write per target.
+    */
+  def routeTargets(quads: DataFrame, targets: Map[String, Column]): DataFrame =
+    targets.map { case (name, pred) =>
+      quads.where(pred).withColumn("target", lit(name))
+    }.reduceLeft(_.unionByName(_))
+
+  /** K4: RDF-JSON-shaped grouping `{s: {p: [o…]}}` (reference:
+    * functions.py:66-76) as a JSON string per subject.
+    */
+  def rdfJson(quads: DataFrame): DataFrame =
+    quads.groupBy(col("s"), col("p"))
+      .agg(array_sort(collect_set(col("o"))).as("objs"))
+      .groupBy(col("s"))
+      .agg(to_json(map_from_entries(array_sort(collect_list(struct(col("p"), col("objs")))))).as("json"))
+}

@@ -1,0 +1,200 @@
+package graft.mapping
+
+import graft.model._
+
+/** Extracts the RML mapping IR from a parsed Turtle graph.
+  *
+  * Covers the constructs the reference extracts with its SPARQL queries over
+  * the mapping graph (reference: semantify.py:1844-3899, legacy dialect at
+  * 2477-2686): logical sources (rml:source + referenceFormulation + iterator
+  * / rr:tableName / rml:query), subject maps (template / reference / constant
+  * / function / blank), rr:class, graph maps, predicate-object maps with
+  * constant shortcuts, datatype/language (+ dynamic maps), termType,
+  * RefObjectMaps with (multi-)join conditions, and FnML function values.
+  */
+object MappingParser {
+  private val RR = "http://www.w3.org/ns/r2rml#"
+  private val RML = "http://semweb.mmlab.be/ns/rml#"
+  private val QL = "http://semweb.mmlab.be/ns/ql#"
+  private val FNML = "http://semweb.mmlab.be/ns/fnml#"
+  private val FNO = "https://w3id.org/function/ontology#"
+  private val RDF_TYPE = TurtleParser.RDF_TYPE
+
+  def parse(turtle: String, sourceDir: String = ""): MappingDoc = {
+    val g = TurtleParser.parse(turtle)
+    val tmNodes = (g.subjectsWith(RDF_TYPE, Iri(RR + "TriplesMap")) ++
+      g.triples.collect { case (s, Iri(p), _) if p == RML + "logicalSource" => s }).distinct
+    val tms = tmNodes.map(n => parseTriplesMap(g, n, sourceDir)).toList
+    MappingDoc(tms, g.prefixes, g.base)
+  }
+
+  private def termId(t: RdfTerm): String = t match {
+    case Iri(v) => v
+    case BNode(l) => "_:" + l
+    case Lit(v, _, _) => v
+  }
+
+  private def lex(t: RdfTerm): String = t match {
+    case Lit(v, _, _) => v
+    case Iri(v) => v
+    case BNode(l) => l
+  }
+
+  private def parseTriplesMap(g: RdfGraph, node: RdfTerm, sourceDir: String): TriplesMap = {
+    val source = parseLogicalSource(g, node, sourceDir)
+    val subject = parseSubjectMap(g, node)
+    val poms = g.objects(node, RR + "predicateObjectMap").flatMap(parsePom(g, _)).toList
+    TriplesMap(termId(node), source, subject, poms, g.base)
+  }
+
+  private def parseLogicalSource(g: RdfGraph, tm: RdfTerm, sourceDir: String): LogicalSource = {
+    val ls = g.obj(tm, RML + "logicalSource")
+      .orElse(g.obj(tm, RR + "logicalTable"))
+      .getOrElse(throw new IllegalArgumentException(s"TriplesMap ${termId(tm)} has no logical source"))
+    val sourceVal = g.obj(ls, RML + "source").map(lex)
+    val path = sourceVal.map { p =>
+      val cleaned = if (p.startsWith("./")) p.substring(2) else p
+      if (cleaned.startsWith("/") || sourceDir.isEmpty) cleaned else s"$sourceDir/$cleaned"
+    }
+    val formulation = g.obj(ls, RML + "referenceFormulation").map(lex).getOrElse(QL + "CSV")
+    val iterator = g.obj(ls, RML + "iterator").map(lex)
+    val tableName = g.obj(ls, RR + "tableName").map(lex)
+    val query = g.obj(ls, RML + "query").map(lex).orElse(g.obj(ls, RR + "sqlQuery").map(lex))
+
+    if (tableName.isDefined || query.isDefined)
+      LogicalSource.JdbcSource("", "generic", query, tableName)
+    else formulation match {
+      case f if f.endsWith("CSV") || f.endsWith("TSV") =>
+        val delim = if (f.endsWith("TSV")) "\t" else ","
+        val p = path.getOrElse(fail(tm, "CSV source without path"))
+        if (p.endsWith(".parquet")) LogicalSource.ParquetSource(p)
+        else LogicalSource.CsvSource(p, delim)
+      case f if f.endsWith("JSONPath") || f.endsWith("JSON") =>
+        LogicalSource.JsonSource(path.getOrElse(fail(tm, "JSON source without path")), iterator.getOrElse("$"))
+      case f if f.endsWith("XPath") || f.endsWith("XML") =>
+        LogicalSource.XmlSource(path.getOrElse(fail(tm, "XML source without path")), iterator.getOrElse("/"))
+      case f if f.endsWith("Parquet") =>
+        LogicalSource.ParquetSource(path.getOrElse(fail(tm, "parquet source without path")))
+      case other => fail(tm, s"unsupported referenceFormulation: $other")
+    }
+  }
+
+  private def fail(tm: RdfTerm, msg: String): Nothing =
+    throw new IllegalArgumentException(s"TriplesMap ${termId(tm)}: $msg")
+
+  private def parseSubjectMap(g: RdfGraph, tm: RdfTerm): SubjectMap = {
+    g.obj(tm, RR + "subject") match {
+      case Some(const) =>
+        return SubjectMap(TermMap(TermKind.Constant, termId(const), Some(TermType.Iri)))
+      case None =>
+    }
+    val sm = g.obj(tm, RR + "subjectMap")
+      .getOrElse(fail(tm, "no subjectMap"))
+    val term = parseTermMap(g, sm).getOrElse(TermMap(TermKind.BlankUuid, "", Some(TermType.BlankNode)))
+    val classes = g.objects(sm, RR + "class").map(termId).toList
+    val graph = g.obj(sm, RR + "graphMap").flatMap(parseTermMap(g, _))
+      .orElse(g.obj(sm, RR + "graph").map(c => TermMap(TermKind.Constant, termId(c), Some(TermType.Iri))))
+    SubjectMap(term, classes, graph)
+  }
+
+  /** Parse a term map node: template / reference / constant / functionValue /
+    * quoted TriplesMap, with termType.
+    */
+  private def parseTermMap(g: RdfGraph, node: RdfTerm): Option[TermMap] = {
+    val termType = g.obj(node, RR + "termType").map(termId).map {
+      case t if t.endsWith("IRI") => TermType.Iri
+      case t if t.endsWith("BlankNode") => TermType.BlankNode
+      case _ => TermType.Literal
+    }
+    g.obj(node, RR + "template").map(t => TermMap(TermKind.Template, lex(t), termType))
+      .orElse(g.obj(node, RML + "reference").map(r => TermMap(TermKind.Reference, lex(r), termType)))
+      .orElse(g.obj(node, RR + "column").map(r => TermMap(TermKind.Reference, lex(r), termType)))
+      .orElse(g.obj(node, RR + "constant").map(c => TermMap(TermKind.Constant, termId(c),
+        termType.orElse(c match { case _: Iri => Some(TermType.Iri); case _ => Some(TermType.Literal) }))))
+      .orElse(g.obj(node, FNML + "functionValue").map(fv =>
+        TermMap(TermKind.FunctionCall, "", termType, function = Some(parseFunctionValue(g, fv)))))
+      .orElse(g.obj(node, RML + "quotedTriplesMap").map(q =>
+        TermMap(TermKind.QuotedTriplesMap, "", termType, quotedTm = Some(termId(q)))))
+  }
+
+  private def parsePom(g: RdfGraph, pom: RdfTerm): List[PredicateObjectMap] = {
+    val predicates: List[TermMap] =
+      g.objects(pom, RR + "predicate").map(p => TermMap(TermKind.Constant, termId(p), Some(TermType.Iri))).toList ++
+      g.objects(pom, RR + "predicateMap").flatMap(parseTermMap(g, _)).toList
+    val graph = g.obj(pom, RR + "graphMap").flatMap(parseTermMap(g, _))
+      .orElse(g.obj(pom, RR + "graph").map(c => TermMap(TermKind.Constant, termId(c), Some(TermType.Iri))))
+
+    val objectMaps: List[ObjectMap] =
+      g.objects(pom, RR + "object").map(o => ObjectMap(Some(TermMap(TermKind.Constant, termId(o),
+        Some(o match { case _: Iri => TermType.Iri; case _ => TermType.Literal }))))).toList ++
+      g.objects(pom, RR + "objectMap").map(om => parseObjectMap(g, om)).toList
+
+    for { p <- predicates; o <- objectMaps } yield PredicateObjectMap(p, o, graph)
+  }
+
+  private def parseObjectMap(g: RdfGraph, om: RdfTerm): ObjectMap = {
+    g.obj(om, RR + "parentTriplesMap") match {
+      case Some(parent) =>
+        val conds = g.objects(om, RR + "joinCondition")
+        val joinCond = if (conds.isEmpty) None else Some(JoinCondition(
+          conds.flatMap(c => g.obj(c, RR + "child").map(lex)).toList,
+          conds.flatMap(c => g.obj(c, RR + "parent").map(lex)).toList))
+        ObjectMap(None, refObject = Some(RefObjectMap(termId(parent), joinCond)))
+      case None =>
+        val term = parseTermMap(g, om)
+        val datatype = g.obj(om, RR + "datatype").map(termId)
+        val datatypeMap = g.obj(om, RML + "datatypeMap").flatMap(parseTermMap(g, _))
+        val language = g.obj(om, RR + "language").map(lex).map(normalizeLang)
+        val languageMap = g.obj(om, RML + "languageMap").flatMap(parseTermMap(g, _))
+        ObjectMap(term, datatype = datatype, datatypeMap = datatypeMap,
+          language = language, languageMap = languageMap)
+    }
+  }
+
+  /** The reference accepts 'spanish'/'english' aliases and validates 2-letter
+    * tags (reference: semantify.py:6843-6883).
+    */
+  private def normalizeLang(l: String): String = l.toLowerCase match {
+    case "spanish" => "es"
+    case "english" => "en"
+    case other => other
+  }
+
+  /** FnML function value: a POM list where fno:executes names the function and
+    * other predicates bind parameters (reference: fnml_functions.py:234-302).
+    */
+  private def parseFunctionValue(g: RdfGraph, fv: RdfTerm): FunctionCall = {
+    val poms = g.objects(fv, RR + "predicateObjectMap")
+    var functionIri = ""
+    val params = scala.collection.mutable.LinkedHashMap.empty[String, FunctionArg]
+    poms.foreach { pom =>
+      val pred = g.obj(pom, RR + "predicate").map(termId)
+        .orElse(g.obj(pom, RR + "predicateMap").flatMap(pm => g.obj(pm, RR + "constant")).map(termId))
+        .getOrElse("")
+      val argOpt: Option[FunctionArg] =
+        g.obj(pom, RR + "object").map {
+          case Iri(v) => FunctionArg.Const(v)
+          case Lit(v, _, _) => FunctionArg.Const(v)
+          case BNode(l) => FunctionArg.Const(l)
+        }.orElse(g.obj(pom, RR + "objectMap").map { om =>
+          g.obj(om, RML + "reference").map(r => FunctionArg.Ref(lex(r)))
+            .orElse(g.obj(om, RR + "template").map(t => FunctionArg.Tpl(lex(t))))
+            .orElse(g.obj(om, RR + "constant").map(c => FunctionArg.Const(lex(c))))
+            .orElse(g.obj(om, FNML + "functionValue").map(inner => FunctionArg.Nested(parseFunctionValue(g, inner))))
+            .getOrElse(FunctionArg.Const(""))
+        })
+      argOpt.foreach { arg =>
+        if (pred == FNO + "executes" || pred.endsWith("function/ontology#executes")) {
+          functionIri = arg match { case FunctionArg.Const(v) => v; case _ => "" }
+        } else if (pred.nonEmpty) {
+          params(pred) = params.get(pred) match {
+            case Some(FunctionArg.ListArg(items)) => FunctionArg.ListArg(items :+ arg)
+            case Some(existing) => FunctionArg.ListArg(List(existing, arg))
+            case None => arg
+          }
+        }
+      }
+    }
+    FunctionCall(functionIri, params.toMap)
+  }
+}

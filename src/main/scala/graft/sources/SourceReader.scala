@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reads a [[LogicalSource]] into a DataFrame (SURVEY §2.1, S1-S9).
+  *
+  * The reference normalizes every source into rows-as-string-dicts
+  * (reference: semantify.py:10330-10339 CSV, 4935-4960 JSON, 3901-3956 XML);
+  * here each source becomes a DataFrame and the engine treats values as
+  * strings at the term boundary (cast in the term compiler), keeping the
+  * scan columnar and prunable.
+  */
+object SourceReader {
+
+  def read(spark: SparkSession, source: LogicalSource): DataFrame = source match {
+    case LogicalSource.CsvSource(path, delim) =>
+      // dtype=str semantics: read everything as string so downstream term
+      // construction is byte-faithful (no float mangling of "007").
+      spark.read
+        .option("header", "true")
+        .option("delimiter", delim)
+        .option("inferSchema", "false")
+        .option("mode", "DROPMALFORMED") // ragged-row rejection (SURVEY P6)
+        .csv(path)
+
+    case LogicalSource.JsonSource(path, iterator) =>
+      val raw = spark.read.option("multiLine", "true").json(path)
+      applyJsonIterator(raw, iterator)
+
+    case LogicalSource.XmlSource(path, iterator) =>
+      // Spark 4.x ships a built-in XML source; rowTag = last iterator step.
+      val rowTag = iterator.split("/").filter(_.nonEmpty).lastOption.getOrElse("row")
+      spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+    case LogicalSource.ParquetSource(path) =>
+      spark.read.parquet(path)
+
+    case LogicalSource.JdbcSource(url, _, query, tableName, user, password) =>
+      val r = spark.read.format("jdbc").option("url", url)
+        .option("user", user).option("password", password)
+      (query, tableName) match {
+        case (Some(q), _) => r.option("query", q).load()
+        case (_, Some(t)) => r.option("dbtable", t).load()
+        case _ => throw new IllegalArgumentException("JDBC source needs query or tableName")
+      }
+
+    case LogicalSource.NTriplesSource(path, _) =>
+      // Line-parse N-Triples with a regex (SURVEY S7): s p o from each line.
+      val lines = spark.read.text(path)
+      val pat = "^(\\S+)\\s+(\\S+)\\s+(.*?)\\s*\\.\\s*$"
+      lines
+        .select(
+          regexp_extract(col("value"), pat, 1).as("subject"),
+          regexp_extract(col("value"), pat, 2).as("predicate"),
+          regexp_extract(col("value"), pat, 3).as("object"))
+        .filter(col("subject") =!= "")
+
+    case LogicalSource.SparqlSource(endpoint, _) =>
+      throw new UnsupportedOperationException(
+        s"SPARQL endpoint sources need network access (endpoint: $endpoint); " +
+          "provide a pre-fetched bindings file instead")
+
+    case v: LogicalSource.ViewSource =>
+      graft.exec.ViewExec.compile(spark, v)
+  }
+
+  /** Apply a JSONPath-subset iterator ($.a.b[*], $[*], nested [*][*]) as a
+    * chain of select/explode steps — each [*] is a Spark `explode`, each name
+    * step a struct field access (SURVEY S2).
+    */
+  def applyJsonIterator(df: DataFrame, iterator: String): DataFrame = {
+    val steps = parseIteratorSteps(iterator)
+    var cur = df
+    steps.foreach {
+      case IterStep.Field(name) =>
+        cur = cur.select(col(name + ".*"))
+      case IterStep.ExplodeField(name) =>
+        cur = cur.select(explode(col(name)).as("_x")).select(col("_x.*"))
+      case IterStep.ExplodeRoot =>
+        // root is an array: spark.read.json already yields one row per element
+        ()
+    }
+    cur
+  }
+
+  sealed trait IterStep
+  object IterStep {
+    final case class Field(name: String) extends IterStep
+    final case class ExplodeField(name: String) extends IterStep
+    case object ExplodeRoot extends IterStep
+  }
+
+  def parseIteratorSteps(iterator: String): List[IterStep] = {
+    val it = iterator.trim.stripPrefix("$")
+    if (it.isEmpty || it == ".") return Nil
+    val tokens = it.split("\\.").filter(_.nonEmpty).toList
+    tokens.flatMap { tok =>
+      if (tok == "[*]") List(IterStep.ExplodeRoot)
+      else if (tok.endsWith("[*]")) List(IterStep.ExplodeField(tok.stripSuffix("[*]")))
+      else List(IterStep.Field(tok))
+    }
+  }
+}
