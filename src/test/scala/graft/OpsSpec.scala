@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup
+    (2L, "the quick brown fox leaps over the lazy dog", "en"),   // near dup
+    (3L, "completely different content about spark engines", "en"),
+    (4L, "der schnelle braune fuchs und der faule hund", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keeps min id
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))          // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated text
+  }
+
+  test("simhash: identical texts get identical signatures, near dups are close") {
+    val sig = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    val hamming = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    assert(hamming <= 10, s"near-dup hamming distance $hamming")
+    val hammingFar = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(hammingFar > hamming)
+  }
+
+  test("jaccard pairs respect the blocking column") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L)) // de-blocked from en docs
+  }
+
+  test("brute-force top-k returns k ranked neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.0, 0.9, 0.1)),
+      (4L, Array(0.5, 0.5, 0.0))).toDF("vec_id", "v")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "v", "vec_id", 2)
+      .collect().sortBy(_.getInt(3))
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L) // closest to [1,0,0]
+  }
+
+  test("ivf assignment puts every vector in exactly one cluster") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))).toDF("vec_id", "v")
+    val assigned = Similarity.ivfAssign(vecs, "v", "vec_id", stride = 7)
+    assert(assigned.count() == 20)
+    assert(assigned.groupBy("id").count().where($"count" > 1).count() == 0)
+  }
+
+  test("langId picks the language with most stopword evidence") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("fingerprint is stable under formatting changes") {
+    val d = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("id", "text")
+    val fps = d.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("rolling hash is order-sensitive") {
+    val d = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("id", "text")
+    val fps = d.select(TextAnalysis.rollingHash($"text")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("multimodal payload plumbing: metadata, frames, batch extraction") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text", "text")
+    val meta = withBin.select($"doc_id", $"meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta(0L) == 43L) // "the quick brown fox jumps over the lazy dog".length
+    val frames = Multimodal.frameSample(withBin, 10)
+    assert(frames.where($"doc_id" === 0).count() == 5) // 44 bytes / stride 10
+    val extracted = Multimodal.batchExtract(Multimodal.decodeStub(withBin))
+    val row = extracted.where($"doc_id" === 0).select($"batch_feature", $"width", $"height").head()
+    assert(row.getDouble(0) > 0.0 && row.getLong(1) >= 64 && row.getLong(2) >= 64)
+    assert(extracted.where($"doc_id" === 0).select(size($"features")).head().getInt(0) == 8)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming windowed agg matches the batch result on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:40:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "click", 4.0),
+      ("2024-01-01 00:20:00", "buy", 8.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val expected = StreamingOps.windowedAgg(batch).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val stream = StreamingOps.streamingWindowedAgg(spark, dir, batch.schema)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expected)
+      assert(got.exists(_._1 == "2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization splits on gap") {
+    import StreamingOps._
+    val events = Seq(
+      EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a", 2.0),
+      EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "a", 4.0),
+      EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "b", 8.0))
+      .toDS()
+    // batch Dataset drives the same flatMapGroupsWithState logic
+    val sessions = sessionize(events, gapMs = 30 * 60 * 1000).collect()
+    // user 1: first session (2 events) closed by the 2h gap
+    assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+  }
+}
