@@ -569,6 +569,89 @@ object CatalogCore {
       c_mktsegment || '%20%26%20more' AS escaped
       FROM customer"""))
 
+  // ------------------------------------------- engine-e2e: CC / star / graphs
+
+  private val mappingPrefixes =
+    """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+      |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+      |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+      |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+      |@prefix ex: <http://ex/vocab/> .
+      |@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+      |@prefix fno: <https://w3id.org/function/ontology#> .
+      |@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+      |""".stripMargin
+
+  private val rmlGather = Q("rml_gather_seq",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/nation.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/nation/{n_nationkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:names;
+         |    rr:objectMap [ rml:gather ( [ rml:reference "n_name" ] [ rml:reference "n_regionkey" ] );
+         |                   rml:gatherAs rdf:Seq ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""WITH base AS (SELECT
+        '<http://ex/nation/' || n_nationkey || '>' AS subj,
+        '_:' || md5('<http://ex/nation/' || n_nationkey || '>|<http://ex/vocab/names>|0') AS head,
+        n_name, n_regionkey FROM nation)
+      SELECT subj AS s, '<http://ex/vocab/names>' AS p, head AS o FROM base
+      UNION ALL
+      SELECT head AS s, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq>' AS o FROM base
+      UNION ALL
+      SELECT head AS s, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1>' AS p,
+        '"' || n_name || '"' AS o FROM base
+      UNION ALL
+      SELECT head AS s, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#_2>' AS p,
+        '"' || n_regionkey || '"' AS o FROM base"""))
+
+  private val rmlStar = Q("rml_star_nonasserted",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:segment; rr:objectMap [ rml:reference "c_mktsegment" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{c_custkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:assertedBy;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM> ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/stmt/' || c_custkey || '>' AS s,
+      '<http://ex/vocab/assertedBy>' AS p,
+      '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/segment> "' || c_mktsegment || '" >>' AS o
+      FROM customer"""))
+
+  private val rmlGraphs = Q("rml_graph_quads",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}";
+         |                  rr:graphMap [ rr:template "http://ex/g/{c_mktsegment}" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "c_name" ] ].
+         |""".stripMargin).select(col("s"), col("p"), col("o"), col("g")),
+    Some("""SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+      '<http://ex/vocab/name>' AS p, '"' || c_name || '"' AS o,
+      '<http://ex/g/' || c_mktsegment || '>' AS g FROM customer"""))
+
+  private val rmlFno = Q("rml_fno_object",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/part.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/part/{p_partkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:nameUpper;
+         |    rr:objectMap [ fnml:functionValue [
+         |      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ],
+         |        [ rr:predicate grel:inputString; rr:objectMap [ rml:reference "p_name" ] ]
+         |    ] ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/part/' || p_partkey || '>' AS s,
+      '<http://ex/vocab/nameUpper>' AS p, '"' || upper(p_name) || '"' AS o FROM part"""))
+
   val queries: Seq[Q] = Seq(
     q1, q3, p1, p2, p3, p5,
     s1, s2, s3, s7, s9,
@@ -576,5 +659,6 @@ object CatalogCore {
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
-    fnoString, fnoCond, fnoDate, fnoUrl)
+    fnoString, fnoCond, fnoDate, fnoUrl,
+    rmlGather, rmlStar, rmlGraphs, rmlFno)
 }

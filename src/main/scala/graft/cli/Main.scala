@@ -1,0 +1,112 @@
+package graft.cli
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** config.ini-compatible CLI entry point — same knobs as the reference's
+  * `python3 -m rdfizer -c config.ini` (reference: __main__.py:31-46; config
+  * parse semantify.py:9912-9947; example/config.ini):
+  *
+  *   [datasets] number_of_datasets, output_folder, remove_duplicate,
+  *              all_in_one_file, name, output_format, ordered
+  *   [datasetN] name, mapping
+  *
+  * Usage: graft.cli.Main -c /path/to/config.ini
+  */
+object Main {
+
+  final case class IniConfig(sections: Map[String, Map[String, String]]) {
+    def get(section: String, key: String): Option[String] =
+      sections.get(section.toLowerCase).flatMap(_.get(key.toLowerCase))
+    def getOrElse(section: String, key: String, default: String): String =
+      get(section, key).getOrElse(default)
+  }
+
+  /** Minimal INI parser with ${section:key} interpolation (the subset the
+    * reference's configs use).
+    */
+  def parseIni(text: String): IniConfig = {
+    val sections = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.Map[String, String]]
+    var current = "default"
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          current = line.substring(1, line.length - 1).toLowerCase
+          sections.getOrElseUpdate(current, scala.collection.mutable.Map.empty)
+        } else {
+          val idx = math.min(
+            Option(line.indexOf('=')).filter(_ >= 0).getOrElse(Int.MaxValue),
+            Option(line.indexOf(':')).filter(_ >= 0).getOrElse(Int.MaxValue))
+          if (idx != Int.MaxValue) {
+            val (k, v) = (line.substring(0, idx).trim.toLowerCase, line.substring(idx + 1).trim)
+            sections.getOrElseUpdate(current, scala.collection.mutable.Map.empty)(k) = v
+          }
+        }
+      }
+    }
+    // ${section:key} interpolation
+    val resolved = sections.map { case (sec, kvs) =>
+      sec -> kvs.map { case (k, v) =>
+        k -> "\\$\\{([^}:]+):([^}]+)\\}".r.replaceAllIn(v, m =>
+          sections.get(m.group(1).toLowerCase).flatMap(_.get(m.group(2).toLowerCase)).getOrElse(""))
+      }.toMap
+    }.toMap
+    IniConfig(resolved)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
+      .getOrElse(sys.error("usage: graft.cli.Main -c config.ini"))
+    val ini = parseIni(java.nio.file.Files.readString(java.nio.file.Paths.get(configPath)))
+    val configDir = java.nio.file.Paths.get(configPath).toAbsolutePath.getParent.toString
+
+    val nDatasets = ini.getOrElse("datasets", "number_of_datasets", "1").toInt
+    val outputFolder = {
+      val f = ini.getOrElse("datasets", "output_folder", "output")
+      if (f.startsWith("/")) f else s"$configDir/$f"
+    }
+    val removeDup = ini.getOrElse("datasets", "remove_duplicate", "yes") == "yes"
+    val allInOne = ini.getOrElse("datasets", "all_in_one_file", "no") == "yes"
+    val outputFormat = ini.getOrElse("datasets", "output_format", "n-triples")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val cfg = Engine.Config(removeDuplicates = removeDup, outputFormat = outputFormat)
+      if (allInOne) {
+        val quads = (1 to nDatasets).map { i =>
+          val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
+          Engine.materialize(spark, java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
+            new java.io.File(mappingPath).getParent, cfg)
+        }.reduceLeft(_.unionByName(_))
+        val out = if (removeDup) quads.dropDuplicates("s", "p", "o", "g") else quads
+        val name = ini.getOrElse("datasets", "name", "output")
+        graft.exec.Sinks.writeNt(out, s"$outputFolder/$name")
+        println(s"Successfully created the output at $outputFolder/$name")
+      } else {
+        (1 to nDatasets).foreach { i =>
+          val name = ini.getOrElse(s"dataset$i", "name", s"dataset$i")
+          val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
+          val n = Engine.run(spark,
+            java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
+            new java.io.File(mappingPath).getParent,
+            s"$outputFolder/$name", cfg)
+          println(s"Successfully created $n triples for dataset '$name' at $outputFolder/$name")
+        }
+      }
+    } finally spark.stop()
+  }
+
+  private def resolvePath(p: String, baseDir: String): String =
+    if (p.startsWith("/")) p else s"$baseDir/${p.stripPrefix("./")}"
+}

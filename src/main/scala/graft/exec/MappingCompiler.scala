@@ -42,7 +42,9 @@ object MappingCompiler {
   def compile(spark: SparkSession, doc: MappingDoc, opts: Options = Options()): DataFrame = {
     val rewritten = rewrite(doc)
     val parentSubjectCache = collection.mutable.Map.empty[String, DataFrame]
-    val perTm = rewritten.triplesMaps.map(tm => compileTm(spark, tm, rewritten, opts, parentSubjectCache))
+    // non-asserted TMs (RML-star) are compiled only as quoted parents
+    val perTm = rewritten.triplesMaps.filter(_.asserted)
+      .map(tm => compileTm(spark, tm, rewritten, opts, parentSubjectCache))
     val all = perTm.reduceLeft(_.unionByName(_))
     if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
   }
@@ -88,7 +90,12 @@ object MappingCompiler {
     val colFn: String => Column = a => df(a)
     val base = opts.baseIri.orElse(tm.baseIri)
 
-    val subj = TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)
+    val subj = tm.subject.term.kind match {
+      case TermKind.QuotedTriplesMap =>
+        // RML-star quoted subject, same-source (reference: semantify.py:6513-6530)
+        quotedInline(tm.subject.term.quotedTm.get, doc, base, colFn)
+      case _ => TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)
+    }
     val subjGraph: Column = tm.subject.graph
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
       .getOrElse(lit(null).cast("string"))
@@ -99,7 +106,14 @@ object MappingCompiler {
     }
     val plainPoms = tm.poms.filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
     val plainTriples: Seq[Column] = plainPoms.flatMap { pom =>
-      compilePlainPom(pom, subj, subjGraph, base, colFn).map(identity)
+      pom.objectMap.term match {
+        case Some(t) if t.kind == TermKind.QuotedTriplesMap =>
+          // RML-star quoted object, same source (J7)
+          val q = quotedInline(t.quotedTm.get, doc, base, colFn)
+          val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+          Seq(quadStruct(subj.guard && pred.guard && q.guard, subj.column, pred.column, q.column, subjGraph))
+        case _ => compilePlainPom(pom, subj, subjGraph, base, colFn)
+      }
     }
 
     val candidates = classTriples ++ plainTriples
@@ -115,7 +129,12 @@ object MappingCompiler {
       .filter(_.objectMap.refObject.isDefined)
       .map(pom => compileJoinPom(spark, tm, pom, df, subj, subjGraph, base, doc, parentCache))
 
-    (singlePass.toSeq ++ joinBranches)
+    // --- branch 3: gather maps (RML-CC containers/collections, A1-A3) ---
+    val gatherBranches: Seq[DataFrame] = tm.poms
+      .filter(_.objectMap.gather.isDefined)
+      .map(pom => compileGatherPom(pom, df, subj, subjGraph, base, colFn))
+
+    (singlePass.toSeq ++ joinBranches ++ gatherBranches)
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("s"), lit("").as("p"), lit("").as("o"), lit(null).cast("string").as("g"))
@@ -201,6 +220,90 @@ object MappingCompiler {
             .crossJoin(parents)
             .select(subj.column.as("s"), pred.column.as("p"), col("__parent_subject").as("o"), graph.as("g"))
         }
+    }
+  }
+
+  /** RML-star: build `<< s p o >>` quoted-triple terms of a (possibly
+    * non-asserted) parent TM evaluated over the SAME row (reference:
+    * inner_semantify_file, inner_functions.py:16-679). Uses the parent's
+    * first plain POM — one quoted triple per row.
+    */
+  private def quotedInline(parentId: String, doc: MappingDoc, base: Option[String],
+      colFn: String => Column): TermCompiler.CompiledTerm = {
+    val parent = doc.triplesMaps.find(_.id == parentId)
+      .getOrElse(throw new IllegalArgumentException(s"unknown quoted TriplesMap: $parentId"))
+    val pSubj = TermCompiler.rdfTerm(parent.subject.term, None,
+      parent.baseIri.orElse(base), colFn, TermType.Iri)
+    val pom = parent.poms.find(p => p.objectMap.term.isDefined)
+      .getOrElse(throw new IllegalArgumentException(s"quoted TM $parentId has no plain POM"))
+    val pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+    val pObj = TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn, TermType.Literal)
+    TermCompiler.CompiledTerm(
+      graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
+      pSubj.guard && pPred.guard && pObj.guard)
+  }
+
+  /** RML-CC gather maps: collect the item term maps' values per row into an
+    * rdf:List (first/rest/nil chain) or Bag/Seq/Alt membership container
+    * (reference: gather_triples_generation cc_functions.py:217-535).
+    * Blank-node cell labels are deterministic — md5(subject‖predicate‖pos) —
+    * replacing the reference's uuid4 labels (SURVEY §7 "what's hard" #2) so
+    * results are reproducible and testable.
+    */
+  private def compileGatherPom(pom: PredicateObjectMap, df: DataFrame,
+      subj: TermCompiler.CompiledTerm, subjGraph: Column, base: Option[String],
+      colFn: String => Column): DataFrame = {
+    val gm = pom.objectMap.gather.get
+    val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+    val items = gm.items.map { it =>
+      val ct = TermCompiler.rdfTerm(it, Some(pom.objectMap), base, colFn, TermType.Literal)
+      when(ct.guard, ct.column).otherwise(lit(null))
+    }
+    val values = filter(array(items: _*), x => x.isNotNull)
+    val keyBase = concat(subj.column, lit("|"), pred.column)
+    def cell(pos: Column): Column =
+      concat(lit("_:"), md5(concat(keyBase, lit("|"), pos.cast("string")).cast("binary")))
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    val rows = df.where(subj.guard && pred.guard)
+      .select(subj.column.as("__s"), pred.column.as("__p"), subjGraph.as("g"),
+        values.as("__vals"), cell(lit(0)).as("__head"), keyBase.as("__key"))
+      .persist()
+
+    gm.gatherAs match {
+      case GatherAs.RdfList =>
+        val headTriple = rows.select(col("__s").as("s"), col("__p").as("p"),
+          when(size(col("__vals")) > 0, col("__head"))
+            .otherwise(if (gm.allowEmpty) lit(s"<${RDF}nil>") else lit(null)).as("o"), col("g"))
+          .where(col("o").isNotNull)
+        val cells = rows.where(size(col("__vals")) > 0)
+          .select(col("__key"), col("g"), size(col("__vals")).as("__n"),
+            posexplode(col("__vals")).as(Seq("__pos", "__v")))
+        def cellAt(pos: Column): Column =
+          concat(lit("_:"), md5(concat(col("__key"), lit("|"), pos.cast("string")).cast("binary")))
+        val firsts = cells.select(cellAt(col("__pos")).as("s"),
+          lit(s"<${RDF}first>").as("p"), col("__v").as("o"), col("g"))
+        val rests = cells.select(cellAt(col("__pos")).as("s"),
+          lit(s"<${RDF}rest>").as("p"),
+          when(col("__pos") === col("__n") - 1, lit(s"<${RDF}nil>"))
+            .otherwise(cellAt(col("__pos") + 1)).as("o"), col("g"))
+        headTriple.unionByName(firsts).unionByName(rests)
+
+      case containerKind =>
+        val typeName = containerKind match {
+          case GatherAs.Bag => "Bag"; case GatherAs.Seq => "Seq"; case _ => "Alt"
+        }
+        val nonEmpty = if (gm.allowEmpty) rows else rows.where(size(col("__vals")) > 0)
+        val headTriple = nonEmpty.select(col("__s").as("s"), col("__p").as("p"),
+          col("__head").as("o"), col("g"))
+        val typeTriple = nonEmpty.select(col("__head").as("s"), lit(RDF_TYPE).as("p"),
+          lit(s"<$RDF$typeName>").as("o"), col("g"))
+        val members = nonEmpty
+          .select(col("__head"), col("g"), posexplode(col("__vals")).as(Seq("__pos", "__v")))
+          .select(col("__head").as("s"),
+            concat(lit(s"<${RDF}_"), col("__pos") + 1, lit(">")).as("p"),
+            col("__v").as("o"), col("g"))
+        headTriple.unionByName(typeTriple).unionByName(members)
     }
   }
 

@@ -15,14 +15,39 @@ import graft.model._
 object MappingParser {
   private val RR = "http://www.w3.org/ns/r2rml#"
   private val RML = "http://semweb.mmlab.be/ns/rml#"
+  private val RML2 = "http://w3id.org/rml/" // new W3C dialect
   private val QL = "http://semweb.mmlab.be/ns/ql#"
   private val FNML = "http://semweb.mmlab.be/ns/fnml#"
   private val FNO = "https://w3id.org/function/ontology#"
   private val RDF_TYPE = TurtleParser.RDF_TYPE
 
+  /** Predicates/classes of the new W3C dialect (w3id.org/rml/) that map to
+    * the legacy rr: namespace; everything else in RML2 maps to the legacy
+    * mmlab rml: namespace (the reference parses both dialects with separate
+    * SPARQL extractions, semantify.py:1871-2475 vs 2477-2686 — we normalize
+    * the graph instead).
+    */
+  private val toRr = Set(
+    "TriplesMap", "subjectMap", "subject", "predicateObjectMap", "predicate",
+    "predicateMap", "object", "objectMap", "constant", "template", "termType",
+    "class", "graph", "graphMap", "datatype", "language", "parentTriplesMap",
+    "joinCondition", "child", "parent", "tableName", "sqlQuery", "column",
+    "IRI", "BlankNode", "Literal")
+
+  private def normalizeDialect(g: RdfGraph): RdfGraph = {
+    def norm(t: RdfTerm): RdfTerm = t match {
+      case Iri(v) if v.startsWith(RML2) =>
+        val local = v.substring(RML2.length)
+        if (toRr(local)) Iri(RR + local) else Iri(RML + local)
+      case other => other
+    }
+    g.copy(triples = g.triples.map { case (s, p, o) => (norm(s), norm(p), norm(o)) })
+  }
+
   def parse(turtle: String, sourceDir: String = ""): MappingDoc = {
-    val g = TurtleParser.parse(turtle)
+    val g = normalizeDialect(TurtleParser.parse(turtle))
     val tmNodes = (g.subjectsWith(RDF_TYPE, Iri(RR + "TriplesMap")) ++
+      g.subjectsWith(RDF_TYPE, Iri(RML + "NonAssertedTriplesMap")) ++
       g.triples.collect { case (s, Iri(p), _) if p == RML + "logicalSource" => s }).distinct
     val tms = tmNodes.map(n => parseTriplesMap(g, n, sourceDir)).toList
     MappingDoc(tms, g.prefixes, g.base)
@@ -44,7 +69,9 @@ object MappingParser {
     val source = parseLogicalSource(g, node, sourceDir)
     val subject = parseSubjectMap(g, node)
     val poms = g.objects(node, RR + "predicateObjectMap").flatMap(parsePom(g, _)).toList
-    TriplesMap(termId(node), source, subject, poms, g.base)
+    val nonAsserted = g.objects(node, RDF_TYPE)
+      .exists { case Iri(v) => v.endsWith("NonAssertedTriplesMap"); case _ => false }
+    TriplesMap(termId(node), source, subject, poms, g.base, asserted = !nonAsserted)
   }
 
   private def parseLogicalSource(g: RdfGraph, tm: RdfTerm, sourceDir: String): LogicalSource = {
@@ -141,15 +168,38 @@ object MappingParser {
           conds.flatMap(c => g.obj(c, RR + "parent").map(lex)).toList))
         ObjectMap(None, refObject = Some(RefObjectMap(termId(parent), joinCond)))
       case None =>
+        val gather = parseGather(g, om)
         val term = parseTermMap(g, om)
         val datatype = g.obj(om, RR + "datatype").map(termId)
         val datatypeMap = g.obj(om, RML + "datatypeMap").flatMap(parseTermMap(g, _))
         val language = g.obj(om, RR + "language").map(lex).map(normalizeLang)
         val languageMap = g.obj(om, RML + "languageMap").flatMap(parseTermMap(g, _))
-        ObjectMap(term, datatype = datatype, datatypeMap = datatypeMap,
+        ObjectMap(term, gather = gather, datatype = datatype, datatypeMap = datatypeMap,
           language = language, languageMap = languageMap)
     }
   }
+
+  /** RML-CC gather maps (reference: cc_functions.py; parse at
+    * semantify.py:1968-2010): rml:gather ( termMap… ); rml:gatherAs
+    * rdf:List/Bag/Seq/Alt; rml:strategy append|cartesian;
+    * rml:allowEmptyListAndContainer.
+    */
+  private def parseGather(g: RdfGraph, om: RdfTerm): Option[GatherMap] =
+    g.obj(om, RML + "gather").map { head =>
+      val items = g.rdfList(head).flatMap(parseTermMap(g, _))
+      val gatherAs = g.obj(om, RML + "gatherAs").map(termId).map {
+        case t if t.endsWith("List") => GatherAs.RdfList
+        case t if t.endsWith("Bag") => GatherAs.Bag
+        case t if t.endsWith("Seq") => GatherAs.Seq
+        case _ => GatherAs.Alt
+      }.getOrElse(GatherAs.RdfList)
+      val strategy = g.obj(om, RML + "strategy").map(termId)
+        .map(s => if (s.endsWith("cartesian")) "cartesian" else "append")
+        .getOrElse("append")
+      val allowEmpty = g.obj(om, RML + "allowEmptyListAndContainer")
+        .map(lex).contains("true")
+      GatherMap(gatherAs, items, strategy, allowEmpty)
+    }
 
   /** The reference accepts 'spanish'/'english' aliases and validates 2-letter
     * tags (reference: semantify.py:6843-6883).

@@ -124,13 +124,16 @@ final case class ViewJoin(
     childAttrs: List[String],
     parentAttrs: List[String])
 
-/** One TriplesMap (reference: TriplesMap.py:5-51). */
+/** One TriplesMap (reference: TriplesMap.py:5-51). `asserted=false` marks an
+  * RML-star NonAssertedTriplesMap: usable as a quoted parent, not emitted.
+  */
 final case class TriplesMap(
     id: String,
     source: LogicalSource,
     subject: SubjectMap,
     poms: List[PredicateObjectMap],
-    baseIri: Option[String] = None)
+    baseIri: Option[String] = None,
+    asserted: Boolean = true)
 
 /** A whole mapping document. */
 final case class MappingDoc(

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RML-CC gather maps, RML-star quoted TMs, non-asserted TMs, the new W3C
+  * dialect, FnO function-valued terms, and graph maps — through the full
+  * engine (parse → compile → quads).
+  */
+class RmlFeaturesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toFile
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  private val csv = writeTmp("data.csv",
+    """id,a,b,seg
+      |1,x1,y1,S1
+      |2,x2,,S2
+      |""".stripMargin)
+
+  private val prefixes =
+    """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+      |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+      |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+      |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+      |@prefix ex: <http://ex/> .
+      |@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+      |@prefix fno: <https://w3id.org/function/ontology#> .
+      |@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+      |""".stripMargin
+
+  private def triples(mapping: String): Set[(String, String, String)] =
+    Engine.materialize(spark, prefixes + mapping).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("gather map: rdf:Seq container with membership triples") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:values;
+         |    rr:objectMap [ rml:gather ( [ rml:reference "a" ] [ rml:reference "b" ] );
+         |                   rml:gatherAs rdf:Seq ]
+         |  ].""".stripMargin)
+    // row 1: container with 2 members; row 2: b empty → 1 member
+    val head1 = ts.find(t => t._1 == "<http://ex/r/1>" && t._2 == "<http://ex/values>").get._3
+    assert(head1.startsWith("_:"))
+    assert(ts.contains((head1, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq>")))
+    assert(ts.contains((head1, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1>", "\"x1\"")))
+    assert(ts.contains((head1, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#_2>", "\"y1\"")))
+    val head2 = ts.find(t => t._1 == "<http://ex/r/2>" && t._2 == "<http://ex/values>").get._3
+    assert(ts.contains((head2, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#_1>", "\"x2\"")))
+    assert(!ts.exists(t => t._1 == head2 && t._2.endsWith("#_2>")))
+  }
+
+  test("gather map: rdf:List first/rest chain terminates in nil") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:list;
+         |    rr:objectMap [ rml:gather ( [ rml:reference "a" ] [ rml:reference "b" ] );
+         |                   rml:gatherAs rdf:List ]
+         |  ].""".stripMargin)
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val head = ts.find(t => t._1 == "<http://ex/r/1>" && t._2 == "<http://ex/list>").get._3
+    assert(ts.contains((head, s"<${rdf}first>", "\"x1\"")))
+    val rest = ts.find(t => t._1 == head && t._2 == s"<${rdf}rest>").get._3
+    assert(ts.contains((rest, s"<${rdf}first>", "\"y1\"")))
+    assert(ts.contains((rest, s"<${rdf}rest>", s"<${rdf}nil>")))
+  }
+
+  test("rml-star: quoted object from a non-asserted TriplesMap") {
+    val ts = triples(
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:seg; rr:objectMap [ rml:reference "seg" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:states;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM> ]
+         |  ].""".stripMargin)
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/states>",
+      "<< <http://ex/r/1> <http://ex/seg> \"S1\" >>")))
+    // non-asserted: QTM's own triples are NOT emitted
+    assert(!ts.exists(t => t._1 == "<http://ex/r/1>" && t._2 == "<http://ex/seg>"))
+  }
+
+  test("new W3C dialect (w3id.org/rml/) parses identically") {
+    val ts = triples(
+      s"""@prefix rml2: <http://w3id.org/rml/> .
+         |<TM> a rml2:TriplesMap;
+         |  rml2:logicalSource [ rml2:source "$csv"; rml2:referenceFormulation rml2:CSV ];
+         |  rml2:subjectMap [ rml2:template "http://ex/r/{id}"; rml2:class ex:Row ];
+         |  rml2:predicateObjectMap [
+         |    rml2:predicate ex:a;
+         |    rml2:objectMap [ rml2:reference "a" ]
+         |  ].""".stripMargin)
+    assert(ts.contains(("<http://ex/r/1>", "<http://ex/a>", "\"x1\"")))
+    assert(ts.contains(("<http://ex/r/1>",
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<http://ex/Row>")))
+  }
+
+  test("FnO function-valued object map through the engine") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:segUpper;
+         |    rr:objectMap [ fnml:functionValue [
+         |      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ],
+         |        [ rr:predicate grel:inputString; rr:objectMap [ rml:reference "seg" ] ]
+         |    ] ]
+         |  ].""".stripMargin)
+    assert(ts.contains(("<http://ex/r/1>", "<http://ex/segUpper>", "\"S1\"")))
+  }
+
+  test("graph maps produce quads") {
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}";
+         |                  rr:graphMap [ rr:template "http://ex/graph/{seg}" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ].
+         |""".stripMargin).collect()
+    val g1 = quads.find(r => r.getString(0) == "<http://ex/r/1>").get.getString(3)
+    assert(g1 == "<http://ex/graph/S1>")
+  }
+}
