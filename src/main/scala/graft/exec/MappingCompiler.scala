@@ -87,7 +87,7 @@ object MappingCompiler {
 
     val raw = SourceReader.read(spark, tm.source)
     val df = if (opts.dedupSourceRows) raw.dropDuplicates() else raw
-    val colFn: String => Column = a => df(a)
+    val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
 
     val subj = tm.subject.term.kind match {
@@ -104,7 +104,10 @@ object MappingCompiler {
     val classTriples: Seq[Column] = tm.subject.rdfClasses.map { cls =>
       quadStruct(subj.guard, subj.column, lit(RDF_TYPE), lit(s"<$cls>"), subjGraph)
     }
-    val plainPoms = tm.poms.filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
+    val (arrayPoms, plainPoms) = tm.poms
+      .filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
+      .partition(p => p.objectMap.term.exists(t =>
+        TermCompiler.referencedAttrs(t).exists(a => isArrayAttr(df, a))))
     val plainTriples: Seq[Column] = plainPoms.flatMap { pom =>
       pom.objectMap.term match {
         case Some(t) if t.kind == TermKind.QuotedTriplesMap =>
@@ -134,7 +137,32 @@ object MappingCompiler {
       .filter(_.objectMap.gather.isDefined)
       .map(pom => compileGatherPom(pom, df, subj, subjGraph, base, colFn))
 
-    (singlePass.toSeq ++ joinBranches ++ gatherBranches)
+    // --- branch 4: multi-valued (array) references → one triple per element
+    //     (SURVEY T2; reference: semantify.py:4952-4960) ---
+    val arrayBranches: Seq[DataFrame] = arrayPoms.map { pom =>
+      val arrAttrs = TermCompiler.referencedAttrs(pom.objectMap.term.get)
+        .filter(a => isArrayAttr(df, a))
+      // explode each array ref (cartesian if several — the reference emits
+      // the cross product of multi-valued refs in one template)
+      val exploded = arrAttrs.zipWithIndex.foldLeft(df) { case (d, (a, i)) =>
+        d.withColumn(s"__elem$i", explode(resolveAttr(d, a)))
+      }
+      val elemFor = arrAttrs.zipWithIndex.toMap
+      val colFn2: String => Column =
+        a => elemFor.get(a).map(i => exploded(s"__elem$i")).getOrElse(resolveAttr(exploded, a))
+      val subj2 = TermCompiler.rdfTerm(tm.subject.term, None, base, colFn2, TermType.Iri)
+      val pred2 = TermCompiler.rdfTerm(pom.predicate, None, base, colFn2, TermType.Iri)
+      val obj2 = TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn2, TermType.Literal)
+      val graph2 = pom.graph
+        .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn2, TermType.Iri).column)
+        .getOrElse(tm.subject.graph
+          .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn2, TermType.Iri).column)
+          .getOrElse(lit(null).cast("string")))
+      exploded.where(subj2.guard && pred2.guard && obj2.guard)
+        .select(subj2.column.as("s"), pred2.column.as("p"), obj2.column.as("o"), graph2.as("g"))
+    }
+
+    (singlePass.toSeq ++ joinBranches ++ gatherBranches ++ arrayBranches)
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("s"), lit("").as("p"), lit("").as("o"), lit(null).cast("string").as("g"))
@@ -307,16 +335,31 @@ object MappingCompiler {
     }
   }
 
-  /** Explode any array-typed attribute referenced by a POM: multi-valued
-    * JSON references produce one triple per element (SURVEY T2;
-    * reference: semantify.py:4952-4960).
+  /** Normalize a JSONPath-flavored reference ("$.a.b", "tags[*]") to a
+    * dotted attribute path.
     */
-  def explodeArrayRefs(df: DataFrame, attrs: Seq[String]): DataFrame =
-    attrs.foldLeft(df) { (d, a) =>
-      d.schema.find(_.name == a) match {
-        case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
-          d.withColumn(a, explode_outer(col(a)))
-        case _ => d
-      }
+  private def cleanAttr(a: String): String =
+    a.replace("[*]", "").stripPrefix("$").stripPrefix(".")
+
+  /** Resolve a (possibly nested) attribute reference on a DataFrame. */
+  def resolveAttr(df: DataFrame, a: String): Column = {
+    val steps = cleanAttr(a).split('.').filter(_.nonEmpty)
+    require(steps.nonEmpty, s"empty attribute reference: '$a'")
+    // prefer an exact top-level column (names may contain dots in CSV)
+    if (df.columns.contains(cleanAttr(a))) df(s"`${cleanAttr(a)}`")
+    else steps.tail.foldLeft(df(steps.head))((c, s) => c.getField(s))
+  }
+
+  /** Is the referenced attribute array-typed (multi-valued)? */
+  def isArrayAttr(df: DataFrame, a: String): Boolean = {
+    val steps = cleanAttr(a).split('.').filter(_.nonEmpty).toList
+    def walk(dt: org.apache.spark.sql.types.DataType, path: List[String]): Boolean = (dt, path) match {
+      case (at: ArrayType, Nil) => true
+      case (at: ArrayType, rest) => walk(at.elementType, rest)
+      case (st: org.apache.spark.sql.types.StructType, head :: rest) =>
+        st.fields.find(_.name == head).exists(f => walk(f.dataType, rest))
+      case _ => false
     }
+    walk(org.apache.spark.sql.types.StructType(df.schema.fields), steps)
+  }
 }

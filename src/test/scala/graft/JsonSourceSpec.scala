@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON sources: document iterators (S2) and multi-valued array references
+  * (T2 — one triple per element).
+  */
+class JsonSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toFile
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  private val json = writeTmp("data.json",
+    """{"store": {"books": [
+      |  {"id": 1, "title": "Dune", "tags": ["scifi", "classic"], "author": {"name": "Herbert"}},
+      |  {"id": 2, "title": "Neuromancer", "tags": ["cyberpunk"], "author": {"name": "Gibson"}},
+      |  {"id": 3, "title": "Untagged", "tags": [], "author": {"name": "Nobody"}}
+      |]}}""".stripMargin)
+
+  private val prefixes =
+    """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+      |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+      |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+      |@prefix ex: <http://ex/> .
+      |""".stripMargin
+
+  test("JSON iterator walks into the document; nested refs + array multi-values") {
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$json"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.store.books[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/book/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:title; rr:objectMap [ rml:reference "title" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:author; rr:objectMap [ rml:reference "author.name" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:tag; rr:objectMap [ rml:reference "tags[*]" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    assert(ts.contains(("<http://ex/book/1>", "<http://ex/title>", "\"Dune\"")))
+    // nested struct reference
+    assert(ts.contains(("<http://ex/book/2>", "<http://ex/author>", "\"Gibson\"")))
+    // multi-valued: two tag triples for book 1, one for book 2, none for book 3
+    assert(ts.contains(("<http://ex/book/1>", "<http://ex/tag>", "\"scifi\"")))
+    assert(ts.contains(("<http://ex/book/1>", "<http://ex/tag>", "\"classic\"")))
+    assert(ts.contains(("<http://ex/book/2>", "<http://ex/tag>", "\"cyberpunk\"")))
+    assert(!ts.exists(t => t._1 == "<http://ex/book/3>" && t._2 == "<http://ex/tag>"))
+    // but book 3 still gets its scalar triples (per-expression null filtering)
+    assert(ts.contains(("<http://ex/book/3>", "<http://ex/title>", "\"Untagged\"")))
+  }
+}
