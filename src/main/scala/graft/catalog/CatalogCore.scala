@@ -200,7 +200,8 @@ object CatalogCore {
                '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
                '<http://ex/vocab/Nation>' AS o FROM nation),
       po AS (SELECT s, p || ' ' || string_agg(DISTINCT o, ', ' ORDER BY o) AS po
-             FROM q GROUP BY s, p)
+             FROM (SELECT s, CASE WHEN p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                                  THEN 'a' ELSE p END AS p, o FROM q) GROUP BY s, p)
       SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
       FROM po GROUP BY s"""))
 

@@ -341,13 +341,35 @@ object MappingCompiler {
   private def cleanAttr(a: String): String =
     a.replace("[*]", "").stripPrefix("$").stripPrefix(".")
 
+  /** Template inline condition `items[?(@.type=="v")].title` (SURVEY P4;
+    * reference: functions.py:1820-1864): filter an array-of-structs
+    * reference by an ==/!= predicate on the element, project a field of
+    * the LAST matching element (the reference keeps overwriting its match
+    * variable); no match → null → the term guard drops the triple.
+    */
+  private val InlineCond =
+    """^(.*?)\[\?\(@\.([A-Za-z0-9_.]+)\s*(==|!=)\s*"([^"]*)"\)\]\.([A-Za-z0-9_.]+)$""".r
+
   /** Resolve a (possibly nested) attribute reference on a DataFrame. */
-  def resolveAttr(df: DataFrame, a: String): Column = {
-    val steps = cleanAttr(a).split('.').filter(_.nonEmpty)
-    require(steps.nonEmpty, s"empty attribute reference: '$a'")
-    // prefer an exact top-level column (names may contain dots in CSV)
-    if (df.columns.contains(cleanAttr(a))) df(s"`${cleanAttr(a)}`")
-    else steps.tail.foldLeft(df(steps.head))((c, s) => c.getField(s))
+  def resolveAttr(df: DataFrame, a: String): Column = cleanAttr(a) match {
+    case InlineCond(path, condPath, op, value, proj) =>
+      def descend(root: Column, p: String): Column =
+        p.split('.').filter(_.nonEmpty).foldLeft(root)((c, s) => c.getField(s))
+      val target = resolveAttr(df, path)
+      def matches(e: Column): Column = {
+        val c = descend(e, condPath).cast("string")
+        if (op == "==") c === value else c =!= value
+      }
+      if (isArrayAttr(df, path)) {
+        val matched = filter(target, matches(_))
+        when(size(matched) > 0, descend(element_at(matched, size(matched)), proj))
+      } else when(matches(target), descend(target, proj))
+    case cleaned =>
+      val steps = cleaned.split('.').filter(_.nonEmpty)
+      require(steps.nonEmpty, s"empty attribute reference: '$a'")
+      // prefer an exact top-level column (names may contain dots in CSV)
+      if (df.columns.contains(cleaned)) df(s"`$cleaned`")
+      else steps.tail.foldLeft(df(steps.head))((c, s) => c.getField(s))
   }
 
   /** Is the referenced attribute array-typed (multi-valued)? */

@@ -19,13 +19,32 @@ object Sinks {
   def writeNt(quads: DataFrame, path: String): Unit =
     ntLines(quads).write.mode("overwrite").text(path)
 
+  /** T13: prefix compaction — `<ns…local>` → `prefix:local` when the IRI's
+    * namespace is in the prefix map and the local part is PN_LOCAL-safe
+    * (reference: determine_prefix semantify.py:190-209). Longest namespace
+    * wins; literals/blank nodes fall through every pattern unchanged. The
+    * prefix map is a compile-time constant, so the chain is a plain codegen
+    * expression — no lookup table at runtime.
+    */
+  def compactIri(c: Column, prefixes: Map[String, String]): Column =
+    prefixes.toSeq.sortBy(-_._2.length).foldLeft(c) { case (acc, (p, ns)) =>
+      regexp_replace(acc,
+        "^<" + java.util.regex.Pattern.quote(ns) + "([A-Za-z0-9_][A-Za-z0-9_.-]*)>$",
+        p + ":$1")
+    }
+
   /** K2: Turtle-style subject grouping — predicates joined with `;`, objects
     * of the same predicate with `,` (reference: turtle_print
     * functions.py:394-568). Done as two ordered aggregations, no driver
-    * state; formatting stays distributed.
+    * state; formatting stays distributed. IRIs are compacted against
+    * `prefixes` (T13); `rdf:type` prints as `a`.
     */
-  def turtleBlocks(quads: DataFrame): DataFrame = {
+  def turtleBlocks(quads: DataFrame, prefixes: Map[String, String] = Map.empty): DataFrame = {
+    val rdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    def term(c: Column) = compactIri(c, prefixes)
+    val pred = when(col("p") === rdfType, lit("a")).otherwise(term(col("p")))
     val byPred = quads
+      .select(term(col("s")).as("s"), pred.as("p"), term(col("o")).as("o"))
       .groupBy(col("s"), col("p"))
       .agg(array_join(array_sort(collect_set(col("o"))), ", ").as("objs"))
       .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
@@ -43,7 +62,7 @@ object Sinks {
       .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
 
   def writeTurtle(quads: DataFrame, prefixes: Map[String, String], path: String): Unit = {
-    val blocks = turtleBlocks(quads)
+    val blocks = turtleBlocks(quads, prefixes)
     blocks.write.mode("overwrite").text(path)
     val header = turtleHeader(prefixes)
     if (header.nonEmpty) {

@@ -53,4 +53,27 @@ class JsonSourceSpec extends AnyFunSuite {
     // but book 3 still gets its scalar triples (per-expression null filtering)
     assert(ts.contains(("<http://ex/book/3>", "<http://ex/title>", "\"Untagged\"")))
   }
+
+  private val condJson = writeTmp("people.json",
+    """[{"name": "ada", "contacts": [
+      |    {"kind": "email", "value": "ada@ex.org"},
+      |    {"kind": "phone", "value": "555-1234"}]},
+      | {"name": "bob", "contacts": [
+      |    {"kind": "phone", "value": "555-9999"}]}]""".stripMargin)
+
+  test("P4: inline template condition filters array elements (==) and drops non-matches") {
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$condJson"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{name}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:email;
+         |    rr:objectMap [ rml:reference "contacts[?(@.kind==\\"email\\")].value" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    assert(ts.contains(("<http://ex/p/ada>", "<http://ex/email>", "\"ada@ex.org\"")))
+    // bob has no email contact — the condition kills only that triple
+    assert(!ts.exists(_._1 == "<http://ex/p/bob>"))
+  }
 }

@@ -138,4 +138,22 @@ class RmlFeaturesSpec extends AnyFunSuite {
     val g1 = quads.find(r => r.getString(0) == "<http://ex/r/1>").get.getString(3)
     assert(g1 == "<http://ex/graph/S1>")
   }
+
+  test("T13: turtle blocks compact IRIs against the prefix map; rdf:type prints as a") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val quads = Seq(
+      ("<http://ex/r/1>", "<http://ex/vocab/name>", "\"n1\""),
+      ("<http://ex/r/1>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<http://ex/vocab/Thing>"),
+      // local part with a slash must NOT compact
+      ("<http://ex/r/1>", "<http://ex/vocab/a/b>", "\"x\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val blocks = graft.exec.Sinks.turtleBlocks(quads,
+      Map("exv" -> "http://ex/vocab/", "ex" -> "http://ex/")).collect().map(_.getString(0))
+    val block = blocks.mkString("\n")
+    assert(block.contains("<http://ex/r/1>")) // slash in local part → no compaction
+    assert(block.contains("exv:name"))      // longest namespace wins
+    assert(block.contains("a exv:Thing"))   // rdf:type → a
+    assert(block.contains("<http://ex/vocab/a/b>")) // unsafe local part left as IRI
+  }
 }
