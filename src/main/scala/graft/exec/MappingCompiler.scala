@@ -282,6 +282,8 @@ object MappingCompiler {
       subj: TermCompiler.CompiledTerm, subjGraph: Column, base: Option[String],
       colFn: String => Column): DataFrame = {
     val gm = pom.objectMap.gather.get
+    if (gm.strategy == "cartesian" && gm.gatherAs == GatherAs.RdfList && gm.items.size == 2)
+      return compileCartesianGather(pom, df, subj, subjGraph, base, colFn)
     val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
     val items = gm.items.map { it =>
       val ct = TermCompiler.rdfTerm(it, Some(pom.objectMap), base, colFn, TermType.Literal)
@@ -333,6 +335,50 @@ object MappingCompiler {
             col("__v").as("o"), col("g"))
         headTriple.unionByName(typeTriple).unionByName(members)
     }
+  }
+
+  /** RML-CC `rml:strategy rml:cartesianProduct`: two (possibly multi-valued)
+    * gather items produce one 2-element rdf:List per element combination
+    * (reference: cc_functions.py:497-523 — right × left nested loops).
+    * Blank cell labels are deterministic md5(subject|pred|ri|li|cell), the
+    * same canonicalization as append-strategy lists.
+    */
+  private def compileCartesianGather(pom: PredicateObjectMap, df: DataFrame,
+      subj: TermCompiler.CompiledTerm, subjGraph: Column, base: Option[String],
+      colFn: String => Column): DataFrame = {
+    val gm = pom.objectMap.gather.get
+    val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+    val Seq(right, left) = gm.items.take(2)
+    val rAttr = TermCompiler.referencedAttrs(right).headOption
+    val lAttr = TermCompiler.referencedAttrs(left).headOption
+    def asArr(attr: Option[String]): Column = attr match {
+      case Some(a) if isArrayAttr(df, a) => resolveAttr(df, a)
+      case Some(a) => array(resolveAttr(df, a))
+      case None => array(lit("")) // constant item: one combination slot
+    }
+    val d = df
+      .select(col("*"), posexplode(asArr(rAttr)).as(Seq("__ri", "__rv")))
+      .select(col("*"), posexplode(asArr(lAttr)).as(Seq("__li", "__lv")))
+    val colFn2: String => Column = a =>
+      if (rAttr.contains(a)) d("__rv")
+      else if (lAttr.contains(a)) d("__lv")
+      else resolveAttr(d, a)
+    val rTerm = TermCompiler.rdfTerm(right, Some(pom.objectMap), base, colFn2, TermType.Literal)
+    val lTerm = TermCompiler.rdfTerm(left, Some(pom.objectMap), base, colFn2, TermType.Literal)
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val key = concat(subj.column, lit("|"), pred.column,
+      lit("|"), col("__ri").cast("string"), lit("|"), col("__li").cast("string"))
+    def cell(i: Int): Column =
+      concat(lit("_:"), md5(concat(key, lit(s"|$i")).cast("binary")))
+    val quints = array(
+      struct(subj.column.as("s"), pred.column.as("p"), cell(0).as("o")),
+      struct(cell(0).as("s"), lit(s"<${RDF}first>").as("p"), rTerm.column.as("o")),
+      struct(cell(0).as("s"), lit(s"<${RDF}rest>").as("p"), cell(1).as("o")),
+      struct(cell(1).as("s"), lit(s"<${RDF}first>").as("p"), lTerm.column.as("o")),
+      struct(cell(1).as("s"), lit(s"<${RDF}rest>").as("p"), lit(s"<${RDF}nil>").as("o")))
+    d.where(subj.guard && pred.guard && rTerm.guard && lTerm.guard)
+      .select(explode(quints).as("__t"), subjGraph.as("g"))
+      .select(col("__t.s").as("s"), col("__t.p").as("p"), col("__t.o").as("o"), col("g"))
   }
 
   /** Normalize a JSONPath-flavored reference ("$.a.b", "tags[*]") to a

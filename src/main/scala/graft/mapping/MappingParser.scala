@@ -88,13 +88,19 @@ object MappingParser {
     val tableName = g.obj(ls, RR + "tableName").map(lex)
     val query = g.obj(ls, RML + "query").map(lex).orElse(g.obj(ls, RR + "sqlQuery").map(lex))
 
-    if (tableName.isDefined || query.isDefined)
+    if (sourceVal.exists(_.startsWith("endpoint:")))
+      // S6: "endpoint:…" source + SPARQL iterator query (reference:
+      // semantify.py:10104-10123); offline endpoints = pre-fetched
+      // results-JSON files
+      LogicalSource.SparqlSource(sourceVal.get, iterator.getOrElse(""))
+    else if (tableName.isDefined || query.isDefined)
       LogicalSource.JdbcSource("", "generic", query, tableName)
     else formulation match {
       case f if f.endsWith("CSV") || f.endsWith("TSV") =>
         val delim = if (f.endsWith("TSV")) "\t" else ","
         val p = path.getOrElse(fail(tm, "CSV source without path"))
         if (p.endsWith(".parquet")) LogicalSource.ParquetSource(p)
+        else if (p.endsWith(".nt")) LogicalSource.NTriplesSource(p, iterator.getOrElse(""))
         else LogicalSource.CsvSource(p, delim)
       case f if f.endsWith("JSONPath") || f.endsWith("JSON") =>
         LogicalSource.JsonSource(path.getOrElse(fail(tm, "JSON source without path")), iterator.getOrElse("$"))
@@ -194,7 +200,7 @@ object MappingParser {
         case _ => GatherAs.Alt
       }.getOrElse(GatherAs.RdfList)
       val strategy = g.obj(om, RML + "strategy").map(termId)
-        .map(s => if (s.endsWith("cartesian")) "cartesian" else "append")
+        .map(s => if (s.toLowerCase.contains("cartesian")) "cartesian" else "append")
         .getOrElse("append")
       val allowEmpty = g.obj(om, RML + "allowEmptyListAndContainer")
         .map(lex).contains("true")

@@ -58,12 +58,31 @@ object SourceReader {
         .filter(col("subject") =!= "")
 
     case LogicalSource.SparqlSource(endpoint, _) =>
-      throw new UnsupportedOperationException(
-        s"SPARQL endpoint sources need network access (endpoint: $endpoint); " +
-          "provide a pre-fetched bindings file instead")
+      // S6: SPARQL SELECT results land as W3C results-JSON; each binding var
+      // flattens to its `value` string (reference: semantify.py:10114-10123).
+      // Live endpoints would be a driver-side fetch to the same file shape;
+      // here we read a pre-fetched bindings file (file: URI or local path).
+      val path = endpoint.stripPrefix("endpoint:").stripPrefix("file://")
+      if (path.startsWith("http://") || path.startsWith("https://"))
+        throw new UnsupportedOperationException(
+          s"SPARQL endpoint sources need network access (endpoint: $endpoint); " +
+            "provide a pre-fetched bindings file instead")
+      sparqlBindings(spark, path)
 
     case v: LogicalSource.ViewSource =>
       graft.exec.ViewExec.compile(spark, v)
+  }
+
+  /** Flatten a W3C SPARQL-results JSON document into one row per binding,
+    * one string column per variable (the binding's `value`; type/lang/
+    * datatype metadata is dropped, matching the reference).
+    */
+  def sparqlBindings(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val b = raw.select(explode(col("results.bindings")).as("b"))
+    val vars = b.schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    b.select(vars.map(v => col(s"b.$v.value").as(v)): _*)
   }
 
   /** Apply a JSONPath-subset iterator ($.a.b[*], $[*], nested [*][*]) as a

@@ -76,4 +76,28 @@ class JsonSourceSpec extends AnyFunSuite {
     // bob has no email contact — the condition kills only that triple
     assert(!ts.exists(_._1 == "<http://ex/p/bob>"))
   }
+
+  private val bindings = writeTmp("bindings.srj",
+    """{"head": {"vars": ["city", "pop"]},
+      | "results": {"bindings": [
+      |   {"city": {"type": "literal", "value": "Berlin"},
+      |    "pop":  {"type": "literal", "datatype": "http://www.w3.org/2001/XMLSchema#integer", "value": "3600000"}},
+      |   {"city": {"type": "literal", "value": "Paris"},
+      |    "pop":  {"type": "literal", "value": "2100000"}}
+      |]}}""".stripMargin)
+
+  test("S6: SPARQL results-JSON source flattens bindings to value columns") {
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "endpoint:$bindings";
+         |                      rml:iterator "SELECT ?city ?pop WHERE { ?s ?p ?o }" ];
+         |  rr:subjectMap [ rr:template "http://ex/city/{city}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:pop; rr:objectMap [ rml:reference "pop" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    assert(ts == Set(
+      ("<http://ex/city/Berlin>", "<http://ex/pop>", "\"3600000\""),
+      ("<http://ex/city/Paris>", "<http://ex/pop>", "\"2100000\"")))
+  }
 }

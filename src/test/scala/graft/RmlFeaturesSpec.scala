@@ -139,6 +139,45 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(g1 == "<http://ex/graph/S1>")
   }
 
+  test("gather map: cartesian strategy emits one 2-element list per combination") {
+    val json = writeTmp("cart.json",
+      """[{"id": "1", "xs": ["a", "b"], "ys": ["p", "q"]}]""")
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$json"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:pair;
+         |    rr:objectMap [ rml:gather ( [ rml:reference "xs" ] [ rml:reference "ys" ] );
+         |                   rml:gatherAs rdf:List;
+         |                   rml:strategy <http://w3id.org/rml/cartesianProduct> ] ].
+         |""".stripMargin)
+    val first = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+    val rest = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+    val nil = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+    // 4 combinations → 4 list heads on the subject
+    val heads = ts.collect { case ("<http://ex/r/1>", "<http://ex/pair>", o) => o }
+    assert(heads.size == 4)
+    // each head: first=x, rest→cell2 with first=y, rest=nil
+    heads.foreach { h =>
+      val x = ts.collect { case (s, p, o) if s == h && p == first => o }
+      val r2 = ts.collect { case (s, p, o) if s == h && p == rest => o }
+      assert(x.size == 1 && Set("\"a\"", "\"b\"").contains(x.head))
+      val y = ts.collect { case (s, p, o) if s == r2.head && p == first => o }
+      assert(y.size == 1 && Set("\"p\"", "\"q\"").contains(y.head))
+      assert(ts.contains((r2.head, rest, nil)))
+    }
+    // all 4 (x,y) combinations are present
+    val combos = heads.map { h =>
+      val x = ts.collectFirst { case (s, p, o) if s == h && p == first => o }.get
+      val r2 = ts.collectFirst { case (s, p, o) if s == h && p == rest => o }.get
+      val y = ts.collectFirst { case (s, p, o) if s == r2 && p == first => o }.get
+      (x, y)
+    }
+    assert(combos == Set(("\"a\"", "\"p\""), ("\"a\"", "\"q\""),
+      ("\"b\"", "\"p\""), ("\"b\"", "\"q\"")))
+  }
+
   test("T13: turtle blocks compact IRIs against the prefix map; rdf:type prints as a") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
