@@ -30,6 +30,23 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(path)
         .withWatermark("ts", "2 hours"))
 
+  /** Streaming duplicate elimination with bounded state: duplicates are
+    * dropped as long as they arrive within the watermark delay (the
+    * streaming form of the engine's D2 dropDuplicates — SURVEY §2.11).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-static enrichment join: the static side is broadcast per
+    * micro-batch (a parent-TM join where the parent is a static dim —
+    * SURVEY §2.11 "joins against static parent sources are stream-static").
+    */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(static), keys, "inner")
+
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)

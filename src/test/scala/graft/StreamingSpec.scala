@@ -48,4 +48,43 @@ class StreamingSpec extends AnyFunSuite {
     // user 1: first session (2 events) closed by the 2h gap
     assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
   }
+
+  test("streaming dedup within watermark drops in-window duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    Seq(
+      ("2024-01-01 00:10:00", "e1", 1.0),
+      ("2024-01-01 00:11:00", "e1", 1.0), // duplicate key inside watermark
+      ("2024-01-01 00:12:00", "e2", 2.0))
+      .toDF("ts_s", "event_id", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_id", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = StreamingOps.dedupWithinWatermark(
+      spark.readStream.schema(schema).parquet(dir), Seq("event_id"), "ts", "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getAs[String]("event_id"))
+      assert(got.sorted.toSeq == Seq("e1", "e2"))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events against a static dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    Seq(("e1", 1L), ("e2", 2L), ("e3", 9L))
+      .toDF("event_id", "dim_id").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("dim_id", "name")
+    val stream = StreamingOps.streamStaticJoin(
+      spark.readStream.schema(schema).parquet(dir), dim, Seq("dim_id"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[String]("event_id"), r.getAs[String]("name"))).toSet
+      assert(got == Set(("e1", "one"), ("e2", "two"))) // e3 has no dim row
+    } finally q.stop()
+  }
 }
