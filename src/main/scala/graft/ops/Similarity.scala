@@ -17,6 +17,45 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** A scored candidate flowing into the bounded top-k aggregate. */
+  final case class ScoredId(score: Double, id: Long)
+
+  private val byRank: Ordering[ScoredId] = Ordering.by(s => (-s.score, s.id))
+
+  /** Bounded top-k aggregate: the buffer never exceeds 2k entries (compacts
+    * to the best k by (score desc, id asc) when full), so map-side partial
+    * aggregation ships k candidates per partition per query instead of the
+    * full corpus-sized score list a window row_number() would sort. Tie
+    * handling matches `row_number over (order by score desc, id asc)`
+    * exactly.
+    */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private def compact(b: Seq[ScoredId]): Seq[ScoredId] =
+      if (b.length <= k) b else b.sorted(byRank).take(k)
+    def zero: Seq[ScoredId] = Vector.empty
+    def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+      val nb = b :+ a
+      if (nb.length >= 2 * k) compact(nb) else nb
+    }
+    def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = compact(b1 ++ b2)
+    def finish(b: Seq[ScoredId]): Seq[ScoredId] = b.sorted(byRank).take(k)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  /** groupBy(query).agg(bounded top-k) → one row per (query, rank). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("corpus_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.id").as("corpus_id"),
+        col("__t.score").as("cos"), (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
@@ -35,11 +74,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) assignment: nearest centroid per vector. Centroids
@@ -74,9 +109,6 @@ object Similarity {
         col("c.id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.id").as("corpus_id"),
         cosine(col("q.qv"), col("c.vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    topKPerQuery(scored, k)
   }
 }
