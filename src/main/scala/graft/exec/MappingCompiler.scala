@@ -411,10 +411,16 @@ object MappingCompiler {
         when(size(matched) > 0, descend(element_at(matched, size(matched)), proj))
       } else when(matches(target), descend(target, proj))
     case cleaned =>
+      // XML attribute axis: `@code` refers to an attribute, which the XML
+      // reader surfaces with the `_` prefix (SURVEY T3; reference XPath
+      // refs functions.py:186-208). Parent axis `..` is not supported —
+      // pick a higher rowTag instead.
       val steps = cleaned.split('.').filter(_.nonEmpty)
+        .map(s => if (s.startsWith("@")) "_" + s.substring(1) else s)
       require(steps.nonEmpty, s"empty attribute reference: '$a'")
       // prefer an exact top-level column (names may contain dots in CSV)
       if (df.columns.contains(cleaned)) df(s"`$cleaned`")
+      else if (df.columns.contains(steps.mkString("."))) df(s"`${steps.mkString(".")}`")
       else steps.tail.foldLeft(df(steps.head))((c, s) => c.getField(s))
   }
 

@@ -82,6 +82,36 @@ object Sinks {
       quads.where(pred).withColumn("target", lit(name))
     }.reduceLeft(_.unionByName(_))
 
+  /** One logical target: a quad filter routed to its own output path with
+    * its own serialization and optional compression codec (reference:
+    * logical-target rewrite/compress loop semantify.py:10019-10086;
+    * serializations jsonld/n3/rdfjson/ttl, compression gz/zip/tar.*).
+    */
+  final case class TargetSpec(
+      pred: Column,
+      path: String,
+      serialization: String = "ntriples",
+      compression: Option[String] = None)
+
+  /** K3 end-to-end: write each target's matching quads in its requested
+    * serialization; compression rides on the Hadoop codec
+    * (`option("compression", …)`) instead of the reference's re-read-and-
+    * compress loop, so the write stays distributed.
+    */
+  def writeLogicalTargets(quads: DataFrame, targets: Seq[TargetSpec],
+      prefixes: Map[String, String] = Map.empty): Unit =
+    targets.foreach { t =>
+      val routed = quads.where(t.pred)
+      val lines = t.serialization.toLowerCase match {
+        case "turtle" | "ttl" => turtleBlocks(routed, prefixes)
+        case "rdfjson" | "json" =>
+          rdfJson(routed).select(concat(col("s"), lit(" "), col("json")).as("line"))
+        case _ => ntLines(routed)
+      }
+      val w = lines.write.mode("overwrite")
+      t.compression.fold(w)(c => w.option("compression", c)).text(t.path)
+    }
+
   /** K4: RDF-JSON-shaped grouping `{s: {p: [o…]}}` (reference:
     * functions.py:66-76) as a JSON string per subject.
     */

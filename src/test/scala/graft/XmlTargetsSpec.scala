@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** XML sources with attribute references (S3/T3) and logical-target routing
+  * with per-target serialization + compression (K3).
+  */
+class XmlTargetsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toFile
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  private val prefixes =
+    """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+      |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+      |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+      |@prefix ex: <http://ex/> .
+      |""".stripMargin
+
+  test("S3/T3: XML source with element and @attribute references") {
+    val xml = writeTmp("cities.xml",
+      """<cities>
+        |  <city code="DE"><name>Berlin</name></city>
+        |  <city code="FR"><name>Paris</name></city>
+        |</cities>""".stripMargin)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$xml"; rml:referenceFormulation ql:XPath;
+         |                      rml:iterator "/cities/city" ];
+         |  rr:subjectMap [ rr:template "http://ex/city/{name}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:code; rr:objectMap [ rml:reference "@code" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/city/Berlin>", "<http://ex/code>", "\"DE\""),
+      ("<http://ex/city/Paris>", "<http://ex/code>", "\"FR\"")))
+  }
+
+  test("K3: logical targets route by predicate with serialization + gzip compression") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(
+      ("<http://ex/1>", "<http://ex/name>", "\"n1\""),
+      ("<http://ex/1>", "<http://ex/age>", "\"3\""),
+      ("<http://ex/2>", "<http://ex/name>", "\"n2\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val base = java.nio.file.Files.createTempDirectory("graft_targets").toString
+    Sinks.writeLogicalTargets(quads, Seq(
+      Sinks.TargetSpec(col("p") === "<http://ex/name>", s"$base/names",
+        serialization = "ntriples", compression = Some("gzip")),
+      Sinks.TargetSpec(col("p") === "<http://ex/age>", s"$base/ages",
+        serialization = "rdfjson")))
+    // gzip part files decompress transparently on read
+    val gz = new java.io.File(s"$base/names").listFiles.map(_.getName)
+    assert(gz.exists(_.endsWith(".txt.gz")))
+    val names = spark.read.text(s"$base/names").collect().map(_.getString(0)).toSet
+    assert(names == Set(
+      "<http://ex/1> <http://ex/name> \"n1\" .",
+      "<http://ex/2> <http://ex/name> \"n2\" ."))
+    val ages = spark.read.text(s"$base/ages").collect().map(_.getString(0))
+    assert(ages.length == 1 && ages.head.startsWith("<http://ex/1> {"))
+    assert(ages.head.contains("\"<http://ex/age>\""))
+  }
+}
