@@ -85,7 +85,7 @@ object MappingCompiler {
   private def compileTm(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
       opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
 
-    val raw = SourceReader.read(spark, tm.source)
+    val raw = SourceReader.read(spark, effectiveSource(tm))
     val df = if (opts.dedupSourceRows) raw.dropDuplicates() else raw
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
@@ -386,6 +386,50 @@ object MappingCompiler {
     */
   private def cleanAttr(a: String): String =
     a.replace("[*]", "").stripPrefix("$").stripPrefix(".")
+
+  /** All attributes a TriplesMap references (subject + classes + POM terms,
+    * dynamic datatype/language maps, graphs, gather items, join childs).
+    */
+  def tmReferencedAttrs(tm: TriplesMap): List[String] = {
+    val termMaps: List[TermMap] =
+      tm.subject.term :: tm.subject.graph.toList :::
+        tm.poms.flatMap(p =>
+          p.predicate :: (p.objectMap.term.toList ::: p.objectMap.datatypeMap.toList :::
+            p.objectMap.languageMap.toList ::: p.graph.toList :::
+            p.objectMap.gather.map(_.items).getOrElse(Nil)))
+    val joinChilds = tm.poms.flatMap(_.objectMap.refObject.toList)
+      .flatMap(_.joinCondition.toList).flatMap(_.childAttrs)
+    (termMaps.flatMap(TermCompiler.referencedAttrs) ::: joinChilds).distinct
+  }
+
+  /** P1: projection pushdown into relational sources — a JDBC source with a
+    * table name but no user query gets `SELECT DISTINCT <referenced attrs>
+    * FROM <table>` synthesized from the mapping, so the database ships only
+    * the mapped columns (reference: translate_sql functions.py:211-288,
+    * translate_postgressql 291-370; DISTINCT ≡ remove_duplicate=yes
+    * source-level dedup).
+    */
+  def synthesizeJdbcQuery(tm: TriplesMap): Option[String] = tm.source match {
+    case j: LogicalSource.JdbcSource if j.query.isEmpty && j.tableName.isDefined =>
+      val attrs = tmReferencedAttrs(tm)
+      if (attrs.isEmpty) None
+      else {
+        val quote: String => String = j.dbType match {
+          case "mysql" => a => s"`$a`"
+          case "sqlserver" => a => s"[$a]"
+          case "postgres" => a => "\"" + a + "\""
+          case _ => identity
+        }
+        Some(s"SELECT DISTINCT ${attrs.map(quote).mkString(", ")} FROM ${j.tableName.get}")
+      }
+    case _ => None
+  }
+
+  private def effectiveSource(tm: TriplesMap): LogicalSource = tm.source match {
+    case j: LogicalSource.JdbcSource =>
+      synthesizeJdbcQuery(tm).map(q => j.copy(query = Some(q), tableName = None)).getOrElse(j)
+    case s => s
+  }
 
   /** Template inline condition `items[?(@.type=="v")].title` (SURVEY P4;
     * reference: functions.py:1820-1864): filter an array-of-structs

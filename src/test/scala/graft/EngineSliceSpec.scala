@@ -135,4 +135,19 @@ class EngineSliceSpec extends AnyFunSuite {
     assert(RmlStrings.isRmlNull("NULL"))
     assert(!RmlStrings.isRmlNull("0"))
   }
+
+  test("P1: JDBC table sources get a synthesized SELECT DISTINCT projection query") {
+    import graft.model._
+    val tm = TriplesMap("TM",
+      LogicalSource.JdbcSource("jdbc:postgresql://h/db", "postgres", None, Some("people")),
+      SubjectMap(TermMap(TermKind.Template, "http://ex/p/{id}")),
+      List(
+        PredicateObjectMap(TermMap(TermKind.Constant, "http://ex/name"),
+          ObjectMap(Some(TermMap(TermKind.Reference, "name")))),
+        PredicateObjectMap(TermMap(TermKind.Constant, "http://ex/knows"),
+          ObjectMap(None, refObject = Some(RefObjectMap("TM2",
+            Some(JoinCondition(List("friend_id"), List("id")))))))))
+    assert(graft.exec.MappingCompiler.synthesizeJdbcQuery(tm) ==
+      Some("""SELECT DISTINCT "id", "name", "friend_id" FROM people"""))
+  }
 }
