@@ -127,6 +127,27 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.contains(("<http://ex/r/1>", "<http://ex/segUpper>", "\"S1\"")))
   }
 
+  test("nested FnO composition: function output feeds another function's input") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:slug;
+         |    rr:objectMap [ fnml:functionValue [
+         |      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:toUpperCase ],
+         |        [ rr:predicate grel:inputString;
+         |          rr:objectMap [ fnml:functionValue [
+         |            rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:string_replace ],
+         |              [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "a" ] ],
+         |              [ rr:predicate grel:p_string_find; rr:objectMap [ rr:constant "x" ] ],
+         |              [ rr:predicate grel:p_string_replace; rr:objectMap [ rr:constant "z" ] ]
+         |          ] ] ]
+         |    ] ]
+         |  ].""".stripMargin)
+    // a=x1 → replace x→z → z1 → upper → Z1
+    assert(ts.contains(("<http://ex/r/1>", "<http://ex/slug>", "\"Z1\"")))
+  }
+
   test("graph maps produce quads") {
     val quads = Engine.materialize(spark, prefixes +
       s"""<TM> a rr:TriplesMap;
