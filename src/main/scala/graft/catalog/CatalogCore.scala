@@ -327,6 +327,42 @@ object CatalogCore {
         '<http://ex/vocab/Nation>' AS o FROM nation"""),
     bench = true)
 
+  /** BASELINE "mappings" axis (1 TM × N POM): a wide mapping over the fact
+    * table through the full RML path. The compiler turns all 12 POMs into
+    * ONE scan + one explode projection — the reference pays per-POM cost
+    * (BASELINE.md mappings axis: 15 single-POM TMs cost 5.5× one 15-POM TM).
+    * Doubles stay below 1e7 so Spark and DuckDB render identical lexical
+    * forms (both switch to scientific notation far above that).
+    */
+  private val wideCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def wideLineitemMapping(dir: String): String = {
+    val poms = wideCols.map(c =>
+      s"""  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/$c>;
+         |    rr:objectMap [ rml:reference "$c" ] ];""".stripMargin).mkString("\n")
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |<WideLI> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir/lineitem.parquet"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/li/{l_orderkey}-{l_linenumber}" ];
+       |${poms.stripSuffix(";")} .
+       |""".stripMargin
+  }
+
+  private val rmlWide = Q("rml_wide_mapping",
+    (s, dir) => Engine.materialize(s, wideLineitemMapping(dir))
+      .select(col("s"), col("p"), col("o")),
+    Some {
+      wideCols.map(c =>
+        s"""SELECT '<http://ex/li/' || l_orderkey || '-' || l_linenumber || '>' AS s,
+           |  '<http://ex/vocab/$c>' AS p, '"' || $c || '"' AS o FROM lineitem""".stripMargin)
+        .mkString("\n      UNION\n      ")
+    },
+    bench = true)
+
   private val j1 = Q("j1_refobject_join",
     (s, dir) => Engine.materialize(s, customerNationMapping(dir))
       .where(col("p") === "<http://ex/vocab/nation>")
@@ -658,7 +694,7 @@ object CatalogCore {
     s1, s2, s3, s7, s9,
     k1, k2, k3,
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
-    rmlE2e, j1, j2, j6, j7, j8, j9,
+    rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl,
     rmlGather, rmlStar, rmlGraphs, rmlFno)

@@ -100,9 +100,19 @@ object MappingCompiler {
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
       .getOrElse(lit(null).cast("string"))
 
-    // --- branch 1: single-pass projection for class triples + plain POMs ---
+    // --- branch 1: single-pass projection for class triples + plain POMs.
+    // The subject term, its guard, and the subject graph are materialized
+    // ONCE in a projection below the explode (the D4 subject-cache
+    // equivalent — reference: semantify.py:6304-6322): inside the Generate
+    // they would be re-evaluated per POM struct (encode+concat × #POMs per
+    // row), where codegen subexpression elimination cannot reach.
+    val pre = df.select(col("*"),
+      subj.column.as("__subj"), subj.guard.as("__subjok"), subjGraph.as("__sg"))
+    val subjP = TermCompiler.CompiledTerm(pre("__subj"), pre("__subjok"))
+    val sgP = pre("__sg")
+    val colFnP: String => Column = a => resolveAttr(pre, a)
     val classTriples: Seq[Column] = tm.subject.rdfClasses.map { cls =>
-      quadStruct(subj.guard, subj.column, lit(RDF_TYPE), lit(s"<$cls>"), subjGraph)
+      quadStruct(subjP.guard, subjP.column, lit(RDF_TYPE), lit(s"<$cls>"), sgP)
     }
     val (arrayPoms, plainPoms) = tm.poms
       .filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
@@ -112,10 +122,10 @@ object MappingCompiler {
       pom.objectMap.term match {
         case Some(t) if t.kind == TermKind.QuotedTriplesMap =>
           // RML-star quoted object, same source (J7)
-          val q = quotedInline(t.quotedTm.get, doc, base, colFn)
-          val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
-          Seq(quadStruct(subj.guard && pred.guard && q.guard, subj.column, pred.column, q.column, subjGraph))
-        case _ => compilePlainPom(pom, subj, subjGraph, base, colFn)
+          val q = quotedInline(t.quotedTm.get, doc, base, colFnP)
+          val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFnP, TermType.Iri)
+          Seq(quadStruct(subjP.guard && pred.guard && q.guard, subjP.column, pred.column, q.column, sgP))
+        case _ => compilePlainPom(pom, subjP, sgP, base, colFnP)
       }
     }
 
@@ -123,7 +133,7 @@ object MappingCompiler {
     val singlePass: Option[DataFrame] =
       if (candidates.isEmpty) None
       else Some {
-        df.select(explode(filter(array(candidates: _*), x => x.isNotNull)).as("q"))
+        pre.select(explode(filter(array(candidates: _*), x => x.isNotNull)).as("q"))
           .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"), col("q.g").as("g"))
       }
 
