@@ -27,6 +27,40 @@ object Engine {
       MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri))
   }
 
+  /** Streaming materialization (SURVEY §2.11 — parity-plus; the reference
+    * is pure batch): the asserted TriplesMaps' shared source becomes a
+    * `readStream` (schema required by streaming file sources), parent
+    * sources of RefObjectMaps stay static (stream-static joins), and the
+    * same compiled term pipeline produces a streaming quad DataFrame.
+    * Duplicate elimination is off (a streaming global dropDuplicates needs
+    * a watermark — use StreamingOps.dedupWithinWatermark downstream).
+    */
+  def materializeStream(spark: SparkSession, mappingTurtle: String, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      config: Config = Config()): DataFrame = {
+    val doc = MappingParser.parse(mappingTurtle, sourceDir)
+    val asserted = doc.triplesMaps.filter(_.asserted)
+    require(asserted.map(_.source.id).distinct.size == 1,
+      "streaming materialization needs all asserted TriplesMaps on one source " +
+        "(mark join parents as NonAssertedTriplesMap)")
+    val src = asserted.head.source
+    val stream = src match {
+      case graft.model.LogicalSource.CsvSource(path, delim) =>
+        spark.readStream.schema(schema)
+          .option("header", "true").option("delimiter", delim).csv(path)
+      case graft.model.LogicalSource.JsonSource(path, iterator) =>
+        graft.sources.SourceReader.applyJsonIterator(
+          spark.readStream.schema(schema).option("multiLine", "true").json(path), iterator)
+      case graft.model.LogicalSource.ParquetSource(path) =>
+        spark.readStream.schema(schema).parquet(path)
+      case other =>
+        throw new UnsupportedOperationException(s"streaming source: ${other.id}")
+    }
+    MappingCompiler.compile(spark, doc, MappingCompiler.Options(
+      removeDuplicates = false, baseIri = config.baseIri,
+      sourceOverride = Map(src.id -> stream)))
+  }
+
   /** Full run: mapping → RDF files at outputPath. Returns the triple count
     * (the reference logs `number_triple`, semantify.py:15037-15040).
     */

@@ -35,7 +35,12 @@ object MappingCompiler {
   final case class Options(
       removeDuplicates: Boolean = true,
       dedupSourceRows: Boolean = false,
-      baseIri: Option[String] = None)
+      baseIri: Option[String] = None,
+      /** Pre-built frames keyed by LogicalSource.id — lets a streaming
+        * DataFrame (readStream) stand in for a TM's source while parent
+        * sources stay static (stream-static joins, SURVEY §2.11).
+        */
+      sourceOverride: Map[String, DataFrame] = Map.empty)
 
   private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
@@ -85,8 +90,9 @@ object MappingCompiler {
   private def compileTm(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
       opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
 
-    val raw = SourceReader.read(spark, effectiveSource(tm))
-    val df = if (opts.dedupSourceRows) raw.dropDuplicates() else raw
+    val raw = opts.sourceOverride.getOrElse(tm.source.id,
+      SourceReader.read(spark, effectiveSource(tm)))
+    val df = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
 

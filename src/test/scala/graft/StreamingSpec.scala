@@ -70,6 +70,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming RML materialization: quads stream out, parent join is stream-static") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srml").toFile
+    val childDir = new java.io.File(dir, "child"); childDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(childDir, "c1.csv").toPath,
+      "id,name,nk\n1,ada,10\n2,bob,20\n3,eve,99\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "nations.csv").toPath,
+      "nk,nname\n10,DE\n20,FR\n")
+    val mapping =
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex/> .
+         |<Child> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "${childDir.getAbsolutePath}"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:nation;
+         |    rr:objectMap [ rr:parentTriplesMap <Nation>;
+         |                   rr:joinCondition [ rr:child "nk"; rr:parent "nk" ] ] ].
+         |<Nation> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "${dir.getAbsolutePath}/nations.csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/nation/{nname}" ].
+         |""".stripMargin
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("nk", org.apache.spark.sql.types.StringType)))
+    val quads = Engine.materializeStream(spark, mapping, "", schema)
+    assert(quads.isStreaming)
+    val q = quads.writeStream.outputMode("append")
+      .format("memory").queryName("srml_out").start()
+    try {
+      q.processAllAvailable()
+      val ts = spark.table("srml_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(ts.contains(("<http://ex/p/1>", "<http://ex/name>", "\"ada\"")))
+      assert(ts.contains(("<http://ex/p/1>", "<http://ex/nation>", "<http://ex/nation/DE>")))
+      assert(ts.contains(("<http://ex/p/2>", "<http://ex/nation>", "<http://ex/nation/FR>")))
+      // nk=99 has no parent → inner-join semantics drop only the join triple
+      assert(!ts.exists(t => t._1 == "<http://ex/p/3>" && t._2 == "<http://ex/nation>"))
+      assert(ts.contains(("<http://ex/p/3>", "<http://ex/name>", "\"eve\"")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events against a static dim") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     Seq(("e1", 1L), ("e2", 2L), ("e3", 9L))
