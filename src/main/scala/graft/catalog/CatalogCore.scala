@@ -151,6 +151,27 @@ object CatalogCore {
       '"' || n_regionkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS object
       FROM nation"""))
 
+  private val s6 = Q("s6_sparql_bindings_scan",
+    (s, dir) => {
+      // export nation as W3C SPARQL-results JSON, read it back through the
+      // bindings flattener (S6: each var → its `value` string)
+      val out = exportDir(dir, "nation_srj")
+      val rows = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_name")).collect()
+      val bindings = rows.map { r =>
+        s"""{"name": {"type": "literal", "value": "${r.getString(0)}"},
+           | "rk": {"type": "typed-literal", "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+           |        "value": "${r.get(1)}"}}""".stripMargin
+      }.mkString("[", ",\n", "]")
+      val doc = s"""{"head": {"vars": ["name", "rk"]}, "results": {"bindings": $bindings}}"""
+      val d = java.nio.file.Paths.get(out)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("bindings.srj"), doc)
+      SourceReader.sparqlBindings(s, s"$out/bindings.srj")
+        .select(col("name"), col("rk"))
+    },
+    Some("SELECT n_name AS name, n_regionkey::VARCHAR AS rk FROM nation"))
+
   private val s9 = Q("s9_view_scan",
     (s, dir) => {
       val view = LogicalSource.ViewSource("v_orders",
@@ -691,7 +712,7 @@ object CatalogCore {
 
   val queries: Seq[Q] = Seq(
     q1, q3, p1, p2, p3, p5,
-    s1, s2, s3, s7, s9,
+    s1, s2, s3, s6, s7, s9,
     k1, k2, k3,
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
