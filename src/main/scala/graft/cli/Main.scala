@@ -71,6 +71,9 @@ object Main {
     val allInOne = ini.getOrElse("datasets", "all_in_one_file", "no") == "yes"
     val outputFormat = ini.getOrElse("datasets", "output_format", "n-triples")
 
+    // reuse a pre-existing session (embedding callers, tests) and only stop
+    // what this entry point itself created
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -104,7 +107,7 @@ object Main {
           println(s"Successfully created $n triples for dataset '$name' at $outputFolder/$name")
         }
       }
-    } finally spark.stop()
+    } finally if (preExisting.isEmpty) spark.stop()
   }
 
   private def resolvePath(p: String, baseDir: String): String =

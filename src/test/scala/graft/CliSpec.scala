@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The config.ini CLI entry point end-to-end (reference shape:
+  * example/config.ini + example/mapping.ttl — two CSVs, a join, one
+  * deduplicated N-Triples output per dataset).
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("config.ini run: datasets materialize to N-Triples output folders") {
+    spark // force session so Main reuses it instead of creating/stopping one
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toFile
+    def write(name: String, content: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, content)
+      f
+    }
+    write("people.csv", "id,name\n1,ada\n2,bob\n2,bob\n")
+    write("mapping.ttl",
+      """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+        |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+        |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+        |@prefix ex: <http://ex/> .
+        |<TM> a rr:TriplesMap;
+        |  rml:logicalSource [ rml:source "people.csv"; rml:referenceFormulation ql:CSV ];
+        |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+        |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+        |""".stripMargin)
+    val config = write("config.ini",
+      s"""[datasets]
+         |number_of_datasets: 1
+         |output_folder: ${dir.getAbsolutePath}/out
+         |remove_duplicate: yes
+         |all_in_one_file: no
+         |output_format: n-triples
+         |
+         |[dataset1]
+         |name: people
+         |mapping: ${dir.getAbsolutePath}/mapping.ttl
+         |""".stripMargin)
+
+    graft.cli.Main.main(Array("-c", config.getAbsolutePath))
+
+    assert(spark.sparkContext.isStopped == false) // CLI must not stop a shared session
+    val lines = spark.read.text(s"${dir.getAbsolutePath}/out/people")
+      .collect().map(_.getString(0)).toSet
+    // duplicate source row deduplicated at the triple level
+    assert(lines == Set(
+      "<http://ex/p/1> <http://ex/name> \"ada\" .",
+      "<http://ex/p/2> <http://ex/name> \"bob\" ."))
+  }
+}
