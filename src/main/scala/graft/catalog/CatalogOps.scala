@@ -112,6 +112,18 @@ object CatalogOps {
       FROM pairs
       WHERE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) >= 0.5"""))
 
+  private val ddCosineLsh = Q("dd_cosine_lsh",
+    // sign-LSH bucketed near-dup: recall < 1 by design, so no SQL oracle —
+    // the driver records a rows-only check; the subset property vs the
+    // exact variant is asserted in OpsSpec
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Dedup.cosineNearDupLsh(emb, "v", "vec_id", 0.5, planes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    },
+    None)
+
   // ------------------------------------------------------- similarity search
 
   private val simTopK = Q("sim_topk_bruteforce",
@@ -253,7 +265,7 @@ object CatalogOps {
     bench = true)
 
   val queries: Seq[Q] = Seq(
-    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine,
+    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh,
     simTopK, simIvf,
     txtLangid, txtQuality, txtTokens, txtFingerprint,
     mmMeta, mmFrames,

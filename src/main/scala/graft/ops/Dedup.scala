@@ -157,16 +157,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs over a bucketed candidate set:
-    * vectors are LSH-bucketed by the signs of `planes` deterministic
-    * pseudo-random hyperplanes (derived from md5 of the dimension index), so
-    * only same-bucket pairs get the exact cosine check.
+  /** Embedding-cosine near-duplicate pairs, EXACT: every id<id pair gets
+    * the cosine check (this is the oracle-verifiable baseline — O(N²), fine
+    * for query sets / verification, wrong tool at corpus scale; use
+    * [[cosineNearDupLsh]] there).
     */
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicates at scale: random-hyperplane (sign)
+    * LSH. Each vector hashes to a bucket of `planes` sign bits against
+    * deterministic ±1 hyperplanes (parity of a seeded hash per (plane,
+    * dim)); only same-bucket pairs get the exact cosine check. Recall is
+    * < 1 by construction — P[same bucket] = (1 − θ/π)^planes for angle θ —
+    * which is the standard trade for dropping the O(N²) cross product;
+    * near-duplicates (θ → 0) collide with probability → 1.
+    */
+  def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    def planeSign(p: Int, d: Int): Double =
+      if (((graft.functions.RmlStrings.fnv1a64(s"plane:$p:$d") % 2) + 2) % 2 == 0) 1.0 else -1.0
+    val planeLits: Seq[Column] = (0 until planes).map { p =>
+      typedLit((0 until dims).map(d => planeSign(p, d)))
+    }
+    val bucketBits: Column = concat((0 until planes).map { p =>
+      when(Similarity.dot(col("v"), planeLits(p)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketBits)
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)

@@ -49,6 +49,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L)) // de-blocked from en docs
   }
 
+  test("sign-LSH cosine near-dup is a subset of the exact pairs; identical vectors always collide") {
+    val vecs = (0L to 30L).map { i =>
+      val v = (0 until 16).map(d => math.sin(i * 0.7 + d).abs + 0.1)
+      (i, v)
+    }.toDF("vec_id", "v")
+      // make 0 and 30 identical (guaranteed near-dup)
+      .withColumn("v", when(col("vec_id") === 30L,
+        typedLit((0 until 16).map(d => math.sin(0 * 0.7 + d).abs + 0.1))).otherwise(col("v")))
+    val exact = Dedup.cosineNearDup(vecs, "v", "vec_id", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineNearDupLsh(vecs, "v", "vec_id", 0.9, planes = 4, dims = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))           // bucketing never invents pairs
+    assert(lsh.contains((0L, 30L)))       // identical vectors share every bucket
+    assert(lsh.nonEmpty)
+  }
+
   test("brute-force top-k returns k ranked neighbors") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
