@@ -444,6 +444,8 @@ object MappingCompiler {
   private def effectiveSource(tm: TriplesMap): LogicalSource = tm.source match {
     case j: LogicalSource.JdbcSource =>
       synthesizeJdbcQuery(tm).map(q => j.copy(query = Some(q), tableName = None)).getOrElse(j)
+    case x: LogicalSource.XmlSource if tmReferencedAttrs(tm).exists(_.startsWith("..")) =>
+      x.copy(parentAxis = true) // `../…` refs need the parent-level scan
     case s => s
   }
 
@@ -457,7 +459,16 @@ object MappingCompiler {
     """^(.*?)\[\?\(@\.([A-Za-z0-9_.]+)\s*(==|!=)\s*"([^"]*)"\)\]\.([A-Za-z0-9_.]+)$""".r
 
   /** Resolve a (possibly nested) attribute reference on a DataFrame. */
-  def resolveAttr(df: DataFrame, a: String): Column = cleanAttr(a) match {
+  def resolveAttr(df: DataFrame, a: String): Column =
+    if (a.startsWith("..")) {
+      // XML parent axis: `../name` / `..@attr` → the scan surfaced the
+      // parent element's fields as __parent_<name> (SourceReader, T3)
+      val rest = a.stripPrefix("..").stripPrefix("/")
+      val name = if (rest.startsWith("@")) "_" + rest.substring(1) else rest
+      df(s"`__parent_$name`")
+    } else resolveAttrClean(df, a)
+
+  private def resolveAttrClean(df: DataFrame, a: String): Column = cleanAttr(a) match {
     case InlineCond(path, condPath, op, value, proj) =>
       def descend(root: Column, p: String): Column =
         p.split('.').filter(_.nonEmpty).foldLeft(root)((c, s) => c.getField(s))

@@ -98,7 +98,12 @@ sealed trait LogicalSource { def id: String }
 object LogicalSource {
   final case class CsvSource(path: String, delimiter: String = ",") extends LogicalSource { def id = s"csv:$path:$delimiter" }
   final case class JsonSource(path: String, iterator: String) extends LogicalSource { def id = s"json:$path:$iterator" }
-  final case class XmlSource(path: String, iterator: String) extends LogicalSource { def id = s"xml:$path:$iterator" }
+  /** `parentAxis`: a reference uses `../…`, so the scan reads one level up
+    * and explodes the iterator's leaf element (parent fields surface as
+    * `__parent_<name>` columns).
+    */
+  final case class XmlSource(path: String, iterator: String,
+      parentAxis: Boolean = false) extends LogicalSource { def id = s"xml:$path:$iterator" }
   final case class ParquetSource(path: String) extends LogicalSource { def id = s"parquet:$path" }
   final case class JdbcSource(url: String, dbType: String, query: Option[String], tableName: Option[String],
       user: String = "", password: String = "") extends LogicalSource { def id = s"jdbc:$url:${query.getOrElse(tableName.getOrElse(""))}" }

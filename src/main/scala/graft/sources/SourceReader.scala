@@ -3,6 +3,7 @@ package graft.sources
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
 /** Reads a [[LogicalSource]] into a DataFrame (SURVEY §2.1, S1-S9).
   *
@@ -29,10 +30,27 @@ object SourceReader {
       val raw = spark.read.option("multiLine", "true").json(path)
       applyJsonIterator(raw, iterator)
 
-    case LogicalSource.XmlSource(path, iterator) =>
+    case LogicalSource.XmlSource(path, iterator, parentAxis) =>
       // Spark 4.x ships a built-in XML source; rowTag = last iterator step.
-      val rowTag = iterator.split("/").filter(_.nonEmpty).lastOption.getOrElse("row")
-      spark.read.format("xml").option("rowTag", rowTag).load(path)
+      val steps = iterator.split("/").filter(_.nonEmpty)
+      if (!parentAxis || steps.length < 2) {
+        val rowTag = steps.lastOption.getOrElse("row")
+        spark.read.format("xml").option("rowTag", rowTag).load(path)
+      } else {
+        // `..` axis (SURVEY T3; reference: functions.py:186-208): read one
+        // level up so parent fields survive, then explode the leaf element.
+        // Parent fields become __parent_<name>; leaf fields stay top-level.
+        val (parentTag, childTag) = (steps(steps.length - 2), steps.last)
+        val p = spark.read.format("xml").option("rowTag", parentTag).load(path)
+        val parentCols = p.schema.fieldNames.filter(_ != childTag)
+        val renamed = parentCols.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"__parent_$c"))
+        val childIsArray = p.schema.apply(childTag).dataType.isInstanceOf[ArrayType]
+        val exploded =
+          if (childIsArray) renamed.withColumn(childTag, explode(col(childTag)))
+          else renamed
+        exploded.select(col(s"$childTag.*") +:
+          parentCols.map(c => col(s"__parent_$c")): _*)
+      }
 
     case LogicalSource.ParquetSource(path) =>
       spark.read.parquet(path)

@@ -43,6 +43,26 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/city/Paris>", "<http://ex/code>", "\"FR\"")))
   }
 
+  test("T3: XML parent axis ../@attr reaches the enclosing element") {
+    val xml = writeTmp("orders.xml",
+      """<orders>
+        |  <order id="o1"><item sku="a"/><item sku="b"/></order>
+        |  <order id="o2"><item sku="c"/></order>
+        |</orders>""".stripMargin)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$xml"; rml:referenceFormulation ql:XPath;
+         |                      rml:iterator "/orders/order/item" ];
+         |  rr:subjectMap [ rr:template "http://ex/item/{@sku}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:order; rr:objectMap [ rml:reference "..@id" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/item/a>", "<http://ex/order>", "\"o1\""),
+      ("<http://ex/item/b>", "<http://ex/order>", "\"o1\""),
+      ("<http://ex/item/c>", "<http://ex/order>", "\"o2\"")))
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
