@@ -78,7 +78,36 @@ object MappingParser {
     val ls = g.obj(tm, RML + "logicalSource")
       .orElse(g.obj(tm, RR + "logicalTable"))
       .getOrElse(throw new IllegalArgumentException(s"TriplesMap ${termId(tm)} has no logical source"))
-    val sourceVal = g.obj(ls, RML + "source").map(lex)
+    val srcNode = g.obj(ls, RML + "source")
+    // Structured source descriptors (S8; reference SPARQL:
+    // semantify.py:2151-2191): csvw:url (+dialect delimiter),
+    // dcat:downloadURL, void:dataDump, rml:path, sd:endpoint, d2rq:Database.
+    val CSVW = "http://www.w3.org/ns/csvw#"
+    val DCAT = "http://www.w3.org/ns/dcat#"
+    val VOID = "http://rdfs.org/ns/void#"
+    val SD = "http://www.w3.org/ns/sparql-service-description#"
+    val D2RQ = "http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#"
+    def descPath(n: RdfTerm): Option[String] =
+      g.obj(n, CSVW + "url").map(lex)
+        .orElse(g.obj(n, DCAT + "downloadURL").map(lex))
+        .orElse(g.obj(n, DCAT + "distribution").flatMap(d => g.obj(d, DCAT + "downloadURL")).map(lex))
+        .orElse(g.obj(n, VOID + "dataDump").map(lex))
+        .orElse(g.obj(n, RML + "path").map(lex))
+    val descDelimiter: Option[String] = srcNode.flatMap(n =>
+      g.obj(n, CSVW + "dialect").flatMap(d => g.obj(d, CSVW + "delimiter")).map(lex))
+    val descEndpoint: Option[String] = srcNode.flatMap(n => g.obj(n, SD + "endpoint").map(lex))
+    val descJdbc: Option[LogicalSource.JdbcSource] = srcNode.flatMap { n =>
+      g.obj(n, D2RQ + "jdbcDSN").map { dsn =>
+        LogicalSource.JdbcSource(lex(dsn), "generic",
+          g.obj(ls, RML + "query").map(lex), g.obj(ls, RR + "tableName").map(lex),
+          g.obj(n, D2RQ + "username").map(lex).getOrElse(""),
+          g.obj(n, D2RQ + "password").map(lex).getOrElse(""))
+      }
+    }
+    val sourceVal = srcNode.flatMap {
+      case n @ (BNode(_) | Iri(_)) if descPath(n).isDefined => descPath(n)
+      case other => Some(lex(other))
+    }
     val path = sourceVal.map { p =>
       val cleaned = if (p.startsWith("./")) p.substring(2) else p
       if (cleaned.startsWith("/") || sourceDir.isEmpty) cleaned else s"$sourceDir/$cleaned"
@@ -88,7 +117,11 @@ object MappingParser {
     val tableName = g.obj(ls, RR + "tableName").map(lex)
     val query = g.obj(ls, RML + "query").map(lex).orElse(g.obj(ls, RR + "sqlQuery").map(lex))
 
-    if (sourceVal.exists(_.startsWith("endpoint:")))
+    if (descJdbc.isDefined)
+      descJdbc.get
+    else if (descEndpoint.isDefined)
+      LogicalSource.SparqlSource("endpoint:" + descEndpoint.get, iterator.getOrElse(""))
+    else if (sourceVal.exists(_.startsWith("endpoint:")))
       // S6: "endpoint:…" source + SPARQL iterator query (reference:
       // semantify.py:10104-10123); offline endpoints = pre-fetched
       // results-JSON files
@@ -97,7 +130,7 @@ object MappingParser {
       LogicalSource.JdbcSource("", "generic", query, tableName)
     else formulation match {
       case f if f.endsWith("CSV") || f.endsWith("TSV") =>
-        val delim = if (f.endsWith("TSV")) "\t" else ","
+        val delim = descDelimiter.getOrElse(if (f.endsWith("TSV")) "\t" else ",")
         val p = path.getOrElse(fail(tm, "CSV source without path"))
         if (p.endsWith(".parquet")) LogicalSource.ParquetSource(p)
         else if (p.endsWith(".nt")) LogicalSource.NTriplesSource(p, iterator.getOrElse(""))

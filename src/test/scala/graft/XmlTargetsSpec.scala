@@ -63,6 +63,25 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/item/c>", "<http://ex/order>", "\"o2\"")))
   }
 
+  test("S8: csvw source descriptor resolves url + dialect delimiter") {
+    val csv = writeTmp("pipes.csv", "id|name\n1|ada\n2|bob\n")
+    val ts = Engine.materialize(spark, prefixes +
+      """@prefix csvw: <http://www.w3.org/ns/csvw#> .
+        |""".stripMargin +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [
+         |    rml:source [ a csvw:Table; csvw:url "$csv";
+         |                 csvw:dialect [ csvw:delimiter "|" ] ];
+         |    rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/p/1>", "<http://ex/name>", "\"ada\""),
+      ("<http://ex/p/2>", "<http://ex/name>", "\"bob\"")))
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
