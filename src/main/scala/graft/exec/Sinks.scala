@@ -19,6 +19,17 @@ object Sinks {
   def writeNt(quads: DataFrame, path: String): Unit =
     ntLines(quads).write.mode("overwrite").text(path)
 
+  /** Named-graph partitioned output (SURVEY §1.4: `partitionBy("graph")` on
+    * write): one directory per graph, default graph under g=__default. At
+    * scale this gives graph-pruned reads downstream for free.
+    */
+  def writeNtByGraph(quads: DataFrame, path: String): Unit = {
+    val line = concat_ws(" ", col("s"), col("p"), col("o"), lit("."))
+    quads.select(line.as("line"),
+        coalesce(regexp_replace(col("g"), "[<>:/#]", "_"), lit("__default")).as("g"))
+      .write.mode("overwrite").partitionBy("g").text(path)
+  }
+
   /** T13: prefix compaction — `<ns…local>` → `prefix:local` when the IRI's
     * namespace is in the prefix map and the local part is PN_LOCAL-safe
     * (reference: determine_prefix semantify.py:190-209). Longest namespace

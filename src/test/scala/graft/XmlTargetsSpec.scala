@@ -82,6 +82,39 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/p/2>", "<http://ex/name>", "\"bob\"")))
   }
 
+  test("S2: gzip-compressed JSON sources decompress natively") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
+    val gz = new java.io.File(dir, "data.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write("""[{"id": "1", "name": "ada"}, {"id": "2", "name": "bob"}]""".getBytes("UTF-8"))
+    out.close()
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "${gz.getAbsolutePath}"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin).collect()
+    assert(ts.length == 2)
+  }
+
+  test("K1: graph-partitioned quad output writes one directory per named graph") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(
+      ("<http://ex/1>", "<http://ex/p>", "\"a\"", "<http://ex/g1>"),
+      ("<http://ex/2>", "<http://ex/p>", "\"b\"", "<http://ex/g2>"),
+      ("<http://ex/3>", "<http://ex/p>", "\"c\"", null))
+      .toDF("s", "p", "o", "g")
+    val base = java.nio.file.Files.createTempDirectory("graft_graphs").toString
+    Sinks.writeNtByGraph(quads, base)
+    val dirs = new java.io.File(base).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.contains("g1")) && dirs.exists(_.contains("g2")) &&
+      dirs.contains("g=__default"))
+    val all = spark.read.text(base).collect().map(_.getString(0)).toSet
+    assert(all.contains("<http://ex/3> <http://ex/p> \"c\" ."))
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
