@@ -172,6 +172,32 @@ object CatalogCore {
     },
     Some("SELECT n_name AS name, n_regionkey::VARCHAR AS rk FROM nation"))
 
+  private val v2 = Q("v2_view_iterable_index",
+    (s, dir) => {
+      // RML-LV iterable field (V2): per-customer sorted order array exported
+      // as one JSON document, re-read through a view with an iterator field
+      // → one row per element + positional index column "ok.#"
+      val out = Catalog.exportDir(dir, "orders_grouped_json")
+      val rowsJson = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("oks"))
+        .toJSON.collect().mkString("[", ",\n", "]")
+      val d = java.nio.file.Paths.get(out)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("data.json"), rowsJson)
+      val view = LogicalSource.ViewSource("v_ok",
+        LogicalSource.JsonSource(s"$out/data.json", "$.[*]"),
+        List(
+          ViewField("cust", Some("o_custkey")),
+          ViewField("ok", Some("oks"), iterator = Some("[*]"))))
+      graft.exec.ViewExec.compile(s, view)
+        .select(col("cust").cast("long").as("cust"), col("ok").cast("long").as("ok"),
+          col("`ok.#`").cast("long").as("idx"))
+    },
+    Some("""WITH g AS (
+        SELECT o_custkey, list_sort(list(o_orderkey)) AS l FROM orders GROUP BY o_custkey)
+      SELECT o_custkey AS cust, unnest(l) AS ok, unnest(range(len(l))) AS idx FROM g"""))
+
   private val s9 = Q("s9_view_scan",
     (s, dir) => {
       val view = LogicalSource.ViewSource("v_orders",
@@ -712,7 +738,7 @@ object CatalogCore {
 
   val queries: Seq[Q] = Seq(
     q1, q3, p1, p2, p3, p5,
-    s1, s2, s3, s6, s7, s9,
+    s1, s2, s3, s6, s7, s9, v2,
     k1, k2, k3,
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,

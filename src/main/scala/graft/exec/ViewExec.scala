@@ -47,9 +47,11 @@ object ViewExec {
           // iterable field: one row per element + index column "name.#"
           val arrCol = resolveRef(df, f.reference.getOrElse(f.name))
           df = df.select(col("*"), posexplode(arrCol).as(Seq(s"${f.name}.#", "__elem")))
-          df = f.innerFields.foldLeft(df) { (d, inf) =>
-            d.withColumn(inf.name, resolveOn(col("__elem"), inf.reference.getOrElse(inf.name)))
-          }.drop("__elem")
+          df =
+            if (f.innerFields.isEmpty) df.withColumnRenamed("__elem", f.name)
+            else f.innerFields.foldLeft(df) { (d, inf) =>
+              d.withColumn(inf.name, resolveOn(col("__elem"), inf.reference.getOrElse(inf.name)))
+            }.drop("__elem")
         case None =>
           val c: Column = f.constant.map(lit(_))
             .orElse(f.template.map(t => graft.functions.rml.template(t, encode = false, df(_))))
@@ -58,8 +60,12 @@ object ViewExec {
           df = df.withColumn(f.name, c)
       }
     }
-    // keep only declared field columns (plus index cols)
-    val keep = fields.flatMap(f => f.name +: (f.iterator.map(_ => s"${f.name}.#").toList ++ f.innerFields.map(_.name)))
+    // keep only declared field columns (plus index cols); an iterable field
+    // with inner fields exposes only those + the index
+    val keep = fields.flatMap { f =>
+      val own = if (f.iterator.isDefined && f.innerFields.nonEmpty) Nil else List(f.name)
+      own ++ f.iterator.map(_ => s"${f.name}.#").toList ++ f.innerFields.map(_.name)
+    }
     df.select(keep.distinct.map(n => col(s"`$n`")): _*)
   }
 
