@@ -41,9 +41,46 @@ object ViewExec {
     */
   def projectFields(base: DataFrame, fields: List[ViewField]): DataFrame = {
     var df = base
+    val keep = scala.collection.mutable.ListBuffer.empty[String]
     fields.foreach { f =>
-      f.iterator match {
-        case Some(_) =>
+      (f.innerFormulation.map(_.toUpperCase), f.iterator) match {
+        case (Some(fm), _) if fm.contains("CSV") =>
+          // CSV-in-<anything> (reference: lv_functions.py:293-306): the cell
+          // holds CSV text with a header line; one row per data line with a
+          // positional "name.#" index. Header/schema inferred from one
+          // sample cell (bounded driver-side peek).
+          val raw = resolveRef(df, f.reference.getOrElse(f.name)).cast("string")
+          val sample = df.select(raw.as("v")).na.drop.limit(1).collect()
+            .headOption.map(_.getString(0)).getOrElse("")
+          val header = sample.split("\r?\n").headOption.getOrElse("")
+            .split(",").map(_.trim)
+          val schema = org.apache.spark.sql.types.StructType(header.map(h =>
+            org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+          val lines = split(regexp_replace(raw, "\r", ""), "\n")
+          val dataLines = filter(slice(lines, lit(2), greatest(size(lines) - 1, lit(0))),
+            l => trim(l) =!= "")
+          df = df.select(col("*"), posexplode(dataLines).as(Seq(s"${f.name}.#", "__line")))
+          val parsed = from_csv(col("__line"), schema, Map.empty[String, String])
+          val inner =
+            if (f.innerFields.nonEmpty) f.innerFields.map(i => i.name -> i.reference.getOrElse(i.name))
+            else header.toList.map(h => s"${f.name}.$h" -> h)
+          inner.foreach { case (n, ref) => df = df.withColumn(n, parsed.getField(ref)) }
+          df = df.drop("__line")
+          keep ++= s"${f.name}.#" :: inner.map(_._1)
+        case (Some(fm), _) if fm.contains("JSON") =>
+          // JSON-in-<anything>: parse the cell with a schema inferred from
+          // sample cells; nested refs address the resulting struct.
+          val raw = resolveRef(df, f.reference.getOrElse(f.name)).cast("string")
+          val spark = df.sparkSession
+          val samples = df.select(raw.as("v")).na.drop.limit(20).collect()
+            .map(_.getString(0)).toSeq
+          val schema = spark.read
+            .json(spark.createDataset(samples)(org.apache.spark.sql.Encoders.STRING)).schema
+          df = df.withColumn(f.name, from_json(raw, schema))
+          f.innerFields.foreach(inf =>
+            df = df.withColumn(inf.name, resolveOn(col(f.name), inf.reference.getOrElse(inf.name))))
+          keep ++= f.name :: f.innerFields.map(_.name)
+        case (_, Some(_)) =>
           // iterable field: one row per element + index column "name.#"
           val arrCol = resolveRef(df, f.reference.getOrElse(f.name))
           df = df.select(col("*"), posexplode(arrCol).as(Seq(s"${f.name}.#", "__elem")))
@@ -52,21 +89,18 @@ object ViewExec {
             else f.innerFields.foldLeft(df) { (d, inf) =>
               d.withColumn(inf.name, resolveOn(col("__elem"), inf.reference.getOrElse(inf.name)))
             }.drop("__elem")
-        case None =>
+          keep ++= (if (f.innerFields.isEmpty) List(f.name) else Nil) :::
+            s"${f.name}.#" :: f.innerFields.map(_.name)
+        case _ =>
           val c: Column = f.constant.map(lit(_))
             .orElse(f.template.map(t => graft.functions.rml.template(t, encode = false, df(_))))
             .orElse(f.reference.map(r => resolveRef(df, r)))
             .getOrElse(lit(null))
           df = df.withColumn(f.name, c)
+          keep += f.name
       }
     }
-    // keep only declared field columns (plus index cols); an iterable field
-    // with inner fields exposes only those + the index
-    val keep = fields.flatMap { f =>
-      val own = if (f.iterator.isDefined && f.innerFields.nonEmpty) Nil else List(f.name)
-      own ++ f.iterator.map(_ => s"${f.name}.#").toList ++ f.innerFields.map(_.name)
-    }
-    df.select(keep.distinct.map(n => col(s"`$n`")): _*)
+    df.select(keep.distinct.map(n => col(s"`$n`")).toSeq: _*)
   }
 
   /** Resolve a JSONPath-ish field reference ($.a.b / a.b) on a DataFrame. */

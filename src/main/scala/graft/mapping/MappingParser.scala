@@ -117,7 +117,10 @@ object MappingParser {
     val tableName = g.obj(ls, RR + "tableName").map(lex)
     val query = g.obj(ls, RML + "query").map(lex).orElse(g.obj(ls, RR + "sqlQuery").map(lex))
 
-    if (descJdbc.isDefined)
+    if (g.obj(ls, RML + "viewOn").isDefined)
+      // RML-LV logical view (SURVEY §2.10; reference: semantify.py:2012-2133)
+      parseLogicalView(g, ls, sourceDir)
+    else if (descJdbc.isDefined)
       descJdbc.get
     else if (descEndpoint.isDefined)
       LogicalSource.SparqlSource("endpoint:" + descEndpoint.get, iterator.getOrElse(""))
@@ -147,6 +150,58 @@ object MappingParser {
 
   private def fail(tm: RdfTerm, msg: String): Nothing =
     throw new IllegalArgumentException(s"TriplesMap ${termId(tm)}: $msg")
+
+  /** RML-LV logical view: rml:viewOn (a logical-source-shaped node, or
+    * another view — V4) + rml:field projections (reference view SPARQL:
+    * semantify.py:2012-2060).
+    */
+  private def parseLogicalView(g: RdfGraph, ls: RdfTerm, sourceDir: String): LogicalSource = {
+    val von = g.obj(ls, RML + "viewOn").get
+    val base: LogicalSource =
+      if (g.obj(von, RML + "viewOn").isDefined) parseLogicalView(g, von, sourceDir)
+      else {
+        val srcNode = g.obj(von, RML + "source")
+        val path0 = srcNode.flatMap(n => g.obj(n, RML + "path").map(lex))
+          .orElse(srcNode.map(lex))
+          .getOrElse(fail(ls, "logical view base without rml:source"))
+        val path =
+          if (path0.startsWith("/") || sourceDir.isEmpty) path0.stripPrefix("./")
+          else s"$sourceDir/${path0.stripPrefix("./")}"
+        val form = g.obj(von, RML + "referenceFormulation").map(lex).getOrElse(QL + "JSONPath")
+        val iter = g.obj(von, RML + "iterator").map(lex)
+        form match {
+          case f if f.endsWith("CSV") || f.endsWith("TSV") =>
+            LogicalSource.CsvSource(path, if (f.endsWith("TSV")) "\t" else ",")
+          case f if f.endsWith("Parquet") => LogicalSource.ParquetSource(path)
+          case f if f.endsWith("XPath") || f.endsWith("XML") =>
+            LogicalSource.XmlSource(path, iter.getOrElse("/"))
+          case _ => LogicalSource.JsonSource(path, iter.getOrElse("$"))
+        }
+      }
+    val fields = g.objects(ls, RML + "field").map(parseViewField(g, _)).toList
+    LogicalSource.ViewSource(termId(ls), base, fields)
+  }
+
+  private def parseViewField(g: RdfGraph, node: RdfTerm): ViewField = {
+    val name = g.obj(node, RML + "fieldName").map(lex).getOrElse("field")
+    val inners = g.objects(node, RML + "field").toList
+    // an inner field carrying rml:referenceFormulation declares an EMBEDDED
+    // format for this field's cell (CSV-in-JSON etc.,
+    // reference: lv_functions.py:293-306); its own children pick columns
+    val embedded = inners.find(i => g.obj(i, RML + "referenceFormulation").isDefined)
+    val (innerFormulation, innerFields) = embedded match {
+      case Some(e) => (g.obj(e, RML + "referenceFormulation").map(lex),
+        g.objects(e, RML + "field").map(parseViewField(g, _)).toList)
+      case None => (None, inners.map(parseViewField(g, _)))
+    }
+    ViewField(name,
+      g.obj(node, RML + "reference").map(lex),
+      g.obj(node, RML + "constant").map(lex),
+      g.obj(node, RML + "template").map(lex),
+      g.obj(node, RML + "iterator").map(lex),
+      innerFields,
+      innerFormulation)
+  }
 
   private def parseSubjectMap(g: RdfGraph, tm: RdfTerm): SubjectMap = {
     g.obj(tm, RR + "subject") match {

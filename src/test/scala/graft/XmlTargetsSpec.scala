@@ -82,6 +82,32 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/p/2>", "<http://ex/name>", "\"bob\"")))
   }
 
+  test("V1/V3: mapping-level logical view with embedded CSV-in-JSON field") {
+    val json = writeTmp("payload.json",
+      """[{"id": "1", "pay": "a,b\n10,20\n30,40"},
+        | {"id": "2", "pay": "a,b\n50,60"}]""".stripMargin)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [
+         |    rml:viewOn [ rml:source "$json"; rml:referenceFormulation ql:JSONPath;
+         |                 rml:iterator "$$.[*]" ];
+         |    rml:field [ rml:fieldName "id"; rml:reference "id" ];
+         |    rml:field [ rml:fieldName "rows"; rml:reference "pay";
+         |                rml:field [ rml:referenceFormulation ql:CSV ] ] ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}-{rows.#}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "rows.a" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:b; rr:objectMap [ rml:reference "rows.b" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/r/1-0>", "<http://ex/a>", "\"10\""),
+      ("<http://ex/r/1-0>", "<http://ex/b>", "\"20\""),
+      ("<http://ex/r/1-1>", "<http://ex/a>", "\"30\""),
+      ("<http://ex/r/1-1>", "<http://ex/b>", "\"40\""),
+      ("<http://ex/r/2-0>", "<http://ex/a>", "\"50\""),
+      ("<http://ex/r/2-0>", "<http://ex/b>", "\"60\"")))
+  }
+
   test("S2: gzip-compressed JSON sources decompress natively") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
     val gz = new java.io.File(dir, "data.json.gz")
