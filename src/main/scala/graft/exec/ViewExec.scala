@@ -17,20 +17,36 @@ object ViewExec {
     val base = SourceReader.read(spark, view.base)
     var df = projectFields(base, view.fields)
     view.joins.foreach { vj =>
-      val parentView = registry.getOrElse(vj.parentView,
-        throw new IllegalArgumentException(s"unknown parent view: ${vj.parentView}"))
-      val pdf0 = compile(spark, parentView, registry)
+      val pdf0 = vj.parentSource match {
+        case Some(v: LogicalSource.ViewSource) => compile(spark, v, registry)
+        case Some(other) => SourceReader.read(spark, other)
+        case None => compile(spark, registry.getOrElse(vj.parentView,
+          throw new IllegalArgumentException(s"unknown parent view: ${vj.parentView}")), registry)
+      }
       // prefix parent columns to avoid collisions, then join on the condition
       val pdf = pdf0.columns.foldLeft(pdf0)((d, c) => d.withColumnRenamed(c, s"__p_$c"))
       val cond = vj.childAttrs.zip(vj.parentAttrs).map { case (c, p) =>
         df(c).cast("string") === pdf(s"__p_$p").cast("string")
       }.reduce(_ && _)
       val joined = df.join(pdf, cond, if (vj.kind == "left") "left" else "inner")
-      // expose parent fields under their view names (left join → null fields,
-      // reference: lv_functions.py:346-397)
-      df = pdf0.columns.foldLeft(joined)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumnRenamed(s"__p_$c", c))
-      df = df.drop(df.columns.filter(_.startsWith("__p_")): _*)
+      if (vj.fields.nonEmpty) {
+        // the join declares which parent fields it pulls in, under new names
+        // (reference join_view_query: semantify.py:2090-2133)
+        var d = joined
+        vj.fields.foreach { f =>
+          val c = f.constant.map(lit(_))
+            .orElse(f.reference.map(r => col(s"`__p_$r`")))
+            .getOrElse(lit(null))
+          d = d.withColumn(f.name, c)
+        }
+        df = d.drop(d.columns.filter(_.startsWith("__p_")): _*)
+      } else {
+        // expose all parent fields under their view names (left join → null
+        // fields, reference: lv_functions.py:346-397)
+        df = pdf0.columns.foldLeft(joined)((d, c) =>
+          if (d.columns.contains(c)) d else d.withColumnRenamed(s"__p_$c", c))
+        df = df.drop(df.columns.filter(_.startsWith("__p_")): _*)
+      }
     }
     df
   }

@@ -179,7 +179,19 @@ object MappingParser {
         }
       }
     val fields = g.objects(ls, RML + "field").map(parseViewField(g, _)).toList
-    LogicalSource.ViewSource(termId(ls), base, fields)
+    def parseViewJoin(kind: String)(jn: RdfTerm): ViewJoin = {
+      val parentNode = g.obj(jn, RML + "parentLogicalView")
+        .getOrElse(fail(ls, s"$kind view join without rml:parentLogicalView"))
+      val parentSrc = parseLogicalView(g, parentNode, sourceDir)
+      val jc = g.obj(jn, RML + "joinCondition")
+      val childAttrs = jc.toList.flatMap(c => g.objects(c, RML + "child").map(lex))
+      val parentAttrs = jc.toList.flatMap(c => g.objects(c, RML + "parent").map(lex))
+      val jFields = g.objects(jn, RML + "field").map(parseViewField(g, _)).toList
+      ViewJoin(kind, termId(parentNode), childAttrs, parentAttrs, Some(parentSrc), jFields)
+    }
+    val joins = g.objects(ls, RML + "innerJoin").map(parseViewJoin("inner")).toList ++
+      g.objects(ls, RML + "leftJoin").map(parseViewJoin("left")).toList
+    LogicalSource.ViewSource(termId(ls), base, fields, joins)
   }
 
   private def parseViewField(g: RdfGraph, node: RdfTerm): ViewField = {

@@ -127,7 +127,15 @@ final case class ViewJoin(
     kind: String, // inner | left
     parentView: String,
     childAttrs: List[String],
-    parentAttrs: List[String])
+    parentAttrs: List[String],
+    /** Parent view parsed inline from the mapping (rml:parentLogicalView);
+      * when absent the ViewExec registry resolves `parentView` by id.
+      */
+    parentSource: Option[LogicalSource] = None,
+    /** Parent fields this join pulls in (rml:field on the join node);
+      * empty = expose all parent view fields.
+      */
+    fields: List[ViewField] = Nil)
 
 /** One TriplesMap (reference: TriplesMap.py:5-51). `asserted=false` marks an
   * RML-star NonAssertedTriplesMap: usable as a quoted parent, not emitted.

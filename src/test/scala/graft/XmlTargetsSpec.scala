@@ -108,6 +108,33 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/r/2-0>", "<http://ex/b>", "\"60\"")))
   }
 
+  test("J8: mapping-level logical-view left join pulls named parent fields") {
+    val child = writeTmp("emp.csv", "eid,dept\n1,10\n2,20\n3,99\n")
+    val parent = writeTmp("dept.csv", "did,dname\n10,eng\n20,ops\n")
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [
+         |    rml:viewOn [ rml:source "$child"; rml:referenceFormulation ql:CSV ];
+         |    rml:field [ rml:fieldName "eid"; rml:reference "eid" ];
+         |    rml:field [ rml:fieldName "dept"; rml:reference "dept" ];
+         |    rml:leftJoin [
+         |      rml:parentLogicalView [
+         |        rml:viewOn [ rml:source "$parent"; rml:referenceFormulation ql:CSV ];
+         |        rml:field [ rml:fieldName "did"; rml:reference "did" ];
+         |        rml:field [ rml:fieldName "dname"; rml:reference "dname" ] ];
+         |      rml:joinCondition [ rml:child "dept"; rml:parent "did" ];
+         |      rml:field [ rml:fieldName "deptName"; rml:reference "dname" ] ] ];
+         |  rr:subjectMap [ rr:template "http://ex/e/{eid}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:dept; rr:objectMap [ rml:reference "deptName" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(quads == Set(
+      ("<http://ex/e/1>", "<http://ex/dept>", "\"eng\""),
+      ("<http://ex/e/2>", "<http://ex/dept>", "\"ops\"")))
+    // e/3's dept has no parent row: left join keeps the row, the null field
+    // kills only the triple (no e/3 dept triple, consistent with P3)
+  }
+
   test("S2: gzip-compressed JSON sources decompress natively") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
     val gz = new java.io.File(dir, "data.json.gz")
