@@ -96,11 +96,19 @@ object MappingCompiler {
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
 
-    val subj = tm.subject.term.kind match {
+    val subj0 = tm.subject.term.kind match {
       case TermKind.QuotedTriplesMap =>
         // RML-star quoted subject, same-source (reference: semantify.py:6513-6530)
         quotedInline(tm.subject.term.quotedTm.get, doc, base, colFn)
       case _ => TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)
+    }
+    // P5: rml:condition on the subject map gates every row of this TM
+    // (reference: semantify.py:6383-6407 — condition false → no triples)
+    val subj = tm.subject.condition match {
+      case Some(cond) =>
+        val ok = lower(graft.functions.FnoRegistry.compile(cond, colFn)) === "true"
+        subj0.copy(guard = subj0.guard && ok)
+      case None => subj0
     }
     val subjGraph: Column = tm.subject.graph
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)

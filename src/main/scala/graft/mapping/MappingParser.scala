@@ -227,7 +227,10 @@ object MappingParser {
     val classes = g.objects(sm, RR + "class").map(termId).toList
     val graph = g.obj(sm, RR + "graphMap").flatMap(parseTermMap(g, _))
       .orElse(g.obj(sm, RR + "graph").map(c => TermMap(TermKind.Constant, termId(c), Some(TermType.Iri))))
-    SubjectMap(term, classes, graph)
+    // P5: rml:condition — an FnO boolean gating the whole subject's rows
+    // (reference: parse semantify.py:2475-2481; gate semantify.py:6383-6407)
+    val condition = g.obj(sm, RML + "condition").map(parseFunctionValue(g, _))
+    SubjectMap(term, classes, graph, condition)
   }
 
   /** Parse a term map node: template / reference / constant / functionValue /

@@ -148,6 +148,22 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.contains(("<http://ex/r/1>", "<http://ex/slug>", "\"Z1\"")))
   }
 
+  test("P5: rml:condition on the subject map gates whole rows") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}";
+         |    rml:condition [
+         |      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:equal ],
+         |        [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "seg" ] ],
+         |        [ rr:predicate grel:valueParameter2; rr:objectMap [ rr:constant "S1" ] ]
+         |    ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ].
+         |""".stripMargin)
+    assert(ts.contains(("<http://ex/r/1>", "<http://ex/a>", "\"x1\"")))
+    assert(!ts.exists(_._1 == "<http://ex/r/2>")) // seg=S2 fails the condition
+  }
+
   test("graph maps produce quads") {
     val quads = Engine.materialize(spark, prefixes +
       s"""<TM> a rr:TriplesMap;
