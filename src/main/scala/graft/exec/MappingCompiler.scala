@@ -66,7 +66,7 @@ object MappingCompiler {
             byId.get(parentId) match {
               case Some(parent)
                   if parent.source.id == tm.source.id &&
-                    jc.childAttrs == jc.parentAttrs &&
+                    jc.effectiveChildMaps == jc.effectiveParentMaps &&
                     isInlinable(parent.subject.term) =>
                 // J6: join on identical key over the identical source ⇒ the
                 // parent subject can be computed from the child row directly.
@@ -228,14 +228,16 @@ object MappingCompiler {
 
     rom.joinCondition match {
       case Some(jc) =>
-        val cacheKey = parentTm.id + "|" + jc.parentAttrs.mkString(",")
+        val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
           val pdf = SourceReader.read(spark, parentTm.source)
-          val pColFn: String => Column = a => pdf(a)
+          val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
-          val keyCols = jc.parentAttrs.zipWithIndex.map { case (a, i) =>
-            pdf(a).cast("string").as(s"__k$i")
+          // parent keys may be references, templates, constants, or FnO
+          // functions (J2 general form; reference: semantify.py:2388-2409)
+          val keyCols = jc.effectiveParentMaps.zipWithIndex.map { case (t, i) =>
+            TermCompiler.lexical(t, pColFn, encode = false).column.cast("string").as(s"__k$i")
           }
           // dedup before the join: the reference's hash table stores a SET of
           // parent subjects per key (reference: hash_maker semantify.py:523-930)
@@ -244,10 +246,12 @@ object MappingCompiler {
             .dropDuplicates()
         })
 
-        val joinCond = jc.childAttrs.zipWithIndex.map { case (a, i) =>
-          childDf(a).cast("string") === parentSubjects(s"__k$i")
+        val childLex = jc.effectiveChildMaps.map(t =>
+          TermCompiler.lexical(t, a => resolveAttr(childDf, a), encode = false))
+        val joinCond = childLex.zipWithIndex.map { case (l, i) =>
+          l.column.cast("string") === parentSubjects(s"__k$i")
         }.reduce(_ && _)
-        val childGuard = jc.childAttrs.map(a => graft.functions.rml.notRmlNull(childDf(a))).reduce(_ && _)
+        val childGuard = childLex.map(_.guard).reduce(_ && _)
 
         childDf.where(subj.guard && pred.guard && childGuard)
           .join(parentSubjects, joinCond, "inner")
@@ -422,7 +426,8 @@ object MappingCompiler {
             p.objectMap.languageMap.toList ::: p.graph.toList :::
             p.objectMap.gather.map(_.items).getOrElse(Nil)))
     val joinChilds = tm.poms.flatMap(_.objectMap.refObject.toList)
-      .flatMap(_.joinCondition.toList).flatMap(_.childAttrs)
+      .flatMap(_.joinCondition.toList).flatMap(_.effectiveChildMaps)
+      .flatMap(TermCompiler.referencedAttrs)
     (termMaps.flatMap(TermCompiler.referencedAttrs) ::: joinChilds).distinct
   }
 

@@ -272,9 +272,17 @@ object MappingParser {
     g.obj(om, RR + "parentTriplesMap") match {
       case Some(parent) =>
         val conds = g.objects(om, RR + "joinCondition")
+        def keyMaps(cond: RdfTerm, plain: String, mapped: String): Option[TermMap] =
+          g.obj(cond, RR + plain).orElse(g.obj(cond, RML + plain))
+            .map(v => TermMap(TermKind.Reference, lex(v)))
+            .orElse(g.obj(cond, RML + mapped).orElse(g.obj(cond, RR + mapped))
+              .flatMap(parseTermMap(g, _)))
+        val childMaps = conds.flatMap(keyMaps(_, "child", "childMap")).toList
+        val parentMaps = conds.flatMap(keyMaps(_, "parent", "parentMap")).toList
         val joinCond = if (conds.isEmpty) None else Some(JoinCondition(
-          conds.flatMap(c => g.obj(c, RR + "child").map(lex)).toList,
-          conds.flatMap(c => g.obj(c, RR + "parent").map(lex)).toList))
+          childMaps.collect { case TermMap(TermKind.Reference, v, _, _, _) => v },
+          parentMaps.collect { case TermMap(TermKind.Reference, v, _, _, _) => v },
+          childMaps, parentMaps))
         ObjectMap(None, refObject = Some(RefObjectMap(termId(parent), joinCond)))
       case None =>
         val gather = parseGather(g, om)

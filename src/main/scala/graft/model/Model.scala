@@ -47,12 +47,22 @@ final case class TermMap(
     function: Option[FunctionCall] = None,
     quotedTm: Option[String] = None)          // TriplesMap id for RML-star
 
-/** rr:joinCondition — child/parent attr pairs (possibly function-valued). */
+/** rr:joinCondition — child/parent key pairs. `childMaps`/`parentMaps` hold
+  * the general form (rml:childMap/rml:parentMap: reference, template,
+  * constant, or function-valued keys — reference: semantify.py:2388-2409);
+  * `childAttrs`/`parentAttrs` are the plain-reference projections used for
+  * rewrites and attr pruning.
+  */
 final case class JoinCondition(
     childAttrs: List[String],
     parentAttrs: List[String],
-    childFunctions: List[Option[FunctionCall]] = Nil,
-    parentFunctions: List[Option[FunctionCall]] = Nil)
+    childMaps: List[TermMap] = Nil,
+    parentMaps: List[TermMap] = Nil) {
+  def effectiveChildMaps: List[TermMap] =
+    if (childMaps.nonEmpty) childMaps else childAttrs.map(a => TermMap(TermKind.Reference, a))
+  def effectiveParentMaps: List[TermMap] =
+    if (parentMaps.nonEmpty) parentMaps else parentAttrs.map(a => TermMap(TermKind.Reference, a))
+}
 
 /** rr:RefObjectMap — object comes from the parent TM's subjects. */
 final case class RefObjectMap(

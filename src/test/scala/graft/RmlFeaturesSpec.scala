@@ -164,6 +164,29 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(!ts.exists(_._1 == "<http://ex/r/2>")) // seg=S2 fails the condition
   }
 
+  test("J2: template-valued childMap/parentMap join keys") {
+    val parentCsv = writeTmp("parents.csv",
+      """pid,tag
+        |P-x1,t1
+        |P-x2,t2
+        |""".stripMargin)
+    val ts = triples(
+      s"""<Child> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/c/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:parent;
+         |    rr:objectMap [ rr:parentTriplesMap <Parent>;
+         |      rr:joinCondition [ rml:childMap [ rr:template "P-{a}" ];
+         |                         rml:parentMap [ rml:reference "pid" ] ] ] ].
+         |<Parent> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$parentCsv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{tag}" ].
+         |""".stripMargin)
+    // child a=x1 → key P-x1 matches parent pid=P-x1 (tag t1)
+    assert(ts.contains(("<http://ex/c/1>", "<http://ex/parent>", "<http://ex/p/t1>")))
+    assert(ts.contains(("<http://ex/c/2>", "<http://ex/parent>", "<http://ex/p/t2>")))
+  }
+
   test("graph maps produce quads") {
     val quads = Engine.materialize(spark, prefixes +
       s"""<TM> a rr:TriplesMap;
