@@ -67,14 +67,33 @@ object Engine {
   def run(spark: SparkSession, mappingTurtle: String, sourceDir: String,
       outputPath: String, config: Config = Config()): Long = {
     val doc = MappingParser.parse(mappingTurtle, sourceDir)
-    val quads = MappingCompiler.compile(spark, doc,
-      MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri))
+    val opts = MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri)
+    val perTm = MappingCompiler.compilePerTm(spark, doc, opts)
+    val all = perTm.map(_._2).reduceLeft(_.unionByName(_))
+    val quads = if (config.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
     val persisted = quads.persist()
     try {
       val n = persisted.count()
       config.outputFormat match {
         case "turtle" => Sinks.writeTurtle(persisted, doc.prefixes, outputPath)
         case _ => Sinks.writeNt(persisted, outputPath)
+      }
+      // K3: mapping-declared logical targets — subject-level routes the whole
+      // TM's quads, POM-level routes only that (constant) predicate's quads
+      perTm.foreach { case (tm, df0) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val df = if (config.removeDuplicates) df0.dropDuplicates("s", "p", "o", "g") else df0
+        tm.subject.targets.foreach(t =>
+          Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(lit(true), t.path, t.serialization)), doc.prefixes))
+        tm.poms.foreach { pom =>
+          pom.targets.foreach { t =>
+            val pred = pom.predicate.kind match {
+              case graft.model.TermKind.Constant => col("p") === s"<${pom.predicate.value}>"
+              case _ => lit(true) // dynamic predicate: route the TM's quads
+            }
+            Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(pred, t.path, t.serialization)), doc.prefixes)
+          }
+        }
       }
       n
     } finally { persisted.unpersist(); () }

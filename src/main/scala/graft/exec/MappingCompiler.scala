@@ -45,13 +45,20 @@ object MappingCompiler {
   private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
   def compile(spark: SparkSession, doc: MappingDoc, opts: Options = Options()): DataFrame = {
+    val all = compilePerTm(spark, doc, opts).map(_._2).reduceLeft(_.unionByName(_))
+    if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
+  }
+
+  /** Per-TriplesMap quad frames (rewritten TMs) — callers that need routing
+    * granularity (logical targets K3) use this; `compile` unions them.
+    */
+  def compilePerTm(spark: SparkSession, doc: MappingDoc,
+      opts: Options = Options()): Seq[(TriplesMap, DataFrame)] = {
     val rewritten = rewrite(doc)
     val parentSubjectCache = collection.mutable.Map.empty[String, DataFrame]
     // non-asserted TMs (RML-star) are compiled only as quoted parents
-    val perTm = rewritten.triplesMaps.filter(_.asserted)
-      .map(tm => compileTm(spark, tm, rewritten, opts, parentSubjectCache))
-    val all = perTm.reduceLeft(_.unionByName(_))
-    if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
+    rewritten.triplesMaps.filter(_.asserted)
+      .map(tm => tm -> compileTm(spark, tm, rewritten, opts, parentSubjectCache))
   }
 
   /** Mapping-level logical rewrites (SURVEY §4): POM dedup (D5) and

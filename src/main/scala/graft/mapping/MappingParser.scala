@@ -230,7 +230,7 @@ object MappingParser {
     // P5: rml:condition — an FnO boolean gating the whole subject's rows
     // (reference: parse semantify.py:2475-2481; gate semantify.py:6383-6407)
     val condition = g.obj(sm, RML + "condition").map(parseFunctionValue(g, _))
-    SubjectMap(term, classes, graph, condition)
+    SubjectMap(term, classes, graph, condition, parseLogicalTargets(g, sm))
   }
 
   /** Parse a term map node: template / reference / constant / functionValue /
@@ -265,8 +265,32 @@ object MappingParser {
         Some(o match { case _: Iri => TermType.Iri; case _ => TermType.Literal }))))).toList ++
       g.objects(pom, RR + "objectMap").map(om => parseObjectMap(g, om)).toList
 
-    for { p <- predicates; o <- objectMaps } yield PredicateObjectMap(p, o, graph)
+    // K3: targets declared on the POM's predicate/object maps route this
+    // predicate's triples into extra dumps
+    val targets = (g.objects(pom, RR + "predicateMap") ++ g.objects(pom, RR + "objectMap"))
+      .flatMap(n => parseLogicalTargets(g, n)).toList
+
+    for { p <- predicates; o <- objectMaps } yield PredicateObjectMap(p, o, graph, targets)
   }
+
+  /** rml:logicalTarget [ rml:target [ rml:path | void:dataDump ];
+    * rml:serialization ?fmt ] (reference: semantify.py:2204-2208, 2296-2303).
+    */
+  private def parseLogicalTargets(g: RdfGraph, node: RdfTerm): List[LogicalTarget] =
+    g.objects(node, RML + "logicalTarget").toList.flatMap { out =>
+      g.obj(out, RML + "target").flatMap { dump =>
+        g.obj(dump, RML + "path").map(lex)
+          .orElse(g.obj(dump, "http://rdfs.org/ns/void#dataDump").map(lex))
+          .map { p =>
+            val ser = g.obj(out, RML + "serialization").map(termId).map {
+              case s if s.toLowerCase.contains("turtle") => "turtle"
+              case s if s.toLowerCase.contains("json") => "rdfjson"
+              case _ => "ntriples"
+            }.getOrElse("ntriples")
+            LogicalTarget(p.stripPrefix("file://"), ser)
+          }
+      }
+    }
 
   private def parseObjectMap(g: RdfGraph, om: RdfTerm): ObjectMap = {
     g.obj(om, RR + "parentTriplesMap") match {

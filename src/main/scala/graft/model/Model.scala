@@ -92,16 +92,26 @@ final case class ObjectMap(
     language: Option[String] = None,
     languageMap: Option[TermMap] = None)
 
+/** rml:logicalTarget — an extra dump file for the triples of a subject map
+  * (whole TM) or a predicate/object map (that predicate only); reference:
+  * semantify.py:2204-2208, 3340-3400.
+  */
+final case class LogicalTarget(
+    path: String,
+    serialization: String = "ntriples")
+
 final case class PredicateObjectMap(
     predicate: TermMap,
     objectMap: ObjectMap,
-    graph: Option[TermMap] = None)
+    graph: Option[TermMap] = None,
+    targets: List[LogicalTarget] = Nil)
 
 final case class SubjectMap(
     term: TermMap,
     rdfClasses: List[String] = Nil,
     graph: Option[TermMap] = None,
-    condition: Option[FunctionCall] = None)
+    condition: Option[FunctionCall] = None,
+    targets: List[LogicalTarget] = Nil)
 
 /** Where the rows come from (SURVEY §2.1). */
 sealed trait LogicalSource { def id: String }

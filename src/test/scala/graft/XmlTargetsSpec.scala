@@ -168,6 +168,27 @@ class XmlTargetsSpec extends AnyFunSuite {
     assert(all.contains("<http://ex/3> <http://ex/p> \"c\" ."))
   }
 
+  test("K3: mapping-declared rml:logicalTarget routes a POM's triples to its own dump") {
+    val csv = writeTmp("t.csv", "id,name,age\n1,ada,30\n2,bob,40\n")
+    val dumpDir = java.nio.file.Files.createTempDirectory("graft_lt").toString
+    val n = Engine.run(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name;
+         |    rr:objectMap [ rml:reference "name";
+         |      rml:logicalTarget [ rml:target [ rml:path "$dumpDir/names_dump" ] ] ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:age; rr:objectMap [ rml:reference "age" ] ].
+         |""".stripMargin, "", s"$dumpDir/main")
+    assert(n == 4)
+    val dump = spark.read.text(s"$dumpDir/names_dump").collect().map(_.getString(0)).toSet
+    assert(dump == Set(
+      "<http://ex/p/1> <http://ex/name> \"ada\" .",
+      "<http://ex/p/2> <http://ex/name> \"bob\" ."))
+    // the main output still has everything
+    assert(spark.read.text(s"$dumpDir/main").count() == 4)
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
