@@ -504,8 +504,8 @@ object MappingCompiler {
     case cleaned =>
       // XML attribute axis: `@code` refers to an attribute, which the XML
       // reader surfaces with the `_` prefix (SURVEY T3; reference XPath
-      // refs functions.py:186-208). Parent axis `..` is not supported —
-      // pick a higher rowTag instead.
+      // refs functions.py:186-208). The parent axis `..` is handled above
+      // (scan reads one level up; parent fields surface as __parent_<name>).
       val steps = cleaned.split('.').filter(_.nonEmpty)
         .map(s => if (s.startsWith("@")) "_" + s.substring(1) else s)
       require(steps.nonEmpty, s"empty attribute reference: '$a'")
