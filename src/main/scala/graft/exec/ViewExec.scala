@@ -39,13 +39,13 @@ object ViewExec {
             .getOrElse(lit(null))
           d = d.withColumn(f.name, c)
         }
-        df = d.drop(d.columns.filter(_.startsWith("__p_")): _*)
+        df = d.drop(d.columns.filter(_.startsWith("__p_")).toIndexedSeq: _*)
       } else {
         // expose all parent fields under their view names (left join → null
         // fields, reference: lv_functions.py:346-397)
         df = pdf0.columns.foldLeft(joined)((d, c) =>
           if (d.columns.contains(c)) d else d.withColumnRenamed(s"__p_$c", c))
-        df = df.drop(df.columns.filter(_.startsWith("__p_")): _*)
+        df = df.drop(df.columns.filter(_.startsWith("__p_")).toIndexedSeq: _*)
       }
     }
     df
@@ -66,7 +66,7 @@ object ViewExec {
           // positional "name.#" index. Header/schema inferred from one
           // sample cell (bounded driver-side peek).
           val raw = resolveRef(df, f.reference.getOrElse(f.name)).cast("string")
-          val sample = df.select(raw.as("v")).na.drop.limit(1).collect()
+          val sample = df.select(raw.as("v")).na.drop().limit(1).collect()
             .headOption.map(_.getString(0)).getOrElse("")
           val header = sample.split("\r?\n").headOption.getOrElse("")
             .split(",").map(_.trim)
@@ -88,7 +88,7 @@ object ViewExec {
           // sample cells; nested refs address the resulting struct.
           val raw = resolveRef(df, f.reference.getOrElse(f.name)).cast("string")
           val spark = df.sparkSession
-          val samples = df.select(raw.as("v")).na.drop.limit(20).collect()
+          val samples = df.select(raw.as("v")).na.drop().limit(20).collect()
             .map(_.getString(0)).toSeq
           val schema = spark.read
             .json(spark.createDataset(samples)(org.apache.spark.sql.Encoders.STRING)).schema

@@ -48,8 +48,8 @@ object SourceReader {
         val exploded =
           if (childIsArray) renamed.withColumn(childTag, explode(col(childTag)))
           else renamed
-        exploded.select(col(s"$childTag.*") +:
-          parentCols.map(c => col(s"__parent_$c")): _*)
+        exploded.select((col(s"$childTag.*") +:
+          parentCols.toIndexedSeq.map(c => col(s"__parent_$c"))): _*)
       }
 
     case LogicalSource.ParquetSource(path) =>
