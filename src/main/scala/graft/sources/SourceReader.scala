@@ -23,6 +23,9 @@ object SourceReader {
         .option("header", "true")
         .option("delimiter", delim)
         .option("inferSchema", "false")
+        // standard CSV `""` quote escaping (pandas/RFC4180 semantics —
+        // Spark's default escape is backslash)
+        .option("escape", "\"")
         .option("mode", "DROPMALFORMED") // ragged-row rejection (SURVEY P6)
         .csv(path)
 
