@@ -117,7 +117,12 @@ object SourceReader {
       case IterStep.Field(name) =>
         cur = cur.select(col(name + ".*"))
       case IterStep.ExplodeField(name) =>
-        cur = cur.select(explode(col(name)).as("_x")).select(col("_x.*"))
+        // a [*] step over a single object iterates it as one row
+        // (reference JSONPath walk tolerates both shapes)
+        val isArr = cur.schema.find(_.name == name).exists(_.dataType.isInstanceOf[ArrayType])
+        cur =
+          if (isArr) cur.select(explode(col(name)).as("_x")).select(col("_x.*"))
+          else cur.select(col(name + ".*"))
       case IterStep.ExplodeRoot =>
         // root is an array: spark.read.json already yields one row per element
         ()

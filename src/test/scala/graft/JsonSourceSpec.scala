@@ -77,6 +77,20 @@ class JsonSourceSpec extends AnyFunSuite {
     assert(!ts.exists(_._1 == "<http://ex/p/bob>"))
   }
 
+  test("S2: a [*] iterator step over a single object iterates it as one row") {
+    val single = writeTmp("single.json",
+      """{"store": {"books": {"id": 7, "title": "Solo"}}}""")
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$single"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.store.books[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/book/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:title; rr:objectMap [ rml:reference "title" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(("<http://ex/book/7>", "<http://ex/title>", "\"Solo\"")))
+  }
+
   private val bindings = writeTmp("bindings.srj",
     """{"head": {"vars": ["city", "pop"]},
       | "results": {"bindings": [
