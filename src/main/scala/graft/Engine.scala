@@ -69,7 +69,8 @@ object Engine {
     val doc = MappingParser.parse(mappingTurtle, sourceDir)
     val opts = MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri)
     val perTm = MappingCompiler.compilePerTm(spark, doc, opts)
-    val all = perTm.map(_._2).reduceLeft(_.unionByName(_))
+    val all = perTm.map(_._2).reduceLeftOption(_.unionByName(_))
+      .getOrElse(MappingCompiler.emptyQuads(spark))
     val quads = if (config.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
     val persisted = quads.persist()
     try {

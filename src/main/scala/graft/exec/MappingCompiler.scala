@@ -45,9 +45,17 @@ object MappingCompiler {
   private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
   def compile(spark: SparkSession, doc: MappingDoc, opts: Options = Options()): DataFrame = {
-    val all = compilePerTm(spark, doc, opts).map(_._2).reduceLeft(_.unionByName(_))
+    val all = compilePerTm(spark, doc, opts).map(_._2)
+      .reduceLeftOption(_.unionByName(_))
+      .getOrElse(emptyQuads(spark))
     if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
   }
+
+  private[graft] def emptyQuads(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .select(lit("").as("s"), lit("").as("p"), lit("").as("o"),
+        lit(null).cast("string").as("g"))
+      .limit(0)
 
   /** Per-TriplesMap quad frames (rewritten TMs) — callers that need routing
     * granularity (logical targets K3) use this; `compile` unions them.
@@ -195,9 +203,7 @@ object MappingCompiler {
 
     (singlePass.toSeq ++ joinBranches ++ gatherBranches ++ arrayBranches)
       .reduceLeftOption(_.unionByName(_))
-      .getOrElse(spark.emptyDataFrame
-        .select(lit("").as("s"), lit("").as("p"), lit("").as("o"), lit(null).cast("string").as("g"))
-        .limit(0))
+      .getOrElse(emptyQuads(spark))
   }
 
   /** A quad candidate: null when the guard fails (filtered before explode). */
