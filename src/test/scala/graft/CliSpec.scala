@@ -52,4 +52,50 @@ class CliSpec extends AnyFunSuite {
       "<http://ex/p/1> <http://ex/name> \"ada\" .",
       "<http://ex/p/2> <http://ex/name> \"bob\" ."))
   }
+
+  test("all_in_one_file=yes merges datasets into one deduplicated output") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli2").toFile
+    def write(name: String, content: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, content)
+      f
+    }
+    write("a.csv", "id,v\n1,x\n")
+    write("b.csv", "id,v\n1,x\n2,y\n") // overlapping triple for id=1
+    def mapping(src: String) =
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex/> .
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$src"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ].
+         |""".stripMargin
+    write("m1.ttl", mapping("a.csv"))
+    write("m2.ttl", mapping("b.csv"))
+    val config = write("config.ini",
+      s"""[datasets]
+         |number_of_datasets: 2
+         |output_folder: ${dir.getAbsolutePath}/out
+         |remove_duplicate: yes
+         |all_in_one_file: yes
+         |name: merged
+         |
+         |[dataset1]
+         |name: a
+         |mapping: ${dir.getAbsolutePath}/m1.ttl
+         |[dataset2]
+         |name: b
+         |mapping: ${dir.getAbsolutePath}/m2.ttl
+         |""".stripMargin)
+    graft.cli.Main.main(Array("-c", config.getAbsolutePath))
+    val lines = spark.read.text(s"${dir.getAbsolutePath}/out/merged")
+      .collect().map(_.getString(0)).toSet
+    // cross-dataset duplicate (p/1 v x) collapses: UNION semantics
+    assert(lines == Set(
+      "<http://ex/p/1> <http://ex/v> \"x\" .",
+      "<http://ex/p/2> <http://ex/v> \"y\" ."))
+  }
 }
