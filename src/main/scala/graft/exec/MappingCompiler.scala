@@ -243,7 +243,7 @@ object MappingCompiler {
       case Some(jc) =>
         val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
-          val pdf = SourceReader.read(spark, parentTm.source)
+          val pdf = SourceReader.read(spark, effectiveSource(parentTm))
           val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -280,7 +280,7 @@ object MappingCompiler {
           childDf.where(subj.guard && pred.guard && pSubj.guard)
             .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
         } else {
-          val pdf = SourceReader.read(spark, parentTm.source)
+          val pdf = SourceReader.read(spark, effectiveSource(parentTm))
           val pColFn: String => Column = a => pdf(a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
