@@ -115,6 +115,7 @@ object Sinks {
       val routed = quads.where(t.pred)
       val lines = t.serialization.toLowerCase match {
         case "turtle" | "ttl" => turtleBlocks(routed, prefixes)
+        case "jsonld" | "json-ld" => jsonLdLines(routed)
         case "rdfjson" | "json" =>
           rdfJson(routed).select(concat(col("s"), lit(" "), col("json")).as("line"))
         case _ => ntLines(routed)
@@ -123,7 +124,35 @@ object Sinks {
       t.compression.fold(w)(c => w.option("compression", c)).text(t.path)
     }
 
-  /** K4: RDF-JSON-shaped grouping `{s: {p: [o…]}}` (reference:
+  /** K4: flattened JSON-LD — one JSON object per subject per line:
+    * `{"@id": s, p: [{"@id"|"@value"…}]}` with `@type`/`@language` for
+    * typed/tagged literals. N-Triples escaping (\" \\ \n \r \t) is valid
+    * JSON string escaping, so the lexical forms pass through unchanged.
+    */
+  def jsonLdLines(quads: DataFrame): DataFrame = {
+    def iriBody(c: Column): Column =
+      when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1)).otherwise(c) // bnode as-is
+    val litVal = regexp_extract(col("o"), "^\"(.*)\"", 1)
+    val dt = regexp_extract(col("o"), "\\^\\^<(.*)>$", 1)
+    val lang = regexp_extract(col("o"), "@([A-Za-z][A-Za-z0-9-]*)$", 1)
+    val oJson = when(col("o").startsWith("<") || col("o").startsWith("_:"),
+        concat(lit("{\"@id\":\""), iriBody(col("o")), lit("\"}")))
+      .otherwise(concat(lit("{\"@value\":\""), litVal, lit("\""),
+        when(dt =!= "", concat(lit(",\"@type\":\""), dt, lit("\"")))
+          .otherwise(when(lang =!= "", concat(lit(",\"@language\":\""), lang, lit("\"")))
+            .otherwise(lit(""))),
+        lit("}")))
+    quads
+      .groupBy(col("s"), col("p"))
+      .agg(concat_ws(",", array_sort(collect_set(oJson))).as("vals"))
+      .select(col("s"),
+        concat(lit("\""), iriBody(col("p")), lit("\":["), col("vals"), lit("]")).as("entry"))
+      .groupBy(col("s"))
+      .agg(concat_ws(",", array_sort(collect_list(col("entry")))).as("body"))
+      .select(concat(lit("{\"@id\":\""), iriBody(col("s")), lit("\","), col("body"), lit("}")).as("line"))
+  }
+
+  /** RDF-JSON-shaped grouping `{s: {p: [o…]}}` (reference:
     * functions.py:66-76) as a JSON string per subject.
     */
   def rdfJson(quads: DataFrame): DataFrame =

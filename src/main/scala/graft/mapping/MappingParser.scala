@@ -284,6 +284,7 @@ object MappingParser {
           .map { p =>
             val ser = g.obj(out, RML + "serialization").map(termId).map {
               case s if s.toLowerCase.contains("turtle") => "turtle"
+              case s if s.toLowerCase.replace("-", "").contains("jsonld") => "jsonld"
               case s if s.toLowerCase.contains("json") => "rdfjson"
               case _ => "ntriples"
             }.getOrElse("ntriples")

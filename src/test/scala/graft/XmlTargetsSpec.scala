@@ -189,6 +189,26 @@ class XmlTargetsSpec extends AnyFunSuite {
     assert(spark.read.text(s"$dumpDir/main").count() == 4)
   }
 
+  test("K4: JSON-LD lines parse as JSON with @id/@value/@type/@language") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(
+      ("<http://ex/1>", "<http://ex/name>", "\"ada \\\"l\\\"\"@en"),
+      ("<http://ex/1>", "<http://ex/age>", "\"36\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("<http://ex/1>", "<http://ex/knows>", "<http://ex/2>"))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val lines = Sinks.jsonLdLines(quads).collect().map(_.getString(0))
+    assert(lines.length == 1)
+    val parsed = spark.read.json(Seq(lines.head).toDS)
+    val row = parsed.collect().head
+    assert(row.getAs[String]("@id") == "http://ex/1")
+    // typed literal keeps @type; lang-tagged keeps @language; IRI object → @id
+    assert(lines.head.contains("\"@type\":\"http://www.w3.org/2001/XMLSchema#integer\""))
+    assert(lines.head.contains("\"@language\":\"en\""))
+    assert(lines.head.contains("{\"@id\":\"http://ex/2\"}"))
+    assert(lines.head.contains("ada \\\"l\\\"")) // NT escapes are valid JSON escapes
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
