@@ -48,6 +48,20 @@ object Multimodal {
       .withColumn("height", pmod(conv(substring(col("meta.checksum"), 5, 4), 16, 10).cast("long"), lit(1024L)) + 64L)
   }
 
+  /** Resize planning for image-like payloads: computes the target
+    * dimensions (fit inside maxDim, aspect preserved) as pure column
+    * arithmetic from the decoded width/height. The actual pixel resample
+    * belongs in the decoder stub (no codecs in this container); the plan
+    * shape — narrow map, no shuffle — is what carries to 100 TB.
+    */
+  def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast("double"))
+    df.withColumn("resize_scale", round(scale, 6))
+      .withColumn("target_width", greatest(round(col("width") * scale, 0).cast("long"), lit(1L)))
+      .withColumn("target_height", greatest(round(col("height") * scale, 0).cast("long"), lit(1L)))
+  }
+
   /** Frame sampling for video-like payloads: emit one row per sampled frame
     * offset (every `stride` bytes) — the posexplode pattern a real
     * frame-sampler uses, with partition-friendly output.

@@ -104,6 +104,15 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("resize plan fits within maxDim preserving aspect, never upscales") {
+    val d = Multimodal.resizePlan(
+      Seq((2048L, 1024L), (100L, 50L)).toDF("width", "height"), 512)
+    val rows = d.collect().map(r => (r.getAs[Long]("width"),
+      r.getAs[Long]("target_width"), r.getAs[Long]("target_height"))).toSet
+    assert(rows.contains((2048L, 512L, 256L))) // downscale, aspect kept
+    assert(rows.contains((100L, 100L, 50L)))   // no upscaling
+  }
+
   test("multimodal payload plumbing: metadata, frames, batch extraction") {
     val withBin = Multimodal.withBinaryPayload(docs, "text", "text")
     val meta = withBin.select($"doc_id", $"meta.n_bytes").collect()
