@@ -164,6 +164,22 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(!ts.exists(_._1 == "<http://ex/r/2>")) // seg=S2 fails the condition
   }
 
+  test("function-valued predicate map builds the predicate IRI via FnO") {
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicateMap [ fnml:functionValue [
+         |      rr:predicateObjectMap [ rr:predicate fno:executes; rr:object grel:schema ],
+         |        [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "seg" ] ]
+         |    ] ];
+         |    rr:objectMap [ rml:reference "a" ] ].
+         |""".stripMargin)
+    // schema() → https://schema.org/<encoded seg>; predicate defaults to IRI
+    assert(ts.contains(("<http://ex/r/1>", "<https://schema.org/S1>", "\"x1\"")))
+  }
+
   test("J2: template-valued childMap/parentMap join keys") {
     val parentCsv = writeTmp("parents.csv",
       """pid,tag
