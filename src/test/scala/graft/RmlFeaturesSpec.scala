@@ -180,6 +180,34 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.contains(("<http://ex/r/1>", "<https://schema.org/S1>", "\"x1\"")))
   }
 
+  test("T9: dynamic rml:languageMap tags literals from a column") {
+    val langCsv = writeTmp("langs.csv", "id,txt,lng\n1,hello,en\n2,hallo,de\n")
+    val ts = triples(
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$langCsv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:label;
+         |    rr:objectMap [ rml:reference "txt"; rml:languageMap [ rml:reference "lng" ] ] ].
+         |""".stripMargin)
+    assert(ts.contains(("<http://ex/r/1>", "<http://ex/label>", "\"hello\"@en")))
+    assert(ts.contains(("<http://ex/r/2>", "<http://ex/label>", "\"hallo\"@de")))
+  }
+
+  test("POM-level graph map overrides the subject graph") {
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}";
+         |                  rr:graph <http://ex/graph/default> ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ];
+         |                          rr:graph <http://ex/graph/special> ];
+         |  rr:predicateObjectMap [ rr:predicate ex:seg; rr:objectMap [ rml:reference "seg" ] ].
+         |""".stripMargin).collect()
+    val byPred = quads.groupBy(_.getString(1)).view.mapValues(_.map(_.getString(3)).toSet).toMap
+    assert(byPred("<http://ex/a>") == Set("<http://ex/graph/special>"))
+    assert(byPred("<http://ex/seg>") == Set("<http://ex/graph/default>"))
+  }
+
   test("J2: template-valued childMap/parentMap join keys") {
     val parentCsv = writeTmp("parents.csv",
       """pid,tag
