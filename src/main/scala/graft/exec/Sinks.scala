@@ -39,8 +39,10 @@ object Sinks {
     */
   def compactIri(c: Column, prefixes: Map[String, String]): Column =
     prefixes.toSeq.sortBy(-_._2.length).foldLeft(c) { case (acc, (p, ns)) =>
+      // PN_LOCAL-safe: no slashes/hash/colon, must not END with a dot
       regexp_replace(acc,
-        "^<" + java.util.regex.Pattern.quote(ns) + "([A-Za-z0-9_][A-Za-z0-9_.-]*)>$",
+        "^<" + java.util.regex.Pattern.quote(ns) +
+          "([A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)>$",
         p + ":$1")
     }
 
