@@ -112,6 +112,23 @@ object CatalogOps {
       FROM pairs
       WHERE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) >= 0.5"""))
 
+  private val ddClusterDedup = Q("dd_cluster_dedup",
+    // end-to-end corpus dedup: candidate pairs → min-label cluster
+    // resolution → one representative per cluster. Pairs here are exact-dup
+    // pairs (cliques), so the oracle needs no recursion: keep min doc_id
+    // per identical text.
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.dedupByPairs(t(s, dir, "documents"), "doc_id", pairs)
+        .select(col("doc_id"))
+    },
+    Some("""SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM documents)
+      WHERE doc_id = m"""))
+
   private val ddCosineLsh = Q("dd_cosine_lsh",
     // sign-LSH bucketed near-dup: recall < 1 by design, so no SQL oracle —
     // the driver records a rows-only check; the subset property vs the
@@ -265,7 +282,7 @@ object CatalogOps {
     bench = true)
 
   val queries: Seq[Q] = Seq(
-    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh,
+    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf,
     txtLangid, txtQuality, txtTokens, txtFingerprint,
     mmMeta, mmFrames,

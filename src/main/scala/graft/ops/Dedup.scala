@@ -157,6 +157,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-duplicate pairs into clusters by iterative min-label
+    * propagation (the scalable connected-components shape: each iteration
+    * is one distributed join+aggregate, converging in O(log |largest
+    * component|) rounds — a 10-iteration bound covers components of 2^10
+    * diameter). Returns (id, cluster), cluster = min id in the component.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("cluster")).as("ncluster"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .where(col("u.cluster") =!= col("l.cluster")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: keep one representative (min id) per
+    * near-duplicate cluster; rows in no cluster pass through.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    df.join(clusters, df(idCol) === clusters("id"), "left")
+      .where(col("cluster").isNull || col("cluster") === df(idCol))
+      .drop("id", "cluster")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: every id<id pair gets
     * the cosine check (this is the oracle-verifiable baseline — O(N²), fine
     * for query sets / verification, wrong tool at corpus scale; use

@@ -49,6 +49,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L)) // de-blocked from en docs
   }
 
+  test("cluster resolution: chained pairs collapse to min-id representatives") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3 collapses to 1; 4-5 to 4; 7-9 to 7
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
+
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+      .withColumn("text", concat(lit("d"), col("doc_id")))
+    val kept = Dedup.dedupByPairs(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L, 7L)) // 6 untouched, others deduped to min
+  }
+
   test("sign-LSH cosine near-dup is a subset of the exact pairs; identical vectors always collide") {
     val vecs = (0L to 30L).map { i =>
       val v = (0 until 16).map(d => math.sin(i * 0.7 + d).abs + 0.1)
