@@ -59,6 +59,32 @@ object CatalogCore {
       GROUP BY c_mktsegment"""),
     bench = true)
 
+  private val q18 = Q("q18_having",
+    (s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      l.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .where(col("total_qty") > 150)
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey"), col("l_orderkey").as("orderkey"), col("total_qty"))
+    },
+    Some("""SELECT o_custkey, l_orderkey AS orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_orderkey HAVING round(sum(l_quantity), 2) > 150"""))
+
+  private val w1 = Q("w1_window_running_sum",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"),
+        row_number().over(w).as("order_seq"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running_total,
+      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS order_seq
+      FROM orders"""))
+
   // ----------------------------------------------------- projections/filters
 
   private val p1 = Q("p1_scan_project_filter",
@@ -737,7 +763,7 @@ object CatalogCore {
       '<http://ex/vocab/nameUpper>' AS p, '"' || upper(p_name) || '"' AS o FROM part"""))
 
   val queries: Seq[Q] = Seq(
-    q1, q3, p1, p2, p3, p5,
+    q1, q3, q18, w1, p1, p2, p3, p5,
     s1, s2, s3, s6, s7, s9, v2,
     k1, k2, k3,
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
