@@ -114,6 +114,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming RML over a JSON directory source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjson").toFile
+    val src = new java.io.File(dir, "src"); src.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(src, "d1.json").toPath,
+      """[{"id": "1", "name": "ada"}, {"id": "2", "name": "bob"}]""")
+    val mapping =
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex/> .
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "${src.getAbsolutePath}";
+         |                      rml:referenceFormulation ql:JSONPath; rml:iterator "$$" ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val quads = Engine.materializeStream(spark, mapping, "", schema)
+    val q = quads.writeStream.outputMode("append").format("memory").queryName("sjson_out").start()
+    try {
+      q.processAllAvailable()
+      val ts = spark.table("sjson_out").collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(ts == Set(("<http://ex/p/1>", "\"ada\""), ("<http://ex/p/2>", "\"bob\"")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events against a static dim") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     Seq(("e1", 1L), ("e2", 2L), ("e3", 9L))
