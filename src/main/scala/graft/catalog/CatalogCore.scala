@@ -11,8 +11,6 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2 operator coverage: scans, sinks, filters, term construction,
   * joins, aggregation-shaped ops, dedup, set ops, FnO functions.
   */
-object CatalogOps0 // (separate file holds LLM ops)
-
 object CatalogCore {
   import Catalog.{t, exportDir}
 
@@ -44,9 +42,11 @@ object CatalogCore {
   private val q3 = Q("q3_join_agg",
     (s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-      // dimension side broadcast: customer is the small side of orders⋈customer
+      // no broadcast hint: customer grows with SF, so the join strategy is
+      // left to AQE (runtime-sized broadcast at small SF, shuffle join at
+      // scale) — a hard-coded broadcast() would OOM the build side at 100×
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
@@ -120,9 +120,12 @@ object CatalogCore {
       WHERE v IS NOT NULL AND trim(v) <> '' AND v NOT IN ('nan','N/A','NULL')"""))
 
   private val p5 = Q("p5_fno_condition",
+    // controls_if follows Python truthiness (any non-empty string is true —
+    // fnml_functions.py:102-103), so the false case is the empty string
     (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
       FnoRegistry.apply("controls_if", List(
-        (col("o_totalprice") > 150000).cast("string"), lit("big"), lit("small"))).as("bucket")),
+        when(col("o_totalprice") > 150000, lit("true")).otherwise(lit("")),
+        lit("big"), lit("small"))).as("bucket")),
     Some("""SELECT o_orderkey,
       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket
       FROM orders"""))
@@ -640,7 +643,8 @@ object CatalogCore {
         f("equal", col("o_orderstatus"), lit("F")).as("is_f"),
         f("notEqual", col("o_orderpriority"), lit("3-MEDIUM")).as("not_medium"),
         f("isNull", col("o_orderstatus")).as("status_null"),
-        f("trueCondition", (col("o_totalprice") > 100000).cast("string"), col("o_orderstatus")).as("status_if_big"))
+        f("trueCondition", when(col("o_totalprice") > 100000, lit("true")).otherwise(lit("")),
+          col("o_orderstatus")).as("status_if_big"))
     },
     Some("""SELECT o_orderkey,
       CASE WHEN o_orderstatus = 'F' THEN 'true' ELSE 'false' END AS is_f,
@@ -672,8 +676,10 @@ object CatalogCore {
         f("schema", col("c_mktsegment")).as("schema_iri"),
         f("escape", concat(col("c_mktsegment"), lit(" & more"))).as("escaped"))
     },
+    // parseURL follows the reference's manual split (fnml_functions.py:160-170):
+    // for https://example.com/c/<k> the domain keeps the path prefix
     Some("""SELECT c_custkey,
-      'example.com' AS domain, 'https' AS protocol,
+      'example.com/c' AS domain, 'https' AS protocol,
       'HTTP://' || upper(c_mktsegment) AS upper_url,
       'https://schema.org/' || c_mktsegment AS schema_iri,
       c_mktsegment || '%20%26%20more' AS escaped
@@ -762,6 +768,70 @@ object CatalogCore {
     Some("""SELECT '<http://ex/part/' || p_partkey || '>' AS s,
       '<http://ex/vocab/nameUpper>' AS p, '"' || upper(p_name) || '"' AS o FROM part"""))
 
+  /** §2.9 named parameter binding: the mapping declares string_replace's
+    * parameters in scrambled order (replace-value first, find last) and
+    * array_join's separator before its array — legal, order-free RDF. The
+    * engine must bind by parameter-IRI local name like the reference's
+    * `global_dic` (fnml_functions.py:86-90, 120-126), not declaration order.
+    */
+  private val fnoParamOrder = Q("fno_param_order",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/part.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/part/{p_partkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:fixedName;
+         |    rr:objectMap [ fnml:functionValue [
+         |      rr:predicateObjectMap
+         |        [ rr:predicate grel:p_string_replace; rr:objectMap [ rr:constant "metal" ] ],
+         |        [ rr:predicate fno:executes; rr:object grel:string_replace ],
+         |        [ rr:predicate grel:p_string_find; rr:objectMap [ rr:constant "steel" ] ],
+         |        [ rr:predicate grel:valueParameter; rr:objectMap [ rml:reference "p_name" ] ]
+         |    ] ]
+         |  ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:brandSize;
+         |    rr:objectMap [ fnml:functionValue [
+         |      rr:predicateObjectMap
+         |        [ rr:predicate grel:p_string_sep; rr:objectMap [ rr:constant "-" ] ],
+         |        [ rr:predicate fno:executes; rr:object grel:array_join ],
+         |        [ rr:predicate grel:p_array_a; rr:objectMap [ rml:reference "p_brand" ] ],
+         |        [ rr:predicate grel:p_array_a; rr:objectMap [ rml:reference "p_size" ] ]
+         |    ] ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/part/' || p_partkey || '>' AS s,
+        '<http://ex/vocab/fixedName>' AS p,
+        '"' || replace(p_name, 'steel', 'metal') || '"' AS o FROM part
+      UNION
+      SELECT '<http://ex/part/' || p_partkey || '>' AS s,
+        '<http://ex/vocab/brandSize>' AS p,
+        '"' || p_brand || '-' || p_size || '"' AS o FROM part"""))
+
+  /** §2.9 rml:return named outputs: parseURL yields a multi-output result;
+    * rml:return grel:domainOutput selects one field (reference:
+    * semantify.py:2428-2431 parse, 7227-7231 apply).
+    */
+  private val rmlFnoReturn = Q("rml_fno_return",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:domain;
+         |    rr:objectMap [
+         |      fnml:functionValue [
+         |        rr:predicateObjectMap
+         |          [ rr:predicate fno:executes; rr:object grel:parseURL ],
+         |          [ rr:predicate grel:stringParameter;
+         |            rr:objectMap [ rr:template "https://shop{c_nationkey}.example.org/c/{c_custkey}" ] ]
+         |      ];
+         |      rml:return grel:domainOutput
+         |    ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+      '<http://ex/vocab/domain>' AS p,
+      '"shop' || c_nationkey || '.example.org/c"' AS o FROM customer"""))
+
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p5,
     s1, s2, s3, s6, s7, s9, v2,
@@ -769,6 +839,6 @@ object CatalogCore {
     tq1, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
-    fnoString, fnoCond, fnoDate, fnoUrl,
+    fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlGraphs, rmlFno)
 }

@@ -121,7 +121,9 @@ object MappingCompiler {
     // (reference: semantify.py:6383-6407 — condition false → no triples)
     val subj = tm.subject.condition match {
       case Some(cond) =>
-        val ok = lower(graft.functions.FnoRegistry.compile(cond, colFn)) === "true"
+        // Python truthiness of the condition result (`if not condition` —
+        // reference: semantify.py:6406)
+        val ok = graft.functions.FnoRegistry.compileTruthy(cond, colFn)
         subj0.copy(guard = subj0.guard && ok)
       case None => subj0
     }

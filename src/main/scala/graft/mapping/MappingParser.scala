@@ -229,7 +229,12 @@ object MappingParser {
       .orElse(g.obj(sm, RR + "graph").map(c => TermMap(TermKind.Constant, termId(c), Some(TermType.Iri))))
     // P5: rml:condition — an FnO boolean gating the whole subject's rows
     // (reference: parse semantify.py:2475-2481; gate semantify.py:6383-6407)
-    val condition = g.obj(sm, RML + "condition").map(parseFunctionValue(g, _))
+    val condition = g.obj(sm, RML + "condition").map { c =>
+      // the condition is either a functionValue POM list or (new dialect) a
+      // node carrying rml:functionExecution (reference: semantify.py:2200-2201)
+      g.obj(c, RML + "functionExecution").map(parseFunctionExecution(g, _))
+        .getOrElse(parseFunctionValue(g, c))
+    }
     SubjectMap(term, classes, graph, condition, parseLogicalTargets(g, sm))
   }
 
@@ -248,10 +253,22 @@ object MappingParser {
       .orElse(g.obj(node, RR + "constant").map(c => TermMap(TermKind.Constant, termId(c),
         termType.orElse(c match { case _: Iri => Some(TermType.Iri); case _ => Some(TermType.Literal) }))))
       .orElse(g.obj(node, FNML + "functionValue").map(fv =>
-        TermMap(TermKind.FunctionCall, "", termType, function = Some(parseFunctionValue(g, fv)))))
+        TermMap(TermKind.FunctionCall, "", termType,
+          function = Some(parseFunctionValue(g, fv).copy(returnKey = parseReturnKey(g, node))))))
+      .orElse(g.obj(node, RML + "functionExecution").map(fe =>
+        TermMap(TermKind.FunctionCall, "", termType,
+          function = Some(parseFunctionExecution(g, fe).copy(returnKey = parseReturnKey(g, node))))))
       .orElse(g.obj(node, RML + "quotedTriplesMap").map(q =>
         TermMap(TermKind.QuotedTriplesMap, "", termType, quotedTm = Some(termId(q)))))
   }
+
+  /** rml:return <out> | rml:returnMap [ rml:constant <out> ] on the term map
+    * node — selects a named output of the function result (reference SPARQL:
+    * semantify.py:2243-2247; applied at 6501-6505).
+    */
+  private def parseReturnKey(g: RdfGraph, node: RdfTerm): Option[String] =
+    g.obj(node, RML + "return").map(termId)
+      .orElse(g.obj(node, RML + "returnMap").flatMap(m => g.obj(m, RR + "constant").map(termId)))
 
   private def parsePom(g: RdfGraph, pom: RdfTerm): List[PredicateObjectMap] = {
     val predicates: List[TermMap] =
@@ -352,6 +369,39 @@ object MappingParser {
     case other => other
   }
 
+  /** New-dialect function execution: rml:functionExecution [ rml:function
+    * <fn> ; rml:input [ rml:parameter <p> ; rml:inputValue v |
+    * rml:inputValueMap [...] ] ] (reference SPARQL: semantify.py:1871-1899).
+    * Parameters stay keyed by their parameter IRI and ordered by declaration.
+    */
+  private def parseFunctionExecution(g: RdfGraph, fe: RdfTerm): FunctionCall = {
+    val functionIri = g.obj(fe, RML + "function").map(termId).getOrElse("")
+    val params = scala.collection.mutable.LinkedHashMap.empty[String, FunctionArg]
+    g.objects(fe, RML + "input").foreach { in =>
+      val param = g.obj(in, RML + "parameter").map(termId).getOrElse("")
+      val argOpt: Option[FunctionArg] =
+        g.obj(in, RML + "inputValue").map(v => FunctionArg.Const(lex(v)): FunctionArg)
+          .orElse(g.obj(in, RML + "inputValueMap").map { ivm =>
+            g.obj(ivm, RML + "reference").map(r => FunctionArg.Ref(lex(r)): FunctionArg)
+              .orElse(g.obj(ivm, RR + "template").map(t => FunctionArg.Tpl(lex(t))))
+              .orElse(g.obj(ivm, RR + "constant").map(c => FunctionArg.Const(lex(c))))
+              .orElse(g.obj(ivm, RML + "functionExecution")
+                .map(inner => FunctionArg.Nested(parseFunctionExecution(g, inner))))
+              .orElse(g.obj(ivm, FNML + "functionValue")
+                .map(inner => FunctionArg.Nested(parseFunctionValue(g, inner))))
+              .getOrElse(FunctionArg.Const(""))
+          })
+      argOpt.foreach { arg =>
+        if (param.nonEmpty) params(param) = params.get(param) match {
+          case Some(FunctionArg.ListArg(items)) => FunctionArg.ListArg(items :+ arg)
+          case Some(existing) => FunctionArg.ListArg(List(existing, arg))
+          case None => arg
+        }
+      }
+    }
+    FunctionCall(functionIri, scala.collection.immutable.VectorMap(params.toSeq: _*))
+  }
+
   /** FnML function value: a POM list where fno:executes names the function and
     * other predicates bind parameters (reference: fnml_functions.py:234-302).
     */
@@ -387,6 +437,9 @@ object MappingParser {
         }
       }
     }
-    FunctionCall(functionIri, params.toMap)
+    // VectorMap keeps declaration order for the positional-fallback binding
+    // in FnoRegistry (an RDF graph is order-free, but the Turtle parser
+    // yields triples in document order — the best available tiebreak)
+    FunctionCall(functionIri, scala.collection.immutable.VectorMap(params.toSeq: _*))
   }
 }
