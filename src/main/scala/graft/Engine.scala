@@ -83,17 +83,26 @@ object Engine {
       // TM's quads, POM-level routes only that (constant) predicate's quads
       perTm.foreach { case (tm, df0) =>
         import org.apache.spark.sql.functions.{col, lit}
-        val df = if (config.removeDuplicates) df0.dropDuplicates("s", "p", "o", "g") else df0
-        tm.subject.targets.foreach(t =>
-          Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(lit(true), t.path, t.serialization)), doc.prefixes))
-        tm.poms.foreach { pom =>
-          pom.targets.foreach { t =>
-            val pred = pom.predicate.kind match {
-              case graft.model.TermKind.Constant => col("p") === s"<${pom.predicate.value}>"
-              case _ => lit(true) // dynamic predicate: route the TM's quads
+        val nTargets = tm.subject.targets.size + tm.poms.iterator.map(_.targets.size).sum
+        if (nTargets > 0) {
+          val deduped = if (config.removeDuplicates) df0.dropDuplicates("s", "p", "o", "g") else df0
+          // persist the per-TM frame across the target fan-out: k logical
+          // targets would otherwise re-execute the whole term pipeline
+          // (scan → explode → dedup) k times
+          val df = if (nTargets > 1) deduped.persist() else deduped
+          try {
+            tm.subject.targets.foreach(t =>
+              Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(lit(true), t.path, t.serialization)), doc.prefixes))
+            tm.poms.foreach { pom =>
+              pom.targets.foreach { t =>
+                val pred = pom.predicate.kind match {
+                  case graft.model.TermKind.Constant => col("p") === s"<${pom.predicate.value}>"
+                  case _ => lit(true) // dynamic predicate: route the TM's quads
+                }
+                Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(pred, t.path, t.serialization)), doc.prefixes)
+              }
             }
-            Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(pred, t.path, t.serialization)), doc.prefixes)
-          }
+          } finally if (nTargets > 1) { df.unpersist(); () }
         }
       }
       n

@@ -741,6 +741,37 @@ object CatalogCore {
       '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/segment> "' || c_mktsegment || '" >>' AS o
       FROM customer"""))
 
+  /** J7 general form: the quoted TM reads a DIFFERENT source and carries an
+    * rr:joinCondition, so child rows join the parent's pre-computed
+    * quoted-triple frame; the quoted TM has TWO POMs — both quoted branches
+    * must be emitted (reference: inner_hash_maker keyed "quoted_"+TM+child,
+    * inner_functions.py:119-137; lookup semantify.py:7566-7567).
+    */
+  private val rmlStarCross = Q("rml_star_cross_source",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:segment; rr:objectMap [ rml:reference "c_mktsegment" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "c_name" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/orders.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{o_orderkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:saysAbout;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM>;
+         |                   rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ] ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/stmt/' || o_orderkey || '>' AS s,
+        '<http://ex/vocab/saysAbout>' AS p,
+        '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/segment> "' || c_mktsegment || '" >>' AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      UNION
+      SELECT '<http://ex/stmt/' || o_orderkey || '>' AS s,
+        '<http://ex/vocab/saysAbout>' AS p,
+        '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/name> "' || c_name || '" >>' AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
   private val rmlGraphs = Q("rml_graph_quads",
     (s, dir) => Engine.materialize(s, mappingPrefixes +
       s"""<TM> a rr:TriplesMap;
@@ -840,5 +871,5 @@ object CatalogCore {
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
-    rmlGather, rmlStar, rmlGraphs, rmlFno)
+    rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno)
 }

@@ -111,22 +111,66 @@ object MappingCompiler {
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
 
-    val subj0 = tm.subject.term.kind match {
-      case TermKind.QuotedTriplesMap =>
-        // RML-star quoted subject, same-source (reference: semantify.py:6513-6530)
-        quotedInline(tm.subject.term.quotedTm.get, doc, base, colFn)
-      case _ => TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)
-    }
-    // P5: rml:condition on the subject map gates every row of this TM
-    // (reference: semantify.py:6383-6407 — condition false → no triples)
-    val subj = tm.subject.condition match {
-      case Some(cond) =>
-        // Python truthiness of the condition result (`if not condition` —
-        // reference: semantify.py:6406)
-        val ok = graft.functions.FnoRegistry.compileTruthy(cond, colFn)
-        subj0.copy(guard = subj0.guard && ok)
-      case None => subj0
-    }
+    // RML-star quoted subject (reference: semantify.py:6513-6530): same
+    // source + no joinCondition ⇒ same-row evaluation (one subject variant
+    // per parent plain POM — the whole TM is emitted once per variant);
+    // joinCondition or a different source ⇒ the child frame is joined to
+    // the parent's pre-computed quoted-triple frame (reference:
+    // inner_hash_maker "quoted_"+TM+child, inner_functions.py:119-137)
+    val (dfBase, subjVariants): (DataFrame, Seq[TermCompiler.CompiledTerm]) =
+      tm.subject.term.kind match {
+        case TermKind.QuotedTriplesMap =>
+          val parentId = tm.subject.term.quotedTm.get
+          val parentTm = doc.triplesMaps.find(_.id == parentId)
+            .getOrElse(throw new IllegalArgumentException(s"unknown quoted TriplesMap: $parentId"))
+          val jc = tm.subject.term.quotedJoin
+          if (jc.isDefined || parentTm.source.id != tm.source.id) {
+            val pf = quotedParentFrame(spark, parentTm, doc, opts, jc, base, parentCache)
+            val joined = jc match {
+              case Some(j) =>
+                val childLex = j.effectiveChildMaps.map(t =>
+                  TermCompiler.lexical(t, colFn, encode = false))
+                val cond = childLex.zipWithIndex.map { case (l, i) =>
+                  l.column.cast("string") === pf(s"__k$i")
+                }.reduce(_ && _)
+                df.where(childLex.map(_.guard).reduce(_ && _)).join(pf, cond, "inner")
+              case None => df.crossJoin(pf)
+            }
+            (joined, Seq(TermCompiler.CompiledTerm(pf("__quoted"), lit(true))))
+          } else (df, quotedTerms(parentId, doc, base, colFn))
+        case _ =>
+          (df, Seq(TermCompiler.rdfTerm(tm.subject.term, None, base, colFn, TermType.Iri)))
+      }
+
+    subjVariants.map { subj0 =>
+      // P5: rml:condition on the subject map gates every row of this TM
+      // (reference: semantify.py:6383-6407 — condition false → no triples)
+      val subj = tm.subject.condition match {
+        case Some(cond) =>
+          // Python truthiness of the condition result (`if not condition` —
+          // reference: semantify.py:6406)
+          val ok = graft.functions.FnoRegistry.compileTruthy(cond, colFn)
+          subj0.copy(guard = subj0.guard && ok)
+        case None => subj0
+      }
+      compileTmBody(spark, tm, doc, opts, parentCache, dfBase, subj, colFn, base)
+    }.reduceLeft(_.unionByName(_))
+  }
+
+  /** Everything downstream of the subject term: class triples, plain POMs,
+    * join/gather/array branches — one invocation per subject variant.
+    */
+  private def compileTmBody(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
+      opts: Options, parentCache: collection.mutable.Map[String, DataFrame],
+      df: DataFrame, subj: TermCompiler.CompiledTerm,
+      colFn: String => Column, base: Option[String]): DataFrame = {
+    val byId = doc.triplesMaps.map(t => t.id -> t).toMap
+    // a quoted OBJECT needs a join when it carries a joinCondition or its
+    // parent reads a different source; otherwise it inlines over the row
+    def quotedNeedsJoin(t: TermMap): Boolean =
+      t.kind == TermKind.QuotedTriplesMap &&
+        (t.quotedJoin.isDefined ||
+          byId.get(t.quotedTm.get).exists(_.source.id != tm.source.id))
     val subjGraph: Column = tm.subject.graph
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
       .getOrElse(lit(null).cast("string"))
@@ -146,16 +190,18 @@ object MappingCompiler {
       quadStruct(subjP.guard, subjP.column, lit(RDF_TYPE), lit(s"<$cls>"), sgP)
     }
     val (arrayPoms, plainPoms) = tm.poms
-      .filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty)
+      .filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty &&
+        !p.objectMap.term.exists(quotedNeedsJoin))
       .partition(p => p.objectMap.term.exists(t =>
         TermCompiler.referencedAttrs(t).exists(a => isArrayAttr(df, a))))
     val plainTriples: Seq[Column] = plainPoms.flatMap { pom =>
       pom.objectMap.term match {
         case Some(t) if t.kind == TermKind.QuotedTriplesMap =>
-          // RML-star quoted object, same source (J7)
-          val q = quotedInline(t.quotedTm.get, doc, base, colFnP)
+          // RML-star quoted object, same source (J7) — one quad per parent
+          // plain POM (multi-POM quoted TMs emit all their branches)
           val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFnP, TermType.Iri)
-          Seq(quadStruct(subjP.guard && pred.guard && q.guard, subjP.column, pred.column, q.column, sgP))
+          quotedTerms(t.quotedTm.get, doc, base, colFnP).map(q =>
+            quadStruct(subjP.guard && pred.guard && q.guard, subjP.column, pred.column, q.column, sgP))
         case _ => compilePlainPom(pom, subjP, sgP, base, colFnP)
       }
     }
@@ -177,6 +223,41 @@ object MappingCompiler {
     val gatherBranches: Seq[DataFrame] = tm.poms
       .filter(_.objectMap.gather.isDefined)
       .map(pom => compileGatherPom(pom, df, subj, subjGraph, base, colFn))
+
+    // --- branch 2b: quoted objects over a DIFFERENT source / with a
+    // joinCondition — child rows join the parent's quoted-triple frame
+    // (reference: inner_hash_maker, inner_functions.py:119-137;
+    // hash lookup semantify.py:7566-7567)
+    val quotedJoinBranches: Seq[DataFrame] = tm.poms
+      .filter(p => p.objectMap.term.exists(quotedNeedsJoin))
+      .map { pom =>
+        val t = pom.objectMap.term.get
+        val parentTm = byId.getOrElse(t.quotedTm.get,
+          throw new IllegalArgumentException(s"unknown quoted TriplesMap: ${t.quotedTm.get}"))
+        val pf = quotedParentFrame(spark, parentTm, doc, opts, t.quotedJoin, base, parentCache)
+        val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+        val graph = pom.graph
+          .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
+          .getOrElse(subjGraph)
+        t.quotedJoin match {
+          case Some(j) =>
+            val childLex = j.effectiveChildMaps.map(cm =>
+              TermCompiler.lexical(cm, colFn, encode = false))
+            val cond = childLex.zipWithIndex.map { case (l, i) =>
+              l.column.cast("string") === pf(s"__k$i")
+            }.reduce(_ && _)
+            df.where(subj.guard && pred.guard && childLex.map(_.guard).reduce(_ && _))
+              .join(pf, cond, "inner")
+              .select(subj.column.as("s"), pred.column.as("p"),
+                pf("__quoted").as("o"), graph.as("g"))
+          case None =>
+            // no join keys: every child row pairs with every parent quoted
+            // triple (cross product — mirrors the RefObjectMap rule)
+            df.where(subj.guard && pred.guard).crossJoin(pf)
+              .select(subj.column.as("s"), pred.column.as("p"),
+                pf("__quoted").as("o"), graph.as("g"))
+        }
+      }
 
     // --- branch 4: multi-valued (array) references → one triple per element
     //     (SURVEY T2; reference: semantify.py:4952-4960) ---
@@ -203,7 +284,7 @@ object MappingCompiler {
         .select(subj2.column.as("s"), pred2.column.as("p"), obj2.column.as("o"), graph2.as("g"))
     }
 
-    (singlePass.toSeq ++ joinBranches ++ gatherBranches ++ arrayBranches)
+    (singlePass.toSeq ++ joinBranches ++ quotedJoinBranches ++ gatherBranches ++ arrayBranches)
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(emptyQuads(spark))
   }
@@ -296,22 +377,62 @@ object MappingCompiler {
 
   /** RML-star: build `<< s p o >>` quoted-triple terms of a (possibly
     * non-asserted) parent TM evaluated over the SAME row (reference:
-    * inner_semantify_file, inner_functions.py:16-679). Uses the parent's
-    * first plain POM — one quoted triple per row.
+    * inner_semantify_file, inner_functions.py:16-679) — one term per parent
+    * plain POM (nested quoted objects/subjects recurse same-row; a nested
+    * quoted subject uses its first variant).
     */
-  private def quotedInline(parentId: String, doc: MappingDoc, base: Option[String],
-      colFn: String => Column): TermCompiler.CompiledTerm = {
+  private def quotedTerms(parentId: String, doc: MappingDoc, base: Option[String],
+      colFn: String => Column): Seq[TermCompiler.CompiledTerm] = {
     val parent = doc.triplesMaps.find(_.id == parentId)
       .getOrElse(throw new IllegalArgumentException(s"unknown quoted TriplesMap: $parentId"))
-    val pSubj = TermCompiler.rdfTerm(parent.subject.term, None,
-      parent.baseIri.orElse(base), colFn, TermType.Iri)
-    val pom = parent.poms.find(p => p.objectMap.term.isDefined)
-      .getOrElse(throw new IllegalArgumentException(s"quoted TM $parentId has no plain POM"))
-    val pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
-    val pObj = TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn, TermType.Literal)
-    TermCompiler.CompiledTerm(
-      graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
-      pSubj.guard && pPred.guard && pObj.guard)
+    val pSubj = parent.subject.term.kind match {
+      case TermKind.QuotedTriplesMap =>
+        quotedTerms(parent.subject.term.quotedTm.get, doc, base, colFn).head
+      case _ => TermCompiler.rdfTerm(parent.subject.term, None,
+        parent.baseIri.orElse(base), colFn, TermType.Iri)
+    }
+    val poms = parent.poms.filter(_.objectMap.term.isDefined)
+    if (poms.isEmpty)
+      throw new IllegalArgumentException(s"quoted TM $parentId has no plain POM")
+    poms.flatMap { pom =>
+      val pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+      val objs: Seq[TermCompiler.CompiledTerm] = pom.objectMap.term.get.kind match {
+        case TermKind.QuotedTriplesMap =>
+          quotedTerms(pom.objectMap.term.get.quotedTm.get, doc, base, colFn)
+        case _ =>
+          Seq(TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn, TermType.Literal))
+      }
+      objs.map(pObj => TermCompiler.CompiledTerm(
+        graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
+        pSubj.guard && pPred.guard && pObj.guard))
+    }
+  }
+
+  /** The quoted parent's pre-computed quoted-triple frame for cross-source /
+    * joined quoting: one row per (parent row × plain POM), columns
+    * `__k0..__kn` (the joinCondition's parent keys) + `__quoted`,
+    * deduplicated like parent-subject sets (reference: inner_hash_maker
+    * stores quoted triples keyed by the join child value,
+    * inner_functions.py:119-137). Cached per (parent, keys) so several POMs
+    * quoting the same TM share one frame.
+    */
+  private def quotedParentFrame(spark: SparkSession, parentTm: TriplesMap,
+      doc: MappingDoc, opts: Options, jc: Option[JoinCondition], base: Option[String],
+      parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
+    val cacheKey = "quoted|" + parentTm.id + "|" +
+      jc.map(_.effectiveParentMaps.mkString(",")).getOrElse("")
+    parentCache.getOrElseUpdate(cacheKey, {
+      val pdf = opts.sourceOverride.getOrElse(parentTm.source.id,
+        SourceReader.read(spark, effectiveSource(parentTm)))
+      val pColFn: String => Column = a => resolveAttr(pdf, a)
+      val terms = quotedTerms(parentTm.id, doc, parentTm.baseIri.orElse(base), pColFn)
+      val keyCols = jc.toList.flatMap(_.effectiveParentMaps.zipWithIndex.map { case (t, i) =>
+        TermCompiler.lexical(t, pColFn, encode = false).column.cast("string").as(s"__k$i")
+      })
+      terms.map(t => pdf.where(t.guard).select(keyCols :+ t.column.as("__quoted"): _*))
+        .reduceLeft(_.unionByName(_))
+        .dropDuplicates()
+    })
   }
 
   /** RML-CC gather maps: collect the item term maps' values per row into an

@@ -54,13 +54,8 @@ object TermCompiler {
       case TermType.Iri =>
         val lex = lexical(tm, colFn, encode = true)
         val withBase = tm.kind match {
-          case TermKind.Constant | TermKind.Template =>
-            // relative IRI → prepend base (reference: semantify.py:6325-6350)
-            if (!tm.value.contains("://") && tm.kind == TermKind.Template)
-              concat(lit(base.getOrElse("http://example.com/base/")), lex.column)
-            else if (tm.kind == TermKind.Constant && !tm.value.contains("://"))
-              concat(lit(base.getOrElse("http://example.com/base/")), lex.column)
-            else lex.column
+          case TermKind.Constant | TermKind.Template | TermKind.Reference =>
+            resolveBase(lex.column, base)
           case _ => lex.column
         }
         CompiledTerm(rml.iri(withBase), lex.guard)
@@ -91,6 +86,19 @@ object TermCompiler {
         }
         CompiledTerm(value, lex.guard)
     }
+  }
+
+  /** Runtime relative-IRI resolution on the PRODUCED value, not the
+    * template text (reference: semantify.py:6338-6350 — a `{col}` template
+    * over absolute-IRI values must NOT get the base prefix): values
+    * without "http" get the base; values with "http" keep it only when
+    * they parse as scheme://netloc (urlparse check, functions.py:162-167).
+    * For constants Catalyst folds this to a literal at plan time.
+    */
+  def resolveBase(value: Column, base: Option[String]): Column = {
+    val b = lit(base.getOrElse("http://example.com/base/"))
+    val validUrl = value.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]+")
+    when(value.contains("http") && validUrl, value).otherwise(concat(b, value))
   }
 
   /** Attributes a term map references (for projection pruning, SURVEY P1). */

@@ -259,7 +259,27 @@ object MappingParser {
         TermMap(TermKind.FunctionCall, "", termType,
           function = Some(parseFunctionExecution(g, fe).copy(returnKey = parseReturnKey(g, node))))))
       .orElse(g.obj(node, RML + "quotedTriplesMap").map(q =>
-        TermMap(TermKind.QuotedTriplesMap, "", termType, quotedTm = Some(termId(q)))))
+        TermMap(TermKind.QuotedTriplesMap, "", termType, quotedTm = Some(termId(q)),
+          quotedJoin = parseJoinConditions(g, node))))
+  }
+
+  /** rr:joinCondition nodes on `node` (RefObjectMaps and quoted-TM term maps
+    * share the child/parent + childMap/parentMap grammar — reference:
+    * semantify.py:2388-2409).
+    */
+  private def parseJoinConditions(g: RdfGraph, node: RdfTerm): Option[JoinCondition] = {
+    val conds = g.objects(node, RR + "joinCondition")
+    def keyMaps(cond: RdfTerm, plain: String, mapped: String): Option[TermMap] =
+      g.obj(cond, RR + plain).orElse(g.obj(cond, RML + plain))
+        .map(v => TermMap(TermKind.Reference, lex(v)))
+        .orElse(g.obj(cond, RML + mapped).orElse(g.obj(cond, RR + mapped))
+          .flatMap(parseTermMap(g, _)))
+    val childMaps = conds.flatMap(keyMaps(_, "child", "childMap")).toList
+    val parentMaps = conds.flatMap(keyMaps(_, "parent", "parentMap")).toList
+    if (conds.isEmpty) None else Some(JoinCondition(
+      childMaps.collect { case t if t.kind == TermKind.Reference => t.value },
+      parentMaps.collect { case t if t.kind == TermKind.Reference => t.value },
+      childMaps, parentMaps))
   }
 
   /** rml:return <out> | rml:returnMap [ rml:constant <out> ] on the term map
@@ -291,7 +311,13 @@ object MappingParser {
   }
 
   /** rml:logicalTarget [ rml:target [ rml:path | void:dataDump ];
-    * rml:serialization ?fmt ] (reference: semantify.py:2204-2208, 2296-2303).
+    * rml:serialization ?fmt; rml:encoding ?enc ] (reference:
+    * semantify.py:2204-2208, 2296-2303). Serialization falls back to the
+    * reference's path-substring dispatch (semantify.py:10059-10086);
+    * an explicitly declared but UNKNOWN serialization fails loud instead of
+    * silently downgrading to ntriples. Compression (zip / tar.gz / tar.xz /
+    * gz) is inferred from the dump path like the reference's compress loop
+    * (semantify.py:10089-10106).
     */
   private def parseLogicalTargets(g: RdfGraph, node: RdfTerm): List[LogicalTarget] =
     g.objects(node, RML + "logicalTarget").toList.flatMap { out =>
@@ -299,33 +325,58 @@ object MappingParser {
         g.obj(dump, RML + "path").map(lex)
           .orElse(g.obj(dump, "http://rdfs.org/ns/void#dataDump").map(lex))
           .map { p =>
-            val ser = g.obj(out, RML + "serialization").map(termId).map {
-              case s if s.toLowerCase.contains("turtle") => "turtle"
-              case s if s.toLowerCase.replace("-", "").contains("jsonld") => "jsonld"
-              case s if s.toLowerCase.contains("json") => "rdfjson"
-              case _ => "ntriples"
-            }.getOrElse("ntriples")
-            LogicalTarget(p.stripPrefix("file://"), ser)
+            val declared = g.obj(out, RML + "serialization").map(termId)
+            val ser = declared.map(normalizeSerialization)
+              .getOrElse(serializationFromPath(p))
+            val enc = g.obj(out, RML + "encoding").map(termId)
+              .map(e => if (e.toUpperCase.contains("UTF-16")) "UTF-16" else "UTF-8")
+              .getOrElse("UTF-8")
+            val lower = p.toLowerCase
+            val compression =
+              if (lower.endsWith(".tar.gz")) Some("tar.gz")
+              else if (lower.endsWith(".tar.xz")) Some("tar.xz")
+              else if (lower.endsWith(".zip")) Some("zip")
+              else if (lower.endsWith(".gz")) Some("gzip")
+              else None
+            LogicalTarget(p.stripPrefix("file://"), ser, compression, enc)
           }
       }
     }
 
+  /** Map a declared serialization IRI/name to the engine's writer key;
+    * unknown values throw (no silent ntriples downgrade).
+    */
+  private def normalizeSerialization(s: String): String = {
+    val n = s.toLowerCase.replace("-", "").replace("_", "")
+    if (n.contains("turtle") || n.endsWith("ttl")) "turtle"
+    else if (n.contains("jsonld")) "jsonld"
+    else if (n.contains("rdfxml") || n.endsWith("/xml") || n.endsWith("#xml")) "rdfxml"
+    else if (n.contains("rdfjson") || n.contains("json")) "rdfjson"
+    else if (n.contains("n3") || n.contains("notation3")) "n3"
+    else if (n.contains("ntriples") || n.contains("nquads")) "ntriples"
+    else throw new IllegalArgumentException(
+      s"unsupported rml:serialization <$s> (supported: N-Triples/N-Quads, " +
+        "Turtle, JSON-LD, RDF-JSON, RDF_XML, N3)")
+  }
+
+  /** The reference dispatches on output-path substrings when no
+    * serialization is declared (semantify.py:10059-10086).
+    */
+  private def serializationFromPath(p: String): String = {
+    val n = p.toLowerCase
+    if (n.contains("jsonld")) "jsonld"
+    else if (n.contains("rdfjson")) "rdfjson"
+    else if (n.contains("rdfxml")) "rdfxml"
+    else if (n.contains("n3")) "n3"
+    else if (n.contains("ttl")) "turtle"
+    else "ntriples"
+  }
+
   private def parseObjectMap(g: RdfGraph, om: RdfTerm): ObjectMap = {
     g.obj(om, RR + "parentTriplesMap") match {
       case Some(parent) =>
-        val conds = g.objects(om, RR + "joinCondition")
-        def keyMaps(cond: RdfTerm, plain: String, mapped: String): Option[TermMap] =
-          g.obj(cond, RR + plain).orElse(g.obj(cond, RML + plain))
-            .map(v => TermMap(TermKind.Reference, lex(v)))
-            .orElse(g.obj(cond, RML + mapped).orElse(g.obj(cond, RR + mapped))
-              .flatMap(parseTermMap(g, _)))
-        val childMaps = conds.flatMap(keyMaps(_, "child", "childMap")).toList
-        val parentMaps = conds.flatMap(keyMaps(_, "parent", "parentMap")).toList
-        val joinCond = if (conds.isEmpty) None else Some(JoinCondition(
-          childMaps.collect { case TermMap(TermKind.Reference, v, _, _, _) => v },
-          parentMaps.collect { case TermMap(TermKind.Reference, v, _, _, _) => v },
-          childMaps, parentMaps))
-        ObjectMap(None, refObject = Some(RefObjectMap(termId(parent), joinCond)))
+        ObjectMap(None, refObject =
+          Some(RefObjectMap(termId(parent), parseJoinConditions(g, om))))
       case None =>
         val gather = parseGather(g, om)
         val term = parseTermMap(g, om)

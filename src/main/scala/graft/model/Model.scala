@@ -45,7 +45,13 @@ final case class TermMap(
     value: String = "",                       // constant value / template / reference attr
     termType: Option[TermType] = None,
     function: Option[FunctionCall] = None,
-    quotedTm: Option[String] = None)          // TriplesMap id for RML-star
+    quotedTm: Option[String] = None,          // TriplesMap id for RML-star
+    /** rr:joinCondition alongside rml:quotedTriplesMap — the quoted parent
+      * is evaluated over ITS OWN source and joined on these keys (reference:
+      * `inner_hash_maker` keyed "quoted_"+TM+child, inner_functions.py:119-137,
+      * semantify.py:7566-7567); None + same source = same-row evaluation.
+      */
+    quotedJoin: Option[JoinCondition] = None)
 
 /** rr:joinCondition — child/parent key pairs. `childMaps`/`parentMaps` hold
   * the general form (rml:childMap/rml:parentMap: reference, template,
@@ -98,7 +104,16 @@ final case class ObjectMap(
   */
 final case class LogicalTarget(
     path: String,
-    serialization: String = "ntriples")
+    serialization: String = "ntriples",
+    /** Hadoop text codec (gzip) or archive post-pack (zip, tar.gz, tar.xz)
+      * inferred from the dump path like the reference's compress loop
+      * (semantify.py:10089-10106).
+      */
+    compression: Option[String] = None,
+    /** rml:encoding — UTF-16 triggers the reference's re-encode pass
+      * (semantify.py:10054-10058); everything else stays UTF-8.
+      */
+    encoding: String = "UTF-8")
 
 final case class PredicateObjectMap(
     predicate: TermMap,

@@ -157,36 +157,72 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Resolve near-duplicate pairs into clusters by iterative min-label
-    * propagation (the scalable connected-components shape: each iteration
-    * is one distributed join+aggregate, converging in O(log |largest
-    * component|) rounds — a 10-iteration bound covers components of 2^10
-    * diameter). Returns (id, cluster), cluster = min id in the component.
+  /** Resolve near-duplicate pairs into clusters via alternating
+    * large-star / small-star connected components (the MapReduce CC
+    * algorithm of Kiveris et al., SoCC '14): each round is two
+    * join+aggregate passes that rewire every edge toward the component
+    * minimum, converging in O(log² n) rounds REGARDLESS of component
+    * diameter. Plain min-label propagation needs O(diameter) rounds — a
+    * 15-element near-dup chain already defeats a 10-round cap, silently
+    * splitting one cluster into several representatives; here a
+    * non-converged exit throws instead. Returns (id, cluster), cluster =
+    * min id in the component.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical edges (u, v) with u > v
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().persist()
+
+    // large-star: each node links its LARGER neighbors to the minimum of
+    // its neighborhood (incl. itself) — long chains halve in one pass
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: each node links its smaller neighbors (and itself) to
+    // the minimum of those — flattens local stars onto the root
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min(col("cluster")).as("ncluster"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .persist()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .where(col("u.cluster") =!= col("l.cluster")).limit(1).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
+      // localCheckpoint (eager), not persist: each round references the
+      // previous edge set ~6 times, so without lineage truncation the
+      // logical plan grows ~6× per round and the ANALYZER (not execution)
+      // becomes the bottleneck after a handful of iterations. Checkpointing
+      // materializes the round and restarts the plan from its result.
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint ⇔ the edge set is a star forest (every node points
+      // straight at its component minimum). Set-equality via except is
+      // one extra shuffle per round; rounds are O(log² n) so this stays
+      // cheap even at corpus scale.
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges.unpersist()
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters: edge set not a star forest after $maxIter " +
+          "large/small-star rounds — raise maxIter (components should " +
+          "converge in O(log² n) rounds; this indicates a bug or extreme input)")
+    // star forest: every edge is (member, root); roots label themselves
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 
   /** End-to-end corpus dedup: keep one representative (min id) per

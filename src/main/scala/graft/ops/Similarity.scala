@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -89,10 +88,17 @@ object Similarity {
       .join(broadcast(centroids))
       .select(col("id"), col("vec"), col("centroid_id"),
         cosine(col("vec"), col("centroid_vec")).as("ccos"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
-      .select(col("id"), col("vec"), col("centroid_id").as("cluster_id"))
+    // argmax via max_by partial aggregation: map-side combine collapses the
+    // N×C candidate frame to ~one row per id per partition BEFORE the
+    // exchange, so shuffle volume is ~N rows; a window row_number() here
+    // would shuffle and sort all N×C rows (C=centroid count — at C≈1000
+    // that is a 1000× exchange-volume difference). Tie-break (ccos desc,
+    // centroid_id asc) is encoded in the lexicographic ordering struct.
+    scored.groupBy(col("id"))
+      .agg(
+        any_value(col("vec")).as("vec"),
+        max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cluster_id"))
+      .select(col("id"), col("vec"), col("cluster_id"))
   }
 
   /** IVF top-k: probe only the query's own cluster. Recall is partial by

@@ -63,6 +63,16 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 6L, 7L)) // 6 untouched, others deduped to min
   }
 
+  test("cluster resolution: a 15-element chain (diameter > 10) is one cluster") {
+    // min-label propagation at 10 rounds would split this chain; the
+    // large/small-star rewrite must collapse it to a single min-id root
+    val chain = (100L until 114L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == (100L to 114L).toSet)
+    assert(clusters.values.toSet == Set(100L), s"chain split: $clusters")
+  }
+
   test("sign-LSH cosine near-dup is a subset of the exact pairs; identical vectors always collide") {
     val vecs = (0L to 30L).map { i =>
       val v = (0 until 16).map(d => math.sin(i * 0.7 + d).abs + 0.1)

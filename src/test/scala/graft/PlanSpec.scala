@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(customerScans <= 4, s"too many scans ($customerScans):\n$p")
   }
 
+  test("ivf assignment aggregates (partial max_by), no window sort over N×C") {
+    val p = plan("sim_ivf_topk")
+    assert(!p.contains("Window"), s"window in IVF assignment plan:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate for centroid argmax:\n$p")
+  }
+
   test("whole-stage codegen covers the term-construction projection") {
     val df = Catalog.byName("t1_template_iri").run(spark, sf)
     val p = df.queryExecution.executedPlan.toString()

@@ -97,6 +97,85 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(!ts.exists(t => t._1 == "<http://ex/r/1>" && t._2 == "<http://ex/seg>"))
   }
 
+  test("rml-star: cross-source quoted object with joinCondition, multi-POM parent") {
+    val people = writeTmp("people.csv",
+      """pid,pname,role
+        |1,ada,eng
+        |2,bob,ops
+        |""".stripMargin)
+    val ts = triples(
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$people"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{pid}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "pname" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:role; rr:objectMap [ rml:reference "role" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:claims;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM>;
+         |                   rr:joinCondition [ rr:child "id"; rr:parent "pid" ] ]
+         |  ].""".stripMargin)
+    // both parent POMs quoted, joined on id=pid across different sources
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/claims>",
+      "<< <http://ex/p/1> <http://ex/name> \"ada\" >>")))
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/claims>",
+      "<< <http://ex/p/1> <http://ex/role> \"eng\" >>")))
+    assert(ts.contains(("<http://ex/stmt/2>", "<http://ex/claims>",
+      "<< <http://ex/p/2> <http://ex/name> \"bob\" >>")))
+    // inner-join semantics: no quoted triples for unmatched parents
+    assert(ts.size == 4)
+  }
+
+  test("rml-star: same-source multi-POM quoted TM emits one quad per parent POM") {
+    val ts = triples(
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:b; rr:objectMap [ rml:reference "b" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:states;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM> ]
+         |  ].""".stripMargin)
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/states>",
+      "<< <http://ex/r/1> <http://ex/a> \"x1\" >>")))
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/states>",
+      "<< <http://ex/r/1> <http://ex/b> \"y1\" >>")))
+    // row 2 has empty b → only the ex:a quoted branch survives the guard
+    assert(ts.contains(("<http://ex/stmt/2>", "<http://ex/states>",
+      "<< <http://ex/r/2> <http://ex/a> \"x2\" >>")))
+    assert(!ts.exists(t => t._1 == "<http://ex/stmt/2>" && t._3.contains("<http://ex/b>")))
+  }
+
+  test("rml-star: quoted SUBJECT joined across sources") {
+    val people = writeTmp("people2.csv",
+      """pid,pname
+        |1,ada
+        |2,bob
+        |""".stripMargin)
+    val ts = triples(
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$people"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{pid}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "pname" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rml:quotedTriplesMap <QTM>;
+         |                  rr:joinCondition [ rr:child "id"; rr:parent "pid" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:confidence; rr:objectMap [ rml:reference "seg" ] ].
+         |""".stripMargin)
+    assert(ts.contains(("<< <http://ex/p/1> <http://ex/name> \"ada\" >>",
+      "<http://ex/confidence>", "\"S1\"")))
+    assert(ts.contains(("<< <http://ex/p/2> <http://ex/name> \"bob\" >>",
+      "<http://ex/confidence>", "\"S2\"")))
+    assert(ts.size == 2)
+  }
+
   test("new W3C dialect (w3id.org/rml/) parses identically") {
     val ts = triples(
       s"""@prefix rml2: <http://w3id.org/rml/> .
