@@ -92,14 +92,18 @@ object Engine {
           val df = if (nTargets > 1) deduped.persist() else deduped
           try {
             tm.subject.targets.foreach(t =>
-              Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(lit(true), t.path, t.serialization)), doc.prefixes))
+              Sinks.writeLogicalTargets(df,
+                Seq(Sinks.TargetSpec(lit(true), t.path, t.serialization, t.compression, t.encoding)),
+                doc.prefixes))
             tm.poms.foreach { pom =>
               pom.targets.foreach { t =>
                 val pred = pom.predicate.kind match {
                   case graft.model.TermKind.Constant => col("p") === s"<${pom.predicate.value}>"
                   case _ => lit(true) // dynamic predicate: route the TM's quads
                 }
-                Sinks.writeLogicalTargets(df, Seq(Sinks.TargetSpec(pred, t.path, t.serialization)), doc.prefixes)
+                Sinks.writeLogicalTargets(df,
+                  Seq(Sinks.TargetSpec(pred, t.path, t.serialization, t.compression, t.encoding)),
+                  doc.prefixes)
               }
             }
           } finally if (nTargets > 1) { df.unpersist(); () }

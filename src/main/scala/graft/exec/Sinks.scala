@@ -104,27 +104,176 @@ object Sinks {
       pred: Column,
       path: String,
       serialization: String = "ntriples",
-      compression: Option[String] = None)
+      compression: Option[String] = None,
+      encoding: String = "UTF-8")
 
   /** K3 end-to-end: write each target's matching quads in its requested
-    * serialization; compression rides on the Hadoop codec
-    * (`option("compression", …)`) instead of the reference's re-read-and-
-    * compress loop, so the write stays distributed.
+    * serialization. Plain `.gz` rides on the distributed Hadoop codec;
+    * zip / tar.gz / tar.xz (not Hadoop codecs) and UTF-16 re-encoding are
+    * streamed post-passes over the part files — the same shape as the
+    * reference's re-read loop (semantify.py:10054-10106) but per-file
+    * streaming, never whole-dump in memory.
     */
   def writeLogicalTargets(quads: DataFrame, targets: Seq[TargetSpec],
       prefixes: Map[String, String] = Map.empty): Unit =
     targets.foreach { t =>
       val routed = quads.where(t.pred)
       val lines = t.serialization.toLowerCase match {
-        case "turtle" | "ttl" => turtleBlocks(routed, prefixes)
+        case "turtle" | "ttl" | "n3" => turtleBlocks(routed, prefixes)
         case "jsonld" | "json-ld" => jsonLdLines(routed)
         case "rdfjson" | "json" =>
           rdfJson(routed).select(concat(col("s"), lit(" "), col("json")).as("line"))
+        case "rdfxml" | "xml" => rdfXmlLines(routed)
         case _ => ntLines(routed)
       }
+      val archive = t.compression.exists(c => c != "gzip")
+      val dir = if (archive) t.path + "__raw" else t.path
       val w = lines.write.mode("overwrite")
-      t.compression.fold(w)(c => w.option("compression", c)).text(t.path)
+      (if (t.compression.contains("gzip")) w.option("compression", "gzip") else w).text(dir)
+      if (t.serialization.equalsIgnoreCase("rdfxml") || t.serialization.equalsIgnoreCase("xml"))
+        writeRdfXmlEnvelope(lines.sparkSession, dir)
+      if (Set("turtle", "ttl", "n3")(t.serialization.toLowerCase) && prefixes.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          lines.sparkSession.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_00_prefixes.ttl"), true)
+        out.write((turtleHeader(prefixes) + "\n").getBytes("UTF-8")); out.close()
+      }
+      if (t.encoding.equalsIgnoreCase("UTF-16")) reencodeUtf16(lines.sparkSession, dir)
+      t.compression.filter(_ != "gzip").foreach(c =>
+        archiveDir(lines.sparkSession, dir, t.path, c))
     }
+
+  /** K4: RDF/XML — one `<rdf:Description>` element per subject, built as a
+    * distributed string aggregation (no rdflib-style driver graph). Each
+    * property element carries its own `xmlns:n` declaration (valid XML,
+    * no global prefix table), so formatting stays row-local + one groupBy.
+    * Reference produces rdfxml via rdflib re-serialization
+    * (semantify.py:10063-10068).
+    */
+  def rdfXmlLines(quads: DataFrame): DataFrame = {
+    def xmlEscape(c: Column): Column =
+      replace(replace(replace(replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;")), lit("\""), lit("&quot;"))
+    // N-Triples lexical → raw text: undo the writer's escapes (\\ first via
+    // a sentinel so \\n is not confused with \n), then XML-escape
+    def unNt(c: Column): Column =
+      replace(replace(replace(replace(replace(replace(c,
+        lit("\\\\"), lit("\u0001")), lit("\\\""), lit("\"")),
+        lit("\\n"), lit("\n")), lit("\\r"), lit("\r")),
+        lit("\\t"), lit("\t")), lit("\u0001"), lit("\\"))
+    val iriBody = regexp_extract(col("o"), "^<(.*)>$", 1)
+    val pBody = regexp_extract(col("p"), "^<(.*)>$", 1)
+    // split the predicate IRI at the last / or # into namespace + local name
+    val pNs = regexp_extract(pBody, "^(.*[/#])[^/#]+$", 1)
+    val pLocal = regexp_extract(pBody, "^.*[/#]([^/#]+)$", 1)
+    val litVal = regexp_extract(col("o"), "^\"((?s).*)\"(?:\\^\\^<.*>|@[A-Za-z][A-Za-z0-9-]*)?$", 1)
+    val dt = regexp_extract(col("o"), "\\^\\^<(.*)>$", 1)
+    val lang = regexp_extract(col("o"), "@([A-Za-z][A-Za-z0-9-]*)$", 1)
+    val open = concat(lit("    <n:"), pLocal, lit(" xmlns:n=\""), xmlEscape(pNs), lit("\""))
+    val propXml =
+      when(col("o").startsWith("<"),
+        concat(open, lit(" rdf:resource=\""), xmlEscape(iriBody), lit("\"/>")))
+      .when(col("o").startsWith("_:"),
+        concat(open, lit(" rdf:nodeID=\""), expr("substring(o, 3)"), lit("\"/>")))
+      .otherwise(concat(open,
+        when(dt =!= "", concat(lit(" rdf:datatype=\""), xmlEscape(dt), lit("\""))).otherwise(lit("")),
+        when(lang =!= "", concat(lit(" xml:lang=\""), lang, lit("\""))).otherwise(lit("")),
+        lit(">"), xmlEscape(unNt(litVal)), lit("</n:"), pLocal, lit(">")))
+    val sAttr = when(col("s").startsWith("_:"),
+        concat(lit("rdf:nodeID=\""), expr("substring(s, 3)"), lit("\"")))
+      .otherwise(concat(lit("rdf:about=\""), xmlEscape(regexp_extract(col("s"), "^<(.*)>$", 1)), lit("\"")))
+    quads.select(col("s"), sAttr.as("sa"), propXml.as("px"))
+      .groupBy(col("s"), col("sa"))
+      .agg(array_join(array_sort(collect_list(col("px"))), "\n").as("body"))
+      .select(concat(lit("  <rdf:Description "), col("sa"), lit(">\n"),
+        col("body"), lit("\n  </rdf:Description>")).as("line"))
+  }
+
+  /** Side files that make the concatenated sorted part files a valid RDF/XML
+    * document ("_00_…" sorts before "part-…", "zz_…" after).
+    */
+  private def writeRdfXmlEnvelope(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, text: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(dir, name))
+      o.write(text.getBytes("UTF-8")); o.close()
+    }
+    put("_00_header.rdf",
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n")
+    put("zz_footer.rdf", "</rdf:RDF>\n")
+  }
+
+  /** UTF-16 re-encode pass (reference: semantify.py:10054-10058): stream
+    * every output file through a UTF-8 reader → UTF-16 writer. Per-file
+    * streaming, constant memory.
+    */
+  def reencodeUtf16(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    fs.listStatus(base).filter(s => s.isFile && !s.getPath.getName.startsWith("_SUCCESS"))
+      .foreach { st =>
+        val tmp = new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".u16tmp")
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-16"))
+        val buf = new Array[Char](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close(); out.close()
+        fs.delete(st.getPath, false)
+        fs.rename(tmp, st.getPath)
+        ()
+      }
+  }
+
+  /** Archive the part files of `dir` into a single zip / tar.gz / tar.xz at
+    * `dest` (reference: semantify.py:10089-10106). Streaming copy per file;
+    * files enter the archive in name order so the concatenation stays a
+    * valid document.
+    */
+  def archiveDir(spark: org.apache.spark.sql.SparkSession, dir: String, dest: String,
+      kind: String): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.archivers.zip.{ZipArchiveEntry, ZipArchiveOutputStream}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName != "_SUCCESS")
+      .sortBy(_.getPath.getName)
+    val rawOut = fs.create(new org.apache.hadoop.fs.Path(dest), true)
+    def copy(in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    }
+    kind match {
+      case "zip" =>
+        val z = new ZipArchiveOutputStream(rawOut)
+        files.foreach { st =>
+          z.putArchiveEntry(new ZipArchiveEntry(st.getPath.getName))
+          copy(fs.open(st.getPath), z); z.closeArchiveEntry()
+        }
+        z.close()
+      case "tar.gz" | "tar.xz" =>
+        val compressed: java.io.OutputStream =
+          if (kind == "tar.gz") new java.util.zip.GZIPOutputStream(rawOut)
+          else new org.tukaani.xz.XZOutputStream(rawOut, new org.tukaani.xz.LZMA2Options())
+        val t = new TarArchiveOutputStream(compressed)
+        files.foreach { st =>
+          val e = new TarArchiveEntry(st.getPath.getName)
+          e.setSize(st.getLen)
+          t.putArchiveEntry(e)
+          copy(fs.open(st.getPath), t); t.closeArchiveEntry()
+        }
+        t.close()
+      case other => throw new IllegalArgumentException(s"unsupported archive kind: $other")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ()
+  }
 
   /** K4: flattened JSON-LD — one JSON object per subject per line:
     * `{"@id": s, p: [{"@id"|"@value"…}]}` with `@type`/`@language` for

@@ -234,4 +234,100 @@ class XmlTargetsSpec extends AnyFunSuite {
     assert(ages.length == 1 && ages.head.startsWith("<http://ex/1> {"))
     assert(ages.head.contains("\"<http://ex/age>\""))
   }
+
+  test("K4: RDF/XML target parses back as XML with resources, datatypes, langs") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(
+      ("<http://ex/1>", "<http://ex/v#name>", "\"a<b>&\\\"q\\\"\"@en"),
+      ("<http://ex/1>", "<http://ex/v#age>", "\"36\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("<http://ex/1>", "<http://ex/v#knows>", "<http://ex/2>"),
+      ("_:b0", "<http://ex/v#name>", "\"anon\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val base = java.nio.file.Files.createTempDirectory("graft_rdfxml").toString
+    Sinks.writeLogicalTargets(quads, Seq(
+      Sinks.TargetSpec(lit(true), s"$base/out", serialization = "rdfxml")))
+    // concatenated sorted files must be one well-formed RDF/XML document
+    val files = new java.io.File(s"$base/out").listFiles
+      .filter(f => f.isFile && f.getName != "_SUCCESS" && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val doc = files.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    val descs = dom.getElementsByTagNameNS(
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#", "Description")
+    assert(descs.getLength == 2) // one per subject (IRI + bnode)
+    assert(doc.contains("rdf:resource=\"http://ex/2\""))
+    assert(doc.contains("rdf:datatype=\"http://www.w3.org/2001/XMLSchema#integer\""))
+    assert(doc.contains("xml:lang=\"en\""))
+    assert(doc.contains("rdf:nodeID=\"b0\""))
+    // literal text is XML-escaped and NT-unescaped: a<b>&"q"
+    assert(doc.contains("a&lt;b&gt;&amp;&quot;q&quot;"))
+    assert(dom.getElementsByTagNameNS("http://ex/v#", "name").item(0)
+      .getTextContent == "a<b>&\"q\"")
+  }
+
+  test("K3: n3 serialization and UTF-16 encoding targets") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(("<http://ex/1>", "<http://ex/name>", "\"ada\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val base = java.nio.file.Files.createTempDirectory("graft_n3").toString
+    Sinks.writeLogicalTargets(quads, Seq(
+      Sinks.TargetSpec(lit(true), s"$base/out_n3", serialization = "n3"),
+      Sinks.TargetSpec(lit(true), s"$base/out_u16", serialization = "ntriples",
+        encoding = "UTF-16")))
+    val n3 = spark.read.text(s"$base/out_n3").collect().map(_.getString(0)).mkString
+    assert(n3.contains("<http://ex/1> <http://ex/name> \"ada\" ."))
+    // UTF-16 BOM present; decodes back to the N-Triples line
+    val u16f = new java.io.File(s"$base/out_u16").listFiles
+      .filter(f => f.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(u16f.toPath)
+    assert(bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+    assert(new String(bytes, "UTF-16").contains("<http://ex/1> <http://ex/name> \"ada\" ."))
+  }
+
+  test("K3: zip and tar.gz archive targets pack the dump into one archive file") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(("<http://ex/1>", "<http://ex/name>", "\"ada\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zip").toString
+    Sinks.writeLogicalTargets(quads, Seq(
+      Sinks.TargetSpec(lit(true), s"$base/dump.nt.zip", serialization = "ntriples",
+        compression = Some("zip")),
+      Sinks.TargetSpec(lit(true), s"$base/dump.nt.tar.gz", serialization = "ntriples",
+        compression = Some("tar.gz"))))
+    val zf = new java.util.zip.ZipFile(s"$base/dump.nt.zip")
+    val entries = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries()).asScala.toList
+    val content = entries.map(e =>
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")).mkString
+    zf.close()
+    assert(content.contains("<http://ex/1> <http://ex/name> \"ada\" ."))
+    assert(!new java.io.File(s"$base/dump.nt.zip__raw").exists) // raw dir cleaned up
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(s"$base/dump.nt.tar.gz")))
+    var tarContent = ""
+    var e = tin.getNextEntry
+    while (e != null) { tarContent += new String(tin.readAllBytes(), "UTF-8"); e = tin.getNextEntry }
+    tin.close()
+    assert(tarContent.contains("<http://ex/1> <http://ex/name> \"ada\" ."))
+  }
+
+  test("K3: unknown declared serialization fails loud at parse time") {
+    val csv = writeTmp("x.csv", "id\n1\n")
+    val ex = intercept[IllegalArgumentException] {
+      Engine.materialize(spark, prefixes +
+        s"""<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+           |  rr:subjectMap [ rr:template "http://ex/p/{id}";
+           |    rml:logicalTarget [ rml:target [ rml:path "/tmp/never" ];
+           |      rml:serialization <http://www.w3.org/ns/formats/TriG> ] ];
+           |  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ].
+           |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("TriG") && ex.getMessage.contains("unsupported"))
+  }
 }
