@@ -772,6 +772,37 @@ object CatalogCore {
         '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/name> "' || c_name || '" >>' AS o
         FROM orders JOIN customer ON o_custkey = c_custkey"""))
 
+  /** S4/S5/P1 end-to-end against a real JDBC database: the region table is
+    * loaded into embedded Derby, then read back through a d2rq:jdbcDSN +
+    * rr:tableName mapping — which exercises the synthesized
+    * `SELECT DISTINCT <mapped attrs>` pushdown (MappingCompiler
+    * .synthesizeJdbcQuery) and JDBC type rendering, oracle-checked against
+    * the same parquet table.
+    */
+  private val s4Jdbc = Q("s4_jdbc_scan",
+    (s, dir) => {
+      val dsn = "jdbc:derby:memory:graftcat"
+      t(s, dir, "region").write.format("jdbc")
+        .option("url", dsn + ";create=true").option("dbtable", "region_jdbc")
+        // Derby's default string mapping is CLOB, which cannot appear in
+        // the synthesized SELECT DISTINCT — pin comparable types
+        .option("createTableColumnTypes", "r_name VARCHAR(64)")
+        .mode("overwrite").save()
+      Engine.materialize(s, mappingPrefixes +
+        """@prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+          |<TM> a rr:TriplesMap;
+          |  rml:logicalSource [
+          |    rml:source [ a d2rq:Database; d2rq:jdbcDSN "jdbc:derby:memory:graftcat" ];
+          |    rr:tableName "region_jdbc" ];
+          |  rr:subjectMap [ rr:template "http://ex/region/{r_regionkey}" ];
+          |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "r_name" ] ].
+          |""".stripMargin).select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/region/' || r_regionkey || '>' AS s,
+      '<http://ex/vocab/name>' AS p,
+      '"' || r_name || '"' AS o
+      FROM region"""))
+
   private val rmlGraphs = Q("rml_graph_quads",
     (s, dir) => Engine.materialize(s, mappingPrefixes +
       s"""<TM> a rr:TriplesMap;
@@ -871,5 +902,5 @@ object CatalogCore {
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
-    rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno)
+    rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc)
 }

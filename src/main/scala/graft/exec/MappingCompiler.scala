@@ -582,8 +582,11 @@ object MappingCompiler {
         val quote: String => String = j.dbType match {
           case "mysql" => a => s"`$a`"
           case "sqlserver" => a => s"[$a]"
-          case "postgres" => a => "\"" + a + "\""
-          case _ => identity
+          // postgres / derby / ANSI: double-quoted, case-exact — matches
+          // what Spark's JDBC writer emits on CREATE, so written tables
+          // round-trip (JDBC_EXTERNAL_ENGINE errors otherwise on DBs that
+          // fold unquoted identifiers to upper case)
+          case _ => a => "\"" + a + "\""
         }
         Some(s"SELECT DISTINCT ${attrs.map(quote).mkString(", ")} FROM ${j.tableName.get}")
       }

@@ -246,10 +246,12 @@ object FnoRegistry {
         when(truthy && a(1) =!= "None", a(1)).otherwise(nullStr)
       case "controls_if" =>
         // Python truthiness of bool_b (fnml_functions.py:102-118) — any
-        // non-empty string is true; missing any_false → null
+        // non-empty string is true (including "false"); the "None" sentinel
+        // and missing branches yield no value
         val cond = a(0)
         val truthy = cond.isNotNull && cond.cast("string") =!= ""
-        when(truthy, a(1)).otherwise(a(2))
+        val res = when(truthy, a(1)).otherwise(a(2))
+        when(res === "None", nullStr).otherwise(res)
       case other =>
         throw new IllegalArgumentException(s"unknown FnO function: $other")
     }

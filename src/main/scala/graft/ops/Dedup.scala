@@ -132,12 +132,16 @@ object Dedup {
       explode(array_distinct(tokenize(col(textCol)))).as("tok"))
     val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
     // per-doc token array sorted rarest-first (ties by token) + prefix
+    // persisted: three consumers (prefix generation + both sides of the
+    // verification join) would otherwise re-run the dfreq join + sort-agg
+    // 3× — Spark's exchange reuse does not cover all three
     val docs = toks.join(dfreq, Seq("blk", "tok"))
       .groupBy(col("blk"), col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .select(col("blk"), col("id"),
         transform(col("sorted"), s => s.getField("tok")).as("toks"),
         size(col("sorted")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = docs.select(col("blk"), col("id"), col("sz"),
       explode(slice(col("toks"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("tok"))

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.ArrayType
 object SourceReader {
 
   def read(spark: SparkSession, source: LogicalSource): DataFrame = source match {
-    case LogicalSource.CsvSource(path, delim) =>
+    case LogicalSource.CsvSource(path0, delim) =>
+      val path = resolvePath(path0)
       // dtype=str semantics: read everything as string so downstream term
       // construction is byte-faithful (no float mangling of "007").
       spark.read
@@ -30,10 +31,11 @@ object SourceReader {
         .csv(path)
 
     case LogicalSource.JsonSource(path, iterator) =>
-      val raw = spark.read.option("multiLine", "true").json(path)
+      val raw = spark.read.option("multiLine", "true").json(resolvePath(path))
       applyJsonIterator(raw, iterator)
 
-    case LogicalSource.XmlSource(path, iterator, parentAxis) =>
+    case LogicalSource.XmlSource(path0, iterator, parentAxis) =>
+      val path = resolvePath(path0)
       // Spark 4.x ships a built-in XML source; rowTag = last iterator step.
       val steps = iterator.split("/").filter(_.nonEmpty)
       if (!parentAxis || steps.length < 2) {
@@ -69,7 +71,7 @@ object SourceReader {
 
     case LogicalSource.NTriplesSource(path, _) =>
       // Line-parse N-Triples with a regex (SURVEY S7): s p o from each line.
-      val lines = spark.read.text(path)
+      val lines = spark.read.text(resolvePath(path))
       val pat = "^(\\S+)\\s+(\\S+)\\s+(.*?)\\s*\\.\\s*$"
       lines
         .select(
@@ -92,6 +94,78 @@ object SourceReader {
 
     case v: LogicalSource.ViewSource =>
       graft.exec.ViewExec.compile(spark, v)
+  }
+
+  // Remote downloads / inflated archives resolved once per JVM per path —
+  // repeated reads of the same source (several TMs, parent builds) reuse
+  // the local copy instead of re-fetching.
+  private val resolvedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S8 + archive sources: make a path spark.read can scan.
+    *
+    * - `http(s)://` file sources download to a temp file at read time
+    *   (reference fetches remote CSV/JSON/XML inline, semantify.py:10225-10235).
+    *   This is a bounded driver-side stream — remote dumps are one file, the
+    *   distributed scan happens on the local copy.
+    * - `.zip` / `.tar.gz` / `.tar.xz` / `.tar` archives inflate into a temp
+    *   dir (reference: semantify.py:10577-10626); Spark then scans the
+    *   extracted files as a directory. Bare `.gz` stays native (Hadoop codec).
+    */
+  def resolvePath(path: String): String = {
+    val isRemote = path.startsWith("http://") || path.startsWith("https://")
+    val lower = path.toLowerCase
+    val isArchive = lower.endsWith(".zip") || lower.endsWith(".tar.gz") ||
+      lower.endsWith(".tar.xz") || lower.endsWith(".tar")
+    if (!isRemote && !isArchive) path
+    else resolvedPaths.computeIfAbsent(path, { _ =>
+      val local =
+        if (isRemote) {
+          val name = path.substring(path.lastIndexOf('/') + 1) match {
+            case "" => "download"
+            case n => n.takeWhile(c => c != '?' && c != '#')
+          }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_http").resolve(name)
+          val in = java.net.URI.create(path).toURL.openStream()
+          try java.nio.file.Files.copy(in, tmp)
+          finally in.close()
+          tmp.toString
+        } else path
+      if (isArchive) inflateArchive(local) else local
+    })
+  }
+
+  /** Extract every entry of a zip / tar[.gz|.xz] archive into a fresh temp
+    * dir (streaming, constant memory) and return the dir path.
+    */
+  private def inflateArchive(file: String): String = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+    val outDir = java.nio.file.Files.createTempDirectory("graft_arch")
+    val lower = file.toLowerCase
+    val raw = new java.io.BufferedInputStream(new java.io.FileInputStream(file))
+    val archIn: org.apache.commons.compress.archivers.ArchiveInputStream[_ <: org.apache.commons.compress.archivers.ArchiveEntry] =
+      if (lower.endsWith(".zip")) new ZipArchiveInputStream(raw)
+      else if (lower.endsWith(".tar.gz")) new TarArchiveInputStream(new java.util.zip.GZIPInputStream(raw))
+      else if (lower.endsWith(".tar.xz")) new TarArchiveInputStream(new org.tukaani.xz.XZInputStream(raw))
+      else new TarArchiveInputStream(raw)
+    try {
+      var e: org.apache.commons.compress.archivers.ArchiveEntry = archIn.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          // basename only: archive paths must not escape the temp dir
+          val name = new java.io.File(e.getName).getName
+          val dest = outDir.resolve(name)
+          val out = java.nio.file.Files.newOutputStream(dest)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = archIn.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = archIn.read(buf) }
+          } finally out.close()
+        }
+        e = archIn.getNextEntry
+      }
+    } finally archIn.close()
+    outDir.toString
   }
 
   /** Flatten a W3C SPARQL-results JSON document into one row per binding,

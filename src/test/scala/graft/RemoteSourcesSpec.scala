@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S8 remote HTTP sources (served from a loopback HTTP server) and archive
+  * source decompression (zip / tar.gz — reference inflates archives inline,
+  * semantify.py:10577-10626).
+  */
+class RemoteSourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val prefixes =
+    """@prefix rr: <http://www.w3.org/ns/r2rml#> .
+      |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+      |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+      |@prefix ex: <http://ex/> .
+      |""".stripMargin
+
+  private def withHttpServer(files: Map[String, String])(body: Int => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    files.foreach { case (path, content) =>
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = content.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    server.start()
+    try body(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("S8: http:// CSV source downloads and materializes through a mapping") {
+    withHttpServer(Map("/people.csv" -> "id,name\n1,ada\n2,bob\n")) { port =>
+      val ts = Engine.materialize(spark, prefixes +
+        s"""<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "http://127.0.0.1:$port/people.csv";
+           |                      rml:referenceFormulation ql:CSV ];
+           |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+           |""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(ts == Set(
+        ("<http://ex/p/1>", "<http://ex/name>", "\"ada\""),
+        ("<http://ex/p/2>", "<http://ex/name>", "\"bob\"")))
+    }
+  }
+
+  test("S8: http:// JSON source with iterator") {
+    withHttpServer(Map("/d.json" -> """[{"id":"7","v":"x"}]""")) { port =>
+      val ts = Engine.materialize(spark, prefixes +
+        s"""<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "http://127.0.0.1:$port/d.json";
+           |                      rml:referenceFormulation ql:JSONPath; rml:iterator "$$.[*]" ];
+           |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ].
+           |""".stripMargin).collect()
+      assert(ts.length == 1 && ts.head.getString(2) == "\"x\"")
+    }
+  }
+
+  test("zip CSV source inflates and reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsrc").toFile
+    val zipPath = new java.io.File(dir, "data.csv.zip")
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    z.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    z.write("id,name\n1,ada\n".getBytes("UTF-8")); z.closeEntry(); z.close()
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "${zipPath.getAbsolutePath}"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin).collect()
+    assert(ts.map(r => (r.getString(0), r.getString(2))).toSet ==
+      Set(("<http://ex/p/1>", "\"ada\"")))
+  }
+
+  test("tar.gz JSON source inflates and reads") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsrc").toFile
+    val tarPath = new java.io.File(dir, "data.json.tar.gz")
+    val payload = """[{"id":"3","v":"t"}]""".getBytes("UTF-8")
+    val t = new TarArchiveOutputStream(
+      new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tarPath)))
+    val e = new TarArchiveEntry("data.json"); e.setSize(payload.length)
+    t.putArchiveEntry(e); t.write(payload); t.closeArchiveEntry(); t.close()
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "${tarPath.getAbsolutePath}";
+         |                      rml:referenceFormulation ql:JSONPath; rml:iterator "$$.[*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "v" ] ].
+         |""".stripMargin).collect()
+    assert(ts.length == 1 && ts.head.getString(0) == "<http://ex/p/3>")
+  }
+}
