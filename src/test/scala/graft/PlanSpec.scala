@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(customerScans <= 4, s"too many scans ($customerScans):\n$p")
   }
 
+  test("rml-star cross-source quoting compiles to an equi-join, not a cartesian product") {
+    val p = plan("rml_star_cross_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quoted-TM join degenerated to a cross product:\n$p")
+    assert(p.contains("Join"), s"no join for the quoted parent frame:\n$p")
+  }
+
   test("ivf assignment aggregates (partial max_by), no window sort over N×C") {
     val p = plan("sim_ivf_topk")
     assert(!p.contains("Window"), s"window in IVF assignment plan:\n$p")
