@@ -772,6 +772,31 @@ object CatalogCore {
         '<< <http://ex/customer/' || c_custkey || '> <http://ex/vocab/name> "' || c_name || '" >>' AS o
         FROM orders JOIN customer ON o_custkey = c_custkey"""))
 
+  /** J2 general form THROUGH a mapping: the join keys are rml:childMap /
+    * rml:parentMap templates (not plain column references) — the engine
+    * evaluates the computed key expressions on both sides and joins on
+    * them (reference: semantify.py:2388-2409 child/parent map grammar).
+    */
+  private val j2Rml = Q("j2_rml_childmap",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<Cust> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/orders.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/order/{o_orderkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:cust;
+         |    rr:objectMap [ rr:parentTriplesMap <Cust>;
+         |      rr:joinCondition [
+         |        rml:childMap [ rr:template "K{o_custkey}" ];
+         |        rml:parentMap [ rr:template "K{c_custkey}" ] ] ]
+         |  ].""".stripMargin).select(col("s"), col("p"), col("o")),
+    Some("""SELECT '<http://ex/order/' || o_orderkey || '>' AS s,
+      '<http://ex/vocab/cust>' AS p,
+      '<http://ex/customer/' || c_custkey || '>' AS o
+      FROM orders JOIN customer ON 'K' || o_custkey = 'K' || c_custkey"""))
+
   /** S4/S5/P1 end-to-end against a real JDBC database: the region table is
     * loaded into embedded Derby, then read back through a d2rq:jdbcDSN +
     * rr:tableName mapping — which exercises the synthesized
@@ -902,5 +927,5 @@ object CatalogCore {
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
-    rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc)
+    rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)
 }
