@@ -385,27 +385,30 @@ object MappingCompiler {
       colFn: String => Column): Seq[TermCompiler.CompiledTerm] = {
     val parent = doc.triplesMaps.find(_.id == parentId)
       .getOrElse(throw new IllegalArgumentException(s"unknown quoted TriplesMap: $parentId"))
-    val pSubj = parent.subject.term.kind match {
+    // a nested quoted SUBJECT contributes one variant per inner branch,
+    // crossed with this TM's own POM branches (all combinations emitted)
+    val pSubjs: Seq[TermCompiler.CompiledTerm] = parent.subject.term.kind match {
       case TermKind.QuotedTriplesMap =>
-        quotedTerms(parent.subject.term.quotedTm.get, doc, base, colFn).head
-      case _ => TermCompiler.rdfTerm(parent.subject.term, None,
-        parent.baseIri.orElse(base), colFn, TermType.Iri)
+        quotedTerms(parent.subject.term.quotedTm.get, doc, base, colFn)
+      case _ => Seq(TermCompiler.rdfTerm(parent.subject.term, None,
+        parent.baseIri.orElse(base), colFn, TermType.Iri))
     }
     val poms = parent.poms.filter(_.objectMap.term.isDefined)
     if (poms.isEmpty)
       throw new IllegalArgumentException(s"quoted TM $parentId has no plain POM")
-    poms.flatMap { pom =>
-      val pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
-      val objs: Seq[TermCompiler.CompiledTerm] = pom.objectMap.term.get.kind match {
+    for {
+      pSubj <- pSubjs
+      pom <- poms
+      pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+      pObj <- pom.objectMap.term.get.kind match {
         case TermKind.QuotedTriplesMap =>
           quotedTerms(pom.objectMap.term.get.quotedTm.get, doc, base, colFn)
         case _ =>
           Seq(TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn, TermType.Literal))
       }
-      objs.map(pObj => TermCompiler.CompiledTerm(
-        graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
-        pSubj.guard && pPred.guard && pObj.guard))
-    }
+    } yield TermCompiler.CompiledTerm(
+      graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
+      pSubj.guard && pPred.guard && pObj.guard)
   }
 
   /** The quoted parent's pre-computed quoted-triple frame for cross-source /

@@ -176,6 +176,32 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.size == 2)
   }
 
+  test("rml-star: nested quoted SUBJECT with several POMs emits every variant combination") {
+    val ts = triples(
+      s"""<Inner> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:seg; rr:objectMap [ rml:reference "seg" ] ].
+         |<Mid> a rml:NonAssertedTriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rml:quotedTriplesMap <Inner> ];
+         |  rr:predicateObjectMap [ rr:predicate ex:conf; rr:objectMap [ rml:reference "seg" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:meta;
+         |    rr:objectMap [ rml:quotedTriplesMap <Mid> ]
+         |  ].""".stripMargin)
+    // Mid's subject has TWO variants (Inner's ex:a and ex:seg branches);
+    // each yields a doubly-nested quoted object on the same row
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/meta>",
+      "<< << <http://ex/r/1> <http://ex/a> \"x1\" >> <http://ex/conf> \"S1\" >>")))
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/meta>",
+      "<< << <http://ex/r/1> <http://ex/seg> \"S1\" >> <http://ex/conf> \"S1\" >>")))
+  }
+
   test("new W3C dialect (w3id.org/rml/) parses identically") {
     val ts = triples(
       s"""@prefix rml2: <http://w3id.org/rml/> .
