@@ -17,14 +17,21 @@ object Engine {
       removeDuplicates: Boolean = true,
       dedupSourceRows: Boolean = false,
       outputFormat: String = "n-triples", // n-triples | turtle
-      baseIri: Option[String] = None)
+      baseIri: Option[String] = None,
+      /** Dataset-level DB connection for table/query-only logical sources
+        * (reference `[datasetN] host/port/db/user/password` + dbType).
+        */
+      jdbc: Option[MappingCompiler.JdbcDefaults] = None)
+
+  private def toOptions(config: Config): MappingCompiler.Options =
+    MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows,
+      config.baseIri, jdbc = config.jdbc)
 
   /** Compile a mapping document into the quad DataFrame (s, p, o, g). */
   def materialize(spark: SparkSession, mappingTurtle: String,
       sourceDir: String = "", config: Config = Config()): DataFrame = {
     val doc = MappingParser.parse(mappingTurtle, sourceDir)
-    MappingCompiler.compile(spark, doc,
-      MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri))
+    MappingCompiler.compile(spark, doc, toOptions(config))
   }
 
   /** Streaming materialization (SURVEY §2.11 — parity-plus; the reference
@@ -67,7 +74,7 @@ object Engine {
   def run(spark: SparkSession, mappingTurtle: String, sourceDir: String,
       outputPath: String, config: Config = Config()): Long = {
     val doc = MappingParser.parse(mappingTurtle, sourceDir)
-    val opts = MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows, config.baseIri)
+    val opts = toOptions(config)
     val perTm = MappingCompiler.compilePerTm(spark, doc, opts)
     val all = perTm.map(_._2).reduceLeftOption(_.unionByName(_))
       .getOrElse(MappingCompiler.emptyQuads(spark))

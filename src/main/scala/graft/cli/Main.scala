@@ -85,12 +85,22 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val cfg = Engine.Config(removeDuplicates = removeDup, outputFormat = outputFormat)
+      val dbType = ini.getOrElse("datasets", "dbtype", "mysql")
+      def cfgFor(i: Int): Engine.Config = Engine.Config(
+        removeDuplicates = removeDup, outputFormat = outputFormat,
+        jdbc = ini.get(s"dataset$i", "host").map { host =>
+          graft.exec.MappingCompiler.JdbcDefaults(
+            buildJdbcUrl(dbType, host,
+              ini.getOrElse(s"dataset$i", "port", ""),
+              ini.getOrElse(s"dataset$i", "db", "")),
+            ini.getOrElse(s"dataset$i", "user", ""),
+            ini.getOrElse(s"dataset$i", "password", ""), dbType)
+        })
       if (allInOne) {
         val quads = (1 to nDatasets).map { i =>
           val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
           Engine.materialize(spark, java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
-            new java.io.File(mappingPath).getParent, cfg)
+            new java.io.File(mappingPath).getParent, cfgFor(i))
         }.reduceLeft(_.unionByName(_))
         val out = if (removeDup) quads.dropDuplicates("s", "p", "o", "g") else quads
         val name = ini.getOrElse("datasets", "name", "output")
@@ -103,7 +113,7 @@ object Main {
           val n = Engine.run(spark,
             java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
             new java.io.File(mappingPath).getParent,
-            s"$outputFolder/$name", cfg)
+            s"$outputFolder/$name", cfgFor(i))
           println(s"Successfully created $n triples for dataset '$name' at $outputFolder/$name")
         }
       }
@@ -112,4 +122,18 @@ object Main {
 
   private def resolvePath(p: String, baseDir: String): String =
     if (p.startsWith("/")) p else s"$baseDir/${p.stripPrefix("./")}"
+
+  /** JDBC URL from the reference's host/port/db config keys (the reference
+    * connects mysql.connector / pyodbc / psycopg2 with them directly).
+    */
+  private[graft] def buildJdbcUrl(dbType: String, host: String, port: String, db: String): String = {
+    val p = if (port.nonEmpty) s":$port" else ""
+    dbType.toLowerCase match {
+      case "mysql" => s"jdbc:mysql://$host$p/$db"
+      case "postgres" | "postgresql" => s"jdbc:postgresql://$host$p/$db"
+      case "sqlserver" => s"jdbc:sqlserver://$host$p;databaseName=$db"
+      case other => throw new IllegalArgumentException(
+        s"unsupported dbType '$other' (mysql | postgres | sqlserver)")
+    }
+  }
 }

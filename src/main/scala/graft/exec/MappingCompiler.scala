@@ -32,6 +32,14 @@ import org.apache.spark.sql.types.ArrayType
   */
 object MappingCompiler {
 
+  /** Connection defaults for mappings whose logical sources name only a
+    * table/query (the reference's `[datasetN] host/port/db/user/password` +
+    * `[datasets] dbType` config keys, semantify.py:9970-9975,
+    * functions.py:879-894).
+    */
+  final case class JdbcDefaults(url: String, user: String = "",
+      password: String = "", dbType: String = "generic")
+
   final case class Options(
       removeDuplicates: Boolean = true,
       dedupSourceRows: Boolean = false,
@@ -40,7 +48,8 @@ object MappingCompiler {
         * DataFrame (readStream) stand in for a TM's source while parent
         * sources stay static (stream-static joins, SURVEY §2.11).
         */
-      sourceOverride: Map[String, DataFrame] = Map.empty)
+      sourceOverride: Map[String, DataFrame] = Map.empty,
+      jdbc: Option[JdbcDefaults] = None)
 
   private val RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
@@ -106,7 +115,7 @@ object MappingCompiler {
       opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
 
     val raw = opts.sourceOverride.getOrElse(tm.source.id,
-      SourceReader.read(spark, effectiveSource(tm)))
+      SourceReader.read(spark, effectiveSource(tm, opts)))
     val df = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
@@ -217,7 +226,7 @@ object MappingCompiler {
     // --- branch 2: one joined branch per RefObjectMap POM ---
     val joinBranches: Seq[DataFrame] = tm.poms
       .filter(_.objectMap.refObject.isDefined)
-      .map(pom => compileJoinPom(spark, tm, pom, df, subj, subjGraph, base, doc, parentCache))
+      .map(pom => compileJoinPom(spark, tm, pom, df, subj, subjGraph, base, doc, opts, parentCache))
 
     // --- branch 3: gather maps (RML-CC containers/collections, A1-A3) ---
     val gatherBranches: Seq[DataFrame] = tm.poms
@@ -309,7 +318,7 @@ object MappingCompiler {
     */
   private def compileJoinPom(spark: SparkSession, tm: TriplesMap, pom: PredicateObjectMap,
       childDf: DataFrame, subj: TermCompiler.CompiledTerm, subjGraph: Column,
-      base: Option[String], doc: MappingDoc,
+      base: Option[String], doc: MappingDoc, opts: Options,
       parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
 
     val rom = pom.objectMap.refObject.get
@@ -326,7 +335,7 @@ object MappingCompiler {
       case Some(jc) =>
         val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
-          val pdf = SourceReader.read(spark, effectiveSource(parentTm))
+          val pdf = SourceReader.read(spark, effectiveSource(parentTm, opts))
           val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -363,7 +372,7 @@ object MappingCompiler {
           childDf.where(subj.guard && pred.guard && pSubj.guard)
             .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
         } else {
-          val pdf = SourceReader.read(spark, effectiveSource(parentTm))
+          val pdf = SourceReader.read(spark, effectiveSource(parentTm, opts))
           val pColFn: String => Column = a => pdf(a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -426,7 +435,7 @@ object MappingCompiler {
       jc.map(_.effectiveParentMaps.mkString(",")).getOrElse("")
     parentCache.getOrElseUpdate(cacheKey, {
       val pdf = opts.sourceOverride.getOrElse(parentTm.source.id,
-        SourceReader.read(spark, effectiveSource(parentTm)))
+        SourceReader.read(spark, effectiveSource(parentTm, opts)))
       val pColFn: String => Column = a => resolveAttr(pdf, a)
       val terms = quotedTerms(parentTm.id, doc, parentTm.baseIri.orElse(base), pColFn)
       val keyCols = jc.toList.flatMap(_.effectiveParentMaps.zipWithIndex.map { case (t, i) =>
@@ -596,13 +605,24 @@ object MappingCompiler {
     case _ => None
   }
 
-  private def effectiveSource(tm: TriplesMap): LogicalSource = tm.source match {
-    case j: LogicalSource.JdbcSource =>
-      synthesizeJdbcQuery(tm).map(q => j.copy(query = Some(q), tableName = None)).getOrElse(j)
-    case x: LogicalSource.XmlSource if tmReferencedAttrs(tm).exists(_.startsWith("..")) =>
-      x.copy(parentAxis = true) // `../…` refs need the parent-level scan
-    case s => s
-  }
+  private def effectiveSource(tm: TriplesMap, opts: Options = Options()): LogicalSource =
+    tm.source match {
+      case j0: LogicalSource.JdbcSource =>
+        // mappings that name only a table/query inherit the dataset-level
+        // connection (reference config keys host/port/db/user/password)
+        val j = if (j0.url.isEmpty) opts.jdbc match {
+          case Some(d) => j0.copy(url = d.url, dbType = d.dbType,
+            user = d.user, password = d.password)
+          case None => throw new IllegalArgumentException(
+            s"TriplesMap ${tm.id}: database source (tableName/query) but no " +
+              "connection — give the source a d2rq:jdbcDSN or pass JdbcDefaults")
+        } else j0
+        val tmEff = tm.copy(source = j)
+        synthesizeJdbcQuery(tmEff).map(q => j.copy(query = Some(q), tableName = None)).getOrElse(j)
+      case x: LogicalSource.XmlSource if tmReferencedAttrs(tm).exists(_.startsWith("..")) =>
+        x.copy(parentAxis = true) // `../…` refs need the parent-level scan
+      case s => s
+    }
 
   /** Template inline condition `items[?(@.type=="v")].title` (SURVEY P4;
     * reference: functions.py:1820-1864): filter an array-of-structs

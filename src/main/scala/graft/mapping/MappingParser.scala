@@ -131,6 +131,10 @@ object MappingParser {
       LogicalSource.SparqlSource(sourceVal.get, iterator.getOrElse(""))
     else if (tableName.isDefined || query.isDefined)
       LogicalSource.JdbcSource("", "generic", query, tableName)
+    else if (iterator.exists(_.trim.toLowerCase.startsWith("select ")))
+      // SQL iterator: the reference treats a SELECT in rml:iterator as the
+      // database query (functions.py:888-890)
+      LogicalSource.JdbcSource("", "generic", iterator.map(_.trim), None)
     else formulation match {
       case f if f.endsWith("CSV") || f.endsWith("TSV") =>
         val delim = descDelimiter.getOrElse(if (f.endsWith("TSV")) "\t" else ",")

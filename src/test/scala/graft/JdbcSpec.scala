@@ -97,6 +97,54 @@ class JdbcSpec extends AnyFunSuite {
       ("<http://ex/e/11>", "<http://ex/city/paris>")))
   }
 
+  test("S4: tableName-only mapping inherits the dataset-level connection (JdbcDefaults)") {
+    db
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rr:tableName "cities" ];
+         |  rr:subjectMap [ rr:template "http://ex/city/{cname}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:country; rr:objectMap [ rml:reference "country" ] ].
+         |""".stripMargin,
+      config = Engine.Config(jdbc = Some(graft.exec.MappingCompiler.JdbcDefaults(dsn))))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/city/berlin>", "\"DE\""),
+      ("<http://ex/city/paris>", "\"FR\"")))
+  }
+
+  test("S4: a SQL SELECT in rml:iterator is treated as the database query") {
+    db
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:iterator "SELECT \\"cname\\" FROM cities WHERE \\"country\\" = 'DE'" ];
+         |  rr:subjectMap [ rr:template "http://ex/city/{cname}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:seen; rr:objectMap [ rr:constant "y" ] ].
+         |""".stripMargin,
+      config = Engine.Config(jdbc = Some(graft.exec.MappingCompiler.JdbcDefaults(dsn))))
+      .collect().map(_.getString(0)).toSet
+    assert(ts == Set("<http://ex/city/berlin>"))
+  }
+
+  test("S4: table source without any connection fails loud") {
+    val ex = intercept[IllegalArgumentException] {
+      Engine.materialize(spark, prefixes +
+        s"""<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rr:tableName "nope" ];
+           |  rr:subjectMap [ rr:template "http://ex/x/{id}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:p; rr:objectMap [ rml:reference "id" ] ].
+           |""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("no connection"))
+  }
+
+  test("CLI: host/port/db config keys build the dialect's JDBC URL") {
+    import graft.cli.Main.buildJdbcUrl
+    assert(buildJdbcUrl("mysql", "h", "3306", "d") == "jdbc:mysql://h:3306/d")
+    assert(buildJdbcUrl("postgres", "h", "5432", "d") == "jdbc:postgresql://h:5432/d")
+    assert(buildJdbcUrl("sqlserver", "h", "1433", "d") == "jdbc:sqlserver://h:1433;databaseName=d")
+    intercept[IllegalArgumentException](buildJdbcUrl("oracle", "h", "", "d"))
+  }
+
   test("P1 plan: the JDBC scan ships only the mapped columns (pushdown visible in the plan)") {
     db
     val df = Engine.materialize(spark, prefixes +
