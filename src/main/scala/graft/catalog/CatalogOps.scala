@@ -239,6 +239,28 @@ object CatalogOps {
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
       FROM documents"""))
 
+  private val txtRepetition = Q("txt_repetition",
+    (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("dup_line_frac"), col("dup_ngram_frac")),
+    Some(s"""WITH m AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        $tokenizeSql AS toks
+        FROM documents),
+      g AS (SELECT doc_id, lines,
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [] END AS grams
+        FROM m)
+      SELECT doc_id,
+        round(CASE WHEN len(lines) > 0
+          THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+          ELSE 0.0 END, 6) AS dup_line_frac,
+        round(CASE WHEN len(grams) > 0
+          THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+          ELSE 0.0 END, 6) AS dup_ngram_frac
+      FROM g"""))
+
   private val txtFingerprint = Q("txt_fingerprint",
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
@@ -284,7 +306,7 @@ object CatalogOps {
   val queries: Seq[Q] = Seq(
     ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf,
-    txtLangid, txtQuality, txtTokens, txtFingerprint,
+    txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     mmMeta, mmFrames,
     stWindow)
 }

@@ -72,6 +72,32 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
 
+  /** Repetition signals (the Gopher/C4-family quality filters): fraction of
+    * duplicate lines and fraction of duplicate word n-grams. High values
+    * indicate boilerplate / template spam — standard pretraining filters.
+    * Pure array expressions: split → distinct-count ratio, no shuffle, runs
+    * at scan speed inside whole-stage codegen.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, ngram: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("double")
+    val dupLineFrac = when(nLines > 0,
+      (nLines - size(array_distinct(lines)).cast("double")) / nLines).otherwise(0.0)
+    val toks = Dedup.tokenize(t)
+    val n = size(toks)
+    // word n-grams via transform over sliding offsets (codegen'd, no explode)
+    val grams = when(n >= ngram,
+      transform(sequence(lit(0), n - ngram),
+        i => concat_ws(" ", (0 until ngram).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams).cast("double")
+    val dupGramFrac = when(nGrams > 0,
+      (nGrams - size(array_distinct(grams)).cast("double")) / nGrams).otherwise(0.0)
+    df.withColumn("dup_line_frac", round(dupLineFrac, 6))
+      .withColumn("dup_ngram_frac", round(dupGramFrac, 6))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * punctuation stripped, whitespace collapsed) — stable under
     * formatting-only edits.

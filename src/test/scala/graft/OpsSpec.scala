@@ -63,6 +63,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 6L, 7L)) // 6 untouched, others deduped to min
   }
 
+  test("repetition signals: duplicate-line and duplicate-ngram fractions") {
+    val df = Seq(
+      // 4 non-empty lines, "same line" twice → dup_line_frac = 1/4
+      (1L, "same line\nsame line\nother\n\nlast"),
+      // tokens: a b a b a b → trigrams: "a b a","b a b","a b a","b a b" → 2 dups of 4
+      (2L, "a b a b a b"),
+      (3L, "short"), // < 3 tokens → no grams, 1 line
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text")
+      .select("doc_id", "dup_line_frac", "dup_ngram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.25)
+    assert(out(2L) == (0.0, 0.5))
+    assert(out(3L) == (0.0, 0.0))
+    assert(out(4L) == (0.0, 0.0))
+  }
+
   test("cluster resolution: a 15-element chain (diameter > 10) is one cluster") {
     // min-label propagation at 10 rounds would split this chain; the
     // large/small-star rewrite must collapse it to a single min-id root
