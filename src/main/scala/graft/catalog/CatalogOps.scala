@@ -261,6 +261,44 @@ object CatalogOps {
           ELSE 0.0 END, 6) AS dup_ngram_frac
       FROM g"""))
 
+  /** Decontamination: corpus docs sharing any 5-gram with a probe set (the
+    * 20 lowest-id docs stand in for benchmark data). Probe grams broadcast;
+    * corpus grams are generated inside the scan.
+    */
+  private val txtContamination = Q("txt_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramContamination(
+        docs.where(col("doc_id") >= 20), "text", "doc_id",
+        docs.where(col("doc_id") < 20), "text", "doc_id", k = 5)
+    },
+    Some(s"""WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len($tokenizeSql) >= 5 THEN
+            list_transform(range(1, len($tokenizeSql) - 3),
+              i -> $tokenizeSql[i] || ' ' || $tokenizeSql[i+1] || ' ' || $tokenizeSql[i+2] || ' ' || $tokenizeSql[i+3] || ' ' || $tokenizeSql[i+4])
+          ELSE [] END)) AS gram
+        FROM documents),
+      probe AS (SELECT DISTINCT doc_id AS probe_id, gram FROM grams WHERE doc_id < 20),
+      corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 20)
+      SELECT corpus.doc_id, probe.probe_id, count(*) AS shared_ngrams
+      FROM corpus JOIN probe USING (gram)
+      GROUP BY 1, 2"""))
+
+  /** Deterministic stratified sampling: portable md5 bucket per id, a
+    * per-language keep rate — the exact same row set in any engine.
+    */
+  private val txtSample = Q("txt_stratified_sample",
+    (s, dir) => graft.ops.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1, seed = 7)
+      .select(col("doc_id"), col("lang")),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE ${h60Sql("doc_id::VARCHAR", 7)} % 1000000 <
+        CASE WHEN lang = 'en' THEN 500000
+             WHEN lang = 'de' THEN 250000
+             ELSE 100000 END"""))
+
   private val txtFingerprint = Q("txt_fingerprint",
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
@@ -307,6 +345,7 @@ object CatalogOps {
     ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
+    txtContamination, txtSample,
     mmMeta, mmFrames,
     stWindow)
 }

@@ -72,6 +72,38 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
 
+  /** Sliding word n-grams as an array expression (codegen'd, no explode):
+    * `transform(sequence(0, n-k), i -> toks[i+1] .. toks[i+k])`.
+    */
+  def wordNgrams(text: Column, k: Int): Column = {
+    val toks = Dedup.tokenize(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Test-set decontamination: which corpus documents share ≥1 word n-gram
+    * with a probe set (benchmark/eval data). The probe side's distinct
+    * n-grams are orders of magnitude smaller than the corpus, so Spark
+    * broadcasts them (AQE) and the corpus streams through map-side — the
+    * standard contamination-check shape at 100 TB: corpus n-grams are
+    * generated and probed inside the scan, never materialized globally.
+    * Returns (doc_id, probe_id, shared_ngrams).
+    */
+  def ngramContamination(docs: DataFrame, docText: String, docId: String,
+      probes: DataFrame, probeText: String, probeId: String, k: Int = 5): DataFrame = {
+    val docGrams = docs.select(col(docId).as("doc_id"),
+      explode(array_distinct(wordNgrams(col(docText), k))).as("gram"))
+    val probeGrams = probes.select(col(probeId).as("probe_id"),
+      explode(array_distinct(wordNgrams(col(probeText), k))).as("gram"))
+      .distinct()
+    docGrams.join(probeGrams, "gram")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** Repetition signals (the Gopher/C4-family quality filters): fraction of
     * duplicate lines and fraction of duplicate word n-grams. High values
     * indicate boilerplate / template spam — standard pretraining filters.
@@ -84,13 +116,7 @@ object TextAnalysis {
     val nLines = size(lines).cast("double")
     val dupLineFrac = when(nLines > 0,
       (nLines - size(array_distinct(lines)).cast("double")) / nLines).otherwise(0.0)
-    val toks = Dedup.tokenize(t)
-    val n = size(toks)
-    // word n-grams via transform over sliding offsets (codegen'd, no explode)
-    val grams = when(n >= ngram,
-      transform(sequence(lit(0), n - ngram),
-        i => concat_ws(" ", (0 until ngram).map(k => element_at(toks, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordNgrams(t, ngram)
     val nGrams = size(grams).cast("double")
     val dupGramFrac = when(nGrams > 0,
       (nGrams - size(array_distinct(grams)).cast("double")) / nGrams).otherwise(0.0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -78,6 +78,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == (0.0, 0.5))
     assert(out(3L) == (0.0, 0.0))
     assert(out(4L) == (0.0, 0.0))
+  }
+
+  test("ngram contamination finds docs sharing a 5-gram with the probe set") {
+    val probe = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix the quick brown fox jumps suffix"), // shares "the quick brown fox jumps"
+      (2L, "completely unrelated text with many words here"),
+      (3L, "the quick brown fox jumps over the lazy dog")) // shares 2 probe 5-grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramContamination(docs, "text", "doc_id", probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 100L) -> 1L, (3L, 100L) -> 2L))
+  }
+
+  test("deterministic sampling is reproducible and stratum-rated") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val s1 = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5, "de" -> 0.1), seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5, "de" -> 0.1), seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // same rows every run
+    val en = s1.count(_ % 2 == 0).toDouble / 2000
+    val de = s1.count(_ % 2 == 1).toDouble / 2000
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.1) < 0.03, s"de rate $de")
   }
 
   test("cluster resolution: a 15-element chain (diameter > 10) is one cluster") {

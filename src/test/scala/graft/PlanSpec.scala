@@ -58,6 +58,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"no join for the quoted parent frame:\n$p")
   }
 
+  test("contamination check broadcasts the probe grams (corpus streams map-side)") {
+    val p = plan("txt_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+  }
+
   test("ivf assignment aggregates (partial max_by), no window sort over N×C") {
     val p = plan("sim_ivf_topk")
     assert(!p.contains("Window"), s"window in IVF assignment plan:\n$p")
