@@ -299,6 +299,27 @@ object CatalogOps {
              WHEN lang = 'de' THEN 250000
              ELSE 100000 END"""))
 
+  /** PII scrubbing + audit counts; same RE2-compatible patterns in DuckDB
+    * so the redacted text hash-matches byte-for-byte.
+    */
+  private val txtPii = Q("txt_pii_redaction",
+    (s, dir) => {
+      val d = TextAnalysis.piiSignals(t(s, dir, "documents"), "text")
+      d.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        col("n_emails"), col("n_ipv4"))
+    },
+    Some("""SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4
+      FROM documents"""))
+
   private val txtFingerprint = Q("txt_fingerprint",
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
@@ -345,7 +366,7 @@ object CatalogOps {
     ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
-    txtContamination, txtSample,
+    txtContamination, txtSample, txtPii,
     mmMeta, mmFrames,
     stWindow)
 }

@@ -124,6 +124,30 @@ object TextAnalysis {
       .withColumn("dup_ngram_frac", round(dupGramFrac, 6))
   }
 
+  /** PII scrubbing: replace emails, phone-shaped numbers, and IPv4
+    * addresses with typed placeholder tokens (the standard pretraining
+    * redaction pass). Chained codegen `regexp_replace` — no UDF; patterns
+    * kept RE2-compatible so external engines reproduce the output
+    * byte-for-byte.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>")
+  }
+
+  /** Per-document PII counts (audit before/after scrubbing). */
+  def piiSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(t, lit("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"), lit(0))).cast("long"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * punctuation stripped, whitespace collapsed) — stable under
     * formatting-only edits.

@@ -80,6 +80,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == (0.0, 0.0))
   }
 
+  test("PII redaction replaces emails, IPs, phone numbers with placeholders") {
+    val df = Seq((1L,
+      "mail a.b+c@ex-ample.org or call +1 (555) 123-4567; host 10.0.255.1 ok"))
+      .toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(out == "mail <EMAIL> or call <PHONE>; host <IP> ok", out)
+    val sig = TextAnalysis.piiSignals(df, "text").select("n_emails", "n_ipv4").collect().head
+    assert((sig.getLong(0), sig.getLong(1)) == (1L, 1L))
+  }
+
   test("ngram contamination finds docs sharing a 5-gram with the probe set") {
     val probe = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
     val docs = Seq(
