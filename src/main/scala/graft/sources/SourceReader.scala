@@ -125,7 +125,9 @@ object SourceReader {
             case n => n.takeWhile(c => c != '?' && c != '#')
           }
           val tmp = java.nio.file.Files.createTempDirectory("graft_http").resolve(name)
-          val in = java.net.URI.create(path).toURL.openStream()
+          val in = try java.net.URI.create(path).toURL.openStream()
+            catch { case e: java.io.IOException =>
+              throw new java.io.IOException(s"failed to fetch remote source $path: ${e.getMessage}", e) }
           try java.nio.file.Files.copy(in, tmp)
           finally in.close()
           tmp.toString

@@ -62,6 +62,13 @@ class RemoteSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S8: a failing remote fetch names the URL in the error") {
+    val ex = intercept[java.io.IOException] {
+      graft.sources.SourceReader.resolvePath("http://127.0.0.1:1/nope.csv")
+    }
+    assert(ex.getMessage.contains("http://127.0.0.1:1/nope.csv"))
+  }
+
   test("zip CSV source inflates and reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zsrc").toFile
     val zipPath = new java.io.File(dir, "data.csv.zip")
