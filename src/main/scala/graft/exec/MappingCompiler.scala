@@ -333,7 +333,12 @@ object MappingCompiler {
 
     rom.joinCondition match {
       case Some(jc) =>
-        val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",")
+        // the effective base IRI is part of the key: `base` comes from the
+        // child TM being compiled, and a second child with a different base
+        // must not reuse a frame whose subjects were resolved against the
+        // first child's base
+        val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",") +
+          "|" + parentTm.baseIri.orElse(base).getOrElse("")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
           val pdf = SourceReader.read(spark, effectiveSource(parentTm, opts))
           val pColFn: String => Column = a => resolveAttr(pdf, a)
@@ -431,8 +436,12 @@ object MappingCompiler {
   private def quotedParentFrame(spark: SparkSession, parentTm: TriplesMap,
       doc: MappingDoc, opts: Options, jc: Option[JoinCondition], base: Option[String],
       parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
+    // effective base IRI in the key for the same reason as compileJoinPom's
+    // parent-subject cache: frames built under one child's base must not be
+    // reused by a child with a different base
     val cacheKey = "quoted|" + parentTm.id + "|" +
-      jc.map(_.effectiveParentMaps.mkString(",")).getOrElse("")
+      jc.map(_.effectiveParentMaps.mkString(",")).getOrElse("") +
+      "|" + parentTm.baseIri.orElse(base).getOrElse("")
     parentCache.getOrElseUpdate(cacheKey, {
       val pdf = opts.sourceOverride.getOrElse(parentTm.source.id,
         SourceReader.read(spark, effectiveSource(parentTm, opts)))

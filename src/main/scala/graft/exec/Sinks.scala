@@ -127,17 +127,18 @@ object Sinks {
         case _ => ntLines(routed)
       }
       val archive = t.compression.exists(c => c != "gzip")
+      val gz = t.compression.contains("gzip")
       val dir = if (archive) t.path + "__raw" else t.path
       val w = lines.write.mode("overwrite")
-      (if (t.compression.contains("gzip")) w.option("compression", "gzip") else w).text(dir)
+      (if (gz) w.option("compression", "gzip") else w).text(dir)
       if (t.serialization.equalsIgnoreCase("rdfxml") || t.serialization.equalsIgnoreCase("xml"))
-        writeRdfXmlEnvelope(lines.sparkSession, dir)
-      if (Set("turtle", "ttl", "n3")(t.serialization.toLowerCase) && prefixes.nonEmpty) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          lines.sparkSession.sparkContext.hadoopConfiguration)
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_00_prefixes.ttl"), true)
-        out.write((turtleHeader(prefixes) + "\n").getBytes("UTF-8")); out.close()
-      }
+        writeRdfXmlEnvelope(lines.sparkSession, dir, gz)
+      if (Set("turtle", "ttl", "n3")(t.serialization.toLowerCase) && prefixes.nonEmpty)
+        // sidecar matches the part files' codec so a concatenated/globbed
+        // read of the directory stays uniform
+        putSidecar(lines.sparkSession, dir,
+          if (gz) "_00_prefixes.ttl.gz" else "_00_prefixes.ttl",
+          turtleHeader(prefixes) + "\n", gz)
       if (t.encoding.equalsIgnoreCase("UTF-16")) reencodeUtf16(lines.sparkSession, dir)
       t.compression.filter(_ != "gzip").foreach(c =>
         archiveDir(lines.sparkSession, dir, t.path, c))
@@ -193,16 +194,24 @@ object Sinks {
   /** Side files that make the concatenated sorted part files a valid RDF/XML
     * document ("_00_…" sorts before "part-…", "zz_…" after).
     */
-  private def writeRdfXmlEnvelope(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def put(name: String, text: String): Unit = {
-      val o = fs.create(new org.apache.hadoop.fs.Path(dir, name))
-      o.write(text.getBytes("UTF-8")); o.close()
-    }
-    put("_00_header.rdf",
+  private def writeRdfXmlEnvelope(spark: org.apache.spark.sql.SparkSession, dir: String,
+      gz: Boolean = false): Unit = {
+    val ext = if (gz) ".rdf.gz" else ".rdf"
+    putSidecar(spark, dir, "_00_header" + ext,
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-        "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n")
-    put("zz_footer.rdf", "</rdf:RDF>\n")
+        "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n", gz)
+    putSidecar(spark, dir, "zz_footer" + ext, "</rdf:RDF>\n", gz)
+  }
+
+  /** Write a small driver-side sidecar file next to the part files, gzipped
+    * when the parts are gzipped.
+    */
+  private def putSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, text: String, gz: Boolean): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val raw = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    val out: java.io.OutputStream = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
+    out.write(text.getBytes("UTF-8")); out.close()
   }
 
   /** UTF-16 re-encode pass (reference: semantify.py:10054-10058): stream
@@ -215,9 +224,17 @@ object Sinks {
     val base = new org.apache.hadoop.fs.Path(dir)
     fs.listStatus(base).filter(s => s.isFile && !s.getPath.getName.startsWith("_SUCCESS"))
       .foreach { st =>
+        // gzipped parts are decompressed for the character re-encode and
+        // recompressed on the way out — reading .gz bytes as UTF-8 text
+        // would corrupt the output
+        val gz = st.getPath.getName.endsWith(".gz")
         val tmp = new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".u16tmp")
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
-        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-16"))
+        val rawIn: java.io.InputStream =
+          if (gz) new java.util.zip.GZIPInputStream(fs.open(st.getPath)) else fs.open(st.getPath)
+        val rawOut: java.io.OutputStream =
+          if (gz) new java.util.zip.GZIPOutputStream(fs.create(tmp, true)) else fs.create(tmp, true)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(rawIn, "UTF-8"))
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(rawOut, "UTF-16"))
         val buf = new Array[Char](64 * 1024)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -212,14 +212,17 @@ object FnoRegistry {
         val s = a(0)
         val rest = substring_index(substring_index(s, "://", 2), "://", -1)
         val lastSeg = substring_index(rest, "/", -1)
-        struct(
+        // no "://" → the reference's split("://")[1] raises and the term is
+        // dropped; a null struct reproduces that (every getField is null)
+        // instead of fabricating domain/string outputs from the whole value
+        when(s.contains("://"), struct(
           substring_index(s, "://", 1).as("protocolOutput"),
           when(rest.contains("#"), substring_index(rest, "#", 1))
             .otherwise(replace(rest, concat(lit("/"), lastSeg), lit("")))
             .as("domainOutput"),
           when(rest.contains("#"), substring_index(substring_index(rest, "#", 2), "#", -1))
             .otherwise(lastSeg)
-            .as("stringOutput"))
+            .as("stringOutput")))
       case "toUpperCaseURL" =>
         val u = upper(a(0))
         when(u.startsWith("HTTP://") || u.startsWith("HTTPS://"), u)

@@ -153,12 +153,19 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val ta = docs.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sa"))
     val tb = docs.select(col("id").as("id_b"), col("toks").as("tb"), col("sz").as("sb"))
-    cands.join(ta, "id_a").join(tb, "id_b")
+    val verified = cands.join(ta, "id_a").join(tb, "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      // eager checkpoint materializes the verification while `docs` is still
+      // cached, so the cache can be released here instead of leaking blocks
+      // for the session lifetime; the surviving pairs are tiny next to the
+      // corpus, and downstream consumers reuse them without recompute
+      .localCheckpoint()
+    docs.unpersist()
+    verified
   }
 
   /** Resolve near-duplicate pairs into clusters via alternating

@@ -154,9 +154,20 @@ object SourceReader {
       var e: org.apache.commons.compress.archivers.ArchiveEntry = archIn.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
-          // basename only: archive paths must not escape the temp dir
-          val name = new java.io.File(e.getName).getName
+          // Flatten the entry path into the temp dir (Spark's default file
+          // listing is non-recursive), keeping it unique: `a/data.csv` and
+          // `b/data.csv` become `a__data.csv` / `b__data.csv` instead of
+          // silently overwriting each other. Path traversal segments are
+          // dropped so entries cannot escape the temp dir.
+          val name = e.getName.replace('\\', '/').split('/')
+            .filter(s => s.nonEmpty && s != "." && s != "..")
+            .mkString("__")
+          if (name.isEmpty)
+            throw new java.io.IOException(s"archive $file: unextractable entry name '${e.getName}'")
           val dest = outDir.resolve(name)
+          if (java.nio.file.Files.exists(dest))
+            throw new java.io.IOException(
+              s"archive $file: duplicate entry name '${e.getName}' collides at $dest")
           val out = java.nio.file.Files.newOutputStream(dest)
           try {
             val buf = new Array[Byte](64 * 1024)

@@ -85,6 +85,20 @@ class RemoteSourcesSpec extends AnyFunSuite {
       Set(("<http://ex/p/1>", "\"ada\"")))
   }
 
+  test("archive entries with the same basename in different dirs both survive") {
+    // a/data.csv and b/data.csv must not silently overwrite each other
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdup").toFile
+    val zipPath = new java.io.File(dir, "two.zip")
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    z.putNextEntry(new java.util.zip.ZipEntry("a/data.csv"))
+    z.write("id,name\n1,ada\n".getBytes("UTF-8")); z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("b/data.csv"))
+    z.write("id,name\n2,bob\n".getBytes("UTF-8")); z.closeEntry(); z.close()
+    val local = graft.sources.SourceReader.resolvePath(zipPath.getAbsolutePath)
+    val rows = spark.read.option("header", "true").csv(local).collect()
+    assert(rows.map(_.getString(1)).toSet == Set("ada", "bob"))
+  }
+
   test("tar.gz JSON source inflates and reads") {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val dir = java.nio.file.Files.createTempDirectory("graft_tsrc").toFile

@@ -253,6 +253,18 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.contains(("<http://ex/r/1>", "<http://ex/slug>", "\"Z1\"")))
   }
 
+  test("parseURL on a value without :// drops the term (reference raises)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("1", "https://ex.org/a/b"), ("2", "not-a-url")).toDF("id", "url")
+    val parsed = df.select(col("id"),
+      graft.functions.FnoRegistry.apply("parseURL", List(col("url")))
+        .getField("domainOutput").as("domain"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(parsed("1").contains("ex.org/a"))
+    assert(parsed("2").isEmpty) // Python split("://")[1] raises → no value
+  }
+
   test("P5: rml:condition on the subject map gates whole rows") {
     val ts = triples(
       s"""<TM> a rr:TriplesMap;

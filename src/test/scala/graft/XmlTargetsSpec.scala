@@ -289,6 +289,33 @@ class XmlTargetsSpec extends AnyFunSuite {
     assert(new String(bytes, "UTF-16").contains("<http://ex/1> <http://ex/name> \"ada\" ."))
   }
 
+  test("K3: gzip compression composes with UTF-16 encoding and a gzipped ttl sidecar") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    val quads = Seq(("<http://ex/1>", "<http://ex/name>", "\"ada\""))
+      .toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val base = java.nio.file.Files.createTempDirectory("graft_gzu16").toString
+    Sinks.writeLogicalTargets(quads, Seq(
+      Sinks.TargetSpec(lit(true), s"$base/gz_u16", serialization = "ntriples",
+        compression = Some("gzip"), encoding = "UTF-16"),
+      Sinks.TargetSpec(lit(true), s"$base/gz_ttl", serialization = "turtle",
+        compression = Some("gzip"))),
+      prefixes = Map("ex" -> "http://ex/"))
+    // part file is still gzip; the decompressed payload decodes as UTF-16
+    val part = new java.io.File(s"$base/gz_u16").listFiles
+      .filter(_.getName.startsWith("part-")).head
+    val gin = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(part))
+    val payload = gin.readAllBytes(); gin.close()
+    assert(payload.length >= 2 && payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte)
+    assert(new String(payload, "UTF-16").contains("<http://ex/1> <http://ex/name> \"ada\" ."))
+    // the turtle prefix sidecar is gzipped alongside gzipped parts
+    val sidecar = new java.io.File(s"$base/gz_ttl/_00_prefixes.ttl.gz")
+    assert(sidecar.exists)
+    val sin = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(sidecar))
+    assert(new String(sin.readAllBytes(), "UTF-8").contains("@prefix ex: <http://ex/> ."))
+    sin.close()
+  }
+
   test("K3: zip and tar.gz archive targets pack the dump into one archive file") {
     import spark.implicits._
     import graft.exec.Sinks
