@@ -27,7 +27,7 @@ object Catalog {
   }
 
   lazy val all: Seq[Q] =
-    CatalogCore.queries ++ CatalogOps.queries
+    CatalogCore.queries ++ CatalogOps.queries ++ CatalogPipeline.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -308,6 +308,23 @@ object CatalogCore {
     },
     Some("SELECT '<http://ex/customer/' || replace(c_name, '#', '%23') || '>' AS subject FROM customer"))
 
+  /** Template-valued OBJECT map without rr:termType → IRI (R2RML §7.4;
+    * reference: semantify.py:4297-4298 — reference-valued object maps
+    * default to Literal instead, which t8/t9 cover).
+    */
+  private val tq2 = Q("t2_template_object_iri",
+    (s, dir) => Engine.materialize(s, mappingPrefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/customer.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:shop;
+         |    rr:objectMap [ rr:template "http://shop{c_nationkey}.example.org/c/{c_custkey}" ] ].""".stripMargin)
+      .select(col("s"), col("p"), col("o")),
+    Some("""SELECT DISTINCT '<http://ex/customer/' || c_custkey || '>' AS s,
+      '<http://ex/vocab/shop>' AS p,
+      '<http://shop' || c_nationkey || '.example.org/c/' || c_custkey || '>' AS o FROM customer"""))
+
   private val tq5 = Q("t5_iri_relative_base",
     (s, dir) => {
       val tm = TermMap(TermKind.Template, "Part/{p_partkey}", Some(TermType.Iri))
@@ -923,7 +940,7 @@ object CatalogCore {
     q1, q3, q18, w1, p1, p2, p3, p5,
     s1, s2, s3, s6, s7, s9, v2,
     k1, k2, k3,
-    tq1, tq5, tq6, tq7, tq8, tq9, tq12,
+    tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,

@@ -20,10 +20,10 @@ object CatalogOps {
   /** DuckDB rendering of [[Dedup.h60]]: must match
     * conv(substring(md5('s<seed>:'||x),1,15),16,10).
     */
-  private def h60Sql(expr: String, seed: Int): String =
+  private[catalog] def h60Sql(expr: String, seed: Int): String =
     s"('0x' || substring(md5('s$seed:' || $expr), 1, 15))::BIGINT"
 
-  private val tokenizeSql =
+  private[catalog] val tokenizeSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   // ------------------------------------------------------------------ dedup

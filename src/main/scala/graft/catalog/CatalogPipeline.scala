@@ -1,0 +1,200 @@
+package graft.catalog
+
+import graft.ops.{Dedup, Embeddings, Joins, Packing, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline + OLAP breadth: temporal joins (as-of,
+  * point-in-interval), corpus shaping (sequence packing, per-source caps,
+  * corpus-level line dedup), unigram-LM scoring, embedding quantization,
+  * and wider OLAP shapes (rollup, exact percentiles, per-group heavy
+  * hitters). Same contract as the rest of the catalog: every query is
+  * paired with DuckDB SQL over the identical parquet tables, aliased to
+  * identical column names.
+  */
+object CatalogPipeline {
+  import Catalog.t
+  import CatalogOps.tokenizeSql
+
+  /** 1 hour in the epoch-nano domain the events table reads as
+    * (spark.sql.legacy.parquet.nanosAsLong).
+    */
+  private val HourNs = 3600000000000L
+
+  // ---------------------------------------------------------- temporal joins
+
+  private val asof = Q("asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofLastPrior(
+        ev.select(col("event_id"), col("user_id"), col("ts")), "event_id", "ts",
+        purchases, "event_id", "ts",
+        keyCols = Seq("user_id"), matchCol = "last_purchase_id")
+        .select(col("event_id"), col("last_purchase_id"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, ts, event_id AS p_id FROM events WHERE event_type = 'purchase'),
+      cand AS (
+        SELECT e.event_id, p.p_id,
+          row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.p_id DESC) AS r
+        FROM events e JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts)
+      SELECT e.event_id, c.p_id AS last_purchase_id
+      FROM events e LEFT JOIN (SELECT event_id, p_id FROM cand WHERE r = 1) c USING (event_id)"""),
+    bench = true)
+
+  private val rangeJoin = Q("range_join_hourly",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts").as("lo"), (col("ts") + lit(HourNs)).as("hi"))
+      val clicks = ev.where(col("event_type") === "click").select(col("ts").as("p"))
+      val hits = Joins.pointInInterval(clicks, "p", signups, "lo", "hi", HourNs)
+        .groupBy(col("signup_id")).agg(count(lit(1)).as("n_clicks"))
+      signups.select(col("signup_id")).join(hits, Seq("signup_id"), "left")
+        .select(col("signup_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    },
+    Some("""WITH s AS (SELECT event_id AS signup_id, ts FROM events WHERE event_type = 'signup'),
+      c AS (SELECT ts FROM events WHERE event_type = 'click')
+      SELECT s.signup_id, count(c.ts) AS n_clicks
+      FROM s LEFT JOIN c ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+      GROUP BY s.signup_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------- corpus shaping
+
+  private val pack = Q("pipe_pack_sequences",
+    (s, dir) => Packing.packSequences(t(s, dir, "documents"), "doc_id", "source",
+      size(filter(split(col("text"), "\\s+"), x => x =!= "")), budget = 512L),
+    Some("""WITH d AS (SELECT doc_id, source,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM d)
+      SELECT doc_id, source, n_tokens, (cum_before // 512)::BIGINT AS pack_id FROM c"""))
+
+  private val sourceCap = Q("pipe_source_cap",
+    (s, dir) => Packing.capPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", n = 20),
+    Some("""SELECT doc_id, source, slot FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS slot
+        FROM documents)
+      WHERE slot <= 20"""))
+
+  private val lineDedup = Q("dd_line_dedup",
+    // the synthetic corpus is single-line and line-unique, so (like
+    // p3_null_lattice does for the null lattice) the query synthesizes the
+    // boilerplate scenario the operator exists for: every doc gains a
+    // per-source footer line (25× repeated), a blank line, and a per-lang
+    // line (~125× repeated); corpus-level line dedup must strip both
+    // repeated lines from every doc, keep the unique body and the blank
+    // line, and reassemble in order
+    (s, dir) => Dedup.lineDedup(
+      t(s, dir, "documents").withColumn("text",
+        concat_ws("\n", col("text"),
+          concat(lit("shared-footer "), col("source")),
+          lit(""),
+          concat(lit("lang: "), col("lang")))),
+      "text", "doc_id", maxOccurrences = 3L),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          text || chr(10) || 'shared-footer ' || source || chr(10) || chr(10) ||
+            'lang: ' || lang AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS line,
+          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        FROM docs),
+      f AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+      kept AS (SELECT doc_id, pos, l.line FROM l JOIN f USING (line)
+        WHERE trim(l.line) = '' OR cnt <= 3),
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+          count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(a.clean_text, '') AS clean_text,
+        (len(string_split(d.text, chr(10))) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+      FROM docs d LEFT JOIN agg a USING (doc_id)"""),
+    bench = true)
+
+  private val unigram = Q("txt_unigram_logprob",
+    (s, dir) => TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
+      freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT count(*) AS n FROM toks)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(avg(ln(n::DOUBLE / c)), 6) AS avg_surprisal
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id"""))
+
+  private val embQuant = Q("emb_quantize_int8",
+    (s, dir) => Embeddings.quantizeInt8(
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", "vec_id"),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      SELECT vec_id, round(norm, 6) AS l2_norm,
+        array_to_string(list_transform(v, x -> (round(x / norm * 127)::INT)::VARCHAR), ',') AS q_csv
+      FROM n"""))
+
+  // -------------------------------------------------------------------- OLAP
+
+  private val rollup = Q("q_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  private val pctile = Q("q_percentile",
+    // exact percentiles with linear interpolation (matches quantile_cont);
+    // the 100 TB path is approx_percentile (t-digest) — exact percentile
+    // sorts per group, fine for bounded group counts, wrong for huge ones
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("pcts"))
+      .select(col("l_returnflag"), posexplode(col("pcts")).as(Seq("p_idx", "raw")))
+      .select(col("l_returnflag"), col("p_idx"), round(col("raw"), 4).as("pct_price")),
+    Some("""WITH q AS (SELECT l_returnflag,
+        quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        unnest(generate_series(0, 2)) AS p_idx,
+        round(unnest(qs), 4) AS pct_price
+      FROM q"""))
+
+  private val heavyHitters = Q("q_heavy_hitters",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("rev").desc, col("l_suppkey"))
+      rev.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("l_returnflag"), col("l_suppkey"),
+          round(col("rev"), 2).as("revenue"), col("rnk"))
+    },
+    Some("""WITH rev AS (SELECT l_returnflag, l_suppkey,
+        sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT l_returnflag, l_suppkey, rev,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY rev DESC, l_suppkey) AS rnk
+        FROM rev)
+      SELECT l_returnflag, l_suppkey, round(rev, 2) AS revenue, rnk
+      FROM r WHERE rnk <= 3"""))
+
+  val queries: Seq[Q] = Seq(
+    asof, rangeJoin,
+    pack, sourceCap, lineDedup, unigram, embQuant,
+    rollup, pctile, heavyHitters)
+}

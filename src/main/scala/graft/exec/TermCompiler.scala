@@ -46,7 +46,13 @@ object TermCompiler {
   def rdfTerm(tm: TermMap, om: Option[ObjectMap], base: Option[String],
       colFn: String => Column, defaultType: TermType): CompiledTerm = {
     val termType = tm.termType.getOrElse(tm.kind match {
-      case TermKind.Template | TermKind.Constant if defaultType == TermType.Iri => TermType.Iri
+      case TermKind.Constant if defaultType == TermType.Iri => TermType.Iri
+      // R2RML §7.4 + reference semantics: a template-valued term map
+      // without rr:termType is an IRI in ANY position — including object
+      // maps, where reference-valued maps default to Literal instead
+      // (reference: semantify.py:4297-4298 wraps template objects in <>
+      // when no term type is declared)
+      case TermKind.Template => TermType.Iri
       case TermKind.BlankUuid => TermType.BlankNode
       case _ => defaultType
     })

@@ -288,4 +288,41 @@ object Dedup {
         Similarity.cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
+    * pass): lines occurring more than `maxOccurrences` times ACROSS THE
+    * CORPUS (navbars, cookie banners, license footers) are removed from
+    * every document; blank lines never count as boilerplate. Documents are
+    * reassembled in original line order.
+    *
+    * Plan shape at 100 TB: explode lines → groupBy(line) count (partial
+    * agg, shuffle keyed on the line — hash-uniform) → join the line stream
+    * back on the line → per-doc sort-free reassembly via
+    * `array_sort(collect_list(struct(pos, line)))`, whose state is bounded
+    * by the largest single document. Nothing driver-side; the only skew
+    * risk is one pathologically common line, which partial aggregation
+    * absorbs before the exchange.
+    *
+    * Returns (idCol, clean_text, n_removed).
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      maxOccurrences: Long): DataFrame = {
+    // split with limit -1 keeps trailing empty lines, so reassembly is
+    // byte-faithful for kept content
+    val split0 = split(col(textCol), "\n", -1)
+    val lines = df.select(col(idCol), posexplode(split0).as(Seq("pos", "line")))
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    val kept = lines.join(freq, "line")
+      .where(trim(col("line")) === "" || col("cnt") <= maxOccurrences)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split0).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins, expressed as
+  * shuffle-friendly compositions of existing operators (preference (a) of
+  * the custom-operator ladder): an as-of join and a point-in-interval
+  * range join. Neither iterates per key and neither builds per-key state
+  * on the driver — both are one shuffle + narrow work, so they hold at
+  * 100 TB where a naive inequality join degenerates to a per-key cartesian.
+  */
+object Joins {
+
+  /** As-of join, "last prior match": for every left row, the id of the
+    * right row with the greatest timestamp `<=` the left timestamp within
+    * the same key (ties on timestamp break to the greatest right id).
+    * Left rows with no prior right row get null.
+    *
+    * Plan shape: both sides are tagged and unioned, then a single window
+    * pass per key carries the last non-null right id forward
+    * (`last(..., ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT).
+    * Cost is one shuffle on the key + an in-partition sort — the same
+    * exchange profile as a sort-merge join, independent of how many right
+    * rows precede each left row. The naive formulation (inequality join +
+    * per-left-row argmax) shuffles |L|×|matches| rows; this shuffles
+    * |L|+|R| and never materializes the candidate set. Hot keys are a
+    * sort skew, not a join blowup: salt the key and merge if one key
+    * dominates a partition.
+    *
+    * `leftIdCol` must uniquely identify left rows; right ids are carried
+    * as longs.
+    */
+  def asofLastPrior(left: DataFrame, leftIdCol: String, leftTsCol: String,
+      right: DataFrame, rightIdCol: String, rightTsCol: String,
+      keyCols: Seq[String], matchCol: String = "asof_id"): DataFrame = {
+    val keyC = keyCols.map(col)
+    val r = right.select(keyC ++ Seq(
+      col(rightTsCol).cast("long").as("__ts"), lit(0).as("__side"),
+      col(rightIdCol).cast("long").as("__pay"), lit(null).cast("long").as("__lid")): _*)
+    val l = left.select(keyC ++ Seq(
+      col(leftTsCol).cast("long").as("__ts"), lit(1).as("__side"),
+      lit(null).cast("long").as("__pay"), col(leftIdCol).cast("long").as("__lid")): _*)
+    // right rows sort before left rows at equal ts (side 0 < 1), so the
+    // `<=` inclusive semantics falls out of the frame bound; among equal-ts
+    // right rows ascending __pay makes "last seen" the greatest id
+    val w = Window.partitionBy(keyC: _*)
+      .orderBy(col("__ts"), col("__side"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__lid").as(leftIdCol), col("__m").as(matchCol))
+    left.join(matched, leftIdCol)
+  }
+
+  /** Point-in-interval range join: rows of `points` paired with rows of
+    * `intervals` where `lo <= p < hi` (long-valued columns, e.g. epoch
+    * nanos — long arithmetic throughout, since epoch-nano values exceed
+    * the 2^53 exact-double range).
+    *
+    * Plan shape: intervals explode to the `bucketWidth`-sized buckets they
+    * cover, points map to their single bucket, and the inequality becomes
+    * an equi-join on the bucket plus a residual filter — the standard
+    * bucketed range-join strategy. A point matches an interval in exactly
+    * one bucket (its own), so no post-join dedup is needed. Work scales
+    * with Σ interval_span/bucketWidth + |points|, not |points|×|intervals|;
+    * pick `bucketWidth` near the typical interval span so most intervals
+    * explode to ≤2 buckets. Values must be non-negative (DIV truncates
+    * toward zero).
+    */
+  def pointInInterval(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals
+      .where(col(hiCol) > col(loCol)) // empty intervals match nothing
+      .withColumn("__b", explode(sequence(
+        expr(s"$loCol DIV ${bucketWidth}L"),
+        expr(s"($hiCol - 1) DIV ${bucketWidth}L"))))
+    val pt = points.withColumn("__b", expr(s"$pCol DIV ${bucketWidth}L"))
+    iv.join(pt, "__b")
+      .where(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: token-budget
+  * sequence packing and per-group caps. Both are single-window-pass plans
+  * partitioned by a grouping column, so they parallelize across groups —
+  * the 100 TB shape is "many independent groups", never a global sort.
+  */
+object Packing {
+
+  /** Sequential token-budget packing: documents are laid out in
+    * deterministic (`idCol`) order within each `groupCol` stream and
+    * assigned to the fixed-`budget` context window their cumulative token
+    * offset starts in (greedy stream chunking — a document that straddles
+    * a boundary counts into the pack where it starts). Pack ids are local
+    * to the group, so packing is embarrassingly parallel across groups:
+    * one shuffle on `groupCol`, one in-partition sort, no global state.
+    * A skewed group is a sort skew; pre-bucket the group key (e.g.
+    * `source`, shard) if one group dominates the corpus.
+    *
+    * Returns (idCol, groupCol, n_tokens, pack_id).
+    */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before DIV ${budget}L"))
+      .drop("cum_before")
+  }
+
+  /** Per-group cap: keep at most `n` rows per `groupCol`, chosen in
+    * `orderCol` order (the standard per-domain/per-source cap against a
+    * handful of domains dominating the training mix). One window pass;
+    * rows beyond the cap are dropped before anything downstream runs.
+    * Returns the input columns plus the 1-based `slot` within the group.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("slot", row_number().over(w)).where(col("slot") <= n)
+  }
+}

@@ -161,4 +161,32 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(Dedup.tokenize(text), lit(0L),
       (acc, tok) => pmod(acc * 31 + pmod(Dedup.h60(tok, 7), lit(2147483647L)), lit(2147483647L)))
+
+  /** Self-trained unigram surprisal (the model-free tier of perplexity
+    * filtering): per-document mean of `ln(N / count(token))` under the
+    * corpus's own unigram distribution — high values flag gibberish /
+    * rare-token spam, low values flag boilerplate, the usual
+    * perplexity-bucket filter signal when no external LM is available.
+    *
+    * Two aggregations over the exploded token stream: corpus frequencies
+    * (groupBy token — partial agg, hash-uniform shuffle) and the per-doc
+    * mean after joining frequencies back. The frequency table is
+    * vocab-sized, so AQE broadcasts it when it fits and falls back to a
+    * shuffle join when a 100 TB corpus's vocabulary doesn't; the scalar
+    * total is a one-row broadcast. At full scale, pre-aggregate to
+    * (doc, token, count) and weight the mean to shrink the join input from
+    * token occurrences to distinct doc-token pairs.
+    *
+    * Returns (idCol, n_tokens, avg_surprisal).
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(Dedup.tokenize(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("n").cast("double") / col("c"))), 6).as("avg_surprisal"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import graft.ops.{Dedup, Embeddings, Joins, Packing, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 pipeline operators: as-of join, point-in-interval range join,
+  * sequence packing, per-group caps, corpus-level line dedup, unigram
+  * surprisal, embedding quantization.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ as-of join
+
+  test("asof join: last prior match per key, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 10L, 100L), // key 10, ts 100
+      (2L, 10L, 205L),
+      (3L, 10L, 300L),
+      (4L, 20L, 150L), // key 20: no right rows at all
+      (5L, 10L, 50L)   // before every right row
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, 100L), // ties left row 1's ts exactly → inclusive match
+      (102L, 10L, 100L), // same ts: greatest id wins
+      (103L, 10L, 210L)
+    ).toDF("event_id", "user_id", "ts")
+
+    val out = Joins.asofLastPrior(left, "event_id", "ts", right, "event_id", "ts",
+        Seq("user_id"), "m")
+      .select("event_id", "m").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(out(1L) == Some(102L)) // inclusive tie, max right id
+    assert(out(2L) == Some(102L)) // 103 at ts 210 is later than 205
+    assert(out(3L) == Some(103L))
+    assert(out(4L) == None)       // key with no right rows
+    assert(out(5L) == None)       // left ts before all right ts
+  }
+
+  // ------------------------------------------------- point-in-interval join
+
+  test("range join: lo inclusive, hi exclusive, multi-bucket spans, empty intervals") {
+    val intervals = Seq(
+      (1L, 10L, 30L),  // spans buckets 1,2 at width 10
+      (2L, 25L, 26L),  // single-point-wide
+      (3L, 40L, 40L)   // empty: matches nothing
+    ).toDF("iv_id", "lo", "hi")
+    val points = Seq(9L, 10L, 25L, 29L, 30L, 40L).toDF("p")
+
+    val out = Joins.pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(out == Set((1L, 10L), (1L, 25L), (1L, 29L), (2L, 25L)))
+    // specifically: 9 < lo, 30 = hi excluded, empty interval 3 matches nothing
+  }
+
+  test("range join: no duplicate pairs when an interval spans many buckets") {
+    val intervals = Seq((1L, 0L, 100L)).toDF("iv_id", "lo", "hi")
+    val points = Seq(5L, 50L, 99L).toDF("p")
+    val rows = Joins.pointInInterval(points, "p", intervals, "lo", "hi", 10L).count()
+    assert(rows == 3) // each point matches exactly once despite 10 buckets
+  }
+
+  // -------------------------------------------------------- sequence packing
+
+  test("pack sequences: budget boundaries, straddlers count where they start") {
+    val d = Seq(
+      (1L, "a", 60L), // cum_before 0   → pack 0
+      (2L, "a", 50L), // cum_before 60  → pack 0 (straddles into 100s)
+      (3L, "a", 10L), // cum_before 110 → pack 1
+      (4L, "b", 10L)  // independent group
+    ).toDF("id", "grp", "n")
+    val out = Packing.packSequences(d, "id", "grp", col("n"), budget = 100L)
+      .select("id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("cap per group keeps first n in order with slot numbers") {
+    val d = (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
+    val out = Packing.capPerGroup(d, "grp", "id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set((1L, "odd", 1), (3L, "odd", 2), (5L, "odd", 3),
+      (2L, "even", 1), (4L, "even", 2), (6L, "even", 3)))
+  }
+
+  // -------------------------------------------------------------- line dedup
+
+  test("line dedup: removes corpus-frequent lines, keeps blanks and order") {
+    val docs = (1L to 5L).map { i =>
+      (i, s"unique body $i\nCOMMON FOOTER\n\nunique tail $i")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id", maxOccurrences = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // footer appears 5× > 3 → removed everywhere; blank line (also 5×) kept
+    (1L to 5L).foreach { i =>
+      val (text, removed) = out(i)
+      assert(text == s"unique body $i\n\nunique tail $i", s"doc $i: $text")
+      assert(removed == 1L)
+    }
+  }
+
+  test("line dedup: doc whose every line is boilerplate comes back empty") {
+    val docs = ((1L to 4L).map(i => (i, "SPAM\nSPAM")) :+ (9L, "real content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id", maxOccurrences = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("", 2L))
+    assert(out(9L) == ("real content", 0L))
+  }
+
+  // ------------------------------------------------------- unigram surprisal
+
+  test("unigram surprisal: rare tokens score higher than common ones") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")
+    ).toDF("doc_id", "text")
+    // corpus: common×5, rareword×1, N=6
+    // doc 1: avg ln(6/5) ≈ 0.182; doc 2: (ln(6/5) + ln(6/1))/2 ≈ 0.987
+    val out = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - math.log(6.0 / 5.0)) < 1e-6)
+    assert(math.abs(out(2L)._2 - (math.log(6.0 / 5.0) + math.log(6.0)) / 2) < 1e-6)
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  // ---------------------------------------------------------- embedding ops
+
+  test("int8 quantization: unit-norm scaling to [-127, 127]") {
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(-1.0, 0.0))).toDF("id", "v")
+    val out = Embeddings.quantizeInt8(df, "v", "id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 5.0) // ||(3,4)|| = 5
+    assert(out(1L)._2 == "76,102") // round(3/5*127)=76, round(4/5*127)=102
+    assert(out(2L)._2 == "-127,0")
+  }
+
+  // --------------------------------------------------------- plan properties
+
+  test("asof join plan: no cartesian, no per-key loop — window over union") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((2L, 10L, 90L)).toDF("event_id", "user_id", "ts")
+    val plan = Joins.asofLastPrior(left, "event_id", "ts", right, "event_id", "ts",
+      Seq("user_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("range join plan: bucketed equi-join, not a nested-loop inequality join") {
+    val intervals = Seq((1L, 10L, 30L)).toDF("iv_id", "lo", "hi")
+    val points = Seq(15L).toDF("p")
+    val plan = Joins.pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
