@@ -190,36 +190,75 @@ object MappingCompiler {
     // equivalent — reference: semantify.py:6304-6322): inside the Generate
     // they would be re-evaluated per POM struct (encode+concat × #POMs per
     // row), where codegen subexpression elimination cannot reach.
-    val pre = df.select(col("*"),
-      subj.column.as("__subj"), subj.guard.as("__subjok"), subjGraph.as("__sg"))
+    // the graph term is only routed through the projection when a graph map
+    // exists: the default null graph must stay an INLINE literal — passing
+    // it through a materialized column makes codegen copy the field into
+    // every POM struct instead of constant-folding it, measured +115% on
+    // the 11-POM wide mapping at sf0.1
+    val hasGraph = tm.subject.graph.isDefined
+    val preCols = Seq(subj.column.as("__subj"), subj.guard.as("__subjok")) ++
+      (if (hasGraph) Seq(subjGraph.as("__sg")) else Nil)
+    val pre = df.select(col("*") +: preCols: _*)
     val subjP = TermCompiler.CompiledTerm(pre("__subj"), pre("__subjok"))
-    val sgP = pre("__sg")
+    val sgP = if (hasGraph) pre("__sg") else lit(null).cast("string")
     val colFnP: String => Column = a => resolveAttr(pre, a)
-    val classTriples: Seq[Column] = tm.subject.rdfClasses.map { cls =>
-      quadStruct(subjP.guard, subjP.column, lit(RDF_TYPE), lit(s"<$cls>"), sgP)
+    val classSpecs: Seq[QuadSpec] = tm.subject.rdfClasses.map { cls =>
+      QuadSpec(subjP.guard, subjP.column, lit(RDF_TYPE), lit(s"<$cls>"), sgP,
+        guardInline = true, pInline = true, oInline = true, gInline = true)
     }
     val (arrayPoms, plainPoms) = tm.poms
       .filter(p => p.objectMap.refObject.isEmpty && p.objectMap.gather.isEmpty &&
         !p.objectMap.term.exists(quotedNeedsJoin))
       .partition(p => p.objectMap.term.exists(t =>
         TermCompiler.referencedAttrs(t).exists(a => isArrayAttr(df, a))))
-    val plainTriples: Seq[Column] = plainPoms.flatMap { pom =>
+    val plainSpecs: Seq[QuadSpec] = plainPoms.flatMap { pom =>
       pom.objectMap.term match {
         case Some(t) if t.kind == TermKind.QuotedTriplesMap =>
           // RML-star quoted object, same source (J7) — one quad per parent
           // plain POM (multi-POM quoted TMs emit all their branches)
           val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFnP, TermType.Iri)
+          val pConst = pom.predicate.kind == TermKind.Constant
           quotedTerms(t.quotedTm.get, doc, base, colFnP).map(q =>
-            quadStruct(subjP.guard && pred.guard && q.guard, subjP.column, pred.column, q.column, sgP))
+            QuadSpec(subjP.guard && pred.guard && q.guard, subjP.column, pred.column, q.column, sgP,
+              guardInline = false, pInline = pConst, oInline = false, gInline = true))
         case _ => compilePlainPom(pom, subjP, sgP, base, colFnP)
       }
     }
 
-    val candidates = classTriples ++ plainTriples
+    val specs = classSpecs ++ plainSpecs
     val singlePass: Option[DataFrame] =
-      if (candidates.isEmpty) None
+      if (specs.isEmpty) None
       else Some {
-        pre.select(explode(filter(array(candidates: _*), x => x.isNotNull)).as("q"))
+        // Two codegen-shape rules, each worth integer factors on a wide
+        // (many-POM) mapping at sf0.1:
+        // 1. every non-constant quad component is materialized ONCE in the
+        //    projection BELOW the explode, so the Generate's generator is
+        //    struct-of-references. Inlining term construction in the
+        //    generator re-evaluates it per POM struct and grows the single
+        //    generated method past JIT limits — measured 3-4× slower.
+        //    Project codegen splits cleanly into submethods; a Generate's
+        //    generator expression does not.
+        // 2. null branches are dropped AFTER the explode with a plain
+        //    Filter: a higher-order `filter(array(...), lambda)` knocks the
+        //    projection out of whole-stage codegen — measured 2.2× slower.
+        // the *Inline flags come from term STRUCTURE (constant term maps,
+        // bare column refs, the shared subject/graph columns): Column-level
+        // introspection is unreliable on unresolved trees, and the flags
+        // must be exact — materializing a constant leaves a dead alias the
+        // optimizer cannot prune through the Generate, while inlining a
+        // computed term re-evaluates it per POM struct
+        val extra = scala.collection.mutable.ArrayBuffer.empty[Column]
+        def mat(name: String, c: Column, inline: Boolean): Column =
+          if (inline) c else { extra += c.as(name); col(name) }
+        val structs = specs.zipWithIndex.map { case (sp, i) =>
+          when(mat(s"__qok$i", sp.guard, sp.guardInline),
+            struct(sp.s.as("s"), mat(s"__qp$i", sp.p, sp.pInline).as("p"),
+              mat(s"__qo$i", sp.o, sp.oInline).as("o"), mat(s"__qg$i", sp.g, sp.gInline).as("g")))
+            .otherwise(lit(null))
+        }
+        val pre2 = if (extra.isEmpty) pre else pre.select(col("*") +: extra.toSeq: _*)
+        pre2.select(explode(array(structs: _*)).as("q"))
+          .where(col("q").isNotNull)
           .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"), col("q.g").as("g"))
       }
 
@@ -299,18 +338,31 @@ object MappingCompiler {
   }
 
   /** A quad candidate: null when the guard fails (filtered before explode). */
-  private def quadStruct(guard: Column, s: Column, p: Column, o: Column, g: Column): Column =
-    when(guard, struct(s.as("s"), p.as("p"), o.as("o"), g.as("g"))).otherwise(lit(null))
+  /** One candidate quad of the single-pass projection, pre-assembly: the
+    * components stay separate Columns plus structural inline-vs-materialize
+    * flags, so the compiler can materialize exactly the non-constant ones
+    * below the explode (see the codegen-shape rules at the singlePass
+    * construction). `s` is always a bare reference to the shared subject
+    * column and stays inline.
+    */
+  private final case class QuadSpec(guard: Column, s: Column, p: Column, o: Column, g: Column,
+      guardInline: Boolean, pInline: Boolean, oInline: Boolean, gInline: Boolean)
 
   private def compilePlainPom(pom: PredicateObjectMap, subj: TermCompiler.CompiledTerm,
-      subjGraph: Column, base: Option[String], colFn: String => Column): Seq[Column] = {
+      subjGraph: Column, base: Option[String], colFn: String => Column): Seq[QuadSpec] = {
     val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
     val om = pom.objectMap
     val obj = TermCompiler.rdfTerm(om.term.get, Some(om), base, colFn, TermType.Literal)
     val graph = pom.graph
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
       .getOrElse(subjGraph)
-    Seq(quadStruct(subj.guard && pred.guard && obj.guard, subj.column, pred.column, obj.column, graph))
+    Seq(QuadSpec(subj.guard && pred.guard && obj.guard, subj.column, pred.column, obj.column, graph,
+      guardInline = false,
+      pInline = pom.predicate.kind == TermKind.Constant,
+      oInline = om.term.get.kind == TermKind.Constant,
+      // subjGraph is a bare column ref or inline null; only a POM-level
+      // non-constant graph term needs materialization
+      gInline = pom.graph.forall(_.kind == TermKind.Constant)))
   }
 
   /** RefObjectMap: child rows joined to the parent TM's deduplicated
