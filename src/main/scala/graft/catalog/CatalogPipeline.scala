@@ -134,6 +134,34 @@ object CatalogPipeline {
       FROM toks JOIN freq USING (tok) CROSS JOIN tot
       GROUP BY doc_id"""))
 
+  /** Product-quantization codes: 64-dim vectors → 4 sub-codes from a
+    * deterministic strided codebook (squared-L2 argmin, ties to smallest
+    * centroid id) — the storage layer under IVF-PQ ANN indexes.
+    */
+  private val embPq = Q("emb_pq_codes",
+    (s, dir) => graft.ops.Similarity.pqEncode(
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", "vec_id", subspaces = 4, stride = 100),
+    Some {
+      val dists = (0 until 4).map { j =>
+        val lo = j * 16 + 1
+        s"list_sum(list_transform(generate_series($lo, ${lo + 15}), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d$j"
+      }.mkString(",\n          ")
+      val unions = (0 until 4).map(j =>
+        s"SELECT id, cid, $j AS ss, d$j AS d FROM pairs").mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+        pairs AS (SELECT e.vec_id AS id, cid,
+          $dists
+          FROM e CROSS JOIN cent),
+        expanded AS ($unions),
+        best AS (SELECT id, ss, cid,
+          row_number() OVER (PARTITION BY id, ss ORDER BY d, cid) AS rn FROM expanded)
+        SELECT id AS vec_id, string_agg(cid, ',' ORDER BY ss) AS pq_code
+        FROM best WHERE rn = 1 GROUP BY id"""
+    })
+
   private val embQuant = Q("emb_quantize_int8",
     (s, dir) => Embeddings.quantizeInt8(
       t(s, dir, "embeddings")
@@ -173,6 +201,43 @@ object CatalogPipeline {
         round(unnest(qs), 4) AS pct_price
       FROM q"""))
 
+  private val cube = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** TF-IDF top terms: corpus document frequencies joined back to per-doc
+    * term counts, top-3 terms per doc by tf·idf (ties to the
+    * lexicographically smaller term). The df table is vocab-sized (AQE
+    * broadcasts when it fits); per-doc ranking partitions by doc.
+    */
+  private val tfidf = Q("txt_tfidf_topterms",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(Dedup.tokenize(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, tok, tf * ln(n_docs::DOUBLE / df) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n),
+      r AS (SELECT doc_id, tok, tfidf,
+        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk FROM scored)
+      SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rnk FROM r WHERE rnk <= 3"""))
+
   private val heavyHitters = Q("q_heavy_hitters",
     (s, dir) => {
       val rev = t(s, dir, "lineitem")
@@ -195,6 +260,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, sourceCap, lineDedup, unigram, embQuant,
-    rollup, pctile, heavyHitters)
+    pack, sourceCap, lineDedup, unigram, embQuant, embPq, tfidf,
+    rollup, cube, pctile, heavyHitters)
 }

@@ -101,6 +101,42 @@ object Similarity {
       .select(col("id"), col("vec"), col("cluster_id"))
   }
 
+  /** Product quantization: split each vector into `subspaces` equal-length
+    * subvectors and encode each by its nearest codebook entry (squared-L2,
+    * ties to the smallest centroid id). Codebooks are the subvectors of a
+    * deterministic corpus sample (ids ≡ 0 mod `stride`), mirroring
+    * [[ivfAssign]] so external engines reproduce the codes exactly.
+    *
+    * Plan shape at 100 TB: one broadcast join against the bounded codebook
+    * set computes all `subspaces` distances per (vector, centroid) row in a
+    * single codegen projection; one groupBy(id) with `subspaces` `min_by`
+    * partial aggregates ships ~one row per vector per partition. No window,
+    * no N×C exchange, no driver-side codebook state. Returns
+    * (idCol, pq_code) with the code as a comma-joined centroid-id string —
+    * a D-dim float vector compresses to `subspaces` small ints.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      subspaces: Int = 4, stride: Int = 100): DataFrame = {
+    val centroids = df.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val subLen = (size(col("v")) / subspaces).cast("int")
+    val dists = (0 until subspaces).map { j =>
+      val sv = slice(col("v"), subLen * j + 1, subLen)
+      val sc = slice(col("cv"), subLen * j + 1, subLen)
+      aggregate(zip_with(sv, sc, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x).as(s"__d$j")
+    }
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(centroids))
+      .select(Seq(col("id"), col("cid")) ++ dists: _*)
+    val codeAggs = (0 until subspaces).map(j =>
+      min_by(col("cid"), struct(col(s"__d$j"), col("cid"))).as(s"__c$j"))
+    scored.groupBy(col("id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("id").as(idCol),
+        concat_ws(",", (0 until subspaces).map(j => col(s"__c$j").cast("string")): _*).as("pq_code"))
+  }
+
   /** IVF top-k: probe only the query's own cluster. Recall is partial by
     * construction (single-probe); the point is the candidate reduction — at
     * scale the cluster-id equi-join replaces the cross product.

@@ -47,6 +47,25 @@ object StreamingOps {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(static), keys, "inner")
 
+  /** Stream-stream interval join with watermarks on BOTH sides: left events
+    * joined to right events on a key within a bounded time range
+    * (`right.ts ∈ [left.ts - before, left.ts + after]`). The range bound +
+    * watermarks let Spark expire buffered state on both sides — unbounded
+    * stream-stream joins otherwise hold every row forever. This is the
+    * streaming form of [[graft.ops.Joins.pointInInterval]]: same semantics,
+    * state bounded by (watermark delay + range width) per key.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, tsCol: String, delay: String,
+      before: String, after: String): DataFrame = {
+    val l = left.withWatermark(tsCol, delay).as("l")
+    val r = right.withWatermark(tsCol, delay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $after"))
+  }
+
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)

@@ -140,6 +140,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == "-127,0")
   }
 
+  test("pq codes: vector nearest its own codebook entry gets that code") {
+    // ids 0 and 100 are codebook entries (stride 100); id 1 sits next to
+    // id 0's subvectors, id 101 next to id 100's
+    val base0 = Seq.fill(8)(0.0)
+    val base1 = Seq.fill(8)(10.0)
+    val df = Seq(
+      (0L, base0 ++ base0), (100L, base1 ++ base1),
+      (1L, base0.map(_ + 0.1) ++ base0.map(_ + 0.1)),
+      (101L, base1.map(_ - 0.1) ++ base1.map(_ - 0.1)),
+      (7L, base0 ++ base1) // first half near 0's, second near 100's
+    ).toDF("id", "v")
+    val out = graft.ops.Similarity.pqEncode(df, "v", "id", subspaces = 2, stride = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "0,0")
+    assert(out(101L) == "100,100")
+    assert(out(7L) == "0,100")
+    assert(out(0L) == "0,0") // codebook entries encode to themselves
+  }
+
+  test("tfidf: corpus-frequent terms rank below distinctive ones") {
+    val docs = Seq(
+      (1L, "common shared spark unique1"),
+      (2L, "common shared spark unique2"),
+      (3L, "common shared spark unique3")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokenize(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // distinctive term (df=1) must outrank corpus-wide terms (df=3, idf=0)
+    val top = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"), (col("tf") * log(lit(3.0) / col("df"))).as("s"))
+      .where(col("doc_id") === 1L).orderBy(col("s").desc).limit(1)
+      .collect().head.getString(1)
+    assert(top == "unique1")
+  }
+
   // --------------------------------------------------------- plan properties
 
   test("asof join plan: no cartesian, no per-key loop — window over union") {

@@ -160,4 +160,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set(("e1", "one"), ("e2", "two"))) // e3 has no dim row
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs rows within the range, bounded state") {
+    val mk = (rows: Seq[(String, Long, String)], name: String) => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ssij_$name").toString
+      rows.toDF("ts_s", "k", "tag")
+        .select(to_timestamp($"ts_s").as("ts"), $"k", $"tag")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val ldir = mk(Seq(("2024-01-01 00:10:00", 1L, "l1"), ("2024-01-01 03:00:00", 2L, "l2")), "l")
+    val rdir = mk(Seq(
+      ("2024-01-01 00:12:00", 1L, "r-in"),      // 2 min after l1 → joins
+      ("2024-01-01 00:09:00", 1L, "r-before"),  // 1 min before l1 → joins (within 'before')
+      ("2024-01-01 01:00:00", 1L, "r-far"),     // 50 min after → outside range
+      ("2024-01-01 03:01:00", 9L, "r-wrongkey")), "r")
+    val schema = spark.read.parquet(ldir).schema
+    val joined = StreamingOps.streamStreamIntervalJoin(
+      spark.readStream.schema(schema).parquet(ldir),
+      spark.readStream.schema(schema).parquet(rdir),
+      key = "k", tsCol = "ts", delay = "1 hour", before = "5 MINUTES", after = "10 MINUTES")
+      .select(col("l.tag").as("ltag"), col("r.tag").as("rtag"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssij_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssij_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("l1", "r-in"), ("l1", "r-before")))
+    } finally q.stop()
+  }
 }
