@@ -69,12 +69,19 @@ object Dedup {
     }
     val minhashes = sh.groupBy(col("id")).agg(mhCols.head, mhCols.tail: _*)
     val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("_", (0 until rowsPerBand)
-          .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).cast("binary")).as("sig"))
+    // band signatures are materialized in a projection BELOW the explode —
+    // md5/concat inside a Generate's generator is outside codegen method
+    // splitting and CSE (the same codegen-shape rule as the RML single
+    // pass, SCALE.md §8)
+    val sigCols = (0 until numBands).map { b =>
+      md5(concat_ws("_", (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).cast("binary")).as(s"__sig$b")
     }
-    minhashes.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+    val withSigs = minhashes.select(col("id") +: sigCols: _*)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), col(s"__sig$b").as("sig"))
+    }
+    withSigs.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
