@@ -398,6 +398,37 @@ object CatalogCore {
        |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}"; rr:class ex:Nation ].
        |""".stripMargin
 
+  /** Composability: the materialized quad frame feeds straight into OLAP —
+    * per-predicate stats over the engine's own output (the "analytics on
+    * the KG you just built" shape). Oracle reconstructs the same quads in
+    * SQL and aggregates identically.
+    */
+  private val rmlQuadStats = Q("rml_quad_stats",
+    (s, dir) => Engine.materialize(s, customerNationMapping(dir))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("s")).as("n_subjects"),
+        countDistinct(col("o")).as("n_objects")),
+    Some("""WITH quads AS (
+        SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+          '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+          '<http://ex/vocab/Customer>' AS o FROM customer
+        UNION
+        SELECT '<http://ex/customer/' || c_custkey || '>',
+          '<http://ex/vocab/name>', '"' || c_name || '"' FROM customer
+        UNION
+        SELECT '<http://ex/customer/' || c_custkey || '>',
+          '<http://ex/vocab/nation>',
+          '<http://ex/nation/' || n_name || '>'
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION
+        SELECT '<http://ex/nation/' || n_name || '>',
+          '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+          '<http://ex/vocab/Nation>' FROM nation)
+      SELECT p, count(*) AS n_triples,
+        count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
+      FROM quads GROUP BY p"""))
+
   /** Full engine end-to-end over parquet: mapping parse → compile → quads. */
   private val rmlE2e = Q("rml_e2e_customer_nation",
     (s, dir) => Engine.materialize(s, customerNationMapping(dir))
@@ -941,7 +972,7 @@ object CatalogCore {
     s1, s2, s3, s6, s7, s9, v2,
     k1, k2, k3,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
-    rmlE2e, rmlWide, j1, j2, j6, j7, j8, j9,
+    rmlE2e, rmlWide, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)

@@ -87,6 +87,29 @@ object CatalogPipeline {
         FROM documents)
       WHERE slot <= 20"""))
 
+  /** Target-ratio corpus mix: largest corpus matching lang shares
+    * en:de:fr = 0.5:0.3:0.2 exactly (floored), selection in hash order.
+    */
+  private val targetMix = Q("pipe_target_mix",
+    (s, dir) => graft.ops.Sampling.targetMix(
+      t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), seed = 3)
+      .select(col("doc_id"), col("lang"), col("mix_rank")),
+    Some(s"""WITH m AS (SELECT doc_id, lang,
+        CASE WHEN lang = 'en' THEN 0.5::DOUBLE WHEN lang = 'de' THEN 0.3::DOUBLE
+             WHEN lang = 'fr' THEN 0.2::DOUBLE END AS share
+        FROM documents),
+      mm AS (SELECT * FROM m WHERE share IS NOT NULL),
+      c AS (SELECT lang, count(*) AS cnt, any_value(share) AS share FROM mm GROUP BY lang),
+      n AS (SELECT floor(min(cnt / share))::BIGINT AS n FROM c),
+      ranked AS (SELECT doc_id, lang, share,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY ${CatalogOps.h60Sql("doc_id::VARCHAR", 3)} % 1000000, doc_id) AS mix_rank
+        FROM mm)
+      SELECT doc_id, lang, mix_rank
+      FROM ranked CROSS JOIN n
+      WHERE mix_rank <= floor(share * n)"""))
+
   private val lineDedup = Q("dd_line_dedup",
     // the synthetic corpus is single-line and line-unique, so (like
     // p3_null_lattice does for the null lattice) the query synthesizes the
@@ -260,6 +283,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, sourceCap, lineDedup, unigram, embQuant, embPq, tfidf,
+    pack, sourceCap, targetMix, lineDedup, unigram, embQuant, embPq, tfidf,
     rollup, cube, pctile, heavyHitters)
 }

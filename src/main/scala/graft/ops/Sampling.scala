@@ -38,4 +38,38 @@ object Sampling {
     */
   def bucket(id: Column, seed: Int): Column =
     pmod(Dedup.h60(id.cast("string"), seed), lit(M))
+
+  /** Target-ratio corpus mixing: build the LARGEST corpus whose per-group
+    * composition matches `shares` exactly (floored). The binding group
+    * determines the mix size `N = min_g(count_g / share_g)`; each group
+    * contributes `floor(share_g * N)` rows, chosen in hash order (an
+    * unbiased, reproducible sample — the standard "data mix" step that
+    * turns raw source counts into a declared training composition). Groups
+    * absent from `shares` are dropped.
+    *
+    * Plan shape: per-group counts are a tiny aggregate joined back
+    * (broadcast); selection is one window pass partitioned by group. No
+    * driver-side state — the mix size is computed as a one-row frame.
+    * Returns the kept rows plus `mix_rank` (1-based position within the
+    * group's hash order).
+    */
+  def targetMix(df: DataFrame, idCol: String, groupCol: String,
+      shares: Map[String, Double], seed: Int = 1): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0), "shares must be positive")
+    val shareCol = shares.foldLeft(lit(null).cast("double")) {
+      case (els, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(els)
+    }
+    val inMix = df.where(shareCol.isNotNull)
+    val counts = inMix.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .select(col(groupCol), col("__cnt"), (col("__cnt") / shareCol).as("__cap"))
+    val mixSize = counts.agg(floor(min(col("__cap"))).cast("long").as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), seed), col(idCol))
+    inMix
+      .withColumn("mix_rank", row_number().over(w))
+      .join(broadcast(mixSize))
+      .where(col("mix_rank") <= floor(shareCol * col("__n")).cast("long"))
+      .drop("__n")
+  }
 }

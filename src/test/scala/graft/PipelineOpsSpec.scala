@@ -140,6 +140,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == "-127,0")
   }
 
+  test("target mix: composition matches shares, binding group limits size") {
+    // 100 en, 10 de → with shares 0.8/0.2 the binding group is de:
+    // N = min(100/0.8, 10/0.2) = 50 → keep 40 en + 10 de
+    val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "de")) ++
+      Seq((200L, "xx"))).toDF("doc_id", "lang")
+    val out = graft.ops.Sampling.targetMix(docs, "doc_id", "lang",
+      Map("en" -> 0.8, "de" -> 0.2)).select("doc_id", "lang").collect()
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 40, "de" -> 10))
+    assert(!out.exists(_.getString(1) == "xx")) // absent from shares → dropped
+  }
+
   test("pq codes: vector nearest its own codebook entry gets that code") {
     // ids 0 and 100 are codebook entries (stride 100); id 1 sits next to
     // id 0's subvectors, id 101 next to id 100's
