@@ -71,9 +71,15 @@ object TermCompiler {
       case TermType.Literal =>
         val lex = lexical(tm, colFn, encode = false)
         val o = om
+        // dynamic datatype maps base-resolve their values (reference:
+        // semantify.py:4313-4316 — "http" in value → used raw, else the
+        // base is prepended); constant rr:datatype stays raw (4303-4305)
         val dtCol: Option[Column] =
-          o.flatMap(_.datatypeMap).map(dm => lexical(dm, colFn, encode = false).column)
-            .orElse(o.flatMap(_.datatype).map(lit(_)))
+          o.flatMap(_.datatypeMap).map { dm =>
+            val v = lexical(dm, colFn, encode = false).column
+            when(v.contains("http"), v)
+              .otherwise(concat(lit(base.getOrElse("http://example.com/base/")), v))
+          }.orElse(o.flatMap(_.datatype).map(lit(_)))
         val langCol: Option[Column] =
           o.flatMap(_.languageMap).map(lm => lexical(lm, colFn, encode = false).column)
             .orElse(o.flatMap(_.language).map(lit(_)))

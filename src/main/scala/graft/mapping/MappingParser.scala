@@ -71,7 +71,11 @@ object MappingParser {
     val poms = g.objects(node, RR + "predicateObjectMap").flatMap(parsePom(g, _)).toList
     val nonAsserted = g.objects(node, RDF_TYPE)
       .exists { case Iri(v) => v.endsWith("NonAssertedTriplesMap"); case _ => false }
-    TriplesMap(termId(node), source, subject, poms, g.base, asserted = !nonAsserted)
+    // per-TM rml:baseIRI overrides the document @base (reference:
+    // semantify.py:2150 parse, 3147-3150 per-TM base_iri_list)
+    val tmBase = g.obj(node, RML + "baseIRI").map(lex)
+    TriplesMap(termId(node), source, subject, poms, tmBase.orElse(g.base),
+      asserted = !nonAsserted)
   }
 
   private def parseLogicalSource(g: RdfGraph, tm: RdfTerm, sourceDir: String): LogicalSource = {

@@ -325,6 +325,37 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(byPred("<http://ex/seg>") == Set("<http://ex/graph/default>"))
   }
 
+  test("per-TM rml:baseIRI overrides the document @base for relative IRIs") {
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rml:baseIRI "http://tm-base.org/";
+         |  rr:subjectMap [ rr:template "row/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a; rr:objectMap [ rml:reference "a" ] ].
+         |""".stripMargin).collect()
+    val subjects = quads.map(_.getString(0)).toSet
+    assert(subjects == Set("<http://tm-base.org/row/1>", "<http://tm-base.org/row/2>"))
+  }
+
+  test("dynamic datatype map: relative values get the base, absolute stay raw") {
+    val dtCsv = writeTmp("dt.csv",
+      """id,v,dt
+        |1,a1,integer
+        |2,a2,http://www.w3.org/2001/XMLSchema#string
+        |""".stripMargin)
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dtCsv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:v;
+         |    rr:objectMap [ rml:reference "v"; rml:datatypeMap [ rml:reference "dt" ] ] ].
+         |""".stripMargin).collect()
+    val objs = quads.map(_.getString(2)).toSet
+    assert(objs == Set(
+      "\"a1\"^^<http://example.com/base/integer>",
+      "\"a2\"^^<http://www.w3.org/2001/XMLSchema#string>"))
+  }
+
   test("J2: template-valued childMap/parentMap join keys") {
     val parentCsv = writeTmp("parents.csv",
       """pid,tag
