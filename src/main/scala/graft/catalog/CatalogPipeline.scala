@@ -147,6 +147,18 @@ object CatalogPipeline {
       FROM docs d LEFT JOIN agg a USING (doc_id)"""),
     bench = true)
 
+  /** RAG-style context chunking: 200-char windows with 50-char overlap. */
+  private val chunk = Q("txt_chunk_windows",
+    (s, dir) => TextAnalysis.chunkText(t(s, dir, "documents"), "text", "doc_id",
+      size = 200, overlap = 50),
+    Some("""WITH d AS (SELECT doc_id, text,
+        greatest(ceil((length(text) - 50)::DOUBLE / 150)::INT, 1) AS nc
+        FROM documents),
+      c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_idx, text FROM d)
+      SELECT doc_id, chunk_idx, chunk_idx * 150 AS chunk_start,
+        substring(text, (chunk_idx * 150 + 1)::INT, 200) AS chunk_text
+      FROM c"""))
+
   private val unigram = Q("txt_unigram_logprob",
     (s, dir) => TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
@@ -283,6 +295,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, sourceCap, targetMix, lineDedup, unigram, embQuant, embPq, tfidf,
+    pack, sourceCap, targetMix, lineDedup, chunk, unigram, embQuant, embPq, tfidf,
     rollup, cube, pctile, heavyHitters)
 }

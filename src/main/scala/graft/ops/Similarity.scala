@@ -110,8 +110,10 @@ object Similarity {
     * Plan shape at 100 TB: one broadcast join against the bounded codebook
     * set computes all `subspaces` distances per (vector, centroid) row in a
     * single codegen projection; one groupBy(id) with `subspaces` `min_by`
-    * partial aggregates ships ~one row per vector per partition. No window,
-    * no N×C exchange, no driver-side codebook state. Returns
+    * partial aggregates ships ~one row per vector per partition (the
+    * struct ordering key makes the aggregate sort-based, but the partial
+    * step still runs before the exchange — the N×C frame never shuffles).
+    * No window, no driver-side codebook state. Returns
     * (idCol, pq_code) with the code as a comma-joined centroid-id string —
     * a D-dim float vector compresses to `subspaces` small ints.
     */

@@ -179,6 +179,26 @@ object TextAnalysis {
     *
     * Returns (idCol, n_tokens, avg_surprisal).
     */
+  /** Overlapping fixed-size character chunks (the RAG / context-window
+    * chunking step): chunk i covers `[i·(size-overlap), i·(size-overlap) +
+    * size)`; the last chunk may be short; every document yields ≥1 chunk
+    * (empty text → one empty chunk). Pure posexplode over a per-row
+    * sequence — a narrow map, no shuffle, chunk count scales with text
+    * length. Returns (idCol, chunk_idx, chunk_start, chunk_text).
+    */
+  def chunkText(df: DataFrame, textCol: String, idCol: String,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    val t = col(textCol)
+    val nChunks = greatest(ceil((length(t) - overlap).cast("double") / step).cast("int"), lit(1))
+    df.select(col(idCol), t.as("__t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * step).as("chunk_start"),
+        col("__t").substr(col("chunk_idx") * step + 1, lit(size)).as("chunk_text"))
+  }
+
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(Dedup.tokenize(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))

@@ -152,6 +152,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.exists(_.getString(1) == "xx")) // absent from shares → dropped
   }
 
+  test("chunking: overlap, full coverage, short tail, empty text") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(docs, "text", "doc_id", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq("abcd", "defg", "ghij")) // step 3, overlap 1
+    assert(d1.map(_._3).toSeq == Seq(0, 3, 6))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, ""))) // empty → one empty chunk
+  }
+
   test("pq codes: vector nearest its own codebook entry gets that code") {
     // ids 0 and 100 are codebook entries (stride 100); id 1 sits next to
     // id 0's subvectors, id 101 next to id 100's

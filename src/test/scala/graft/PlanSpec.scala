@@ -75,4 +75,41 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("*(1)"), s"no whole-stage codegen:\n$p")
   }
+
+  test("wide mapping: generator is struct-of-references, term work below the explode") {
+    // the SCALE.md §8 codegen-shape invariants: no higher-order filter()
+    // around the POM array, and no escape/encode/null-lattice work inside
+    // the Generate's generator expression — it all sits in the projection
+    // below, where codegen splits methods and CSE applies
+    val df = Catalog.byName("rml_wide_mapping").run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    val gen = p.linesIterator.find(_.contains("Generate explode")).getOrElse(
+      fail(s"no Generate in plan:\n$p"))
+    assert(!gen.contains("ntescape("), s"escape ran inside the generator:\n$gen")
+    assert(!gen.contains("rmlencode("), s"encode ran inside the generator:\n$gen")
+    assert(!gen.contains("trim("), s"null-lattice guard inside the generator:\n$gen")
+    assert(!p.contains("ArrayFilter"), "higher-order filter() around the POM array")
+  }
+
+  test("asof/range join queries: no cartesian or nested-loop join at sf") {
+    Seq("asof_join", "range_join_hourly").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join:\n$p")
+    }
+  }
+
+  test("pq codes: broadcast codebook + partial min_by aggregation, no window") {
+    val p = plan("emb_pq_codes")
+    // the codebook side is broadcast (bounded), never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+    assert(!p.contains("Window"), s"pq encode uses a window sort:\n$p")
+    // min_by over a struct ordering key is sort-based, but the PARTIAL
+    // aggregate still runs before the exchange — shuffle volume stays ~one
+    // row per vector per partition, not N×C (the property that matters)
+    val firstAgg = p.indexOf("Aggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+  }
 }
