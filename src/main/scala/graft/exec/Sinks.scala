@@ -19,6 +19,27 @@ object Sinks {
   def writeNt(quads: DataFrame, path: String): Unit =
     ntLines(quads).write.mode("overwrite").text(path)
 
+  /** Columnar KG sink: quads as predicate-partitioned parquet — the
+    * storage layout for a 100 TB graph that downstream engines QUERY
+    * rather than serialize. Partitioning by predicate gives partition
+    * pruning on the access pattern every KG workload has (`WHERE p = …`,
+    * the vertical-partitioning literature's finding); within a partition,
+    * subject sort-order makes min/max row-group statistics selective for
+    * subject point lookups and merge-friendly for subject-aligned joins.
+    * Predicates are sanitized to legal directory names; the exact IRI
+    * survives in the `p` column.
+    */
+  def writeQuadsParquet(quads: DataFrame, path: String): Unit =
+    quads
+      .withColumn("p_part", regexp_replace(col("p"), "[<>:/#?*\"\\\\]", "_"))
+      // range-partition on (predicate, subject): a dominant predicate
+      // (rdf:type is routinely ~1/3 of a KG) splits across many tasks by
+      // subject range instead of hot-spotting one writer, and every output
+      // file is subject-sorted for row-group pruning
+      .repartitionByRange(col("p_part"), col("s"))
+      .sortWithinPartitions(col("p_part"), col("s"))
+      .write.mode("overwrite").partitionBy("p_part").parquet(path)
+
   /** Named-graph partitioned output (SURVEY §1.4: `partitionBy("graph")` on
     * write): one directory per graph, default graph under g=__default. At
     * scale this gives graph-pruned reads downstream for free.
