@@ -27,7 +27,8 @@ object Catalog {
   }
 
   lazy val all: Seq[Q] =
-    CatalogCore.queries ++ CatalogOps.queries ++ CatalogPipeline.queries
+    CatalogCore.queries ++ CatalogOps.queries ++ CatalogPipeline.queries ++
+      CatalogQuality.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,141 @@
+package graft.catalog
+
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data pipeline breadth: published corpus-filter recipes
+  * (C4, Gopher), substring-window dedup (the suffix-array-dedup
+  * approximation), SemDeDup-style semantic dedup over embeddings,
+  * BPE-merge pair statistics, and temperature-based source mixing. Same
+  * contract as the rest of the catalog: DuckDB SQL over the identical
+  * parquet, identical column names and types on both sides.
+  */
+object CatalogQuality {
+  import Catalog.t
+  import CatalogOps.tokenizeSql
+
+  /** The synthetic corpus is single-sentence and marker-free, so (like
+    * dd_line_dedup does for boilerplate) the C4 query synthesizes the
+    * variety the filter exists for: by doc_id mod 4, documents gain extra
+    * sentences (kept), a curly-brace code fragment (dropped), a
+    * "lorem ipsum" marker (dropped), or just a terminal period (dropped —
+    * under 3 sentences).
+    */
+  private val c4 = Q("txt_c4_filters",
+    (s, dir) => {
+      val suffix = when(col("doc_id") % 4 === 0, lit(". Extra sentence one. Extra sentence two."))
+        .when(col("doc_id") % 4 === 1, lit(" {var x = 1;}"))
+        .when(col("doc_id") % 4 === 2, lit(" Lorem ipsum dolor."))
+        .otherwise(lit("."))
+      TextAnalysis.c4Signals(
+        t(s, dir, "documents").select(col("doc_id"), concat(col("text"), suffix).as("text")),
+        "text").drop("text")
+    },
+    Some("""WITH d AS (SELECT doc_id, text || CASE doc_id % 4
+        WHEN 0 THEN '. Extra sentence one. Extra sentence two.'
+        WHEN 1 THEN ' {var x = 1;}'
+        WHEN 2 THEN ' Lorem ipsum dolor.'
+        ELSE '.' END AS text FROM documents),
+      lines AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM d),
+      sig AS (SELECT d.doc_id,
+        len(ls)::BIGINT AS n_lines,
+        len(list_filter(ls, l -> regexp_matches(l, '[.!?"]$')))::BIGINT AS n_terminal_lines,
+        len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
+        contains(text, '{') AS has_curly,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT AS n_words
+        FROM d JOIN lines ON d.doc_id = lines.doc_id)
+      SELECT *, (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
+      FROM sig"""))
+
+  private val gopher = Q("txt_gopher_filter",
+    (s, dir) => TextAnalysis.gopherSignals(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"), col("alpha_word_frac"),
+        col("req_stop_hits"), col("gopher_keep")),
+    Some("""WITH w AS (SELECT doc_id, text,
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM documents),
+      sig AS (SELECT doc_id,
+        len(words)::BIGINT AS n_words,
+        CASE WHEN len(words) > 0
+          THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(words) > 0
+          THEN len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / len(words) ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(ls) > 0
+          THEN len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END AS bullet_line_frac,
+        CASE WHEN len(ls) > 0
+          THEN len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE / len(ls) ELSE 0.0 END AS ellipsis_line_frac,
+        CASE WHEN len(words) > 0
+          THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words) ELSE 0.0 END AS alpha_word_frac,
+        (regexp_matches(lower(text), '\bthe\b')::INT + regexp_matches(lower(text), '\bbe\b')::INT
+          + regexp_matches(lower(text), '\bto\b')::INT + regexp_matches(lower(text), '\bof\b')::INT
+          + regexp_matches(lower(text), '\band\b')::INT + regexp_matches(lower(text), '\bthat\b')::INT
+          + regexp_matches(lower(text), '\bhave\b')::INT + regexp_matches(lower(text), '\bwith\b')::INT)::BIGINT AS req_stop_hits
+        FROM w)
+      SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+        round(symbol_ratio, 6) AS symbol_ratio,
+        round(bullet_line_frac, 6) AS bullet_line_frac,
+        round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+        round(alpha_word_frac, 6) AS alpha_word_frac,
+        req_stop_hits,
+        (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
+          AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+          AND alpha_word_frac >= 0.8 AND req_stop_hits >= 2) AS gopher_keep
+      FROM sig"""))
+
+  private val charPairs = Q("txt_char_pairs",
+    (s, dir) => TextAnalysis.charPairStats(t(s, dir, "documents"), "text", topN = 50),
+    Some(s"""WITH toks AS (SELECT unnest($tokenizeSql) AS tok FROM documents),
+      pairs AS (SELECT unnest([substring(tok, i, 2) FOR i IN generate_series(1, length(tok) - 1)]) AS pair
+        FROM toks WHERE length(tok) >= 2)
+      SELECT pair, count(*) AS n_occ FROM pairs
+      GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 50"""))
+
+  private val subWindows = Q("dd_substring_windows",
+    (s, dir) => Dedup.duplicateWindows(t(s, dir, "documents"), "text", "doc_id",
+      windowLen = 20, stride = 10),
+    Some(s"""WITH toks AS (SELECT doc_id AS id, $tokenizeSql AS tk FROM documents),
+      wins AS (SELECT id, unnest([md5(array_to_string(tk[i*10+1 : i*10+20], ' '))
+          FOR i IN generate_series(0, ((len(tk) - 20) // 10)::BIGINT)]) AS win_hash
+        FROM toks WHERE len(tk) >= 20)
+      SELECT win_hash, count(DISTINCT id) AS n_docs, count(*) AS n_occ, min(id) AS first_doc
+      FROM wins GROUP BY win_hash HAVING count(DISTINCT id) >= 2"""),
+    bench = true)
+
+  private val semDedup = Q("dd_semantic_dedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.semanticDedup(emb, "v", "vec_id", stride = 50, threshold = 0.3)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+      sc AS (SELECT vec_id, v, cid,
+        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cc
+        FROM e CROSS JOIN cent),
+      a AS (SELECT vec_id AS id, v, cid AS cluster_id FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS r FROM sc)
+        WHERE r = 1),
+      dropped AS (SELECT DISTINCT y.id
+        FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.id < y.id
+        WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3)
+      SELECT a.id, a.cluster_id, (dropped.id IS NOT NULL) AS is_dropped
+      FROM a LEFT JOIN dropped ON a.id = dropped.id"""),
+    bench = true)
+
+  private val tempMix = Q("pipe_temperature_mix",
+    (s, dir) => Sampling.temperatureWeights(t(s, dir, "documents"), "lang",
+      alpha = 0.5, budget = 1000L),
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      z AS (SELECT sum(power(n_docs, 0.5)) AS z FROM c)
+      SELECT lang, n_docs,
+        round(power(n_docs, 0.5) / z, 6) AS weight,
+        floor(round(power(n_docs, 0.5) / z * 1000, 6))::BIGINT AS target_docs
+      FROM c CROSS JOIN z"""))
+
+  val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix)
+}

@@ -305,6 +305,34 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Duplicated substring detection: hash fixed-length token windows at a
+    * stride and report windows appearing in ≥2 documents — the bounded
+    * approximation of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * cross-document duplicate span of ≥ `windowLen + stride − 1` tokens is
+    * guaranteed to contain at least one aligned window on each side, and a
+    * stride of `windowLen/2` catches spans of 1.5× the window. Windows are
+    * generated as an array expression inside the scan (no pre-materialized
+    * n-gram table) and only their 128-bit hashes are shuffled —
+    * O(tokens/stride) rows of 16 bytes, uniform keys, partial-agg
+    * friendly. Returns (win_hash, n_docs, n_occ, first_doc).
+    */
+  def duplicateWindows(df: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 20, stride: Int = 10): DataFrame = {
+    require(windowLen > 0 && stride > 0, "windowLen and stride must be positive")
+    val toks = tokenize(col(textCol))
+    val wins = when(size(toks) >= windowLen,
+      transform(sequence(lit(0), ((size(toks) - windowLen) / stride).cast("int")),
+        i => md5(concat_ws(" ", slice(toks, i * stride + 1, lit(windowLen))))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(wins).as("win_hash"))
+      .groupBy(col("win_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
   /** Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
     * pass): lines occurring more than `maxOccurrences` times ACROSS THE
     * CORPUS (navbars, cookie banners, license footers) are removed from

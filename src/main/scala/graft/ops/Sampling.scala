@@ -72,4 +72,25 @@ object Sampling {
       .where(col("mix_rank") <= floor(shareCol * col("__n")).cast("long"))
       .drop("__n")
   }
+
+  /** Temperature-based mixing weights (the multilingual/multi-source
+    * sampling rule popularized by multilingual LM training: p_i ∝ n_i^α,
+    * α < 1 upsamples low-resource groups): per-group document counts →
+    * normalized sampling weight and the floored per-group target count for
+    * a `budget`-document mix. One tiny aggregate plus a one-row broadcast
+    * normalizer — no per-row work at all, so the cost is the count
+    * aggregation's partial-agg scan regardless of corpus size. Weights and
+    * targets are rounded before flooring so external engines reproduce the
+    * exact mix. Returns (groupCol, n_docs, weight, target_docs).
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), lit(alpha))).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n_docs"),
+        round(pow(col("n_docs"), lit(alpha)) / col("__z"), 6).as("weight"),
+        floor(round(pow(col("n_docs"), lit(alpha)) / col("__z") * budget, 6))
+          .cast("long").as("target_docs"))
+  }
 }

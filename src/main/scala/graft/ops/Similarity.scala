@@ -139,6 +139,35 @@ object Similarity {
         concat_ws(",", (0 until subspaces).map(j => col(s"__c$j").cast("string")): _*).as("pq_code"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * recipe): cluster embeddings (IVF assignment against deterministic
+    * sampled centroids), then inside each cluster drop every vector whose
+    * cosine to a LOWER-id cluster member exceeds `threshold` — one
+    * deterministic representative per semantic near-duplicate group
+    * survives.
+    *
+    * Plan shape at 100 TB: the pairwise check is confined to clusters —
+    * the self-join is an equi-join on cluster_id whose work is
+    * Σ cluster_size², tuned by centroid count (more centroids → smaller
+    * clusters), never the corpus-wide cross product. The exchange is keyed
+    * on cluster_id (hash-uniform when centroids are well-spread; a
+    * pathological mega-cluster is an AQE skew-join case). Returns every
+    * input id with its cluster and the drop decision:
+    * (id, cluster_id, is_dropped).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      stride: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, idCol, stride)
+    val left = assigned.select(col("cluster_id"), col("id").as("id_a"), col("vec").as("va"))
+    val right = assigned.select(col("cluster_id"), col("id").as("id_b"), col("vec").as("vb"))
+    val dropped = left.join(right, "cluster_id")
+      .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
   /** IVF top-k: probe only the query's own cluster. Recall is partial by
     * construction (single-probe); the point is the candidate reduction — at
     * scale the cluster-id equi-join replaces the cross product.

@@ -199,6 +199,100 @@ object TextAnalysis {
         col("__t").substr(col("chunk_idx") * step + 1, lit(size)).as("chunk_text"))
   }
 
+  /** C4-style document filter signals (Raffel et al. 2020, public corpus
+    * recipe): line counts, terminal-punctuation line counts, sentence
+    * count, code/boilerplate markers, and the composite keep decision
+    * (≥3 sentences, no curly brace, no "lorem ipsum", ≥5 words). Pure
+    * codegen array/regex expressions — runs inside the scan, no shuffle.
+    */
+  def c4Signals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val nTerminal = size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("long")
+    val nSentences = size(filter(split(t, "[.!?]"), x => trim(x) =!= "")).cast("long")
+    val hasCurly = t.contains("{")
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val nWords = size(filter(split(t, "\\s+"), w => w =!= "")).cast("long")
+    df.withColumn("n_lines", nLines)
+      .withColumn("n_terminal_lines", nTerminal)
+      .withColumn("n_sentences", nSentences)
+      .withColumn("has_curly", hasCurly)
+      .withColumn("has_lorem", hasLorem)
+      .withColumn("n_words", nWords)
+      .withColumn("c4_keep",
+        nSentences >= 3 && !hasCurly && !hasLorem && nWords >= 5)
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021 §A1.1, public recipe):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet-/ellipsis-line fractions, alphabetic-word fraction, and
+    * required-stopword evidence, plus the composite keep decision. All
+    * array/regex codegen expressions over the scan — zero shuffle, the
+    * 100 TB shape for a first-pass quality gate.
+    */
+  def gopherSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nWordsD = nWords.cast("double")
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWordsD)
+      .otherwise(0.0)
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD)
+      .otherwise(0.0)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") / nLines)
+      .otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      .otherwise(0.0)
+    val symbolRatio = when(nWords > 0,
+      size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("double") / nWordsD)
+      .otherwise(0.0)
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = requiredStops
+      .map(w => when(lower(t).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("symbol_ratio", round(symbolRatio, 6))
+      .withColumn("bullet_line_frac", round(bulletFrac, 6))
+      .withColumn("ellipsis_line_frac", round(ellipsisFrac, 6))
+      .withColumn("alpha_word_frac", round(alphaFrac, 6))
+      .withColumn("req_stop_hits", stopHits)
+      .withColumn("gopher_keep",
+        nWords >= 50 && nWords <= 100000 &&
+          meanLen >= 3 && meanLen <= 10 &&
+          symbolRatio <= 0.1 &&
+          bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+          alphaFrac >= 0.8 && stopHits >= 2)
+  }
+
+  /** Adjacent character-pair frequencies inside tokens — the first
+    * iteration of BPE-style merge induction (count all symbol pairs, the
+    * top pair is the next merge). Token pairs are generated inside the
+    * scan (array expression, no pre-materialized n-gram table); the
+    * groupBy key space is bounded (alphabet²), so partial aggregation
+    * collapses the pair stream map-side and the exchange ships at most
+    * |alphabet|² rows per partition; top-N is a bounded TakeOrdered, not
+    * a global sort. Returns the `topN` (pair, n_occ) by count desc,
+    * pair asc — a deterministic total order.
+    */
+  def charPairStats(df: DataFrame, textCol: String, topN: Int = 50): DataFrame = {
+    val toks = Dedup.tokenize(col(textCol))
+    df.select(explode(toks).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topN)
+  }
+
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(Dedup.tokenize(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))

@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operators: C4/Gopher corpus filters, substring-window dedup,
+  * SemDeDup-style semantic dedup, BPE pair stats, temperature mixing.
+  */
+class QualityOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("c4Signals: sentence count, code/lorem markers, keep decision") {
+    val docs = Seq(
+      (0L, "First sentence here. Second one follows. And a third sentence."),
+      (1L, "Code sample ahead {var x = 1;} with three. Sentences in. Total here."),
+      (2L, "This text contains Lorem Ipsum filler. More words. Third sentence."),
+      (3L, "Just one short sentence.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Signals(docs, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("c4_keep"))
+    assert(out(1L).getAs[Boolean]("has_curly") && !out(1L).getAs[Boolean]("c4_keep"))
+    assert(out(2L).getAs[Boolean]("has_lorem") && !out(2L).getAs[Boolean]("c4_keep"))
+    assert(out(3L).getAs[Long]("n_sentences") == 1L && !out(3L).getAs[Boolean]("c4_keep"))
+    assert(out(0L).getAs[Long]("n_sentences") == 3L)
+  }
+
+  test("gopherSignals: word-count bounds and stopword evidence gate the keep flag") {
+    val good = ("word " * 30 + "the cat sat on the mat with a hat and that was " +
+      "quite enough of everything for one day indeed truly").trim
+    val docs = Seq(
+      (0L, good),                       // ~50 words, stopwords present
+      (1L, "too few words here"),       // under the word floor
+      (2L, ("xx " * 60).trim))          // 60 words but mean len 2, no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherSignals(docs, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("gopher_keep"))
+    assert(!out(1L).getAs[Boolean]("gopher_keep"))
+    assert(!out(2L).getAs[Boolean]("gopher_keep"))
+    assert(out(2L).getAs[Double]("mean_word_len") == 2.0)
+    assert(out(0L).getAs[Long]("req_stop_hits") >= 2L)
+  }
+
+  test("charPairStats: counts adjacent in-token character pairs") {
+    val docs = Seq((0L, "abab abab"), (1L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.charPairStats(docs, "text", topN = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abab" ×2 → pairs ab,ba,ab each; "abc" → ab,bc
+    assert(out("ab") == 5L)
+    assert(out("ba") == 2L)
+    assert(out("bc") == 1L)
+  }
+
+  test("duplicateWindows: shared token spans across docs are caught, short docs yield none") {
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"unique preamble for zero $span trailing zero"),
+      (1L, s"other document intro words $span different ending"),
+      (2L, "short text without enough tokens"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateWindows(docs, "text", "doc_id", windowLen = 20, stride = 10)
+      .collect()
+    assert(out.nonEmpty, "30-token shared span must produce at least one shared window")
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(out.forall(_.getAs[Long]("first_doc") == 0L))
+    // a window-less doc contributes nothing: only docs 0 and 1 appear
+    val tiny = Dedup.duplicateWindows(
+      Seq((9L, "short")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(tiny.collect().isEmpty)
+  }
+
+  test("semanticDedup: near-identical vectors in a cluster drop the higher id") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),     // centroid A (id % 2 == 0)
+      (1L, Seq(0.999, 0.01)),  // near-dup of 0 → dropped
+      (2L, Seq(0.0, 1.0)),     // centroid B
+      (3L, Seq(0.01, 0.999)),  // near-dup of 2 → dropped
+      (5L, Seq(0.7, 0.714)))   // between clusters, far from both members
+      .toDF("vec_id", "v")
+    val out = Similarity.semanticDedup(vecs, "v", "vec_id", stride = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(0L).getAs[Boolean]("is_dropped"))
+    assert(out(1L).getAs[Boolean]("is_dropped"))
+    assert(!out(2L).getAs[Boolean]("is_dropped"))
+    assert(out(3L).getAs[Boolean]("is_dropped"))
+    assert(!out(5L).getAs[Boolean]("is_dropped"))
+    assert(out(1L).getAs[Long]("cluster_id") == 0L)
+    assert(out(3L).getAs[Long]("cluster_id") == 2L)
+  }
+
+  test("temperatureWeights: alpha<1 upsamples the low-resource group") {
+    val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureWeights(docs, "lang", alpha = 0.5, budget = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // counts 36 vs 4 (9:1); sqrt → 6 vs 2 (3:1): de's share triples
+    assert(out("en").getAs[Double]("weight") == 0.75)
+    assert(out("de").getAs[Double]("weight") == 0.25)
+    assert(out("en").getAs[Long]("target_docs") == 75L)
+    assert(out("de").getAs[Long]("target_docs") == 25L)
+  }
+}
