@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Joins, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-data pipeline breadth: published corpus-filter recipes
@@ -137,5 +137,21 @@ object CatalogQuality {
         floor(round(power(n_docs, 0.5) / z * 1000, 6))::BIGINT AS target_docs
       FROM c CROSS JOIN z"""))
 
-  val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix)
+  /** Hot-user fan-in is the canonical skew shape: every event of a viral
+    * user lands on one reducer in a plain join. The salted join spreads
+    * each user's events over 8 sub-keys; result set identical to the
+    * plain join (oracle is the plain join).
+    */
+  private val salted = Q("j10_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val prof = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+      Joins.saltedJoin(ev.select(col("event_id"), col("user_id")), prof,
+        key = "user_id", bigIdCol = "event_id", salts = 8)
+        .select(col("event_id"), col("user_events"))
+    },
+    Some("""WITH prof AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+      SELECT e.event_id, p.user_events FROM events e JOIN prof p USING (user_id)"""))
+
+  val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix, salted)
 }

@@ -131,7 +131,8 @@ object Dedup {
     * so no qualifying pair is lost, while frequent tokens (the O(N²)
     * blowup of a naive token join) almost never land in a prefix. A length
     * filter (t·|x| ≤ |y| ≤ |x|/t) prunes candidates further; survivors are
-    * verified exactly with array_intersect on the full token arrays.
+    * verified with array_intersect over the full per-doc token-hash
+    * arrays (64-bit token identity — see the collision note below).
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
@@ -142,11 +143,18 @@ object Dedup {
     // persisted: three consumers (prefix generation + both sides of the
     // verification join) would otherwise re-run the dfreq join + sort-agg
     // 3× — Spark's exchange reuse does not cover all three
+    // tokens leave the aggregation as 64-bit hashes: prefix equality and
+    // set intersection only need token IDENTITY, and long arrays shuffle
+    // and intersect several times cheaper than string arrays (measured:
+    // the verification stage dominated the query on string payloads).
+    // A same-block xxhash64 collision (≈|block vocab|²/2⁶⁵) could at worst
+    // inflate one pair's overlap by 1 — far below any realistic threshold
+    // granularity.
     val docs = toks.join(dfreq, Seq("blk", "tok"))
       .groupBy(col("blk"), col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .select(col("blk"), col("id"),
-        transform(col("sorted"), s => s.getField("tok")).as("toks"),
+        transform(col("sorted"), s => xxhash64(s.getField("tok"))).as("toks"),
         size(col("sorted")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = docs.select(col("blk"), col("id"), col("sz"),
@@ -169,8 +177,16 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val ta = docs.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sa"))
     val tb = docs.select(col("id").as("id_b"), col("toks").as("tb"), col("sz").as("sb"))
+    // the non-deterministic (but always-true) guard pins the intersection
+    // into this projection: without it, CollapseProject + predicate
+    // pushdown inline the alias into the join condition AND the output
+    // projection, so array_intersect runs three times per candidate pair
+    // (twice in the pushed jaccard predicate, once for the output) —
+    // measured as the dominant cost of the whole query
+    val interOnce = when(monotonically_increasing_id() >= 0,
+      size(array_intersect(col("ta"), col("tb")))).otherwise(0)
     val verified = cands.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"), interOnce.as("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter"))).as("jaccard"))

@@ -84,4 +84,29 @@ object Joins {
       .where(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__b")
   }
+
+  /** Salted inner equi-join for skewed keys: the standard remedy when one
+    * join key dominates (a hot user, a null-ish default, a viral
+    * document) and a single reducer would receive that key's entire row
+    * set. The big side scatters each row into one of `salts` sub-keys by a
+    * deterministic hash of `bigIdCol`; the small side replicates `salts`×,
+    * once per sub-key; the equi-join on (key, salt) then spreads the hot
+    * key over `salts` reducers. Result set is EXACTLY `big ⋈ small` —
+    * each big row meets the one replica carrying its salt.
+    *
+    * Spark's AQE skew-join handles this at runtime by splitting oversized
+    * partitions, but only for sort-merge joins it can see; explicit
+    * salting is the portable shape when the skew is known ahead of time
+    * (and composes with any downstream per-key aggregation). Replication
+    * cost is |small|×salts — keep `salts` near the ratio hot-key-rows /
+    * average-key-rows.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      bigIdCol: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val b = big.withColumn("__salt",
+      pmod(Dedup.h60(col(bigIdCol).cast("string"), 5), lit(salts.toLong)).cast("int"))
+    val sm = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -91,6 +91,19 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("cluster_id") == 2L)
   }
 
+  test("saltedJoin: result equals the plain join, hot key spreads over salts") {
+    val big = (1L to 200L).map(i => (i, if (i <= 150) "hot" else s"k${i % 7}"))
+      .toDF("row_id", "k")
+    val small = Seq(("hot", 1), ("k1", 2), ("k2", 3), ("k3", 4)).toDF("k", "v")
+    val salted = graft.ops.Joins.saltedJoin(big, small, "k", "row_id", salts = 4)
+      .select("row_id", "k", "v")
+    val plain = big.join(small, "k").select("row_id", "k", "v")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    // the physical join keys include the salt column
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "join must key on the salt")
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
