@@ -130,16 +130,32 @@ object CatalogOps {
       WHERE doc_id = m"""))
 
   private val ddCosineLsh = Q("dd_cosine_lsh",
-    // sign-LSH bucketed near-dup: recall < 1 by design, so no SQL oracle —
-    // the driver records a rows-only check; the subset property vs the
-    // exact variant is asserted in OpsSpec
+    // sign-LSH bucketed near-dup. Recall < 1 is a property of WHICH pairs
+    // share a bucket, not a source of nondeterminism: the ±1 planes are
+    // md5-parity-derived, so DuckDB regenerates the identical planes,
+    // buckets, and pair set — a full hash oracle (the subset property vs
+    // the exact variant is additionally asserted in OpsSpec)
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       Dedup.cosineNearDupLsh(emb, "v", "vec_id", 0.5, planes = 6)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      planes AS (SELECT p,
+        [CASE WHEN ('0x' || substring(md5('plane:' || p || ':' || d), 1, 15))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END
+          FOR d IN generate_series(0, 63)] AS pv
+        FROM generate_series(0, 5) AS t(p)),
+      sigs AS (SELECT vec_id,
+        string_agg(CASE WHEN list_dot_product(v, pv) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id),
+      pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      SELECT id_a, id_b,
+        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM pairs JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5"""))
 
   // ------------------------------------------------------- similarity search
 

@@ -127,12 +127,15 @@ object MappingParser {
     else if (descJdbc.isDefined)
       descJdbc.get
     else if (descEndpoint.isDefined)
-      LogicalSource.SparqlSource("endpoint:" + descEndpoint.get, iterator.getOrElse(""))
+      // the SPARQL query text may arrive as rml:query (sd descriptor
+      // mappings) or as the rml:iterator (reference mapping shape)
+      LogicalSource.SparqlSource("endpoint:" + descEndpoint.get,
+        query.orElse(iterator).getOrElse(""))
     else if (sourceVal.exists(_.startsWith("endpoint:")))
       // S6: "endpoint:…" source + SPARQL iterator query (reference:
-      // semantify.py:10104-10123); offline endpoints = pre-fetched
-      // results-JSON files
-      LogicalSource.SparqlSource(sourceVal.get, iterator.getOrElse(""))
+      // semantify.py:10104-10123); http(s) endpoints are queried live,
+      // anything else is a pre-fetched results-JSON file
+      LogicalSource.SparqlSource(sourceVal.get, query.orElse(iterator).getOrElse(""))
     else if (tableName.isDefined || query.isDefined)
       LogicalSource.JdbcSource("", "generic", query, tableName)
     else if (iterator.exists(_.trim.toLowerCase.startsWith("select ")))

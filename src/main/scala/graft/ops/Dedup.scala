@@ -303,8 +303,15 @@ object Dedup {
     */
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
-    def planeSign(p: Int, d: Int): Double =
-      if (((graft.functions.RmlStrings.fnv1a64(s"plane:$p:$d") % 2) + 2) % 2 == 0) 1.0 else -1.0
+    // ±1 hyperplane entries from md5 parity (same md5-prefix recipe as
+    // [[h60]]), so an external SQL engine can regenerate the planes
+    // bit-for-bit and oracle-check the bucketed pairs — the bucketing is
+    // deterministic; only which near pairs COLLIDE is probabilistic
+    def planeSign(p: Int, d: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+    }
     val planeLits: Seq[Column] = (0 until planes).map { p =>
       typedLit((0 until dims).map(d => planeSign(p, d)))
     }

@@ -80,17 +80,19 @@ object SourceReader {
           regexp_extract(col("value"), pat, 3).as("object"))
         .filter(col("subject") =!= "")
 
-    case LogicalSource.SparqlSource(endpoint, _) =>
+    case LogicalSource.SparqlSource(endpoint, query) =>
       // S6: SPARQL SELECT results land as W3C results-JSON; each binding var
       // flattens to its `value` string (reference: semantify.py:10114-10123).
-      // Live endpoints would be a driver-side fetch to the same file shape;
-      // here we read a pre-fetched bindings file (file: URI or local path).
+      // http(s) endpoints are queried live over the SPARQL protocol (GET
+      // with `query=`, Accept results+json — reference: semantify.py:
+      // 10104-10112); the response lands in a temp file and the
+      // distributed scan reads the local copy, same shape as S8 remote
+      // file sources. Non-http paths are pre-fetched results-JSON files.
       val path = endpoint.stripPrefix("endpoint:").stripPrefix("file://")
       if (path.startsWith("http://") || path.startsWith("https://"))
-        throw new UnsupportedOperationException(
-          s"SPARQL endpoint sources need network access (endpoint: $endpoint); " +
-            "provide a pre-fetched bindings file instead")
-      sparqlBindings(spark, path)
+        sparqlBindings(spark, fetchSparqlResults(path, query))
+      else
+        sparqlBindings(spark, path)
 
     case v: LogicalSource.ViewSource =>
       graft.exec.ViewExec.compile(spark, v)
@@ -100,6 +102,27 @@ object SourceReader {
   // repeated reads of the same source (several TMs, parent builds) reuse
   // the local copy instead of re-fetching.
   private val resolvedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Live S6 fetch: one SPARQL-protocol GET per distinct (endpoint, query)
+    * per JVM — the bindings file is bounded (a SELECT result set), the
+    * distributed scan happens on the local copy.
+    */
+  private def fetchSparqlResults(endpoint: String, query: String): String =
+    resolvedPaths.computeIfAbsent(s"sparql:$endpoint $query", { _ =>
+      val sep = if (endpoint.contains("?")) "&" else "?"
+      val url = endpoint + sep + "query=" +
+        java.net.URLEncoder.encode(query, "UTF-8") + "&format=json"
+      val conn = java.net.URI.create(url).toURL.openConnection()
+      conn.setRequestProperty("Accept", "application/sparql-results+json")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sparql").resolve("bindings.json")
+      val in = try conn.getInputStream
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"failed to query SPARQL endpoint $endpoint: ${e.getMessage}", e) }
+      try java.nio.file.Files.copy(in, tmp)
+      finally in.close()
+      tmp.toString
+    })
 
   /** S8 + archive sources: make a path spark.read can scan.
     *

@@ -62,6 +62,43 @@ class RemoteSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S6: live SPARQL endpoint queried over the protocol") {
+    val bindings =
+      """{"head":{"vars":["s","name"]},
+        |"results":{"bindings":[
+        |  {"s":{"type":"uri","value":"http://ex/r/1"},"name":{"type":"literal","value":"ada"}},
+        |  {"s":{"type":"uri","value":"http://ex/r/2"},"name":{"type":"literal","value":"bob"}}]}}""".stripMargin
+    @volatile var seenQuery: String = null
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenQuery = ex.getRequestURI.getRawQuery
+      val bytes = bindings.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/sparql-results+json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val ts = Engine.materialize(spark, prefixes +
+        s"""<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "endpoint:http://127.0.0.1:$port/sparql";
+           |                      rml:referenceFormulation ql:JSONPath;
+           |                      rml:query "SELECT ?s ?name WHERE { ?s <http://ex/name> ?name }" ];
+           |  rr:subjectMap [ rr:template "http://ex/p/{name}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:src; rr:objectMap [ rml:reference "s" ] ].
+           |""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(ts == Set(
+        ("<http://ex/p/ada>", "\"http://ex/r/1\""),
+        ("<http://ex/p/bob>", "\"http://ex/r/2\"")))
+      assert(seenQuery != null && seenQuery.contains("query=SELECT"),
+        s"endpoint must receive the SPARQL query; got: $seenQuery")
+    } finally server.stop(0)
+  }
+
   test("S8: a failing remote fetch names the URL in the error") {
     val ex = intercept[java.io.IOException] {
       graft.sources.SourceReader.resolvePath("http://127.0.0.1:1/nope.csv")
