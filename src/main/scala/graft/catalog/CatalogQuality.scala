@@ -153,5 +153,73 @@ object CatalogQuality {
     Some("""WITH prof AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
       SELECT e.event_id, p.user_events FROM events e JOIN prof p USING (user_id)"""))
 
-  val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix, salted)
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  private val ivfMultiprobe = Q("sim_ivf_multiprobe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.ivfTopKMultiprobe(emb, "v", "vec_id", stride = 100,
+        col("id") % 75 === 0, k = 3, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      scored AS (SELECT e.vec_id AS id, e.v AS qv, centroid_id,
+          list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT id, qv AS v, centroid_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, centroid_id) AS r FROM scored)
+        WHERE r = 1),
+      queries AS (SELECT id AS query_id, v AS qv FROM assigned WHERE id % 75 = 0),
+      probes AS (SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, centroid_id,
+          row_number() OVER (PARTITION BY q.query_id ORDER BY $cosSql DESC, centroid_id) AS r
+        FROM queries q CROSS JOIN cent)
+        WHERE r <= 2),
+      probed AS (SELECT query_id, c.id AS corpus_id,
+          list_dot_product(p.qv, c.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM probes p JOIN assigned c
+        ON p.centroid_id = c.cluster_id AND c.id <> p.query_id),
+      ranked AS (SELECT query_id, corpus_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM probed)
+      SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""))
+
+  /** Incremental dedup: even doc_ids play the standing corpus, odd ids the
+    * incoming batch; only pairs touching the batch are (re)generated.
+    */
+  private val incrementalMinhash = Q("dd_incremental_minhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashIncrementalCandidates(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id")
+    },
+    Some {
+      val p = graft.ops.Dedup.MinhashP
+      val mhCols = (0 until 12)
+        .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
+        .mkString(",\n        ")
+      val bands = (0 until 4).map { b =>
+        val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
+        s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS (
+        SELECT doc_id AS id,
+          unnest(list_distinct([substring(lower(text), i, 8)
+            FOR i IN generate_series(1, greatest(length(text) - 7, 1))])) AS shingle
+        FROM documents),
+      hashed AS (SELECT id, ${CatalogOps.h60Sql("shingle", 0)} % $p AS h FROM sh),
+      mh AS (SELECT id, $mhCols FROM hashed GROUP BY id),
+      bands AS ($bands)
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, b.id % 2 = 1 AS b_is_new
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+      WHERE a.id % 2 = 1 OR b.id % 2 = 1"""
+    })
+
+  val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
+    salted, ivfMultiprobe, incrementalMinhash)
 }

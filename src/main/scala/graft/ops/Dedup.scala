@@ -99,6 +99,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental MinHash dedup: candidate pairs where at least one side is
+    * from the NEW batch — the production shape for a growing corpus:
+    * corpus×corpus pairs were resolved when those documents arrived and
+    * are not regenerated; each ingest pays O(batch) signature work plus
+    * the band join against the stored corpus signatures. (Here the corpus
+    * side's signatures are recomputed from text; in a deployed pipeline
+    * they would be read back from the signature store — the band-join
+    * shape is identical.) Returns (id_a, id_b, b_is_new) with id_a < id_b.
+    */
+  def minhashIncrementalCandidates(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleLen: Int = 8): DataFrame = {
+    val cb = minhashBands(corpus, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .withColumn("is_new", lit(false))
+    val bb = minhashBands(batch, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .withColumn("is_new", lit(true))
+    val all = cb.unionByName(bb)
+    all.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id") && (col("a.is_new") || col("b.is_new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("b.is_new").as("b_is_new"))
+      .distinct()
+  }
+
   /** SimHash: `bits`-bit signature; each token votes its hash bits up/down
     * (weight 1), the sign of each bit-sum becomes the signature bit.
     * Near-duplicates have small Hamming distance.

@@ -139,6 +139,46 @@ object Similarity {
         concat_ws(",", (0 until subspaces).map(j => col(s"__c$j").cast("string")): _*).as("pq_code"))
   }
 
+  /** Multiprobe IVF top-k: each query probes its `nprobe` nearest clusters
+    * instead of one — the standard recall/cost dial (recall loss of
+    * single-probe IVF comes from neighbors that straddle a cluster
+    * boundary; probing 2–4 clusters recovers most of it for nprobe× the
+    * candidate volume).
+    *
+    * Probe selection is a bounded per-query aggregate: collect the C
+    * (centroid-count) scored centroids and keep the top `nprobe` by
+    * sorting the collected array — state is C entries per query, bounded
+    * by the centroid count, never corpus-sized; no window over the N×C
+    * frame. The corpus side then hash-joins on cluster_id exactly as
+    * single-probe does, with nprobe rows per query on the probe side.
+    */
+  def ivfTopKMultiprobe(df: DataFrame, vecCol: String, idCol: String,
+      stride: Int, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, idCol, stride)
+    val centroids = df.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val queries = assigned.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("centroid_vec")).as("ccos"))
+      .groupBy(col("query_id"))
+      .agg(any_value(col("qv")).as("qv"),
+        slice(array_sort(collect_list(struct((-col("ccos")).as("negc"),
+          col("centroid_id").as("cid")))), 1, nprobe).as("top"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(col("top"), s => s.getField("cid"))).as("cluster_id"))
+    val scored = assigned.as("c")
+      .join(probes.as("q"), col("c.cluster_id") === col("q.cluster_id") &&
+        col("c.id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.id").as("corpus_id"),
+        cosine(col("q.qv"), col("c.vec")).as("cos"))
+    // a corpus vector can appear in several probed clusters only if probes
+    // overlap across queries, never within one query (clusters partition
+    // the corpus) — no dedup needed before ranking
+    topKPerQuery(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     * recipe): cluster embeddings (IVF assignment against deterministic
     * sampled centroids), then inside each cluster drop every vector whose

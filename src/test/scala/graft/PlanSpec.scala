@@ -112,4 +112,31 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0 && exchange >= 0, p)
     assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
   }
+
+  test("char pairs: bounded TakeOrdered top-N, not a global sort") {
+    val p = plan("txt_char_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(!p.contains("GlobalLimit"), s"global sort+limit instead of TakeOrdered:\n$p")
+  }
+
+  test("substring windows: hashes generated inside the scan stage, no join") {
+    val p = plan("dd_substring_windows")
+    // windows explode from a per-row array expression (Generate over the
+    // scan) and aggregate by hash — no join, no window, one exchange
+    assert(p.contains("Generate"), s"expected scan-side explode:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("semantic dedup: per-cluster equi-join, no cartesian, no window") {
+    val p = plan("dd_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"pairwise must stay inside clusters:\n$p")
+    assert(!p.contains("Window"), s"assignment must be partial-agg, not window:\n$p")
+  }
+
+  test("salted join: physical join keys carry the salt") {
+    val p = plan("j10_salted_join")
+    assert(p.contains("__salt"), s"salt missing from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -104,6 +104,40 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), "join must key on the salt")
   }
 
+  test("ivfTopKMultiprobe: probing more clusters never loses single-probe neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val single = Similarity.ivfTopK(emb, "v", "vec_id", 10, col("id") % 13 === 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.ivfTopKMultiprobe(emb, "v", "vec_id", 10, col("id") % 13 === 0,
+      k = 3, nprobe = 3).collect()
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multiprobe ranks over a superset of candidates: its top-3 cosine per
+    // query is >= single-probe's (compare via rank-1 score)
+    val s1 = Similarity.ivfTopK(emb, "v", "vec_id", 10, col("id") % 13 === 0, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val m1 = multi.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m1.keySet == s1.keySet)
+    m1.foreach { case (q, c) => assert(c >= s1(q) - 1e-12, s"query $q lost recall") }
+    assert(multiPairs.nonEmpty && single.nonEmpty)
+  }
+
+  test("minhashIncrementalCandidates: corpus-only pairs are not regenerated") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // corpus-internal dup
+      (4L, "completely unrelated corpus content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // dup of corpus
+      (3L, "fresh new batch document with novel text")).toDF("doc_id", "text")
+    val out = Dedup.minhashIncrementalCandidates(corpus, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the corpus-internal (0,2) pair must NOT reappear
+    assert(!out.exists(p => p._1 == 0L && p._2 == 2L))
+    // the batch doc's duplicates against the corpus are found
+    assert(out.contains((0L, 1L, true)) && out.contains((1L, 2L, false)))
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
