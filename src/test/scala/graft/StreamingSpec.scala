@@ -190,4 +190,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set(("l1", "r-in"), ("l1", "r-before")))
     } finally q.stop()
   }
+
+  test("quality gates run unchanged on a stream (stateless scan-side filters)") {
+    // C4/Gopher/repetition signals are pure projections, so the same code
+    // path serves batch corpora and streaming ingest — the streaming form
+    // of the pretraining filter chain needs no watermark and no state
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    val batch = Seq(
+      (1L, "First sentence here. Second one follows. And a third sentence."),
+      (2L, "short {code}"))
+      .toDF("doc_id", "text")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val gated = graft.ops.TextAnalysis.repetitionSignals(
+      graft.ops.TextAnalysis.c4Signals(stream, "text"), "text")
+      .select(col("doc_id"), col("c4_keep"), col("dup_line_frac"))
+    assert(gated.isStreaming, "quality signals must compose on a streaming frame")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("qgate_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qgate_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
 }
