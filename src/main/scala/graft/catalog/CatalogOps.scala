@@ -34,29 +34,47 @@ object CatalogOps {
       FROM documents GROUP BY md5(text)"""),
     bench = true)
 
-  private val ddMinhash = Q("dd_minhash_lsh",
-    (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
-      numHashes = 12, rowsPerBand = 3, shingleLen = 8),
-    Some {
-      val p = graft.ops.Dedup.MinhashP
-      val mhCols = (0 until 12)
-        .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
-        .mkString(",\n        ")
-      val bands = (0 until 4).map { b =>
-        val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
-        s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH sh AS (
+  /** Shared CTE chain producing MinHash band signatures as `bands(id, band,
+    * sig)` — reused by dd_minhash_lsh and the recall evaluation so the two
+    * oracles cannot drift.
+    */
+  private[catalog] val minhashCtes: String = {
+    val p = graft.ops.Dedup.MinhashP
+    val mhCols = (0 until 12)
+      .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
+      .mkString(",\n        ")
+    val bands = (0 until 4).map { b =>
+      val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
+      s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
+    }.mkString("\n        UNION ALL ")
+    s"""sh AS (
         SELECT doc_id AS id,
           unnest(list_distinct([substring(lower(text), i, 8)
             FOR i IN generate_series(1, greatest(length(text) - 7, 1))])) AS shingle
         FROM documents),
       hashed AS (SELECT id, ${h60Sql("shingle", 0)} % $p AS h FROM sh),
       mh AS (SELECT id, $mhCols FROM hashed GROUP BY id),
-      bands AS ($bands)
+      bands AS ($bands)"""
+  }
+
+  /** Shared CTE chain for exact blocked Jaccard: `inter(id_a, id_b, i)` +
+    * `sizes(id, sz)`.
+    */
+  private[catalog] val jaccardCtes: String =
+    s"""toks AS (
+        SELECT lang AS blk, doc_id AS id, unnest(list_distinct($tokenizeSql)) AS tok
+        FROM documents),
+      sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+      inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+        FROM toks x JOIN toks y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
+        GROUP BY x.id, y.id)"""
+
+  private val ddMinhash = Q("dd_minhash_lsh",
+    (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+      numHashes = 12, rowsPerBand = 3, shingleLen = 8),
+    Some(s"""WITH $minhashCtes
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""
-    },
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""),
     bench = true)
 
   private val ddSimhash = Q("dd_simhash",
@@ -79,13 +97,7 @@ object CatalogOps {
   private val ddJaccard = Q("dd_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id", "lang", 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
-    Some(s"""WITH toks AS (
-        SELECT lang AS blk, doc_id AS id, unnest(list_distinct($tokenizeSql)) AS tok
-        FROM documents),
-      sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
-      inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
-        FROM toks x JOIN toks y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
-        GROUP BY x.id, y.id)
+    Some(s"""WITH $jaccardCtes
       SELECT id_a, id_b,
         round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
       FROM inter

@@ -220,6 +220,32 @@ object CatalogQuality {
       WHERE a.id % 2 = 1 OR b.id % 2 = 1"""
     })
 
+  /** "Measure, don't guess" for approximate dedup: what fraction of the
+    * exact Jaccard-0.6 pairs does MinHash-LSH banding catch? One number
+    * out; the reference set is the exact operator, the candidate set the
+    * cheap one — the number a pipeline owner needs before trusting LSH at
+    * full scale.
+    */
+  private val lshRecall = Q("dd_lsh_recall",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.6)
+      val lsh = Dedup.minhashCandidates(docs, "text", "doc_id")
+      Dedup.pairRecall(exact, lsh)
+    },
+    Some(s"""WITH ${CatalogOps.minhashCtes},
+      lsh AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+      ${CatalogOps.jaccardCtes},
+      exact AS (SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6)
+      SELECT count(*) AS n_reference,
+        count(l.id_a) AS n_caught,
+        round(count(l.id_a)::DOUBLE / count(*), 6) AS recall
+      FROM exact e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
-    salted, ivfMultiprobe, incrementalMinhash)
+    salted, ivfMultiprobe, incrementalMinhash, lshRecall)
 }

@@ -225,6 +225,23 @@ object Dedup {
     verified
   }
 
+  /** Recall of a candidate pair set against a reference pair set — the
+    * "measure, don't guess" evaluation for approximate dedup: how many of
+    * the true (reference) duplicate pairs does the cheap candidate
+    * generator catch? Both inputs carry (id_a, id_b); returns one row
+    * (n_reference, n_caught, recall). A single join + global aggregate —
+    * output is one row regardless of corpus size.
+    */
+  def pairRecall(reference: DataFrame, candidate: DataFrame): DataFrame = {
+    val caught = candidate.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("__c", lit(1L))
+    reference.select(col("id_a"), col("id_b"))
+      .join(caught, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_reference"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_caught"),
+        round(coalesce(sum(col("__c")), lit(0L)).cast("double") / count(lit(1)), 6).as("recall"))
+  }
+
   /** Resolve near-duplicate pairs into clusters via alternating
     * large-star / small-star connected components (the MapReduce CC
     * algorithm of Kiveris et al., SoCC '14): each round is two

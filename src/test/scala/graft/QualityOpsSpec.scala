@@ -138,6 +138,15 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out.contains((0L, 1L, true)) && out.contains((1L, 2L, false)))
   }
 
+  test("pairRecall: fraction of reference pairs present in the candidate set") {
+    val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecall(ref, cand).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getDouble(2) == 0.5)
+    val empty = Dedup.pairRecall(ref, cand.where(lit(false))).collect().head
+    assert(empty.getLong(1) == 0L && empty.getDouble(2) == 0.0)
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
