@@ -487,6 +487,38 @@ object CatalogCore {
     },
     bench = true)
 
+  /** The reference's "mapping shape" scaling axis (BASELINE.md: 15 TM ×
+    * 1 POM, 362 s at 1 M rows): many small TriplesMaps over ONE source.
+    * The engine compiles each TM separately but the self-union reads the
+    * scan once per TM — the axis stresses per-TM fixed cost + the global
+    * union dedup, the reference's worst shape.
+    */
+  private def multiTmMapping(dir: String): String = {
+    val tms = wideCols.take(11).zipWithIndex.map { case (c, i) =>
+      s"""<TM$i> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir/lineitem.parquet"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/li/{l_orderkey}-{l_linenumber}" ];
+         |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/$c>;
+         |    rr:objectMap [ rml:reference "$c" ] ] .""".stripMargin
+    }.mkString("\n")
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |$tms
+       |""".stripMargin
+  }
+
+  private val rmlMultiTm = Q("rml_multi_tm",
+    (s, dir) => Engine.materialize(s, multiTmMapping(dir))
+      .select(col("s"), col("p"), col("o")),
+    Some {
+      wideCols.take(11).map(c =>
+        s"""SELECT '<http://ex/li/' || l_orderkey || '-' || l_linenumber || '>' AS s,
+           |  '<http://ex/vocab/$c>' AS p, '"' || $c || '"' AS o FROM lineitem""".stripMargin)
+        .mkString("\n      UNION\n      ")
+    },
+    bench = true)
+
   private val j1 = Q("j1_refobject_join",
     (s, dir) => Engine.materialize(s, customerNationMapping(dir))
       .where(col("p") === "<http://ex/vocab/nation>")
@@ -972,7 +1004,7 @@ object CatalogCore {
     s1, s2, s3, s6, s7, s9, v2,
     k1, k2, k3,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
-    rmlE2e, rmlWide, rmlQuadStats, j1, j2, j6, j7, j8, j9,
+    rmlE2e, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)

@@ -111,28 +111,41 @@ object MappingCompiler {
     case _ => false
   }
 
+  /** One source frame per LogicalSource per compile: every TM (and every
+    * parent build side) over the same source shares the same DataFrame
+    * object, so Catalyst's ReusedExchange collapses the N scans +
+    * rebalance shuffles of an N-TM mapping into one (the reference's
+    * "15 TM × 1 POM" worst axis re-reads the file per TM —
+    * semantify.py:9908-10040 loops datasets serially).
+    *
+    * The rebalance inside: term construction multiplies every source row
+    * by the POM count, so a source whose scan yields fewer splits than
+    * the session has cores (one parquet row group, a single CSV, a small
+    * JDBC cursor) would serialize the whole construction stage onto those
+    * few tasks. Rebalance ONLY when under-parallelized — on a real
+    * cluster the input supplies thousands of splits and this is a no-op;
+    * an unconditional repartition would add a full shuffle of the source
+    * at 100 TB. (Measured at sf0.1: the 600 k-row lineitem file is one
+    * row group → a 3-task construction stage with 29 idle cores;
+    * rebalancing is a ~10 MB shuffle for a 4× wall-clock win.)
+    */
+  private def sharedSource(spark: SparkSession, tm: TriplesMap, opts: Options,
+      cache: collection.mutable.Map[String, DataFrame]): DataFrame =
+    opts.sourceOverride.getOrElse(tm.source.id,
+      cache.getOrElseUpdate("src|" + tm.source.id, {
+        val raw = SourceReader.read(spark, effectiveSource(tm, opts))
+        val d = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
+        if (d.isStreaming) d
+        else {
+          val target = spark.sparkContext.defaultParallelism
+          if (d.rdd.getNumPartitions * 2 < target) d.repartition(target) else d
+        }
+      }))
+
   private def compileTm(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
       opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
 
-    val raw = opts.sourceOverride.getOrElse(tm.source.id,
-      SourceReader.read(spark, effectiveSource(tm, opts)))
-    val df0 = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
-    // Term construction multiplies every source row by the POM count, so a
-    // source whose scan yields fewer splits than the session has cores
-    // (one parquet row group, a single CSV, a small JDBC cursor) serializes
-    // the whole construction stage onto those few tasks. Rebalance ONLY
-    // when under-parallelized: on a real cluster the input supplies
-    // thousands of splits and this is a no-op — an unconditional
-    // repartition would add a full shuffle of the source at 100 TB.
-    // (Measured at sf0.1: the 600 k-row lineitem file is one row group →
-    // a 3-task construction stage with 29 idle cores; rebalancing is a
-    // ~10 MB shuffle for a 4× wall-clock win on the wide mapping.)
-    val df =
-      if (df0.isStreaming || opts.sourceOverride.contains(tm.source.id)) df0
-      else {
-        val target = spark.sparkContext.defaultParallelism
-        if (df0.rdd.getNumPartitions * 2 < target) df0.repartition(target) else df0
-      }
+    val df = sharedSource(spark, tm, opts, parentCache)
     val colFn: String => Column = a => resolveAttr(df, a)
     val base = opts.baseIri.orElse(tm.baseIri)
 
@@ -408,7 +421,7 @@ object MappingCompiler {
         val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",") +
           "|" + parentTm.baseIri.orElse(base).getOrElse("")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
-          val pdf = SourceReader.read(spark, effectiveSource(parentTm, opts))
+          val pdf = sharedSource(spark, parentTm, opts, parentCache)
           val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -445,7 +458,7 @@ object MappingCompiler {
           childDf.where(subj.guard && pred.guard && pSubj.guard)
             .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
         } else {
-          val pdf = SourceReader.read(spark, effectiveSource(parentTm, opts))
+          val pdf = sharedSource(spark, parentTm, opts, parentCache)
           val pColFn: String => Column = a => pdf(a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -511,8 +524,7 @@ object MappingCompiler {
       jc.map(_.effectiveParentMaps.mkString(",")).getOrElse("") +
       "|" + parentTm.baseIri.orElse(base).getOrElse("")
     parentCache.getOrElseUpdate(cacheKey, {
-      val pdf = opts.sourceOverride.getOrElse(parentTm.source.id,
-        SourceReader.read(spark, effectiveSource(parentTm, opts)))
+      val pdf = sharedSource(spark, parentTm, opts, parentCache)
       val pColFn: String => Column = a => resolveAttr(pdf, a)
       val terms = quotedTerms(parentTm.id, doc, parentTm.baseIri.orElse(base), pColFn)
       val keyCols = jc.toList.flatMap(_.effectiveParentMaps.zipWithIndex.map { case (t, i) =>
