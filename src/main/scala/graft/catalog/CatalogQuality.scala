@@ -246,6 +246,53 @@ object CatalogQuality {
         round(count(l.id_a)::DOUBLE / count(*), 6) AS recall
       FROM exact e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b"""))
 
+  /** End-to-end curation chain over a synthesized corpus variant: the c4
+    * suffix (doc_id mod 4) varies the quality gates, a repeated footer
+    * (doc_id mod 5) trips the repetition gate, and the corpus's natural
+    * exact duplicates exercise canonical selection — one query through
+    * Curation.curate, every gate observable in the output.
+    */
+  private val curateQ = Q("pipe_curate",
+    (s, dir) => {
+      val suffix = concat(
+        when(col("doc_id") % 4 === 0, lit(". Extra sentence one. Extra sentence two."))
+          .when(col("doc_id") % 4 === 1, lit(" {var x = 1;}"))
+          .when(col("doc_id") % 4 === 2, lit(" Lorem ipsum dolor."))
+          .otherwise(lit(".")),
+        when(col("doc_id") % 5 === 0, lit("\nfooter line\nfooter line")).otherwise(lit("")))
+      graft.ops.Curation.curate(
+        t(s, dir, "documents").select(col("doc_id"), concat(col("text"), suffix).as("text")),
+        "text", "doc_id")
+        .select(col("doc_id"), col("c4_keep"), col("dup_line_frac"),
+          col("is_canonical"), col("curate_keep"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text
+        || CASE doc_id % 4
+             WHEN 0 THEN '. Extra sentence one. Extra sentence two.'
+             WHEN 1 THEN ' {var x = 1;}'
+             WHEN 2 THEN ' Lorem ipsum dolor.'
+             ELSE '.' END
+        || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'footer line' || chr(10) || 'footer line' ELSE '' END
+        AS text FROM documents),
+      sig AS (SELECT doc_id, text,
+        len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
+        contains(text, '{') AS has_curly,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT AS n_words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM d),
+      rep AS (SELECT doc_id,
+        round(CASE WHEN len(ls) > 0
+          THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0.0 END, 6) AS dup_line_frac,
+        (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
+        FROM sig),
+      keeper AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM d GROUP BY md5(text))
+      SELECT d.doc_id, r.c4_keep, r.dup_line_frac,
+        (d.doc_id = k.keep_id) AS is_canonical,
+        (r.c4_keep AND r.dup_line_frac <= 0.3 AND d.doc_id = k.keep_id) AS curate_keep
+      FROM d JOIN rep r ON d.doc_id = r.doc_id
+      JOIN keeper k ON md5(d.text) = k.h"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
-    salted, ivfMultiprobe, incrementalMinhash, lshRecall)
+    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ)
 }

@@ -147,6 +147,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(empty.getLong(1) == 0L && empty.getDouble(2) == 0.0)
   }
 
+  test("curate: gates, canonical selection, and redaction compose in one pass") {
+    val docs = Seq(
+      (1L, "Good document one. With several sentences. And an email a@b.co here."),
+      (2L, "Good document one. With several sentences. And an email a@b.co here."), // dup
+      (3L, "Code fragment {x} here. Two sentences. Three total ones."),             // curly
+      (4L, "Repeat me\nRepeat me\nRepeat me\nOk line. Two. Three."))                // repetition
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.curate(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("curate_keep"))
+    assert(!out(2L).getAs[Boolean]("is_canonical") && !out(2L).getAs[Boolean]("curate_keep"))
+    assert(!out(3L).getAs[Boolean]("curate_keep"))
+    assert(out(4L).getAs[Double]("dup_line_frac") > 0.3 && !out(4L).getAs[Boolean]("curate_keep"))
+    assert(out(1L).getAs[String]("redacted_text").contains("<EMAIL>"))
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
