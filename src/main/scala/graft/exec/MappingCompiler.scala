@@ -132,7 +132,8 @@ object MappingCompiler {
   private def sharedSource(spark: SparkSession, tm: TriplesMap, opts: Options,
       cache: collection.mutable.Map[String, DataFrame]): DataFrame =
     opts.sourceOverride.getOrElse(tm.source.id,
-      cache.getOrElseUpdate("src|" + tm.source.id, {
+      // newline prefix cannot collide with parent-frame cache keys (TM ids never contain one)
+      cache.getOrElseUpdate("\nsrc|" + tm.source.id, {
         val raw = SourceReader.read(spark, effectiveSource(tm, opts))
         val d = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
         if (d.isStreaming) d
