@@ -198,27 +198,10 @@ object CatalogQuality {
         docs.where(col("doc_id") % 2 === 1),
         "text", "doc_id")
     },
-    Some {
-      val p = graft.ops.Dedup.MinhashP
-      val mhCols = (0 until 12)
-        .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
-        .mkString(",\n        ")
-      val bands = (0 until 4).map { b =>
-        val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
-        s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH sh AS (
-        SELECT doc_id AS id,
-          unnest(list_distinct([substring(lower(text), i, 8)
-            FOR i IN generate_series(1, greatest(length(text) - 7, 1))])) AS shingle
-        FROM documents),
-      hashed AS (SELECT id, ${CatalogOps.h60Sql("shingle", 0)} % $p AS h FROM sh),
-      mh AS (SELECT id, $mhCols FROM hashed GROUP BY id),
-      bands AS ($bands)
+    Some(s"""WITH ${CatalogOps.minhashCtes}
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, b.id % 2 = 1 AS b_is_new
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-      WHERE a.id % 2 = 1 OR b.id % 2 = 1"""
-    })
+      WHERE a.id % 2 = 1 OR b.id % 2 = 1"""))
 
   /** "Measure, don't guess" for approximate dedup: what fraction of the
     * exact Jaccard-0.6 pairs does MinHash-LSH banding catch? One number

@@ -130,18 +130,34 @@ object MappingCompiler {
     * rebalancing is a ~10 MB shuffle for a 4× wall-clock win.)
     */
   private def sharedSource(spark: SparkSession, tm: TriplesMap, opts: Options,
-      cache: collection.mutable.Map[String, DataFrame]): DataFrame =
-    opts.sourceOverride.getOrElse(tm.source.id,
-      // newline prefix cannot collide with parent-frame cache keys (TM ids never contain one)
-      cache.getOrElseUpdate("\nsrc|" + tm.source.id, {
-        val raw = SourceReader.read(spark, effectiveSource(tm, opts))
-        val d = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
-        if (d.isStreaming) d
-        else {
-          val target = spark.sparkContext.defaultParallelism
-          if (d.rdd.getNumPartitions * 2 < target) d.repartition(target) else d
-        }
-      }))
+      cache: collection.mutable.Map[String, DataFrame],
+      useOverride: Boolean = true): DataFrame = {
+    // RefObjectMap parent builds pass useOverride=false: a streaming
+    // override stands in for the CHILD side only — parents stay static
+    // (the stream-static join contract of materializeStream)
+    val overridden =
+      if (useOverride) opts.sourceOverride.get(tm.source.id) else None
+    overridden
+      .map(o => if (opts.dedupSourceRows && !o.isStreaming) o.dropDuplicates() else o)
+      .getOrElse {
+        // keyed by the EFFECTIVE source id: per-TM source rewrites (JDBC
+        // column-pruned SELECT DISTINCT, XML parent-axis scans, per-TM
+        // SPARQL queries) produce different frames under one declared
+        // source, and must not share. Plain file sources keep one id →
+        // one scan for an N-TM mapping. Newline prefix cannot collide
+        // with parent-frame cache keys (TM ids never contain one).
+        val eff = effectiveSource(tm, opts)
+        cache.getOrElseUpdate("\nsrc|" + eff.id, {
+          val raw = SourceReader.read(spark, eff)
+          val d = if (opts.dedupSourceRows && !raw.isStreaming) raw.dropDuplicates() else raw
+          if (d.isStreaming) d
+          else {
+            val target = spark.sparkContext.defaultParallelism
+            if (d.rdd.getNumPartitions * 2 < target) d.repartition(target) else d
+          }
+        })
+      }
+  }
 
   private def compileTm(spark: SparkSession, tm: TriplesMap, doc: MappingDoc,
       opts: Options, parentCache: collection.mutable.Map[String, DataFrame]): DataFrame = {
@@ -422,7 +438,7 @@ object MappingCompiler {
         val cacheKey = parentTm.id + "|" + jc.effectiveParentMaps.mkString(",") +
           "|" + parentTm.baseIri.orElse(base).getOrElse("")
         val parentSubjects = parentCache.getOrElseUpdate(cacheKey, {
-          val pdf = sharedSource(spark, parentTm, opts, parentCache)
+          val pdf = sharedSource(spark, parentTm, opts, parentCache, useOverride = false)
           val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
@@ -459,7 +475,7 @@ object MappingCompiler {
           childDf.where(subj.guard && pred.guard && pSubj.guard)
             .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
         } else {
-          val pdf = sharedSource(spark, parentTm, opts, parentCache)
+          val pdf = sharedSource(spark, parentTm, opts, parentCache, useOverride = false)
           val pColFn: String => Column = a => pdf(a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)

@@ -138,11 +138,11 @@ object LogicalSource {
     * `__parent_<name>` columns).
     */
   final case class XmlSource(path: String, iterator: String,
-      parentAxis: Boolean = false) extends LogicalSource { def id = s"xml:$path:$iterator" }
+      parentAxis: Boolean = false) extends LogicalSource { def id = s"xml:$path:$iterator:$parentAxis" }
   final case class ParquetSource(path: String) extends LogicalSource { def id = s"parquet:$path" }
   final case class JdbcSource(url: String, dbType: String, query: Option[String], tableName: Option[String],
       user: String = "", password: String = "") extends LogicalSource { def id = s"jdbc:$url:${query.getOrElse(tableName.getOrElse(""))}" }
-  final case class SparqlSource(endpoint: String, query: String) extends LogicalSource { def id = s"sparql:$endpoint" }
+  final case class SparqlSource(endpoint: String, query: String) extends LogicalSource { def id = s"sparql:$endpoint?$query" }
   final case class NTriplesSource(path: String, query: String) extends LogicalSource { def id = s"nt:$path" }
   /** RML-LV logical view: fields projected off a base source (SURVEY §2.10). */
   final case class ViewSource(viewId: String, base: LogicalSource, fields: List[ViewField],

@@ -99,6 +99,39 @@ class RemoteSourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("S6: two TMs on one endpoint with different queries get different bindings") {
+    def bindings(v: String) =
+      s"""{"head":{"vars":["x"]},"results":{"bindings":[{"x":{"type":"literal","value":"$v"}}]}}"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = ex.getRequestURI.getRawQuery
+      val body = (if (q != null && q.contains("QA")) bindings("alpha") else bindings("beta")).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val ts = Engine.materialize(spark, prefixes +
+        s"""<TMA> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "endpoint:http://127.0.0.1:$port/sparql";
+           |                      rml:query "SELECT QA" ];
+           |  rr:subjectMap [ rr:template "http://ex/a/{x}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "x" ] ].
+           |<TMB> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "endpoint:http://127.0.0.1:$port/sparql";
+           |                      rml:query "SELECT QB" ];
+           |  rr:subjectMap [ rr:template "http://ex/b/{x}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rml:reference "x" ] ].
+           |""".stripMargin).collect().map(_.getString(0)).toSet
+      // a shared-source cache keyed too coarsely would serve TMB TMA's
+      // bindings — both subjects must reflect their OWN query's result
+      assert(ts == Set("<http://ex/a/alpha>", "<http://ex/b/beta>"))
+    } finally server.stop(0)
+  }
+
   test("S8: a failing remote fetch names the URL in the error") {
     val ex = intercept[java.io.IOException] {
       graft.sources.SourceReader.resolvePath("http://127.0.0.1:1/nope.csv")
