@@ -68,6 +68,27 @@ object Engine {
       sourceOverride = Map(src.id -> stream)))
   }
 
+  /** Streaming KG construction to N-Triples files: the streaming quad
+    * frame appends serialized triples under `outputPath` per micro-batch
+    * (foreachBatch → the same ntLines serialization as the batch path,
+    * written in append mode). Duplicates are eliminated WITHIN each batch;
+    * for cross-batch dedup insert `StreamingOps.dedupWithinWatermark`
+    * upstream — a streaming global distinct needs bounded state. Returns
+    * the running StreamingQuery (caller stops it).
+    */
+  def runStream(spark: SparkSession, mappingTurtle: String, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, outputPath: String,
+      config: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val quads = materializeStream(spark, mappingTurtle, sourceDir, schema, config)
+    quads.writeStream
+      .option("checkpointLocation", s"$outputPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = if (config.removeDuplicates) batch.dropDuplicates("s", "p", "o", "g") else batch
+        Sinks.ntLines(b).write.mode("append").text(s"$outputPath/nt")
+      }
+      .start()
+  }
+
   /** Full run: mapping → RDF files at outputPath. Returns the triple count
     * (the reference logs `number_triple`, semantify.py:15037-15040).
     */

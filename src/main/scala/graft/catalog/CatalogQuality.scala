@@ -276,6 +276,24 @@ object CatalogQuality {
       FROM d JOIN rep r ON d.doc_id = r.doc_id
       JOIN keeper k ON md5(d.text) = k.h"""))
 
+  private val packConcat = Q("pipe_pack_concat",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.concatPacked(docs, "text", "doc_id", "source",
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")), budget = 512L)
+    },
+    Some("""WITH d AS (SELECT doc_id, source, text,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, text, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM d),
+      p AS (SELECT source, (cum_before // 512)::BIGINT AS pack_id, doc_id, text FROM c)
+      SELECT source, pack_id, count(*) AS n_docs,
+        string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
+      FROM p GROUP BY source, pack_id"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
-    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ)
+    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ, packConcat)
 }

@@ -34,6 +34,26 @@ object Packing {
       .drop("cum_before")
   }
 
+  /** Materialize the packed sequences: one row per (group, pack) with the
+    * member documents' text joined in layout order by `sep` (the actual
+    * context-window assembly step after [[packSequences]] decides the
+    * layout). Per-pack state is bounded by the token budget — a pack
+    * holds at most `budget` tokens of text — so the collect_list inside
+    * the aggregation never exceeds one context window. Returns
+    * (groupCol, pack_id, n_docs, packed_text).
+    */
+  def concatPacked(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, nTokens: Column, budget: Long,
+      sep: String = "\n\n"): DataFrame = {
+    val packed = packSequences(df, idCol, groupCol, nTokens, budget)
+      .join(df.select(col(idCol), col(textCol)), idCol)
+    packed.groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol))).as("packed_text"))
+  }
+
   /** Per-group cap: keep at most `n` rows per `groupCol`, chosen in
     * `orderCol` order (the standard per-domain/per-source cap against a
     * handful of domains dominating the training mix). One window pass;

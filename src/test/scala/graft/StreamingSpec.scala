@@ -191,6 +191,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runStream: streaming RML writes N-Triples part files per batch") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rs_out").toString
+    val rows = Seq(("1", "ada"), ("2", "bob")).toDF("id", "name")
+    rows.coalesce(1).write.mode("overwrite").option("header", "true").csv(srcDir)
+    val ttl =
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex/> .
+         |<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$srcDir"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin
+    val q = Engine.runStream(spark, ttl, "", rows.schema, outDir)
+    try q.processAllAvailable() finally q.stop()
+    val lines = spark.read.text(s"$outDir/nt").collect().map(_.getString(0)).toSet
+    assert(lines == Set(
+      "<http://ex/p/1> <http://ex/name> \"ada\" .",
+      "<http://ex/p/2> <http://ex/name> \"bob\" ."))
+  }
+
   test("quality gates run unchanged on a stream (stateless scan-side filters)") {
     // C4/Gopher/repetition signals are pure projections, so the same code
     // path serves batch corpora and streaming ingest — the streaming form
