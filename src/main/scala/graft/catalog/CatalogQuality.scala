@@ -294,6 +294,20 @@ object CatalogQuality {
         string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
       FROM p GROUP BY source, pack_id"""))
 
+  /** S10 (beyond-reference format breadth): ORC round-trip through the
+    * source reader — region written as ORC, read back via an OrcSource.
+    */
+  private val orcScan = Q("s10_orc_scan",
+    (s, dir) => {
+      val out = Catalog.exportDir(dir, "region_orc")
+      t(s, dir, "region").coalesce(1).write.mode("overwrite").orc(out)
+      graft.sources.SourceReader.read(s,
+        graft.model.LogicalSource.OrcSource(out))
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region"))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
-    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ, packConcat)
+    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ, packConcat,
+    orcScan)
 }

@@ -147,6 +147,7 @@ object MappingParser {
         val delim = descDelimiter.getOrElse(if (f.endsWith("TSV")) "\t" else ",")
         val p = path.getOrElse(fail(tm, "CSV source without path"))
         if (p.endsWith(".parquet")) LogicalSource.ParquetSource(p)
+        else if (p.endsWith(".orc")) LogicalSource.OrcSource(p)
         else if (p.endsWith(".nt")) LogicalSource.NTriplesSource(p, iterator.getOrElse(""))
         else LogicalSource.CsvSource(p, delim)
       case f if f.endsWith("JSONPath") || f.endsWith("JSON") =>
@@ -155,6 +156,8 @@ object MappingParser {
         LogicalSource.XmlSource(path.getOrElse(fail(tm, "XML source without path")), iterator.getOrElse("/"))
       case f if f.endsWith("Parquet") =>
         LogicalSource.ParquetSource(path.getOrElse(fail(tm, "parquet source without path")))
+      case f if f.endsWith("ORC") || f.endsWith("Orc") =>
+        LogicalSource.OrcSource(path.getOrElse(fail(tm, "ORC source without path")))
       case other => fail(tm, s"unsupported referenceFormulation: $other")
     }
   }

@@ -140,6 +140,7 @@ object LogicalSource {
   final case class XmlSource(path: String, iterator: String,
       parentAxis: Boolean = false) extends LogicalSource { def id = s"xml:$path:$iterator:$parentAxis" }
   final case class ParquetSource(path: String) extends LogicalSource { def id = s"parquet:$path" }
+  final case class OrcSource(path: String) extends LogicalSource { def id = s"orc:$path" }
   final case class JdbcSource(url: String, dbType: String, query: Option[String], tableName: Option[String],
       user: String = "", password: String = "") extends LogicalSource { def id = s"jdbc:$url:${query.getOrElse(tableName.getOrElse(""))}" }
   final case class SparqlSource(endpoint: String, query: String) extends LogicalSource { def id = s"sparql:$endpoint?$query" }

@@ -134,6 +134,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"assignment must be partial-agg, not window:\n$p")
   }
 
+  test("multi-TM mapping: source exchange is built once and reused") {
+    // AQE shows stage reuse only at runtime; disable it to assert the
+    // static ReuseExchange rewrite (the property measured in SCALE.md —
+    // N TMs over one source must not pay N scans)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Catalog.byName("rml_multi_tm").run(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"no exchange reuse across TMs:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted join: physical join keys carry the salt") {
     val p = plan("j10_salted_join")
     assert(p.contains("__salt"), s"salt missing from the physical plan:\n$p")

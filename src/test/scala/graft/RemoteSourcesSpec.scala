@@ -139,6 +139,21 @@ class RemoteSourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("http://127.0.0.1:1/nope.csv"))
   }
 
+  test("ORC source materializes through a mapping (extension-detected)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/data.orc"
+    import spark.implicits._
+    Seq(("1", "ada"), ("2", "bob")).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").orc(dir)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$dir"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ts == Set(("<http://ex/p/1>", "\"ada\""), ("<http://ex/p/2>", "\"bob\"")))
+  }
+
   test("zip CSV source inflates and reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zsrc").toFile
     val zipPath = new java.io.File(dir, "data.csv.zip")
