@@ -68,13 +68,15 @@ object Engine {
       sourceOverride = Map(src.id -> stream)))
   }
 
-  /** Streaming KG construction to N-Triples files: the streaming quad
-    * frame appends serialized triples under `outputPath` per micro-batch
-    * (foreachBatch → the same ntLines serialization as the batch path,
-    * written in append mode). Duplicates are eliminated WITHIN each batch;
+  /** Streaming KG construction to N-Triples files: each micro-batch's
+    * quads serialize through the same ntLines path as batch output.
+    * Duplicates are eliminated WITHIN each batch;
     * for cross-batch dedup insert `StreamingOps.dedupWithinWatermark`
-    * upstream — a streaming global distinct needs bounded state. Returns
-    * the running StreamingQuery (caller stops it).
+    * upstream — a streaming global distinct needs bounded state. Each
+    * batch writes to its own `nt/batch=<id>` subdirectory in overwrite
+    * mode, so a replay after a crash rewrites the same directory instead
+    * of appending duplicates (read the output with recursiveFileLookup).
+    * Returns the running StreamingQuery (caller stops it).
     */
   def runStream(spark: SparkSession, mappingTurtle: String, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, outputPath: String,
@@ -82,9 +84,9 @@ object Engine {
     val quads = materializeStream(spark, mappingTurtle, sourceDir, schema, config)
     quads.writeStream
       .option("checkpointLocation", s"$outputPath/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = if (config.removeDuplicates) batch.dropDuplicates("s", "p", "o", "g") else batch
-        Sinks.ntLines(b).write.mode("append").text(s"$outputPath/nt")
+        Sinks.ntLines(b).write.mode("overwrite").text(s"$outputPath/nt/batch=$batchId")
       }
       .start()
   }

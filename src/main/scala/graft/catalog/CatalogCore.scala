@@ -479,13 +479,18 @@ object CatalogCore {
   private val rmlWide = Q("rml_wide_mapping",
     (s, dir) => Engine.materialize(s, wideLineitemMapping(dir))
       .select(col("s"), col("p"), col("o")),
-    Some {
-      wideCols.map(c =>
-        s"""SELECT '<http://ex/li/' || l_orderkey || '-' || l_linenumber || '>' AS s,
-           |  '<http://ex/vocab/$c>' AS p, '"' || $c || '"' AS o FROM lineitem""".stripMargin)
-        .mkString("\n      UNION\n      ")
-    },
+    Some(wideLineitemOracle),
     bench = true)
+
+  /** One UNION branch per wide column — shared by rml_wide_mapping and
+    * rml_multi_tm, whose outputs are identical by construction (same
+    * columns, different mapping shape).
+    */
+  private def wideLineitemOracle: String =
+    wideCols.map(c =>
+      s"""SELECT '<http://ex/li/' || l_orderkey || '-' || l_linenumber || '>' AS s,
+         |  '<http://ex/vocab/$c>' AS p, '"' || $c || '"' AS o FROM lineitem""".stripMargin)
+      .mkString("\n      UNION\n      ")
 
   /** The reference's "mapping shape" scaling axis (BASELINE.md: 15 TM ×
     * 1 POM, 362 s at 1 M rows): many small TriplesMaps over ONE source.
@@ -494,7 +499,7 @@ object CatalogCore {
     * union dedup, the reference's worst shape.
     */
   private def multiTmMapping(dir: String): String = {
-    val tms = wideCols.take(11).zipWithIndex.map { case (c, i) =>
+    val tms = wideCols.zipWithIndex.map { case (c, i) =>
       s"""<TM$i> a rr:TriplesMap;
          |  rml:logicalSource [ rml:source "$dir/lineitem.parquet"; rml:referenceFormulation ql:CSV ];
          |  rr:subjectMap [ rr:template "http://ex/li/{l_orderkey}-{l_linenumber}" ];
@@ -511,12 +516,7 @@ object CatalogCore {
   private val rmlMultiTm = Q("rml_multi_tm",
     (s, dir) => Engine.materialize(s, multiTmMapping(dir))
       .select(col("s"), col("p"), col("o")),
-    Some {
-      wideCols.take(11).map(c =>
-        s"""SELECT '<http://ex/li/' || l_orderkey || '-' || l_linenumber || '>' AS s,
-           |  '<http://ex/vocab/$c>' AS p, '"' || $c || '"' AS o FROM lineitem""".stripMargin)
-        .mkString("\n      UNION\n      ")
-    },
+    Some(wideLineitemOracle),
     bench = true)
 
   private val j1 = Q("j1_refobject_join",

@@ -37,9 +37,11 @@ object Packing {
   /** Materialize the packed sequences: one row per (group, pack) with the
     * member documents' text joined in layout order by `sep` (the actual
     * context-window assembly step after [[packSequences]] decides the
-    * layout). Per-pack state is bounded by the token budget — a pack
-    * holds at most `budget` tokens of text — so the collect_list inside
-    * the aggregation never exceeds one context window. Returns
+    * layout). Per-pack state is bounded by `budget` tokens PLUS the one
+    * document that straddles the pack boundary (greedy chunking assigns a
+    * straddler to the pack it starts in, and a single document larger
+    * than the budget owns its packs alone) — bounded by
+    * budget + max document size, not corpus size. Returns
     * (groupCol, pack_id, n_docs, packed_text).
     */
   def concatPacked(df: DataFrame, textCol: String, idCol: String,

@@ -138,12 +138,13 @@ class PlanSpec extends AnyFunSuite {
     // AQE shows stage reuse only at runtime; disable it to assert the
     // static ReuseExchange rewrite (the property measured in SCALE.md —
     // N TMs over one source must not pay N scans)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = Catalog.byName("rml_multi_tm").run(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"), s"no exchange reuse across TMs:\n${p.take(2000)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("salted join: physical join keys carry the salt") {

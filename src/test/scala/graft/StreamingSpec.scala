@@ -208,7 +208,8 @@ class StreamingSpec extends AnyFunSuite {
          |""".stripMargin
     val q = Engine.runStream(spark, ttl, "", rows.schema, outDir)
     try q.processAllAvailable() finally q.stop()
-    val lines = spark.read.text(s"$outDir/nt").collect().map(_.getString(0)).toSet
+    val lines = spark.read.option("recursiveFileLookup", "true")
+      .text(s"$outDir/nt").collect().map(_.getString(0)).toSet
     assert(lines == Set(
       "<http://ex/p/1> <http://ex/name> \"ada\" .",
       "<http://ex/p/2> <http://ex/name> \"bob\" ."))
