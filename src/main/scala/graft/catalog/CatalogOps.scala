@@ -77,21 +77,26 @@ object CatalogOps {
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""),
     bench = true)
 
-  private val ddSimhash = Q("dd_simhash",
-    (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32),
-    Some {
-      val bitSums = (0 until 32)
-        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-        .mkString(",\n        ")
-      val sig = (0 until 32)
-        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (
+  /** Shared CTE chain producing 32-bit SimHash signatures as
+    * `sig(id, simhash)` — reused by dd_simhash and dd_simhash_pairs.
+    */
+  private[catalog] val simhashCtes: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n        ")
+    val sig = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
         SELECT doc_id AS id, unnest($tokenizeSql) AS tok FROM documents),
       hashed AS (SELECT id, ${h60Sql("tok", 9999)} AS h FROM toks),
-      sums AS (SELECT id, $bitSums FROM hashed GROUP BY id)
-      SELECT id, $sig AS simhash FROM sums"""
-    },
+      sums AS (SELECT id, $bitSums FROM hashed GROUP BY id),
+      sig AS (SELECT id, $sig AS simhash FROM sums)"""
+  }
+
+  private val ddSimhash = Q("dd_simhash",
+    (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32),
+    Some(s"""WITH $simhashCtes SELECT id, simhash FROM sig"""),
     bench = true)
 
   private val ddJaccard = Q("dd_jaccard_pairs",

@@ -307,7 +307,22 @@ object CatalogQuality {
     },
     Some("SELECT r_regionkey, r_name FROM region"))
 
+  /** SimHash banded near-dup pairs: for maxHamming < bands recall is
+    * exact by pigeonhole (any pair within Hamming 3 shares one of 4
+    * intact 8-bit bands).
+    */
+  private val simhashPairsQ = Q("dd_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      bits = 32, bands = 4, maxHamming = 3),
+    Some(s"""WITH ${CatalogOps.simhashCtes},
+      banded AS (SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS key
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ, packConcat,
-    orcScan)
+    orcScan, simhashPairsQ)
 }

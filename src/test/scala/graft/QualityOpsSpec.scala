@@ -138,6 +138,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out.contains((0L, 1L, true)) && out.contains((1L, 2L, false)))
   }
 
+  test("simhashPairs: banding has exact recall for hamming < bands (pigeonhole)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = graft.ops.Dedup.simhashPairs(docs, "text", "doc_id",
+      bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: hamming over ALL signature pairs
+    val sigs = graft.ops.Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded == brute, s"banding lost ${brute.diff(banded).size} pairs / gained ${banded.diff(brute).size}")
+    assert(brute.nonEmpty, "test corpus must contain near-identical docs")
+  }
+
   test("pairRecall: fraction of reference pairs present in the candidate set") {
     val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
     val cand = Seq((1L, 2L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b")
