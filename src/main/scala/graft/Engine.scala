@@ -55,9 +55,9 @@ object Engine {
       case graft.model.LogicalSource.CsvSource(path, delim) =>
         spark.readStream.schema(schema)
           .option("header", "true").option("delimiter", delim).csv(path)
-      case graft.model.LogicalSource.JsonSource(path, iterator) =>
+      case graft.model.LogicalSource.JsonSource(path, iterator, multiLine) =>
         graft.sources.SourceReader.applyJsonIterator(
-          spark.readStream.schema(schema).option("multiLine", "true").json(path), iterator)
+          spark.readStream.schema(schema).option("multiLine", multiLine.toString).json(path), iterator)
       case graft.model.LogicalSource.ParquetSource(path) =>
         spark.readStream.schema(schema).parquet(path)
       case other =>

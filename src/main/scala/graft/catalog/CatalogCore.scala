@@ -180,11 +180,35 @@ object CatalogCore {
       '"' || n_regionkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS object
       FROM nation"""))
 
+  private val s7b = Q("s7b_ntriples_sparql_iterator",
+    (s, dir) => {
+      // S7 full path: the TM's SPARQL SELECT iterator runs over the .nt
+      // graph (reference: rdflib g.query(iterator), semantify.py:9990-10011)
+      // — here a two-pattern BGP whose shared ?n variable binds via a
+      // self-join of the distributed triple frame
+      val out = exportDir(dir, "nation_nt_sparql")
+      val nat = t(s, dir, "nation")
+      val subj = rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name"))))
+      val quads = nat.select(subj.as("s"), lit("<http://ex/vocab/name>").as("p"),
+          rml.literal(col("n_name")).as("o"), lit(null).cast("string").as("g"))
+        .unionByName(nat.select(subj.as("s"), lit("<http://ex/vocab/regionkey>").as("p"),
+          rml.typedLiteral(col("n_regionkey"), lit(XSD + "integer")).as("o"),
+          lit(null).cast("string").as("g")))
+      Sinks.ntLines(quads).coalesce(1).write.mode("overwrite").text(out)
+      SourceReader.read(s, LogicalSource.NTriplesSource(out,
+        """PREFIX v: <http://ex/vocab/>
+          |SELECT ?n ?name ?rk WHERE { ?n v:name ?name . ?n v:regionkey ?rk . }""".stripMargin))
+    },
+    Some("""SELECT 'http://ex/nation/' || n_name AS n, n_name AS name,
+      n_regionkey::VARCHAR AS rk FROM nation"""))
+
   private val s6 = Q("s6_sparql_bindings_scan",
     (s, dir) => {
       // export nation as W3C SPARQL-results JSON, read it back through the
       // bindings flattener (S6: each var → its `value` string)
       val out = exportDir(dir, "nation_srj")
+      // nation is 25 rows at every scale factor (TPC-H fixed dimension) —
+      // this collect is bounded, not scale-proportional
       val rows = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
         .orderBy(col("n_name")).collect()
       val bindings = rows.map { r =>
@@ -204,18 +228,18 @@ object CatalogCore {
   private val v2 = Q("v2_view_iterable_index",
     (s, dir) => {
       // RML-LV iterable field (V2): per-customer sorted order array exported
-      // as one JSON document, re-read through a view with an iterator field
-      // → one row per element + positional index column "ok.#"
+      // as JSON, re-read through a view with an iterator field
+      // → one row per element + positional index column "ok.#".
+      // Written distributed (df.write.json → JSON-lines parts) — a
+      // toJSON.collect() here would pull every customer's order array onto
+      // the driver, a scale-proportional OOM at 100×
       val out = Catalog.exportDir(dir, "orders_grouped_json")
-      val rowsJson = t(s, dir, "orders")
+      t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sort_array(collect_list(col("o_orderkey"))).as("oks"))
-        .toJSON.collect().mkString("[", ",\n", "]")
-      val d = java.nio.file.Paths.get(out)
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.writeString(d.resolve("data.json"), rowsJson)
+        .write.mode("overwrite").json(out)
       val view = LogicalSource.ViewSource("v_ok",
-        LogicalSource.JsonSource(s"$out/data.json", "$.[*]"),
+        LogicalSource.JsonSource(out, "$", multiLine = false),
         List(
           ViewField("cust", Some("o_custkey")),
           ViewField("ok", Some("oks"), iterator = Some("[*]"))))
@@ -1001,7 +1025,7 @@ object CatalogCore {
 
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p5,
-    s1, s2, s3, s6, s7, s9, v2,
+    s1, s2, s3, s6, s7, s7b, s9, v2,
     k1, k2, k3,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,

@@ -86,6 +86,8 @@ object ViewExec {
         case (Some(fm), _) if fm.contains("JSON") =>
           // JSON-in-<anything>: parse the cell with a schema inferred from
           // sample cells; nested refs address the resulting struct.
+          // limit(20) bounds the driver-side peek to 20 cells regardless of
+          // corpus size — schema inference only, never the data path.
           val raw = resolveRef(df, f.reference.getOrElse(f.name)).cast("string")
           val spark = df.sparkSession
           val samples = df.select(raw.as("v")).na.drop().limit(20).collect()

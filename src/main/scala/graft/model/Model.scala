@@ -132,7 +132,12 @@ final case class SubjectMap(
 sealed trait LogicalSource { def id: String }
 object LogicalSource {
   final case class CsvSource(path: String, delimiter: String = ",") extends LogicalSource { def id = s"csv:$path:$delimiter" }
-  final case class JsonSource(path: String, iterator: String) extends LogicalSource { def id = s"json:$path:$iterator" }
+  /** `multiLine=true` (default): the path is one JSON document (array or
+    * object — RML's usual shape); `false`: JSON-lines, one value per line
+    * (the distributed-write-friendly shape Spark itself produces).
+    */
+  final case class JsonSource(path: String, iterator: String,
+      multiLine: Boolean = true) extends LogicalSource { def id = s"json:$path:$iterator:$multiLine" }
   /** `parentAxis`: a reference uses `../…`, so the scan reads one level up
     * and explodes the iterator's leaf element (parent fields surface as
     * `__parent_<name>` columns).

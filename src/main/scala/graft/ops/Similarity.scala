@@ -154,7 +154,13 @@ object Similarity {
     */
   def ivfTopKMultiprobe(df: DataFrame, vecCol: String, idCol: String,
       stride: Int, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    // the assignment feeds BOTH the probe-selection (query) side and the
+    // corpus side of the cluster join: persist it so the N×C broadcast-join
+    // + max_by aggregation materializes ONCE (MEMORY_AND_DISK — spillable at
+    // scale), then release the cache after the small top-k result is
+    // eagerly checkpointed (mirrors Dedup.jaccardPairs hygiene)
     val assigned = ivfAssign(df, vecCol, idCol, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = df.where(col(idCol) % stride === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
     val queries = assigned.where(queryPred)
@@ -176,7 +182,9 @@ object Similarity {
     // a corpus vector can appear in several probed clusters only if probes
     // overlap across queries, never within one query (clusters partition
     // the corpus) — no dedup needed before ranking
-    topKPerQuery(scored, k)
+    val out = topKPerQuery(scored, k).localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
@@ -197,15 +205,24 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       stride: Int, threshold: Double): DataFrame = {
+    // three consumers (both sides of the cluster-confined pairwise join +
+    // the final verdict join) would re-derive the N×C assignment 3× —
+    // persist once, eagerly checkpoint the narrow (id, cluster, bool)
+    // verdict frame, release the (wide, vec-carrying) cache
     val assigned = ivfAssign(df, vecCol, idCol, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = assigned.select(col("cluster_id"), col("id").as("id_a"), col("vec").as("va"))
     val right = assigned.select(col("cluster_id"), col("id").as("id_b"), col("vec").as("vb"))
     val dropped = left.join(right, "cluster_id")
       .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+    val out = assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster_id"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** IVF top-k: probe only the query's own cluster. Recall is partial by
@@ -214,7 +231,11 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String, stride: Int,
       queryPred: Column, k: Int): DataFrame = {
+    // assigned feeds the query side AND the corpus side of the probe join:
+    // persist so the N×C assignment materializes once; eagerly checkpoint
+    // the (queries × k)-row result, then release the cache
     val assigned = ivfAssign(df, vecCol, idCol, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("cluster_id"))
     val scored = assigned.as("c")
@@ -222,6 +243,8 @@ object Similarity {
         col("c.id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.id").as("corpus_id"),
         cosine(col("q.qv"), col("c.vec")).as("cos"))
-    topKPerQuery(scored, k)
+    val out = topKPerQuery(scored, k).localCheckpoint()
+    assigned.unpersist()
+    out
   }
 }

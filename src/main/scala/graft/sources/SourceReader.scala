@@ -30,8 +30,8 @@ object SourceReader {
         .option("mode", "DROPMALFORMED") // ragged-row rejection (SURVEY P6)
         .csv(path)
 
-    case LogicalSource.JsonSource(path, iterator) =>
-      val raw = spark.read.option("multiLine", "true").json(resolvePath(path))
+    case LogicalSource.JsonSource(path, iterator, multiLine) =>
+      val raw = spark.read.option("multiLine", multiLine.toString).json(resolvePath(path))
       applyJsonIterator(raw, iterator)
 
     case LogicalSource.XmlSource(path0, iterator, parentAxis) =>
@@ -74,16 +74,22 @@ object SourceReader {
         case _ => throw new IllegalArgumentException("JDBC source needs query or tableName")
       }
 
-    case LogicalSource.NTriplesSource(path, _) =>
+    case LogicalSource.NTriplesSource(path, query) =>
       // Line-parse N-Triples with a regex (SURVEY S7): s p o from each line.
       val lines = spark.read.text(resolvePath(path))
       val pat = "^(\\S+)\\s+(\\S+)\\s+(.*?)\\s*\\.\\s*$"
-      lines
+      val triples = lines
         .select(
           regexp_extract(col("value"), pat, 1).as("subject"),
           regexp_extract(col("value"), pat, 2).as("predicate"),
           regexp_extract(col("value"), pat, 3).as("object"))
         .filter(col("subject") =!= "")
+      // a SELECT iterator runs as a SPARQL BGP over the triple frame
+      // (reference: rdflib g.query(iterator), semantify.py:9990-10011);
+      // otherwise rows are the raw s/p/o tokens
+      if (query != null && """(?is).*select\s.*""".r.matches(query.trim))
+        SparqlIterator(triples, query)
+      else triples
 
     case LogicalSource.SparqlSource(endpoint, query) =>
       // S6: SPARQL SELECT results land as W3C results-JSON; each binding var

@@ -64,10 +64,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ivf assignment aggregates (partial max_by), no window sort over N×C") {
-    val p = plan("sim_ivf_topk")
+    // inspect ivfAssign itself: ivfTopK's returned plan is an eagerly
+    // checkpointed RDD scan (the single materialization of the assignment)
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = graft.ops.Similarity.ivfAssign(emb, "v", "vec_id", 25)
+    val p = a.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Window"), s"window in IVF assignment plan:\n$p")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
       s"no aggregate for centroid argmax:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast:\n$p")
+    // the probe query's plan must NOT contain the assignment pipeline —
+    // the checkpointed scan is the proof the N×C work materialized once
+    val topk = graft.ops.Similarity.ivfTopK(emb, "v", "vec_id", 25,
+      col("id") < 3, 5)
+    val tp = topk.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(tp.contains("Scan ExistingRDD"),
+      s"ivfTopK result not checkpointed (assignment would recompute per consumer):\n$tp")
   }
 
   test("whole-stage codegen covers the term-construction projection") {
