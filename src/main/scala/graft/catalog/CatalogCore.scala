@@ -275,6 +275,52 @@ object CatalogCore {
       lit("<http://ex/vocab/Nation>").as("o"),
       lit(null).cast("string").as("g"))
 
+  private val k4a = Q("k4_rdfjson_roundtrip",
+    (s, dir) => {
+      // K4 oracle check: quads → RDF-JSON {s: {p: [o…]}} → file → parse the
+      // JSON back and explode to quads — the serializer round-trips exactly
+      val out = exportDir(dir, "nation_rdfjson")
+      val nat = t(s, dir, "nation")
+      val subj = rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name"))))
+      val quads = nat.select(subj.as("s"), lit("<http://ex/vocab/name>").as("p"),
+          rml.literal(col("n_name")).as("o"), lit(null).cast("string").as("g"))
+        .unionByName(nat.select(subj.as("s"), lit("<http://ex/vocab/regionkey>").as("p"),
+          rml.typedLiteral(col("n_regionkey"), lit(XSD + "integer")).as("o"),
+          lit(null).cast("string").as("g")))
+      Sinks.rdfJson(quads).write.mode("overwrite").json(out)
+      val m = from_json(col("json"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+      s.read.json(out)
+        .select(col("s"), explode(m).as(Seq("p", "objs")))
+        .select(col("s"), col("p"), explode(col("objs")).as("o"))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+        '<http://ex/vocab/name>' AS p, '"' || n_name || '"' AS o FROM nation
+      UNION ALL SELECT '<http://ex/nation/' || n_name || '>' AS s,
+        '<http://ex/vocab/regionkey>' AS p,
+        '"' || n_regionkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS o
+      FROM nation"""))
+
+  private val k4b = Q("k4_jsonld_lines",
+    // K4 oracle check: the flattened JSON-LD serialization byte-for-byte —
+    // stronger than a round-trip, the oracle constructs the exact line
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val subj = rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name"))))
+      val quads = nat.select(subj.as("s"), lit("<http://ex/vocab/name>").as("p"),
+          rml.literal(col("n_name")).as("o"), lit(null).cast("string").as("g"))
+        .unionByName(nat.select(subj.as("s"), lit("<http://ex/vocab/regionkey>").as("p"),
+          rml.typedLiteral(col("n_regionkey"), lit(XSD + "integer")).as("o"),
+          lit(null).cast("string").as("g")))
+      Sinks.jsonLdLines(quads)
+    },
+    Some("""SELECT '{"@id":"http://ex/nation/' || n_name ||
+      '","http://ex/vocab/name":[{"@value":"' || n_name ||
+      '"}],"http://ex/vocab/regionkey":[{"@value":"' || n_regionkey ||
+      '","@type":"http://www.w3.org/2001/XMLSchema#integer"}]}' AS line
+      FROM nation"""))
+
   private val k1 = Q("k1_ntriples_sink",
     (s, dir) => Sinks.ntLines(nationTypeQuads(s, dir)),
     Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
@@ -473,6 +519,82 @@ object CatalogCore {
       SELECT '<http://ex/nation/' || n_name || '>' AS s,
         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
         '<http://ex/vocab/Nation>' AS o FROM nation"""),
+    bench = true)
+
+  /** GTFS-Madrid-bench shape (the reference's flagship heterogeneous
+    * benchmark, kgcw_2023_challenge): one mapping mixing CSV + JSON + XML
+    * sources with RefObjectMap joins across formats — customer (CSV) →
+    * nation (JSON) → region (XML). The closest thing to a real-user
+    * acceptance test the reference offers.
+    */
+  private def heteroMapping(csvDir: String, jsonPath: String, xmlDir: String): String =
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |<CustTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$csvDir"; rml:referenceFormulation ql:CSV ];
+       |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/name>;
+       |    rr:objectMap [ rml:reference "c_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/nation>;
+       |    rr:objectMap [ rr:parentTriplesMap <NatTM>;
+       |      rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ] ] .
+       |<NatTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$jsonPath";
+       |    rml:referenceFormulation ql:JSONPath; rml:iterator "$$.[*]" ];
+       |  rr:subjectMap [ rr:template "http://ex/nation/{n_nationkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/name>;
+       |    rr:objectMap [ rml:reference "n_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/region>;
+       |    rr:objectMap [ rr:parentTriplesMap <RegTM>;
+       |      rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ] ] .
+       |<RegTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$xmlDir";
+       |    rml:referenceFormulation ql:XPath; rml:iterator "/rows/row" ];
+       |  rr:subjectMap [ rr:template "http://ex/region/{r_regionkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/name>;
+       |    rr:objectMap [ rml:reference "r_name" ] ] .
+       |""".stripMargin
+
+  private val rmlHetero = Q("rml_hetero_e2e",
+    (s, dir) => {
+      val csvDir = exportDir(dir, "customer_hetero_csv")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      // nation is 25 rows at every SF (fixed TPC-H dimension) — the bounded
+      // collect builds the single-document JSON array shape RML sources use
+      val jsonDir = exportDir(dir, "nation_hetero_json")
+      val natJson = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey")).toJSON.collect().mkString("[", ",", "]")
+      val jd = java.nio.file.Paths.get(jsonDir)
+      java.nio.file.Files.createDirectories(jd)
+      java.nio.file.Files.writeString(jd.resolve("nation.json"), natJson)
+      val xmlDir = exportDir(dir, "region_hetero_xml")
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .coalesce(1).write.mode("overwrite")
+        .format("xml").option("rootTag", "rows").option("rowTag", "row").save(xmlDir)
+      Engine.materialize(s, heteroMapping(csvDir, s"$jsonDir/nation.json", xmlDir))
+        .select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/name>' AS p, '"' || c_name || '"' AS o FROM customer
+      UNION
+      SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/nation>' AS p,
+        '<http://ex/nation/' || n_nationkey || '>' AS o
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION
+      SELECT '<http://ex/nation/' || n_nationkey || '>' AS s,
+        '<http://ex/vocab/name>' AS p, '"' || n_name || '"' AS o FROM nation
+      UNION
+      SELECT '<http://ex/nation/' || n_nationkey || '>' AS s,
+        '<http://ex/vocab/region>' AS p,
+        '<http://ex/region/' || r_regionkey || '>' AS o
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION
+      SELECT '<http://ex/region/' || r_regionkey || '>' AS s,
+        '<http://ex/vocab/name>' AS p, '"' || r_name || '"' AS o FROM region"""),
     bench = true)
 
   /** BASELINE "mappings" axis (1 TM × N POM): a wide mapping over the fact
@@ -1026,9 +1148,9 @@ object CatalogCore {
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p5,
     s1, s2, s3, s6, s7, s7b, s9, v2,
-    k1, k2, k3,
+    k1, k2, k3, k4a, k4b,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
-    rmlE2e, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
+    rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)
