@@ -211,18 +211,27 @@ object Similarity {
     // verdict frame, release the (wide, vec-carrying) cache
     val assigned = ivfAssign(df, vecCol, idCol, stride)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = semanticDedupOnAssigned(assigned, threshold).localCheckpoint()
+    assigned.unpersist()
+    out
+  }
+
+  /** The pairwise stage of [[semanticDedup]] on a materialized assignment
+    * frame (id, vec, cluster_id) — exposed so the mega-cluster skew path
+    * can be exercised and its plan inspected directly. The cluster_id
+    * equi-join is the skew surface: a pathological mega-cluster lands all
+    * its rows in one shuffle partition, which AQE's skew-join splits at
+    * runtime (asserted in SkewSpec; see SCALE.md).
+    */
+  def semanticDedupOnAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     val left = assigned.select(col("cluster_id"), col("id").as("id_a"), col("vec").as("va"))
     val right = assigned.select(col("cluster_id"), col("id").as("id_b"), col("vec").as("vb"))
     val dropped = left.join(right, "cluster_id")
       .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    val out = assigned
-      .join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+    assigned.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster_id"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
-      .localCheckpoint()
-    assigned.unpersist()
-    out
   }
 
   /** IVF top-k: probe only the query's own cluster. Recall is partial by
