@@ -56,9 +56,10 @@ object Main {
     IniConfig(resolved)
   }
 
-  def main(args: Array[String]): Unit = {
-    val configPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
-      .getOrElse(sys.error("usage: graft.cli.Main -c config.ini"))
+  /** Execute one config.ini against an existing session; returns one status
+    * line per output (shared by the CLI main and the HTTP entry point).
+    */
+  def runConfig(spark: SparkSession, configPath: String): Seq[String] = {
     val ini = parseIni(java.nio.file.Files.readString(java.nio.file.Paths.get(configPath)))
     val configDir = java.nio.file.Paths.get(configPath).toAbsolutePath.getParent.toString
 
@@ -71,6 +72,42 @@ object Main {
     val allInOne = ini.getOrElse("datasets", "all_in_one_file", "no") == "yes"
     val outputFormat = ini.getOrElse("datasets", "output_format", "n-triples")
 
+    val dbType = ini.getOrElse("datasets", "dbtype", "mysql")
+    def cfgFor(i: Int): Engine.Config = Engine.Config(
+      removeDuplicates = removeDup, outputFormat = outputFormat,
+      jdbc = ini.get(s"dataset$i", "host").map { host =>
+        graft.exec.MappingCompiler.JdbcDefaults(
+          buildJdbcUrl(dbType, host,
+            ini.getOrElse(s"dataset$i", "port", ""),
+            ini.getOrElse(s"dataset$i", "db", "")),
+          ini.getOrElse(s"dataset$i", "user", ""),
+          ini.getOrElse(s"dataset$i", "password", ""), dbType)
+      })
+    if (allInOne) {
+      val quads = (1 to nDatasets).map { i =>
+        val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
+        Engine.materialize(spark, java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
+          new java.io.File(mappingPath).getParent, cfgFor(i))
+      }.reduceLeft(_.unionByName(_))
+      val out = if (removeDup) quads.dropDuplicates("s", "p", "o", "g") else quads
+      val name = ini.getOrElse("datasets", "name", "output")
+      graft.exec.Sinks.writeNt(out, s"$outputFolder/$name")
+      Seq(s"Successfully created the output at $outputFolder/$name")
+    } else {
+      (1 to nDatasets).map { i =>
+        val name = ini.getOrElse(s"dataset$i", "name", s"dataset$i")
+        val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
+        val n = Engine.run(spark,
+          java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
+          new java.io.File(mappingPath).getParent,
+          s"$outputFolder/$name", cfgFor(i))
+        s"Successfully created $n triples for dataset '$name' at $outputFolder/$name"
+      }
+    }
+  }
+
+  /** Build (or reuse) the session this process runs configs with. */
+  private[graft] def buildSession(): (SparkSession, Boolean) = {
     // reuse a pre-existing session (embedding callers, tests) and only stop
     // what this entry point itself created
     val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -83,41 +120,15 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    (spark, preExisting.isEmpty)
+  }
 
-    try {
-      val dbType = ini.getOrElse("datasets", "dbtype", "mysql")
-      def cfgFor(i: Int): Engine.Config = Engine.Config(
-        removeDuplicates = removeDup, outputFormat = outputFormat,
-        jdbc = ini.get(s"dataset$i", "host").map { host =>
-          graft.exec.MappingCompiler.JdbcDefaults(
-            buildJdbcUrl(dbType, host,
-              ini.getOrElse(s"dataset$i", "port", ""),
-              ini.getOrElse(s"dataset$i", "db", "")),
-            ini.getOrElse(s"dataset$i", "user", ""),
-            ini.getOrElse(s"dataset$i", "password", ""), dbType)
-        })
-      if (allInOne) {
-        val quads = (1 to nDatasets).map { i =>
-          val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
-          Engine.materialize(spark, java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
-            new java.io.File(mappingPath).getParent, cfgFor(i))
-        }.reduceLeft(_.unionByName(_))
-        val out = if (removeDup) quads.dropDuplicates("s", "p", "o", "g") else quads
-        val name = ini.getOrElse("datasets", "name", "output")
-        graft.exec.Sinks.writeNt(out, s"$outputFolder/$name")
-        println(s"Successfully created the output at $outputFolder/$name")
-      } else {
-        (1 to nDatasets).foreach { i =>
-          val name = ini.getOrElse(s"dataset$i", "name", s"dataset$i")
-          val mappingPath = resolvePath(ini.getOrElse(s"dataset$i", "mapping", ""), configDir)
-          val n = Engine.run(spark,
-            java.nio.file.Files.readString(java.nio.file.Paths.get(mappingPath)),
-            new java.io.File(mappingPath).getParent,
-            s"$outputFolder/$name", cfgFor(i))
-          println(s"Successfully created $n triples for dataset '$name' at $outputFolder/$name")
-        }
-      }
-    } finally if (preExisting.isEmpty) spark.stop()
+  def main(args: Array[String]): Unit = {
+    val configPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
+      .getOrElse(sys.error("usage: graft.cli.Main -c config.ini"))
+    val (spark, created) = buildSession()
+    try runConfig(spark, configPath).foreach(println)
+    finally if (created) spark.stop()
   }
 
   private def resolvePath(p: String, baseDir: String): String =
