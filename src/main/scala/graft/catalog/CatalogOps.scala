@@ -34,6 +34,24 @@ object CatalogOps {
       FROM documents GROUP BY md5(text)"""),
     bench = true)
 
+  /** Incremental-ingest membership: batch (doc_id ≡ 0 mod 5) filtered
+    * against a standing corpus (doc_id ≢ 0 mod 3) via the Bloom-prefiltered
+    * anti-join. The result is exact, so the oracle is a plain NOT EXISTS —
+    * the Bloom stage is invisible to correctness by design.
+    */
+  private val ddBloom = Q("dd_bloom_prefilter",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.notInCorpus(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 3 =!= 0),
+        "text", expectedItems = 1000000L)
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some("""SELECT b.doc_id, b.n_chars FROM documents b
+      WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+        SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 AND c.text = b.text)"""))
+
   /** Shared CTE chain producing MinHash band signatures as `bands(id, band,
     * sig)` — reused by dd_minhash_lsh and the recall evaluation so the two
     * oracles cannot drift.
@@ -396,7 +414,7 @@ object CatalogOps {
     bench = true)
 
   val queries: Seq[Q] = Seq(
-    ddExact, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
+    ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii,

@@ -189,6 +189,18 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.contains((100L, 100L, 50L)))   // no upscaling
   }
 
+  test("notInCorpus matches a plain anti-join, keeps null-value rows") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "v")
+    val batch = Seq((10L, "beta"), (11L, "delta"), (12L, "alpha"), (13L, null))
+      .toDF("id", "v")
+    val got = Dedup.notInCorpus(batch, corpus, "v", expectedItems = 100L)
+      .select($"id").as[Long].collect().toSet
+    // exactness contract: identical to the plain left-anti join
+    val want = batch.join(corpus.select($"v"), Seq("v"), "left_anti")
+      .select($"id").as[Long].collect().toSet
+    assert(got == want && got == Set(11L, 13L))
+  }
+
   test("multimodal payload plumbing: metadata, frames, batch extraction") {
     val withBin = Multimodal.withBinaryPayload(docs, "text", "text")
     val meta = withBin.select($"doc_id", $"meta.n_bytes").collect()
