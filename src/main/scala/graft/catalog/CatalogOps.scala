@@ -236,6 +236,61 @@ object CatalogOps {
       SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""),
     bench = true)
 
+  /** IVF-PQ ADC: coarse quantizer (stride 100) + PQ codebook (stride 50,
+    * 4 × 16-dim subspaces) + distance-table scoring. The oracle replays the
+    * identical arithmetic (same summation order), so the approximate result
+    * is still hash-exact.
+    */
+  private val simIvfPq = Q("sim_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.ivfPqTopK(emb, "v", "vec_id", stride = 100,
+        col("id") % 75 === 0, k = 3, subspaces = 4, pqStride = 50)
+    },
+    Some {
+      def dj(a: String, b: String): Seq[String] = (0 until 4).map { j =>
+        val lo = j * 16 + 1
+        s"list_sum(list_transform(generate_series($lo, ${lo + 15}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS d$j"
+      }
+      val unions = (0 until 4).map(j =>
+        s"SELECT id, cid, $j AS ss, d$j AS d FROM pairs").mkString("\n        UNION ALL ")
+      val codePivot = (0 until 4).map(j =>
+        s"max(CASE WHEN ss = $j THEN cid END) AS c$j").mkString(", ")
+      val lutJoins = (0 until 4).map(j =>
+        s"JOIN lut l$j ON l$j.query_id = cand.query_id AND l$j.cid = cand.c$j").mkString("\n        ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        scored AS (SELECT e.vec_id AS id, e.v AS qv, centroid_id,
+            list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM e CROSS JOIN cent),
+        assigned AS (SELECT id, qv AS v, centroid_id AS cluster_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, centroid_id) AS r FROM scored)
+          WHERE r = 1),
+        cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        pairs AS (SELECT e.vec_id AS id, cid,
+          ${dj("v", "cv").mkString(",\n          ")}
+          FROM e CROSS JOIN cb),
+        expanded AS ($unions),
+        best AS (SELECT id, ss, cid,
+          row_number() OVER (PARTITION BY id, ss ORDER BY d, cid) AS rn FROM expanded),
+        codes AS (SELECT id, $codePivot FROM best WHERE rn = 1 GROUP BY id),
+        queries AS (SELECT id AS query_id, v AS qv, cluster_id FROM assigned WHERE id % 75 = 0),
+        lut AS (SELECT query_id, cid,
+          ${dj("qv", "cv").mkString(",\n          ")}
+          FROM queries CROSS JOIN cb),
+        cand AS (SELECT q.query_id, c.id AS corpus_id, k.c0, k.c1, k.c2, k.c3
+          FROM queries q JOIN assigned c
+            ON q.cluster_id = c.cluster_id AND c.id <> q.query_id
+          JOIN codes k ON k.id = c.id),
+        adc AS (SELECT cand.query_id, corpus_id, l0.d0 + l1.d1 + l2.d2 + l3.d3 AS adc
+          FROM cand
+          $lutJoins),
+        ranked AS (SELECT query_id, corpus_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rank FROM adc)
+        SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""
+    })
+
   // ------------------------------------------------------------ text analysis
 
   private val txtLangid = Q("txt_langid",
@@ -415,7 +470,7 @@ object CatalogOps {
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
-    simTopK, simIvf,
+    simTopK, simIvf, simIvfPq,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii,
     mmMeta, mmFrames,

@@ -118,25 +118,93 @@ object Similarity {
     * a D-dim float vector compresses to `subspaces` small ints.
     */
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-      subspaces: Int = 4, stride: Int = 100): DataFrame = {
-    val centroids = df.where(col(idCol) % stride === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val subLen = (size(col("v")) / subspaces).cast("int")
-    val dists = (0 until subspaces).map { j =>
-      val sv = slice(col("v"), subLen * j + 1, subLen)
-      val sc = slice(col("cv"), subLen * j + 1, subLen)
-      aggregate(zip_with(sv, sc, (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, x) => acc + x).as(s"__d$j")
-    }
-    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(broadcast(centroids))
-      .select(Seq(col("id"), col("cid")) ++ dists: _*)
-    val codeAggs = (0 until subspaces).map(j =>
-      min_by(col("cid"), struct(col(s"__d$j"), col("cid"))).as(s"__c$j"))
-    scored.groupBy(col("id"))
-      .agg(codeAggs.head, codeAggs.tail: _*)
+      subspaces: Int = 4, stride: Int = 100): DataFrame =
+    pqCodes(df, vecCol, idCol, subspaces, stride)
       .select(col("id").as(idCol),
         concat_ws(",", (0 until subspaces).map(j => col(s"__c$j").cast("string")): _*).as("pq_code"))
+
+  /** [[pqEncode]]'s core with the codes left as one column per subspace —
+    * (id, __c0 … __c{subspaces-1}) — so ADC scoring ([[ivfPqTopK]]) can
+    * equi-join each code against a distance table.
+    */
+  private[ops] def pqCodes(df: DataFrame, vecCol: String, idCol: String,
+      subspaces: Int, stride: Int): DataFrame = {
+    val centroids = df.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(centroids))
+      .select(Seq(col("id"), col("cid")) ++
+        subDists(col("v"), col("cv"), subspaces): _*)
+    val codeAggs = (0 until subspaces).map(j =>
+      min_by(col("cid"), struct(col(s"__d$j"), col("cid"))).as(s"__c$j"))
+    scored.groupBy(col("id")).agg(codeAggs.head, codeAggs.tail: _*)
+  }
+
+  /** Per-subspace squared-L2 distances between two equal-length vectors,
+    * as columns __d0 … __d{subspaces-1}.
+    */
+  private def subDists(a: Column, b: Column, subspaces: Int): Seq[Column] = {
+    val subLen = (size(a) / subspaces).cast("int")
+    (0 until subspaces).map { j =>
+      val sa = slice(a, subLen * j + 1, subLen)
+      val sb = slice(b, subLen * j + 1, subLen)
+      aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x).as(s"__d$j")
+    }
+  }
+
+  /** IVF-PQ top-k with asymmetric distance computation (ADC) — the shape a
+    * 100 TB ANN index actually runs: the corpus never ships vectors into the
+    * scoring join, only `subspaces` small code ids per row (a 64-dim float
+    * vector becomes 4 ints — 64× less exchange/state than raw vectors).
+    *
+    *   1. coarse quantizer: [[ivfAssign]] (broadcast centroids, `max_by`
+    *      partial agg) — persisted, it feeds the query and corpus sides;
+    *   2. PQ codes for the corpus: [[pqCodes]] (broadcast codebook,
+    *      `min_by` partial aggs), plain-vector ADC (no residual encoding —
+    *      documented simplification, determinism over recall);
+    *   3. distance tables: queries × codebook — one row per (query,
+    *      codebook entry) with per-subspace squared distances, bounded by
+    *      |Q|·|codebook|, broadcast;
+    *   4. scoring: candidates from the cluster-id equi-join, ADC distance
+    *      as `subspaces` broadcast LUT lookups summed — per-candidate work
+    *      is 4 hash probes, not a 64-dim dot product;
+    *   5. bounded top-k aggregate ranks by (adc asc, id asc).
+    *
+    * Approximate by construction (coarse probe + quantized distances); the
+    * oracle replays the identical arithmetic, so results are deterministic
+    * and hash-checkable.
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String, stride: Int,
+      queryPred: Column, k: Int, subspaces: Int = 4, pqStride: Int = 100): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, idCol, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqCodes(df, vecCol, idCol, subspaces, pqStride)
+    val codebook = df.where(col(idCol) % pqStride === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val queries = assigned.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("cluster_id"))
+    val lut = queries.select(col("query_id"), col("qv"))
+      .join(broadcast(codebook))
+      .select(Seq(col("query_id"), col("cid")) ++
+        subDists(col("qv"), col("cv"), subspaces): _*)
+    val candidates = assigned.as("c")
+      .join(queries.as("q"), col("c.cluster_id") === col("q.cluster_id") &&
+        col("c.id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.id").as("corpus_id"))
+      .join(codes.withColumnRenamed("id", "corpus_id"), Seq("corpus_id"))
+    val adc = (0 until subspaces).foldLeft(candidates) { (acc, j) =>
+      val l = lut.select(col("query_id"), col("cid").as(s"__c$j"), col(s"__d$j"))
+      acc.join(broadcast(l), Seq("query_id", s"__c$j"))
+    }.select(col("query_id"), col("corpus_id"),
+      (0 until subspaces).map(j => col(s"__d$j")).reduce(_ + _).as("adc"))
+    // TopKAgg ranks by (score desc, id asc): negate so smaller adc wins
+    val out = topKPerQuery(
+      adc.select(col("query_id"), col("corpus_id"), (-col("adc")).as("cos")), k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** Multiprobe IVF top-k: each query probes its `nprobe` nearest clusters

@@ -189,6 +189,20 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.contains((100L, 100L, 50L)))   // no upscaling
   }
 
+  test("ivfPqTopK yields dense ranks 1..k per query within the probed cluster") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 0.7 + d * 0.31)))
+    }.toDF("vec_id", "v")
+    val out = Similarity.ivfPqTopK(vecs, "v", "vec_id", stride = 50,
+      col("id") % 40 === 0, k = 3, subspaces = 4, pqStride = 25)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq && ranks.length <= 3)
+    }
+  }
+
   test("notInCorpus matches a plain anti-join, keeps null-value rows") {
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "v")
     val batch = Seq((10L, "beta"), (11L, "delta"), (12L, "alpha"), (13L, null))
