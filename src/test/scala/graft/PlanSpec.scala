@@ -63,6 +63,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
   }
 
+  test("bloom prefilter: every join broadcasts — the corpus never shuffles") {
+    val p = plan("dd_bloom_prefilter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side entered a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify joins not broadcast:\n$p")
+  }
+
   test("ivf assignment aggregates (partial max_by), no window sort over N×C") {
     // inspect ivfAssign itself: ivfTopK's returned plan is an eagerly
     // checkpointed RDD scan (the single materialization of the assignment)
