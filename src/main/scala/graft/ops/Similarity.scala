@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * cluster — candidate count drops by ~C× for C centroids, and the join is
   * a hash join on cluster id instead of a full cross product.
   *
-  * Dot products use the codegen'd higher-order functions `zip_with` +
-  * `aggregate` — no UDF in the hot path.
+  * Dot products and cosines are native codegen expressions
+  * ([[graft.functions.VecDot]] / [[graft.functions.VecCosine]]) — one fused
+  * primitive loop per candidate pair, no UDF, no interpreted higher-order
+  * lambda in the hot path.
   */
 object Similarity {
 
@@ -55,13 +57,15 @@ object Similarity {
         col("__t.score").as("cos"), (col("__pos") + 1).cast("int").as("rank"))
   }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Codegen vector ops ([[graft.functions.VecDot]]/[[graft.functions.VecCosine]]):
+    * one fused primitive loop per row instead of interpreted higher-order
+    * `aggregate(zip_with(…))` — same summation order, so identical doubles.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(graft.functions.vec.dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.vec.cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query set should be small relative to the
