@@ -77,6 +77,17 @@ object CatalogPipeline {
         FROM d)
       SELECT doc_id, source, n_tokens, (cum_before // 512)::BIGINT AS pack_id FROM c"""))
 
+  /** Sharded-export layout: balanced md5-hash shards + deterministic
+    * in-shard shuffle order — the write layout of the final training set.
+    */
+  private val shardExport = Q("pipe_shard_export",
+    (s, dir) => Packing.shardLayout(t(s, dir, "documents"), "doc_id", shards = 8),
+    Some(s"""WITH h AS (SELECT doc_id,
+        ${CatalogOps.h60Sql("doc_id::VARCHAR", 7)} AS hv FROM documents)
+      SELECT doc_id, (hv % 8)::INT AS shard,
+        row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)::BIGINT AS pos
+      FROM h"""))
+
   private val sourceCap = Q("pipe_source_cap",
     (s, dir) => Packing.capPerGroup(
       t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -295,6 +306,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, sourceCap, targetMix, lineDedup, chunk, unigram, embQuant, embPq, tfidf,
+    pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, embQuant, embPq, tfidf,
     rollup, cube, pctile, heavyHitters)
 }

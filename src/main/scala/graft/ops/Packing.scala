@@ -67,4 +67,29 @@ object Packing {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     df.withColumn("slot", row_number().over(w)).where(col("slot") <= n)
   }
+
+  /** Sharded-export layout: the final step of a training-data build —
+    * assign every document a shard (portable md5-derived hash mod
+    * `shards`, so sizes are balanced and the assignment is reproducible
+    * anywhere) and a position within the shard (hash order = a
+    * deterministic global shuffle, so each shard is an unbiased sample
+    * read in "shuffled" order — no trainer-side shuffle buffer needed).
+    *
+    * Plan shape at 100 TB: ONE exchange keyed on the shard id + an
+    * in-partition sort — exactly the physical layout of the export
+    * (`repartition($"shard").sortWithinPartitions($"pos").write` streams
+    * each shard file in order). Shard count is the parallelism dial;
+    * per-task state is one spillable sort. The id tie-break after the
+    * hash keeps positions total-ordered and engine-portable.
+    *
+    * Returns (idCol, shard, pos).
+    */
+  def shardLayout(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = Dedup.h60(col(idCol).cast("string"), seed = 7)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), (h % shards).cast("int").as("shard"), h.as("__h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

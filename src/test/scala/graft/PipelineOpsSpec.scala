@@ -218,4 +218,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("shard layout: total coverage, dense in-shard positions, deterministic") {
+    val docs = (0L until 400L).toDF("id")
+    val out = Packing.shardLayout(docs, "id", shards = 8).collect()
+    assert(out.length == 400)
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    // hash-balanced: no shard is empty or dominant for 400 uniform ids
+    assert(byShard.values.map(_.length).min > 10)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = Packing.shardLayout(docs, "id", shards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
 }
