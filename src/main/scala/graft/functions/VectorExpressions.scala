@@ -97,9 +97,64 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
     copy(l, r)
 }
 
+/** Squared L2 distance over a sub-range of two vectors — the PQ subspace
+  * distance — without materializing `slice()` arrays or re-entering
+  * interpreted `ArrayAggregate` per (vector, centroid) row. `offset` is
+  * 0-based; the loop covers `[offset, offset+len)` clamped to both array
+  * lengths, accumulating ascending — the same order as
+  * `aggregate(zip_with(slice(a),slice(b),…))` and DuckDB's
+  * `list_sum(list_transform(generate_series(…)))`, so hashes don't move.
+  */
+case class VecSqDist(a: Expression, b: Expression, offset: Expression, len: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = offset
+  override def fourth: Expression = len
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(av: Any, bv: Any, ov: Any, lv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val from = ov.asInstanceOf[Int]
+    val until = math.min(from + lv.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()))
+    var s = 0.0d
+    var i = from
+    while (i < until) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, o, l) => {
+      val (i, u, s, d) = (ctx.freshName("i"), ctx.freshName("u"),
+        ctx.freshName("s"), ctx.freshName("d"))
+      s"""
+         |int $u = java.lang.Math.min($o + $l,
+         |  java.lang.Math.min($x.numElements(), $y.numElements()));
+         |double $s = 0.0;
+         |for (int $i = $o; $i < $u; $i++) {
+         |  double $d = $x.getDouble($i) - $y.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
 object vec {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
   def dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column = column(VecCosine(expression(a), expression(b)))
+
+  /** Squared L2 over `[offset, offset+len)` (0-based), codegen'd. */
+  def sqDist(a: Column, b: Column, offset: Column, len: Column): Column =
+    column(VecSqDist(expression(a), expression(b),
+      expression(offset.cast("int")), expression(len.cast("int"))))
 }

@@ -145,15 +145,14 @@ object Similarity {
   }
 
   /** Per-subspace squared-L2 distances between two equal-length vectors,
-    * as columns __d0 … __d{subspaces-1}.
+    * as columns __d0 … __d{subspaces-1}. Codegen [[graft.functions.VecSqDist]]
+    * — no slice materialization, one primitive loop per subspace; same
+    * ascending summation as the slice+aggregate composition it replaced.
     */
   private def subDists(a: Column, b: Column, subspaces: Int): Seq[Column] = {
     val subLen = (size(a) / subspaces).cast("int")
     (0 until subspaces).map { j =>
-      val sa = slice(a, subLen * j + 1, subLen)
-      val sb = slice(b, subLen * j + 1, subLen)
-      aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x).as(s"__d$j")
+      graft.functions.vec.sqDist(a, b, subLen * j, subLen).as(s"__d$j")
     }
   }
 
