@@ -14,6 +14,14 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the sf0.1 tables are single ~1-10 MB parquet files; at the default
+      // 128 MB split size every scan starts as ONE task and local[32] idles
+      // (measured: dd_line_dedup ran FASTER at sf1 purely because the 10×
+      // data was written 32-way). 4 MB splits restore scan parallelism at
+      // the small end and are a no-op at real scale, where files span many
+      // blocks anyway.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
