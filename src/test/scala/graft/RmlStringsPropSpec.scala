@@ -114,4 +114,41 @@ class RmlStringsPropSpec extends AnyFunSuite {
       if (a != b) assert(RmlStrings.fnv1a64(a) != RmlStrings.fnv1a64(b) || a == b)
     }
   }
+
+  test("VecDot/VecCosine/VecSqDist bit-match the composed higher-order forms") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs: Gen[List[Double]] =
+      Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0).suchThat(d => !d.isNaN))
+    val rows = (1 to 60).flatMap { i =>
+      for {
+        a <- vecs(Gen.Parameters.default, Seed(i.toLong))
+        b <- vecs(Gen.Parameters.default, Seed(i.toLong + 5000))
+      } yield (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val composedDot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val composedSq = aggregate(
+      zip_with(slice($"a", 5, 8), slice($"b", 5, 8), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    val out = df.select(
+      graft.functions.vec.dot($"a", $"b").as("d1"), composedDot.as("d2"),
+      graft.functions.vec.cosine($"a", $"b").as("c1"),
+      (composedDot / (sqrt(aggregate($"a", lit(0.0d), (s, x) => s + x * x)) *
+        sqrt(aggregate($"b", lit(0.0d), (s, x) => s + x * x)))).as("c2"),
+      graft.functions.vec.sqDist($"a", $"b", lit(4), lit(8)).as("s1"),
+      composedSq.as("s2")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // bitwise equality: identical summation order must give identical doubles
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)))
+    }
+  }
 }
