@@ -170,6 +170,21 @@ object CatalogPipeline {
         substring(text, (chunk_idx * 150 + 1)::INT, 200) AS chunk_text
       FROM c"""))
 
+  /** Vocabulary coverage: top-1000 token vocab (count desc, token asc) +
+    * per-doc OOV rate.
+    */
+  private val vocabOov = Q("txt_vocab_oov",
+    (s, dir) => TextAnalysis.vocabOov(t(s, dir, "documents"), "text", "doc_id", 1000),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
+      v AS (SELECT tok, 1 AS in_v FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 1000)),
+      j AS (SELECT doc_id, in_v FROM toks LEFT JOIN v USING (tok))
+      SELECT doc_id, count(*) AS n_tokens,
+        sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        round(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+      FROM j GROUP BY doc_id"""))
+
   private val unigram = Q("txt_unigram_logprob",
     (s, dir) => TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
@@ -306,6 +321,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, embQuant, embPq, tfidf,
+    pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
     rollup, cube, pctile, heavyHitters)
 }

@@ -303,4 +303,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("n").cast("double") / col("c"))), 6).as("avg_surprisal"))
   }
+
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
+    * corpus frequency (ties lexicographic — deterministic at the cutoff)
+    * and report each document's out-of-vocabulary token rate — the
+    * tokenizer-fit signal that decides whether a corpus needs its own
+    * vocab.
+    *
+    * Plan shape at 100 TB: token count is one partial-agg shuffle; the
+    * vocab cut is TakeOrderedAndProject (each partition ships only its own
+    * top-`vocabSize`, the driver holds exactly the vocab — bounded by
+    * definition); membership is a broadcast left join; the per-doc rollup
+    * is the second and last shuffle. Documents with zero tokens are
+    * absent from the output (no tokens → no coverage to report).
+    * Returns (idCol, n_tokens, n_oov, oov_rate).
+    */
+  def vocabOov(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(idCol), explode(Dedup.tokenize(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
 }
