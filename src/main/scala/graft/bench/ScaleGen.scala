@@ -46,8 +46,13 @@ object ScaleGen {
 
     def shifted(c: String): Column = col(c) + col("__copy") * Shift
 
+    // 32-way layout: a genuinely 10×-bigger dataset would span many HDFS/
+    // parquet blocks and scan with full parallelism; writing one part file
+    // would instead serialize every downstream scan into a single task and
+    // measure scheduler starvation, not the operators
     def write(name: String, df: DataFrame): Unit = {
-      df.drop("__copy").write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.drop("__copy").repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalegen] $name done")
     }
 
