@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
@@ -291,6 +291,66 @@ object CatalogOps {
         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""
     })
 
+  /** Shared KG edge set for the graph-analytics rows: the two-level
+    * customer → nation → region IRI graph (same vocab as the RML e2e
+    * mappings), so ranks propagate across iterations.
+    */
+  private def kgEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cn = t(s, dir, "customer").join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("<http://ex/customer/"), col("c_custkey"), lit(">")).as("src"),
+        concat(lit("<http://ex/nation/"), col("n_nationkey"), lit(">")).as("dst"))
+    val nr = t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(concat(lit("<http://ex/nation/"), col("n_nationkey"), lit(">")).as("src"),
+        concat(lit("<http://ex/region/"), col("r_regionkey"), lit(">")).as("dst"))
+    cn.unionByName(nr)
+  }
+
+  private val kgEdgesSql =
+    """SELECT '<http://ex/customer/' || c_custkey || '>' AS src,
+             '<http://ex/nation/' || n_nationkey || '>' AS dst
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT '<http://ex/nation/' || n_nationkey || '>' AS src,
+             '<http://ex/region/' || r_regionkey || '>' AS dst
+      FROM nation JOIN region ON n_regionkey = r_regionkey"""
+
+  /** Fixed-iteration PageRank over the KG: the oracle unrolls the same 3
+    * iterations with the same `(1.0 - 0.85)` literals, so the doubles agree
+    * to well inside the round(8).
+    */
+  private val kgPageRank = Q("kg_pagerank",
+    (s, dir) => Graphs.pageRank(kgEdges(s, dir), "src", "dst",
+      iterations = 3, damping = 0.85)
+      .select(col("vertex"), round(col("pagerank"), 8).as("pagerank")),
+    Some {
+      def iter(prev: String, cur: String, contrib: String) =
+        s"""$contrib AS (SELECT dst, sum(pr / outdeg) AS inflow
+           FROM e JOIN od USING (src) JOIN $prev ON $prev.vertex = e.src GROUP BY dst),
+         $cur AS (SELECT v.vertex, (1.0 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS pr
+           FROM v CROSS JOIN nn LEFT JOIN $contrib ON $contrib.dst = v.vertex)"""
+      s"""WITH e AS ($kgEdgesSql),
+        v AS (SELECT DISTINCT vertex FROM
+          (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        p0 AS (SELECT vertex, 1.0 / n AS pr FROM v CROSS JOIN nn),
+        ${iter("p0", "p1", "c1")},
+        ${iter("p1", "p2", "c2")},
+        ${iter("p2", "p3", "c3")}
+        SELECT vertex, round(pr, 8) AS pagerank FROM p3"""
+    })
+
+  private val kgDegrees = Q("kg_degrees",
+    (s, dir) => Graphs.degrees(kgEdges(s, dir), "src", "dst"),
+    Some(s"""WITH e AS ($kgEdgesSql),
+      od AS (SELECT src AS vertex, count(*) AS out_degree FROM e GROUP BY src),
+      id AS (SELECT dst AS vertex, count(*) AS in_degree FROM e GROUP BY dst)
+      SELECT vertex, coalesce(out_degree, 0)::BIGINT AS out_degree,
+        coalesce(in_degree, 0)::BIGINT AS in_degree
+      FROM od FULL OUTER JOIN id USING (vertex)"""))
+
   // ------------------------------------------------------------ text analysis
 
   private val txtLangid = Q("txt_langid",
@@ -470,7 +530,7 @@ object CatalogOps {
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
-    simTopK, simIvf, simIvfPq,
+    simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii,
     mmMeta, mmFrames,

@@ -189,6 +189,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.contains((100L, 100L, 50L)))   // no upscaling
   }
 
+  test("pageRank: hand-checked two-node chain, mass conserved shape") {
+    import graft.ops.Graphs
+    // a -> b: N=2, pr0 = 0.5 each.
+    // pr1(a) = 0.075; pr1(b) = 0.075 + 0.85*0.5 = 0.5
+    // pr2(b) = 0.075 + 0.85*0.075 = 0.13875
+    // pr3(b) = same (a is stationary after iter 1)
+    val edges = Seq(("a", "b")).toDF("s", "d")
+    val pr = Graphs.pageRank(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 0.075) < 1e-12)
+    assert(math.abs(pr("b") - 0.13875) < 1e-12)
+    // sink vertex with no outdeg contributes nothing; no NaN/null leaks
+    assert(!pr.values.exists(_.isNaN))
+  }
+
+  test("degrees: full outer over both directions with zero fills") {
+    import graft.ops.Graphs
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "d")
+    val deg = Graphs.degrees(edges, "s", "d").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deg("a") == ((2L, 0L)) && deg("b") == ((1L, 1L)) && deg("c") == ((0L, 2L)))
+  }
+
   test("ivfPqTopK yields dense ranks 1..k per query within the probed cluster") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 0.7 + d * 0.31)))
