@@ -342,6 +342,35 @@ object CatalogOps {
         SELECT vertex, round(pr, 8) AS pagerank FROM p3"""
     })
 
+  /** Incremental-rebuild diff: the "new" snapshot deletes every 7th
+    * customer and renames every 11th — the delta is exactly the added
+    * (renamed) and removed (deleted + pre-rename) name triples.
+    */
+  private val kgDiff = Q("kg_diff",
+    (s, dir) => {
+      def nameTriples(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("<http://ex/customer/"), col("c_custkey"), lit(">")).as("s"),
+        lit("<http://ex/vocab/name>").as("p"),
+        concat(lit("\""), col("c_name"), lit("\"")).as("o"))
+      val cust = t(s, dir, "customer")
+      val oldQ = nameTriples(cust)
+      val newQ = nameTriples(cust.where(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_name", when(col("c_custkey") % 11 === 0,
+          concat(col("c_name"), lit(" (renamed)"))).otherwise(col("c_name"))))
+      Graphs.kgDiff(oldQ, newQ)
+    },
+    Some("""WITH oldq AS (SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+          '<http://ex/vocab/name>' AS p, '"' || c_name || '"' AS o FROM customer),
+      newq AS (SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+          '<http://ex/vocab/name>' AS p,
+          '"' || CASE WHEN c_custkey % 11 = 0 THEN c_name || ' (renamed)' ELSE c_name END || '"' AS o
+        FROM customer WHERE c_custkey % 7 <> 0)
+      SELECT s, p, o, 'added' AS change FROM newq
+      WHERE NOT EXISTS (SELECT 1 FROM oldq WHERE oldq.s = newq.s AND oldq.p = newq.p AND oldq.o = newq.o)
+      UNION ALL
+      SELECT s, p, o, 'removed' AS change FROM oldq
+      WHERE NOT EXISTS (SELECT 1 FROM newq WHERE newq.s = oldq.s AND newq.p = oldq.p AND newq.o = oldq.o)"""))
+
   private val kgDegrees = Q("kg_degrees",
     (s, dir) => Graphs.degrees(kgEdges(s, dir), "src", "dst"),
     Some(s"""WITH e AS ($kgEdgesSql),
@@ -530,7 +559,7 @@ object CatalogOps {
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
-    simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees,
+    simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii,
     mmMeta, mmFrames,

@@ -60,6 +60,22 @@ object Graphs {
     pr.select(col("vertex"), col("pr").as("pagerank"))
   }
 
+  /** Snapshot diff between two KG materializations: which triples were
+    * added and which removed — the primitive behind incremental KG
+    * rebuilds (publish only the delta instead of re-shipping the graph).
+    * Two anti-joins on the full triple key; each is a hash join keyed on
+    * (s,p,o), so the exchange is proportional to the snapshots, with the
+    * usual AQE skew handling if one subject dominates. Returns
+    * (s, p, o, change) with change ∈ 'added' | 'removed'.
+    */
+  def kgDiff(oldQuads: DataFrame, newQuads: DataFrame): DataFrame = {
+    val key = Seq("s", "p", "o")
+    val o = oldQuads.select(key.map(col): _*)
+    val n = newQuads.select(key.map(col): _*)
+    n.join(o, key, "left_anti").withColumn("change", lit("added"))
+      .unionByName(o.join(n, key, "left_anti").withColumn("change", lit("removed")))
+  }
+
   /** Per-vertex degree profile of an edge frame: out-degree, in-degree.
     * One partial-agg shuffle per direction + an outer merge join.
     */
