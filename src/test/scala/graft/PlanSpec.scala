@@ -92,6 +92,24 @@ class PlanSpec extends AnyFunSuite {
       s"ivfTopK result not checkpointed (assignment would recompute per consumer):\n$tp")
   }
 
+  test("ivf-pq: ADC scoring joins broadcast the LUT, result is checkpointed") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val topk = graft.ops.Similarity.ivfPqTopK(emb, "v", "vec_id", 25,
+      col("id") < 3, 3, subspaces = 4, pqStride = 10)
+    val p = topk.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // eagerly checkpointed: the assignment/codes pipeline ran exactly once
+    assert(p.contains("Scan ExistingRDD"), s"ivfPqTopK not checkpointed:\n$p")
+  }
+
+  test("pagerank: iterations plan as joins + aggregates, no window, no cartesian") {
+    val p = plan("kg_pagerank")
+    assert(!p.contains("Window"), s"window in pagerank plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank plan:\n$p")
+    assert(p.contains("HashAggregate"), s"no aggregate for rank inflow:\n$p")
+  }
+
   test("whole-stage codegen covers the term-construction projection") {
     val df = Catalog.byName("t1_template_iri").run(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
