@@ -47,6 +47,35 @@ object StreamingOps {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(static), keys, "inner")
 
+  /** Streaming corpus-membership filter — [[graft.ops.Dedup.notInCorpus]]
+    * for incremental ingest: keep only stream rows whose `valueCol` is NOT
+    * already in the standing corpus. The Bloom filter is built ONCE at
+    * stream definition (distributed build, fixed-size driver sketch,
+    * broadcast) and every micro-batch tests against it as a narrow filter;
+    * survivors verify with a stream-static left-anti join against the
+    * corpus keys, so false positives cannot leak through. Per-batch work
+    * is batch-proportional; the corpus is only rescanned by the verify
+    * join for rows the bloom could not clear.
+    *
+    * The corpus snapshot is fixed for the query's lifetime (the reference
+    * semantics of a standing training set); restart the query to pick up
+    * a new snapshot.
+    */
+  def streamNotInCorpus(stream: DataFrame, corpus: DataFrame, valueCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
+    val bcast = stream.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
+    val keys = corpus.select(col(valueCol)).distinct()
+    // maybe-rows verify against the corpus keys; definitely-new rows pass
+    // the narrow filter only. union of the two disjoint branches keeps the
+    // whole thing a streaming-compatible plan (filter + stream-static join)
+    val definitelyNew = stream.where(!mightContain(col(valueCol)))
+    val verified = stream.where(mightContain(col(valueCol)))
+      .join(keys, Seq(valueCol), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /** Stream-stream interval join with watermarks on BOTH sides: left events
     * joined to right events on a key within a bounded time range
     * (`right.ts ∈ [left.ts - before, left.ts + after]`). The range bound +

@@ -161,6 +161,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus-membership filter passes only unseen values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snc").toString
+    Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"), (13L, "epsilon"))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("cid", "v")
+    val stream = StreamingOps.streamNotInCorpus(
+      spark.readStream.schema(schema).parquet(dir), corpus, "v",
+      expectedItems = 100L)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("snc_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snc_out").collect().map(_.getAs[Long]("id")).toSet
+      assert(got == Set(11L, 13L)) // alpha/beta already in the corpus
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs rows within the range, bounded state") {
     val mk = (rows: Seq[(String, Long, String)], name: String) => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_ssij_$name").toString
