@@ -75,10 +75,11 @@ object ScaleGen {
       .withColumn("event_id", shifted("event_id"))
       .withColumn("user_id", shifted("user_id")))
 
-    // per-copy vowel permutation (identity at copy 0); vowels are ~38% of
-    // English letters so nearly every token differs across copies
-    val vowelMaps = Seq("aeiouAEIOU", "eiouaEIOUA", "iouaeIOUAE", "ouaeiOUAEI",
-      "uaeioUAEIO", "eaiouEAIOU", "ieuaoIEUAO", "oeuiaOEUIA", "uioeaUIOEA", "aoeuiAOEUI")
+    // per-copy vowel permutation (identity at copy 0 — "aeiou" is the first
+    // permutation in lexicographic order); 120 distinct maps keep up to 120
+    // copies pairwise-decorrelated (vowels are ~38% of English letters so
+    // nearly every token differs between two copies with different maps)
+    val vowelMaps = "aeiou".permutations.map(p => p + p.toUpperCase).toVector
     val permText = (1 until copies).foldLeft(when(col("__copy") === 0, col("text"))) {
       (acc, i) => acc.when(col("__copy") === i,
         translate(col("text"), "aeiouAEIOU", vowelMaps(i % vowelMaps.size)))
@@ -88,15 +89,20 @@ object ScaleGen {
       .withColumn("text", permText))
 
     // per-copy cyclic dimension rotation: identity at copy 0, cross-copy
-    // cosine ~0 for roughly-isotropic embeddings
+    // cosine ~0 for roughly-isotropic embeddings. 13 is coprime with the
+    // 64-dim layout so the first 64 copies get distinct rotations; beyond
+    // that the second lap negates the vector (cosine -1 against the
+    // same-rotation copy — still not a near-duplicate)
     val dim = size(col("embedding"))
     val rot = pmod(col("__copy") * lit(13), dim)
+    val lapSign = when((col("__copy") / dim).cast("int") % 2 === 0, lit(1.0f))
+      .otherwise(lit(-1.0f))
+    val rotated = when(rot === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), rot + lit(1), dim - rot),
+        slice(col("embedding"), lit(1), rot)))
     write("embeddings", fan(read("embeddings"))
       .withColumn("vec_id", shifted("vec_id"))
-      .withColumn("embedding",
-        when(rot === 0, col("embedding")).otherwise(
-          concat(slice(col("embedding"), rot + lit(1), dim - rot),
-            slice(col("embedding"), lit(1), rot)))))
+      .withColumn("embedding", transform(rotated, x => x * lapSign)))
 
     spark.stop()
   }
