@@ -192,7 +192,21 @@ object Dedup {
     * arrays (64-bit token identity — see the collision note below).
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    jaccardPairs(df, textCol, idCol, blockCol, threshold, maxPrefixDf = None)
+
+  /** `maxPrefixDf`: candidate volume is Σ df² over prefix tokens — exact
+    * PPJoin goes quadratic when a "rare" prefix token is actually shared by
+    * hundreds of documents (boilerplate serials, duplicated IDs; measured
+    * at the 100× bench scale, where such a token turns the candidate join
+    * into billions of pairs). With a cap, tokens with block df above it
+    * generate no candidates: pairs whose ENTIRE shared prefix is capped
+    * tokens are missed — an explicit recall trade like
+    * [[cosineNearDupLsh]]'s, measurable with [[pairRecall]]. `None` (the
+    * default, and the oracle-checked path) is fully exact.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      threshold: Double, maxPrefixDf: Option[Long]): DataFrame = {
     val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(array_distinct(tokenize(col(textCol)))).as("tok"))
     val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
@@ -214,9 +228,19 @@ object Dedup {
         transform(col("sorted"), s => xxhash64(s.getField("tok"))).as("toks"),
         size(col("sorted")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = docs.select(col("blk"), col("id"), col("sz"),
+    val prefixAll = docs.select(col("blk"), col("id"), col("sz"),
       posexplode(slice(col("toks"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as(Seq("pos", "tok")))
+    // df cap: drop pathologically-shared tokens from candidate generation
+    // (broadcast anti-join against the small heavy-token set) — see the
+    // maxPrefixDf scaladoc for the exactness trade
+    val prefix = maxPrefixDf match {
+      case Some(cap) =>
+        val heavy = dfreq.where(col("df") > cap)
+          .select(col("blk"), xxhash64(col("tok")).as("tok"))
+        prefixAll.join(broadcast(heavy), Seq("blk", "tok"), "left_anti")
+      case None => prefixAll
+    }
     // PPJoin positional filter: a match at 0-based prefix positions
     // (px, py) bounds the overlap by min(sa-px, sb-py); the pair needs
     // overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ for J ≥ t. Pairs are kept if ANY shared

@@ -226,6 +226,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs maxPrefixDf: uncapped pairs survive, heavy-only pairs drop") {
+    // docs 1/2 share rare tokens (high jaccard); docs 3/4 overlap ONLY via
+    // the token every document shares ("common") plus disjoint filler
+    val d = Seq(
+      (1L, "en", "common alpha beta gamma delta"),
+      (2L, "en", "common alpha beta gamma epsilon"),
+      (3L, "en", "common zeta eta"),
+      (4L, "en", "common theta iota")).toDF("id", "lang", "text")
+    def pairs(cap: Option[Long]) =
+      Dedup.jaccardPairs(d, "text", "id", "lang", 0.2, cap)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(None)
+    assert(exact.contains((1L, 2L)))
+    val capped = pairs(Some(3L)) // "common" has df 4 > 3 → no candidates via it
+    assert(capped.contains((1L, 2L))) // still anchored by rare alpha/beta/gamma
+    assert(!capped.contains((3L, 4L)) || !exact.contains((3L, 4L)))
+    assert(capped.subsetOf(exact)) // cap only removes pairs, never invents
+  }
+
   test("notInCorpus matches a plain anti-join, keeps null-value rows") {
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "v")
     val batch = Seq((10L, "beta"), (11L, "delta"), (12L, "alpha"), (13L, null))
