@@ -90,8 +90,33 @@ object Dedup {
     * per-bucket, so skew is bounded by bucket size, not corpus size.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
-    val bands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame =
+    minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleLen,
+      maxBucketSize = None)
+
+  /** `maxBucketSize`: a band bucket of b docs emits b²/2 pairs, so one
+    * giant bucket (a signature shared by thousands of documents — measured
+    * at the 100× bench scale, 150× runtime growth) dominates the join. The
+    * standard production dial skips buckets above the cap: a bucket that
+    * big means the band is not discriminative for those docs, and the
+    * pairs it would emit are overwhelmingly false candidates. Pairs whose
+    * EVERY shared band is oversized are missed — measure with
+    * [[pairRecall]]. `None` (default, oracle-checked) keeps all buckets.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleLen: Int,
+      maxBucketSize: Option[Long]): DataFrame = {
+    val allBands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        // bucket sizes are a partial-agg count on the band join key; the
+        // filter drops oversized buckets BEFORE the self-join fan-out
+        val sizes = allBands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bsz"))
+        allBands.join(sizes, Seq("band", "sig")).where(col("__bsz") <= cap)
+          .drop("__bsz")
+      case None => allBands
+    }
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))

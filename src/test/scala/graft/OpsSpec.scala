@@ -226,6 +226,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashCandidates maxBucketSize: huge cap is exact, cap prunes to subset") {
+    val d = (0L until 40L).map { i =>
+      val text = if (i < 20) s"the quick brown fox jumps over lazy dog number shared tail $i"
+      else s"completely different content block with its own words token $i unique"
+      (i, text)
+    }.toDF("id", "text")
+    def cands(cap: Option[Long]) =
+      Dedup.minhashCandidates(d, "text", "id", 12, 3, 8, cap)
+        .as[(Long, Long)].collect().toSet
+    val exact = cands(None)
+    val capped = cands(Some(5L))
+    assert(capped.subsetOf(exact)) // cap only removes candidates
+    assert(cands(Some(1000000L)) == exact) // huge cap is the exact set
+  }
+
   test("jaccardPairs maxPrefixDf: uncapped pairs survive, heavy-only pairs drop") {
     // docs 1/2 share rare tokens (high jaccard); docs 3/4 overlap ONLY via
     // the token every document shares ("common") plus disjoint filler
