@@ -78,11 +78,23 @@ object ScaleGen {
     // per-copy vowel permutation (identity at copy 0 — "aeiou" is the first
     // permutation in lexicographic order); 120 distinct maps keep up to 120
     // copies pairwise-decorrelated (vowels are ~38% of English letters so
-    // nearly every token differs between two copies with different maps)
+    // nearly every token differs between two copies with different maps).
+    // Beyond 120 copies the vowel maps wrap, so each LAP (i / 120) adds a
+    // consonant rotation on top — the text analogue of the embeddings'
+    // second-lap sign flip — otherwise copy 120 would repeat copy 0's text
+    // verbatim under new ids and silently reintroduce the quadratic
+    // cross-copy near-duplicate blowup this generator exists to avoid.
     val vowelMaps = "aeiou".permutations.map(p => p + p.toUpperCase).toVector
+    val cons = "bcdfghjklmnpqrstvwxyz"
+    def textMap(i: Int): String = {
+      val lap = (i / vowelMaps.size) % cons.length
+      val rotated = cons.drop(lap) + cons.take(lap)
+      vowelMaps(i % vowelMaps.size) + rotated + rotated.toUpperCase
+    }
+    val fromChars = "aeiouAEIOU" + cons + cons.toUpperCase
     val permText = (1 until copies).foldLeft(when(col("__copy") === 0, col("text"))) {
       (acc, i) => acc.when(col("__copy") === i,
-        translate(col("text"), "aeiouAEIOU", vowelMaps(i % vowelMaps.size)))
+        translate(col("text"), fromChars, textMap(i)))
     }
     write("documents", fan(read("documents"))
       .withColumn("doc_id", shifted("doc_id"))

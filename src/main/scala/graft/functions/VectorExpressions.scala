@@ -23,14 +23,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Both children must be array<double> (callers cast); null elements are
   * not expected (read as 0.0 rather than guarded — the guard would double
-  * the loop body for data the pipeline never produces).
+  * the loop body for data the pipeline never produces). A length mismatch
+  * returns NULL — the same answer the composed `aggregate(zip_with(…))`
+  * form gives (zip_with pads the shorter array with nulls), so a malformed
+  * vector pair surfaces as a missing score, never a plausible wrong one.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // nullable regardless of child nullability: mismatched lengths → null
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0d
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -40,12 +46,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -58,10 +68,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   */
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // nullable regardless of child nullability: mismatched lengths → null
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0d
     var na = 0.0d
     var nb = 0.0d
@@ -83,14 +96,18 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
       val nb = ctx.freshName("nb")
       val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

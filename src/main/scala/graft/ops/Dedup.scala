@@ -549,10 +549,10 @@ object Dedup {
     */
   def notInCorpus(batch: DataFrame, corpus: DataFrame, valueCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    validateBloomKey(batch, corpus, valueCol)
     val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
-    val bcast = batch.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
-    val flagged = batch.withColumn("__maybe", mightContain(col(valueCol)))
+    val mightContain = bloomProbe(batch, corpus, valueCol, bf)
+    val flagged = batch.withColumn("__maybe", mightContain)
     val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
     val maybes = flagged.where(col("__maybe")).drop("__maybe")
     // corpus-side broadcast semi-join: hits = distinct corpus values that
@@ -562,5 +562,59 @@ object Dedup {
     val hits = corpus.select(col(valueCol))
       .join(broadcast(maybeKeys), Seq(valueCol), "left_semi").distinct()
     definitelyNew.unionByName(maybes.join(broadcast(hits), Seq(valueCol), "left_anti"))
+  }
+
+  /** Membership-test Column for a broadcast Bloom filter over `valueCol`,
+    * dispatched on the column's type: `stat.bloomFilter` inserts strings
+    * via their bytes and integral types via `putLong`, so the probe side
+    * MUST use the matching `mightContainString`/`mightContainLong` — a
+    * mistyped probe would silently answer over the wrong hash. Non-string,
+    * non-integral key columns are rejected up front with a descriptive
+    * error instead of a ClassCastException deep inside the UDF; null keys
+    * probe as "not present" (SQL equality semantics — they pass through).
+    */
+  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  /** Up-front key-type validation shared by the batch and streaming corpus
+    * membership ops, BEFORE the bloom build: string and integral keys are
+    * the types `stat.bloomFilter` hashes; anything else (and mixed
+    * string-vs-integral pairs, whose bloom bits would never match) is
+    * rejected with a descriptive error instead of an analysis error in the
+    * build or a ClassCastException deep inside the probe UDF.
+    */
+  private[graft] def validateBloomKey(probeSide: DataFrame, corpus: DataFrame,
+      valueCol: String): Unit = {
+    import org.apache.spark.sql.types.StringType
+    val dt = probeSide.schema(valueCol).dataType
+    val corpusDt = corpus.schema(valueCol).dataType
+    if (!(dt == StringType || isIntegral(dt)))
+      throw new IllegalArgumentException(
+        s"notInCorpus: key column '$valueCol' has type $dt; " +
+          "bloom membership supports string and integral key columns only")
+    require(dt == corpusDt || (isIntegral(dt) && isIntegral(corpusDt)),
+      s"notInCorpus: probe column '$valueCol' is $dt but corpus column is " +
+        s"$corpusDt — bloom bits would never match; align the key types")
+  }
+
+  private[graft] def bloomProbe(probeSide: DataFrame, corpus: DataFrame,
+      valueCol: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column = {
+    import org.apache.spark.sql.types.StringType
+    validateBloomKey(probeSide, corpus, valueCol)
+    val bcast = probeSide.sparkSession.sparkContext.broadcast(bf)
+    probeSide.schema(valueCol).dataType match {
+      case StringType =>
+        udf((s: String) => s != null && bcast.value.mightContainString(s))
+          .apply(col(valueCol))
+      case _ =>
+        udf((l: java.lang.Long) => l != null && bcast.value.mightContainLong(l))
+          .apply(col(valueCol).cast("long"))
+    }
   }
 }

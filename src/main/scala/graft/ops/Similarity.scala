@@ -60,6 +60,10 @@ object Similarity {
   /** Codegen vector ops ([[graft.functions.VecDot]]/[[graft.functions.VecCosine]]):
     * one fused primitive loop per row instead of interpreted higher-order
     * `aggregate(zip_with(…))` — same summation order, so identical doubles.
+    * Mismatched-length vector pairs yield NULL (matching the composed
+    * `aggregate(zip_with(…))` form, where zip_with null-pads the shorter
+    * array) — a malformed pair surfaces as a missing score, never a
+    * plausible truncated one; NULL never passes a `>= threshold` filter.
     */
   def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 

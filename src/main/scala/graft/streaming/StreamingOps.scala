@@ -59,19 +59,24 @@ object StreamingOps {
     *
     * The corpus snapshot is fixed for the query's lifetime (the reference
     * semantics of a standing training set); restart the query to pick up
-    * a new snapshot.
+    * a new snapshot. Both membership structures are pinned to the SAME
+    * snapshot: the Bloom filter is built once here, and the verify-side
+    * key set is eagerly localCheckpoint'ed at stream definition — without
+    * that, the static side of the anti-join would re-read the corpus
+    * source every micro-batch, and a corpus that gained rows mid-query
+    * would be consulted inconsistently (stale bloom passing rows the
+    * fresh key set would have caught).
     */
   def streamNotInCorpus(stream: DataFrame, corpus: DataFrame, valueCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
-    val bcast = stream.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
-    val keys = corpus.select(col(valueCol)).distinct()
+    val mightContain = graft.ops.Dedup.bloomProbe(stream, corpus, valueCol, bf)
+    val keys = corpus.select(col(valueCol)).distinct().localCheckpoint()
     // maybe-rows verify against the corpus keys; definitely-new rows pass
     // the narrow filter only. union of the two disjoint branches keeps the
     // whole thing a streaming-compatible plan (filter + stream-static join)
-    val definitelyNew = stream.where(!mightContain(col(valueCol)))
-    val verified = stream.where(mightContain(col(valueCol)))
+    val definitelyNew = stream.where(!mightContain)
+    val verified = stream.where(mightContain)
       .join(keys, Seq(valueCol), "left_anti")
     definitelyNew.unionByName(verified)
   }

@@ -272,6 +272,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want && got == Set(11L, 13L))
   }
 
+  test("notInCorpus on integral keys probes mightContainLong; exotic types rejected") {
+    val corpus = Seq(1L, 2L, 3L).toDF("k")
+    val batch = Seq(2L, 7L, 3L, 9L).toDF("k")
+    val got = Dedup.notInCorpus(batch, corpus, "k", expectedItems = 100L)
+      .select($"k").as[Long].collect().toSet
+    assert(got == Set(7L, 9L))
+    // int batch against long corpus: integral widening is allowed
+    val gotInt = Dedup.notInCorpus(Seq(2, 7).toDF("k"), corpus, "k", 100L)
+      .select($"k").as[Int].collect().toSet
+    assert(gotInt == Set(7))
+    // non-string, non-integral key: clear rejection, not a UDF ClassCastException
+    val bad = Seq(1.5, 2.5).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.notInCorpus(bad, Seq(1.5).toDF("k"), "k", 100L).collect()
+    }
+    assert(e.getMessage.contains("integral"))
+    // string batch against long corpus: type mismatch rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.notInCorpus(Seq("x").toDF("k"), corpus, "k", 100L).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("corpus column"))
+  }
+
+  test("vec.dot/vec.cosine return null on mismatched vector lengths") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.vec.dot($"a", $"b").as("d"),
+      graft.functions.vec.cosine($"a", $"b").as("c")).collect()
+    assert(rows(0).getDouble(0) == 14.0 && !rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // and a null score never survives a threshold filter
+    assert(df.where(graft.functions.vec.cosine($"a", $"b") >= -1.0).count() == 1)
+  }
+
   test("multimodal payload plumbing: metadata, frames, batch extraction") {
     val withBin = Multimodal.withBinaryPayload(docs, "text", "text")
     val meta = withBin.select($"doc_id", $"meta.n_bytes").collect()
