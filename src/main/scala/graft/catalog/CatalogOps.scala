@@ -211,15 +211,25 @@ object CatalogOps {
       SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5"""),
     bench = true)
 
+  /** Fixed-budget IVF (the 100 TB shape): ≈32 hash-mod-sampled centroids
+    * regardless of corpus size, so the N×C assignment is linear in N —
+    * the strided form's |C| ∝ N made it 101× for 100× data (SCALE.md §12).
+    * The divisor n/32 comes from one count; the oracle recomputes the same
+    * divisor and replays the same md5-derived sample, so the budgeted
+    * index is still hash-exact.
+    */
   private val simIvf = Q("sim_ivf_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      Similarity.ivfTopK(emb, "v", "vec_id", stride = 100, col("id") % 75 === 0, k = 3)
+      Similarity.ivfTopKBudget(emb, "v", "vec_id", numCentroids = 32,
+        col("id") % 75 === 0, k = 3)
         .select(col("query_id"), col("corpus_id"), col("rank"))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      cdiv AS (SELECT greatest(1, count(*) // 32) AS d FROM e),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WHERE ${h60Sql("vec_id::VARCHAR", Similarity.CentroidSeed)} % (SELECT d FROM cdiv) = 0),
       scored AS (SELECT e.vec_id AS id, e.v AS qv, centroid_id,
           list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
         FROM e CROSS JOIN cent),

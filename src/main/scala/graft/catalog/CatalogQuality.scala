@@ -106,25 +106,50 @@ object CatalogQuality {
       FROM wins GROUP BY win_hash HAVING count(DISTINCT id) >= 2"""),
     bench = true)
 
+  /** SemDeDup at the corpus-scale shape: the centroid count must track the
+    * corpus (cluster SIZE is the algorithm's semantic dial — pairwise work
+    * inside a cluster is size²), so flat N×C assignment is quadratic in N
+    * (the measured 13×-at-10× growth, SCALE.md §11). Two-level assignment
+    * with a FIXED super-centroid budget (512) cuts that to N×(S + C/S);
+    * with C ≤ 512 (every sf up to ~25k vectors) the super set equals the
+    * centroid set and the result is exactly the flat assignment — the
+    * oracle replays the same two stages either way.
+    */
   private val semDedup = Q("dd_semantic_dedup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      Similarity.semanticDedup(emb, "v", "vec_id", stride = 50, threshold = 0.3)
+      val cent = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v").as("centroid_vec"))
+      Similarity.semanticDedupTwoLevel(emb, "v", "vec_id", cent,
+        superCount = 512, threshold = 0.3)
     },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
-      sc AS (SELECT vec_id, v, cid,
-        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cc
-        FROM e CROSS JOIN cent),
-      a AS (SELECT vec_id AS id, v, cid AS cluster_id FROM
-        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS r FROM sc)
-        WHERE r = 1),
+      sdiv AS (SELECT greatest(1, count(*) // 512) AS d FROM cent),
+      sup AS (SELECT cid AS sid, cv AS sv FROM cent
+        WHERE ${CatalogOps.h60Sql("cid::VARCHAR", graft.ops.Similarity.SuperSeed)} % (SELECT d FROM sdiv) = 0),
+      c2s AS (SELECT cid, cv, sid FROM (
+          SELECT c.cid, c.cv, s.sid,
+            row_number() OVER (PARTITION BY c.cid ORDER BY ${cos("c.cv", "s.sv")} DESC, s.sid) AS r
+          FROM cent c CROSS JOIN sup s) WHERE r = 1),
+      p2s AS (SELECT id, v, sid FROM (
+          SELECT e.vec_id AS id, e.v, s.sid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "s.sv")} DESC, s.sid) AS r
+          FROM e CROSS JOIN sup s) WHERE r = 1),
+      a AS (SELECT id, v, cid AS cluster_id FROM (
+          SELECT p.id, p.v, c.cid,
+            row_number() OVER (PARTITION BY p.id ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS r
+          FROM p2s p JOIN c2s c USING (sid)) WHERE r = 1),
       dropped AS (SELECT DISTINCT y.id
         FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.id < y.id
-        WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3)
+        WHERE ${cos("x.v", "y.v")} >= 0.3)
       SELECT a.id, a.cluster_id, (dropped.id IS NOT NULL) AS is_dropped
-      FROM a LEFT JOIN dropped ON a.id = dropped.id"""),
+      FROM a LEFT JOIN dropped ON a.id = dropped.id"""
+    },
     bench = true)
 
   private val tempMix = Q("pipe_temperature_mix",

@@ -84,14 +84,51 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF (inverted-file) assignment: nearest centroid per vector. Centroids
-    * are a deterministic sample of the corpus (ids ≡ 0 mod `stride`), so the
-    * oracle can reproduce the clustering exactly. Returns
+  /** Seed for [[centroidSample]]'s hash-mod id selection (md5-derived via
+    * [[Dedup.h60]], so external engines reproduce the sample exactly).
+    */
+  val CentroidSeed = 11
+
+  /** Seed for [[ivfAssignTwoLevel]]'s super-centroid sample — distinct from
+    * [[CentroidSeed]] so the two sampling stages are independent.
+    */
+  val SuperSeed = 13
+
+  /** Legacy centroid selection: ids ≡ 0 mod `stride`. |C| grows with the
+    * corpus — N×C assignment work is quadratic in N. Kept for the
+    * stride-based entry points; corpus-scale callers should prefer
+    * [[centroidSample]] (fixed budget) so assignment stays linear.
+    */
+  private def strideCentroids(df: DataFrame, vecCol: String, idCol: String,
+      stride: Int): DataFrame =
+    df.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Fixed-budget centroid sample: ≈`numCentroids` rows regardless of corpus
+    * size, selected where `h60(id) mod (n / numCentroids) = 0` — the
+    * divisor comes from one cheap count, the hash is the engine's
+    * md5-derived [[Dedup.h60]], so the exact same centroid set is
+    * reproducible by any engine (the DuckDB oracle replays it). This is the
+    * index-parameter form of centroid choice: at 100× the corpus the
+    * centroid count — and with it the N×C assignment work per row — stays
+    * fixed, making assignment linear in N (the stride form's |C| ∝ N made
+    * it quadratic, measured 101× time for 100× data in SCALE.md §12).
+    */
+  def centroidSample(df: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int): DataFrame = {
+    require(numCentroids > 0, "numCentroids must be positive")
+    val n = df.count()
+    val divisor = math.max(1L, n / numCentroids)
+    df.where(pmod(Dedup.h60(col(idCol).cast("string"), CentroidSeed), lit(divisor)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  }
+
+  /** IVF (inverted-file) assignment against an explicit centroid frame
+    * `(centroid_id, centroid_vec)` — nearest centroid per vector. Returns
     * (id, vec, cluster_id).
     */
-  def ivfAssign(df: DataFrame, vecCol: String, idCol: String, stride: Int): DataFrame = {
-    val centroids = df.where(col(idCol) % stride === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  def ivfAssignTo(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): DataFrame = {
     val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(broadcast(centroids))
       .select(col("id"), col("vec"), col("centroid_id"),
@@ -105,6 +142,61 @@ object Similarity {
     scored.groupBy(col("id"))
       .agg(
         any_value(col("vec")).as("vec"),
+        max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cluster_id"))
+      .select(col("id"), col("vec"), col("cluster_id"))
+  }
+
+  /** [[ivfAssignTo]] with the legacy stride centroid selection (ids ≡ 0 mod
+    * `stride`) — |C| tracks the corpus; prefer [[centroidSample]] at scale.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String, idCol: String, stride: Int): DataFrame =
+    ivfAssignTo(df, vecCol, idCol, strideCentroids(df, vecCol, idCol, stride))
+
+  /** Two-level IVF assignment: a fixed-budget sample of `superCount`
+    * SUPER-centroids (drawn from the centroid frame with the same
+    * deterministic hash-mod recipe) coarsens the search — each centroid is
+    * assigned to its nearest super once (C×S), each point finds its nearest
+    * super (N×S) and then its nearest centroid among that super's
+    * centroids (N×C/S on average). Total ≈ N×(S + C/S) versus flat N×C:
+    * when the algorithm REQUIRES the centroid count to track the corpus
+    * (SemDeDup's cluster granularity — cluster size, not centroid count,
+    * is the semantic dial), this is what keeps assignment from going
+    * quadratic; S balances the two terms at S ≈ √C. Approximate by
+    * construction (the globally-nearest centroid may live under a
+    * different super) but fully deterministic, and it degenerates to the
+    * exact flat assignment when `superCount ≥ |C|` (every centroid becomes
+    * a super). Returns (id, vec, cluster_id).
+    */
+  def ivfAssignTwoLevel(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, superCount: Int): DataFrame = {
+    require(superCount > 0, "superCount must be positive")
+    // centroid-side structures are tiny relative to the corpus (≤C rows) —
+    // materialize them eagerly ONCE (localCheckpoint) so the corpus-side
+    // stages never re-derive the centroid frame, and the persist can be
+    // released inside this call instead of leaking for the session
+    val cent = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = cent.count()
+    val superDiv = math.max(1L, nC / superCount)
+    val supers = cent
+      .where(pmod(Dedup.h60(col("centroid_id").cast("string"), SuperSeed), lit(superDiv)) === 0)
+      .select(col("centroid_id").as("super_id"), col("centroid_vec").as("super_vec"))
+      .localCheckpoint()
+    def nearestSuper(in: DataFrame, idC: String, vecC: String): DataFrame =
+      in.join(broadcast(supers))
+        .select(col(idC), col(vecC), col("super_id"),
+          cosine(col(vecC), col("super_vec")).as("scos"))
+        .groupBy(col(idC))
+        .agg(any_value(col(vecC)).as(vecC),
+          max_by(col("super_id"), struct(col("scos"), -col("super_id"))).as("super_id"))
+    val c2s = nearestSuper(cent, "centroid_id", "centroid_vec").localCheckpoint()
+    cent.unpersist()
+    val p2s = nearestSuper(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec")
+    p2s.join(broadcast(c2s), "super_id")
+      .select(col("id"), col("vec"), col("centroid_id"),
+        cosine(col("vec"), col("centroid_vec")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(any_value(col("vec")).as("vec"),
         max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cluster_id"))
       .select(col("id"), col("vec"), col("cluster_id"))
   }
@@ -136,11 +228,18 @@ object Similarity {
     * equi-join each code against a distance table.
     */
   private[ops] def pqCodes(df: DataFrame, vecCol: String, idCol: String,
-      subspaces: Int, stride: Int): DataFrame = {
-    val centroids = df.where(col(idCol) % stride === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      subspaces: Int, stride: Int): DataFrame =
+    pqCodes(df, vecCol, idCol, subspaces,
+      df.where(col(idCol) % stride === 0)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+
+  /** [[pqCodes]] against an explicit codebook frame `(cid, cv)` — pass a
+    * fixed-budget sample for the deployment shape.
+    */
+  private[ops] def pqCodes(df: DataFrame, vecCol: String, idCol: String,
+      subspaces: Int, codebook: DataFrame): DataFrame = {
     val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(broadcast(centroids))
+      .join(broadcast(codebook))
       .select(Seq(col("id"), col("cid")) ++
         subDists(col("v"), col("cv"), subspaces): _*)
     val codeAggs = (0 until subspaces).map(j =>
@@ -183,16 +282,28 @@ object Similarity {
     * and hash-checkable.
     */
   def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String, stride: Int,
-      queryPred: Column, k: Int, subspaces: Int = 4, pqStride: Int = 100): DataFrame = {
-    val assigned = ivfAssign(df, vecCol, idCol, stride)
+      queryPred: Column, k: Int, subspaces: Int = 4, pqStride: Int = 100): DataFrame =
+    ivfPqTopK(df, vecCol, idCol,
+      strideCentroids(df, vecCol, idCol, stride), queryPred, k, subspaces,
+      df.where(col(idCol) % pqStride === 0)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+
+  /** [[ivfPqTopK]] against explicit coarse-centroid and codebook frames —
+    * pass [[centroidSample]]-style fixed-budget frames for the deployment
+    * shape (both the coarse index and the codebook are index parameters;
+    * neither should track the corpus).
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, queryPred: Column, k: Int, subspaces: Int,
+      codebook: DataFrame): DataFrame = {
+    val cb = codebook.localCheckpoint()
+    val assigned = ivfAssignTo(df, vecCol, idCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqCodes(df, vecCol, idCol, subspaces, pqStride)
-    val codebook = df.where(col(idCol) % pqStride === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val codes = pqCodes(df, vecCol, idCol, subspaces, cb)
     val queries = assigned.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("cluster_id"))
     val lut = queries.select(col("query_id"), col("qv"))
-      .join(broadcast(codebook))
+      .join(broadcast(cb))
       .select(Seq(col("query_id"), col("cid")) ++
         subDists(col("qv"), col("cv"), subspaces): _*)
     val candidates = assigned.as("c")
@@ -228,19 +339,29 @@ object Similarity {
     * single-probe does, with nprobe rows per query on the probe side.
     */
   def ivfTopKMultiprobe(df: DataFrame, vecCol: String, idCol: String,
-      stride: Int, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+      stride: Int, queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    ivfTopKMultiprobe(df, vecCol, idCol,
+      strideCentroids(df, vecCol, idCol, stride), queryPred, k, nprobe)
+
+  /** [[ivfTopKMultiprobe]] against an explicit centroid frame — pass
+    * [[centroidSample]]'s output for the fixed-budget deployment shape.
+    */
+  def ivfTopKMultiprobe(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     // the assignment feeds BOTH the probe-selection (query) side and the
     // corpus side of the cluster join: persist it so the N×C broadcast-join
     // + max_by aggregation materializes ONCE (MEMORY_AND_DISK — spillable at
     // scale), then release the cache after the small top-k result is
-    // eagerly checkpointed (mirrors Dedup.jaccardPairs hygiene)
-    val assigned = ivfAssign(df, vecCol, idCol, stride)
+    // eagerly checkpointed (mirrors Dedup.jaccardPairs hygiene).
+    // the centroid frame is read twice (assignment + probe selection) —
+    // localCheckpoint pins one materialization
+    val cent = centroids.localCheckpoint()
+    val assigned = ivfAssignTo(df, vecCol, idCol, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = df.where(col(idCol) % stride === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val probeCentroids = cent
     val queries = assigned.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qv"))
-    val probes = queries.join(broadcast(centroids))
+    val probes = queries.join(broadcast(probeCentroids))
       .select(col("query_id"), col("qv"), col("centroid_id"),
         cosine(col("qv"), col("centroid_vec")).as("ccos"))
       .groupBy(col("query_id"))
@@ -291,6 +412,25 @@ object Similarity {
     out
   }
 
+  /** [[semanticDedup]] with two-level assignment — the corpus-scale shape.
+    * SemDeDup's semantic dial is CLUSTER SIZE (pairwise work inside a
+    * cluster is size², so the centroid count must track the corpus to keep
+    * clusters bounded), which makes FLAT assignment N×C ∝ N² — the
+    * measured 13×-at-10× / 101×-at-100× growth of SCALE.md §11-12. Here
+    * assignment goes through [[ivfAssignTwoLevel]] with a fixed
+    * `superCount` budget: N×(S + C/S) work, linear in N for the S-term and
+    * N·C/S for the refine term — at S ≈ √C both terms meet at N√C. The
+    * pairwise stage is unchanged (cluster-confined equi-join, Σ size²).
+    */
+  def semanticDedupTwoLevel(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, superCount: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssignTwoLevel(df, vecCol, idCol, centroids, superCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = semanticDedupOnAssigned(assigned, threshold).localCheckpoint()
+    assigned.unpersist()
+    out
+  }
+
   /** The pairwise stage of [[semanticDedup]] on a materialized assignment
     * frame (id, vec, cluster_id) — exposed so the mega-cluster skew path
     * can be exercised and its plan inspected directly. The cluster_id
@@ -312,13 +452,18 @@ object Similarity {
   /** IVF top-k: probe only the query's own cluster. Recall is partial by
     * construction (single-probe); the point is the candidate reduction — at
     * scale the cluster-id equi-join replaces the cross product.
+    *
+    * This is the explicit-centroid-frame form; [[ivfTopKBudget]] (fixed
+    * centroid budget — the 100 TB shape: |C| is an index parameter, so
+    * assignment work is linear in the corpus) and the legacy stride
+    * overload both delegate here.
     */
-  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, stride: Int,
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, centroids: DataFrame,
       queryPred: Column, k: Int): DataFrame = {
     // assigned feeds the query side AND the corpus side of the probe join:
     // persist so the N×C assignment materializes once; eagerly checkpoint
     // the (queries × k)-row result, then release the cache
-    val assigned = ivfAssign(df, vecCol, idCol, stride)
+    val assigned = ivfAssignTo(df, vecCol, idCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("cluster_id"))
@@ -331,4 +476,22 @@ object Similarity {
     assigned.unpersist()
     out
   }
+
+  /** [[ivfTopK]] with the legacy stride centroid selection — |C| tracks the
+    * corpus, so assignment is N×C ∝ N²/stride; prefer [[ivfTopKBudget]] at
+    * corpus scale.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, stride: Int,
+      queryPred: Column, k: Int): DataFrame =
+    ivfTopK(df, vecCol, idCol, strideCentroids(df, vecCol, idCol, stride), queryPred, k)
+
+  /** [[ivfTopK]] with a fixed centroid budget ([[centroidSample]]): the
+    * deployment form — the centroid count is an index parameter, so
+    * assignment work grows linearly with the corpus instead of
+    * quadratically (SCALE.md §12's `sim_ivf_topk` finding).
+    */
+  def ivfTopKBudget(df: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int, queryPred: Column, k: Int): DataFrame =
+    ivfTopK(df, vecCol, idCol, centroidSample(df, vecCol, idCol, numCentroids),
+      queryPred, k)
 }

@@ -91,6 +91,57 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("cluster_id") == 2L)
   }
 
+  test("centroidSample: fixed budget, deterministic, reproducible selection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = emb.count()
+    val cent = Similarity.centroidSample(emb, "v", "vec_id", numCentroids = 32)
+    val ids = cent.select("centroid_id").as[Long].collect().toSet
+    // hash-mod with divisor n/32: expected ≈32 centroids, never corpus-sized
+    assert(ids.nonEmpty && ids.size < n / 4, s"got ${ids.size} of $n")
+    // deterministic: the same call selects the same set
+    val ids2 = Similarity.centroidSample(emb, "v", "vec_id", 32)
+      .select("centroid_id").as[Long].collect().toSet
+    assert(ids == ids2)
+    // budget larger than the corpus degenerates to every row (divisor 1)
+    val all = Similarity.centroidSample(emb, "v", "vec_id", n.toInt * 2)
+    assert(all.count() == n)
+  }
+
+  test("ivfAssignTwoLevel with superCount >= |C| equals the flat assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("centroid_vec"))
+    val flat = Similarity.ivfAssignTo(emb, "v", "vec_id", cent)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val two = Similarity.ivfAssignTwoLevel(emb, "v", "vec_id", cent, superCount = 10000)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(two == flat)
+    // with a genuinely coarse super budget the result is still total and
+    // deterministic: every vector assigned to exactly one real centroid
+    val centIds = cent.select("centroid_id").as[Long].collect().toSet
+    val coarse = Similarity.ivfAssignTwoLevel(emb, "v", "vec_id", cent, superCount = 2)
+      .select("id", "cluster_id").as[(Long, Long)].collect()
+    assert(coarse.length == emb.count())
+    assert(coarse.map(_._2).forall(centIds.contains))
+  }
+
+  test("ivfTopKBudget: fixed-budget index returns ranked neighbors per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = Similarity.ivfTopKBudget(emb, "v", "vec_id", numCentroids = 16,
+      col("id") % 100 === 0, k = 3).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.head == 1 && ranks.length <= 3)
+      // no self-match
+      rows.foreach(r => assert(r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
+    }
+  }
+
   test("saltedJoin: result equals the plain join, hot key spreads over salts") {
     val big = (1L to 200L).map(i => (i, if (i <= 150) "hot" else s"k${i % 7}"))
       .toDF("row_id", "k")
