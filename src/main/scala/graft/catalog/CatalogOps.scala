@@ -87,12 +87,87 @@ object CatalogOps {
         FROM toks x JOIN toks y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
         GROUP BY x.id, y.id)"""
 
+  // exact banding is the evaluation surface (prices the capped variants via
+  // pairRecall); the BENCHED corpus path is dd_cluster_pipeline below —
+  // exact pair enumeration grew 150× at the 100× scale (SCALE.md §12)
   private val ddMinhash = Q("dd_minhash_lsh",
     (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
       numHashes = 12, rowsPerBand = 3, shingleLen = 8),
     Some(s"""WITH $minhashCtes
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""),
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""))
+
+  private val powersSql = (0 to 30).map(k => (1L << k).toString).mkString(",")
+
+  /** THE corpus-scale dedup path (Dedup.dedupCorpus): auto-capped banding →
+    * large-star/small-star connected components → one keep/drop verdict per
+    * document. Output is linear in the corpus even where the pair list is
+    * quadratic. The oracle replays the dyadic bucket-size sketch (integer
+    * arithmetic), the capped band join, and the connected components via a
+    * recursive min-label CTE — component minima propagate along edges, so
+    * `min(lab)` per node is exactly the large/small-star fixpoint label.
+    */
+  private val ddClusterPipeline = Q("dd_cluster_pipeline",
+    (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id"),
+    Some(s"""WITH RECURSIVE $minhashCtes,
+      bsz AS (SELECT band, sig, count(*) AS b FROM bands GROUP BY band, sig),
+      pw AS (SELECT unnest([$powersSql]) AS p),
+      hist AS (SELECT (SELECT min(p) FROM pw WHERE p >= b) AS bcap, sum(b * b) AS w
+        FROM bsz GROUP BY 1),
+      capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
+          SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
+        WHERE cw <= 64 * (SELECT count(*) FROM documents)),
+      keep AS (SELECT bands.id, bands.band, bands.sig FROM bands
+        JOIN bsz USING (band, sig) WHERE bsz.b <= (SELECT cap FROM capv)),
+      pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM keep a JOIN keep b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON e.v = r.id WHERE r.lab < e.u),
+      clus AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+      SELECT d.doc_id AS id, c.cluster, (c.cluster = d.doc_id) AS is_kept
+      FROM documents d JOIN clus c ON c.id = d.doc_id"""),
+    bench = true)
+
+  /** Bounded PPJoin (Dedup.jaccardPairsCapped): the maxPrefixDf cap derived
+    * from the prefix-df sketch — classes by global df, weight (prefix-df)².
+    * Exact-capped semantics: a pair survives iff it shares ≥1 under-cap
+    * prefix token and verifies at the threshold (capped tokens sort after
+    * every under-cap token, so the positional filter loses nothing).
+    */
+  private val ddJaccardCapped = Q("dd_jaccard_capped",
+    (s, dir) => Dedup.jaccardPairsCapped(t(s, dir, "documents"), "text", "doc_id",
+      "lang", 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+    Some(s"""WITH $jaccardCtes,
+      dfreq AS (SELECT blk, tok, count(*) AS df FROM toks GROUP BY blk, tok),
+      docs AS (SELECT t.blk, t.id,
+          list_sort(list({'df': d.df, 'tok': t.tok})) AS sorted, count(*) AS sz
+        FROM toks t JOIN dfreq d ON t.blk = d.blk AND t.tok = d.tok
+        GROUP BY t.blk, t.id),
+      prefu AS (SELECT blk, id, s.df AS df, s.tok AS tok FROM (
+        SELECT blk, id, unnest(sorted[1 : (sz - ceil(sz * 0.6) + 1)::INT]) AS s
+        FROM docs)),
+      pdf AS (SELECT blk, tok, any_value(df) AS df, count(*) AS pdf
+        FROM prefu GROUP BY blk, tok),
+      pw AS (SELECT unnest([$powersSql]) AS p),
+      hist AS (SELECT (SELECT min(p) FROM pw WHERE p >= df) AS bcap, sum(pdf * pdf) AS w
+        FROM pdf GROUP BY 1),
+      capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
+          SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
+        WHERE cw <= 512 * (SELECT count(*) FROM documents)),
+      cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM prefu x JOIN prefu y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
+        WHERE x.df <= (SELECT cap FROM capv))
+      SELECT c.id_a, c.id_b,
+        round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM cand c
+      JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+      JOIN sizes sa ON c.id_a = sa.id
+      JOIN sizes sb ON c.id_b = sb.id
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6"""),
     bench = true)
 
   /** Shared CTE chain producing 32-bit SimHash signatures as
@@ -117,6 +192,8 @@ object CatalogOps {
     Some(s"""WITH $simhashCtes SELECT id, simhash FROM sig"""),
     bench = true)
 
+  // exact PPJoin — the evaluation surface (killed the JVM at the 100× bench
+  // scale, SCALE.md §12); the benched corpus path is dd_jaccard_capped
   private val ddJaccard = Q("dd_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id", "lang", 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
@@ -126,8 +203,7 @@ object CatalogOps {
       FROM inter
       JOIN sizes sa ON id_a = sa.id
       JOIN sizes sb ON id_b = sb.id
-      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6"""),
-    bench = true)
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6"""))
 
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
@@ -568,7 +644,8 @@ object CatalogOps {
     bench = true)
 
   val queries: Seq[Q] = Seq(
-    ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddCosine, ddCosineLsh, ddClusterDedup,
+    ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
+    ddJaccardCapped, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii,

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   * shuffle-based — no driver-side state — and the candidate-generation
   * steps (LSH banding, blocking) are designed so the pairwise work never
   * becomes O(N²) over the full corpus at 100 TB.
+  *
+  * ==The corpus-scale entry point is [[dedupCorpus]]==
+  *
+  * When near-duplicate groups are dense, the PAIR LIST itself is quadratic
+  * in group size — enumerating it is the wrong operator shape at 100 TB no
+  * matter how well candidates are pruned (measured: the exact pair
+  * operators died or grew 150× at the 100× bench scale, SCALE.md §12).
+  * What a corpus-scale dedup actually materializes is per-document CLUSTER
+  * MEMBERSHIP, which is linear in documents. [[dedupCorpus]] composes
+  * capped LSH banding (cap auto-derived from a bucket-size sketch via
+  * [[dyadicSizeCap]]) → [[resolveClusters]] → per-doc keep/drop verdicts in
+  * one call. The uncapped pair operators ([[minhashCandidates]],
+  * [[jaccardPairs]] with `None` caps) remain the exact evaluation surface:
+  * use them to price the caps with [[pairRecall]], not to run the corpus.
   */
 object Dedup {
 
@@ -101,16 +115,25 @@ object Dedup {
     * big means the band is not discriminative for those docs, and the
     * pairs it would emit are overwhelmingly false candidates. Pairs whose
     * EVERY shared band is oversized are missed — measure with
-    * [[pairRecall]]. `None` (default, oracle-checked) keeps all buckets.
+    * [[pairRecall]]. `None` (default, oracle-checked) keeps all buckets —
+    * the exact evaluation surface; corpus-scale runs go through
+    * [[dedupCorpus]], which auto-derives the cap.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, rowsPerBand: Int, shingleLen: Int,
+      maxBucketSize: Option[Long]): DataFrame =
+    candidatesFromBands(
+      minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen),
+      maxBucketSize)
+
+  /** Band-bucket self-join over a precomputed `(id, band, sig)` frame; with
+    * a cap, oversized buckets are dropped BEFORE the self-join fan-out
+    * (bucket sizes are a partial-agg count on the band join key).
+    */
+  private def candidatesFromBands(allBands: DataFrame,
       maxBucketSize: Option[Long]): DataFrame = {
-    val allBands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
     val bands = maxBucketSize match {
       case Some(cap) =>
-        // bucket sizes are a partial-agg count on the band join key; the
-        // filter drops oversized buckets BEFORE the self-join fan-out
         val sizes = allBands.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("__bsz"))
         allBands.join(sizes, Seq("band", "sig")).where(col("__bsz") <= cap)
@@ -122,6 +145,125 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** Largest power-of-two cap `c` such that the pair volume admitted by
+    * groups of size ≤ c — Σ b² over those groups — stays within `budget`,
+    * floored at 16 so genuinely small groups always survive. This is the
+    * sketch that turns the bounded-dedup dials ([[minhashCandidates]]'s
+    * `maxBucketSize`, [[jaccardPairs]]'s `maxPrefixDf`) into auto-derived
+    * values: a band bucket (or prefix token) of b docs emits ~b² candidate
+    * pairs, so capping cumulative b² at `budget` (callers pass
+    * pairs-per-doc × corpus size) bounds TOTAL candidate volume linearly in
+    * the corpus. One tiny aggregation (≤31 dyadic size classes collected to
+    * the driver — bounded by construction, not by data); deterministic
+    * integer arithmetic, so an external engine derives the identical cap.
+    */
+  private[graft] def dyadicSizeCap(sizes: DataFrame, sizeCol: String,
+      budget: Long): Long =
+    dyadicCap(sizes, col(sizeCol), col(sizeCol) * col(sizeCol), budget)
+
+  /** Generalized form: dyadic classes over `classBy`, admitted volume
+    * measured by `weight` (e.g. prefix-df² classed by global df for the
+    * Jaccard cap, where only PREFIX occurrences generate candidates).
+    */
+  private[graft] def dyadicCap(frame: DataFrame, classBy: Column,
+      weight: Column, budget: Long): Long = {
+    // smallest power of two ≥ classBy, as a when-chain (first match wins) —
+    // the same dyadic class the oracle computes as `min(p) WHERE p >= b`
+    val minPow = (1 to 30).foldLeft(when(classBy <= 1L, 1L)) { (acc, k) =>
+      acc.when(classBy <= (1L << k), 1L << k)
+    }
+    val hist = frame.select(minPow.as("cap"), weight.as("w"))
+      .groupBy(col("cap")).agg(sum(col("w")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var best = 0L
+    hist.foreach { case (cap, w) =>
+      cum += w
+      if (cum <= budget) best = cap
+    }
+    math.max(best, 16L)
+  }
+
+  /** THE corpus-scale dedup entry point: capped MinHash-LSH candidates →
+    * [[resolveClusters]] (large-star/small-star connected components) →
+    * one keep/drop verdict per document. Returns `(id, cluster, is_kept)`
+    * for EVERY input document — cluster is the component minimum (its own
+    * id for singletons), `is_kept` marks the representative — so the
+    * output is linear in the corpus even when near-duplicate groups are
+    * dense and the pair list would be quadratic (the reason the exact pair
+    * operators are the evaluation surface, not the corpus path —
+    * SCALE.md §12).
+    *
+    * `maxBucketSize = None` (default) auto-derives the cap from the
+    * bucket-size sketch ([[dyadicSizeCap]]) with a `pairBudget`-pairs-per-
+    * document budget: candidate volume stays ≤ pairBudget × N by
+    * construction, so the band self-join cannot blow up on
+    * non-discriminative buckets. Pairs whose every shared band is
+    * oversized are missed — price the recall with [[pairRecall]] against
+    * the exact operators at a small SF. The derivation is deterministic
+    * (dyadic integer classes), so external engines reproduce the cap, the
+    * capped pair set, and the clustering exactly.
+    */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+    // bands feed the size sketch AND the self-join: one materialization
+    val bands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = maxBucketSize.getOrElse {
+      val sizes = bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("b"))
+      dyadicSizeCap(sizes, "b", pairBudget * df.count())
+    }
+    val pairs = candidatesFromBands(bands, Some(cap))
+    // resolveClusters eagerly materializes its edge rounds (localCheckpoint
+    // per round), so the bands cache can be released right after it returns
+    val clusters = resolveClusters(pairs)
+    bands.unpersist()
+    df.select(col(idCol).as("id"))
+      .join(clusters.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__c"), col("id")).as("cluster"),
+        (coalesce(col("__c"), col("id")) === col("id")).as("is_kept"))
+  }
+
+  /** [[jaccardPairs]] with the `maxPrefixDf` cap auto-derived from a
+    * prefix-df sketch: candidate volume flows only through PREFIX
+    * occurrences, so the admitted volume of a global-df class is
+    * Σ (prefix-df)² over its tokens — [[dyadicCap]] picks the largest
+    * df cap whose cumulative admitted volume stays within `pairBudget`
+    * candidates per document (candidates here are pre-verification
+    * hash-join rows, most of which the Jaccard check discards — hence a
+    * larger default budget than [[dedupCorpus]]'s, whose buckets are
+    * already similarity-banded). The capped result is deterministic and
+    * oracle-expressible — a pair survives iff it shares at least one
+    * under-cap prefix token AND verifies at `threshold`; capped (high-df)
+    * tokens sort AFTER every under-cap token in the rarest-first prefix
+    * order, so the PPJoin positional filter stays exact for the surviving
+    * pairs. Measured on the adversarially-dense bench fixture (74 true
+    * pairs/doc): cap lands at 64, retaining 32% of exact pairs — the same
+    * trade SCALE.md §12 priced by hand; on real corpora rare-token dfs are
+    * small and the cap touches only boilerplate.
+    */
+  def jaccardPairsCapped(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, threshold: Double, pairBudget: Long = 512): DataFrame = {
+    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(tokenize(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
+    // one sketch pass: per-doc rarest-first prefix → per-token prefix df,
+    // classed by global df (the dimension the cap filters on)
+    val prefixed = toks.join(dfreq, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("blk"), explode(slice(col("sorted"), lit(1),
+        (size(col("sorted")) - ceil(size(col("sorted")) * threshold) + 1).cast("int"))).as("s"))
+    val pdf = prefixed.select(col("blk"), col("s.df").as("df"), col("s.tok").as("tok"))
+      .groupBy(col("blk"), col("tok"))
+      .agg(any_value(col("df")).as("df"), count(lit(1)).as("pdf"))
+    val cap = dyadicCap(pdf, col("df"), col("pdf") * col("pdf"),
+      pairBudget * df.count())
+    jaccardPairs(df, textCol, idCol, blockCol, threshold, Some(cap))
   }
 
   /** Incremental MinHash dedup: candidate pairs where at least one side is
@@ -228,7 +370,9 @@ object Dedup {
     * generate no candidates: pairs whose ENTIRE shared prefix is capped
     * tokens are missed — an explicit recall trade like
     * [[cosineNearDupLsh]]'s, measurable with [[pairRecall]]. `None` (the
-    * default, and the oracle-checked path) is fully exact.
+    * default, and the oracle-checked path) is fully exact — the evaluation
+    * surface; corpus-scale runs use [[jaccardPairsCapped]] (auto-derived
+    * cap) or cluster through [[dedupCorpus]].
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double, maxPrefixDf: Option[Long]): DataFrame = {

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mega-cluster probes for the bounded-dedup dials (the SkewSpec approach
+  * applied to candidate generation): a boilerplate swarm — many documents
+  * sharing a long common prefix — lands hundreds of docs in the same LSH
+  * band buckets / behind the same high-df prefix tokens, which is exactly
+  * the b²-pair blowup that killed the exact operators at the 100× bench
+  * scale (SCALE.md §12). These tests pin that
+  *
+  *   1. the caps bound candidate VOLUME (≤ the dyadic budget, not b²), and
+  *   2. capping composes with [[Dedup.resolveClusters]] without splitting
+  *      true clusters whose buckets/anchor tokens are under the cap (the
+  *      pigeonhole property: identical docs share every band and every
+  *      rare token, and small-group buckets survive any cap ≥ group size).
+  */
+class DedupCapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // 60-word boilerplate prefix shared by the swarm (distinct tails), plus
+  // 10 true-duplicate groups of 6 identical docs with disjoint vocabulary
+  private val boiler = (0 until 60).map(i => s"boiler$i common legal footer").mkString(" ")
+  private lazy val corpus = {
+    val swarm = (0 until 300).map(i => (1000L + i, s"$boiler tailword$i extra$i"))
+    // fully disjoint vocabulary per group (identical within, unrelated
+    // across — no legitimate cross-group similarity)
+    val groups = for (g <- 0 until 10; m <- 0 until 6)
+      yield (g * 6L + m, (0 until 10).map(w => s"grp${g}word${w}x$g").mkString(" "))
+    (swarm ++ groups).toDF("doc_id", "text")
+  }
+  private val nDocs = 360L
+
+  test("maxBucketSize bounds minhash candidate volume; capped set is a subset") {
+    val uncapped = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // the swarm shares most band signatures → near-quadratic pair count
+    assert(uncapped.size > 20000, s"fixture not dense enough: ${uncapped.size}")
+    val capped = Dedup.minhashCandidates(corpus, "text", "doc_id",
+      numHashes = 12, rowsPerBand = 3, shingleLen = 8, maxBucketSize = Some(16L))
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "cap must only remove pairs, never invent")
+    // admitted volume ≤ Σ b² over kept buckets ≤ (#buckets ≤ 4·n) × 16²/2;
+    // the sharp check: far below the uncapped blowup and below the dyadic
+    // budget dedupCorpus would derive (64 pairs/doc)
+    assert(capped.size <= 64 * nDocs, s"capped candidates not bounded: ${capped.size}")
+    // every true-duplicate group pair survives (buckets of 6 ≤ cap 16)
+    for (g <- 0 until 10; a <- 0 until 6; b <- a + 1 until 6)
+      assert(capped.contains((g * 6L + a, g * 6L + b)),
+        s"cap split true group $g pair ($a,$b)")
+  }
+
+  test("dedupCorpus: auto cap defuses the swarm, true clusters stay whole") {
+    val out = Dedup.dedupCorpus(corpus, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == nDocs)
+    // pigeonhole: each identical-6 group is one cluster labeled by its min
+    // id, exactly one representative kept
+    for (g <- 0 until 10) {
+      val ids = (0 until 6).map(m => g * 6L + m)
+      ids.foreach { id =>
+        assert(out(id)._1 == g * 6L, s"group $g split: doc $id → cluster ${out(id)._1}")
+        assert(out(id)._2 == (id == g * 6L), s"wrong verdict for $id")
+      }
+    }
+    // the auto-derived cap must actually bite on this fixture: without it
+    // the swarm's ~300-doc buckets emit ~45k pairs; with it, swarm docs
+    // cannot all collapse into one resolved mega-component
+    val swarmClusters = (0 until 300).map(i => out(1000L + i)._1).distinct
+    assert(swarmClusters.size > 1,
+      "swarm resolved to a single cluster — cap did not bound the bucket join")
+  }
+
+  test("prefix-df cap: capped jaccard ⊆ exact, group pairs survive, composition clusters correctly") {
+    val one = corpus.withColumn("lang", lit("en"))
+    val exact = Dedup.jaccardPairs(one, "text", "doc_id", "lang", 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairsCapped(one, "text", "doc_id", "lang", 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    // swarm pairs (J ≈ 1 via boilerplate, anchored ONLY by df≈300 tokens)
+    // are the priced recall loss; group pairs (rare anchors, df = 6) keep
+    val groupPairs = (for (g <- 0 until 10; a <- 0 until 6; b <- a + 1 until 6)
+      yield (g * 6L + a, g * 6L + b)).toSet
+    assert(groupPairs.subsetOf(capped), "cap must not drop rare-anchor group pairs")
+    assert(capped.size < exact.size, "cap should bite on the boilerplate swarm")
+    // composition: capped pairs → connected components → exactly the groups
+    val clusters = Dedup.resolveClusters(Dedup.jaccardPairsCapped(
+        one, "text", "doc_id", "lang", 0.6).select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    for (g <- 0 until 10; m <- 0 until 6)
+      assert(clusters(g * 6L + m) == g * 6L, s"group $g split after resolution")
+  }
+}
