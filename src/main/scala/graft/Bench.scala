@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exchange width tracks input volume (the sf10 dedup spill was a
+    // partition-count problem, not a plan problem — SCALE.md §12)
+    val initP = graft.util.ShuffleScaling.tuneFor(spark, sfDir)
+    System.err.println(s"[bench] initialPartitionNum=$initP for $sfDir")
 
     val headline = Catalog.all.filter(_.bench)
     // warm-up: run every headline query once at the smallest SF so the

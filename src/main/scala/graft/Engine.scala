@@ -96,6 +96,10 @@ object Engine {
     */
   def run(spark: SparkSession, mappingTurtle: String, sourceDir: String,
       outputPath: String, config: Config = Config()): Long = {
+    // scale exchange width with the input (CLI runs land here): the global
+    // quad dedup below is the one wide op whose per-reducer volume tracks
+    // source size — see graft.util.ShuffleScaling
+    if (sourceDir.nonEmpty) graft.util.ShuffleScaling.tuneFor(spark, sourceDir)
     val doc = MappingParser.parse(mappingTurtle, sourceDir)
     val opts = toOptions(config)
     val perTm = MappingCompiler.compilePerTm(spark, doc, opts)
