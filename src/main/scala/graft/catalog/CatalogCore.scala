@@ -321,6 +321,73 @@ object CatalogCore {
       '","@type":"http://www.w3.org/2001/XMLSchema#integer"}]}' AS line
       FROM nation"""))
 
+  private val k4c = Q("k4_rdfxml_roundtrip",
+    (s, dir) => {
+      // K4 oracle check: quads → RDF/XML Description blocks → text files →
+      // parse the XML back to raw (s, p, o). The name literal carries an
+      // injected ` <&">` suffix so the xmlEscape/unescape pair is exercised
+      // on every row, not just passed through; the type quad exercises the
+      // rdf:resource branch and the regionkey the rdf:datatype branch.
+      val out = exportDir(dir, "nation_rdfxml")
+      val nat = t(s, dir, "nation")
+      val subj = rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name"))))
+      val quads = nat.select(subj.as("s"), lit("<http://ex/vocab/name>").as("p"),
+          rml.literal(concat(col("n_name"), lit(" <&\">"))).as("o"),
+          lit(null).cast("string").as("g"))
+        .unionByName(nat.select(subj.as("s"), lit("<http://ex/vocab/regionkey>").as("p"),
+          rml.typedLiteral(col("n_regionkey"), lit(XSD + "integer")).as("o"),
+          lit(null).cast("string").as("g")))
+        .unionByName(nationTypeQuads(s, dir))
+      Sinks.rdfXmlLines(quads).write.mode("overwrite").text(out)
+      // wholetext per part file → split on the element close; property lines
+      // all carry their own xmlns:n declaration, which is the line filter
+      def unXml(c: Column): Column =
+        replace(replace(replace(replace(c,
+          lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
+      val blocks = s.read.option("wholetext", "true").text(out)
+        .select(explode(split(col("value"), "</rdf:Description>")).as("blk"))
+        .where(col("blk").contains("<rdf:Description"))
+      val lines = blocks
+        .select(regexp_extract(col("blk"), "rdf:about=\"([^\"]*)\"", 1).as("s"),
+          explode(split(col("blk"), "\n")).as("ln"))
+        .where(col("ln").contains("xmlns:n="))
+      val ns = regexp_extract(col("ln"), "xmlns:n=\"([^\"]*)\"", 1)
+      val local = regexp_extract(col("ln"), "^\\s*<n:([^ ]+) ", 1)
+      val res = regexp_extract(col("ln"), "rdf:resource=\"([^\"]*)\"", 1)
+      val dt = regexp_extract(col("ln"), "rdf:datatype=\"([^\"]*)\"", 1)
+      val value = regexp_extract(col("ln"), ">((?s).*)</n:", 1)
+      lines.select(col("s"), concat(unXml(ns), local).as("p"),
+        when(res =!= "", concat(lit("iri:"), unXml(res)))
+          .when(dt =!= "", concat(unXml(value), lit("^^"), unXml(dt)))
+          .otherwise(unXml(value)).as("o"))
+    },
+    Some("""SELECT 'http://ex/nation/' || n_name AS s,
+        'http://ex/vocab/name' AS p, n_name || ' <&">' AS o FROM nation
+      UNION ALL SELECT 'http://ex/nation/' || n_name,
+        'http://ex/vocab/regionkey',
+        n_regionkey || '^^http://www.w3.org/2001/XMLSchema#integer' FROM nation
+      UNION ALL SELECT 'http://ex/nation/' || n_name,
+        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        'iri:http://ex/vocab/Nation' FROM nation"""))
+
+  private val k4d = Q("k4_n3_prefixed",
+    // K4 oracle check: N3/Turtle with a prefix map — the oracle constructs
+    // the exact compacted block (T13 prefix compaction + `a` for rdf:type),
+    // byte-for-byte like k2 but through the prefixed path
+    (s, dir) => {
+      val quads = t(s, dir, "nation").select(
+        rml.iri(concat(lit("http://ex/nation/"), rml.encodeIri(col("n_name")))).as("s"),
+        lit("<http://ex/vocab/name>").as("p"),
+        rml.literal(col("n_name")).as("o"),
+        lit(null).cast("string").as("g"))
+        .unionByName(nationTypeQuads(s, dir))
+      Sinks.turtleBlocks(quads,
+        Map("ex" -> "http://ex/vocab/", "nat" -> "http://ex/nation/"))
+    },
+    Some("""SELECT 'nat:' || n_name || ' a ex:Nation ;' || chr(10) || chr(9)
+      || 'ex:name "' || n_name || '" .' AS block FROM nation"""))
+
   private val k1 = Q("k1_ntriples_sink",
     (s, dir) => Sinks.ntLines(nationTypeQuads(s, dir)),
     Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
@@ -1152,7 +1219,7 @@ object CatalogCore {
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p5,
     s1, s2, s3, s6, s7, s7b, s9, v2,
-    k1, k2, k3, k4a, k4b,
+    k1, k2, k3, k4a, k4b, k4c, k4d,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,
