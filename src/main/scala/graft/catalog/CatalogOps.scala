@@ -99,18 +99,15 @@ object CatalogOps {
 
   private val powersSql = (0 to 30).map(k => (1L << k).toString).mkString(",")
 
-  /** THE corpus-scale dedup path (Dedup.dedupCorpus): auto-capped banding →
-    * large-star/small-star connected components → one keep/drop verdict per
-    * document. Output is linear in the corpus even where the pair list is
-    * quadratic. The oracle replays the dyadic bucket-size sketch (integer
-    * arithmetic), the capped band join, and the connected components via a
+  /** Shared CTE chain replaying Dedup.dedupCorpus downstream of `bands`
+    * (from [[minhashCtes]]): the dyadic bucket-size sketch and auto cap,
+    * the capped band self-join, and the connected components via a
     * recursive min-label CTE — component minima propagate along edges, so
-    * `min(lab)` per node is exactly the large/small-star fixpoint label.
+    * `min(lab)` per node (`clus(id, cluster)`) is exactly the
+    * large/small-star fixpoint label. Use under `WITH RECURSIVE`.
     */
-  private val ddClusterPipeline = Q("dd_cluster_pipeline",
-    (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id"),
-    Some(s"""WITH RECURSIVE $minhashCtes,
-      bsz AS (SELECT band, sig, count(*) AS b FROM bands GROUP BY band, sig),
+  private[catalog] val clusterCtes: String =
+    s"""bsz AS (SELECT band, sig, count(*) AS b FROM bands GROUP BY band, sig),
       pw AS (SELECT unnest([$powersSql]) AS p),
       hist AS (SELECT (SELECT min(p) FROM pw WHERE p >= b) AS bcap, sum(b * b) AS w
         FROM bsz GROUP BY 1),
@@ -126,7 +123,19 @@ object CatalogOps {
       reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
         UNION
         SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON e.v = r.id WHERE r.lab < e.u),
-      clus AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+      clus AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)"""
+
+  /** THE corpus-scale dedup path (Dedup.dedupCorpus): auto-capped banding →
+    * large-star/small-star connected components → one keep/drop verdict per
+    * document. Output is linear in the corpus even where the pair list is
+    * quadratic. The oracle replays the dyadic bucket-size sketch (integer
+    * arithmetic), the capped band join, and the connected components via a
+    * recursive min-label CTE — component minima propagate along edges, so
+    * `min(lab)` per node is exactly the large/small-star fixpoint label.
+    */
+  private val ddClusterPipeline = Q("dd_cluster_pipeline",
+    (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id"),
+    Some(s"""WITH RECURSIVE $minhashCtes, $clusterCtes
       SELECT d.doc_id AS id, c.cluster, (c.cluster = d.doc_id) AS is_kept
       FROM documents d JOIN clus c ON c.id = d.doc_id"""),
     bench = true)

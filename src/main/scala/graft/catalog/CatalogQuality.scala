@@ -301,6 +301,36 @@ object CatalogQuality {
       FROM d JOIN rep r ON d.doc_id = r.doc_id
       JOIN keeper k ON md5(d.text) = k.h"""))
 
+  /** The curation chain with near-duplicate canonicalization: same gates
+    * as pipe_curate but the keeper is Dedup.dedupCorpus's cluster verdict
+    * — the oracle replays the banding/cap/CC chain (CatalogOps.clusterCtes)
+    * plus the gate signals in one WITH RECURSIVE query.
+    */
+  private val curateNearDupQ = Q("pipe_curate_neardup",
+    (s, dir) => graft.ops.Curation.curateNearDup(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id")
+      .select(col("doc_id"), col("c4_keep"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        col("cluster"), col("is_canonical"), col("curate_keep")),
+    Some(s"""WITH RECURSIVE ${CatalogOps.minhashCtes}, ${CatalogOps.clusterCtes},
+      csig AS (SELECT doc_id,
+        len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
+        contains(text, '{') AS has_curly,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::BIGINT AS n_words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM documents),
+      rep AS (SELECT doc_id,
+        round(CASE WHEN len(ls) > 0
+          THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0.0 END, 6) AS dup_line_frac,
+        (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
+        FROM csig)
+      SELECT d.doc_id, r.c4_keep, r.dup_line_frac, c.cluster,
+        (c.cluster = d.doc_id) AS is_canonical,
+        (r.c4_keep AND r.dup_line_frac <= 0.3 AND c.cluster = d.doc_id) AS curate_keep
+      FROM documents d
+      JOIN rep r ON d.doc_id = r.doc_id
+      JOIN clus c ON c.id = d.doc_id"""))
+
   private val packConcat = Q("pipe_pack_concat",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -348,6 +378,6 @@ object CatalogQuality {
       FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""))
 
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
-    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ, packConcat,
-    orcScan, simhashPairsQ)
+    salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
+    curateNearDupQ, packConcat, orcScan, simhashPairsQ)
 }

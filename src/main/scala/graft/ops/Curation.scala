@@ -37,4 +37,38 @@ object Curation {
         lit(false)))
       .drop("__h", "__keep_id")
   }
+
+  /** [[curate]] with NEAR-duplicate canonicalization: the canonical stage
+    * is [[Dedup.dedupCorpus]]'s cluster verdict (auto-capped LSH banding →
+    * connected components → min-id representative) instead of the exact
+    * content-hash keeper, so boilerplate near-copies collapse to one
+    * representative, not just byte-identical ones. Exact duplicates are a
+    * strict subset — identical docs share every band signature, so they
+    * always land in one cluster regardless of the cap (pigeonhole; pinned
+    * in DedupCapSpec).
+    *
+    * Plan shape: the gates still ride the scan; dedup cost moves from one
+    * hash groupBy to the capped band self-join + O(log² n) CC rounds —
+    * candidate volume stays ≤ `pairBudget` pairs/doc by construction, and
+    * every per-document output is linear in the corpus (SCALE.md §12's
+    * required shape at 100 TB).
+    */
+  def curateNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxDupLineFrac: Double = 0.3,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+    val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val sig = TextAnalysis.repetitionSignals(
+      TextAnalysis.c4Signals(safe, textCol), textCol)
+    val verdicts = Dedup.dedupCorpus(safe, textCol, idCol,
+        numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget)
+      .withColumnRenamed("id", "__vid")
+    sig.join(verdicts, col(idCol) === col("__vid"))
+      .withColumn("is_canonical", col("is_kept"))
+      .withColumn("redacted_text", TextAnalysis.redactPii(col(textCol)))
+      .withColumn("curate_keep", coalesce(
+        col("c4_keep") && col("dup_line_frac") <= maxDupLineFrac && col("is_kept"),
+        lit(false)))
+      .drop("__vid", "is_kept")
+  }
 }

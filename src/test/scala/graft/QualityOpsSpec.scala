@@ -230,6 +230,32 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[String]("redacted_text").contains("<EMAIL>"))
   }
 
+  test("curateNearDup: near-copies collapse to one canonical, gates still apply") {
+    // docs 1-3 are near-duplicates (one word varies in a long shared text);
+    // doc 4 is unrelated and keepable; doc 5 is a near-dup of 1-3 but gated
+    // out by a curly brace — verdicts and gates are independent axes
+    val base = (1 to 30).map(i => s"shared sentence number $i.").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base Tail alpha."),
+      (2L, s"$base Tail beta."),
+      (3L, s"$base Tail gamma."),
+      (4L, "A fully different document. With several sentences. And a third one."),
+      (5L, s"$base Tail delta {x}."))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.curateNearDup(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5)
+    // 1,2,3,5 share nearly all shingles → one cluster labeled by min id 1
+    Seq(1L, 2L, 3L, 5L).foreach { id =>
+      assert(out(id).getAs[Long]("cluster") == 1L, s"doc $id not in cluster 1") }
+    assert(out(4L).getAs[Long]("cluster") == 4L)
+    assert(out(1L).getAs[Boolean]("is_canonical") && out(1L).getAs[Boolean]("curate_keep"))
+    Seq(2L, 3L, 5L).foreach { id => assert(!out(id).getAs[Boolean]("curate_keep")) }
+    assert(out(4L).getAs[Boolean]("curate_keep"))
+    // gate failure is reported independently of dedup verdicts
+    assert(!out(5L).getAs[Boolean]("c4_keep"))
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
