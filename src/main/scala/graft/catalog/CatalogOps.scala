@@ -610,6 +610,56 @@ object CatalogOps {
       len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4
       FROM documents"""))
 
+  /** dedupCorpusBy: same capped-banding + CC pipeline as
+    * dd_cluster_pipeline, but the kept representative is the cluster
+    * member with the most characters (ties → smallest id) — the oracle
+    * reuses the shared cluster CTEs and picks reps with a window.
+    */
+  private val ddClusterPriority = Q("dd_cluster_priority",
+    (s, dir) => Dedup.dedupCorpusBy(t(s, dir, "documents"), "text", "doc_id",
+      "n_chars"),
+    Some(s"""WITH RECURSIVE $minhashCtes, $clusterCtes,
+      m AS (SELECT d.doc_id AS id, c.cluster, d.n_chars AS pr
+        FROM documents d JOIN clus c ON c.id = d.doc_id)
+      SELECT id, cluster,
+        (row_number() OVER (PARTITION BY cluster ORDER BY pr DESC, id ASC) = 1) AS is_kept
+      FROM m"""))
+
+  /** URL provenance gate: deterministic synthetic URLs (host from the
+    * source column, path shape from doc_id mod 3) through urlSignals —
+    * host/domain/TLD/path-depth/query extraction is pure regexp codegen,
+    * replayed by the oracle with the same string ops.
+    */
+  private val txtUrlSignals = Q("txt_url_signals",
+    (s, dir) => {
+      val url = concat(lit("https://www."), col("source"), lit(".example.com"),
+        when(col("doc_id") % 3 === 0, lit("/a/b/page?q=1"))
+          .when(col("doc_id") % 3 === 1, lit("/a/"))
+          .otherwise(lit("")))
+      TextAnalysis.urlSignals(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+        .select(col("doc_id"), col("url_host"), col("url_domain"),
+          col("url_tld"), col("url_path_depth"), col("url_has_query"))
+    },
+    Some("""SELECT doc_id,
+      'www.' || source || '.example.com' AS url_host,
+      'example.com' AS url_domain, 'com' AS url_tld,
+      CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS url_path_depth,
+      doc_id % 3 = 0 AS url_has_query
+      FROM documents"""))
+
+  /** Domain blocklist: registered domain from the URL, broadcast
+    * anti-join against the blocked set (corpus never shuffles).
+    */
+  private val txtDomainBlocklist = Q("txt_domain_blocklist",
+    (s, dir) => TextAnalysis.filterBlockedDomains(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(lit("https://"), col("source"), lit(".com/x")).as("url")),
+      "url", Seq("src0.com", "SRC3.com")),
+    Some("""SELECT doc_id, source, 'https://' || source || '.com/x' AS url
+      FROM documents WHERE lower(source) || '.com' NOT IN ('src0.com', 'src3.com')"""))
+
   private val txtFingerprint = Q("txt_fingerprint",
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
@@ -654,10 +704,10 @@ object CatalogOps {
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
-    ddJaccardCapped, ddCosine, ddCosineLsh, ddClusterDedup,
+    ddClusterPriority, ddJaccardCapped, ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
-    txtContamination, txtSample, txtPii,
+    txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     mmMeta, mmFrames,
     stWindow)
 }

@@ -228,6 +228,32 @@ object Dedup {
         (coalesce(col("__c"), col("id")) === col("id")).as("is_kept"))
   }
 
+  /** [[dedupCorpus]] with explicit representative selection: within each
+    * cluster the kept member is the one with the HIGHEST `priorityCol`
+    * (ties broken by smallest id) instead of the smallest id — the
+    * production choice when near-duplicates differ in quality (keep the
+    * longest / highest-scoring / most recent copy, drop the rest). The
+    * cluster LABEL stays the component-min id, so labels are stable
+    * across priority functions; only `is_kept` moves. One extra
+    * `max_by` aggregation keyed on the cluster — same shuffle envelope,
+    * deterministic because the ordering struct ends in the unique id.
+    */
+  def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
+      priorityCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+    val base = dedupCorpus(df, textCol, idCol,
+      numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget)
+    val pri = df.select(col(idCol).as("id"),
+      col(priorityCol).cast("double").as("__pr"))
+    val members = base.select(col("id"), col("cluster")).join(pri, "id")
+    val reps = members.groupBy(col("cluster"))
+      .agg(max_by(col("id"),
+        struct(col("__pr"), (-col("id")).cast("double"))).as("__rep"))
+    members.join(reps, "cluster")
+      .select(col("id"), col("cluster"), (col("id") === col("__rep")).as("is_kept"))
+  }
+
   /** [[jaccardPairs]] with the `maxPrefixDf` cap auto-derived from a
     * prefix-df sketch: candidate volume flows only through PREFIX
     * occurrences, so the admitted volume of a global-df class is

@@ -331,4 +331,39 @@ object TextAnalysis {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
   }
+
+  /** URL provenance signals for web-corpus curation (the C4/RefinedWeb
+    * front gate): host, registered domain (last two host labels — the
+    * public-suffix-list-free approximation), TLD, path depth, and
+    * query-string presence — all scan-side codegen regexp extractions,
+    * zero shuffle. Returns the input plus `url_host`, `url_domain`,
+    * `url_tld`, `url_path_depth`, `url_has_query`.
+    */
+  def urlSignals(df: DataFrame, urlCol: String): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    val path = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    df.withColumn("url_host", host)
+      .withColumn("url_domain",
+        regexp_extract(col("url_host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("url_tld", regexp_extract(col("url_host"), "\\.([^.]+)$", 1))
+      .withColumn("url_path_depth",
+        when(path === "", 0)
+          .otherwise(size(filter(split(path, "/"), s => s =!= ""))))
+      .withColumn("url_has_query", col(urlCol).contains("?"))
+  }
+
+  /** Domain blocklist gate: drop documents whose registered domain (per
+    * [[urlSignals]]) is on the list. The blocklist broadcasts — at 100 TB
+    * the corpus never shuffles; the join is a broadcast hash anti-join
+    * riding the scan. Case-insensitive on the domain.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val block = df.sparkSession.createDataFrame(
+      blocked.map(d => Tuple1(d.toLowerCase)))
+      .toDF("url_domain")
+    val sig = urlSignals(df, urlCol)
+    sig.join(broadcast(block), Seq("url_domain"), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

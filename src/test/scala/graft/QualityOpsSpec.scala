@@ -256,6 +256,52 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(!out(5L).getAs[Boolean]("c4_keep"))
   }
 
+  test("dedupCorpusBy: highest-priority member kept, cluster label stays min id") {
+    val base = (1 to 30).map(i => s"shared sentence number $i.").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base Tail alpha.", 10.0),
+      (2L, s"$base Tail beta.", 99.0),   // highest priority in the cluster
+      (3L, s"$base Tail gamma.", 99.0),  // tie → smaller id (2) wins
+      (4L, "A different document entirely. Second sentence. Third.", 1.0))
+      .toDF("doc_id", "text", "score")
+    val out = graft.ops.Dedup.dedupCorpusBy(docs, "text", "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    Seq(1L, 2L, 3L).foreach { id => assert(out(id)._1 == 1L) } // label = min id
+    assert(!out(1L)._2 && out(2L)._2 && !out(3L)._2, s"got $out")
+    assert(out(4L) == (4L, true))
+  }
+
+  test("urlSignals: host/domain/tld/path-depth/query extraction edge cases") {
+    val rows = Seq(
+      (1L, "https://Sub.News.Example.org/a/b/c?x=1"),
+      (2L, "http://example.com"),           // no path
+      (3L, "https://localhost/x"),          // single-label host: no domain/tld
+      (4L, "ftp://files.example.net/d/"))
+      .toDF("id", "url")
+    val out = graft.ops.TextAnalysis.urlSignals(rows, "url")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("url_host") == "sub.news.example.org")
+    assert(out(1L).getAs[String]("url_domain") == "example.org")
+    assert(out(1L).getAs[String]("url_tld") == "org")
+    assert(out(1L).getAs[Int]("url_path_depth") == 3)
+    assert(out(1L).getAs[Boolean]("url_has_query"))
+    assert(out(2L).getAs[Int]("url_path_depth") == 0 && !out(2L).getAs[Boolean]("url_has_query"))
+    assert(out(3L).getAs[String]("url_domain") == "" && out(3L).getAs[String]("url_tld") == "")
+    assert(out(4L).getAs[String]("url_domain") == "example.net")
+    assert(out(4L).getAs[Int]("url_path_depth") == 1)
+  }
+
+  test("filterBlockedDomains: case-insensitive, preserves input columns only") {
+    val rows = Seq(
+      (1L, "https://spam.BadSite.com/x"),
+      (2L, "https://news.example.org/y"),
+      (3L, "https://badsite.com/z"))
+      .toDF("id", "url")
+    val kept = graft.ops.TextAnalysis.filterBlockedDomains(rows, "url", Seq("BADSITE.COM"))
+    assert(kept.columns.toSeq == Seq("id", "url"))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
