@@ -130,6 +130,89 @@ object CatalogCore {
       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket
       FROM orders"""))
 
+  /** P4 oracle row: template inline condition `[?(@.k=="v")]` over an
+    * array-of-structs reference, through the SAME resolveAttr path the
+    * mapping compiler uses (reference: functions.py:1820-1864 keeps
+    * overwriting its match variable, so the LAST matching element wins).
+    * The per-customer array is sorted by order key, so "last match" =
+    * max order key with the matching status; customers with no match get
+    * null (the term guard would drop the triple in a mapping).
+    */
+  private val p4 = Q("p4_inline_condition",
+    (s, dir) => {
+      val grouped = t(s, dir, "orders").groupBy(col("o_custkey")).agg(
+        sort_array(collect_list(struct(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status")))).as("orders"))
+      grouped.select(col("o_custkey"),
+        graft.exec.MappingCompiler.resolveAttr(grouped,
+          """orders[?(@.status=="F")].okey""").cast("long").as("last_f_order"))
+    },
+    Some("""SELECT o_custkey,
+      max(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS last_f_order
+      FROM orders GROUP BY o_custkey"""))
+
+  /** D5 oracle row: duplicate-POM removal — the same predicate-object map
+    * declared TWICE emits each triple once even with removeDuplicates OFF,
+    * because the compile-time rewrite drops the duplicate before Spark
+    * sees it (reference dedups POMs during mapping parse). A regression
+    * doubles the row count and fails the rows/hash compare.
+    */
+  private val d5 = Q("d5_duplicate_pom",
+    (s, dir) => {
+      val csvDir = exportDir(dir, "nation_csv_d5")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir, "_SUCCESS")))
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(csvDir)
+      val pom = """rr:predicateObjectMap [ rr:predicate <http://ex/vocab/regionkey>;
+                  |    rr:objectMap [ rml:reference "n_regionkey" ] ]""".stripMargin
+      val ttl =
+        s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+           |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+           |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+           |<NatTM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source "$csvDir"; rml:referenceFormulation ql:CSV ];
+           |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}" ];
+           |  $pom;
+           |  $pom .
+           |""".stripMargin
+      Engine.materialize(s, ttl, "", Engine.Config(removeDuplicates = false))
+        .select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+      '<http://ex/vocab/regionkey>' AS p, '"' || n_regionkey || '"' AS o
+      FROM nation"""))
+
+  /** S8 oracle row: structured source descriptor — csvw:url plus
+    * csvw:dialect [csvw:delimiter ";"] resolves through the parser's
+    * descriptor block (reference SPARQL descriptor queries,
+    * semantify.py:2151-2191) to a semicolon-delimited CSV scan.
+    */
+  private val s8 = Q("s8_csvw_descriptor",
+    (s, dir) => {
+      val csvDir = exportDir(dir, "nation_scsv")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir, "_SUCCESS")))
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+          .option("header", "true").option("sep", ";").csv(csvDir)
+      val ttl =
+        s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+           |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+           |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+           |@prefix csvw: <http://www.w3.org/ns/csvw#> .
+           |<NatTM> a rr:TriplesMap;
+           |  rml:logicalSource [
+           |    rml:source [ a csvw:Table; csvw:url "$csvDir";
+           |      csvw:dialect [ csvw:delimiter ";" ] ];
+           |    rml:referenceFormulation ql:CSV ];
+           |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}" ];
+           |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/nkey>;
+           |    rr:objectMap [ rml:reference "n_nationkey" ] ] .
+           |""".stripMargin
+      Engine.materialize(s, ttl).select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+      '<http://ex/vocab/nkey>' AS p, '"' || n_nationkey || '"' AS o
+      FROM nation"""))
+
   // ----------------------------------------------------------------- sources
 
   private val s1 = Q("s1_csv_scan",
@@ -1217,8 +1300,8 @@ object CatalogCore {
       '"shop' || c_nationkey || '.example.org/c"' AS o FROM customer"""))
 
   val queries: Seq[Q] = Seq(
-    q1, q3, q18, w1, p1, p2, p3, p5,
-    s1, s2, s3, s6, s7, s7b, s9, v2,
+    q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
+    s1, s2, s3, s6, s7, s7b, s8, s9, v2,
     k1, k2, k3, k4a, k4b, k4c, k4d,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
