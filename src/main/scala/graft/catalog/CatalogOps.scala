@@ -113,7 +113,7 @@ object CatalogOps {
         FROM bsz GROUP BY 1),
       capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
           SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
-        WHERE cw <= 64 * (SELECT count(*) FROM documents)),
+        WHERE cw <= 64 * ((SELECT count(*) FROM bands) // 4)),
       keep AS (SELECT bands.id, bands.band, bands.sig FROM bands
         JOIN bsz USING (band, sig) WHERE bsz.b <= (SELECT cap FROM capv)),
       pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b

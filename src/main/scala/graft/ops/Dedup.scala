@@ -214,7 +214,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = maxBucketSize.getOrElse {
       val sizes = bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("b"))
-      dyadicSizeCap(sizes, "b", pairBudget * df.count())
+      // doc count from the persisted bands (exactly numBands rows per doc)
+      // — counting df itself would re-execute its whole lineage when the
+      // input is a derived frame rather than a bare scan
+      val n = bands.count() / (numHashes / rowsPerBand)
+      dyadicSizeCap(sizes, "b", pairBudget * n)
     }
     val pairs = candidatesFromBands(bands, Some(cap))
     // resolveClusters eagerly materializes its edge rounds (localCheckpoint

@@ -192,4 +192,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__salt"), s"salt missing from the physical plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("domain blocklist: broadcast anti-join — the corpus never shuffles") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat(lit("https://"), col("source"), lit(".com/x")).as("url"))
+    val kept = graft.ops.TextAnalysis.filterBlockedDomains(docs, "url", Seq("src0.com"))
+    val p = kept.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist join not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for a broadcast-sized blocklist:\n$p")
+  }
+
+  test("dedupCorpus: band join is an equi-join on (band, sig), no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Dedup.dedupCorpus(docs, "text", "doc_id")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to a product join:\n$p")
+  }
 }
