@@ -52,28 +52,36 @@ object CatalogOps {
       WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
         SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 AND c.text = b.text)"""))
 
-  /** Shared CTE chain producing MinHash band signatures as `bands(id, band,
-    * sig)` — reused by dd_minhash_lsh and the recall evaluation so the two
-    * oracles cannot drift.
+  /** Shared CTE chain producing MinHash band signatures as
+    * `<pre>bands(id, band, sig)` over `from` (a table name or derived-table
+    * SQL) — parameterized so oracles that band TWO frames (e.g. corpus vs
+    * probe set in fuzzy decontamination) reuse the exact same chain under
+    * distinct CTE names and cannot drift.
     */
-  private[catalog] val minhashCtes: String = {
+  private[catalog] def minhashCtesFor(from: String, pre: String): String = {
     val p = graft.ops.Dedup.MinhashP
     val mhCols = (0 until 12)
       .map(i => s"min((h * ${2 * i + 1} + ${101 * i + 17}) % $p) AS mh$i")
       .mkString(",\n        ")
     val bands = (0 until 4).map { b =>
       val sig = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '_' || ")
-      s"SELECT id, $b AS band, md5($sig) AS sig FROM mh"
+      s"SELECT id, $b AS band, md5($sig) AS sig FROM ${pre}mh"
     }.mkString("\n        UNION ALL ")
-    s"""sh AS (
+    s"""${pre}sh AS (
         SELECT doc_id AS id,
           unnest(list_distinct([substring(lower(text), i, 8)
             FOR i IN generate_series(1, greatest(length(text) - 7, 1))])) AS shingle
-        FROM documents),
-      hashed AS (SELECT id, ${h60Sql("shingle", 0)} % $p AS h FROM sh),
-      mh AS (SELECT id, $mhCols FROM hashed GROUP BY id),
-      bands AS ($bands)"""
+        FROM $from),
+      ${pre}hashed AS (SELECT id, ${h60Sql("shingle", 0)} % $p AS h FROM ${pre}sh),
+      ${pre}mh AS (SELECT id, $mhCols FROM ${pre}hashed GROUP BY id),
+      ${pre}bands AS ($bands)"""
   }
+
+  /** [[minhashCtesFor]] over the documents table with unprefixed names —
+    * reused by dd_minhash_lsh, the cluster pipeline, and the recall
+    * evaluation so their oracles cannot drift.
+    */
+  private[catalog] val minhashCtes: String = minhashCtesFor("documents", "")
 
   /** Shared CTE chain for exact blocked Jaccard: `inter(id_a, id_b, i)` +
     * `sizes(id, sz)`.
@@ -589,6 +597,35 @@ object CatalogOps {
              WHEN lang = 'de' THEN 250000
              ELSE 100000 END"""))
 
+  /** Fuzzy decontamination: every 50th document is the "benchmark"; any
+    * corpus doc sharing a band signature with a probe is flagged. The
+    * oracle bands BOTH frames through the same parameterized CTE chain.
+    */
+  private val txtFuzzyContamination = Q("txt_fuzzy_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContamination(docs, "text", "doc_id",
+        docs.where(col("doc_id") % 50 === 0), "text", "doc_id")
+    },
+    Some(s"""WITH $minhashCtes,
+      ${minhashCtesFor("(SELECT * FROM documents WHERE doc_id % 50 = 0)", "p_")},
+      hits AS (SELECT DISTINCT b.id FROM bands b
+        JOIN (SELECT DISTINCT band, sig FROM p_bands) q USING (band, sig))
+      SELECT d.doc_id AS id, (h.id IS NOT NULL) AS is_contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.id"""))
+
+  /** Quality-weighted sampling: keep probability ∝ document length
+    * (n_chars / 400, clamped) — the oracle replays the md5 bucket and the
+    * clamp exactly.
+    */
+  private val txtWeightedSample = Q("txt_weighted_sample",
+    (s, dir) => graft.ops.Sampling.weightedSample(
+      t(s, dir, "documents"), "doc_id", col("n_chars") / 400.0, seed = 5)
+      .select(col("doc_id"), col("n_chars")),
+    Some(s"""SELECT doc_id, n_chars FROM documents
+      WHERE ${h60Sql("doc_id::VARCHAR", 5)} % 1000000 <
+        (greatest(0.0, least(1.0, n_chars / 400.0)) * 1000000)::BIGINT"""))
+
   /** PII scrubbing + audit counts; same RE2-compatible patterns in DuckDB
     * so the redacted text hash-matches byte-for-byte.
     */
@@ -708,6 +745,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
+    txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames,
     stWindow)
 }

@@ -321,6 +321,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy test-set decontamination: flag corpus documents whose MinHash
+    * banding collides with ANY probe (benchmark) document — the
+    * similarity-level analogue of `TextAnalysis.ngramContamination`'s
+    * exact shared-n-gram check, catching paraphrased or trimmed leaks
+    * that exact n-grams miss. Banding is recall-oriented by design
+    * (P[flag] ≈ 1−(1−j^r)^b for true Jaccard j), the right bias for
+    * decontamination; verify flagged docs with [[jaccardPairs]] when
+    * precision matters. The probe set is a benchmark — small by
+    * construction — so its distinct band signatures broadcast and the
+    * corpus side never shuffles for the probe join (left-semi on the
+    * band key). Returns `(id, is_contaminated)` for EVERY corpus row.
+    */
+  def fuzzyContamination(corpus: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, probeIdCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+    val cb = minhashBands(corpus, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+    val pb = minhashBands(probes, probeTextCol, probeIdCol,
+        numHashes, rowsPerBand, shingleLen)
+      .select(col("band"), col("sig")).distinct()
+    val hits = cb.join(broadcast(pb), Seq("band", "sig"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.select(col(idCol).as("id"))
+      .join(hits.withColumn("__hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__hit"), lit(false)).as("is_contaminated"))
+  }
+
   /** SimHash: `bits`-bit signature; each token votes its hash bits up/down
     * (weight 1), the sign of each bit-sum becomes the signature bit.
     * Near-duplicates have small Hamming distance.

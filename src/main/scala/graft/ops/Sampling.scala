@@ -19,6 +19,18 @@ object Sampling {
       seed: Int = 1): DataFrame =
     df.where(bucket(col(idCol), seed) < (fraction * M).toLong)
 
+  /** Keep each row with its OWN probability — a per-row Column in [0,1]
+    * (clamped), e.g. a quality score: the quality-weighted keep step of a
+    * curation pipeline ("sample documents proportionally to how good they
+    * are"). Same portable md5 bucket as [[deterministicSample]], so the
+    * row set is reproducible across engines and partitionings; still one
+    * narrow filter riding the scan, no shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, prob: Column,
+      seed: Int = 1): DataFrame =
+    df.where(bucket(col(idCol), seed) <
+      (greatest(lit(0.0), least(lit(1.0), prob)) * M).cast("long"))
+
   /** Per-stratum rates (e.g. upsample low-resource languages, downsample
     * boilerplate-heavy sources): `fractions` maps stratum value → keep
     * rate; absent strata keep `defaultFraction`. One narrow filter, no

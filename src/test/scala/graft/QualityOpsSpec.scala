@@ -302,6 +302,36 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fuzzyContamination: exact and near copies of probes flag, unrelated do not") {
+    val bench = (1 to 30).map(i => s"benchmark question number $i?").mkString(" ")
+    val corpus = Seq(
+      (1L, bench),                       // verbatim benchmark leak
+      (2L, s"$bench Prefixed by a tiny edit."), // near-copy leak
+      (3L, "A fully unrelated training document about something else."))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, bench)).toDF("pid", "ptext")
+    val out = graft.ops.Dedup.fuzzyContamination(
+        corpus, "text", "doc_id", probes, "ptext", "pid")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false), s"got $out")
+  }
+
+  test("weightedSample: clamped per-row probability, deterministic") {
+    val rows = (1L to 200L).map(i => (i, i.toDouble / 100.0)).toDF("id", "p")
+    val none = graft.ops.Sampling.weightedSample(rows, "id", lit(0.0))
+    assert(none.count() == 0)
+    val all = graft.ops.Sampling.weightedSample(rows, "id", lit(5.0)) // clamps to 1
+    assert(all.count() == 200)
+    val some = graft.ops.Sampling.weightedSample(rows, "id", col("p"))
+    val ids = some.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < 200)
+    // rows with p >= 1 always kept; repeat run returns the identical set
+    assert((100L to 200L).forall(ids.contains))
+    val again = graft.ops.Sampling.weightedSample(rows, "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("temperatureWeights: alpha<1 upsamples the low-resource group") {
     val docs = (1 to 40).map(i => (i.toLong, if (i <= 36) "en" else "de"))
       .toDF("doc_id", "lang")
