@@ -99,6 +99,31 @@ object Dedup {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Per-row (stateless) MinHash band signatures — value-identical to
+    * [[minhashBands]]'s `sig` column, but computed entirely inside one
+    * row (higher-order `transform`/`array_min` over the shingle array, no
+    * per-doc groupBy), so the expression is legal in a streaming
+    * micro-batch plan with no aggregation state. The lambdas are
+    * interpreted rather than codegen'd — batch paths keep the agg form
+    * for throughput; this form exists for stream-side probes.
+    */
+  def bandSignaturesCol(text: Column, numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleLen: Int = 8): Column = {
+    val t = lower(text)
+    val shingleHashes = transform(
+      sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1))),
+      i => pmod(h60(t.substr(i, lit(shingleLen)), 0), lit(MinhashP)))
+    val mhs = (0 until numHashes).map { i =>
+      array_min(transform(shingleHashes,
+        h => pmod(h * (2 * i + 1) + (101 * i + 17), lit(MinhashP))))
+    }
+    val numBands = numHashes / rowsPerBand
+    array((0 until numBands).map { b =>
+      md5(concat_ws("_", (0 until rowsPerBand)
+        .map(r => mhs(b * rowsPerBand + r).cast("string")): _*).cast("binary"))
+    }: _*)
+  }
+
   /** MinHash-LSH candidate pairs: ids sharing a band signature. The
     * band-signature shuffle is the only wide operation; pair generation is
     * per-bucket, so skew is bounded by bucket size, not corpus size.

@@ -81,6 +81,41 @@ object StreamingOps {
     definitelyNew.unionByName(verified)
   }
 
+  /** Streaming NEAR-duplicate corpus flag: mark incoming documents whose
+    * MinHash banding collides with the standing corpus — the fuzzy
+    * analogue of [[streamNotInCorpus]]'s exact-key filter, for "is this
+    * crawl page a near-copy of something we already have". The corpus's
+    * band signatures compress into a Bloom filter ONCE at stream
+    * definition (snapshot semantics, like streamNotInCorpus); each
+    * incoming document computes its own band signatures statelessly
+    * ([[graft.ops.Dedup.bandSignaturesCol]] — no groupBy, no streaming
+    * state) and probes the broadcast bloom. No shuffle, no state store:
+    * the whole check rides the micro-batch projection.
+    *
+    * Flag semantics are recall-oriented like LSH banding itself: a
+    * byte-identical copy ALWAYS flags (identical bands, bloom has no
+    * false negatives); a true near-dup flags with the usual banding
+    * probability; and bloom false positives add ≤ `fpp` per band probe —
+    * route flagged docs to an exact verify stage if precision matters.
+    */
+  def streamNearCorpusFlag(stream: DataFrame, textCol: String,
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val corpusSigs = graft.ops.Dedup
+      .minhashBands(corpus, corpusTextCol, corpusIdCol, numHashes, rowsPerBand, shingleLen)
+      .select(col("sig"))
+    val bf = corpusSigs.stat.bloomFilter(col("sig"),
+      math.max(1L, expectedItems * numBands), fpp)
+    val bcast = stream.sparkSession.sparkContext.broadcast(bf)
+    val anyBandHit = udf((sigs: Seq[String]) =>
+      sigs != null && sigs.exists(s => s != null && bcast.value.mightContainString(s)))
+    stream.withColumn("is_near_corpus",
+      anyBandHit(graft.ops.Dedup.bandSignaturesCol(col(textCol),
+        numHashes, rowsPerBand, shingleLen)))
+  }
+
   /** Stream-stream interval join with watermarks on BOTH sides: left events
     * joined to right events on a key within a bounded time range
     * (`right.ts ∈ [left.ts - before, left.ts + after]`). The range bound +

@@ -75,6 +75,18 @@ class DedupCapSpec extends AnyFunSuite {
       "swarm resolved to a single cluster — cap did not bound the bucket join")
   }
 
+  test("bandSignaturesCol: row-level signatures identical to minhashBands") {
+    val viaAgg = Dedup.minhashBands(corpus, "text", "doc_id")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sig"))).as("sigs"))
+    val viaRow = corpus.select(col("doc_id").as("id"),
+      sort_array(Dedup.bandSignaturesCol(col("text"))).as("sigs"))
+    // value-identical per doc — the stateless streaming form must produce
+    // the same signatures the batch banding (and its oracles) produce
+    assert(viaAgg.join(viaRow, "id").where(viaAgg("sigs") =!= viaRow("sigs")).count() == 0)
+    assert(viaRow.count() == nDocs && viaAgg.count() == nDocs)
+  }
+
   test("prefix-df cap: capped jaccard ⊆ exact, group pairs survive, composition clusters correctly") {
     val one = corpus.withColumn("lang", lit("en"))
     val exact = Dedup.jaccardPairs(one, "text", "doc_id", "lang", 0.6)

@@ -257,4 +257,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Map(1L -> true, 2L -> false))
     } finally q.stop()
   }
+
+  test("streaming near-dup corpus flag: copies and near-copies flag, fresh text passes") {
+    val base = (1 to 30).map(i => s"corpus sentence number $i.").mkString(" ")
+    val corpus = Seq((100L, base)).toDF("cid", "ctext")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfz").toString
+    Seq(
+      (1L, base),                         // byte-identical → must flag
+      (2L, s"$base One appended tail."),  // near-copy → flags via shared bands
+      (3L, "Entirely fresh text about different things altogether."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val flagged = StreamingOps.streamNearCorpusFlag(
+      spark.readStream.schema(schema).parquet(dir), "text",
+      corpus, "ctext", "cid", expectedItems = 100L)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("sfz_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sfz_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_corpus")).toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false), s"got $got")
+    } finally q.stop()
+  }
 }
