@@ -187,6 +187,59 @@ object CatalogOps {
       WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6"""),
     bench = true)
 
+  /** The complete LSH dedup pipeline with exact verification: banding
+    * proposes candidates (recall), verifyPairsJaccard computes each
+    * proposed pair's true Jaccard (precision), threshold keeps real
+    * near-dups. Linear in candidates — no pair outside the proposal set
+    * is ever touched.
+    */
+  private val ddLshVerified = Q("dd_lsh_verified",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+      Dedup.verifyPairsJaccard(docs, "text", "doc_id", cand)
+        .where(col("jaccard") >= 0.6)
+    },
+    Some(s"""WITH $minhashCtes,
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+      vtoks AS (SELECT doc_id AS id, unnest(list_distinct($tokenizeSql)) AS tok
+        FROM documents),
+      vsizes AS (SELECT id, count(*) AS sz FROM vtoks GROUP BY id),
+      vi AS (SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN vtoks ta ON ta.id = c.id_a
+        JOIN vtoks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+          round(coalesce(vi.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(vi.i, 0)), 6) AS jaccard
+        FROM cand c
+        JOIN vsizes sa ON c.id_a = sa.id
+        JOIN vsizes sb ON c.id_b = sb.id
+        LEFT JOIN vi ON c.id_a = vi.id_a AND c.id_b = vi.id_b)
+      WHERE jaccard >= 0.6"""))
+
+  /** Winnowing fingerprints (MOSS): min gram-hash per sliding window; the
+    * oracle replays the same hashes with a SQL window min bounded to the
+    * same positions.
+    */
+  private val ddWinnow = Q("dd_winnow",
+    (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id"),
+    Some({
+      val p = graft.ops.Dedup.MinhashP
+      s"""WITH pos AS (SELECT doc_id AS id, lower(text) AS t,
+          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents),
+      g AS (SELECT id, i, ${h60Sql("substring(t, i, 8)", 0)} % $p AS h FROM pos),
+      m AS (SELECT id, i,
+          min(h) OVER (PARTITION BY id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f,
+          count(*) OVER (PARTITION BY id) AS n
+        FROM g)
+      SELECT DISTINCT id, f AS fingerprint FROM m WHERE i <= greatest(n - 3, 1)"""
+    }))
+
   /** Shared CTE chain producing 32-bit SimHash signatures as
     * `sig(id, simhash)` — reused by dd_simhash and dd_simhash_pairs.
     */
@@ -741,7 +794,8 @@ object CatalogOps {
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
-    ddClusterPriority, ddJaccardCapped, ddCosine, ddCosineLsh, ddClusterDedup,
+    ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
+    ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,

@@ -704,6 +704,66 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** Exact Jaccard VERIFICATION for a given candidate pair list — the
+    * precision stage after any recall-oriented generator ([[minhashCandidates]]
+    * banding, [[fuzzyContamination]], the streaming near-corpus flag):
+    * computes each proposed pair's true token-set Jaccard WITHOUT
+    * enumerating any pair the generator didn't propose, so cost is linear
+    * in candidates (pairs × token lists via two equi-joins), never O(N²).
+    * Pairs with an empty intersection are kept with jaccard = 0 — a
+    * verifier must report on every candidate it was handed. Pairs whose
+    * ids lack token sets (empty/null text) drop out: no sets, no verdict.
+    * Returns (id_a, id_b, jaccard).
+    */
+  def verifyPairsJaccard(df: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokenize(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inter = p
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    p.join(sizes.select(col("id").as("id_a"), col("sz").as("__sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("__sb")), Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("__i"), lit(0L)) /
+          (col("__sa") + col("__sb") - coalesce(col("__i"), lit(0L))), 6).as("jaccard"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every `k`-char gram, then keep the MINIMUM hash of
+    * each sliding window of `w` consecutive positions. Guarantee: any
+    * shared substring of at least `w + k − 1` characters between two
+    * documents yields at least one shared fingerprint, while only ~2/(w+1)
+    * of the gram hashes are stored — the compressed, recall-guaranteed
+    * form of [[duplicateWindows]]'s strided hashing, sized for corpus-wide
+    * substring-overlap search at 100 TB.
+    *
+    * Plan shape: gram hashes are generated inside the scan (sequence +
+    * substr, no gram table); the per-position window minimum is a
+    * `slice`/`array_min` over the in-row hash array (documents are rows,
+    * so "sliding window" never crosses a row — no Window exchange, no
+    * sort); distinct (id, fingerprint) is the only shuffle, keyed on the
+    * fingerprint output which is ~2/(w+1) of gram volume.
+    * Returns distinct (id, fingerprint).
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val t = lower(col(textCol))
+    val hashes = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => pmod(h60(t.substr(i, lit(k)), 0), lit(MinhashP)))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))
+    df.select(col(idCol).as("id"), explode(mins).as("fingerprint"))
+      .distinct()
+  }
+
   /** Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
     * pass): lines occurring more than `maxOccurrences` times ACROSS THE
     * CORPUS (navbars, cookie banners, license footers) are removed from

@@ -87,6 +87,36 @@ class DedupCapSpec extends AnyFunSuite {
     assert(viaRow.count() == nDocs && viaAgg.count() == nDocs)
   }
 
+  test("verifyPairsJaccard: true jaccard per proposed pair, zero-overlap pairs reported") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // J(1,2) = 3/5
+      (3L, "zeta eta theta iota"))      // J(1,3) = 0
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ops.Dedup.verifyPairsJaccard(docs, "text", "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 0.6)
+    assert(out((1L, 3L)) == 0.0, "verifier must report handed-in pairs even at zero overlap")
+    assert(out.size == 2, "no pair outside the proposal set may appear")
+  }
+
+  test("winnowing: shared substring >= w+k-1 chars shares a fingerprint; disjoint text does not") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"completely different opening $shared another ending"),
+      (3L, "unrelated content with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val fp = graft.ops.Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val by = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(1L) intersect by(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint (winnowing guarantee)")
+    assert((by(1L) intersect by(3L)).isEmpty && (by(2L) intersect by(3L)).isEmpty,
+      "disjoint text sharing no 8-gram must not collide")
+  }
+
   test("prefix-df cap: capped jaccard ⊆ exact, group pairs survive, composition clusters correctly") {
     val one = corpus.withColumn("lang", lit("en"))
     val exact = Dedup.jaccardPairs(one, "text", "doc_id", "lang", 0.6)
