@@ -677,7 +677,7 @@ object CatalogOps {
       .select(col("doc_id"), col("n_chars")),
     Some(s"""SELECT doc_id, n_chars FROM documents
       WHERE ${h60Sql("doc_id::VARCHAR", 5)} % 1000000 <
-        (greatest(0.0, least(1.0, n_chars / 400.0)) * 1000000)::BIGINT"""))
+        floor(greatest(0.0, least(1.0, n_chars / 400.0)) * 1000000)::BIGINT"""))
 
   /** PII scrubbing + audit counts; same RE2-compatible patterns in DuckDB
     * so the redacted text hash-matches byte-for-byte.

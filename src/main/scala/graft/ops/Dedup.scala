@@ -273,8 +273,12 @@ object Dedup {
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     val base = dedupCorpus(df, textCol, idCol,
       numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget)
+    // null priorities rank LOWEST (not excluded): max_by skips rows whose
+    // ordering value is null, so an all-null cluster would otherwise lose
+    // its representative and break the one-kept-per-cluster invariant
     val pri = df.select(col(idCol).as("id"),
-      col(priorityCol).cast("double").as("__pr"))
+      coalesce(col(priorityCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__pr"))
     val members = base.select(col("id"), col("cluster")).join(pri, "id")
     val reps = members.groupBy(col("cluster"))
       .agg(max_by(col("id"),

@@ -28,8 +28,10 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, idCol: String, prob: Column,
       seed: Int = 1): DataFrame =
+    // explicit floor: Spark's double→long cast truncates while SQL engines'
+    // ::BIGINT rounds — floor on both sides keeps the row set portable
     df.where(bucket(col(idCol), seed) <
-      (greatest(lit(0.0), least(lit(1.0), prob)) * M).cast("long"))
+      floor(greatest(lit(0.0), least(lit(1.0), prob)) * M).cast("long"))
 
   /** Per-stratum rates (e.g. upsample low-resource languages, downsample
     * boilerplate-heavy sources): `fractions` maps stratum value → keep

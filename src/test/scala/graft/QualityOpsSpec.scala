@@ -269,6 +269,13 @@ class QualityOpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L).foreach { id => assert(out(id)._1 == 1L) } // label = min id
     assert(!out(1L)._2 && out(2L)._2 && !out(3L)._2, s"got $out")
     assert(out(4L) == (4L, true))
+
+    // all-null priorities: the cluster must still keep exactly one
+    // representative (nulls rank lowest, not excluded) — min id wins
+    val nulls = docs.withColumn("score", lit(null).cast("double"))
+    val out2 = graft.ops.Dedup.dedupCorpusBy(nulls, "text", "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out2 == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true), s"got $out2")
   }
 
   test("urlSignals: host/domain/tld/path-depth/query extraction edge cases") {
