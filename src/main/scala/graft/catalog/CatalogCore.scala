@@ -471,6 +471,59 @@ object CatalogCore {
     Some("""SELECT 'nat:' || n_name || ' a ex:Nation ;' || chr(10) || chr(9)
       || 'ex:name "' || n_name || '" .' AS block FROM nation"""))
 
+  /** K4 oracle check for the UTF-16 dump encoding (reference re-encode loop
+    * semantify.py:10054-10058): N-Triples written through writeLogicalTargets
+    * with encoding=UTF-16, read back as raw bytes and decoded with the
+    * UTF-16 charset (BOM-aware) — Spark's text source is UTF-8-only, so the
+    * binaryFile + decode() path IS the test that the bytes really are
+    * UTF-16. The oracle is k1's exact line set.
+    */
+  private val k4e = Q("k4_utf16_roundtrip",
+    (s, dir) => {
+      val out = exportDir(dir, "nation_nt_utf16")
+      Sinks.writeLogicalTargets(nationTypeQuads(s, dir),
+        Seq(Sinks.TargetSpec(lit(true), out, "ntriples", None, "UTF-16")))
+      s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+        .select(explode(split(decode(col("content"), "UTF-16"), "\n")).as("line"))
+        .where(col("line") =!= "")
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
+      '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ' ||
+      '<http://ex/vocab/Nation> .' AS line FROM nation"""))
+
+  /** K4 oracle check for the archive compressions (reference zip/tar loop
+    * semantify.py:10089-10106): the tar.gz logical dump is un-archived from
+    * its actual bytes (commons-compress, the same library that wrote it
+    * inverted) and the recovered lines must be k1's exact set. Exercises
+    * writeLogicalTargets' raw-dir → archive → cleanup path end-to-end.
+    */
+  private val k4f = Q("k4_targz_roundtrip",
+    (s, dir) => {
+      val out = exportDir(dir, "nation_nt_targz")
+      Sinks.writeLogicalTargets(nationTypeQuads(s, dir),
+        Seq(Sinks.TargetSpec(lit(true), out, "ntriples", Some("tar.gz"))))
+      // one bounded archive file → lines; the untar is opaque binary work
+      // (UDF justified), entries concatenate in name order
+      val untar = udf((bytes: Array[Byte]) => {
+        val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+          new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)))
+        val sb = new StringBuilder
+        var e = tin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) sb.append(new String(tin.readAllBytes(), "UTF-8"))
+          e = tin.getNextEntry
+        }
+        tin.close()
+        sb.toString
+      })
+      s.read.format("binaryFile").load(out)
+        .select(explode(split(untar(col("content")), "\n")).as("line"))
+        .where(col("line") =!= "")
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
+      '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ' ||
+      '<http://ex/vocab/Nation> .' AS line FROM nation"""))
+
   private val k1 = Q("k1_ntriples_sink",
     (s, dir) => Sinks.ntLines(nationTypeQuads(s, dir)),
     Some("""SELECT '<http://ex/nation/' || n_name || '> ' ||
@@ -1302,7 +1355,7 @@ object CatalogCore {
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
     s1, s2, s3, s6, s7, s7b, s8, s9, v2,
-    k1, k2, k3, k4a, k4b, k4c, k4d,
+    k1, k2, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, u1,

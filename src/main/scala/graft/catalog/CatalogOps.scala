@@ -174,7 +174,7 @@ object CatalogOps {
         FROM pdf GROUP BY 1),
       capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
           SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
-        WHERE cw <= 512 * (SELECT count(*) FROM documents)),
+        WHERE cw <= 512 * (SELECT count(*) FROM docs)),
       cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
         FROM prefu x JOIN prefu y ON x.blk = y.blk AND x.tok = y.tok AND x.id < y.id
         WHERE x.df <= (SELECT cap FROM capv))
@@ -391,6 +391,51 @@ object CatalogOps {
         FROM probed)
       SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 3"""),
     bench = true)
+
+  /** Recall@3 of the budgeted IVF against brute force, same queries — the
+    * ANN family priced the way the dedup family prices its caps
+    * ([[Dedup.pairRecall]]): the oracle replays BOTH chains (exact ranking
+    * + the hash-mod centroid index) and the same set-membership fold.
+    */
+  private val simRecall = Q("sim_recall_at_k",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val exact = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") % 75 === 0), "v", "vec_id", 3)
+      val approx = Similarity.ivfTopKBudget(emb, "v", "vec_id",
+        numCentroids = 32, col("id") % 75 === 0, k = 3)
+      Similarity.recallAtK(exact, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 75 = 0),
+      xscored AS (SELECT query_id, c.vec_id AS corpus_id, $cosSql AS cos
+        FROM q JOIN (SELECT vec_id, v AS cv FROM e) c ON query_id <> c.vec_id),
+      exact AS (SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM xscored) WHERE rank <= 3),
+      cdiv AS (SELECT greatest(1, count(*) // 32) AS d FROM e),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WHERE ${h60Sql("vec_id::VARCHAR", Similarity.CentroidSeed)} % (SELECT d FROM cdiv) = 0),
+      ascored AS (SELECT e.vec_id AS id, e.v AS qv, centroid_id,
+          list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT id, qv AS v, centroid_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, centroid_id) AS r FROM ascored)
+        WHERE r = 1),
+      queries AS (SELECT id AS query_id, v AS qv, cluster_id FROM assigned WHERE id % 75 = 0),
+      probed AS (SELECT query_id, c.id AS corpus_id, $cosSql AS cos
+        FROM queries qq JOIN (SELECT id, v AS cv, cluster_id FROM assigned) c
+        ON qq.cluster_id = c.cluster_id AND c.id <> qq.query_id),
+      approx AS (SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM probed) WHERE rank <= 3)
+      SELECT count(*) AS n_reference, count(a.query_id) AS n_caught,
+        round(count(a.query_id)::DOUBLE / count(*), 6) AS recall
+      FROM exact x LEFT JOIN approx a
+        ON x.query_id = a.query_id AND x.corpus_id = a.corpus_id"""))
 
   /** IVF-PQ ADC: coarse quantizer (stride 100) + PQ codebook (stride 50,
     * 4 × 16-dim subspaces) + distance-table scoring. The oracle replays the
@@ -750,6 +795,29 @@ object CatalogOps {
     Some("""SELECT doc_id, source, 'https://' || source || '.com/x' AS url
       FROM documents WHERE lower(source) || '.com' NOT IN ('src0.com', 'src3.com')"""))
 
+  /** Public-suffix-aware registered domain + fragment-aware query
+    * detection: half the synthetic hosts sit under the `co.uk` ccSLD
+    * (where the two-label approximation would report `co.uk` itself), and
+    * the path cycles through a real query, a '?' hidden INSIDE a fragment
+    * (no query), and no query at all.
+    */
+  private val txtUrlPsl = Q("txt_url_psl",
+    (s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example."),
+        when(col("doc_id") % 2 === 0, lit("co.uk")).otherwise(lit("com")),
+        when(col("doc_id") % 3 === 0, lit("/p#sec?a"))
+          .when(col("doc_id") % 3 === 1, lit("/p?q=1"))
+          .otherwise(lit("/p")))
+      TextAnalysis.urlSignals(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url",
+          Seq("co.uk", "com", "uk"))
+        .select(col("doc_id"), col("url_domain"), col("url_has_query"))
+    },
+    Some("""SELECT doc_id,
+      'example.' || CASE WHEN doc_id % 2 = 0 THEN 'co.uk' ELSE 'com' END AS url_domain,
+      doc_id % 3 = 1 AS url_has_query
+      FROM documents"""))
+
   private val txtFingerprint = Q("txt_fingerprint",
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
@@ -780,6 +848,33 @@ object CatalogOps {
       SELECT doc_id, unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 100)) AS byte_offset
       FROM documents)"""))
 
+  /** REAL codec round-trip: per-doc solid-color PNGs (dims and RGB from
+    * doc_id) encoded by the JDK PNG writer, decoded by
+    * [[Multimodal.decodeImages]] — the oracle predicts decoded width/
+    * height/channels and the exact mean pixel value (PNG is lossless, so
+    * the solid color survives byte-for-byte). Exercises a genuine
+    * javax.imageio encode→decode path, not a checksum-derived fake.
+    */
+  private val mmDecode = Q("mm_decode_image",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticPng(
+          (lit(8) + col("doc_id") % 5).cast("int"),
+          (lit(8) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 256).cast("int"),
+          (col("doc_id") * 2 % 256).cast("int"),
+          (col("doc_id") * 3 % 256).cast("int")).as("payload"))
+      Multimodal.decodeImages(imgs, "payload")
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          col("img_channels"), round(col("img_mean"), 6).as("img_mean"),
+          col("decode_error"))
+    },
+    Some("""SELECT doc_id, (8 + doc_id % 5)::INT AS img_width,
+      (8 + doc_id % 3)::INT AS img_height, 3::INT AS img_channels,
+      round(((doc_id % 256) + (doc_id * 2 % 256) + (doc_id * 3 % 256)) / 3.0, 6) AS img_mean,
+      NULL::VARCHAR AS decode_error
+      FROM documents"""))
+
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
@@ -796,10 +891,11 @@ object CatalogOps {
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
-    simTopK, simIvf, simIvfPq, kgPageRank, kgDegrees, kgDiff,
+    simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
+    txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames,
+    mmMeta, mmFrames, mmDecode,
     stWindow)
 }

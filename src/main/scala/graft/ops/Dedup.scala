@@ -186,7 +186,13 @@ object Dedup {
     */
   private[graft] def dyadicSizeCap(sizes: DataFrame, sizeCol: String,
       budget: Long): Long =
-    dyadicCap(sizes, col(sizeCol), col(sizeCol) * col(sizeCol), budget)
+    // factor clamped at floor(sqrt(Long.MaxValue)) BEFORE squaring: long
+    // multiplication wraps silently (and not always negative — 2^32 squared
+    // wraps to 0), and a bucket of ~3e9 docs is over any realistic budget
+    // regardless, so the clamp never changes the cap decision
+    dyadicCap(sizes, col(sizeCol),
+      least(col(sizeCol), lit(3037000499L)) * least(col(sizeCol), lit(3037000499L)),
+      budget)
 
   /** Generalized form: dyadic classes over `classBy`, admitted volume
     * measured by `weight` (e.g. prefix-df² classed by global df for the
@@ -195,17 +201,32 @@ object Dedup {
   private[graft] def dyadicCap(frame: DataFrame, classBy: Column,
       weight: Column, budget: Long): Long = {
     // smallest power of two ≥ classBy, as a when-chain (first match wins) —
-    // the same dyadic class the oracle computes as `min(p) WHERE p >= b`
-    val minPow = (1 to 30).foldLeft(when(classBy <= 1L, 1L)) { (acc, k) =>
+    // the same dyadic class the oracle computes as `min(p) WHERE p >= b`.
+    // The otherwise-arm catches classes above 2^62 (a degenerate bucket —
+    // e.g. every empty-text doc sharing md5("") band sigs — at
+    // billions-of-docs scale); without it those rows class as NULL and the
+    // getLong below would NPE.
+    val minPow = (1 to 62).foldLeft(when(classBy <= 1L, 1L)) { (acc, k) =>
       acc.when(classBy <= (1L << k), 1L << k)
-    }
-    val hist = frame.select(minPow.as("cap"), weight.as("w"))
+    }.otherwise(Long.MaxValue)
+    // per-row weight clamp at budget+1: any single row already over budget
+    // decides the cap by itself, so clamping never changes the <= budget
+    // comparison below but keeps b*b-style weights from overflowing long
+    // (b ≳ 3e9 squares past Long.MaxValue). Driver-side cum runs in BigInt
+    // (≤ 63 classes) so even a clamped sum cannot wrap.
+    val overBudget = if (budget == Long.MaxValue) Long.MaxValue else budget + 1L
+    val hist = frame.select(minPow.as("cap"),
+        least(weight, lit(overBudget)).as("w"))
       .groupBy(col("cap")).agg(sum(col("w")).as("w"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var cum = 0L
+      .collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
+    var cum = BigInt(0)
     var best = 0L
     hist.foreach { case (cap, w) =>
-      cum += w
+      // a negative per-class sum means the clamped sum still wrapped
+      // (astronomical row counts) — saturate, the class is over budget
+      cum += (if (w < 0) BigInt(Long.MaxValue) else BigInt(w))
       if (cum <= budget) best = cap
     }
     math.max(best, 16L)
@@ -280,9 +301,15 @@ object Dedup {
       coalesce(col(priorityCol).cast("double"),
         lit(Double.NegativeInfinity)).as("__pr"))
     val members = base.select(col("id"), col("cluster")).join(pri, "id")
+    // min_by over (-priority, id) keeps the id in its NATIVE type: a
+    // (-id).cast("double") tie-break would collapse distinct longs above
+    // 2^53 (snowflake-style 63-bit ids) and null out non-numeric ids.
+    // Struct ordering is exact per field, so highest __pr wins and ties
+    // break by smallest id — byte-for-byte the oracle's ORDER BY pr DESC,
+    // id ASC.
     val reps = members.groupBy(col("cluster"))
-      .agg(max_by(col("id"),
-        struct(col("__pr"), (-col("id")).cast("double"))).as("__rep"))
+      .agg(min_by(col("id"),
+        struct((-col("__pr")).as("np"), col("id").as("i"))).as("__rep"))
     members.join(reps, "cluster")
       .select(col("id"), col("cluster"), (col("id") === col("__rep")).as("is_kept"))
   }
@@ -306,23 +333,38 @@ object Dedup {
     * small and the cap touches only boilerplate.
     */
   def jaccardPairsCapped(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, threshold: Double, pairBudget: Long = 512): DataFrame = {
-    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      explode(array_distinct(tokenize(col(textCol)))).as("tok"))
-    val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
-    // one sketch pass: per-doc rarest-first prefix → per-token prefix df,
-    // classed by global df (the dimension the cap filters on)
-    val prefixed = toks.join(dfreq, Seq("blk", "tok"))
-      .groupBy(col("blk"), col("id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
-      .select(col("blk"), explode(slice(col("sorted"), lit(1),
-        (size(col("sorted")) - ceil(size(col("sorted")) * threshold) + 1).cast("int"))).as("s"))
+      blockCol: String, threshold: Double, pairBudget: Long = 512,
+      knownDocCount: Option[Long] = None): DataFrame = {
+    val toks = tokenFrame(df, textCol, idCol, blockCol)
+    // dfreq persisted: consumed by the sorted-doc join AND (post-cap) the
+    // heavy-token anti-join build side — unpersisted it would re-run the
+    // full tokenize + groupBy lineage for the anti-join
+    val dfreq = blockDocFreq(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE materialization of the input lineage, shared by the doc count,
+    // the prefix sketch, and the join core (r6 ran tokenize+dfreq+sort
+    // three times plus a separate df.count() pass)
+    val sortedRaw = sortedDocFrame(toks, dfreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // budget is pairs per TOKEN-BEARING document (empty docs generate no
+    // candidates), counted off the frame the count job itself materializes
+    // into cache — no separate pass over the input; callers that already
+    // know N skip even that job via knownDocCount
+    val n = knownDocCount.getOrElse(sortedRaw.count())
+    val prefixed = sortedRaw.select(col("blk"), explode(slice(col("sorted"), lit(1),
+      (size(col("sorted")) - ceil(size(col("sorted")) * threshold) + 1).cast("int"))).as("s"))
     val pdf = prefixed.select(col("blk"), col("s.df").as("df"), col("s.tok").as("tok"))
       .groupBy(col("blk"), col("tok"))
       .agg(any_value(col("df")).as("df"), count(lit(1)).as("pdf"))
-    val cap = dyadicCap(pdf, col("df"), col("pdf") * col("pdf"),
-      pairBudget * df.count())
-    jaccardPairs(df, textCol, idCol, blockCol, threshold, Some(cap))
+    // prefix-df clamped before squaring (see dyadicSizeCap) — wrap-safe,
+    // decision-identical to the oracle's unbounded HUGEINT sum for any cap
+    // at or under budget
+    val pclamp = least(col("pdf"), lit(3037000499L))
+    val cap = dyadicCap(pdf, col("df"), pclamp * pclamp, pairBudget * n)
+    // core output is localCheckpoint'ed, so caches release immediately
+    val out = jaccardFromSorted(sortedRaw, dfreq, threshold, Some(cap))
+    dfreq.unpersist(); sortedRaw.unpersist()
+    out
   }
 
   /** Incremental MinHash dedup: candidate pairs where at least one side is
@@ -461,10 +503,39 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double, maxPrefixDf: Option[Long]): DataFrame = {
-    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val toks = tokenFrame(df, textCol, idCol, blockCol)
+    val dfreq = blockDocFreq(toks)
+    jaccardFromSorted(sortedDocFrame(toks, dfreq), dfreq, threshold, maxPrefixDf)
+  }
+
+  /** Distinct (block, id, tok) rows — the shared first pass of the Jaccard
+    * family. */
+  private def tokenFrame(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame =
+    df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(array_distinct(tokenize(col(textCol)))).as("tok"))
-    val dfreq = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
-    // per-doc token array sorted rarest-first (ties by token) + prefix
+
+  private def blockDocFreq(toks: DataFrame): DataFrame =
+    toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
+
+  /** Per-doc token array sorted rarest-first (ascending df, ties by token),
+    * still carrying each token's df — the frame both the prefix sketch
+    * ([[jaccardPairsCapped]]) and the join core ([[jaccardFromSorted]])
+    * derive from, so capped runs pay the tokenize + dfreq-join + sort-agg
+    * lineage exactly once.
+    */
+  private def sortedDocFrame(toks: DataFrame, dfreq: DataFrame): DataFrame =
+    toks.join(dfreq, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+
+  /** PPJoin candidate generation + verification over a prebuilt
+    * [[sortedDocFrame]]. `sortedRaw` may be persisted by the caller (the
+    * capped path shares it with the cap sketch); `dfreq` is only consumed
+    * when `maxPrefixDf` is set (the heavy-token anti-join build side).
+    */
+  private def jaccardFromSorted(sortedRaw: DataFrame, dfreq: DataFrame,
+      threshold: Double, maxPrefixDf: Option[Long]): DataFrame = {
     // persisted: three consumers (prefix generation + both sides of the
     // verification join) would otherwise re-run the dfreq join + sort-agg
     // 3× — Spark's exchange reuse does not cover all three
@@ -475,9 +546,7 @@ object Dedup {
     // A same-block xxhash64 collision (≈|block vocab|²/2⁶⁵) could at worst
     // inflate one pair's overlap by 1 — far below any realistic threshold
     // granularity.
-    val docs = toks.join(dfreq, Seq("blk", "tok"))
-      .groupBy(col("blk"), col("id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+    val docs = sortedRaw
       .select(col("blk"), col("id"),
         transform(col("sorted"), s => xxhash64(s.getField("tok"))).as("toks"),
         size(col("sorted")).as("sz"))

@@ -115,9 +115,20 @@ object Similarity {
     * it quadratic, measured 101× time for 100× data in SCALE.md §12).
     */
   def centroidSample(df: DataFrame, vecCol: String, idCol: String,
-      numCentroids: Int): DataFrame = {
+      numCentroids: Int): DataFrame =
+    centroidSample(df, vecCol, idCol, numCentroids, knownCount = None)
+
+  /** `knownCount`: corpus size if the caller already knows it (pipeline
+    * metadata, a frame it materialized anyway) — skips the one counting job
+    * this call otherwise fires over `df`'s lineage. At 100 TB that job is a
+    * full extra input pass when `df` is a derived frame (on a bare parquet
+    * scan it collapses to a metadata count, but index builds rarely hang
+    * off a bare scan).
+    */
+  def centroidSample(df: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int, knownCount: Option[Long]): DataFrame = {
     require(numCentroids > 0, "numCentroids must be positive")
-    val n = df.count()
+    val n = knownCount.getOrElse(df.count())
     val divisor = math.max(1L, n / numCentroids)
     df.where(pmod(Dedup.h60(col(idCol).cast("string"), CentroidSeed), lit(divisor)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
@@ -491,7 +502,30 @@ object Similarity {
     * quadratically (SCALE.md §12's `sim_ivf_topk` finding).
     */
   def ivfTopKBudget(df: DataFrame, vecCol: String, idCol: String,
-      numCentroids: Int, queryPred: Column, k: Int): DataFrame =
-    ivfTopK(df, vecCol, idCol, centroidSample(df, vecCol, idCol, numCentroids),
+      numCentroids: Int, queryPred: Column, k: Int,
+      knownCount: Option[Long] = None): DataFrame =
+    ivfTopK(df, vecCol, idCol,
+      centroidSample(df, vecCol, idCol, numCentroids, knownCount),
       queryPred, k)
+
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * ANN counterpart of [[Dedup.pairRecall]], and the same "measure, don't
+    * guess" discipline: every IVF/PQ approximation should be priced with
+    * this before its parameters (centroid budget, nprobe) are trusted at
+    * corpus scale. Both inputs carry (query_id, corpus_id) rows (the shape
+    * every top-k operator here returns); ranks are irrelevant — recall@k
+    * asks set membership, not order. Returns one row
+    * (n_reference, n_caught, recall) regardless of corpus size: one left
+    * join + one global aggregate.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val caught = approx.select(col("query_id"), col("corpus_id")).distinct()
+      .withColumn("__c", lit(1L))
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(caught, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_reference"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_caught"),
+        round(coalesce(sum(col("__c")), lit(0L)).cast("double") /
+          count(lit(1)), 6).as("recall"))
+  }
 }

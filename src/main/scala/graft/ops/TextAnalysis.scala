@@ -349,7 +349,47 @@ object TextAnalysis {
       .withColumn("url_path_depth",
         when(path === "", 0)
           .otherwise(size(filter(split(path, "/"), s => s =!= ""))))
-      .withColumn("url_has_query", col(urlCol).contains("?"))
+      // a '?' is a query delimiter only BEFORE any '#': anchoring the match
+      // to the pre-fragment span keeps https://x.com/p#sec?a (a '?' inside
+      // the fragment) from falsely reporting a query string
+      .withColumn("url_has_query",
+        regexp_extract(col(urlCol), "^[^#]*\\?", 0) =!= "")
+  }
+
+  /** [[urlSignals]] with a public-suffix table: `url_domain` becomes one
+    * label plus the LONGEST matching public suffix, so `example.co.uk`
+    * yields `example.co.uk` rather than the two-label approximation's
+    * `co.uk` — the difference that matters when the domain feeds a
+    * blocklist (a `co.uk` entry must not blanket the whole ccSLD).
+    * Hosts matching no listed suffix keep the two-label approximation;
+    * a host that IS a bare public suffix reports itself.
+    *
+    * The suffix set rides the row as a literal array — the match is a
+    * per-row O(|suffixes|) codegen filter + longest-fold, zero shuffle,
+    * no broadcast state. That is the right trade for the curated subsets
+    * blocklists actually use (tens to hundreds of ccSLDs); for the full
+    * ~9k-entry PSL the linear scan still costs only microseconds per row
+    * against I/O-bound 100 TB scans.
+    */
+  def urlSignals(df: DataFrame, urlCol: String,
+      publicSuffixes: Seq[String]): DataFrame = {
+    require(publicSuffixes.nonEmpty, "publicSuffixes must not be empty")
+    val host = col("url_host")
+    val sfx = array(publicSuffixes.map(s =>
+      lit(s.toLowerCase.stripPrefix("."))).distinct: _*)
+    val matching = filter(sfx, s =>
+      host === s || host.endsWith(concat(lit("."), s)))
+    // longest suffix wins (co.uk over uk) — deterministic fold, no ordering
+    // assumption on the input list; ties cannot occur (equal-length matches
+    // ending the same host are the same string)
+    val best = aggregate(matching, lit(""),
+      (acc, s) => when(length(s) > length(acc), s).otherwise(acc))
+    val regLabel = element_at(
+      split(host.substr(lit(1), length(host) - length(best) - 1), "\\."), -1)
+    urlSignals(df, urlCol).withColumn("url_domain",
+      when(best === "", col("url_domain"))
+        .when(host === best, host)
+        .otherwise(concat(regLabel, lit("."), best)))
   }
 
   /** Domain blocklist gate: drop documents whose registered domain (per
@@ -358,11 +398,22 @@ object TextAnalysis {
     * riding the scan. Case-insensitive on the domain.
     */
   def filterBlockedDomains(df: DataFrame, urlCol: String,
-      blocked: Seq[String]): DataFrame = {
+      blocked: Seq[String]): DataFrame =
+    filterBlockedDomains(df, urlCol, blocked, publicSuffixes = Nil)
+
+  /** `publicSuffixes` non-empty switches the registered-domain extraction
+    * to the suffix-aware [[urlSignals]] overload — required for correct
+    * blocking under ccSLDs (with the approximation, blocking
+    * `spam.co.uk` would block every `.co.uk` host or none at all).
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String], publicSuffixes: Seq[String]): DataFrame = {
     val block = df.sparkSession.createDataFrame(
       blocked.map(d => Tuple1(d.toLowerCase)))
       .toDF("url_domain")
-    val sig = urlSignals(df, urlCol)
+    val sig =
+      if (publicSuffixes.isEmpty) urlSignals(df, urlCol)
+      else urlSignals(df, urlCol, publicSuffixes)
     sig.join(broadcast(block), Seq("url_domain"), "left_anti")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -137,4 +137,53 @@ class DedupCapSpec extends AnyFunSuite {
     for (g <- 0 until 10; m <- 0 until 6)
       assert(clusters(g * 6L + m) == g * 6L, s"group $g split after resolution")
   }
+
+  test("dyadicCap: classes above 2^30 and square-overflow weights stay safe") {
+    // a degenerate bucket of 2^35 members (every empty-text doc sharing
+    // md5("") band sigs at billions-of-docs scale): the class is beyond the
+    // old 2^30 when-chain (→ null cap NPE) and its b² weight wraps long
+    val sizes = Seq(1L << 35, 5L, 3L).toDF("b")
+    val cap = Dedup.dyadicSizeCap(sizes, "b", budget = 100L)
+    // small classes fit (4 then 8, cum 9+34), the monster is over budget
+    assert(cap == 16L, s"got $cap")
+    // and a budget big enough for everything admits the clamped monster
+    assert(Dedup.dyadicSizeCap(sizes, "b", budget = Long.MaxValue) >= (1L << 35))
+  }
+
+  test("jaccardPairsCapped: no extra passes over the input lineage") {
+    val acc = spark.sparkContext.longAccumulator("scans")
+    val tick = udf((s: String) => { acc.add(1L); s }).asNondeterministic()
+    val one = corpus.withColumn("text", tick($"text")).withColumn("lang", lit("en"))
+    // the call runs end-to-end internally (localCheckpoint) — r6 ran the
+    // tokenize lineage ~5× (sketch ×2 branches, df.count(), core ×2);
+    // the shared persisted frames bound it to the ONE materialization job
+    // (whose DAG reads the scan at most twice: dfreq branch + join probe)
+    val out = Dedup.jaccardPairsCapped(one, "text", "doc_id", "lang", 0.6)
+    out.count()
+    assert(acc.value <= 2 * nDocs, s"input scanned ${acc.value}x for $nDocs docs")
+    // knownDocCount skips even the counting job's pass accounting
+    val acc2 = spark.sparkContext.longAccumulator("scans2")
+    val tick2 = udf((s: String) => { acc2.add(1L); s }).asNondeterministic()
+    val two = corpus.withColumn("text", tick2($"text")).withColumn("lang", lit("en"))
+    Dedup.jaccardPairsCapped(two, "text", "doc_id", "lang", 0.6,
+      knownDocCount = Some(nDocs)).count()
+    assert(acc2.value <= 2 * nDocs, s"input scanned ${acc2.value}x with knownDocCount")
+  }
+
+  test("centroidSample with knownCount builds the frame without firing a job") {
+    val emb = (0 until 100).map(i => (i.toLong, Seq(i.toDouble, 1.0))).toDF("vec_id", "v")
+    val sc = spark.sparkContext
+    sc.setJobGroup("centroid-nojob", "centroidSample knownCount", false)
+    try {
+      val cents = graft.ops.Similarity.centroidSample(emb, "v", "vec_id", 8,
+        knownCount = Some(100L))
+      assert(cents.columns.toSeq == Seq("centroid_id", "centroid_vec"))
+      assert(sc.statusTracker.getJobIdsForGroup("centroid-nojob").isEmpty,
+        "building the centroid frame must not run a counting job")
+      // divisor honors the known count: same rows as the counting path
+      val viaCount = graft.ops.Similarity.centroidSample(emb, "v", "vec_id", 8)
+      assert(cents.select("centroid_id").collect().map(_.getLong(0)).toSet ==
+        viaCount.select("centroid_id").collect().map(_.getLong(0)).toSet)
+    } finally sc.clearJobGroup()
+  }
 }

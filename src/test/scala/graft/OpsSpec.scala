@@ -320,4 +320,30 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getDouble(0) > 0.0 && row.getLong(1) >= 64 && row.getLong(2) >= 64)
     assert(extracted.where($"doc_id" === 0).select(size($"features")).head().getInt(0) == 8)
   }
+
+  test("decodeImages: real PNG codec round-trip, graceful failure on bad bytes") {
+    // valid solid-color PNG through the real JDK encoder, plus a garbage
+    // payload and a null payload — one decode call handles all three
+    val imgs = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticPng(lit(12), lit(7),
+          lit(200), lit(100), lit(30)))
+        .when($"id" === 2, lit("not an image at all".getBytes))
+        .otherwise(lit(null).cast("binary")))
+    val out = Multimodal.decodeImages(imgs, "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val ok = out(1L)
+    assert(ok.getAs[Int]("img_width") == 12 && ok.getAs[Int]("img_height") == 7)
+    assert(ok.getAs[Int]("img_channels") == 3)
+    // PNG is lossless: solid (200,100,30) decodes to exactly those means
+    assert(ok.getSeq[Double](ok.fieldIndex("img_mean_rgb")) == Seq(200.0, 100.0, 30.0))
+    assert(math.abs(ok.getAs[Double]("img_mean") - 110.0) < 1e-9)
+    assert(ok.isNullAt(ok.fieldIndex("decode_error")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("img_width")))
+    assert(out(2L).getAs[String]("decode_error") == "unsupported format")
+    assert(out(3L).getAs[String]("decode_error") == "null payload")
+    // a poisoned row never kills the job: stats survive alongside failures
+    assert(Multimodal.decodeImages(imgs, "payload")
+      .where($"decode_error".isNull).count() == 1)
+  }
 }

@@ -309,6 +309,57 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("urlSignals public-suffix overload: ccSLD, bare suffix, fallback, fragment '?'") {
+    val rows = Seq(
+      (1L, "https://www.example.co.uk/p#sec?a"), // ccSLD + '?' only in fragment
+      (2L, "https://sub.example.com/p?q=1"),
+      (3L, "https://co.uk/"),                    // host IS a public suffix
+      (4L, "https://foo.internal/x"))            // no suffix match → approximation
+      .toDF("id", "url")
+    val out = graft.ops.TextAnalysis.urlSignals(rows, "url", Seq("uk", "co.uk", "com"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // longest suffix wins: co.uk beats uk
+    assert(out(1L).getAs[String]("url_domain") == "example.co.uk")
+    assert(out(2L).getAs[String]("url_domain") == "example.com")
+    assert(out(3L).getAs[String]("url_domain") == "co.uk")
+    assert(out(4L).getAs[String]("url_domain") == "foo.internal")
+    // '?' inside the fragment is NOT a query string
+    assert(!out(1L).getAs[Boolean]("url_has_query"))
+    assert(out(2L).getAs[Boolean]("url_has_query"))
+  }
+
+  test("filterBlockedDomains with public suffixes blocks the registered domain, not the ccSLD") {
+    val rows = Seq(
+      (1L, "https://www.spam.co.uk/x"),
+      (2L, "https://www.fine.co.uk/y"),
+      (3L, "https://spam.com/z"))
+      .toDF("id", "url")
+    val kept = graft.ops.TextAnalysis.filterBlockedDomains(rows, "url",
+      Seq("spam.co.uk"), publicSuffixes = Seq("co.uk", "com", "uk"))
+    // with the two-label approximation both .co.uk rows would report
+    // domain co.uk and neither (or both) could be blocked correctly
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("dedupCorpusBy: tie-break stays exact for ids above 2^53") {
+    // two identical docs whose huge adjacent ids collapse to the SAME
+    // double (Long.MaxValue-1 and -2 both round to 2^63) — a double-cast
+    // tie-break cannot tell them apart; the contract (equal priority →
+    // smallest id kept) must still hold
+    val a = Long.MaxValue - 1
+    val b = Long.MaxValue - 2
+    assert(a.toDouble == b.toDouble) // the collapse this test pins
+    val docs = Seq(
+      (a, "shared duplicate body text words here", 10),
+      (b, "shared duplicate body text words here", 10),
+      (7L, "completely different vocabulary elsewhere", 1))
+      .toDF("doc_id", "text", "pr")
+    val out = graft.ops.Dedup.dedupCorpusBy(docs, "text", "doc_id", "pr")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(b) && !out(a), s"smallest id must win the tie: $out")
+    assert(out(7L))
+  }
+
   test("fuzzyContamination: exact and near copies of probes flag, unrelated do not") {
     val bench = (1 to 30).map(i => s"benchmark question number $i?").mkString(" ")
     val corpus = Seq(
