@@ -33,7 +33,15 @@ object Bench {
     val initP = graft.util.ShuffleScaling.tuneFor(spark, sfDir)
     System.err.println(s"[bench] initialPartitionNum=$initP for $sfDir")
 
-    val headline = Catalog.all.filter(_.bench)
+    // driver contract: default headline set = bench-flagged catalog entries.
+    // SPARK_GRAFT_BENCH_QUERIES (comma-separated names) selects an explicit
+    // set instead — used by the SCALE.md decade campaigns to time query
+    // families (pipe_*, dd_cluster_priority, …) that aren't headline rows.
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) =>
+        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(Catalog.byName)
+      case None => Catalog.all.filter(_.bench)
+    }
     // warm-up: run every headline query once at the smallest SF so the
     // measured numbers reflect steady-state throughput (codegen compiled,
     // JIT warm — what a long-running cluster actually sees) instead of

@@ -875,6 +875,35 @@ object CatalogOps {
       NULL::VARCHAR AS decode_error
       FROM documents"""))
 
+  /** REAL audio codec round-trip: per-doc ±amp square-wave WAVs (rate,
+    * length and amplitude from doc_id) encoded by the JDK WAV writer,
+    * decoded by [[Multimodal.decodeAudio]] — the oracle predicts the
+    * declared format, the frame count/duration, and the exact amplitude
+    * stats (constant |±amp| ⇒ mean |x| = RMS = amp/32768, lossless PCM).
+    */
+  private val mmAudio = Q("mm_decode_audio",
+    (s, dir) => {
+      val wavs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticWav(
+          lit(8000),
+          (lit(64) + col("doc_id") % 32).cast("int"),
+          (col("doc_id") * 7 % 16384).cast("int")).as("payload"))
+      Multimodal.decodeAudio(wavs, "payload")
+        .select(col("doc_id"), col("audio_sample_rate"), col("audio_channels"),
+          col("audio_bits"), col("audio_frames"),
+          round(col("audio_duration_s"), 6).as("audio_duration_s"),
+          round(col("audio_mean_abs"), 6).as("audio_mean_abs"),
+          round(col("audio_rms"), 6).as("audio_rms"),
+          col("decode_error"))
+    },
+    Some("""SELECT doc_id, 8000::INT AS audio_sample_rate, 1::INT AS audio_channels,
+      16::INT AS audio_bits, (64 + doc_id % 32)::BIGINT AS audio_frames,
+      round((64 + doc_id % 32) / 8000.0, 6) AS audio_duration_s,
+      round((doc_id * 7 % 16384) / 32768.0, 6) AS audio_mean_abs,
+      round((doc_id * 7 % 16384) / 32768.0, 6) AS audio_rms,
+      NULL::VARCHAR AS decode_error
+      FROM documents"""))
+
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
@@ -896,6 +925,6 @@ object CatalogOps {
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode,
+    mmMeta, mmFrames, mmDecode, mmAudio,
     stWindow)
 }

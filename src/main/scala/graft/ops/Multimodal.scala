@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct. The Spark-side machinery
   * (schema, batching, partitioning, frame explosion) is real and tested, and
-  * the IMAGE codec is real too: [[decodeImages]] decodes PNG/JPEG/BMP/GIF
-  * through the JDK's `javax.imageio` (ships with every JVM — no external
-  * dependency) inside `mapPartitions`, the one place per-row imperative work
-  * is the right Spark shape (decode is opaque binary work no Column
-  * expression can express). Audio/video codecs are not in the JDK, so
-  * [[decodeStub]] remains the clearly-marked stand-in for those modalities
+  * so are the IMAGE and AUDIO codecs: [[decodeImages]] decodes PNG/JPEG/BMP/
+  * GIF through the JDK's `javax.imageio`, and [[decodeAudio]] decodes WAV/
+  * AIFF/AU PCM through the JDK's `javax.sound.sampled` (both ship with every
+  * JVM — no external dependency) inside `mapPartitions`, the one place
+  * per-row imperative work is the right Spark shape (decode is opaque binary
+  * work no Column expression can express). Video codecs are not in the JDK,
+  * so [[decodeStub]] remains the clearly-marked stand-in for that modality
   * only — swap its body for a JNI/FFI decoder without touching the
   * surrounding plan.
   */
@@ -125,11 +126,136 @@ object Multimodal {
       bos.toByteArray
     })
 
-  /** STUB decode for the modalities the JDK has no codec for (audio,
-    * video): deterministic fake feature extraction from the payload bytes —
+  /** Real audio decode via JDK `javax.sound.sampled`: per-row WAV/AIFF/AU
+    * PCM decode in `mapPartitions`, emitting the container's declared format
+    * (sample rate, channels, bit depth), the measured frame count and
+    * duration, and amplitude statistics (mean |x| and RMS over samples
+    * normalized to [-1, 1)). Undecodable or null payloads degrade
+    * gracefully: stat columns null plus a `decode_error` reason — a
+    * poisoned row never kills the 100 TB job.
+    *
+    * Only 8/16-bit integer PCM (signed or unsigned, either endianness) is
+    * decoded — that covers the WAV/AIFF/AU containers the JDK parses;
+    * anything else (float PCM, µ-law) reports `unsupported encoding` rather
+    * than guessing.
+    *
+    * Plan shape at 100 TB: identical to [[decodeImages]] — a narrow
+    * per-partition map, no shuffle, no driver involvement; frames stream
+    * through a fixed 16 KiB buffer so executor memory is O(1) per task
+    * regardless of clip length.
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("audio_sample_rate", IntegerType),
+      StructField("audio_channels", IntegerType),
+      StructField("audio_bits", IntegerType),
+      StructField("audio_frames", LongType),
+      StructField("audio_duration_s", DoubleType),
+      StructField("audio_mean_abs", DoubleType),
+      StructField("audio_rms", DoubleType),
+      StructField("decode_error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq(null, null, null, null, null, null, null)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats: Seq[Any] =
+          if (r.isNullAt(idx)) nulls :+ "null payload"
+          else try {
+            val bytes = r.getAs[Array[Byte]](idx)
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val encoding = fmt.getEncoding
+              val bits = fmt.getSampleSizeInBits
+              val ch = fmt.getChannels
+              val signed =
+                encoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val unsigned =
+                encoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+              if (!(signed || unsigned) || (bits != 8 && bits != 16))
+                Seq(fmt.getSampleRate.toInt, ch, bits, null, null, null, null,
+                  s"unsupported encoding: $encoding/$bits-bit")
+              else {
+                val frameSize = fmt.getFrameSize
+                val bytesPer = bits / 8
+                val big = fmt.isBigEndian
+                val buf = new Array[Byte](math.max(frameSize, 1) * 4096)
+                var sumAbs = 0.0; var sumSq = 0.0; var frames = 0L
+                var read = ais.read(buf)
+                while (read > 0) {
+                  var off = 0
+                  while (off + frameSize <= read) {
+                    var c = 0
+                    while (c < ch) {
+                      val base = off + c * bytesPer
+                      val v =
+                        if (bits == 16) {
+                          val b0 = buf(base) & 0xff; val b1 = buf(base + 1) & 0xff
+                          val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                          (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+                        } else {
+                          (if (signed) buf(base).toInt else (buf(base) & 0xff) - 128) / 128.0
+                        }
+                      sumAbs += math.abs(v); sumSq += v * v
+                      c += 1
+                    }
+                    frames += 1
+                    off += frameSize
+                  }
+                  read = ais.read(buf)
+                }
+                val n = (frames * ch).toDouble
+                val rate = fmt.getSampleRate.toDouble
+                if (frames == 0L)
+                  Seq(rate.toInt, ch, bits, 0L, 0.0, null, null, null)
+                else
+                  Seq(rate.toInt, ch, bits, frames, frames / rate,
+                    sumAbs / n, math.sqrt(sumSq / n), null)
+              }
+            } finally ais.close()
+          } catch {
+            case e: Exception =>
+              nulls :+ s"decode failed: ${e.getClass.getSimpleName}"
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic audio bytes for fixtures and oracle rows: an
+    * alternating ±amp square wave (16-bit signed mono PCM) encoded through
+    * the REAL JDK WAV writer, so [[decodeAudio]] tests exercise a genuine
+    * encode→decode codec round-trip. PCM is lossless and |±amp| is
+    * constant, so decoded mean |x| and RMS both equal amp/32768 exactly.
+    */
+  val syntheticWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sampleRate: Int, nSamples: Int, amp: Int) => {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = if (i % 2 == 0) amp else -amp
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    })
+
+  /** STUB decode for the one modality the JDK has no codec for (video):
+    * deterministic fake feature extraction from the payload bytes —
     * replace with a JNI/FFI decoder. Produces a fixed-size feature vector
     * derived from the checksum so downstream shapes (Array[Double] of
-    * dim 8) are realistic. Images have a REAL decoder: [[decodeImages]].
+    * dim 8) are realistic. Images and audio have REAL decoders:
+    * [[decodeImages]], [[decodeAudio]].
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>

@@ -346,4 +346,50 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImages(imgs, "payload")
       .where($"decode_error".isNull).count() == 1)
   }
+
+  test("decodeAudio: real WAV codec round-trip, graceful failure on bad bytes") {
+    // ±6000 square wave through the real JDK WAV writer: mean|x| and RMS
+    // both equal 6000/32768 exactly (constant magnitude, lossless PCM)
+    val wavs = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticWav(lit(8000), lit(160), lit(6000)))
+        .when($"id" === 2, lit("definitely not audio".getBytes))
+        .otherwise(lit(null).cast("binary")))
+    val out = Multimodal.decodeAudio(wavs, "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val ok = out(1L)
+    assert(ok.getAs[Int]("audio_sample_rate") == 8000)
+    assert(ok.getAs[Int]("audio_channels") == 1 && ok.getAs[Int]("audio_bits") == 16)
+    assert(ok.getAs[Long]("audio_frames") == 160L)
+    assert(math.abs(ok.getAs[Double]("audio_duration_s") - 0.02) < 1e-12)
+    assert(math.abs(ok.getAs[Double]("audio_mean_abs") - 6000.0 / 32768) < 1e-12)
+    assert(math.abs(ok.getAs[Double]("audio_rms") - 6000.0 / 32768) < 1e-12)
+    assert(ok.isNullAt(ok.fieldIndex("decode_error")))
+    assert(out(2L).getAs[String]("decode_error").startsWith("decode failed"))
+    assert(out(3L).getAs[String]("decode_error") == "null payload")
+  }
+
+  test("decodeAudio: 8-bit unsigned stereo WAV normalizes per-channel samples") {
+    // hand-built 8-bit unsigned stereo WAV via the JDK writer: left channel
+    // pinned at 128+64 (+0.5 after normalization), right at 128-64 (-0.5) —
+    // pins the unsigned-offset and channel-interleave handling
+    val bytes = {
+      val fmt = new javax.sound.sampled.AudioFormat(4000f, 8, 2, false, false)
+      val pcm = Array.tabulate[Byte](200 * 2)(i =>
+        (if (i % 2 == 0) 128 + 64 else 128 - 64).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 200L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val out = Multimodal.decodeAudio(
+      Seq(1L).toDF("id").withColumn("payload", lit(bytes)), "payload").head()
+    assert(out.getAs[Int]("audio_channels") == 2 && out.getAs[Int]("audio_bits") == 8)
+    assert(out.getAs[Long]("audio_frames") == 200L)
+    assert(math.abs(out.getAs[Double]("audio_mean_abs") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("audio_rms") - 0.5) < 1e-12)
+    assert(out.isNullAt(out.fieldIndex("decode_error")))
+  }
 }

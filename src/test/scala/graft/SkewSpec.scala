@@ -17,7 +17,7 @@ class SkewSpec extends AnyFunSuite {
 
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) =>
-      k -> util.Try(spark.conf.get(k)).toOption.filter(_ != null)
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)
     }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
