@@ -875,6 +875,43 @@ object CatalogOps {
       NULL::VARCHAR AS decode_error
       FROM documents"""))
 
+  /** REAL resize round-trip: solid PNGs sized above/below the 16-px box
+    * (dims and RGB from doc_id) run the full decode → bilinear resample →
+    * re-encode chain ([[Multimodal.resizeImages]]) and are then re-decoded
+    * — the oracle predicts fit-inside-box target dims (same round-half-up
+    * double arithmetic on both sides) and the exact mean pixel value
+    * (bilinear over a solid color is that color; small images pass through
+    * untouched).
+    */
+  private val mmResize = Q("mm_resize_image",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticPng(
+          (lit(8) + col("doc_id") % 40).cast("int"),
+          (lit(6) + col("doc_id") % 21).cast("int"),
+          (col("doc_id") % 256).cast("int"),
+          (col("doc_id") * 5 % 256).cast("int"),
+          (col("doc_id") * 11 % 256).cast("int")).as("payload"))
+      Multimodal.decodeImages(Multimodal.resizeImages(imgs, 16, "payload"))
+        .select(col("doc_id"), col("img_resized"),
+          col("resized_width"), col("resized_height"),
+          col("img_width"), col("img_height"),
+          round(col("img_mean"), 6).as("img_mean"), col("resize_error"))
+    },
+    Some("""WITH d AS (SELECT doc_id, (8 + doc_id % 40)::INT AS w,
+        (6 + doc_id % 21)::INT AS h FROM documents),
+      r AS (SELECT doc_id, w, h, greatest(w, h) > 16 AS img_resized,
+        CASE WHEN greatest(w, h) > 16
+          THEN greatest(1, round(w * 16.0 / greatest(w, h))::INT) ELSE w END AS rw,
+        CASE WHEN greatest(w, h) > 16
+          THEN greatest(1, round(h * 16.0 / greatest(w, h))::INT) ELSE h END AS rh
+        FROM d)
+      SELECT doc_id, img_resized, rw AS resized_width, rh AS resized_height,
+        rw AS img_width, rh AS img_height,
+        round(((doc_id % 256) + (doc_id * 5 % 256) + (doc_id * 11 % 256)) / 3.0, 6) AS img_mean,
+        NULL::VARCHAR AS resize_error
+      FROM r"""))
+
   /** REAL audio codec round-trip: per-doc ±amp square-wave WAVs (rate,
     * length and amplitude from doc_id) encoded by the JDK WAV writer,
     * decoded by [[Multimodal.decodeAudio]] — the oracle predicts the
@@ -925,6 +962,6 @@ object CatalogOps {
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize,
     stWindow)
 }

@@ -266,11 +266,75 @@ object Multimodal {
       .withColumn("height", pmod(conv(substring(col("meta.checksum"), 5, 4), 16, 10).cast("long"), lit(1024L)) + 64L)
   }
 
+  /** REAL image resize via JDK `Graphics2D`: decode (javax.imageio), fit
+    * inside `maxDim` × `maxDim` preserving aspect (bilinear resample), and
+    * re-encode as PNG — the full decode → transform → encode chain a
+    * training-data image pipeline runs per row. Images already inside the
+    * box pass through byte-identical (`img_resized` = false) — no decode
+    * loss, no wasted re-encode. Undecodable payloads keep their original
+    * bytes and report `resize_error`.
+    *
+    * Appended columns: `payload` (replaced where resized), `img_resized`,
+    * `resized_width`, `resized_height`, `resize_error`.
+    *
+    * Plan shape at 100 TB: same as [[decodeImages]] — narrow per-partition
+    * map, no shuffle; one decoded image in memory per task at a time.
+    */
+  def resizeImages(df: DataFrame, maxDim: Int, payloadCol: String = "payload"): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val schema = StructType(df.schema.fields.map {
+      case f if f.name == payloadCol => f.copy(dataType = BinaryType)
+      case f => f
+    } ++ Seq(
+      StructField("img_resized", BooleanType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType),
+      StructField("resize_error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val orig = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val (bytes, extra): (Array[Byte], Seq[Any]) =
+          if (orig == null) (null, Seq(false, null, null, "null payload"))
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(orig))
+            if (img == null) (orig, Seq(false, null, null, "unsupported format"))
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (math.max(w, h) <= maxDim) (orig, Seq(false, w, h, null))
+              else {
+                val scale = maxDim.toDouble / math.max(w, h)
+                val tw = math.max(1, math.round(w * scale).toInt)
+                val th = math.max(1, math.round(h * scale).toInt)
+                val dst = new java.awt.image.BufferedImage(tw, th,
+                  java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+                val g = dst.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, tw, th, null); ()
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                (bos.toByteArray, Seq(true, tw, th, null))
+              }
+            }
+          } catch {
+            case e: Exception =>
+              (orig, Seq(false, null, null, s"resize failed: ${e.getClass.getSimpleName}"))
+          }
+        Row.fromSeq(r.toSeq.updated(idx, bytes) ++ extra)
+      }
+    }(enc)
+  }
+
   /** Resize planning for image-like payloads: computes the target
     * dimensions (fit inside maxDim, aspect preserved) as pure column
-    * arithmetic from the decoded width/height. The actual pixel resample
-    * belongs in the decoder stub (no codecs in this container); the plan
-    * shape — narrow map, no shuffle — is what carries to 100 TB.
+    * arithmetic from the decoded width/height — the metadata-only preview
+    * of [[resizeImages]] for when the pipeline needs target shapes without
+    * touching pixels (e.g. cost estimation before a full decode pass).
     */
   def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(1.0),

@@ -347,6 +347,37 @@ class OpsSpec extends AnyFunSuite {
       .where($"decode_error".isNull).count() == 1)
   }
 
+  test("resizeImages: real bilinear resample, passthrough below box, graceful failure") {
+    val imgs = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticPng(lit(40), lit(10),
+          lit(90), lit(60), lit(30)))                       // above the box
+        .when($"id" === 2, Multimodal.syntheticPng(lit(12), lit(9),
+          lit(10), lit(20), lit(30)))                       // already inside
+        .otherwise(lit("junk bytes".getBytes)))
+    val resized = Multimodal.resizeImages(imgs, 16, "payload")
+    val out = Multimodal.decodeImages(resized, "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val big = out(1L)
+    assert(big.getAs[Boolean]("img_resized"))
+    assert(big.getAs[Int]("resized_width") == 16 && big.getAs[Int]("resized_height") == 4)
+    assert(big.getAs[Int]("img_width") == 16 && big.getAs[Int]("img_height") == 4)
+    // bilinear over a solid color is exactly that color after re-encode
+    assert(big.getSeq[Double](big.fieldIndex("img_mean_rgb")) == Seq(90.0, 60.0, 30.0))
+    val small = out(2L)
+    assert(!small.getAs[Boolean]("img_resized"))
+    assert(small.getAs[Int]("img_width") == 12 && small.getAs[Int]("img_height") == 9)
+    // passthrough is byte-identical: no decode loss, no re-encode
+    val origSmall = imgs.where($"id" === 2).head().getAs[Array[Byte]]("payload")
+    val keptSmall = resized.where($"id" === 2).head().getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(origSmall, keptSmall))
+    val bad = out(3L)
+    assert(bad.getAs[String]("resize_error") == "unsupported format")
+    // failed rows keep their original bytes for downstream quarantine
+    assert(new String(resized.where($"id" === 3).head()
+      .getAs[Array[Byte]]("payload")) == "junk bytes")
+  }
+
   test("decodeAudio: real WAV codec round-trip, graceful failure on bad bytes") {
     // ±6000 square wave through the real JDK WAV writer: mean|x| and RMS
     // both equal 6000/32768 exactly (constant magnitude, lossless PCM)
