@@ -3,29 +3,35 @@ package graft.bench
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming micro-batch throughput bench (SCALE.md evidence): drives each
-  * StreamingOps entry point from the rate source at an over-capacity input
-  * rate and reports sustained rows/s from the query's own progress events —
-  * measured downstream of the source, so a backpressured op reports what it
-  * actually absorbed, not what the source offered.
+  * StreamingOps entry point from the `rate-micro-batch` source — exactly
+  * `rowsPerBatch` rows per trigger, back-to-back triggers — and reports
+  * sustained rows/s from the query's own progress events. Fixed batch
+  * sizes decouple the measurement from source backpressure: with the plain
+  * `rate` source an op slower than the offered rate accretes an unbounded
+  * backlog and the "throughput" number measures the backlog spiral, not
+  * the operator (measured: the near-dup flag never finished batch 2 at an
+  * offered 500 k rows/s).
   *
-  * Each op runs at two trigger intervals (micro-batch sizes shift with the
-  * trigger: a 2 s trigger at the same input rate carries ~4× the rows of a
-  * 500 ms trigger), because per-batch fixed costs — state-store commit,
-  * shuffle setup — dominate small batches and amortize in big ones. For
-  * stateful ops the last progress event's state-store row count and memory
-  * are recorded too (the state-size story is what bounds a long-running
-  * 100 TB ingest).
+  * Each op runs at two batch sizes, because per-batch fixed costs —
+  * state-store commit, shuffle setup, plan reuse — dominate small batches
+  * and amortize in big ones; the two numbers bracket a deployment's real
+  * cadence. Event time advances 1 s per batch (`advanceMillisPerBatch`),
+  * so watermarked state expires exactly as it would live. For stateful ops
+  * the last progress event's state-store rows/memory are recorded — state
+  * size is what bounds a long-running ingest, and it must plateau once the
+  * watermark horizon fills.
   *
-  * Usage: runMain graft.bench.StreamBench [secondsPerRun] [rowsPerSecond]
-  * Prints one JSON line per (op, trigger) pair.
+  * Usage: runMain graft.bench.StreamBench [secondsPerRun] [batchSizes,csv]
+  * Prints one JSON line per (op, rowsPerBatch) pair.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val seconds = if (args.length > 0) args(0).toInt else 25
-    val rps = if (args.length > 1) args(1).toLong else 500000L
+    val seconds = if (args.length > 0) args(0).toInt else 30
+    val batchSizes =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toLong)
+      else Seq(100000L, 500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,24 +61,23 @@ object StreamBench {
       .withColumn("user_id", pmod(col("value"), lit(100000L)))
       .withColumn("event_value", (col("value") % 97).cast("double"))
 
-    def bench(name: String, trigger: String)(mk: DataFrame => DataFrame): Unit = {
+    def bench(name: String, rowsPerBatch: Long)(mk: DataFrame => DataFrame): Unit = {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_sb_${name}_").toString
-      val src = spark.readStream.format("rate")
-        .option("rowsPerSecond", rps)
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
         .option("numPartitions", cpus.toInt)
+        .option("advanceMillisPerBatch", 1000)
         .load()
       val q = mk(docs(src)).writeStream
         .format("noop")
-        .trigger(Trigger.ProcessingTime(trigger))
         .option("checkpointLocation", ckpt)
         .start()
       val t0 = System.nanoTime()
       Thread.sleep(seconds * 1000L)
       q.stop(); q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
-      // skip the first batch: it pays stream start + codegen warmup and its
-      // input is the source's catch-up backlog, not steady-state flow
+      // skip the first batch: it pays stream start + codegen + JIT warmup
       val progs = q.recentProgress.toSeq.drop(1)
       val rows = progs.map(_.numInputRows).sum
       val procMs = progs.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong).sum
@@ -83,44 +88,43 @@ object StreamBench {
         .flatMap(p => Option(p.stateOperators).filter(_.nonEmpty))
         .map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
       val rowsPerSec = if (procMs > 0) rows * 1000.0 / procMs else 0.0
-      println(f"""{"op":"$name","trigger":"$trigger","rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
+      println(f"""{"op":"$name","rows_per_batch":$rowsPerBatch,"rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
     }
 
-    val triggers = Seq("500 milliseconds", "2 seconds")
-    for (tr <- triggers) {
+    for (rpb <- batchSizes) {
       // stateless near-dup corpus flag: per-row band signatures + broadcast
       // bloom probe — no shuffle, no state store
-      bench("near_corpus_flag", tr) { d =>
+      bench("near_corpus_flag", rpb) { d =>
         StreamingOps.streamNearCorpusFlag(d, "text", corpus, "text", "doc_id",
           expectedItems = corpusN)
       }
       // exact corpus-membership filter: broadcast bloom + stream-static
       // left-anti verify for maybe-rows
-      bench("not_in_corpus", tr) { d =>
+      bench("not_in_corpus", rpb) { d =>
         StreamingOps.streamNotInCorpus(
           d.withColumnRenamed("text", "doc_text"),
           corpus.withColumnRenamed("text", "doc_text"), "doc_text", corpusN)
       }
       // stateful exact dedup within a watermark: one state row per distinct
       // key in the horizon — the state-store-bound baseline
-      bench("watermark_dedup", tr) { d =>
+      bench("watermark_dedup", rpb) { d =>
         StreamingOps.dedupWithinWatermark(d, Seq("user_id"), "timestamp", "10 seconds")
       }
       // watermarked tumbling-window aggregation (shared batch/stream logic)
-      bench("window_agg", tr) { d =>
+      bench("window_agg", rpb) { d =>
         d.withWatermark("timestamp", "10 seconds")
           .groupBy(window(col("timestamp"), "10 seconds"), pmod(col("user_id"), lit(1000)).as("k"))
           .agg(count(lit(1)).as("n"), sum(col("event_value")).as("v"))
       }
       // stream-static broadcast enrichment join
-      bench("stream_static_join", tr) { d =>
+      bench("stream_static_join", rpb) { d =>
         StreamingOps.streamStaticJoin(
           d.withColumn("doc_id", pmod(col("value"), lit(corpusN))),
           corpus.select(col("doc_id"), length(col("text")).as("doc_len")),
           Seq("doc_id"))
       }
       // custom stateful sessionization via flatMapGroupsWithState
-      bench("sessionize", tr) { d =>
+      bench("sessionize", rpb) { d =>
         StreamingOps.sessionize(
           d.select(col("user_id"), col("timestamp").as("ts"),
             lit("e").as("event_type"), col("event_value").as("value"))

@@ -100,28 +100,75 @@ object Dedup {
   }
 
   /** Per-row (stateless) MinHash band signatures — value-identical to
-    * [[minhashBands]]'s `sig` column, but computed entirely inside one
-    * row (higher-order `transform`/`array_min` over the shingle array, no
-    * per-doc groupBy), so the expression is legal in a streaming
-    * micro-batch plan with no aggregation state. The lambdas are
-    * interpreted rather than codegen'd — batch paths keep the agg form
-    * for throughput; this form exists for stream-side probes.
+    * [[minhashBands]]'s `sig` column (pinned in DedupCapSpec), but computed
+    * entirely inside one row so the expression is legal in a streaming
+    * micro-batch plan with no aggregation state. Null text yields null
+    * signatures (callers treat that as "flags nothing").
+    *
+    * The kernel is an imperative UDF, not higher-order Column lambdas: the
+    * lambda form re-evaluated the whole shingle-hash pass once per hash
+    * function (interpreted `transform` gets no CSE — measured 3 k rows/s
+    * in the stream bench), and even with the pass bound once it ran ~6 k
+    * rows/s. One MessageDigest walk over the shingles does the same math
+    * at UDF cost only (~100× — StreamBench `near_corpus_flag`).
     */
   def bandSignaturesCol(text: Column, numHashes: Int = 12, rowsPerBand: Int = 3,
       shingleLen: Int = 8): Column = {
-    val t = lower(text)
-    val shingleHashes = transform(
-      sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1))),
-      i => pmod(h60(t.substr(i, lit(shingleLen)), 0), lit(MinhashP)))
-    val mhs = (0 until numHashes).map { i =>
-      array_min(transform(shingleHashes,
-        h => pmod(h * (2 * i + 1) + (101 * i + 17), lit(MinhashP))))
+    val (nh, rpb, sl) = (numHashes, rowsPerBand, shingleLen)
+    udf((s: String) => bandSignaturesJvm(s, nh, rpb, sl)).apply(text)
+  }
+
+  /** Imperative twin of the h60 → affine-min → band-md5 chain. Uses
+    * UTF8String lowercase/substring so unicode semantics match the Column
+    * expressions exactly (Java String ops differ on surrogate pairs).
+    */
+  private[graft] def bandSignaturesJvm(text: String, numHashes: Int,
+      rowsPerBand: Int, shingleLen: Int): Array[String] = {
+    if (text == null) return null
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text).toLowerCase
+    val nSh = math.max(u.numChars() - (shingleLen - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 1
+    while (i <= nSh) {
+      // h60: long value of the first 15 hex chars (60 bits) of the seeded md5
+      val d = md.digest(("s0:" + u.substringSQL(i, shingleLen).toString).getBytes(utf8))
+      md.reset()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = ((h << 4) | ((d(7) & 0xf0L) >>> 4)) % MinhashP
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (2 * k + 1) + (101 * k + 17)) % MinhashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
     }
     val numBands = numHashes / rowsPerBand
-    array((0 until numBands).map { b =>
-      md5(concat_ws("_", (0 until rowsPerBand)
-        .map(r => mhs(b * rowsPerBand + r).cast("string")): _*).cast("binary"))
-    }: _*)
+    val out = new Array[String](numBands)
+    var bnd = 0
+    while (bnd < numBands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('_')
+        sb.append(mins(bnd * rowsPerBand + r))
+        r += 1
+      }
+      val dig = md.digest(sb.toString.getBytes(utf8))
+      md.reset()
+      val hex = new java.lang.StringBuilder(32)
+      dig.foreach { x =>
+        hex.append(Character.forDigit((x >> 4) & 0xf, 16))
+        hex.append(Character.forDigit(x & 0xf, 16))
+      }
+      out(bnd) = hex.toString
+      bnd += 1
+    }
+    out
   }
 
   /** MinHash-LSH candidate pairs: ids sharing a band signature. The
