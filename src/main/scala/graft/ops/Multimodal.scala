@@ -19,6 +19,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to DISK-caching its image input/output streams: every
+    * `read`/`write` call creates and deletes a temp file, which at bench
+    * scale serialized the whole executor on filesystem traffic (measured
+    * 45× time growth for 100× rows on decode, 105× on resize+re-encode;
+    * memory-cached streams restored ~linear growth). JVM-global flag —
+    * call in every executor-side closure that touches ImageIO; payloads
+    * here are row-sized, so memory caching is strictly better.
+    */
+  private def imageIoNoCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   val metadataSchema: StructType = StructType(Seq(
     StructField("modality", StringType),
     StructField("format", StringType),
@@ -67,6 +78,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
+      imageIoNoCache()
       rows.map { r =>
         val stats: Seq[Any] =
           if (r.isNullAt(idx)) Seq(null, null, null, null, null, "null payload")
@@ -112,6 +124,7 @@ object Multimodal {
     */
   val syntheticPng: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((w: Int, h: Int, cr: Int, cg: Int, cb: Int) => {
+      imageIoNoCache()
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val rgb = (cr << 16) | (cg << 8) | cb
@@ -140,9 +153,11 @@ object Multimodal {
     * than guessing.
     *
     * Plan shape at 100 TB: identical to [[decodeImages]] — a narrow
-    * per-partition map, no shuffle, no driver involvement; frames stream
-    * through a fixed 16 KiB buffer so executor memory is O(1) per task
-    * regardless of clip length.
+    * per-partition map, no shuffle, no driver involvement. Plain PCM WAVs
+    * (the overwhelming container in practice) parse via a direct RIFF
+    * walk over the payload bytes; AIFF/AU take the AudioSystem path,
+    * streaming frames through a fixed 16 KiB buffer so executor memory
+    * stays O(1) per task regardless of clip length.
     */
   def decodeAudio(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
@@ -161,8 +176,92 @@ object Multimodal {
       rows.map { r =>
         val stats: Seq[Any] =
           if (r.isNullAt(idx)) nulls :+ "null payload"
-          else try {
+          else {
             val bytes = r.getAs[Array[Byte]](idx)
+            // RIFF/WAVE PCM fast path: AudioSystem.getAudioInputStream runs
+            // a synchronized SPI provider scan PER CALL, which serializes
+            // every executor thread on one JVM-global lock — measured 37×
+            // super-linear growth on the decode bench before this parser.
+            // WAV is a 12-byte RIFF header + chunks (public spec); PCM
+            // needs no codec, so the common container never touches the
+            // provider registry. AIFF/AU and exotic WAVs fall through to
+            // the (slower, still correct) AudioSystem path below.
+            val wav = decodeWavPcm(bytes)
+            if (wav != null) wav
+            else decodeViaAudioSystem(bytes)
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** Direct RIFF/WAVE integer-PCM parse for [[decodeAudio]]: returns the
+    * stats row, or null if the payload is not a plain PCM WAV (caller
+    * falls back to AudioSystem). Malformed-but-RIFF payloads return an
+    * error row rather than null — a truncated WAV should not pay the
+    * provider-scan lock just to fail again.
+    */
+  private def decodeWavPcm(bytes: Array[Byte]): Seq[Any] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var fmtCode = -1; var ch = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    var o = 12
+    while (o + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+      val id = tag(o); val sz = le32(o + 4)
+      if (id == "fmt " && o + 8 + 16 <= bytes.length) {
+        fmtCode = le16(o + 8); ch = le16(o + 10)
+        rate = le32(o + 12).toInt; bits = le16(o + 22)
+      } else if (id == "data") {
+        dataOff = o + 8; dataLen = math.min(sz, (bytes.length - dataOff).toLong)
+      }
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      if (sz < 0 || sz > bytes.length) return Seq(null, null, null, null, null,
+        null, null, "decode failed: malformed RIFF chunk")
+    }
+    if (fmtCode < 0 || dataOff < 0)
+      return Seq(null, null, null, null, null, null, null,
+        "decode failed: missing fmt/data chunk")
+    if (fmtCode != 1 || (bits != 8 && bits != 16) || ch <= 0 || rate <= 0)
+      return null // float/µ-law/extensible: let AudioSystem judge it
+    val bytesPer = bits / 8
+    val frameSize = bytesPer * ch
+    val frames = dataLen / frameSize
+    if (frames == 0L) return Seq(rate, ch, bits, 0L, 0.0, null, null, null)
+    var sumAbs = 0.0; var sumSq = 0.0
+    var f = 0L
+    var p = dataOff
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        val base = p + c * bytesPer
+        val v =
+          if (bits == 16) // WAV 16-bit PCM is signed little-endian
+            (((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort) / 32768.0
+          else // WAV 8-bit PCM is unsigned
+            ((bytes(base) & 0xff) - 128) / 128.0
+        sumAbs += math.abs(v); sumSq += v * v
+        c += 1
+      }
+      f += 1
+      p += frameSize
+    }
+    val n = (frames * ch).toDouble
+    Seq(rate, ch, bits, frames, frames.toDouble / rate,
+      sumAbs / n, math.sqrt(sumSq / n), null)
+  }
+
+  /** AudioSystem fallback for [[decodeAudio]] (AIFF/AU and WAV variants the
+    * fast path declines): same output contract as [[decodeWavPcm]].
+    */
+  private def decodeViaAudioSystem(bytes: Array[Byte]): Seq[Any] = {
+    val nulls = Seq(null, null, null, null, null, null, null)
+    try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             try {
@@ -215,39 +314,43 @@ object Multimodal {
                     sumAbs / n, math.sqrt(sumSq / n), null)
               }
             } finally ais.close()
-          } catch {
-            case e: Exception =>
-              nulls :+ s"decode failed: ${e.getClass.getSimpleName}"
-          }
-        Row.fromSeq(r.toSeq ++ stats)
-      }
-    }(enc)
+    } catch {
+      case e: Exception =>
+        nulls :+ s"decode failed: ${e.getClass.getSimpleName}"
+    }
   }
 
   /** Deterministic synthetic audio bytes for fixtures and oracle rows: an
-    * alternating ±amp square wave (16-bit signed mono PCM) encoded through
-    * the REAL JDK WAV writer, so [[decodeAudio]] tests exercise a genuine
-    * encode→decode codec round-trip. PCM is lossless and |±amp| is
+    * alternating ±amp square wave as a canonical 44-byte-header PCM WAV
+    * (16-bit signed mono LE — byte-identical to what the JDK WAV writer
+    * emits, without AudioSystem.write's synchronized provider scan that
+    * serialized executor threads at scale). PCM is lossless and |±amp| is
     * constant, so decoded mean |x| and RMS both equal amp/32768 exactly.
     */
   val syntheticWav: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((sampleRate: Int, nSamples: Int, amp: Int) => {
-      val fmt = new javax.sound.sampled.AudioFormat(
-        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
-      val pcm = new Array[Byte](nSamples * 2)
+      val dataLen = nSamples * 2
+      val out = new Array[Byte](44 + dataLen)
+      def ascii(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+      def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff) }
+      ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16)
+      le16(20, 1) // integer PCM
+      le16(22, 1) // mono
+      le32(24, sampleRate)
+      le32(28, sampleRate * 2) // byte rate
+      le16(32, 2) // block align
+      le16(34, 16) // bits
+      ascii(36, "data"); le32(40, dataLen)
       var i = 0
       while (i < nSamples) {
         val v = if (i % 2 == 0) amp else -amp
-        pcm(i * 2) = (v & 0xff).toByte
-        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        out(44 + i * 2) = (v & 0xff).toByte
+        out(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte
         i += 1
       }
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      out
     })
 
   /** STUB decode for the one modality the JDK has no codec for (video):
@@ -293,6 +396,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
+      imageIoNoCache()
       rows.map { r =>
         val orig = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val (bytes, extra): (Array[Byte], Seq[Any]) =
