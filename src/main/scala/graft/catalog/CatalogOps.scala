@@ -873,7 +873,8 @@ object CatalogOps {
       (8 + doc_id % 3)::INT AS img_height, 3::INT AS img_channels,
       round(((doc_id % 256) + (doc_id * 2 % 256) + (doc_id * 3 % 256)) / 3.0, 6) AS img_mean,
       NULL::VARCHAR AS decode_error
-      FROM documents"""))
+      FROM documents"""),
+    bench = true)
 
   /** REAL resize round-trip: solid PNGs sized above/below the 16-px box
     * (dims and RGB from doc_id) run the full decode → bilinear resample →
@@ -939,7 +940,8 @@ object CatalogOps {
       round((doc_id * 7 % 16384) / 32768.0, 6) AS audio_mean_abs,
       round((doc_id * 7 % 16384) / 32768.0, 6) AS audio_rms,
       NULL::VARCHAR AS decode_error
-      FROM documents"""))
+      FROM documents"""),
+    bench = true)
 
   // ---------------------------------------------------------------- streaming
 

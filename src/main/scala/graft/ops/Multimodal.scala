@@ -220,9 +220,12 @@ object Multimodal {
       } else if (id == "data") {
         dataOff = o + 8; dataLen = math.min(sz, (bytes.length - dataOff).toLong)
       }
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz < 0 || sz > bytes.length) return Seq(null, null, null, null, null,
-        null, null, "decode failed: malformed RIFF chunk")
+      // chunks are word-aligned; a declared size past the payload end means
+      // a truncated file (common in crawled data) — stop the walk and decode
+      // whatever frames the data clamp above salvaged instead of erroring
+      val advance = 8L + sz + (sz & 1L)
+      if (o + advance > bytes.length) o = bytes.length
+      else o += advance.toInt
     }
     if (fmtCode < 0 || dataOff < 0)
       return Seq(null, null, null, null, null, null, null,

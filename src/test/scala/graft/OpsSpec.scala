@@ -400,6 +400,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("decode_error") == "null payload")
   }
 
+  test("decodeAudio: truncated WAV salvages clamped frames; chunkless RIFF errors") {
+    val whole = Multimodal.syntheticWav
+    val df = Seq(1L).toDF("id")
+      .withColumn("full", whole(lit(8000), lit(100), lit(5000)))
+      .select($"id",
+        // drop the last 20 bytes: data chunk declares 200 bytes, 180 remain
+        expr("substring(full, 1, 224)").as("truncated"),
+        // RIFF/WAVE magic but zero chunks
+        expr("substring(full, 1, 12)").as("chunkless"))
+    val tr = Multimodal.decodeAudio(df.select($"id", $"truncated".as("payload"))).head()
+    assert(tr.getAs[Long]("audio_frames") == 90L) // 180 salvaged bytes / 2
+    assert(tr.isNullAt(tr.fieldIndex("decode_error")))
+    val ck = Multimodal.decodeAudio(df.select($"id", $"chunkless".as("payload"))).head()
+    assert(ck.getAs[String]("decode_error") == "decode failed: missing fmt/data chunk")
+  }
+
   test("decodeAudio: 8-bit unsigned stereo WAV normalizes per-channel samples") {
     // hand-built 8-bit unsigned stereo WAV via the JDK writer: left channel
     // pinned at 128+64 (+0.5 after normalization), right at 128-64 (-0.5) —
