@@ -943,6 +943,32 @@ object CatalogOps {
       FROM documents"""),
     bench = true)
 
+  /** REAL video round-trip: per-doc MJPEG-AVI clips (dims, frame count and
+    * gray progression from doc_id; every frame a solid gray encoded by the
+    * JDK JPEG writer at quality 1) decoded frame-by-frame by
+    * [[Multimodal.decodeVideoFrames]] — the oracle predicts one row per
+    * frame with exact dims and the exact gray mean (constant-Y JPEG
+    * round-trips losslessly; verified for all 256 gray values).
+    */
+  private val mmVideo = Q("mm_video_frames",
+    (s, dir) => {
+      val avis = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticMjpegAvi(
+          (lit(16) + col("doc_id") % 9).cast("int"),
+          (lit(8) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (col("doc_id") * 11 % 256).cast("int")).as("payload"))
+      Multimodal.decodeVideoFrames(avis, "payload")
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_width"), col("frame_height"),
+          round(col("frame_mean"), 6).as("frame_mean"), col("decode_error"))
+    },
+    Some("""SELECT doc_id, f::INT AS frame_idx,
+      (16 + doc_id % 9)::INT AS frame_width, (8 + doc_id % 5)::INT AS frame_height,
+      round(((doc_id * 11 + 7 * f) % 256)::DOUBLE, 6) AS frame_mean,
+      NULL::VARCHAR AS decode_error
+      FROM documents, unnest(generate_series(0, (doc_id % 4)::INT)) AS t(f)"""))
+
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
@@ -964,6 +990,6 @@ object CatalogOps {
     txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
     stWindow)
 }

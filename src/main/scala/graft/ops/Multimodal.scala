@@ -7,15 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct. The Spark-side machinery
   * (schema, batching, partitioning, frame explosion) is real and tested, and
-  * so are the IMAGE and AUDIO codecs: [[decodeImages]] decodes PNG/JPEG/BMP/
-  * GIF through the JDK's `javax.imageio`, and [[decodeAudio]] decodes WAV/
-  * AIFF/AU PCM through the JDK's `javax.sound.sampled` (both ship with every
-  * JVM — no external dependency) inside `mapPartitions`, the one place
-  * per-row imperative work is the right Spark shape (decode is opaque binary
-  * work no Column expression can express). Video codecs are not in the JDK,
-  * so [[decodeStub]] remains the clearly-marked stand-in for that modality
-  * only — swap its body for a JNI/FFI decoder without touching the
-  * surrounding plan.
+  * so are the codecs for all three modalities: [[decodeImages]] decodes
+  * PNG/JPEG/BMP/GIF through the JDK's `javax.imageio`, [[decodeAudio]]
+  * decodes WAV/AIFF/AU PCM (direct RIFF walk + `javax.sound.sampled`
+  * fallback), and [[decodeVideoFrames]] decodes MJPEG-in-AVI video (AVI
+  * RIFF container walk + the JDK JPEG codec per frame) — no external
+  * dependency, all inside `mapPartitions`, the one place per-row imperative
+  * work is the right Spark shape (decode is opaque binary work no Column
+  * expression can express). Video codecs OUTSIDE the JDK (H.264/VP9/AV1)
+  * keep [[decodeStub]] as the clearly-marked stand-in — swap its body for a
+  * JNI/FFI decoder without touching the surrounding plan.
   */
 object Multimodal {
 
@@ -356,12 +357,183 @@ object Multimodal {
       out
     })
 
-  /** STUB decode for the one modality the JDK has no codec for (video):
+  /** REAL video frame decode for MJPEG-in-AVI: walks the AVI RIFF
+    * container (a LIST tree over `movi` frame chunks — public spec, same
+    * chunk grammar as WAV) and decodes each `00dc`/`00db` frame with the
+    * JDK JPEG codec, emitting ONE ROW PER SAMPLED FRAME with dimensions
+    * and mean pixel value. `frameStride` decodes every k-th frame — the
+    * frame-sampling shape a training pipeline actually runs (decode cost
+    * scales with sampled frames, not clip length, because unsampled
+    * frames are SKIPPED at the container walk, never decoded).
+    *
+    * Degradation is per-scope: an unparseable container yields one row
+    * with `decode_error` and null frame columns; a corrupt individual
+    * frame yields that frame's row with `decode_error` while sibling
+    * frames still decode — one bad crawl clip cannot kill the job.
+    *
+    * Plan shape at 100 TB: narrow per-partition flatMap — no shuffle; one
+    * decoded frame in memory at a time. Non-MJPEG codecs (H.264 etc.)
+    * have no JDK decoder and report `unsupported`; swap in a JNI/FFI
+    * decoder behind the same row contract.
+    */
+  def decodeVideoFrames(df: DataFrame, payloadCol: String = "payload",
+      frameStride: Int = 1): DataFrame = {
+    require(frameStride > 0, "frameStride must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_width", IntegerType),
+      StructField("frame_height", IntegerType),
+      StructField("frame_mean", DoubleType),
+      StructField("decode_error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      imageIoNoCache()
+      rows.flatMap { r =>
+        val errRow = (msg: String) =>
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val frames = aviFrameChunks(bytes)
+          if (frames == null) errRow("unsupported container (not RIFF/AVI)")
+          else if (frames.isEmpty) errRow("no frame chunks in movi list")
+          else frames.iterator.zipWithIndex
+            .filter { case (_, i) => i % frameStride == 0 }
+            .map { case ((off, len), i) =>
+              val stats: Seq[Any] =
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, off, len))
+                  if (img == null) Seq(i, null, null, null, "unsupported frame codec")
+                  else {
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    val px = img.getRGB(0, 0, w, h, null, 0, w)
+                    var s = 0.0
+                    var j = 0
+                    while (j < px.length) {
+                      val p = px(j)
+                      s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                      j += 1
+                    }
+                    Seq(i, w, h, s / (3.0 * w * h), null)
+                  }
+                } catch {
+                  case e: Exception =>
+                    Seq(i, null, null, null,
+                      s"frame decode failed: ${e.getClass.getSimpleName}")
+                }
+              Row.fromSeq(r.toSeq ++ stats)
+            }.toSeq
+        }
+      }
+    }(enc)
+  }
+
+  /** AVI RIFF walk: returns (offset, length) of every video frame chunk
+    * (`##dc`/`##db`) inside `movi` LISTs, in file order; null if the
+    * payload is not an AVI. Truncated tails stop the walk (frames already
+    * found are kept — crawled clips are routinely cut off mid-chunk).
+    */
+  private def aviFrameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isFrame(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = tag(o); val sz = le32(o + 4)
+        val body = o + 8
+        if (body + sz > end) return // truncated: keep what we have
+        if (id == "LIST") walk(body + 4, body + sz.toInt) // skip list type
+        else if (isFrame(id) && sz > 0) out += ((body, sz.toInt))
+        o = body + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    walk(12, bytes.length)
+    out.toSeq
+  }
+
+  /** Deterministic synthetic MJPEG-AVI bytes for fixtures and oracle rows:
+    * `nFrames` solid-GRAY JPEG frames (gray `(baseGray + 7·i) mod 256`) in
+    * a minimal but well-formed AVI container (avih + strh/strf headers,
+    * movi frame list). Gray JPEGs round-trip EXACTLY through the JDK
+    * codec at quality 1 (constant Y survives DCT+quantization, constant
+    * chroma 128 survives subsampling — verified for all 256 values), so
+    * [[decodeVideoFrames]] oracle rows can pin exact per-frame means.
+    */
+  val syntheticMjpegAvi: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: Int, h: Int, nFrames: Int, baseGray: Int) => {
+      imageIoNoCache()
+      val frames = (0 until nFrames).map { i =>
+        val v = ((baseGray + 7 * i) % 256 + 256) % 256
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val p = wtr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wtr.setOutput(ios)
+        wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        wtr.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val bb = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = { bb.write(s.getBytes("US-ASCII")); () }
+      def le32(v: Int): Unit = {
+        bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+        bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+      }
+      def le16x2(a: Int, b: Int): Unit = { le32((a & 0xffff) | (b << 16)) }
+      val paddedFrames = frames.map(f => (f, f.length + (f.length & 1)))
+      val moviSize = 4 + paddedFrames.map(_._2 + 8).sum
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      ascii("RIFF"); le32(riffSize); ascii("AVI ")
+      ascii("LIST"); le32(hdrlSize); ascii("hdrl")
+      ascii("avih"); le32(56)
+      le32(40000) // µs per frame (25 fps)
+      le32(0); le32(0); le32(0)
+      le32(nFrames); le32(0); le32(1); le32(0)
+      le32(w); le32(h)
+      le32(0); le32(0); le32(0); le32(0)
+      ascii("LIST"); le32(4 + (8 + 56) + (8 + 40)); ascii("strl")
+      ascii("strh"); le32(56)
+      ascii("vids"); ascii("MJPG")
+      le32(0); le16x2(0, 0); le32(0)
+      le32(1); le32(25) // scale / rate = 25 fps
+      le32(0); le32(nFrames); le32(0); le32(-1); le32(0)
+      le16x2(0, 0); le16x2(w, h) // rcFrame
+      ascii("strf"); le32(40)
+      le32(40); le32(w); le32(h); le16x2(1, 24)
+      ascii("MJPG"); le32(w * h * 3)
+      le32(0); le32(0); le32(0); le32(0)
+      ascii("LIST"); le32(moviSize); ascii("movi")
+      paddedFrames.foreach { case (f, padded) =>
+        ascii("00dc"); le32(f.length); bb.write(f)
+        if (padded > f.length) bb.write(0)
+      }
+      bb.toByteArray
+    })
+
+  /** STUB decode for video codecs outside the JDK (H.264/VP9/AV1):
     * deterministic fake feature extraction from the payload bytes —
     * replace with a JNI/FFI decoder. Produces a fixed-size feature vector
     * derived from the checksum so downstream shapes (Array[Double] of
-    * dim 8) are realistic. Images and audio have REAL decoders:
-    * [[decodeImages]], [[decodeAudio]].
+    * dim 8) are realistic. Images, audio and MJPEG-AVI video have REAL
+    * decoders: [[decodeImages]], [[decodeAudio]], [[decodeVideoFrames]].
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>

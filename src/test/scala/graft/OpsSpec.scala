@@ -400,6 +400,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("decode_error") == "null payload")
   }
 
+  test("decodeVideoFrames: MJPEG-AVI round-trip, stride sampling, per-frame degradation") {
+    val avis = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticMjpegAvi(lit(24), lit(16), lit(4), lit(60)))
+        .when($"id" === 2, lit("not a video".getBytes))
+        .otherwise(lit(null).cast("binary")))
+    val out = Multimodal.decodeVideoFrames(avis, "payload").collect()
+      .groupBy(_.getAs[Long]("id"))
+    val good = out(1L).sortBy(_.getAs[Int]("frame_idx"))
+    assert(good.length == 4)
+    // gray progression 60, 67, 74, 81 round-trips exactly through JPEG q=1
+    assert(good.map(_.getAs[Double]("frame_mean")).toSeq == Seq(60.0, 67.0, 74.0, 81.0))
+    assert(good.forall(r => r.getAs[Int]("frame_width") == 24 &&
+      r.getAs[Int]("frame_height") == 16 && r.isNullAt(r.fieldIndex("decode_error"))))
+    assert(out(2L).head.getAs[String]("decode_error").startsWith("unsupported container"))
+    assert(out(3L).head.getAs[String]("decode_error") == "null payload")
+    // stride 2 decodes frames 0 and 2 only — sampling skips at the container walk
+    val strided = Multimodal.decodeVideoFrames(avis.where($"id" === 1), "payload", frameStride = 2)
+      .collect().map(_.getAs[Int]("frame_idx")).sorted
+    assert(strided.toSeq == Seq(0, 2))
+    // corrupt ONE frame in place: sibling frames still decode
+    val bytes = avis.where($"id" === 1).head().getAs[Array[Byte]]("payload")
+    val corrupted = bytes.clone()
+    // find the second 00dc chunk and stomp its JPEG magic
+    var hits = 0; var pos = -1
+    for (i <- 0 until corrupted.length - 4 if pos < 0) {
+      if (corrupted(i) == '0' && corrupted(i + 1) == '0' &&
+          corrupted(i + 2) == 'd' && corrupted(i + 3) == 'c') {
+        hits += 1; if (hits == 2) pos = i
+      }
+    }
+    corrupted(pos + 8) = 0x00; corrupted(pos + 9) = 0x00
+    val mixed = Multimodal.decodeVideoFrames(
+      Seq(1L).toDF("id").withColumn("payload", lit(corrupted)), "payload").collect()
+    assert(mixed.count(_.isNullAt(mixed.head.fieldIndex("decode_error"))) == 3)
+    assert(mixed.count(r => !r.isNullAt(r.fieldIndex("decode_error"))) == 1)
+  }
+
   test("decodeAudio: truncated WAV salvages clamped frames; chunkless RIFF errors") {
     val whole = Multimodal.syntheticWav
     val df = Seq(1L).toDF("id")
