@@ -454,6 +454,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ck.getAs[String]("decode_error") == "decode failed: missing fmt/data chunk")
   }
 
+  test("decodeAudio: AIFF rides the AudioSystem fallback (big-endian PCM)") {
+    // AIFF is not RIFF, so the fast path declines and the provider path
+    // decodes it — pins the big-endian 16-bit branch too
+    val bytes = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val pcm = new Array[Byte](120 * 2)
+      for (i <- 0 until 120) {
+        val v = if (i % 2 == 0) 9000 else -9000
+        pcm(i * 2) = ((v >> 8) & 0xff).toByte; pcm(i * 2 + 1) = (v & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 120L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val out = Multimodal.decodeAudio(
+      Seq(1L).toDF("id").withColumn("payload", lit(bytes)), "payload").head()
+    assert(out.getAs[Int]("audio_sample_rate") == 8000)
+    assert(out.getAs[Long]("audio_frames") == 120L)
+    assert(math.abs(out.getAs[Double]("audio_mean_abs") - 9000.0 / 32768) < 1e-12)
+    assert(out.isNullAt(out.fieldIndex("decode_error")))
+  }
+
   test("decodeAudio: 8-bit unsigned stereo WAV normalizes per-channel samples") {
     // hand-built 8-bit unsigned stereo WAV via the JDK writer: left channel
     // pinned at 128+64 (+0.5 after normalization), right at 128-64 (-0.5) —
