@@ -213,6 +213,38 @@ object CatalogCore {
       '<http://ex/vocab/nkey>' AS p, '"' || n_nationkey || '"' AS o
       FROM nation"""))
 
+  /** S8 oracle row #2: DCAT catalog descriptor — `a dcat:Dataset;
+    * dcat:distribution [ dcat:downloadURL ... ]` resolves through the
+    * same descriptor block (reference semantify.py:2151-2191) to a CSV
+    * scan; pins the two-hop distribution→downloadURL walk the csvw row
+    * doesn't touch.
+    */
+  private val s8b = Q("s8b_dcat_descriptor",
+    (s, dir) => {
+      val csvDir = exportDir(dir, "nation_dcat_csv")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir, "_SUCCESS")))
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(csvDir)
+      val ttl =
+        s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+           |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+           |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+           |@prefix dcat: <http://www.w3.org/ns/dcat#> .
+           |<NatTM> a rr:TriplesMap;
+           |  rml:logicalSource [
+           |    rml:source [ a dcat:Dataset;
+           |      dcat:distribution [ dcat:downloadURL "$csvDir" ] ];
+           |    rml:referenceFormulation ql:CSV ];
+           |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}" ];
+           |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/rkey>;
+           |    rr:objectMap [ rml:reference "n_regionkey" ] ] .
+           |""".stripMargin
+      Engine.materialize(s, ttl).select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+      '<http://ex/vocab/rkey>' AS p, '"' || n_regionkey || '"' AS o
+      FROM nation"""))
+
   // ----------------------------------------------------------------- sources
 
   private val s1 = Q("s1_csv_scan",
@@ -1354,7 +1386,7 @@ object CatalogCore {
 
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
-    s1, s2, s3, s6, s7, s7b, s8, s9, v2,
+    s1, s2, s3, s6, s7, s7b, s8, s8b, s9, v2,
     k1, k2, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,

@@ -82,6 +82,22 @@ class XmlTargetsSpec extends AnyFunSuite {
       ("<http://ex/p/2>", "<http://ex/name>", "\"bob\"")))
   }
 
+  test("S8: void dataDump source descriptor resolves the dump path") {
+    val csv = writeTmp("dump.csv", "id,name\n7,eve\n")
+    val ts = Engine.materialize(spark, prefixes +
+      """@prefix void: <http://rdfs.org/ns/void#> .
+        |""".stripMargin +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [
+         |    rml:source [ a void:Dataset; void:dataDump "$csv" ];
+         |    rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/p/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "name" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(("<http://ex/p/7>", "<http://ex/name>", "\"eve\"")))
+  }
+
   test("V1/V3: mapping-level logical view with embedded CSV-in-JSON field") {
     val json = writeTmp("payload.json",
       """[{"id": "1", "pay": "a,b\n10,20\n30,40"},
