@@ -678,13 +678,53 @@ object Dedup {
     * splitting one cluster into several representatives; here a
     * non-converged exit throws instead. Returns (id, cluster), cluster =
     * min id in the component.
+    *
+    * Edge sets at or below `localThreshold` distinct edges resolve with a
+    * driver-side union-find instead — the same size-gated hybrid as
+    * Spark's own broadcast-join threshold, and the same answer (connected
+    * components are unique; both paths label by component min). The star
+    * rounds cost ~6 fixed shuffle+checkpoint jobs even on a 10 k-edge
+    * set, which dominated small-corpus runs; 4 M edges is ~64 MB of
+    * driver heap, far under the broadcast-sized memory a driver already
+    * budgets for. At 100 TB the capped edge volume (pairBudget × N)
+    * blows past the threshold and the distributed path runs unchanged.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 4000000L): DataFrame = {
     // canonical edges (u, v) with u > v
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct().persist()
+
+    val edgeCount = edges.count() // also materializes the persist
+    if (edgeCount <= localThreshold) {
+      val spark = pairs.sparkSession
+      val rows = edges.collect()
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by min keeps find() results already min-labeled
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+      import spark.implicits._
+      return out.toSeq.toDF("id", "cluster")
+    }
 
     // large-star: each node links its LARGER neighbors to the minimum of
     // its neighborhood (incl. itself) — long chains halve in one pass

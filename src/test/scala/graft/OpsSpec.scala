@@ -56,6 +56,20 @@ class OpsSpec extends AnyFunSuite {
     // chain 1-2-3 collapses to 1; 4-5 to 4; 7-9 to 7
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
 
+    // the size-gated hybrid: driver union-find (default) and distributed
+    // large/small-star (forced via localThreshold = 0) must agree exactly —
+    // long chains, a clique, singleton-free edges, reversed pairs
+    val gnarly = (Seq.tabulate(30)(i => (100L + i, 101L + i)) ++ // 31-chain
+      Seq((500L, 507L), (507L, 503L), (503L, 501L)) ++            // shuffled clique-ish
+      Seq((900L, 800L))                                            // reversed order
+      ).toDF("id_a", "id_b")
+    val local = Dedup.resolveClusters(gnarly).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.resolveClusters(gnarly, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(local == dist)
+    assert(local.filter(_._1 >= 500L).filter(_._1 < 600L).forall(_._2 == 500L))
+
     val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
       .withColumn("text", concat(lit("d"), col("doc_id")))
     val kept = Dedup.dedupByPairs(corpus, "doc_id", pairs)
