@@ -395,10 +395,16 @@ object Multimodal {
         if (r.isNullAt(idx)) errRow("null payload")
         else {
           val bytes = r.getAs[Array[Byte]](idx)
-          val frames = aviFrameChunks(bytes)
-          if (frames == null) errRow("unsupported container (not RIFF/AVI)")
-          else if (frames.isEmpty) errRow("no frame chunks in movi list")
-          else frames.iterator.zipWithIndex
+          val framesOrErr: Either[String, Seq[(Int, Int)]] =
+            try {
+              val f = aviFrameChunks(bytes)
+              if (f == null) Left("unsupported container (not RIFF/AVI)")
+              else if (f.isEmpty) Left("no frame chunks in movi list")
+              else Right(f)
+            } catch { case e: Exception =>
+              Left(s"container parse failed: ${e.getClass.getSimpleName}")
+            }
+          framesOrErr.fold(errRow, _.iterator.zipWithIndex
             .filter { case (_, i) => i % frameStride == 0 }
             .map { case ((off, len), i) =>
               val stats: Seq[Any] =
@@ -424,7 +430,7 @@ object Multimodal {
                       s"frame decode failed: ${e.getClass.getSimpleName}")
                 }
               Row.fromSeq(r.toSeq ++ stats)
-            }.toSeq
+            }.toSeq)
         }
       }
     }(enc)
@@ -446,18 +452,23 @@ object Multimodal {
     def isFrame(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))
-    def walk(start: Int, end: Int): Unit = {
+    // depth cap: real AVIs nest 2-3 LISTs; a hostile payload of nothing
+    // but 12-byte LIST headers would otherwise recurse bytes/12 deep and
+    // kill the executor with StackOverflowError (an Error — the per-row
+    // Exception handler can't contain it)
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var o = start
       while (o + 8 <= end) {
         val id = tag(o); val sz = le32(o + 4)
         val body = o + 8
         if (body + sz > end) return // truncated: keep what we have
-        if (id == "LIST") walk(body + 4, body + sz.toInt) // skip list type
+        if (id == "LIST") walk(body + 4, body + sz.toInt, depth + 1) // skip list type
         else if (isFrame(id) && sz > 0) out += ((body, sz.toInt))
         o = body + sz.toInt + (sz.toInt & 1)
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     out.toSeq
   }
 

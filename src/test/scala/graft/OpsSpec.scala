@@ -452,6 +452,22 @@ class OpsSpec extends AnyFunSuite {
     assert(mixed.count(r => !r.isNullAt(r.fieldIndex("decode_error"))) == 1)
   }
 
+  test("decodeVideoFrames: hostile deeply-nested LIST payload cannot kill the task") {
+    // 5000 nested 12-byte LIST headers: without the walk's depth cap this
+    // recursed to StackOverflowError (an Error, uncatchable per-row)
+    val n = 5000
+    val bb = java.nio.ByteBuffer.allocate(12 * n + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 * n + 4).put("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until n)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 12 * (n - 1 - i))
+        .put("hdrl".getBytes("US-ASCII"))
+    val out = Multimodal.decodeVideoFrames(
+      Seq(1L).toDF("id").withColumn("payload", lit(bb.array())), "payload").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("decode_error") == "no frame chunks in movi list")
+  }
+
   test("decodeAudio: truncated WAV salvages clamped frames; chunkless RIFF errors") {
     val whole = Multimodal.syntheticWav
     val df = Seq(1L).toDF("id")
