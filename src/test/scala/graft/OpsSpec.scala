@@ -361,6 +361,27 @@ class OpsSpec extends AnyFunSuite {
       .where($"decode_error".isNull).count() == 1)
   }
 
+  test("decodeImages: GIF and BMP containers decode through the same path") {
+    // both are lossless for a solid color (GIF palettizes it, BMP is raw)
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(10, 6,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 6; x <- 0 until 10) img.setRGB(x, y, 0x2a9d8f)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(("gif", encode("gif")), ("bmp", encode("bmp"))).toDF("fmt", "payload")
+    val out = Multimodal.decodeImages(df, "payload").collect()
+      .map(r => r.getAs[String]("fmt") -> r).toMap
+    for (fmt <- Seq("gif", "bmp")) {
+      val r = out(fmt)
+      assert(r.getAs[Int]("img_width") == 10 && r.getAs[Int]("img_height") == 6, fmt)
+      assert(r.getSeq[Double](r.fieldIndex("img_mean_rgb")) == Seq(0x2a, 0x9d, 0x8f).map(_.toDouble), fmt)
+      assert(r.isNullAt(r.fieldIndex("decode_error")), fmt)
+    }
+  }
+
   test("resizeImages: real bilinear resample, passthrough below box, graceful failure") {
     val imgs = Seq(1L, 2L, 3L).toDF("id")
       .withColumn("payload",
