@@ -39,6 +39,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default retention is 100 progress events; a 0.2 s/batch op logs
+      // ~150 in a 30 s window and the evicted head silently shrinks the
+      // reported rows/batches (and defeats the warm-up drop below)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,6 +93,12 @@ object StreamBench {
         .map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
       val rowsPerSec = if (procMs > 0) rows * 1000.0 / procMs else 0.0
       println(f"""{"op":"$name","rows_per_batch":$rowsPerBatch,"rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
+      // stateful ops leave real state-store bytes in the checkpoint dir;
+      // 12 runs per campaign would otherwise accrete in /tmp forever
+      val tree = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try tree.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      finally tree.close()
     }
 
     for (rpb <- batchSizes) {

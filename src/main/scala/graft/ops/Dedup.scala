@@ -679,14 +679,19 @@ object Dedup {
     * non-converged exit throws instead. Returns (id, cluster), cluster =
     * min id in the component.
     *
-    * Edge sets at or below `localThreshold` distinct edges resolve with a
-    * driver-side union-find instead — the same size-gated hybrid as
-    * Spark's own broadcast-join threshold, and the same answer (connected
-    * components are unique; both paths label by component min). The star
-    * rounds cost ~6 fixed shuffle+checkpoint jobs even on a 10 k-edge
-    * set, which dominated small-corpus runs; 4 M edges is ~64 MB of
-    * driver heap, far under the broadcast-sized memory a driver already
-    * budgets for. At 100 TB the capped edge volume (pairBudget × N)
+    * Integral-id edge sets at or below `localThreshold` distinct edges
+    * resolve with a driver-side union-find instead — the same size-gated
+    * hybrid as Spark's own broadcast-join threshold, and the same answer
+    * (connected components are unique; both paths label by component
+    * min). The star rounds cost ~6 fixed shuffle+checkpoint jobs even on
+    * a 10 k-edge set, which dominated small-corpus runs. Driver cost at
+    * the 4 M-edge default: the collected edge tuples plus two primitive
+    * arrays (sorted node ids + int parents) — a few hundred MB peak,
+    * broadcast-scale, not the star rounds' worth of cluster traffic. The
+    * gate itself is a `limit(threshold+1).count()` probe, so an
+    * over-threshold corpus never pays a full count before round 1.
+    * Non-integral id types (the API is type-generic) always take the
+    * distributed path. At 100 TB the capped edge volume (pairBudget × N)
     * blows past the threshold and the distributed path runs unchanged.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 25,
@@ -697,33 +702,54 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct().persist()
 
-    val edgeCount = edges.count() // also materializes the persist
-    if (edgeCount <= localThreshold) {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = edges.schema.head.dataType
+    val integralIds = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false // string/decimal ids: star rounds are type-generic
+    }
+    val probeLimit = (math.min(localThreshold, Int.MaxValue - 2L) + 1L).toInt
+    if (integralIds && localThreshold > 0 &&
+        edges.limit(probeLimit).count() <= localThreshold) {
       val spark = pairs.sparkSession
-      val rows = edges.collect()
+      import spark.implicits._
+      val rows = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
       edges.unpersist()
-      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
-      def find(x: Long): Long = {
+      // index-compress node ids (sorted, deduped, primitive) so the
+      // union-find runs on Array[Int] parents — no boxed-key hash map
+      val endpoints = new Array[Long](rows.length * 2)
+      var w = 0
+      rows.foreach { case (u, v) => endpoints(w) = u; endpoints(w + 1) = v; w += 2 }
+      java.util.Arrays.sort(endpoints)
+      var n = 0
+      var j = 0
+      while (j < endpoints.length) {
+        if (n == 0 || endpoints(j) != endpoints(n - 1)) { endpoints(n) = endpoints(j); n += 1 }
+        j += 1
+      }
+      val nodes = java.util.Arrays.copyOf(endpoints, n)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.get(r) != r) r = parent.get(r)
+        while (parent(r) != r) r = parent(r)
         var c = x // path compression
-        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      rows.foreach { r =>
-        val (u, v) = (r.getLong(0), r.getLong(1))
-        if (!parent.containsKey(u)) parent.put(u, u)
-        if (!parent.containsKey(v)) parent.put(v, v)
-        val (ru, rv) = (find(u), find(v))
-        // union by min keeps find() results already min-labeled
-        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      rows.foreach { case (u, v) =>
+        val ru = find(java.util.Arrays.binarySearch(nodes, u))
+        val rv = find(java.util.Arrays.binarySearch(nodes, v))
+        // union toward the smaller index = smaller id (nodes sorted), so
+        // the terminal root of each component is the component minimum
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
       }
-      val out = new Array[(Long, Long)](parent.size)
-      val it = parent.keySet().iterator()
+      val out = new Array[(Long, Long)](n)
       var i = 0
-      while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
-      import spark.implicits._
+      while (i < n) { out(i) = (nodes(i), nodes(find(i))); i += 1 }
+      // cast back so both hybrid paths return the caller's id type
       return out.toSeq.toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"), col("cluster").cast(idType).as("cluster"))
     }
 
     // large-star: each node links its LARGER neighbors to the minimum of

@@ -215,7 +215,10 @@ object Multimodal {
     var o = 12
     while (o + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
       val id = tag(o); val sz = le32(o + 4)
-      if (id == "fmt " && o + 8 + 16 <= bytes.length) {
+      // sz >= 16: a shorter declared fmt chunk would otherwise read the
+      // NEXT chunk's bytes as format fields — silently wrong stats with
+      // no error on a crafted payload
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= bytes.length) {
         fmtCode = le16(o + 8); ch = le16(o + 10)
         rate = le32(o + 12).toInt; bits = le16(o + 22)
       } else if (id == "data") {
@@ -462,9 +465,15 @@ object Multimodal {
       while (o + 8 <= end) {
         val id = tag(o); val sz = le32(o + 4)
         val body = o + 8
-        if (body + sz > end) return // truncated: keep what we have
-        if (id == "LIST") walk(body + 4, body + sz.toInt, depth + 1) // skip list type
-        else if (isFrame(id) && sz > 0) out += ((body, sz.toInt))
+        val bodyEnd = math.min(body + sz, end.toLong).toInt
+        if (id == "LIST") {
+          // a truncated movi LIST still holds fully-intact frame chunks
+          // before the cut — recurse into the clamped window instead of
+          // abandoning them (crawled clips are routinely cut mid-file)
+          if (bodyEnd - body >= 4) walk(body + 4, bodyEnd, depth + 1)
+        } else if (body + sz > end) {
+          return // truncated non-LIST chunk: keep frames already found
+        } else if (isFrame(id) && sz > 0) out += ((body, sz.toInt))
         o = body + sz.toInt + (sz.toInt & 1)
       }
     }

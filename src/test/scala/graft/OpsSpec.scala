@@ -473,6 +473,44 @@ class OpsSpec extends AnyFunSuite {
     assert(mixed.count(r => !r.isNullAt(r.fieldIndex("decode_error"))) == 1)
   }
 
+  test("decodeVideoFrames: truncated AVI salvages the intact frame prefix") {
+    val whole = Multimodal.decodeVideoFrames(
+      Seq(1L).toDF("id").withColumn("payload",
+        Multimodal.syntheticMjpegAvi(lit(24), lit(16), lit(4), lit(60))), "payload")
+    assert(whole.count() == 4)
+    val bytes = Seq(1L).toDF("id").withColumn("payload",
+        Multimodal.syntheticMjpegAvi(lit(24), lit(16), lit(4), lit(60)))
+      .head().getAs[Array[Byte]]("payload")
+    // cut mid-way through the FOURTH frame chunk: frames 0-2 stay intact
+    var hits = 0; var pos = -1
+    for (i <- 0 until bytes.length - 4 if pos < 0) {
+      if (bytes(i) == '0' && bytes(i + 1) == '0' && bytes(i + 2) == 'd' && bytes(i + 3) == 'c') {
+        hits += 1; if (hits == 4) pos = i
+      }
+    }
+    val cut = java.util.Arrays.copyOf(bytes, pos + 12) // header + 4 payload bytes
+    val out = Multimodal.decodeVideoFrames(
+      Seq(1L).toDF("id").withColumn("payload", lit(cut)), "payload").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("decode_error"))))
+  }
+
+  test("resolveClusters: integer-typed ids work on both hybrid paths") {
+    val pairs = Seq((1, 2), (2, 3), (7, 9)).toDF("id_a", "id_b") // IntegerType
+    for (thr <- Seq(4000000L, 0L)) {
+      val out = Dedup.resolveClusters(pairs, localThreshold = thr)
+      assert(out.schema("cluster").dataType ==
+        org.apache.spark.sql.types.IntegerType, s"thr=$thr")
+      val m = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 9 -> 7), s"thr=$thr")
+    }
+    // string ids: local path must decline, distributed path must answer
+    val sPairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val sOut = Dedup.resolveClusters(sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sOut == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("decodeVideoFrames: hostile deeply-nested LIST payload cannot kill the task") {
     // 5000 nested 12-byte LIST headers: without the walk's depth cap this
     // recursed to StackOverflowError (an Error, uncatchable per-row)
