@@ -233,6 +233,31 @@ class StreamingSpec extends AnyFunSuite {
       "<http://ex/p/2> <http://ex/name> \"bob\" ."))
   }
 
+  test("codec decode runs inside a streaming micro-batch (narrow map, no state)") {
+    // the multimodal decoders are mapPartitions over rows — legal in a
+    // streaming plan with no state store; a crawl-ingest stream can decode
+    // payloads in the same micro-batch that lands them
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmstream").toString
+    Seq(1L, 2L).toDF("doc_id")
+      .withColumn("payload", graft.ops.Multimodal.syntheticPng(
+        lit(9), lit(7), lit(120), lit(60), lit(30)))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = graft.ops.Multimodal.decodeImages(
+      spark.readStream.schema(schema).parquet(dir), "payload")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("mm_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mm_stream_out").collect()
+      assert(got.length == 2)
+      assert(got.forall(r => r.getAs[Int]("img_width") == 9 &&
+        r.getAs[Int]("img_height") == 7 &&
+        r.isNullAt(r.fieldIndex("decode_error"))))
+    } finally q.stop()
+  }
+
   test("quality gates run unchanged on a stream (stateless scan-side filters)") {
     // C4/Gopher/repetition signals are pure projections, so the same code
     // path serves batch corpora and streaming ingest — the streaming form
