@@ -972,14 +972,68 @@ object CatalogOps {
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
-    // events.ts is parquet TIMESTAMP(NANOS) → read as long ns (session sets
-    // spark.sql.legacy.parquet.nanosAsLong) and truncate to µs timestamps
-    (s, dir) => StreamingOps.windowedAgg(t(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+    // events.ts schema-adaptive (legacy nanos-as-long vs TIMESTAMP_NTZ µs —
+    // the driver's generator has shipped both): normalize to a windowable
+    // timestamp before the event-time window
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StreamingOps.windowedAgg(
+        ev.withColumn("ts", graft.util.Timestamps.asTimestamp(ev, "ts")))
+    },
     Some("""SELECT date_trunc('hour', ts)::VARCHAR AS window_start, event_type,
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2"""),
     bench = true)
+
+  /** Span-level decontamination: same corpus/probe split as
+    * txt_contamination; the oracle replays the gaps-and-islands span
+    * collapse with a SQL window.
+    */
+  private val txtSpanContamination = Q("txt_span_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.spanContamination(
+        docs.where(col("doc_id") >= 20), "text", "doc_id",
+        docs.where(col("doc_id") < 20), "text", "doc_id", k = 5)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS pos FROM tk),
+      dg AS (SELECT doc_id, pos,
+          t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] AS gram
+        FROM pos),
+      pg AS (SELECT DISTINCT doc_id AS probe_id, gram FROM dg WHERE doc_id < 20),
+      hits AS (SELECT DISTINCT dg.doc_id, pg.probe_id, dg.pos
+        FROM dg JOIN pg USING (gram) WHERE dg.doc_id >= 20),
+      isl AS (SELECT doc_id, probe_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id, probe_id ORDER BY pos) AS g
+        FROM hits)
+      SELECT doc_id, probe_id, min(pos) AS span_start,
+        max(pos) - min(pos) + 5 AS span_tokens, count(*) AS n_grams
+      FROM isl GROUP BY doc_id, probe_id, g"""))
+
+  /** Hashed linear quality classifier (fastText-style inference): weights
+    * are the deterministic md5-derived stand-in vector, regenerated
+    * verbatim inside the oracle as a DOUBLE[] literal.
+    */
+  private val txtClassifier = Q("txt_quality_classifier",
+    (s, dir) => TextAnalysis.hashedLinearScore(
+      t(s, dir, "documents"), "text", ClassifierWeights, bias = -0.1)
+      .select(col("doc_id"), col("quality_logit"), col("quality_prob")),
+    Some {
+      val wlist = ClassifierWeights.mkString(", ")
+      val dim = ClassifierWeights.size
+      s"""WITH tk AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      sc AS (SELECT doc_id, CASE WHEN len(t) > 0 THEN
+          -0.1 + list_sum(list_transform(t,
+            tok -> wl[(${h60Sql("tok", TextAnalysis.FeatureSeed)} % $dim)::INT + 1])) / len(t)
+        ELSE -0.1 END AS logit
+        FROM tk, (SELECT [$wlist]::DOUBLE[] AS wl) w)
+      SELECT doc_id, round(logit, 6) AS quality_logit,
+        round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob FROM sc"""
+    },
+    bench = true)
+
+  private lazy val ClassifierWeights = TextAnalysis.hashedWeights(64, seed = 3)
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
@@ -987,7 +1041,8 @@ object CatalogOps {
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
-    txtContamination, txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
+    txtContamination, txtSpanContamination, txtClassifier,
+    txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,

@@ -16,10 +16,11 @@ object CatalogPipeline {
   import Catalog.t
   import CatalogOps.tokenizeSql
 
-  /** 1 hour in the epoch-nano domain the events table reads as
-    * (spark.sql.legacy.parquet.nanosAsLong).
+  /** 1 hour in the epoch-µs domain `Timestamps.epochUs` maps `events.ts`
+    * into (schema-adaptive: the driver has shipped ts both as legacy
+    * TIMESTAMP(NANOS)-as-long and as TIMESTAMP_NTZ µs across rounds).
     */
-  private val HourNs = 3600000000000L
+  private val HourUs = graft.util.Timestamps.HourUs
 
   // ---------------------------------------------------------- temporal joins
 
@@ -47,11 +48,12 @@ object CatalogPipeline {
   private val rangeJoin = Q("range_join_hourly",
     (s, dir) => {
       val ev = t(s, dir, "events")
+      val tsUs = graft.util.Timestamps.epochUs(ev, "ts")
       val signups = ev.where(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"),
-          col("ts").as("lo"), (col("ts") + lit(HourNs)).as("hi"))
-      val clicks = ev.where(col("event_type") === "click").select(col("ts").as("p"))
-      val hits = Joins.pointInInterval(clicks, "p", signups, "lo", "hi", HourNs)
+          tsUs.as("lo"), (tsUs + lit(HourUs)).as("hi"))
+      val clicks = ev.where(col("event_type") === "click").select(tsUs.as("p"))
+      val hits = Joins.pointInInterval(clicks, "p", signups, "lo", "hi", HourUs)
         .groupBy(col("signup_id")).agg(count(lit(1)).as("n_clicks"))
       signups.select(col("signup_id")).join(hits, Seq("signup_id"), "left")
         .select(col("signup_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))

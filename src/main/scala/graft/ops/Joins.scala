@@ -36,11 +36,13 @@ object Joins {
       right: DataFrame, rightIdCol: String, rightTsCol: String,
       keyCols: Seq[String], matchCol: String = "asof_id"): DataFrame = {
     val keyC = keyCols.map(col)
+    // schema-adaptive ts image: timestamp columns (LTZ or NTZ) become epoch
+    // µs, numeric columns pass through — order and ties preserved either way
     val r = right.select(keyC ++ Seq(
-      col(rightTsCol).cast("long").as("__ts"), lit(0).as("__side"),
+      graft.util.Timestamps.asLong(right, rightTsCol).as("__ts"), lit(0).as("__side"),
       col(rightIdCol).cast("long").as("__pay"), lit(null).cast("long").as("__lid")): _*)
     val l = left.select(keyC ++ Seq(
-      col(leftTsCol).cast("long").as("__ts"), lit(1).as("__side"),
+      graft.util.Timestamps.asLong(left, leftTsCol).as("__ts"), lit(1).as("__side"),
       lit(null).cast("long").as("__pay"), col(leftIdCol).cast("long").as("__lid")): _*)
     // right rows sort before left rows at equal ts (side 0 < 1), so the
     // `<=` inclusive semantics falls out of the frame bound; among equal-ts

@@ -104,6 +104,146 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Span-level decontamination: WHERE the probe overlap sits, not just how
+    * much. [[ngramContamination]] counts shared k-grams per (doc, probe);
+    * this collapses the matching gram START POSITIONS into maximal
+    * contiguous token spans (gaps-and-islands on the position sequence) —
+    * the shape needed to EXCISE contaminated passages instead of dropping
+    * whole documents, and to tell a quoted benchmark question (one long
+    * span) from scattered idiom overlap (many 1-gram spans).
+    *
+    * Scale shape: probe grams are distinct'd and orders of magnitude
+    * smaller than the corpus, so AQE broadcasts them; corpus grams are
+    * generated inside the scan and never materialized globally. Only
+    * MATCHING positions — output-proportional, not corpus-proportional —
+    * reach the window + aggregation, partitioned by (doc, probe).
+    *
+    * Returns (doc_id, probe_id, span_start, span_tokens, n_grams):
+    * 1-based token index of the span start, tokens covered (last matching
+    * gram start + k − span_start), and matching k-grams in the span.
+    */
+  def spanContamination(docs: DataFrame, docText: String, docId: String,
+      probes: DataFrame, probeText: String, probeId: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docGrams = docs.select(col(docId).as("doc_id"),
+      posexplode(wordNgrams(col(docText), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    val probeGrams = probes.select(col(probeId).as("probe_id"),
+      explode(array_distinct(wordNgrams(col(probeText), k))).as("gram"))
+      .distinct()
+    // a position can match grams from several probes — dedup per (doc,
+    // probe, pos) so islands count each start once
+    val hits = docGrams.join(probeGrams, "gram")
+      .select(col("doc_id"), col("probe_id"), col("pos")).distinct()
+    val w = Window.partitionBy("doc_id", "probe_id").orderBy("pos")
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("probe_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "probe_id", "span_start", "span_tokens", "n_grams")
+  }
+
+  /** Seed for the classifier feature hash ([[Dedup.h60]]) — fixed so
+    * external engines can replay scores exactly.
+    */
+  val FeatureSeed = 11
+
+  /** fastText-style hashed linear classifier, inference side: score(text) =
+    * σ(bias + mean over tokens of w[h(tok) mod D]) over hashed bag-of-words
+    * features. The weight vector is trained OFFLINE (this op is the 100-TB
+    * scoring pass — the standard quality-classifier gate in pretraining
+    * curation); it ships as a literal array inside the expression, so the
+    * score is one scan-shaped projection per row: zero shuffle, no join,
+    * embarrassingly parallel. Mean (not sum) keeps the logit
+    * length-invariant, fastText's default reduction.
+    *
+    * Token hashing is the portable md5-based [[Dedup.h60]] with
+    * [[FeatureSeed]], and tokenization is [[Dedup.tokenize]] — both
+    * replayable in external SQL engines, so scores reproduce bit-for-bit
+    * outside Spark. Adds `quality_logit` and `quality_prob` (both rounded
+    * to 6 decimals).
+    *
+    * The higher-order `aggregate` fold is interpreted (SCALE.md §14.3);
+    * for hot paths [[hashedLinearScoreKernel]] is the value-identical
+    * imperative twin.
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String,
+      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    val d = weights.size
+    val w = array(weights.map(lit): _*)
+    val toks = Dedup.tokenize(col(textCol))
+    val logit = when(size(toks) > 0,
+      lit(bias) + aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(w, (Dedup.h60(t, FeatureSeed) % d).cast("int") + 1))
+        / size(toks).cast("double"))
+      .otherwise(lit(bias))
+    withScoreCols(df, logit)
+  }
+
+  /** Imperative twin of [[hashedLinearScore]] — one MessageDigest walk over
+    * the tokens per row at UDF cost, for hot paths where the interpreted
+    * higher-order fold dominates (same trade measured for the streaming
+    * band signatures, SCALE.md §14.3). Value-identical by construction
+    * (same tokenizer, same h60 bit math); pinned by QualityOpsSpec.
+    */
+  def hashedLinearScoreKernel(df: DataFrame, textCol: String,
+      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    val wArr = weights.toArray
+    val b = bias
+    val score = udf((s: String) => hashedLogitJvm(s, wArr, b))
+    withScoreCols(df, score(col(textCol)))
+  }
+
+  private def withScoreCols(df: DataFrame, logit: Column): DataFrame =
+    df.withColumn("quality_logit", round(logit, 6))
+      .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
+
+  private[graft] def hashedLogitJvm(text: String, weights: Array[Double],
+      bias: Double): java.lang.Double = {
+    if (text == null) return null
+    // Dedup.tokenize twin: lowercase, split on non-[a-z0-9] runs, drop empties
+    val lower = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    var sum = 0.0
+    var n = 0
+    lower.split("[^a-z0-9]+").foreach { tok =>
+      if (tok.nonEmpty) {
+        // h60: long value of the first 15 hex chars (60 bits) of seeded md5
+        val dg = md.digest(("s" + FeatureSeed + ":" + tok).getBytes(utf8))
+        md.reset()
+        var h = 0L
+        var i = 0
+        while (i < 7) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+        h = (h << 4) | ((dg(7) & 0xf0L) >>> 4)
+        sum += weights((h % weights.length).toInt)
+        n += 1
+      }
+    }
+    if (n > 0) bias + sum / n else bias
+  }
+
+  /** Deterministic pseudo-random weight vector in [-1, 1] (md5-derived) —
+    * a stand-in for offline-trained weights in tests and oracles; any
+    * engine with md5 can regenerate it.
+    */
+  def hashedWeights(dim: Int, seed: Int): IndexedSeq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    (0 until dim).map { i =>
+      val d = md.digest(s"w$seed:$i".getBytes(utf8))
+      md.reset()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      ((h % 2000001L) - 1000000L) / 1000000.0
+    }
+  }
+
   /** Repetition signals (the Gopher/C4-family quality filters): fraction of
     * duplicate lines and fraction of duplicate word n-grams. High values
     * indicate boilerplate / template spam — standard pretraining filters.

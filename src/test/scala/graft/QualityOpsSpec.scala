@@ -401,4 +401,71 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out("en").getAs[Long]("target_docs") == 75L)
     assert(out("de").getAs[Long]("target_docs") == 25L)
   }
+
+  test("spanContamination: contiguous matching grams collapse to maximal spans") {
+    // probe 1: "one two three four five six" → doc 10 contains it verbatim
+    // (two gram starts → ONE span of 6 tokens), plus a separate single-gram
+    // match later in the doc (its own span)
+    val probes = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "zz one two three four five six yy aa bb one two three four five qq"),
+      (11L, "no overlap with anything here at all today")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanContamination(docs, "text", "doc_id",
+      probes, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // doc 10 tokens: zz one two three four five six yy aa bb one two three four five qq
+    //               1   2   3    4    5    6   7   8  9  10  11  12  13   14   15  16
+    // probe grams: "one two three four five" (start 2 and 11), "two three four five six" (start 3)
+    // islands: starts {2,3} → span_start 2, span_tokens 3-2+5=6, n_grams 2
+    //          start {11}  → span_start 11, span_tokens 5, n_grams 1
+    assert(out == Set((10L, 1L, 2L, 6L, 2L), (10L, 1L, 11L, 5L, 1L)))
+  }
+
+  test("spanContamination: doc shorter than k or with scattered matches") {
+    val probes = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "tiny doc"),                                    // < k tokens: no grams
+      (11L, "alpha beta gamma delta epsilon"))              // exact probe copy
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanContamination(docs, "text", "doc_id",
+      probes, "text", "doc_id", k = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 11L && r.getLong(2) == 1L && r.getLong(3) == 5L
+      && r.getLong(4) == 1L)
+  }
+
+  test("hashedLinearScore: empty text scores the bias; kernel twin is value-identical") {
+    val w = TextAnalysis.hashedWeights(32, seed = 7)
+    assert(w.forall(x => x >= -1.0 && x <= 1.0))
+    assert(w == TextAnalysis.hashedWeights(32, seed = 7)) // deterministic
+    assert(w != TextAnalysis.hashedWeights(32, seed = 8))
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""),
+      (2L, "   "),
+      (3L, "Mixed CASE text, with punct!!! and numbers 123 456"),
+      (4L, "the the the the")).toDF("doc_id", "text")
+    val declared = TextAnalysis.hashedLinearScore(docs, "text", w, bias = 0.25)
+      .select("doc_id", "quality_logit", "quality_prob").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // empty / whitespace-only text has zero tokens → logit == bias
+    assert(declared(1L)._1 == 0.25 && declared(2L)._1 == 0.25)
+    // sigmoid output stays in (0, 1) and respects the rounded logit
+    assert(declared.values.forall { case (_, p) => p > 0.0 && p < 1.0 })
+    // a doc repeating one token scores exactly bias + w[h(tok) % d] —
+    // expectation computed with raw MessageDigest, independent of BOTH
+    // implementations under test
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"s${TextAnalysis.FeatureSeed}:the".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val tokW = w((java.lang.Long.parseLong(hex, 16) % 32).toInt)
+    assert(math.abs(declared(4L)._1 - BigDecimal(0.25 + tokW)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val kernel = TextAnalysis.hashedLinearScoreKernel(docs, "text", w, bias = 0.25)
+      .select("doc_id", "quality_logit", "quality_prob").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(kernel == declared)
+  }
 }

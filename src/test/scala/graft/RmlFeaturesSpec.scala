@@ -379,6 +379,34 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(ts.contains(("<http://ex/c/2>", "<http://ex/parent>", "<http://ex/p/t2>")))
   }
 
+  test("T11: subjectMap with no value becomes a per-row UUID blank node") {
+    // reference: a subject map carrying only rr:termType rr:BlankNode (no
+    // template/reference/constant) mints a fresh _:uuid per source row
+    val quads = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:termType rr:BlankNode ];
+         |  rr:predicateObjectMap [ rr:predicate ex:id; rr:objectMap [ rml:reference "id" ] ];
+         |  rr:predicateObjectMap [ rr:predicate ex:a;  rr:objectMap [ rml:reference "a" ] ].
+         |""".stripMargin).collect()
+    val subjects = quads.map(_.getString(0))
+    // every subject is a syntactically-valid UUID blank-node label
+    assert(subjects.nonEmpty && subjects.forall(
+      _.matches("_:[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")))
+    // 2 source rows × (ex:id + ex:a per row, row 2's empty `a` killed by the
+    // null lattice) = 3 triples; each ROW gets one uuid shared by its POMs,
+    // distinct across rows
+    val byPred = quads.groupBy(_.getString(1))
+    assert(byPred("<http://ex/id>").length == 2)
+    assert(subjects.distinct.length == 2)
+    val idOf = quads.filter(_.getString(1) == "<http://ex/id>")
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val aOf = quads.filter(_.getString(1) == "<http://ex/a>")
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // the row with a=x1 is the row with id=1 — same blank subject
+    assert(aOf.keys.forall(s => idOf.contains(s)))
+  }
+
   test("graph maps produce quads") {
     val quads = Engine.materialize(spark, prefixes +
       s"""<TM> a rr:TriplesMap;
