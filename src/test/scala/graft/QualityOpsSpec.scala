@@ -436,6 +436,35 @@ class QualityOpsSpec extends AnyFunSuite {
       && r.getLong(4) == 1L)
   }
 
+  test("exciseSpans: flagged token spans are cut, untouched docs pass through") {
+    val probes = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "zz one two three four five six yy aa bb one two three four five qq"),
+      (11L, "Nothing shared HERE at all today with anyone involved")).toDF("doc_id", "text")
+    val spans = TextAnalysis.spanContamination(docs, "text", "doc_id",
+      probes, "text", "doc_id", k = 5)
+    val out = TextAnalysis.exciseSpans(docs, "text", "doc_id", spans)
+      .select("doc_id", "clean_text", "n_removed").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 10: span tokens 2-7 (6 toks) and 11-15 (5 toks) removed → 5 left
+    assert(out(10L) == (("zz yy aa bb qq", 11L)))
+    // doc 11 untouched; output is the token-normalized (lowercased) image
+    assert(out(11L) == (("nothing shared here at all today with anyone involved", 0L)))
+  }
+
+  test("exciseSpans: overlapping spans from different probes union; full excision empties") {
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val docs = Seq((10L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val spans = TextAnalysis.spanContamination(docs, "text", "doc_id",
+      probes, "text", "doc_id", k = 5)
+    val out = TextAnalysis.exciseSpans(docs, "text", "doc_id", spans)
+      .select("doc_id", "clean_text", "n_removed").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "" && out.head.getLong(2) == 7L)
+  }
+
   test("hashedLinearScore: empty text scores the bias; kernel twin is value-identical") {
     val w = TextAnalysis.hashedWeights(32, seed = 7)
     assert(w.forall(x => x >= -1.0 && x <= 1.0))
