@@ -1045,6 +1045,19 @@ object CatalogOps {
         b.n_toks - coalesce(a.n_kept, 0) AS n_removed
       FROM base b LEFT JOIN agg a USING (doc_id)"""))
 
+  /** Text normalization: NFC + control strip + whitespace/paragraph
+    * collapse, replayed in DuckDB with nfc_normalize + RE2 'g' passes.
+    */
+  private val txtNormalize = Q("txt_normalize",
+    (s, dir) => TextAnalysis.normalizeText(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("norm_text")),
+    Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        nfc_normalize(text),
+        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        '[ \t]+', ' ', 'g'),
+        '\n{3,}', chr(10) || chr(10), 'g')) AS norm_text
+      FROM documents"""))
+
   /** Hashed linear quality classifier (fastText-style inference): weights
     * are the deterministic md5-derived stand-in vector, regenerated
     * verbatim inside the oracle as a DOUBLE[] literal.
@@ -1076,6 +1089,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
+    txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,

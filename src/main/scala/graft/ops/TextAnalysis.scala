@@ -283,6 +283,27 @@ object TextAnalysis {
     }
   }
 
+  /** Canonical text normalization (the first pass of every pretraining
+    * pipeline): Unicode NFC composition, control-character strip (C0/C1
+    * minus tab/newline), horizontal-whitespace collapse, 3+ blank-line
+    * squeeze to one paragraph break, and edge trim. NFC runs through
+    * `java.text.Normalizer` (one UDF call per row — the JDK implements the
+    * full Unicode algorithm; there is no Column-native normalizer); the
+    * regex passes are codegen'd and RE2-compatible so external engines
+    * (DuckDB `nfc_normalize` + `regexp_replace g`) reproduce the output
+    * byte-for-byte. Adds `norm_text`.
+    */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val noCtl = regexp_replace(nfc(col(textCol)),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val onePara = regexp_replace(oneSpace, "\\n{3,}", "\n\n")
+    df.withColumn("norm_text", trim(onePara))
+  }
+
   /** Repetition signals (the Gopher/C4-family quality filters): fraction of
     * duplicate lines and fraction of duplicate word n-grams. High values
     * indicate boilerplate / template spam — standard pretraining filters.

@@ -465,6 +465,23 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "" && out.head.getLong(2) == 7L)
   }
 
+  test("normalizeText: NFC composes, control chars strip, whitespace collapses") {
+    val docs = Seq(
+      (0L, "café time"),                      // e + combining acute → é
+      (1L, "a\u0000b\u0007c\tkeep\ttabs?"),         // C0 strip, tab collapses
+      (2L, "  spaced   out\t \twords  "),
+      (3L, "p1\n\n\n\n\np2\n\np3"),                 // 5 newlines → one break
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs, "text")
+      .select("doc_id", "norm_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "café time" && out(0L).length == 9)
+    assert(out(1L) == "abc keep tabs?")
+    assert(out(2L) == "spaced out words")
+    assert(out(3L) == "p1\n\np2\n\np3")
+    assert(out(4L) == "")
+  }
+
   test("hashedLinearScore: empty text scores the bias; kernel twin is value-identical") {
     val w = TextAnalysis.hashedWeights(32, seed = 7)
     assert(w.forall(x => x >= -1.0 && x <= 1.0))
