@@ -283,6 +283,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier scoring and normalization run inside a streaming micro-batch") {
+    // the quality-classifier inference pass and canonical normalization are
+    // stateless projections — the same code path scores batch corpora and
+    // live ingest; the kernel variant (UDF) is the deployment form
+    val dir = java.nio.file.Files.createTempDirectory("graft_clstream").toString
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  spaced \t out  ")).toDF("doc_id", "text")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val w = graft.ops.TextAnalysis.hashedWeights(32, seed = 7)
+    val scored = graft.ops.TextAnalysis.normalizeText(
+      graft.ops.TextAnalysis.hashedLinearScoreKernel(stream, "text", w, bias = 0.25),
+      "text")
+      .select(col("doc_id"), col("quality_prob"), col("norm_text"))
+    assert(scored.isStreaming, "classifier + normalize must compose on a stream")
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("cls_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cls_out").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      // values identical to the batch run of the same ops
+      val exp = graft.ops.TextAnalysis.normalizeText(
+        graft.ops.TextAnalysis.hashedLinearScoreKernel(batch, "text", w, bias = 0.25),
+        "text")
+        .select(col("doc_id"), col("quality_prob"), col("norm_text")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      assert(got == exp)
+      assert(got(2L)._2 == "spaced out")
+    } finally q.stop()
+  }
+
   test("streaming near-dup corpus flag: copies and near-copies flag, fresh text passes") {
     val base = (1 to 30).map(i => s"corpus sentence number $i.").mkString(" ")
     val corpus = Seq((100L, base)).toDF("cid", "ctext")
