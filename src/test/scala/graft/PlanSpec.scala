@@ -63,6 +63,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
   }
 
+  test("span contamination/excision broadcast the probe side, no cartesian") {
+    val p = plan("txt_span_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in span plan:\n$p")
+    val e = plan("txt_excise_spans")
+    assert(e.contains("BroadcastHashJoin"), s"span list not broadcast:\n$e")
+    assert(!e.contains("CartesianProduct"), s"cartesian in excise plan:\n$e")
+  }
+
+  test("quality classifier and normalization are exchange-free scan projections") {
+    val p = plan("txt_quality_classifier")
+    assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
+    val n = plan("txt_normalize")
+    assert(!n.contains("Exchange"), s"normalization must not shuffle:\n$n")
+  }
+
   test("bloom prefilter: every join broadcasts — the corpus never shuffles") {
     val p = plan("dd_bloom_prefilter")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
