@@ -1022,6 +1022,24 @@ object CatalogOps {
     * its uncovered token positions (string_agg ordered by position) —
     * token-normalized text, matching the Spark side's array_join.
     */
+  /** Extends [[spanSqlCtes]] with the excision chain; ends in
+    * `clean(doc_id, clean_text, n_removed)` over the corpus split.
+    */
+  private[catalog] val exciseSqlCtes =
+    s"""$spanSqlCtes,
+      e_tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+        FROM tk WHERE doc_id >= 20),
+      e_keep AS (SELECT k.doc_id, k.pos, k.t[k.pos] AS tok FROM e_tok k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+          AND k.pos BETWEEN s.span_start AND s.span_start + s.span_tokens - 1)),
+      e_agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          count(*) AS n_kept
+        FROM e_keep GROUP BY doc_id),
+      e_base AS (SELECT doc_id, len(t) AS n_toks FROM tk WHERE doc_id >= 20),
+      clean AS (SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+          b.n_toks - coalesce(a.n_kept, 0) AS n_removed
+        FROM e_base b LEFT JOIN e_agg a USING (doc_id))"""
+
   private val txtExciseSpans = Q("txt_excise_spans",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1031,19 +1049,7 @@ object CatalogOps {
       TextAnalysis.exciseSpans(corpus, "text", "doc_id", sp)
         .select(col("doc_id"), col("clean_text"), col("n_removed"))
     },
-    Some(s"""WITH $spanSqlCtes,
-      tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
-        FROM tk WHERE doc_id >= 20),
-      keep AS (SELECT k.doc_id, k.pos, k.t[k.pos] AS tok FROM tok k
-        WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
-          AND k.pos BETWEEN s.span_start AND s.span_start + s.span_tokens - 1)),
-      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-          count(*) AS n_kept
-        FROM keep GROUP BY doc_id),
-      base AS (SELECT doc_id, len(t) AS n_toks FROM tk WHERE doc_id >= 20)
-      SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
-        b.n_toks - coalesce(a.n_kept, 0) AS n_removed
-      FROM base b LEFT JOIN agg a USING (doc_id)"""))
+    Some(s"WITH $exciseSqlCtes SELECT * FROM clean"))
 
   /** Text normalization: NFC + control strip + whitespace/paragraph
     * collapse, replayed in DuckDB with nfc_normalize + RE2 'g' passes.

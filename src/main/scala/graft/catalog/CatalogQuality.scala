@@ -331,6 +331,39 @@ object CatalogQuality {
       JOIN rep r ON d.doc_id = r.doc_id
       JOIN clus c ON c.id = d.doc_id"""))
 
+  /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
+    * gates on original text, dedup keyed on the excised text.
+    */
+  private val curateDecontamQ = Q("pipe_curate_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Curation.curateDecontaminated(
+        docs.where(col("doc_id") >= 20).select(col("doc_id"), col("text")), "text", "doc_id",
+        docs.where(col("doc_id") < 20), "text", "doc_id")
+        .select(col("doc_id"), col("n_removed"), col("c4_keep"),
+          col("dup_line_frac"), col("is_canonical"), col("curate_keep"))
+    },
+    Some(s"""WITH ${CatalogOps.exciseSqlCtes},
+      c_sig AS (SELECT doc_id,
+        len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
+        contains(text, '{') AS has_curly,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::BIGINT AS n_words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM documents WHERE doc_id >= 20),
+      c_rep AS (SELECT doc_id,
+        round(CASE WHEN len(ls) > 0
+          THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0.0 END, 6) AS dup_line_frac,
+        (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
+        FROM c_sig),
+      c_keeper AS (SELECT md5(clean_text) AS h, min(doc_id) AS keep_id
+        FROM clean GROUP BY md5(clean_text))
+      SELECT c.doc_id, c.n_removed, r.c4_keep, r.dup_line_frac,
+        (c.doc_id = k.keep_id) AS is_canonical,
+        (r.c4_keep AND r.dup_line_frac <= 0.3 AND c.doc_id = k.keep_id) AS curate_keep
+      FROM clean c JOIN c_rep r ON c.doc_id = r.doc_id
+      JOIN c_keeper k ON md5(c.clean_text) = k.h"""))
+
   private val packConcat = Q("pipe_pack_concat",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -379,5 +412,5 @@ object CatalogQuality {
 
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
-    curateNearDupQ, packConcat, orcScan, simhashPairsQ)
+    curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ)
 }

@@ -38,6 +38,40 @@ object Curation {
       .drop("__h", "__keep_id")
   }
 
+  /** [[curate]] with benchmark DECONTAMINATION in the chain: flagged probe
+    * spans are excised from each document BEFORE dedup, so two documents
+    * that differ only in the contaminated passage (e.g. both quote the
+    * same benchmark question inside otherwise-duplicate boilerplate)
+    * collapse to one canonical — exact dedup keys on the CLEANED text.
+    * Quality gates still read the ORIGINAL text (excised output is
+    * token-normalized, which would starve the sentence/punctuation
+    * signals); the shipped `clean_text` is the decontaminated form.
+    *
+    * Plan shape: gates ride the scan; the decontamination adds the
+    * span-contamination shape (probe grams broadcast, only matching
+    * positions shuffle — output-proportional) plus the same one
+    * dedup-shaped groupBy as [[curate]], now keyed on the clean hash.
+    */
+  def curateDecontaminated(df: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeText: String, probeId: String,
+      k: Int = 5, maxDupLineFrac: Double = 0.3): DataFrame = {
+    val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val spans = TextAnalysis.spanContamination(
+      safe, textCol, idCol, probes, probeText, probeId, k)
+    val cleaned = TextAnalysis.exciseSpans(safe, textCol, idCol, spans)
+    val sig = TextAnalysis.repetitionSignals(
+      TextAnalysis.c4Signals(cleaned, textCol), textCol)
+    val keeper = Dedup.exact(cleaned, "clean_text", idCol)
+      .select(col("content_hash").as("__h"), col("keep_id").as("__keep_id"))
+    sig.withColumn("__h", md5(col("clean_text")))
+      .join(keeper, "__h")
+      .withColumn("is_canonical", col(idCol) === col("__keep_id"))
+      .withColumn("curate_keep", coalesce(
+        col("c4_keep") && col("dup_line_frac") <= maxDupLineFrac && col("is_canonical"),
+        lit(false)))
+      .drop("__h", "__keep_id")
+  }
+
   /** [[curate]] with NEAR-duplicate canonicalization: the canonical stage
     * is [[Dedup.dedupCorpus]]'s cluster verdict (auto-capped LSH banding →
     * connected components → min-id representative) instead of the exact

@@ -256,6 +256,33 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(!out(5L).getAs[Boolean]("c4_keep"))
   }
 
+  test("curateDecontaminated: docs differing only in the contaminated span collapse") {
+    // docs 10/11 share identical boilerplate but quote DIFFERENT parts of
+    // the probe; once the quoted spans are excised their cleaned text is
+    // identical → exact dedup collapses them (min id canonical). Doc 12 is
+    // distinct and keepable; gates read the ORIGINAL punctuation.
+    val body = (1 to 12).map(i => s"boilerplate sentence number $i.").mkString(" ")
+    val probes = Seq((1L, "secret question one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, s"$body secret question one two three four five"),
+      (11L, s"$body four five six seven eight"),
+      (12L, "A fully different document. With several sentences. And a third one."))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.curateDecontaminated(
+      docs, "text", "doc_id", probes, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3)
+    assert(out(10L).getAs[Long]("n_removed") == 7L) // quoted 7 probe tokens
+    assert(out(11L).getAs[Long]("n_removed") == 5L) // quoted 5 probe tokens
+    assert(out(12L).getAs[Long]("n_removed") == 0L)
+    // cleaned 10 and 11 are byte-identical → 10 is canonical, 11 is not
+    assert(out(10L).getAs[String]("clean_text") == out(11L).getAs[String]("clean_text"))
+    assert(out(10L).getAs[Boolean]("is_canonical") && out(10L).getAs[Boolean]("curate_keep"))
+    assert(!out(11L).getAs[Boolean]("is_canonical") && !out(11L).getAs[Boolean]("curate_keep"))
+    assert(out(12L).getAs[Boolean]("curate_keep"))
+  }
+
   test("dedupCorpusBy: highest-priority member kept, cluster label stays min id") {
     val base = (1 to 30).map(i => s"shared sentence number $i.").mkString(" ")
     val docs = Seq(
