@@ -662,6 +662,37 @@ object Dedup {
     verified
   }
 
+  /** An LSH banding configuration and its S-curve characteristics:
+    * a pair with Jaccard similarity s collides in ≥1 band with
+    * probability 1 − (1 − s^rows)^bands; `inflection` ≈ (1/bands)^(1/rows)
+    * is where that curve crosses ~0.5 — the effective similarity
+    * threshold of the configuration.
+    */
+  final case class LshPlan(numHashes: Int, bands: Int, rowsPerBand: Int,
+      inflection: Double) {
+    /** P(≥1 band collision) for a pair of Jaccard similarity `s`. */
+    def collisionProb(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+  }
+
+  /** Banding planner: the (bands, rowsPerBand) factorization of
+    * `numHashes` whose S-curve inflection sits closest to the target
+    * similarity threshold — the "turn a threshold into banding dials"
+    * helper for [[minhashBands]]/[[minhashCandidates]]/[[dedupCorpus]]
+    * (which default to 12 hashes = 4 bands × 3 rows, inflection ≈ 0.63).
+    * Driver-side scalar math; price the result on real data with
+    * [[pairRecall]].
+    */
+  def lshPlan(threshold: Double, numHashes: Int = 12): LshPlan = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    require(numHashes > 0, "numHashes must be positive")
+    val plans = (1 to numHashes).filter(numHashes % _ == 0).map { r =>
+      val b = numHashes / r
+      LshPlan(numHashes, b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    plans.minBy(p => math.abs(p.inflection - threshold))
+  }
+
   /** Recall of a candidate pair set against a reference pair set — the
     * "measure, don't guess" evaluation for approximate dedup: how many of
     * the true (reference) duplicate pairs does the cheap candidate

@@ -205,6 +205,24 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test corpus must contain near-identical docs")
   }
 
+  test("lshPlan: picks the factorization whose inflection is nearest the threshold") {
+    // 12 hashes: inflections are b12r1≈0.083, b6r2≈0.408, b4r3≈0.630,
+    // b3r4≈0.760, b2r6≈0.891, b1r12=1.0
+    val loose = Dedup.lshPlan(0.45, 12)
+    assert(loose.bands == 6 && loose.rowsPerBand == 2)
+    val default = Dedup.lshPlan(0.6, 12)
+    assert(default.bands == 4 && default.rowsPerBand == 3) // the repo default
+    val strict = Dedup.lshPlan(0.9, 12)
+    assert(strict.bands == 2 && strict.rowsPerBand == 6)
+    // S-curve sanity: monotone in s, ~0.5 at the inflection, steep around it
+    val p = default
+    assert(p.collisionProb(0.2) < 0.1)
+    assert(math.abs(p.collisionProb(p.inflection) - 0.5) < 0.2)
+    assert(p.collisionProb(0.95) > 0.97)
+    assert(p.collisionProb(0.3) < p.collisionProb(0.7))
+    intercept[IllegalArgumentException](Dedup.lshPlan(1.0))
+  }
+
   test("pairRecall: fraction of reference pairs present in the candidate set") {
     val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
     val cand = Seq((1L, 2L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b")
