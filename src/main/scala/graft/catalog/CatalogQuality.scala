@@ -410,7 +410,37 @@ object CatalogQuality {
       SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
       FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""))
 
+  /** Bigram stupid-backoff LM scoring (CCNet-style perplexity filter):
+    * train on the `lang = 'en'` slice (193/500 docs at sf0.01 — a real
+    * seen/unseen split, so BOTH probability branches are exercised), score
+    * every document. Oracle replays the exact backoff formula.
+    */
+  private val bigramLm = Q("txt_bigram_logprob",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLogProb(docs, "text", "doc_id",
+        docs.where(col("lang") === "en"), "text")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, $tokenizeSql AS l FROM documents),
+      bgd AS (SELECT doc_id, lang, l[i] AS w1, l[i+1] AS w2
+        FROM (SELECT doc_id, lang, l,
+          unnest(generate_series(1, greatest(len(l)-1, 0))) AS i FROM d)),
+      uni AS (SELECT tok, count(*) AS c FROM
+        (SELECT unnest(l) AS tok FROM d WHERE lang = 'en') GROUP BY tok),
+      stats AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+      bgtr AS (SELECT w1, w2, count(*) AS cb FROM bgd WHERE lang = 'en' GROUP BY w1, w2)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(avg(ln(CASE WHEN cb IS NOT NULL THEN cb::DOUBLE / c1
+          ELSE 0.4 * (coalesce(c2, 0) + 1)::DOUBLE / (n + v) END)), 6) AS avg_logprob
+      FROM bgd
+      LEFT JOIN bgtr USING (w1, w2)
+      LEFT JOIN (SELECT tok, c AS c1 FROM uni) u1 ON bgd.w1 = u1.tok
+      LEFT JOIN (SELECT tok, c AS c2 FROM uni) u2 ON bgd.w2 = u2.tok
+      CROSS JOIN stats
+      GROUP BY doc_id"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
-    curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ)
+    curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
+    bigramLm)
 }

@@ -504,6 +504,64 @@ object TextAnalysis {
         round(avg(log(col("n").cast("double") / col("c"))), 6).as("avg_surprisal"))
   }
 
+  /** Bigram language-model scoring with stupid backoff — the CCNet-style
+    * "perplexity filter" tier: train token-bigram counts on a reference
+    * corpus (`train`, e.g. a trusted high-quality slice), then score every
+    * document of `df` by its average bigram log-probability. Documents far
+    * below the corpus mode read as boilerplate/gibberish; far above as
+    * memorized duplication of the training slice.
+    *
+    * Probability per adjacent token pair (w1, w2):
+    * `count(w1,w2)/count(w1)` when the bigram was seen in training, else
+    * stupid backoff `alpha * (count(w2)+1)/(N+V)` (add-one smoothed
+    * unigram so never-seen continuations score finitely; N = training
+    * tokens, V = training vocabulary). Stupid backoff deliberately skips
+    * discount normalization (Brants et al. 2007, "Large Language Models in
+    * Machine Translation") — at corpus scale the unnormalized score ranks
+    * identically and costs one join instead of a full discount pass.
+    *
+    * Plan shape at 100 TB: bigrams are built IN-ROW from the materialized
+    * token array (zip of the array with its own tail — no self-join on
+    * position, no window). Counting is two partial-agg shuffles over the
+    * training slice (unigrams, bigrams). Scoring joins the document bigram
+    * stream against the two count tables on their natural keys — shuffle
+    * hash joins whose build sides are count tables (vocabulary-sized, far
+    * smaller than the corpus; Spark broadcasts them when they fit). The
+    * per-doc rollup is the last shuffle; output is one row per scored
+    * document with ≥ 2 tokens (a 0/1-token document has no bigram to
+    * score and is absent — gate on token count upstream if those must
+    * survive). Returns (idCol, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      train: DataFrame, trainTextCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    def bigrams(in: DataFrame, textC: String, keep: Seq[String]): DataFrame =
+      in.select(keep.map(col) :+ Dedup.tokenize(col(textC)).as("l"): _*)
+        .where(size(col("l")) >= 2)
+        .select(keep.map(col) :+ explode(arrays_zip(
+          slice(col("l"), lit(1), size(col("l")) - 1).as("w1"),
+          slice(col("l"), lit(2), size(col("l")) - 1).as("w2"))).as("bg"): _*)
+        .select((keep.map(col) :+ col("bg.w1") :+ col("bg.w2")): _*)
+    val trainBg = bigrams(train, trainTextCol, Seq.empty)
+    val uni = train.select(explode(Dedup.tokenize(col(trainTextCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val stats = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val bgCounts = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val docBg = bigrams(df, textCol, Seq(idCol))
+    val p = when(col("cb").isNotNull, col("cb").cast("double") / col("c1"))
+      .otherwise(lit(alpha) * (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+        (col("n") + col("v")))
+    docBg
+      .join(bgCounts, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok"), col("c").as("c1")), col("w1") === col("tok"), "left")
+      .drop("tok")
+      .join(uni.select(col("tok"), col("c").as("c2")), col("w2") === col("tok"), "left")
+      .drop("tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
     * corpus frequency (ties lexicographic — deterministic at the cutoff)
     * and report each document's out-of-vocabulary token rate — the

@@ -559,4 +559,22 @@ class QualityOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(kernel == declared)
   }
+
+  test("bigramLogProb: seen bigrams use MLE, unseen back off, short docs drop") {
+    val train = Seq((100L, "the cat sat"), (101L, "the cat ran")).toDF("doc_id", "text")
+    val score = Seq(
+      (0L, "the cat sat"),  // both bigrams seen: avg(ln 1, ln 1/2)
+      (1L, "the dog sat"),  // both unseen: backoff on dog (c=0) and sat (c=1)
+      (2L, "zz qq"),        // fully out-of-vocabulary: pure smoothed backoff
+      (3L, "solo")          // one token: no bigram, absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(score, "text", "doc_id", train, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // expectations hand-computed from the stupid-backoff formula:
+    // N=6 train tokens, V=4 vocab, alpha=0.4
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((2L, -0.346574)))   // avg(ln 2/2, ln 1/2)
+    assert(out(1L) == ((2L, -2.872302)))   // avg(ln .4*1/10, ln .4*2/10)
+    assert(out(2L) == ((1L, -3.218876)))   // ln .4*1/10
+  }
 }
