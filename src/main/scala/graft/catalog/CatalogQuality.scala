@@ -439,8 +439,36 @@ object CatalogQuality {
       CROSS JOIN stats
       GROUP BY doc_id"""))
 
+  /** DSIR importance weights: target = the `lang = 'en'` slice, raw = the
+    * whole corpus; hashed unigram+bigram features (1024 buckets, h60 seed
+    * 31). The oracle replays the exact hash, smoothing and weight formula.
+    */
+  private val dsir = Q("txt_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.importanceWeights(docs, "text", "doc_id",
+        docs.where(col("lang") === "en"), "text")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, $tokenizeSql AS l FROM documents),
+      feats AS (
+        SELECT doc_id, lang, unnest(l) AS f FROM d
+        UNION ALL
+        SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS f
+        FROM (SELECT doc_id, lang, l,
+          unnest(generate_series(1, greatest(len(l)-1, 0))) AS i FROM d)),
+      fb AS (SELECT doc_id, lang, ${CatalogOps.h60Sql("f", 31)} % 1024 AS b FROM feats),
+      tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+      st AS (SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS nt,
+                    (SELECT count(*) FROM fb) AS nr)
+      SELECT doc_id, count(*) AS n_feats,
+        round(sum(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024))
+                - ln((coalesce(cr, 0) + 1)::DOUBLE / (nr + 1024))), 6) AS log_weight
+      FROM fb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN st
+      GROUP BY doc_id"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
-    bigramLm)
+    bigramLm, dsir)
 }

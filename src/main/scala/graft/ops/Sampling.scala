@@ -107,4 +107,61 @@ object Sampling {
         floor(round(pow(col("n_docs"), lit(alpha)) / col("__z") * budget, 6))
           .cast("long").as("target_docs"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document of
+    * `df` by how much more likely its hashed n-gram features are under a
+    * small `target` corpus (the distribution you WANT — e.g. a trusted
+    * reference set) than under the raw corpus itself. Resampling `df` with
+    * these log-weights (e.g. [[weightedSample]] on the softmaxed weight, or
+    * top-k by weight) tilts a 100 TB crawl toward the target domain without
+    * training a classifier.
+    *
+    * Features are the paper's: unigrams plus space-joined bigrams, hashed
+    * into `numBuckets` buckets via the engine's md5-derived portable hash
+    * (so any engine — the DuckDB oracle included — reproduces the exact
+    * weights). Both bucket distributions are add-one smoothed over the
+    * bucket space; the per-feature weight is
+    * `ln p_target(bucket) − ln p_raw(bucket)`.
+    *
+    * Plan shape at 100 TB: features are built IN-ROW (token array zipped
+    * with its own tail — no position join); the two distribution estimates
+    * are partial-agg count shuffles whose OUTPUT is bounded by
+    * `numBuckets` rows regardless of corpus size, and join back to the
+    * per-document feature stream as broadcasts. The per-doc rollup is the
+    * single corpus-wide shuffle. Documents with zero tokens have no
+    * features and are absent from the output. Returns
+    * (idCol, n_feats, log_weight).
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      target: DataFrame, targetTextCol: String,
+      numBuckets: Int = 1024, seed: Int = 31): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    def buckets(in: DataFrame, textC: String, keep: Seq[String]): DataFrame =
+      in.select(keep.map(col) :+ Dedup.tokenize(col(textC)).as("l"): _*)
+        .where(size(col("l")) >= 1)
+        .select(keep.map(col) :+ explode(concat(
+          col("l"),
+          zip_with(slice(col("l"), lit(1), size(col("l")) - 1),
+            slice(col("l"), lit(2), size(col("l")) - 1),
+            (a, b) => concat_ws(" ", a, b)))).as("f"): _*)
+        .select(keep.map(col) :+
+          pmod(Dedup.h60(col("f"), seed), lit(numBuckets.toLong)).as("b"): _*)
+    val docB = buckets(df, textCol, Seq(idCol))
+    val rawCounts = docB.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = buckets(target, targetTextCol, Seq.empty)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val stats = rawCounts.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgtCounts.agg(sum(col("ct")).as("nt")))
+    val w = log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("nt") + numBuckets)) -
+      log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+        (col("nr") + numBuckets))
+    docB
+      .join(broadcast(tgtCounts), Seq("b"), "left")
+      .join(broadcast(rawCounts), Seq("b"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), round(sum(w), 6).as("log_weight"))
+  }
 }

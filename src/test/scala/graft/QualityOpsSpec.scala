@@ -577,4 +577,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, -2.872302)))   // avg(ln .4*1/10, ln .4*2/10)
     assert(out(2L) == ((1L, -3.218876)))   // ln .4*1/10
   }
+
+  test("importanceWeights: target-like docs outweigh off-domain; features = uni+bi") {
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "a cat and a dog")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "the cat sat"),              // target-like
+      (1L, "quantum flux capacitor"),   // off-domain
+      (2L, ""),                         // zero tokens: absent from output
+      (3L, "the cat sat")               // identical text ⇒ identical weight
+    ).toDF("doc_id", "text")
+    val out = Sampling.importanceWeights(raw, "text", "doc_id", target, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 3L))
+    // 3 unigrams + 2 bigrams
+    assert(out(0L)._1 == 5L && out(1L)._1 == 5L)
+    assert(out(0L)._2 > out(1L)._2)
+    assert(out(0L) == out(3L)) // deterministic: same text, same weight
+  }
 }
