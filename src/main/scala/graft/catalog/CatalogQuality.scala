@@ -467,8 +467,40 @@ object CatalogQuality {
       FROM fb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN st
       GROUP BY doc_id"""))
 
+  /** BM25 top-5 retrieval: queries = every 100th document against the full
+    * corpus (self excluded). Scores round to 6 dp BEFORE ranking on both
+    * sides — the sum's float accumulation order is engine-dependent.
+    */
+  private val bm25 = Q("txt_bm25_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 5)
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      st AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct($tokenizeSql)) AS tok
+        FROM documents WHERE doc_id % 100 = 0),
+      dfq AS (SELECT tok, count(*) AS dft FROM tf
+        WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+      sc AS (SELECT query_id, tf.doc_id AS corpus_id,
+          round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        WHERE tf.doc_id <> query_id
+        GROUP BY query_id, tf.doc_id),
+      ranked AS (SELECT query_id, corpus_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, corpus_id) AS rank
+        FROM sc)
+      SELECT query_id, corpus_id, score, rank::INT AS rank
+      FROM ranked WHERE rank <= 5"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
-    bigramLm, dsir)
+    bigramLm, dsir, bm25)
 }

@@ -48,7 +48,7 @@ object Similarity {
   }
 
   /** groupBy(query).agg(bounded top-k) → one row per (query, rank). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     scored.groupBy(col("query_id"))
       .agg(topk(col("cos"), col("corpus_id")).as("top"))

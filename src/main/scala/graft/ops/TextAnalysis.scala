@@ -562,6 +562,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
   }
 
+  /** BM25 top-k retrieval over the corpus (Okapi BM25 with the Lucene idf
+    * `ln(1 + (N − df + ½)/(df + ½))`): for each query, the `k` best
+    * documents by summed per-term score
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`. Query term
+    * frequency is ignored (distinct query tokens — the short-query BM25
+    * convention). A query drawn from the corpus never retrieves itself
+    * (`corpus_id ≠ query_id`), so self-matches don't mask the ranking.
+    * This is the retrieval tier of a curation stack: retrieval-based
+    * decontamination, nearest-neighbor quality audits, building eval sets.
+    *
+    * Scores are rounded to 6 dp BEFORE ranking: a BM25 score is a sum of
+    * per-term contributions whose float accumulation order is
+    * engine-dependent, so ranking raw doubles would let last-ulp noise
+    * flip tie order across engines; rounded-then-ranked (ties by
+    * corpus_id) is reproducible everywhere.
+    *
+    * Plan shape at 100 TB: term frequencies and document lengths are
+    * partial-agg shuffles of the corpus (the inverted index); query terms
+    * and the per-term document frequencies RESTRICTED to query terms are
+    * broadcast (bounded by the query set, not the vocabulary); the
+    * posting join fans out only rows containing a query term; the
+    * per-(query, doc) rollup shuffles candidates; top-k runs in the
+    * bounded-heap aggregate ([[Similarity.TopKAgg]]) — each partition
+    * ships at most k candidates per query, never a corpus-sized sort.
+    * Returns (query_id, corpus_id, score, rank).
+    */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = corpus.select(col(idCol).as("__doc"), explode(Dedup.tokenize(col(textCol))).as("tok"))
+      .groupBy(col("__doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(Dedup.tokenize(col(qTextCol)))).as("tok"))
+    val dfq = tf.join(broadcast(qTerms.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+    val idf = log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5))
+    val tfn = col("tf").cast("double") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("tok"))
+      .where(col("__doc") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("__doc"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("__doc"))
+      .agg(round(sum(idf * tfn), 6).as("cos"))
+      .select(col("query_id"), col("cos"), col("__doc").as("corpus_id"))
+    Similarity.topKPerQuery(scored, k)
+      .withColumnRenamed("cos", "score")
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
     * corpus frequency (ties lexicographic — deterministic at the cutoff)
     * and report each document's out-of-vocabulary token rate — the

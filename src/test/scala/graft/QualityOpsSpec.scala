@@ -595,4 +595,23 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(0L)._2 > out(1L)._2)
     assert(out(0L) == out(3L)) // deterministic: same text, same weight
   }
+
+  test("bm25TopK: term-match retrieval, self excluded, rare terms outweigh common") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian elderberry fig"),
+      (5L, "apple apple apple apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      docs.where(col("doc_id") === 1), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // query "apple banana apple": self (1) excluded; 4 shares no term
+    assert(out.map(_._2).toSet == Set(2L, 3L, 5L))
+    assert(out.forall(_._1 == 1L) && out.forall(_._3 > 0.0))
+    // ranks are 1..3 and ordered by score desc
+    assert(out.sortBy(_._4).map(_._4).toSeq == Seq(1, 2, 3))
+    val byRank = out.sortBy(_._4).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
 }
