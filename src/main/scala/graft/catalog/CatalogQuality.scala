@@ -499,8 +499,48 @@ object CatalogQuality {
       SELECT query_id, corpus_id, score, rank::INT AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** Spherical k-means: hash-mod seed sample → 2 Lloyd rounds (cosine
+    * assignment, 9-dp-rounded mean update) over the 64-dim embeddings.
+    * The oracle unrolls both iterations; the 9-dp round per update is what
+    * keeps cluster membership bit-identical across engines.
+    */
+  private val kmeansQ = Q("sim_kmeans_centroids",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.kmeansCentroids(emb, "v", "vec_id", k = 8, iters = 2)
+        .select(col("centroid_id"),
+          posexplode(col("centroid_vec")).as(Seq("__p", "__v")),
+          col("n_members"))
+        .select(col("centroid_id"), (col("__p") + 1).cast("int").as("dim"),
+          round(col("__v"), 6).as("val"), col("n_members"))
+    },
+    Some {
+      val cos = "list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))"
+      def iter(prev: String, n: Int) =
+        s"""s$n AS (SELECT e.vec_id AS id, e.v, centroid_id, $cos AS ccos
+          FROM e CROSS JOIN $prev),
+        a$n AS (SELECT id, v, centroid_id AS cluster_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, centroid_id) AS r
+          FROM s$n) WHERE r = 1),
+        m$n AS (SELECT cluster_id, i, round(avg(v[i]), 9) AS mv, count(*) AS nm
+          FROM (SELECT cluster_id, v, unnest(generate_series(1, 64)) AS i FROM a$n)
+          GROUP BY cluster_id, i),
+        c$n AS (SELECT cluster_id AS centroid_id, list(mv ORDER BY i) AS cv,
+          any_value(nm) AS n_members FROM m$n GROUP BY cluster_id)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cdiv AS (SELECT greatest(1, count(*) // 8) AS d FROM e),
+      c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WHERE ${CatalogOps.h60Sql("vec_id::VARCHAR", graft.ops.Similarity.CentroidSeed)} % (SELECT d FROM cdiv) = 0),
+      ${iter("c0", 1)},
+      ${iter("c1", 2)}
+      SELECT cluster_id AS centroid_id, i::INT AS dim, round(mv, 6) AS val,
+        nm AS n_members
+      FROM m2"""
+    })
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
-    bigramLm, dsir, bm25)
+    bigramLm, dsir, bm25, kmeansQ)
 }

@@ -508,6 +508,93 @@ object Similarity {
       centroidSample(df, vecCol, idCol, numCentroids, knownCount),
       queryPred, k)
 
+  /** Element-wise vector sum + member count, as a typed Aggregator: the
+    * map-side-combining reduction under [[kmeansCentroids]]'s update step.
+    * Each partition ships ONE (sum, count) buffer per cluster — k×P rows
+    * through the exchange instead of the N×d rows a posexplode +
+    * per-dimension groupBy would shuffle. Mismatched vector widths throw
+    * (a malformed embedding would otherwise silently corrupt every mean
+    * in its cluster — the dedup/ANN family's null-on-mismatch convention
+    * is for per-row scores, not cross-row aggregates).
+    */
+  final class VecSumCountAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Double], (Array[Double], Long), (Array[Double], Long)] {
+    private def add(s: Array[Double], a: Array[Double]): Array[Double] = {
+      require(s.length == a.length,
+        s"vector width mismatch in k-means update: ${s.length} vs ${a.length}")
+      var i = 0
+      while (i < s.length) { s(i) += a(i); i += 1 }
+      s
+    }
+    def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    def reduce(b: (Array[Double], Long), a: Array[Double]): (Array[Double], Long) =
+      if (a == null) b
+      else if (b._2 == 0L) (a.clone(), 1L)
+      else (add(b._1, a), b._2 + 1)
+    def merge(b1: (Array[Double], Long), b2: (Array[Double], Long)): (Array[Double], Long) =
+      if (b1._2 == 0L) b2
+      else if (b2._2 == 0L) b1
+      else (add(b1._1, b2._1), b1._2 + b2._2)
+    def finish(b: (Array[Double], Long)): (Array[Double], Long) = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+  }
+
+  /** Spherical k-means (Lloyd) centroid refinement: start from the
+    * deterministic fixed-budget [[centroidSample]], then `iters` rounds of
+    * assign-to-nearest (cosine, via [[ivfAssignTo]] — the exact assignment
+    * the IVF family serves queries with) and mean-update. Refined
+    * centroids drop straight into [[ivfTopK]] / [[semanticDedupTwoLevel]]
+    * as the explicit centroid frame — better-centered cells mean higher
+    * recall at the same nprobe (measured in SCALE.md).
+    *
+    * Determinism across engines: each update rounds centroid components
+    * to 9 dp, so every engine re-deriving the iteration (the DuckDB
+    * oracle included) feeds bit-identical centroids into the next
+    * assignment — float accumulation order in the mean never leaks into
+    * cluster membership. Clusters that lose every member die (standard
+    * Lloyd) and are absent from the output.
+    *
+    * Plan shape at 100 TB: per iteration, one broadcast of k centroid
+    * rows + one partial-agg shuffle whose exchange carries k×partitions
+    * (sum, count) buffers ([[VecSumCountAgg]]) — assignment work is N×k×d
+    * inside the scan, shuffle volume is O(k), and the tiny centroid frame
+    * is localCheckpoint'ed each round so the plan stays iteration-depth-
+    * free. Returns (centroid_id, centroid_vec, n_members).
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, knownCount: Option[Long] = None): DataFrame =
+    kmeansCentroids(df, vecCol, idCol,
+      centroidSample(df, vecCol, idCol, k, knownCount), iters)
+
+  /** [[kmeansCentroids]] from an explicit initial centroid frame
+    * `(centroid_id, centroid_vec)` — for warm restarts and externally
+    * chosen seeds.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sumCount = udaf(new VecSumCountAgg)
+    var centroids = init
+    var out: DataFrame = null
+    for (_ <- 0 until iters) {
+      out = ivfAssignTo(df, vecCol, idCol, centroids)
+        .groupBy(col("cluster_id"))
+        .agg(sumCount(col("vec")).as("sc"))
+        .select(col("cluster_id").as("centroid_id"),
+          col("sc._1").as("__s"), col("sc._2").as("n_members"))
+        .select(col("centroid_id"),
+          transform(col("__s"), x => round(x / col("n_members"), 9)).as("centroid_vec"),
+          col("n_members"))
+        .localCheckpoint(true)
+      centroids = out.select(col("centroid_id"), col("centroid_vec"))
+    }
+    out
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * ANN counterpart of [[Dedup.pairRecall]], and the same "measure, don't
     * guess" discipline: every IVF/PQ approximation should be priced with

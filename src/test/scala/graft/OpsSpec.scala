@@ -591,4 +591,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("audio_rms") - 0.5) < 1e-12)
     assert(out.isNullAt(out.fieldIndex("decode_error")))
   }
+
+  test("kmeansCentroids: Lloyd converges to group means; empty clusters die") {
+    // two tight groups on orthogonal axes + two seeds, one per group, plus
+    // a third seed pointing AWAY from every point (negative cosine with
+    // the whole fixture) that must lose every member and die
+    val pts = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(1.0, 0.2)),
+      (10L, Array(0.0, 1.0)), (11L, Array(0.1, 0.9)), (12L, Array(0.2, 1.0))
+    ).toDF("id", "v")
+    val init = Seq(
+      (100L, Array(0.8, 0.05)), (200L, Array(0.05, 0.8)),
+      (300L, Array(-1.0, -1.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val out = Similarity.kmeansCentroids(pts, "v", "id", init, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    // group A (x-axis) all land on one centroid, group B on the other
+    assert(out.keySet.subsetOf(Set(100L, 200L, 300L)))
+    val a = out.filterNot(_._2._2 == 0L)
+    assert(a.values.map(_._2).sum == 6L)
+    val (va, na) = out(100L); val (vb, nb) = out(200L)
+    assert(na == 3L && nb == 3L && !out.contains(300L))
+    // after round 1 both groups' members are stable, so round 2's mean is
+    // exactly the group mean (rounded to 9 dp)
+    assert(va == Seq(0.966666667, 0.1) && vb == Seq(0.1, 0.966666667))
+  }
 }
