@@ -539,8 +539,36 @@ object CatalogQuality {
       FROM m2"""
     })
 
+  /** Banding planner over a threshold grid: for every t in 0.05..0.95 the
+    * (bands, rows) factorization of 24 hashes whose S-curve inflection
+    * sits closest to t. Driver-side scalar math (the planner's natural
+    * home), oracle-replayed as an argmin over the divisor lattice — ties
+    * on |inflection − t| break toward fewer rows per band, matching the
+    * planner's first-minimum scan order.
+    */
+  private val lshPlanQ = Q("dd_lsh_plan",
+    (s, dir) => {
+      import s.implicits._
+      (1 to 19).map { i =>
+        val t = i / 20.0
+        val p = Dedup.lshPlan(t, numHashes = 24)
+        (t, p.bands, p.rowsPerBand, p.inflection)
+      }.toDF("threshold", "bands", "rows_per_band", "inflection")
+        .select(col("threshold"), col("bands"), col("rows_per_band"),
+          round(col("inflection"), 6).as("inflection"))
+    },
+    Some("""WITH th AS (SELECT i::DOUBLE / 20 AS threshold FROM generate_series(1, 19) AS t(i)),
+      rs AS (SELECT r FROM generate_series(1, 24) AS t(r) WHERE 24 % r = 0),
+      plans AS (SELECT threshold, (24 // r)::INT AS bands, r::INT AS rows_per_band,
+          pow(1.0 / (24 // r), 1.0 / r) AS inflection
+        FROM th CROSS JOIN rs),
+      best AS (SELECT *, row_number() OVER (PARTITION BY threshold
+          ORDER BY abs(inflection - threshold), rows_per_band) AS rn FROM plans)
+      SELECT threshold, bands, rows_per_band, round(inflection, 6) AS inflection
+      FROM best WHERE rn = 1"""))
+
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
-    bigramLm, dsir, bm25, kmeansQ)
+    bigramLm, dsir, bm25, kmeansQ, lshPlanQ)
 }

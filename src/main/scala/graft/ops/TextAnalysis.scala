@@ -523,14 +523,16 @@ object TextAnalysis {
     * Plan shape at 100 TB: bigrams are built IN-ROW from the materialized
     * token array (zip of the array with its own tail — no self-join on
     * position, no window). Counting is two partial-agg shuffles over the
-    * training slice (unigrams, bigrams). Scoring joins the document bigram
-    * stream against the two count tables on their natural keys — shuffle
-    * hash joins whose build sides are count tables (vocabulary-sized, far
-    * smaller than the corpus; Spark broadcasts them when they fit). The
-    * per-doc rollup is the last shuffle; output is one row per scored
-    * document with ≥ 2 tokens (a 0/1-token document has no bigram to
-    * score and is absent — gate on token count upstream if those must
-    * survive). Returns (idCol, n_bigrams, avg_logprob).
+    * training slice (unigrams, bigrams); the MLE and backoff LOG-PROBS are
+    * then folded INTO those tables (a table-sized join, never touching the
+    * corpus), so the document bigram stream joins exactly twice — seen-
+    * bigram lookup on (w1, w2), backoff lookup on w2 — instead of three
+    * times, with the fully-unseen case a constant from the broadcast
+    * stats row. Build sides are vocabulary-sized (Spark broadcasts them
+    * when they fit). The per-doc rollup is the last shuffle; output is
+    * one row per scored document with ≥ 2 tokens (a 0/1-token document
+    * has no bigram to score and is absent — gate on token count upstream
+    * if those must survive). Returns (idCol, n_bigrams, avg_logprob).
     */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
       train: DataFrame, trainTextCol: String, alpha: Double = 0.4): DataFrame = {
@@ -546,20 +548,24 @@ object TextAnalysis {
     val uni = train.select(explode(Dedup.tokenize(col(trainTextCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val stats = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val bgCounts = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // log-probs folded into the lookup tables (table-sized joins):
+    // seen-bigram MLE on (w1, w2), smoothed backoff keyed by w2 alone
+    val bgTable = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .select(col("w1"), col("w2"), log(col("cb").cast("double") / col("c")).as("lp_seen"))
+    val backoff = uni.crossJoin(broadcast(stats))
+      .select(col("tok").as("w2"),
+        log(lit(alpha) * (col("c") + 1).cast("double") / (col("n") + col("v"))).as("lp_backoff"))
     val docBg = bigrams(df, textCol, Seq(idCol))
-    val p = when(col("cb").isNotNull, col("cb").cast("double") / col("c1"))
-      .otherwise(lit(alpha) * (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-        (col("n") + col("v")))
+    // fully-unseen continuation: the same smoothed formula at c = 0
+    val lpUnseen = log(lit(alpha) * lit(1).cast("double") / (col("n") + col("v")))
     docBg
-      .join(bgCounts, Seq("w1", "w2"), "left")
-      .join(uni.select(col("tok"), col("c").as("c1")), col("w1") === col("tok"), "left")
-      .drop("tok")
-      .join(uni.select(col("tok"), col("c").as("c2")), col("w2") === col("tok"), "left")
-      .drop("tok")
+      .join(bgTable, Seq("w1", "w2"), "left")
+      .join(backoff, Seq("w2"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(coalesce(col("lp_seen"), col("lp_backoff"), lpUnseen)), 6).as("avg_logprob"))
   }
 
   /** BM25 top-k retrieval over the corpus (Okapi BM25 with the Lucene idf
