@@ -969,6 +969,108 @@ object CatalogOps {
       NULL::VARCHAR AS decode_error
       FROM documents, unnest(generate_series(0, (doc_id % 4)::INT)) AS t(f)"""))
 
+  /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
+    * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
+    * writer, lossless) hashed by [[Multimodal.imagePerceptualHash]] — the
+    * oracle replays the 8×8 / 9×8 box-average downsample and bit rules
+    * closed-form (integer grays make every average exact, and all image
+    * rows are identical so the 64-bit hash is the 8-bit row pattern
+    * repeated — `repeat(rowbits, 8)` in SQL vs `lpad(bin(hash))` in
+    * Spark).
+    */
+  private val mmPhash = Q("mm_image_phash",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticPngGradient(lit(16), lit(8),
+          (col("doc_id") * 37 % 256).cast("int"),
+          (lit(16) + col("doc_id") * 13 % 96).cast("int")).as("payload"))
+      Multimodal.imagePerceptualHash(imgs, "payload")
+        .select(col("doc_id"),
+          lpad(bin(col("img_ahash")), 64, "0").as("ahash_bits"),
+          lpad(bin(col("img_dhash")), 64, "0").as("dhash_bits"),
+          col("decode_error"))
+    },
+    Some("""WITH px AS (
+        SELECT doc_id, i,
+          ((doc_id*37 % 256) + (16 + doc_id*13 % 96) * i) % 256 AS g
+        FROM documents, unnest(generate_series(0, 15)) AS t(i)),
+      c8 AS (SELECT doc_id, (i*8)//16 AS cx, avg(g) AS cg FROM px GROUP BY 1, 2),
+      m AS (SELECT doc_id, avg(cg) AS mean FROM c8 GROUP BY 1),
+      arow AS (SELECT c8.doc_id,
+          string_agg(CASE WHEN cg >= mean THEN '1' ELSE '0' END, '' ORDER BY cx DESC) AS rb
+        FROM c8 JOIN m ON c8.doc_id = m.doc_id GROUP BY 1),
+      c9 AS (SELECT doc_id, (i*9)//16 AS cx, avg(g) AS cg FROM px GROUP BY 1, 2),
+      drow AS (SELECT a.doc_id,
+          string_agg(CASE WHEN a.cg < b.cg THEN '1' ELSE '0' END, '' ORDER BY a.cx DESC) AS rb
+        FROM c9 a JOIN c9 b ON a.doc_id = b.doc_id AND b.cx = a.cx + 1 GROUP BY 1)
+      SELECT a.doc_id, repeat(a.rb, 8) AS ahash_bits, repeat(d.rb, 8) AS dhash_bits,
+        NULL::VARCHAR AS decode_error
+      FROM arow a JOIN drow d ON a.doc_id = d.doc_id"""))
+
+  /** Image near-dup pairs: perceptual aHash + [[Dedup.hammingPairs]]
+    * banding (bits=64, bands=16 ⇒ EXACT recall for Hamming ≤ 8 by
+    * pigeonhole). Docs share a gradient class via doc_id % 150, so
+    * hamming-0 groups exist by construction and near-classes land within
+    * a row-bit of each other; the oracle recomputes each doc's 8-bit row
+    * pattern and scores all pairs exactly (row-distance × 8 = hash
+    * distance, since the hash is the row repeated).
+    */
+  private val mmPhashNearDup = Q("mm_phash_neardup",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticPngGradient(lit(16), lit(8),
+          (col("doc_id") % 150 * 37 % 256).cast("int"),
+          (lit(16) + col("doc_id") % 150 * 13 % 96).cast("int")).as("payload"))
+      val sigs = Multimodal.imagePerceptualHash(imgs, "payload")
+        .select(col("doc_id"), col("img_ahash"))
+      Dedup.hammingPairs(sigs, "doc_id", "img_ahash",
+        bits = 64, bands = 16, maxHamming = 8)
+    },
+    Some("""WITH px AS (
+        SELECT doc_id, i,
+          ((doc_id % 150 * 37 % 256) + (16 + doc_id % 150 * 13 % 96) * i) % 256 AS g
+        FROM documents, unnest(generate_series(0, 15)) AS t(i)),
+      c8 AS (SELECT doc_id, (i*8)//16 AS cx, avg(g) AS cg FROM px GROUP BY 1, 2),
+      m AS (SELECT doc_id, avg(cg) AS mean FROM c8 GROUP BY 1),
+      arow AS (SELECT c8.doc_id,
+          string_agg(CASE WHEN cg >= mean THEN '1' ELSE '0' END, '' ORDER BY cx DESC) AS rb
+        FROM c8 JOIN m ON c8.doc_id = m.doc_id GROUP BY 1),
+      ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          (8 * (SELECT sum(CASE WHEN substr(a.rb, p, 1) <> substr(b.rb, p, 1)
+                  THEN 1 ELSE 0 END)
+                FROM unnest(generate_series(1, 8)) AS t(p)))::BIGINT AS hamming
+        FROM arow a JOIN arow b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8"""))
+
+  /** Audio envelope fingerprint over REAL decoded PCM: per-doc stepped
+    * square-wave WAVs (65 steps, amp_k = (base + 797k) mod 16384, params
+    * from doc_id) fingerprinted by [[Multimodal.audioEnvelopeHash]] — the
+    * steps align exactly with the 65 RMS windows (frames = 65·m), PCM is
+    * lossless and |±amp| constant per step, so window RMS = amp_k/32768
+    * exactly and each delta-sign bit is just amp_k < amp_{k+1}, which the
+    * oracle replays closed-form.
+    */
+  private val mmAudioFp = Q("mm_audio_fingerprint",
+    (s, dir) => {
+      val wavs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticWavEnvelope(lit(8000),
+          (lit(2) + col("doc_id") % 3).cast("int"), lit(65),
+          (col("doc_id") * 31 % 16384).cast("int"), lit(797)).as("payload"))
+      Multimodal.audioEnvelopeHash(wavs, "payload")
+        .select(col("doc_id"),
+          lpad(bin(col("audio_envhash")), 64, "0").as("envhash_bits"),
+          col("decode_error"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, k,
+          CASE WHEN ((doc_id*31 % 16384) + 797*k) % 16384
+                  < ((doc_id*31 % 16384) + 797*(k+1)) % 16384
+            THEN '1' ELSE '0' END AS bit
+        FROM documents, unnest(generate_series(0, 63)) AS t(k))
+      SELECT doc_id, string_agg(bit, '' ORDER BY k DESC) AS envhash_bits,
+        NULL::VARCHAR AS decode_error
+      FROM b GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
@@ -1100,5 +1202,6 @@ object CatalogOps {
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
+    mmPhash, mmPhashNearDup, mmAudioFp,
     stWindow)
 }

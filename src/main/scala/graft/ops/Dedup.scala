@@ -504,22 +504,36 @@ object Dedup {
     * bounded buckets, never all-pairs. Returns (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol, bits), "id", "simhash",
+      bits, bands, maxHamming)
+
+  /** Hamming-banded near-duplicate pairs over ANY precomputed bit-signature
+    * column (SimHash, perceptual image hashes, audio fingerprints): split
+    * each `bits`-bit signature into `bands` equal bit-bands and generate
+    * candidates from shared bands. By pigeonhole any pair with Hamming
+    * distance < `bands` shares at least one intact band, so for
+    * `maxHamming < bands` recall is EXACT. Candidates get the exact
+    * `bit_count(xor)` check; shuffle is keyed on (band, band-bits) —
+    * bounded buckets, never all-pairs. Returns (id_a, id_b, hamming).
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands ($maxHamming >= $bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sigs = simhash(df, textCol, idCol, bits)
-    val banded = sigs.select(col("id"), col("simhash"),
+    val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val banded = base.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))

@@ -140,6 +140,125 @@ object Multimodal {
       bos.toByteArray
     })
 
+  /** Perceptual image hashes over REAL decoded pixels — the multimodal
+    * bridge into the dedup family: near-duplicate images (re-encodes,
+    * resizes, minor edits) land within small Hamming distance, so
+    * [[graft.ops.Dedup.hammingPairs]] banding turns image dedup into the
+    * same bounded-bucket shuffle as SimHash text dedup.
+    *
+    * Two standard 64-bit hashes (per pHash/dHash literature, e.g.
+    * Krawetz's aHash/dHash write-ups):
+    *  - `img_ahash`: 8×8 box-average downsample of per-pixel gray
+    *    (= (R+G+B)/3 from color-managed sRGB), bit `y*8+x` set iff
+    *    cell(y,x) ≥ mean of the 64 cells.
+    *  - `img_dhash`: 9×8 downsample, bit `y*8+x` set iff
+    *    cell(y,x) < cell(y,x+1) (horizontal gradient sign).
+    *
+    * The downsample is an exact box average with floor boundaries — pixel
+    * column `i` of a width-`W` image belongs to grid column `i*g/W` — so
+    * the hash is a deterministic pure function of decoded pixels: the
+    * DuckDB oracle replays it closed-form on synthetic gradients, and
+    * re-encoding losslessly never moves a bit. Images smaller than the
+    * 9×8 grid, undecodable or null payloads degrade to null hashes plus a
+    * `decode_error` reason.
+    *
+    * Plan shape at 100 TB: narrow per-partition map (no shuffle, no
+    * driver); downstream near-dup banding shuffles 8-byte signatures, not
+    * pixels.
+    */
+  def imagePerceptualHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("img_ahash", LongType),
+      StructField("img_dhash", LongType),
+      StructField("decode_error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      imageIoNoCache()
+      rows.map { r =>
+        val stats: Seq[Any] =
+          if (r.isNullAt(idx)) Seq(null, null, "null payload")
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
+            if (img == null) Seq(null, null, "unsupported format")
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              if (w < 9 || h < 8) Seq(null, null, "image smaller than 9x8 hash grid")
+              else {
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                // one pass accumulates both grids: 8-wide (aHash) and
+                // 9-wide (dHash), 8 rows each; gray sums are sums of
+                // exact small doubles, so the box averages are
+                // order-independent and oracle-reproducible
+                val sum8 = Array.ofDim[Double](8, 8); val cnt8 = Array.ofDim[Long](8, 8)
+                val sum9 = Array.ofDim[Double](8, 9); val cnt9 = Array.ofDim[Long](8, 9)
+                var y = 0
+                while (y < h) {
+                  val cy = (y * 8 / h).toInt
+                  var x = 0
+                  while (x < w) {
+                    val p = px(y * w + x)
+                    val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+                    val c8 = x * 8 / w; val c9 = x * 9 / w
+                    sum8(cy)(c8) += g; cnt8(cy)(c8) += 1
+                    sum9(cy)(c9) += g; cnt9(cy)(c9) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                var total = 0.0
+                val cells8 = Array.tabulate(8, 8)((yy, xx) => sum8(yy)(xx) / cnt8(yy)(xx))
+                cells8.foreach(_.foreach(total += _))
+                val mean = total / 64.0
+                var ahash = 0L; var dhash = 0L
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    if (cells8(yy)(xx) >= mean) ahash |= 1L << (yy * 8 + xx)
+                    if (sum9(yy)(xx) / cnt9(yy)(xx) < sum9(yy)(xx + 1) / cnt9(yy)(xx + 1))
+                      dhash |= 1L << (yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                Seq(ahash, dhash, null)
+              }
+            }
+          } catch {
+            case e: Exception =>
+              Seq(null, null, s"decode failed: ${e.getClass.getSimpleName}")
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic gradient PNG for perceptual-hash fixtures:
+    * gray(x) = (base + slope·x) mod 256, constant down each column,
+    * encoded through the real JDK PNG writer (lossless, so
+    * [[imagePerceptualHash]] oracle rows can replay the box averages
+    * closed-form in SQL).
+    */
+  val syntheticPngGradient: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: Int, h: Int, base: Int, slope: Int) => {
+      imageIoNoCache()
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var x = 0
+      while (x < w) {
+        val v = ((base + slope * x) % 256 + 256) % 256
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+
   /** Real audio decode via JDK `javax.sound.sampled`: per-row WAV/AIFF/AU
     * PCM decode in `mapPartitions`, emitting the container's declared format
     * (sample rate, channels, bit depth), the measured frame count and
@@ -202,14 +321,20 @@ object Multimodal {
     * error row rather than null — a truncated WAV should not pay the
     * provider-scan lock just to fail again.
     */
-  private def decodeWavPcm(bytes: Array[Byte]): Seq[Any] = {
+  /** RIFF/WAVE chunk walk shared by [[decodeWavPcm]] and
+    * [[audioEnvelopeHash]]: None = not RIFF/WAVE at all (caller falls back
+    * to AudioSystem); Some(Left(err)) = RIFF but missing fmt/data;
+    * Some(Right((fmtCode, ch, rate, bits, dataOff, dataLen))) otherwise.
+    */
+  private def parseWavHeader(bytes: Array[Byte])
+      : Option[Either[String, (Int, Int, Int, Int, Int, Long)]] = {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def le32(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     def tag(o: Int): String =
       if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
-    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var fmtCode = -1; var ch = 0; var rate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0L
     var o = 12
@@ -231,9 +356,17 @@ object Multimodal {
       if (o + advance > bytes.length) o = bytes.length
       else o += advance.toInt
     }
-    if (fmtCode < 0 || dataOff < 0)
-      return Seq(null, null, null, null, null, null, null,
-        "decode failed: missing fmt/data chunk")
+    if (fmtCode < 0 || dataOff < 0) Some(Left("decode failed: missing fmt/data chunk"))
+    else Some(Right((fmtCode, ch, rate, bits, dataOff, dataLen)))
+  }
+
+  private def decodeWavPcm(bytes: Array[Byte]): Seq[Any] = {
+    val (fmtCode, ch, rate, bits, dataOff, dataLen) = parseWavHeader(bytes) match {
+      case None => return null
+      case Some(Left(err)) =>
+        return Seq(null, null, null, null, null, null, null, err)
+      case Some(Right(info)) => info
+    }
     if (fmtCode != 1 || (bits != 8 && bits != 16) || ch <= 0 || rate <= 0)
       return null // float/µ-law/extensible: let AudioSystem judge it
     val bytesPer = bits / 8
@@ -352,6 +485,196 @@ object Multimodal {
       ascii(36, "data"); le32(40, dataLen)
       var i = 0
       while (i < nSamples) {
+        val v = if (i % 2 == 0) amp else -amp
+        out(44 + i * 2) = (v & 0xff).toByte
+        out(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    })
+
+  /** Audio envelope fingerprint — the audio analogue of
+    * [[imagePerceptualHash]], feeding the same
+    * [[graft.ops.Dedup.hammingPairs]] banding: near-duplicate clips
+    * (re-encodes, level changes, trims at the edges) land within small
+    * Hamming distance. The clip is split into 65 equal frame windows
+    * (frame `f` of `n` → window `f·65/n`, the same floor box map as the
+    * image downsample); per-window RMS over all channel samples
+    * (normalized to [-1, 1)) forms the energy envelope, and bit `k` of
+    * the 64-bit `audio_envhash` is set iff `rms[k] < rms[k+1]` — the
+    * delta-sign encoding (as in classic audio fingerprinting à la
+    * Haitsma–Kalker) that is invariant to uniform gain.
+    *
+    * Plain integer-PCM WAVs fingerprint via the direct RIFF walk (no
+    * JVM-global AudioSystem provider lock — see [[decodeAudio]]);
+    * AIFF/AU fall back to AudioSystem (streamed, O(1) memory; needs a
+    * declared frame length to place windows). Clips shorter than 65
+    * frames, undecodable or null payloads degrade to a null hash plus
+    * `decode_error`.
+    *
+    * Plan shape at 100 TB: narrow per-partition map; downstream near-dup
+    * banding shuffles 8-byte signatures, not audio.
+    */
+  def audioEnvelopeHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("audio_envhash", LongType),
+      StructField("decode_error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats: Seq[Any] =
+          if (r.isNullAt(idx)) Seq(null, "null payload")
+          else {
+            val bytes = r.getAs[Array[Byte]](idx)
+            envelopeWavPcm(bytes) match {
+              case null => envelopeViaAudioSystem(bytes)
+              case s => s
+            }
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** Fold 65 window RMS values into the 64 delta-sign bits. */
+  private def envelopeBits(sumSq: Array[Double], n: Array[Long]): Long = {
+    var hash = 0L
+    var prev = math.sqrt(sumSq(0) / n(0))
+    var k = 1
+    while (k < 65) {
+      val cur = math.sqrt(sumSq(k) / n(k))
+      if (prev < cur) hash |= 1L << (k - 1)
+      prev = cur
+      k += 1
+    }
+    hash
+  }
+
+  /** Direct RIFF/WAVE integer-PCM envelope pass: null if not a plain PCM
+    * WAV (caller falls back to AudioSystem), else (hash, error) stats.
+    */
+  private def envelopeWavPcm(bytes: Array[Byte]): Seq[Any] = {
+    val (fmtCode, ch, rate, bits, dataOff, dataLen) = parseWavHeader(bytes) match {
+      case None => return null
+      case Some(Left(err)) => return Seq(null, err)
+      case Some(Right(info)) => info
+    }
+    if (fmtCode != 1 || (bits != 8 && bits != 16) || ch <= 0 || rate <= 0)
+      return null
+    val bytesPer = bits / 8
+    val frameSize = bytesPer * ch
+    val frames = dataLen / frameSize
+    if (frames < 65) return Seq(null, "too short for envelope hash (<65 frames)")
+    val sumSq = new Array[Double](65); val n = new Array[Long](65)
+    var f = 0L
+    var p = dataOff
+    while (f < frames) {
+      val w = (f * 65 / frames).toInt
+      var c = 0
+      while (c < ch) {
+        val base = p + c * bytesPer
+        val v =
+          if (bits == 16)
+            (((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort) / 32768.0
+          else
+            ((bytes(base) & 0xff) - 128) / 128.0
+        sumSq(w) += v * v; n(w) += 1
+        c += 1
+      }
+      f += 1
+      p += frameSize
+    }
+    Seq(envelopeBits(sumSq, n), null)
+  }
+
+  /** AudioSystem fallback for [[audioEnvelopeHash]] (AIFF/AU): streamed
+    * with O(1) memory; window placement needs the container's declared
+    * frame length.
+    */
+  private def envelopeViaAudioSystem(bytes: Array[Byte]): Seq[Any] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val encoding = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val signed =
+          encoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned =
+          encoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val frames = ais.getFrameLength
+        if (!(signed || unsigned) || (bits != 8 && bits != 16))
+          Seq(null, s"unsupported encoding: $encoding/$bits-bit")
+        else if (frames < 65)
+          Seq(null,
+            if (frames < 0) "unknown frame length — cannot place envelope windows"
+            else "too short for envelope hash (<65 frames)")
+        else {
+          val frameSize = fmt.getFrameSize
+          val bytesPer = bits / 8
+          val big = fmt.isBigEndian
+          val sumSq = new Array[Double](65); val n = new Array[Long](65)
+          val buf = new Array[Byte](math.max(frameSize, 1) * 4096)
+          var f = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameSize <= read && f < frames) {
+              val w = (f * 65 / frames).toInt
+              var c = 0
+              while (c < ch) {
+                val base = off + c * bytesPer
+                val v =
+                  if (bits == 16) {
+                    val b0 = buf(base) & 0xff; val b1 = buf(base + 1) & 0xff
+                    val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                    (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+                  } else {
+                    (if (signed) buf(base).toInt else (buf(base) & 0xff) - 128) / 128.0
+                  }
+                sumSq(w) += v * v; n(w) += 1
+                c += 1
+              }
+              f += 1
+              off += frameSize
+            }
+            read = ais.read(buf)
+          }
+          if (f < 65) Seq(null, "too short for envelope hash (<65 frames)")
+          else Seq(envelopeBits(sumSq, n), null)
+        }
+      } finally ais.close()
+    } catch {
+      case e: Exception => Seq(null, s"decode failed: ${e.getClass.getSimpleName}")
+    }
+
+  /** Deterministic synthetic stepped-envelope WAV for fingerprint
+    * fixtures: `nSteps` steps of `framesPerStep` frames, step `k` a
+    * ±amp_k square wave with amp_k = (baseAmp + ampStep·k) mod 16384 —
+    * PCM is lossless and |±amp| is constant per step, so window RMS
+    * equals amp_k/32768 exactly and the 65-window envelope bits have a
+    * closed form the DuckDB oracle replays.
+    */
+  val syntheticWavEnvelope: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sampleRate: Int, framesPerStep: Int, nSteps: Int, baseAmp: Int, ampStep: Int) => {
+      val nSamples = framesPerStep * nSteps
+      val dataLen = nSamples * 2
+      val out = new Array[Byte](44 + dataLen)
+      def ascii(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+      def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff) }
+      ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16)
+      le16(20, 1); le16(22, 1)
+      le32(24, sampleRate); le32(28, sampleRate * 2)
+      le16(32, 2); le16(34, 16)
+      ascii(36, "data"); le32(40, dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val amp = ((baseAmp + ampStep * (i / framesPerStep)) % 16384 + 16384) % 16384
         val v = if (i % 2 == 0) amp else -amp
         out(44 + i * 2) = (v & 0xff).toByte
         out(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte

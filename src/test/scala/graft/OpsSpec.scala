@@ -361,6 +361,69 @@ class OpsSpec extends AnyFunSuite {
       .where($"decode_error".isNull).count() == 1)
   }
 
+  test("imagePerceptualHash: hand-computed hashes, scale invariance, degradation") {
+    // 16×8 ramp gray(x) = 16x: aHash cells are 32x+8 (x = 0..7), mean 120,
+    // so bits set for x ≥ 4 → row byte 0xF0 repeated down the 8 rows; the
+    // 9-cell dHash ramp is strictly increasing → all 64 bits set
+    val imgs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticPngGradient(lit(16), lit(8), lit(0), lit(16)))
+        .when($"id" === 2, Multimodal.syntheticPngGradient(lit(32), lit(8), lit(0), lit(8)))
+        .when($"id" === 3, Multimodal.syntheticPngGradient(lit(4), lit(4), lit(0), lit(16)))
+        .when($"id" === 4, lit("not an image".getBytes))
+        .otherwise(lit(null).cast("binary")))
+    val out = Multimodal.imagePerceptualHash(imgs, "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val ramp16 = out(1L)
+    assert(ramp16.getAs[Long]("img_ahash") == 0xF0F0F0F0F0F0F0F0L)
+    assert(ramp16.getAs[Long]("img_dhash") == -1L)
+    // same ramp rendered at 2× width downsamples to the SAME cells — the
+    // scale invariance that makes the hash a resize-robust dedup key
+    assert(out(2L).getAs[Long]("img_ahash") == ramp16.getAs[Long]("img_ahash"))
+    assert(out(3L).getAs[String]("decode_error") == "image smaller than 9x8 hash grid")
+    assert(out(4L).getAs[String]("decode_error") == "unsupported format")
+    assert(out(5L).getAs[String]("decode_error") == "null payload")
+  }
+
+  test("audioEnvelopeHash: closed-form bits, gain invariance, degradation") {
+    // 65 steps of rising amplitude 100 + 50k, one step per window → every
+    // delta-sign bit set; doubling the gain (200 + 100k) must not move a
+    // bit (the invariance that makes the fingerprint a dedup key)
+    val wavs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .withColumn("payload",
+        when($"id" === 1, Multimodal.syntheticWavEnvelope(lit(8000), lit(3), lit(65), lit(100), lit(50)))
+        .when($"id" === 2, Multimodal.syntheticWavEnvelope(lit(8000), lit(3), lit(65), lit(200), lit(100)))
+        .when($"id" === 3, Multimodal.syntheticWavEnvelope(lit(8000), lit(1), lit(10), lit(100), lit(50)))
+        .when($"id" === 4, lit("not audio".getBytes))
+        .otherwise(lit(null).cast("binary")))
+    val out = Multimodal.audioEnvelopeHash(wavs, "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("audio_envhash") == -1L) // strictly rising → all 64 bits
+    assert(out(2L).getAs[Long]("audio_envhash") == out(1L).getAs[Long]("audio_envhash"))
+    assert(out(3L).getAs[String]("decode_error") == "too short for envelope hash (<65 frames)")
+    assert(out(4L).getAs[String]("decode_error") == "decode failed: UnsupportedAudioFileException")
+    assert(out(5L).getAs[String]("decode_error") == "null payload")
+  }
+
+  test("hammingPairs matches brute force within the pigeonhole guarantee") {
+    val sigs = Seq(
+      (0L, 0L), (1L, 0L),                  // identical → hamming 0
+      (2L, 1L),                            // 1 bit from ids 0/1
+      (3L, 0xFFL),                         // 8 bits from 0, 7 from id 2
+      (4L, 0xF0F0F0F0F0F0F0F0L),           // far from the small sigs
+      (5L, 0xF0F0F0F0F0F0F0F1L))           // 1 bit from id 4
+      .toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, "id", "sig", bits = 64, bands = 16, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 8
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got == expected)
+    assert(got((0L, 1L)) == 0L && got((0L, 3L)) == 8L && got((4L, 5L)) == 1L)
+  }
+
   test("decodeImages: GIF and BMP containers decode through the same path") {
     // both are lossless for a solid color (GIF palettizes it, BMP is raw)
     def encode(fmt: String): Array[Byte] = {
