@@ -1042,6 +1042,47 @@ object CatalogOps {
         FROM arow a JOIN arow b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8"""))
 
+  /** Corpus-scale image dedup: perceptual hashes → [[Dedup.hammingDedupCorpus]]
+    * (identical signatures collapse first, Hamming banding over distinct
+    * signatures only, large-star/small-star components) → one
+    * (id, cluster, is_kept) verdict per document. The oracle resolves the
+    * same components with a recursive transitive-closure CTE over the
+    * exact ≤-maxHamming pair graph — possible because banding recall is
+    * EXACT below `bands` by pigeonhole, so both sides see the same graph.
+    */
+  private val mmPhashCluster = Q("mm_phash_cluster",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticPngGradient(lit(16), lit(8),
+          (col("doc_id") % 150 * 37 % 256).cast("int"),
+          (lit(16) + col("doc_id") % 150 * 13 % 96).cast("int")).as("payload"))
+      val sigs = Multimodal.imagePerceptualHash(imgs, "payload")
+        .select(col("doc_id"), col("img_ahash"))
+      Dedup.hammingDedupCorpus(sigs, "doc_id", "img_ahash",
+        bits = 64, bands = 16, maxHamming = 8)
+        .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
+    },
+    Some("""WITH RECURSIVE px AS (
+        SELECT doc_id, i,
+          ((doc_id % 150 * 37 % 256) + (16 + doc_id % 150 * 13 % 96) * i) % 256 AS g
+        FROM documents, unnest(generate_series(0, 15)) AS t(i)),
+      c8 AS (SELECT doc_id, (i*8)//16 AS cx, avg(g) AS cg FROM px GROUP BY 1, 2),
+      m AS (SELECT doc_id, avg(cg) AS mean FROM c8 GROUP BY 1),
+      arow AS (SELECT c8.doc_id,
+          string_agg(CASE WHEN cg >= mean THEN '1' ELSE '0' END, '' ORDER BY cx DESC) AS rb
+        FROM c8 JOIN m ON c8.doc_id = m.doc_id GROUP BY 1),
+      edges AS (SELECT a.doc_id AS u, b.doc_id AS v
+        FROM arow a JOIN arow b ON a.doc_id <> b.doc_id
+        WHERE (SELECT sum(CASE WHEN substr(a.rb, p, 1) <> substr(b.rb, p, 1)
+                 THEN 1 ELSE 0 END)
+               FROM unnest(generate_series(1, 8)) AS t(p)) <= 1),
+      reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.d)
+      SELECT s AS doc_id, min(d) AS cluster, s = min(d) AS is_kept
+      FROM reach GROUP BY s"""))
+
   /** Audio envelope fingerprint over REAL decoded PCM: per-doc stepped
     * square-wave WAVs (65 steps, amp_k = (base + 797k) mod 16384, params
     * from doc_id) fingerprinted by [[Multimodal.audioEnvelopeHash]] — the
@@ -1202,6 +1243,6 @@ object CatalogOps {
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
-    mmPhash, mmPhashNearDup, mmAudioFp,
+    mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp,
     stWindow)
 }

@@ -540,6 +540,47 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Corpus-scale near-dup verdicts over ANY 64-bit signature column
+    * (perceptual image hashes, audio fingerprints, SimHash) — the
+    * signature-space analogue of [[dedupCorpus]]: per-document
+    * (id, cluster, is_kept), linear output however dense the duplicate
+    * groups.
+    *
+    * The scale move: identical signatures collapse FIRST (one hash-agg,
+    * min-id representative per distinct signature) and only distinct
+    * signatures enter [[hammingPairs]] banding — so a million byte-identical
+    * re-posts of one image cost one aggregation row, not a 10¹²-pair band
+    * bucket. Components are resolved over representatives
+    * ([[resolveClusters]], large-star/small-star) and every member inherits
+    * its signature's component; cluster labels are component-min ids
+    * (= min doc id, since representatives are per-signature minima).
+    * Recall: EXACT for Hamming ≤ maxHamming (< bands, pigeonhole) — unlike
+    * the text path, no cap is needed because the collapse already bounds
+    * the dominant bucket mass; band buckets over DISTINCT signatures can
+    * only be dense when many near-miss signatures share band bits, which
+    * [[dyadicSizeCap]] + an explicit `maxBucketSize` would bound the same
+    * way if a corpus ever exhibits it.
+    */
+  def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+    val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val reps = base.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = hammingPairs(reps.select(col("rep").as("id"), col("sig")),
+      "id", "sig", bits, bands, maxHamming)
+    val clusters = resolveClusters(pairs) // (id=rep, cluster); singletons absent
+    // eager localCheckpoint: the per-signature cluster map is one row per
+    // DISTINCT signature (small), and materializing it here lets the reps
+    // cache release before the caller's action replays the lineage
+    val repClusters = reps
+      .join(clusters.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("sig"), coalesce(col("cluster"), col("rep")).as("cluster"))
+      .localCheckpoint(true)
+    reps.unpersist()
+    base.join(repClusters, Seq("sig"))
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("is_kept"))
+  }
+
   /** Tokenization shared by simhash / jaccard / text analysis: lowercase
     * word characters runs.
     */

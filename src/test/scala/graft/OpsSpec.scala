@@ -405,6 +405,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[String]("decode_error") == "null payload")
   }
 
+  test("hammingDedupCorpus: brute-force components, linear verdicts, collapse") {
+    // ids 0-2 share one signature (collapse path), 3 is one bit away
+    // (joins the component through banding), 4/5 form a separate pair,
+    // 6 is a singleton
+    val sigs = Seq(
+      (0L, 7L), (1L, 7L), (2L, 7L), (3L, 6L),
+      (4L, 0x7000L), (5L, 0x7001L), (6L, 0x0F0F0F0FL))
+      .toDF("doc_id", "sig")
+    val out = Dedup.hammingDedupCorpus(sigs, "doc_id", "sig",
+        bits = 64, bands = 16, maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L)) // one verdict per doc
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0L))   // component min label
+    assert(out(4L)._1 == 4L && out(5L)._1 == 4L && out(6L)._1 == 6L)
+    assert(out.count(_._2._2) == 3)                        // one kept per cluster
+    assert(out(0L)._2 && out(4L)._2 && out(6L)._2)
+  }
+
   test("hammingPairs matches brute force within the pigeonhole guarantee") {
     val sigs = Seq(
       (0L, 0L), (1L, 0L),                  // identical → hamming 0
