@@ -1081,7 +1081,8 @@ object CatalogOps {
         UNION
         SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.d)
       SELECT s AS doc_id, min(d) AS cluster, s = min(d) AS is_kept
-      FROM reach GROUP BY s"""))
+      FROM reach GROUP BY s"""),
+    bench = true)
 
   /** Audio envelope fingerprint over REAL decoded PCM: per-doc stepped
     * square-wave WAVs (65 steps, amp_k = (base + 797k) mod 16384, params

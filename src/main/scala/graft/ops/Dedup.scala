@@ -581,6 +581,21 @@ object Dedup {
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("is_kept"))
   }
 
+  /** Encoded Hamming band keys for a 64-bit signature column, as an
+    * array<long> Column: entry b = band index × 2^bandBits + that band's
+    * bits — a single long per band, so Bloom filters and joins can key on
+    * it directly. Shared by [[hammingPairs]]-style batch banding and the
+    * streaming image/audio corpus flags (one definition keeps the stream
+    * and corpus sides in lockstep, like [[bandSignaturesCol]] for text).
+    */
+  def hammingBandKeysCol(hash: Column, bits: Int, bands: Int): Column = {
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    array((0 until bands).map(b =>
+      shiftright(hash, b * bandBits).bitwiseAND(mask) + lit(b.toLong * (mask + 1))): _*)
+  }
+
   /** Tokenization shared by simhash / jaccard / text analysis: lowercase
     * word characters runs.
     */

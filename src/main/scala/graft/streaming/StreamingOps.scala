@@ -116,6 +116,45 @@ object StreamingOps {
         numHashes, rowsPerBand, shingleLen)))
   }
 
+  /** Streaming image near-dup corpus flag — [[streamNearCorpusFlag]]'s
+    * multimodal sibling: incoming payload rows are perceptual-hashed
+    * ([[graft.ops.Multimodal.imagePerceptualHash]], a stateless per-row
+    * decode — no state store, no shuffle) and each row's Hamming band keys
+    * probe a broadcast Bloom filter of the corpus signatures' band keys.
+    * Any stream image within Hamming < `bands` of a corpus image shares at
+    * least one intact band (pigeonhole), and Bloom filters have no false
+    * negatives — so a true near-dup is NEVER missed; fpp only admits
+    * spurious flags, the safe direction for a keep/drop gate (same
+    * contract as the text flag). Undecodable payloads flag false and keep
+    * their `decode_error`.
+    *
+    * The corpus side is a static frame of precomputed signatures (e.g.
+    * [[graft.ops.Multimodal.imagePerceptualHash]] output, snapshotted) —
+    * one action builds the filter at query start; micro-batches touch
+    * only their own rows.
+    */
+  def streamImageNearCorpusFlag(stream: DataFrame, payloadCol: String,
+      corpusSigs: DataFrame, corpusHashCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      bits: Int = 64, bands: Int = 16): DataFrame = {
+    val keys = corpusSigs
+      .select(explode(graft.ops.Dedup.hammingBandKeysCol(
+        col(corpusHashCol), bits, bands)).as("k"))
+    val bf = keys.stat.bloomFilter(col("k"),
+      math.max(1L, expectedItems * bands), fpp)
+    val bcast = stream.sparkSession.sparkContext.broadcast(bf)
+    val anyBandHit = udf((ks: Seq[Long]) =>
+      ks != null && ks.exists(bcast.value.mightContainLong))
+    val hashed = graft.ops.Multimodal.imagePerceptualHash(stream, payloadCol)
+    // when(), not &&: CaseWhen guarantees the UDF branch is skipped for
+    // null hashes (And may evaluate both sides — a null-element array
+    // would NPE inside the probe)
+    hashed.withColumn("is_near_corpus",
+      when(col("img_ahash").isNotNull,
+        anyBandHit(graft.ops.Dedup.hammingBandKeysCol(col("img_ahash"), bits, bands)))
+      .otherwise(lit(false)))
+  }
+
   /** Stream-stream interval join with watermarks on BOTH sides: left events
     * joined to right events on a key within a bounded time range
     * (`right.ts ∈ [left.ts - before, left.ts + after]`). The range bound +

@@ -339,4 +339,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Map(1L -> true, 2L -> true, 3L -> false), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming image near-dup flag: corpus match flags, fresh image and bad bytes pass") {
+    import graft.ops.{Dedup, Multimodal}
+    // corpus: one gradient image, hashed once (static snapshot)
+    val corpusImgs = Seq(100L).toDF("cid")
+      .withColumn("payload", Multimodal.syntheticPngGradient(lit(16), lit(8), lit(10), lit(40)))
+    val corpusSigs = Multimodal.imagePerceptualHash(corpusImgs, "payload")
+      .select($"cid", $"img_ahash")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfi").toString
+    Seq(1L, 2L, 3L).toDF("doc_id")
+      .withColumn("payload",
+        when($"doc_id" === 1, Multimodal.syntheticPngGradient(lit(32), lit(8), lit(10), lit(20)))
+        .when($"doc_id" === 2, Multimodal.syntheticPngGradient(lit(16), lit(8), lit(200), lit(96)))
+        .otherwise(lit("junk bytes".getBytes)))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val flagged = StreamingOps.streamImageNearCorpusFlag(
+      spark.readStream.schema(schema).parquet(dir), "payload",
+      corpusSigs, "img_ahash", expectedItems = 100L)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("sfi_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sfi_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("is_near_corpus"), r.getAs[String]("decode_error"))).toMap
+      // doc 1 is the corpus gradient rendered at 2× width — the wrap
+      // points shift the box averages (Hamming 16 of 64) but 8 of 16
+      // bands stay intact → must flag (a true NEAR-dup, not a byte
+      // copy); doc 2 is a different gradient (0 shared bands); doc 3 is
+      // undecodable → false with a reason, never a query failure
+      assert(got(1L)._1 && got(1L)._2 == null, s"got $got")
+      assert(!got(2L)._1 && !got(3L)._1, s"got $got")
+      assert(got(3L)._2 == "unsupported format")
+    } finally q.stop()
+  }
 }
