@@ -229,4 +229,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation degenerated to a product join:\n$p")
   }
+
+  test("phash near-dup: banded candidates are an equi-join, signatures not pixels shuffle") {
+    val p = plan("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming banding degenerated to a product join:\n$p")
+    // decode+hash is a narrow per-partition map feeding the exchange: the
+    // shuffled rows carry the 8-byte signature, never the payload bytes.
+    // Formatted explain lists one detail block per node — inspect only the
+    // Exchange blocks' Input columns.
+    assert(p.contains("MapPartitions"), s"perceptual hash not a mapPartitions stage:\n$p")
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(exchangeBlocks.nonEmpty, s"no exchange in the plan at all?\n$p")
+    exchangeBlocks.foreach(b =>
+      assert(!b.contains("payload#"), s"payload bytes crossed an exchange:\n$b"))
+  }
+
+  test("phash corpus dedup: verdict join is equi, cluster map pre-materialized") {
+    // the collapse → banding → CC stages run eagerly inside
+    // hammingDedupCorpus (the cluster map is localCheckpoint'ed), so the
+    // caller-visible plan is just corpus ⋈ cluster-map — pin that it is an
+    // equi-join on sig against the materialized RDD, never a product
+    val p = plan("mm_phash_cluster")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus image dedup degenerated to a product join:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"cluster map not pre-materialized (whole pipeline would replay per action):\n$p")
+  }
 }
