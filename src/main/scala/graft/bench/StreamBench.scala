@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * watermark horizon fills.
   *
   * Usage: runMain graft.bench.StreamBench [secondsPerRun] [batchSizes,csv]
-  * Prints one JSON line per (op, rowsPerBatch) pair.
+  * [opFilter,csv] — opFilter selects a subset by name (campaigns over one
+  * family without paying the full sweep). Prints one JSON line per
+  * (op, rowsPerBatch) pair.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -32,6 +34,9 @@ object StreamBench {
     val batchSizes =
       if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toLong)
       else Seq(100000L, 500000L)
+    val opFilter: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +71,7 @@ object StreamBench {
       .withColumn("event_value", (col("value") % 97).cast("double"))
 
     def bench(name: String, rowsPerBatch: Long)(mk: DataFrame => DataFrame): Unit = {
+      if (opFilter.nonEmpty && !opFilter.contains(name)) return
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_sb_${name}_").toString
       val src = spark.readStream.format("rate-micro-batch")
@@ -101,12 +107,35 @@ object StreamBench {
       finally tree.close()
     }
 
+    // standing IMAGE corpus for the perceptual-hash flag: one signature per
+    // gradient class, snapshotted once (the production shape — the corpus
+    // index is hashes, never pixels)
+    val imgCorpusSigs = graft.ops.Multimodal.imagePerceptualHash(
+      spark.range(150).toDF("img_id").withColumn("payload",
+        graft.ops.Multimodal.syntheticPngGradient(lit(16), lit(8),
+          pmod(col("img_id") * 37, lit(256)).cast("int"),
+          (lit(16) + pmod(col("img_id") * 13, lit(96))).cast("int"))),
+      "payload").select(col("img_id"), col("img_ahash")).localCheckpoint()
+
     for (rpb <- batchSizes) {
       // stateless near-dup corpus flag: per-row band signatures + broadcast
       // bloom probe — no shuffle, no state store
       bench("near_corpus_flag", rpb) { d =>
         StreamingOps.streamNearCorpusFlag(d, "text", corpus, "text", "doc_id",
           expectedItems = corpusN)
+      }
+      // stateless IMAGE near-dup flag: per-row PNG decode + perceptual hash
+      // + hamming-band bloom probe — decode-bound narrow map, no shuffle,
+      // no state store. The measured pipeline INCLUDES synthesizing each
+      // row's PNG (a real ingest receives bytes for free), so the number
+      // is a conservative floor on decode+hash+probe throughput.
+      bench("image_near_corpus_flag", rpb) { d =>
+        StreamingOps.streamImageNearCorpusFlag(
+          d.withColumn("payload",
+            graft.ops.Multimodal.syntheticPngGradient(lit(16), lit(8),
+              pmod(col("value") * 37, lit(256)).cast("int"),
+              (lit(16) + pmod(col("value") * 13, lit(96))).cast("int"))),
+          "payload", imgCorpusSigs, "img_ahash", expectedItems = 256L)
       }
       // exact corpus-membership filter: broadcast bloom + stream-static
       // left-anti verify for maybe-rows
