@@ -334,6 +334,33 @@ object CatalogQuality {
   /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
     * gates on original text, dedup keyed on the excised text.
     */
+  /** Corpus snapshot diff: new snapshot = documents minus doc_id%11==1
+    * (removed), with " v2" appended for doc_id%7==0 (changed), plus
+    * re-keyed copies of doc_id%13==2 (added). The delta — and only the
+    * delta — comes back with a status per id.
+    */
+  private val corpusDiffQ = Q("pipe_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") % 11 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.ops.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+    },
+    Some("""SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 11 = 1
+      UNION ALL
+      SELECT doc_id, 'changed' AS status FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id % 11 <> 1
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 'added' AS status FROM documents
+      WHERE doc_id % 13 = 2"""))
+
   private val curateDecontamQ = Q("pipe_curate_decontam",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -569,6 +596,6 @@ object CatalogQuality {
 
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
-    curateNearDupQ, curateDecontamQ, packConcat, orcScan, simhashPairsQ,
-    bigramLm, dsir, bm25, kmeansQ, lshPlanQ)
+    curateNearDupQ, curateDecontamQ, corpusDiffQ, packConcat, orcScan,
+    simhashPairsQ, bigramLm, dsir, bm25, kmeansQ, lshPlanQ)
 }

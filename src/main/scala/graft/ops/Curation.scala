@@ -105,4 +105,33 @@ object Curation {
         lit(false)))
       .drop("__vid", "is_kept")
   }
+
+  /** Corpus snapshot diff — the incremental-rebuild primitive: compare two
+    * corpus versions by id + content hash and emit ONLY the delta, one row
+    * per difference: `added` (id only in the new snapshot), `removed` (id
+    * only in the old), `changed` (both, different content). Unchanged
+    * documents produce no output, so downstream incremental work
+    * (re-dedup, re-index, re-embed) is proportional to the CHANGE RATE,
+    * not the corpus — the same contract as [[Graphs.kgDiff]] for graphs.
+    *
+    * Plan shape at 100 TB: both sides project to (id, md5) at the scan —
+    * content bytes never shuffle — then one full-outer equi-join on id.
+    * With both snapshots bucketed/partitioned by id (the layout
+    * `Packing.shardLayout` produces), the join co-locates and the whole
+    * diff is exchange-free.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    // md5 over a coalesced copy: a NULL-content doc must diff as a real
+    // state ('' sentinel), not vanish through null propagation
+    def sig(df: DataFrame, h: String) = df.select(col(idCol).as("id"),
+      md5(coalesce(col(contentCol), lit(""))).as(h))
+    sig(oldSnap, "__ho").join(sig(newSnap, "__hn"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("id"), col("status"))
+  }
 }

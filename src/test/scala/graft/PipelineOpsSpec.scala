@@ -234,4 +234,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
+
+  test("corpus diff: delta only, null content is a real state") {
+    import graft.ops.Curation
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 (identical) and 5 (null→null) produce NO row; the delta is exact
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // null → non-null must surface as changed, not vanish
+    val got2 = Curation.corpusDiff(oldSnap,
+        Seq((5L, "now present")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(5L) == "changed")
+  }
 }
