@@ -1084,6 +1084,58 @@ object CatalogOps {
       FROM reach GROUP BY s"""),
     bench = true)
 
+  /** One-call image curation chain: gradient-class images plus planted
+    * garbage (doc_id%10==7: unparseable bytes) and sub-grid images
+    * (doc_id%10==3: 4×4 PNG) run decode→hash→corpus-dedup→gates in one
+    * pass. The oracle replays the cluster CTE over the HASHED docs only
+    * and left-joins verdicts back over every doc — poisoned rows come
+    * back rejected, never dropped.
+    */
+  private val mmCurateImages = Q("pipe_curate_images",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, lit("not an image").cast("binary"))
+        .when(col("doc_id") % 10 === 3,
+          Multimodal.syntheticPng(lit(4), lit(4), lit(10), lit(20), lit(30)))
+        .otherwise(Multimodal.syntheticPngGradient(lit(16), lit(8),
+          (col("doc_id") % 150 * 37 % 256).cast("int"),
+          (lit(16) + col("doc_id") % 150 * 13 % 96).cast("int"))).as("payload"))
+      graft.ops.Curation.curateImages(imgs, "payload", "doc_id",
+          minWidth = 8, minHeight = 8)
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          col("cluster"), col("is_canonical"), col("curate_keep"))
+    },
+    Some("""WITH RECURSIVE hashed AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 3),
+      px AS (
+        SELECT doc_id, i,
+          ((doc_id % 150 * 37 % 256) + (16 + doc_id % 150 * 13 % 96) * i) % 256 AS g
+        FROM hashed, unnest(generate_series(0, 15)) AS t(i)),
+      c8 AS (SELECT doc_id, (i*8)//16 AS cx, avg(g) AS cg FROM px GROUP BY 1, 2),
+      m AS (SELECT doc_id, avg(cg) AS mean FROM c8 GROUP BY 1),
+      arow AS (SELECT c8.doc_id,
+          string_agg(CASE WHEN cg >= mean THEN '1' ELSE '0' END, '' ORDER BY cx DESC) AS rb
+        FROM c8 JOIN m ON c8.doc_id = m.doc_id GROUP BY 1),
+      edges AS (SELECT a.doc_id AS u, b.doc_id AS v
+        FROM arow a JOIN arow b ON a.doc_id <> b.doc_id
+        WHERE (SELECT sum(CASE WHEN substr(a.rb, p, 1) <> substr(b.rb, p, 1)
+                 THEN 1 ELSE 0 END)
+               FROM unnest(generate_series(1, 8)) AS t(p)) <= 1),
+      reach(s, d) AS (
+        SELECT doc_id, doc_id FROM hashed
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.d),
+      verd AS (SELECT s AS doc_id, min(d) AS cluster, s = min(d) AS is_kept
+        FROM reach GROUP BY s)
+      SELECT d.doc_id,
+        (CASE WHEN d.doc_id % 10 = 7 THEN NULL
+              WHEN d.doc_id % 10 = 3 THEN 4 ELSE 16 END)::INT AS img_width,
+        (CASE WHEN d.doc_id % 10 = 7 THEN NULL
+              WHEN d.doc_id % 10 = 3 THEN 4 ELSE 8 END)::INT AS img_height,
+        v.cluster, coalesce(v.is_kept, FALSE) AS is_canonical,
+        coalesce(v.is_kept, FALSE) AS curate_keep
+      FROM documents d LEFT JOIN verd v ON d.doc_id = v.doc_id"""))
+
   /** Audio envelope fingerprint over REAL decoded PCM: per-doc stepped
     * square-wave WAVs (65 steps, amp_k = (base + 797k) mod 16384, params
     * from doc_id) fingerprinted by [[Multimodal.audioEnvelopeHash]] — the
@@ -1244,6 +1296,6 @@ object CatalogOps {
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
-    mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp,
+    mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmCurateImages,
     stWindow)
 }

@@ -106,6 +106,41 @@ object Curation {
       .drop("__vid", "is_kept")
   }
 
+  /** The image-corpus curation chain — [[curate]]'s multimodal analogue,
+    * in ONE decode pass: perceptual-hash every payload
+    * ([[Multimodal.imagePerceptualHash]] also emits decoded dims), run
+    * corpus-level near-dup verdicts over the signatures
+    * ([[Dedup.hammingDedupCorpus]]: identical-sig collapse → banded
+    * components), and gate on decode success + minimum dimensions +
+    * canonicality. Output: per-image `img_width`/`img_height`/hashes/
+    * `decode_error`, `cluster` (null when unhashed), `is_canonical`, and
+    * the final `curate_keep`. Undecodable or sub-grid images are rejected
+    * rows, never dropped rows — the 100 TB contract that poisoned inputs
+    * stay observable.
+    *
+    * Plan shape: decode+hash rides the scan (narrow map); the dedup adds
+    * the [[Dedup.hammingDedupCorpus]] envelope (one hash-agg on the
+    * signature + banding over DISTINCT signatures only); the verdict join
+    * is an equi-join on id. Pixels never shuffle.
+    */
+  def curateImages(df: DataFrame, payloadCol: String, idCol: String,
+      minWidth: Int = 1, minHeight: Int = 1,
+      bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+    val sig = Multimodal.imagePerceptualHash(df, payloadCol)
+    val verdicts = Dedup.hammingDedupCorpus(
+        sig.where(col("img_ahash").isNotNull), idCol, "img_ahash",
+        bits, bands, maxHamming)
+      .withColumnRenamed("id", "__vid")
+    sig.join(verdicts, col(idCol) === col("__vid"), "left")
+      .withColumn("is_canonical", coalesce(col("is_kept"), lit(false)))
+      .withColumn("curate_keep", coalesce(
+        col("decode_error").isNull &&
+          col("img_width") >= minWidth && col("img_height") >= minHeight &&
+          col("is_kept"),
+        lit(false)))
+      .drop("__vid", "is_kept")
+  }
+
   /** Corpus snapshot diff — the incremental-rebuild primitive: compare two
     * corpus versions by id + content hash and emit ONLY the delta, one row
     * per difference: `added` (id only in the new snapshot), `removed` (id

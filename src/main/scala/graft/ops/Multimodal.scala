@@ -168,6 +168,8 @@ object Multimodal {
     */
   def imagePerceptualHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType),
       StructField("img_ahash", LongType),
       StructField("img_dhash", LongType),
       StructField("decode_error", StringType)))
@@ -177,14 +179,14 @@ object Multimodal {
       imageIoNoCache()
       rows.map { r =>
         val stats: Seq[Any] =
-          if (r.isNullAt(idx)) Seq(null, null, "null payload")
+          if (r.isNullAt(idx)) Seq(null, null, null, null, "null payload")
           else try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
-            if (img == null) Seq(null, null, "unsupported format")
+            if (img == null) Seq(null, null, null, null, "unsupported format")
             else {
               val w = img.getWidth; val h = img.getHeight
-              if (w < 9 || h < 8) Seq(null, null, "image smaller than 9x8 hash grid")
+              if (w < 9 || h < 8) Seq(w, h, null, null, "image smaller than 9x8 hash grid")
               else {
                 val px = img.getRGB(0, 0, w, h, null, 0, w)
                 // one pass accumulates both grids: 8-wide (aHash) and
@@ -223,12 +225,12 @@ object Multimodal {
                   }
                   yy += 1
                 }
-                Seq(ahash, dhash, null)
+                Seq(w, h, ahash, dhash, null)
               }
             }
           } catch {
             case e: Exception =>
-              Seq(null, null, s"decode failed: ${e.getClass.getSimpleName}")
+              Seq(null, null, null, null, s"decode failed: ${e.getClass.getSimpleName}")
           }
         Row.fromSeq(r.toSeq ++ stats)
       }

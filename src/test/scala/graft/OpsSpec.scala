@@ -405,6 +405,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[String]("decode_error") == "null payload")
   }
 
+  test("curateImages: one pass gates decode, dims and canonicality; rejects stay visible") {
+    import graft.ops.Curation
+    val imgs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .withColumn("payload",
+        when($"id" <= 2, Multimodal.syntheticPngGradient(lit(16), lit(8), lit(0), lit(16)))
+        .when($"id" === 3, Multimodal.syntheticPngGradient(lit(16), lit(8), lit(200), lit(96)))
+        .when($"id" === 4, Multimodal.syntheticPng(lit(4), lit(4), lit(1), lit(2), lit(3)))
+        .otherwise(lit("garbage".getBytes)))
+    val out = Curation.curateImages(imgs, "payload", "id", minWidth = 8, minHeight = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.size == 5) // rejected rows are present, not dropped
+    // 1 and 2 are identical → one cluster, min id canonical
+    assert(out(1L).getAs[Long]("cluster") == 1L && out(2L).getAs[Long]("cluster") == 1L)
+    assert(out(1L).getAs[Boolean]("curate_keep") && !out(2L).getAs[Boolean]("curate_keep"))
+    assert(out(3L).getAs[Boolean]("curate_keep")) // distinct image, own cluster
+    assert(!out(4L).getAs[Boolean]("curate_keep") &&
+      out(4L).getAs[Int]("img_width") == 4) // sub-grid: dims observable, rejected
+    assert(!out(5L).getAs[Boolean]("curate_keep") &&
+      out(5L).getAs[String]("decode_error") == "unsupported format")
+  }
+
   test("hammingDedupCorpus: brute-force components, linear verdicts, collapse") {
     // ids 0-2 share one signature (collapse path), 3 is one bit away
     // (joins the component through banding), 4/5 form a separate pair,
