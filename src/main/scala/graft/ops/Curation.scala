@@ -148,6 +148,9 @@ object Curation {
     * documents produce no output, so downstream incremental work
     * (re-dedup, re-index, re-embed) is proportional to the CHANGE RATE,
     * not the corpus — the same contract as [[Graphs.kgDiff]] for graphs.
+    * Ids are assumed unique within each snapshot (run [[Dedup.exact]] or
+    * [[curate]] first if they are not — duplicate ids would cross-product
+    * through the full-outer join).
     *
     * Plan shape at 100 TB: both sides project to (id, md5) at the scan —
     * content bytes never shuffle — then one full-outer equi-join on id.

@@ -563,7 +563,14 @@ object Dedup {
     */
   def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
-    val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val all = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    // null signatures (undecodable items) can't be compared to anything:
+    // they come back as their own singleton verdicts. Without this split
+    // the equi-join below would silently DROP them (null keys never
+    // match) and break the one-verdict-per-input contract.
+    val nullRows = all.where(col("sig").isNull)
+      .select(col("id"), col("id").as("cluster"), lit(true).as("is_kept"))
+    val base = all.where(col("sig").isNotNull)
     val reps = base.groupBy(col("sig")).agg(min(col("id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = hammingPairs(reps.select(col("rep").as("id"), col("sig")),
@@ -579,6 +586,7 @@ object Dedup {
     reps.unpersist()
     base.join(repClusters, Seq("sig"))
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("is_kept"))
+      .unionByName(nullRows)
   }
 
   /** Encoded Hamming band keys for a 64-bit signature column, as an

@@ -431,16 +431,18 @@ class OpsSpec extends AnyFunSuite {
     // (joins the component through banding), 4/5 form a separate pair,
     // 6 is a singleton
     val sigs = Seq(
-      (0L, 7L), (1L, 7L), (2L, 7L), (3L, 6L),
-      (4L, 0x7000L), (5L, 0x7001L), (6L, 0x0F0F0F0FL))
+      (0L, Some(7L)), (1L, Some(7L)), (2L, Some(7L)), (3L, Some(6L)),
+      (4L, Some(0x7000L)), (5L, Some(0x7001L)), (6L, Some(0x0F0F0F0FL)),
+      (7L, None)) // null signature (undecodable) → own singleton, not dropped
       .toDF("doc_id", "sig")
     val out = Dedup.hammingDedupCorpus(sigs, "doc_id", "sig",
         bits = 64, bands = 16, maxHamming = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L)) // one verdict per doc
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)) // one verdict per doc
     assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0L))   // component min label
     assert(out(4L)._1 == 4L && out(5L)._1 == 4L && out(6L)._1 == 6L)
-    assert(out.count(_._2._2) == 3)                        // one kept per cluster
+    assert(out(7L) == (7L, true))
+    assert(out.count(_._2._2) == 4)                        // one kept per cluster
     assert(out(0L)._2 && out(4L)._2 && out(6L)._2)
   }
 
