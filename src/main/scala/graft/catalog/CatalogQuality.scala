@@ -526,6 +526,59 @@ object CatalogQuality {
       SELECT query_id, corpus_id, score, rank::INT AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** Hybrid dense+sparse retrieval via reciprocal-rank fusion: BM25 top-5
+    * (documents) and brute-force cosine top-5 (embeddings, same id space)
+    * fused with RRF(60). The oracle replays both CTE chains and the
+    * rank-sum — exact because ranks are integers and the two-addend
+    * double sum is order-independent.
+    */
+  private val hybridRrf = Q("ret_hybrid_rrf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sparse = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 5)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") % 100 === 0), "v", "vec_id", 5)
+      Similarity.rrfFuse(Seq(sparse, dense), k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rrf_score"), col("rank"))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, unnest($tokenizeSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      st AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct($tokenizeSql)) AS tok
+        FROM documents WHERE doc_id % 100 = 0),
+      dfq AS (SELECT tok, count(*) AS dft FROM tf
+        WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+      sc AS (SELECT query_id, tf.doc_id AS corpus_id,
+          round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        WHERE tf.doc_id <> query_id
+        GROUP BY query_id, tf.doc_id),
+      sr AS (SELECT query_id, corpus_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+        FROM sc),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+      ds AS (SELECT query_id, c.vec_id AS corpus_id, $cosSql AS cos
+        FROM q JOIN (SELECT vec_id, v AS cv FROM e) c ON query_id <> c.vec_id),
+      dr AS (SELECT query_id, corpus_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        FROM ds),
+      u AS (SELECT query_id, corpus_id, rank FROM sr WHERE rank <= 5
+        UNION ALL SELECT query_id, corpus_id, rank FROM dr WHERE rank <= 5),
+      f AS (SELECT query_id, corpus_id,
+          round(sum(1.0 / (60 + rank)), 9) AS rrf_score FROM u GROUP BY 1, 2),
+      rr AS (SELECT query_id, corpus_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, corpus_id) AS rank
+        FROM f)
+      SELECT query_id, corpus_id, rrf_score, rank::INT AS rank
+      FROM rr WHERE rank <= 5"""))
+
   /** Spherical k-means: hash-mod seed sample → 2 Lloyd rounds (cosine
     * assignment, 9-dp-rounded mean update) over the 64-dim embeddings.
     * The oracle unrolls both iterations; the 9-dp round per update is what
@@ -597,5 +650,5 @@ object CatalogQuality {
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, corpusDiffQ, packConcat, orcScan,
-    simhashPairsQ, bigramLm, dsir, bm25, kmeansQ, lshPlanQ)
+    simhashPairsQ, bigramLm, dsir, bm25, hybridRrf, kmeansQ, lshPlanQ)
 }

@@ -71,6 +71,38 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = graft.functions.vec.cosine(a, b)
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of ranked
+    * retrieval lists — the standard dense+sparse hybrid: each list
+    * contributes 1/(rrfK + rank) for every (query, doc) it ranks, the
+    * fused score is the sum, and the top `k` per query survive. Rank-based
+    * fusion needs no score calibration between rankers (BM25 scores and
+    * cosines live on incomparable scales), which is exactly why RRF is the
+    * production default for hybrid RAG retrieval.
+    *
+    * Input lists need (query_id, corpus_id, rank); use
+    * [[graft.ops.TextAnalysis.bm25TopK]] for the sparse side and
+    * [[bruteForceTopK]]/[[ivfTopKBudget]] for the dense side. Ties in the
+    * fused score break by smallest corpus_id (deterministic, and — with
+    * two lists — the double arithmetic is order-independent, so the DuckDB
+    * oracle replays it exactly).
+    *
+    * Plan shape at 100 TB: inputs are already top-k-per-query (bounded:
+    * |queries|·k rows each), so the union + sum + bounded-heap re-rank is
+    * tiny however large the corpus that produced them — fusion cost never
+    * scales with corpus size.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k > 0 && rrfK > 0, "k and rrfK must be positive")
+    val unioned = lists
+      .map(_.select(col("query_id"), col("corpus_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = unioned
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 9).as("cos"))
+    topKPerQuery(fused, k).withColumnRenamed("cos", "rrf_score")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query set should be small relative to the
     * corpus (the corpus side streams through a broadcast of the queries).

@@ -446,6 +446,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L)._2 && out(4L)._2 && out(6L)._2)
   }
 
+  test("rrfFuse: rank-sum fusion, membership-only contribution, deterministic ties") {
+    val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    val got = Similarity.rrfFuse(Seq(sparse, dense), k = 4)
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("rrf_score"), r.getAs[Int]("rank"))).sortBy(_._3)
+    def s(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 11: ranks 2+1; 10: ranks 1+3; 12 and 13: single-list, rank diff
+    // breaks what membership alone would tie — 12 (rank 3) vs 13 (rank 2)
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(got(0)._2 == s(2, 1) && got(1)._2 == s(1, 3))
+    assert(got(2)._2 == s(2) && got(3)._2 == s(3))
+  }
+
   test("hammingPairs matches brute force within the pigeonhole guarantee") {
     val sigs = Seq(
       (0L, 0L), (1L, 0L),                  // identical → hamming 0
