@@ -547,6 +547,24 @@ object CatalogOps {
     * customer and renames every 11th — the delta is exactly the added
     * (renamed) and removed (deleted + pre-rename) name triples.
     */
+  /** Connected components over a worst-case-diameter graph: chains of 10
+    * consecutive doc ids (edges i→i+1 except at i≡9 mod 10), so the
+    * component label has a closed form — floor(id/10)·10 — while the
+    * resolver has to propagate labels down full chains rather than through
+    * shallow stars. localThreshold = 0 FORCES the distributed
+    * large-star/small-star rounds (the 100 TB path), so this row
+    * oracle-checks the star implementation itself, not the driver
+    * union-find shortcut.
+    */
+  private val kgComponents = Q("kg_components",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Graphs.connectedComponents(edges, "id_a", "id_b", localThreshold = 0L)
+    },
+    Some("""SELECT doc_id AS id, (doc_id // 10 * 10)::BIGINT AS cluster FROM documents"""))
+
   private val kgDiff = Q("kg_diff",
     (s, dir) => {
       def nameTriples(df: org.apache.spark.sql.DataFrame) = df.select(
@@ -1288,7 +1306,7 @@ object CatalogOps {
     ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
-    simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff,
+    simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtNormalize,

@@ -76,6 +76,21 @@ object Graphs {
       .unionByName(o.join(n, key, "left_anti").withColumn("change", lit("removed")))
   }
 
+  /** Connected components over an (undirected) edge frame — the
+    * engine's large-star/small-star resolver ([[Dedup.resolveClusters]]:
+    * O(log² n) rounds at scale, driver union-find below the size gate)
+    * exposed as a first-class KG analytics op. Returns (id, cluster) with
+    * cluster = the component's minimum vertex id; vertices that appear in
+    * no edge are absent (join the vertex frame back with
+    * `coalesce(cluster, id)` for singleton semantics, as
+    * [[Dedup.dedupCorpus]] does).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      localThreshold: Long = 4000000L): DataFrame =
+    Dedup.resolveClusters(
+      edges.select(col(aCol).as("id_a"), col(bCol).as("id_b")),
+      localThreshold = localThreshold)
+
   /** Per-vertex degree profile of an edge frame: out-degree, in-degree.
     * One partial-agg shuffle per direction + an outer merge join.
     */
