@@ -39,6 +39,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** The generator body, session-agnostic (ScaleGenSpec pins its
+    * invariants on the shared test session).
+    */
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
 
     // narrow fan-out: explode a 0..copies-1 sequence per row, no shuffle
     def fan(df: DataFrame): DataFrame =
@@ -115,7 +123,5 @@ object ScaleGen {
     write("embeddings", fan(read("embeddings"))
       .withColumn("vec_id", shifted("vec_id"))
       .withColumn("embedding", transform(rotated, x => x * lapSign)))
-
-    spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decade-scaling evidence (SCALE.md §11–§15) rests on ScaleGen's
+  * invariants — pin them: disjoint key ranges per copy, copy-0 identity,
+  * cross-copy text decorrelation (vowel permutation), embedding rotation.
+  * A silent violation (e.g. verbatim text copies) would turn the measured
+  * "linear growth" numbers into artifacts of cross-copy duplicate blowup.
+  */
+class ScaleGenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val Shift = 1000000000L
+
+  lazy val dst: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_scalegen").toString
+    graft.bench.ScaleGen.generate(spark, "/root/testdata/sf0.001", d, 3)
+    d
+  }
+
+  private def src(name: String) = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+  private def out(name: String) = spark.read.parquet(s"$dst/$name.parquet")
+
+  test("fanned tables triple, dimensions copy through, key ranges are disjoint") {
+    Seq("customer", "orders", "lineitem", "documents", "embeddings", "events")
+      .foreach { t => assert(out(t).count() == 3 * src(t).count(), t) }
+    Seq("region", "nation").foreach { t => assert(out(t).count() == src(t).count(), t) }
+    val maxSrcId = src("documents").agg(max("doc_id")).head().getLong(0)
+    val copies = out("documents")
+      .select((col("doc_id") / Shift).cast("long").as("copy"),
+        pmod(col("doc_id"), lit(Shift)).as("base"))
+    assert(copies.agg(max("base")).head().getLong(0) == maxSrcId)
+    assert(copies.select("copy").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
+  test("copy 0 is the identity; other copies decorrelate text and rotate embeddings") {
+    val d0 = out("documents").where(col("doc_id") < Shift)
+    assert(d0.as("a").join(src("documents").as("b"), "doc_id")
+      .where(col("a.text") =!= col("b.text")).count() == 0)
+    // copy 1: same doc under shifted id must have permuted (different) text
+    // wherever the source text contains a vowel
+    val pairs = out("documents").where(col("doc_id") >= Shift && col("doc_id") < 2 * Shift)
+      .select((col("doc_id") - Shift).as("doc_id"), col("text").as("t1"))
+      .join(src("documents"), "doc_id")
+      .where(col("text").rlike("[aeiouAEIOU]"))
+    assert(pairs.count() > 0)
+    assert(pairs.where(col("t1") === col("text")).count() == 0)
+    // embeddings: copy 1 is the source vector cyclically rotated by 13
+    val e1 = out("embeddings").where(col("vec_id") >= Shift && col("vec_id") < 2 * Shift)
+      .select((col("vec_id") - Shift).as("vec_id"), col("embedding").as("v1"))
+      .join(src("embeddings"), "vec_id")
+    val dim = size(col("embedding"))
+    val expected = concat(slice(col("embedding"), lit(14), dim - 13),
+      slice(col("embedding"), lit(1), lit(13)))
+    assert(e1.where(col("v1") =!= expected).count() == 0)
+    assert(e1.count() == src("embeddings").count())
+  }
+
+  test("joins stay within a copy: every order's customer key is in the same copy") {
+    val o = out("orders").select((col("o_custkey") / Shift).cast("long").as("ck"),
+      (col("o_orderkey") / Shift).cast("long").as("ok"))
+    assert(o.where(col("ck") =!= col("ok")).count() == 0)
+  }
+}
