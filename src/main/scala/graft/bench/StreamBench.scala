@@ -109,8 +109,10 @@ object StreamBench {
 
     // standing IMAGE corpus for the perceptual-hash flag: one signature per
     // gradient class, snapshotted once (the production shape — the corpus
-    // index is hashes, never pixels)
-    val imgCorpusSigs = graft.ops.Multimodal.imagePerceptualHash(
+    // index is hashes, never pixels). lazy: localCheckpoint is eager, and
+    // an op-filtered campaign that excludes the image flag must not pay
+    // the 150-image synth+decode at startup
+    lazy val imgCorpusSigs = graft.ops.Multimodal.imagePerceptualHash(
       spark.range(150).toDF("img_id").withColumn("payload",
         graft.ops.Multimodal.syntheticPngGradient(lit(16), lit(8),
           pmod(col("img_id") * 37, lit(256)).cast("int"),

@@ -543,10 +543,6 @@ object CatalogOps {
         SELECT vertex, round(pr, 8) AS pagerank FROM p3"""
     })
 
-  /** Incremental-rebuild diff: the "new" snapshot deletes every 7th
-    * customer and renames every 11th — the delta is exactly the added
-    * (renamed) and removed (deleted + pre-rename) name triples.
-    */
   /** Connected components over a worst-case-diameter graph: chains of 10
     * consecutive doc ids (edges i→i+1 except at i≡9 mod 10), so the
     * component label has a closed form — floor(id/10)·10 — while the
@@ -559,12 +555,25 @@ object CatalogOps {
   private val kgComponents = Q("kg_components",
     (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
+      // semi-join the successor against the table: if the id space ever
+      // ends mid-chain (count % 10 != 0) the last edge would otherwise
+      // manufacture a phantom vertex the oracle never emits
       val edges = d.where(col("doc_id") % 10 =!= 9)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Graphs.connectedComponents(edges, "id_a", "id_b", localThreshold = 0L)
+        .join(d.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      val cc = Graphs.connectedComponents(edges, "id_a", "id_b", localThreshold = 0L)
+      // singleton semantics per the op's scaladoc: edgeless vertices (a
+      // one-doc tail chain) label themselves
+      d.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
     },
     Some("""SELECT doc_id AS id, (doc_id // 10 * 10)::BIGINT AS cluster FROM documents"""))
 
+  /** Incremental-rebuild diff: the "new" snapshot deletes every 7th
+    * customer and renames every 11th — the delta is exactly the added
+    * (renamed) and removed (deleted + pre-rename) name triples.
+    */
   private val kgDiff = Q("kg_diff",
     (s, dir) => {
       def nameTriples(df: org.apache.spark.sql.DataFrame) = df.select(

@@ -331,9 +331,6 @@ object CatalogQuality {
       JOIN rep r ON d.doc_id = r.doc_id
       JOIN clus c ON c.id = d.doc_id"""))
 
-  /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
-    * gates on original text, dedup keyed on the excised text.
-    */
   /** Corpus snapshot diff: new snapshot = documents minus doc_id%11==1
     * (removed), with " v2" appended for doc_id%7==0 (changed), plus
     * re-keyed copies of doc_id%13==2 (added). The delta — and only the
@@ -361,6 +358,9 @@ object CatalogQuality {
       SELECT doc_id + 10000000 AS doc_id, 'added' AS status FROM documents
       WHERE doc_id % 13 = 2"""))
 
+  /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
+    * gates on original text, dedup keyed on the excised text.
+    */
   private val curateDecontamQ = Q("pipe_curate_decontam",
     (s, dir) => {
       val docs = t(s, dir, "documents")

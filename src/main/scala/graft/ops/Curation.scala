@@ -126,7 +126,15 @@ object Curation {
   def curateImages(df: DataFrame, payloadCol: String, idCol: String,
       minWidth: Int = 1, minHeight: Int = 1,
       bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+    // persist the hashed frame: it fans out four ways (cluster-map build
+    // inside hammingDedupCorpus, its null-sig branch, and the verdict
+    // join's left side), and WITHOUT the cache each branch would re-run
+    // the per-row ImageIO decode — the dominant cost at scale — once per
+    // consumer instead of once total. hammingDedupCorpus runs an eager
+    // action internally (the CC rounds), so the cache fills during this
+    // call; Spark's ContextCleaner drops it when the frame is unreachable.
     val sig = Multimodal.imagePerceptualHash(df, payloadCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verdicts = Dedup.hammingDedupCorpus(
         sig.where(col("img_ahash").isNotNull), idCol, "img_ahash",
         bits, bands, maxHamming)

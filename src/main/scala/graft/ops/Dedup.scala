@@ -519,19 +519,16 @@ object Dedup {
     */
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands ($maxHamming >= $bands)")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    // band keys come from the SAME expression the streaming corpus flags
+    // use ([[hammingBandKeysCol]] — band index offset-encoded into one
+    // long), so batch banding and streaming membership cannot drift
     val banded = base.select(col("id"), col("sig"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
