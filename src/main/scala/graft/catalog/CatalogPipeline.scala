@@ -321,8 +321,43 @@ object CatalogPipeline {
       SELECT l_returnflag, l_suppkey, round(rev, 2) AS revenue, rnk
       FROM r WHERE rnk <= 3"""))
 
+  /** Dataset profiling (Deequ-style health check): nulls planted on every
+    * 13th priority so the null counter has something to count; dates render
+    * identically ('yyyy-MM-dd') in Spark's and DuckDB's string casts.
+    */
+  private val profileQ = Q("q_profile",
+    (s, dir) => {
+      val o = t(s, dir, "orders").withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      graft.ops.Profiling.profile(o,
+        Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM orders)
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        count(DISTINCT o_orderkey) AS n_distinct,
+        min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value FROM o
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        count(DISTINCT o_orderstatus),
+        min(o_orderstatus), max(o_orderstatus) FROM o
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        count(DISTINCT o_orderdate),
+        min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        count(DISTINCT o_orderpriority),
+        min(o_orderpriority), max(o_orderpriority) FROM o"""))
+
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
     pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
-    rollup, cube, pctile, heavyHitters)
+    rollup, cube, pctile, heavyHitters, profileQ)
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling for pipeline health checks (the Deequ-style staple):
+  * per-column null count, exact distinct count, and min/max — the
+  * before/after sanity gate a 100 TB ingest runs around every transform
+  * (did the join drop rows? did a column go all-null? did the key space
+  * shrink?).
+  *
+  * One aggregation over one scan computes every column's stats; the exact
+  * `count(distinct)` per column makes Catalyst plan an Expand (input rows
+  * × profiled columns through the first partial aggregate) — the
+  * documented price of exactness, linear in columns. Profile a column
+  * SUBSET at scale, or at very wide schemas run per-column passes.
+  * min/max are rendered as strings so the long-format output is
+  * type-uniform across heterogeneous columns.
+  */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        F.sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
+        countDistinct(col(c)).as(s"dist__$c"),
+        F.min(col(c)).cast("string").as(s"min__$c"),
+        F.max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggExprs
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    // unpivot the single wide row to one output row per column
+    val stackArgs = cols.map(c =>
+      s"'$c', `nulls__$c`, `dist__$c`, `min__$c`, `max__$c`").mkString(", ")
+    wide.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_value, max_value)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+}

@@ -446,6 +446,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L)._2 && out(4L)._2 && out(6L)._2)
   }
 
+  test("profile: one row per column with exact nulls, distincts, string-cast extremes") {
+    import graft.ops.Profiling
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "tag")
+    val got = Profiling.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("tag") == ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("rrfFuse: rank-sum fusion, membership-only contribution, deterministic ties") {
     val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "corpus_id", "rank")
