@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the fingerprint/banding family: Hamming banding and
+  * corpus verdicts must agree with brute force on RANDOM signature sets
+  * (the fixed OpsSpec cases pin behavior; these pin the guarantee), and
+  * the audio envelope hash must be exactly gain-invariant.
+  *
+  * Spark-side properties run fewer samples than the string kernels' 300
+  * (each sample is a whole distributed job); 25 seeded sets × up to 24
+  * signatures still sweeps thousands of random pairs through the
+  * pigeonhole claim.
+  */
+class HashPropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val sigSet: Gen[List[Long]] = for {
+    n <- Gen.choose(2, 24)
+    // mix near-duplicates (small perturbations of a base) with arbitrary
+    // longs so the ≤ maxHamming region is actually populated
+    base <- Gen.long
+    sigs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.long,
+      Gen.choose(0, 63).map(b => base ^ (1L << b)),
+      Gen.choose(0, 62).map(b => base ^ (3L << b))))
+  } yield sigs
+
+  test("hammingPairs equals brute force for random signature sets (pigeonhole recall)") {
+    samples(sigSet, 25).foreach { sigs =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+      val maxH = 7
+      val got = Dedup.hammingPairs(df, "id", "sig", bits = 64, bands = 16, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (sa, ia) <- sigs.zipWithIndex; (sb, ib) <- sigs.zipWithIndex if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia.toLong, ib.toLong) -> h.toLong).toMap
+      assert(got == want, s"sigs=$sigs")
+    }
+  }
+
+  test("hammingDedupCorpus equals brute-force components for random signature sets") {
+    samples(sigSet, 15).foreach { sigs =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+      val maxH = 7
+      val got = Dedup.hammingDedupCorpus(df, "id", "sig", bits = 64, bands = 16, maxHamming = maxH)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force union-find over the exact ≤ maxH pair graph
+      val parent = Array.tabulate(sigs.size)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for {
+        (sa, ia) <- sigs.zipWithIndex; (sb, ib) <- sigs.zipWithIndex if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } { val (ra, rb) = (find(ia), find(ib)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = sigs.indices.map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"sigs=$sigs")
+    }
+  }
+
+  test("audio envelope hash is exactly gain-invariant (integer gain, no clipping)") {
+    val stepsGen: Gen[(List[Int], Int)] = for {
+      steps <- Gen.listOfN(65, Gen.choose(0, 4000))
+      gain <- Gen.choose(2, 4)
+    } yield (steps, gain)
+    samples(stepsGen, 8).foreach { case (steps, gain) =>
+      def wav(scale: Int) = {
+        val amps = steps.map(_ * scale)
+        // one window per step (framesPerStep=2): same construction as
+        // syntheticWavEnvelope but with arbitrary per-step amplitudes
+        val n = amps.size * 2
+        val out = new Array[Byte](44 + n * 2)
+        def ascii(o: Int, s: String): Unit = (0 until 4).foreach(i => out(o + i) = s.charAt(i).toByte)
+        def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+        def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff) }
+        ascii(0, "RIFF"); le32(4, 36 + n * 2); ascii(8, "WAVE")
+        ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+        le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+        ascii(36, "data"); le32(40, n * 2)
+        (0 until n).foreach { i =>
+          val a = amps(i / 2); val v = if (i % 2 == 0) a else -a
+          le16(44 + i * 2, v & 0xffff)
+        }
+        out
+      }
+      val df = Seq((1L, wav(1)), (2L, wav(gain))).toDF("id", "payload")
+      val out = Multimodal.audioEnvelopeHash(df, "payload")
+        .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("audio_envhash"))).toMap
+      assert(out(1L) == out(2L), s"gain=$gain steps=${steps.take(8)}…")
+    }
+  }
+}
