@@ -15,6 +15,9 @@ object Engine {
 
   final case class Config(
       removeDuplicates: Boolean = true,
+      /** Quad-dedup physical strategy: auto | shuffle | hash_routed
+        * (see [[MappingCompiler.Options.dedupStrategy]]). */
+      dedupStrategy: String = "auto",
       dedupSourceRows: Boolean = false,
       outputFormat: String = "n-triples", // n-triples | turtle
       baseIri: Option[String] = None,
@@ -24,8 +27,10 @@ object Engine {
       jdbc: Option[MappingCompiler.JdbcDefaults] = None)
 
   private def toOptions(config: Config): MappingCompiler.Options =
-    MappingCompiler.Options(config.removeDuplicates, config.dedupSourceRows,
-      config.baseIri, jdbc = config.jdbc)
+    MappingCompiler.Options(config.removeDuplicates,
+      dedupStrategy = config.dedupStrategy,
+      dedupSourceRows = config.dedupSourceRows,
+      baseIri = config.baseIri, jdbc = config.jdbc)
 
   /** Compile a mapping document into the quad DataFrame (s, p, o, g). */
   def materialize(spark: SparkSession, mappingTurtle: String,
@@ -105,7 +110,8 @@ object Engine {
     val perTm = MappingCompiler.compilePerTm(spark, doc, opts)
     val all = perTm.map(_._2).reduceLeftOption(_.unionByName(_))
       .getOrElse(MappingCompiler.emptyQuads(spark))
-    val quads = if (config.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
+    val quads = if (config.removeDuplicates)
+      MappingCompiler.dedupQuads(spark, all, toOptions(config)) else all
     val persisted = quads.persist()
     try {
       val n = persisted.count()
@@ -119,7 +125,8 @@ object Engine {
         import org.apache.spark.sql.functions.{col, lit}
         val nTargets = tm.subject.targets.size + tm.poms.iterator.map(_.targets.size).sum
         if (nTargets > 0) {
-          val deduped = if (config.removeDuplicates) df0.dropDuplicates("s", "p", "o", "g") else df0
+          val deduped = if (config.removeDuplicates)
+            MappingCompiler.dedupQuads(spark, df0, toOptions(config)) else df0
           // persist the per-TM frame across the target fan-out: k logical
           // targets would otherwise re-execute the whole term pipeline
           // (scan → explode → dedup) k times

@@ -1055,6 +1055,22 @@ object CatalogCore {
       '<http://ex/part/' || l_partkey || '>' AS o FROM lineitem"""),
     bench = true)
 
+  /** D2's semantics through the hash-routed strategy (same fixture, same
+    * oracle): unique-hash rows bypass the row shuffle entirely; only
+    * colliding hashes pay the exact dedup. Green here = the routed plan
+    * IS `dropDuplicates` semantically.
+    */
+  private val d2b = Q("d2b_dedup_routed",
+    (s, dir) => graft.ops.Dedup.dedupHashRouted(
+      t(s, dir, "lineitem").select(
+        rml.iri(concat(lit("http://ex/supplier/"), col("l_suppkey"))).as("s"),
+        lit("<http://ex/vocab/supplies>").as("p"),
+        rml.iri(concat(lit("http://ex/part/"), col("l_partkey"))).as("o")),
+      Seq("s", "p", "o")),
+    Some("""SELECT DISTINCT '<http://ex/supplier/' || l_suppkey || '>' AS s,
+      '<http://ex/vocab/supplies>' AS p,
+      '<http://ex/part/' || l_partkey || '>' AS o FROM lineitem"""))
+
   private val u1 = Q("u_union_dedup",
     (s, dir) => {
       val a = t(s, dir, "customer").select(
@@ -1390,7 +1406,7 @@ object CatalogCore {
     k1, k2, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
-    a1, a2, a4, d2, u1,
+    a1, a2, a4, d2, d2b, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)
 }

@@ -42,6 +42,14 @@ object MappingCompiler {
 
   final case class Options(
       removeDuplicates: Boolean = true,
+      /** Quad-dedup physical strategy: "auto"/"shuffle" = plain
+        * `dropDuplicates` (measured best for the engine's expensive quad
+        * lineage — see [[dedupQuads]]); "hash_routed" =
+        * [[graft.ops.Dedup.dedupHashRouted]], for persisted or
+        * cheap-lineage inputs. Same result set in every mode — this is a
+        * physical choice.
+        */
+      dedupStrategy: String = "auto",
       dedupSourceRows: Boolean = false,
       baseIri: Option[String] = None,
       /** Pre-built frames keyed by LogicalSource.id — lets a streaming
@@ -57,7 +65,27 @@ object MappingCompiler {
     val all = compilePerTm(spark, doc, opts).map(_._2)
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(emptyQuads(spark))
-    if (opts.removeDuplicates) all.dropDuplicates("s", "p", "o", "g") else all
+    if (opts.removeDuplicates) dedupQuads(spark, all, opts) else all
+  }
+
+  /** The global quad dedup (D2), strategy per [[Options.dedupStrategy]].
+    * "auto" = plain `dropDuplicates`, and that is a MEASURED choice, not a
+    * placeholder: hash routing ([[graft.ops.Dedup.dedupHashRouted]]) wins
+    * 1.8–4.8× when the row lineage is a cheap scan (SCALE.md §15.5), but
+    * the engine's quad lineage is the full term-construction pipeline
+    * (percent-encoding, escaping, explode), and the routed plan's three
+    * lineage replays cost 3× MORE than the exchange it saves at the 100×
+    * scale (sf10 wide mapping: 594 s routed vs ~200 s plain). Opt in with
+    * "hash_routed" only when the upstream frame is persisted or trivially
+    * recomputable.
+    */
+  private[graft] def dedupQuads(spark: SparkSession, all: DataFrame,
+      opts: Options): DataFrame = {
+    val key = Seq("s", "p", "o", "g")
+    opts.dedupStrategy match {
+      case "hash_routed" => graft.ops.Dedup.dedupHashRouted(all, key)
+      case _ => all.dropDuplicates(key)
+    }
   }
 
   private[graft] def emptyQuads(spark: SparkSession): DataFrame =

@@ -33,6 +33,47 @@ object Dedup {
   def h60(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"s$seed:"), c)), 1, 15), 16, 10).cast("long")
 
+  /** Exact row dedup with HASH ROUTING — the shuffle-lean strategy for
+    * wide rows with a low-to-moderate duplicate rate: instead of
+    * shuffling every full row through one global `dropDuplicates` (the
+    * named single-box ceiling on the wide-mapping benches: ~100 GB of
+    * row bytes through the exchange at the 100× scale), shuffle only an
+    * 8-byte xxhash64 of the key columns to find COLLIDING hashes, then
+    * route: rows whose hash is globally unique pass through with NO row
+    * shuffle (broadcast anti-join), and only the colliding subset —
+    * true duplicates plus the odd hash collision — pays the exact
+    * `dropDuplicates`. Collisions only ever ROUTE rows to the exact
+    * path, never merge them, so the result is exactly `dropDuplicates
+    * (cols)` for any input.
+    *
+    * The trade, measured in SCALE.md §15.5: two extra scans of the
+    * input lineage (cheap sequential CPU) buy a far smaller exchange —
+    * 2.3–3.9× faster than plain `dropDuplicates` on 66M ~260-byte rows,
+    * parity on narrow rows (d2b vs d2). The colliding-hash set is
+    * materialized once (eager localCheckpoint — both routing joins and
+    * the size probe share it) and its COUNT decides the join hint:
+    * under `maxBroadcastKeys` it is explicitly broadcast, which is what
+    * saves the big side's exchange (AQE's runtime BHJ conversion still
+    * pays the map-side shuffle write — measured: the win disappears
+    * without the hint); over the cap — a duplicate-dominated input like
+    * the reference's 75%-duplicates axis — the joins fall back to
+    * shuffles instead of OOMing the driver, landing near plain-dedup
+    * cost.
+    */
+  def dedupHashRouted(df: DataFrame, cols: Seq[String],
+      maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    require(cols.nonEmpty, "need at least one key column")
+    val withH = df.withColumn("__h", xxhash64(cols.map(col): _*))
+    val dupH = withH.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select(col("__h"))
+      .localCheckpoint(true)
+    val dupSide = if (dupH.count() <= maxBroadcastKeys) broadcast(dupH) else dupH
+    val uniques = withH.join(dupSide, Seq("__h"), "left_anti")
+    val dups = withH.join(dupSide, Seq("__h"), "left_semi")
+      .dropDuplicates(cols)
+    uniques.unionByName(dups).drop("__h")
+  }
+
   /** Exact dedup: one representative row (min id) per identical value.
     * Spark plan: partial hash-agg → shuffle on the hash → final agg.
     */

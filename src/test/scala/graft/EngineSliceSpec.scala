@@ -114,6 +114,18 @@ class EngineSliceSpec extends AnyFunSuite {
       "<http://example.com/vocab/Label>")))
   }
 
+  test("dedup strategies are result-identical: shuffle vs hash_routed vs auto") {
+    val child = writeTmp("child_ds.csv", childCsv)
+    val parent = writeTmp("parent_ds.csv", parentCsv)
+    def quads(strategy: String) = Engine.materialize(spark, mapping(child, parent),
+        config = Engine.Config(dedupStrategy = strategy))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val plain = quads("shuffle")
+    assert(plain.nonEmpty)
+    assert(quads("hash_routed") == plain)
+    assert(quads("auto") == plain)
+  }
+
   test("percent encoding matches python urllib.parse.quote semantics") {
     assert(RmlStrings.encode("alpha beta") == "alpha%20beta")
     assert(RmlStrings.encode("a/b") == "a%2Fb")

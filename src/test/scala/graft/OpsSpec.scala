@@ -446,6 +446,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L)._2 && out(4L)._2 && out(6L)._2)
   }
 
+  test("dedupHashRouted: exactly dropDuplicates semantics, nulls included") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(2)),
+      ("b", None), ("b", None), ("b", Some(1)),
+      (null: String, Some(1)), (null: String, Some(1)))
+      .toDF("k", "v")
+    val got = Dedup.dedupHashRouted(df, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toSet
+    val want = df.dropDuplicates(Seq("k", "v"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toSet
+    assert(got == want && got.size == 5)
+  }
+
   test("profile: one row per column with exact nulls, distincts, string-cast extremes") {
     import graft.ops.Profiling
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
