@@ -1192,6 +1192,54 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM b GROUP BY doc_id"""))
 
+  /** Corpus-scale AUDIO dedup — the third modality through the same
+    * verdict machinery: 120 envelope classes (doc_id % 120); classes ≥ 60
+    * are class-60-less re-masters with ONE level-edited step, landing
+    * within Hamming 2 of their original (only the two bits touching the
+    * edited step can move) — so engineered near-dup pairs merge while the
+    * identical-signature collapse absorbs same-class docs. The oracle
+    * replays amplitudes → envelope bits → the exact ≤-maxHamming class
+    * graph → transitive closure, then labels every doc with its
+    * component's minimum doc id.
+    */
+  private val mmAudioCluster = Q("mm_audio_cluster",
+    (s, dir) => {
+      val c = col("doc_id") % 120
+      val wavs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.syntheticWavEnvelopeEdit(lit(8000), lit(2), lit(65),
+          (when(c >= 60, (c - 60) * 31).otherwise(c * 31)).cast("int"), lit(797),
+          (when(c >= 60, c % 60).otherwise(lit(-1))).cast("int"), lit(8000))
+          .as("payload"))
+      val sigs = Multimodal.audioEnvelopeHash(wavs, "payload")
+        .select(col("doc_id"), col("audio_envhash"))
+      Dedup.hammingDedupCorpus(sigs, "doc_id", "audio_envhash",
+        bits = 64, bands = 16, maxHamming = 8)
+        .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
+    },
+    Some("""WITH RECURSIVE cls AS (SELECT DISTINCT doc_id % 120 AS c FROM documents),
+      amp AS (SELECT c, k,
+          CASE WHEN c >= 60 AND k = c % 60 THEN ((c - 60)*31 + 797*k + 8000) % 16384
+               WHEN c >= 60 THEN ((c - 60)*31 + 797*k) % 16384
+               ELSE (c*31 + 797*k) % 16384 END AS a
+        FROM cls, unnest(generate_series(0, 64)) AS t(k)),
+      bits AS (SELECT a1.c, a1.k, CASE WHEN a1.a < a2.a THEN '1' ELSE '0' END AS b
+        FROM amp a1 JOIN amp a2 ON a1.c = a2.c AND a2.k = a1.k + 1
+        WHERE a1.k <= 63),
+      str AS (SELECT c, string_agg(b, '' ORDER BY k DESC) AS s FROM bits GROUP BY c),
+      ce AS (SELECT x.c AS u, y.c AS v FROM str x JOIN str y ON x.c <> y.c
+        WHERE (SELECT sum(CASE WHEN substr(x.s, p, 1) <> substr(y.s, p, 1)
+                 THEN 1 ELSE 0 END)
+               FROM unnest(generate_series(1, 64)) AS t(p)) <= 8),
+      reach(s, d) AS (SELECT c, c FROM cls
+        UNION SELECT r.s, e.v FROM reach r JOIN ce e ON e.u = r.d),
+      comp AS (SELECT s AS c, min(d) AS root FROM reach GROUP BY s),
+      rootmin AS (SELECT comp.root, min(d.doc_id) AS cluster FROM documents d
+        JOIN comp ON d.doc_id % 120 = comp.c GROUP BY comp.root)
+      SELECT d.doc_id, rm.cluster, d.doc_id = rm.cluster AS is_kept
+      FROM documents d
+      JOIN comp ON d.doc_id % 120 = comp.c
+      JOIN rootmin rm ON rm.root = comp.root"""))
+
   // ---------------------------------------------------------------- streaming
 
   private val stWindow = Q("st_window_agg",
@@ -1323,6 +1371,6 @@ object CatalogOps {
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
-    mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmCurateImages,
+    mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     stWindow)
 }

@@ -685,6 +685,42 @@ object Multimodal {
       out
     })
 
+  /** [[syntheticWavEnvelope]] with one level-edited step — the canonical
+    * audio near-duplicate (a re-master that changes one segment's gain):
+    * step `editStep` gets `editDelta` added to its amplitude (mod 16384);
+    * `editStep < 0` means no edit. At most the two envelope bits touching
+    * that step move, so the edited clip lands within Hamming 2 of the
+    * original — inside any reasonable near-dup threshold, with a closed
+    * form the oracle replays.
+    */
+  val syntheticWavEnvelopeEdit: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sampleRate: Int, framesPerStep: Int, nSteps: Int, baseAmp: Int,
+        ampStep: Int, editStep: Int, editDelta: Int) => {
+      val nSamples = framesPerStep * nSteps
+      val dataLen = nSamples * 2
+      val out = new Array[Byte](44 + dataLen)
+      def ascii(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+      def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff) }
+      ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16)
+      le16(20, 1); le16(22, 1)
+      le32(24, sampleRate); le32(28, sampleRate * 2)
+      le16(32, 2); le16(34, 16)
+      ascii(36, "data"); le32(40, dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val k = i / framesPerStep
+        val delta = if (k == editStep) editDelta else 0
+        val amp = ((baseAmp + ampStep * k + delta) % 16384 + 16384) % 16384
+        val v = if (i % 2 == 0) amp else -amp
+        out(44 + i * 2) = (v & 0xff).toByte
+        out(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    })
+
   /** REAL video frame decode for MJPEG-in-AVI: walks the AVI RIFF
     * container (a LIST tree over `movi` frame chunks — public spec, same
     * chunk grammar as WAV) and decodes each `00dc`/`00db` frame with the
