@@ -111,7 +111,7 @@ object Engine {
     val all = perTm.map(_._2).reduceLeftOption(_.unionByName(_))
       .getOrElse(MappingCompiler.emptyQuads(spark))
     val quads = if (config.removeDuplicates)
-      MappingCompiler.dedupQuads(spark, all, toOptions(config)) else all
+      MappingCompiler.dedupQuads(spark, all, opts) else all
     val persisted = quads.persist()
     try {
       val n = persisted.count()
@@ -126,7 +126,7 @@ object Engine {
         val nTargets = tm.subject.targets.size + tm.poms.iterator.map(_.targets.size).sum
         if (nTargets > 0) {
           val deduped = if (config.removeDuplicates)
-            MappingCompiler.dedupQuads(spark, df0, toOptions(config)) else df0
+            MappingCompiler.dedupQuads(spark, df0, opts) else df0
           // persist the per-TM frame across the target fan-out: k logical
           // targets would otherwise re-execute the whole term pipeline
           // (scan → explode → dedup) k times

@@ -555,12 +555,13 @@ object CatalogOps {
   private val kgComponents = Q("kg_components",
     (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
-      // semi-join the successor against the table: if the id space ever
-      // ends mid-chain (count % 10 != 0) the last edge would otherwise
-      // manufacture a phantom vertex the oracle never emits
+      // a tail mid-chain (count % 10 != 0) would put a phantom successor
+      // vertex in the edge list, but it is harmless BY CONSTRUCTION: the
+      // phantom is strictly the largest id in its chain (never a component
+      // minimum, so no label moves) and the final left join over real doc
+      // ids discards its row — no guard join needed in the benched plan
       val edges = d.where(col("doc_id") % 10 =!= 9)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-        .join(d.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       val cc = Graphs.connectedComponents(edges, "id_a", "id_b", localThreshold = 0L)
       // singleton semantics per the op's scaladoc: edgeless vertices (a
       // one-doc tail chain) label themselves

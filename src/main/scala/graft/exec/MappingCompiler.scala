@@ -84,7 +84,11 @@ object MappingCompiler {
     val key = Seq("s", "p", "o", "g")
     opts.dedupStrategy match {
       case "hash_routed" => graft.ops.Dedup.dedupHashRouted(all, key)
-      case _ => all.dropDuplicates(key)
+      case "auto" | "shuffle" => all.dropDuplicates(key)
+      case other => throw new IllegalArgumentException(
+        // fail loudly: a typo'd opt-in (hash-routed, HASHROUTED, …) must
+        // not silently benchmark the shuffle plan as if it were routed
+        s"unknown dedupStrategy '$other' (expected auto | shuffle | hash_routed)")
     }
   }
 

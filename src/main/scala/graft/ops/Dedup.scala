@@ -63,6 +63,12 @@ object Dedup {
   def dedupHashRouted(df: DataFrame, cols: Seq[String],
       maxBroadcastKeys: Long = 10000000L): DataFrame = {
     require(cols.nonEmpty, "need at least one key column")
+    // three passes over the input lineage: like any multi-scan plan, the
+    // result is only exact when the lineage is DETERMINISTIC (a row whose
+    // key changes between scans could land in neither or both branches) —
+    // rand()/uuid-derived keys belong with plain dropDuplicates
+    require(!df.columns.contains("__h"),
+      "input already has a __h column — rename it before hash-routed dedup")
     val withH = df.withColumn("__h", xxhash64(cols.map(col): _*))
     val dupH = withH.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select(col("__h"))

@@ -24,8 +24,8 @@ object Profiling {
     // names are spliced into a stack() SQL expression below — a backtick
     // or quote would escape the literal and mis-parse (fail loudly here
     // rather than profile the wrong thing)
-    require(cols.forall(c => !c.exists("`'\"".contains(_))),
-      s"column names must not contain quotes/backticks: ${cols.mkString(", ")}")
+    require(cols.forall(c => !c.exists("`'\"\\".contains(_))),
+      s"column names must not contain quotes/backticks/backslashes: ${cols.mkString(", ")}")
     val aggExprs = cols.flatMap { c =>
       Seq(
         F.sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),

@@ -119,11 +119,13 @@ class EngineSliceSpec extends AnyFunSuite {
     val parent = writeTmp("parent_ds.csv", parentCsv)
     def quads(strategy: String) = Engine.materialize(spark, mapping(child, parent),
         config = Engine.Config(dedupStrategy = strategy))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     val plain = quads("shuffle")
-    assert(plain.nonEmpty)
-    assert(quads("hash_routed") == plain)
-    assert(quads("auto") == plain)
+    assert(plain.nonEmpty && plain.length == plain.toSet.size)
+    // multiset compare: a no-op dedup would pass a set compare
+    assert(quads("hash_routed").sorted == plain.sorted)
+    assert(quads("auto").sorted == plain.sorted)
+    intercept[IllegalArgumentException](quads("hash-routed"))
   }
 
   test("percent encoding matches python urllib.parse.quote semantics") {

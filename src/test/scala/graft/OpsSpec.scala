@@ -452,13 +452,14 @@ class OpsSpec extends AnyFunSuite {
       ("b", None), ("b", None), ("b", Some(1)),
       (null: String, Some(1)), (null: String, Some(1)))
       .toDF("k", "v")
-    val got = Dedup.dedupHashRouted(df, Seq("k", "v"))
+    val rows = Dedup.dedupHashRouted(df, Seq("k", "v"))
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
-      .toSet
     val want = df.dropDuplicates(Seq("k", "v"))
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
       .toSet
-    assert(got == want && got.size == 5)
+    // row COUNT matters, not just the distinct set: an identity (no-op)
+    // routing would pass a set compare while leaving duplicates behind
+    assert(rows.length == 5 && rows.toSet == want && want.size == 5)
   }
 
   test("profile: one row per column with exact nulls, distincts, string-cast extremes") {
