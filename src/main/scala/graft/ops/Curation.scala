@@ -126,6 +126,10 @@ object Curation {
   def curateImages(df: DataFrame, payloadCol: String, idCol: String,
       minWidth: Int = 1, minHeight: Int = 1,
       bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+    // the chain's own outputs (the hash step guards its img_*/decode_error
+    // names itself) — a pre-existing `cluster` would be silently shadowed
+    Multimodal.requireFreshColumns(df, "curateImages",
+      Seq("cluster", "is_kept", "is_canonical", "curate_keep", "__vid"))
     // persist the hashed frame: it fans out four ways (cluster-map build
     // inside hammingDedupCorpus, its null-sig branch, and the verdict
     // join's left side), and WITHOUT the cache each branch would re-run
@@ -168,10 +172,14 @@ object Curation {
     */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
-    // md5 over a coalesced copy: a NULL-content doc must diff as a real
-    // state ('' sentinel), not vanish through null propagation
+    // NULL content is a real state, DISTINCT from empty string: the hash
+    // prepends an is-null discriminator before coalescing, so a doc
+    // transitioning NULL↔'' reports `changed` (plain md5(coalesce(…,'')))
+    // would call it unchanged) and NULL↔non-null never vanishes through
+    // null propagation
     def sig(df: DataFrame, h: String) = df.select(col(idCol).as("id"),
-      md5(coalesce(col(contentCol), lit(""))).as(h))
+      md5(concat(col(contentCol).isNull.cast("string"),
+        coalesce(col(contentCol), lit("")))).as(h))
     sig(oldSnap, "__ho").join(sig(newSnap, "__hn"), Seq("id"), "full_outer")
       .withColumn("status",
         when(col("__ho").isNull, "added")

@@ -643,6 +643,14 @@ object Dedup {
   def hammingBandKeysCol(hash: Column, bits: Int, bands: Int): Column = {
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
+    // bandBits = 64 would wrap (1L << 64) back to 1, making mask = 0 and
+    // collapsing EVERY band key to one bucket — an all-pairs join in
+    // disguise. bandBits = 63 would overflow the band-offset encoding
+    // below. One band over a 64-bit hash is also semantically useless
+    // (banding with bands = 1 finds only exact matches), so fail loudly.
+    require(bandBits < 63,
+      s"bits/bands = $bandBits band bits overflows the 64-bit band-key " +
+        "encoding (needs bandBits < 63); use more bands")
     val mask = (1L << bandBits) - 1
     array((0 until bands).map(b =>
       shiftright(hash, b * bandBits).bitwiseAND(mask) + lit(b.toLong * (mask + 1))): _*)

@@ -31,6 +31,22 @@ object Multimodal {
   private def imageIoNoCache(): Unit =
     if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
 
+  /** Family ops append fixed-name stat columns (`decode_error`,
+    * `img_width`, …). Chaining two of them — e.g. [[decodeAudio]] then
+    * [[audioEnvelopeHash]] — would silently build a schema with duplicate
+    * field names that only fails (ambiguously) at the first downstream
+    * reference. Fail loudly at construction instead, naming the clash —
+    * the same contract as `dedupHashRouted`'s `__h` guard. Callers
+    * chaining ops drop or rename the first op's stats before the second.
+    */
+  private[ops] def requireFreshColumns(df: DataFrame, op: String, names: Seq[String]): Unit = {
+    val clash = names.filter(df.schema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"$op emits column(s) ${clash.mkString(", ")} that already exist in the " +
+        "input schema — drop or rename them before chaining (duplicate field " +
+        "names fail ambiguously downstream)")
+  }
+
   val metadataSchema: StructType = StructType(Seq(
     StructField("modality", StringType),
     StructField("format", StringType),
@@ -69,13 +85,15 @@ object Multimodal {
     * memory holds one decoded image per task, not one per row.
     */
   def decodeImages(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Seq(
+    val extra = Seq(
       StructField("img_width", IntegerType),
       StructField("img_height", IntegerType),
       StructField("img_channels", IntegerType),
       StructField("img_mean", DoubleType),
       StructField("img_mean_rgb", ArrayType(DoubleType)),
-      StructField("decode_error", StringType)))
+      StructField("decode_error", StringType))
+    requireFreshColumns(df, "decodeImages", extra.map(_.name))
+    val schema = StructType(df.schema.fields ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -167,12 +185,14 @@ object Multimodal {
     * pixels.
     */
   def imagePerceptualHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Seq(
+    val extra = Seq(
       StructField("img_width", IntegerType),
       StructField("img_height", IntegerType),
       StructField("img_ahash", LongType),
       StructField("img_dhash", LongType),
-      StructField("decode_error", StringType)))
+      StructField("decode_error", StringType))
+    requireFreshColumns(df, "imagePerceptualHash", extra.map(_.name))
+    val schema = StructType(df.schema.fields ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -282,7 +302,7 @@ object Multimodal {
     * stays O(1) per task regardless of clip length.
     */
   def decodeAudio(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Seq(
+    val extra = Seq(
       StructField("audio_sample_rate", IntegerType),
       StructField("audio_channels", IntegerType),
       StructField("audio_bits", IntegerType),
@@ -290,7 +310,9 @@ object Multimodal {
       StructField("audio_duration_s", DoubleType),
       StructField("audio_mean_abs", DoubleType),
       StructField("audio_rms", DoubleType),
-      StructField("decode_error", StringType)))
+      StructField("decode_error", StringType))
+    requireFreshColumns(df, "decodeAudio", extra.map(_.name))
+    val schema = StructType(df.schema.fields ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     val nulls = Seq(null, null, null, null, null, null, null)
@@ -518,9 +540,11 @@ object Multimodal {
     * banding shuffles 8-byte signatures, not audio.
     */
   def audioEnvelopeHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Seq(
+    val extra = Seq(
       StructField("audio_envhash", LongType),
-      StructField("decode_error", StringType)))
+      StructField("decode_error", StringType))
+    requireFreshColumns(df, "audioEnvelopeHash", extra.map(_.name))
+    val schema = StructType(df.schema.fields ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -645,7 +669,15 @@ object Multimodal {
             }
             read = ais.read(buf)
           }
-          if (f < 65) Seq(null, "too short for envelope hash (<65 frames)")
+          // A short read vs the declared frame count (truncated AIFF/AU
+          // stream) must be an error row, not a hash: windows past
+          // f*65/frames would have n(w) = 0, sumSq/n = NaN, and NaN
+          // comparisons in envelopeBits silently emit 0-bits — a
+          // plausible-looking fingerprint for a corrupt file that could
+          // near-dup-match and drop good data. Mirrors the WAV path's
+          // dataLen clamp (envelopeWavPcm).
+          if (f < frames)
+            Seq(null, s"truncated audio stream: read $f of $frames frames")
           else Seq(envelopeBits(sumSq, n), null)
         }
       } finally ais.close()
@@ -743,12 +775,14 @@ object Multimodal {
   def decodeVideoFrames(df: DataFrame, payloadCol: String = "payload",
       frameStride: Int = 1): DataFrame = {
     require(frameStride > 0, "frameStride must be positive")
-    val schema = StructType(df.schema.fields ++ Seq(
+    val extra = Seq(
       StructField("frame_idx", IntegerType),
       StructField("frame_width", IntegerType),
       StructField("frame_height", IntegerType),
       StructField("frame_mean", DoubleType),
-      StructField("decode_error", StringType)))
+      StructField("decode_error", StringType))
+    requireFreshColumns(df, "decodeVideoFrames", extra.map(_.name))
+    val schema = StructType(df.schema.fields ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -941,14 +975,16 @@ object Multimodal {
     */
   def resizeImages(df: DataFrame, maxDim: Int, payloadCol: String = "payload"): DataFrame = {
     require(maxDim > 0, "maxDim must be positive")
-    val schema = StructType(df.schema.fields.map {
-      case f if f.name == payloadCol => f.copy(dataType = BinaryType)
-      case f => f
-    } ++ Seq(
+    val extra = Seq(
       StructField("img_resized", BooleanType),
       StructField("resized_width", IntegerType),
       StructField("resized_height", IntegerType),
-      StructField("resize_error", StringType)))
+      StructField("resize_error", StringType))
+    requireFreshColumns(df, "resizeImages", extra.map(_.name))
+    val schema = StructType(df.schema.fields.map {
+      case f if f.name == payloadCol => f.copy(dataType = BinaryType)
+      case f => f
+    } ++ extra)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>

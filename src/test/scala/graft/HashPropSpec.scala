@@ -48,6 +48,16 @@ class HashPropSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs rejects band widths that overflow the 64-bit band-key encoding") {
+    // bands = 1 → bandBits = 64 → (1L << 64) wraps to 1 and the mask
+    // collapses every band key to one all-pairs bucket; must throw instead
+    val df = Seq((1L, 1L), (2L, 2L)).toDF("id", "sig")
+    val e = intercept[IllegalArgumentException](
+      Dedup.hammingPairs(df, "id", "sig", bits = 64, bands = 1, maxHamming = 0)
+        .collect())
+    assert(e.getMessage.contains("band bits overflows"))
+  }
+
   test("hammingDedupCorpus equals brute-force components for random signature sets") {
     samples(sigSet, 15).foreach { sigs =>
       val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")

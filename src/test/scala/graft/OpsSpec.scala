@@ -716,6 +716,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("decode_error")))
   }
 
+  test("audioEnvelopeHash: truncated AIFF (declared > delivered frames) is an error, not a hash") {
+    // container declares 120 frames, payload is chopped 20 frames short:
+    // without the truncation guard, envelope windows past the read
+    // position stay 0/0 = NaN and silently emit 0-bits — a plausible hash
+    // for a corrupt file that could near-dup-match good data
+    val full = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val pcm = new Array[Byte](120 * 2)
+      for (i <- 0 until 120) {
+        val v = if (i % 2 == 0) 9000 else -9000
+        pcm(i * 2) = ((v >> 8) & 0xff).toByte; pcm(i * 2 + 1) = (v & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 120L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val truncated = full.take(full.length - 40) // 20 frames short
+    val out = Multimodal.audioEnvelopeHash(
+      Seq(1L).toDF("id").withColumn("payload", lit(truncated)), "payload").head()
+    assert(out.isNullAt(out.fieldIndex("audio_envhash")))
+    assert(out.getAs[String]("decode_error") == "truncated audio stream: read 100 of 120 frames")
+    // the untruncated control still hashes
+    val ok = Multimodal.audioEnvelopeHash(
+      Seq(1L).toDF("id").withColumn("payload", lit(full)), "payload").head()
+    assert(!ok.isNullAt(ok.fieldIndex("audio_envhash")))
+    assert(ok.isNullAt(ok.fieldIndex("decode_error")))
+  }
+
+  test("multimodal ops fail loudly when emitted column names already exist") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    // chaining two family ops both emitting decode_error must throw at
+    // construction, not build a duplicate-field schema
+    val decoded = Multimodal.decodeAudio(df)
+    val e = intercept[IllegalArgumentException](Multimodal.audioEnvelopeHash(decoded))
+    assert(e.getMessage.contains("decode_error"))
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.imagePerceptualHash(df.withColumn("img_ahash", lit(1L))))
+    assert(e2.getMessage.contains("img_ahash"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.ops.Curation.curateImages(df.withColumn("cluster", lit(1L)), "payload", "id"))
+    assert(e3.getMessage.contains("cluster"))
+  }
+
   test("decodeAudio: 8-bit unsigned stereo WAV normalizes per-channel samples") {
     // hand-built 8-bit unsigned stereo WAV via the JDK writer: left channel
     // pinned at 128+64 (+0.5 after normalization), right at 128-64 (-0.5) —

@@ -250,5 +250,16 @@ class PipelineOpsSpec extends AnyFunSuite {
         Seq((5L, "now present")).toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2(5L) == "changed")
+    // NULL and empty string are DISTINCT states: the signature carries an
+    // is-null discriminator, so null→'' is changed, ''→'' is unchanged
+    val got3 = Curation.corpusDiff(oldSnap,
+        Seq((5L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3(5L) == "changed")
+    val got4 = Curation.corpusDiff(
+        Seq((9L, "")).toDF("doc_id", "text"),
+        Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(got4.isEmpty)
   }
 }
