@@ -245,6 +245,48 @@ object CatalogCore {
       '<http://ex/vocab/rkey>' AS p, '"' || n_regionkey || '"' AS o
       FROM nation"""))
 
+  /** S8 oracle row #3: WoT Thing Description descriptor — `rml:source [
+    * td:hasPropertyAffordance [ td:hasForm [ hctl:hasTarget ...;
+    * hctl:forContentType "application/json" ] ] ]` resolves through the
+    * parser's TD walk (reference SPARQL semantify.py:2180-2183; direct
+    * td:hasForm shape :2526-2527). Pins three things at once: the two-hop
+    * affordance→form→target resolution, `file://` scheme stripping
+    * (reference: semantify.py:3700), and formulation inference from
+    * hctl:forContentType when the mapping carries no
+    * rml:referenceFormulation of its own.
+    */
+  private val s8c = Q("s8c_wot_descriptor",
+    (s, dir) => {
+      // single-document JSON array (the web-API response shape a TD names);
+      // nation is 25 rows at every SF, so the collect is bounded
+      val jsonDir = exportDir(dir, "nation_wot_json")
+      val natJson = t(s, dir, "nation")
+        .select(col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_name")).toJSON.collect().mkString("[", ",", "]")
+      val jd = java.nio.file.Paths.get(jsonDir)
+      java.nio.file.Files.createDirectories(jd)
+      java.nio.file.Files.writeString(jd.resolve("nation.json"), natJson)
+      val ttl =
+        s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+           |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+           |@prefix td: <https://www.w3.org/2019/wot/td#> .
+           |@prefix hctl: <https://www.w3.org/2019/wot/hypermedia#> .
+           |<NatTM> a rr:TriplesMap;
+           |  rml:logicalSource [
+           |    rml:source [ a td:Thing;
+           |      td:hasPropertyAffordance [ td:hasForm [
+           |        hctl:hasTarget "file://$jsonDir/nation.json";
+           |        hctl:forContentType "application/json" ] ] ] ];
+           |  rr:subjectMap [ rr:template "http://ex/nation/{n_name}" ];
+           |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/rkey>;
+           |    rr:objectMap [ rml:reference "n_regionkey" ] ] .
+           |""".stripMargin
+      Engine.materialize(s, ttl).select(col("s"), col("p"), col("o"))
+    },
+    Some("""SELECT '<http://ex/nation/' || n_name || '>' AS s,
+      '<http://ex/vocab/rkey>' AS p, '"' || n_regionkey || '"' AS o
+      FROM nation"""))
+
   // ----------------------------------------------------------------- sources
 
   private val s1 = Q("s1_csv_scan",
@@ -1402,7 +1444,7 @@ object CatalogCore {
 
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
-    s1, s2, s3, s6, s7, s7b, s8, s8b, s9, v2,
+    s1, s2, s3, s6, s7, s7b, s8, s8b, s8c, s9, v2,
     k1, k2, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,

@@ -85,18 +85,33 @@ object MappingParser {
     val srcNode = g.obj(ls, RML + "source")
     // Structured source descriptors (S8; reference SPARQL:
     // semantify.py:2151-2191): csvw:url (+dialect delimiter),
-    // dcat:downloadURL, void:dataDump, rml:path, sd:endpoint, d2rq:Database.
+    // dcat:downloadURL, void:dataDump, rml:path, sd:endpoint, d2rq:Database,
+    // WoT Thing Descriptions (td:/hctl:).
     val CSVW = "http://www.w3.org/ns/csvw#"
     val DCAT = "http://www.w3.org/ns/dcat#"
     val VOID = "http://rdfs.org/ns/void#"
     val SD = "http://www.w3.org/ns/sparql-service-description#"
     val D2RQ = "http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#"
+    val TD = "https://www.w3.org/2019/wot/td#"
+    val HCTL = "https://www.w3.org/2019/wot/hypermedia#"
+    // WoT TD form resolution, both reference shapes (semantify.py:2180-2183
+    // property-affordance hop, :2526-2527 direct td:hasForm): the form's
+    // hctl:hasTarget is the source URL, like csvw:url/dcat:downloadURL.
+    def tdForm(n: RdfTerm): Option[RdfTerm] =
+      g.obj(n, TD + "hasPropertyAffordance").flatMap(a => g.obj(a, TD + "hasForm"))
+        .orElse(g.obj(n, TD + "hasForm"))
     def descPath(n: RdfTerm): Option[String] =
       g.obj(n, CSVW + "url").map(lex)
         .orElse(g.obj(n, DCAT + "downloadURL").map(lex))
         .orElse(g.obj(n, DCAT + "distribution").flatMap(d => g.obj(d, DCAT + "downloadURL")).map(lex))
         .orElse(g.obj(n, VOID + "dataDump").map(lex))
         .orElse(g.obj(n, RML + "path").map(lex))
+        .orElse(tdForm(n).flatMap(f => g.obj(f, HCTL + "hasTarget")).map(lex))
+    // hctl:forContentType on the TD form picks the formulation when the
+    // mapping omits rml:referenceFormulation (a TD names a web API's media
+    // type; the mapping often carries no ql: hint of its own)
+    val descContentType: Option[String] =
+      srcNode.flatMap(tdForm).flatMap(f => g.obj(f, HCTL + "forContentType")).map(lex)
     val descDelimiter: Option[String] = srcNode.flatMap(n =>
       g.obj(n, CSVW + "dialect").flatMap(d => g.obj(d, CSVW + "delimiter")).map(lex))
     val descEndpoint: Option[String] = srcNode.flatMap(n => g.obj(n, SD + "endpoint").map(lex))
@@ -112,11 +127,21 @@ object MappingParser {
       case n @ (BNode(_) | Iri(_)) if descPath(n).isDefined => descPath(n)
       case other => Some(lex(other))
     }
-    val path = sourceVal.map { p =>
+    val path = sourceVal.map { p0 =>
+      // file:// URIs (the TD/descriptor shape for local dumps) scan as
+      // plain paths — reference strips the scheme the same way
+      // (semantify.py:3700)
+      val p = if (p0.startsWith("file://")) p0.substring(7) else p0
       val cleaned = if (p.startsWith("./")) p.substring(2) else p
       if (cleaned.startsWith("/") || sourceDir.isEmpty) cleaned else s"$sourceDir/$cleaned"
     }
-    val formulation = g.obj(ls, RML + "referenceFormulation").map(lex).getOrElse(QL + "CSV")
+    val formulation = g.obj(ls, RML + "referenceFormulation").map(lex).getOrElse {
+      descContentType.map(_.toLowerCase) match {
+        case Some(ct) if ct.contains("json") => QL + "JSONPath"
+        case Some(ct) if ct.contains("xml") => QL + "XPath"
+        case _ => QL + "CSV"
+      }
+    }
     val iterator = g.obj(ls, RML + "iterator").map(lex)
     val tableName = g.obj(ls, RR + "tableName").map(lex)
     val query = g.obj(ls, RML + "query").map(lex).orElse(g.obj(ls, RR + "sqlQuery").map(lex))

@@ -62,6 +62,28 @@ class RemoteSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S8: WoT TD descriptor resolves a web-API source (direct td:hasForm, content-type formulation)") {
+    // the IoT shape the reference resolves (semantify.py:2526-2527): the
+    // source is a Thing Description whose form names an HTTP target and a
+    // media type; no ql: formulation anywhere in the mapping — it must
+    // come from hctl:forContentType
+    withHttpServer(Map("/props.json" -> """[{"sensor":"t1","unit":"C"}]""")) { port =>
+      val ts = Engine.materialize(spark, prefixes +
+        s"""@prefix td: <https://www.w3.org/2019/wot/td#> .
+           |@prefix hctl: <https://www.w3.org/2019/wot/hypermedia#> .
+           |<TM> a rr:TriplesMap;
+           |  rml:logicalSource [ rml:source [ a td:Thing;
+           |      td:hasForm [ hctl:hasTarget "http://127.0.0.1:$port/props.json";
+           |                   hctl:forContentType "application/json" ] ];
+           |    rml:iterator "$$.[*]" ];
+           |  rr:subjectMap [ rr:template "http://ex/sensor/{sensor}" ];
+           |  rr:predicateObjectMap [ rr:predicate ex:unit; rr:objectMap [ rml:reference "unit" ] ].
+           |""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(ts == Set(("<http://ex/sensor/t1>", "<http://ex/unit>", "\"C\"")))
+    }
+  }
+
   test("S6: live SPARQL endpoint queried over the protocol") {
     val bindings =
       """{"head":{"vars":["s","name"]},
