@@ -69,21 +69,49 @@ object Sinks {
 
   /** K2: Turtle-style subject grouping — predicates joined with `;`, objects
     * of the same predicate with `,` (reference: turtle_print
-    * functions.py:394-568). Done as two ordered aggregations, no driver
-    * state; formatting stays distributed. IRIs are compacted against
-    * `prefixes` (T13); `rdf:type` prints as `a`.
+    * functions.py:394-568). Formatting stays distributed, no driver state.
+    * IRIs are compacted against `prefixes` (T13); `rdf:type` prints as `a`.
+    *
+    * Skew guard: a celebrity subject (a hub entity with millions of POs —
+    * normal in a 100 TB KG) must not become one in-memory `collect_list`
+    * array and one multi-GB output string on a single task. Objects per
+    * predicate and POs per subject are rank-chunked into groups of
+    * `maxGroup`, each chunk emitted as its own block with the subject (and
+    * predicate) repeated — valid Turtle, bounded task memory. Below the
+    * cap the output is byte-identical to the unchunked form (chunk ids are
+    * all 0), which is what the k2 oracle row pins.
+    *
+    * Plan shape: ONE exchange per grouping level, same as the unchunked
+    * version — the rank windows sort within the (s,p) / (s) partitions
+    * (external sort, spills) and the following groupBy reuses the
+    * partitioning (its keys are a superset), so the cap costs two sorts,
+    * not two shuffles. Dedup of repeated objects rides the first window's
+    * sort order via lag() instead of collect_set.
     */
-  def turtleBlocks(quads: DataFrame, prefixes: Map[String, String] = Map.empty): DataFrame = {
+  def turtleBlocks(quads: DataFrame, prefixes: Map[String, String] = Map.empty,
+      maxGroup: Int = 10000): DataFrame = {
+    require(maxGroup > 0, "maxGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
     val rdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     def term(c: Column) = compactIri(c, prefixes)
     val pred = when(col("p") === rdfType, lit("a")).otherwise(term(col("p")))
-    val byPred = quads
+    val terms = quads
       .select(term(col("s")).as("s"), pred.as("p"), term(col("o")).as("o"))
-      .groupBy(col("s"), col("p"))
-      .agg(array_join(array_sort(collect_set(col("o"))), ", ").as("objs"))
+    val wO = Window.partitionBy(col("s"), col("p")).orderBy(col("o"))
+    val byPred = terms
+      // sorted-neighbor dedup: equal objects are adjacent under wO's order,
+      // so lag() drops repeats without a per-group in-memory set
+      .withColumn("__prev", lag(col("o"), 1).over(wO))
+      .where(col("__prev").isNull || col("__prev") =!= col("o"))
+      .drop("__prev")
+      .withColumn("__och", ((row_number().over(wO) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("p"), col("__och"))
+      .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
       .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
+    val wP = Window.partitionBy(col("s")).orderBy(col("po"))
     byPred
-      .groupBy(col("s"))
+      .withColumn("__pch", ((row_number().over(wP) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("__pch"))
       .agg(array_join(array_sort(collect_list(col("po"))), " ;\n\t").as("body"))
       .select(concat(col("s"), lit(" "), col("body"), lit(" .")).as("block"))
   }

@@ -475,4 +475,45 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(block.contains("a exv:Thing"))   // rdf:type → a
     assert(block.contains("<http://ex/vocab/a/b>")) // unsafe local part left as IRI
   }
+
+  test("K2 skew guard: a hub subject rank-chunks into bounded blocks; small subjects untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hub: 25 objects on one predicate + 7 extra predicates; tiny cap of 10
+    val hub = (1 to 25).map(i => ("<http://ex/hub>", "<http://ex/vocab/link>", f"<http://ex/o/$i%03d>")) ++
+      (1 to 7).map(i => ("<http://ex/hub>", s"<http://ex/vocab/p$i>", "\"v\"")) ++
+      Seq(("<http://ex/small>", "<http://ex/vocab/p1>", "\"w\""),
+          ("<http://ex/small>", "<http://ex/vocab/p1>", "\"w\"")) // dup object collapses
+    val quads = hub.toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val blocks = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 10)
+      .collect().map(_.getString(0)).sorted
+    val hubBlocks = blocks.filter(_.startsWith("<http://ex/hub>"))
+    // 25 objects / cap 10 → 3 po-chunks for the link predicate (+7 single
+    // POs) = 10 POs ≤ cap → one subject-level chunk
+    assert(hubBlocks.length == 1, hubBlocks.mkString("\n"))
+    // no po carries more than 10 objects
+    val poLines = hubBlocks.head.split(" ;\n\t")
+    assert(poLines.count(_.contains("vocab/link")) == 3)
+    poLines.foreach(po => assert(po.split(", ").length <= 10))
+    // every (s,p,o) survives the chunking exactly once (dups collapsed)
+    val rebuilt = blocks.flatMap { b =>
+      val body = b.stripSuffix(" .")
+      val s = body.takeWhile(_ != ' ')
+      body.drop(s.length + 1).split(" ;\n\t").flatMap { po =>
+        val p = po.takeWhile(_ != ' ')
+        po.drop(p.length + 1).split(", ").map(o => (s, p, o))
+      }
+    }.toSet
+    assert(rebuilt == hub.toSet.map((t: (String, String, String)) => t))
+    // subject-level chunking: cap 2 → ceil(25/2) = 13 link po-chunks + 7
+    // single POs = 20 POs, ceil(20/2) = 10 hub blocks repeating the subject
+    val blocks2 = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2)
+      .collect().map(_.getString(0))
+    val hub2 = blocks2.filter(_.startsWith("<http://ex/hub>"))
+    assert(hub2.length == 10, hub2.mkString("\n"))
+    // default cap leaves everything in one block — byte-identical legacy shape
+    val legacy = graft.exec.Sinks.turtleBlocks(quads).collect().map(_.getString(0))
+    assert(legacy.count(_.startsWith("<http://ex/hub>")) == 1)
+    assert(legacy.count(_.startsWith("<http://ex/small>")) == 1)
+  }
 }
