@@ -356,8 +356,45 @@ object CatalogPipeline {
         count(DISTINCT o_orderpriority),
         min(o_orderpriority), max(o_orderpriority) FROM o"""))
 
+  /** [[profileQ]]'s approximate twin: `approxDistinct = Some(rsd)` swaps
+    * the exact count(distinct) — and its row×column Expand, the measured
+    * 10×-at-100× exactness price (SCALE.md §15.2) — for HyperLogLog++.
+    * The oracle pins everything that stays EXACT in approx mode
+    * (n_rows/nulls/min/max per column); the HLL estimate itself is
+    * engine-specific, so it is excluded here and pinned by a tolerance
+    * test in PipelineOpsSpec instead.
+    */
+  private val profileApproxQ = Q("q_profile_approx",
+    (s, dir) => {
+      val o = t(s, dir, "orders").withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      graft.ops.Profiling.profile(o,
+          Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"),
+          approxDistinct = Some(0.05))
+        .drop("n_distinct")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM orders)
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value FROM o
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        min(o_orderstatus), max(o_orderstatus) FROM o
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        min(o_orderpriority), max(o_orderpriority) FROM o"""))
+
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
     pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
-    rollup, cube, pctile, heavyHitters, profileQ)
+    rollup, cube, pctile, heavyHitters, profileQ, profileApproxQ)
 }

@@ -262,4 +262,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()
     assert(got4.isEmpty)
   }
+
+  test("profile approx mode: HLL estimate within tolerance, exact stats unchanged, no Expand") {
+    import graft.ops.Profiling
+    val df = spark.range(20000).toDF("id")
+      .withColumn("bucket", (col("id") % 37).cast("string"))
+      .withColumn("maybe", when(col("id") % 5 === 0, lit(null).cast("long")).otherwise(col("id")))
+    val rsd = 0.05
+    val approx = Profiling.profile(df, Seq("id", "bucket", "maybe"), approxDistinct = Some(rsd))
+    // the exactness price is the Expand (rows × columns through the first
+    // partial agg); approx mode must plan WITHOUT it
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not plan an Expand")
+    // (single-column exact profiles rewrite Expand-free; the price kicks
+    // in at ≥2 distinct columns, the normal profiling shape)
+    assert(Profiling.profile(df, Seq("id", "bucket", "maybe"))
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-column profile is the Expand-priced baseline this test contrasts")
+    val rows = approx.collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // everything except n_distinct stays exact
+    assert(rows("id").getAs[Long]("n_rows") == 20000L)
+    assert(rows("id").getAs[Long]("n_nulls") == 0L)
+    assert(rows("maybe").getAs[Long]("n_nulls") == 4000L)
+    assert(rows("id").getAs[String]("min_value") == "0")
+    assert(rows("id").getAs[String]("max_value") == "19999")
+    // HLL++ estimate lands within a generous 4×rsd of the truth
+    def within(est: Long, truth: Long): Boolean =
+      math.abs(est - truth) <= math.max(1L, (4 * rsd * truth).toLong)
+    assert(within(rows("id").getAs[Long]("n_distinct"), 20000L),
+      s"id estimate ${rows("id").getAs[Long]("n_distinct")}")
+    assert(within(rows("bucket").getAs[Long]("n_distinct"), 37L))
+    assert(within(rows("maybe").getAs[Long]("n_distinct"), 16000L))
+    // rsd outside (0,1) fails loudly
+    intercept[IllegalArgumentException](
+      Profiling.profile(df, Seq("id"), approxDistinct = Some(1.5)))
+  }
 }
