@@ -358,6 +358,66 @@ object CatalogQuality {
       SELECT doc_id + 10000000 AS doc_id, 'added' AS status FROM documents
       WHERE doc_id % 13 = 2"""))
 
+  /** Incremental rebuild: diff → re-dedup ONLY the delta against the
+    * standing corpus → verdict patch. Fixture: doc_id%17==3 removed,
+    * doc_id%13==1 revised (" rev2" appended — null text stays null, hence
+    * unchanged), re-keyed copies of doc_id%19==4 added (exact dups of
+    * their standing originals, which the patch must mark is_kept=false
+    * with the ORIGINAL as cluster — "standing wins"). The oracle replays
+    * the whole composition: snapshot delta, MinHash bands over the new
+    * snapshot, delta-adjacent candidate pairs, recursive-CTE components,
+    * and the standing-anchor labeling.
+    */
+  private val incrementalRebuildQ = Q("pipe_incremental_rebuild",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 19 === 4)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.ops.Curation.incrementalRebuild(docs, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
+    },
+    Some(s"""WITH RECURSIVE
+      newsnap AS (
+        SELECT doc_id, CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 4),
+      delta AS (
+        SELECT doc_id AS id, 'removed' AS status FROM documents WHERE doc_id % 17 = 3
+        UNION ALL
+        SELECT doc_id, 'changed' FROM documents
+        WHERE doc_id % 17 <> 3 AND doc_id % 13 = 1 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % 19 = 4),
+      batch AS (SELECT id FROM delta WHERE status <> 'removed'),
+      ${CatalogOps.minhashCtesFor("newsnap", "")},
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+        WHERE a.id IN (SELECT id FROM batch) OR b.id IN (SELECT id FROM batch)),
+      edges AS (SELECT id_a AS u, id_b AS v FROM cand
+        UNION SELECT id_b AS u, id_a AS v FROM cand),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach AS (
+        SELECT id AS s, id AS d FROM nodes
+        UNION
+        SELECT r.s, e.v AS d FROM reach r JOIN edges e ON e.u = r.d),
+      comp AS (SELECT s AS id, min(d) AS cluster FROM reach GROUP BY s),
+      compx AS (SELECT c.id, c.cluster, c.id IN (SELECT id FROM batch) AS is_new FROM comp c),
+      canon AS (SELECT cluster,
+          min(CASE WHEN NOT is_new THEN id END) AS anchor,
+          min(CASE WHEN is_new THEN id END) AS bmin
+        FROM compx GROUP BY cluster),
+      labeled AS (SELECT cx.id, coalesce(cn.anchor, cn.bmin) AS label
+        FROM compx cx JOIN canon cn ON cx.cluster = cn.cluster WHERE cx.is_new)
+      SELECT d.id AS doc_id, d.status,
+        CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) END AS cluster,
+        CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) = d.id END AS is_kept
+      FROM delta d LEFT JOIN labeled l ON d.id = l.id"""))
+
   /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
     * gates on original text, dedup keyed on the excised text.
     */
@@ -649,6 +709,6 @@ object CatalogQuality {
 
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
-    curateNearDupQ, curateDecontamQ, corpusDiffQ, packConcat, orcScan,
+    curateNearDupQ, curateDecontamQ, corpusDiffQ, incrementalRebuildQ, packConcat, orcScan,
     simhashPairsQ, bigramLm, dsir, bm25, hybridRrf, kmeansQ, lshPlanQ)
 }

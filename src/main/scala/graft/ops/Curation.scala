@@ -170,6 +170,62 @@ object Curation {
     * `Packing.shardLayout` produces), the join co-locates and the whole
     * diff is exchange-free.
     */
+  /** Incremental corpus rebuild — [[corpusDiff]] composed with
+    * [[Dedup.minhashIncrementalCandidates]] into a verdict PATCH: diff the
+    * snapshots, near-dup-dedup ONLY the added/changed documents against
+    * the standing corpus, and emit one row per delta id —
+    * `(id, status, cluster, is_kept)` (`cluster`/`is_kept` null for
+    * `removed`). Standing documents' verdicts are by contract untouched
+    * ("standing wins", arrival-order semantics): a batch document whose
+    * component touches ANY standing document is a duplicate of it
+    * (cluster = the component's smallest standing id, is_kept = false);
+    * a component containing only batch documents keeps its smallest id.
+    *
+    * Plan shape at 100 TB: the diff is a projected full-outer join on id
+    * (content never shuffles); signature + banding work is O(batch) for
+    * the batch side plus the band join against standing signatures; the
+    * component resolution and anchor aggregations run over the
+    * candidate-pair node set, which is delta-adjacent by construction. So
+    * end-to-end cost tracks the CHANGE RATE at fixed corpus size — the
+    * claim both composed ops' scaladocs make, measured end-to-end in
+    * SCALE.md §16. (The standing side's signatures are recomputed from
+    * text here; a deployed pipeline reads them back from the signature
+    * store — the join shape is identical.)
+    */
+  def incrementalRebuild(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 12,
+      rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+    val delta = corpusDiff(oldSnap, newSnap, idCol, textCol)
+    val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
+    val batch = newSnap.join(batchIds,
+      newSnap(idCol) === batchIds("id"), "left_semi")
+    val standing = newSnap.join(batchIds,
+      newSnap(idCol) === batchIds("id"), "left_anti")
+    val pairs = Dedup.minhashIncrementalCandidates(standing, batch,
+      textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .select(col("id_a"), col("id_b"))
+    // components over the delta-adjacent pair graph (standing–standing
+    // edges never regenerate — those verdicts were settled at arrival)
+    val comp = Dedup.resolveClusters(pairs)
+      .join(batchIds.withColumn("__new", lit(true)), Seq("id"), "left")
+      .withColumn("is_new", coalesce(col("__new"), lit(false)))
+      .drop("__new")
+    // per component: the anchor is the smallest STANDING id if any (the
+    // duplicate-of target), else the smallest batch id (the one kept)
+    val canon = comp.groupBy(col("cluster")).agg(
+      min(when(!col("is_new"), col("id"))).as("anchor"),
+      min(when(col("is_new"), col("id"))).as("bmin"))
+    val labeled = comp.where(col("is_new"))
+      .join(canon, Seq("cluster"))
+      .select(col("id"), coalesce(col("anchor"), col("bmin")).as("__label"))
+    delta.join(labeled, Seq("id"), "left")
+      .select(col("id"), col("status"),
+        when(col("status") =!= "removed",
+          coalesce(col("__label"), col("id"))).as("cluster"),
+        when(col("status") =!= "removed",
+          coalesce(col("__label"), col("id")) === col("id")).as("is_kept"))
+  }
+
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
     // NULL content is a real state, DISTINCT from empty string: the hash

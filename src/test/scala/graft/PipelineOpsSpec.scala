@@ -263,6 +263,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
+  test("incremental rebuild: verdict patch covers only the delta; standing wins") {
+    import graft.ops.Curation
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "entirely different content about spark catalyst plans and shuffles"
+    val tC = "a third unique document mentioning broadcast joins and skew salting"
+    val tNew = "fresh pair of identical documents arriving in the same batch window"
+    val oldSnap = Seq(1L -> tA, 2L -> tB, 3L -> tC).toDF("doc_id", "text")
+    val newSnap = Seq(
+      1L -> tA,              // unchanged standing
+      2L -> (tB + " rev2"),  // changed, still unique → kept singleton
+      100L -> tA,            // added, exact dup of standing 1 → dup of 1
+      200L -> tNew,          // added twins: smaller id kept,
+      201L -> tNew           //   larger one a dup of 200
+    ).toDF("doc_id", "text") // 3 removed
+    val out = Curation.incrementalRebuild(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    // the patch is exactly the delta — standing doc 1 gets NO row
+    assert(out.keySet == Set(2L, 3L, 100L, 200L, 201L))
+    assert(out(3L) == ("removed", None, None))
+    assert(out(2L) == ("changed", Some(2L), Some(true)))
+    // standing wins: the added copy is the duplicate, anchored on 1
+    assert(out(100L) == ("added", Some(1L), Some(false)))
+    // all-new component: min batch id kept
+    assert(out(200L) == ("added", Some(200L), Some(true)))
+    assert(out(201L) == ("added", Some(200L), Some(false)))
+  }
+
   test("profile approx mode: HLL estimate within tolerance, exact stats unchanged, no Expand") {
     import graft.ops.Profiling
     val df = spark.range(20000).toDF("id")
