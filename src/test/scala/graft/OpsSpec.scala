@@ -621,6 +621,51 @@ class OpsSpec extends AnyFunSuite {
     assert(mixed.count(r => !r.isNullAt(r.fieldIndex("decode_error"))) == 1)
   }
 
+  test("video codec seam contract: non-JDK bitstream degrades per-frame, never crashes; stub is deterministic") {
+    // a WELL-FORMED AVI container whose frames carry an H.264-style
+    // Annex-B bitstream (0x00000001 start codes) instead of JPEG — the
+    // exact shape a real crawl delivers for codecs outside the JDK. The
+    // contract at the swap seam (scaladoc: replace the per-frame
+    // ImageIO.read with a JNI/FFI decoder): every sampled frame comes back
+    // as its own row with null stats + 'unsupported frame codec', the
+    // container walk itself succeeds, and the task never throws.
+    val avi = Seq(1L).toDF("id")
+      .withColumn("payload", Multimodal.syntheticMjpegAvi(lit(24), lit(16), lit(4), lit(60)))
+      .head().getAs[Array[Byte]]("payload")
+    val h264ish = avi.clone()
+    for (i <- 0 until h264ish.length - 4) {
+      if (h264ish(i) == '0' && h264ish(i + 1) == '0' &&
+          h264ish(i + 2) == 'd' && h264ish(i + 3) == 'c') {
+        // overwrite the frame's first bytes with an Annex-B start code + NALU
+        h264ish(i + 8) = 0x00; h264ish(i + 9) = 0x00
+        h264ish(i + 10) = 0x00; h264ish(i + 11) = 0x01
+        h264ish(i + 12) = 0x67 // SPS nal_unit_type
+      }
+    }
+    val out = Multimodal.decodeVideoFrames(
+      Seq(1L).toDF("id").withColumn("payload", lit(h264ish)), "payload").collect()
+    assert(out.length == 4) // one row per frame — count survives the codec gap
+    out.foreach { r =>
+      assert(r.getAs[String]("decode_error") == "unsupported frame codec")
+      assert(r.isNullAt(r.fieldIndex("frame_width")) && r.isNullAt(r.fieldIndex("frame_mean")))
+    }
+    assert(out.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+    // the stub stand-in for such codecs is a pure function of the payload:
+    // same bytes → same features/dims across calls (so downstream plans
+    // stay reproducible until a real decoder lands at the seam)
+    val withBin = Multimodal.withBinaryPayload(
+      Seq((1L, "clip-a"), (2L, "clip-b")).toDF("id", "src"), "src", "video")
+    val f1 = Multimodal.decodeStub(withBin).select($"id", $"features", $"width", $"height")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2), r.getLong(3)))
+    val f2 = Multimodal.decodeStub(withBin).select($"id", $"features", $"width", $"height")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2), r.getLong(3)))
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall { case (_, feats, w, h) =>
+      feats.length == 8 && feats.forall(v => v >= 0.0 && v <= 1.0) &&
+        w >= 64 && w < 1088 && h >= 64 && h < 1088 })
+    assert(f1(0)._2 != f1(1)._2) // distinct payloads → distinct features
+  }
+
   test("decodeVideoFrames: truncated AVI salvages the intact frame prefix") {
     val whole = Multimodal.decodeVideoFrames(
       Seq(1L).toDF("id").withColumn("payload",
