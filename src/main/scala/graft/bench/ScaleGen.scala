@@ -30,6 +30,7 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "uniform"
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scalegen")
@@ -39,7 +40,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, copies)
+    mode match {
+      case "uniform" => generate(spark, src, dst, copies)
+      case "zipf" => generateZipf(spark, src, dst, copies)
+      case other => throw new IllegalArgumentException(
+        s"unknown ScaleGen mode '$other' (uniform | zipf)")
+    }
     spark.stop()
   }
 
@@ -108,11 +114,18 @@ object ScaleGen {
       .withColumn("doc_id", shifted("doc_id"))
       .withColumn("text", permText))
 
-    // per-copy cyclic dimension rotation: identity at copy 0, cross-copy
-    // cosine ~0 for roughly-isotropic embeddings. 13 is coprime with the
-    // 64-dim layout so the first 64 copies get distinct rotations; beyond
-    // that the second lap negates the vector (cosine -1 against the
-    // same-rotation copy — still not a near-duplicate)
+    write("embeddings", rotateEmbeddings(fan(read("embeddings"))
+      .withColumn("vec_id", shifted("vec_id"))))
+  }
+
+  /** Per-copy cyclic dimension rotation on a fanned frame (has `__copy`):
+    * identity at copy 0, cross-copy cosine ~0 for roughly-isotropic
+    * embeddings. 13 is coprime with the 64-dim layout so the first 64
+    * copies get distinct rotations; beyond that the second lap negates the
+    * vector (cosine -1 against the same-rotation copy — still not a
+    * near-duplicate). Shared by the uniform and zipf modes.
+    */
+  private def rotateEmbeddings(fanned: DataFrame): DataFrame = {
     val dim = size(col("embedding"))
     val rot = pmod(col("__copy") * lit(13), dim)
     val lapSign = when((col("__copy") / dim).cast("int") % 2 === 0, lit(1.0f))
@@ -120,8 +133,111 @@ object ScaleGen {
     val rotated = when(rot === 0, col("embedding")).otherwise(
       concat(slice(col("embedding"), rot + lit(1), dim - rot),
         slice(col("embedding"), lit(1), rot)))
-    write("embeddings", fan(read("embeddings"))
-      .withColumn("vec_id", shifted("vec_id"))
-      .withColumn("embedding", transform(rotated, x => x * lapSign)))
+    fanned.withColumn("embedding", transform(rotated, x => x * lapSign))
+  }
+
+  /** Zipfian-skew scale-up — the adversarial twin of [[generate]]: same
+    * copy fan-out and disjoint primary-key shifts (totals match the
+    * uniform mode decade for decade), but the skew-bearing columns are
+    * REASSIGNED from a zipf-like law instead of kept uniform:
+    *
+    *   - `o_custkey` / `l_suppkey` / `events.user_id`: drawn over the full
+    *     scaled key domain with rank-1 the hottest (a celebrity customer /
+    *     supplier / user; joins and groupBys see one giant key group),
+    *   - `c_nationkey`: drawn over the 25 nations (a hub vertex whose KG
+    *     in-degree is a constant fraction of ALL customers),
+    *   - `documents.text`/`lang`: drawn from the ORIGINAL document pool,
+    *     so exact/near-duplicate cluster sizes follow the zipf law (the
+    *     boilerplate-page shape of a real crawl; ~11% of all docs become
+    *     ONE duplicate cluster).
+    *
+    * The law: rank = ⌈(1 − u·(1 − m^(1−α)))^(1/(1−α))⌉ with α = 1.1 — the
+    * truncated-Pareto inverse CDF, density ∝ rank^(−1.1) on [1, m]
+    * (rank-1 share ≈ 11% at m = 15 000). `u` is a deterministic per-row
+    * hash, so the dataset is reproducible bit-for-bit and scales keep the
+    * same distribution SHAPE — zipf decade factors compare like-for-like
+    * against uniform ones (SCALE.md §16).
+    */
+  def generateZipf(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    def fan(df: DataFrame): DataFrame =
+      df.withColumn("__copy", explode(sequence(lit(0), lit(copies - 1))))
+    def shifted(c: String): Column = col(c) + col("__copy") * Shift
+    def write(name: String, df: DataFrame): Unit = {
+      df.drop("__copy").repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen-zipf] $name done")
+    }
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    // deterministic uniform in [0,1) from the row's (shifted) identity
+    def unif(cols: Column*): Column =
+      pmod(xxhash64(cols: _*), lit(1L << 30)).cast("double") / (1L << 30).toDouble
+    // truncated-Pareto inverse CDF, alpha = 1.1: X ∈ [1, m] with density
+    // ∝ x^-1.1; rank = floor(X) so P(rank = r) integrates the density over
+    // [r, r+1) — floor, NOT ceil, or rank 1 would only occur at u = 0
+    def zipfRank(u: Column, m: Long): Column = {
+      val q = 1.0 - math.pow(m.toDouble, 1.0 - 1.1)
+      least(lit(m), greatest(lit(1L),
+        floor(pow(lit(1.0) - u * q, lit(1.0 / (1.0 - 1.1)))).cast("long")))
+    }
+    // key domains are contiguous [min, min+dom); bounded 2-value driver agg
+    def domain(df: DataFrame, k: String): (Long, Long) = {
+      val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
+      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+    }
+    // rank 1 = hottest; ranks walk the scaled key space copy-major, so the
+    // head of the law lands on copy 0's smallest keys and every rank maps
+    // to a key that EXISTS after the fan+shift
+    def keyFromRank(r: Column, kMin: Long, dom: Long): Column =
+      lit(kMin) + pmod(r - 1, lit(dom)) + ((r - 1) / lit(dom)).cast("long") * Shift
+
+    Seq("region", "nation").foreach(t => write(t, read(t)))
+
+    val (nMin, nDom) = domain(read("nation"), "n_nationkey")
+    write("customer", fan(read("customer"))
+      .withColumn("c_custkey", shifted("c_custkey"))
+      .withColumn("c_nationkey",
+        (lit(nMin) + zipfRank(unif(col("c_custkey")), nDom) - 1).cast("int")))
+
+    write("supplier", fan(read("supplier")).withColumn("s_suppkey", shifted("s_suppkey")))
+    write("part", fan(read("part")).withColumn("p_partkey", shifted("p_partkey")))
+
+    val (cMin, cDom) = domain(read("customer"), "c_custkey")
+    write("orders", fan(read("orders"))
+      .withColumn("o_orderkey", shifted("o_orderkey"))
+      .withColumn("o_custkey",
+        keyFromRank(zipfRank(unif(col("o_orderkey")), cDom * copies), cMin, cDom)))
+
+    val (sMin, sDom) = domain(read("supplier"), "s_suppkey")
+    write("lineitem", fan(read("lineitem"))
+      .withColumn("l_orderkey", shifted("l_orderkey"))
+      .withColumn("l_partkey", shifted("l_partkey"))
+      .withColumn("l_suppkey",
+        keyFromRank(zipfRank(unif(col("l_orderkey"), col("l_linenumber")), sDom * copies),
+          sMin, sDom)))
+
+    val (uMin, uDom) = domain(read("events"), "user_id")
+    write("events", fan(read("events"))
+      .withColumn("event_id", shifted("event_id"))
+      .withColumn("user_id",
+        keyFromRank(zipfRank(unif(col("event_id")), uDom * copies), uMin, uDom)))
+
+    // documents: ids stay unique (fan+shift) but text/lang come from the
+    // zipf-rank source doc — duplicate clusters with zipf sizes; n_chars
+    // recomputed so metadata stays consistent with the reassigned text
+    val (dMin, dDom) = domain(read("documents"), "doc_id")
+    val srcDocs = read("documents").select(
+      col("doc_id").as("__rank_doc"),
+      col("text").as("__ztext"), col("lang").as("__zlang"))
+    write("documents", fan(read("documents"))
+      .withColumn("doc_id", shifted("doc_id"))
+      .withColumn("__rank_doc", lit(dMin) + zipfRank(unif(col("doc_id")), dDom) - 1)
+      .drop("text", "lang")
+      .join(broadcast(srcDocs), Seq("__rank_doc"))
+      .select(col("doc_id"), col("__ztext").as("text"), col("__zlang").as("lang"),
+        col("source"), length(col("__ztext")).cast("long").as("n_chars"), col("__copy")))
+
+    write("embeddings", rotateEmbeddings(fan(read("embeddings"))
+      .withColumn("vec_id", shifted("vec_id"))))
   }
 }
