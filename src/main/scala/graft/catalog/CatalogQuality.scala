@@ -178,6 +178,26 @@ object CatalogQuality {
     Some("""WITH prof AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
       SELECT e.event_id, p.user_events FROM events e JOIN prof p USING (user_id)"""))
 
+  /** [[salted]]'s unsalted twin — identical result set through a plain
+    * equi-join (broadcast suppressed so the shuffle join's skew behavior
+    * is actually exercised; a broadcast would dodge the hot key entirely
+    * and measure nothing). Exists for the SCALE.md §16 skew campaign:
+    * same query benched on uniform vs zipf keys prices what salting buys
+    * when one user owns ~11% of all events, and what it costs when keys
+    * are uniform.
+    */
+  private val plainJoinTwin = Q("j10b_plain_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val prof = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+      ev.select(col("event_id"), col("user_id"))
+        .hint("shuffle_merge")
+        .join(prof, Seq("user_id"))
+        .select(col("event_id"), col("user_events"))
+    },
+    Some("""WITH prof AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+      SELECT e.event_id, p.user_events FROM events e JOIN prof p USING (user_id)"""))
+
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 
@@ -368,31 +388,31 @@ object CatalogQuality {
     * snapshot, delta-adjacent candidate pairs, recursive-CTE components,
     * and the standing-anchor labeling.
     */
-  private val incrementalRebuildQ = Q("pipe_incremental_rebuild",
+  private def incrementalRebuildRow(name: String, rm: Int, ch: Int, ad: Int): Q = Q(name,
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val newSnap = docs.where(col("doc_id") % 17 =!= 3)
+      val newSnap = docs.where(col("doc_id") % rm =!= 3)
         .select(col("doc_id"),
-          when(col("doc_id") % 13 === 1, concat(col("text"), lit(" rev2")))
+          when(col("doc_id") % ch === 1, concat(col("text"), lit(" rev2")))
             .otherwise(col("text")).as("text"))
-        .unionByName(docs.where(col("doc_id") % 19 === 4)
+        .unionByName(docs.where(col("doc_id") % ad === 4)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       graft.ops.Curation.incrementalRebuild(docs, newSnap, "doc_id", "text")
         .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
     },
     Some(s"""WITH RECURSIVE
       newsnap AS (
-        SELECT doc_id, CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text
-        FROM documents WHERE doc_id % 17 <> 3
+        SELECT doc_id, CASE WHEN doc_id % $ch = 1 THEN text || ' rev2' ELSE text END AS text
+        FROM documents WHERE doc_id % $rm <> 3
         UNION ALL
-        SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 4),
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % $ad = 4),
       delta AS (
-        SELECT doc_id AS id, 'removed' AS status FROM documents WHERE doc_id % 17 = 3
+        SELECT doc_id AS id, 'removed' AS status FROM documents WHERE doc_id % $rm = 3
         UNION ALL
         SELECT doc_id, 'changed' FROM documents
-        WHERE doc_id % 17 <> 3 AND doc_id % 13 = 1 AND text IS NOT NULL
+        WHERE doc_id % $rm <> 3 AND doc_id % $ch = 1 AND text IS NOT NULL
         UNION ALL
-        SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % 19 = 4),
+        SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % $ad = 4),
       batch AS (SELECT id FROM delta WHERE status <> 'removed'),
       ${CatalogOps.minhashCtesFor("newsnap", "")},
       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -417,6 +437,17 @@ object CatalogQuality {
         CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) END AS cluster,
         CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) = d.id END AS is_kept
       FROM delta d LEFT JOIN labeled l ON d.id = l.id"""))
+
+  private val incrementalRebuildQ =
+    incrementalRebuildRow("pipe_incremental_rebuild", 17, 13, 19)
+
+  /** Same composition at ~5× lower change rate (mods 97/89/83 vs
+    * 17/13/19): the SCALE.md §16 pair that measures the scaladoc claim —
+    * at fixed corpus size, cost above the diff's one corpus scan tracks
+    * the CHANGE RATE.
+    */
+  private val incrementalRebuildLowQ =
+    incrementalRebuildRow("pipe_incremental_rebuild_lowrate", 97, 89, 83)
 
   /** Decontaminating curation: probe split doc_id < 20 (as the span rows);
     * gates on original text, dedup keyed on the excised text.
@@ -709,6 +740,7 @@ object CatalogQuality {
 
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
-    curateNearDupQ, curateDecontamQ, corpusDiffQ, incrementalRebuildQ, packConcat, orcScan,
+    curateNearDupQ, curateDecontamQ, corpusDiffQ, incrementalRebuildQ,
+    incrementalRebuildLowQ, plainJoinTwin, packConcat, orcScan,
     simhashPairsQ, bigramLm, dsir, bm25, hybridRrf, kmeansQ, lshPlanQ)
 }
