@@ -85,10 +85,25 @@ object StreamBench {
         .start()
       val t0 = System.nanoTime()
       Thread.sleep(seconds * 1000L)
-      q.stop(); q.awaitTermination()
+      // snapshot progress BEFORE stop: stop() can interrupt a state-store
+      // commit mid-flight (observed on the stream-stream join, whose
+      // per-batch commits are the slowest) and the abort then surfaces as
+      // a StreamingQueryException from awaitTermination. The measurement
+      // window is already over at that point, so an interrupt-shaped
+      // failure here is benign — but a query that produced NO batches in
+      // the window is a real failure and still dies loudly below.
+      val progsAll = q.recentProgress.toSeq
+      try { q.stop(); q.awaitTermination() }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          System.err.println(s"[streambench] $name post-stop interrupt: " +
+            e.getMessage.linesIterator.next())
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       // skip the first batch: it pays stream start + codegen + JIT warmup
-      val progs = q.recentProgress.toSeq.drop(1)
+      val progs = progsAll.drop(1)
+      require(progsAll.nonEmpty && progsAll.map(_.numInputRows).sum > 0,
+        s"$name processed no rows in the $seconds s window — query failed, not slow")
       val rows = progs.map(_.numInputRows).sum
       val procMs = progs.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong).sum
       val stateRows = progs.lastOption
@@ -100,11 +115,24 @@ object StreamBench {
       val rowsPerSec = if (procMs > 0) rows * 1000.0 / procMs else 0.0
       println(f"""{"op":"$name","rows_per_batch":$rowsPerBatch,"rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
       // stateful ops leave real state-store bytes in the checkpoint dir;
-      // 12 runs per campaign would otherwise accrete in /tmp forever
-      val tree = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      try tree.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-      finally tree.close()
+      // 12 runs per campaign would otherwise accrete in /tmp forever.
+      // State-store maintenance threads can still be flushing files for a
+      // moment after stop() (observed on the stream-stream join), so the
+      // delete retries instead of dying on DirectoryNotEmptyException.
+      def rmTree(): Unit = {
+        val tree = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try tree.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally tree.close()
+      }
+      var attempts = 0
+      var cleaned = false
+      while (!cleaned && attempts < 5) {
+        attempts += 1
+        try { rmTree(); cleaned = true }
+        catch { case _: java.io.IOException => Thread.sleep(1000L) }
+      }
+      if (!cleaned) System.err.println(s"[streambench] checkpoint $ckpt not fully removed")
     }
 
     // standing IMAGE corpus for the perceptual-hash flag: one signature per
@@ -163,6 +191,22 @@ object StreamBench {
           d.withColumn("doc_id", pmod(col("value"), lit(corpusN))),
           corpus.select(col("doc_id"), length(col("text")).as("doc_len")),
           Seq("doc_id"))
+      }
+      // stream-stream interval join (self-join of the stream on user_id,
+      // right rows within [left.ts - 2s, left.ts]): BOTH sides buffer in
+      // the state store, bounded by watermark delay + range width. Benched
+      // at two watermark widths — state_rows must scale with the horizon
+      // (≈ rows/s × (delay + range)), NOT with stream length; that
+      // plateau is the evidence the join can run forever.
+      for (delaySec <- Seq(5, 30)) {
+        bench(s"interval_join_w${delaySec}s", rpb) { d =>
+          val l = d.select(col("user_id"), col("timestamp"), col("event_value"))
+          val r = d.select(col("user_id"), col("timestamp"),
+            (col("event_value") * 2).as("right_value"))
+          StreamingOps.streamStreamIntervalJoin(l, r, "user_id", "timestamp",
+            delay = s"$delaySec seconds", before = "2 seconds", after = "0 seconds")
+            .select(col("l.user_id"), col("l.event_value"), col("r.right_value"))
+        }
       }
       // custom stateful sessionization via flatMapGroupsWithState
       bench("sessionize", rpb) { d =>
