@@ -628,6 +628,39 @@ object CatalogCore {
       SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
       FROM po GROUP BY s"""))
 
+  /** K2 under celebrity-subject skew: ~⅓ of lineitem rows share ONE hub
+    * subject (5 predicates), the rest are per-order subjects — the shape
+    * that OOM'd the unchunked writer's per-subject collect at scale. The
+    * small maxGroup forces the rank-chunking to actually engage at
+    * verify scale, and the oracle replays the chunk arithmetic
+    * (row_number windows + integer division) so the block-splitting
+    * semantics — not just the happy path — are hash-pinned. Benched at
+    * sf1/sf10 with the hub scaled to millions of POs (SCALE.md §16).
+    */
+  private val k2b = Q("k2b_turtle_hub",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val subj = when(col("l_orderkey") % 3 === 0, lit("<http://ex/hub>"))
+        .otherwise(concat(lit("<http://ex/li/"), col("l_orderkey"), lit(">")))
+      val quads = li.select(subj.as("s"),
+        concat(lit("<http://ex/vocab/p"), pmod(col("l_suppkey"), lit(5)), lit(">")).as("p"),
+        concat(lit("\""), col("l_orderkey"), lit("-"), col("l_linenumber"), lit("\"")).as("o"),
+        lit(null).cast("string").as("g"))
+      Sinks.turtleBlocks(quads, maxGroup = 100)
+    },
+    Some("""WITH q AS (SELECT
+        CASE WHEN l_orderkey % 3 = 0 THEN '<http://ex/hub>'
+             ELSE '<http://ex/li/' || l_orderkey || '>' END AS s,
+        '<http://ex/vocab/p' || (l_suppkey % 5) || '>' AS p,
+        '"' || l_orderkey || '-' || l_linenumber || '"' AS o FROM lineitem),
+      d AS (SELECT DISTINCT s, p, o FROM q),
+      r AS (SELECT s, p, o, row_number() OVER (PARTITION BY s, p ORDER BY o) AS rn FROM d),
+      po AS (SELECT s, p || ' ' || string_agg(o, ', ' ORDER BY o) AS po
+        FROM (SELECT s, p, o, (rn - 1) // 100 AS och FROM r) GROUP BY s, p, och),
+      r2 AS (SELECT s, po, row_number() OVER (PARTITION BY s ORDER BY po) AS rn FROM po)
+      SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
+      FROM (SELECT s, po, (rn - 1) // 100 AS pch FROM r2) GROUP BY s, pch"""))
+
   private val k3 = Q("k3_logical_targets",
     (s, dir) => {
       val quads = t(s, dir, "customer").select(
@@ -1445,7 +1478,7 @@ object CatalogCore {
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
     s1, s2, s3, s6, s7, s7b, s8, s8b, s8c, s9, v2,
-    k1, k2, k3, k4a, k4b, k4c, k4d, k4e, k4f,
+    k1, k2, k2b, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, d2b, u1,
