@@ -108,26 +108,36 @@ object CatalogOps {
   private val powersSql = (0 to 30).map(k => (1L << k).toString).mkString(",")
 
   /** Shared CTE chain replaying Dedup.dedupCorpus downstream of `bands`
-    * (from [[minhashCtes]]): the dyadic bucket-size sketch and auto cap,
-    * the capped band self-join, and the connected components via a
-    * recursive min-label CTE — component minima propagate along edges, so
-    * `min(lab)` per node (`clus(id, cluster)`) is exactly the
+    * (from [[minhashCtes]]): the exact-duplicate collapse (`grp`/`gm` —
+    * one representative per distinct text, the Spark side groups by a
+    * null-discriminating md5 of the same text), the dyadic bucket-size
+    * sketch and auto cap over REPRESENTATIVE bands, the capped band
+    * self-join, rep→member expansion edges, and the connected components
+    * via a recursive min-label CTE — component minima propagate along
+    * edges, so `min(lab)` per node (`clus(id, cluster)`) is exactly the
     * large/small-star fixpoint label. Use under `WITH RECURSIVE`.
     */
   private[catalog] val clusterCtes: String =
-    s"""bsz AS (SELECT band, sig, count(*) AS b FROM bands GROUP BY band, sig),
+    s"""grp AS (SELECT text AS gt, min(doc_id) AS rep FROM documents GROUP BY text),
+      gm AS (SELECT d.doc_id AS id, g.rep FROM documents d
+        JOIN grp g ON d.text IS NOT DISTINCT FROM g.gt),
+      rbands AS (SELECT bands.id, bands.band, bands.sig FROM bands
+        JOIN grp ON bands.id = grp.rep),
+      bsz AS (SELECT band, sig, count(*) AS b FROM rbands GROUP BY band, sig),
       pw AS (SELECT unnest([$powersSql]) AS p),
       hist AS (SELECT (SELECT min(p) FROM pw WHERE p >= b) AS bcap, sum(b * b) AS w
         FROM bsz GROUP BY 1),
       capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
           SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
-        WHERE cw <= 64 * ((SELECT count(*) FROM bands) // 4)),
-      keep AS (SELECT bands.id, bands.band, bands.sig FROM bands
+        WHERE cw <= 64 * ((SELECT count(*) FROM rbands) // 4)),
+      keep AS (SELECT rbands.id, rbands.band, rbands.sig FROM rbands
         JOIN bsz USING (band, sig) WHERE bsz.b <= (SELECT cap FROM capv)),
       pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM keep a JOIN keep b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
+        UNION ALL SELECT id_b, id_a FROM pairs
+        UNION ALL SELECT rep AS u, id AS v FROM gm WHERE id <> rep
+        UNION ALL SELECT id AS u, rep AS v FROM gm WHERE id <> rep),
       reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
         UNION
         SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON e.v = r.id WHERE r.lab < e.u),

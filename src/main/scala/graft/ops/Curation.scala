@@ -182,13 +182,23 @@ object Curation {
     * a component containing only batch documents keeps its smallest id.
     *
     * Plan shape at 100 TB: the diff is a projected full-outer join on id
-    * (content never shuffles); signature + banding work is O(batch) for
-    * the batch side plus the band join against standing signatures; the
-    * component resolution and anchor aggregations run over the
-    * candidate-pair node set, which is delta-adjacent by construction. So
-    * end-to-end cost tracks the CHANGE RATE at fixed corpus size — the
-    * claim both composed ops' scaladocs make, measured end-to-end in
-    * SCALE.md §16. (The standing side's signatures are recomputed from
+    * (content never shuffles); exact duplicates are collapsed before
+    * banding ([[Dedup.textGroups]] — one representative per distinct
+    * text, members rejoin through rep→member edges), then signature +
+    * banding work runs per distinct text and the band join admits a pair
+    * iff either side's group contains a delta document — exactly the raw
+    * graph's "at least one side new" rule lifted to groups, so the
+    * OUTPUT is component-identical to the uncollapsed plan (identical
+    * texts share every band signature — pigeonhole) and the DuckDB
+    * oracle's raw-graph replay stays valid. The collapse is the
+    * difference between linear and quadratic on a zipf corpus: the hot
+    * identical-text cluster (~11% of all docs under α=1.1) made the
+    * uncollapsed standing×batch band join ~1e10 candidate rows — the
+    * sf10 zipf run did not finish in 45 minutes; collapsed it is one
+    * hash-agg (SCALE.md §16). The component resolution and anchor
+    * aggregations run over the candidate-pair node set, delta-adjacent
+    * by construction, so end-to-end cost tracks the CHANGE RATE at fixed
+    * corpus size. (The standing side's signatures are recomputed from
     * text here; a deployed pipeline reads them back from the signature
     * store — the join shape is identical.)
     */
@@ -197,19 +207,35 @@ object Curation {
       rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
     val delta = corpusDiff(oldSnap, newSnap, idCol, textCol)
     val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
-    val batch = newSnap.join(batchIds,
-      newSnap(idCol) === batchIds("id"), "left_semi")
-    val standing = newSnap.join(batchIds,
-      newSnap(idCol) === batchIds("id"), "left_anti")
-    val pairs = Dedup.minhashIncrementalCandidates(standing, batch,
-      textCol, idCol, numHashes, rowsPerBand, shingleLen)
-      .select(col("id_a"), col("id_b"))
+    val repMap = Dedup.textGroups(newSnap, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-group delta flag: a rep stands for new work iff ANY member is
+    // in the delta
+    val grpNew = repMap
+      .join(batchIds.withColumn("__n", lit(true)), Seq("id"), "left")
+      .groupBy(col("rep")).agg(max(coalesce(col("__n"), lit(false))).as("has_new"))
+    // banding computed per doc (narrow — text never reshuffles), kept for
+    // representatives only; the join also attaches the group's delta flag
+    val bands = Dedup.minhashBands(newSnap, textCol, idCol,
+        numHashes, rowsPerBand, shingleLen)
+      .join(grpNew.withColumnRenamed("rep", "id"), Seq("id"))
+    val bandPairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id") && (col("a.has_new") || col("b.has_new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b")))
     // components over the delta-adjacent pair graph (standing–standing
-    // edges never regenerate — those verdicts were settled at arrival)
+    // edges never regenerate — those verdicts were settled at arrival;
+    // all-standing text groups do surface as rep→member components, but
+    // they carry no delta member so they never reach the labeled output)
     val comp = Dedup.resolveClusters(pairs)
       .join(batchIds.withColumn("__new", lit(true)), Seq("id"), "left")
       .withColumn("is_new", coalesce(col("__new"), lit(false)))
       .drop("__new")
+    // resolveClusters materialized the pair graph (collect or checkpointed
+    // rounds), so the collapse map's cache can go now
+    repMap.unpersist()
     // per component: the anchor is the smallest STANDING id if any (the
     // duplicate-of target), else the smallest batch id (the one kept)
     val canon = comp.groupBy(col("cluster")).agg(

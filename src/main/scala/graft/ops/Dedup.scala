@@ -347,40 +347,84 @@ object Dedup {
     * operators are the evaluation surface, not the corpus path —
     * SCALE.md §12).
     *
+    * Exact duplicates are collapsed FIRST ([[textGroups]]): banding and
+    * the cap run over one representative per distinct text, and members
+    * rejoin their component through rep→member edges. This is
+    * semantics-preserving when no bucket is capped (identical texts share
+    * every band signature, so banding was already certain to cluster
+    * them — pigeonhole), and strictly recall-IMPROVING when one is: a
+    * zipf-shaped corpus (the boilerplate-page law; SCALE.md §16) puts
+    * ~11% of all documents in ONE identical-text cluster whose band
+    * buckets blow past any sane cap — uncollapsed, the capped join
+    * silently MISSES the single biggest duplicate cluster in the corpus;
+    * collapsed, that cluster costs one hash-agg and its buckets shrink
+    * to size 1.
+    *
     * `maxBucketSize = None` (default) auto-derives the cap from the
     * bucket-size sketch ([[dyadicSizeCap]]) with a `pairBudget`-pairs-per-
-    * document budget: candidate volume stays ≤ pairBudget × N by
+    * distinct-text budget: candidate volume stays ≤ pairBudget × #reps by
     * construction, so the band self-join cannot blow up on
     * non-discriminative buckets. Pairs whose every shared band is
     * oversized are missed — price the recall with [[pairRecall]] against
     * the exact operators at a small SF. The derivation is deterministic
     * (dyadic integer classes), so external engines reproduce the cap, the
-    * capped pair set, and the clustering exactly.
+    * capped pair set, and the clustering exactly (the DuckDB oracle
+    * replays collapse, sketch, capped join, and components).
     */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
-    // bands feed the size sketch AND the self-join: one materialization
+    // exact-duplicate collapse: reps carry the banding, members rejoin via
+    // one edge each. The map shuffles only (id, 32-char hash) — text never
+    // reshuffles — and banding below stays the narrow (id, minhash) shape.
+    val repMap = textGroups(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands feed the size sketch AND the self-join: one materialization.
+    // Banding is computed for every doc (linear CPU, no text shuffle) and
+    // filtered to reps after the per-doc agg — semi-joining df on rep ids
+    // first would instead reshuffle the full text payload.
     val bands = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .join(repMap.where(col("id") === col("rep")).select(col("id")),
+        Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = maxBucketSize.getOrElse {
       val sizes = bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("b"))
-      // doc count from the persisted bands (exactly numBands rows per doc)
+      // rep count from the persisted bands (exactly numBands rows per rep)
       // — counting df itself would re-execute its whole lineage when the
       // input is a derived frame rather than a bare scan
       val n = bands.count() / (numHashes / rowsPerBand)
       dyadicSizeCap(sizes, "b", pairBudget * n)
     }
-    val pairs = candidatesFromBands(bands, Some(cap))
+    val expansion = repMap.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val pairs = candidatesFromBands(bands, Some(cap)).unionByName(expansion)
     // resolveClusters eagerly materializes its edge rounds (localCheckpoint
-    // per round), so the bands cache can be released right after it returns
+    // per round), so both caches can be released right after it returns
     val clusters = resolveClusters(pairs)
-    bands.unpersist()
+    bands.unpersist(); repMap.unpersist()
     df.select(col(idCol).as("id"))
       .join(clusters.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("__c"), col("id")).as("cluster"),
         (coalesce(col("__c"), col("id")) === col("id")).as("is_kept"))
+  }
+
+  /** Exact-duplicate collapse map: `(id, rep)` with `rep` = the smallest
+    * id among rows sharing the same text — the group key is a
+    * null-discriminating md5 (null ≠ '' — the [[graft.ops.Curation.corpusDiff]]
+    * convention), so the exchange carries 32-char hashes, never the text
+    * itself. All-null texts form one group: Spark banding already gives
+    * every null-text doc the same signatures (null minhashes concat-ws to
+    * the md5('') sig), so collapsing them is consistent with the band
+    * graph they would have produced.
+    */
+  private[graft] def textGroups(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+      md5(concat(col(textCol).isNull.cast("string"),
+        coalesce(col(textCol), lit("")))).as("__th"))
+    th.join(th.groupBy(col("__th")).agg(min(col("id")).as("rep")), "__th")
+      .select(col("id"), col("rep"))
   }
 
   /** [[dedupCorpus]] with explicit representative selection: within each
@@ -480,6 +524,13 @@ object Dedup {
     * side's signatures are recomputed from text; in a deployed pipeline
     * they would be read back from the signature store — the band-join
     * shape is identical.) Returns (id_a, id_b, b_is_new) with id_a < id_b.
+    *
+    * This is the RAW per-document pair surface — uncapped and
+    * uncollapsed, priced in SCALE.md as a by-construction grower. The
+    * verdict path ([[graft.ops.Curation.incrementalRebuild]]) does not
+    * use it: it runs the component-equivalent collapsed graph
+    * ([[textGroups]] + rep-level band join), which survives zipf-shaped
+    * duplicate clusters this enumeration cannot (SCALE.md §16).
     */
   def minhashIncrementalCandidates(corpus: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 12, rowsPerBand: Int = 3,

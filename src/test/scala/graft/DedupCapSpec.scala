@@ -87,6 +87,57 @@ class DedupCapSpec extends AnyFunSuite {
     assert(viaRow.count() == nDocs && viaAgg.count() == nDocs)
   }
 
+  test("zipf hot cluster: exact-duplicate collapse finds the giant identical group the cap would drop") {
+    // the boilerplate-page law (SCALE.md §16): one text owns a constant
+    // fraction of the corpus. 2000 identical docs would put ~2000 docs in
+    // every band bucket — far past any cap, so the UNCOLLAPSED capped join
+    // silently missed the biggest duplicate cluster; collapsed, the group
+    // is one rep + 1999 expansion edges and must resolve WHOLE.
+    val hot = "boilerplate cookie banner accept all terms and conditions apply now"
+    val near = hot + " ok" // a near-dup VARIANT: reps must still band-join
+    val docs = ((0 until 2000).map(i => (i.toLong, hot)) :+ (5000L, near)) ++
+      (0 until 60).map(i => (9000L + i,
+        (0 until 8).map(w => s"u${i}w${w}q$i").mkString(" "))) // disjoint vocab per doc
+    val out = Dedup.dedupCorpus(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 2061L)
+    // every hot copy — and the near-dup variant, via rep-level banding —
+    // lands in the min-id cluster with exactly one representative kept
+    for (i <- 0 until 2000)
+      assert(out(i.toLong) == (0L, i == 0), s"hot doc $i got ${out(i.toLong)}")
+    assert(out(5000L) == (0L, false), "near-dup variant must join via the rep band join")
+    for (i <- 0 until 60)
+      assert(out(9000L + i) == (9000L + i, true), s"unique doc $i must stay a singleton")
+  }
+
+  test("textGroups: one rep per distinct text, nulls one group, '' distinct from null") {
+    val df = Seq((1L, "a"), (5L, "a"), (3L, "b"), (7L, null), (9L, null), (2L, ""))
+      .toDF("doc_id", "text")
+    val m = Dedup.textGroups(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 5L -> 1L, 3L -> 3L, 7L -> 7L, 9L -> 7L, 2L -> 2L))
+  }
+
+  test("incremental rebuild survives a hot identical cluster and anchors on standing min") {
+    import graft.ops.Curation
+    val hot = "subscribe to our newsletter for updates delivered straight to your inbox"
+    // standing corpus: 1500 identical hot docs + distinct filler
+    val standing = (0 until 1500).map(i => (i.toLong, hot)) ++
+      (0 until 30).map(i => (7000L + i, s"standing unique text $i alpha$i"))
+    // new snapshot: standing unchanged, plus 40 ADDED copies of the hot text
+    val added = (0 until 40).map(i => (100000L + i, hot))
+    val oldSnap = standing.toDF("doc_id", "text")
+    val newSnap = (standing ++ added).toDF("doc_id", "text")
+    val out = Curation.incrementalRebuild(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // the patch covers exactly the 40 added docs, each a duplicate of the
+    // SMALLEST STANDING hot id (standing wins) — not of each other
+    assert(out.size == 40)
+    for (i <- 0 until 40)
+      assert(out(100000L + i) == ("added", 0L, false), s"added $i got ${out(100000L + i)}")
+  }
+
   test("verifyPairsJaccard: true jaccard per proposed pair, zero-overlap pairs reported") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
