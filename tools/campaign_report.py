@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Render /tmp/campaign_skew.jsonl (tagged Bench lines) as a
-zipf-vs-uniform decade-factor table for SCALE.md §16."""
+zipf-vs-uniform decade-factor table for SCALE.md §16.
+
+Tags `fix_<tag>` overlay their query timings onto `<tag>`: the round-8
+collapse fix re-measured only the three changed queries on the five
+datasets already covered by the pre-fix sweep (the other 13 queries'
+code paths are identical between the two commits)."""
 import json, sys, re
 
 path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/campaign_skew.jsonl"
@@ -13,7 +18,9 @@ for line in open(path):
     if not m:
         continue
     tag, payload = m.group(1), json.loads(m.group(2))
-    runs[tag] = payload["queries"]
+    runs.setdefault(tag, {}).update(payload["queries"])
+for tag in [t for t in runs if t.startswith("fix_")]:
+    runs.setdefault(tag[4:], {}).update(runs.pop(tag))
 
 qs = sorted({q for r in runs.values() for q in r})
 def f(tag, q):
