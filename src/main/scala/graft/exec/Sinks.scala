@@ -199,8 +199,18 @@ object Sinks {
     * no global prefix table), so formatting stays row-local + one groupBy.
     * Reference produces rdfxml via rdflib re-serialization
     * (semantify.py:10063-10068).
+    *
+    * Skew guard (same rank-chunking as [[turtleBlocks]]): a celebrity
+    * subject's property elements split into groups of `maxGroup`, each
+    * emitted as its own `<rdf:Description>` with the subject attribute
+    * repeated — RDF/XML merges descriptions of the same resource, so the
+    * graph is unchanged and no task ever materializes an unbounded
+    * collect_list. Below the cap the output is byte-identical to the
+    * unchunked form (the k4 oracle rows pin that).
     */
-  def rdfXmlLines(quads: DataFrame): DataFrame = {
+  def rdfXmlLines(quads: DataFrame, maxGroup: Int = 10000): DataFrame = {
+    require(maxGroup > 0, "maxGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
     def xmlEscape(c: Column): Column =
       replace(replace(replace(replace(c,
         lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
@@ -233,8 +243,10 @@ object Sinks {
     val sAttr = when(col("s").startsWith("_:"),
         concat(lit("rdf:nodeID=\""), expr("substring(s, 3)"), lit("\"")))
       .otherwise(concat(lit("rdf:about=\""), xmlEscape(regexp_extract(col("s"), "^<(.*)>$", 1)), lit("\"")))
+    val wS = Window.partitionBy(col("s"), col("sa")).orderBy(col("px"))
     quads.select(col("s"), sAttr.as("sa"), propXml.as("px"))
-      .groupBy(col("s"), col("sa"))
+      .withColumn("__pch", ((row_number().over(wS) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("sa"), col("__pch"))
       .agg(array_join(array_sort(collect_list(col("px"))), "\n").as("body"))
       .select(concat(lit("  <rdf:Description "), col("sa"), lit(">\n"),
         col("body"), lit("\n  </rdf:Description>")).as("line"))
@@ -345,8 +357,20 @@ object Sinks {
     * `{"@id": s, p: [{"@id"|"@value"…}]}` with `@type`/`@language` for
     * typed/tagged literals. N-Triples escaping (\" \\ \n \r \t) is valid
     * JSON string escaping, so the lexical forms pass through unchanged.
+    *
+    * Skew guard: celebrity subjects rank-chunk into groups of `maxGroup`
+    * at both levels (objects per predicate, predicate entries per
+    * subject) — JSON-LD merges node objects sharing an `@id`, so extra
+    * lines are graph-equivalent. Chunks of the SAME predicate must land
+    * in different node objects (duplicate keys inside one JSON object are
+    * invalid), so the object-chunk id stays part of the subject-level
+    * grouping key. Below the cap the output is byte-identical to the
+    * unchunked form. Object dedup rides the chunk window's sort order via
+    * lag() — no per-group in-memory set.
     */
-  def jsonLdLines(quads: DataFrame): DataFrame = {
+  def jsonLdLines(quads: DataFrame, maxGroup: Int = 10000): DataFrame = {
+    require(maxGroup > 0, "maxGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
     def iriBody(c: Column): Column =
       when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1)).otherwise(c) // bnode as-is
     val litVal = regexp_extract(col("o"), "^\"(.*)\"", 1)
@@ -359,22 +383,50 @@ object Sinks {
           .otherwise(when(lang =!= "", concat(lit(",\"@language\":\""), lang, lit("\"")))
             .otherwise(lit(""))),
         lit("}")))
+    val wO = Window.partitionBy(col("s"), col("p")).orderBy(col("oj"))
+    val wE = Window.partitionBy(col("s"), col("__och")).orderBy(col("entry"))
     quads
-      .groupBy(col("s"), col("p"))
-      .agg(concat_ws(",", array_sort(collect_set(oJson))).as("vals"))
-      .select(col("s"),
+      .select(col("s"), col("p"), oJson.as("oj"))
+      // sorted-neighbor dedup (collect_set semantics, without the set)
+      .withColumn("__prev", lag(col("oj"), 1).over(wO))
+      .where(col("__prev").isNull || col("__prev") =!= col("oj"))
+      .drop("__prev")
+      .withColumn("__och", ((row_number().over(wO) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("p"), col("__och"))
+      .agg(concat_ws(",", array_sort(collect_list(col("oj")))).as("vals"))
+      .select(col("s"), col("__och"),
         concat(lit("\""), iriBody(col("p")), lit("\":["), col("vals"), lit("]")).as("entry"))
-      .groupBy(col("s"))
+      .withColumn("__ech", ((row_number().over(wE) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("__och"), col("__ech"))
       .agg(concat_ws(",", array_sort(collect_list(col("entry")))).as("body"))
       .select(concat(lit("{\"@id\":\""), iriBody(col("s")), lit("\","), col("body"), lit("}")).as("line"))
   }
 
   /** RDF-JSON-shaped grouping `{s: {p: [o…]}}` (reference:
-    * functions.py:66-76) as a JSON string per subject.
+    * functions.py:66-76) as a JSON string per subject. Same skew guard as
+    * [[jsonLdLines]]: per-predicate object lists and per-subject entry
+    * maps rank-chunk at `maxGroup`, with the object-chunk id kept in the
+    * subject grouping key so one emitted map never carries duplicate
+    * predicate keys; each line is its own JSON document, so a consumer
+    * merges lines by subject. Below the cap: byte-identical, one line
+    * per subject.
     */
-  def rdfJson(quads: DataFrame): DataFrame =
-    quads.groupBy(col("s"), col("p"))
-      .agg(array_sort(collect_set(col("o"))).as("objs"))
-      .groupBy(col("s"))
+  def rdfJson(quads: DataFrame, maxGroup: Int = 10000): DataFrame = {
+    require(maxGroup > 0, "maxGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val wO = Window.partitionBy(col("s"), col("p")).orderBy(col("o"))
+    val wE = Window.partitionBy(col("s"), col("__och")).orderBy(col("p"))
+    quads
+      .select(col("s"), col("p"), col("o"))
+      .withColumn("__prev", lag(col("o"), 1).over(wO))
+      .where(col("__prev").isNull || col("__prev") =!= col("o"))
+      .drop("__prev")
+      .withColumn("__och", ((row_number().over(wO) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("p"), col("__och"))
+      .agg(array_sort(collect_list(col("o"))).as("objs"))
+      .withColumn("__ech", ((row_number().over(wE) - 1) / maxGroup).cast("int"))
+      .groupBy(col("s"), col("__och"), col("__ech"))
       .agg(to_json(map_from_entries(array_sort(collect_list(struct(col("p"), col("objs")))))).as("json"))
+      .select(col("s"), col("json"))
+  }
 }

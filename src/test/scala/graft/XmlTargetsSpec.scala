@@ -248,6 +248,52 @@ class XmlTargetsSpec extends AnyFunSuite {
     assert(lines.head.contains("ada \\\"l\\\"")) // NT escapes are valid JSON escapes
   }
 
+  test("K4 skew guard: hub subject rank-chunks in JSON-LD/RDF-JSON/RDF-XML; graph and key-uniqueness preserved") {
+    import spark.implicits._
+    import graft.exec.Sinks
+    // hub: 25 objects on one predicate + 7 single-object predicates, cap 10
+    val hub = (1 to 25).map(i => ("<http://ex/hub>", "<http://ex/vocab/link>", f"<http://ex/o/$i%03d>")) ++
+      (1 to 7).map(i => ("<http://ex/hub>", s"<http://ex/vocab/p$i>", "\"v\"")) ++
+      Seq(("<http://ex/s2>", "<http://ex/vocab/p1>", "\"w\""))
+    val quads = hub.toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+
+    // JSON-LD: link chunks to och 0/1/2 → 3 hub node objects (och 0 also
+    // carries p1..p7); each line's predicate keys must stay unique
+    val ld = Sinks.jsonLdLines(quads, maxGroup = 10).collect().map(_.getString(0))
+    val hubLd = ld.filter(_.contains("\"@id\":\"http://ex/hub\""))
+    assert(hubLd.length == 3, hubLd.mkString("\n"))
+    assert(ld.count(_.contains("\"@id\":\"http://ex/s2\"")) == 1)
+    val keyRe = """"(http[^"]+)":\[""".r
+    ld.foreach { l =>
+      val keys = keyRe.findAllMatchIn(l).map(_.group(1)).toList
+      assert(keys == keys.distinct, s"duplicate JSON keys in: $l")
+    }
+    assert(hubLd.map(l => "\\{\"@id\":\"http://ex/o/".r.findAllIn(l).size).sum == 25,
+      "all 25 link objects must survive chunking")
+
+    // RDF-JSON: same chunk arithmetic → 3 hub rows, keys unique per row
+    val rj = Sinks.rdfJson(quads, maxGroup = 10).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(rj.count(_._1 == "<http://ex/hub>") == 3)
+    rj.foreach { case (_, j) =>
+      val keys = """"(<http[^"]+>)":""".r.findAllMatchIn(j).map(_.group(1)).toList
+      assert(keys == keys.distinct, s"duplicate predicate keys in: $j")
+    }
+
+    // RDF/XML: 32 property elements chunk into 4 Descriptions of ≤10;
+    // every link object survives as an rdf:resource
+    val xml = Sinks.rdfXmlLines(quads, maxGroup = 10).collect().map(_.getString(0))
+    val hubXml = xml.filter(_.contains("rdf:about=\"http://ex/hub\""))
+    assert(hubXml.length == 4, hubXml.mkString("\n"))
+    assert(hubXml.map(b => "rdf:resource=\"http://ex/o/".r.findAllIn(b).size).sum == 25)
+    assert(xml.count(_.contains("rdf:about=\"http://ex/s2\"")) == 1)
+
+    // below the cap (defaults): one line per subject, unchanged shape
+    assert(Sinks.jsonLdLines(quads).count() == 2)
+    assert(Sinks.rdfJson(quads).count() == 2)
+    assert(Sinks.rdfXmlLines(quads).count() == 2)
+  }
+
   test("K3: logical targets route by predicate with serialization + gzip compression") {
     import spark.implicits._
     import graft.exec.Sinks
