@@ -14,7 +14,7 @@ for line in open(path):
     line = line.strip()
     if not line:
         continue
-    m = re.match(r'\{"tag":"([^"]+)"\}\s*(\{.*\})', line)
+    m = re.match(r'\{"tag":"([^"]+)"\}\s*(?:\[info\]\s*)?(\{.*\})', line)
     if not m:
         continue
     tag, payload = m.group(1), json.loads(m.group(2))
