@@ -102,6 +102,15 @@ object Joins {
     * (and composes with any downstream per-key aggregation). Replication
     * cost is |small|×salts — keep `salts` near the ratio hot-key-rows /
     * average-key-rows.
+    *
+    * Measured verdict (SCALE.md §16.4, zipf campaign — hot key owning
+    * 8.8% of the big side, three decades): with AQE on, the PLAIN
+    * equi-join beat this salted form at every scale tested (up to 2.3×
+    * at sf10) — the always-paid replication + wider exchange cost more
+    * than the skew they insure against. Default to the plain join under
+    * AQE; reach for salting in AQE-off environments, for skewed
+    * AGGREGATIONS (where AQE's split does not apply), or when a single
+    * key is too hot for even a split partition.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       bigIdCol: String, salts: Int): DataFrame = {
