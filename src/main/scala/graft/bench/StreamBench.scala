@@ -93,11 +93,18 @@ object StreamBench {
       // failure here is benign — but a query that produced NO batches in
       // the window is a real failure and still dies loudly below.
       val progsAll = q.recentProgress.toSeq
+      // NonFatal, not just StreamingQueryException: the commit the stop
+      // interrupts can also surface as a bare SparkException
+      // (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT) thrown from stop()
+      // itself — observed killing the 500k watermark_dedup run and, with
+      // it, every op queued after it in the same invocation. Any
+      // interrupt-shaped failure here is benign (the window is over);
+      // the no-rows require below still dies loudly on a truly broken op.
       try { q.stop(); q.awaitTermination() }
       catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[streambench] $name post-stop interrupt: " +
-            e.getMessage.linesIterator.next())
+            Option(e.getMessage).getOrElse(e.toString).linesIterator.next())
       }
       val wall = (System.nanoTime() - t0) / 1e9
       // skip the first batch: it pays stream start + codegen + JIT warmup
@@ -129,8 +136,16 @@ object StreamBench {
       var cleaned = false
       while (!cleaned && attempts < 5) {
         attempts += 1
+        // UncheckedIOException too: Files.walk's iterator wraps the
+        // IOException when a maintenance thread deletes a file mid-walk
+        // (observed NoSuchFileException under FileTreeWalker.visit — it
+        // escaped the IOException-only catch and killed every op queued
+        // after this one in the same invocation)
         try { rmTree(); cleaned = true }
-        catch { case _: java.io.IOException => Thread.sleep(1000L) }
+        catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            Thread.sleep(1000L)
+        }
       }
       if (!cleaned) System.err.println(s"[streambench] checkpoint $ckpt not fully removed")
     }
