@@ -388,19 +388,30 @@ object CatalogQuality {
     * snapshot, delta-adjacent candidate pairs, recursive-CTE components,
     * and the standing-anchor labeling.
     */
+  /** The incremental fixture's new snapshot: doc_id%rm==3 removed,
+    * %ch==1 revised (" rev2", null text stays null → unchanged), re-keyed
+    * copies of %ad==4 added.
+    */
+  private def incrementalNewSnap(docs: org.apache.spark.sql.DataFrame,
+      rm: Int, ch: Int, ad: Int): org.apache.spark.sql.DataFrame =
+    docs.where(col("doc_id") % rm =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % ch === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % ad === 4)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+
   private def incrementalRebuildRow(name: String, rm: Int, ch: Int, ad: Int): Q = Q(name,
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val newSnap = docs.where(col("doc_id") % rm =!= 3)
-        .select(col("doc_id"),
-          when(col("doc_id") % ch === 1, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.where(col("doc_id") % ad === 4)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      graft.ops.Curation.incrementalRebuild(docs, newSnap, "doc_id", "text")
+      graft.ops.Curation.incrementalRebuild(docs,
+          incrementalNewSnap(docs, rm, ch, ad), "doc_id", "text")
         .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
     },
-    Some(s"""WITH RECURSIVE
+    Some(incrementalRebuildSql(rm, ch, ad)))
+
+  private def incrementalRebuildSql(rm: Int, ch: Int, ad: Int): String =
+    s"""WITH RECURSIVE
       newsnap AS (
         SELECT doc_id, CASE WHEN doc_id % $ch = 1 THEN text || ' rev2' ELSE text END AS text
         FROM documents WHERE doc_id % $rm <> 3
@@ -436,10 +447,40 @@ object CatalogQuality {
       SELECT d.id AS doc_id, d.status,
         CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) END AS cluster,
         CASE WHEN d.status <> 'removed' THEN coalesce(l.label, d.id) = d.id END AS is_kept
-      FROM delta d LEFT JOIN labeled l ON d.id = l.id"""))
+      FROM delta d LEFT JOIN labeled l ON d.id = l.id"""
 
   private val incrementalRebuildQ =
     incrementalRebuildRow("pipe_incremental_rebuild", 17, 13, 19)
+
+  /** [[incrementalRebuildQ]]'s signature-store twin: the standing
+    * corpus's dedup state (content hashes + per-text band signatures,
+    * Dedup.dedupState) is built once per sf dir, persisted as parquet
+    * under /tmp/graft_export, and the timed query ingests the same delta
+    * against it via incrementalRebuildFromState — row-identical
+    * semantics (the oracle SQL is literally the same), different cost
+    * shape: the corpus-linear shingle floor moves out of the ingest
+    * (SCALE.md §16.8). Best-of-two makes the benched number the
+    * store-backed path even when the first run builds the store. Delete
+    * /tmp/graft_export after changing banding parameters.
+    */
+  private val incrementalSigstoreQ = Q("pipe_incremental_sigstore",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sd = Catalog.exportDir(dir, "dedup_state_docs")
+      val sg = Catalog.exportDir(dir, "dedup_state_sigs")
+      if (!new java.io.File(sd).isDirectory || !new java.io.File(sg).isDirectory) {
+        val (d0, s0) = Dedup.dedupState(docs, "text", "doc_id")
+        d0.write.mode("overwrite").parquet(sd)
+        s0.write.mode("overwrite").parquet(sg)
+      }
+      val state = graft.ops.Curation.RebuildState(
+        s.read.parquet(sd), s.read.parquet(sg))
+      graft.ops.Curation.incrementalRebuildFromState(state,
+          incrementalNewSnap(docs, 17, 13, 19), "doc_id", "text")
+        .patch
+        .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
+    },
+    Some(incrementalRebuildSql(17, 13, 19)))
 
   /** Same composition at ~5× lower change rate (mods 97/89/83 vs
     * 17/13/19): the SCALE.md §16 pair that measures the scaladoc claim —
@@ -741,6 +782,6 @@ object CatalogQuality {
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, corpusDiffQ, incrementalRebuildQ,
-    incrementalRebuildLowQ, plainJoinTwin, packConcat, orcScan,
+    incrementalRebuildLowQ, incrementalSigstoreQ, plainJoinTwin, packConcat, orcScan,
     simhashPairsQ, bigramLm, dsir, bm25, hybridRrf, kmeansQ, lshPlanQ)
 }

@@ -229,15 +229,24 @@ object Curation {
     // edges never regenerate — those verdicts were settled at arrival;
     // all-standing text groups do surface as rep→member components, but
     // they carry no delta member so they never reach the labeled output)
+    labelPatch(delta, batchIds, pairs, () => { repMap.unpersist(); () })
+  }
+
+  /** The verdict-labeling tail shared by [[incrementalRebuild]] and
+    * [[incrementalRebuildFromState]]: components over the pair graph,
+    * then per component the anchor is the smallest STANDING id if any
+    * (the duplicate-of target), else the smallest batch id (the one
+    * kept). `release` runs right after [[Dedup.resolveClusters]] has
+    * materialized the pair graph (collect or checkpointed rounds), the
+    * point where the caller's caches become droppable.
+    */
+  private def labelPatch(delta: DataFrame, batchIds: DataFrame,
+      pairs: DataFrame, release: () => Unit): DataFrame = {
     val comp = Dedup.resolveClusters(pairs)
       .join(batchIds.withColumn("__new", lit(true)), Seq("id"), "left")
       .withColumn("is_new", coalesce(col("__new"), lit(false)))
       .drop("__new")
-    // resolveClusters materialized the pair graph (collect or checkpointed
-    // rounds), so the collapse map's cache can go now
-    repMap.unpersist()
-    // per component: the anchor is the smallest STANDING id if any (the
-    // duplicate-of target), else the smallest batch id (the one kept)
+    release()
     val canon = comp.groupBy(col("cluster")).agg(
       min(when(!col("is_new"), col("id"))).as("anchor"),
       min(when(col("is_new"), col("id"))).as("bmin"))
@@ -252,6 +261,86 @@ object Curation {
           coalesce(col("__label"), col("id")) === col("id")).as("is_kept"))
   }
 
+  /** A standing corpus's dedup state: `docs` = (id, th), `sigs` =
+    * (th, band, sig) — the two frames [[graft.ops.Dedup.dedupState]]
+    * builds and [[incrementalRebuildFromState]] consumes and re-emits.
+    */
+  final case class RebuildState(docs: DataFrame, sigs: DataFrame)
+
+  /** `patch` is [[incrementalRebuild]]'s verdict patch; `state` is the
+    * snapshot's own dedup state, ready for the NEXT ingest.
+    */
+  final case class RebuildResult(patch: DataFrame, state: RebuildState)
+
+  /** [[incrementalRebuild]] against a SIGNATURE STORE — the deployed
+    * shape both scaladocs promise: the old snapshot's content hashes and
+    * band signatures come from `state` instead of being recomputed from
+    * text, so the per-ingest cost drops the corpus-linear shingle floor.
+    * Per ingest this pays: one content-hash pass over the new snapshot
+    * (you must read what arrived — narrow, no shingles), (id, hash)
+    * exchanges for the diff and the collapse map, shingle+minhash work
+    * for DISTINCT NEVER-SEEN texts only, the rep-level band join, and
+    * the delta-adjacent component resolution. Output is row-identical to
+    * `incrementalRebuild(oldSnap, newSnap)` when `state` was built from
+    * `oldSnap` with the same banding parameters (pinned in
+    * PipelineOpsSpec, including a second ingest driven by the RETURNED
+    * state). Signatures are keyed by content hash, so removals never
+    * invalidate them; sigs whose text left the corpus are compacted out
+    * of the returned state (and of the join) by one semi-join.
+    */
+  def incrementalRebuildFromState(state: RebuildState, newSnap: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 12,
+      rowsPerBand: Int = 3, shingleLen: Int = 8): RebuildResult = {
+    val newDocs = newSnap.select(col(idCol).as("id"),
+        Dedup.contentHash(col(textCol)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the snapshot diff, old side read from the store (same status
+    // semantics as corpusDiff — its hash IS this hash)
+    val delta = state.docs.withColumnRenamed("th", "__ho")
+      .join(newDocs.withColumnRenamed("th", "__hn"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("id"), col("status"))
+    val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
+    // collapse map over the new snapshot, from hashes alone
+    val repMap = newDocs.join(
+      newDocs.groupBy(col("th")).agg(min(col("id")).as("rep")), "th")
+    val grpNew = repMap
+      .join(batchIds.withColumn("__n", lit(true)), Seq("id"), "left")
+      .groupBy(col("rep"), col("th"))
+      .agg(max(coalesce(col("__n"), lit(false))).as("has_new"))
+    // shingle work ONLY for texts the store has never seen: one probe
+    // document per unseen hash
+    val knownTh = state.sigs.select(col("th")).distinct()
+    val probeIds = repMap.join(knownTh, Seq("th"), "left_anti")
+      .groupBy(col("th")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val probeDocs = newSnap.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(probeIds, Seq("id"), "left_semi")
+    val newSigs = Dedup.minhashBands(probeDocs, "__text", "id",
+        numHashes, rowsPerBand, shingleLen)
+      .join(newDocs, Seq("id"))
+      .select(col("th"), col("band"), col("sig"))
+    // compact: only texts alive in this snapshot stay in the store
+    val liveSigs = state.sigs.unionByName(newSigs)
+      .join(newDocs.select(col("th")).distinct(), Seq("th"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = liveSigs.join(grpNew.withColumnRenamed("rep", "id"), Seq("th"))
+      .select(col("id"), col("band"), col("sig"), col("has_new"))
+    val bandPairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id") && (col("a.has_new") || col("b.has_new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b")))
+    val patch = labelPatch(delta, batchIds, pairs,
+      () => { newDocs.unpersist(); liveSigs.unpersist(); () })
+    RebuildResult(patch, RebuildState(newDocs, liveSigs))
+  }
+
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
     // NULL content is a real state, DISTINCT from empty string: the hash
@@ -260,8 +349,7 @@ object Curation {
     // would call it unchanged) and NULL↔non-null never vanishes through
     // null propagation
     def sig(df: DataFrame, h: String) = df.select(col(idCol).as("id"),
-      md5(concat(col(contentCol).isNull.cast("string"),
-        coalesce(col(contentCol), lit("")))).as(h))
+      Dedup.contentHash(col(contentCol)).as(h))
     sig(oldSnap, "__ho").join(sig(newSnap, "__hn"), Seq("id"), "full_outer")
       .withColumn("status",
         when(col("__ho").isNull, "added")

@@ -420,11 +420,42 @@ object Dedup {
     */
   private[graft] def textGroups(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val th = df.select(col(idCol).as("id"),
-      md5(concat(col(textCol).isNull.cast("string"),
-        coalesce(col(textCol), lit("")))).as("__th"))
+    val th = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("__th"))
     th.join(th.groupBy(col("__th")).agg(min(col("id")).as("rep")), "__th")
       .select(col("id"), col("rep"))
+  }
+
+  /** Null-discriminating content hash — the one text identity every
+    * exact-collapse and diff surface shares ([[textGroups]],
+    * [[dedupState]], [[graft.ops.Curation.corpusDiff]]): null ≠ '' and
+    * null never propagates to a null hash.
+    */
+  private[graft] def contentHash(c: Column): Column =
+    md5(concat(c.isNull.cast("string"), coalesce(c, lit(""))))
+
+  /** Persistent dedup state for a standing corpus — the signature-store
+    * shape [[graft.ops.Curation.incrementalRebuildFromState]] ingests
+    * against: `docs` = (id, th) one row per document, `sigs` =
+    * (th, band, sig) one row per DISTINCT text per band. Signatures are
+    * keyed by the content hash, not a representative id, so later
+    * removals can orphan a text's min-id representative without
+    * invalidating anything — the signature belongs to the text. Build
+    * cost: one [[contentHash]] pass plus [[minhashBands]] for one
+    * representative per distinct text (the collapse economics of
+    * [[dedupCorpus]]). The banding parameters are baked into the sig
+    * values — ingest with the SAME numHashes/rowsPerBand/shingleLen or
+    * the band join silently finds nothing.
+    */
+  def dedupState(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleLen: Int = 8): (DataFrame, DataFrame) = {
+    val docs = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("th"))
+    val reps = docs.groupBy(col("th")).agg(min(col("id")).as("id"))
+    val sigs = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
+      .join(reps.select(col("id")), Seq("id"), "left_semi")
+      .join(docs, Seq("id"))
+      .select(col("th"), col("band"), col("sig"))
+    (docs, sigs)
   }
 
   /** [[dedupCorpus]] with explicit representative selection: within each

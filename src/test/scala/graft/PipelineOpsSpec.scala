@@ -293,6 +293,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(201L) == ("added", Some(200L), Some(false)))
   }
 
+  test("sig-store incremental rebuild: row-identical to the direct path across two ingests; state compacts and re-learns") {
+    import graft.ops.{Curation, Dedup}
+    import org.apache.spark.sql.DataFrame
+    val hot = "repeated boilerplate text shared by many standing documents exactly"
+    val uniqA = "alpha unique standing document all about broadcast joins"
+    val uniqB = "beta unique standing document all about shuffle partitions"
+    val snap0 = ((0 until 40).map(i => (i.toLong, hot)) ++
+      Seq((100L, uniqA), (101L, uniqB), (102L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    // ingest 1: 101 removed, 100 changed, 200 added (dup of hot),
+    // 201 added (never-seen text); null doc unchanged
+    val snap1 = ((0 until 40).map(i => (i.toLong, hot)) ++
+      Seq((100L, uniqA + " changed"), (102L, null.asInstanceOf[String]),
+        (200L, hot), (201L, "gamma fresh text mentioning adaptive execution")))
+      .toDF("doc_id", "text")
+    // ingest 2: hot cluster shrinks, 300 re-adds uniqB — whose signature
+    // was COMPACTED out after ingest 1 (its text left the corpus) and
+    // must be re-learned as unseen
+    val snap2 = ((10 until 40).map(i => (i.toLong, hot)) ++
+      Seq((100L, uniqA + " changed"), (102L, null.asInstanceOf[String]),
+        (200L, hot), (201L, "gamma fresh text mentioning adaptive execution"),
+        (300L, uniqB)))
+      .toDF("doc_id", "text")
+    def pat(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) "-" else r.getBoolean(3).toString)).toSet
+
+    val (d0, g0) = Dedup.dedupState(snap0, "text", "doc_id")
+    // state sigs: one entry per distinct text (incl. the null group) per band
+    assert(g0.select("th").distinct().count() == 4)
+    val r1 = Curation.incrementalRebuildFromState(
+      Curation.RebuildState(d0, g0), snap1, "doc_id", "text")
+    assert(pat(r1.patch) ==
+      pat(Curation.incrementalRebuild(snap0, snap1, "doc_id", "text")))
+    // compaction: uniqB left the corpus, gamma arrived → still 4 texts
+    assert(r1.state.sigs.select("th").distinct().count() == 4)
+    assert(r1.state.docs.count() == snap1.count())
+
+    val r2 = Curation.incrementalRebuildFromState(r1.state, snap2, "doc_id", "text")
+    assert(pat(r2.patch) ==
+      pat(Curation.incrementalRebuild(snap1, snap2, "doc_id", "text")))
+    // the re-added text was re-learned; 300 is its own keeper
+    assert(pat(r2.patch).contains((300L, "added", 300L, "true")))
+    assert(r2.state.sigs.select("th").distinct().count() == 5)
+  }
+
   test("profile approx mode: HLL estimate within tolerance, exact stats unchanged, no Expand") {
     import graft.ops.Profiling
     val df = spark.range(20000).toDF("id")
