@@ -463,7 +463,7 @@ object CatalogQuality {
     * store-backed path even when the first run builds the store. Delete
     * /tmp/graft_export after changing banding parameters.
     */
-  private val incrementalSigstoreQ = Q("pipe_incremental_sigstore",
+  private def incrementalSigstoreRow(name: String, rm: Int, ch: Int, ad: Int): Q = Q(name,
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sd = Catalog.exportDir(dir, "dedup_state_docs")
@@ -476,11 +476,21 @@ object CatalogQuality {
       val state = graft.ops.Curation.RebuildState(
         s.read.parquet(sd), s.read.parquet(sg))
       graft.ops.Curation.incrementalRebuildFromState(state,
-          incrementalNewSnap(docs, 17, 13, 19), "doc_id", "text")
+          incrementalNewSnap(docs, rm, ch, ad), "doc_id", "text")
         .patch
         .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
     },
-    Some(incrementalRebuildSql(17, 13, 19)))
+    Some(incrementalRebuildSql(rm, ch, ad)))
+
+  private val incrementalSigstoreQ =
+    incrementalSigstoreRow("pipe_incremental_sigstore", 17, 13, 19)
+
+  /** The low-change-rate sig-store cell: the state is rate-independent
+    * (shared parquet), so this pair isolates how much of the lowrate
+    * twin's cost was the recomputed standing floor (SCALE.md §16.8).
+    */
+  private val incrementalSigstoreLowQ =
+    incrementalSigstoreRow("pipe_incremental_sigstore_lowrate", 97, 89, 83)
 
   /** Same composition at ~5× lower change rate (mods 97/89/83 vs
     * 17/13/19): the SCALE.md §16 pair that measures the scaladoc claim —
@@ -782,6 +792,6 @@ object CatalogQuality {
   val queries: Seq[Q] = Seq(c4, gopher, charPairs, subWindows, semDedup, tempMix,
     salted, ivfMultiprobe, incrementalMinhash, lshRecall, curateQ,
     curateNearDupQ, curateDecontamQ, corpusDiffQ, incrementalRebuildQ,
-    incrementalRebuildLowQ, incrementalSigstoreQ, plainJoinTwin, packConcat, orcScan,
+    incrementalRebuildLowQ, incrementalSigstoreQ, incrementalSigstoreLowQ, plainJoinTwin, packConcat, orcScan,
     simhashPairsQ, bigramLm, dsir, bm25, hybridRrf, kmeansQ, lshPlanQ)
 }
