@@ -219,18 +219,38 @@ object Curation {
     val bands = Dedup.minhashBands(newSnap, textCol, idCol,
         numHashes, rowsPerBand, shingleLen)
       .join(grpNew.withColumnRenamed("rep", "id"), Seq("id"))
-    val bandPairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id") && (col("a.has_new") || col("b.has_new")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandPairs = incrementalBandPairs(bands)
     val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b")))
     // components over the delta-adjacent pair graph (standing–standing
     // edges never regenerate — those verdicts were settled at arrival;
     // all-standing text groups do surface as rep→member components, but
     // they carry no delta member so they never reach the labeled output)
-    labelPatch(delta, batchIds, pairs, () => { repMap.unpersist(); () })
+    labelPatch(delta, batchIds, pairs,
+      () => { repMap.unpersist(); bands.unpersist(); () })
   }
+
+  /** Delta-adjacent candidate pairs from flagged rep bands — the band
+    * join ONE-SIDED on the delta: the probe side is only the reps whose
+    * group contains a delta document, the build side is every rep. A
+    * pair is admitted iff at least one side is new, and every such pair
+    * has a new side to be probed from, so `(new × all, id≠id) →
+    * canonicalize → distinct` is exactly the symmetric
+    * `(all × all, a<b, a.new ∨ b.new)` — measured on the uniform-sf10
+    * ingest, hashing the corpus-sized side ONCE instead of twice is
+    * most of the difference between the sig-store path and the direct
+    * path (SCALE.md §16.8). `bands` must be persisted by the caller:
+    * the two join sides are different filters of it, so unpersisted
+    * lineage would execute twice.
+    */
+  private def incrementalBandPairs(bands: DataFrame): DataFrame =
+    bands.where(col("has_new")).as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
 
   /** The verdict-labeling tail shared by [[incrementalRebuild]] and
     * [[incrementalRebuildFromState]]: components over the pair graph,
@@ -330,14 +350,12 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = liveSigs.join(grpNew.withColumnRenamed("rep", "id"), Seq("th"))
       .select(col("id"), col("band"), col("sig"), col("has_new"))
-    val bandPairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id") && (col("a.has_new") || col("b.has_new")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandPairs = incrementalBandPairs(bands)
     val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b")))
     val patch = labelPatch(delta, batchIds, pairs,
-      () => { newDocs.unpersist(); liveSigs.unpersist(); () })
+      () => { newDocs.unpersist(); liveSigs.unpersist(); bands.unpersist(); () })
     RebuildResult(patch, RebuildState(newDocs, liveSigs))
   }
 
