@@ -659,7 +659,8 @@ object CatalogCore {
         FROM (SELECT s, p, o, (rn - 1) // 100 AS och FROM r) GROUP BY s, p, och),
       r2 AS (SELECT s, po, row_number() OVER (PARTITION BY s ORDER BY po) AS rn FROM po)
       SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
-      FROM (SELECT s, po, (rn - 1) // 100 AS pch FROM r2) GROUP BY s, pch"""))
+      FROM (SELECT s, po, (rn - 1) // 100 AS pch FROM r2) GROUP BY s, pch"""),
+    bench = true)
 
   private val k3 = Q("k3_logical_targets",
     (s, dir) => {

@@ -391,7 +391,8 @@ object CatalogPipeline {
       UNION ALL
       SELECT 'o_orderpriority', count(*),
         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        min(o_orderpriority), max(o_orderpriority) FROM o"""))
+        min(o_orderpriority), max(o_orderpriority) FROM o"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,

@@ -463,7 +463,8 @@ object CatalogQuality {
     * store-backed path even when the first run builds the store. Delete
     * /tmp/graft_export after changing banding parameters.
     */
-  private def incrementalSigstoreRow(name: String, rm: Int, ch: Int, ad: Int): Q = Q(name,
+  private def incrementalSigstoreRow(name: String, rm: Int, ch: Int, ad: Int,
+      bench: Boolean = false): Q = Q(name,
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sd = Catalog.exportDir(dir, "dedup_state_docs")
@@ -480,10 +481,11 @@ object CatalogQuality {
         .patch
         .select(col("id").as("doc_id"), col("status"), col("cluster"), col("is_kept"))
     },
-    Some(incrementalRebuildSql(rm, ch, ad)))
+    Some(incrementalRebuildSql(rm, ch, ad)),
+    bench = bench)
 
   private val incrementalSigstoreQ =
-    incrementalSigstoreRow("pipe_incremental_sigstore", 17, 13, 19)
+    incrementalSigstoreRow("pipe_incremental_sigstore", 17, 13, 19, bench = true)
 
   /** The low-change-rate sig-store cell: the state is rate-independent
     * (shared parquet), so this pair isolates how much of the lowrate
