@@ -631,11 +631,12 @@ object CatalogCore {
   /** K2 under celebrity-subject skew: ~⅓ of lineitem rows share ONE hub
     * subject (5 predicates), the rest are per-order subjects — the shape
     * that OOM'd the unchunked writer's per-subject collect at scale. The
-    * small maxGroup forces the rank-chunking to actually engage at
+    * small maxGroup forces the hash-chunking to actually engage at
     * verify scale, and the oracle replays the chunk arithmetic
-    * (row_number windows + integer division) so the block-splitting
-    * semantics — not just the happy path — are hash-pinned. Benched at
-    * sf1/sf10 with the hub scaled to millions of POs (SCALE.md §16).
+    * (distinct → per-key counts → h60(value) mod ceil(n/maxGroup)) so
+    * the block-splitting semantics — not just the happy path — are
+    * hash-pinned. Benched at sf1/sf10 with the hub scaled to millions
+    * of POs (SCALE.md §16).
     */
   private val k2b = Q("k2b_turtle_hub",
     (s, dir) => {
@@ -648,18 +649,20 @@ object CatalogCore {
         lit(null).cast("string").as("g"))
       Sinks.turtleBlocks(quads, maxGroup = 100)
     },
-    Some("""WITH q AS (SELECT
+    Some(s"""WITH q AS (SELECT
         CASE WHEN l_orderkey % 3 = 0 THEN '<http://ex/hub>'
              ELSE '<http://ex/li/' || l_orderkey || '>' END AS s,
         '<http://ex/vocab/p' || (l_suppkey % 5) || '>' AS p,
         '"' || l_orderkey || '-' || l_linenumber || '"' AS o FROM lineitem),
       d AS (SELECT DISTINCT s, p, o FROM q),
-      r AS (SELECT s, p, o, row_number() OVER (PARTITION BY s, p ORDER BY o) AS rn FROM d),
-      po AS (SELECT s, p || ' ' || string_agg(o, ', ' ORDER BY o) AS po
-        FROM (SELECT s, p, o, (rn - 1) // 100 AS och FROM r) GROUP BY s, p, och),
-      r2 AS (SELECT s, po, row_number() OVER (PARTITION BY s ORDER BY po) AS rn FROM po)
-      SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
-      FROM (SELECT s, po, (rn - 1) // 100 AS pch FROM r2) GROUP BY s, pch"""),
+      cnt AS (SELECT s, p, count(*) AS n FROM d GROUP BY s, p),
+      po AS (SELECT d.s, d.p || ' ' || string_agg(d.o, ', ' ORDER BY d.o) AS po
+        FROM d JOIN cnt USING (s, p)
+        GROUP BY d.s, d.p, ${CatalogOps.h60Sql("d.o", 11)} % CAST(ceil(n / 100.0) AS BIGINT)),
+      cnt2 AS (SELECT s, count(*) AS m FROM po GROUP BY s)
+      SELECT po.s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
+      FROM po JOIN cnt2 USING (s)
+      GROUP BY po.s, ${CatalogOps.h60Sql("po", 13)} % CAST(ceil(m / 100.0) AS BIGINT)"""),
     bench = true)
 
   private val k3 = Q("k3_logical_targets",

@@ -476,7 +476,7 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(block.contains("<http://ex/vocab/a/b>")) // unsafe local part left as IRI
   }
 
-  test("K2 skew guard: a hub subject rank-chunks into bounded blocks; small subjects untouched") {
+  test("K2 skew guard: a hub subject hash-chunks into bounded blocks; small subjects untouched") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // hub: 25 objects on one predicate + 7 extra predicates; tiny cap of 10
@@ -505,12 +505,30 @@ class RmlFeaturesSpec extends AnyFunSuite {
       }
     }.toSet
     assert(rebuilt == hub.toSet.map((t: (String, String, String)) => t))
-    // subject-level chunking: cap 2 → ceil(25/2) = 13 link po-chunks + 7
-    // single POs = 20 POs, ceil(20/2) = 10 hub blocks repeating the subject
+    // subject-level chunking: cap 2 → 13 hash buckets for the link objects
+    // and multiple subject-level blocks. Hash buckets are ~maxGroup in
+    // EXPECTATION (assignment is h60-deterministic, sizes are not hard
+    // caps), so the pinned invariants are: the subject split engaged, the
+    // block count is bounded by the bucket counts (ceil(25/2)=13 link
+    // chunks + 7 singles = ≤20 POs → ≤ceil(20/2)=10 subject buckets), and
+    // the rebuilt graph is EXACTLY the input
     val blocks2 = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2)
       .collect().map(_.getString(0))
     val hub2 = blocks2.filter(_.startsWith("<http://ex/hub>"))
-    assert(hub2.length == 10, hub2.mkString("\n"))
+    assert(hub2.length > 1 && hub2.length <= 10, hub2.mkString("\n"))
+    val rebuilt2 = blocks2.flatMap { b =>
+      val body = b.stripSuffix(" .")
+      val s = body.takeWhile(_ != ' ')
+      body.drop(s.length + 1).split(" ;\n\t").flatMap { po =>
+        val p = po.takeWhile(_ != ' ')
+        po.drop(p.length + 1).split(", ").map(o => (s, p, o))
+      }
+    }.toSet
+    assert(rebuilt2 == hub.toSet.map((t: (String, String, String)) => t))
+    // determinism: same input, same chunk assignment, same blocks
+    val blocks2b = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2)
+      .collect().map(_.getString(0))
+    assert(blocks2.sorted.sameElements(blocks2b.sorted))
     // default cap leaves everything in one block — byte-identical legacy shape
     val legacy = graft.exec.Sinks.turtleBlocks(quads).collect().map(_.getString(0))
     assert(legacy.count(_.startsWith("<http://ex/hub>")) == 1)
