@@ -631,12 +631,12 @@ object CatalogCore {
   /** K2 under celebrity-subject skew: ~⅓ of lineitem rows share ONE hub
     * subject (5 predicates), the rest are per-order subjects — the shape
     * that OOM'd the unchunked writer's per-subject collect at scale. The
-    * small maxGroup forces the hash-chunking to actually engage at
+    * small maxGroup forces the rank-chunking to actually engage at
     * verify scale, and the oracle replays the chunk arithmetic
-    * (distinct → per-key counts → h60(value) mod ceil(n/maxGroup)) so
-    * the block-splitting semantics — not just the happy path — are
-    * hash-pinned. Benched at sf1/sf10 with the hub scaled to millions
-    * of POs (SCALE.md §16).
+    * (row_number windows + integer division) so the block-splitting
+    * semantics — not just the happy path — are hash-pinned. Benched at
+    * sf1/sf10 with the hub scaled to millions of POs (SCALE.md §16);
+    * the hash-chunk strategy is pinned separately by [[k2c]].
     */
   private val k2b = Q("k2b_turtle_hub",
     (s, dir) => {
@@ -648,6 +648,39 @@ object CatalogCore {
         concat(lit("\""), col("l_orderkey"), lit("-"), col("l_linenumber"), lit("\"")).as("o"),
         lit(null).cast("string").as("g"))
       Sinks.turtleBlocks(quads, maxGroup = 100)
+    },
+    Some("""WITH q AS (SELECT
+        CASE WHEN l_orderkey % 3 = 0 THEN '<http://ex/hub>'
+             ELSE '<http://ex/li/' || l_orderkey || '>' END AS s,
+        '<http://ex/vocab/p' || (l_suppkey % 5) || '>' AS p,
+        '"' || l_orderkey || '-' || l_linenumber || '"' AS o FROM lineitem),
+      d AS (SELECT DISTINCT s, p, o FROM q),
+      r AS (SELECT s, p, o, row_number() OVER (PARTITION BY s, p ORDER BY o) AS rn FROM d),
+      po AS (SELECT s, p || ' ' || string_agg(o, ', ' ORDER BY o) AS po
+        FROM (SELECT s, p, o, (rn - 1) // 100 AS och FROM r) GROUP BY s, p, och),
+      r2 AS (SELECT s, po, row_number() OVER (PARTITION BY s ORDER BY po) AS rn FROM po)
+      SELECT s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
+      FROM (SELECT s, po, (rn - 1) // 100 AS pch FROM r2) GROUP BY s, pch"""),
+    bench = true)
+
+  /** [[k2b]]'s hash-chunked twin (`hashChunks = true`): the same planted
+    * hub through the no-single-task-per-key strategy — chunk id =
+    * h60(value) mod ceil(n/maxGroup), counts from a distributed agg. The
+    * oracle replays the hash arithmetic via the shared h60 twin. Kept as
+    * a non-headline row: measured SLOWER than the rank default at every
+    * tested scale (SCALE.md §16.11) but it is the shape that survives a
+    * billion-PO celebrity, so both strategies stay pinned.
+    */
+  private val k2c = Q("k2c_turtle_hub_hashed",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val subj = when(col("l_orderkey") % 3 === 0, lit("<http://ex/hub>"))
+        .otherwise(concat(lit("<http://ex/li/"), col("l_orderkey"), lit(">")))
+      val quads = li.select(subj.as("s"),
+        concat(lit("<http://ex/vocab/p"), pmod(col("l_suppkey"), lit(5)), lit(">")).as("p"),
+        concat(lit("\""), col("l_orderkey"), lit("-"), col("l_linenumber"), lit("\"")).as("o"),
+        lit(null).cast("string").as("g"))
+      Sinks.turtleBlocks(quads, maxGroup = 100, hashChunks = true)
     },
     Some(s"""WITH q AS (SELECT
         CASE WHEN l_orderkey % 3 = 0 THEN '<http://ex/hub>'
@@ -662,8 +695,7 @@ object CatalogCore {
       cnt2 AS (SELECT s, count(*) AS m FROM po GROUP BY s)
       SELECT po.s || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) ORDER BY po) || ' .' AS block
       FROM po JOIN cnt2 USING (s)
-      GROUP BY po.s, ${CatalogOps.h60Sql("po", 13)} % CAST(ceil(m / 100.0) AS BIGINT)"""),
-    bench = true)
+      GROUP BY po.s, ${CatalogOps.h60Sql("po", 13)} % CAST(ceil(m / 100.0) AS BIGINT)"""))
 
   private val k3 = Q("k3_logical_targets",
     (s, dir) => {
@@ -1482,7 +1514,7 @@ object CatalogCore {
   val queries: Seq[Q] = Seq(
     q1, q3, q18, w1, p1, p2, p3, p4, p5, d5,
     s1, s2, s3, s6, s7, s7b, s8, s8b, s8c, s9, v2,
-    k1, k2, k2b, k3, k4a, k4b, k4c, k4d, k4e, k4f,
+    k1, k2, k2b, k2c, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
     rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, d2b, u1,

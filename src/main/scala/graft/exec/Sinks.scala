@@ -75,51 +75,77 @@ object Sinks {
     * Skew guard: a celebrity subject (a hub entity with millions of POs —
     * normal in a 100 TB KG) must not become one in-memory `collect_list`
     * array and one multi-GB output string on a single task. Objects per
-    * predicate and POs per subject are HASH-chunked into ~`maxGroup`-row
-    * groups (chunk id = h60 of the value mod ceil(n/maxGroup)), each
-    * chunk emitted as its own block with the subject (and predicate)
-    * repeated — valid Turtle, bounded task memory. Below the cap there is
-    * one chunk and the output is byte-identical to the unchunked form,
-    * which is what the k2 oracle row pins; the engaged arithmetic is
-    * hash-pinned by k2b_turtle_hub.
+    * predicate and POs per subject are chunked into `maxGroup`-sized
+    * groups, each chunk emitted as its own block with the subject (and
+    * predicate) repeated — valid Turtle, bounded task memory. Below the
+    * cap the output is byte-identical to the unchunked form (one chunk),
+    * which is what the k2 oracle row pins.
     *
-    * Plan shape — and why hash, not rank: the first cut rank-chunked via
-    * `row_number` windows, which bound MEMORY (external sort) but keep
-    * one TASK per (s,p): the zipf campaign measured the hub's hottest
-    * predicate as a single 3M-row sort (SCALE.md §16.3), and a 1B-PO
-    * celebrity would make that one task's sort the whole job. Hash chunk
-    * ids need no global rank — a distributed count per key (partial agg)
-    * joined back (AQE skew-split applies: it is a join now, not a
-    * window) — so the hot key's rows spread over ceil(n/maxGroup) groups
-    * across the cluster and no stage anywhere gathers a whole key. The
-    * per-chunk `array_sort` keeps chunks internally deterministic;
-    * chunk-id assignment is h60-deterministic, so output is stable and
-    * oracle-replayable.
+    * Two chunk-assignment strategies, BOTH measured at sf10 on uniform
+    * and zipf data (SCALE.md §16.11):
+    *
+    *   - `hashChunks = false` (default): rank chunks via `row_number`
+    *     windows — ONE exchange per level, chunk sizes exactly capped,
+    *     but one task per (s,p)/(s) key (the window sorts the whole key;
+    *     external sort bounds memory, not time). Measured FASTER at
+    *     every tested scale (34.5 vs 47.1 s at uniform sf10): the extra
+    *     exchanges of the hash path cost more than the single-key sorts
+    *     until a key reaches far beyond the ~5M-row hub tested.
+    *   - `hashChunks = true`: chunk id = h60(value) mod ceil(n/maxGroup)
+    *     with per-key counts from a distributed partial agg joined back
+    *     (AQE skew-split applies — it is a join, not a window). No stage
+    *     anywhere gathers a whole key, so this is the shape for
+    *     billion-PO celebrities where one task's sort would BE the job;
+    *     chunk sizes are ~maxGroup in expectation, not hard-capped.
+    *     Deterministic (h60), hash-pinned by k2c_turtle_hub_hashed.
     */
   def turtleBlocks(quads: DataFrame, prefixes: Map[String, String] = Map.empty,
-      maxGroup: Int = 10000): DataFrame = {
+      maxGroup: Int = 10000, hashChunks: Boolean = false): DataFrame = {
     require(maxGroup > 0, "maxGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
     val rdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     def term(c: Column) = compactIri(c, prefixes)
     val pred = when(col("p") === rdfType, lit("a")).otherwise(term(col("p")))
-    def chunks(n: Column): Column = ceil(n / lit(maxGroup.toDouble))
-    val terms = quads
-      .select(term(col("s")).as("s"), pred.as("p"), term(col("o")).as("o"))
-      .dropDuplicates("s", "p", "o")
-    val oCnt = terms.groupBy(col("s"), col("p")).agg(count(lit(1)).as("__n"))
-    val byPred = terms.join(oCnt, Seq("s", "p"))
-      .withColumn("__och",
-        pmod(graft.ops.Dedup.h60(col("o"), 11), chunks(col("__n"))))
-      .groupBy(col("s"), col("p"), col("__och"))
-      .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
-      .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
-    val pCnt = byPred.groupBy(col("s")).agg(count(lit(1)).as("__m"))
-    byPred.join(pCnt, Seq("s"))
-      .withColumn("__pch",
-        pmod(graft.ops.Dedup.h60(col("po"), 13), chunks(col("__m"))))
-      .groupBy(col("s"), col("__pch"))
-      .agg(array_join(array_sort(collect_list(col("po"))), " ;\n\t").as("body"))
-      .select(concat(col("s"), lit(" "), col("body"), lit(" .")).as("block"))
+    if (hashChunks) {
+      def chunks(n: Column): Column = ceil(n / lit(maxGroup.toDouble))
+      val terms = quads
+        .select(term(col("s")).as("s"), pred.as("p"), term(col("o")).as("o"))
+        .dropDuplicates("s", "p", "o")
+      val oCnt = terms.groupBy(col("s"), col("p")).agg(count(lit(1)).as("__n"))
+      val byPred = terms.join(oCnt, Seq("s", "p"))
+        .withColumn("__och",
+          pmod(graft.ops.Dedup.h60(col("o"), 11), chunks(col("__n"))))
+        .groupBy(col("s"), col("p"), col("__och"))
+        .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
+        .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
+      val pCnt = byPred.groupBy(col("s")).agg(count(lit(1)).as("__m"))
+      byPred.join(pCnt, Seq("s"))
+        .withColumn("__pch",
+          pmod(graft.ops.Dedup.h60(col("po"), 13), chunks(col("__m"))))
+        .groupBy(col("s"), col("__pch"))
+        .agg(array_join(array_sort(collect_list(col("po"))), " ;\n\t").as("body"))
+        .select(concat(col("s"), lit(" "), col("body"), lit(" .")).as("block"))
+    } else {
+      val terms = quads
+        .select(term(col("s")).as("s"), pred.as("p"), term(col("o")).as("o"))
+      val wO = Window.partitionBy(col("s"), col("p")).orderBy(col("o"))
+      val byPred = terms
+        // sorted-neighbor dedup: equal objects are adjacent under wO's
+        // order, so lag() drops repeats without a per-group in-memory set
+        .withColumn("__prev", lag(col("o"), 1).over(wO))
+        .where(col("__prev").isNull || col("__prev") =!= col("o"))
+        .drop("__prev")
+        .withColumn("__och", ((row_number().over(wO) - 1) / maxGroup).cast("int"))
+        .groupBy(col("s"), col("p"), col("__och"))
+        .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
+        .select(col("s"), concat(col("p"), lit(" "), col("objs")).as("po"))
+      val wP = Window.partitionBy(col("s")).orderBy(col("po"))
+      byPred
+        .withColumn("__pch", ((row_number().over(wP) - 1) / maxGroup).cast("int"))
+        .groupBy(col("s"), col("__pch"))
+        .agg(array_join(array_sort(collect_list(col("po"))), " ;\n\t").as("body"))
+        .select(concat(col("s"), lit(" "), col("body"), lit(" .")).as("block"))
+    }
   }
 
   /** Turtle prefix header from a prefix map (reference: prefix_extraction

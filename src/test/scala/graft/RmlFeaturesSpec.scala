@@ -505,18 +505,14 @@ class RmlFeaturesSpec extends AnyFunSuite {
       }
     }.toSet
     assert(rebuilt == hub.toSet.map((t: (String, String, String)) => t))
-    // subject-level chunking: cap 2 → 13 hash buckets for the link objects
-    // and multiple subject-level blocks. Hash buckets are ~maxGroup in
-    // EXPECTATION (assignment is h60-deterministic, sizes are not hard
-    // caps), so the pinned invariants are: the subject split engaged, the
-    // block count is bounded by the bucket counts (ceil(25/2)=13 link
-    // chunks + 7 singles = ≤20 POs → ≤ceil(20/2)=10 subject buckets), and
-    // the rebuilt graph is EXACTLY the input
+    // subject-level chunking (rank default): cap 2 → ceil(25/2) = 13 link
+    // po-chunks + 7 single POs = 20 POs, ceil(20/2) = 10 hub blocks
+    // repeating the subject — rank chunk sizes are exact
     val blocks2 = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2)
       .collect().map(_.getString(0))
     val hub2 = blocks2.filter(_.startsWith("<http://ex/hub>"))
-    assert(hub2.length > 1 && hub2.length <= 10, hub2.mkString("\n"))
-    val rebuilt2 = blocks2.flatMap { b =>
+    assert(hub2.length == 10, hub2.mkString("\n"))
+    def rebuild(bs: Array[String]) = bs.flatMap { b =>
       val body = b.stripSuffix(" .")
       val s = body.takeWhile(_ != ' ')
       body.drop(s.length + 1).split(" ;\n\t").flatMap { po =>
@@ -524,11 +520,22 @@ class RmlFeaturesSpec extends AnyFunSuite {
         po.drop(p.length + 1).split(", ").map(o => (s, p, o))
       }
     }.toSet
-    assert(rebuilt2 == hub.toSet.map((t: (String, String, String)) => t))
-    // determinism: same input, same chunk assignment, same blocks
-    val blocks2b = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2)
+    // hash strategy: bucket sizes are ~maxGroup in expectation (h60
+    // assignment, not hard caps), so the pinned invariants are: the split
+    // engaged, block count ≤ the bucket bound, the rebuilt graph is
+    // EXACTLY the input, and the assignment is deterministic
+    val hashed = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2, hashChunks = true)
       .collect().map(_.getString(0))
-    assert(blocks2.sorted.sameElements(blocks2b.sorted))
+    val hubH = hashed.filter(_.startsWith("<http://ex/hub>"))
+    assert(hubH.length > 1 && hubH.length <= 10, hubH.mkString("\n"))
+    assert(rebuild(hashed) == hub.toSet.map((t: (String, String, String)) => t))
+    val hashedB = graft.exec.Sinks.turtleBlocks(quads, maxGroup = 2, hashChunks = true)
+      .collect().map(_.getString(0))
+    assert(hashed.sorted.sameElements(hashedB.sorted))
+    // below the cap both strategies are byte-identical to the legacy shape
+    assert(graft.exec.Sinks.turtleBlocks(quads).collect().map(_.getString(0)).sorted
+      .sameElements(graft.exec.Sinks.turtleBlocks(quads, hashChunks = true)
+        .collect().map(_.getString(0)).sorted))
     // default cap leaves everything in one block — byte-identical legacy shape
     val legacy = graft.exec.Sinks.turtleBlocks(quads).collect().map(_.getString(0))
     assert(legacy.count(_.startsWith("<http://ex/hub>")) == 1)
