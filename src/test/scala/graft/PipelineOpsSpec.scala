@@ -339,6 +339,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r2.state.sigs.select("th").distinct().count() == 5)
   }
 
+  test("incremental paths agree on randomized snapshots: direct == sig-store, seeded sweep") {
+    import graft.ops.{Curation, Dedup}
+    import org.apache.spark.sql.DataFrame
+    // a small text pool forces duplicate groups AND near-dup band
+    // collisions; nulls included. Deterministic java.util.Random seeds.
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again!",
+      "completely different content about catalyst plans and shuffles",
+      "a third unique document mentioning broadcast joins and salting",
+      "boilerplate cookie banner accept all terms and conditions apply",
+      null)
+    def pat(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) "-" else r.getBoolean(3).toString)).toSet
+    for (seed <- Seq(7, 19, 43)) {
+      val rnd = new java.util.Random(seed)
+      def snap(ids: Seq[Long]) =
+        ids.map(i => (i, pool(rnd.nextInt(pool.size)))).toDF("doc_id", "text")
+      val ids0 = (0L until 60L).filter(_ => rnd.nextDouble() < 0.9)
+      val ids1 = (0L until 70L).filter(_ => rnd.nextDouble() < 0.85)
+      val s0 = snap(ids0)
+      val s1 = snap(ids1) // overlapping ids get re-rolled texts → changed
+      val direct = Curation.incrementalRebuild(s0, s1, "doc_id", "text")
+      val (d0, g0) = Dedup.dedupState(s0, "text", "doc_id")
+      val viaState = Curation.incrementalRebuildFromState(
+        Curation.RebuildState(d0, g0), s1, "doc_id", "text")
+      assert(pat(viaState.patch) == pat(direct), s"seed $seed diverged")
+    }
+  }
+
   test("profile approx mode: HLL estimate within tolerance, exact stats unchanged, no Expand") {
     import graft.ops.Profiling
     val df = spark.range(20000).toDF("id")
