@@ -272,6 +272,36 @@ object CatalogOps {
     Some(s"""WITH $simhashCtes SELECT id, simhash FROM sig"""),
     bench = true)
 
+  /** Corpus-scale TEXT near-dup via SimHash: [[Dedup.simhash]] signatures
+    * through the same identical-sig-collapse + Hamming-banded-components
+    * verdict machinery the image/audio paths use
+    * ([[Dedup.hammingDedupCorpus]]) — so text near-dup corpus verdicts
+    * exist in BOTH band families (MinHash/Jaccard: dd_cluster_pipeline;
+    * SimHash/Hamming: this row), each collapse-first and therefore
+    * zipf-hot-cluster-safe (identical texts share a signature and
+    * collapse to one rep before banding). The oracle resolves the exact
+    * ≤ maxHamming pair graph with bit_count(xor) + a recursive closure —
+    * valid because banding recall is exact below `bands` by pigeonhole
+    * (maxHamming 3 < bands 8).
+    */
+  private val ddSimhashCorpus = Q("dd_simhash_corpus",
+    (s, dir) => {
+      val sigs = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32)
+      Dedup.hammingDedupCorpus(sigs, "id", "simhash",
+          bits = 32, bands = 8, maxHamming = 3)
+        .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
+    },
+    Some(s"""WITH RECURSIVE $simhashCtes,
+      edges AS (SELECT a.id AS u, b.id AS v FROM sig a JOIN sig b
+        ON a.id <> b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.d)
+      SELECT s AS doc_id, min(d) AS cluster, s = min(d) AS is_kept
+      FROM reach GROUP BY s"""))
+
   // exact PPJoin — the evaluation surface (killed the JVM at the 100× bench
   // scale, SCALE.md §12); the benched corpus path is dd_jaccard_capped
   private val ddJaccard = Q("dd_jaccard_pairs",
@@ -1371,7 +1401,7 @@ object CatalogOps {
   private lazy val ClassifierWeights = TextAnalysis.hashedWeights(64, seed = 3)
 
   val queries: Seq[Q] = Seq(
-    ddExact, ddBloom, ddMinhash, ddSimhash, ddJaccard, ddClusterPipeline,
+    ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
