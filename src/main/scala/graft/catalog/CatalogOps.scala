@@ -282,13 +282,20 @@ object CatalogOps {
     * collapse to one rep before banding). The oracle resolves the exact
     * ≤ maxHamming pair graph with bit_count(xor) + a recursive closure —
     * valid because banding recall is exact below `bands` by pigeonhole
-    * (maxHamming 3 < bands 8).
+    * (maxHamming 3 < bands 4).
+    *
+    * Dimensioning (the §16.12 cliff, measured): with 32-bit signatures a
+    * band must carry ≥8 bits or the key space saturates — 8×4-bit bands
+    * gave 128 distinct keys, ~62k-rep buckets at 500k distinct docs and
+    * a 237 s sf10 run; 4×8-bit bands (1024 keys) runs the same corpus in
+    * 41.8 s under the SAME oracle. Past ~10⁶ distinct docs the cure is
+    * 64-bit signatures, not more bands.
     */
   private val ddSimhashCorpus = Q("dd_simhash_corpus",
     (s, dir) => {
       val sigs = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32)
       Dedup.hammingDedupCorpus(sigs, "id", "simhash",
-          bits = 32, bands = 8, maxHamming = 3)
+          bits = 32, bands = 4, maxHamming = 3)
         .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
     },
     Some(s"""WITH RECURSIVE $simhashCtes,
