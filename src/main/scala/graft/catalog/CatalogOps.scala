@@ -250,26 +250,37 @@ object CatalogOps {
       SELECT DISTINCT id, f AS fingerprint FROM m WHERE i <= greatest(n - 3, 1)"""
     }))
 
-  /** Shared CTE chain producing 32-bit SimHash signatures as
-    * `sig(id, simhash)` — reused by dd_simhash and dd_simhash_pairs.
+  /** Shared CTE chain producing `bits`-bit SimHash signatures as
+    * `sig(id, simhash)` — reused by dd_simhash, dd_simhash_corpus and
+    * dd_simhash_pairs. Mirrors [[Dedup.simhash]] exactly: bits 0–31 from
+    * h60(tok, 9999), bits 32–63 from h60(tok, 9998), bits OR-assembled
+    * (bit 63's weight is BIGINT min — spelled as an expression because the
+    * bare literal would overflow DuckDB's parser), and one row per
+    * DOCUMENT with NULL simhash for token-less texts (left join back).
     */
-  private[catalog] val simhashCtes: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-      .mkString(",\n        ")
-    val sig = (0 until 32)
-      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END")
-      .mkString(" + ")
+  private[catalog] def simhashCtes(bits: Int = 32): String = {
+    val h2 = if (bits > 32) s", ${h60Sql("tok", 9998)} AS h2" else ""
+    val bitSums = (0 until bits).map { j =>
+      val b = if (j < 32) s"(h >> $j)" else s"(h2 >> ${j - 32})"
+      s"sum(CASE WHEN $b & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n        ")
+    val sig = (0 until bits).map { j =>
+      val w = if (j == 63) "(-9223372036854775807::BIGINT - 1)"
+              else s"${1L << j}::BIGINT"
+      s"CASE WHEN b$j > 0 THEN $w ELSE 0 END"
+    }.mkString(" | ")
     s"""toks AS (
         SELECT doc_id AS id, unnest($tokenizeSql) AS tok FROM documents),
-      hashed AS (SELECT id, ${h60Sql("tok", 9999)} AS h FROM toks),
+      hashed AS (SELECT id, ${h60Sql("tok", 9999)} AS h$h2 FROM toks),
       sums AS (SELECT id, $bitSums FROM hashed GROUP BY id),
-      sig AS (SELECT id, $sig AS simhash FROM sums)"""
+      sig0 AS (SELECT id, $sig AS simhash FROM sums),
+      sig AS (SELECT d.doc_id AS id, s.simhash FROM documents d
+        LEFT JOIN sig0 s ON s.id = d.doc_id)"""
   }
 
   private val ddSimhash = Q("dd_simhash",
     (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32),
-    Some(s"""WITH $simhashCtes SELECT id, simhash FROM sig"""),
+    Some(s"""WITH ${simhashCtes()} SELECT id, simhash FROM sig"""),
     bench = true)
 
   /** Corpus-scale TEXT near-dup via SimHash: [[Dedup.simhash]] signatures
@@ -284,21 +295,25 @@ object CatalogOps {
     * valid because banding recall is exact below `bands` by pigeonhole
     * (maxHamming 3 < bands 4).
     *
-    * Dimensioning (the §16.12 cliff, measured): with 32-bit signatures a
-    * band must carry ≥8 bits or the key space saturates — 8×4-bit bands
-    * gave 128 distinct keys, ~62k-rep buckets at 500k distinct docs and
-    * a 237 s sf10 run; 4×8-bit bands (1024 keys) runs the same corpus in
-    * 41.8 s under the SAME oracle. Past ~10⁶ distinct docs the cure is
-    * 64-bit signatures, not more bands.
+    * Dimensioning (the §16.12 cliff, measured at 32 bits, cured here at
+    * 64): band KEY SPACE must outrun distinct signatures, and exact
+    * recall at Hamming radius h needs > h bands — so radius fixes the
+    * per-band key space at 2^(bits/(h+1)). At 32 bits / radius 3 that is
+    * 2^8 = 256 keys/band (saturates past ~10⁶ distinct docs); at 64 bits
+    * it is 2^16 = 65 536 keys/band — 4 bands × 16 bits, the dimensioning
+    * this row ships. Token-less docs carry a NULL signature and come
+    * back as singleton verdicts (hammingDedupCorpus's null path), so the
+    * one-verdict-per-document contract holds on any corpus, matching the
+    * oracle's documents-seeded reach.
     */
   private val ddSimhashCorpus = Q("dd_simhash_corpus",
     (s, dir) => {
-      val sigs = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 32)
+      val sigs = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", bits = 64)
       Dedup.hammingDedupCorpus(sigs, "id", "simhash",
-          bits = 32, bands = 4, maxHamming = 3)
+          bits = 64, bands = 4, maxHamming = 3)
         .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
     },
-    Some(s"""WITH RECURSIVE $simhashCtes,
+    Some(s"""WITH RECURSIVE ${simhashCtes(64)},
       edges AS (SELECT a.id AS u, b.id AS v FROM sig a JOIN sig b
         ON a.id <> b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),

@@ -573,7 +573,7 @@ object CatalogQuality {
   private val simhashPairsQ = Q("dd_simhash_pairs",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       bits = 32, bands = 4, maxHamming = 3),
-    Some(s"""WITH ${CatalogOps.simhashCtes},
+    Some(s"""WITH ${CatalogOps.simhashCtes()},
       banded AS (SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS key
         FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb

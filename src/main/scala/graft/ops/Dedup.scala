@@ -608,19 +608,41 @@ object Dedup {
   /** SimHash: `bits`-bit signature; each token votes its hash bits up/down
     * (weight 1), the sign of each bit-sum becomes the signature bit.
     * Near-duplicates have small Hamming distance.
+    *
+    * `bits` ∈ {32, 64}. 64 is the corpus-scale default: the banding
+    * dimensioning rule (SCALE.md §16.12 — band KEY SPACE must outrun
+    * distinct signatures) makes 32-bit signatures saturate past ~10⁶
+    * distinct documents at any band split that still gives exact recall,
+    * while 64 bits at Hamming radius h gives 2^(64/(h+1))-key bands
+    * (radius 3 → 16-bit bands → 65 536 keys/band). Bits 0–31 come from
+    * [[h60]](tok, 9999) — byte-identical to the historical 32-bit
+    * signature — and bits 32–63 from an independent seed, so the two
+    * widths share one definition.
+    *
+    * Emits ONE ROW PER INPUT DOCUMENT: a doc whose text yields no tokens
+    * (null/empty/punctuation-only) has no bit votes and gets a NULL
+    * signature rather than silently vanishing — downstream corpus
+    * verdicts ([[hammingDedupCorpus]]) turn nulls into singleton
+    * verdicts, preserving the one-verdict-per-document contract.
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 64): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    val toks0 = df.select(col(idCol).as("id"),
       explode(tokenize(col(textCol))).as("tok"))
       .withColumn("h", h60(col("tok"), 9999))
+    val toks = if (bits > 32) toks0.withColumn("h2", h60(col("tok"), 9998)) else toks0
     val bitSums = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      val bit = if (j < 32) shiftright(col("h"), j) else shiftright(col("h2"), j - 32)
+      sum(when(bit.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    // bitwiseOR, not +: bit 63's weight is Long.MinValue and OR makes the
+    // disjoint-bit assembly overflow-proof by construction
     val sig = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    sums.select(col("id"), sig.as("simhash"))
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    df.select(col(idCol).as("id"))
+      .join(sums.select(col("id"), sig.as("simhash")), Seq("id"), "left")
   }
 
   /** SimHash near-duplicate pairs: split each `bits`-bit signature into
@@ -633,7 +655,7 @@ object Dedup {
     * bounded buckets, never all-pairs. Returns (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame =
     hammingPairs(simhash(df, textCol, idCol, bits), "id", "simhash",
       bits, bands, maxHamming)
 

@@ -41,6 +41,31 @@ class OpsSpec extends AnyFunSuite {
     assert(hammingFar > hamming)
   }
 
+  test("simhash: 32-bit signature is the low half of the 64-bit one; " +
+      "token-less docs get NULL sigs and singleton corpus verdicts") {
+    val weird = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, null), (4L, ""), (5L, "!!! ... ???")).toDF("doc_id", "text")
+    val s64 = Dedup.simhash(weird, "text", "doc_id", bits = 64).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val s32 = Dedup.simhash(weird, "text", "doc_id", bits = 32).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // one row per input doc on BOTH widths; token-less docs → null sig
+    assert(s64.keySet == Set(1L, 2L, 3L, 4L, 5L) && s32.keySet == s64.keySet)
+    Seq(3L, 4L, 5L).foreach(id => assert(s64(id).isEmpty && s32(id).isEmpty))
+    // low 32 bits of the 64-bit signature ARE the 32-bit signature
+    // (same seed per bit) — widening never changes historical signatures
+    assert((s64(1L).get & 0xffffffffL) == s32(1L).get)
+    // corpus verdicts: null-sig docs come back as their own singletons,
+    // identical texts cluster — one verdict per input document
+    val verdicts = Dedup.hammingDedupCorpus(
+        Dedup.simhash(weird, "text", "doc_id", bits = 64), "id", "simhash",
+        bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(verdicts.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(verdicts(1L) == (1L, true) && verdicts(2L) == (1L, false))
+    Seq(3L, 4L, 5L).foreach(id => assert(verdicts(id) == (id, true)))
+  }
+
   test("jaccard pairs respect the blocking column") {
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -192,10 +192,10 @@ class QualityOpsSpec extends AnyFunSuite {
   test("simhashPairs: banding has exact recall for hamming < bands (pigeonhole)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val banded = graft.ops.Dedup.simhashPairs(docs, "text", "doc_id",
-      bits = 32, bands = 4, maxHamming = 3)
+      bits = 64, bands = 4, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force reference: hamming over ALL signature pairs
-    val sigs = graft.ops.Dedup.simhash(docs, "text", "doc_id")
+    val sigs = graft.ops.Dedup.simhash(docs, "text", "doc_id", bits = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs
