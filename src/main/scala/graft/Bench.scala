@@ -70,7 +70,23 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver scrapes the sbt log for this line and log interleaving has
+    // made that flaky ("parsed": null in BENCH_r08.json) — ALSO write the
+    // metric JSON to a clean file so rounds are machine-diffable without
+    // log archaeology. SPARK_GRAFT_BENCH_OUT overrides the path (campaign
+    // scripts point it at their own result dirs).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    // last stdout line after Spark's shutdown chatter (which goes to
+    // stderr) — gives log scrapers a clean final line too
+    println(json)
+    System.out.flush()
   }
 }

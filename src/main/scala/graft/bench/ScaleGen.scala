@@ -180,10 +180,20 @@ object ScaleGen {
       least(lit(m), greatest(lit(1L),
         floor(pow(lit(1.0) - u * q, lit(1.0 / (1.0 - 1.1)))).cast("long")))
     }
-    // key domains are contiguous [min, min+dom); bounded 2-value driver agg
+    // key domains are contiguous [min, min+dom); bounded 3-value driver agg.
+    // keyFromRank RELIES on contiguity — a key hole would make it emit
+    // dangling foreign keys that silently drop rows from downstream inner
+    // joins (changing generated table totals), so a non-contiguous source
+    // fails loudly here instead of corrupting the dataset.
     def domain(df: DataFrame, k: String): (Long, Long) = {
-      val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
-      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+      val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"),
+        countDistinct(col(k))).head()
+      val (kMin, dom) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+      require(r.getLong(2) == dom,
+        s"$k domain has holes: ${r.getLong(2)} distinct keys over a " +
+          s"[${r.getLong(0)}, ${r.getLong(1)}] span of $dom — keyFromRank " +
+          "would fabricate dangling foreign keys")
+      (kMin, dom)
     }
     // rank 1 = hottest; ranks walk the scaled key space copy-major, so the
     // head of the law lands on copy 0's smallest keys and every rank maps

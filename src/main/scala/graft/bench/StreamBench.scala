@@ -93,6 +93,15 @@ object StreamBench {
       // failure here is benign — but a query that produced NO batches in
       // the window is a real failure and still dies loudly below.
       val progsAll = q.recentProgress.toSeq
+      // a query that TERMINATED WITH AN EXCEPTION during the measurement
+      // window (q.exception non-empty BEFORE we ever call stop()) is a
+      // broken op, not an interrupt artifact — it must fail the bench row
+      // even if it processed some rows first. Checked here, before stop(),
+      // so the benign stop-interrupt failures below stay distinguishable.
+      q.exception.foreach { e =>
+        throw new IllegalStateException(
+          s"$name died mid-window before stop(): ${e.getMessage}", e)
+      }
       // NonFatal, not just StreamingQueryException: the commit the stop
       // interrupts can also surface as a bare SparkException
       // (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT) thrown from stop()

@@ -460,8 +460,13 @@ object CatalogQuality {
     * semantics (the oracle SQL is literally the same), different cost
     * shape: the corpus-linear shingle floor moves out of the ingest
     * (SCALE.md §16.8). Best-of-two makes the benched number the
-    * store-backed path even when the first run builds the store. Delete
-    * /tmp/graft_export after changing banding parameters.
+    * store-backed path even when the first run builds the store.
+    *
+    * The banding parameters are baked into the persisted sig VALUES, so
+    * a store built under different numHashes/rowsPerBand/shingleLen
+    * would make the band join silently find nothing — the build step
+    * writes the parameters to a sidecar file and any mismatch (or a
+    * missing sidecar from an older build) forces a rebuild.
     */
   private def incrementalSigstoreRow(name: String, rm: Int, ch: Int, ad: Int,
       bench: Boolean = false): Q = Q(name,
@@ -469,10 +474,18 @@ object CatalogQuality {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sd = Catalog.exportDir(dir, "dedup_state_docs")
       val sg = Catalog.exportDir(dir, "dedup_state_sigs")
-      if (!new java.io.File(sd).isDirectory || !new java.io.File(sg).isDirectory) {
+      val params = "numHashes=12,rowsPerBand=3,shingleLen=8" // dedupState defaults
+      val sidecar = java.nio.file.Paths.get(
+        Catalog.exportDir(dir, "dedup_state_params.txt"))
+      val stale = !new java.io.File(sd).isDirectory ||
+        !new java.io.File(sg).isDirectory ||
+        !java.nio.file.Files.exists(sidecar) ||
+        new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8") != params
+      if (stale) {
         val (d0, s0) = Dedup.dedupState(docs, "text", "doc_id")
         d0.write.mode("overwrite").parquet(sd)
         s0.write.mode("overwrite").parquet(sg)
+        java.nio.file.Files.write(sidecar, params.getBytes("UTF-8"))
       }
       val state = graft.ops.Curation.RebuildState(
         s.read.parquet(sd), s.read.parquet(sg))
