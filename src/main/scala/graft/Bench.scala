@@ -85,8 +85,10 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     // last stdout line after Spark's shutdown chatter (which goes to
-    // stderr) — gives log scrapers a clean final line too
-    println(json)
+    // stderr) — gives log scrapers a clean final line too. Tagged, so a
+    // scraper that sums or uniquely-matches the bare JSON pattern sees
+    // exactly one untagged line; take-the-last scrapers strip the tag.
+    println("graft-bench-final: " + json)
     System.out.flush()
   }
 }

@@ -186,8 +186,11 @@ object ScaleGen {
     // joins (changing generated table totals), so a non-contiguous source
     // fails loudly here instead of corrupting the dataset.
     def domain(df: DataFrame, k: String): (Long, Long) = {
+      // distinct counted on the SAME cast domain as the span — a
+      // non-integral key would otherwise compare apples to truncated
+      // oranges and pass or fail the contiguity check spuriously
       val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"),
-        countDistinct(col(k))).head()
+        countDistinct(col(k).cast("long"))).head()
       val (kMin, dom) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
       require(r.getLong(2) == dom,
         s"$k domain has holes: ${r.getLong(2)} distinct keys over a " +

@@ -1098,8 +1098,10 @@ object CatalogOps {
       FROM arow a JOIN drow d ON a.doc_id = d.doc_id"""))
 
   /** Image near-dup pairs: perceptual aHash + [[Dedup.hammingPairs]]
-    * banding (bits=64, bands=16 ⇒ EXACT recall for Hamming ≤ 8 by
-    * pigeonhole). Docs share a gradient class via doc_id % 150, so
+    * banding (bits=64, bands=4 with the multi-index per-band-radius-2
+    * probe ⇒ EXACT recall for Hamming ≤ 8 by generalized pigeonhole,
+    * over 65 536-key bands instead of the 16-key 4-bit bands that
+    * saturate per §16.12). Docs share a gradient class via doc_id % 150, so
     * hamming-0 groups exist by construction and near-classes land within
     * a row-bit of each other; the oracle recomputes each doc's 8-bit row
     * pattern and scores all pairs exactly (row-distance × 8 = hash
@@ -1114,7 +1116,7 @@ object CatalogOps {
       val sigs = Multimodal.imagePerceptualHash(imgs, "payload")
         .select(col("doc_id"), col("img_ahash"))
       Dedup.hammingPairs(sigs, "doc_id", "img_ahash",
-        bits = 64, bands = 16, maxHamming = 8)
+        bits = 64, bands = 4, maxHamming = 8)
     },
     Some("""WITH px AS (
         SELECT doc_id, i,
@@ -1149,7 +1151,7 @@ object CatalogOps {
       val sigs = Multimodal.imagePerceptualHash(imgs, "payload")
         .select(col("doc_id"), col("img_ahash"))
       Dedup.hammingDedupCorpus(sigs, "doc_id", "img_ahash",
-        bits = 64, bands = 16, maxHamming = 8)
+        bits = 64, bands = 4, maxHamming = 8)
         .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
     },
     Some("""WITH RECURSIVE px AS (
@@ -1276,7 +1278,7 @@ object CatalogOps {
       val sigs = Multimodal.audioEnvelopeHash(wavs, "payload")
         .select(col("doc_id"), col("audio_envhash"))
       Dedup.hammingDedupCorpus(sigs, "doc_id", "audio_envhash",
-        bits = 64, bands = 16, maxHamming = 8)
+        bits = 64, bands = 4, maxHamming = 8)
         .select(col("id").as("doc_id"), col("cluster"), col("is_kept"))
     },
     Some("""WITH RECURSIVE cls AS (SELECT DISTINCT doc_id % 120 AS c FROM documents),

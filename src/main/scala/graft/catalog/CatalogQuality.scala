@@ -474,7 +474,7 @@ object CatalogQuality {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sd = Catalog.exportDir(dir, "dedup_state_docs")
       val sg = Catalog.exportDir(dir, "dedup_state_sigs")
-      val params = "numHashes=12,rowsPerBand=3,shingleLen=8" // dedupState defaults
+      val params = Dedup.bandingParamsTag() // same constants as dedupState
       val sidecar = java.nio.file.Paths.get(
         Catalog.exportDir(dir, "dedup_state_params.txt"))
       val stale = !new java.io.File(sd).isDirectory ||

@@ -125,7 +125,7 @@ object Curation {
     */
   def curateImages(df: DataFrame, payloadCol: String, idCol: String,
       minWidth: Int = 1, minHeight: Int = 1,
-      bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     // the chain's own outputs (the hash step guards its img_*/decode_error
     // names itself) — a pre-existing `cluster` would be silently shadowed
     Multimodal.requireFreshColumns(df, "curateImages",

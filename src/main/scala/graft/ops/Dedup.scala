@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default MinHash banding dials, named so [[dedupState]]'s signature
+    * and the sig-store sidecar tag ([[bandingParamsTag]]) share ONE
+    * definition — a default changed in only one place would otherwise
+    * pass the staleness check against a store built under the old dials
+    * and silently find nothing in the band join.
+    */
+  val DefaultNumHashes = 12
+  val DefaultRowsPerBand = 3
+  val DefaultShingleLen = 8
+
+  /** Canonical sidecar tag for a persisted sig-store's banding params. */
+  def bandingParamsTag(numHashes: Int = DefaultNumHashes,
+      rowsPerBand: Int = DefaultRowsPerBand,
+      shingleLen: Int = DefaultShingleLen): String =
+    s"numHashes=$numHashes,rowsPerBand=$rowsPerBand,shingleLen=$shingleLen"
+
   /** A deterministic 60-bit hash from md5 (60 bits keeps the value inside a
     * signed 64-bit range in both Spark and DuckDB).
     */
@@ -447,8 +463,8 @@ object Dedup {
     * the band join silently finds nothing.
     */
   def dedupState(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3,
-      shingleLen: Int = 8): (DataFrame, DataFrame) = {
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
+      shingleLen: Int = DefaultShingleLen): (DataFrame, DataFrame) = {
     val docs = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("th"))
     val reps = docs.groupBy(col("th")).agg(min(col("id")).as("id"))
     val sigs = minhashBands(df, textCol, idCol, numHashes, rowsPerBand, shingleLen)
@@ -623,7 +639,15 @@ object Dedup {
     * (null/empty/punctuation-only) has no bit votes and gets a NULL
     * signature rather than silently vanishing — downstream corpus
     * verdicts ([[hammingDedupCorpus]]) turn nulls into singleton
-    * verdicts, preserving the one-verdict-per-document contract.
+    * verdicts, preserving the one-verdict-per-document contract. (Note:
+    * a duplicated input id therefore produces duplicate sig rows, where
+    * the pre-r9 groupBy collapsed them.)
+    *
+    * CHANGED r9: default `bits` 32 → 64 (callers relying on the default
+    * get different signature VALUES — bits 0–31 are unchanged, bits
+    * 32–63 are new) and the output contract moved from one-row-per-
+    * distinct-id to one-row-per-input-row via the id-spine left join
+    * above. All in-repo callers pin `bits` explicitly.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 64): DataFrame = {
     require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
@@ -662,23 +686,72 @@ object Dedup {
   /** Hamming-banded near-duplicate pairs over ANY precomputed bit-signature
     * column (SimHash, perceptual image hashes, audio fingerprints): split
     * each `bits`-bit signature into `bands` equal bit-bands and generate
-    * candidates from shared bands. By pigeonhole any pair with Hamming
-    * distance < `bands` shares at least one intact band, so for
-    * `maxHamming < bands` recall is EXACT. Candidates get the exact
-    * `bit_count(xor)` check; shuffle is keyed on (band, band-bits) —
-    * bounded buckets, never all-pairs. Returns (id_a, id_b, hamming).
+    * candidates from band-key matches. Recall is EXACT for ANY band count
+    * by the generalized pigeonhole: a pair at Hamming distance ≤
+    * `maxHamming` has some band at per-band distance ≤
+    * r' = ⌊maxHamming/bands⌋ (if every band disagreed in ≥ r'+1 bits the
+    * total would be ≥ bands·(r'+1) > maxHamming), so the probe side also
+    * enumerates every band key within Hamming r' of its own — the
+    * multi-index-hashing query expansion (Norouzi, Punjani & Fleet, "Fast
+    * Search in Hamming Space with Multi-Index Hashing", CVPR 2012). For
+    * `maxHamming < bands` r' = 0 and this degenerates to the classic
+    * intact-band equi-join with no expansion.
+    *
+    * WHY fewer, wider bands (the §16.12 dimensioning rule): the band KEY
+    * SPACE 2^(bits/bands) must outrun distinct signatures, or every band
+    * bucket holds N/keys of the corpus and the "bounded" bucket join is
+    * all-pairs in disguise. 16 4-bit bands at radius 8 give 16-key buckets
+    * (the measured saturation cliff, SCALE.md §16.12); 4 16-bit bands at
+    * the SAME radius give 65 536-key buckets at the cost of a 137-mask
+    * probe ball — candidates shrink from ~N²/16 to ~N²·137/65 536.
+    * Candidates get the exact `bit_count(xor)` check; returns
+    * (id_a, id_b, hamming).
     */
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
-      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
-    require(maxHamming < bands,
-      s"exact recall needs maxHamming < bands ($maxHamming >= $bands)")
+      bits: Int, bands: Int, maxHamming: Int): DataFrame =
+    hammingPairs(sigs, idCol, hashCol, bits, bands, maxHamming, None)
+
+  /** `maxBucketSize`: near-MISS mass can still concentrate on one band
+    * value (distinct signatures that agree on a band without being
+    * near-duplicates); buckets above the cap are dropped BEFORE the join
+    * fan-out, bounding total candidates at cap × N × bands × ballSize —
+    * linear in the corpus for fixed dials. Pairs whose EVERY qualifying
+    * band lands in an oversized bucket are missed — price the recall with
+    * [[pairRecall]]. `None` keeps all buckets (the exact evaluation
+    * surface); corpus-scale runs go through [[hammingDedupCorpus]], which
+    * auto-derives the cap like the text path ([[dedupCorpus]]).
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int,
+      maxBucketSize: Option[Long]): DataFrame = {
     val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
     // band keys come from the SAME expression the streaming corpus flags
     // use ([[hammingBandKeysCol]] — band index offset-encoded into one
     // long), so batch banding and streaming membership cannot drift
-    val banded = base.select(col("id"), col("sig"),
+    val banded0 = base.select(col("id"), col("sig"),
       explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
-    banded.as("a").join(banded.as("b"),
+    // oversized buckets drop BEFORE the probe-ball fan-out (sizes are a
+    // partial-agg count on the join key), same shape as the text path's
+    // candidatesFromBands
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = banded0.groupBy(col("key")).agg(count(lit(1)).as("__bsz"))
+        banded0.join(sizes, Seq("key")).where(col("__bsz") <= cap).drop("__bsz")
+      case None => banded0
+    }
+    val perBand = maxHamming / bands
+    val probe = if (perBand == 0) banded else {
+      // the band-offset encoding survives the XOR: key = bandIndex·2^bb +
+      // value with value < 2^bb, and every mask is < 2^bb, so only the
+      // value bits move — probes stay inside their own band's key range
+      val masks = hammingBallMasks(bits / bands, perBand)
+      banded.withColumn("__m", explode(array(masks.map(lit(_)): _*)))
+        .withColumn("key", col("key").bitwiseXOR(col("__m"))).drop("__m")
+    }
+    // one-sided expansion suffices: for the pair (a, b) with a.id < b.id
+    // and qualifying-band XOR delta (popcount ≤ r'), a's probe with
+    // mask = delta lands exactly on b's un-expanded key
+    probe.as("a").join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
@@ -686,6 +759,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** All `bandBits`-bit XOR masks with popcount ≤ radius — the per-band
+    * Hamming ball the multi-index probe enumerates. Deterministic order;
+    * size Σ_{k≤radius} C(bandBits, k), guarded so a mis-dialed call fails
+    * loudly instead of exploding the probe side 10⁶×.
+    */
+  private[graft] def hammingBallMasks(bandBits: Int, radius: Int): Seq[Long] = {
+    val ballSize = (0 to radius).map(k =>
+      (0 until k).map(i => BigInt(bandBits - i)).product /
+        (1 to math.max(k, 1)).map(BigInt(_)).product).sum
+    require(ballSize <= 65536,
+      s"per-band Hamming ball of $ballSize masks (bandBits=$bandBits, " +
+        s"radius=$radius) would explode the probe side; use more bands " +
+        "or a smaller radius")
+    def go(pos: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else if (pos >= bandBits) Seq.empty
+      else go(pos + 1, left - 1, acc | (1L << pos)) ++ go(pos + 1, left, acc)
+    (0 to radius).flatMap(k => go(0, k, 0L))
   }
 
   /** Corpus-scale near-dup verdicts over ANY 64-bit signature column
@@ -702,15 +795,28 @@ object Dedup {
     * ([[resolveClusters]], large-star/small-star) and every member inherits
     * its signature's component; cluster labels are component-min ids
     * (= min doc id, since representatives are per-signature minima).
-    * Recall: EXACT for Hamming ≤ maxHamming (< bands, pigeonhole) — unlike
-    * the text path, no cap is needed because the collapse already bounds
-    * the dominant bucket mass; band buckets over DISTINCT signatures can
-    * only be dense when many near-miss signatures share band bits, which
-    * [[dyadicSizeCap]] + an explicit `maxBucketSize` would bound the same
-    * way if a corpus ever exhibits it.
+    * Recall: EXACT for Hamming ≤ maxHamming by the generalized pigeonhole
+    * ([[hammingPairs]]' multi-index probe) — WHENEVER the auto-derived
+    * bucket cap does not bind. The collapse bounds the dominant
+    * (identical-signature) bucket mass; the cap bounds the residual
+    * near-miss mass: band buckets over DISTINCT signatures get a
+    * [[dyadicSizeCap]]-derived `maxBucketSize` (`pairBudget` candidate
+    * pairs per distinct signature, the same dial as [[dedupCorpus]]), so a
+    * corpus whose distinct signatures outgrow the band key space degrades
+    * to bounded-cost capped recall instead of an all-pairs join. At the
+    * §16.12 dimensioning (key space ≫ distinct signatures) buckets are
+    * O(1) and the cap never binds — the oracle-checked exact surface.
+    *
+    * Default banding changed r10: bands 16 → 4 (16-bit band keys). The
+    * old 4-bit bands gave a 16-key space per band — the exact saturation
+    * cliff SCALE.md §16.12 measures — and the multi-index probe now keeps
+    * radius-8 recall exact at 4 bands, so the wide-band dimensioning is
+    * strictly better at every corpus size. Pair SEMANTICS are unchanged
+    * (same exact ≤ maxHamming graph when the cap is slack).
     */
   def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
-      bits: Int = 64, bands: Int = 16, maxHamming: Int = 8): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8,
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     val all = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
     // null signatures (undecodable items) can't be compared to anything:
     // they come back as their own singleton verdicts. Without this split
@@ -721,8 +827,17 @@ object Dedup {
     val base = all.where(col("sig").isNotNull)
     val reps = base.groupBy(col("sig")).agg(min(col("id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = hammingPairs(reps.select(col("rep").as("id"), col("sig")),
-      "id", "sig", bits, bands, maxHamming)
+    val repSigs = reps.select(col("rep").as("id"), col("sig"))
+    val cap = maxBucketSize.getOrElse {
+      // dyadic sketch over exact band-key bucket sizes of the persisted
+      // reps (narrow re-read of the cache; ≤63 size classes collected)
+      val sizes = repSigs
+        .select(explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("b"))
+      dyadicSizeCap(sizes, "b", pairBudget * math.max(1L, reps.count()))
+    }
+    val pairs = hammingPairs(repSigs, "id", "sig", bits, bands, maxHamming,
+      Some(cap))
     val clusters = resolveClusters(pairs) // (id=rep, cluster); singletons absent
     // eager localCheckpoint: the per-signature cluster map is one row per
     // DISTINCT signature (small), and materializing it here lets the reps

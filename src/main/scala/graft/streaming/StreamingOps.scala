@@ -120,13 +120,26 @@ object StreamingOps {
     * multimodal sibling: incoming payload rows are perceptual-hashed
     * ([[graft.ops.Multimodal.imagePerceptualHash]], a stateless per-row
     * decode — no state store, no shuffle) and each row's Hamming band keys
-    * probe a broadcast Bloom filter of the corpus signatures' band keys.
-    * Any stream image within Hamming < `bands` of a corpus image shares at
-    * least one intact band (pigeonhole), and Bloom filters have no false
-    * negatives — so a true near-dup is NEVER missed; fpp only admits
-    * spurious flags, the safe direction for a keep/drop gate (same
-    * contract as the text flag). Undecodable payloads flag false and keep
-    * their `decode_error`.
+    * probe a broadcast Bloom filter of the corpus signatures' band keys,
+    * EXPANDED build-side by the per-band Hamming ball (every corpus band
+    * key XOR every ≤ ⌊maxHamming/bands⌋-bit mask — the multi-index probe
+    * of [[graft.ops.Dedup.hammingPairs]], applied once at filter-build
+    * time so each stream row still probes only `bands` exact keys). Any
+    * stream image within Hamming ≤ `maxHamming` of a corpus image has
+    * some band at per-band distance ≤ ⌊maxHamming/bands⌋ (generalized
+    * pigeonhole), whose key was therefore inserted — and Bloom filters
+    * have no false negatives — so a true near-dup is NEVER missed; fpp
+    * only admits spurious flags, the safe direction for a keep/drop gate
+    * (same contract as the text flag). Undecodable payloads flag false
+    * and keep their `decode_error`.
+    *
+    * Dimensioning (SCALE.md §16.12, same rule as batch banding): the band
+    * key UNIVERSE is bands × 2^(bits/bands) — at the old bands=16 default
+    * that was 256 possible keys, which ANY diverse corpus covers
+    * completely, flagging every stream row; bands=4 gives a 262 144-key
+    * universe. Size `bands` so universe ≫ corpus distinct signatures ×
+    * ballSize, or the flag degrades toward always-true (still never a
+    * false negative).
     *
     * The corpus side is a static frame of precomputed signatures (e.g.
     * [[graft.ops.Multimodal.imagePerceptualHash]] output, snapshotted) —
@@ -136,12 +149,18 @@ object StreamingOps {
   def streamImageNearCorpusFlag(stream: DataFrame, payloadCol: String,
       corpusSigs: DataFrame, corpusHashCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      bits: Int = 64, bands: Int = 16): DataFrame = {
-    val keys = corpusSigs
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    val masks = graft.ops.Dedup.hammingBallMasks(bits / bands, maxHamming / bands)
+    val keys0 = corpusSigs
       .select(explode(graft.ops.Dedup.hammingBandKeysCol(
         col(corpusHashCol), bits, bands)).as("k"))
+    // mask < 2^bandBits, so the XOR moves only value bits and the probe
+    // stays inside its band's offset-encoded key range
+    val keys = if (masks.size <= 1) keys0
+      else keys0.withColumn("__m", explode(array(masks.map(lit(_)): _*)))
+        .select(col("k").bitwiseXOR(col("__m")).as("k"))
     val bf = keys.stat.bloomFilter(col("k"),
-      math.max(1L, expectedItems * bands), fpp)
+      math.max(1L, expectedItems * bands * masks.size), fpp)
     val bcast = stream.sparkSession.sparkContext.broadcast(bf)
     val anyBandHit = udf((ks: Seq[Long]) =>
       ks != null && ks.exists(bcast.value.mightContainLong))

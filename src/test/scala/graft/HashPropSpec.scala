@@ -48,6 +48,30 @@ class HashPropSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs multi-index probe (maxHamming >= bands) equals brute force") {
+    // radius 8 over 4 16-bit bands: per-band radius 2, 137-mask ball —
+    // the generalized-pigeonhole expansion path, vs the same oracle
+    samples(sigSet, 25).foreach { sigs =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+      val maxH = 8
+      val got = Dedup.hammingPairs(df, "id", "sig", bits = 64, bands = 4, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (sa, ia) <- sigs.zipWithIndex; (sb, ib) <- sigs.zipWithIndex if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia.toLong, ib.toLong) -> h.toLong).toMap
+      assert(got == want, s"sigs=$sigs")
+    }
+  }
+
+  test("hammingBallMasks enumerates exactly the ≤radius popcount masks, and guards blowup") {
+    val m = Dedup.hammingBallMasks(16, 2)
+    assert(m.size == 1 + 16 + 120 && m.distinct.size == m.size)
+    assert(m.forall(x => x >= 0 && x < 65536 && java.lang.Long.bitCount(x) <= 2))
+    val e = intercept[IllegalArgumentException](Dedup.hammingBallMasks(62, 8))
+    assert(e.getMessage.contains("probe side"))
+  }
+
   test("hammingPairs rejects band widths that overflow the 64-bit band-key encoding") {
     // bands = 1 → bandBits = 64 → (1L << 64) wraps to 1 and the mask
     // collapses every band key to one all-pairs bucket; must throw instead
@@ -62,7 +86,10 @@ class HashPropSpec extends AnyFunSuite {
     samples(sigSet, 15).foreach { sigs =>
       val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
       val maxH = 7
-      val got = Dedup.hammingDedupCorpus(df, "id", "sig", bits = 64, bands = 16, maxHamming = maxH)
+      // explicit no-cap: random dense clusters can overflow the auto cap's
+      // 16-floor at 4-bit bands, and this property pins the EXACT surface
+      val got = Dedup.hammingDedupCorpus(df, "id", "sig", bits = 64, bands = 16,
+          maxHamming = maxH, maxBucketSize = Some(Long.MaxValue))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // brute-force union-find over the exact ≤ maxH pair graph
       val parent = Array.tabulate(sigs.size)(identity)
@@ -74,6 +101,36 @@ class HashPropSpec extends AnyFunSuite {
       val want = sigs.indices.map(i => i.toLong -> find(i).toLong).toMap
       assert(got == want, s"sigs=$sigs")
     }
+  }
+
+  test("hammingDedupCorpus bounds adversarial band-bucket mass (10^5 near-miss sigs, one hot band)") {
+    // 100 000 DISTINCT signatures that all agree on band 0 (low 16 bits
+    // = 0x1234) but carry random high bits: band 0 is one 100 000-row
+    // bucket — uncapped, that single bucket alone is ~5×10⁹ candidate
+    // pairs × the 137-mask probe fan-out, an hours-long all-pairs join.
+    // The auto-derived dyadic cap drops it (its b² is orders over the
+    // 64-pairs-per-sig budget) while the 16-bit bands 1–3 stay Poisson-
+    // thin (λ ≈ 1.5) and keep carrying recall: planted exact dups (the
+    // collapse path, cap-immune) and a planted 2-bit near-dup (found via
+    // its intact bands) must still cluster. The test COMPLETING is the
+    // bound; the planted assertions are the recall floor.
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 100000L
+    val base = spark.range(n).select(col("id"),
+      (xxhash64(col("id")).bitwiseAND(lit(0xffffffffffff0000L)))
+        .bitwiseOR(lit(0x1234L)).as("sig"))
+    val sigOf = base.where(col("id").isin(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = Seq(
+      (n, sigOf(0L)), (n + 1, sigOf(0L)), (n + 2, sigOf(0L)), // exact dups of 0
+      (n + 3, sigOf(1L) ^ (3L << 20))).toDF("id", "sig")      // hamming 2 from 1
+    val out = Dedup.hammingDedupCorpus(base.unionByName(planted), "id", "sig",
+        bits = 64, bands = 4, maxHamming = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n + 4)                                  // one verdict per doc
+    assert(Seq(n, n + 1, n + 2).forall(out(_) == out(0L)))     // collapse path intact
+    assert(out(n + 3) == out(1L))                              // near-dup via thin bands
   }
 
   test("audio envelope hash is exactly gain-invariant (integer gain, no clipping)") {

@@ -344,13 +344,13 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.{Dedup, Multimodal}
     // corpus: one gradient image, hashed once (static snapshot)
     val corpusImgs = Seq(100L).toDF("cid")
-      .withColumn("payload", Multimodal.syntheticPngGradient(lit(16), lit(8), lit(10), lit(40)))
+      .withColumn("payload", Multimodal.syntheticPngGradient(lit(16), lit(8), lit(10), lit(12)))
     val corpusSigs = Multimodal.imagePerceptualHash(corpusImgs, "payload")
       .select($"cid", $"img_ahash")
     val dir = java.nio.file.Files.createTempDirectory("graft_sfi").toString
     Seq(1L, 2L, 3L).toDF("doc_id")
       .withColumn("payload",
-        when($"doc_id" === 1, Multimodal.syntheticPngGradient(lit(32), lit(8), lit(10), lit(20)))
+        when($"doc_id" === 1, Multimodal.syntheticPngGradient(lit(32), lit(8), lit(10), lit(6)))
         .when($"doc_id" === 2, Multimodal.syntheticPngGradient(lit(16), lit(8), lit(200), lit(96)))
         .otherwise(lit("junk bytes".getBytes)))
       .write.mode("overwrite").parquet(dir)
@@ -366,11 +366,12 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("sfi_out").collect()
         .map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Boolean]("is_near_corpus"), r.getAs[String]("decode_error"))).toMap
-      // doc 1 is the corpus gradient rendered at 2× width — the wrap
-      // points shift the box averages (Hamming 16 of 64) but 8 of 16
-      // bands stay intact → must flag (a true NEAR-dup, not a byte
-      // copy); doc 2 is a different gradient (0 shared bands); doc 3 is
-      // undecodable → false with a reason, never a query failure
+      // doc 1 is the corpus ramp re-rendered at 2× width with half the
+      // step (byte-different PNG, box averages 24j+19 vs 24j+16 → same
+      // mean-threshold bits → identical aHash) — must flag under the
+      // radius-8 contract; doc 2's wrapped gradient thresholds 4 row
+      // bits apart (per-band distance 8 > ⌊8/4⌋) — not flagged; doc 3
+      // is undecodable → false with a reason, never a query failure
       assert(got(1L)._1 && got(1L)._2 == null, s"got $got")
       assert(!got(2L)._1 && !got(3L)._1, s"got $got")
       assert(got(3L)._2 == "unsupported format")
