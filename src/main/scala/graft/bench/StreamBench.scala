@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   * watermark horizon fills.
   *
   * Usage: runMain graft.bench.StreamBench [secondsPerRun] [batchSizes,csv]
-  * [opFilter,csv] — opFilter selects a subset by name (campaigns over one
-  * family without paying the full sweep). Prints one JSON line per
-  * (op, rowsPerBatch) pair.
+  * [opFilter,csv] [keyDist] — opFilter selects a subset by name (campaigns
+  * over one family without paying the full sweep); keyDist ∈
+  * {uniform, zipf} shapes the stream: zipf draws `user_id` from the
+  * truncated-Pareto law (α = 1.1 over 100 000 keys — ScaleGen's exact
+  * inverse CDF, hottest key ≈ 11% of rows) and collapses `text` onto
+  * 15 000 zipf document classes (the boilerplate-page law, so dedup state
+  * and band buckets concentrate the way a real crawl's do). Prints one
+  * JSON line per (op, rowsPerBatch) pair, tagged with the dist.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +42,9 @@ object StreamBench {
     val opFilter: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    val keyDist = if (args.length > 3) args(3) else "uniform"
+    require(keyDist == "uniform" || keyDist == "zipf",
+      s"keyDist must be uniform|zipf, got $keyDist")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,14 +69,32 @@ object StreamBench {
 
     // rate rows -> a document-shaped stream: ~128 chars of per-row-distinct
     // text (two md5 blocks + a shared tail so shingles overlap the way real
-    // near-dup text does), a bounded user key and a value for aggregation
-    def docs(src: DataFrame): DataFrame = src
-      .withColumn("text", concat_ws(" ",
-        md5(col("value").cast("string")),
-        md5((col("value") * 31).cast("string")),
-        lit("the quick brown fox jumps over the lazy dog again and again")))
-      .withColumn("user_id", pmod(col("value"), lit(100000L)))
-      .withColumn("event_value", (col("value") % 97).cast("double"))
+    // near-dup text does), a bounded user key and a value for aggregation.
+    // zipf mode replays ScaleGen's truncated-Pareto inverse CDF (α = 1.1,
+    // floor — rank 1 is the hot head) off a per-row hash, and keys text on
+    // the zipf CLASS instead of the row — identical texts concentrate into
+    // the r8 campaign's hot-cluster shape, user keys into hot state keys
+    def zipfRank(u: org.apache.spark.sql.Column, m: Long) = {
+      val q = 1.0 - math.pow(m.toDouble, 1.0 - 1.1)
+      least(lit(m), greatest(lit(1L),
+        floor(pow(lit(1.0) - u * q, lit(1.0 / (1.0 - 1.1)))).cast("long")))
+    }
+    def unif(seed: Int) =
+      pmod(xxhash64(col("value"), lit(seed)), lit(1L << 30)).cast("double") /
+        (1L << 30).toDouble
+    def docs(src: DataFrame): DataFrame = {
+      val (textKey, userKey) =
+        if (keyDist == "zipf")
+          (zipfRank(unif(1), 15000L), zipfRank(unif(2), 100000L) - 1L)
+        else (col("value"), pmod(col("value"), lit(100000L)))
+      src
+        .withColumn("text", concat_ws(" ",
+          md5(textKey.cast("string")),
+          md5((textKey * 31).cast("string")),
+          lit("the quick brown fox jumps over the lazy dog again and again")))
+        .withColumn("user_id", userKey)
+        .withColumn("event_value", (col("value") % 97).cast("double"))
+    }
 
     def bench(name: String, rowsPerBatch: Long)(mk: DataFrame => DataFrame): Unit = {
       if (opFilter.nonEmpty && !opFilter.contains(name)) return
@@ -129,7 +155,7 @@ object StreamBench {
         .flatMap(p => Option(p.stateOperators).filter(_.nonEmpty))
         .map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
       val rowsPerSec = if (procMs > 0) rows * 1000.0 / procMs else 0.0
-      println(f"""{"op":"$name","rows_per_batch":$rowsPerBatch,"rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
+      println(f"""{"op":"$name","dist":"$keyDist","rows_per_batch":$rowsPerBatch,"rows":$rows,"proc_sec":${procMs / 1000.0}%.1f,"wall_sec":$wall%.1f,"rows_per_sec":$rowsPerSec%.0f,"batches":${progs.size},"state_rows":$stateRows,"state_mb":${stateMem / 1e6}%.1f}""")
       // stateful ops leave real state-store bytes in the checkpoint dir;
       // 12 runs per campaign would otherwise accrete in /tmp forever.
       // State-store maintenance threads can still be flushing files for a

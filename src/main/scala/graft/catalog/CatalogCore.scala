@@ -947,6 +947,64 @@ object CatalogCore {
         '<http://ex/vocab/name>' AS p, '"' || r_name || '"' AS o FROM region"""),
     bench = true)
 
+  /** The SCALE-PROPORTIONAL format twins of [[rmlHetero]]: the same
+    * customer mapping shape, but the source is a JSON-lines / multi-file
+    * XML export of the full customer table — so the JSON `$.[*]` iterator
+    * and the XML rowTag scan (not just 25-row nation / 5-row region dims)
+    * carry a decade campaign. Exports are written once per sf dir
+    * (immutable, keyed on _SUCCESS) so repeated bench runs measure the
+    * scan+iterator+template path, not the export. Both sources scan
+    * distributed: JSON-lines split per line, XML across the 32 part
+    * files. Oracle: the two customer POMs, format-independent.
+    */
+  private def custFormatMapping(dir: String, formulation: String,
+      iterator: String): String =
+    s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+       |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+       |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+       |<CustTM> a rr:TriplesMap;
+       |  rml:logicalSource [ rml:source "$dir";
+       |    rml:referenceFormulation ql:$formulation; rml:iterator "$iterator" ];
+       |  rr:subjectMap [ rr:template "http://ex/customer/{c_custkey}" ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/name>;
+       |    rr:objectMap [ rml:reference "c_name" ] ];
+       |  rr:predicateObjectMap [ rr:predicate <http://ex/vocab/nation>;
+       |    rr:objectMap [ rr:template "http://ex/nation/{c_nationkey}" ] ] .
+       |""".stripMargin
+
+  private val custFormatOracle =
+    """SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/name>' AS p, '"' || c_name || '"' AS o FROM customer
+      UNION
+      SELECT '<http://ex/customer/' || c_custkey || '>' AS s,
+        '<http://ex/vocab/nation>' AS p,
+        '<http://ex/nation/' || c_nationkey || '>' AS o FROM customer"""
+
+  private val rmlHeteroJson = Q("rml_hetero_json_scaled",
+    (s, dir) => {
+      val jsonDir = exportDir(dir, "customer_hetero.jsonl")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(jsonDir, "_SUCCESS")))
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .write.mode("overwrite").json(jsonDir)
+      Engine.materialize(s, custFormatMapping(jsonDir, "JSONPath", "$.[*]"))
+        .select(col("s"), col("p"), col("o"))
+    },
+    Some(custFormatOracle),
+    bench = true)
+
+  private val rmlHeteroXml = Q("rml_hetero_xml_scaled",
+    (s, dir) => {
+      val xmlDir = exportDir(dir, "customer_hetero_xml")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(xmlDir, "_SUCCESS")))
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .write.mode("overwrite")
+          .format("xml").option("rootTag", "rows").option("rowTag", "row").save(xmlDir)
+      Engine.materialize(s, custFormatMapping(xmlDir, "XPath", "/rows/row"))
+        .select(col("s"), col("p"), col("o"))
+    },
+    Some(custFormatOracle),
+    bench = true)
+
   /** BASELINE "mappings" axis (1 TM × N POM): a wide mapping over the fact
     * table through the full RML path. The compiler turns all 12 POMs into
     * ONE scan + one explode projection — the reference pays per-POM cost
@@ -1516,7 +1574,8 @@ object CatalogCore {
     s1, s2, s3, s6, s7, s7b, s8, s8b, s8c, s9, v2,
     k1, k2, k2b, k2c, k3, k4a, k4b, k4c, k4d, k4e, k4f,
     tq1, tq2, tq5, tq6, tq7, tq8, tq9, tq12,
-    rmlE2e, rmlHetero, rmlWide, rmlMultiTm, rmlQuadStats, j1, j2, j6, j7, j8, j9,
+    rmlE2e, rmlHetero, rmlHeteroJson, rmlHeteroXml, rmlWide, rmlMultiTm,
+    rmlQuadStats, j1, j2, j6, j7, j8, j9,
     a1, a2, a4, d2, d2b, u1,
     fnoString, fnoCond, fnoDate, fnoUrl, fnoParamOrder, rmlFnoReturn,
     rmlGather, rmlStar, rmlStarCross, rmlGraphs, rmlFno, s4Jdbc, j2Rml)

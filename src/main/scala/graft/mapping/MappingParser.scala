@@ -176,7 +176,12 @@ object MappingParser {
         else if (p.endsWith(".nt")) LogicalSource.NTriplesSource(p, iterator.getOrElse(""))
         else LogicalSource.CsvSource(p, delim)
       case f if f.endsWith("JSONPath") || f.endsWith("JSON") =>
-        LogicalSource.JsonSource(path.getOrElse(fail(tm, "JSON source without path")), iterator.getOrElse("$"))
+        val p = path.getOrElse(fail(tm, "JSON source without path"))
+        // `.jsonl` = JSON-lines (one value per line, the distributed-
+        // write-friendly shape): scan splits per line instead of parsing
+        // the whole file as one document
+        LogicalSource.JsonSource(p, iterator.getOrElse("$"),
+          multiLine = !p.endsWith(".jsonl"))
       case f if f.endsWith("XPath") || f.endsWith("XML") =>
         LogicalSource.XmlSource(path.getOrElse(fail(tm, "XML source without path")), iterator.getOrElse("/"))
       case f if f.endsWith("Parquet") =>

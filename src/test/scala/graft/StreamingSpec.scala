@@ -209,6 +209,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join is row-identical to the BATCH interval join (seeded random fixture)") {
+    // the one op family with no DuckDB oracle row gets its correctness
+    // pin here: a bounded seeded-random fixture through the streaming
+    // path (availableNow semantics via processAllAvailable) must produce
+    // exactly the batch join's multiset. The watermark delay (1 day)
+    // exceeds the fixture's full time span, so no row can be dropped as
+    // late however the source splits micro-batches — equality is exact
+    // by construction, not a race.
+    val rnd = new scala.util.Random(20260814L)
+    val baseMs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def mk(n: Int, pfx: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ssij_eq_$pfx").toString
+      (0 until n).map { i =>
+        (new java.sql.Timestamp(baseMs + rnd.nextInt(4 * 3600) * 1000L),
+          rnd.nextInt(8).toLong, s"$pfx$i")
+      }.toDF("ts", "k", "tag").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val (ldir, rdir) = (mk(200, "l"), mk(300, "r"))
+    val schema = spark.read.parquet(ldir).schema
+    val joined = StreamingOps.streamStreamIntervalJoin(
+      spark.readStream.schema(schema).parquet(ldir),
+      spark.readStream.schema(schema).parquet(rdir),
+      key = "k", tsCol = "ts", delay = "1 day",
+      before = "3 MINUTES", after = "7 MINUTES")
+      .select(col("l.tag").as("ltag"), col("r.tag").as("rtag"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssij_eq_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("ssij_eq_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    } finally q.stop()
+    // batch twin: the identical join condition over the static frames
+    val lb = spark.read.parquet(ldir).as("l")
+    val rb = spark.read.parquet(rdir).as("r")
+    val want = lb.join(rb,
+        col("l.k") === col("r.k") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 3 MINUTES") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 7 MINUTES"))
+      .select(col("l.tag"), col("r.tag")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture must exercise the join (tune key/range density)")
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("runStream: streaming RML writes N-Triples part files per batch") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_rs_out").toString
