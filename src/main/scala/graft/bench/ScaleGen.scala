@@ -190,7 +190,16 @@ object ScaleGen {
       // non-integral key would otherwise compare apples to truncated
       // oranges and pass or fail the contiguity check spuriously
       val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"),
-        countDistinct(col(k).cast("long"))).head()
+        countDistinct(col(k).cast("long")),
+        count(when(col(k).cast("double") =!=
+          col(k).cast("long").cast("double"), 1))).head()
+      // integrality first: distinct FRACTIONAL keys can truncate onto the
+      // same long and look contiguous, after which keyFromRank would emit
+      // long keys that never reference the fractional rows — silently
+      // changing generated totals instead of failing loudly
+      require(r.getLong(3) == 0L,
+        s"$k has ${r.getLong(3)} non-integral values — keyFromRank emits " +
+          "long keys, so a fractional key domain cannot be replayed")
       val (kMin, dom) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
       require(r.getLong(2) == dom,
         s"$k domain has holes: ${r.getLong(2)} distinct keys over a " +

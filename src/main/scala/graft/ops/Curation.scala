@@ -89,7 +89,9 @@ object Curation {
     */
   def curateNearDup(df: DataFrame, textCol: String, idCol: String,
       maxDupLineFrac: Double = 0.3,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      numHashes: Int = Dedup.DefaultNumHashes,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      shingleLen: Int = Dedup.DefaultShingleLen,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
     val sig = TextAnalysis.repetitionSignals(
@@ -125,7 +127,8 @@ object Curation {
     */
   def curateImages(df: DataFrame, payloadCol: String, idCol: String,
       minWidth: Int = 1, minHeight: Int = 1,
-      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+      bits: Int = Dedup.DefaultSigBits, bands: Int = Dedup.DefaultSigBands,
+      maxHamming: Int = Dedup.DefaultSigMaxHamming): DataFrame = {
     // the chain's own outputs (the hash step guards its img_*/decode_error
     // names itself) — a pre-existing `cluster` would be silently shadowed
     Multimodal.requireFreshColumns(df, "curateImages",
@@ -203,8 +206,8 @@ object Curation {
     * store — the join shape is identical.)
     */
   def incrementalRebuild(oldSnap: DataFrame, newSnap: DataFrame,
-      idCol: String, textCol: String, numHashes: Int = 12,
-      rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+      idCol: String, textCol: String, numHashes: Int = Dedup.DefaultNumHashes,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand, shingleLen: Int = Dedup.DefaultShingleLen): DataFrame = {
     val delta = corpusDiff(oldSnap, newSnap, idCol, textCol)
     val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
     val repMap = Dedup.textGroups(newSnap, textCol, idCol)
@@ -309,8 +312,8 @@ object Curation {
     * of the returned state (and of the join) by one semi-join.
     */
   def incrementalRebuildFromState(state: RebuildState, newSnap: DataFrame,
-      idCol: String, textCol: String, numHashes: Int = 12,
-      rowsPerBand: Int = 3, shingleLen: Int = 8): RebuildResult = {
+      idCol: String, textCol: String, numHashes: Int = Dedup.DefaultNumHashes,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand, shingleLen: Int = Dedup.DefaultShingleLen): RebuildResult = {
     val newDocs = newSnap.select(col(idCol).as("id"),
         Dedup.contentHash(col(textCol)).as("th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

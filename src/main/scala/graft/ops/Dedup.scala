@@ -37,6 +37,16 @@ object Dedup {
   val DefaultRowsPerBand = 3
   val DefaultShingleLen = 8
 
+  /** Default 64-bit signature-space banding dials (multi-index Hamming),
+    * under the same one-definition rule: [[hammingDedupCorpus]], the
+    * curation pipelines and the streaming image/audio corpus flags must
+    * band under identical dials or the stream's Bloom filter and the
+    * batch corpus silently key on different band spaces.
+    */
+  val DefaultSigBits = 64
+  val DefaultSigBands = 4
+  val DefaultSigMaxHamming = 8
+
   /** Canonical sidecar tag for a persisted sig-store's banding params. */
   def bandingParamsTag(numHashes: Int = DefaultNumHashes,
       rowsPerBand: Int = DefaultRowsPerBand,
@@ -138,7 +148,7 @@ object Dedup {
     * collide in ≥1 band.
     */
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen): DataFrame = {
     // explode + hash-aggregate keeps the whole hot path (md5, affine
     // permutations, running minima) inside whole-stage codegen; a
     // higher-order `aggregate` over the shingle array measured ~2× slower
@@ -186,8 +196,8 @@ object Dedup {
     * rows/s. One MessageDigest walk over the shingles does the same math
     * at UDF cost only (~100× — StreamBench `near_corpus_flag`).
     */
-  def bandSignaturesCol(text: Column, numHashes: Int = 12, rowsPerBand: Int = 3,
-      shingleLen: Int = 8): Column = {
+  def bandSignaturesCol(text: Column, numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
+      shingleLen: Int = DefaultShingleLen): Column = {
     val (nh, rpb, sl) = (numHashes, rowsPerBand, shingleLen)
     udf((s: String) => bandSignaturesJvm(s, nh, rpb, sl)).apply(text)
   }
@@ -250,7 +260,7 @@ object Dedup {
     * per-bucket, so skew is bounded by bucket size, not corpus size.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame =
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen): DataFrame =
     minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleLen,
       maxBucketSize = None)
 
@@ -388,7 +398,7 @@ object Dedup {
     * replays collapse, sketch, capped join, and components).
     */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     // exact-duplicate collapse: reps carry the banding, members rejoin via
     // one edge each. The map shuffles only (id, 32-char hash) — text never
@@ -486,7 +496,7 @@ object Dedup {
     */
   def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
       priorityCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8,
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     val base = dedupCorpus(df, textCol, idCol,
       numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget)
@@ -580,8 +590,8 @@ object Dedup {
     * duplicate clusters this enumeration cannot (SCALE.md §16).
     */
   def minhashIncrementalCandidates(corpus: DataFrame, batch: DataFrame,
-      textCol: String, idCol: String, numHashes: Int = 12, rowsPerBand: Int = 3,
-      shingleLen: Int = 8): DataFrame = {
+      textCol: String, idCol: String, numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
+      shingleLen: Int = DefaultShingleLen): DataFrame = {
     val cb = minhashBands(corpus, textCol, idCol, numHashes, rowsPerBand, shingleLen)
       .withColumn("is_new", lit(false))
     val bb = minhashBands(batch, textCol, idCol, numHashes, rowsPerBand, shingleLen)
@@ -609,7 +619,7 @@ object Dedup {
     */
   def fuzzyContamination(corpus: DataFrame, textCol: String, idCol: String,
       probes: DataFrame, probeTextCol: String, probeIdCol: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+      numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen): DataFrame = {
     val cb = minhashBands(corpus, textCol, idCol, numHashes, rowsPerBand, shingleLen)
     val pb = minhashBands(probes, probeTextCol, probeIdCol,
         numHashes, rowsPerBand, shingleLen)
@@ -715,10 +725,17 @@ object Dedup {
     * value (distinct signatures that agree on a band without being
     * near-duplicates); buckets above the cap are dropped BEFORE the join
     * fan-out, bounding total candidates at cap × N × bands × ballSize —
-    * linear in the corpus for fixed dials. Pairs whose EVERY qualifying
-    * band lands in an oversized bucket are missed — price the recall with
-    * [[pairRecall]]. `None` keeps all buckets (the exact evaluation
-    * surface); corpus-scale runs go through [[hammingDedupCorpus]], which
+    * linear in the corpus for fixed dials. The exact miss condition under
+    * the cap: a qualifying band recovers a pair only if BOTH endpoints'
+    * band rows survive — at per-band distance ≥ 1 the two endpoints hold
+    * DIFFERENT keys in that band (the probe lands on the partner's key
+    * only after the XOR mask), so the drop of either endpoint's bucket
+    * loses that band. A pair is therefore missed as soon as every
+    * qualifying band has either endpoint's key in an oversized bucket —
+    * strictly more loss than an "every band's shared bucket is oversized"
+    * reading would suggest. Price the realized recall with [[pairRecall]].
+    * `None` keeps all buckets (the exact evaluation surface);
+    * corpus-scale runs go through [[hammingDedupCorpus]], which
     * auto-derives the cap like the text path ([[dedupCorpus]]).
     */
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
@@ -813,9 +830,19 @@ object Dedup {
     * radius-8 recall exact at 4 bands, so the wide-band dimensioning is
     * strictly better at every corpus size. Pair SEMANTICS are unchanged
     * (same exact ≤ maxHamming graph when the cap is slack).
+    *
+    * BEHAVIOR CHANGE (r10): `maxBucketSize = None` now means "auto-derive
+    * a cap", not "uncapped" — recall is no longer unconditionally exact
+    * on corpora dense enough for the dyadic cap to bind. This is the
+    * right default for the corpus-scale entry point (an uncapped dense
+    * corpus is an all-pairs join in disguise); callers that need the old
+    * unconditional-exact surface pass `maxBucketSize =
+    * Some(Long.MaxValue)` and accept unbounded bucket joins, or use
+    * [[hammingPairs]] with `None` directly.
     */
   def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
-      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8,
+      bits: Int = DefaultSigBits, bands: Int = DefaultSigBands,
+      maxHamming: Int = DefaultSigMaxHamming,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
     val all = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
     // null signatures (undecodable items) can't be compared to anything:
@@ -1032,7 +1059,7 @@ object Dedup {
     * Driver-side scalar math; price the result on real data with
     * [[pairRecall]].
     */
-  def lshPlan(threshold: Double, numHashes: Int = 12): LshPlan = {
+  def lshPlan(threshold: Double, numHashes: Int = DefaultNumHashes): LshPlan = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
     require(numHashes > 0, "numHashes must be positive")
     val plans = (1 to numHashes).filter(numHashes % _ == 0).map { r =>

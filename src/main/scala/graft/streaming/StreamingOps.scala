@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -101,7 +102,9 @@ object StreamingOps {
   def streamNearCorpusFlag(stream: DataFrame, textCol: String,
       corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      numHashes: Int = 12, rowsPerBand: Int = 3, shingleLen: Int = 8): DataFrame = {
+      numHashes: Int = Dedup.DefaultNumHashes,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      shingleLen: Int = Dedup.DefaultShingleLen): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val corpusSigs = graft.ops.Dedup
       .minhashBands(corpus, corpusTextCol, corpusIdCol, numHashes, rowsPerBand, shingleLen)
@@ -149,7 +152,8 @@ object StreamingOps {
   def streamImageNearCorpusFlag(stream: DataFrame, payloadCol: String,
       corpusSigs: DataFrame, corpusHashCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      bits: Int = 64, bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+      bits: Int = Dedup.DefaultSigBits, bands: Int = Dedup.DefaultSigBands,
+      maxHamming: Int = Dedup.DefaultSigMaxHamming): DataFrame = {
     val masks = graft.ops.Dedup.hammingBallMasks(bits / bands, maxHamming / bands)
     val keys0 = corpusSigs
       .select(explode(graft.ops.Dedup.hammingBandKeysCol(

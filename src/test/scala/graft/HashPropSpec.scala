@@ -133,6 +133,41 @@ class HashPropSpec extends AnyFunSuite {
     assert(out(n + 3) == out(1L))                              // near-dup via thin bands
   }
 
+  test("bucket cap BINDING is priced exactly by pairRecall (the degraded mode has a number)") {
+    // The cap's contract (Dedup.scala maxBucketSize doc): a pair is missed
+    // as soon as every qualifying band has EITHER endpoint's key in an
+    // oversized bucket. This test PLANTS that situation deterministically
+    // and pins the recall number pairRecall reports for it — the degraded
+    // mode's loss is measured, not just bounded.
+    //
+    // Construction (bands = 4 × 16 bits, maxHamming = 3 ⇒ per-band radius
+    // 0, classic intact-band join): 100 hot signatures share band-0 key
+    // 0xABCD; high 48 bits replicate a distinct 12-bit id 4× so any two
+    // hot rows are ≥ 4 apart (no unintended pairs; after the 3-bit flip
+    // below, still ≥ 4·w − 3·2 + 3 ≥ 5 ∀ w ≥ 1 by overlap counting).
+    //   - HOT pair: b = hot(7) ^ one bit in EACH of bands 1..3 (hamming 3,
+    //     band 0 the only qualifying band, both endpoints in the oversized
+    //     0xABCD bucket) — missed under any cap < 101.
+    //   - THIN pair: band-0 key 0x000F, hamming 1 — every bucket tiny, found.
+    val spark2 = spark
+    import spark2.implicits._
+    def hot(id: Long): Long =
+      (id << 52) | (id << 40) | (id << 28) | (id << 16) | 0xABCDL
+    val rows = (0L until 100L).map(i => (i, hot(i))) ++ Seq(
+      (1000L, hot(7) ^ (1L << 20) ^ (1L << 36) ^ (1L << 52)), // hot pair w/ id 7
+      (2000L, (0x321L << 16) | 0x000FL),                      // thin pair a
+      (2001L, ((0x321L << 16) | 0x000FL) ^ (1L << 16)))       // thin pair b (h=1)
+    val df = rows.toDF("id", "sig")
+    val exact = Dedup.hammingPairs(df, "id", "sig", bits = 64, bands = 4,
+      maxHamming = 3, maxBucketSize = None)
+    val capped = Dedup.hammingPairs(df, "id", "sig", bits = 64, bands = 4,
+      maxHamming = 3, maxBucketSize = Some(50L))
+    val r = Dedup.pairRecall(exact, capped).head()
+    assert(r.getLong(0) == 2L, "reference graph must be exactly the 2 planted pairs")
+    assert(r.getLong(1) == 1L, "cap must drop the hot pair and keep the thin pair")
+    assert(r.getDouble(2) == 0.5)
+  }
+
   test("audio envelope hash is exactly gain-invariant (integer gain, no clipping)") {
     val stepsGen: Gen[(List[Int], Int)] = for {
       steps <- Gen.listOfN(65, Gen.choose(0, 4000))
