@@ -1321,6 +1321,24 @@ object CatalogOps {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** The stream-stream join's hot-key guard derivation
+    * ([[StreamingOps.hotKeyMasses]] — SCALE.md §17.6): per-key horizon
+    * masses over events.user_id, hot = mass above the dyadic
+    * output-budget cap (largest power of two c with Σ_{m≤c} m² ≤
+    * 64 × rows, floored at 16). The oracle replays the sketch with the
+    * same integer arithmetic as the dedup-cap oracles.
+    */
+  private val stHotKeyGuard = Q("st_hotkey_guard",
+    (s, dir) => StreamingOps.hotKeyMasses(t(s, dir, "events"), "user_id"),
+    Some(s"""WITH masses AS (SELECT user_id, count(*) AS m FROM events GROUP BY user_id),
+      pw AS (SELECT unnest([$powersSql]) AS p),
+      hist AS (SELECT (SELECT min(p) FROM pw WHERE p >= m) AS bcap, sum(m * m) AS w
+        FROM masses GROUP BY 1),
+      capv AS (SELECT greatest(coalesce(max(bcap), 16), 16) AS cap FROM (
+          SELECT bcap, sum(w) OVER (ORDER BY bcap) AS cw FROM hist)
+        WHERE cw <= 64 * (SELECT count(*) FROM events))
+      SELECT user_id, m, m > (SELECT cap FROM capv) AS is_hot FROM masses"""))
+
   /** Span-level decontamination: same corpus/probe split as
     * txt_contamination; the oracle replays the gaps-and-islands span
     * collapse with a SQL window.
@@ -1437,5 +1455,5 @@ object CatalogOps {
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
-    stWindow)
+    stWindow, stHotKeyGuard)
 }

@@ -839,6 +839,16 @@ object Dedup {
     * unconditional-exact surface pass `maxBucketSize =
     * Some(Long.MaxValue)` and accept unbounded bucket joins, or use
     * [[hammingPairs]] with `None` directly.
+    *
+    * MEASURED bind profile (SCALE.md §17.2, 500 k docs / 496 k distinct
+    * 64-bit SimHash sigs, sf10 uniform): the cap DOES bind on corpora
+    * whose signature bits are correlated (shared vocabulary skews 16-bit
+    * band keys) — 34% of band rows sat in over-cap buckets and pair-level
+    * recall was 0.48 vs the uncapped join. Under zipf skew the collapse
+    * absorbs the hot mass first and the bind is mild (15% of band rows).
+    * Deployments that need a recall FLOOR on dense-signature corpora
+    * should price it with [[pairRecall]] on a sample, raise `pairBudget`,
+    * or buy exactness with `Some(Long.MaxValue)`.
     */
   def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int = DefaultSigBits, bands: Int = DefaultSigBands,

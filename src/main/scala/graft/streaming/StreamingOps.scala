@@ -197,6 +197,82 @@ object StreamingOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $after"))
   }
 
+  /** Per-key horizon masses with the hot-key verdict — the derivation
+    * behind [[streamHotKeyGuard]], exposed so deployments can audit WHICH
+    * keys the guard would route and at what cap. `history` is a batch
+    * sample representative of one join horizon (watermark delay + range
+    * width) of traffic; a key with mass m there emits Θ(m²) rows from a
+    * self-interval-join, so the admissible per-key mass cap is derived
+    * exactly like the batch dedup bucket caps ([[graft.ops.Dedup]]'s
+    * dyadic sketch): the largest power-of-two `c` such that keys at mass
+    * ≤ c together emit ≤ `pairBudget × historyRows` pairs, floored at 16.
+    * Returns one row per distinct key: (keyCol, m, is_hot).
+    *
+    * Measured need (SCALE.md §17.6): an 11%-hot zipf key stream never
+    * completed ONE micro-batch of a self-interval-join — ~1.2×10⁸ joined
+    * rows from the hot key alone at 100 k-row batches, quadratic in batch
+    * size — while every other streaming op was skew-immune. Output
+    * volume, not state, is the wall; no join strategy removes it, so the
+    * guard must live IN FRONT of the join.
+    */
+  def hotKeyMasses(history: DataFrame, keyCol: String,
+      pairBudget: Long = 64): DataFrame = {
+    // eager checkpoint: one history scan feeds both the budget action and
+    // the cap sketch; the frame is one row per distinct key (small)
+    val masses = history.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val rows = masses.agg(coalesce(sum(col("m")), lit(0L))).head().getLong(0)
+    val cap = Dedup.dyadicSizeCap(masses, "m",
+      pairBudget * math.max(1L, rows))
+    masses.withColumn("is_hot", col("m") > cap)
+  }
+
+  /** Hot-key guard for stream-stream self-joins — SCALE.md §17.6's
+    * deployment rule as code. Tags each stream row with `flagCol` = true
+    * when its key's measured per-horizon mass would blow the join-output
+    * budget ([[hotKeyMasses]]); the caller routes flagged rows to a side
+    * channel (sampled join, offline batch pass, or drop) and feeds the
+    * rest to [[streamStreamIntervalJoin]]. The hot-key set is materialized
+    * ONCE at stream definition (snapshot semantics, like the corpus
+    * flags) and applied as a broadcast stream-static left join —
+    * stateless, so it composes freely in front of the stateful join. The
+    * set is bounded by historyRows / cap keys (cap ≥ 16); under real skew
+    * it is a handful of celebrity keys — if most keys are hot the join
+    * itself is over budget at ANY partitioning and the guard saying so
+    * loudly is the correct behavior.
+    */
+  def streamHotKeyGuard(stream: DataFrame, keyCol: String,
+      history: DataFrame, historyKeyCol: String,
+      pairBudget: Long = 64, flagCol: String = "is_hot_key"): DataFrame = {
+    val hot = hotKeyMasses(history, historyKeyCol, pairBudget)
+      .where(col("is_hot"))
+      .select(col(historyKeyCol).as(keyCol), lit(true).as(flagCol))
+      .localCheckpoint(true)
+    stream.join(broadcast(hot), Seq(keyCol), "left")
+      .na.fill(false, Seq(flagCol))
+  }
+
+  /** [[streamStreamIntervalJoin]] with the hot-key guard in front of BOTH
+    * sides: rows whose key is hot ([[hotKeyMasses]] over `history`) are
+    * excluded via a broadcast anti-join before any state is buffered, so
+    * the joined output is the exact interval join over non-hot keys — the
+    * production shape §17.6 prescribes for skewed key streams.
+    */
+  def guardedStreamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, tsCol: String, delay: String,
+      before: String, after: String,
+      history: DataFrame, historyKeyCol: String,
+      pairBudget: Long = 64): DataFrame = {
+    val hot = hotKeyMasses(history, historyKeyCol, pairBudget)
+      .where(col("is_hot"))
+      .select(col(historyKeyCol).as(key))
+      .localCheckpoint(true)
+    def guarded(side: DataFrame): DataFrame =
+      side.join(broadcast(hot), Seq(key), "left_anti")
+    streamStreamIntervalJoin(guarded(left), guarded(right),
+      key, tsCol, delay, before, after)
+  }
+
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)

@@ -255,6 +255,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
+  test("hotKeyMasses: dyadic output-budget cap flags the planted celebrity key only") {
+    // keys 0–9 at mass 2 (class-2 weight 40) + key 7 at mass 200
+    // (class-256 weight 40000): rows = 220, budget = 64×220 = 14080, so
+    // the class-256 cum (40040) blows the budget and the cap floors at
+    // 16 — exactly one hot key, priced by its own m².
+    val hist = ((0 until 10).flatMap(k => Seq.fill(2)(k.toLong)) ++
+      Seq.fill(200)(7L)).toDF("k")
+    val got = StreamingOps.hotKeyMasses(hist, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.count(_._3) == 1)
+    assert(got.contains((7L, 202L, true)))
+    assert(got.contains((3L, 2L, false)))
+  }
+
+  test("guardedStreamStreamIntervalJoin: hot key routed out, join equals the batch twin on surviving keys") {
+    val rnd = new scala.util.Random(20260815L)
+    val baseMs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def mk(pfx: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_hkg_$pfx").toString
+      val uniform = (0 until 200).map { i =>
+        (new java.sql.Timestamp(baseMs + rnd.nextInt(3600) * 1000L),
+          rnd.nextInt(8).toLong, s"$pfx$i")
+      }
+      // the celebrity: one key carrying ~33% of the side's rows — the
+      // §17.6 shape whose unguarded self-join output is Θ(mass²)
+      val hot = (0 until 100).map { i =>
+        (new java.sql.Timestamp(baseMs + rnd.nextInt(3600) * 1000L),
+          99L, s"${pfx}h$i")
+      }
+      (uniform ++ hot).toDF("ts", "k", "tag").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val (ldir, rdir) = (mk("l"), mk("r"))
+    val history = spark.read.parquet(ldir).unionByName(spark.read.parquet(rdir))
+    // the guard's OWN verdicts drive the batch twin (no hardcoded key
+    // list): assert the celebrity is hot, then require stream ≡ batch on
+    // the surviving keys exactly
+    val verdicts = StreamingOps.hotKeyMasses(history, "k")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(verdicts(99L), "planted 33%-mass key must be hot")
+    assert(verdicts.count(_._2) < verdicts.size, "uniform keys must survive")
+    val schema = spark.read.parquet(ldir).schema
+    val joined = StreamingOps.guardedStreamStreamIntervalJoin(
+      spark.readStream.schema(schema).parquet(ldir),
+      spark.readStream.schema(schema).parquet(rdir),
+      key = "k", tsCol = "ts", delay = "1 day",
+      before = "2 MINUTES", after = "5 MINUTES",
+      history = history, historyKeyCol = "k")
+      .select(col("l.tag").as("ltag"), col("r.tag").as("rtag"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("hkg_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("hkg_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    } finally q.stop()
+    val hotKeys = verdicts.filter(_._2).keySet
+    val lb = spark.read.parquet(ldir).where(!col("k").isin(hotKeys.toSeq: _*)).as("l")
+    val rb = spark.read.parquet(rdir).where(!col("k").isin(hotKeys.toSeq: _*)).as("r")
+    val want = lb.join(rb,
+        col("l.k") === col("r.k") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 2 MINUTES") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("l.tag"), col("r.tag")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture must exercise the surviving-key join")
+    assert(got == want, s"guarded stream ${got.size} rows vs batch twin ${want.size}")
+  }
+
+  test("streamHotKeyGuard: tags hot-key rows in-stream, passes the rest unflagged") {
+    val baseMs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val dir = java.nio.file.Files.createTempDirectory("graft_hkg_tag").toString
+    ((0 until 40).map(i => (new java.sql.Timestamp(baseMs + i * 1000L), (i % 4).toLong)) ++
+      (0 until 300).map(i => (new java.sql.Timestamp(baseMs + i * 1000L), 42L)))
+      .toDF("ts", "k").write.mode("overwrite").parquet(dir)
+    val history = spark.read.parquet(dir)
+    val schema = history.schema
+    val flagged = StreamingOps.streamHotKeyGuard(
+      spark.readStream.schema(schema).parquet(dir), "k", history, "k")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("hkg_tag_out").start()
+    val rows = try {
+      q.processAllAvailable()
+      spark.table("hkg_tag_out").select(col("k"), col("is_hot_key")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+    } finally q.stop()
+    assert(rows.length == 340)
+    assert(rows.filter(_._1 == 42L).forall(_._2), "celebrity rows must be flagged")
+    assert(rows.filter(_._1 != 42L).forall(!_._2), "uniform rows must pass unflagged")
+  }
+
   test("runStream: streaming RML writes N-Triples part files per batch") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_rs_out").toString
