@@ -296,7 +296,13 @@ object Dedup {
           .drop("__bsz")
       case None => allBands
     }
-    val a = bands.as("a"); val b = bands.as("b")
+    // merge hint: same Generate-stats hazard as [[hammingPairs]]' probe
+    // join — band rows descend from a posexplode whose fan-out Catalyst
+    // does not model, so a cached upstream makes both sides estimate
+    // small and a statically-planned broadcast of a corpus-scale side
+    // can hit the 8 GiB hard cap. Candidate self-joins are shuffle-shaped
+    // by construction; pin the plan.
+    val a = bands.as("a").hint("merge"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -597,7 +603,9 @@ object Dedup {
     val bb = minhashBands(batch, textCol, idCol, numHashes, rowsPerBand, shingleLen)
       .withColumn("is_new", lit(true))
     val all = cb.unionByName(bb)
-    all.as("a").join(all.as("b"),
+    // merge hint: see [[hammingPairs]] — explode-descended self-join,
+    // broadcast misestimate hazard, shuffle-shaped at target scale
+    all.as("a").hint("merge").join(all.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id") && (col("a.is_new") || col("b.is_new")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -767,8 +775,17 @@ object Dedup {
     }
     // one-sided expansion suffices: for the pair (a, b) with a.id < b.id
     // and qualifying-band XOR delta (popcount ≤ r'), a's probe with
-    // mask = delta lands exactly on b's un-expanded key
-    probe.as("a").join(banded.as("b"),
+    // mask = delta lands exactly on b's un-expanded key.
+    // merge hint: both sides descend from explode()s, and Catalyst's
+    // Generate stats do not model the fan-out — when the signature frame
+    // upstream is cached (hammingDedupCorpus persists reps), its accurate
+    // small size propagates THROUGH the explodes, the probe side
+    // (actually ballSize× larger) estimates under the broadcast
+    // threshold, and the statically-planned broadcast dies at Spark's
+    // hard 8 GiB cap (measured at 500 k uniform docs, SCALE.md §17.2).
+    // A corpus×corpus candidate join is never broadcast-shaped at the
+    // scale this operator targets; pin the shuffle join.
+    probe.as("a").hint("merge").join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))

@@ -256,4 +256,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       s"cluster map not pre-materialized (whole pipeline would replay per action):\n$p")
   }
+
+  test("candidate self-joins pin to shuffle even over a cached signature frame") {
+    // The misplanning this guards (measured at 500 k uniform docs,
+    // SCALE.md §17.2): a CACHED upstream gives accurate-small stats,
+    // Catalyst's Generate stats don't model the explode fan-out
+    // (×bands, then ×137 probe masks), both join sides estimate under
+    // the broadcast threshold, and the statically-planned broadcast of
+    // a side that is really corpus×ballSize dies at Spark's hard 8 GiB
+    // cap. The merge hint must hold exactly in this cached condition.
+    import spark.implicits._
+    val sigs = (0L until 64L).map(i => (i, i * 2654435761L)).toDF("id", "sig")
+      .persist()
+    sigs.count() // materialize: stats now accurate AND small
+    val docs = (0L until 64L).map(i => (i, s"text body number $i repeated"))
+      .toDF("id", "text").persist()
+    docs.count()
+    try {
+      // uncapped expanded hamming path: exactly one join — the candidate join
+      val hp = graft.ops.Dedup.hammingPairs(sigs, "id", "sig", 64, 4, 8, None)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!hp.contains("BroadcastHashJoin"),
+        s"hamming candidate join planned as broadcast:\n$hp")
+      assert(hp.contains("SortMergeJoin"),
+        s"hamming candidate join not pinned to sort-merge:\n$hp")
+      // capped path adds the bucket-size join (bounded by the band key
+      // space — broadcast there is fine); the candidate join stays pinned
+      val hc = graft.ops.Dedup.hammingPairs(sigs, "id", "sig", 64, 4, 8, Some(16L))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(hc.contains("SortMergeJoin"),
+        s"capped hamming candidate join not pinned to sort-merge:\n$hc")
+      // uncapped MinHash band path: exactly one join — the band self-join
+      val mc = graft.ops.Dedup.minhashCandidates(docs, "text", "id", 12, 3, 8, None)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!mc.contains("BroadcastHashJoin"),
+        s"minhash band self-join planned as broadcast:\n$mc")
+      assert(mc.contains("SortMergeJoin"),
+        s"minhash band self-join not pinned to sort-merge:\n$mc")
+    } finally { sigs.unpersist(); docs.unpersist(); () }
+  }
 }
