@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * full corpus text. At sf0.1–sf1 compute dominates (codegen shingles
   * are cheap) and wall-clock alone can't see the difference, so this
   * harness prices the claim in the currency it's actually made in:
-  * `TaskMetrics.inputMetrics.bytesRead`, summed task-by-task per leg.
+  * bytes read per leg — plan-level scan-selected file bytes (replay
+  * inclusive) and process-level read() bytes; see the counter notes
+  * inside `main`.
   *
   * Three legs, each a fresh cache-cleared run over the same snapshot
   * pair (old = documents, new = the catalog rows' rm/ch/ad mutation):
@@ -46,13 +48,11 @@ object IoCensus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val inBytes = new java.util.concurrent.atomic.AtomicLong
     val inRecords = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
-          inBytes.addAndGet(m.inputMetrics.bytesRead)
           inRecords.addAndGet(m.inputMetrics.recordsRead)
           ()
         }
@@ -71,18 +71,76 @@ object IoCensus {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
     }
 
+    // Byte counters that actually see local parquet scans. Three rejected
+    // instruments, measured on this box (r11): TaskMetrics.inputMetrics
+    // under-reports `file:` parquet data in local mode (a 27 MB corpus
+    // scan reported 0.000 GB — the vectorized reader's column-chunk
+    // reads bypass the Hadoop FS statistics that inputMetrics sources);
+    // FileSystem.getGlobalStorageStatistics("file") sees only
+    // footers/metadata (129 KB for a full 15 MB-of-text scan); and
+    // walking the action's executedPlan for FileSourceScan metrics
+    // misses every scan hidden under an AQE QueryStageExec or a cached
+    // relation (0.000 GB on the ingest legs), while descending into
+    // cached plans would double-count them once per consumer. What
+    // works:
+    //   - `scan_gb`: the SQL listener event stream. Each
+    //     SQLExecutionStart / AdaptiveExecutionUpdate carries the plan's
+    //     metric accumulator ids; "size of files read" updates arrive as
+    //     DriverAccumUpdates exactly once per scan node that actually
+    //     EXECUTED — a cache hit never re-posts, a lineage replay posts
+    //     a fresh accumulator. Keyed by accumulator id, so the sum is
+    //     "file bytes selected, replay-inclusive": the claim's currency.
+    //   - `rchar_gb`: /proc/self/io rchar delta — true read() syscall
+    //     bytes for the whole JVM (one process under local[*]), shuffle
+    //     and spill traffic included.
+    val scanAccumIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val scanAccumVals = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    def regPlanInfo(info: org.apache.spark.sql.execution.SparkPlanInfo): Unit = {
+      info.metrics.foreach { m =>
+        if (m.name == "size of files read") { scanAccumIds.add(m.accumulatorId); () }
+      }
+      info.children.foreach(regPlanInfo)
+    }
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          regPlanInfo(s.sparkPlanInfo)
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLAdaptiveExecutionUpdate =>
+          regPlanInfo(s.sparkPlanInfo)
+        case d: org.apache.spark.sql.execution.ui.SparkListenerDriverAccumUpdates =>
+          d.accumUpdates.foreach { case (id, v) =>
+            if (scanAccumIds.contains(id)) { scanAccumVals.put(id, v); () }
+          }
+        case _ => ()
+      }
+    })
+    def scanBytesNow: Long = {
+      var s = 0L
+      scanAccumVals.values().forEach(v => s += v.longValue())
+      s
+    }
+    def procRchar: Long = {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("rchar:") => l.split(":\\s*")(1).trim.toLong
+      }.getOrElse(0L)
+      finally src.close()
+    }
+
     val stateDir = java.nio.file.Files.createTempDirectory("graft_iocensus_").toString
     def leg(name: String)(body: => Long): Unit = {
       spark.catalog.clearCache()
       // drain straggling task-end events from the previous leg before
       // zeroing (the listener bus is async; 2 s dwarfs its latency)
       Thread.sleep(2000L)
-      inBytes.set(0L); inRecords.set(0L)
+      inRecords.set(0L); scanAccumVals.clear()
+      val r0 = procRchar
       val t0 = System.nanoTime()
       val out = body
       Thread.sleep(2000L)
       val sec = (System.nanoTime() - t0) / 1e9 - 2.0
-      println(f"""{"census":"sigstore_io","sf":"$sfDir","leg":"$name","input_gb":${inBytes.get / 1e9}%.3f,"input_records":${inRecords.get},"out_rows":$out,"wall_sec":$sec%.1f}""")
+      val rcharGb = (procRchar - r0) / 1e9
+      println(f"""{"census":"sigstore_io","sf":"$sfDir","leg":"$name","scan_gb":${scanBytesNow / 1e9}%.3f,"rchar_gb":$rcharGb%.3f,"input_records":${inRecords.get},"out_rows":$out,"wall_sec":$sec%.1f}""")
     }
 
     leg("state_build") {

@@ -208,7 +208,12 @@ object Curation {
   def incrementalRebuild(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String, numHashes: Int = Dedup.DefaultNumHashes,
       rowsPerBand: Int = Dedup.DefaultRowsPerBand, shingleLen: Int = Dedup.DefaultShingleLen): DataFrame = {
-    val delta = corpusDiff(oldSnap, newSnap, idCol, textCol)
+    // eager checkpoint: delta is change-rate-sized (small), but its
+    // lineage is the full two-sided hash diff — consumed from batchIds
+    // (band flags, component labeling) and the final patch join, an
+    // unchecked lineage replays the corpus-text scans once PER CONSUMER
+    // (measured as the §17.4 byte multiple before this cut)
+    val delta = corpusDiff(oldSnap, newSnap, idCol, textCol).localCheckpoint(true)
     val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
     val repMap = Dedup.textGroups(newSnap, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -265,10 +270,15 @@ object Curation {
     */
   private def labelPatch(delta: DataFrame, batchIds: DataFrame,
       pairs: DataFrame, release: () => Unit): DataFrame = {
+    // eager checkpoint: comp is pair-graph-node-sized (delta-adjacent,
+    // small) and consumed twice (canon + labeled) — uncheckpointed, each
+    // consumer replays the batchIds join and, through it, the caller's
+    // diff lineage
     val comp = Dedup.resolveClusters(pairs)
       .join(batchIds.withColumn("__new", lit(true)), Seq("id"), "left")
       .withColumn("is_new", coalesce(col("__new"), lit(false)))
       .drop("__new")
+      .localCheckpoint(true)
     release()
     val canon = comp.groupBy(col("cluster")).agg(
       min(when(!col("is_new"), col("id"))).as("anchor"),
@@ -317,8 +327,18 @@ object Curation {
     val newDocs = newSnap.select(col(idCol).as("id"),
         Dedup.contentHash(col(textCol)).as("th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one physical scan of the store's sig leg: knownTh and the liveSigs
+    // union are different consumers of the SAME frame, and the whole
+    // point of the store path is that it reads LESS than the corpus —
+    // re-scanning the store per consumer quietly multiplies its
+    // input-byte claim (§17.4's census is the regression gate)
+    val storeSigs = state.sigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the snapshot diff, old side read from the store (same status
-    // semantics as corpusDiff — its hash IS this hash)
+    // semantics as corpusDiff — its hash IS this hash). Eagerly
+    // checkpointed for the same replay reason as incrementalRebuild's
+    // delta: its lineage holds the store-docs scan and the full-outer
+    // exchange, and it has three downstream consumers.
     val delta = state.docs.withColumnRenamed("th", "__ho")
       .join(newDocs.withColumnRenamed("th", "__hn"), Seq("id"), "full_outer")
       .withColumn("status",
@@ -327,6 +347,7 @@ object Curation {
           .when(col("__ho") =!= col("__hn"), "changed"))
       .where(col("status").isNotNull)
       .select(col("id"), col("status"))
+      .localCheckpoint(true)
     val batchIds = delta.where(col("status") =!= "removed").select(col("id"))
     // collapse map over the new snapshot, from hashes alone
     val repMap = newDocs.join(
@@ -337,7 +358,7 @@ object Curation {
       .agg(max(coalesce(col("__n"), lit(false))).as("has_new"))
     // shingle work ONLY for texts the store has never seen: one probe
     // document per unseen hash
-    val knownTh = state.sigs.select(col("th")).distinct()
+    val knownTh = storeSigs.select(col("th")).distinct()
     val probeIds = repMap.join(knownTh, Seq("th"), "left_anti")
       .groupBy(col("th")).agg(min(col("id")).as("id"))
       .select(col("id"))
@@ -348,7 +369,7 @@ object Curation {
       .join(newDocs, Seq("id"))
       .select(col("th"), col("band"), col("sig"))
     // compact: only texts alive in this snapshot stay in the store
-    val liveSigs = state.sigs.unionByName(newSigs)
+    val liveSigs = storeSigs.unionByName(newSigs)
       .join(newDocs.select(col("th")).distinct(), Seq("th"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = liveSigs.join(grpNew.withColumnRenamed("rep", "id"), Seq("th"))
@@ -358,7 +379,7 @@ object Curation {
     val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b")))
     val patch = labelPatch(delta, batchIds, pairs,
-      () => { newDocs.unpersist(); liveSigs.unpersist(); bands.unpersist(); () })
+      () => { newDocs.unpersist(); storeSigs.unpersist(); liveSigs.unpersist(); bands.unpersist(); () })
     RebuildResult(patch, RebuildState(newDocs, liveSigs))
   }
 
