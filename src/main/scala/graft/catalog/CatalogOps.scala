@@ -1059,6 +1059,91 @@ object CatalogOps {
       NULL::VARCHAR AS decode_error
       FROM documents, unnest(generate_series(0, (doc_id % 4)::INT)) AS t(f)"""))
 
+  /** H.264 Annex-B structure parse WITHOUT pixel decode: per-doc synthetic
+    * baseline streams (SPS/PPS + IDR/non-IDR slices, dims and cadence from
+    * doc_id; slice bodies high-bit bytes so no emulation-prevention or
+    * start-code aliasing can occur) scanned by
+    * [[graft.ops.VideoBitstream.parseH264Nals]] — the oracle replays the
+    * byte layout closed-form: Exp-Golomb lengths via
+    * 2·⌊log2(k+1)⌋+1 = 2·(length(bin(k+1))−1)+1, SPS size =
+    * 1 + ⌈(38+Lw+Lh)/8⌉, slice offsets by prefix sums over the
+    * per-frame body-length formula.
+    */
+  private val mmH264Nals = Q("mm_h264_nals",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.VideoBitstream.syntheticAnnexB(
+          (lit(1) + col("doc_id") % 8).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.VideoBitstream.parseH264Nals(clips, "payload")
+        .select(col("doc_id"), col("nal_idx"), col("nal_type"),
+          col("nal_ref_idc"), col("nal_offset"), col("nal_size"),
+          col("is_idr"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 8)::INT AS mbw, (1 + doc_id % 5)::INT AS mbh,
+          (1 + doc_id % 6)::INT AS nf, (1 + doc_id % 3)::INT AS period,
+          (doc_id % 16)::INT AS seed
+        FROM documents),
+      hdr AS (
+        SELECT *, (1 + (38 + (2*(length(bin(mbw))-1)+1)
+                          + (2*(length(bin(mbh))-1)+1) + 7) // 8)::INT AS sps_size
+        FROM p),
+      sl AS (
+        SELECT doc_id, sps_size, period, f::INT AS f,
+          (9 + (seed + f) % 16)::INT AS ssz
+        FROM hdr, unnest(generate_series(0, nf - 1)) AS t(f)),
+      slo AS (
+        SELECT doc_id, sps_size, period, f, ssz,
+          coalesce(sum(ssz + 3) OVER (PARTITION BY doc_id ORDER BY f
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS prior
+        FROM sl)
+      SELECT doc_id, 0::INT AS nal_idx, 7::INT AS nal_type, 3::INT AS nal_ref_idc,
+        4::INT AS nal_offset, sps_size AS nal_size, FALSE AS is_idr,
+        NULL::VARCHAR AS parse_error
+      FROM hdr
+      UNION ALL
+      SELECT doc_id, 1::INT, 8::INT, 3::INT, (4 + sps_size + 3)::INT, 5::INT,
+        FALSE, NULL::VARCHAR
+      FROM hdr
+      UNION ALL
+      SELECT doc_id, (2 + f)::INT,
+        (CASE WHEN f % period = 0 THEN 5 ELSE 1 END)::INT,
+        (CASE WHEN f % period = 0 THEN 3 ELSE 2 END)::INT,
+        (4 + sps_size + 3 + 5 + 3 + prior)::INT, ssz,
+        f % period = 0, NULL::VARCHAR
+      FROM slo"""))
+
+  /** SPS-derived clip metadata (profile/level/dims from a REAL Exp-Golomb
+    * parse of the synthetic SPS, NAL/IDR counts from the Annex-B scan) —
+    * the resolution/keyframe-density curation gates, decode-free. The
+    * oracle predicts every field from the doc_id formulas (idr_count =
+    * ⌈nf/period⌉).
+    */
+  private val mmH264Meta = Q("mm_h264_meta",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.VideoBitstream.syntheticAnnexB(
+          (lit(1) + col("doc_id") % 8).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.VideoBitstream.h264ClipMeta(clips, "payload")
+        .select(col("doc_id"), col("h264_profile"), col("h264_level"),
+          col("h264_width"), col("h264_height"), col("nal_count"),
+          col("idr_count"), col("parse_error"))
+    },
+    Some("""SELECT doc_id, 66::INT AS h264_profile, 30::INT AS h264_level,
+      (16 * (1 + doc_id % 8))::INT AS h264_width,
+      (16 * (1 + doc_id % 5))::INT AS h264_height,
+      (2 + 1 + doc_id % 6)::INT AS nal_count,
+      ((1 + doc_id % 6 + doc_id % 3) // (1 + doc_id % 3))::INT AS idr_count,
+      NULL::VARCHAR AS parse_error
+      FROM documents"""))
   /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
     * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
     * writer, lossless) hashed by [[Multimodal.imagePerceptualHash]] — the
@@ -1453,7 +1538,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     stWindow, stHotKeyGuard)
 }

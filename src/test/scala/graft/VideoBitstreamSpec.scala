@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 bitstream structure ops: Annex-B scan, RBSP escaping, SPS parse.
+  * The synthetic generator is itself under test here (the catalog oracle
+  * depends on its byte layout being exactly the documented formulas).
+  */
+class VideoBitstreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def clips(rows: (Long, Int, Int, Int, Int, Int)*) =
+    rows.toSeq.toDF("doc_id", "mbw", "mbh", "nf", "period", "seed")
+      .select(col("doc_id"), VideoBitstream.syntheticAnnexB(
+        col("mbw"), col("mbh"), col("nf"), col("period"), col("seed")).as("payload"))
+
+  test("parseH264Nals: synthetic stream round-trips types, sizes, offsets") {
+    // mbw=3 mbh=2 nf=4 period=2 seed=5
+    val out = VideoBitstream.parseH264Nals(clips((7L, 3, 2, 4, 2, 5)))
+      .orderBy("nal_idx").collect()
+    assert(out.length == 2 + 4)
+    assert(out.map(_.getAs[Int]("nal_type")).toSeq == Seq(7, 8, 5, 1, 5, 1))
+    assert(out.map(_.getAs[Boolean]("is_idr")).toSeq ==
+      Seq(false, false, true, false, true, false))
+    assert(out.map(_.getAs[Int]("nal_ref_idc")).toSeq == Seq(3, 3, 3, 2, 3, 2))
+    // SPS size: ue(mbw-1=2)=3 bits, ue(mbh-1=1)=3 bits → 1+ceil(44/8)=7
+    assert(out(0).getAs[Int]("nal_offset") == 4)
+    assert(out(0).getAs[Int]("nal_size") == 7)
+    assert(out(1).getAs[Int]("nal_offset") == 4 + 7 + 3)
+    assert(out(1).getAs[Int]("nal_size") == 5)
+    // slices: size 9+(5+f)%16 → 14, 15, 16, 17
+    val sizes = out.drop(2).map(_.getAs[Int]("nal_size")).toSeq
+    assert(sizes == Seq(14, 15, 16, 17))
+    // offsets are contiguous: each next = prev + size + 3
+    val offs = out.drop(1).map(_.getAs[Int]("nal_offset")).toSeq
+    val expected = offs.zip(out.drop(1).map(_.getAs[Int]("nal_size")))
+      .scanLeft(offs.head) { case (o, (_, sz)) => o + sz + 3 }.dropRight(1)
+    assert(offs == expected)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("parse_error"))))
+  }
+
+  test("h264ClipMeta: SPS parse recovers dims, profile, level; counts NALs and IDRs") {
+    val out = VideoBitstream.h264ClipMeta(clips((1L, 5, 3, 6, 3, 2)))
+      .collect().head
+    assert(out.getAs[Int]("h264_profile") == 66)
+    assert(out.getAs[Int]("h264_level") == 30)
+    assert(out.getAs[Int]("h264_width") == 80)
+    assert(out.getAs[Int]("h264_height") == 48)
+    assert(out.getAs[Int]("nal_count") == 8)
+    assert(out.getAs[Int]("idr_count") == 2) // f=0,3 of 0..5 with period 3
+  }
+
+  test("emulation prevention: escape/unescape are inverse, and escaped " +
+      "RBSP containing a would-be start code still parses as one NAL") {
+    val hostile = Array[Byte](0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 9, 0, 0)
+    val escaped = VideoBitstream.escapeRbsp(hostile)
+    // every 00 00 0x got an interposed 03
+    assert(escaped.count(_ == 3) > hostile.count(_ == 3))
+    assert(VideoBitstream.rbspBytes(escaped, 0, escaped.length).toSeq ==
+      hostile.toSeq)
+    // a full NAL whose RBSP embeds 00 00 01: scan must still see ONE NAL
+    val stream = Array[Byte](0, 0, 1, 0x65.toByte) ++
+      VideoBitstream.escapeRbsp(Array[Byte](0x44, 0, 0, 1, 0x55, 0x40))
+    val nals = VideoBitstream.findNals(stream)
+    assert(nals.length == 1)
+    assert((stream(nals.head._1) & 0x1f) == 5)
+  }
+
+  test("parseSps: high-profile branch and frame cropping applied to dims") {
+    // hand-encoded SPS: profile 100, chroma 4:2:0, 1920x1088 mbs cropped
+    // to 1920x1080 (bottom crop 4 chroma units = 8 luma rows)
+    val bits = new StringBuilder
+    def u(v: Int, n: Int): Unit =
+      bits.append(Integer.toBinaryString(v | (1 << n)).substring(1))
+    def ue(k: Int): Unit = {
+      val zeros = 31 - Integer.numberOfLeadingZeros(k + 1)
+      u(0, zeros); u(k + 1, zeros + 1)
+    }
+    u(100, 8); u(0, 8); u(40, 8) // profile high, level 4.0
+    ue(0) // sps id
+    ue(1) // chroma_format_idc 4:2:0
+    ue(0); ue(0) // bit depths
+    u(0, 1) // qpprime
+    u(0, 1) // no scaling matrix
+    ue(4) // log2_max_frame_num_minus4
+    ue(0) // pic_order_cnt_type 0
+    ue(4) // log2_max_pic_order_cnt_lsb_minus4
+    ue(4) // max_num_ref_frames
+    u(0, 1) // gaps
+    ue(119) // pic_width_in_mbs_minus1 → 1920
+    ue(67) // pic_height_in_map_units_minus1 → 1088
+    u(1, 1) // frame_mbs_only
+    u(1, 1) // direct_8x8
+    u(1, 1) // frame_cropping_flag
+    ue(0); ue(0); ue(0); ue(4) // crop bottom 4 → −8 luma rows
+    u(0, 1) // vui
+    u(1, 1) // stop bit
+    while (bits.length % 8 != 0) bits.append('0')
+    val rbsp = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val sps = VideoBitstream.parseSps(rbsp)
+    assert(sps.profile == 100)
+    assert(sps.level == 40)
+    assert(sps.width == 1920)
+    assert(sps.height == 1080)
+  }
+
+  test("degradation: null, garbage, and SPS-less payloads yield error rows") {
+    val df = Seq((0L, null: Array[Byte]),
+      (1L, "not a video".getBytes("UTF-8")),
+      (2L, Array[Byte](0, 0, 1, 0x41, 0x7f))) // single non-IDR slice, no SPS
+      .toDF("doc_id", "payload")
+    val parsed = VideoBitstream.parseH264Nals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("parse_error")).toMap
+    assert(parsed(0L) == "null payload")
+    assert(parsed(1L) == "no Annex-B start code")
+    assert(parsed(2L) == null)
+    val meta = VideoBitstream.h264ClipMeta(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(meta(2L).getAs[String]("parse_error") == "no SPS in stream")
+    assert(meta(2L).getAs[Int]("nal_count") == 1)
+    assert(meta(2L).isNullAt(meta(2L).fieldIndex("h264_width")))
+  }
+}
