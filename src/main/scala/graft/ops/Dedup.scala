@@ -748,7 +748,34 @@ object Dedup {
     */
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int, bands: Int, maxHamming: Int,
-      maxBucketSize: Option[Long]): DataFrame = {
+      maxBucketSize: Option[Long]): DataFrame =
+    hammingPairs(sigs, idCol, hashCol, bits, bands, maxHamming,
+      maxBucketSize, knownDistinctSigs = None)
+
+  /** Band-side rows (distinct sigs × bands) below which the candidate
+    * join broadcasts the UN-expanded band side instead of pinning a
+    * shuffle join. Rows, not bytes, because the row is fixed-width
+    * (id, sig, key = 24 data bytes): 4 M rows ≈ 150–200 MB built — a
+    * routine broadcast on a real cluster — and it replaces shuffling AND
+    * sorting the probe side, which is ballSize× (137× at the 64/4/8
+    * dials) LARGER than the band side. Measured (SCALE.md §17.2 post-fix
+    * note): the unconditional merge pin cost uniform-sf10
+    * dd_simhash_corpus +23% and mm_audio_cluster +42% vs the
+    * stats-planned broadcast it replaced.
+    */
+  private[graft] val BroadcastBandRows = 4000000L
+
+  /** `knownDistinctSigs`: a MEASURED distinct-signature count (from a
+    * frame the caller already materialized — [[hammingDedupCorpus]]'s
+    * persisted reps), never a Catalyst estimate. The join strategy is
+    * decided from this ground truth: band side ≤ [[BroadcastBandRows]]
+    * rows → explicit broadcast; above, or unknown (None) → shuffle pin.
+    * Estimates can't make this call — the cached-stats hazard below is
+    * exactly an estimate lying under explode fan-out.
+    */
+  private[graft] def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int,
+      maxBucketSize: Option[Long], knownDistinctSigs: Option[Long]): DataFrame = {
     val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
     // band keys come from the SAME expression the streaming corpus flags
     // use ([[hammingBandKeysCol]] — band index offset-encoded into one
@@ -776,17 +803,24 @@ object Dedup {
     // one-sided expansion suffices: for the pair (a, b) with a.id < b.id
     // and qualifying-band XOR delta (popcount ≤ r'), a's probe with
     // mask = delta lands exactly on b's un-expanded key.
-    // merge hint: both sides descend from explode()s, and Catalyst's
-    // Generate stats do not model the fan-out — when the signature frame
-    // upstream is cached (hammingDedupCorpus persists reps), its accurate
-    // small size propagates THROUGH the explodes, the probe side
-    // (actually ballSize× larger) estimates under the broadcast
-    // threshold, and the statically-planned broadcast dies at Spark's
-    // hard 8 GiB cap (measured at 500 k uniform docs, SCALE.md §17.2).
-    // A corpus×corpus candidate join is never broadcast-shaped at the
-    // scale this operator targets; pin the shuffle join.
-    probe.as("a").hint("merge").join(banded.as("b"),
-        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+    // Join strategy — NEVER left to Catalyst here: both sides descend
+    // from explode()s, and Generate stats do not model the fan-out —
+    // when the signature frame upstream is cached (hammingDedupCorpus
+    // persists reps), its accurate small size propagates THROUGH the
+    // explodes, the probe side (actually ballSize× larger) estimates
+    // under the broadcast threshold, and the statically-planned
+    // broadcast dies at Spark's hard 8 GiB cap (measured at 500 k
+    // uniform docs, SCALE.md §17.2). With a MEASURED count the right
+    // plan is decidable: broadcast the UN-expanded band side when it's
+    // genuinely small (spares the probe side — ballSize× larger — a
+    // shuffle and a sort), shuffle-pin otherwise or when no measurement
+    // exists.
+    val cond = col("a.key") === col("b.key") && col("a.id") < col("b.id")
+    val joined =
+      if (knownDistinctSigs.exists(n => n * bands <= BroadcastBandRows))
+        probe.as("a").join(broadcast(banded.as("b")), cond)
+      else probe.as("a").hint("merge").join(banded.as("b"), cond)
+    joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
@@ -882,16 +916,19 @@ object Dedup {
     val reps = base.groupBy(col("sig")).agg(min(col("id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSigs = reps.select(col("rep").as("id"), col("sig"))
+    // measured once on the persisted frame: sizes the cap budget AND
+    // decides the candidate-join strategy (ground truth, not an estimate)
+    val nReps = math.max(1L, reps.count())
     val cap = maxBucketSize.getOrElse {
       // dyadic sketch over exact band-key bucket sizes of the persisted
       // reps (narrow re-read of the cache; ≤63 size classes collected)
       val sizes = repSigs
         .select(explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
         .groupBy(col("key")).agg(count(lit(1)).as("b"))
-      dyadicSizeCap(sizes, "b", pairBudget * math.max(1L, reps.count()))
+      dyadicSizeCap(sizes, "b", pairBudget * nReps)
     }
     val pairs = hammingPairs(repSigs, "id", "sig", bits, bands, maxHamming,
-      Some(cap))
+      Some(cap), knownDistinctSigs = Some(nReps))
     val clusters = resolveClusters(pairs) // (id=rep, cluster); singletons absent
     // eager localCheckpoint: the per-signature cluster map is one row per
     // DISTINCT signature (small), and materializing it here lets the reps

@@ -295,4 +295,32 @@ class PlanSpec extends AnyFunSuite {
         s"minhash band self-join not pinned to sort-merge:\n$mc")
     } finally { sigs.unpersist(); docs.unpersist(); () }
   }
+
+  test("hamming candidate join: a MEASURED small band side broadcasts, " +
+      "a measured large one shuffle-pins") {
+    // The strategy must come from the caller's materialized count, never
+    // from Catalyst's (explode-blind) estimate: same frame, same plan
+    // shape, opposite verdicts purely on the measured number.
+    import spark.implicits._
+    val sigs = (0L until 64L).map(i => (i, i * 2654435761L)).toDF("id", "sig")
+    val small = graft.ops.Dedup.hammingPairs(sigs, "id", "sig", 64, 4, 8,
+        None, knownDistinctSigs = Some(64L))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(small.contains("BroadcastHashJoin"),
+      s"measured-small band side not broadcast:\n$small")
+    val large = graft.ops.Dedup.hammingPairs(sigs, "id", "sig", 64, 4, 8,
+        None, knownDistinctSigs = Some(10000000L))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!large.contains("BroadcastHashJoin"),
+      s"measured-large band side planned as broadcast:\n$large")
+    assert(large.contains("SortMergeJoin"),
+      s"measured-large band side not shuffle-pinned:\n$large")
+    // end-to-end: hammingDedupCorpus measures its persisted reps and picks
+    // the broadcast branch for a small corpus — results identical either way
+    val viaCorpus = graft.ops.Dedup.hammingDedupCorpus(sigs, "id", "sig", 64, 4, 8)
+    val p = viaCorpus.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus path with 64 measured reps did not broadcast the band side:\n$p")
+    assert(viaCorpus.count() == 64L)
+  }
 }
