@@ -1144,6 +1144,74 @@ object CatalogOps {
       ((1 + doc_id % 6 + doc_id % 3) // (1 + doc_id % 3))::INT AS idr_count,
       NULL::VARCHAR AS parse_error
       FROM documents"""))
+  /** MP4/ISO-BMFF clip metadata WITHOUT decode: synthetic per-doc MP4s
+    * (one AVC track; avcC carries the same synthetic SPS as the Annex-B
+    * rows; timescale 512 / delta 128 so duration_s = n/4 is float-exact)
+    * parsed by [[graft.ops.VideoBitstream.mp4ClipMeta]] — the oracle
+    * predicts every field from the doc_id formulas.
+    */
+  private val mmMp4Meta = Q("mm_mp4_meta",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.VideoBitstream.syntheticMp4(
+          (lit(1) + col("doc_id") % 8).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.VideoBitstream.mp4ClipMeta(clips, "payload")
+        .select(col("doc_id"), col("brand"), col("duration_s"),
+          col("track_count"), col("video_codec"), col("h264_profile"),
+          col("h264_level"), col("h264_width"), col("h264_height"),
+          col("sample_count"), col("sync_count"), col("parse_error"))
+    },
+    Some("""SELECT doc_id, 'isom' AS brand,
+      ((1 + doc_id % 7) * 128.0 / 512.0) AS duration_s,
+      1::INT AS track_count, 'avc1' AS video_codec,
+      66::INT AS h264_profile, 30::INT AS h264_level,
+      (16 * (1 + doc_id % 8))::INT AS h264_width,
+      (16 * (1 + doc_id % 5))::INT AS h264_height,
+      (1 + doc_id % 7)::INT AS sample_count,
+      ((1 + doc_id % 7 + doc_id % 3) // (1 + doc_id % 3))::INT AS sync_count,
+      NULL::VARCHAR AS parse_error
+      FROM documents"""))
+
+  /** The keyframe byte-range table from MP4 structure alone
+    * ([[graft.ops.VideoBitstream.mp4SyncSamples]] — stsc×stco×stsz walk +
+    * stss flags): the oracle replays sample sizes and file-absolute
+    * offsets closed-form (mdat-first layout ⇒ payload starts at byte 28,
+    * offsets are prefix sums of the size formula).
+    */
+  private val mmMp4Sync = Q("mm_mp4_sync",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.VideoBitstream.syntheticMp4(
+          (lit(1) + col("doc_id") % 8).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.VideoBitstream.mp4SyncSamples(clips, "payload")
+        .select(col("doc_id"), col("sample_idx"), col("sample_size"),
+          col("sample_offset"), col("is_sync"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 7)::INT AS nf, (1 + doc_id % 3)::INT AS per,
+          (doc_id % 16)::INT AS seed
+        FROM documents),
+      s AS (
+        SELECT doc_id, per, k::INT AS k, (50 + (seed + 7*k) % 32)::INT AS sz
+        FROM p, unnest(generate_series(0, nf - 1)) AS t(k)),
+      o AS (
+        SELECT doc_id, k, sz, per,
+          (28 + coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS soff
+        FROM s)
+      SELECT doc_id, (k + 1)::INT AS sample_idx, sz AS sample_size,
+        soff AS sample_offset, k % per = 0 AS is_sync,
+        NULL::VARCHAR AS parse_error
+      FROM o"""))
+
   /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
     * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
     * writer, lossless) hashed by [[Multimodal.imagePerceptualHash]] — the
@@ -1538,7 +1606,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     stWindow, stHotKeyGuard)
 }

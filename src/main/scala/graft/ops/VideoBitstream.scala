@@ -360,4 +360,411 @@ object VideoBitstream {
       }
       out.toArray
     })
+
+  // ------------------------------------------------------------- ISO BMFF
+
+  /** Big-endian reads over an MP4 byte array; all bounds-checked by the
+    * caller's try (per-clip degradation).
+    */
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "US-ASCII") else ""
+
+  /** ISO-BMFF box walk: invoke `f(type, bodyStart, bodyEnd)` for every box
+    * directly inside [start, end). Handles 32/64-bit sizes and size-0
+    * (to end-of-window); a truncated or non-advancing box stops the walk
+    * (crawled clips are routinely cut mid-box — boxes already walked
+    * stay walked).
+    */
+  private def walkBoxes(bytes: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var o = start
+    while (o + 8 <= end) {
+      val size32 = be32(bytes, o)
+      val tpe = fourcc(bytes, o + 4)
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1L) {
+        if (o + 16 > end) return
+        size = be64(bytes, o + 8); hdr = 16L
+      } else if (size32 == 0L) size = (end - o).toLong
+      if (size < hdr || o + size > end) return // truncated tail
+      f(tpe, o + hdr.toInt, (o + size).toInt)
+      o += size.toInt
+    }
+  }
+
+  /** The per-track sample tables the curation ops need, straight from
+    * stbl: decode-free keyframe geometry. `syncs` empty + `hasStss=false`
+    * means every sample is a sync sample (ISO 14496-12: absent stss ⇒
+    * all sync).
+    */
+  private final case class TrackTables(
+      codec: String, avcC: Option[Array[Byte]],
+      mdhdTimescale: Long, mdhdDuration: Long,
+      sizes: Array[Long], chunkOffsets: Array[Long],
+      stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
+      syncs: Set[Long], hasStss: Boolean)
+
+  private def parseTrack(bytes: Array[Byte], trakStart: Int, trakEnd: Int): Option[TrackTables] = {
+    var handler = ""
+    var codec = ""
+    var avcC: Option[Array[Byte]] = None
+    var ts = 0L
+    var dur = 0L
+    var sizes = Array.empty[Long]
+    var chunks = Array.empty[Long]
+    var runs = Array.empty[(Long, Long)]
+    var syncs = Set.empty[Long]
+    var hasStss = false
+    def stbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) {
+      case ("stsd", b, be) =>
+        val n = be32(bytes, b + 4)
+        if (n >= 1 && b + 16 <= be) {
+          codec = fourcc(bytes, b + 12)
+          // VisualSampleEntry fixed part is 86 bytes from the entry's own
+          // header; child boxes (avcC for avc1/avc3) follow it
+          val entryStart = b + 8
+          val entryEnd = math.min(entryStart + be32(bytes, entryStart).toInt, be)
+          if (codec == "avc1" || codec == "avc3")
+            walkBoxes(bytes, entryStart + 86, entryEnd) {
+              case ("avcC", cb, ce) =>
+                avcC = Some(java.util.Arrays.copyOfRange(bytes, cb, ce))
+              case _ => ()
+            }
+        }
+      case ("stsz", b, _) =>
+        val fixed = be32(bytes, b + 4)
+        val n = be32(bytes, b + 8).toInt
+        sizes = if (fixed != 0L) Array.fill(n)(fixed)
+        else Array.tabulate(n)(i => be32(bytes, b + 12 + i * 4))
+      case ("stco", b, _) =>
+        val n = be32(bytes, b + 4).toInt
+        chunks = Array.tabulate(n)(i => be32(bytes, b + 8 + i * 4))
+      case ("co64", b, _) =>
+        val n = be32(bytes, b + 4).toInt
+        chunks = Array.tabulate(n)(i => be64(bytes, b + 8 + i * 8))
+      case ("stsc", b, _) =>
+        val n = be32(bytes, b + 4).toInt
+        runs = Array.tabulate(n)(i =>
+          (be32(bytes, b + 8 + i * 12), be32(bytes, b + 12 + i * 12)))
+      case ("stss", b, _) =>
+        hasStss = true
+        val n = be32(bytes, b + 4).toInt
+        syncs = (0 until n).map(i => be32(bytes, b + 8 + i * 4)).toSet
+      case _ => ()
+    }
+    walkBoxes(bytes, trakStart, trakEnd) {
+      case ("mdia", ms, me) => walkBoxes(bytes, ms, me) {
+        case ("mdhd", b, _) =>
+          if (bytes(b) == 1) { ts = be32(bytes, b + 20); dur = be64(bytes, b + 24) }
+          else { ts = be32(bytes, b + 12); dur = be32(bytes, b + 16) }
+        case ("hdlr", b, _) => handler = fourcc(bytes, b + 8)
+        case ("minf", s, e) => walkBoxes(bytes, s, e) {
+          case ("stbl", ss, se) => stbl(ss, se)
+          case _ => ()
+        }
+        case _ => ()
+      }
+      case _ => ()
+    }
+    if (handler == "vide")
+      Some(TrackTables(codec, avcC, ts, dur, sizes, chunks, runs, syncs, hasStss))
+    else None
+  }
+
+  /** Per-sample (offset, size) from the chunk tables: stsc runs map
+    * samples to chunks, stco anchors each chunk, sizes accumulate within
+    * a chunk (ISO 14496-12 §8.7). Returns file-absolute offsets in
+    * sample order.
+    */
+  private def sampleOffsets(t: TrackTables): Array[Long] = {
+    val out = new Array[Long](t.sizes.length)
+    var sample = 0
+    var run = 0
+    var chunk = if (t.stscRuns.nonEmpty) t.stscRuns(0)._1 else 1L
+    while (sample < t.sizes.length && chunk.toInt <= t.chunkOffsets.length) {
+      val perChunk =
+        if (t.stscRuns.isEmpty) t.sizes.length.toLong
+        else t.stscRuns(run)._2
+      var off = t.chunkOffsets(chunk.toInt - 1)
+      var i = 0L
+      while (i < perChunk && sample < t.sizes.length) {
+        out(sample) = off
+        off += t.sizes(sample)
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+      if (run + 1 < t.stscRuns.length && chunk >= t.stscRuns(run + 1)._1) run += 1
+    }
+    out
+  }
+
+  private val mp4MetaCols = Seq(
+    StructField("brand", StringType),
+    StructField("duration_s", DoubleType),
+    StructField("track_count", IntegerType),
+    StructField("video_codec", StringType),
+    StructField("h264_profile", IntegerType),
+    StructField("h264_level", IntegerType),
+    StructField("h264_width", IntegerType),
+    StructField("h264_height", IntegerType),
+    StructField("sample_count", IntegerType),
+    StructField("sync_count", IntegerType),
+    StructField("parse_error", StringType))
+
+  /** One row per MP4/ISO-BMFF clip: container brand, mvhd duration,
+    * track count, the first video track's codec + sample/sync-sample
+    * census, and — for AVC tracks — profile/level/dims from a REAL
+    * Exp-Golomb parse of the SPS inside the avcC decoder record. This is
+    * how crawled video actually arrives (MP4, not raw Annex-B); the
+    * resolution / duration / keyframe-density gates all run from
+    * structure, zero frames decoded. Absent stss means every sample is a
+    * sync sample (spec semantics), reported as such.
+    */
+  def mp4ClipMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "mp4ClipMeta", mp4MetaCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ mp4MetaCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(null, null, null, null, null, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          var brand: String = null
+          var mvhdTs = 0L
+          var mvhdDur = 0L
+          var trackCount = 0
+          var video: Option[TrackTables] = None
+          walkBoxes(bytes, 0, bytes.length) {
+            case ("ftyp", b, _) => brand = fourcc(bytes, b)
+            case ("moov", ms, me) => walkBoxes(bytes, ms, me) {
+              case ("mvhd", b, _) =>
+                if (bytes(b) == 1) { mvhdTs = be32(bytes, b + 20); mvhdDur = be64(bytes, b + 24) }
+                else { mvhdTs = be32(bytes, b + 12); mvhdDur = be32(bytes, b + 16) }
+              case ("trak", ts, te) =>
+                trackCount += 1
+                if (video.isEmpty) video = parseTrack(bytes, ts, te)
+              case _ => ()
+            }
+            case _ => ()
+          }
+          if (brand == null) errRow("not ISO-BMFF (no ftyp box)")
+          else {
+            val durS: Any =
+              if (mvhdTs > 0) mvhdDur.toDouble / mvhdTs.toDouble else null
+            video match {
+              case Some(t) =>
+                val sync =
+                  if (t.hasStss) t.syncs.size else t.sizes.length
+                val sps = t.avcC.flatMap { c =>
+                  // avcC layout: version, profile, compat, level, 0xFC|len,
+                  // 0xE0|numSPS, then (len16, sps bytes)*
+                  if (c.length < 8 || (c(5) & 0x1f) < 1) None
+                  else {
+                    val spsLen = be16(c, 6)
+                    if (8 + spsLen > c.length) None
+                    else
+                      try Some(parseSps(rbspBytes(c, 9, spsLen - 1)))
+                      catch { case _: Exception => None }
+                  }
+                }
+                Row.fromSeq(r.toSeq ++ Seq(brand, durS, trackCount, t.codec,
+                  sps.map(_.profile).orNull, sps.map(_.level).orNull,
+                  sps.map(_.width).orNull, sps.map(_.height).orNull,
+                  t.sizes.length, sync, null))
+              case None =>
+                Row.fromSeq(r.toSeq ++ Seq(brand, durS, trackCount, null,
+                  null, null, null, null, null, null, "no video track"))
+            }
+          }
+        } catch { case e: Exception =>
+          errRow(s"container parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  private val mp4SyncCols = Seq(
+    StructField("sample_idx", IntegerType),
+    StructField("sample_size", IntegerType),
+    StructField("sample_offset", LongType),
+    StructField("is_sync", BooleanType),
+    StructField("parse_error", StringType))
+
+  /** One row per video sample of an MP4 clip: 1-based index, byte size,
+    * FILE-ABSOLUTE byte offset (stsc×stco×stsz walk, ISO 14496-12 §8.7),
+    * and the stss sync flag. `where(is_sync)` is the keyframe BYTE-RANGE
+    * table — the thing that lets a 100 TB video pipeline fetch and decode
+    * only keyframes: offsets come from structure, no frame is ever
+    * decoded to find them.
+    */
+  def mp4SyncSamples(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "mp4SyncSamples", mp4SyncCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ mp4SyncCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(msg: String) =
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          var video: Option[TrackTables] = None
+          var sawMoov = false
+          walkBoxes(bytes, 0, bytes.length) {
+            case ("moov", ms, me) =>
+              sawMoov = true
+              walkBoxes(bytes, ms, me) {
+                case ("trak", ts, te) if video.isEmpty =>
+                  video = parseTrack(bytes, ts, te)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          video match {
+            case Some(t) =>
+              val offs = sampleOffsets(t)
+              t.sizes.indices.map { i =>
+                val num = (i + 1).toLong
+                Row.fromSeq(r.toSeq ++ Seq(i + 1, t.sizes(i).toInt, offs(i),
+                  !t.hasStss || t.syncs.contains(num), null))
+              }
+            case None =>
+              errRow(if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")
+          }
+        } catch { case e: Exception =>
+          errRow(s"container parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Box writer for the synthetic MP4 generator. */
+  private final class BoxWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def bytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def str(s: String): Unit = bytes(s.getBytes("US-ASCII"))
+    def box(tpe: String)(body: BoxWriter => Unit): Unit = {
+      val inner = new BoxWriter
+      body(inner)
+      val payload = inner.out.toByteArray
+      u32(payload.length + 8L); str(tpe); bytes(payload)
+    }
+  }
+
+  /** Deterministic synthetic MP4: `ftyp` + `mdat` FIRST (so every sample
+    * offset is closed-form: mdat payload starts at byte 28 regardless of
+    * moov size — the non-faststart layout crawled files commonly have),
+    * then `moov` with one AVC video track: avcC carrying the same
+    * synthetic SPS as [[syntheticAnnexB]], one chunk, explicit stsz
+    * sizes (sz(k) = 50 + (seed + 7k) mod 32), stss marking every
+    * `syncPeriod`-th sample, timescale 512 / delta 128 per sample (so
+    * duration_s = n/4 exactly, float-oracle-safe).
+    */
+  val syntheticMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((mbw: Int, mbh: Int, nSamples: Int, syncPeriod: Int, seed: Int) => {
+      val sz = Array.tabulate(nSamples)(k => 50 + (seed + 7 * k) % 32)
+      val w = new BoxWriter
+      w.box("ftyp") { b => b.str("isom"); b.u32(0L); b.str("avc1") } // 20 bytes
+      w.box("mdat") { b =>
+        var k = 0
+        while (k < nSamples) {
+          val body = Array.tabulate(sz(k))(j => (0x80 | ((seed + 11 * k + j) & 0x7f)).toByte)
+          b.bytes(body); k += 1
+        }
+      }
+      val mdatPayloadOff = 28L // ftyp(20) + mdat header(8)
+      w.box("moov") { m =>
+        m.box("mvhd") { b =>
+          b.u32(0L); b.u32(0L); b.u32(0L) // vf, creation, modification
+          b.u32(512L); b.u32(nSamples * 128L) // timescale, duration
+          b.u32(0x00010000L); b.u16(0x0100); b.u16(0) // rate, volume, rsv
+          b.u32(0L); b.u32(0L)
+          Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+            .foreach(b.u32)
+          (0 until 6).foreach(_ => b.u32(0L))
+          b.u32(2L) // next track id
+        }
+        m.box("trak") { t =>
+          t.box("tkhd") { b =>
+            b.u32(7L); b.u32(0L); b.u32(0L); b.u32(1L); b.u32(0L) // vf(flags 7), times, id, rsv
+            b.u32(nSamples * 128L); b.u32(0L); b.u32(0L)
+            b.u16(0); b.u16(0); b.u16(0); b.u16(0)
+            Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+              .foreach(b.u32)
+            b.u32((mbw * 16L) << 16); b.u32((mbh * 16L) << 16)
+          }
+          t.box("mdia") { md =>
+            md.box("mdhd") { b =>
+              b.u32(0L); b.u32(0L); b.u32(0L)
+              b.u32(512L); b.u32(nSamples * 128L)
+              b.u16(0x55c4); b.u16(0)
+            }
+            md.box("hdlr") { b =>
+              b.u32(0L); b.u32(0L); b.str("vide")
+              b.u32(0L); b.u32(0L); b.u32(0L); b.u8(0)
+            }
+            md.box("minf") { mi =>
+              mi.box("vmhd") { b => b.u32(1L); b.u16(0); b.u16(0); b.u16(0); b.u16(0) }
+              mi.box("dinf") { di =>
+                di.box("dref") { b =>
+                  b.u32(0L); b.u32(1L)
+                  b.box("url ") { u => u.u32(1L) }
+                }
+              }
+              mi.box("stbl") { st =>
+                st.box("stsd") { b =>
+                  b.u32(0L); b.u32(1L)
+                  b.box("avc1") { e =>
+                    (0 until 6).foreach(_ => e.u8(0)); e.u16(1) // rsv, dref idx
+                    (0 until 4).foreach(_ => e.u32(0L)) // predefined/rsv
+                    e.u16(mbw * 16); e.u16(mbh * 16)
+                    e.u32(0x00480000L); e.u32(0x00480000L); e.u32(0L)
+                    e.u16(1) // frame count
+                    (0 until 32).foreach(_ => e.u8(0)) // compressor name
+                    e.u16(24); e.u16(0xffff)
+                    e.box("avcC") { c =>
+                      val sps = Array[Byte](0x67) ++ escapeRbsp(syntheticSpsRbsp(mbw, mbh))
+                      val pps = Array[Byte](0x68, 0x70, 0x71, 0x72)
+                      c.u8(1); c.u8(66); c.u8(0); c.u8(30) // ver, profile, compat, level
+                      c.u8(0xff); c.u8(0xe1) // lenSize-1=3, numSPS=1
+                      c.u16(sps.length); c.bytes(sps)
+                      c.u8(1); c.u16(pps.length); c.bytes(pps)
+                    }
+                  }
+                }
+                st.box("stts") { b => b.u32(0L); b.u32(1L); b.u32(nSamples.toLong); b.u32(128L) }
+                st.box("stsc") { b => b.u32(0L); b.u32(1L); b.u32(1L); b.u32(nSamples.toLong); b.u32(1L) }
+                st.box("stsz") { b =>
+                  b.u32(0L); b.u32(0L); b.u32(nSamples.toLong)
+                  sz.foreach(s => b.u32(s.toLong))
+                }
+                st.box("stco") { b => b.u32(0L); b.u32(1L); b.u32(mdatPayloadOff) }
+                st.box("stss") { b =>
+                  val ks = (0 until nSamples).filter(_ % syncPeriod == 0)
+                  b.u32(0L); b.u32(ks.length.toLong)
+                  ks.foreach(k => b.u32(k + 1L))
+                }
+              }
+            }
+          }
+        }
+      }
+      w.out.toByteArray
+    })
 }

@@ -108,6 +108,88 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(sps.height == 1080)
   }
 
+  private def mp4Clips(rows: (Long, Int, Int, Int, Int, Int)*) =
+    rows.toSeq.toDF("doc_id", "mbw", "mbh", "nf", "per", "seed")
+      .select(col("doc_id"), VideoBitstream.syntheticMp4(
+        col("mbw"), col("mbh"), col("nf"), col("per"), col("seed")).as("payload"))
+
+  test("mp4ClipMeta: brand, duration, codec, SPS dims, sample/sync census") {
+    val out = VideoBitstream.mp4ClipMeta(mp4Clips((3L, 4, 2, 6, 2, 9))).collect().head
+    assert(out.getAs[String]("brand") == "isom")
+    assert(out.getAs[Double]("duration_s") == 1.5) // 6 samples × 128 / 512
+    assert(out.getAs[Int]("track_count") == 1)
+    assert(out.getAs[String]("video_codec") == "avc1")
+    assert(out.getAs[Int]("h264_profile") == 66)
+    assert(out.getAs[Int]("h264_width") == 64)
+    assert(out.getAs[Int]("h264_height") == 32)
+    assert(out.getAs[Int]("sample_count") == 6)
+    assert(out.getAs[Int]("sync_count") == 3) // samples 1, 3, 5
+    assert(out.getAs[String]("parse_error") == null)
+  }
+
+  test("mp4SyncSamples: file-absolute offsets are contiguous from byte 28, " +
+      "sizes match the formula, stss flags the planted cadence") {
+    val out = VideoBitstream.mp4SyncSamples(mp4Clips((5L, 2, 2, 5, 3, 4)))
+      .orderBy("sample_idx").collect()
+    assert(out.length == 5)
+    // sz(k) = 50 + (4 + 7k) % 32
+    val sizes = out.map(_.getAs[Int]("sample_size")).toSeq
+    assert(sizes == Seq(54, 61, 68, 75, 50))
+    val offs = out.map(_.getAs[Long]("sample_offset")).toSeq
+    assert(offs == sizes.scanLeft(28L)(_ + _).dropRight(1))
+    assert(out.map(_.getAs[Boolean]("is_sync")).toSeq ==
+      Seq(true, false, false, true, false))
+  }
+
+  test("mp4 general tables: two chunks via stsc runs, absent stss = all sync") {
+    // hand-built minimal MP4 (no stss, 2 chunks of 2+1 samples via one
+    // stsc run change) — exercises the general stsc×stco walk and the
+    // spec rule that a missing stss marks EVERY sample a sync sample
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(tpe: String)(body: => Unit): Unit = {
+      val mark = bos.size()
+      u32(0L); raw(tpe)
+      body
+      val arr = bos.toByteArray
+      val sz = arr.length - mark
+      arr(mark) = ((sz >> 24) & 0xff).toByte; arr(mark + 1) = ((sz >> 16) & 0xff).toByte
+      arr(mark + 2) = ((sz >> 8) & 0xff).toByte; arr(mark + 3) = (sz & 0xff).toByte
+      bos.reset(); bos.write(arr, 0, arr.length)
+    }
+    box("ftyp") { raw("isom"); u32(0L); raw("isom") }
+    box("moov") {
+      box("trak") {
+        box("mdia") {
+          box("mdhd") { u32(0L); u32(0L); u32(0L); u32(100L); u32(300L); u16(0); u16(0) }
+          box("hdlr") { u32(0L); u32(0L); raw("vide"); u32(0L); u32(0L); u32(0L); u8(0) }
+          box("minf") {
+            box("stbl") {
+              box("stsd") { u32(0L); u32(0L) } // zero entries: codec unknown is fine
+              box("stsz") { u32(0L); u32(0L); u32(3L); u32(10L); u32(20L); u32(30L) }
+              box("stsc") { u32(0L); u32(2L); u32(1L); u32(2L); u32(1L); u32(2L); u32(1L); u32(1L) }
+              box("stco") { u32(0L); u32(2L); u32(1000L); u32(2000L) }
+            }
+          }
+        }
+      }
+    }
+    val bytes = bos.toByteArray
+    val df = Seq((0L, bytes)).toDF("doc_id", "payload")
+    val out = VideoBitstream.mp4SyncSamples(df).orderBy("sample_idx").collect()
+    assert(out.length == 3)
+    // chunk 1 holds samples 1-2 (offsets 1000, 1010), chunk 2 holds sample 3
+    assert(out.map(_.getAs[Long]("sample_offset")).toSeq == Seq(1000L, 1010L, 2000L))
+    assert(out.forall(_.getAs[Boolean]("is_sync"))) // no stss → all sync
+    val garbage = Seq((1L, "not an mp4 at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val err = VideoBitstream.mp4ClipMeta(garbage).collect().head
+    assert(err.getAs[String]("parse_error") != null)
+  }
+
   test("degradation: null, garbage, and SPS-less payloads yield error rows") {
     val df = Seq((0L, null: Array[Byte]),
       (1L, "not a video".getBytes("UTF-8")),
