@@ -1516,6 +1516,61 @@ object CatalogOps {
           max(pos) - min(pos) + 5 AS span_tokens, count(*) AS n_grams
         FROM isl GROUP BY doc_id, probe_id, g)"""
 
+  /** SQL image of [[TextAnalysis.boilerplateSpans]] at k=3, maxDocFreq=4
+    * over the full documents table (sf0.01 has 151 3-grams above that
+    * df, so spans exist); ends in `bspans(doc_id, span_start,
+    * span_tokens, n_grams)`.
+    */
+  private[catalog] val boilerSqlCtes =
+    s"""b_tk AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      b_pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS pos FROM b_tk),
+      b_dg AS (SELECT doc_id, pos,
+          t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS gram
+        FROM b_pos),
+      b_hot AS (SELECT gram FROM (
+          SELECT gram, count(DISTINCT doc_id) AS df FROM b_dg GROUP BY gram)
+        WHERE df > 4),
+      b_hits AS (SELECT doc_id, pos FROM b_dg JOIN b_hot USING (gram)),
+      b_isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM b_hits),
+      bspans AS (SELECT doc_id, min(pos) AS span_start,
+          max(pos) - min(pos) + 3 AS span_tokens, count(*) AS n_grams
+        FROM b_isl GROUP BY doc_id, g)"""
+
+  /** Cross-document boilerplate spans — k-grams shared by more than
+    * `maxDocFreq` documents collapse to maximal excisable token spans
+    * ([[TextAnalysis.boilerplateSpans]]); the oracle replays the df
+    * count, the hot-gram join and the gaps-and-islands chain.
+    */
+  private val txtBoilerplateSpans = Q("txt_boilerplate_spans",
+    (s, dir) => TextAnalysis.boilerplateSpans(
+      t(s, dir, "documents"), "text", "doc_id", k = 3, maxDocFreq = 4),
+    Some(s"WITH $boilerSqlCtes SELECT * FROM bspans"))
+
+  /** Boilerplate removal applied ([[TextAnalysis.removeBoilerplate]]):
+    * every document returns with the hot spans cut and a removal count —
+    * the oracle rebuilds clean_text from uncovered token positions like
+    * the decontamination excision row.
+    */
+  private val txtRemoveBoilerplate = Q("txt_remove_boilerplate",
+    (s, dir) => TextAnalysis.removeBoilerplate(
+      t(s, dir, "documents"), "text", "doc_id", k = 3, maxDocFreq = 4)
+      .select(col("doc_id"), col("clean_text"), col("n_removed")),
+    Some(s"""WITH $boilerSqlCtes,
+      b_etok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+        FROM b_tk),
+      b_keep AS (SELECT k.doc_id, k.pos, k.t[k.pos] AS tok FROM b_etok k
+        WHERE NOT EXISTS (SELECT 1 FROM bspans s WHERE s.doc_id = k.doc_id
+          AND k.pos BETWEEN s.span_start AND s.span_start + s.span_tokens - 1)),
+      b_agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          count(*) AS n_kept
+        FROM b_keep GROUP BY doc_id),
+      b_base AS (SELECT doc_id, len(t) AS n_toks FROM b_tk)
+      SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        (b.n_toks - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+      FROM b_base b LEFT JOIN b_agg a USING (doc_id)"""))
+
   private val txtSpanContamination = Q("txt_span_contamination",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1602,6 +1657,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
+    txtBoilerplateSpans, txtRemoveBoilerplate,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,

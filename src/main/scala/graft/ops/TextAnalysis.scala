@@ -166,11 +166,22 @@ object TextAnalysis {
     * the scan. Adds `clean_text` and `n_removed`.
     */
   def exciseSpans(docs: DataFrame, textCol: String, idCol: String,
-      spans: DataFrame): DataFrame = {
+      spans: DataFrame): DataFrame =
+    exciseSpansImpl(docs, textCol, idCol, spans, broadcastSpans = true)
+
+  /** `broadcastSpans = true` is the DECONTAMINATION shape (spans come from
+    * a benchmark probe set — output-proportional, tiny). Boilerplate
+    * spans ([[boilerplateSpans]]) are CORPUS-proportional — potentially
+    * one-plus span per document — so [[removeBoilerplate]] passes false
+    * and the per-doc span list joins by shuffle on the id instead.
+    */
+  private def exciseSpansImpl(docs: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame, broadcastSpans: Boolean): DataFrame = {
     val sp = spans.groupBy(col("doc_id").as("__sid"))
       .agg(collect_list(array(col("span_start").cast("long"),
         (col("span_start") + col("span_tokens") - 1).cast("long"))).as("__spans"))
-    val joined = docs.join(broadcast(sp), docs(idCol) === sp("__sid"), "left")
+    val spSide = if (broadcastSpans) broadcast(sp) else sp
+    val joined = docs.join(spSide, docs(idCol) === sp("__sid"), "left")
     val toks = Dedup.tokenize(col(textCol))
     val spanArr = coalesce(col("__spans"),
       array().cast("array<array<long>>"))
@@ -182,6 +193,61 @@ object TextAnalysis {
       .withColumn("n_removed", (size(toks) - size(clean)).cast("long"))
       .drop("__sid", "__spans")
   }
+
+  /** Cross-document boilerplate spans: maximal token spans covered by
+    * word k-grams that occur in MORE than `maxDocFreq` documents — the
+    * C4-style cleaner (navigation bars, cookie banners, license footers
+    * repeat verbatim across a crawl; model quality work excises the
+    * repeated LINES/SPANS, not whole documents). Same gaps-and-islands
+    * machinery as [[spanContamination]], but the probe set is the
+    * corpus's own hot k-grams instead of a benchmark.
+    *
+    * Scale shape: document frequency is one distinct + count aggregation
+    * over (doc, gram) pairs generated inside the scan; the hot-gram set
+    * is VOCABULARY-shaped, not corpus-shaped, but can still be large on
+    * a template-heavy crawl — the position join is a left-semi on the
+    * gram key with no forced broadcast (AQE broadcasts it when it
+    * measures small). Only matching positions reach the window.
+    *
+    * Returns (doc_id, span_start, span_tokens, n_grams), 1-based token
+    * positions — [[removeBoilerplate]] applies them.
+    */
+  def boilerplateSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, maxDocFreq: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      posexplode(wordNgrams(col(textCol), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+    // document frequency: each doc votes once per gram
+    val hot = docGrams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(col("gram"))
+    // docGrams holds one row per (doc, pos), so the semi-join output is
+    // already position-unique
+    val hits = docGrams.join(hot, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_tokens", "n_grams")
+  }
+
+  /** [[boilerplateSpans]] applied: every document comes back with
+    * `clean_text` (token-normalized, hot spans cut) and `n_removed`.
+    * Unlike decontamination excision the span side here is
+    * corpus-proportional, so the apply join shuffles on the id instead
+    * of broadcasting.
+    */
+  def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, maxDocFreq: Long = 1000): DataFrame =
+    exciseSpansImpl(docs, textCol, idCol,
+      boilerplateSpans(docs, textCol, idCol, k, maxDocFreq),
+      broadcastSpans = false)
 
   /** Seed for the classifier feature hash ([[Dedup.h60]]) — fixed so
     * external engines can replay scores exactly.

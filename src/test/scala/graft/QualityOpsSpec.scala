@@ -510,6 +510,35 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "" && out.head.getLong(2) == 7L)
   }
 
+  test("boilerplateSpans + removeBoilerplate: the shared footer is cut from " +
+      "every carrier, unique text survives, df at the threshold stays") {
+    // footer "visit our cookie policy page" repeats in 3 docs (df 3 > 2);
+    // "shared pair phrase" sits in exactly 2 docs (df 2 = threshold, stays)
+    val docs = Seq(
+      (0L, "unique alpha words visit our cookie policy page tail zero"),
+      (1L, "different beta content visit our cookie policy page shared pair phrase"),
+      (2L, "visit our cookie policy page gamma middle shared pair phrase ending"),
+      (3L, "entirely fresh document nothing repeated here at all")).toDF("doc_id", "text")
+    val spans = TextAnalysis.boilerplateSpans(docs, "text", "doc_id",
+      k = 3, maxDocFreq = 2)
+    val byDoc = spans.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "visit our cookie policy page" = 5 tokens: 3 grams starting at the
+    // phrase start, span_tokens = 5
+    assert(byDoc(0L) == (4L, 5L))
+    assert(byDoc(1L) == (4L, 5L))
+    assert(byDoc(2L) == (1L, 5L))
+    assert(!byDoc.contains(3L))
+    val out = TextAnalysis.removeBoilerplate(docs, "text", "doc_id",
+      k = 3, maxDocFreq = 2)
+      .select("doc_id", "clean_text", "n_removed").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("unique alpha words tail zero", 5L))
+    assert(out(1L) == ("different beta content shared pair phrase", 5L))
+    assert(out(2L) == ("gamma middle shared pair phrase ending", 5L))
+    assert(out(3L) == ("entirely fresh document nothing repeated here at all", 0L))
+  }
+
   test("normalizeText: NFC composes, control chars strip, whitespace collapses") {
     val docs = Seq(
       (0L, "café time"),                      // e + combining acute → é
