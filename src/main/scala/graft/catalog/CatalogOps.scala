@@ -1033,6 +1033,49 @@ object CatalogOps {
       FROM documents"""),
     bench = true)
 
+
+  /** MP3 frame census WITHOUT decode ([[graft.ops.AudioBitstream
+    * .mp3FrameCensus]]): synthetic per-doc MPEG1-L3 streams behind a
+    * syncsafe ID3v2 tag, even/odd frames at two bitrate indices (unequal
+    * ⇒ a planted VBR stream) — the oracle predicts the census from the
+    * doc_id formulas, duration via the same round-6 double-division
+    * pattern as the WAV row.
+    */
+  private val mmMp3Census = Q("mm_mp3_census",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.AudioBitstream.syntheticMp3(
+          (lit(1) + col("doc_id") % 9).cast("int"),
+          (lit(1) + col("doc_id") % 14).cast("int"),
+          (lit(1) + col("doc_id") * 5 % 14).cast("int"),
+          (col("doc_id") % 3).cast("int"),
+          (col("doc_id") * 3 % 128).cast("int"),
+          (col("doc_id") % 32).cast("int")).as("payload"))
+      graft.ops.AudioBitstream.mp3FrameCensus(clips, "payload")
+        .select(col("doc_id"), col("id3v2_bytes"), col("frame_count"),
+          col("mp3_sample_rate"), col("bitrate_kbps_min"),
+          col("bitrate_kbps_max"), col("is_vbr"),
+          round(col("duration_s"), 6).as("duration_s"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 9)::INT AS nf,
+          (1 + doc_id % 14)::INT AS b1, (1 + doc_id * 5 % 14)::INT AS b2,
+          (doc_id % 3)::INT AS sri, (doc_id * 3 % 128)::INT AS pad
+        FROM documents),
+      k AS (
+        SELECT doc_id, nf, pad,
+          ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[b1]::INT AS k1,
+          ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[b2]::INT AS k2,
+          ([44100,48000,32000])[sri + 1]::INT AS sr
+        FROM p)
+      SELECT doc_id, (10 + pad)::INT AS id3v2_bytes, nf AS frame_count,
+        sr AS mp3_sample_rate,
+        (CASE WHEN nf = 1 THEN k1 ELSE least(k1, k2) END)::INT AS bitrate_kbps_min,
+        (CASE WHEN nf = 1 THEN k1 ELSE greatest(k1, k2) END)::INT AS bitrate_kbps_max,
+        nf > 1 AND k1 <> k2 AS is_vbr,
+        round(nf * 1152.0 / sr, 6) AS duration_s,
+        NULL::VARCHAR AS parse_error
+      FROM k"""))
   /** REAL video round-trip: per-doc MJPEG-AVI clips (dims, frame count and
     * gray progression from doc_id; every frame a solid gray encoded by the
     * JDK JPEG writer at quality 1) decoded frame-by-frame by
@@ -1662,7 +1705,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     stWindow, stHotKeyGuard)
 }
