@@ -1041,6 +1041,100 @@ object CatalogOps {
     * doc_id formulas, duration via the same round-6 double-division
     * pattern as the WAV row.
     */
+  /** Synthetic HTML wrapping each document's text — title/h1 repeat the
+    * doc id, a style block, a comment, a script block containing a bare
+    * `<`, and a tail paragraph with named + numeric entities. The
+    * expected extraction is closed-form, so the HTML rows' oracles
+    * never parse HTML.
+    */
+  private def syntheticHtmlCol = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title><style>p { color: red; }</style></head><body><h1>Doc <b>"),
+    col("doc_id"),
+    lit("</b></h1><!-- hidden --><p>"), coalesce(col("text"), lit("")),
+    lit("</p><script>var x = 1 < 2;</script>" +
+      "<p>tail &amp; 5 &lt; 7 &#65;</p></body></html>"))
+
+  /** SQL image of the expected [[graft.ops.WebIngest.extractText]] output
+    * for [[syntheticHtmlCol]]; ends in `h_exp(doc_id, expected)`.
+    */
+  private val htmlExpectedCtes =
+    """h_c AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '[\s]+', ' ', 'g')) AS ct
+        FROM documents),
+      h_exp AS (SELECT doc_id,
+          'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+          (CASE WHEN ct = '' THEN '' ELSE ct || chr(10) END) ||
+          'tail & 5 < 7 A' AS expected
+        FROM h_c)"""
+
+  /** WARC record parse ([[graft.ops.WebIngest.warcRecords]]): synthetic
+    * two-record segments (warcinfo + conversion carrying the HTML), odd
+    * doc_ids gzip-wrapped — the oracle is identical for both because
+    * the inflate happens before framing. Content lengths are UTF-8 byte
+    * counts (fixture text is ASCII, so SQL length() matches).
+    */
+  private val webWarcRecords = Q("web_warc_records",
+    (s, dir) => {
+      val segs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebIngest.syntheticWarc(col("doc_id"), syntheticHtmlCol,
+          col("doc_id") % 2 === 1).as("payload"))
+      graft.ops.WebIngest.warcRecords(segs, "payload")
+        .select(col("doc_id"), col("record_idx"), col("warc_type"),
+          col("target_uri"), col("content_type"), col("content_length"),
+          col("content_text"), col("parse_error"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>p { color: red; }</style></head><body><h1>Doc <b>' ||
+        doc_id || '</b></h1><!-- hidden --><p>' || coalesce(text, '') ||
+        '</p><script>var x = 1 < 2;</script><p>tail &amp; 5 &lt; 7 &#65;</p></body></html>'
+          AS html
+        FROM documents)
+      SELECT doc_id, 0::INT AS record_idx, 'warcinfo' AS warc_type,
+        NULL::VARCHAR AS target_uri, 'application/warc-fields' AS content_type,
+        27::BIGINT AS content_length,
+        'software: graft-synthetic' || chr(13) || chr(10) AS content_text,
+        NULL::VARCHAR AS parse_error
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1::INT, 'conversion',
+        'http://example.com/doc/' || doc_id, 'text/html',
+        length(html)::BIGINT, html, NULL::VARCHAR
+      FROM h"""))
+
+  /** HTML → text extraction ([[graft.ops.WebIngest.htmlText]] — script/
+    * style/comment dropping, block-tag newlines, entity decode,
+    * whitespace collapse), oracle from the closed-form expected string.
+    */
+  private val webHtmlText = Q("web_html_text",
+    (s, dir) => graft.ops.WebIngest.htmlText(
+      t(s, dir, "documents").select(col("doc_id"), col("text"),
+        syntheticHtmlCol.as("html")), "html")
+      .select(col("doc_id"), col("html_text"), col("html_text_chars")),
+    Some(s"""WITH $htmlExpectedCtes
+      SELECT doc_id, expected AS html_text,
+        length(expected)::BIGINT AS html_text_chars
+      FROM h_exp"""))
+
+  /** The ingest chain end-to-end: WARC segment → conversion records →
+    * HTML text — the WET-style pass a pretraining pipeline runs over a
+    * crawl dump, here oracle-checked through both parsers at once.
+    */
+  private val webWarcHtmlIngest = Q("web_warc_html_ingest",
+    (s, dir) => {
+      val segs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebIngest.syntheticWarc(col("doc_id"), syntheticHtmlCol,
+          col("doc_id") % 2 === 1).as("payload"))
+      val conv = graft.ops.WebIngest.warcRecords(segs, "payload")
+        .where(col("warc_type") === "conversion")
+      graft.ops.WebIngest.htmlText(conv, "content_text")
+        .select(col("doc_id"), col("target_uri"), col("html_text_chars"))
+    },
+    Some(s"""WITH $htmlExpectedCtes
+      SELECT doc_id, 'http://example.com/doc/' || doc_id AS target_uri,
+        length(expected)::BIGINT AS html_text_chars
+      FROM h_exp"""))
+
   private val mmMp3Census = Q("mm_mp3_census",
     (s, dir) => {
       val clips = t(s, dir, "documents").select(col("doc_id"),
@@ -1707,5 +1801,6 @@ object CatalogOps {
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
+    webWarcRecords, webHtmlText, webWarcHtmlIngest,
     stWindow, stHotKeyGuard)
 }

@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Web-crawl ingest ops: WARC record parsing (ISO 28500 — the format
+  * web corpora actually arrive in) and HTML→text extraction (the
+  * WET-style conversion a pretraining pipeline runs first). Both are
+  * narrow per-partition walks over opaque byte/string columns — the
+  * same decode-free structure-parser family as the MP4/H.264/MP3 ops,
+  * with per-record degradation so one truncated crawl segment cannot
+  * kill the job.
+  */
+object WebIngest {
+
+  private val warcCols = Seq(
+    StructField("record_idx", IntegerType),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("content_text", StringType),
+    StructField("parse_error", StringType))
+
+  /** One row per WARC record of a segment payload: type, target URI,
+    * declared content type/length, and the body decoded as UTF-8 text.
+    * Gzipped segments (Common Crawl ships one gzip MEMBER per record,
+    * concatenated) are inflated first — `GZIPInputStream` consumes
+    * multi-member streams. Record framing is the spec's: version line,
+    * CRLF-terminated headers, blank line, Content-Length body bytes,
+    * CRLF CRLF. A malformed record ends the walk (records already
+    * parsed are kept; the tail is reported).
+    */
+  def warcRecords(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "warcRecords", warcCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ warcCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val errRow = (msg: String) =>
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          var bytes = r.getAs[Array[Byte]](idx)
+          if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            bytes = out.toByteArray
+          }
+          val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var o = 0
+          var recIdx = 0
+          var tailErr: String = null
+          def line(from: Int): (String, Int) = {
+            var e = from
+            while (e + 1 < bytes.length &&
+              !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+            if (e + 1 >= bytes.length) (null, bytes.length)
+            else (new String(bytes, from, e - from, "UTF-8"), e + 2)
+          }
+          var done = false
+          while (!done && o < bytes.length) {
+            val (ver, p0) = line(o)
+            if (ver == null || !ver.startsWith("WARC/")) {
+              if (recIdx == 0) tailErr = "not a WARC stream (no version line)"
+              else if (ver != null && ver.nonEmpty) tailErr = "malformed record tail"
+              done = true
+            } else {
+              var p = p0
+              var wtype: String = null
+              var uri: String = null
+              var ctype: String = null
+              var clen = -1L
+              var headersOk = true
+              var blank = false
+              while (!blank && headersOk) {
+                val (h, np) = line(p)
+                p = np
+                if (h == null) headersOk = false
+                else if (h.isEmpty) blank = true
+                else {
+                  val ci = h.indexOf(':')
+                  if (ci > 0) {
+                    val k = h.substring(0, ci).trim.toLowerCase
+                    val v = h.substring(ci + 1).trim
+                    k match {
+                      case "warc-type" => wtype = v
+                      case "warc-target-uri" => uri = v
+                      case "content-type" => ctype = v
+                      case "content-length" =>
+                        clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                      case _ => ()
+                    }
+                  }
+                }
+              }
+              if (!headersOk || clen < 0 || p + clen > bytes.length) {
+                tailErr = "truncated or malformed record"
+                done = true
+              } else {
+                val body = new String(bytes, p, clen.toInt, "UTF-8")
+                recs += Row.fromSeq(r.toSeq ++
+                  Seq(recIdx, wtype, uri, ctype, clen, body, null))
+                recIdx += 1
+                o = p + clen.toInt
+                // trailing CRLF CRLF between records (spec); tolerate EOF
+                var skip = 0
+                while (skip < 4 && o < bytes.length &&
+                  (bytes(o) == '\r' || bytes(o) == '\n')) { o += 1; skip += 1 }
+              }
+            }
+          }
+          if (recs.isEmpty) errRow(if (tailErr != null) tailErr else "empty stream")
+          else {
+            if (tailErr != null)
+              recs += Row.fromSeq(r.toSeq ++
+                Seq(recIdx, null, null, null, null, null, tailErr))
+            recs.toSeq
+          }
+        } catch { case e: Exception =>
+          errRow(s"segment parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  private val BlockTags = Set("p", "div", "br", "li", "ul", "ol", "tr",
+    "table", "h1", "h2", "h3", "h4", "h5", "h6", "title", "head", "body",
+    "html", "blockquote", "pre", "section", "article", "header", "footer")
+
+  private val NamedEntities = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
+    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+
+  /** HTML → text, the WET-style extraction (imperative kernel — HTML is
+    * not a regular language, so this is a character state machine, not
+    * a regex chain): `<script>`/`<style>` blocks drop wholesale
+    * (case-insensitive, to the matching close tag), comments drop,
+    * block-level tags become newlines, inline tags vanish, named +
+    * numeric entities decode, whitespace runs collapse (runs containing
+    * a newline collapse to one '\n', others to one space), ends
+    * trimmed. Null-safe (null → null).
+    */
+  private[ops] def extractText(html: String): String = {
+    if (html == null) return null
+    val sb = new java.lang.StringBuilder(html.length)
+    val n = html.length
+    var i = 0
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    // case-insensitive scan without allocating a lowercased copy of the
+    // whole document per <script>/<style> block
+    def findIgnoreCase(needle: String, from: Int): Int = {
+      var p = from
+      val last = n - needle.length
+      while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
+      if (p > last) -1 else p
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (lowerAt(i, "<script")) {
+          val e = findIgnoreCase("</script", i + 7)
+          i = if (e < 0) n else html.indexOf('>', e) match {
+            case -1 => n
+            case g => g + 1
+          }
+        } else if (lowerAt(i, "<style")) {
+          val e = findIgnoreCase("</style", i + 6)
+          i = if (e < 0) n else html.indexOf('>', e) match {
+            case -1 => n
+            case g => g + 1
+          }
+        } else {
+          val e = html.indexOf('>', i + 1)
+          if (e < 0) i = n
+          else {
+            var ts = i + 1
+            if (ts < n && html.charAt(ts) == '/') ts += 1
+            var te = ts
+            while (te < e && html.charAt(te).isLetterOrDigit) te += 1
+            val tag = html.substring(ts, te).toLowerCase
+            if (BlockTags.contains(tag)) sb.append('\n')
+            i = e + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = html.substring(i + 1, semi)
+          if (ent.startsWith("#x") || ent.startsWith("#X")) {
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
+            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else if (ent.startsWith("#")) {
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
+            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else NamedEntities.get(ent.toLowerCase) match {
+            case Some(ch) => sb.append(ch); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    // whitespace collapse: runs with '\n' → one newline, others → one space
+    val raw = sb.toString
+    val out = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    val m = raw.length
+    while (j < m) {
+      val ch = raw.charAt(j)
+      if (Character.isWhitespace(ch)) {
+        var k = j
+        var hasNl = false
+        while (k < m && Character.isWhitespace(raw.charAt(k))) {
+          if (raw.charAt(k) == '\n') hasNl = true
+          k += 1
+        }
+        if (out.length > 0 && k < m) out.append(if (hasNl) '\n' else ' ')
+        j = k
+      } else { out.append(ch); j += 1 }
+    }
+    out.toString
+  }
+
+  /** Column form of [[extractText]]: adds `html_text` (and
+    * `html_text_chars`). UDF cost is the honest price — HTML needs a
+    * state machine; the kernel is one pass per row inside the scan,
+    * no shuffle.
+    */
+  def htmlText(df: DataFrame, htmlCol: String): DataFrame = {
+    val f = udf((s: String) => extractText(s))
+    df.withColumn("html_text", f(col(htmlCol)))
+      .withColumn("html_text_chars",
+        coalesce(length(col("html_text")).cast("long"), lit(0L)))
+  }
+
+  /** Deterministic synthetic WARC segment: a `warcinfo` record plus a
+    * `conversion` record carrying `body` for `uriKey`; `gzipped = true`
+    * wraps the whole segment in one gzip member (the inflate path —
+    * byte content identical after inflation, so one oracle covers
+    * both). CRLF framing exactly per ISO 28500.
+    */
+  val syntheticWarc: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((uriKey: Long, body: String, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(headers: Seq[(String, String)], content: Array[Byte]): Unit = {
+        val sb = new StringBuilder("WARC/1.0\r\n")
+        (headers :+ ("Content-Length" -> content.length.toString)).foreach {
+          case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
+        }
+        sb.append("\r\n")
+        out.write(sb.toString.getBytes("UTF-8"))
+        out.write(content)
+        out.write("\r\n\r\n".getBytes("UTF-8"))
+      }
+      rec(Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+        "software: graft-synthetic\r\n".getBytes("UTF-8"))
+      rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
+          "Content-Type" -> "text/html"),
+        (if (body == null) "" else body).getBytes("UTF-8"))
+      val raw = out.toByteArray
+      if (!gzipped) raw
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      }
+    })
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("warcRecords: two-record segment round-trips plain AND gzipped") {
+    val df = Seq((0L, false), (1L, true)).toDF("doc_id", "gz")
+      .select(col("doc_id"), WebIngest.syntheticWarc(col("doc_id"),
+        lit("<p>hello</p>"), col("gz")).as("payload"))
+    val out = WebIngest.warcRecords(df).orderBy("doc_id", "record_idx").collect()
+    assert(out.length == 4)
+    out.grouped(2).zipWithIndex.foreach { case (Array(info, conv), d) =>
+      assert(info.getAs[String]("warc_type") == "warcinfo")
+      assert(info.getAs[Long]("content_length") == 27L)
+      assert(conv.getAs[String]("warc_type") == "conversion")
+      assert(conv.getAs[String]("target_uri") == s"http://example.com/doc/$d")
+      assert(conv.getAs[String]("content_text") == "<p>hello</p>")
+      assert(conv.getAs[String]("parse_error") == null)
+    }
+  }
+
+  test("warcRecords: truncated tail keeps parsed records and reports; " +
+      "garbage and null degrade per segment") {
+    val full = WebIngest.syntheticWarc
+    val df0 = Seq((0L, false)).toDF("doc_id", "gz")
+      .select(col("doc_id"), full(col("doc_id"), lit("body text here"), col("gz")).as("payload"))
+    val bytes = df0.collect().head.getAs[Array[Byte]]("payload")
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 12) // cut into record 1's body
+    val df = Seq((0L, cut), (1L, "no warc here".getBytes("UTF-8")),
+      (2L, null: Array[Byte])).toDF("doc_id", "payload")
+    val out = WebIngest.warcRecords(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 0: warcinfo parsed, then the truncated-tail error row
+    val d0 = out(0L).sortBy(_.getAs[Int]("record_idx"))
+    assert(d0.head.getAs[String]("warc_type") == "warcinfo")
+    assert(d0.last.getAs[String]("parse_error") == "truncated or malformed record")
+    assert(out(1L).head.getAs[String]("parse_error") ==
+      "not a WARC stream (no version line)")
+    assert(out(2L).head.getAs[String]("parse_error") == "null payload")
+  }
+
+  test("extractText: scripts/styles/comments drop, entities decode, " +
+      "block tags break lines, whitespace collapses") {
+    val html = "<html><head><title>T1</title><style>b {}</style></head>" +
+      "<body><h1>Head <b>line</b></h1><!-- gone --><p>a &amp; b &lt;ok&gt; " +
+      "&#65;&#x42;</p><script>if (1 < 2) { alert('</p>'); }</script>" +
+      "<p>  spaced   out  </p></body></html>"
+    assert(WebIngest.extractText(html) ==
+      "T1\nHead line\na & b <ok> AB\nspaced out")
+    assert(WebIngest.extractText(null) == null)
+    assert(WebIngest.extractText("plain, no markup & unterminated") ==
+      "plain, no markup & unterminated")
+    // unterminated script drops to EOF instead of leaking code as text
+    assert(WebIngest.extractText("<p>x</p><script>var y = 1;") == "x")
+  }
+
+  test("htmlText + warcRecords compose: the WET-style ingest chain") {
+    val segs = Seq((7L, "<h1>Title</h1><p>real content &amp; stuff</p>"))
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), WebIngest.syntheticWarc(col("doc_id"),
+        col("html"), lit(true)).as("payload"))
+    val out = WebIngest.htmlText(
+      WebIngest.warcRecords(segs).where(col("warc_type") === "conversion"),
+      "content_text").collect().head
+    assert(out.getAs[String]("html_text") == "Title\nreal content & stuff")
+    assert(out.getAs[Long]("html_text_chars") == 26L)
+  }
+}
