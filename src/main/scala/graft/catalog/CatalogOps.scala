@@ -1135,6 +1135,69 @@ object CatalogOps {
         length(expected)::BIGINT AS html_text_chars
       FROM h_exp"""))
 
+  /** Tar member census + extraction ([[graft.ops.Archives.tarMembers]]):
+    * members are 20–59 bytes so every (header + padded data) cell is
+    * exactly 1024 bytes and offsets are closed-form; odd doc_ids ship
+    * as `.tar.gz` (offsets address the inflated stream, so one oracle
+    * covers both).
+    */
+  private val arcTarMembers = Q("arc_tar_members",
+    (s, dir) => {
+      val tars = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Archives.syntheticTar(
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (col("doc_id") % 16).cast("int"),
+          col("doc_id") % 2 === 1).as("payload"))
+      graft.ops.Archives.tarMembers(tars, "payload")
+        .select(col("doc_id"), col("member_idx"), col("member_name"),
+          col("member_size"), col("data_offset"), col("type_flag"),
+          col("member_text"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 6)::INT AS nm, (doc_id % 16)::INT AS seed
+        FROM documents),
+      m AS (
+        SELECT doc_id, k::INT AS k, (20 + (seed + 7*k) % 40)::BIGINT AS len
+        FROM p, unnest(generate_series(0, nm - 1)) AS t(k))
+      SELECT doc_id, k AS member_idx,
+        'dir/file' || k || '.txt' AS member_name,
+        len AS member_size, (1024*k + 512)::BIGINT AS data_offset,
+        '0' AS type_flag,
+        substr(repeat('the quick brown fox jumps over the lazy dog ', 2),
+          1, len::INT) AS member_text,
+        NULL::VARCHAR AS parse_error
+      FROM m"""))
+
+  /** Zip member census + REAL inflation ([[graft.ops.Archives
+    * .zipMembers]]): STORED members keep sizes closed-form for the
+    * oracle; the deflate path is spec-tested (its sizes aren't
+    * closed-form).
+    */
+  private val arcZipMembers = Q("arc_zip_members",
+    (s, dir) => {
+      val zips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Archives.syntheticZip(
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.Archives.zipMembers(zips, "payload")
+        .select(col("doc_id"), col("member_idx"), col("member_name"),
+          col("method"), col("compressed_size"), col("uncompressed_size"),
+          col("member_text"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 6)::INT AS nm, (doc_id % 16)::INT AS seed
+        FROM documents),
+      m AS (
+        SELECT doc_id, k::INT AS k, (20 + (seed + 7*k) % 40)::BIGINT AS len
+        FROM p, unnest(generate_series(0, nm - 1)) AS t(k))
+      SELECT doc_id, k AS member_idx,
+        'dir/file' || k || '.zip.txt' AS member_name,
+        0::INT AS method, len AS compressed_size, len AS uncompressed_size,
+        substr(repeat('the quick brown fox jumps over the lazy dog ', 2),
+          1, len::INT) AS member_text,
+        NULL::VARCHAR AS parse_error
+      FROM m"""))
+
   private val mmMp3Census = Q("mm_mp3_census",
     (s, dir) => {
       val clips = t(s, dir, "documents").select(col("doc_id"),
@@ -1802,5 +1865,6 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest,
+    arcTarMembers, arcZipMembers,
     stWindow, stHotKeyGuard)
 }

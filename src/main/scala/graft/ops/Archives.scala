@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Archive ingest ops: tar (POSIX ustar) and zip member tables with
+  * REAL extraction — unlike the video/audio codecs, the JDK carries
+  * complete deflate/gzip codecs, so nothing here is stubbed. Code and
+  * document datasets arrive as tarballs and zips; the first pipeline
+  * pass wants the member census (names, sizes, offsets) and the text
+  * of each member, without writing anything to disk. Same family
+  * contract as the other structure parsers: narrow per-partition
+  * flatMaps, per-archive error degradation, truncation keeps the
+  * members already walked.
+  */
+object Archives {
+
+  private val tarCols = Seq(
+    StructField("member_idx", IntegerType),
+    StructField("member_name", StringType),
+    StructField("member_size", LongType),
+    StructField("data_offset", LongType),
+    StructField("type_flag", StringType),
+    StructField("member_text", StringType),
+    StructField("parse_error", StringType))
+
+  private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } else bytes
+
+  /** One row per tar member: name, size, file-absolute DATA offset
+    * (after gunzip for `.tar.gz` payloads — offsets address the
+    * inflated stream), type flag ("0" regular, "5" directory, …) and
+    * the member bytes decoded as UTF-8 text (null for non-regular
+    * members). ustar layout: 512-byte headers, octal size field,
+    * data padded to block boundary, two zero blocks at the end.
+    */
+  def tarMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "tarMembers", tarCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ tarCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val errRow = (msg: String) =>
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = gunzipIfNeeded(r.getAs[Array[Byte]](idx))
+          def cstr(o: Int, len: Int): String = {
+            var e = o
+            while (e < o + len && e < bytes.length && bytes(e) != 0) e += 1
+            new String(bytes, o, e - o, "UTF-8")
+          }
+          val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var o = 0
+          var i = 0
+          var done = false
+          var tailErr: String = null
+          while (!done && o + 512 <= bytes.length) {
+            if (bytes(o) == 0) done = true // end-of-archive zero block
+            else {
+              val name = cstr(o, 100)
+              val sizeStr = cstr(o + 124, 12).trim
+              val magic = cstr(o + 257, 6)
+              if (!magic.startsWith("ustar")) {
+                tailErr =
+                  if (i == 0) "not a tar stream (bad magic)" else "malformed header"
+                done = true
+              } else {
+                val size =
+                  try java.lang.Long.parseLong(sizeStr, 8)
+                  catch { case _: NumberFormatException => -1L }
+                val tpe = {
+                  val b = bytes(o + 156)
+                  if (b == 0) "0" else String.valueOf(b.toChar)
+                }
+                if (size < 0 || o + 512 + size > bytes.length) {
+                  tailErr = "truncated member"
+                  done = true
+                } else {
+                  val text =
+                    if (tpe == "0") new String(bytes, o + 512, size.toInt, "UTF-8")
+                    else null
+                  recs += Row.fromSeq(r.toSeq ++
+                    Seq(i, name, size, (o + 512).toLong, tpe, text, null))
+                  i += 1
+                  o += 512 + ((size + 511) / 512 * 512).toInt
+                }
+              }
+            }
+          }
+          if (recs.isEmpty) errRow(
+            if (tailErr != null) tailErr
+            else if (bytes.length < 512) "not a tar stream (shorter than one header block)"
+            else "empty archive")
+          else {
+            if (tailErr != null)
+              recs += Row.fromSeq(r.toSeq ++
+                Seq(i, null, null, null, null, null, tailErr))
+            recs.toSeq
+          }
+        } catch { case e: Exception =>
+          errRow(s"archive parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  private val zipCols = Seq(
+    StructField("member_idx", IntegerType),
+    StructField("member_name", StringType),
+    StructField("method", IntegerType),
+    StructField("compressed_size", LongType),
+    StructField("uncompressed_size", LongType),
+    StructField("member_text", StringType),
+    StructField("parse_error", StringType))
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** One row per zip member, walked from the central directory (the
+    * authoritative index — streaming local headers misses data
+    * descriptors): name, method (0 stored / 8 deflate), sizes, and the
+    * member INFLATED to UTF-8 text via the JDK's raw-deflate
+    * `Inflater` — real extraction, no temp files. A member that fails
+    * to inflate degrades to its own error row; siblings survive.
+    */
+  def zipMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "zipMembers", zipCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ zipCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val errRow = (msg: String) =>
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          // EOCD: scan back for PK\5\6 (comment can follow, ≤64 KiB)
+          var eocd = -1
+          var p = bytes.length - 22
+          while (eocd < 0 && p >= 0 && bytes.length - p <= 22 + 65535) {
+            if (bytes(p) == 'P' && bytes(p + 1) == 'K' &&
+              bytes(p + 2) == 5 && bytes(p + 3) == 6) eocd = p
+            p -= 1
+          }
+          if (eocd < 0) errRow("not a zip archive (no end-of-central-directory)")
+          else {
+            val count = le16(bytes, eocd + 10)
+            var o = le32(bytes, eocd + 16).toInt // central directory offset
+            val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var i = 0
+            while (i < count) {
+              if (le32(bytes, o) != 0x02014b50L)
+                throw new IllegalArgumentException("bad central header")
+              val method = le16(bytes, o + 10)
+              val csize = le32(bytes, o + 20)
+              val usize = le32(bytes, o + 24)
+              val nameLen = le16(bytes, o + 28)
+              val extraLen = le16(bytes, o + 30)
+              val commentLen = le16(bytes, o + 32)
+              val lho = le32(bytes, o + 42).toInt
+              val name = new String(bytes, o + 46, nameLen, "UTF-8")
+              val row: Row =
+                try {
+                  // local header: skip its own (possibly different) name/extra
+                  val dataOff = lho + 30 + le16(bytes, lho + 26) + le16(bytes, lho + 28)
+                  val text =
+                    if (name.endsWith("/")) null // directory entry
+                    else if (method == 0)
+                      new String(bytes, dataOff, usize.toInt, "UTF-8")
+                    else if (method == 8) {
+                      val inf = new java.util.zip.Inflater(true)
+                      inf.setInput(bytes, dataOff, csize.toInt)
+                      val out = new Array[Byte](usize.toInt)
+                      var done = 0
+                      while (done < usize && !inf.finished())
+                        done += inf.inflate(out, done, usize.toInt - done)
+                      inf.end()
+                      new String(out, 0, done, "UTF-8")
+                    } else null // unsupported method: census row, no text
+                  Row.fromSeq(r.toSeq ++
+                    Seq(i, name, method, csize, usize, text, null))
+                } catch { case e: Exception =>
+                  Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
+                    null, s"member extract failed: ${e.getClass.getSimpleName}"))
+                }
+              recs += row
+              o += 46 + nameLen + extraLen + commentLen
+              i += 1
+            }
+            if (recs.isEmpty) errRow("empty archive") else recs.toSeq
+          }
+        } catch { case e: Exception =>
+          errRow(s"archive parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic tarball: `nMembers` regular files
+    * `dir/file<k>.txt`, content = the first `20 + (seed+7k) mod 40`
+    * chars of a repeated pangram (closed-form for the oracle), proper
+    * ustar headers with checksums, two zero end blocks; `gzipped`
+    * wraps the stream (the `.tar.gz` path — member offsets address the
+    * inflated stream, so one oracle covers both).
+    */
+  val syntheticTar: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nMembers: Int, seed: Int, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      val pangram = "the quick brown fox jumps over the lazy dog "
+      var k = 0
+      while (k < nMembers) {
+        val len = 20 + (seed + 7 * k) % 40
+        val content = (pangram * 2).substring(0, len).getBytes("UTF-8")
+        val hdr = new Array[Byte](512)
+        def put(o: Int, s: String): Unit = {
+          val b = s.getBytes("US-ASCII")
+          System.arraycopy(b, 0, hdr, o, b.length)
+        }
+        put(0, s"dir/file$k.txt")
+        put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+        put(124, f"${content.length}%011o"); put(136, "00000000000")
+        hdr(156) = '0'
+        put(257, "ustar"); hdr(263) = '0'; hdr(264) = '0'
+        java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+        var sum = 0
+        var j = 0
+        while (j < 512) { sum += hdr(j) & 0xff; j += 1 }
+        put(148, f"$sum%06o"); hdr(154) = 0; hdr(155) = ' '
+        out.write(hdr)
+        out.write(content)
+        val pad = (512 - content.length % 512) % 512
+        out.write(new Array[Byte](pad))
+        k += 1
+      }
+      out.write(new Array[Byte](1024))
+      val raw = out.toByteArray
+      if (!gzipped) raw
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      }
+    })
+
+  /** Deterministic synthetic zip: same member naming/content scheme as
+    * [[syntheticTar]], STORED method (compressed == uncompressed ==
+    * closed-form length; the DEFLATE extraction path is spec-tested
+    * with a JDK-written archive instead, because deflate output sizes
+    * are not closed-form).
+    */
+  val syntheticZip: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nMembers: Int, seed: Int) => {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      val pangram = "the quick brown fox jumps over the lazy dog "
+      var k = 0
+      while (k < nMembers) {
+        val len = 20 + (seed + 7 * k) % 40
+        val content = (pangram * 2).substring(0, len).getBytes("UTF-8")
+        val e = new java.util.zip.ZipEntry(s"dir/file$k.zip.txt")
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(content.length.toLong)
+        e.setCompressedSize(content.length.toLong)
+        val crc = new java.util.zip.CRC32()
+        crc.update(content)
+        e.setCrc(crc.getValue)
+        z.putNextEntry(e)
+        z.write(content)
+        z.closeEntry()
+        k += 1
+      }
+      z.close()
+      bos.toByteArray
+    })
+}

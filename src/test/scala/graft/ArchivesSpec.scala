@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ArchivesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tarMembers: plain and .tar.gz round-trip names, sizes, offsets, text") {
+    val df = Seq((0L, false), (1L, true)).toDF("doc_id", "gz")
+      .select(col("doc_id"),
+        Archives.syntheticTar(lit(3), lit(4), col("gz")).as("payload"))
+    val out = Archives.tarMembers(df).orderBy("doc_id", "member_idx").collect()
+    assert(out.length == 6)
+    out.grouped(3).foreach { g =>
+      assert(g.map(_.getAs[String]("member_name")).toSeq ==
+        Seq("dir/file0.txt", "dir/file1.txt", "dir/file2.txt"))
+      // len(k) = 20 + (4 + 7k) % 40 → 24, 31, 38
+      assert(g.map(_.getAs[Long]("member_size")).toSeq == Seq(24L, 31L, 38L))
+      assert(g.map(_.getAs[Long]("data_offset")).toSeq == Seq(512L, 1536L, 2560L))
+      assert(g(0).getAs[String]("member_text") == "the quick brown fox jump")
+      assert(g.forall(_.getAs[String]("parse_error") == null))
+    }
+  }
+
+  test("tarMembers: truncation keeps walked members; garbage and null degrade") {
+    val full = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), Archives.syntheticTar(lit(2), lit(0), lit(false)).as("payload"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    // member 1 (len 27) has its header at 1024 and data at 1536; cut 10
+    // bytes into the data so the header is intact but the body is not
+    val cut = java.util.Arrays.copyOf(full, 1536 + 10)
+    val df = Seq((0L, cut), (1L, "not a tarball either".getBytes("UTF-8")),
+      (2L, null: Array[Byte])).toDF("doc_id", "payload")
+    val out = Archives.tarMembers(df).collect().groupBy(_.getAs[Long]("doc_id"))
+    val d0 = out(0L).sortBy(_.getAs[Int]("member_idx"))
+    assert(d0.head.getAs[String]("member_name") == "dir/file0.txt")
+    assert(d0.last.getAs[String]("parse_error") == "truncated member")
+    assert(out(1L).head.getAs[String]("parse_error") ==
+      "not a tar stream (shorter than one header block)")
+    val block = new Array[Byte](1536); block(0) = 'x'
+    val bm = Seq((9L, block)).toDF("doc_id", "payload")
+    assert(Archives.tarMembers(bm).collect().head
+      .getAs[String]("parse_error") == "not a tar stream (bad magic)")
+    assert(out(2L).head.getAs[String]("parse_error") == "null payload")
+  }
+
+  test("zipMembers: STORED archive round-trips census and text") {
+    val df = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), Archives.syntheticZip(lit(2), lit(9)).as("payload"))
+    val out = Archives.zipMembers(df).orderBy("member_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("member_name") == "dir/file0.zip.txt")
+    assert(out(0).getAs[Int]("method") == 0)
+    // len(0) = 20 + 9 % 40 = 29
+    assert(out(0).getAs[Long]("uncompressed_size") == 29L)
+    assert(out(0).getAs[String]("member_text") == "the quick brown fox jumps ove")
+    assert(out.forall(_.getAs[String]("parse_error") == null))
+  }
+
+  test("zipMembers: DEFLATED members inflate through the raw Inflater path") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val text = "repetitive content " * 50 // compresses well → csize < usize
+    z.putNextEntry(new java.util.zip.ZipEntry("deep/nested/doc.md"))
+    z.write(text.getBytes("UTF-8"))
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("empty/"))
+    z.closeEntry()
+    z.close()
+    val df = Seq((0L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = Archives.zipMembers(df).orderBy("member_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("method") == 8)
+    assert(out(0).getAs[Long]("compressed_size") <
+      out(0).getAs[Long]("uncompressed_size"))
+    assert(out(0).getAs[String]("member_text") == text)
+    assert(out(1).getAs[String]("member_name") == "empty/")
+    assert(out(1).getAs[String]("member_text") == null) // directory entry
+    val garbage = Seq((1L, "zip? no.".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Archives.zipMembers(garbage).collect().head
+      .getAs[String]("parse_error").startsWith("not a zip archive"))
+  }
+}
