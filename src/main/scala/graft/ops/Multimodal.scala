@@ -949,6 +949,12 @@ object Multimodal {
     * derived from the checksum so downstream shapes (Array[Double] of
     * dim 8) are realistic. Images, audio and MJPEG-AVI video have REAL
     * decoders: [[decodeImages]], [[decodeAudio]], [[decodeVideoFrames]].
+    * The stub's scope is PIXEL/PCM decode only — bitstream STRUCTURE for
+    * these codecs is real and decode-free:
+    * [[graft.ops.VideoBitstream.parseH264Nals]] / `h264ClipMeta` /
+    * `mp4ClipMeta` / `mp4SyncSamples` (the keyframe byte-range table a
+    * real decoder would fetch) and
+    * [[graft.ops.AudioBitstream.mp3FrameCensus]].
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>

@@ -264,7 +264,8 @@ object VideoBitstream {
 
   /** MSB-first bit writer with Exp-Golomb, for the synthetic fixture
     * generator (and any test that needs a valid SPS). Emulation
-    * prevention applied at [[toAnnexB]] payload emission.
+    * prevention is applied separately at payload emission
+    * ([[escapeRbsp]]).
     */
   private final class BitWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
