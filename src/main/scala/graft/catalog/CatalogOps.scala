@@ -1771,6 +1771,35 @@ object CatalogOps {
         (b.n_toks - coalesce(a.n_kept, 0))::BIGINT AS n_removed
       FROM b_base b LEFT JOIN b_agg a USING (doc_id)"""))
 
+  /** Mojibake repair ([[TextAnalysis.repairMojibakeLatin1]]): plant the
+    * classic UTF-8-as-Latin-1 double-decode on every 'a'/'e' ("á"→"Ã¡",
+    * "é"→"Ã©"), repair declaratively, and predict the fix closed-form —
+    * the oracle never touches a charset, it just writes the repaired
+    * characters directly.
+    */
+  private val txtMojibakeRepair = Q("txt_mojibake_repair",
+    (s, dir) => {
+      val corrupted = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "a", "Ã¡"), "e", "Ã©")
+          .as("text"))
+      TextAnalysis.repairMojibakeLatin1(corrupted, "text")
+        .select(col("doc_id"), col("mojibake_marks"),
+          col("repaired_text"), col("was_repaired"))
+    },
+    Some("""WITH c AS (
+        SELECT doc_id,
+          replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©') AS corrupt,
+          replace(replace(text, 'a', 'á'), 'e', 'é') AS fixed
+        FROM documents),
+      m AS (
+        SELECT doc_id, corrupt, fixed,
+          (length(corrupt) - length(replace(corrupt, 'Ã', '')))::BIGINT AS marks
+        FROM c)
+      SELECT doc_id, marks AS mojibake_marks,
+        (CASE WHEN marks > 0 THEN fixed ELSE corrupt END) AS repaired_text,
+        marks > 0 AS was_repaired
+      FROM m"""))
+
   private val txtSpanContamination = Q("txt_span_contamination",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1857,7 +1886,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtBoilerplateSpans, txtRemoveBoilerplate,
+    txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,

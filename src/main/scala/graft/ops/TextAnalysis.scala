@@ -249,6 +249,125 @@ object TextAnalysis {
       boilerplateSpans(docs, textCol, idCol, k, maxDocFreq),
       broadcastSpans = false)
 
+  /** Valid-UTF-8-byte-sequence pattern over a Latin-1 string (where
+    * char == byte value) — the RFC 3629 table as a regex, so the check
+    * runs inside codegen'd `rlike` with no UDF.
+    */
+  private val Utf8BytesPattern =
+    "^(?:[\\x00-\\x7F]|[\\xC2-\\xDF][\\x80-\\xBF]|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]|" +
+      "[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}|\\xED[\\x80-\\x9F][\\x80-\\xBF]|" +
+      "\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}|[\\xF1-\\xF3][\\x80-\\xBF]{3}|" +
+      "\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+
+  private def mojibakeMarks(t: Column): Column =
+    (length(t) - length(replace(t, lit("Ã"), lit("")))) +
+      (length(t) - length(replace(t, lit("Â"), lit("")))) +
+      (length(t) - length(replace(t, lit("â"), lit(""))))
+
+  /** Mojibake repair, declarative (every step codegen'd — no UDF in the
+    * scan): text that was UTF-8 bytes mis-decoded as Latin-1 ("é" →
+    * "Ã©", the commonest crawl encoding bug) is re-encoded to Latin-1
+    * and re-decoded as UTF-8. Three guards make the double conversion
+    * safe on arbitrary corpora, all row-local Column logic:
+    * marker chars present (Ã/Â/â — the UTF-8 lead bytes as Latin-1);
+    * every code point ≤ 0xFF (so the `encode` cannot hit an unmappable
+    * character, which throws in Spark 4); and the char sequence read as
+    * bytes matches [[Utf8BytesPattern]] (so the `decode` cannot hit
+    * malformed input). A repair must strictly reduce the marker count
+    * or the original stands. Adds `mojibake_marks` (on the input),
+    * `repaired_text`, `was_repaired`.
+    *
+    * Scope: Latin-1-expressible mojibake. The cp1252 smart-quote family
+    * ("â€™" → ’) involves € = U+20AC > 0xFF and needs a real cp1252
+    * table — [[repairMojibakeCp1252]] is the kernel twin for that.
+    */
+  def repairMojibakeLatin1(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val marks = mojibakeMarks(t)
+    val candidate = t.isNotNull && marks > 0 &&
+      t.rlike("^[\\x00-\\xFF]*$") && t.rlike(Utf8BytesPattern)
+    val rep = when(candidate, decode(encode(t, "ISO-8859-1"), "UTF-8")).otherwise(t)
+    val ok = candidate && mojibakeMarks(rep) < marks
+    df.withColumn("mojibake_marks",
+        coalesce(marks, lit(0)).cast("long"))
+      .withColumn("repaired_text", when(ok, rep).otherwise(t))
+      .withColumn("was_repaired", coalesce(ok, lit(false)))
+  }
+
+  /** WHATWG windows-1252 encode table for the 0x80–0x9F specials
+    * (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ). The
+    * undefined slots (0x81/8D/8F/90/9D) pass the C1 control through —
+    * the browser behavior that PRODUCES real-world mojibake, which is
+    * why the repair must use this table: Java's strict MS1252 charset
+    * rejects U+009D, and "â€" + U+009D is exactly how a mis-decoded ”
+    * (U+201D) arrives.
+    */
+  private val Cp1252Specials: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** cp1252 kernel twin of [[repairMojibakeLatin1]] for the smart-quote
+    * mojibake family ("â€™" → ’, "â€œ" → “): Windows-1252 maps
+    * 0x80–0x9F to printable characters that Latin-1 reserves for
+    * controls, so this path needs the real table — the WHATWG one
+    * ([[Cp1252Specials]]), not the JDK charset, because lenient
+    * decoders pass the five undefined slots through as C1 controls and
+    * a faithful repair must re-encode them. Per-row UDF with the same
+    * guards applied imperatively (markers present, cp1252-encodable,
+    * UTF-8-valid, marker count strictly reduced).
+    */
+  def repairMojibakeCp1252(df: DataFrame, textCol: String): DataFrame = {
+    def marksOf(s: String): Int = {
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == 'Ã' || c == 'Â' || c == 'â') n += 1
+        i += 1
+      }
+      n
+    }
+    val f = udf((s: String) => {
+      if (s == null) null
+      else {
+        val m = marksOf(s)
+        if (m == 0) s
+        else {
+          val bytes = new Array[Byte](s.length)
+          var i = 0
+          var ok = true
+          while (ok && i < s.length) {
+            val c = s.charAt(i)
+            if (c < 0x80 || (c >= 0xA0 && c <= 0xFF) ||
+              c == 0x81 || c == 0x8D || c == 0x8F || c == 0x90 || c == 0x9D)
+              bytes(i) = c.toByte
+            else Cp1252Specials.get(c) match {
+              case Some(b) => bytes(i) = b.toByte
+              case None => ok = false
+            }
+            i += 1
+          }
+          if (!ok) s
+          else try {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (marksOf(out) < m) out else s
+          } catch { case _: java.nio.charset.CharacterCodingException => s }
+        }
+      }
+    })
+    df.withColumn("repaired_text", f(col(textCol)))
+      .withColumn("was_repaired",
+        coalesce(col("repaired_text") =!= col(textCol), lit(false)))
+  }
+
   /** Seed for the classifier feature hash ([[Dedup.h60]]) — fixed so
     * external engines can replay scores exactly.
     */

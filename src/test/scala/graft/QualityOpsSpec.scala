@@ -539,6 +539,43 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L) == ("entirely fresh document nothing repeated here at all", 0L))
   }
 
+  test("repairMojibakeLatin1: UTF-8-as-Latin-1 double-decode reverses; " +
+      "clean, non-Latin-1 and false-positive texts stand") {
+    val docs = Seq(
+      (0L, "cafÃ© au lait"), // "café" mis-decoded: Ã©
+      (1L, "perfectly clean ascii text"),
+      (2L, "Ã without a continuation byte"), // marker but invalid UTF-8 bytes
+      (3L, "日本語 text with Ã marker"), // > 0xFF: not Latin-1-expressible
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.repairMojibakeLatin1(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("repaired_text") == "café au lait")
+    assert(out(0L).getAs[Boolean]("was_repaired"))
+    assert(out(0L).getAs[Long]("mojibake_marks") == 1L)
+    assert(out(1L).getAs[String]("repaired_text") == "perfectly clean ascii text")
+    assert(!out(1L).getAs[Boolean]("was_repaired"))
+    assert(out(2L).getAs[String]("repaired_text") == "Ã without a continuation byte")
+    assert(!out(2L).getAs[Boolean]("was_repaired"))
+    assert(out(3L).getAs[String]("repaired_text") == "日本語 text with Ã marker")
+    assert(!out(3L).getAs[Boolean]("was_repaired"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("repaired_text")))
+    assert(!out(4L).getAs[Boolean]("was_repaired"))
+  }
+
+  test("repairMojibakeCp1252: the smart-quote family needs the cp1252 " +
+      "table and the kernel fixes it") {
+    // "it’s “quoted”" mis-decoded as cp1252: ’ = â€™, “ = â€œ, ” = â€
+    val docs = Seq(
+      (0L, "itâ€™s â€œquotedâ€"),
+      (1L, "nothing wrong here")).toDF("doc_id", "text")
+    val out = TextAnalysis.repairMojibakeCp1252(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("repaired_text") == "it’s “quoted”")
+    assert(out(0L).getAs[Boolean]("was_repaired"))
+    assert(out(1L).getAs[String]("repaired_text") == "nothing wrong here")
+    assert(!out(1L).getAs[Boolean]("was_repaired"))
+  }
+
   test("normalizeText: NFC composes, control chars strip, whitespace collapses") {
     val docs = Seq(
       (0L, "café time"),                      // e + combining acute → é
