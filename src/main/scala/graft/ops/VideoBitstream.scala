@@ -635,6 +635,12 @@ object VideoBitstream {
             case _ => ()
           }
           video match {
+            // a truncated moov can surface a video track whose sample
+            // tables are only partially walked — emitting rows against a
+            // missing chunk table would fabricate offsets (all-zero), so
+            // incoherent tables degrade instead
+            case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
+              errRow("incomplete sample tables")
             case Some(t) =>
               val offs = sampleOffsets(t)
               t.sizes.indices.map { i =>
