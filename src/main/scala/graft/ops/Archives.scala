@@ -25,7 +25,7 @@ object Archives {
     StructField("member_text", StringType),
     StructField("parse_error", StringType))
 
-  private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+  private[ops] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -163,44 +163,70 @@ object Archives {
             var o = le32(bytes, eocd + 16).toInt // central directory offset
             val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
             var i = 0
-            while (i < count) {
-              if (le32(bytes, o) != 0x02014b50L)
-                throw new IllegalArgumentException("bad central header")
-              val method = le16(bytes, o + 10)
-              val csize = le32(bytes, o + 20)
-              val usize = le32(bytes, o + 24)
-              val nameLen = le16(bytes, o + 28)
-              val extraLen = le16(bytes, o + 30)
-              val commentLen = le16(bytes, o + 32)
-              val lho = le32(bytes, o + 42).toInt
-              val name = new String(bytes, o + 46, nameLen, "UTF-8")
-              val row: Row =
-                try {
-                  // local header: skip its own (possibly different) name/extra
-                  val dataOff = lho + 30 + le16(bytes, lho + 26) + le16(bytes, lho + 28)
-                  val text =
-                    if (name.endsWith("/")) null // directory entry
-                    else if (method == 0)
-                      new String(bytes, dataOff, usize.toInt, "UTF-8")
-                    else if (method == 8) {
-                      val inf = new java.util.zip.Inflater(true)
-                      inf.setInput(bytes, dataOff, csize.toInt)
-                      val out = new Array[Byte](usize.toInt)
-                      var done = 0
-                      while (done < usize && !inf.finished())
-                        done += inf.inflate(out, done, usize.toInt - done)
-                      inf.end()
-                      new String(out, 0, done, "UTF-8")
-                    } else null // unsupported method: census row, no text
-                  Row.fromSeq(r.toSeq ++
-                    Seq(i, name, method, csize, usize, text, null))
-                } catch { case e: Exception =>
-                  Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
-                    null, s"member extract failed: ${e.getClass.getSimpleName}"))
+            var broken = false
+            while (i < count && !broken) {
+              // a corrupt central entry stops the WALK, not the archive:
+              // members already parsed stay, a tail-error row reports the
+              // break (the tarMembers contract)
+              if (o + 46 > bytes.length || le32(bytes, o) != 0x02014b50L) {
+                recs += Row.fromSeq(r.toSeq ++ Seq(i, null, null, null, null,
+                  null, "malformed central directory entry"))
+                broken = true
+              } else {
+                val method = le16(bytes, o + 10)
+                val csize = le32(bytes, o + 20)
+                val usize = le32(bytes, o + 24)
+                val nameLen = le16(bytes, o + 28)
+                val extraLen = le16(bytes, o + 30)
+                val commentLen = le16(bytes, o + 32)
+                val lho = le32(bytes, o + 42).toInt
+                if (o + 46 + nameLen > bytes.length) {
+                  recs += Row.fromSeq(r.toSeq ++ Seq(i, null, null, null, null,
+                    null, "malformed central directory entry"))
+                  broken = true
+                } else {
+                  val name = new String(bytes, o + 46, nameLen, "UTF-8")
+                  val row: Row =
+                    try {
+                      // local header: skip its own (possibly different) name/extra
+                      val dataOff = lho + 30 + le16(bytes, lho + 26) + le16(bytes, lho + 28)
+                      val text =
+                        if (name.endsWith("/")) null // directory entry
+                        else if (method == 0)
+                          new String(bytes, dataOff, usize.toInt, "UTF-8")
+                        else if (method == 8) {
+                          val inf = new java.util.zip.Inflater(true)
+                          inf.setInput(bytes, dataOff, csize.toInt)
+                          val out = new Array[Byte](usize.toInt)
+                          var done = 0
+                          var stalled = false
+                          // inflate() returns 0 WITHOUT an exception when the
+                          // input is exhausted mid-stream (truncated or
+                          // csize-corrupt data) — detect the stall or this
+                          // loop never terminates
+                          while (done < usize && !inf.finished() && !stalled) {
+                            val got = inf.inflate(out, done, usize.toInt - done)
+                            if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
+                              stalled = true
+                            else done += got
+                          }
+                          inf.end()
+                          if (stalled)
+                            throw new java.util.zip.DataFormatException(
+                              "truncated deflate stream")
+                          new String(out, 0, done, "UTF-8")
+                        } else null // unsupported method: census row, no text
+                      Row.fromSeq(r.toSeq ++
+                        Seq(i, name, method, csize, usize, text, null))
+                    } catch { case e: Exception =>
+                      Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
+                        null, s"member extract failed: ${e.getClass.getSimpleName}"))
+                    }
+                  recs += row
+                  o += 46 + nameLen + extraLen + commentLen
+                  i += 1
                 }
-              recs += row
-              o += 46 + nameLen + extraLen + commentLen
-              i += 1
+              }
             }
             if (recs.isEmpty) errRow("empty archive") else recs.toSeq
           }

@@ -199,6 +199,10 @@ object VideoBitstream {
           val bytes = r.getAs[Array[Byte]](idx)
           val nals = findNals(bytes)
           if (nals == null) errRow("no Annex-B start code")
+          // a start code with nothing after it (truncation cut right at
+          // ...00 00 01) filters every span to length 0 — the clip must
+          // still surface as an error row, not silently vanish
+          else if (nals.isEmpty) errRow("no complete NAL units")
           else nals.zipWithIndex.map { case ((off, len), i) =>
             val hdr = bytes(off) & 0xff
             val tpe = hdr & 0x1f
@@ -482,15 +486,18 @@ object VideoBitstream {
 
   /** Per-sample (offset, size) from the chunk tables: stsc runs map
     * samples to chunks, stco anchors each chunk, sizes accumulate within
-    * a chunk (ISO 14496-12 §8.7). Returns file-absolute offsets in
-    * sample order.
+    * a chunk (ISO 14496-12 §8.7). Returns (file-absolute offsets in
+    * sample order, samples actually COVERED by the chunk tables) — a
+    * corrupt/truncated moov can declare more samples than the chunks
+    * place, and the uncovered tail must degrade, not read as offset 0.
     */
-  private def sampleOffsets(t: TrackTables): Array[Long] = {
+  private def sampleOffsets(t: TrackTables): (Array[Long], Int) = {
     val out = new Array[Long](t.sizes.length)
     var sample = 0
     var run = 0
     var chunk = if (t.stscRuns.nonEmpty) t.stscRuns(0)._1 else 1L
-    while (sample < t.sizes.length && chunk.toInt <= t.chunkOffsets.length) {
+    while (sample < t.sizes.length && chunk >= 1 &&
+      chunk <= t.chunkOffsets.length) {
       val perChunk =
         if (t.stscRuns.isEmpty) t.sizes.length.toLong
         else t.stscRuns(run)._2
@@ -505,7 +512,7 @@ object VideoBitstream {
       chunk += 1
       if (run + 1 < t.stscRuns.length && chunk >= t.stscRuns(run + 1)._1) run += 1
     }
-    out
+    (out, sample)
   }
 
   private val mp4MetaCols = Seq(
@@ -642,8 +649,12 @@ object VideoBitstream {
             case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
               errRow("incomplete sample tables")
             case Some(t) =>
-              val offs = sampleOffsets(t)
-              t.sizes.indices.map { i =>
+              val (offs, covered) = sampleOffsets(t)
+              // chunk tables that place FEWER samples than stsz declares
+              // (inconsistent or truncated moov) must not fabricate
+              // offset-0 rows for the uncovered tail
+              if (covered < t.sizes.length) errRow("incomplete sample tables")
+              else t.sizes.indices.map { i =>
                 val num = (i + 1).toLong
                 Row.fromSeq(r.toSeq ++ Seq(i + 1, t.sizes(i).toInt, offs(i),
                   !t.hasStss || t.syncs.contains(num), null))

@@ -43,16 +43,7 @@ object WebIngest {
           Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
-          var bytes = r.getAs[Array[Byte]](idx)
-          if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            bytes = out.toByteArray
-          }
+          val bytes = Archives.gunzipIfNeeded(r.getAs[Array[Byte]](idx))
           val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
           var o = 0
           var recIdx = 0
@@ -163,7 +154,13 @@ object WebIngest {
     }
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // HTML5 tokenization: '<' opens a tag only before a letter, '/',
+      // '!' or '?'; a bare '<' in prose ("1 < 2") is literal text —
+      // swallowing to the next '>' would silently delete content
+      if (c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        d.isLetter || d == '/' || d == '!' || d == '?'
+      }) {
         if (lowerAt(i, "<!--")) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
@@ -196,16 +193,26 @@ object WebIngest {
         val semi = html.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val ent = html.substring(i + 1, semi)
-          if (ent.startsWith("#x") || ent.startsWith("#X")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else if (ent.startsWith("#")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else NamedEntities.get(ent.toLowerCase) match {
-            case Some(ch) => sb.append(ch); i = semi + 1
-            case None => sb.append(c); i += 1
-          }
+          // numeric entities: parseInt can SUCCEED on values appendCodePoint
+          // rejects (negative, > U+10FFFF, surrogates) — validate instead of
+          // relying on exceptions, or one crawled "&#x110000;" kills the job
+          def appendNumeric(v: => Int): Boolean =
+            try {
+              val cp = v
+              if (Character.isValidCodePoint(cp) &&
+                !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); true }
+              else false
+            } catch { case _: NumberFormatException => false }
+          val consumed =
+            if (ent.startsWith("#x") || ent.startsWith("#X"))
+              appendNumeric(Integer.parseInt(ent.substring(2), 16))
+            else if (ent.startsWith("#"))
+              appendNumeric(Integer.parseInt(ent.substring(1)))
+            else NamedEntities.get(ent.toLowerCase) match {
+              case Some(ch) => sb.append(ch); true
+              case None => false
+            }
+          if (consumed) i = semi + 1 else { sb.append(c); i += 1 }
         } else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
@@ -236,6 +243,8 @@ object WebIngest {
     * no shuffle.
     */
   def htmlText(df: DataFrame, htmlCol: String): DataFrame = {
+    Multimodal.requireFreshColumns(df, "htmlText",
+      Seq("html_text", "html_text_chars"))
     val f = udf((s: String) => extractText(s))
     df.withColumn("html_text", f(col(htmlCol)))
       .withColumn("html_text_chars",

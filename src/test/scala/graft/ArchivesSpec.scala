@@ -83,4 +83,53 @@ class ArchivesSpec extends AnyFunSuite {
     assert(Archives.zipMembers(garbage).collect().head
       .getAs[String]("parse_error").startsWith("not a zip archive"))
   }
+
+  test("zipMembers: one corrupt member cannot kill its siblings — " +
+      "bad central entry keeps walked members, truncated deflate degrades per member") {
+    // 3-member STORED archive; corrupt the SECOND central header's signature
+    val full = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(Archives.syntheticZip(lit(3), lit(2)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    def findCentral(b: Array[Byte], nth: Int): Int = {
+      var found = -1
+      var seen = 0
+      var i = 0
+      while (found < 0 && i + 4 <= b.length) {
+        if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 1 && b(i + 3) == 2) {
+          seen += 1
+          if (seen == nth) found = i
+        }
+        i += 1
+      }
+      found
+    }
+    val badSig = full.clone()
+    badSig(findCentral(badSig, 2) + 3) = 99
+    val out1 = Archives.zipMembers(Seq((0L, badSig)).toDF("doc_id", "payload"))
+      .orderBy("member_idx").collect()
+    assert(out1.length == 2)
+    assert(out1(0).getAs[String]("member_name") == "dir/file0.zip.txt")
+    assert(out1(0).getAs[String]("parse_error") == null)
+    assert(out1(1).getAs[String]("parse_error") == "malformed central directory entry")
+    // DEFLATED member whose central csize is patched short: the raw
+    // Inflater stalls on exhausted input — must degrade, not hang
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("a.txt"))
+    z.write(("deflate me " * 40).getBytes("UTF-8"))
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("b.txt"))
+    z.write("sibling survives".getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    val cut = bos.toByteArray.clone()
+    val c1 = findCentral(cut, 1)
+    cut(c1 + 20) = 3; cut(c1 + 21) = 0 // csize := 3 (little-endian)
+    val out2 = Archives.zipMembers(Seq((0L, cut)).toDF("doc_id", "payload"))
+      .orderBy("member_idx").collect()
+    assert(out2.length == 2)
+    assert(out2(0).getAs[String]("parse_error") != null)
+    assert(out2(1).getAs[String]("member_text") == "sibling survives")
+    assert(out2(1).getAs[String]("parse_error") == null)
+  }
 }

@@ -190,6 +190,46 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(err.getAs[String]("parse_error") != null)
   }
 
+  test("mp4: chunk tables covering fewer samples than stsz declares " +
+      "degrade instead of fabricating offset-0 rows") {
+    // minimal moov: stsz declares 5 samples but one chunk at 2/chunk
+    // places only 2 — the clip must surface as an error row
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(tpe: String)(body: => Unit): Unit = {
+      val mark = bos.size()
+      u32(0L); raw(tpe)
+      body
+      val arr = bos.toByteArray
+      val sz = arr.length - mark
+      arr(mark) = ((sz >> 24) & 0xff).toByte; arr(mark + 1) = ((sz >> 16) & 0xff).toByte
+      arr(mark + 2) = ((sz >> 8) & 0xff).toByte; arr(mark + 3) = (sz & 0xff).toByte
+      bos.reset(); bos.write(arr, 0, arr.length)
+    }
+    box("ftyp") { raw("isom"); u32(0L); raw("isom") }
+    box("moov") {
+      box("trak") {
+        box("mdia") {
+          box("hdlr") { u32(0L); u32(0L); raw("vide"); u32(0L); u32(0L); u32(0L); u8(0) }
+          box("minf") {
+            box("stbl") {
+              box("stsz") { u32(0L); u32(0L); u32(5L); (1 to 5).foreach(_ => u32(10L)) }
+              box("stsc") { u32(0L); u32(1L); u32(1L); u32(2L); u32(1L) }
+              box("stco") { u32(0L); u32(1L); u32(100L) }
+            }
+          }
+        }
+      }
+    }
+    val df = Seq((0L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = VideoBitstream.mp4SyncSamples(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("parse_error") == "incomplete sample tables")
+  }
+
   test("degradation: null, garbage, and SPS-less payloads yield error rows") {
     val df = Seq((0L, null: Array[Byte]),
       (1L, "not a video".getBytes("UTF-8")),
@@ -200,6 +240,11 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(parsed(0L) == "null payload")
     assert(parsed(1L) == "no Annex-B start code")
     assert(parsed(2L) == null)
+    // truncation cut right at a start code: the clip must surface as an
+    // error row, not silently emit zero rows
+    val bare = Seq((9L, Array[Byte](0, 0, 1))).toDF("doc_id", "payload")
+    assert(VideoBitstream.parseH264Nals(bare).collect().head
+      .getAs[String]("parse_error") == "no complete NAL units")
     val meta = VideoBitstream.h264ClipMeta(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(meta(2L).getAs[String]("parse_error") == "no SPS in stream")

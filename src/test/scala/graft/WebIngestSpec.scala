@@ -59,6 +59,17 @@ class WebIngestSpec extends AnyFunSuite {
     assert(WebIngest.extractText("<p>x</p><script>var y = 1;") == "x")
   }
 
+  test("extractText: bare '<' in prose is literal text (HTML5 rule), and " +
+      "out-of-range numeric entities degrade to literal, never crash") {
+    assert(WebIngest.extractText("<p>profit was 1 < 2 and 3 > 2 percent</p>") ==
+      "profit was 1 < 2 and 3 > 2 percent")
+    // parseInt succeeds on these but appendCodePoint would throw:
+    // beyond U+10FFFF, negative, and a surrogate — all stay literal
+    assert(WebIngest.extractText("a &#x110000; b &#-1; c &#xD800; d") ==
+      "a &#x110000; b &#-1; c &#xD800; d")
+    assert(WebIngest.extractText("ok &#65; still") == "ok A still")
+  }
+
   test("htmlText + warcRecords compose: the WET-style ingest chain") {
     val segs = Seq((7L, "<h1>Title</h1><p>real content &amp; stuff</p>"))
       .toDF("doc_id", "html")
