@@ -1198,6 +1198,33 @@ object CatalogOps {
         NULL::VARCHAR AS parse_error
       FROM m"""))
 
+  /** PDF structure census ([[graft.ops.PdfStructure.pdfCensus]]):
+    * synthetic classic-layout PDFs whose content stream plants a DECOY
+    * "/Type /Page" — the stream-skip is what the oracle's exact page
+    * count is testing.
+    */
+  private val webPdfCensus = Q("web_pdf_census",
+    (s, dir) => {
+      val pdfs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.PdfStructure.syntheticPdf(
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(4) + col("doc_id") % 4).cast("int"),
+          col("doc_id") % 7 === 0,
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.PdfStructure.pdfCensus(pdfs, "payload")
+        .select(col("doc_id"), col("pdf_version"), col("object_count"),
+          col("page_objects"), col("declared_pages"), col("is_encrypted"),
+          col("has_xref_stream"), col("parse_error"))
+    },
+    Some("""SELECT doc_id, '1.' || (4 + doc_id % 4) AS pdf_version,
+      (4 + doc_id % 5)::INT AS object_count,
+      (1 + doc_id % 5)::INT AS page_objects,
+      (1 + doc_id % 5)::INT AS declared_pages,
+      doc_id % 7 = 0 AS is_encrypted,
+      FALSE AS has_xref_stream,
+      NULL::VARCHAR AS parse_error
+      FROM documents"""))
+
   private val mmMp3Census = Q("mm_mp3_census",
     (s, dir) => {
       val clips = t(s, dir, "documents").select(col("doc_id"),
@@ -1894,6 +1921,6 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest,
-    arcTarMembers, arcZipMembers,
+    arcTarMembers, arcZipMembers, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PDF STRUCTURE census (ISO 32000 / the classic Adobe spec): the
+  * filter gates a document-corpus pipeline runs before committing to
+  * full text extraction — version, object/page census, the page tree's
+  * declared /Count, and the /Encrypt gate — from one byte scan, no
+  * rendering, no font machinery. Token scanning SKIPS stream bodies
+  * (`stream`…`endstream`), because compressed content bytes can and do
+  * contain accidental token look-alikes; the synthetic fixture plants a
+  * decoy "/Type /Page" inside a stream to pin the skip.
+  *
+  * Same family contract as the other structure parsers: narrow
+  * per-partition map, one clip's bytes in memory, per-document error
+  * degradation, truncation keeps what was walked.
+  */
+object PdfStructure {
+
+  private val pdfCols = Seq(
+    StructField("pdf_version", StringType),
+    StructField("object_count", IntegerType),
+    StructField("page_objects", IntegerType),
+    StructField("declared_pages", IntegerType),
+    StructField("is_encrypted", BooleanType),
+    StructField("has_xref_stream", BooleanType),
+    StructField("parse_error", StringType))
+
+  /** One census row per document. `page_objects` counts `/Type /Page`
+    * dictionaries outside streams (the physical page objects);
+    * `declared_pages` reads the first page-tree node's `/Count`
+    * (null when no `/Type /Pages` node is found — e.g. truncated or
+    * xref-stream-only files whose tree sits inside an object stream).
+    */
+  def pdfCensus(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "pdfCensus", pdfCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ pdfCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(null, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          // PDF is byte-oriented with ASCII structure tokens: scan the
+          // bytes as Latin-1 so char == byte and regexes see raw bytes
+          val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (!s.startsWith("%PDF-")) errRow("not a PDF (no %PDF- header)")
+          else {
+            val verEnd = math.min(s.length, 8)
+            val version = s.substring(5, verEnd).takeWhile(c => c.isDigit || c == '.')
+            // walk non-stream segments: [cursor, next "stream"), then skip
+            // to after the matching "endstream"
+            val sb = new java.lang.StringBuilder(s.length)
+            var cur = 0
+            var done = false
+            while (!done) {
+              val st = s.indexOf("stream", cur)
+              // "endstream" contains "stream" — only a token NOT preceded
+              // by "end" starts a body
+              if (st < 0) { sb.append(s, cur, s.length); done = true }
+              else if (st >= 3 && s.regionMatches(st - 3, "end", 0, 3)) {
+                sb.append(s, cur, st + 6); cur = st + 6
+              } else {
+                sb.append(s, cur, st)
+                val en = s.indexOf("endstream", st)
+                if (en < 0) done = true // truncated inside a stream body
+                else cur = en // keep "endstream" token out of scanned text
+              }
+            }
+            val scan = sb.toString
+            val objCount = "\\d+\\s+\\d+\\s+obj\\b".r.findAllIn(scan).length
+            val pageRe = "/Type\\s*/Page([^s]|$)".r
+            val pageObjects = pageRe.findAllIn(scan).length
+            val declared = "/Type\\s*/Pages".r.findFirstMatchIn(scan).flatMap { m =>
+              "/Count\\s+(\\d+)".r.findFirstMatchIn(scan.substring(m.start))
+                .map(_.group(1).toInt)
+            }
+            val encrypted = scan.contains("/Encrypt")
+            val xrefStream = "/Type\\s*/XRef\\b".r.findFirstIn(scan).isDefined
+            Row.fromSeq(r.toSeq ++ Seq(version, objCount, pageObjects,
+              declared.map(i => i: java.lang.Integer).orNull,
+              encrypted, xrefStream, null))
+          }
+        } catch { case e: Exception =>
+          errRow(s"pdf scan failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PDF: catalog + page tree (`/Count` =
+    * nPages) + one page object per page + one content stream whose body
+    * plants a DECOY "/Type /Page" (must not be counted) and binary-ish
+    * filler; optional `/Encrypt` in the trailer; minimal xref/trailer
+    * tail. Every census field is closed-form from the arguments.
+    */
+  val syntheticPdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nPages: Int, minor: Int, encrypted: Boolean, seed: Int) => {
+      val sb = new StringBuilder
+      sb.append(s"%PDF-1.$minor\n")
+      sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+      sb.append(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+      var k = 0
+      while (k < nPages) {
+        sb.append(s"${3 + k} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          s"/Contents ${3 + nPages} 0 R >>\nendobj\n")
+        k += 1
+      }
+      val decoy = "/Type /Page (decoy) " +
+        (0 until 16 + seed % 16).map(j => ('a' + (seed + j) % 26).toChar).mkString
+      sb.append(s"${3 + nPages} 0 obj\n<< /Length ${decoy.length} >>\nstream\n")
+      sb.append(decoy)
+      sb.append("\nendstream\nendobj\n")
+      sb.append("xref\n0 1\n0000000000 65535 f \n")
+      sb.append(s"trailer\n<< /Size ${4 + nPages} /Root 1 0 R")
+      if (encrypted) sb.append(s" /Encrypt ${4 + nPages} 0 R")
+      sb.append(" >>\nstartxref\n0\n%%EOF\n")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    })
+}

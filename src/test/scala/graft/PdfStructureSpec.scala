@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfStructureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pdfCensus: version, object/page census, /Count, encryption flag; " +
+      "the in-stream decoy /Type /Page is NOT counted") {
+    val df = Seq((0L, 3, 7, false, 5), (1L, 1, 4, true, 2))
+      .toDF("doc_id", "np", "minor", "enc", "seed")
+      .select(col("doc_id"), PdfStructure.syntheticPdf(col("np"), col("minor"),
+        col("enc"), col("seed")).as("payload"))
+    val out = PdfStructure.pdfCensus(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("pdf_version") == "1.7")
+    assert(out(0L).getAs[Int]("object_count") == 6) // catalog+pages+3+stream
+    assert(out(0L).getAs[Int]("page_objects") == 3) // decoy excluded
+    assert(out(0L).getAs[Int]("declared_pages") == 3)
+    assert(!out(0L).getAs[Boolean]("is_encrypted"))
+    assert(!out(0L).getAs[Boolean]("has_xref_stream"))
+    assert(out(0L).getAs[String]("parse_error") == null)
+    assert(out(1L).getAs[String]("pdf_version") == "1.4")
+    assert(out(1L).getAs[Boolean]("is_encrypted"))
+    assert(out(1L).getAs[Int]("page_objects") == 1)
+  }
+
+  test("pdfCensus: degradation — garbage, null, truncation inside a stream") {
+    val full = Seq((0L, 1)).toDF("a", "b")
+      .select(PdfStructure.syntheticPdf(lit(2), lit(6), lit(false), lit(3)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    val s = new String(full, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // cut inside the stream body: the decoy must STILL not count (an
+    // unterminated stream is skipped to EOF, not scanned)
+    val cutAt = s.indexOf("(decoy)") + 3
+    val df = Seq(
+      (0L, java.util.Arrays.copyOf(full, cutAt)),
+      (1L, "%PDF-1.5\njust a header".getBytes("UTF-8")),
+      (2L, "not a pdf at all".getBytes("UTF-8")),
+      (3L, null: Array[Byte])).toDF("doc_id", "payload")
+    val out = PdfStructure.pdfCensus(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("page_objects") == 2)
+    assert(out(0L).getAs[Int]("declared_pages") == 2)
+    assert(out(0L).getAs[String]("parse_error") == null)
+    assert(out(1L).getAs[Int]("object_count") == 0)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("declared_pages")))
+    assert(out(2L).getAs[String]("parse_error") == "not a PDF (no %PDF- header)")
+    assert(out(3L).getAs[String]("parse_error") == "null payload")
+  }
+
+  test("pdfCensus: xref-stream marker detected outside streams") {
+    val modern = ("%PDF-1.6\n1 0 obj\n<< /Type /XRef /W [1 2 2] >>\n" +
+      "stream\nBINARYBYTES\nendstream\nendobj\n%%EOF").getBytes("UTF-8")
+    val out = PdfStructure.pdfCensus(
+      Seq((0L, modern)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[Boolean]("has_xref_stream"))
+    assert(out.getAs[Int]("object_count") == 1)
+  }
+}

@@ -124,6 +124,25 @@ class TruncationPropSpec extends AnyFunSuite {
         cuts(full, 40)))
   }
 
+  test("pdf: the census is monotone under truncation, never corrupt") {
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      PdfStructure.syntheticPdf(lit(4), lit(7), lit(false), lit(6)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    val byCut = parseAll(df => PdfStructure.pdfCensus(df, "payload"),
+      full, cuts(full, 40))
+    val f = byCut(0L).head
+    byCut.foreach { case (cut, rows) =>
+      assert(rows.length == 1, s"pdf cut=$cut emitted ${rows.length} rows")
+      val r = rows.head
+      if (r.last == null) {
+        assert(r(1).asInstanceOf[Int] <= f(1).asInstanceOf[Int],
+          s"pdf cut=$cut counts more objects than the full scan")
+        assert(r(2).asInstanceOf[Int] <= f(2).asInstanceOf[Int],
+          s"pdf cut=$cut counts more page objects than the full scan")
+      }
+    }
+  }
+
   test("mp3: the census is monotone under truncation, never corrupt") {
     // mp3FrameCensus emits ONE census row per clip, so prefix consistency
     // means monotonicity: a cut counts <= the full frame count, the
