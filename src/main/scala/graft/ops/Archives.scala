@@ -167,8 +167,10 @@ object Archives {
             while (i < count && !broken) {
               // a corrupt central entry stops the WALK, not the archive:
               // members already parsed stay, a tail-error row reports the
-              // break (the tarMembers contract)
-              if (o + 46 > bytes.length || le32(bytes, o) != 0x02014b50L) {
+              // break (the tarMembers contract). o < 0 guards the zip64
+              // cd-offset sentinel 0xFFFFFFFF (and any >= 2^31 offset)
+              // wrapping negative through .toInt
+              if (o < 0 || o + 46 > bytes.length || le32(bytes, o) != 0x02014b50L) {
                 recs += Row.fromSeq(r.toSeq ++ Seq(i, null, null, null, null,
                   null, "malformed central directory entry"))
                 broken = true

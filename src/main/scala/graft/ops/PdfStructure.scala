@@ -53,17 +53,30 @@ object PdfStructure {
           else {
             val verEnd = math.min(s.length, 8)
             val version = s.substring(5, verEnd).takeWhile(c => c.isDigit || c == '.')
-            // walk non-stream segments: [cursor, next "stream"), then skip
-            // to after the matching "endstream"
+            // walk non-stream segments. A body starts only at the spec's
+            // keyword position — after the dict's ">>" (whitespace
+            // between) and followed by an EOL: the bare substring
+            // "stream" also occurs inside literals ("(Downstream
+            // Analysis)") and inside "endstream", neither of which may
+            // swallow the document body.
+            def isBodyStart(st: Int): Boolean = {
+              val after = st + 6
+              val eolOk = after < s.length &&
+                (s.charAt(after) == '\n' || s.charAt(after) == '\r')
+              if (!eolOk) false
+              else {
+                var j = st - 1
+                while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+                j >= 1 && s.charAt(j) == '>' && s.charAt(j - 1) == '>'
+              }
+            }
             val sb = new java.lang.StringBuilder(s.length)
             var cur = 0
             var done = false
             while (!done) {
               val st = s.indexOf("stream", cur)
-              // "endstream" contains "stream" — only a token NOT preceded
-              // by "end" starts a body
               if (st < 0) { sb.append(s, cur, s.length); done = true }
-              else if (st >= 3 && s.regionMatches(st - 3, "end", 0, 3)) {
+              else if (!isBodyStart(st)) {
                 sb.append(s, cur, st + 6); cur = st + 6
               } else {
                 sb.append(s, cur, st)
@@ -74,12 +87,22 @@ object PdfStructure {
             }
             val scan = sb.toString
             val objCount = "\\d+\\s+\\d+\\s+obj\\b".r.findAllIn(scan).length
-            val pageRe = "/Type\\s*/Page([^s]|$)".r
+            // name boundary, not just "not 's'": /PageLabel (ISO 32000
+            // page-label dicts) must not count as a physical page object
+            val pageRe = "/Type\\s*/Page(?![A-Za-z])".r
             val pageObjects = pageRe.findAllIn(scan).length
-            val declared = "/Type\\s*/Pages".r.findFirstMatchIn(scan).flatMap { m =>
-              "/Count\\s+(\\d+)".r.findFirstMatchIn(scan.substring(m.start))
-                .map(_.group(1).toInt)
-            }
+            // PDF dict keys are UNORDERED: /Count may precede /Type in
+            // the same dict, and an unbounded forward search would bind
+            // some other object's /Count — search the ENCLOSING dict
+            val declared = "/Type\\s*/Pages(?![A-Za-z])".r
+              .findFirstMatchIn(scan).flatMap { m =>
+                val dictStart = scan.lastIndexOf("<<", m.start)
+                val dictEnd = scan.indexOf(">>", m.start)
+                if (dictStart < 0 || dictEnd < 0) None
+                else "/Count\\s+(\\d+)".r
+                  .findFirstMatchIn(scan.substring(dictStart, dictEnd))
+                  .map(_.group(1).toInt)
+              }
             val encrypted = scan.contains("/Encrypt")
             val xrefStream = "/Type\\s*/XRef\\b".r.findFirstIn(scan).isDefined
             Row.fromSeq(r.toSeq ++ Seq(version, objCount, pageObjects,

@@ -154,12 +154,15 @@ object WebIngest {
     }
     while (i < n) {
       val c = html.charAt(i)
-      // HTML5 tokenization: '<' opens a tag only before a letter, '/',
-      // '!' or '?'; a bare '<' in prose ("1 < 2") is literal text —
-      // swallowing to the next '>' would silently delete content
+      // HTML5 tokenization: '<' opens a tag only before an ASCII alpha,
+      // '/', '!' or '?' (NOT any Unicode letter — a CJK/Cyrillic char
+      // after '<' in prose is literal text); a bare '<' in prose
+      // ("1 < 2") is literal too — swallowing to the next '>' would
+      // silently delete content
       if (c == '<' && i + 1 < n && {
         val d = html.charAt(i + 1)
-        d.isLetter || d == '/' || d == '!' || d == '?'
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '/' || d == '!' || d == '?'
       }) {
         if (lowerAt(i, "<!--")) {
           val e = html.indexOf("-->", i + 4)

@@ -131,5 +131,18 @@ class ArchivesSpec extends AnyFunSuite {
     assert(out2(0).getAs[String]("parse_error") != null)
     assert(out2(1).getAs[String]("member_text") == "sibling survives")
     assert(out2(1).getAs[String]("parse_error") == null)
+    // zip64 cd-offset sentinel 0xFFFFFFFF wraps negative through .toInt:
+    // must hit the malformed-entry row, not an ArrayIndexOutOfBounds
+    def findEocd(b: Array[Byte]): Int = {
+      var i = b.length - 22
+      while (!(b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6)) i -= 1
+      i
+    }
+    val z64 = full.clone()
+    val eo = findEocd(z64)
+    (16 to 19).foreach(k => z64(eo + k) = 0xff.toByte)
+    val out3 = Archives.zipMembers(Seq((0L, z64)).toDF("doc_id", "payload")).collect()
+    assert(out3.length == 1)
+    assert(out3.head.getAs[String]("parse_error") == "malformed central directory entry")
   }
 }

@@ -52,6 +52,27 @@ class PdfStructureSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("parse_error") == "null payload")
   }
 
+  test("pdfCensus: real-data robustness — unordered dict keys, 'stream' " +
+      "inside a literal, /PageLabel dicts") {
+    // /Count BEFORE /Type in the same dict (legal: dict keys are
+    // unordered), a literal containing the word 'stream' before the
+    // body, and a /Type /PageLabel dict that must not count as a page
+    val pdf = ("%PDF-1.6\n" +
+      "1 0 obj\n<< /Title (Downstream Analysis) /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Count 2 /Kids [ 3 0 R 4 0 R ] /Type /Pages >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "5 0 obj\n<< /Type /PageLabel /S /D >>\nendobj\n" +
+      "6 0 obj\n<< /Length 9 >>\nstream\nXXXXXXXXX\nendstream\nendobj\n" +
+      "trailer\n<< /Size 7 /Root 1 0 R /Count 99 >>\n%%EOF").getBytes("UTF-8")
+    val out = PdfStructure.pdfCensus(
+      Seq((0L, pdf)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("parse_error") == null)
+    assert(out.getAs[Int]("object_count") == 6) // literal didn't eat the body
+    assert(out.getAs[Int]("page_objects") == 2) // PageLabel excluded
+    assert(out.getAs[Int]("declared_pages") == 2) // own dict's /Count, not 99
+  }
+
   test("pdfCensus: xref-stream marker detected outside streams") {
     val modern = ("%PDF-1.6\n1 0 obj\n<< /Type /XRef /W [1 2 2] >>\n" +
       "stream\nBINARYBYTES\nendstream\nendobj\n%%EOF").getBytes("UTF-8")

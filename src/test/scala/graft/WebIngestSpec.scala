@@ -68,6 +68,10 @@ class WebIngestSpec extends AnyFunSuite {
     assert(WebIngest.extractText("a &#x110000; b &#-1; c &#xD800; d") ==
       "a &#x110000; b &#-1; c &#xD800; d")
     assert(WebIngest.extractText("ok &#65; still") == "ok A still")
+    // '<' before a NON-ASCII letter is literal prose too (HTML5 says
+    // ASCII alpha, not Unicode letter)
+    assert(WebIngest.extractText("价格<十元>以下") ==
+      "价格<十元>以下")
   }
 
   test("htmlText + warcRecords compose: the WET-style ingest chain") {
