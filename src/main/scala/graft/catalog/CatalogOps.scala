@@ -1225,6 +1225,37 @@ object CatalogOps {
       NULL::VARCHAR AS parse_error
       FROM documents"""))
 
+  /** Subtitle cue parse ([[graft.ops.Subtitles.parseCues]]): even
+    * doc_ids render WebVTT (header, NOTE block, cue settings), odd ones
+    * SRT (counters, comma timestamps) — the parsed rows are identical
+    * by construction, so ONE closed-form oracle covers both formats,
+    * which is itself the format-equivalence check.
+    */
+  private val mmSubtitleCues = Q("mm_subtitle_cues",
+    (s, dir) => {
+      val subs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Subtitles.syntheticSubtitle(
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (col("doc_id") % 32).cast("int"),
+          col("doc_id") % 2 === 0).as("subtitle"))
+      graft.ops.Subtitles.parseCues(subs, "subtitle")
+        .select(col("doc_id"), col("cue_idx"), col("cue_start_ms"),
+          col("cue_end_ms"), col("cue_text"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 6)::INT AS nc, (doc_id % 32)::INT AS seed
+        FROM documents),
+      c AS (
+        SELECT doc_id, k::INT AS k, seed
+        FROM p, unnest(generate_series(0, nc - 1)) AS t(k))
+      SELECT doc_id, k AS cue_idx, (2500 * k)::BIGINT AS cue_start_ms,
+        (2500 * k + 2000)::BIGINT AS cue_end_ms,
+        'spoken line ' || k || ' of clip ' || seed ||
+          (CASE WHEN k % 2 = 1 THEN chr(10) || 'second line ' || k ELSE '' END)
+          AS cue_text,
+        NULL::VARCHAR AS parse_error
+      FROM c"""))
+
   private val mmMp3Census = Q("mm_mp3_census",
     (s, dir) => {
       val clips = t(s, dir, "documents").select(col("doc_id"),
@@ -1918,7 +1949,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest,
     arcTarMembers, arcZipMembers, webPdfCensus,

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subtitle cue parsing (WebVTT — the W3C spec — and SubRip/SRT, the
+  * two formats crawled video text actually arrives in): one row per
+  * cue with millisecond timestamps and the cue text. Subtitles are the
+  * TEXT side of video training data — alignment with
+  * [[VideoBitstream.mp4SyncSamples]]' keyframe byte ranges is a plain
+  * range join on the timestamps. Same family contract: narrow
+  * per-partition flatMap, per-document degradation, truncation keeps
+  * the cues already parsed.
+  */
+object Subtitles {
+
+  private val cueCols = Seq(
+    StructField("cue_idx", IntegerType),
+    StructField("cue_start_ms", LongType),
+    StructField("cue_end_ms", LongType),
+    StructField("cue_text", StringType),
+    StructField("parse_error", StringType))
+
+  /** `HH:MM:SS.mmm` (VTT, hours optional) or `HH:MM:SS,mmm` (SRT) →
+    * milliseconds; -1 on malformed.
+    */
+  private[ops] def parseTimestamp(ts: String): Long = {
+    val t = ts.trim.replace(',', '.')
+    val parts = t.split(':')
+    try {
+      val (h, m, rest) = parts.length match {
+        case 3 => (parts(0).toLong, parts(1).toLong, parts(2))
+        case 2 => (0L, parts(0).toLong, parts(1))
+        case _ => return -1L
+      }
+      val secParts = rest.split('.')
+      val sec = secParts(0).toLong
+      val ms = if (secParts.length > 1)
+        (secParts(1) + "000").substring(0, 3).toLong
+      else 0L
+      if (m > 59 || sec > 59 || h < 0) -1L
+      else ((h * 60 + m) * 60 + sec) * 1000 + ms
+    } catch { case _: NumberFormatException => -1L }
+  }
+
+  /** One row per cue of a WebVTT or SRT document (auto-detected: a
+    * `WEBVTT` header selects VTT, otherwise SRT). Cue text joins
+    * multi-line payloads with '\n'; VTT cue settings after the arrow
+    * (position/align/…) are dropped; SRT numeric counters are consumed
+    * but the emitted `cue_idx` is positional (counters in crawled files
+    * routinely repeat or skip). A malformed cue ends the walk with a
+    * tail-error row, keeping the cues already parsed.
+    */
+  def parseCues(df: DataFrame, textCol: String = "subtitle"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "parseCues", cueCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ cueCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val errRow = (msg: String) =>
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg)))
+        if (r.isNullAt(idx)) errRow("null subtitle")
+        else {
+          val raw = r.getString(idx)
+          val lines = raw.split("\r\n|\r|\n", -1)
+          var li = 0
+          val isVtt = lines.nonEmpty && lines(0).startsWith("WEBVTT")
+          if (isVtt) li = 1
+          val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var cueIdx = 0
+          var tailErr: String = null
+          var done = false
+          while (!done && li < lines.length) {
+            val line = lines(li).trim
+            if (line.isEmpty ||
+              (isVtt && (line.startsWith("NOTE") || line.startsWith("STYLE") ||
+                line.startsWith("REGION")))) {
+              // blank separators; VTT comment/metadata blocks skip to the
+              // next blank line
+              if (!line.isEmpty) {
+                while (li < lines.length && lines(li).trim.nonEmpty) li += 1
+              } else li += 1
+            } else {
+              // optional cue identifier / SRT counter line, then the arrow
+              var arrowLi = li
+              if (!lines(arrowLi).contains("-->") &&
+                arrowLi + 1 < lines.length &&
+                lines(arrowLi + 1).contains("-->")) arrowLi += 1
+              if (!lines(arrowLi).contains("-->")) {
+                tailErr =
+                  if (cueIdx == 0) "no cue timing line found"
+                  else "malformed cue block"
+                done = true
+              } else {
+                val tsLine = lines(arrowLi)
+                val arrow = tsLine.indexOf("-->")
+                val start = parseTimestamp(tsLine.substring(0, arrow))
+                // cue settings (VTT: "align:start position:10%") follow the
+                // end timestamp — cut at the first space
+                val endRaw = tsLine.substring(arrow + 3).trim
+                val sp = endRaw.indexOf(' ')
+                val end = parseTimestamp(
+                  if (sp < 0) endRaw else endRaw.substring(0, sp))
+                if (start < 0 || end < 0 || end < start) {
+                  tailErr = "malformed cue timestamps"
+                  done = true
+                } else {
+                  var ti = arrowLi + 1
+                  val text = new StringBuilder
+                  while (ti < lines.length && lines(ti).trim.nonEmpty) {
+                    if (text.nonEmpty) text.append('\n')
+                    text.append(lines(ti))
+                    ti += 1
+                  }
+                  recs += Row.fromSeq(r.toSeq ++
+                    Seq(cueIdx, start, end, text.toString, null))
+                  cueIdx += 1
+                  li = ti
+                }
+              }
+            }
+          }
+          if (recs.isEmpty) errRow(if (tailErr != null) tailErr else "no cues")
+          else {
+            if (tailErr != null)
+              recs += Row.fromSeq(r.toSeq ++ Seq(cueIdx, null, null, null, tailErr))
+            recs.toSeq
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic subtitle document: `nCues` cues of 2 s
+    * each starting at `k × 2500 ms`, text from a fixed phrase + indices;
+    * `vtt = true` emits WebVTT (header + a NOTE block + settings after
+    * the end timestamp), false emits SRT (counter lines + comma
+    * timestamps) — the parsed rows are IDENTICAL by construction, so
+    * one oracle covers both formats.
+    */
+  val syntheticSubtitle: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nCues: Int, seed: Int, vtt: Boolean) => {
+      def ts(ms: Long, sep: Char): String = {
+        val h = ms / 3600000; val m = ms / 60000 % 60
+        val s = ms / 1000 % 60; val r = ms % 1000
+        f"$h%02d:$m%02d:$s%02d$sep$r%03d"
+      }
+      val sb = new StringBuilder
+      if (vtt) sb.append("WEBVTT\n\nNOTE synthetic fixture\nsecond note line\n\n")
+      var k = 0
+      while (k < nCues) {
+        val start = k * 2500L
+        val end = start + 2000L
+        if (!vtt) sb.append(k + 1).append('\n')
+        if (vtt)
+          sb.append(ts(start, '.')).append(" --> ").append(ts(end, '.'))
+            .append(" align:start\n")
+        else
+          sb.append(ts(start, ',')).append(" --> ").append(ts(end, ',')).append('\n')
+        sb.append(s"spoken line $k of clip $seed\n")
+        if (k % 2 == 1) sb.append(s"second line $k\n")
+        sb.append('\n')
+        k += 1
+      }
+      sb.toString
+    })
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SubtitlesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("parseCues: VTT and SRT renderings of the same cues parse identically") {
+    val df = Seq((0L, true), (1L, false)).toDF("doc_id", "vtt")
+      .select(col("doc_id"),
+        Subtitles.syntheticSubtitle(lit(3), lit(7), col("vtt")).as("subtitle"))
+    val out = Subtitles.parseCues(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    def cues(d: Long) = out(d).sortBy(_.getAs[Int]("cue_idx"))
+      .map(r => (r.getAs[Int]("cue_idx"), r.getAs[Long]("cue_start_ms"),
+        r.getAs[Long]("cue_end_ms"), r.getAs[String]("cue_text"))).toSeq
+    assert(cues(0L) == cues(1L)) // format equivalence
+    assert(cues(0L).length == 3)
+    assert(cues(0L)(1) == (1, 2500L, 4500L, "spoken line 1 of clip 7\nsecond line 1"))
+    assert(out.values.flatten.forall(_.getAs[String]("parse_error") == null))
+  }
+
+  test("parseTimestamp: hour-optional VTT form, SRT commas, rejects garbage") {
+    assert(Subtitles.parseTimestamp("01:02:03.456") == 3723456L)
+    assert(Subtitles.parseTimestamp("02:03,456") == 123456L) // MM:SS,mmm
+    assert(Subtitles.parseTimestamp("00:00:05") == 5000L) // no millis
+    assert(Subtitles.parseTimestamp("99:00:00.000") == 356400000L) // big hours ok
+    assert(Subtitles.parseTimestamp("00:77:00.000") == -1L) // minutes > 59
+    assert(Subtitles.parseTimestamp("nonsense") == -1L)
+  }
+
+  test("parseCues: degradation — malformed cue ends walk with tail row, " +
+      "garbage and null degrade per document") {
+    val broken = "WEBVTT\n\n00:00:00.000 --> 00:00:02.000\nfirst cue ok\n\n" +
+      "00:00:05.000 --> not a timestamp\nlost cue\n"
+    val df = Seq((0L, broken), (1L, "no cues at all, just prose"),
+      (2L, null: String)).toDF("doc_id", "subtitle")
+    val out = Subtitles.parseCues(df).collect().groupBy(_.getAs[Long]("doc_id"))
+    val d0 = out(0L).sortBy(_.getAs[Int]("cue_idx"))
+    assert(d0.head.getAs[String]("cue_text") == "first cue ok")
+    assert(d0.last.getAs[String]("parse_error") == "malformed cue timestamps")
+    assert(out(1L).head.getAs[String]("parse_error") == "no cue timing line found")
+    assert(out(2L).head.getAs[String]("parse_error") == "null subtitle")
+  }
+}

@@ -124,6 +124,22 @@ class TruncationPropSpec extends AnyFunSuite {
         cuts(full, 40)))
   }
 
+  test("subtitles: every truncation point degrades, never corrupts") {
+    // cue text has no declared length — a cut mid-text shortens the LAST
+    // cue legitimately, like Annex-B's final NAL
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      Subtitles.syntheticSubtitle(lit(5), lit(4), lit(true)).as("p"))
+      .collect().head.getAs[String]("p")
+    val rows = (0L, full) +: samples(Gen.choose(0, full.length - 1), 40)
+      .distinct.zipWithIndex.map { case (len, i) =>
+        ((i + 1).toLong, full.substring(0, len))
+      }
+    val byCut = Subtitles.parseCues(rows.toDF("cut_id", "subtitle")).collect()
+      .groupBy(_.getAs[Long]("cut_id"))
+      .map { case (k, rs) => k -> rs.toSeq.map(_.toSeq.drop(2)) }
+    checkPrefixConsistent("subtitles", byCut, lastUnitTentative = true)
+  }
+
   test("pdf: the census is monotone under truncation, never corrupt") {
     val full = Seq((0, 1)).toDF("a", "b").select(
       PdfStructure.syntheticPdf(lit(4), lit(7), lit(false), lit(6)).as("p"))
