@@ -23,7 +23,10 @@ object Subtitles {
     StructField("parse_error", StringType))
 
   /** `HH:MM:SS.mmm` (VTT, hours optional) or `HH:MM:SS,mmm` (SRT) →
-    * milliseconds; -1 on malformed.
+    * milliseconds; -1 on ANY malformed input — the catch is broad
+    * (split(".") on a dots-only field returns an EMPTY array, so index
+    * access can throw outside NumberFormatException, and this helper
+    * sits inside mapPartitions where a throw kills the job).
     */
   private[ops] def parseTimestamp(ts: String): Long = {
     val t = ts.trim.replace(',', '.')
@@ -39,9 +42,10 @@ object Subtitles {
       val ms = if (secParts.length > 1)
         (secParts(1) + "000").substring(0, 3).toLong
       else 0L
-      if (m > 59 || sec > 59 || h < 0) -1L
+      // negative fields must fail loudly, not fabricate a timeline
+      if (h < 0 || m < 0 || m > 59 || sec < 0 || sec > 59 || ms < 0) -1L
       else ((h * 60 + m) * 60 + sec) * 1000 + ms
-    } catch { case _: NumberFormatException => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
   }
 
   /** One row per cue of a WebVTT or SRT document (auto-detected: a
@@ -63,20 +67,32 @@ object Subtitles {
           Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null subtitle")
         else {
-          val raw = r.getString(idx)
+          // the WebVTT spec permits a BOM before the signature, and
+          // crawled files routinely carry one
+          val raw = r.getString(idx).stripPrefix("\uFEFF")
           val lines = raw.split("\r\n|\r|\n", -1)
           var li = 0
           val isVtt = lines.nonEmpty && lines(0).startsWith("WEBVTT")
-          if (isVtt) li = 1
+          if (isVtt) {
+            // the W3C parser skips EVERYTHING up to the first blank line
+            // after the signature — YouTube emits "Kind:"/"Language:"
+            // header lines there
+            li = 1
+            while (li < lines.length && lines(li).trim.nonEmpty) li += 1
+          }
+          // a block keyword starts a comment/metadata block only as a
+          // whole word (spec: NOTE + whitespace/EOL) — a cue IDENTIFIER
+          // line may legitimately begin with the same letters
+          def isBlockStart(l: String): Boolean =
+            Seq("NOTE", "STYLE", "REGION").exists(kw =>
+              l == kw || l.startsWith(kw + " ") || l.startsWith(kw + "\t"))
           val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
           var cueIdx = 0
           var tailErr: String = null
           var done = false
           while (!done && li < lines.length) {
             val line = lines(li).trim
-            if (line.isEmpty ||
-              (isVtt && (line.startsWith("NOTE") || line.startsWith("STYLE") ||
-                line.startsWith("REGION")))) {
+            if (line.isEmpty || (isVtt && isBlockStart(line))) {
               // blank separators; VTT comment/metadata blocks skip to the
               // next blank line
               if (!line.isEmpty) {
@@ -98,9 +114,9 @@ object Subtitles {
                 val arrow = tsLine.indexOf("-->")
                 val start = parseTimestamp(tsLine.substring(0, arrow))
                 // cue settings (VTT: "align:start position:10%") follow the
-                // end timestamp — cut at the first space
+                // end timestamp — the grammar allows space OR TAB separators
                 val endRaw = tsLine.substring(arrow + 3).trim
-                val sp = endRaw.indexOf(' ')
+                val sp = endRaw.indexWhere(c => c == ' ' || c == '\t')
                 val end = parseTimestamp(
                   if (sp < 0) endRaw else endRaw.substring(0, sp))
                 if (start < 0 || end < 0 || end < start) {
@@ -109,7 +125,11 @@ object Subtitles {
                 } else {
                   var ti = arrowLi + 1
                   val text = new StringBuilder
-                  while (ti < lines.length && lines(ti).trim.nonEmpty) {
+                  // payload ends at a truly EMPTY line (spec): a
+                  // whitespace-only line BELONGS to the cue text —
+                  // treating it as a separator would orphan the lines
+                  // after it and kill the rest of the document
+                  while (ti < lines.length && lines(ti).nonEmpty) {
                     if (text.nonEmpty) text.append('\n')
                     text.append(lines(ti))
                     ti += 1

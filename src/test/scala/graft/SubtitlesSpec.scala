@@ -32,6 +32,34 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parseTimestamp("nonsense") == -1L)
   }
 
+  test("parseCues: real-world VTT shapes — BOM, header metadata lines, " +
+      "tab cue settings, whitespace-only payload lines, NOTE-prefixed ids") {
+    val vtt = "﻿WEBVTT\nKind: captions\nLanguage: en\n\n" +
+      "NOTES ON SCENE 3\n00:00:00.000 --> 00:00:02.000\tposition:10%\n" +
+      "line one\n \nline two\n\n" +
+      "00:00:03.000 --> 00:00:04.000\nsecond cue\n"
+    val out = Subtitles.parseCues(Seq((0L, vtt)).toDF("doc_id", "subtitle"))
+      .orderBy("cue_idx").collect()
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out(0).getAs[String]("parse_error") == null)
+    // the NOTE-prefixed line is a cue IDENTIFIER (no trailing space
+    // boundary), not a comment block — the cue survives
+    assert(out(0).getAs[Long]("cue_start_ms") == 0L)
+    assert(out(0).getAs[Long]("cue_end_ms") == 2000L) // tab settings cut
+    // the whitespace-only line belongs to the payload (spec: cues end at
+    // EMPTY lines), so line two is not orphaned
+    assert(out(0).getAs[String]("cue_text") == "line one\n \nline two")
+    assert(out(1).getAs[String]("cue_text") == "second cue")
+  }
+
+  test("parseTimestamp: adversarial fields degrade to -1, never throw") {
+    assert(Subtitles.parseTimestamp("00:00:.") == -1L) // dots-only seconds
+    assert(Subtitles.parseTimestamp("01:-5:00.000") == -1L) // negative minutes
+    assert(Subtitles.parseTimestamp("00:-5.000") == -1L) // negative seconds
+    assert(Subtitles.parseTimestamp(":::") == -1L)
+    assert(Subtitles.parseTimestamp("") == -1L)
+  }
+
   test("parseCues: degradation — malformed cue ends walk with tail row, " +
       "garbage and null degrade per document") {
     val broken = "WEBVTT\n\n00:00:00.000 --> 00:00:02.000\nfirst cue ok\n\n" +

@@ -31,8 +31,8 @@ class TruncationPropSpec extends AnyFunSuite {
     * 10⁵ Spark jobs; 40 random cuts per payload still sweeps headers,
     * bodies, and padding).
     */
-  private def cuts(full: Array[Byte], n: Int): Seq[Int] =
-    samples(Gen.choose(0, full.length - 1), n).distinct
+  private def cuts(totalLen: Int, n: Int): Seq[Int] =
+    samples(Gen.choose(0, totalLen - 1), n).distinct
 
   /** Run a parser over the full payload and every cut prefix in ONE
     * Spark job; return rows grouped by cut id (id 0 = full).
@@ -83,7 +83,7 @@ class TruncationPropSpec extends AnyFunSuite {
       Archives.syntheticTar(lit(5), lit(3), lit(false)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     checkPrefixConsistent("tar",
-      parseAll(df => Archives.tarMembers(df), full, cuts(full, 40)))
+      parseAll(df => Archives.tarMembers(df), full, cuts(full.length, 40)))
   }
 
   test("zip: every truncation point degrades, never corrupts") {
@@ -91,7 +91,7 @@ class TruncationPropSpec extends AnyFunSuite {
       Archives.syntheticZip(lit(5), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     checkPrefixConsistent("zip",
-      parseAll(df => Archives.zipMembers(df), full, cuts(full, 40)))
+      parseAll(df => Archives.zipMembers(df), full, cuts(full.length, 40)))
   }
 
   test("warc: every truncation point degrades, never corrupts") {
@@ -99,7 +99,7 @@ class TruncationPropSpec extends AnyFunSuite {
       WebIngest.syntheticWarc(lit(7L), lit("<p>body of record</p>"), lit(false)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     checkPrefixConsistent("warc",
-      parseAll(df => WebIngest.warcRecords(df), full, cuts(full, 40)))
+      parseAll(df => WebIngest.warcRecords(df), full, cuts(full.length, 40)))
   }
 
   test("h264 annex-b: every truncation point degrades, never corrupts") {
@@ -108,7 +108,7 @@ class TruncationPropSpec extends AnyFunSuite {
       .collect().head.getAs[Array[Byte]]("p")
     checkPrefixConsistent("h264",
       parseAll(df => VideoBitstream.parseH264Nals(df, "payload"), full,
-        cuts(full, 40)), lastUnitTentative = true)
+        cuts(full.length, 40)), lastUnitTentative = true)
   }
 
   test("mp4: every truncation point degrades, never corrupts") {
@@ -121,7 +121,7 @@ class TruncationPropSpec extends AnyFunSuite {
     // rows — cuts inside moov must not emit a corrupt partial table.
     checkPrefixConsistent("mp4",
       parseAll(df => VideoBitstream.mp4SyncSamples(df, "payload"), full,
-        cuts(full, 40)))
+        cuts(full.length, 40)))
   }
 
   test("subtitles: every truncation point degrades, never corrupts") {
@@ -130,10 +130,9 @@ class TruncationPropSpec extends AnyFunSuite {
     val full = Seq((0, 1)).toDF("a", "b").select(
       Subtitles.syntheticSubtitle(lit(5), lit(4), lit(true)).as("p"))
       .collect().head.getAs[String]("p")
-    val rows = (0L, full) +: samples(Gen.choose(0, full.length - 1), 40)
-      .distinct.zipWithIndex.map { case (len, i) =>
-        ((i + 1).toLong, full.substring(0, len))
-      }
+    val rows = (0L, full) +: cuts(full.length, 40).zipWithIndex.map {
+      case (len, i) => ((i + 1).toLong, full.substring(0, len))
+    }
     val byCut = Subtitles.parseCues(rows.toDF("cut_id", "subtitle")).collect()
       .groupBy(_.getAs[Long]("cut_id"))
       .map { case (k, rs) => k -> rs.toSeq.map(_.toSeq.drop(2)) }
@@ -145,7 +144,7 @@ class TruncationPropSpec extends AnyFunSuite {
       PdfStructure.syntheticPdf(lit(4), lit(7), lit(false), lit(6)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     val byCut = parseAll(df => PdfStructure.pdfCensus(df, "payload"),
-      full, cuts(full, 40))
+      full, cuts(full.length, 40))
     val f = byCut(0L).head
     byCut.foreach { case (cut, rows) =>
       assert(rows.length == 1, s"pdf cut=$cut emitted ${rows.length} rows")
@@ -168,7 +167,7 @@ class TruncationPropSpec extends AnyFunSuite {
       AudioBitstream.syntheticMp3(lit(6), lit(9), lit(4), lit(1), lit(20), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     val byCut = parseAll(df => AudioBitstream.mp3FrameCensus(df, "payload"),
-      full, cuts(full, 40))
+      full, cuts(full.length, 40))
     val f = byCut(0L).head
     val (fFrames, fDur) = (f(1).asInstanceOf[Int], f(6).asInstanceOf[Double])
     byCut.foreach { case (cut, rows) =>
