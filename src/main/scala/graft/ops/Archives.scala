@@ -25,14 +25,29 @@ object Archives {
     StructField("member_text", StringType),
     StructField("parse_error", StringType))
 
-  private[ops] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+  /** Expansion ceiling for any single inflated member / gunzipped stream.
+    * A crafted decompression bomb in a crawled archive would otherwise OOM
+    * the executor — and an OOM kills the JVM, which the per-archive
+    * degradation contract cannot catch. Beyond the cap the member (or the
+    * whole gz stream) degrades to an error row instead.
+    */
+  val MaxInflatedBytes: Long = 256L << 20
+
+  private[ops] def gunzipIfNeeded(
+      bytes: Array[Byte], maxBytes: Long = MaxInflatedBytes): Array[Byte] =
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes)
+          throw new java.io.IOException(
+            s"gzip stream exceeds $maxBytes inflated bytes (decompression bomb?)")
+        n = in.read(buf)
+      }
       out.toByteArray
     } else bytes
 
@@ -189,7 +204,12 @@ object Archives {
                 } else {
                   val name = new String(bytes, o + 46, nameLen, "UTF-8")
                   val row: Row =
-                    try {
+                    if (usize > MaxInflatedBytes)
+                      // declared usize sizes the allocation below — cap it
+                      // BEFORE allocating or a bomb's 4 GiB claim OOMs the JVM
+                      Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
+                        null, s"member too large ($usize > $MaxInflatedBytes inflated bytes)"))
+                    else try {
                       // local header: skip its own (possibly different) name/extra
                       val dataOff = lho + 30 + le16(bytes, lho + 26) + le16(bytes, lho + 28)
                       val text =

@@ -94,10 +94,30 @@ object PdfStructure {
             // PDF dict keys are UNORDERED: /Count may precede /Type in
             // the same dict, and an unbounded forward search would bind
             // some other object's /Count — search the ENCLOSING dict
+            // ... and dicts NEST (real Pages nodes carry /Resources etc.):
+            // a naive lastIndexOf("<<")/indexOf(">>") around the match
+            // would bound a nested child dict, not the Pages dict itself —
+            // track << / >> depth in both directions from the match
             val declared = "/Type\\s*/Pages(?![A-Za-z])".r
               .findFirstMatchIn(scan).flatMap { m =>
-                val dictStart = scan.lastIndexOf("<<", m.start)
-                val dictEnd = scan.indexOf(">>", m.start)
+                var dictStart = -1
+                var i = m.start - 2
+                var depth = 0
+                while (dictStart < 0 && i >= 0) {
+                  if (scan.charAt(i) == '>' && scan.charAt(i + 1) == '>') { depth += 1; i -= 2 }
+                  else if (scan.charAt(i) == '<' && scan.charAt(i + 1) == '<') {
+                    if (depth == 0) dictStart = i else { depth -= 1; i -= 2 }
+                  } else i -= 1
+                }
+                var dictEnd = -1
+                i = m.start
+                depth = 0
+                while (dictEnd < 0 && i + 1 < scan.length) {
+                  if (scan.charAt(i) == '<' && scan.charAt(i + 1) == '<') { depth += 1; i += 2 }
+                  else if (scan.charAt(i) == '>' && scan.charAt(i + 1) == '>') {
+                    if (depth == 0) dictEnd = i else { depth -= 1; i += 2 }
+                  } else i += 1
+                }
                 if (dictStart < 0 || dictEnd < 0) None
                 else "/Count\\s+(\\d+)".r
                   .findFirstMatchIn(scan.substring(dictStart, dictEnd))

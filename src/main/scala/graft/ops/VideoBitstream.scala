@@ -399,7 +399,9 @@ object VideoBitstream {
         if (o + 16 > end) return
         size = be64(bytes, o + 8); hdr = 16L
       } else if (size32 == 0L) size = (end - o).toLong
-      if (size < hdr || o + size > end) return // truncated tail
+      // overflow-safe: a crafted 64-bit size near Long.MaxValue would make
+      // `o + size` wrap negative and slip past a naive `o + size > end`
+      if (size < hdr || size > (end - o).toLong) return // truncated tail
       f(tpe, o + hdr.toInt, (o + size).toInt)
       o += size.toInt
     }

@@ -152,6 +152,11 @@ object WebIngest {
       while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
       if (p > last) -1 else p
     }
+    // HTML5 tag names end at '>', '/', or whitespace — without this
+    // boundary check, custom elements like <style-guide> would match the
+    // <style> raw-text rule and their content would be dropped
+    def tagNameEndsAt(p: Int): Boolean =
+      p >= n || { val d = html.charAt(p); d == '>' || d == '/' || d.isWhitespace }
     while (i < n) {
       val c = html.charAt(i)
       // HTML5 tokenization: '<' opens a tag only before an ASCII alpha,
@@ -167,13 +172,13 @@ object WebIngest {
         if (lowerAt(i, "<!--")) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (lowerAt(i, "<script")) {
+        } else if (lowerAt(i, "<script") && tagNameEndsAt(i + 7)) {
           val e = findIgnoreCase("</script", i + 7)
           i = if (e < 0) n else html.indexOf('>', e) match {
             case -1 => n
             case g => g + 1
           }
-        } else if (lowerAt(i, "<style")) {
+        } else if (lowerAt(i, "<style") && tagNameEndsAt(i + 6)) {
           val e = findIgnoreCase("</style", i + 6)
           i = if (e < 0) n else html.indexOf('>', e) match {
             case -1 => n

@@ -84,6 +84,49 @@ class ArchivesSpec extends AnyFunSuite {
       .getAs[String]("parse_error").startsWith("not a zip archive"))
   }
 
+  test("decompression bombs degrade to error rows, never allocate: " +
+      "oversized zip usize and unbounded gzip expansion are both capped") {
+    // a central-directory usize above MaxInflatedBytes must produce a
+    // 'member too large' row WITHOUT allocating the claimed buffer, and
+    // the sibling member must survive untouched
+    val full = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(Archives.syntheticZip(lit(2), lit(9)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    def findCentral(b: Array[Byte], nth: Int): Int = {
+      var found = -1; var seen = 0; var i = 0
+      while (found < 0 && i + 4 <= b.length) {
+        if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 1 && b(i + 3) == 2) {
+          seen += 1
+          if (seen == nth) found = i
+        }
+        i += 1
+      }
+      found
+    }
+    val bomb = full.clone()
+    val c2 = findCentral(bomb, 2)
+    // usize (le32 at central+24) := 0xF0000000 (~3.75 GiB claimed)
+    bomb(c2 + 24) = 0; bomb(c2 + 25) = 0; bomb(c2 + 26) = 0; bomb(c2 + 27) = 0xf0.toByte
+    val out = Archives.zipMembers(Seq((0L, bomb)).toDF("doc_id", "payload"))
+      .orderBy("member_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("parse_error") == null)
+    assert(out(1).getAs[String]("parse_error").startsWith("member too large"))
+    assert(out(1).getAs[String]("member_name") == "dir/file1.zip.txt")
+    assert(out(1).getAs[Long]("uncompressed_size") == 0xf0000000L)
+    // gunzip kernel: expansion past the ceiling throws (callers' per-row
+    // try degrades it); a normal stream under the default cap is untouched
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(new Array[Byte](100000)) // 100 KB of zeros, ~100 B compressed
+      g.close()
+      bos.toByteArray
+    }
+    intercept[java.io.IOException] { Archives.gunzipIfNeeded(gz, maxBytes = 1000L) }
+    assert(Archives.gunzipIfNeeded(gz).length == 100000)
+  }
+
   test("zipMembers: one corrupt member cannot kill its siblings — " +
       "bad central entry keeps walked members, truncated deflate degrades per member") {
     // 3-member STORED archive; corrupt the SECOND central header's signature

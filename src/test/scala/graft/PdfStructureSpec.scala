@@ -73,6 +73,32 @@ class PdfStructureSpec extends AnyFunSuite {
     assert(out.getAs[Int]("declared_pages") == 2) // own dict's /Count, not 99
   }
 
+  test("pdfCensus: nested dicts inside the Pages node (real trees carry " +
+      "/Resources) do not derail the /Count search in either direction") {
+    // forward nesting: /Type first, then a nested (doubly-nested) dict,
+    // then /Count — a naive indexOf(">>") binds the nested close and
+    // loses /Count
+    val fwd = ("%PDF-1.7\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Resources << /Font << /F1 5 0 R >> " +
+      "/XObject << /X 6 0 R >> >> /Kids [ 3 0 R ] /Count 4 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "trailer\n<< /Size 4 /Root 1 0 R /Count 77 >>\n%%EOF").getBytes("UTF-8")
+    val o1 = PdfStructure.pdfCensus(
+      Seq((0L, fwd)).toDF("doc_id", "payload")).collect().head
+    assert(o1.getAs[String]("parse_error") == null)
+    assert(o1.getAs[Int]("declared_pages") == 4) // not null, not 77
+    // backward nesting: /Count first, then a nested dict, then /Type — a
+    // naive lastIndexOf("<<") binds the nested open and loses /Count
+    val bwd = ("%PDF-1.5\n" +
+      "2 0 obj\n<< /Count 5 /Resources << /F 1 >> /Type /Pages /Kids [ ] >>\nendobj\n" +
+      "%%EOF").getBytes("UTF-8")
+    val o2 = PdfStructure.pdfCensus(
+      Seq((0L, bwd)).toDF("doc_id", "payload")).collect().head
+    assert(o2.getAs[String]("parse_error") == null)
+    assert(o2.getAs[Int]("declared_pages") == 5)
+  }
+
   test("pdfCensus: xref-stream marker detected outside streams") {
     val modern = ("%PDF-1.6\n1 0 obj\n<< /Type /XRef /W [1 2 2] >>\n" +
       "stream\nBINARYBYTES\nendstream\nendobj\n%%EOF").getBytes("UTF-8")

@@ -251,4 +251,25 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(meta(2L).getAs[Int]("nal_count") == 1)
     assert(meta(2L).isNullAt(meta(2L).fieldIndex("h264_width")))
   }
+
+  test("mp4: a crafted 64-bit box size near Long.MaxValue stops the walk " +
+      "(overflow-safe guard) instead of wrapping o+size negative") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    // valid ftyp first — boxes already walked must stay walked
+    u32(16L); raw("ftyp"); raw("isom"); u32(0L)
+    // then a size32==1 box claiming a 64-bit size of Long.MaxValue: a
+    // naive `o + size > end` wraps negative and admits it (and
+    // `o += size.toInt` adds -1, looping forever)
+    u32(1L); raw("free")
+    u32((Long.MaxValue >>> 32) & 0xffffffffL); u32(Long.MaxValue & 0xffffffffL)
+    u32(0L) // a few body bytes so the walk COULD keep going if unguarded
+    val df = Seq((0L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = VideoBitstream.mp4ClipMeta(df).collect().head
+    assert(out.getAs[String]("brand") == "isom")
+    assert(out.getAs[String]("parse_error") == "no video track")
+  }
 }

@@ -59,6 +59,21 @@ class WebIngestSpec extends AnyFunSuite {
     assert(WebIngest.extractText("<p>x</p><script>var y = 1;") == "x")
   }
 
+  test("extractText: custom elements whose name merely STARTS with " +
+      "script/style are ordinary tags, not raw-text blocks") {
+    // without the tag-name boundary check these would be swallowed whole
+    assert(WebIngest.extractText(
+      "<style-guide>keep this text</style-guide>") == "keep this text")
+    assert(WebIngest.extractText(
+      "<script-loader>and this</script-loader> <p>tail</p>") ==
+      "and this\ntail")
+    // the real raw-text rule still applies with attributes / self-close
+    assert(WebIngest.extractText(
+      "<style media=\"all\">b {}</style>ok") == "ok")
+    assert(WebIngest.extractText(
+      "<script defer>var x;</script>ok") == "ok")
+  }
+
   test("extractText: bare '<' in prose is literal text (HTML5 rule), and " +
       "out-of-range numeric entities degrade to literal, never crash") {
     assert(WebIngest.extractText("<p>profit was 1 < 2 and 3 > 2 percent</p>") ==
