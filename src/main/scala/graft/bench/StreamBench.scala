@@ -258,6 +258,40 @@ object StreamBench {
             .select(col("l.user_id"), col("l.event_value"), col("r.right_value"))
         }
       }
+      // guarded interval join — §17.6's deployment rule, end-to-end: hot
+      // keys measured from a one-horizon batch history drawn with the SAME
+      // key law as the stream (docs() is deterministic in `value`, so
+      // range(horizon) replays exactly the law the stream will carry),
+      // excluded by broadcast anti-join before any state buffers. Under
+      // zipf this is the op that must COMPLETE where the unguarded join
+      // recorded 0 rows/s (batch 1 never finished); under uniform it
+      // prices the guard's overhead against the plain interval join.
+      for (delaySec <- Seq(5, 30)) {
+        bench(s"guarded_interval_join_w${delaySec}s", rpb) { d =>
+          val horizon = rpb * (delaySec + 2) // (delay + range) s × rpb rows/s
+          val history = docs(spark.range(horizon).toDF("value"))
+            .select(col("user_id"))
+          // side-channel audit line: how many keys the guard routes and
+          // what share of the stream's mass they carry (the rows a caller
+          // sends to the sampled/offline path)
+          val hm = StreamingOps.hotKeyMasses(history, "user_id")
+          val st = hm.agg(
+            sum(when(col("is_hot"), 1L).otherwise(0L)).as("hot_keys"),
+            sum(when(col("is_hot"), col("m")).otherwise(0L)).as("hot_mass"),
+            sum(col("m")).as("mass")).head()
+          val hotKeys = Option(st.get(0)).map(_.toString.toLong).getOrElse(0L)
+          val hotMass = Option(st.get(1)).map(_.toString.toLong).getOrElse(0L)
+          val mass = math.max(1L, st.getLong(2))
+          println(f"""{"op":"guarded_interval_join_w${delaySec}s","dist":"$keyDist","rows_per_batch":$rpb,"hot_keys":$hotKeys,"hot_mass_share":${hotMass.toDouble / mass}%.4f}""")
+          val l = d.select(col("user_id"), col("timestamp"), col("event_value"))
+          val r = d.select(col("user_id"), col("timestamp"),
+            (col("event_value") * 2).as("right_value"))
+          StreamingOps.guardedStreamStreamIntervalJoin(l, r, "user_id", "timestamp",
+            delay = s"$delaySec seconds", before = "2 seconds", after = "0 seconds",
+            history = history, historyKeyCol = "user_id")
+            .select(col("l.user_id"), col("l.event_value"), col("r.right_value"))
+        }
+      }
       // custom stateful sessionization via flatMapGroupsWithState
       bench("sessionize", rpb) { d =>
         StreamingOps.sessionize(

@@ -323,29 +323,71 @@ object Dedup {
     */
   private[graft] def dyadicSizeCap(sizes: DataFrame, sizeCol: String,
       budget: Long): Long =
+    dyadicSizeCapWithStats(sizes, sizeCol, budget)._1
+
+  /** [[dyadicSizeCap]] plus the bind statistics the cap decision already
+    * paid for: because the cap is a power of two and the histogram classes
+    * are dyadic, `b > cap ⟺ dyadicClass(b) > cap`, so the EXACT number of
+    * over-cap buckets and the band rows inside them fall out of the same
+    * ≤63-row driver histogram — no second scan, no uncapped twin run.
+    * Returns (cap, totalBuckets, cappedBuckets, totalRows, cappedRows).
+    */
+  private[graft] def dyadicSizeCapWithStats(sizes: DataFrame, sizeCol: String,
+      budget: Long): (Long, Long, Long, Long, Long) = {
+    val sz = col(sizeCol)
     // factor clamped at floor(sqrt(Long.MaxValue)) BEFORE squaring: long
     // multiplication wraps silently (and not always negative — 2^32 squared
     // wraps to 0), and a bucket of ~3e9 docs is over any realistic budget
     // regardless, so the clamp never changes the cap decision
-    dyadicCap(sizes, col(sizeCol),
-      least(col(sizeCol), lit(3037000499L)) * least(col(sizeCol), lit(3037000499L)),
-      budget)
+    val weight = least(sz, lit(3037000499L)) * least(sz, lit(3037000499L))
+    val overBudget = if (budget == Long.MaxValue) Long.MaxValue else budget + 1L
+    val hist = sizes.select(minPowClass(sz).as("cap"),
+        least(weight, lit(overBudget)).as("w"), sz.as("b"))
+      .groupBy(col("cap"))
+      .agg(sum(col("w")).as("w"), count(lit(1)).as("n"), sum(col("b")).as("rows"))
+      .collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+          r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+      }.sortBy(_._1)
+    var cum = BigInt(0)
+    var best = 0L
+    hist.foreach { case (cap, w, _, _) =>
+      // a negative per-class sum means the clamped sum still wrapped
+      // (astronomical row counts) — saturate, the class is over budget
+      cum += (if (w < 0) BigInt(Long.MaxValue) else BigInt(w))
+      if (cum <= budget) best = cap
+    }
+    val cap = math.max(best, 16L)
+    val over = hist.filter(_._1 > cap)
+    // row sums saturate through BigInt — per-class row counts are exact
+    // longs but a degenerate corpus could sum past Long.MaxValue
+    def rowSum(h: Seq[(Long, Long, Long, Long)]): Long = {
+      val s = h.map(e => BigInt(e._4)).sum
+      if (s > Long.MaxValue) Long.MaxValue else s.toLong
+    }
+    (cap, hist.map(_._3).sum, over.map(_._3).sum,
+      rowSum(hist.toSeq), rowSum(over.toSeq))
+  }
 
   /** Generalized form: dyadic classes over `classBy`, admitted volume
     * measured by `weight` (e.g. prefix-df² classed by global df for the
     * Jaccard cap, where only PREFIX occurrences generate candidates).
     */
-  private[graft] def dyadicCap(frame: DataFrame, classBy: Column,
-      weight: Column, budget: Long): Long = {
-    // smallest power of two ≥ classBy, as a when-chain (first match wins) —
-    // the same dyadic class the oracle computes as `min(p) WHERE p >= b`.
-    // The otherwise-arm catches classes above 2^62 (a degenerate bucket —
-    // e.g. every empty-text doc sharing md5("") band sigs — at
-    // billions-of-docs scale); without it those rows class as NULL and the
-    // getLong below would NPE.
-    val minPow = (1 to 62).foldLeft(when(classBy <= 1L, 1L)) { (acc, k) =>
+  /** Smallest power of two ≥ `classBy`, as a when-chain (first match
+    * wins) — the same dyadic class the oracle computes as
+    * `min(p) WHERE p >= b`. The otherwise-arm catches classes above 2^62
+    * (a degenerate bucket — e.g. every empty-text doc sharing md5("")
+    * band sigs — at billions-of-docs scale); without it those rows class
+    * as NULL and the driver-side getLong would NPE.
+    */
+  private def minPowClass(classBy: Column): Column =
+    (1 to 62).foldLeft(when(classBy <= 1L, 1L)) { (acc, k) =>
       acc.when(classBy <= (1L << k), 1L << k)
     }.otherwise(Long.MaxValue)
+
+  private[graft] def dyadicCap(frame: DataFrame, classBy: Column,
+      weight: Column, budget: Long): Long = {
+    val minPow = minPowClass(classBy)
     // per-row weight clamp at budget+1: any single row already over budget
     // decides the cap by itself, so clamping never changes the <= budget
     // comparison below but keeps b*b-style weights from overflowing long
@@ -368,6 +410,46 @@ object Dedup {
     }
     math.max(best, 16L)
   }
+
+  /** How hard an AUTO-derived bucket cap binds, emitted by the
+    * corpus-scale dedup entry points ([[dedupCorpus]],
+    * [[hammingDedupCorpus]]) every time they derive a cap — the §17.2
+    * uniform-bind regime (2.6% keep-verdict flips at sf10) is otherwise
+    * invisible without running an uncapped twin. `cappedBuckets` band
+    * buckets holding `cappedBandRows` of `totalBandRows` band rows are
+    * over the cap and generate NO candidate pairs; pairs whose every
+    * shared band is capped are missed (miss direction: splits only —
+    * capped runs never merge clusters the exact run would keep apart).
+    * Zero capped buckets ⇒ the capped run is EXACTLY the uncapped join.
+    */
+  final case class CapBindReport(op: String, cap: Long,
+      totalBuckets: Long, cappedBuckets: Long,
+      totalBandRows: Long, cappedBandRows: Long) {
+    /** True when recall is no longer unconditionally exact. */
+    def binds: Boolean = cappedBuckets > 0L
+    def cappedBandRowShare: Double =
+      if (totalBandRows == 0L) 0.0 else cappedBandRows.toDouble / totalBandRows
+  }
+
+  /** Default [[CapBindReport]] handler: self-announce a binding cap as a
+    * WARN on the `graft.Dedup` logger (silent when the cap is slack — the
+    * common case, where capped output is exactly the uncapped join).
+    * Deployments wanting metrics instead pass their own handler (push to
+    * accumulators, a metrics registry, or collect for a recall audit with
+    * [[pairRecall]]).
+    */
+  val LogCapBind: CapBindReport => Unit = r =>
+    if (r.binds)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+        f"${r.op}: auto-derived bucket cap ${r.cap} BINDS — " +
+          f"${r.cappedBuckets} of ${r.totalBuckets} band buckets " +
+          f"(${r.cappedBandRows} of ${r.totalBandRows} band rows, " +
+          f"${r.cappedBandRowShare * 100}%.2f%%) are over the cap and " +
+          "generate no candidate pairs; near-dup recall is no longer " +
+          "unconditionally exact (SCALE.md §17.2: miss direction is " +
+          "cluster SPLITS, never merges). Price it with pairRecall on a " +
+          "sample, raise pairBudget, or pass maxBucketSize = " +
+          "Some(Long.MaxValue) for the exact join.")
 
   /** THE corpus-scale dedup entry point: capped MinHash-LSH candidates →
     * [[resolveClusters]] (large-star/small-star connected components) →
@@ -405,7 +487,8 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen,
-      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64,
+      onCapBind: CapBindReport => Unit = LogCapBind): DataFrame = {
     // exact-duplicate collapse: reps carry the banding, members rejoin via
     // one edge each. The map shuffles only (id, 32-char hash) — text never
     // reshuffles — and banding below stays the narrow (id, minhash) shape.
@@ -425,7 +508,9 @@ object Dedup {
       // — counting df itself would re-execute its whole lineage when the
       // input is a derived frame rather than a bare scan
       val n = bands.count() / (numHashes / rowsPerBand)
-      dyadicSizeCap(sizes, "b", pairBudget * n)
+      val (c, tb, cb, tr, cr) = dyadicSizeCapWithStats(sizes, "b", pairBudget * n)
+      onCapBind(CapBindReport("dedupCorpus", c, tb, cb, tr, cr))
+      c
     }
     val expansion = repMap.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
@@ -503,9 +588,10 @@ object Dedup {
   def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
       priorityCol: String,
       numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand, shingleLen: Int = DefaultShingleLen,
-      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64,
+      onCapBind: CapBindReport => Unit = LogCapBind): DataFrame = {
     val base = dedupCorpus(df, textCol, idCol,
-      numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget)
+      numHashes, rowsPerBand, shingleLen, maxBucketSize, pairBudget, onCapBind)
     // null priorities rank LOWEST (not excluded): max_by skips rows whose
     // ordering value is null, so an all-null cluster would otherwise lose
     // its representative and break the one-kept-per-cluster invariant
@@ -900,11 +986,17 @@ object Dedup {
     * Deployments that need a recall FLOOR on dense-signature corpora
     * should price it with [[pairRecall]] on a sample, raise `pairBudget`,
     * or buy exactness with `Some(Long.MaxValue)`.
+    *
+    * The bind regime is SELF-ANNOUNCING (r12): every auto-derived cap
+    * emits a [[CapBindReport]] through `onCapBind` (default [[LogCapBind]]
+    * WARNs when any bucket is capped) with exact capped-bucket and
+    * band-row counts — no uncapped twin run needed to know the cap bit.
     */
   def hammingDedupCorpus(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int = DefaultSigBits, bands: Int = DefaultSigBands,
       maxHamming: Int = DefaultSigMaxHamming,
-      maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+      maxBucketSize: Option[Long] = None, pairBudget: Long = 64,
+      onCapBind: CapBindReport => Unit = LogCapBind): DataFrame = {
     val all = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
     // null signatures (undecodable items) can't be compared to anything:
     // they come back as their own singleton verdicts. Without this split
@@ -925,7 +1017,10 @@ object Dedup {
       val sizes = repSigs
         .select(explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
         .groupBy(col("key")).agg(count(lit(1)).as("b"))
-      dyadicSizeCap(sizes, "b", pairBudget * nReps)
+      val (c, tb, cb, tr, cr) =
+        dyadicSizeCapWithStats(sizes, "b", pairBudget * nReps)
+      onCapBind(CapBindReport("hammingDedupCorpus", c, tb, cb, tr, cr))
+      c
     }
     val pairs = hammingPairs(repSigs, "id", "sig", bits, bands, maxHamming,
       Some(cap), knownDistinctSigs = Some(nReps))

@@ -189,6 +189,47 @@ class DedupCapSpec extends AnyFunSuite {
       assert(clusters(g * 6L + m) == g * 6L, s"group $g split after resolution")
   }
 
+  test("CapBindReport: the auto-cap self-announces when it binds (§17.2 " +
+      "density) and stays silent when exact-dup collapse absorbs the mass") {
+    // §17.2's uniform-bind regime in miniature: 3000 DISTINCT sigs whose
+    // bands 0, 2, 3 are constant (correlated signature bits) — three
+    // 3000-rep buckets the dyadic budget (64 × 3000) cannot admit. Every
+    // count below is closed-form: 3003 buckets total, the 3 constant-band
+    // buckets capped, 3 × 3000 of 4 × 3000 band rows inside them.
+    var rep1: Option[Dedup.CapBindReport] = None
+    val dense = (0 until 3000).map(i => (i.toLong, (i.toLong << 16) | 0x1234L))
+      .toDF("doc_id", "sig")
+    Dedup.hammingDedupCorpus(dense, "doc_id", "sig",
+      onCapBind = r => rep1 = Some(r)).count()
+    val r1 = rep1.get
+    assert(r1.op == "hammingDedupCorpus" && r1.binds)
+    assert(r1.cap == 16L)
+    assert(r1.cappedBuckets == 3L && r1.totalBuckets == 3003L)
+    assert(r1.cappedBandRows == 9000L && r1.totalBandRows == 12000L)
+    assert(math.abs(r1.cappedBandRowShare - 0.75) < 1e-12)
+    // zipf shape: 3000 docs over 20 distinct sigs — collapse runs FIRST,
+    // buckets are rep-level (≤ 20 ≤ the derived cap 32), report is silent
+    var rep2: Option[Dedup.CapBindReport] = None
+    val zipf = (0 until 3000).map(i => (i.toLong, (i % 20).toLong))
+      .toDF("doc_id", "sig")
+    Dedup.hammingDedupCorpus(zipf, "doc_id", "sig",
+      onCapBind = r => rep2 = Some(r)).count()
+    assert(rep2.exists(r => !r.binds && r.cappedBuckets == 0L &&
+      r.totalBandRows == 80L))
+    // the text path announces through the same channel: the boilerplate
+    // swarm (300 docs sharing most band sigs) binds and says so
+    var rep3: Option[Dedup.CapBindReport] = None
+    Dedup.dedupCorpus(corpus, "text", "doc_id",
+      onCapBind = r => rep3 = Some(r)).count()
+    assert(rep3.exists(r => r.op == "dedupCorpus" && r.binds &&
+      r.cappedBandRows > 0L))
+    // an EXPLICIT maxBucketSize is a conscious caller choice: no report
+    var rep4: Option[Dedup.CapBindReport] = None
+    Dedup.hammingDedupCorpus(zipf, "doc_id", "sig",
+      maxBucketSize = Some(64L), onCapBind = r => rep4 = Some(r)).count()
+    assert(rep4.isEmpty)
+  }
+
   test("dyadicCap: classes above 2^30 and square-overflow weights stay safe") {
     // a degenerate bucket of 2^35 members (every empty-text doc sharing
     // md5("") band sigs at billions-of-docs scale): the class is beyond the
