@@ -269,12 +269,17 @@ object StreamBench {
       for (delaySec <- Seq(5, 30)) {
         bench(s"guarded_interval_join_w${delaySec}s", rpb) { d =>
           val horizon = rpb * (delaySec + 2) // (delay + range) s × rpb rows/s
+          // the join emits only pairs within the 2 s range of a
+          // (delay + 2) s horizon — price that share instead of the
+          // worst-case m² (which routed 100% of the dense uniform stream)
+          val rangeFrac = 2.0 / (delaySec + 2)
           val history = docs(spark.range(horizon).toDF("value"))
             .select(col("user_id"))
           // side-channel audit line: how many keys the guard routes and
           // what share of the stream's mass they carry (the rows a caller
           // sends to the sampled/offline path)
-          val hm = StreamingOps.hotKeyMasses(history, "user_id")
+          val hm = StreamingOps.hotKeyMasses(history, "user_id",
+            rangeFraction = rangeFrac)
           val st = hm.agg(
             sum(when(col("is_hot"), 1L).otherwise(0L)).as("hot_keys"),
             sum(when(col("is_hot"), col("m")).otherwise(0L)).as("hot_mass"),
@@ -288,7 +293,8 @@ object StreamBench {
             (col("event_value") * 2).as("right_value"))
           StreamingOps.guardedStreamStreamIntervalJoin(l, r, "user_id", "timestamp",
             delay = s"$delaySec seconds", before = "2 seconds", after = "0 seconds",
-            history = history, historyKeyCol = "user_id")
+            history = history, historyKeyCol = "user_id",
+            rangeFraction = rangeFrac)
             .select(col("l.user_id"), col("l.event_value"), col("r.right_value"))
         }
       }

@@ -1451,7 +1451,8 @@ object CatalogOps {
           (col("doc_id") % 16).cast("int")).as("payload"))
       graft.ops.VideoBitstream.mp4SyncSamples(clips, "payload")
         .select(col("doc_id"), col("sample_idx"), col("sample_size"),
-          col("sample_offset"), col("is_sync"), col("parse_error"))
+          col("sample_offset"), col("sample_time_ms"), col("is_sync"),
+          col("parse_error"))
     },
     Some("""WITH p AS (
         SELECT doc_id, (1 + doc_id % 7)::INT AS nf, (1 + doc_id % 3)::INT AS per,
@@ -1466,9 +1467,61 @@ object CatalogOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS soff
         FROM s)
       SELECT doc_id, (k + 1)::INT AS sample_idx, sz AS sample_size,
-        soff AS sample_offset, k % per = 0 AS is_sync,
+        soff AS sample_offset, (250 * k)::BIGINT AS sample_time_ms,
+        k % per = 0 AS is_sync,
         NULL::VARCHAR AS parse_error
       FROM o"""))
+
+  /** The video-text seam the subtitle parser was built for: WebVTT/SRT cue
+    * spans ([[graft.ops.Subtitles.parseCues]]) range-joined per clip to
+    * the MP4 keyframe timeline ([[graft.ops.VideoBitstream.mp4SyncSamples]]
+    * `where(is_sync)`, stts-derived millisecond times) via the keyed
+    * range join [[graft.ops.Joins.pointInIntervalBy]] — one row per
+    * (cue, keyframe-inside-the-cue), the table a video curation pipeline
+    * decodes from (fetch only keyframes whose span has aligned text).
+    * Oracle replays both synthetic generators closed-form: cue k spans
+    * [2500k, 2500k+2000), sample j sits at 250·j ms and is sync iff
+    * j mod syncPeriod = 0.
+    */
+  private val mmCueKeyframes = Q("mm_cue_keyframes",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cues = graft.ops.Subtitles.parseCues(
+        docs.select(col("doc_id"),
+          graft.ops.Subtitles.syntheticSubtitle(
+            (lit(1) + col("doc_id") % 6).cast("int"),
+            (col("doc_id") % 32).cast("int"),
+            col("doc_id") % 2 === 0).as("subtitle")), "subtitle")
+        .select(col("doc_id"), col("cue_idx"),
+          col("cue_start_ms"), col("cue_end_ms"))
+      val keyframes = graft.ops.VideoBitstream.mp4SyncSamples(
+        docs.select(col("doc_id"),
+          graft.ops.VideoBitstream.syntheticMp4(
+            (lit(1) + col("doc_id") % 8).cast("int"),
+            (lit(1) + col("doc_id") % 5).cast("int"),
+            (lit(1) + col("doc_id") % 40).cast("int"),
+            (lit(1) + col("doc_id") % 3).cast("int"),
+            (col("doc_id") % 16).cast("int")).as("payload")), "payload")
+        .where(col("is_sync"))
+        .select(col("doc_id"), col("sample_idx").as("kf_sample_idx"),
+          col("sample_time_ms").as("kf_time_ms"))
+      graft.ops.Joins.pointInIntervalBy(keyframes, "kf_time_ms",
+        cues, "cue_start_ms", "cue_end_ms", Seq("doc_id"))
+        .select(col("doc_id"), col("cue_idx"),
+          col("kf_sample_idx"), col("kf_time_ms"))
+    },
+    Some("""WITH cues AS (
+        SELECT doc_id, k::INT AS cue_idx, (2500 * k)::BIGINT AS lo,
+          (2500 * k + 2000)::BIGINT AS hi
+        FROM documents, unnest(generate_series(0, doc_id % 6)) AS t(k)),
+      kf AS (
+        SELECT doc_id, (j + 1)::INT AS kf_sample_idx,
+          (250 * j)::BIGINT AS kf_time_ms
+        FROM documents, unnest(generate_series(0, doc_id % 40)) AS t2(j)
+        WHERE j % (1 + doc_id % 3) = 0)
+      SELECT c.doc_id, c.cue_idx, f.kf_sample_idx, f.kf_time_ms
+      FROM cues c JOIN kf f ON c.doc_id = f.doc_id
+        AND f.kf_time_ms >= c.lo AND f.kf_time_ms < c.hi"""))
 
   /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
     * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
@@ -1949,7 +2002,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest,
     arcTarMembers, arcZipMembers, webPdfCensus,

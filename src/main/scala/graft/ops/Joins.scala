@@ -87,6 +87,27 @@ object Joins {
       .drop("__b")
   }
 
+  /** KEYED point-in-interval range join — same `lo <= p < hi` semantics
+    * as [[pointInInterval]], for the case where both sides share a
+    * high-cardinality equi-key (a doc/clip id: subtitle cues × the same
+    * clip's keyframe timeline, ASR spans × its sample table). The key IS
+    * the distribution: a plain equi-join on it shuffles both sides once
+    * and the range becomes a residual predicate evaluated per matched
+    * pair, so no bucket explosion is needed — [[pointInInterval]]'s
+    * bucket trick exists for the KEYLESS case where there is nothing to
+    * hash-partition on. Per-key work is |points_k| × |intervals_k|,
+    * bounded by per-clip fan-out (cues × keyframes of ONE clip), which is
+    * exactly the degradation unit the structure parsers guarantee.
+    */
+  def pointInIntervalBy(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "pointInIntervalBy needs at least one key column")
+    intervals.where(col(hiCol) > col(loCol))
+      .join(points, keys)
+      .where(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+  }
+
   /** Salted inner equi-join for skewed keys: the standard remedy when one
     * join key dominates (a hot user, a null-ish default, a viral
     * document) and a single reducer would receive that key's entire row

@@ -417,6 +417,7 @@ object VideoBitstream {
       mdhdTimescale: Long, mdhdDuration: Long,
       sizes: Array[Long], chunkOffsets: Array[Long],
       stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
+      sttsRuns: Array[(Long, Long)], // (sample_count, sample_delta)
       syncs: Set[Long], hasStss: Boolean)
 
   private def parseTrack(bytes: Array[Byte], trakStart: Int, trakEnd: Int): Option[TrackTables] = {
@@ -428,6 +429,7 @@ object VideoBitstream {
     var sizes = Array.empty[Long]
     var chunks = Array.empty[Long]
     var runs = Array.empty[(Long, Long)]
+    var stts = Array.empty[(Long, Long)]
     var syncs = Set.empty[Long]
     var hasStss = false
     def stbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) {
@@ -465,6 +467,10 @@ object VideoBitstream {
         hasStss = true
         val n = be32(bytes, b + 4).toInt
         syncs = (0 until n).map(i => be32(bytes, b + 8 + i * 4)).toSet
+      case ("stts", b, _) =>
+        val n = be32(bytes, b + 4).toInt
+        stts = Array.tabulate(n)(i =>
+          (be32(bytes, b + 8 + i * 8), be32(bytes, b + 12 + i * 8)))
       case _ => ()
     }
     walkBoxes(bytes, trakStart, trakEnd) {
@@ -482,8 +488,38 @@ object VideoBitstream {
       case _ => ()
     }
     if (handler == "vide")
-      Some(TrackTables(codec, avcC, ts, dur, sizes, chunks, runs, syncs, hasStss))
+      Some(TrackTables(codec, avcC, ts, dur, sizes, chunks, runs, stts,
+        syncs, hasStss))
     else None
+  }
+
+  /** Per-sample decode time in milliseconds from the stts delta runs
+    * (ISO 14496-12 §8.6.1.2: sample k starts at the cumulative sum of the
+    * deltas before it, in mdhd-timescale ticks). Samples beyond the stts
+    * coverage — or every sample when stts/timescale is absent (truncated
+    * moov) — stay null: a fabricated timeline is worse than an honest
+    * hole. Millisecond conversion floors (ticks × 1000 / timescale), the
+    * arithmetic an external engine reproduces exactly in integer math.
+    */
+  private def sampleTimesMs(t: TrackTables): Array[java.lang.Long] = {
+    val out = new Array[java.lang.Long](t.sizes.length)
+    if (t.mdhdTimescale > 0 && t.sttsRuns.nonEmpty) {
+      var cum = 0L
+      var i = 0
+      var run = 0
+      var inRun = 0L
+      while (i < out.length && run < t.sttsRuns.length) {
+        if (t.sttsRuns(run)._1 <= 0L) { run += 1; inRun = 0L }
+        else {
+          out(i) = cum * 1000L / t.mdhdTimescale
+          cum += t.sttsRuns(run)._2
+          inRun += 1
+          if (inRun >= t.sttsRuns(run)._1) { run += 1; inRun = 0L }
+          i += 1
+        }
+      }
+    }
+    out
   }
 
   /** Per-sample (offset, size) from the chunk tables: stsc runs map
@@ -609,15 +645,20 @@ object VideoBitstream {
     StructField("sample_idx", IntegerType),
     StructField("sample_size", IntegerType),
     StructField("sample_offset", LongType),
+    StructField("sample_time_ms", LongType),
     StructField("is_sync", BooleanType),
     StructField("parse_error", StringType))
 
   /** One row per video sample of an MP4 clip: 1-based index, byte size,
     * FILE-ABSOLUTE byte offset (stsc×stco×stsz walk, ISO 14496-12 §8.7),
-    * and the stss sync flag. `where(is_sync)` is the keyframe BYTE-RANGE
-    * table — the thing that lets a 100 TB video pipeline fetch and decode
-    * only keyframes: offsets come from structure, no frame is ever
-    * decoded to find them.
+    * decode time in milliseconds (stts delta walk ÷ mdhd timescale — null
+    * for samples a truncated stts does not cover), and the stss sync
+    * flag. `where(is_sync)` is the keyframe table on BOTH axes a video
+    * curation pipeline joins on: byte ranges (fetch and decode only
+    * keyframes) and the timeline (range-join subtitle cues / ASR spans to
+    * covering keyframes — [[graft.ops.Subtitles.parseCues]] ×
+    * [[graft.ops.Joins.pointInIntervalBy]]). Offsets and times come from
+    * structure; no frame is ever decoded to find them.
     */
   def mp4SyncSamples(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     Multimodal.requireFreshColumns(df, "mp4SyncSamples", mp4SyncCols.map(_.name))
@@ -627,7 +668,7 @@ object VideoBitstream {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(msg: String) =
-          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg)))
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
           val bytes = r.getAs[Array[Byte]](idx)
@@ -656,10 +697,13 @@ object VideoBitstream {
               // (inconsistent or truncated moov) must not fabricate
               // offset-0 rows for the uncovered tail
               if (covered < t.sizes.length) errRow("incomplete sample tables")
-              else t.sizes.indices.map { i =>
-                val num = (i + 1).toLong
-                Row.fromSeq(r.toSeq ++ Seq(i + 1, t.sizes(i).toInt, offs(i),
-                  !t.hasStss || t.syncs.contains(num), null))
+              else {
+                val times = sampleTimesMs(t)
+                t.sizes.indices.map { i =>
+                  val num = (i + 1).toLong
+                  Row.fromSeq(r.toSeq ++ Seq(i + 1, t.sizes(i).toInt, offs(i),
+                    times(i), !t.hasStss || t.syncs.contains(num), null))
+                }
               }
             case None =>
               errRow(if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")

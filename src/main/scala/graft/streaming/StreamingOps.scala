@@ -214,16 +214,32 @@ object StreamingOps {
     * size — while every other streaming op was skew-immune. Output
     * volume, not state, is the wall; no join strategy removes it, so the
     * guard must live IN FRONT of the join.
+    *
+    * `rangeFraction`: the m² model assumes EVERY in-horizon pair joins —
+    * exact when the join range covers the horizon, conservative when the
+    * range is narrower (a key of mass m spread over the horizon actually
+    * emits ≈ m² × range/horizon pairs). The §17.6-addendum campaign
+    * measured the conservative default routing 100% of a DENSE UNIFORM
+    * stream (mass 160/key/horizon, 2 s range in a 32 s horizon) whose
+    * real join completes fine at 340 k rows/s. Pass
+    * `(before + after) / (delay + before + after)` to price the actual
+    * interval; default 1.0 keeps the worst-case bound.
     */
   def hotKeyMasses(history: DataFrame, keyCol: String,
-      pairBudget: Long = 64): DataFrame = {
+      pairBudget: Long = 64, rangeFraction: Double = 1.0): DataFrame = {
+    require(rangeFraction > 0.0 && rangeFraction <= 1.0,
+      s"rangeFraction must be in (0, 1], got $rangeFraction")
     // eager checkpoint: one history scan feeds both the budget action and
     // the cap sketch; the frame is one row per distinct key (small)
     val masses = history.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
     val rows = masses.agg(coalesce(sum(col("m")), lit(0L))).head().getLong(0)
+    // admit while Σ m² × rangeFraction ≤ pairBudget × rows, i.e. compare
+    // the unscaled dyadic weights against budget / rangeFraction
+    // (saturating — a tiny fraction must not wrap the budget negative)
+    val budget = pairBudget.toDouble * math.max(1L, rows) / rangeFraction
     val cap = Dedup.dyadicSizeCap(masses, "m",
-      pairBudget * math.max(1L, rows))
+      if (budget >= Long.MaxValue.toDouble) Long.MaxValue else budget.toLong)
     masses.withColumn("is_hot", col("m") > cap)
   }
 
@@ -243,8 +259,9 @@ object StreamingOps {
     */
   def streamHotKeyGuard(stream: DataFrame, keyCol: String,
       history: DataFrame, historyKeyCol: String,
-      pairBudget: Long = 64, flagCol: String = "is_hot_key"): DataFrame = {
-    val hot = hotKeyMasses(history, historyKeyCol, pairBudget)
+      pairBudget: Long = 64, flagCol: String = "is_hot_key",
+      rangeFraction: Double = 1.0): DataFrame = {
+    val hot = hotKeyMasses(history, historyKeyCol, pairBudget, rangeFraction)
       .where(col("is_hot"))
       .select(col(historyKeyCol).as(keyCol), lit(true).as(flagCol))
       .localCheckpoint(true)
@@ -262,8 +279,8 @@ object StreamingOps {
       key: String, tsCol: String, delay: String,
       before: String, after: String,
       history: DataFrame, historyKeyCol: String,
-      pairBudget: Long = 64): DataFrame = {
-    val hot = hotKeyMasses(history, historyKeyCol, pairBudget)
+      pairBudget: Long = 64, rangeFraction: Double = 1.0): DataFrame = {
+    val hot = hotKeyMasses(history, historyKeyCol, pairBudget, rangeFraction)
       .where(col("is_hot"))
       .select(col(historyKeyCol).as(key))
       .localCheckpoint(true)

@@ -269,6 +269,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((3L, 2L, false)))
   }
 
+  test("hotKeyMasses rangeFraction: a dense uniform horizon blows the " +
+      "worst-case m² budget but is admitted once the real range share is priced") {
+    // 100 keys × mass 80: Σ m² = 640 000 > 64 × 8 000 = 512 000, so the
+    // worst-case model (range covers the horizon) flags EVERY key — the
+    // §17.6-addendum uniform-dense regime. Pricing a 1/16 range share
+    // (2 s range in a 32 s horizon) divides the effective output by 16
+    // and every key is admitted.
+    val hist = (0 until 100).flatMap(k => Seq.fill(80)(k.toLong)).toDF("k")
+    val worst = StreamingOps.hotKeyMasses(hist, "k").collect()
+    assert(worst.forall(_.getBoolean(2)),
+      "worst-case model must flag the dense uniform horizon")
+    val priced = StreamingOps.hotKeyMasses(hist, "k", rangeFraction = 1.0 / 16)
+      .collect()
+    assert(priced.forall(!_.getBoolean(2)),
+      "priced range share must admit the dense uniform horizon")
+    intercept[IllegalArgumentException] {
+      StreamingOps.hotKeyMasses(hist, "k", rangeFraction = 0.0)
+    }
+  }
+
   test("guardedStreamStreamIntervalJoin: hot key routed out, join equals the batch twin on surviving keys") {
     val rnd = new scala.util.Random(20260815L)
     val baseMs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime

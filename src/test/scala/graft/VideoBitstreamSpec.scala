@@ -184,6 +184,8 @@ class VideoBitstreamSpec extends AnyFunSuite {
     // chunk 1 holds samples 1-2 (offsets 1000, 1010), chunk 2 holds sample 3
     assert(out.map(_.getAs[Long]("sample_offset")).toSeq == Seq(1000L, 1010L, 2000L))
     assert(out.forall(_.getAs[Boolean]("is_sync"))) // no stss → all sync
+    // no stts → no timeline: times stay null (never a fabricated 0-run)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("sample_time_ms"))))
     val garbage = Seq((1L, "not an mp4 at all".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
     val err = VideoBitstream.mp4ClipMeta(garbage).collect().head
