@@ -2,6 +2,7 @@ package graft.catalog
 
 import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (the beyond-parity surface the
@@ -1047,13 +1048,16 @@ object CatalogOps {
     * expected extraction is closed-form, so the HTML rows' oracles
     * never parse HTML.
     */
-  private def syntheticHtmlCol = concat(
-    lit("<html><head><title>Doc "), col("doc_id"),
+  private def syntheticHtml(id: Column, body: Column) = concat(
+    lit("<html><head><title>Doc "), id,
     lit("</title><style>p { color: red; }</style></head><body><h1>Doc <b>"),
-    col("doc_id"),
-    lit("</b></h1><!-- hidden --><p>"), coalesce(col("text"), lit("")),
+    id,
+    lit("</b></h1><!-- hidden --><p>"), body,
     lit("</p><script>var x = 1 < 2;</script>" +
       "<p>tail &amp; 5 &lt; 7 &#65;</p></body></html>"))
+
+  private def syntheticHtmlCol =
+    syntheticHtml(col("doc_id"), coalesce(col("text"), lit("")))
 
   /** SQL image of the expected [[graft.ops.WebIngest.extractText]] output
     * for [[syntheticHtmlCol]]; ends in `h_exp(doc_id, expected)`.
@@ -1134,6 +1138,98 @@ object CatalogOps {
       SELECT doc_id, 'http://example.com/doc/' || doc_id AS target_uri,
         length(expected)::BIGINT AS html_text_chars
       FROM h_exp"""))
+
+  /** THE crawl flagship: the full pretraining-ingest funnel in one row —
+    * WARC segments (odd ids gzip-wrapped) → conversion records → HTML →
+    * text extraction → curation (C4 gates + repetition signal +
+    * exact-dedup canonicalization + PII redaction, one
+    * [[graft.ops.Curation.curate]] pass) → token-budget sequence packing
+    * of the survivors. Duplicates are PLANTED by construction: every page
+    * carries the text of its class `doc_id % 397`, so pages 397+ are
+    * byte-identical to an earlier page and must lose canonicality;
+    * quality variety comes from the pipe_curate suffix branches keyed on
+    * the class (extra sentences / curly code / lorem / bare period). The
+    * oracle replays the whole funnel closed-form: the extracted text is
+    * the deterministic h_exp shape over the CLASS text, gates and
+    * dup-line fraction are the pipe_curate expressions over it, the
+    * keeper is min(doc_id) per identical text, and packing is the
+    * pipe_pack_sequences window over the survivors (shard = doc_id % 8,
+    * budget 512). Dropped pages keep null pack columns, so the row shows
+    * the funnel, not just the output.
+    */
+  private val webCrawlFlagship = Q("web_crawl_flagship",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val content = docs.select(col("doc_id").as("cls"),
+        coalesce(col("text"), lit("")).as("cls_text"))
+      val pages = docs.select(col("doc_id"), (col("doc_id") % 397).as("cls"))
+        .join(content, "cls")
+      val suffix = when(col("cls") % 4 === 0, lit(". Extra sentence one. Extra sentence two."))
+        .when(col("cls") % 4 === 1, lit(" {var x = 1;}"))
+        .when(col("cls") % 4 === 2, lit(" Lorem ipsum dolor."))
+        .otherwise(lit("."))
+      val segs = pages.select(col("doc_id"), col("cls"),
+        graft.ops.WebIngest.syntheticWarc(col("doc_id"),
+          syntheticHtml(col("cls"), concat(col("cls_text"), suffix)),
+          col("doc_id") % 2 === 1).as("payload"))
+      val conv = graft.ops.WebIngest.warcRecords(segs, "payload")
+        .where(col("warc_type") === "conversion")
+      val txt = graft.ops.WebIngest.htmlText(conv, "content_text")
+        .select(col("doc_id"), col("cls"), col("html_text").as("text"))
+      val curated = graft.ops.Curation.curate(txt, "text", "doc_id")
+      val packed = graft.ops.Packing.packSequences(
+        curated.where(col("curate_keep"))
+          .withColumn("shard", col("doc_id") % 8),
+        "doc_id", "shard",
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")), budget = 512L)
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))
+      curated.select(col("doc_id"), col("cls"), col("c4_keep"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          col("is_canonical"), col("curate_keep"))
+        .join(packed, Seq("doc_id"), "left")
+    },
+    Some("""WITH pages AS (
+        SELECT d.doc_id, d.doc_id % 397 AS cls, coalesce(c.text, '') AS cls_text
+        FROM documents d JOIN documents c ON c.doc_id = d.doc_id % 397),
+      raw AS (
+        SELECT doc_id, cls, cls_text || CASE cls % 4
+          WHEN 0 THEN '. Extra sentence one. Extra sentence two.'
+          WHEN 1 THEN ' {var x = 1;}'
+          WHEN 2 THEN ' Lorem ipsum dolor.'
+          ELSE '.' END AS body
+        FROM pages),
+      ext AS (
+        SELECT doc_id, cls,
+          'Doc ' || cls || chr(10) || 'Doc ' || cls || chr(10) ||
+          (CASE WHEN ct = '' THEN '' ELSE ct || chr(10) END) ||
+          'tail & 5 < 7 A' AS text
+        FROM (SELECT doc_id, cls,
+            trim(regexp_replace(body, '[\s]+', ' ', 'g')) AS ct FROM raw)),
+      sig AS (SELECT doc_id, cls, text,
+        len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
+        contains(text, '{') AS has_curly,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT AS n_words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        FROM ext),
+      rep AS (SELECT doc_id, cls, text, n_words,
+        round(CASE WHEN len(ls) > 0
+          THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0.0 END, 6) AS dup_line_frac,
+        (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
+        FROM sig),
+      keeper AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM ext GROUP BY 1),
+      cur AS (SELECT r.doc_id, r.cls, r.c4_keep, r.dup_line_frac, r.n_words,
+          (r.doc_id = k.keep_id) AS is_canonical,
+          (r.c4_keep AND r.dup_line_frac <= 0.3 AND r.doc_id = k.keep_id) AS curate_keep
+        FROM rep r JOIN keeper k ON md5(r.text) = k.h),
+      packed AS (SELECT doc_id, (doc_id % 8)::BIGINT AS shard,
+          n_words AS n_tokens,
+          (coalesce(sum(n_words) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS pack_id
+        FROM cur WHERE curate_keep)
+      SELECT c.doc_id, c.cls, c.c4_keep, c.dup_line_frac, c.is_canonical,
+        c.curate_keep, p.shard, p.n_tokens, p.pack_id
+      FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""))
 
   /** Tar member census + extraction ([[graft.ops.Archives.tarMembers]]):
     * members are 20–59 bytes so every (header + padded data) cell is
@@ -2004,7 +2100,7 @@ object CatalogOps {
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
-    webWarcRecords, webHtmlText, webWarcHtmlIngest,
+    webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
     arcTarMembers, arcZipMembers, webPdfCensus,
     stWindow, stHotKeyGuard)
 }
