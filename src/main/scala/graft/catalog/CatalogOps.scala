@@ -1231,6 +1231,51 @@ object CatalogOps {
         c.curate_keep, p.shard, p.n_tokens, p.pack_id
       FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""))
 
+  /** NESTED archive composition — the real shape of code-dataset dumps
+    * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
+    * walks the outer tar (odd ids gzipped) emitting each member's RAW
+    * BYTES, which feed [[graft.ops.Archives.zipMembers]] as their own
+    * payload column. Both nesting levels are STORED/closed-form, so the
+    * oracle predicts every inner member's name, sizes and text from the
+    * doc_id formulas alone.
+    */
+  private val arcNestedTarZip = Q("arc_nested_tar_zip",
+    (s, dir) => {
+      val tars = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Archives.syntheticTarOfZips(
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (col("doc_id") % 16).cast("int"),
+          col("doc_id") % 2 === 1).as("payload"))
+      val zips = graft.ops.Archives.tarMemberBytes(tars, "payload")
+        .where(col("type_flag") === "0" && col("parse_error").isNull)
+        .select(col("doc_id"), col("member_idx").as("zip_idx"),
+          col("member_name").as("zip_name"), col("member_bytes").as("payload"))
+      graft.ops.Archives.zipMembers(zips, "payload")
+        .select(col("doc_id"), col("zip_idx"), col("zip_name"),
+          col("member_idx"), col("member_name"), col("method"),
+          col("compressed_size"), col("uncompressed_size"),
+          col("member_text"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 3)::INT AS nz, (1 + doc_id % 4)::INT AS mpz,
+          (doc_id % 16)::INT AS seed
+        FROM documents),
+      z AS (
+        SELECT doc_id, zi::INT AS zip_idx, mpz, seed
+        FROM p, unnest(generate_series(0, nz - 1)) AS t(zi)),
+      m AS (
+        SELECT doc_id, zip_idx, k::INT AS member_idx,
+          (20 + (seed + 5 * zip_idx + 7 * k) % 40)::BIGINT AS len
+        FROM z, unnest(generate_series(0, mpz - 1)) AS t2(k))
+      SELECT doc_id, zip_idx, 'zips/part' || zip_idx || '.zip' AS zip_name,
+        member_idx, 'dir/file' || member_idx || '.zip.txt' AS member_name,
+        0::INT AS method, len AS compressed_size, len AS uncompressed_size,
+        substr(repeat('the quick brown fox jumps over the lazy dog ', 2),
+          1, len::INT) AS member_text,
+        NULL::VARCHAR AS parse_error
+      FROM m"""))
+
   /** Tar member census + extraction ([[graft.ops.Archives.tarMembers]]):
     * members are 20–59 bytes so every (header + padded data) cell is
     * exactly 1024 bytes and offsets are closed-form; odd doc_ids ship
@@ -2101,6 +2146,6 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
-    arcTarMembers, arcZipMembers, webPdfCensus,
+    arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

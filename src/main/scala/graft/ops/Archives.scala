@@ -58,9 +58,27 @@ object Archives {
     * members). ustar layout: 512-byte headers, octal size field,
     * data padded to block boundary, two zero blocks at the end.
     */
-  def tarMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    Multimodal.requireFreshColumns(df, "tarMembers", tarCols.map(_.name))
-    val schema = StructType(df.schema.fields ++ tarCols)
+  def tarMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    tarWalk(df, payloadCol, emitBytes = false)
+
+  /** [[tarMembers]] with the member payload as RAW BYTES (`member_bytes`,
+    * binary) instead of decoded text — the composition seam for nested
+    * archives: a tar (or tar.gz) of zips/parquet/image blobs walks here
+    * and each member's bytes feed the next parser ([[zipMembers]], the
+    * multimodal decoders) as its own payload column. This is the real
+    * shape of code-dataset and scrape dumps (tar.gz of per-repo zips).
+    */
+  def tarMemberBytes(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    tarWalk(df, payloadCol, emitBytes = true)
+
+  private def tarWalk(df: DataFrame, payloadCol: String,
+      emitBytes: Boolean): DataFrame = {
+    val cols =
+      if (emitBytes) tarCols.map(f =>
+        if (f.name == "member_text") StructField("member_bytes", BinaryType) else f)
+      else tarCols
+    Multimodal.requireFreshColumns(df, "tarMembers", cols.map(_.name))
+    val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -102,11 +120,13 @@ object Archives {
                   tailErr = "truncated member"
                   done = true
                 } else {
-                  val text =
-                    if (tpe == "0") new String(bytes, o + 512, size.toInt, "UTF-8")
-                    else null
+                  val payload: Any =
+                    if (tpe != "0") null
+                    else if (emitBytes)
+                      java.util.Arrays.copyOfRange(bytes, o + 512, o + 512 + size.toInt)
+                    else new String(bytes, o + 512, size.toInt, "UTF-8")
                   recs += Row.fromSeq(r.toSeq ++
-                    Seq(i, name, size, (o + 512).toLong, tpe, text, null))
+                    Seq(i, name, size, (o + 512).toLong, tpe, payload, null))
                   i += 1
                   o += 512 + ((size + 511) / 512 * 512).toInt
                 }
@@ -266,6 +286,40 @@ object Archives {
     * wraps the stream (the `.tar.gz` path — member offsets address the
     * inflated stream, so one oracle covers both).
     */
+  /** One ustar entry (512-byte header with checksum + padded data) — the
+    * layout kernel [[syntheticTar]] and [[syntheticTarOfZips]] share. */
+  private def tarAppendEntry(out: java.io.ByteArrayOutputStream,
+      name: String, content: Array[Byte]): Unit = {
+    val hdr = new Array[Byte](512)
+    def put(o: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, hdr, o, b.length)
+    }
+    put(0, name)
+    put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+    put(124, f"${content.length}%011o"); put(136, "00000000000")
+    hdr(156) = '0'
+    put(257, "ustar"); hdr(263) = '0'; hdr(264) = '0'
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    var sum = 0
+    var j = 0
+    while (j < 512) { sum += hdr(j) & 0xff; j += 1 }
+    put(148, f"$sum%06o"); hdr(154) = 0; hdr(155) = ' '
+    out.write(hdr)
+    out.write(content)
+    val pad = (512 - content.length % 512) % 512
+    out.write(new Array[Byte](pad))
+  }
+
+  private def gzipWrap(raw: Array[Byte], gzipped: Boolean): Array[Byte] =
+    if (!gzipped) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+
   val syntheticTar: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((nMembers: Int, seed: Int, gzipped: Boolean) => {
       val out = new java.io.ByteArrayOutputStream()
@@ -273,37 +327,58 @@ object Archives {
       var k = 0
       while (k < nMembers) {
         val len = 20 + (seed + 7 * k) % 40
-        val content = (pangram * 2).substring(0, len).getBytes("UTF-8")
-        val hdr = new Array[Byte](512)
-        def put(o: Int, s: String): Unit = {
-          val b = s.getBytes("US-ASCII")
-          System.arraycopy(b, 0, hdr, o, b.length)
-        }
-        put(0, s"dir/file$k.txt")
-        put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
-        put(124, f"${content.length}%011o"); put(136, "00000000000")
-        hdr(156) = '0'
-        put(257, "ustar"); hdr(263) = '0'; hdr(264) = '0'
-        java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
-        var sum = 0
-        var j = 0
-        while (j < 512) { sum += hdr(j) & 0xff; j += 1 }
-        put(148, f"$sum%06o"); hdr(154) = 0; hdr(155) = ' '
-        out.write(hdr)
-        out.write(content)
-        val pad = (512 - content.length % 512) % 512
-        out.write(new Array[Byte](pad))
+        tarAppendEntry(out, s"dir/file$k.txt",
+          (pangram * 2).substring(0, len).getBytes("UTF-8"))
         k += 1
       }
       out.write(new Array[Byte](1024))
-      val raw = out.toByteArray
-      if (!gzipped) raw
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(raw); gz.close()
-        bos.toByteArray
+      gzipWrap(out.toByteArray, gzipped)
+    })
+
+  /** STORED-member zip bytes with caller-chosen member lengths — the
+    * closed-form kernel behind [[syntheticZip]] and
+    * [[syntheticTarOfZips]]. */
+  private def storedZipBytes(nMembers: Int, lenOf: Int => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val pangram = "the quick brown fox jumps over the lazy dog "
+    var k = 0
+    while (k < nMembers) {
+      val content = (pangram * 2).substring(0, lenOf(k)).getBytes("UTF-8")
+      val e = new java.util.zip.ZipEntry(s"dir/file$k.zip.txt")
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(content.length.toLong)
+      e.setCompressedSize(content.length.toLong)
+      val crc = new java.util.zip.CRC32()
+      crc.update(content)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e)
+      z.write(content)
+      z.closeEntry()
+      k += 1
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic NESTED archive: a tar (optionally gzipped) whose
+    * members are STORED zips — `zips/part<z>.zip`, zip z carrying
+    * `membersPerZip` members of length `20 + (seed + 5z + 7k) mod 40`.
+    * Every size on both nesting levels is closed-form, so the composed
+    * [[tarMemberBytes]] → [[zipMembers]] chain is fully oracle-checkable.
+    */
+  val syntheticTarOfZips: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nZips: Int, membersPerZip: Int, seed: Int, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      var z = 0
+      while (z < nZips) {
+        val zi = z
+        tarAppendEntry(out, s"zips/part$z.zip",
+          storedZipBytes(membersPerZip, k => 20 + (seed + 5 * zi + 7 * k) % 40))
+        z += 1
       }
+      out.write(new Array[Byte](1024))
+      gzipWrap(out.toByteArray, gzipped)
     })
 
   /** Deterministic synthetic zip: same member naming/content scheme as
@@ -313,27 +388,6 @@ object Archives {
     * are not closed-form).
     */
   val syntheticZip: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((nMembers: Int, seed: Int) => {
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new java.util.zip.ZipOutputStream(bos)
-      val pangram = "the quick brown fox jumps over the lazy dog "
-      var k = 0
-      while (k < nMembers) {
-        val len = 20 + (seed + 7 * k) % 40
-        val content = (pangram * 2).substring(0, len).getBytes("UTF-8")
-        val e = new java.util.zip.ZipEntry(s"dir/file$k.zip.txt")
-        e.setMethod(java.util.zip.ZipEntry.STORED)
-        e.setSize(content.length.toLong)
-        e.setCompressedSize(content.length.toLong)
-        val crc = new java.util.zip.CRC32()
-        crc.update(content)
-        e.setCrc(crc.getValue)
-        z.putNextEntry(e)
-        z.write(content)
-        z.closeEntry()
-        k += 1
-      }
-      z.close()
-      bos.toByteArray
-    })
+    udf((nMembers: Int, seed: Int) =>
+      storedZipBytes(nMembers, k => 20 + (seed + 7 * k) % 40))
 }

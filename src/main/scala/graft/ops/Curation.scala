@@ -324,8 +324,19 @@ object Curation {
   def incrementalRebuildFromState(state: RebuildState, newSnap: DataFrame,
       idCol: String, textCol: String, numHashes: Int = Dedup.DefaultNumHashes,
       rowsPerBand: Int = Dedup.DefaultRowsPerBand, shingleLen: Int = Dedup.DefaultShingleLen): RebuildResult = {
-    val newDocs = newSnap.select(col(idCol).as("id"),
-        Dedup.contentHash(col(textCol)).as("th"))
+    // the arriving snapshot's TEXT is read exactly once (§17.4's honest
+    // residual, closed r12): the hash pass and the never-seen-probe pass
+    // are both consumers of this one persisted (id, text) frame — without
+    // it each consumer re-scans the full arriving corpus, and the census
+    // measured that re-scan as the store path's dominant byte cost. The
+    // cache is snapshot-sized (the one thing this path MUST read anyway);
+    // MEMORY_AND_DISK spills the overflow to local disk, which at
+    // deployment scale still beats re-fetching the snapshot from object
+    // storage per consumer.
+    val arriving = newSnap.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newDocs = arriving.select(col("id"),
+        Dedup.contentHash(col("__text")).as("th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one physical scan of the store's sig leg: knownTh and the liveSigs
     // union are different consumers of the SAME frame, and the whole
@@ -362,8 +373,7 @@ object Curation {
     val probeIds = repMap.join(knownTh, Seq("th"), "left_anti")
       .groupBy(col("th")).agg(min(col("id")).as("id"))
       .select(col("id"))
-    val probeDocs = newSnap.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(probeIds, Seq("id"), "left_semi")
+    val probeDocs = arriving.join(probeIds, Seq("id"), "left_semi")
     val newSigs = Dedup.minhashBands(probeDocs, "__text", "id",
         numHashes, rowsPerBand, shingleLen)
       .join(newDocs, Seq("id"))
@@ -379,7 +389,8 @@ object Curation {
     val pairs = bandPairs.unionByName(repMap.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b")))
     val patch = labelPatch(delta, batchIds, pairs,
-      () => { newDocs.unpersist(); storeSigs.unpersist(); liveSigs.unpersist(); bands.unpersist(); () })
+      () => { arriving.unpersist(); newDocs.unpersist(); storeSigs.unpersist();
+        liveSigs.unpersist(); bands.unpersist(); () })
     RebuildResult(patch, RebuildState(newDocs, liveSigs))
   }
 

@@ -47,6 +47,33 @@ class ArchivesSpec extends AnyFunSuite {
     assert(out(2L).head.getAs[String]("parse_error") == "null payload")
   }
 
+  test("tarMemberBytes → zipMembers: nested tar-of-zips composition " +
+      "round-trips every inner member; gz outer wrap covered") {
+    val df = Seq((0L, false), (1L, true)).toDF("doc_id", "gz")
+      .select(col("doc_id"), Archives.syntheticTarOfZips(
+        lit(2), lit(3), lit(4), col("gz")).as("payload"))
+    val zips = Archives.tarMemberBytes(df)
+      .where(col("type_flag") === "0" && col("parse_error").isNull)
+      .select(col("doc_id"), col("member_idx").as("zip_idx"),
+        col("member_name").as("zip_name"), col("member_bytes").as("payload"))
+    val out = Archives.zipMembers(zips)
+      .orderBy("doc_id", "zip_idx", "member_idx").collect()
+    assert(out.length == 2 * 2 * 3) // 2 docs × 2 zips × 3 members
+    val first = out.head
+    assert(first.getAs[String]("zip_name") == "zips/part0.zip")
+    assert(first.getAs[String]("member_name") == "dir/file0.zip.txt")
+    // len(z=0, k=0) = 20 + 4 % 40 = 24
+    assert(first.getAs[Long]("uncompressed_size") == 24L)
+    assert(first.getAs[String]("member_text") == "the quick brown fox jump")
+    assert(out.forall(_.getAs[String]("parse_error") == null))
+    // gz and plain outer tars yield identical inner tables
+    val (d0, d1) = out.partition(_.getAs[Long]("doc_id") == 0L)
+    assert(d0.map(r => (r.getAs[Int]("zip_idx"), r.getAs[Int]("member_idx"),
+        r.getAs[String]("member_text"))).toSeq ==
+      d1.map(r => (r.getAs[Int]("zip_idx"), r.getAs[Int]("member_idx"),
+        r.getAs[String]("member_text"))).toSeq)
+  }
+
   test("zipMembers: STORED archive round-trips census and text") {
     val df = Seq((0L, 1)).toDF("doc_id", "x")
       .select(col("doc_id"), Archives.syntheticZip(lit(2), lit(9)).as("payload"))
