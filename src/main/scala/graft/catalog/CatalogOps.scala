@@ -1664,6 +1664,85 @@ object CatalogOps {
       FROM cues c JOIN kf f ON c.doc_id = f.doc_id
         AND f.kf_time_ms >= c.lo AND f.kf_time_ms < c.hi"""))
 
+  /** REAL H.264 pixel decode, I_PCM subset ([[graft.ops.H264Decode
+    * .decodeIPcmIdr]] — SPS/PPS/slice-header/slice-data parse for real,
+    * raw samples per ITU-T H.264 §7.3.5): per-doc IDR clips whose luma
+    * is a horizontal gradient, decoded through the emulation-escaped
+    * bitstream. Oracle predicts dims, macroblock count, and the EXACT
+    * luma mean from the doc_id formulas — y_mean = (h·Σgray)/(w·h) in
+    * the same IEEE division both engines perform.
+    */
+  private val mmH264IpcmDecode = Q("mm_h264_ipcm_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticIPcmAnnexB(
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") * 7 % 256).cast("int"),
+          (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIPcmIdr(clips, "payload")
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (16 * (1 + doc_id % 4))::INT AS w,
+          (16 * (1 + doc_id % 3))::INT AS h,
+          (doc_id * 7 % 256)::INT AS base, (1 + doc_id % 9)::INT AS slope
+        FROM documents),
+      g AS (
+        SELECT doc_id, sum((base + slope * x) % 256)::BIGINT AS sumx
+        FROM p, unnest(generate_series(0, w - 1)) AS t(x)
+        GROUP BY doc_id)
+      SELECT p.doc_id, p.w AS frame_width, p.h AS frame_height,
+        ((p.w / 16) * (p.h / 16))::INT AS mb_count,
+        (p.h * g.sumx)::DOUBLE / (p.w * p.h) AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM p JOIN g ON p.doc_id = g.doc_id"""))
+
+  /** The video→image seam end-to-end: decoded IDR luma planes
+    * ([[graft.ops.H264Decode.decodeIPcmIdr]]) re-encoded as PNG
+    * ([[Multimodal.grayPlanePng]], real JDK writer) and hashed by
+    * [[Multimodal.imagePerceptualHash]] — the near-dup signature a video
+    * corpus dedups keyframes with, computed from REAL decoded pixels.
+    * The oracle replays the gradient box averages closed-form like
+    * mm_image_phash, generalized to per-doc widths ((x·8)//w cells,
+    * identical rows ⇒ repeat(rowbits, 8)).
+    */
+  private val mmH264DecodePhash = Q("mm_h264_decode_phash",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticIPcmAnnexB(
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") * 7 % 256).cast("int"),
+          (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
+      val decoded = graft.ops.H264Decode.decodeIPcmIdr(clips, "payload")
+        .select(col("doc_id"),
+          Multimodal.grayPlanePng(col("luma_plane"), col("frame_width"),
+            col("frame_height")).as("png"))
+      Multimodal.imagePerceptualHash(decoded, "png")
+        .select(col("doc_id"),
+          lpad(bin(col("img_ahash")), 64, "0").as("ahash_bits"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (16 * (1 + doc_id % 4))::INT AS w,
+          (doc_id * 7 % 256)::INT AS base, (1 + doc_id % 9)::INT AS slope
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, x, ((base + slope * x) % 256) AS g
+        FROM p, unnest(generate_series(0, w - 1)) AS t(x)),
+      c8 AS (SELECT doc_id, (x * 8) // w AS cx, avg(g) AS cg
+        FROM px GROUP BY 1, 2),
+      m AS (SELECT doc_id, avg(cg) AS mean FROM c8 GROUP BY 1),
+      arow AS (SELECT c8.doc_id,
+          string_agg(CASE WHEN cg >= mean THEN '1' ELSE '0' END, ''
+            ORDER BY cx DESC) AS rb
+        FROM c8 JOIN m ON c8.doc_id = m.doc_id GROUP BY 1)
+      SELECT doc_id, repeat(rb, 8) AS ahash_bits,
+        NULL::VARCHAR AS decode_error
+      FROM arow"""))
+
   /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
     * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
     * writer, lossless) hashed by [[Multimodal.imagePerceptualHash]] — the
@@ -2143,7 +2222,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,

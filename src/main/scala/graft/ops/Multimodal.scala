@@ -281,6 +281,37 @@ object Multimodal {
       bos.toByteArray
     })
 
+  /** Encode a row-major 8-bit luma plane as a PNG through the real JDK
+    * writer — the bridge from decoded VIDEO planes (e.g.
+    * [[graft.ops.H264Decode.decodeIPcmIdr]]'s luma) into the image ops
+    * ([[imagePerceptualHash]], [[resizeImages]], the pixel gates).
+    * Lossless like the gradient fixtures, so hash oracles stay
+    * closed-form through the video→image seam. Null/short planes yield
+    * null (the caller's error column already explains why).
+    */
+  val grayPlanePng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((plane: Array[Byte], w: Int, h: Int) => {
+      if (plane == null || w <= 0 || h <= 0 || plane.length < w * h) null
+      else {
+        imageIoNoCache()
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = plane(y * w + x) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+    })
+
   /** Real audio decode via JDK `javax.sound.sampled`: per-row WAV/AIFF/AU
     * PCM decode in `mapPartitions`, emitting the container's declared format
     * (sample rate, channels, bit depth), the measured frame count and
@@ -955,6 +986,14 @@ object Multimodal {
     * `mp4ClipMeta` / `mp4SyncSamples` (the keyframe byte-range table a
     * real decoder would fetch) and
     * [[graft.ops.AudioBitstream.mp3FrameCensus]].
+    *
+    * The seam SHRANK in r12: H.264 I_PCM macroblocks now decode for REAL
+    * ([[graft.ops.H264Decode.decodeIPcmIdr]] — full SPS/PPS/slice-header/
+    * slice_data parse, raw samples per §7.3.5, luma plane out, bridged
+    * into the image ops by [[grayPlanePng]]); what remains behind this
+    * stub is entropy-coded residual decode (CAVLC/CABAC + prediction +
+    * transform), and `decodeIPcmIdr`'s error rows name this seam
+    * explicitly when they hit it.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>

@@ -71,7 +71,7 @@ object VideoBitstream {
   /** MSB-first bit reader with ue(v)/se(v) Exp-Golomb (H.264 §9.1). Reads
     * past-the-end throw; callers catch and degrade per-clip.
     */
-  private final class BitReader(bytes: Array[Byte]) {
+  private[ops] final class BitReader(bytes: Array[Byte]) {
     private var pos = 0
     def u1(): Int = {
       val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
@@ -96,10 +96,21 @@ object VideoBitstream {
       val k = ue()
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** pcm_alignment_zero_bit consumption (H.264 §7.3.5: I_PCM samples
+      * start at the next byte boundary). */
+    def alignByte(): Unit = { pos = (pos + 7) & ~7 }
   }
 
+  /** `widthMbs`/`heightMbs` are PRE-crop macroblock counts; `width`/
+    * `height` are the cropped luma dims the metadata rows report. The
+    * decode-side extras (chroma format, frame_mbs_only, frame_num bit
+    * width, POC layout) are what a slice-header parse needs.
+    */
   private[ops] final case class SpsInfo(profile: Int, level: Int,
-      width: Int, height: Int)
+      width: Int, height: Int,
+      widthMbs: Int = 0, heightMbs: Int = 0,
+      chromaFormatIdc: Int = 1, frameMbsOnly: Int = 1,
+      log2MaxFrameNum: Int = 4, pocType: Int = 2, log2MaxPocLsb: Int = 4)
 
   /** SPS parse (H.264 §7.3.2.1.1) → profile, level, luma frame dims with
     * cropping applied. High-profile chroma/bit-depth branches handled;
@@ -138,9 +149,11 @@ object VideoBitstream {
         }
       }
     }
-    r.ue() // log2_max_frame_num_minus4
-    r.ue() match { // pic_order_cnt_type
-      case 0 => r.ue()
+    val log2MaxFrameNum = r.ue() + 4
+    val pocType = r.ue()
+    var log2MaxPocLsb = 4
+    pocType match {
+      case 0 => log2MaxPocLsb = r.ue() + 4
       case 1 =>
         r.u1(); r.se(); r.se()
         val n = r.ue()
@@ -168,7 +181,9 @@ object VideoBitstream {
       w -= (cl + cr) * ux
       h -= (ct + cb) * uy
     }
-    SpsInfo(profile, level, w, h)
+    SpsInfo(profile, level, w, h,
+      widthMbs, heightMapUnits * (2 - frameMbsOnly), chromaFormatIdc,
+      frameMbsOnly, log2MaxFrameNum, pocType, log2MaxPocLsb)
   }
 
   private val nalCols = Seq(
@@ -271,7 +286,7 @@ object VideoBitstream {
     * prevention is applied separately at payload emission
     * ([[escapeRbsp]]).
     */
-  private final class BitWriter {
+  private[ops] final class BitWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private var cur = 0
     private var nbits = 0
@@ -289,6 +304,10 @@ object VideoBitstream {
       u(0, zeros)
       u(k + 1, zeros + 1)
     }
+    /** se(v) mapping (H.264 §9.1.1): v > 0 → 2v−1, v ≤ 0 → −2v. */
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit padding to the next byte boundary. */
+    def alignByte(): Unit = if (nbits != 0) u(0, 8 - nbits)
     def rbspTrailing(): Unit = {
       u(1, 1)
       if (nbits != 0) u(0, 8 - nbits)
@@ -300,7 +319,7 @@ object VideoBitstream {
     * fields (poc_type 2, one ref frame, no cropping, no VUI), dims from
     * macroblock counts.
     */
-  private def syntheticSpsRbsp(mbw: Int, mbh: Int): Array[Byte] = {
+  private[ops] def syntheticSpsRbsp(mbw: Int, mbh: Int): Array[Byte] = {
     val w = new BitWriter
     w.u(66, 8) // profile_idc: Baseline
     w.u(0, 8) // constraint flags

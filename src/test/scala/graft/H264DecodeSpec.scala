@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class H264DecodeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decodeIPcmIdr: gradient round-trips pixel-exact through the real " +
+      "SPS/PPS/slice-header/slice-data walk (emulation bytes included)") {
+    // base 0, slope 1: luma hits long 00 00 runs, so emulation-prevention
+    // escaping REALLY fires in the generator and unescaping in the decoder
+    val df = Seq((0L, 2, 1, 0, 1), (1L, 3, 2, 37, 5))
+      .toDF("doc_id", "mbw", "mbh", "base", "slope")
+      .select(col("doc_id"), col("mbw"), col("mbh"), col("base"), col("slope"),
+        H264Decode.syntheticIPcmAnnexB(col("mbw"), col("mbh"),
+          col("base"), col("slope")).as("payload"))
+    val out = H264Decode.decodeIPcmIdr(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[String]("decode_error") == null)
+    assert(r0.getAs[Int]("frame_width") == 32)
+    assert(r0.getAs[Int]("frame_height") == 16)
+    assert(r0.getAs[Int]("mb_count") == 2)
+    val luma0 = r0.getAs[Array[Byte]]("luma_plane")
+    assert(luma0.length == 32 * 16)
+    // pixel (x, y) = (0 + 1·x) mod 256, constant down each column
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert((luma0(y * 32 + x) & 0xff) == x % 256, s"pixel ($x,$y)")
+    // exact mean of the gradient: sum(x)/32 = 15.5
+    assert(r0.getAs[Double]("y_mean") == 15.5)
+    val r1 = out(1L)
+    assert(r1.getAs[String]("decode_error") == null)
+    val luma1 = r1.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 32; x <- 0 until 48)
+      assert((luma1(y * 48 + x) & 0xff) == (37 + 5 * x) % 256, s"pixel ($x,$y)")
+  }
+
+  test("decodeIPcmIdr: degradation names the exact refusal — entropy-coded " +
+      "slices point at the decodeStub seam, structural gaps name themselves") {
+    // the existing syntheticAnnexB emits OPAQUE slice bodies (not valid
+    // slice_data): the decoder must refuse it cleanly, not crash. Its
+    // first ue() reads from high-bit garbage, so any error row is
+    // acceptable as long as it names something (never a crash).
+    val opaque = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), VideoBitstream.syntheticAnnexB(
+        lit(2), lit(1), lit(1), lit(1), lit(3)).as("payload"))
+    val e0 = H264Decode.decodeIPcmIdr(opaque).collect().head
+    assert(e0.getAs[String]("decode_error") != null)
+    // a REAL entropy-coded mb_type (e.g. 0 = I_4x4) hits the named seam
+    val handBuilt = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(1, 1))
+      val pps = {
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+        w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbspTrailing(); w.bytes
+      }
+      nal(3, 8, pps)
+      val slice = {
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+        w.u(0, 1); w.u(0, 1); w.se(0)
+        w.ue(0) // mb_type 0 = I_4x4: entropy-coded, the seam
+        w.rbspTrailing(); w.bytes
+      }
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val e1 = H264Decode.decodeIPcmIdr(
+      Seq((0L, handBuilt)).toDF("doc_id", "payload")).collect().head
+    assert(e1.getAs[String]("decode_error").contains("decodeStub seam"))
+    // structural gaps
+    val more = Seq(
+      (1L, "not a stream".getBytes("UTF-8")),
+      (2L, null: Array[Byte])).toDF("doc_id", "payload")
+    val errs = H264Decode.decodeIPcmIdr(more).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decode_error")).toMap
+    assert(errs(1L) == "no Annex-B start code")
+    assert(errs(2L) == "null payload")
+  }
+
+  test("decodeIPcmIdr: truncation mid-slice degrades per clip") {
+    val full = Seq((0L, 1)).toDF("a", "b")
+      .select(H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    val cut = java.util.Arrays.copyOf(full, full.length / 2)
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, cut)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") != null)
+  }
+}
