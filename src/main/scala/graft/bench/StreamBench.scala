@@ -277,7 +277,9 @@ object StreamBench {
             .select(col("user_id"))
           // side-channel audit line: how many keys the guard routes and
           // what share of the stream's mass they carry (the rows a caller
-          // sends to the sampled/offline path)
+          // sends to the sampled/offline path). The SAME masses frame
+          // feeds the join below — the deployment shape, one history
+          // aggregation total.
           val hm = StreamingOps.hotKeyMasses(history, "user_id",
             rangeFraction = rangeFrac)
           val st = hm.agg(
@@ -291,10 +293,10 @@ object StreamBench {
           val l = d.select(col("user_id"), col("timestamp"), col("event_value"))
           val r = d.select(col("user_id"), col("timestamp"),
             (col("event_value") * 2).as("right_value"))
-          StreamingOps.guardedStreamStreamIntervalJoin(l, r, "user_id", "timestamp",
+          StreamingOps.guardedStreamStreamIntervalJoinWithMasses(
+            l, r, "user_id", "timestamp",
             delay = s"$delaySec seconds", before = "2 seconds", after = "0 seconds",
-            history = history, historyKeyCol = "user_id",
-            rangeFraction = rangeFrac)
+            masses = hm, massKeyCol = "user_id")
             .select(col("l.user_id"), col("l.event_value"), col("r.right_value"))
         }
       }

@@ -25,11 +25,15 @@ object Archives {
     StructField("member_text", StringType),
     StructField("parse_error", StringType))
 
-  /** Expansion ceiling for any single inflated member / gunzipped stream.
-    * A crafted decompression bomb in a crawled archive would otherwise OOM
-    * the executor — and an OOM kills the JVM, which the per-archive
-    * degradation contract cannot catch. Beyond the cap the member (or the
-    * whole gz stream) degrades to an error row instead.
+  /** DEFAULT expansion ceiling for any single inflated member / gunzipped
+    * stream. A crafted decompression bomb in a crawled archive would
+    * otherwise OOM the executor — and an OOM kills the JVM, which the
+    * per-archive degradation contract cannot catch. Beyond the cap the
+    * member (or the whole gz stream) degrades to an error row instead.
+    * Every public entry point takes a `maxInflatedBytes` override, so a
+    * deployment with genuinely large members (code-dataset dumps on
+    * big-memory executors) buys the recall back explicitly instead of
+    * losing it to a hard constant.
     */
   val MaxInflatedBytes: Long = 256L << 20
 
@@ -58,8 +62,9 @@ object Archives {
     * members). ustar layout: 512-byte headers, octal size field,
     * data padded to block boundary, two zero blocks at the end.
     */
-  def tarMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame =
-    tarWalk(df, payloadCol, emitBytes = false)
+  def tarMembers(df: DataFrame, payloadCol: String = "payload",
+      maxInflatedBytes: Long = MaxInflatedBytes): DataFrame =
+    tarWalk(df, payloadCol, emitBytes = false, maxInflatedBytes)
 
   /** [[tarMembers]] with the member payload as RAW BYTES (`member_bytes`,
     * binary) instead of decoded text — the composition seam for nested
@@ -68,16 +73,18 @@ object Archives {
     * multimodal decoders) as its own payload column. This is the real
     * shape of code-dataset and scrape dumps (tar.gz of per-repo zips).
     */
-  def tarMemberBytes(df: DataFrame, payloadCol: String = "payload"): DataFrame =
-    tarWalk(df, payloadCol, emitBytes = true)
+  def tarMemberBytes(df: DataFrame, payloadCol: String = "payload",
+      maxInflatedBytes: Long = MaxInflatedBytes): DataFrame =
+    tarWalk(df, payloadCol, emitBytes = true, maxInflatedBytes)
 
   private def tarWalk(df: DataFrame, payloadCol: String,
-      emitBytes: Boolean): DataFrame = {
+      emitBytes: Boolean, maxInflatedBytes: Long): DataFrame = {
     val cols =
       if (emitBytes) tarCols.map(f =>
         if (f.name == "member_text") StructField("member_bytes", BinaryType) else f)
       else tarCols
-    Multimodal.requireFreshColumns(df, "tarMembers", cols.map(_.name))
+    val opName = if (emitBytes) "tarMemberBytes" else "tarMembers"
+    Multimodal.requireFreshColumns(df, opName, cols.map(_.name))
     val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -87,7 +94,7 @@ object Archives {
           Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
-          val bytes = gunzipIfNeeded(r.getAs[Array[Byte]](idx))
+          val bytes = gunzipIfNeeded(r.getAs[Array[Byte]](idx), maxInflatedBytes)
           def cstr(o: Int, len: Int): String = {
             var e = o
             while (e < o + len && e < bytes.length && bytes(e) != 0) e += 1
@@ -172,7 +179,8 @@ object Archives {
     * `Inflater` — real extraction, no temp files. A member that fails
     * to inflate degrades to its own error row; siblings survive.
     */
-  def zipMembers(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def zipMembers(df: DataFrame, payloadCol: String = "payload",
+      maxInflatedBytes: Long = MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "zipMembers", zipCols.map(_.name))
     val schema = StructType(df.schema.fields ++ zipCols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -224,11 +232,11 @@ object Archives {
                 } else {
                   val name = new String(bytes, o + 46, nameLen, "UTF-8")
                   val row: Row =
-                    if (usize > MaxInflatedBytes)
+                    if (usize > maxInflatedBytes)
                       // declared usize sizes the allocation below — cap it
                       // BEFORE allocating or a bomb's 4 GiB claim OOMs the JVM
                       Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
-                        null, s"member too large ($usize > $MaxInflatedBytes inflated bytes)"))
+                        null, s"member too large ($usize > $maxInflatedBytes inflated bytes)"))
                     else try {
                       // local header: skip its own (possibly different) name/extra
                       val dataOff = lho + 30 + le16(bytes, lho + 26) + le16(bytes, lho + 28)

@@ -113,6 +113,12 @@ object H264Decode {
               errRow("interlaced stream not supported")
             else if (sps.chromaFormatIdc > 1)
               errRow("chroma format beyond 4:2:0 not supported")
+            else if (sps.pocType == 1)
+              // §7.3.3 puts delta_pic_order_cnt se(v) fields in the slice
+              // header when delta_pic_order_always_zero_flag is 0 — a flag
+              // this parse does not retain, so a silent bit-shift would
+              // corrupt everything after it: refuse by name instead
+              errRow("pic_order_cnt_type 1 not supported")
             else {
               val mbw = sps.widthMbs
               val mbh = sps.heightMbs

@@ -296,16 +296,17 @@ object Multimodal {
         imageIoNoCache()
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = plane(y * w + x) & 0xff
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
+        // one bulk setRGB, not w*h per-pixel pokes: per-pixel setRGB pays
+        // a ColorModel conversion per call — a 1920×1080 keyframe would
+        // burn ~2M of them on this hot path
+        val rgb = new Array[Int](w * h)
+        var i = 0
+        while (i < rgb.length) {
+          val v = plane(i) & 0xff
+          rgb(i) = (v << 16) | (v << 8) | v
+          i += 1
         }
+        img.setRGB(0, 0, w, h, rgb, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         bos.toByteArray

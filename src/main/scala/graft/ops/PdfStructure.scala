@@ -119,9 +119,29 @@ object PdfStructure {
                   } else i += 1
                 }
                 if (dictStart < 0 || dictEnd < 0) None
-                else "/Count\\s+(\\d+)".r
-                  .findFirstMatchIn(scan.substring(dictStart, dictEnd))
-                  .map(_.group(1).toInt)
+                else {
+                  // ...and /Count must be read at the Pages dict's OWN
+                  // depth: the enclosing-dict substring still CONTAINS
+                  // nested child dicts (/PieceInfo etc.) whose own /Count
+                  // would shadow the page-tree count — strip every
+                  // nested << … >> range before matching
+                  val inner = scan.substring(dictStart + 2, dictEnd)
+                  val top = new java.lang.StringBuilder(inner.length)
+                  var j = 0
+                  var d = 0
+                  while (j < inner.length) {
+                    if (j + 1 < inner.length && inner.charAt(j) == '<' &&
+                        inner.charAt(j + 1) == '<') { d += 1; j += 2 }
+                    else if (j + 1 < inner.length && inner.charAt(j) == '>' &&
+                        inner.charAt(j + 1) == '>') { d = math.max(0, d - 1); j += 2 }
+                    else {
+                      if (d == 0) top.append(inner.charAt(j))
+                      j += 1
+                    }
+                  }
+                  "/Count\\s+(\\d+)".r.findFirstMatchIn(top.toString)
+                    .map(_.group(1).toInt)
+                }
               }
             val encrypted = scan.contains("/Encrypt")
             val xrefStream = "/Type\\s*/XRef\\b".r.findFirstIn(scan).isDefined

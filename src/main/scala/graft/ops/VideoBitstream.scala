@@ -486,8 +486,14 @@ object VideoBitstream {
         hasStss = true
         val n = be32(bytes, b + 4).toInt
         syncs = (0 until n).map(i => be32(bytes, b + 8 + i * 4)).toSet
-      case ("stts", b, _) =>
-        val n = be32(bytes, b + 4).toInt
+      case ("stts", b, be) =>
+        // entry count clamped by the box's PHYSICAL extent: a corrupt
+        // declared count would otherwise read the NEXT box's bytes as
+        // delta runs — fabricated sample times with no parse_error, the
+        // exact thing sampleTimesMs's null-for-uncovered contract forbids
+        // (uncovered samples stay null instead)
+        val n = math.min(be32(bytes, b + 4),
+          math.max(0L, (be - b - 8L) / 8L)).toInt
         stts = Array.tabulate(n)(i =>
           (be32(bytes, b + 8 + i * 8), be32(bytes, b + 12 + i * 8)))
       case _ => ()

@@ -279,10 +279,25 @@ object StreamingOps {
       key: String, tsCol: String, delay: String,
       before: String, after: String,
       history: DataFrame, historyKeyCol: String,
-      pairBudget: Long = 64, rangeFraction: Double = 1.0): DataFrame = {
-    val hot = hotKeyMasses(history, historyKeyCol, pairBudget, rangeFraction)
-      .where(col("is_hot"))
-      .select(col(historyKeyCol).as(key))
+      pairBudget: Long = 64, rangeFraction: Double = 1.0): DataFrame =
+    guardedStreamStreamIntervalJoinWithMasses(left, right, key, tsCol,
+      delay, before, after,
+      hotKeyMasses(history, historyKeyCol, pairBudget, rangeFraction),
+      historyKeyCol)
+
+  /** [[guardedStreamStreamIntervalJoin]] from a PRECOMPUTED
+    * [[hotKeyMasses]] frame — the shape a deployment actually runs:
+    * compute the masses once, audit/export which keys the guard routes
+    * and at what mass share, and feed the SAME frame to the join instead
+    * of paying the history aggregation (groupBy + eager checkpoint + two
+    * driver actions) a second time.
+    */
+  def guardedStreamStreamIntervalJoinWithMasses(left: DataFrame,
+      right: DataFrame, key: String, tsCol: String, delay: String,
+      before: String, after: String,
+      masses: DataFrame, massKeyCol: String): DataFrame = {
+    val hot = masses.where(col("is_hot"))
+      .select(col(massKeyCol).as(key))
       .localCheckpoint(true)
     def guarded(side: DataFrame): DataFrame =
       side.join(broadcast(hot), Seq(key), "left_anti")

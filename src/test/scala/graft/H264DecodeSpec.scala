@@ -89,6 +89,49 @@ class H264DecodeSpec extends AnyFunSuite {
     assert(errs(2L) == "null payload")
   }
 
+  test("decodeIPcmIdr: pic_order_cnt_type 1 is a NAMED refusal, never a " +
+      "silent bit-shift") {
+    // poc_type-1 SPS: the slice header may carry delta_pic_order_cnt
+    // fields this parse does not model — the clip must refuse by name
+    val sps = {
+      val w = new VideoBitstream.BitWriter
+      w.u(66, 8); w.u(0, 8); w.u(30, 8)
+      w.ue(0) // sps id
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(1) // pic_order_cnt_type 1
+      w.u(0, 1) // delta_pic_order_always_zero_flag = 0
+      w.se(0); w.se(0) // offsets
+      w.ue(0) // num_ref_frames_in_pic_order_cnt_cycle
+      w.ue(1) // max_num_ref_frames
+      w.u(1, 1)
+      w.ue(0); w.ue(0) // 1×1 MBs
+      w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+      w.rbspTrailing(); w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, sps)
+      val pps = {
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+        w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbspTrailing(); w.bytes
+      }
+      nal(3, 8, pps)
+      nal(3, 5, Array[Byte](0x88.toByte)) // any slice bytes: refused before parse
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == "pic_order_cnt_type 1 not supported")
+  }
+
   test("decodeIPcmIdr: truncation mid-slice degrades per clip") {
     val full = Seq((0L, 1)).toDF("a", "b")
       .select(H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))

@@ -97,6 +97,17 @@ class PdfStructureSpec extends AnyFunSuite {
       Seq((0L, bwd)).toDF("doc_id", "payload")).collect().head
     assert(o2.getAs[String]("parse_error") == null)
     assert(o2.getAs[Int]("declared_pages") == 5)
+    // a NESTED dict carrying its OWN /Count (PieceInfo etc.) must not
+    // shadow the Pages node's count — /Count binds at the Pages dict's
+    // own depth only
+    val shadow = ("%PDF-1.6\n" +
+      "2 0 obj\n<< /Type /Pages /PieceInfo << /Count 99 /App << /Count 77 >> >> " +
+      "/Kids [ 3 0 R ] /Count 4 >>\nendobj\n%%EOF").getBytes("UTF-8")
+    val o3 = PdfStructure.pdfCensus(
+      Seq((0L, shadow)).toDF("doc_id", "payload")).collect().head
+    assert(o3.getAs[String]("parse_error") == null)
+    assert(o3.getAs[Int]("declared_pages") == 4,
+      s"nested /Count shadowed the Pages count: got ${o3.getAs[Int]("declared_pages")}")
   }
 
   test("pdfCensus: xref-stream marker detected outside streams") {

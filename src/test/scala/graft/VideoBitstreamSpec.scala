@@ -254,6 +254,54 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(meta(2L).isNullAt(meta(2L).fieldIndex("h264_width")))
   }
 
+  test("mp4: an stts declaring more entries than its box holds never " +
+      "fabricates sample times from the NEXT box's bytes") {
+    // minimal moov with a 2-sample track whose stts CLAIMS 10 entries but
+    // physically holds 1 (count 2, delta 100 @ timescale 1000 → 0,100 ms);
+    // the box that FOLLOWS stts (stsz) must not be read as delta runs
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(tpe: String)(body: => Unit): Unit = {
+      val mark = bos.size()
+      u32(0L); raw(tpe)
+      body
+      val arr = bos.toByteArray
+      val sz = arr.length - mark
+      arr(mark) = ((sz >> 24) & 0xff).toByte; arr(mark + 1) = ((sz >> 16) & 0xff).toByte
+      arr(mark + 2) = ((sz >> 8) & 0xff).toByte; arr(mark + 3) = (sz & 0xff).toByte
+      bos.reset(); bos.write(arr, 0, arr.length)
+    }
+    box("ftyp") { raw("isom"); u32(0L); raw("isom") }
+    box("moov") {
+      box("trak") {
+        box("mdia") {
+          box("mdhd") { u32(0L); u32(0L); u32(0L); u32(1000L); u32(200L); u16(0); u16(0) }
+          box("hdlr") { u32(0L); u32(0L); raw("vide"); u32(0L); u32(0L); u32(0L); u8(0) }
+          box("minf") {
+            box("stbl") {
+              box("stts") { u32(0L); u32(10L); u32(2L); u32(100L) } // LIES: 10 declared, 1 held
+              box("stsz") { u32(0L); u32(0L); u32(2L); u32(10L); u32(20L) }
+              box("stsc") { u32(0L); u32(1L); u32(1L); u32(2L); u32(1L) }
+              box("stco") { u32(0L); u32(1L); u32(500L) }
+            }
+          }
+        }
+      }
+    }
+    val out = VideoBitstream.mp4SyncSamples(
+      Seq((0L, bos.toByteArray)).toDF("doc_id", "payload"))
+      .orderBy("sample_idx").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("parse_error") == null))
+    // the one PHYSICAL run (count 2, delta 100) covers both samples
+    assert(out.map(_.getAs[Long]("sample_time_ms")).toSeq == Seq(0L, 100L))
+    // and the still-valid size/offset columns survive
+    assert(out.map(_.getAs[Long]("sample_offset")).toSeq == Seq(500L, 510L))
+  }
+
   test("mp4: a crafted 64-bit box size near Long.MaxValue stops the walk " +
       "(overflow-safe guard) instead of wrapping o+size negative") {
     val bos = new java.io.ByteArrayOutputStream()
