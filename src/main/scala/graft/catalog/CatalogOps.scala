@@ -1699,6 +1699,50 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM p JOIN g ON p.doc_id = g.doc_id"""))
 
+  /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
+    * the structure tables and ONLY their bytes decoded
+    * ([[graft.ops.H264Decode.decodeMp4KeyframesIPcm]] — SPS/PPS from
+    * avcC, sync samples from stss×stsc×stco×stsz, length-prefixed NAL
+    * walk, shared I_PCM slice core). Each keyframe carries its own
+    * gradient (base + 11k), so the oracle predicts every decoded plane's
+    * exact mean per (doc, keyframe).
+    */
+  private val mmMp4KeyframeDecode = Q("mm_mp4_keyframe_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticIPcmMp4(
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") * 7 % 256).cast("int"),
+          (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4KeyframesIPcm(clips, "payload")
+        .select(col("doc_id"), col("sample_idx"), col("frame_width"),
+          col("frame_height"), col("mb_count"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (16 * (1 + doc_id % 4))::INT AS w,
+          (16 * (1 + doc_id % 3))::INT AS h,
+          (1 + doc_id % 7)::INT AS nf, (1 + doc_id % 3)::INT AS per,
+          (doc_id * 7 % 256)::INT AS base, (1 + doc_id % 9)::INT AS slope
+        FROM documents),
+      s AS (
+        SELECT doc_id, w, h, base, slope, k::INT AS k
+        FROM p, unnest(generate_series(0, nf - 1)) AS t(k)
+        WHERE k % per = 0),
+      g AS (
+        SELECT doc_id, k, any_value(w) AS w, any_value(h) AS h,
+          sum((base + 11 * k + slope * x) % 256)::BIGINT AS sumx
+        FROM s, unnest(generate_series(0, w - 1)) AS t2(x)
+        GROUP BY doc_id, k)
+      SELECT doc_id, (k + 1)::INT AS sample_idx, w AS frame_width,
+        h AS frame_height, ((w / 16) * (h / 16))::INT AS mb_count,
+        (h * sumx)::DOUBLE / (w * h) AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM g"""))
+
   /** The video→image seam end-to-end: decoded IDR luma planes
     * ([[graft.ops.H264Decode.decodeIPcmIdr]]) re-encoded as PNG
     * ([[Multimodal.grayPlanePng]], real JDK writer) and hashed by
@@ -2222,7 +2266,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,

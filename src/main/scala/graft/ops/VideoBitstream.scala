@@ -431,13 +431,30 @@ object VideoBitstream {
     * means every sample is a sync sample (ISO 14496-12: absent stss ⇒
     * all sync).
     */
-  private final case class TrackTables(
+  private[ops] final case class TrackTables(
       codec: String, avcC: Option[Array[Byte]],
       mdhdTimescale: Long, mdhdDuration: Long,
       sizes: Array[Long], chunkOffsets: Array[Long],
       stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
       sttsRuns: Array[(Long, Long)], // (sample_count, sample_delta)
       syncs: Set[Long], hasStss: Boolean)
+
+  /** First video track of an ISO-BMFF payload — the moov walk
+    * [[mp4SyncSamples]] and [[graft.ops.H264Decode.decodeMp4KeyframesIPcm]]
+    * share. None when there is no moov or no video trak.
+    */
+  private[ops] def firstVideoTrack(bytes: Array[Byte]): Option[TrackTables] = {
+    var video: Option[TrackTables] = None
+    walkBoxes(bytes, 0, bytes.length) {
+      case ("moov", ms, me) => walkBoxes(bytes, ms, me) {
+        case ("trak", ts, te) if video.isEmpty =>
+          video = parseTrack(bytes, ts, te)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    video
+  }
 
   private def parseTrack(bytes: Array[Byte], trakStart: Int, trakEnd: Int): Option[TrackTables] = {
     var handler = ""
@@ -554,7 +571,7 @@ object VideoBitstream {
     * corrupt/truncated moov can declare more samples than the chunks
     * place, and the uncovered tail must degrade, not read as offset 0.
     */
-  private def sampleOffsets(t: TrackTables): (Array[Long], Int) = {
+  private[ops] def sampleOffsets(t: TrackTables): (Array[Long], Int) = {
     val out = new Array[Long](t.sizes.length)
     var sample = 0
     var run = 0
@@ -740,8 +757,8 @@ object VideoBitstream {
     }(enc)
   }
 
-  /** Box writer for the synthetic MP4 generator. */
-  private final class BoxWriter {
+  /** Box writer for the synthetic MP4 generators. */
+  private[ops] final class BoxWriter {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }

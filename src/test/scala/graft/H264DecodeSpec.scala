@@ -132,6 +132,41 @@ class H264DecodeSpec extends AnyFunSuite {
     assert(out.getAs[String]("decode_error") == "pic_order_cnt_type 1 not supported")
   }
 
+  test("decodeMp4KeyframesIPcm: every sync sample decodes to its own " +
+      "gradient plane through avcC + the sample tables; non-sync skipped") {
+    // 5 samples, sync period 2 → keyframes at k = 0, 2, 4 with gradient
+    // bases 10, 32, 54; non-sync samples carry opaque non-IDR NALs
+    val df = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), H264Decode.syntheticIPcmMp4(
+        lit(2), lit(1), lit(5), lit(2), lit(10), lit(3)).as("payload"))
+    val out = H264Decode.decodeMp4KeyframesIPcm(df)
+      .orderBy("sample_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("sample_idx")).toSeq == Seq(1, 3, 5))
+    assert(out.forall(_.getAs[String]("decode_error") == null))
+    assert(out.forall(_.getAs[Int]("frame_width") == 32))
+    out.zip(Seq(0, 2, 4)).foreach { case (row, k) =>
+      val luma = row.getAs[Array[Byte]]("luma_plane")
+      for (y <- 0 until 16; x <- 0 until 32)
+        assert((luma(y * 32 + x) & 0xff) == (10 + 11 * k + 3 * x) % 256,
+          s"sample $k pixel ($x,$y)")
+    }
+    // the metadata-grade syntheticMp4 (fake PPS bytes, opaque samples)
+    // must DEGRADE, never crash — one clip-level error row
+    val meta = Seq((1L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), VideoBitstream.syntheticMp4(
+        lit(2), lit(1), lit(3), lit(1), lit(4)).as("payload"))
+    val err = H264Decode.decodeMp4KeyframesIPcm(meta).collect()
+    assert(err.forall(_.getAs[String]("decode_error") != null))
+    // structural gaps
+    val more = Seq((2L, "no box here".getBytes("UTF-8")),
+      (3L, null: Array[Byte])).toDF("doc_id", "payload")
+    val errs = H264Decode.decodeMp4KeyframesIPcm(more).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decode_error")).toMap
+    assert(errs(2L) == "no video track")
+    assert(errs(3L) == "null payload")
+  }
+
   test("decodeIPcmIdr: truncation mid-slice degrades per clip") {
     val full = Seq((0L, 1)).toDF("a", "b")
       .select(H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
