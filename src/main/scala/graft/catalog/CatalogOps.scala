@@ -874,6 +874,37 @@ object CatalogOps {
       doc_id % 3 = 0 AS url_has_query
       FROM documents"""))
 
+  /** Canonical URL, the crawl dedup key ([[TextAnalysis.canonicalizeUrl]]
+    * — declarative percent-normalization, dot-segment fold, default-port
+    * drop, fragment strip, sorted query): the generator plants every
+    * normalization axis (mixed case, :80 vs :8080, './'+'../' segments,
+    * %2f/%41/%7e escapes, a fragment, unordered query params) and the
+    * oracle states the expected canonical string closed-form — no
+    * algorithm replay needed because the fixture's normal form is known
+    * by construction.
+    */
+  private val txtUrlCanonical = Q("txt_url_canonical",
+    (s, dir) => {
+      val url = concat(lit("HTTP://ExAmPle"), col("doc_id") % 50,
+        lit(".CoM:"),
+        when(col("doc_id") % 2 === 0, lit("80")).otherwise(lit("8080")),
+        lit("/seg"), col("doc_id") % 7,
+        lit("/./up/../b%2fc%41?z=9&a=%7e#frag"), col("doc_id"))
+      TextAnalysis.canonicalizeUrl(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url", sortQuery = true)
+        .select(col("doc_id"), col("url"), col("url_canonical"))
+    },
+    Some("""SELECT doc_id,
+      'HTTP://ExAmPle' || (doc_id % 50) || '.CoM:' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '80' ELSE '8080' END) ||
+        '/seg' || (doc_id % 7) || '/./up/../b%2fc%41?z=9&a=%7e#frag' || doc_id
+        AS url,
+      'http://example' || (doc_id % 50) || '.com' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END) ||
+        '/seg' || (doc_id % 7) || '/b%2FcA?a=~&z=9' AS url_canonical
+      FROM documents"""))
+
   /** Domain blocklist: registered domain from the URL, broadcast
     * anti-join against the blocked set (corpus never shuffles).
     */
@@ -2263,7 +2294,7 @@ object CatalogOps {
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
-    txtSample, txtPii, txtUrlSignals, txtDomainBlocklist,
+    txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode,

@@ -895,6 +895,93 @@ object TextAnalysis {
         .otherwise(concat(regLabel, lit("."), best)))
   }
 
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2), fully
+    * declarative: split on '%', each following piece starts with the two
+    * hex digits of one escape — uppercase them, and DECODE the escape
+    * when it encodes an unreserved character (ALPHA / DIGIT / - . _ ~);
+    * a piece not starting with two hex digits is a literal '%' and is
+    * kept verbatim. transform() keeps the whole chain inside codegen —
+    * the op that is a UDF in every other engine.
+    */
+  private def percentNormalize(c: Column): Column = {
+    val parts = split(c, "%", -1)
+    val head = element_at(parts, 1)
+    val fixed = transform(slice(parts, lit(2), greatest(lit(0), size(parts) - 1)), p => {
+      val hex = upper(p.substr(lit(1), lit(2)))
+      val rest = p.substr(lit(3), length(p))
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved = (code >= 65 && code <= 90) ||
+        (code >= 97 && code <= 122) || (code >= 48 && code <= 57) ||
+        code === 45 || code === 46 || code === 95 || code === 126
+      when(!hex.rlike("^[0-9A-F]{2}$"), concat(lit("%"), p))
+        .when(unreserved, concat(call_function("char", code), rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    })
+    when(size(parts) <= 1, c).otherwise(concat(head, array_join(fixed, "")))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments as an aggregate() fold over the
+    * path segments, plus the crawl-canonicalizer convention of collapsing
+    * duplicate slashes (deliberate, beyond strict RFC — '//a' and '/a'
+    * are the same resource on every real origin). '..' above the root is
+    * ignored per spec; the directory-ness of a trailing '/', '/.' or
+    * '/..' is preserved; the empty path becomes '/'.
+    */
+  private def normalizePath(path: Column): Column = {
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val folded = aggregate(segs, array().cast("array<string>"),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..", slice(acc, lit(1), greatest(lit(0), size(acc) - 1)))
+        .otherwise(concat(acc, array(s))))
+    val trailingDir = path.rlike("(/|/\\.|/\\.\\.)$")
+    when(size(folded) === 0, lit("/"))
+      .otherwise(concat(lit("/"), array_join(folded, "/"),
+        when(trailingDir, lit("/")).otherwise(lit(""))))
+  }
+
+  /** Canonical URL — THE exact-dedup key of a crawl pipeline (two crawls
+    * of one page disagree on case, default ports, dot segments and escape
+    * spelling far more often than on content). Appends `url_canonical`:
+    * scheme and host lowercased (userinfo case preserved — usernames are
+    * case-sensitive), default ports dropped (http:80 / https:443),
+    * percent-escapes uppercased with unreserved octets decoded
+    * ([[percentNormalize]] — applied BEFORE dot-segment removal, so an
+    * escaped %2E resolves like the '.' it is), dot segments resolved and
+    * duplicate slashes collapsed ([[normalizePath]]), the fragment
+    * dropped, a bare '?' dropped, and the query optionally sorted by
+    * parameter (`sortQuery` — the crawler convention, off by default
+    * because ordering can be semantic). Rows that are not absolute URLs
+    * get null. Zero shuffle, zero UDFs: one codegen'd Column chain
+    * riding the scan.
+    */
+  def canonicalizeUrl(df: DataFrame, urlCol: String,
+      sortQuery: Boolean = false): DataFrame = {
+    val u = regexp_replace(col(urlCol), "#.*$", "") // fragment never survives
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostport = regexp_replace(auth, "^[^@]*@", "")
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = lower(regexp_replace(hostport, ":\\d+$", ""))
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val hasQuery = u.contains("?")
+    val qNorm = percentNormalize(regexp_extract(u, "\\?(.*)$", 1))
+    val qFinal =
+      if (sortQuery) array_join(array_sort(split(qNorm, "&", -1)), "&")
+      else qNorm
+    val canonical = concat(scheme, lit("://"), userinfo, host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      normalizePath(percentNormalize(rawPath)),
+      when(hasQuery && qFinal =!= "", concat(lit("?"), qFinal))
+        .otherwise(lit("")))
+    df.withColumn("url_canonical",
+      when(scheme === "" || host === "", lit(null).cast("string"))
+        .otherwise(canonical))
+  }
+
   /** Domain blocklist gate: drop documents whose registered domain (per
     * [[urlSignals]]) is on the list. The blocklist broadcasts — at 100 TB
     * the corpus never shuffles; the join is a broadcast hash anti-join

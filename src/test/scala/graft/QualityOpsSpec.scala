@@ -323,6 +323,42 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out2 == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true), s"got $out2")
   }
 
+  test("canonicalizeUrl: the crawl dedup key — case, default ports, dot " +
+      "segments, escape spelling, fragments, bare '?', malformed escapes") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + dot segments + escape normalization + fragment
+      (1L, "HTTP://ExAmPle.CoM:80/a/./b/../c%2fd%41?z=1&a=2#frag",
+        "http://example.com/a/c%2FdA?z=1&a=2"),
+      // duplicate slashes collapse, trailing slash preserved, 443 dropped
+      (2L, "https://Host.Org:443//x//y/", "https://host.org/x/y/"),
+      // non-default port kept
+      (3L, "https://host.org:8443/p", "https://host.org:8443/p"),
+      // empty path becomes '/'
+      (4L, "http://h.io", "http://h.io/"),
+      // '..' above root ignored per RFC
+      (5L, "http://h.io/../..", "http://h.io/"),
+      // bare '?' dropped
+      (6L, "http://h.io/p?", "http://h.io/p"),
+      // unreserved escapes decode (%7E → ~, %4A → J); malformed %zz literal;
+      // userinfo case preserved while host lowers
+      (7L, "http://User@H.Io/%7e%4a%zz", "http://User@h.io/~J%zz"),
+      // an escaped dot-dot resolves like the '..' it decodes to
+      (8L, "http://h.io/x/%2e%2e/b", "http://h.io/b"),
+      (9L, "not a url", null))
+    val out = graft.ops.TextAnalysis.canonicalizeUrl(
+      cases.map(c => (c._1, c._2)).toDF("id", "url"), "url")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("url_canonical")).toMap
+    cases.foreach { case (id, url, want) =>
+      assert(out(id) == want, s"url $id: $url → ${out(id)}, want $want")
+    }
+    // sortQuery: parameter order stops mattering for the dedup key
+    val sorted = graft.ops.TextAnalysis.canonicalizeUrl(
+      Seq((1L, "http://h.io/p?z=1&a=%7e")).toDF("id", "url"), "url",
+      sortQuery = true).collect().head.getAs[String]("url_canonical")
+    assert(sorted == "http://h.io/p?a=~&z=1")
+  }
+
   test("urlSignals: host/domain/tld/path-depth/query extraction edge cases") {
     val rows = Seq(
       (1L, "https://Sub.News.Example.org/a/b/c?x=1"),
