@@ -236,8 +236,10 @@ object H264Decode {
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
           val bytes = r.getAs[Array[Byte]](idx)
-          VideoBitstream.firstVideoTrack(bytes) match {
-            case None => errRow("no video track")
+          val (sawMoov, video) = VideoBitstream.firstVideoTrack(bytes)
+          video match {
+            case None =>
+              errRow(if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")
             case Some(t) if t.avcC.isEmpty =>
               errRow("no avcC decoder record (not AVC, or codec unsupported)")
             case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
@@ -256,7 +258,10 @@ object H264Decode {
                 var i = 0
                 while (i < nSps && p + 2 <= c.length) {
                   val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-                  if (sps == null && p + 2 + len <= c.length)
+                  // len > 0: a zero-length entry would hand rbspBytes a
+                  // negative size (NegativeArraySizeException through the
+                  // generic catch) instead of the named refusal below
+                  if (sps == null && len > 0 && p + 2 + len <= c.length)
                     sps = VideoBitstream.parseSps(
                       VideoBitstream.rbspBytes(c, p + 3, len - 1))
                   p += 2 + len
@@ -267,21 +272,26 @@ object H264Decode {
                 i = 0
                 while (i < nPps && p + 2 <= c.length) {
                   val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-                  if (pps == null && p + 2 + len <= c.length)
+                  if (pps == null && len > 0 && p + 2 + len <= c.length)
                     pps = parsePps(VideoBitstream.rbspBytes(c, p + 3, len - 1))
                   p += 2 + len
                   i += 1
                 }
                 if (sps == null) errRow("no SPS in avcC record")
-                else if (pps == null) errRow("no PPS in avcC record")
                 else {
+                  // a clip whose stss matches NO sample (entry count 0, or
+                  // listed numbers beyond stsz) must surface as a named
+                  // row, not silently vanish from the output — every other
+                  // failure mode here degrades by name
+                  val syncIdxs = t.sizes.indices.filter(k =>
+                    !t.hasStss || t.syncs.contains((k + 1).toLong))
+                  if (pps == null) errRow("no PPS in avcC record")
+                  else if (syncIdxs.isEmpty) errRow("no sync samples in clip")
+                  else {
                   val (offs, covered) = VideoBitstream.sampleOffsets(t)
                   if (covered < t.sizes.length) errRow("incomplete sample tables")
-                  else t.sizes.indices.flatMap { k =>
-                    val num = (k + 1).toLong
-                    val isSync = !t.hasStss || t.syncs.contains(num)
-                    if (!isSync) Seq.empty
-                    else {
+                  else syncIdxs.flatMap { k =>
+                    {
                       def sampleErr(msg: String) = Seq(Row.fromSeq(r.toSeq ++
                         Seq(k + 1, null, null, null, null, null, msg)))
                       try {
@@ -316,6 +326,7 @@ object H264Decode {
                         sampleErr(s"decode failed: ${e.getClass.getSimpleName}")
                       }
                     }
+                  }
                   }
                 }
               }

@@ -961,11 +961,17 @@ object TextAnalysis {
     val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
     val hostport = regexp_replace(auth, "^[^@]*@", "")
-    val port = regexp_extract(hostport, ":(\\d+)$", 1)
-    val host = lower(regexp_replace(hostport, ":\\d+$", ""))
-    val keepPort = port =!= "" &&
-      !(scheme === "http" && port === "80") &&
-      !(scheme === "https" && port === "443")
+    // port compared NUMERICALLY and re-emitted without leading zeros:
+    // ':080' is the default port and ':0443'-style spellings must not
+    // produce distinct dedup keys; ':\\d*$' also strips a bare trailing
+    // ':' (an empty port, seen in real crawls)
+    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
+    // CaseWhen guards the cast: ANSI mode throws casting '' (no port)
+    val portNum = when(portStr =!= "", portStr.cast("int"))
+    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    val keepPort = portNum.isNotNull &&
+      !(scheme === "http" && portNum === 80) &&
+      !(scheme === "https" && portNum === 443)
     val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val hasQuery = u.contains("?")
     val qNorm = percentNormalize(regexp_extract(u, "\\?(.*)$", 1))
@@ -973,7 +979,8 @@ object TextAnalysis {
       if (sortQuery) array_join(array_sort(split(qNorm, "&", -1)), "&")
       else qNorm
     val canonical = concat(scheme, lit("://"), userinfo, host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(keepPort, concat(lit(":"), portNum.cast("string")))
+        .otherwise(lit("")),
       normalizePath(percentNormalize(rawPath)),
       when(hasQuery && qFinal =!= "", concat(lit("?"), qFinal))
         .otherwise(lit("")))

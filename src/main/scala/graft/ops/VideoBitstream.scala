@@ -439,21 +439,27 @@ object VideoBitstream {
       sttsRuns: Array[(Long, Long)], // (sample_count, sample_delta)
       syncs: Set[Long], hasStss: Boolean)
 
-  /** First video track of an ISO-BMFF payload — the moov walk
+  /** First video track of an ISO-BMFF payload — the ONE moov walk
     * [[mp4SyncSamples]] and [[graft.ops.H264Decode.decodeMp4KeyframesIPcm]]
-    * share. None when there is no moov or no video trak.
+    * share (a duplicated walk means the next table fix lands in one and
+    * not the other). The Boolean is moov-presence, so callers can tell
+    * "not ISO-BMFF (no moov box)" from "no video track" — two failure
+    * classes a curation pipeline buckets separately.
     */
-  private[ops] def firstVideoTrack(bytes: Array[Byte]): Option[TrackTables] = {
+  private[ops] def firstVideoTrack(bytes: Array[Byte]): (Boolean, Option[TrackTables]) = {
     var video: Option[TrackTables] = None
+    var sawMoov = false
     walkBoxes(bytes, 0, bytes.length) {
-      case ("moov", ms, me) => walkBoxes(bytes, ms, me) {
-        case ("trak", ts, te) if video.isEmpty =>
-          video = parseTrack(bytes, ts, te)
-        case _ => ()
-      }
+      case ("moov", ms, me) =>
+        sawMoov = true
+        walkBoxes(bytes, ms, me) {
+          case ("trak", ts, te) if video.isEmpty =>
+            video = parseTrack(bytes, ts, te)
+          case _ => ()
+        }
       case _ => ()
     }
-    video
+    (sawMoov, video)
   }
 
   private def parseTrack(bytes: Array[Byte], trakStart: Int, trakEnd: Int): Option[TrackTables] = {
@@ -714,18 +720,7 @@ object VideoBitstream {
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
           val bytes = r.getAs[Array[Byte]](idx)
-          var video: Option[TrackTables] = None
-          var sawMoov = false
-          walkBoxes(bytes, 0, bytes.length) {
-            case ("moov", ms, me) =>
-              sawMoov = true
-              walkBoxes(bytes, ms, me) {
-                case ("trak", ts, te) if video.isEmpty =>
-                  video = parseTrack(bytes, ts, te)
-                case _ => ()
-              }
-            case _ => ()
-          }
+          val (sawMoov, video) = firstVideoTrack(bytes)
           video match {
             // a truncated moov can surface a video track whose sample
             // tables are only partially walked — emitting rows against a

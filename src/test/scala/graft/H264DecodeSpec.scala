@@ -158,13 +158,47 @@ class H264DecodeSpec extends AnyFunSuite {
         lit(2), lit(1), lit(3), lit(1), lit(4)).as("payload"))
     val err = H264Decode.decodeMp4KeyframesIPcm(meta).collect()
     assert(err.forall(_.getAs[String]("decode_error") != null))
-    // structural gaps
+    // structural gaps — non-BMFF bytes are NOT "no video track" (the two
+    // failure classes bucket separately in a curation pipeline)
     val more = Seq((2L, "no box here".getBytes("UTF-8")),
       (3L, null: Array[Byte])).toDF("doc_id", "payload")
     val errs = H264Decode.decodeMp4KeyframesIPcm(more).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decode_error")).toMap
-    assert(errs(2L) == "no video track")
+    assert(errs(2L) == "not ISO-BMFF (no moov box)")
     assert(errs(3L) == "null payload")
+  }
+
+  test("decodeMp4KeyframesIPcm: a clip whose stss matches no sample " +
+      "surfaces as a named row, never silently vanishes; zero-length " +
+      "avcC parameter sets refuse by name") {
+    val full = Seq((0L, 1)).toDF("a", "b")
+      .select(H264Decode.syntheticIPcmMp4(
+        lit(1), lit(1), lit(3), lit(1), lit(7), lit(2)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    def findBox(b: Array[Byte], tpe: String): Int = {
+      val t = tpe.getBytes("US-ASCII")
+      var i = 0
+      while (i + 4 <= b.length &&
+        !(b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3))) i += 1
+      i
+    }
+    // stss entry_count := 0 (count u32 sits after fourcc + version/flags)
+    val noSync = full.clone()
+    val st = findBox(noSync, "stss")
+    (0 until 4).foreach(k => noSync(st + 8 + k) = 0)
+    val out1 = H264Decode.decodeMp4KeyframesIPcm(
+      Seq((0L, noSync)).toDF("doc_id", "payload")).collect()
+    assert(out1.length == 1)
+    assert(out1.head.getAs[String]("decode_error") == "no sync samples in clip")
+    // avcC SPS length := 0 — must be the NAMED refusal, not a
+    // NegativeArraySizeException through the generic catch
+    val zeroSps = full.clone()
+    val av = findBox(zeroSps, "avcC")
+    zeroSps(av + 4 + 6) = 0; zeroSps(av + 4 + 7) = 0
+    val out2 = H264Decode.decodeMp4KeyframesIPcm(
+      Seq((0L, zeroSps)).toDF("doc_id", "payload")).collect()
+    assert(out2.length == 1)
+    assert(out2.head.getAs[String]("decode_error") == "no SPS in avcC record")
   }
 
   test("decodeIPcmIdr: truncation mid-slice degrades per clip") {

@@ -345,7 +345,12 @@ class QualityOpsSpec extends AnyFunSuite {
       (7L, "http://User@H.Io/%7e%4a%zz", "http://User@h.io/~J%zz"),
       // an escaped dot-dot resolves like the '..' it decodes to
       (8L, "http://h.io/x/%2e%2e/b", "http://h.io/b"),
-      (9L, "not a url", null))
+      (9L, "not a url", null),
+      // ports compare NUMERICALLY: ':080' IS the default port; a bare ':'
+      // (empty port) is stripped; non-default ports lose leading zeros
+      (10L, "http://h.io:080/p", "http://h.io/p"),
+      (11L, "http://h.io:/p", "http://h.io/p"),
+      (12L, "https://h.io:08443/p", "https://h.io:8443/p"))
     val out = graft.ops.TextAnalysis.canonicalizeUrl(
       cases.map(c => (c._1, c._2)).toDF("id", "url"), "url")
       .collect().map(r => r.getLong(0) -> r.getAs[String]("url_canonical")).toMap
