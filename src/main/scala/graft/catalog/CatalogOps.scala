@@ -1262,6 +1262,75 @@ object CatalogOps {
         c.curate_keep, p.shard, p.n_tokens, p.pack_id
       FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""))
 
+  private def syntheticRobotsCol = concat(
+    lit("# policy\nUser-agent: graftbot\nDisallow: /private"),
+    col("doc_id") % 7,
+    lit("/\nAllow: /private"), col("doc_id") % 7,
+    lit("/ok$\nCrawl-delay: "), lit(1) + col("doc_id") % 5,
+    lit("\n\nUser-agent: *\nDisallow: /all\nSitemap: https://h"),
+    col("doc_id") % 50, lit(".io/sitemap.xml\n"))
+
+  /** robots.txt parse (RFC 9309 — [[graft.ops.Robots.parseRobots]]):
+    * per-host files with a graftbot group (disallow + anchored allow +
+    * crawl-delay), a '*' group that must be ignored, a comment, and a
+    * global sitemap. The oracle states the four selected rules per host
+    * closed-form.
+    */
+  private val webRobotsRules = Q("web_robots_rules",
+    (s, dir) => graft.ops.Robots.parseRobots(
+        t(s, dir, "documents").select(col("doc_id"),
+          syntheticRobotsCol.as("robots")), "robots", "graftbot")
+      .select(col("doc_id"), col("rule_idx"), col("directive"),
+        col("rule_value"), col("parse_error")),
+    Some("""SELECT doc_id, i::INT AS rule_idx,
+      (['disallow', 'allow', 'crawl_delay', 'sitemap'])[i + 1] AS directive,
+      CASE i
+        WHEN 0 THEN '/private' || (doc_id % 7) || '/'
+        WHEN 1 THEN '/private' || (doc_id % 7) || '/ok$'
+        WHEN 2 THEN (1 + doc_id % 5)::VARCHAR
+        ELSE 'https://h' || (doc_id % 50) || '.io/sitemap.xml' END AS rule_value,
+      NULL::VARCHAR AS parse_error
+      FROM documents, unnest(generate_series(0, 3)) AS t(i)"""))
+
+  /** The politeness gate end-to-end ([[graft.ops.Robots.robotsAllowed]] —
+    * longest-octet match, allow wins ties, '$' anchor): per-host rules
+    * from the parse joined to per-host URLs. Four path shapes pin the
+    * four decision branches (prefix-disallowed, longer-allow-wins,
+    * anchor-miss-disallowed, no-match-allowed).
+    */
+  private val webRobotsGate = Q("web_robots_gate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = graft.ops.Robots.parseRobots(
+          docs.select(col("doc_id"), syntheticRobotsCol.as("robots")),
+          "robots", "graftbot")
+        .select(col("doc_id"), col("directive"), col("rule_value"))
+      val urls = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            concat(lit("/private"), col("doc_id") % 7, lit("/x")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private"), col("doc_id") % 7, lit("/ok")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/private"), col("doc_id") % 7, lit("/okay")))
+          .otherwise(lit("/other")).as("path"))
+      graft.ops.Robots.robotsAllowed(urls, "path", rules, Seq("doc_id"))
+        .select(col("doc_id"), col("path"), col("robots_allowed"),
+          col("robots_rule"))
+    },
+    Some("""SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN '/private' || (doc_id % 7) || '/x'
+        WHEN 1 THEN '/private' || (doc_id % 7) || '/ok'
+        WHEN 2 THEN '/private' || (doc_id % 7) || '/okay'
+        ELSE '/other' END AS path,
+      (doc_id % 4 = 1 OR doc_id % 4 = 3) AS robots_allowed,
+      CASE doc_id % 4
+        WHEN 0 THEN '/private' || (doc_id % 7) || '/'
+        WHEN 1 THEN '/private' || (doc_id % 7) || '/ok$'
+        WHEN 2 THEN '/private' || (doc_id % 7) || '/'
+        ELSE NULL END AS robots_rule
+      FROM documents"""))
+
   /** NESTED archive composition — the real shape of code-dataset dumps
     * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
     * walks the outer tar (odd ids gzipped) emitting each member's RAW
@@ -2300,6 +2369,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
+    webRobotsRules, webRobotsGate,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val robots =
+    """# crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok$
+      |Crawl-delay: 3
+      |
+      |User-agent: Other
+      |User-agent: graftbot
+      |Disallow: /extra
+      |
+      |User-agent: *
+      |Disallow: /all
+      |Sitemap: https://h.io/sitemap.xml
+      |""".stripMargin
+
+  test("parseRobots: group selection, merge of repeated groups, global " +
+      "sitemaps, comments; '*' fallback when the token matches nothing") {
+    val df = Seq((0L, robots)).toDF("host_id", "robots")
+    val got = Robots.parseRobots(df, "robots", "GraftBot")
+      .orderBy("rule_idx")
+      .collect().map(r => (r.getAs[String]("directive"), r.getAs[String]("rule_value")))
+    // both graftbot groups MERGE in file order; the '*' group is ignored;
+    // sitemap is global
+    assert(got.toSeq == Seq(
+      ("disallow", "/private/"), ("allow", "/private/ok$"),
+      ("crawl_delay", "3"), ("disallow", "/extra"),
+      ("sitemap", "https://h.io/sitemap.xml")))
+    val fallback = Robots.parseRobots(df, "robots", "someone-else")
+      .orderBy("rule_idx")
+      .collect().map(r => (r.getAs[String]("directive"), r.getAs[String]("rule_value")))
+    assert(fallback.toSeq == Seq(
+      ("disallow", "/all"), ("sitemap", "https://h.io/sitemap.xml")))
+    // rule-free file: one null-directive row, the host never vanishes
+    val empty = Robots.parseRobots(
+      Seq((1L, "# nothing here\n")).toDF("host_id", "robots"), "robots", "x")
+      .collect()
+    assert(empty.length == 1 &&
+      empty.head.isNullAt(empty.head.fieldIndex("directive")))
+    assert(Robots.parseRobots(
+      Seq((2L, null: String)).toDF("host_id", "robots"), "robots", "x")
+      .collect().head.getAs[String]("parse_error") == "null robots.txt")
+  }
+
+  test("robotsAllowed: longest-octet match wins, allow beats disallow on " +
+      "ties, '$' anchors, '*' wildcards, no match or no rules = allowed") {
+    val rules = Robots.parseRobots(
+      Seq((0L, robots)).toDF("host_id", "robots"), "robots", "graftbot")
+      .select(col("host_id"), col("directive"), col("rule_value"))
+    val urls = Seq(
+      (0L, 1L, "/private/x"),     // disallowed by /private/
+      (0L, 2L, "/private/ok"),    // allowed: longer allow rule, $ matches
+      (0L, 3L, "/private/okay"),  // $ does NOT match → disallowed
+      (0L, 4L, "/other"),         // no rule matches → allowed
+      (9L, 5L, "/private/x"))     // host with no rules at all → allowed
+      .toDF("host_id", "url_id", "path")
+    val got = Robots.robotsAllowed(urls, "path", rules, Seq("host_id"))
+      .collect().map(r => r.getAs[Long]("url_id") ->
+        (r.getAs[Boolean]("robots_allowed"), r.getAs[String]("robots_rule"))).toMap
+    assert(got(1L) == ((false, "/private/")))
+    assert(got(2L) == ((true, "/private/ok$")))
+    assert(got(3L) == ((false, "/private/")))
+    assert(got(4L)._1 && got(4L)._2 == null)
+    assert(got(5L)._1 && got(5L)._2 == null)
+    // wildcard form: *.pdf$ blocks exactly pdf paths anywhere
+    val wild = Seq((0L, "disallow", "/*.pdf$"), (0L, "allow", "/docs/"))
+      .toDF("host_id", "directive", "rule_value")
+    val wUrls = Seq((0L, 1L, "/docs/a.pdf"), (0L, 2L, "/docs/a.pdf.html"),
+      (0L, 3L, "/docs/a.txt")).toDF("host_id", "url_id", "path")
+    val wGot = Robots.robotsAllowed(wUrls, "path", wild, Seq("host_id"))
+      .collect().map(r => r.getAs[Long]("url_id") ->
+        r.getAs[Boolean]("robots_allowed")).toMap
+    // '/*.pdf$' (7 octets) beats '/docs/' (6) on the pdf path; the
+    // .html path only matches the allow prefix; the txt path likewise
+    assert(wGot == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+}
