@@ -1262,6 +1262,37 @@ object CatalogOps {
         c.curate_keep, p.shard, p.n_tokens, p.pack_id
       FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""))
 
+  /** Sitemap ingest — the URL-discovery side of the crawl frontier
+    * (sitemaps are what [[graft.ops.Robots.parseRobots]]'s `sitemap` rows
+    * point at): per-host urlset XML → `xpath` loc extraction →
+    * [[TextAnalysis.canonicalizeUrl]], so discovered URLs land already in
+    * dedup-key form. The generator plants the canonicalization axes
+    * (case, :80, dot segments) in every loc; the oracle states both the
+    * raw loc and its canonical form closed-form.
+    */
+  private val webSitemapIngest = Q("web_sitemap_ingest",
+    (s, dir) => {
+      val n = (lit(1) + col("doc_id") % 5).cast("int")
+      val entries = array_join(transform(sequence(lit(0), n - 1), k =>
+        concat(lit("<url><loc>HTTP://Site"), col("doc_id") % 50,
+          lit(".CoM:80/p"), k, lit("/./q</loc><lastmod>2024-01-0"),
+          k % 9 + 1, lit("</lastmod></url>"))), "")
+      val xml = concat(lit("<?xml version=\"1.0\"?><urlset>"), entries,
+        lit("</urlset>"))
+      val locs = t(s, dir, "documents")
+        .select(col("doc_id"), xml.as("xml"))
+        .select(col("doc_id"), posexplode(
+          call_function("xpath", col("xml"), lit("//url/loc/text()"))))
+        .withColumnRenamed("pos", "url_idx").withColumnRenamed("col", "loc")
+      TextAnalysis.canonicalizeUrl(locs, "loc")
+        .select(col("doc_id"), col("url_idx"), col("loc"),
+          col("url_canonical"))
+    },
+    Some("""SELECT doc_id, k::INT AS url_idx,
+      'HTTP://Site' || (doc_id % 50) || '.CoM:80/p' || k || '/./q' AS loc,
+      'http://site' || (doc_id % 50) || '.com/p' || k || '/q' AS url_canonical
+      FROM documents, unnest(generate_series(0, doc_id % 5)) AS t(k)"""))
+
   private def syntheticRobotsCol = concat(
     lit("# policy\nUser-agent: graftbot\nDisallow: /private"),
     col("doc_id") % 7,
@@ -2369,7 +2400,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
-    webRobotsRules, webRobotsGate,
+    webRobotsRules, webRobotsGate, webSitemapIngest,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }
