@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * forms the RFC adopted.
   *
   * Scale shape: the parse is the family's narrow per-row walk (one
-  * robots.txt is ≤ a few hundred KB); the decision is a broadcast-ready
-  * equi-join on the host key — rules frames are per-host tiny, URL
-  * frames are the corpus, so the corpus never shuffles.
+  * robots.txt is ≤ a few hundred KB); the decision pre-aggregates the
+  * per-host rules into one array row per key and equi-joins that tiny
+  * frame onto the URLs — the corpus side carries no aggregation, so it
+  * pays at most the join exchange, and none at all when the rules frame
+  * broadcasts (AQE picks that for any realistic rule set).
   */
 object Robots {
 
@@ -50,7 +52,12 @@ object Robots {
           Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null robots.txt")
         else try {
-          val text = r.getAs[String](idx)
+          // BOM before the first line would turn 'user-agent' into an
+          // unknown directive and silently drop the first group (the
+          // Subtitles parser learned the same lesson); and RFC 9309 §2.1
+          // terminates lines with CR, LF, or CRLF — linesIterator misses
+          // bare-CR files
+          val text = r.getAs[String](idx).stripPrefix("\uFEFF")
           // line model: strip '#' comments, trim; a group is a run of
           // User-agent lines followed by its rules — a User-agent line
           // AFTER rules have started begins a new group (RFC 9309 §2.2.1;
@@ -66,7 +73,7 @@ object Robots {
             if (agents.nonEmpty) groups += Group(agents, rules)
             agents = Vector.empty; rules = Vector.empty; inRules = false
           }
-          text.linesIterator.foreach { raw =>
+          text.split("\r\n|\r|\n", -1).foreach { raw =>
             val line = raw.takeWhile(_ != '#').trim
             val c = line.indexOf(':')
             if (c > 0) {
@@ -118,41 +125,47 @@ object Robots {
       when(anchored, lit("$")).otherwise(lit("")))
   }
 
-  /** Per-URL allow/disallow decision (RFC 9309 §2.2.2): join URLs to the
-    * host's allow/disallow rules on `keyCols`, keep rules whose pattern
-    * matches the path, and let the LONGEST pattern win with allow
-    * breaking ties; a URL matching no rule (or a host with no rules at
-    * all) is allowed. Appends `robots_allowed` plus the winning
-    * `robots_rule` pattern (null when allowed by default). `rules` is
-    * [[parseRobots]]-shaped: (keyCols…, directive, rule_value); only
-    * allow/disallow rows participate. The rules side is per-host tiny —
-    * broadcast it when the key space fits, and the URL corpus never
-    * shuffles.
+  /** Per-URL allow/disallow decision (RFC 9309 §2.2.2): the host's
+    * allow/disallow rules collapse to ONE array row per key (regexes and
+    * octet lengths computed rule-side, once per rule), that tiny frame
+    * equi-joins onto the URLs, and the winner is picked PER ROW with
+    * filter + array_max over (octet_length, is_allow, pattern) struct
+    * ordering — longest-octet match wins (§2.2.2 counts octets, not
+    * characters — non-ASCII patterns differ), allow breaks ties, a URL
+    * matching no rule (or a host with no rules at all) is allowed.
+    * Appends `robots_allowed` plus the winning `robots_rule` pattern
+    * (null when allowed by default); input cardinality is preserved
+    * exactly — no aggregation ever touches the URL side, so the corpus
+    * pays at most the one equi-join exchange (none at all when the
+    * per-host rules frame broadcasts, which AQE picks for any realistic
+    * rule set). `rules` is [[parseRobots]]-shaped:
+    * (keyCols…, directive, rule_value); only allow/disallow rows
+    * participate; an empty `Disallow:` means allow-all and is dropped.
     */
   def robotsAllowed(urls: DataFrame, pathCol: String,
       rules: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "robotsAllowed needs at least one key column")
+    Multimodal.requireFreshColumns(urls, "robotsAllowed",
+      Seq("robots_allowed", "robots_rule", "__rules", "__m", "__w"))
     val rl = rules
       .where(col("directive").isin("allow", "disallow") &&
-        col("rule_value") =!= "") // an empty Disallow: means allow-all
-      .select(keyCols.map(col) :+ col("directive") :+
-        col("rule_value").as("__pat"): _*)
-    val joined = urls.join(rl, keyCols, "left")
-      .withColumn("__m",
-        col("__pat").isNotNull &&
-          regexp_like(col(pathCol), patternRegex(col("__pat"))))
-    // longest-octet match wins, allow beats disallow on ties: struct
-    // ordering (length, is_allow) under max_by does exactly that
-    val urlCols = urls.columns.map(col).toSeq
-    joined.groupBy(urlCols: _*)
-      .agg(max_by(
-          struct(col("directive").as("d"), col("__pat").as("p")),
-          when(col("__m"),
-            struct(length(col("__pat")).as("l"),
-              (col("directive") === "allow").as("a")))).as("__w"))
-      .withColumn("robots_allowed",
-        coalesce(col("__w.d") === "allow", lit(true)))
+        col("rule_value") =!= "")
+      .select(keyCols.map(col) :+
+        struct(
+          octet_length(col("rule_value")).as("l"),
+          (col("directive") === "allow").as("a"),
+          col("rule_value").as("p"),
+          patternRegex(col("rule_value")).as("rx")).as("__r"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("__r")).as("__rules"))
+    urls.join(rl, keyCols, "left")
+      .withColumn("__m", filter(col("__rules"),
+        r => regexp_like(col(pathCol), r.getField("rx"))))
+      .withColumn("__w", array_max(transform(col("__m"), r =>
+        struct(r.getField("l").as("l"), r.getField("a").as("a"),
+          r.getField("p").as("p")))))
+      .withColumn("robots_allowed", coalesce(col("__w.a"), lit(true)))
       .withColumn("robots_rule", col("__w.p"))
-      .drop("__w")
+      .drop("__rules", "__m", "__w")
   }
 }
