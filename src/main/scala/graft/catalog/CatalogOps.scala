@@ -1260,7 +1260,8 @@ object CatalogOps {
         FROM cur WHERE curate_keep)
       SELECT c.doc_id, c.cls, c.c4_keep, c.dup_line_frac, c.is_canonical,
         c.curate_keep, p.shard, p.n_tokens, p.pack_id
-      FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""))
+      FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""),
+    bench = true)
 
   /** Sitemap ingest — the URL-discovery side of the crawl frontier
     * (sitemaps are what [[graft.ops.Robots.parseRobots]]'s `sitemap` rows
@@ -1872,7 +1873,8 @@ object CatalogOps {
         h AS frame_height, ((w / 16) * (h / 16))::INT AS mb_count,
         (h * sumx)::DOUBLE / (w * h) AS y_mean,
         NULL::VARCHAR AS decode_error
-      FROM g"""))
+      FROM g"""),
+    bench = true)
 
   /** The video→image seam end-to-end: decoded IDR luma planes
     * ([[graft.ops.H264Decode.decodeIPcmIdr]]) re-encoded as PNG
