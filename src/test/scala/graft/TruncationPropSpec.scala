@@ -124,6 +124,31 @@ class TruncationPropSpec extends AnyFunSuite {
         cuts(full.length, 40)))
   }
 
+  test("h264 I_PCM decode: every truncation point degrades, never corrupts") {
+    // one output row per clip (plane or error): a cut either reproduces
+    // the full decode exactly or degrades to an error row — a truncated
+    // slice must never yield a half-filled plane with decode_error null
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    checkPrefixConsistent("ipcm",
+      parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+        cuts(full.length, 40)))
+  }
+
+  test("mp4 keyframe decode: every truncation point degrades, never corrupts") {
+    // mdat-first layout: any cut removes (part of) the trailing moov, so
+    // every cut must degrade to error rows — never a partial keyframe
+    // table and never decoded planes from a half-indexed clip
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      H264Decode.syntheticIPcmMp4(lit(2), lit(1), lit(4), lit(2),
+        lit(9), lit(3)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    checkPrefixConsistent("mp4kf",
+      parseAll(df => H264Decode.decodeMp4KeyframesIPcm(df, "payload"), full,
+        cuts(full.length, 40)))
+  }
+
   test("subtitles: every truncation point degrades, never corrupts") {
     // cue text has no declared length — a cut mid-text shortens the LAST
     // cue legitimately, like Annex-B's final NAL
