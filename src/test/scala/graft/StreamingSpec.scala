@@ -269,6 +269,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((3L, 2L, false)))
   }
 
+  test("the crawl ingest chain runs under Structured Streaming AS-IS: " +
+      "warcRecords → htmlText are stateless narrow ops, stream ≡ batch") {
+    import graft.ops.WebIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_warc").toString
+    (0L until 30L).toDF("doc_id")
+      .select(col("doc_id"), WebIngest.syntheticWarc(col("doc_id"),
+        concat(lit("<html><body><p>page "), col("doc_id"),
+          lit("</p></body></html>")),
+        col("doc_id") % 2 === 1).as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      WebIngest.htmlText(
+        WebIngest.warcRecords(df).where(col("warc_type") === "conversion"),
+        "content_text")
+        .select(col("doc_id"), col("html_text"))
+    val q = chain(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_warc_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("st_warc_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    } finally q.stop()
+    val want = chain(spark.read.parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(want.length == 30 && got == want,
+      s"stream ${got.length} rows vs batch ${want.length}")
+    assert(got.head._2 == "page 0")
+  }
+
   test("hotKeyMasses rangeFraction: a dense uniform horizon blows the " +
       "worst-case m² budget but is admitted once the real range share is priced") {
     // 100 keys × mass 80: Σ m² = 640 000 > 64 × 8 000 = 512 000, so the
