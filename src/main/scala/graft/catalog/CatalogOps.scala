@@ -1920,6 +1920,38 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM arow"""))
 
+  /** JPEG/EXIF structure census ([[graft.ops.ImageMetadata
+    * .jpegExifCensus]] — decode-free marker walk, TIFF IFD parse in both
+    * byte orders, offset-stored ASCII): the image-metadata gate a
+    * curation pipeline runs before decoding — `gps_present` is the
+    * privacy drop-signal, SOF dims gate banners without touching
+    * pixels. Every field closed-form from the doc_id formulas.
+    */
+  private val mmJpegExif = Q("mm_jpeg_exif",
+    (s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.ImageMetadata.syntheticExifJpeg(
+          (lit(16) * (lit(1) + col("doc_id") % 40)).cast("int"),
+          (lit(16) * (lit(1) + col("doc_id") % 30)).cast("int"),
+          (lit(1) + col("doc_id") % 8).cast("int"),
+          (col("doc_id") % 5).cast("int"),
+          col("doc_id") % 2 === 0,
+          col("doc_id") % 3 === 0).as("payload"))
+      graft.ops.ImageMetadata.jpegExifCensus(imgs, "payload")
+        .select(col("doc_id"), col("sof_width"), col("sof_height"),
+          col("has_exif"), col("exif_big_endian"), col("exif_orientation"),
+          col("exif_make"), col("gps_present"), col("parse_error"))
+    },
+    Some("""SELECT doc_id,
+      (16 * (1 + doc_id % 40))::INT AS sof_width,
+      (16 * (1 + doc_id % 30))::INT AS sof_height,
+      true AS has_exif, doc_id % 2 = 0 AS exif_big_endian,
+      (1 + doc_id % 8)::INT AS exif_orientation,
+      'Camera' || (doc_id % 5) AS exif_make,
+      doc_id % 3 = 0 AS gps_present,
+      NULL::VARCHAR AS parse_error
+      FROM documents"""))
+
   /** Perceptual image hash over REAL decoded pixels: per-doc gradient PNGs
     * (gray(x) = (base + slope·x) mod 256, params from doc_id; JDK PNG
     * writer, lossless) hashed by [[Multimodal.imagePerceptualHash]] — the
@@ -2399,7 +2431,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
     webRobotsRules, webRobotsGate, webSitemapIngest,
