@@ -61,7 +61,8 @@ object ImageMetadata {
               if ((b(o) & 0xff) != 0xff) done = true // marker stream broken
               else {
                 val marker = b(o + 1) & 0xff
-                if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+                if (marker == 0xff) o += 1 // fill byte (T.81 B.1.1.2): skip
+                else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
                     marker == 0x01) o += 2 // standalone markers, no length
                 else if (marker == 0xd9 || marker == 0xda) done = true // EOI/SOS
                 else {
@@ -93,8 +94,16 @@ object ImageMetadata {
                               ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
                             else (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
                               ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-                          val ifd0 = t + u32t(t + 4).toInt
-                          if (ifd0 + 2 <= segEnd) {
+                          // TIFF offsets checked in LONG arithmetic on BOTH
+                          // ends: a backward offset would parse header/marker
+                          // bytes as an entry table (fabricated metadata
+                          // feeding the privacy gate, parse_error null), and
+                          // a 0x80000000-style offset wraps .toInt negative,
+                          // slipping past a high-end-only check into an
+                          // index throw that kills the whole row
+                          val ifd0L = t + u32t(t + 4)
+                          if (ifd0L >= t + 8 && ifd0L + 2 <= segEnd) {
+                            val ifd0 = ifd0L.toInt
                             val n = u16t(ifd0)
                             var i = 0
                             while (i < n && ifd0 + 2 + (i + 1) * 12 <= segEnd) {
@@ -105,17 +114,21 @@ object ImageMetadata {
                               tag match {
                                 case 0x0112 if tpe == 3 => // SHORT: value inline
                                   orientation = u16t(e + 8)
-                                case 0x010f if tpe == 2 => // ASCII
+                                case 0x010f if tpe == 2 && cnt > 0 &&
+                                    cnt <= segEnd - t => // ASCII, sane length
                                   // ≤4 bytes live inline; longer values sit
                                   // at a TIFF-relative offset (TIFF 6.0 §2)
-                                  val (vo, vl) =
-                                    if (cnt <= 4) (e + 8, cnt.toInt)
-                                    else (t + u32t(e + 8).toInt, cnt.toInt)
-                                  if (vo + vl <= segEnd && vl > 0)
+                                  val voL: Long =
+                                    if (cnt <= 4) (e + 8).toLong
+                                    else t + u32t(e + 8)
+                                  val vl = cnt.toInt
+                                  if (voL >= t && voL + vl <= segEnd) {
+                                    val vo = voL.toInt
                                     make = new String(b, vo,
                                       // drop the terminating NUL
                                       if (b(vo + vl - 1) == 0) vl - 1 else vl,
                                       "US-ASCII")
+                                  }
                                 case 0x8825 => gps = true
                                 case _ => ()
                               }
@@ -173,7 +186,9 @@ object ImageMetadata {
         t16(0x010f); t16(2); t32(makeStr.length + 1L); t32(valuesOff.toLong)
         // 0x0112 Orientation, SHORT, inline (value in the first 2 bytes)
         t16(0x0112); t16(3); t32(1L)
-        if (bigEndian) { t16(orientation); t16(0) } else { t16(orientation); t16(0) }
+        // an inline SHORT occupies the FIRST two value bytes in the file's
+        // byte order — t16 already encodes that, no branch needed
+        t16(orientation); t16(0)
         if (withGps) { t16(0x8825); t16(4); t32(1L); t32(valuesOff + 16L) }
         t32(0L) // next IFD: none
         tiff.write(makeStr.getBytes("US-ASCII")); tiff.write(0)

@@ -47,6 +47,46 @@ class ImageMetadataSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("exif_orientation")))
   }
 
+  test("jpegExifCensus: fill bytes before a marker are skipped (T.81 " +
+      "B.1.1.2) and corrupt TIFF offsets never fabricate or crash") {
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      ImageMetadata.syntheticExifJpeg(lit(48), lit(32), lit(3), lit(1),
+        lit(true), lit(true)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    // insert three 0xFF fill bytes after SOI, before APP1: some camera
+    // writers pad — the census must still see Exif AND the SOF dims
+    val padded = (full.take(2) :+ 0xff.toByte :+ 0xff.toByte :+ 0xff.toByte) ++
+      full.drop(2)
+    val p = ImageMetadata.jpegExifCensus(
+      Seq((0L, padded.toArray)).toDF("doc_id", "payload")).collect().head
+    assert(p.getAs[String]("parse_error") == null)
+    assert(p.getAs[Int]("sof_width") == 48 && p.getAs[Boolean]("gps_present"))
+    assert(p.getAs[Int]("exif_orientation") == 3)
+    // corrupt IFD0 offset: backwards (points into the TIFF header) and
+    // high-bit (wraps toInt negative) — both must degrade to exif-less
+    // census rows, never fabricate metadata, never throw
+    def patchIfd0(v: Long): Array[Byte] = {
+      val c = full.clone()
+      // TIFF starts after SOI(2) + APP1 marker+len(4) + "Exif\0\0"(6) = 12;
+      // big-endian fixture → IFD0 offset is the u32 at TIFF+4
+      val t = 12
+      c(t + 4) = ((v >> 24) & 0xff).toByte; c(t + 5) = ((v >> 16) & 0xff).toByte
+      c(t + 6) = ((v >> 8) & 0xff).toByte; c(t + 7) = (v & 0xff).toByte
+      c
+    }
+    for (bad <- Seq(0L, 2L, 0x80000000L, 0x7ffffff0L)) {
+      val row = ImageMetadata.jpegExifCensus(
+        Seq((0L, patchIfd0(bad))).toDF("doc_id", "payload")).collect().head
+      assert(row.getAs[String]("parse_error") == null, s"offset $bad threw")
+      assert(row.getAs[Boolean]("has_exif"), s"offset $bad lost exif flag")
+      assert(row.isNullAt(row.fieldIndex("exif_orientation")),
+        s"offset $bad fabricated an orientation")
+      assert(!row.getAs[Boolean]("gps_present"),
+        s"offset $bad fabricated a GPS flag")
+      assert(row.getAs[Int]("sof_width") == 48, s"offset $bad lost SOF dims")
+    }
+  }
+
   test("jpegExifCensus: degradation — PNG bytes, truncation, null") {
     val png = Seq((0, 1)).toDF("a", "b").select(
       Multimodal.syntheticPngGradient(lit(16), lit(8), lit(0), lit(1)).as("p"))
