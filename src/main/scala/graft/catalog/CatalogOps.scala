@@ -1170,6 +1170,44 @@ object CatalogOps {
         length(expected)::BIGINT AS html_text_chars
       FROM h_exp"""))
 
+  /** RAW-crawl ingest (non-WET): `response` records whose bodies are real
+    * HTTP messages — [[graft.ops.WebIngest.warcRecordBytes]] keeps the
+    * body as BYTES so [[graft.ops.WebIngest.httpResponses]] can decode it
+    * with its DECLARED charset (the fixture cycles utf-8 / iso-8859-1 /
+    * windows-1252 over a non-ASCII page; blanket UTF-8 would mangle two
+    * of the three), then [[graft.ops.WebIngest.htmlText]] extracts. The
+    * oracle states status/media/charset/text closed-form — the SAME
+    * extracted text for all three charsets is itself the decode check.
+    */
+  private val webHttpIngest = Q("web_http_ingest",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val status = when(col("doc_id") % 5 === 4, lit(404)).otherwise(lit(200))
+      val cs = element_at(
+        array(lit("utf-8"), lit("iso-8859-1"), lit("windows-1252")),
+        (col("doc_id") % 3).cast("int") + 1)
+      val page = when(col("doc_id") % 5 === 4, lit("<p>gone</p>"))
+        .otherwise(concat(lit("<p>café "), col("doc_id"), lit(" résumé</p>")))
+      val segs = docs.select(col("doc_id"),
+        graft.ops.WebIngest.syntheticWarcResponse(col("doc_id"), page,
+          status, cs, col("doc_id") % 2 === 1).as("payload"))
+      val resp = graft.ops.WebIngest.httpResponses(
+        graft.ops.WebIngest.warcRecordBytes(segs)
+          .where(col("warc_type") === "response" && col("parse_error").isNull)
+          .drop("parse_error", "record_idx", "warc_type", "content_type",
+            "content_length"))
+      graft.ops.WebIngest.htmlText(resp, "http_body")
+        .select(col("doc_id"), col("http_status"), col("http_content_type"),
+          col("http_charset"), col("html_text"))
+    },
+    Some("""SELECT doc_id,
+      CASE WHEN doc_id % 5 = 4 THEN 404 ELSE 200 END AS http_status,
+      'text/html' AS http_content_type,
+      (['utf-8', 'iso-8859-1', 'windows-1252'])[(doc_id % 3) + 1] AS http_charset,
+      CASE WHEN doc_id % 5 = 4 THEN 'gone'
+        ELSE 'café ' || doc_id || ' résumé' END AS html_text
+      FROM documents"""))
+
   /** THE crawl flagship: the full pretraining-ingest funnel in one row —
     * WARC segments (odd ids gzip-wrapped) → conversion records → HTML →
     * text extraction → curation (C4 gates + repetition signal +
@@ -2433,8 +2471,8 @@ object CatalogOps {
     txtFuzzyContamination, txtWeightedSample,
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
-    webWarcRecords, webHtmlText, webWarcHtmlIngest, webCrawlFlagship,
-    webRobotsRules, webRobotsGate, webSitemapIngest,
+    webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
+    webCrawlFlagship, webRobotsRules, webRobotsGate, webSitemapIngest,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -32,9 +32,28 @@ object WebIngest {
     * CRLF CRLF. A malformed record ends the walk (records already
     * parsed are kept; the tail is reported).
     */
-  def warcRecords(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    Multimodal.requireFreshColumns(df, "warcRecords", warcCols.map(_.name))
-    val schema = StructType(df.schema.fields ++ warcCols)
+  def warcRecords(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    warcWalk(df, payloadCol, emitBytes = false)
+
+  /** [[warcRecords]] with the body as RAW BYTES (`content_bytes`) — the
+    * input [[httpResponses]] needs: a `response` record's body is an HTTP
+    * message whose charset is declared INSIDE it, so decoding it as UTF-8
+    * up front (the text variant's contract, right for WET conversion
+    * records) would mangle latin-1/cp1252 pages before the charset is
+    * even known. Same framing walk, same degradation.
+    */
+  def warcRecordBytes(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    warcWalk(df, payloadCol, emitBytes = true)
+
+  private def warcWalk(df: DataFrame, payloadCol: String,
+      emitBytes: Boolean): DataFrame = {
+    val cols =
+      if (emitBytes) warcCols.map(f =>
+        if (f.name == "content_text") StructField("content_bytes", BinaryType) else f)
+      else warcCols
+    val opName = if (emitBytes) "warcRecordBytes" else "warcRecords"
+    Multimodal.requireFreshColumns(df, opName, cols.map(_.name))
+    val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
@@ -95,7 +114,9 @@ object WebIngest {
                 tailErr = "truncated or malformed record"
                 done = true
               } else {
-                val body = new String(bytes, p, clen.toInt, "UTF-8")
+                val body: Any =
+                  if (emitBytes) java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
+                  else new String(bytes, p, clen.toInt, "UTF-8")
                 recs += Row.fromSeq(r.toSeq ++
                   Seq(recIdx, wtype, uri, ctype, clen, body, null))
                 recIdx += 1
@@ -284,6 +305,133 @@ object WebIngest {
           "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
           "Content-Type" -> "text/html"),
         (if (body == null) "" else body).getBytes("UTF-8"))
+      val raw = out.toByteArray
+      if (!gzipped) raw
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      }
+    })
+
+  private val httpCols = Seq(
+    StructField("http_status", IntegerType),
+    StructField("http_content_type", StringType),
+    StructField("http_charset", StringType),
+    StructField("http_body", StringType),
+    StructField("parse_error", StringType))
+
+  /** HTTP response parse — the piece between [[warcRecordBytes]] and
+    * [[htmlText]] for RAW (non-WET) crawls, where each `response`
+    * record's body is an HTTP message (RFC 9112): status line, headers,
+    * blank line, entity body. Status code, media type, and the
+    * `charset=` parameter are parsed from the head (ASCII by spec), and
+    * the BODY IS DECODED WITH ITS DECLARED CHARSET through the JDK's
+    * codec registry (UTF-8 when absent or unsupported) — the reason this
+    * op needs bytes, not pre-decoded text: a latin-1/cp1252 page decoded
+    * as UTF-8 up front is mangled before the charset is even known.
+    * Per-record degradation; non-HTTP payloads report themselves.
+    */
+  def httpResponses(df: DataFrame,
+      bytesCol: String = "content_bytes"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "httpResponses", httpCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ httpCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) =
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg))
+        if (r.isNullAt(idx)) errRow("null body")
+        else try {
+          val b = r.getAs[Array[Byte]](idx)
+          // head/body split at the first CRLF CRLF (tolerate bare LF LF —
+          // real servers emit both)
+          var split = -1
+          var bodyAt = -1
+          var i = 0
+          while (split < 0 && i + 1 < b.length) {
+            if (b(i) == '\r' && b(i + 1) == '\n' && i + 3 < b.length &&
+                b(i + 2) == '\r' && b(i + 3) == '\n') { split = i; bodyAt = i + 4 }
+            else if (b(i) == '\n' && b(i + 1) == '\n') { split = i; bodyAt = i + 2 }
+            i += 1
+          }
+          if (split < 0) errRow("no HTTP head/body delimiter")
+          else {
+            val head = new String(b, 0, split, "ISO-8859-1")
+            val lines = head.split("\r\n|\n")
+            if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+              errRow("not an HTTP response (no status line)")
+            else {
+              val parts = lines(0).split(" ", 3)
+              val status =
+                try parts(1).toInt
+                catch { case _: Exception => -1 }
+              if (status < 0) errRow("malformed status line")
+              else {
+                var ctype: String = null
+                lines.drop(1).foreach { h =>
+                  val ci = h.indexOf(':')
+                  if (ci > 0 &&
+                      h.substring(0, ci).trim.equalsIgnoreCase("content-type"))
+                    ctype = h.substring(ci + 1).trim
+                }
+                val media =
+                  if (ctype == null) null
+                  else ctype.takeWhile(_ != ';').trim.toLowerCase
+                val charset =
+                  if (ctype == null) null
+                  else "charset=\"?([^\";\\s]+)".r
+                    .findFirstMatchIn(ctype.toLowerCase)
+                    .map(_.group(1)).orNull
+                val cs =
+                  try java.nio.charset.Charset.forName(
+                    if (charset == null) "UTF-8" else charset)
+                  catch { case _: Exception =>
+                    java.nio.charset.StandardCharsets.UTF_8 }
+                val body = new String(b, bodyAt, b.length - bodyAt, cs)
+                Row.fromSeq(r.toSeq ++ Seq(status, media, charset, body, null))
+              }
+            }
+          }
+        } catch { case e: Exception =>
+          errRow(s"http parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic WARC segment with a `response` record whose body is a
+    * REAL HTTP message: status from `status`, `Content-Type: text/html;
+    * charset=<cs>`, and `html` ENCODED in that charset — so the
+    * [[warcRecordBytes]] → [[httpResponses]] → [[htmlText]] raw-crawl
+    * chain exercises genuine non-UTF-8 decoding end-to-end. `gzipped`
+    * wraps the segment like [[syntheticWarc]].
+    */
+  val syntheticWarcResponse: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((uriKey: Long, html: String, status: Int, cs: String, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      val bodyBytes = (if (html == null) "" else html)
+        .getBytes(java.nio.charset.Charset.forName(cs))
+      val reason = if (status == 200) "OK" else "Not Found"
+      val http = new java.io.ByteArrayOutputStream()
+      http.write((s"HTTP/1.1 $status $reason\r\n" +
+        s"Content-Type: text/html; charset=$cs\r\n" +
+        s"X-Crawler: graft\r\n\r\n").getBytes("ISO-8859-1"))
+      http.write(bodyBytes)
+      val httpBytes = http.toByteArray
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
+        "Content-Type" -> "application/http; msgtype=response",
+        "Content-Length" -> httpBytes.length.toString).foreach {
+        case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
+      }
+      sb.append("\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(httpBytes)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
       val raw = out.toByteArray
       if (!gzipped) raw
       else {

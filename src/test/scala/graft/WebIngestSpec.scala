@@ -59,6 +59,48 @@ class WebIngestSpec extends AnyFunSuite {
     assert(WebIngest.extractText("<p>x</p><script>var y = 1;") == "x")
   }
 
+  test("raw-crawl chain: warcRecordBytes → httpResponses → htmlText " +
+      "decodes each page with ITS declared charset, not blanket UTF-8") {
+    // the same non-ASCII text shipped in three charsets: latin-1 and
+    // cp1252 encode é as one byte 0xE9, which blanket-UTF-8 decoding
+    // mangles — per-charset decode must recover the identical string
+    val page = "<html><body><p>café résumé</p></body></html>"
+    val df = Seq(
+      (0L, 200, "utf-8"), (1L, 200, "iso-8859-1"), (2L, 200, "windows-1252"),
+      (3L, 404, "utf-8"))
+      .toDF("doc_id", "status", "cs")
+      .select(col("doc_id"), col("status"), col("cs"),
+        WebIngest.syntheticWarcResponse(col("doc_id"), lit(page),
+          col("status"), col("cs"), col("doc_id") % 2 === 1).as("payload"))
+    val resp = WebIngest.httpResponses(
+      WebIngest.warcRecordBytes(df)
+        .where(col("warc_type") === "response" && col("parse_error").isNull)
+        .drop("parse_error", "record_idx", "warc_type", "content_type",
+          "content_length"))
+    val out = WebIngest.htmlText(resp, "http_body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- 0L to 2L) {
+      assert(out(id).getAs[Int]("http_status") == 200)
+      assert(out(id).getAs[String]("http_content_type") == "text/html")
+      assert(out(id).getAs[String]("html_text") == "café résumé",
+        s"doc $id charset ${out(id).getAs[String]("http_charset")} mangled")
+    }
+    assert(out(1L).getAs[String]("http_charset") == "iso-8859-1")
+    assert(out(3L).getAs[Int]("http_status") == 404)
+    // degradation: a conversion-style body with no HTTP head
+    val notHttp = WebIngest.httpResponses(
+      Seq((9L, "just text, no head".getBytes("UTF-8")))
+        .toDF("doc_id", "content_bytes")).collect().head
+    assert(notHttp.getAs[String]("parse_error") == "no HTTP head/body delimiter")
+    // unsupported charset falls back to UTF-8 instead of throwing
+    val weird = WebIngest.httpResponses(
+      Seq((8L, ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        "charset=x-nonsense\r\n\r\nplain body").getBytes("UTF-8")))
+        .toDF("doc_id", "content_bytes")).collect().head
+    assert(weird.getAs[String]("parse_error") == null)
+    assert(weird.getAs[String]("http_body") == "plain body")
+  }
+
   test("extractText: custom elements whose name merely STARTS with " +
       "script/style are ordinary tags, not raw-text blocks") {
     // without the tag-name boundary check these would be swallowed whole
