@@ -1191,11 +1191,14 @@ object CatalogOps {
       val segs = docs.select(col("doc_id"),
         graft.ops.WebIngest.syntheticWarcResponse(col("doc_id"), page,
           status, cs, col("doc_id") % 2 === 1).as("payload"))
+      // payload/target_uri dropped too: httpResponses is an opaque
+      // mapPartitions, so Spark can't prune below it — keeping the raw
+      // segment bytes would re-serialize them through the second walk
       val resp = graft.ops.WebIngest.httpResponses(
         graft.ops.WebIngest.warcRecordBytes(segs)
           .where(col("warc_type") === "response" && col("parse_error").isNull)
           .drop("parse_error", "record_idx", "warc_type", "content_type",
-            "content_length"))
+            "content_length", "payload", "target_uri"))
       graft.ops.WebIngest.htmlText(resp, "http_body")
         .select(col("doc_id"), col("http_status"), col("http_content_type"),
           col("http_charset"), col("html_text"))

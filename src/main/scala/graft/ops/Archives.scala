@@ -319,7 +319,7 @@ object Archives {
     out.write(new Array[Byte](pad))
   }
 
-  private def gzipWrap(raw: Array[Byte], gzipped: Boolean): Array[Byte] =
+  private[ops] def gzipWrap(raw: Array[Byte], gzipped: Boolean): Array[Byte] =
     if (!gzipped) raw
     else {
       val bos = new java.io.ByteArrayOutputStream()

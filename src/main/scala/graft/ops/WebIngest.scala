@@ -286,33 +286,34 @@ object WebIngest {
     * byte content identical after inflation, so one oracle covers
     * both). CRLF framing exactly per ISO 28500.
     */
+  /** One framed WARC record (ISO 28500: version line, headers +
+    * Content-Length, blank line, content, CRLF CRLF) — the layout kernel
+    * both synthetic generators share, so framing rules cannot diverge.
+    */
+  private def warcFrameRecord(out: java.io.ByteArrayOutputStream,
+      headers: Seq[(String, String)], content: Array[Byte]): Unit = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    (headers :+ ("Content-Length" -> content.length.toString)).foreach {
+      case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
+    }
+    sb.append("\r\n")
+    out.write(sb.toString.getBytes("UTF-8"))
+    out.write(content)
+    out.write("\r\n\r\n".getBytes("UTF-8"))
+  }
+
   val syntheticWarc: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((uriKey: Long, body: String, gzipped: Boolean) => {
       val out = new java.io.ByteArrayOutputStream()
-      def rec(headers: Seq[(String, String)], content: Array[Byte]): Unit = {
-        val sb = new StringBuilder("WARC/1.0\r\n")
-        (headers :+ ("Content-Length" -> content.length.toString)).foreach {
-          case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
-        }
-        sb.append("\r\n")
-        out.write(sb.toString.getBytes("UTF-8"))
-        out.write(content)
-        out.write("\r\n\r\n".getBytes("UTF-8"))
-      }
-      rec(Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
         "software: graft-synthetic\r\n".getBytes("UTF-8"))
-      rec(Seq("WARC-Type" -> "conversion",
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "conversion",
           "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
           "Content-Type" -> "text/html"),
         (if (body == null) "" else body).getBytes("UTF-8"))
-      val raw = out.toByteArray
-      if (!gzipped) raw
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(raw); gz.close()
-        bos.toByteArray
-      }
+      Archives.gzipWrap(out.toByteArray, gzipped)
     })
 
   private val httpCols = Seq(
@@ -321,6 +322,40 @@ object WebIngest {
     StructField("http_charset", StringType),
     StructField("http_body", StringType),
     StructField("parse_error", StringType))
+
+  // hoisted: a fresh Pattern.compile per record would run millions of
+  // times on the flagship's per-record hot path. Single-quoted charset
+  // values are common in the wild; both quote kinds tolerated.
+  private val CharsetRe = "charset=[\"']?([^\"';\\s]+)".r
+
+  /** RFC 9112 §7.1 chunked decoding: hex size line (extensions after ';'
+    * ignored), chunk bytes, CRLF, …, 0-chunk ends. Throws on malformed
+    * framing — the caller degrades the record by name.
+    */
+  private def dechunk(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var o = from
+    var done = false
+    while (!done) {
+      var e = o
+      while (e < to && b(e) != '\r' && b(e) != '\n') e += 1
+      val line = new String(b, o, e - o, "ISO-8859-1")
+      val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+      if (hex.isEmpty || e >= to)
+        throw new java.io.IOException("malformed chunk size line")
+      val sz = java.lang.Integer.parseInt(hex, 16)
+      o = e + (if (b(e) == '\r' && e + 1 < to && b(e + 1) == '\n') 2 else 1)
+      if (sz == 0) done = true
+      else if (o + sz > to) throw new java.io.IOException("truncated chunk")
+      else {
+        out.write(b, o, sz)
+        o += sz
+        if (o + 1 < to && b(o) == '\r' && b(o + 1) == '\n') o += 2
+        else if (o < to && b(o) == '\n') o += 1
+      }
+    }
+    out.toByteArray
+  }
 
   /** HTTP response parse — the piece between [[warcRecordBytes]] and
     * [[htmlText]] for RAW (non-WET) crawls, where each `response`
@@ -346,52 +381,97 @@ object WebIngest {
         if (r.isNullAt(idx)) errRow("null body")
         else try {
           val b = r.getAs[Array[Byte]](idx)
-          // head/body split at the first CRLF CRLF (tolerate bare LF LF —
-          // real servers emit both)
+          // head/body split at the first EMPTY LINE, where each line may
+          // end in CRLF or bare LF INDEPENDENTLY (mixed delimiters like
+          // "\n\r\n" occur in the wild; a strict CRLFCRLF-or-LFLF pair
+          // scan rejects them)
           var split = -1
           var bodyAt = -1
           var i = 0
-          while (split < 0 && i + 1 < b.length) {
-            if (b(i) == '\r' && b(i + 1) == '\n' && i + 3 < b.length &&
-                b(i + 2) == '\r' && b(i + 3) == '\n') { split = i; bodyAt = i + 4 }
-            else if (b(i) == '\n' && b(i + 1) == '\n') { split = i; bodyAt = i + 2 }
+          while (split < 0 && i < b.length) {
+            val t1 =
+              if (b(i) == '\r' && i + 1 < b.length && b(i + 1) == '\n') 2
+              else if (b(i) == '\n') 1 else 0
+            if (t1 > 0) {
+              val j = i + t1
+              val t2 =
+                if (j < b.length && b(j) == '\r' && j + 1 < b.length && b(j + 1) == '\n') 2
+                else if (j < b.length && b(j) == '\n') 1 else 0
+              if (t2 > 0) { split = i; bodyAt = j + t2 }
+            }
             i += 1
           }
           if (split < 0) errRow("no HTTP head/body delimiter")
           else {
             val head = new String(b, 0, split, "ISO-8859-1")
-            val lines = head.split("\r\n|\n")
+            val lines = head.split("\r\n|\n").map(_.stripSuffix("\r"))
             if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
               errRow("not an HTTP response (no status line)")
             else {
               val parts = lines(0).split(" ", 3)
               val status =
-                try parts(1).toInt
+                try parts(1).trim.toInt
                 catch { case _: Exception => -1 }
               if (status < 0) errRow("malformed status line")
               else {
                 var ctype: String = null
+                var tenc: String = null
+                var cenc: String = null
                 lines.drop(1).foreach { h =>
                   val ci = h.indexOf(':')
-                  if (ci > 0 &&
-                      h.substring(0, ci).trim.equalsIgnoreCase("content-type"))
-                    ctype = h.substring(ci + 1).trim
+                  if (ci > 0) {
+                    val k = h.substring(0, ci).trim.toLowerCase
+                    val v = h.substring(ci + 1).trim
+                    k match {
+                      case "content-type" => ctype = v
+                      case "transfer-encoding" => tenc = v.toLowerCase
+                      case "content-encoding" => cenc = v.toLowerCase
+                      case _ => ()
+                    }
+                  }
                 }
-                val media =
-                  if (ctype == null) null
-                  else ctype.takeWhile(_ != ';').trim.toLowerCase
-                val charset =
-                  if (ctype == null) null
-                  else "charset=\"?([^\";\\s]+)".r
-                    .findFirstMatchIn(ctype.toLowerCase)
-                    .map(_.group(1)).orNull
-                val cs =
-                  try java.nio.charset.Charset.forName(
-                    if (charset == null) "UTF-8" else charset)
-                  catch { case _: Exception =>
-                    java.nio.charset.StandardCharsets.UTF_8 }
-                val body = new String(b, bodyAt, b.length - bodyAt, cs)
-                Row.fromSeq(r.toSeq ++ Seq(status, media, charset, body, null))
+                // the record holds the payload AS TRANSMITTED: dechunk
+                // first (transfer happens outermost), then content-decode
+                // — decoding gzip bytes "as charset text" would ship
+                // silent mojibake into the corpus with parse_error null
+                val raw0: Array[Byte] =
+                  if (tenc != null && tenc.contains("chunked"))
+                    dechunk(b, bodyAt, b.length)
+                  else java.util.Arrays.copyOfRange(b, bodyAt, b.length)
+                val unsupportedEnc =
+                  cenc != null && cenc != "identity" &&
+                    cenc != "gzip" && cenc != "x-gzip"
+                if (unsupportedEnc)
+                  errRow(s"unsupported content-encoding: $cenc")
+                else if (tenc != null && !tenc.contains("chunked") &&
+                    tenc != "identity")
+                  errRow(s"unsupported transfer-encoding: $tenc")
+                else {
+                  val raw =
+                    if (cenc == "gzip" || cenc == "x-gzip")
+                      Archives.gunzipIfNeeded(raw0)
+                    else raw0
+                  val media =
+                    if (ctype == null) null
+                    else ctype.takeWhile(_ != ';').trim.toLowerCase
+                  val declared =
+                    if (ctype == null) null
+                    else CharsetRe.findFirstMatchIn(ctype.toLowerCase)
+                      .map(_.group(1)).orNull
+                  // http_charset reports the charset the body was ACTUALLY
+                  // decoded with; an unsupported declared value falls back
+                  // to UTF-8 and reports null rather than lying
+                  val (cs, csOut) =
+                    try {
+                      val c = java.nio.charset.Charset.forName(
+                        if (declared == null) "UTF-8" else declared)
+                      (c, declared)
+                    } catch { case _: Exception =>
+                      (java.nio.charset.StandardCharsets.UTF_8, null)
+                    }
+                  val body = new String(raw, cs)
+                  Row.fromSeq(r.toSeq ++ Seq(status, media, csOut, body, null))
+                }
               }
             }
           }
@@ -420,25 +500,11 @@ object WebIngest {
         s"Content-Type: text/html; charset=$cs\r\n" +
         s"X-Crawler: graft\r\n\r\n").getBytes("ISO-8859-1"))
       http.write(bodyBytes)
-      val httpBytes = http.toByteArray
-      val sb = new StringBuilder("WARC/1.0\r\n")
-      Seq("WARC-Type" -> "response",
-        "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
-        "Content-Type" -> "application/http; msgtype=response",
-        "Content-Length" -> httpBytes.length.toString).foreach {
-        case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
-      }
-      sb.append("\r\n")
-      out.write(sb.toString.getBytes("UTF-8"))
-      out.write(httpBytes)
-      out.write("\r\n\r\n".getBytes("UTF-8"))
-      val raw = out.toByteArray
-      if (!gzipped) raw
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(raw); gz.close()
-        bos.toByteArray
-      }
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
+          "Content-Type" -> "application/http; msgtype=response"),
+        http.toByteArray)
+      Archives.gzipWrap(out.toByteArray, gzipped)
     })
 }

@@ -76,7 +76,7 @@ class WebIngestSpec extends AnyFunSuite {
       WebIngest.warcRecordBytes(df)
         .where(col("warc_type") === "response" && col("parse_error").isNull)
         .drop("parse_error", "record_idx", "warc_type", "content_type",
-          "content_length"))
+          "content_length", "payload", "target_uri"))
     val out = WebIngest.htmlText(resp, "http_body").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     for (id <- 0L to 2L) {
@@ -92,13 +92,60 @@ class WebIngestSpec extends AnyFunSuite {
       Seq((9L, "just text, no head".getBytes("UTF-8")))
         .toDF("doc_id", "content_bytes")).collect().head
     assert(notHttp.getAs[String]("parse_error") == "no HTTP head/body delimiter")
-    // unsupported charset falls back to UTF-8 instead of throwing
+    // unsupported charset falls back to UTF-8 instead of throwing — and
+    // http_charset reports NULL (the decode actually applied), not the
+    // declared value it could not honor
     val weird = WebIngest.httpResponses(
       Seq((8L, ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
         "charset=x-nonsense\r\n\r\nplain body").getBytes("UTF-8")))
         .toDF("doc_id", "content_bytes")).collect().head
     assert(weird.getAs[String]("parse_error") == null)
     assert(weird.getAs[String]("http_body") == "plain body")
+    assert(weird.isNullAt(weird.fieldIndex("http_charset")))
+  }
+
+  test("httpResponses: payloads AS TRANSMITTED — chunked transfer coding " +
+      "dechunked, gzip content coding inflated, unsupported codings refuse " +
+      "by name, single-quoted charsets and mixed delimiters tolerated") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def resp(head: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(head.getBytes(ISO_8859_1)); bos.write(body); bos.toByteArray
+    }
+    val gzBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("<p>zipped page</p>".getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val chunked = ("7\r\n<p>chun\r\n" + "A;ext=1\r\nked body12\r\n" +
+      "4\r\n</p>\r\n" + "0\r\n\r\n").getBytes(ISO_8859_1)
+    val rows = Seq(
+      // gzip content-encoding: inflate, then charset-decode
+      (1L, resp("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n", gzBody)),
+      // chunked transfer-encoding: sizes in hex, extensions ignored
+      (2L, resp("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n", chunked)),
+      // unsupported coding refuses BY NAME, never ships mojibake
+      (3L, resp("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n",
+        Array[Byte](1, 2, 3))),
+      // single-quoted charset value (seen in the wild)
+      (4L, resp("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset='iso-8859-1'\r\n\r\n", "café".getBytes(ISO_8859_1))),
+      // mixed delimiters: LF header endings, CRLF blank line
+      (5L, resp("HTTP/1.1 200 OK\nContent-Type: text/plain\n\r\n",
+        "mixed ok".getBytes("UTF-8"))))
+      .toDF("doc_id", "content_bytes")
+    val out = WebIngest.httpResponses(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("http_body") == "<p>zipped page</p>")
+    assert(out(2L).getAs[String]("http_body") == "<p>chunked body12</p>")
+    assert(out(3L).getAs[String]("parse_error") == "unsupported content-encoding: br")
+    assert(out(4L).getAs[String]("http_charset") == "iso-8859-1")
+    assert(out(4L).getAs[String]("http_body") == "café")
+    assert(out(5L).getAs[String]("http_body") == "mixed ok")
+    assert(out(5L).getAs[Int]("http_status") == 200)
   }
 
   test("extractText: custom elements whose name merely STARTS with " +
