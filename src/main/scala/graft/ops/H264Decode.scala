@@ -69,22 +69,50 @@ object H264Decode {
     * luma is reconstructed — gates and perceptual hashes read luma.
     */
   private[ops] def decodeIPcmSlice(sliceRbsp: Array[Byte],
-      sps: VideoBitstream.SpsInfo, pps: PpsInfo): Either[String, Array[Byte]] = {
+      sps: VideoBitstream.SpsInfo, pps: PpsInfo,
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): Either[String, Array[Byte]] = {
+    // every refusal below happens BEFORE the plane allocation: the SPS
+    // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
+    // from a crafted 46000×46000 claim kills the executor JVM — the one
+    // failure per-clip degradation cannot catch (same decompression-bomb
+    // class Archives caps before allocating)
+    val mbw = sps.widthMbs
+    val mbh = sps.heightMbs
+    val nMbs = mbw.toLong * mbh
+    // an I_PCM macroblock carries >= 256 raw luma bytes (+128 chroma for
+    // 4:2:0) — a slice too short to plausibly hold them can never decode,
+    // so a tiny payload must not size an allocation off the SPS claim
+    val minPcmPerMb = if (sps.chromaFormatIdc == 1) 384L else 256L
     if (pps.entropyCabac)
       Left("CABAC stream (decodeStub seam: entropy decode)")
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
     else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
     else if (sps.chromaFormatIdc > 1)
       Left("chroma format beyond 4:2:0 not supported")
+    else if (sps.bitDepthLuma != 8 || sps.bitDepthChroma != 8)
+      // I_PCM samples are BitDepth bits wide (§7.3.5): a fixed-8-bit walk
+      // over a 10-bit stream mis-aligns and can return a WRONG plane with
+      // decode_error null — refuse by name like the other shapes
+      Left(s"bit depth ${sps.bitDepthLuma}/${sps.bitDepthChroma} " +
+        "not supported (only 8-bit)")
     else if (sps.pocType == 1)
       // §7.3.3 puts delta_pic_order_cnt se(v) fields in the slice header
       // when delta_pic_order_always_zero_flag is 0 — a flag this parse
       // does not retain, so a silent bit-shift would corrupt everything
       // after it: refuse by name instead
       Left("pic_order_cnt_type 1 not supported")
+    else if (nMbs * 256L > maxPlaneBytes)
+      Left(s"luma plane too large (${mbw * 16}x${mbh * 16} = " +
+        s"${nMbs * 256L} bytes > $maxPlaneBytes plane cap)")
+    else if (nMbs * 256L > (1L << 20) && sliceRbsp.length < nMbs * minPcmPerMb)
+      // gated to >1 MiB claims: small planes allocate harmlessly and keep
+      // the precise per-macroblock refusals (an entropy-coded slice is
+      // ALSO shorter than nMbs I_PCM macroblocks — it should still say
+      // "entropy-coded", not "too small"); a big claim must be backed by
+      // bytes before it sizes an allocation
+      Left(s"slice payload too small (${sliceRbsp.length} bytes) to hold " +
+        s"$nMbs I_PCM macroblocks (>= ${nMbs * minPcmPerMb} bytes)")
     else {
-      val mbw = sps.widthMbs
-      val mbh = sps.heightMbs
       val w = mbw * 16
       val h = mbh * 16
       val luma = new Array[Byte](w * h)
@@ -164,7 +192,8 @@ object H264Decode {
     * else degrades per clip with a message naming WHY (the message for
     * entropy-coded macroblocks names the remaining `decodeStub` seam).
     */
-  def decodeIPcmIdr(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def decodeIPcmIdr(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeIPcmIdr", cols.map(_.name))
     val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -198,7 +227,7 @@ object H264Decode {
             if (sps == null) errRow("no SPS in stream")
             else if (pps == null) errRow("no PPS in stream")
             else if (idr == null) errRow("no IDR slice in stream")
-            else decodeIPcmSlice(idr, sps, pps) match {
+            else decodeIPcmSlice(idr, sps, pps, maxPlaneBytes) match {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
@@ -224,7 +253,8 @@ object H264Decode {
     * a sample that fails decodes to its own error row, siblings survive;
     * clip-level failures (no video track, no avcC) yield one error row.
     */
-  def decodeMp4KeyframesIPcm(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def decodeMp4KeyframesIPcm(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeMp4KeyframesIPcm", mp4Cols.map(_.name))
     val schema = StructType(df.schema.fields ++ mp4Cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -316,7 +346,7 @@ object H264Decode {
                           }
                         }
                         if (idr == null) sampleErr("no IDR NAL in sync sample")
-                        else decodeIPcmSlice(idr, sps, pps) match {
+                        else decodeIPcmSlice(idr, sps, pps, maxPlaneBytes) match {
                           case Left(msg) => sampleErr(msg)
                           case Right(luma) => Seq(lumaRow(r, luma,
                             sps.widthMbs * 16, sps.heightMbs * 16,

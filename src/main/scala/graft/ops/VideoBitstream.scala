@@ -110,7 +110,8 @@ object VideoBitstream {
       width: Int, height: Int,
       widthMbs: Int = 0, heightMbs: Int = 0,
       chromaFormatIdc: Int = 1, frameMbsOnly: Int = 1,
-      log2MaxFrameNum: Int = 4, pocType: Int = 2, log2MaxPocLsb: Int = 4)
+      log2MaxFrameNum: Int = 4, pocType: Int = 2, log2MaxPocLsb: Int = 4,
+      bitDepthLuma: Int = 8, bitDepthChroma: Int = 8)
 
   /** SPS parse (H.264 §7.3.2.1.1) → profile, level, luma frame dims with
     * cropping applied. High-profile chroma/bit-depth branches handled;
@@ -124,11 +125,19 @@ object VideoBitstream {
     val level = r.u(8)
     r.ue() // seq_parameter_set_id
     var chromaFormatIdc = 1
+    var bitDepthLuma = 8
+    var bitDepthChroma = 8
     if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
         .contains(profile)) {
       chromaFormatIdc = r.ue()
       if (chromaFormatIdc == 3) r.u1() // separate_colour_plane_flag
-      r.ue(); r.ue() // bit_depth_luma/chroma _minus8
+      // bit depths are RETAINED, not discarded: I_PCM samples are
+      // BitDepth bits wide (§7.3.5), so a >8-bit High-profile stream that
+      // passed every other gate would mis-align the fixed-8-bit PCM walk
+      // and ship a WRONG plane with decode_error null — the decoder must
+      // be able to refuse it by name
+      bitDepthLuma = r.ue() + 8
+      bitDepthChroma = r.ue() + 8
       r.u1() // qpprime_y_zero_transform_bypass_flag
       if (r.u1() == 1) { // seq_scaling_matrix_present_flag
         val lists = if (chromaFormatIdc == 3) 12 else 8
@@ -183,7 +192,8 @@ object VideoBitstream {
     }
     SpsInfo(profile, level, w, h,
       widthMbs, heightMapUnits * (2 - frameMbsOnly), chromaFormatIdc,
-      frameMbsOnly, log2MaxFrameNum, pocType, log2MaxPocLsb)
+      frameMbsOnly, log2MaxFrameNum, pocType, log2MaxPocLsb,
+      bitDepthLuma, bitDepthChroma)
   }
 
   private val nalCols = Seq(

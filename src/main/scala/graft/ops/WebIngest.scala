@@ -446,6 +446,15 @@ object WebIngest {
                 else if (tenc != null && !tenc.contains("chunked") &&
                     tenc != "identity")
                   errRow(s"unsupported transfer-encoding: $tenc")
+                else if ((cenc == "gzip" || cenc == "x-gzip") &&
+                    !(raw0.length >= 2 && raw0(0) == 0x1f.toByte &&
+                      raw0(1) == 0x8b.toByte))
+                  // gunzipIfNeeded only acts on the 1f 8b magic — a body
+                  // DECLARED gzip but corrupt/truncated at byte 0 would
+                  // fall through it and charset-decode raw deflate bytes
+                  // into silent mojibake with parse_error null; refuse by
+                  // name instead
+                  errRow("declared gzip but no gzip magic")
                 else {
                   val raw =
                     if (cenc == "gzip" || cenc == "x-gzip")

@@ -201,6 +201,94 @@ class H264DecodeSpec extends AnyFunSuite {
     assert(out2.head.getAs[String]("decode_error") == "no SPS in avcC record")
   }
 
+  test("decodeIPcmIdr: a crafted SPS claiming a giant frame refuses BY " +
+      "NAME before any plane allocation — tiny payloads can never size a " +
+      "multi-GB array off untrusted dims") {
+    def annexB(spsRbsp: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, spsRbsp)
+      val pps = {
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+        w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbspTrailing(); w.bytes
+      }
+      nal(3, 8, pps)
+      nal(3, 5, Array[Byte](0x88.toByte)) // tiny slice: refused before parse
+      out.toArray
+    }
+    // ~46000×46000 luma: the ADVICE bomb shape — refused at the plane cap
+    val bomb = H264Decode.decodeIPcmIdr(Seq(
+      (0L, annexB(VideoBitstream.syntheticSpsRbsp(2875, 2875))))
+      .toDF("doc_id", "payload")).collect().head
+    assert(bomb.getAs[String]("decode_error") != null)
+    assert(bomb.getAs[String]("decode_error").contains("plane cap"))
+    // a 4096×4096 claim fits the cap but the 1-byte slice cannot possibly
+    // hold 65536 I_PCM macroblocks — refused by the plausibility check
+    val thin = H264Decode.decodeIPcmIdr(Seq(
+      (0L, annexB(VideoBitstream.syntheticSpsRbsp(256, 256))))
+      .toDF("doc_id", "payload")).collect().head
+    assert(thin.getAs[String]("decode_error") != null)
+    assert(thin.getAs[String]("decode_error").contains("too small"))
+    // the override buys headroom back explicitly, same as maxInflatedBytes
+    val eased = H264Decode.decodeIPcmIdr(Seq(
+      (0L, annexB(VideoBitstream.syntheticSpsRbsp(256, 256))))
+      .toDF("doc_id", "payload"), maxPlaneBytes = 8L << 20).collect().head
+    assert(eased.getAs[String]("decode_error").contains("plane cap"))
+  }
+
+  test("decodeIPcmIdr: >8-bit High-profile streams refuse BY NAME — a " +
+      "fixed-8-bit PCM walk over 10-bit samples would mis-align and could " +
+      "ship a WRONG plane with decode_error null") {
+    val sps10bit = {
+      val w = new VideoBitstream.BitWriter
+      w.u(100, 8) // profile_idc: High
+      w.u(0, 8); w.u(30, 8)
+      w.ue(0) // sps id
+      w.ue(1) // chroma_format_idc 4:2:0
+      w.ue(2) // bit_depth_luma_minus8 = 2 → 10-bit
+      w.ue(0) // bit_depth_chroma_minus8
+      w.u(0, 1) // qpprime_y_zero_transform_bypass_flag
+      w.u(0, 1) // seq_scaling_matrix_present_flag
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(2) // pic_order_cnt_type
+      w.ue(1) // max_num_ref_frames
+      w.u(1, 1)
+      w.ue(0); w.ue(0) // 1×1 MBs
+      w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+      w.rbspTrailing(); w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, sps10bit)
+      val pps = {
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+        w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbspTrailing(); w.bytes
+      }
+      nal(3, 8, pps)
+      nal(3, 5, Array[Byte](0x88.toByte))
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") ==
+      "bit depth 10/8 not supported (only 8-bit)")
+  }
+
   test("decodeIPcmIdr: truncation mid-slice degrades per clip") {
     val full = Seq((0L, 1)).toDF("a", "b")
       .select(H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))

@@ -146,6 +146,15 @@ class WebIngestSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("http_body") == "café")
     assert(out(5L).getAs[String]("http_body") == "mixed ok")
     assert(out(5L).getAs[Int]("http_status") == 200)
+    // DECLARED gzip whose body lacks the 1f 8b magic (corrupt/truncated
+    // at byte 0) must refuse BY NAME — gunzipIfNeeded's magic gate would
+    // otherwise pass raw deflate bytes through to charset decoding as
+    // silent mojibake with parse_error null
+    val fake = WebIngest.httpResponses(
+      Seq((6L, resp("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n", "not gzip at all".getBytes("UTF-8"))))
+        .toDF("doc_id", "content_bytes")).collect().head
+    assert(fake.getAs[String]("parse_error") == "declared gzip but no gzip magic")
   }
 
   test("extractText: custom elements whose name merely STARTS with " +
