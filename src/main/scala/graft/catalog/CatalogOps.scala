@@ -726,6 +726,45 @@ object CatalogOps {
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
       FROM documents"""))
 
+  /** The closed-form synthetic merges table for the BPE rows: letters,
+    * digits, and the two UTF-8 bytes of é each fully merge through ranked
+    * steps, so per-word token counts are small known constants.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("a", "b"), ("ab", "c"), ("x", "y"), ("1", "2"), ("Ã", "©"))
+
+  /** Per-doc synthetic text whose BPE token count is closed-form:
+    * `"abc" + " xy"*a + " 12"*b + " é."` with a = doc_id%4, b = doc_id%3.
+    * Under [[bpeMerges]]: [abc]=1, each [ sp][xy]=2, each [ sp][12]=2,
+    * [ sp,é]=2 (é's two bytes merge), [.]=1 → 4 + 2a + 2b tokens; under
+    * the EMPTY table, count == UTF-8 byte count (the pre-tokenizer
+    * partitions the text) = 7 + 3a + 3b.
+    */
+  private def bpeSyntheticText: Column = concat(lit("abc"),
+    call_function("repeat", lit(" xy"), (col("doc_id") % 4).cast("int")),
+    call_function("repeat", lit(" 12"), (col("doc_id") % 3).cast("int")),
+    lit(" é."))
+
+  /** Byte-pair-merge tokenization (the public GPT-2 algorithm) with a
+    * closed-form merges table: the oracle states the merged count AND the
+    * empty-table byte-count invariant, so both the merge loop and the
+    * pre-tokenizer partition property are value-checked per row.
+    */
+  private val txtBpe = Q("txt_bpe_tokens",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), bpeSyntheticText.as("text"))
+      .select(col("doc_id"),
+        graft.ops.Bpe.tokenCount(bpeMerges)(col("text")).as("bpe_tokens"),
+        graft.ops.Bpe.tokenCount(Seq.empty)(col("text")).as("byte_tokens"),
+        octet_length(col("text")).cast("long").as("n_bytes")),
+    Some("""SELECT doc_id,
+      (4 + 2*(doc_id % 4) + 2*(doc_id % 3))::BIGINT AS bpe_tokens,
+      strlen('abc' || repeat(' xy', (doc_id % 4)::INT)
+        || repeat(' 12', (doc_id % 3)::INT) || ' é.')::BIGINT AS byte_tokens,
+      (7 + 3*(doc_id % 4) + 3*(doc_id % 3))::BIGINT AS n_bytes
+      FROM documents"""),
+    bench = true)
+
   private val txtRepetition = Q("txt_repetition",
     (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("dup_line_frac"), col("dup_ngram_frac")),
@@ -1229,38 +1268,54 @@ object CatalogOps {
     * budget 512). Dropped pages keep null pack columns, so the row shows
     * the funnel, not just the output.
     */
-  private val webCrawlFlagship = Q("web_crawl_flagship",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val content = docs.select(col("doc_id").as("cls"),
-        coalesce(col("text"), lit("")).as("cls_text"))
-      val pages = docs.select(col("doc_id"), (col("doc_id") % 397).as("cls"))
-        .join(content, "cls")
-      val suffix = when(col("cls") % 4 === 0, lit(". Extra sentence one. Extra sentence two."))
-        .when(col("cls") % 4 === 1, lit(" {var x = 1;}"))
-        .when(col("cls") % 4 === 2, lit(" Lorem ipsum dolor."))
-        .otherwise(lit("."))
-      val segs = pages.select(col("doc_id"), col("cls"),
-        graft.ops.WebIngest.syntheticWarc(col("doc_id"),
-          syntheticHtml(col("cls"), concat(col("cls_text"), suffix)),
-          col("doc_id") % 2 === 1).as("payload"))
-      val conv = graft.ops.WebIngest.warcRecords(segs, "payload")
-        .where(col("warc_type") === "conversion")
-      val txt = graft.ops.WebIngest.htmlText(conv, "content_text")
-        .select(col("doc_id"), col("cls"), col("html_text").as("text"))
-      val curated = graft.ops.Curation.curate(txt, "text", "doc_id")
-      val packed = graft.ops.Packing.packSequences(
-        curated.where(col("curate_keep"))
-          .withColumn("shard", col("doc_id") % 8),
-        "doc_id", "shard",
-        size(filter(split(col("text"), "\\s+"), x => x =!= "")), budget = 512L)
-        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))
-      curated.select(col("doc_id"), col("cls"), col("c4_keep"),
-          round(col("dup_line_frac"), 6).as("dup_line_frac"),
-          col("is_canonical"), col("curate_keep"))
-        .join(packed, Seq("doc_id"), "left")
-    },
-    Some("""WITH pages AS (
+  /** The flagship funnel up to curation (shared by the two packing
+    * variants): WARC → conversion records → HTML → text → curate.
+    */
+  private def crawlFunnelCurated(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val content = docs.select(col("doc_id").as("cls"),
+      coalesce(col("text"), lit("")).as("cls_text"))
+    val pages = docs.select(col("doc_id"), (col("doc_id") % 397).as("cls"))
+      .join(content, "cls")
+    val suffix = when(col("cls") % 4 === 0, lit(". Extra sentence one. Extra sentence two."))
+      .when(col("cls") % 4 === 1, lit(" {var x = 1;}"))
+      .when(col("cls") % 4 === 2, lit(" Lorem ipsum dolor."))
+      .otherwise(lit("."))
+    val segs = pages.select(col("doc_id"), col("cls"),
+      graft.ops.WebIngest.syntheticWarc(col("doc_id"),
+        syntheticHtml(col("cls"), concat(col("cls_text"), suffix)),
+        col("doc_id") % 2 === 1).as("payload"))
+    val conv = graft.ops.WebIngest.warcRecords(segs, "payload")
+      .where(col("warc_type") === "conversion")
+    val txt = graft.ops.WebIngest.htmlText(conv, "content_text")
+      .select(col("doc_id"), col("cls"), col("html_text").as("text"))
+    graft.ops.Curation.curate(txt, "text", "doc_id")
+  }
+
+  /** Flagship row body: the shared funnel, packed on `nTokens` with
+    * `budget` — the base row budgets whitespace words, the `_tokens`
+    * variant budgets [[graft.ops.Bpe.tokenCount]].
+    */
+  private def crawlFlagshipRun(nTokens: Column, budget: Long)(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val curated = crawlFunnelCurated(s, dir)
+    val packed = graft.ops.Packing.packSequences(
+      curated.where(col("curate_keep"))
+        .withColumn("shard", col("doc_id") % 8),
+      "doc_id", "shard", nTokens, budget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))
+    curated.select(col("doc_id"), col("cls"), col("c4_keep"),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        col("is_canonical"), col("curate_keep"))
+      .join(packed, Seq("doc_id"), "left")
+  }
+
+  /** Flagship oracle with the packing budget expression parameterized:
+    * `tokSql` is a DuckDB expression over the `cur` CTE's columns
+    * (`n_words`, `text`).
+    */
+  private def crawlFlagshipSql(tokSql: String, budget: Long) = s"""WITH pages AS (
         SELECT d.doc_id, d.doc_id % 397 AS cls, coalesce(c.text, '') AS cls_text
         FROM documents d JOIN documents c ON c.doc_id = d.doc_id % 397),
       raw AS (
@@ -1276,12 +1331,12 @@ object CatalogOps {
           (CASE WHEN ct = '' THEN '' ELSE ct || chr(10) END) ||
           'tail & 5 < 7 A' AS text
         FROM (SELECT doc_id, cls,
-            trim(regexp_replace(body, '[\s]+', ' ', 'g')) AS ct FROM raw)),
+            trim(regexp_replace(body, '[\\s]+', ' ', 'g')) AS ct FROM raw)),
       sig AS (SELECT doc_id, cls, text,
         len(list_filter(string_split_regex(text, '[.!?]'), x -> trim(x) <> ''))::BIGINT AS n_sentences,
         contains(text, '{') AS has_curly,
         contains(lower(text), 'lorem ipsum') AS has_lorem,
-        len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT AS n_words,
+        len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::BIGINT AS n_words,
         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
         FROM ext),
       rep AS (SELECT doc_id, cls, text, n_words,
@@ -1290,19 +1345,41 @@ object CatalogOps {
         (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem AND n_words >= 5) AS c4_keep
         FROM sig),
       keeper AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM ext GROUP BY 1),
-      cur AS (SELECT r.doc_id, r.cls, r.c4_keep, r.dup_line_frac, r.n_words,
+      cur AS (SELECT r.doc_id, r.cls, r.c4_keep, r.dup_line_frac, r.n_words, r.text,
           (r.doc_id = k.keep_id) AS is_canonical,
           (r.c4_keep AND r.dup_line_frac <= 0.3 AND r.doc_id = k.keep_id) AS curate_keep
         FROM rep r JOIN keeper k ON md5(r.text) = k.h),
       packed AS (SELECT doc_id, (doc_id % 8)::BIGINT AS shard,
-          n_words AS n_tokens,
-          (coalesce(sum(n_words) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS pack_id
+          ($tokSql)::BIGINT AS n_tokens,
+          (coalesce(sum(($tokSql)::BIGINT) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget)::BIGINT AS pack_id
         FROM cur WHERE curate_keep)
       SELECT c.doc_id, c.cls, c.c4_keep, c.dup_line_frac, c.is_canonical,
         c.curate_keep, p.shard, p.n_tokens, p.pack_id
-      FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""),
+      FROM cur c LEFT JOIN packed p ON c.doc_id = p.doc_id"""
+
+  private val webCrawlFlagship = Q("web_crawl_flagship",
+    crawlFlagshipRun(
+      size(filter(split(col("text"), "\\s+"), x => x =!= "")), budget = 512L),
+    Some(crawlFlagshipSql("n_words", 512L)),
     bench = true)
+
+  /** The flagship funnel with a TOKEN budget: packing runs on
+    * [[graft.ops.Bpe.tokenCount]] over the extracted text. The merges
+    * table here is EMPTY — byte-level identity vocabulary — because the
+    * oracle must replay the count in SQL over ARBITRARY funnel text, and
+    * under the empty table the BPE count is EXACTLY the UTF-8 byte count
+    * (`strlen`): the oracle pins the whole pre-tokenize → UTF-8 → merge →
+    * count → window path end-to-end on real funnel text (a lost or
+    * double-counted byte anywhere breaks the hash), while the merge loop
+    * itself is value-checked by txt_bpe_tokens / pipe_pack_bpe's
+    * closed-form table. A production run supplies its real merges table
+    * through the same Column.
+    */
+  private val webCrawlFlagshipTokens = Q("web_crawl_flagship_tokens",
+    crawlFlagshipRun(
+      graft.ops.Bpe.tokenCount(Seq.empty)(col("text")), budget = 2048L),
+    Some(crawlFlagshipSql("strlen(text)", 2048L)))
 
   /** Sitemap ingest — the URL-discovery side of the crawl frontier
     * (sitemaps are what [[graft.ops.Robots.parseRobots]]'s `sitemap` rows
@@ -2465,7 +2542,7 @@ object CatalogOps {
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
-    txtLangid, txtQuality, txtTokens, txtFingerprint, txtRepetition,
+    txtLangid, txtQuality, txtTokens, txtBpe, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
@@ -2475,7 +2552,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webRobotsRules, webRobotsGate, webSitemapIngest,
+    webCrawlFlagship, webCrawlFlagshipTokens, webRobotsRules, webRobotsGate, webSitemapIngest,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -79,6 +79,36 @@ object CatalogPipeline {
         FROM d)
       SELECT doc_id, source, n_tokens, (cum_before // 512)::BIGINT AS pack_id FROM c"""))
 
+  /** TOKEN-exact packing: the same window plan as [[pack]] but budgeted on
+    * a [[graft.ops.Bpe.tokenCount]] column instead of whitespace words —
+    * the honesty gap VERDICT r12 #1 names (whitespace budgets mis-size
+    * bins 1.3–2×). Text is the closed-form BPE fixture, so the oracle
+    * replays the merged token count as arithmetic and the packing as the
+    * standard cumulative window — BOTH the tokenizer and the budget math
+    * are value-checked.
+    */
+  private val packBpe = Q("pipe_pack_bpe",
+    (s, dir) => {
+      val bpeMerges = Seq(
+        ("a", "b"), ("ab", "c"), ("x", "y"), ("1", "2"), ("Ã", "©"))
+      val txt = concat(lit("abc"),
+        call_function("repeat", lit(" xy"), (col("doc_id") % 4).cast("int")),
+        call_function("repeat", lit(" 12"), (col("doc_id") % 3).cast("int")),
+        lit(" é."))
+      Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), txt.as("text")),
+        "doc_id", "source",
+        graft.ops.Bpe.tokenCount(bpeMerges)(col("text")), budget = 40L)
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        (4 + 2*(doc_id % 4) + 2*(doc_id % 3))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM d)
+      SELECT doc_id, source, n_tokens, (cum_before // 40)::BIGINT AS pack_id FROM c"""))
+
   /** Sharded-export layout: balanced md5-hash shards + deterministic
     * in-shard shuffle order — the write layout of the final training set.
     */
@@ -396,6 +426,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
+    pack, packBpe, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
     rollup, cube, pctile, heavyHitters, profileQ, profileApproxQ)
 }
