@@ -1446,13 +1446,28 @@ object CatalogOps {
     * longest-octet match, allow wins ties, '$' anchor): per-host rules
     * from the parse joined to per-host URLs. Four path shapes pin the
     * four decision branches (prefix-disallowed, longer-allow-wins,
-    * anchor-miss-disallowed, no-match-allowed).
+    * anchor-miss-disallowed, no-match-allowed), and the robots text
+    * varies the crawl-delay axis by doc_id % 3: a VALID delay plus a
+    * second merged graftbot group declaring `2` (largest wins), a
+    * MALFORMED value (null — the ANSI guard branch), and ABSENT (null) —
+    * so `crawl_delay_s` is value-checked on every branch a frontier
+    * scheduler meets.
     */
   private val webRobotsGate = Q("web_robots_gate",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      val robotsTxt = concat(
+        lit("# policy\nUser-agent: graftbot\nDisallow: /private"),
+        col("doc_id") % 7,
+        lit("/\nAllow: /private"), col("doc_id") % 7, lit("/ok$\n"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("Crawl-delay: "), lit(1) + col("doc_id") % 5,
+              lit("\nUser-agent: graftbot\nCrawl-delay: 2\n")))
+          .when(col("doc_id") % 3 === 1, lit("Crawl-delay: fast\n"))
+          .otherwise(lit("")),
+        lit("\nUser-agent: *\nDisallow: /all\nCrawl-delay: 99\n"))
       val rules = graft.ops.Robots.parseRobots(
-          docs.select(col("doc_id"), syntheticRobotsCol.as("robots")),
+          docs.select(col("doc_id"), robotsTxt.as("robots")),
           "robots", "graftbot")
         .select(col("doc_id"), col("directive"), col("rule_value"))
       val urls = docs.select(col("doc_id"),
@@ -1465,7 +1480,7 @@ object CatalogOps {
           .otherwise(lit("/other")).as("path"))
       graft.ops.Robots.robotsAllowed(urls, "path", rules, Seq("doc_id"))
         .select(col("doc_id"), col("path"), col("robots_allowed"),
-          col("robots_rule"))
+          col("robots_rule"), col("crawl_delay_s"))
     },
     Some("""SELECT doc_id,
       CASE doc_id % 4
@@ -1478,7 +1493,9 @@ object CatalogOps {
         WHEN 0 THEN '/private' || (doc_id % 7) || '/'
         WHEN 1 THEN '/private' || (doc_id % 7) || '/ok$'
         WHEN 2 THEN '/private' || (doc_id % 7) || '/'
-        ELSE NULL END AS robots_rule
+        ELSE NULL END AS robots_rule,
+      CASE WHEN doc_id % 3 = 0 THEN greatest(2, 1 + doc_id % 5)::DOUBLE
+        ELSE NULL END AS crawl_delay_s
       FROM documents"""))
 
   /** NESTED archive composition — the real shape of code-dataset dumps

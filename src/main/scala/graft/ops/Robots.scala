@@ -140,24 +140,44 @@ object Robots {
     * per-host rules frame broadcasts, which AQE picks for any realistic
     * rule set). `rules` is [[parseRobots]]-shaped:
     * (keyCols…, directive, rule_value); only allow/disallow rows
-    * participate; an empty `Disallow:` means allow-all and is dropped.
+    * participate in the decision; an empty `Disallow:` means allow-all
+    * and is dropped.
+    *
+    * Also appends `crawl_delay_s` (double) — the host's effective
+    * crawl-delay, the datum a frontier scheduler needs NEXT to the
+    * allow bit: `crawl_delay` rows ride the SAME per-host aggregation
+    * (no extra exchange), a non-numeric value parses to null (the ANSI
+    * guard — a malformed directive must not kill the corpus pass), and
+    * when merged groups disagree the LARGEST delay wins (crawl-delay is
+    * a de-facto extension RFC 9309 leaves undefined; most-conservative
+    * politeness is the only defensible merge). Null when the host
+    * declares none.
     */
   def robotsAllowed(urls: DataFrame, pathCol: String,
       rules: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "robotsAllowed needs at least one key column")
     Multimodal.requireFreshColumns(urls, "robotsAllowed",
-      Seq("robots_allowed", "robots_rule", "__rules", "__m", "__w"))
+      Seq("robots_allowed", "robots_rule", "crawl_delay_s",
+        "__rules", "__m", "__w"))
+    val isPathRule = col("directive").isin("allow", "disallow") &&
+      col("rule_value") =!= ""
+    val delay = when(col("directive") === "crawl_delay" &&
+      col("rule_value").rlike("^[0-9]+(\\.[0-9]+)?$"),
+      col("rule_value").cast("double"))
     val rl = rules
-      .where(col("directive").isin("allow", "disallow") &&
-        col("rule_value") =!= "")
-      .select(keyCols.map(col) :+
-        struct(
+      .where(col("directive").isin("allow", "disallow", "crawl_delay"))
+      .select(keyCols.map(col) ++ Seq(
+        when(isPathRule, struct(
           octet_length(col("rule_value")).as("l"),
           (col("directive") === "allow").as("a"),
           col("rule_value").as("p"),
-          patternRegex(col("rule_value")).as("rx")).as("__r"): _*)
+          patternRegex(col("rule_value")).as("rx"))).as("__r"),
+        delay.as("__d")): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("__r")).as("__rules"))
+      // collect_list skips nulls: crawl_delay rows never enter the rule
+      // array, path rules never enter the delay max
+      .agg(collect_list(col("__r")).as("__rules"),
+        max(col("__d")).as("crawl_delay_s"))
     urls.join(rl, keyCols, "left")
       .withColumn("__m", filter(col("__rules"),
         r => regexp_like(col(pathCol), r.getField("rx"))))

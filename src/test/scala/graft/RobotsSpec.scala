@@ -84,4 +84,35 @@ class RobotsSpec extends AnyFunSuite {
     // .html path only matches the allow prefix; the txt path likewise
     assert(wGot == Map(1L -> false, 2L -> true, 3L -> true))
   }
+
+  test("robotsAllowed: crawl_delay_s surfaces the host's effective delay " +
+      "next to the allow bit — largest wins across merged groups, " +
+      "malformed parses to null (ANSI guard), absent is null") {
+    val rules = Seq(
+      // host 0: two merged-group delays, most conservative (5.5) wins
+      (0L, "disallow", "/private/"), (0L, "crawl_delay", "3"),
+      (0L, "crawl_delay", "5.5"),
+      // host 1: malformed value — the gate must not throw under ANSI
+      (1L, "crawl_delay", "fast"), (1L, "disallow", "/x"),
+      // host 2: no delay declared
+      (2L, "disallow", "/y"))
+      .toDF("host_id", "directive", "rule_value")
+    val urls = Seq((0L, "/a"), (1L, "/b"), (2L, "/c"), (3L, "/d"))
+      .toDF("host_id", "path")
+    val got = Robots.robotsAllowed(urls, "path", rules, Seq("host_id"))
+      .collect().map { r =>
+        r.getAs[Long]("host_id") ->
+          (if (r.isNullAt(r.fieldIndex("crawl_delay_s"))) null
+           else java.lang.Double.valueOf(r.getAs[Double]("crawl_delay_s")))
+      }.toMap
+    assert(got(0L) == 5.5)
+    assert(got(1L) == null)
+    assert(got(2L) == null)
+    assert(got(3L) == null) // host absent from rules entirely
+    // and the delay rows never leak into the path decision
+    val dec = Robots.robotsAllowed(urls, "path", rules, Seq("host_id"))
+      .collect().map(r => r.getAs[Long]("host_id") ->
+        r.getAs[Boolean]("robots_allowed")).toMap
+    assert(dec == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true))
+  }
 }
