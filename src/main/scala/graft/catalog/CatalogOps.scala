@@ -1268,6 +1268,48 @@ object CatalogOps {
     * budget 512). Dropped pages keep null pack columns, so the row shows
     * the funnel, not just the output.
     */
+  /** CDX selection — how a real Common Crawl consumer reads a crawl:
+    * cdxj index lines ([[graft.ops.WebIngest.cdxjEntries]], declarative
+    * split+from_json+try_cast) select records by status/mime, then ONLY
+    * the selected (offset, length) spans are fetched and parsed
+    * ([[graft.ops.WebIngest.warcRecordAt]] over the per-record-gzipped
+    * segment), composing into [[graft.ops.WebIngest.httpResponses]] →
+    * htmlText unchanged. The generator emits the segment WITH its real
+    * CDX (member offsets/lengths), the selection keeps status-200 lines
+    * only, and the oracle states urlkey/URI/status/text closed-form —
+    * the 404 record exists in every segment and must NOT appear.
+    */
+  private val webCdxSelect = Q("web_cdx_select",
+    (s, dir) => {
+      val gen = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebIngest.syntheticWarcCdx(col("doc_id"),
+          concat(lit("<p>café "), col("doc_id"), lit(" page</p>"))).as("g"))
+      val lines = gen.select(col("doc_id"), col("g._1").as("payload"),
+        explode(col("g._2")).as("cdx_line"))
+      val selected = graft.ops.WebIngest.cdxjEntries(lines, "cdx_line")
+        .where(col("parse_error").isNull && col("cdx_status") === 200 &&
+          col("cdx_mime") === "text/html")
+        .select(col("doc_id"), col("payload"), col("urlkey"),
+          col("cdx_offset"), col("cdx_length"))
+      val rec = graft.ops.WebIngest.warcRecordAt(selected)
+        // payload + span dropped before the opaque downstream walks so
+        // raw segment bytes never re-serialize through them
+        .where(col("parse_error").isNull)
+        .select(col("doc_id"), col("urlkey"), col("target_uri"),
+          col("content_bytes"))
+      val resp = graft.ops.WebIngest.httpResponses(rec)
+      graft.ops.WebIngest.htmlText(resp.where(col("parse_error").isNull)
+          .drop("parse_error", "content_bytes"), "http_body")
+        .select(col("doc_id"), col("urlkey"), col("target_uri"),
+          col("http_status"), col("html_text"))
+    },
+    Some("""SELECT doc_id,
+      'com,example)/doc/' || doc_id AS urlkey,
+      'http://example.com/doc/' || doc_id AS target_uri,
+      200 AS http_status,
+      'café ' || doc_id || ' page' AS html_text
+      FROM documents"""))
+
   /** The flagship funnel up to curation (shared by the two packing
     * variants): WARC → conversion records → HTML → text → curate.
     */
@@ -2569,7 +2611,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webRobotsRules, webRobotsGate, webSitemapIngest,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRobotsRules, webRobotsGate, webSitemapIngest,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -45,6 +45,80 @@ object WebIngest {
   def warcRecordBytes(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     warcWalk(df, payloadCol, emitBytes = true)
 
+  /** One parsed WARC record frame: header fields, body span, and the
+    * offset where the NEXT record starts (after the inter-record CRLFs).
+    * `ok=false` carries the failure shape instead: `truncated` for a
+    * record that starts right but cannot complete; otherwise the version
+    * line was missing (`verMissing` — clean EOF for a walk past record 0)
+    * or present-but-not-WARC (`verNonEmpty` — a malformed tail).
+    */
+  private final case class WarcFrame(ok: Boolean, verMissing: Boolean,
+      verNonEmpty: Boolean, truncated: Boolean,
+      wtype: String, uri: String, ctype: String, clen: Long,
+      bodyStart: Int, nextOff: Int)
+
+  /** Parse ONE record's framing at `start` — the kernel [[warcWalk]] loops
+    * over and [[warcRecordAt]] applies to a CDX-selected slice, so the
+    * framing rules cannot diverge between the whole-segment and
+    * range-selected paths (ISO 28500: version line, CRLF headers, blank
+    * line, Content-Length body, CRLF CRLF).
+    */
+  private def warcFrameAt(bytes: Array[Byte], start: Int): WarcFrame = {
+    def line(from: Int): (String, Int) = {
+      var e = from
+      while (e + 1 < bytes.length &&
+        !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+      if (e + 1 >= bytes.length) (null, bytes.length)
+      else (new String(bytes, from, e - from, "UTF-8"), e + 2)
+    }
+    val bad = WarcFrame(ok = false, verMissing = false, verNonEmpty = false,
+      truncated = false, null, null, null, -1L, -1, -1)
+    val (ver, p0) = line(start)
+    if (ver == null || !ver.startsWith("WARC/"))
+      bad.copy(verMissing = ver == null,
+        verNonEmpty = ver != null && ver.nonEmpty)
+    else {
+      var p = p0
+      var wtype: String = null
+      var uri: String = null
+      var ctype: String = null
+      var clen = -1L
+      var headersOk = true
+      var blank = false
+      while (!blank && headersOk) {
+        val (h, np) = line(p)
+        p = np
+        if (h == null) headersOk = false
+        else if (h.isEmpty) blank = true
+        else {
+          val ci = h.indexOf(':')
+          if (ci > 0) {
+            val k = h.substring(0, ci).trim.toLowerCase
+            val v = h.substring(ci + 1).trim
+            k match {
+              case "warc-type" => wtype = v
+              case "warc-target-uri" => uri = v
+              case "content-type" => ctype = v
+              case "content-length" =>
+                clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ => ()
+            }
+          }
+        }
+      }
+      if (!headersOk || clen < 0 || p + clen > bytes.length) bad.copy(truncated = true)
+      else {
+        var o = p + clen.toInt
+        // trailing CRLF CRLF between records (spec); tolerate EOF
+        var skip = 0
+        while (skip < 4 && o < bytes.length &&
+          (bytes(o) == '\r' || bytes(o) == '\n')) { o += 1; skip += 1 }
+        WarcFrame(ok = true, verMissing = false, verNonEmpty = false,
+          truncated = false, wtype, uri, ctype, clen, p, o)
+      }
+    }
+  }
+
   private def warcWalk(df: DataFrame, payloadCol: String,
       emitBytes: Boolean): DataFrame = {
     val cols =
@@ -67,65 +141,23 @@ object WebIngest {
           var o = 0
           var recIdx = 0
           var tailErr: String = null
-          def line(from: Int): (String, Int) = {
-            var e = from
-            while (e + 1 < bytes.length &&
-              !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
-            if (e + 1 >= bytes.length) (null, bytes.length)
-            else (new String(bytes, from, e - from, "UTF-8"), e + 2)
-          }
           var done = false
           while (!done && o < bytes.length) {
-            val (ver, p0) = line(o)
-            if (ver == null || !ver.startsWith("WARC/")) {
-              if (recIdx == 0) tailErr = "not a WARC stream (no version line)"
-              else if (ver != null && ver.nonEmpty) tailErr = "malformed record tail"
+            val f = warcFrameAt(bytes, o)
+            if (!f.ok) {
+              if (f.truncated) tailErr = "truncated or malformed record"
+              else if (recIdx == 0) tailErr = "not a WARC stream (no version line)"
+              else if (f.verNonEmpty) tailErr = "malformed record tail"
               done = true
             } else {
-              var p = p0
-              var wtype: String = null
-              var uri: String = null
-              var ctype: String = null
-              var clen = -1L
-              var headersOk = true
-              var blank = false
-              while (!blank && headersOk) {
-                val (h, np) = line(p)
-                p = np
-                if (h == null) headersOk = false
-                else if (h.isEmpty) blank = true
-                else {
-                  val ci = h.indexOf(':')
-                  if (ci > 0) {
-                    val k = h.substring(0, ci).trim.toLowerCase
-                    val v = h.substring(ci + 1).trim
-                    k match {
-                      case "warc-type" => wtype = v
-                      case "warc-target-uri" => uri = v
-                      case "content-type" => ctype = v
-                      case "content-length" =>
-                        clen = try v.toLong catch { case _: NumberFormatException => -1L }
-                      case _ => ()
-                    }
-                  }
-                }
-              }
-              if (!headersOk || clen < 0 || p + clen > bytes.length) {
-                tailErr = "truncated or malformed record"
-                done = true
-              } else {
-                val body: Any =
-                  if (emitBytes) java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
-                  else new String(bytes, p, clen.toInt, "UTF-8")
-                recs += Row.fromSeq(r.toSeq ++
-                  Seq(recIdx, wtype, uri, ctype, clen, body, null))
-                recIdx += 1
-                o = p + clen.toInt
-                // trailing CRLF CRLF between records (spec); tolerate EOF
-                var skip = 0
-                while (skip < 4 && o < bytes.length &&
-                  (bytes(o) == '\r' || bytes(o) == '\n')) { o += 1; skip += 1 }
-              }
+              val body: Any =
+                if (emitBytes) java.util.Arrays.copyOfRange(
+                  bytes, f.bodyStart, f.bodyStart + f.clen.toInt)
+                else new String(bytes, f.bodyStart, f.clen.toInt, "UTF-8")
+              recs += Row.fromSeq(r.toSeq ++
+                Seq(recIdx, f.wtype, f.uri, f.ctype, f.clen, body, null))
+              recIdx += 1
+              o = f.nextOff
             }
           }
           if (recs.isEmpty) errRow(if (tailErr != null) tailErr else "empty stream")
@@ -490,6 +522,156 @@ object WebIngest {
       }
     }(enc)
   }
+
+  /** cdxj index-line parse — the SELECTION side of a raw crawl: a real
+    * Common Crawl consumer never scans whole WARC segments, they pick
+    * records from the CDX(J) index (`urlkey timestamp {json}` per line,
+    * the JSON block carrying filename/offset/length as STRINGS plus
+    * status/mime/digest/url) and range-fetch exactly those byte spans.
+    * Entirely declarative — split + `from_json` + `try_cast`, zero UDF,
+    * fully codegen'd — because a cdxj line IS structured text, not a
+    * byte format. Appends urlkey, cdx_timestamp, cdx_url, cdx_filename,
+    * cdx_offset, cdx_length (longs via try_cast: a malformed number
+    * degrades the LINE, never the pass), cdx_status (int), cdx_mime,
+    * cdx_digest, parse_error. Per-line degradation: no JSON block,
+    * unparseable JSON, and missing offset/length each name themselves.
+    */
+  def cdxjEntries(df: DataFrame, lineCol: String): DataFrame = {
+    Multimodal.requireFreshColumns(df, "cdxjEntries", Seq("urlkey",
+      "cdx_timestamp", "cdx_url", "cdx_filename", "cdx_offset",
+      "cdx_length", "cdx_status", "cdx_mime", "cdx_digest", "parse_error"))
+    val l = col(lineCol)
+    val jAt = instr(l, "{") // 1-based; 0 when absent
+    val head = split(trim(l.substr(lit(1), jAt - 1)), "\\s+")
+    val js = from_json(l.substr(jAt, length(l) - jAt + 1), StructType(Seq(
+      StructField("url", StringType), StructField("filename", StringType),
+      StructField("offset", StringType), StructField("length", StringType),
+      StructField("status", StringType), StructField("mime", StringType),
+      StructField("digest", StringType))))
+    df.withColumn("__j", when(jAt > 0, js))
+      .withColumn("urlkey", when(jAt > 0 && size(head) >= 1, element_at(head, 1)))
+      .withColumn("cdx_timestamp", when(size(head) >= 2, element_at(head, 2)))
+      .withColumn("cdx_url", col("__j.url"))
+      .withColumn("cdx_filename", col("__j.filename"))
+      .withColumn("cdx_offset", expr("try_cast(__j.offset AS BIGINT)"))
+      .withColumn("cdx_length", expr("try_cast(__j.length AS BIGINT)"))
+      .withColumn("cdx_status", expr("try_cast(__j.status AS INT)"))
+      .withColumn("cdx_mime", col("__j.mime"))
+      .withColumn("cdx_digest", col("__j.digest"))
+      .withColumn("parse_error",
+        when(l.isNull, "null cdxj line")
+          .when(jAt === 0, "no JSON block")
+          .when(col("__j").isNull, "malformed JSON block")
+          .when(col("cdx_offset").isNull || col("cdx_length").isNull,
+            "missing or non-numeric offset/length"))
+      .drop("__j")
+  }
+
+  private val recordAtCols = Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("content_bytes", BinaryType),
+    StructField("parse_error", StringType))
+
+  /** The FETCH side of CDX selection: parse the single WARC record at
+    * `[offsetCol, offsetCol+lengthCol)` of the segment payload — the
+    * Common Crawl layout stores each record as its own gzip member, so a
+    * CDX (offset, length) span IS one complete record; a plain
+    * (uncompressed) span parses identically. Same column contract as
+    * [[warcRecordBytes]] (minus record_idx — selection names one record),
+    * so [[httpResponses]] composes downstream unchanged. Narrow
+    * per-record map, per-row degradation by name: at 100 TB the
+    * (filename, offset, length) triple drives a storage range-read and
+    * THIS op is everything that runs after it — only the selected spans
+    * are ever decompressed or parsed, never the segment.
+    */
+  def warcRecordAt(df: DataFrame, payloadCol: String = "payload",
+      offsetCol: String = "cdx_offset", lengthCol: String = "cdx_length"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "warcRecordAt", recordAtCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ recordAtCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val oIdx = df.schema.fieldIndex(offsetCol)
+    val lIdx = df.schema.fieldIndex(lengthCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) =
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, msg))
+        if (r.isNullAt(pIdx)) errRow("null payload")
+        else if (r.isNullAt(oIdx) || r.isNullAt(lIdx)) errRow("null offset/length")
+        else try {
+          val payload = r.getAs[Array[Byte]](pIdx)
+          val off = r.getLong(oIdx)
+          val len = r.getLong(lIdx)
+          if (off < 0 || len <= 0 || off + len > payload.length)
+            errRow(s"record span out of bounds ($off+$len of ${payload.length})")
+          else {
+            val slice = Archives.gunzipIfNeeded(java.util.Arrays.copyOfRange(
+              payload, off.toInt, (off + len).toInt))
+            val f = warcFrameAt(slice, 0)
+            if (!f.ok)
+              errRow(if (f.truncated) "truncated or malformed record"
+                else "no WARC record at offset")
+            else Row.fromSeq(r.toSeq ++ Seq(f.wtype, f.uri, f.ctype, f.clen,
+              java.util.Arrays.copyOfRange(slice, f.bodyStart,
+                f.bodyStart + f.clen.toInt), null))
+          }
+        } catch { case e: Exception =>
+          errRow(s"record parse failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic Common-Crawl-layout segment WITH its CDX index: three
+    * records (warcinfo, a 200 text/html response carrying `html`, a 404),
+    * EACH gzip-wrapped as its own member and concatenated — the layout
+    * that makes CDX (offset, length) spans independently fetchable — plus
+    * one cdxj line per response record with the REAL member offsets and
+    * lengths, filename `seg-<key>.warc.gz`, status/mime from the record.
+    * Returns struct(payload binary, cdx array<string>).
+    */
+  val syntheticWarcCdx: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((uriKey: Long, html: String) => {
+      def member(headers: Seq[(String, String)], content: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        warcFrameRecord(b, headers, content)
+        Archives.gzipWrap(b.toByteArray, gzipped = true)
+      }
+      def httpMsg(status: Int, reason: String, body: String): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write((s"HTTP/1.1 $status $reason\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1"))
+        b.write(body.getBytes("UTF-8"))
+        b.toByteArray
+      }
+      val info = member(
+        Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+        "software: graft-synthetic\r\n".getBytes("UTF-8"))
+      val ok = member(
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
+          "Content-Type" -> "application/http; msgtype=response"),
+        httpMsg(200, "OK", if (html == null) "" else html))
+      val gone = member(
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://example.com/gone/$uriKey",
+          "Content-Type" -> "application/http; msgtype=response"),
+        httpMsg(404, "Not Found", "<p>gone</p>"))
+      val segment = info ++ ok ++ gone
+      val fn = s"seg-$uriKey.warc.gz"
+      def cdxLine(urlkeyPath: String, status: Int, off: Long, len: Int): String =
+        s"com,example)/$urlkeyPath/$uriKey 20240101000000 " +
+          s"""{"url": "http://example.com/$urlkeyPath/$uriKey", """ +
+          s""""mime": "text/html", "status": "$status", """ +
+          s""""digest": "sha1:NONE", "length": "$len", """ +
+          s""""offset": "$off", "filename": "$fn"}"""
+      (segment, Seq(
+        cdxLine("doc", 200, info.length.toLong, ok.length),
+        cdxLine("gone", 404, (info.length + ok.length).toLong, gone.length)))
+    })
 
   /** Synthetic WARC segment with a `response` record whose body is a
     * REAL HTTP message: status from `status`, `Content-Type: text/html;

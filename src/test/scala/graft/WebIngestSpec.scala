@@ -157,6 +157,88 @@ class WebIngestSpec extends AnyFunSuite {
     assert(fake.getAs[String]("parse_error") == "declared gzip but no gzip magic")
   }
 
+  test("cdxjEntries: urlkey/timestamp/JSON fields parse declaratively; " +
+      "missing JSON, bad JSON, and non-numeric spans degrade BY LINE") {
+    val lines = Seq(
+      (1L, """com,example)/a 20240101000000 {"url": "http://example.com/a", """ +
+        """"mime": "text/html", "status": "200", "digest": "sha1:AB", """ +
+        """"length": "527", "offset": "862", "filename": "seg.warc.gz"}"""),
+      (2L, "no json block here"),
+      (3L, """k 2024 {not valid json]"""),
+      (4L, """k 2024 {"offset": "eight", "length": "10"}"""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "line")
+    val out = WebIngest.cdxjEntries(lines, "line").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val g = out(1L)
+    assert(g.getAs[String]("parse_error") == null)
+    assert(g.getAs[String]("urlkey") == "com,example)/a")
+    assert(g.getAs[String]("cdx_timestamp") == "20240101000000")
+    assert(g.getAs[Long]("cdx_offset") == 862L)
+    assert(g.getAs[Long]("cdx_length") == 527L)
+    assert(g.getAs[Int]("cdx_status") == 200)
+    assert(g.getAs[String]("cdx_mime") == "text/html")
+    assert(g.getAs[String]("cdx_filename") == "seg.warc.gz")
+    assert(out(2L).getAs[String]("parse_error") == "no JSON block")
+    assert(out(3L).getAs[String]("parse_error") != null)
+    assert(out(4L).getAs[String]("parse_error") ==
+      "missing or non-numeric offset/length")
+    assert(out(5L).getAs[String]("parse_error") == "null cdxj line")
+  }
+
+  test("CDX selection chain: cdxjEntries spans range-fetch EXACTLY one " +
+      "record each via warcRecordAt (per-record gzip members), composing " +
+      "into httpResponses; bounds and plain spans behave") {
+    val gen = Seq((7L, "<p>page seven</p>")).toDF("doc_id", "html")
+      .select(col("doc_id"), WebIngest.syntheticWarcCdx(
+        col("doc_id"), col("html")).as("g"))
+    val lines = gen.select(col("doc_id"), col("g._1").as("payload"),
+      explode(col("g._2")).as("cdx_line"))
+    val entriesRaw = WebIngest.cdxjEntries(lines, "cdx_line")
+    assert(entriesRaw.where(col("parse_error").isNotNull).count() == 0)
+    val entries = entriesRaw.drop("parse_error", "cdx_line")
+    val recs = WebIngest.warcRecordAt(entries)
+      .orderBy("cdx_offset").collect()
+    assert(recs.length == 2)
+    assert(recs.forall(_.getAs[String]("parse_error") == null))
+    assert(recs.forall(_.getAs[String]("warc_type") == "response"))
+    assert(recs.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("http://example.com/doc/7", "http://example.com/gone/7"))
+    val resp = WebIngest.httpResponses(
+      WebIngest.warcRecordAt(entries).select(
+        col("doc_id"), col("urlkey"), col("content_bytes")))
+      .collect().map(r => r.getAs[String]("urlkey") -> r).toMap
+    assert(resp("com,example)/doc/7").getAs[Int]("http_status") == 200)
+    assert(resp("com,example)/doc/7").getAs[String]("http_body") == "<p>page seven</p>")
+    assert(resp("com,example)/gone/7").getAs[Int]("http_status") == 404)
+    // bounds + null degradation by name
+    val payload = gen.select(col("g._1").as("p")).collect()
+      .head.getAs[Array[Byte]]("p")
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val bad = Seq[(Long, Array[Byte], java.lang.Long, java.lang.Long)](
+      (1L, payload, jl(10L), jl(payload.length.toLong)), // overruns the end
+      (2L, payload, jl(-4L), jl(10L)),
+      (3L, payload, null, jl(10L)),
+      (4L, payload, jl(3L), jl(40L))) // mid-gzip garbage: no version line
+      .toDF("id", "payload", "cdx_offset", "cdx_length")
+    val errs = WebIngest.warcRecordAt(bad).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("parse_error")).toMap
+    assert(errs(1L).startsWith("record span out of bounds"))
+    assert(errs(2L).startsWith("record span out of bounds"))
+    assert(errs(3L) == "null offset/length")
+    assert(errs(4L) != null)
+    // a PLAIN (uncompressed) span parses identically: first record of a
+    // plain segment at offset 0
+    val plain = Seq((0L, false)).toDF("doc_id", "gz")
+      .select(WebIngest.syntheticWarc(col("doc_id"), lit("<p>x</p>"),
+        col("gz")).as("p")).collect().head.getAs[Array[Byte]]("p")
+    val one = WebIngest.warcRecordAt(
+      Seq((0L, plain, 0L, plain.length.toLong))
+        .toDF("id", "payload", "cdx_offset", "cdx_length")).collect().head
+    assert(one.getAs[String]("parse_error") == null)
+    assert(one.getAs[String]("warc_type") == "warcinfo")
+  }
+
   test("extractText: custom elements whose name merely STARTS with " +
       "script/style are ordinary tags, not raw-text blocks") {
     // without the tag-name boundary check these would be swallowed whole
