@@ -1310,6 +1310,61 @@ object CatalogOps {
       'café ' || doc_id || ' page' AS html_text
       FROM documents"""))
 
+  /** Redirect hops + revisit dedup — the other two shapes a crawl-audit
+    * user hits on file one: the 301's `Location` (now surfaced by
+    * [[graft.ops.WebIngest.httpResponses]]) joins the hop to its landing
+    * record, and the revisit record's WARC-Refers-To (now first-class on
+    * the record walk) joins the duplicate URL to its canonical capture.
+    * Per-doc equi-joins; the oracle states every URI/digest/body
+    * closed-form from doc_id.
+    */
+  private val webRedirectRevisit = Q("web_redirect_revisit",
+    (s, dir) => {
+      val segs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebIngest.syntheticWarcRedirect(col("doc_id"),
+          col("doc_id") % 2 === 1).as("payload"))
+      val recs = graft.ops.WebIngest.warcRecordBytes(segs)
+        .where(col("parse_error").isNull)
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("record_id"), col("warc_refers_to"), col("payload_digest"),
+          col("content_bytes"))
+      val resp = graft.ops.WebIngest.httpResponses(
+        recs.where(col("warc_type") === "response")
+          .select(col("doc_id"), col("target_uri"), col("content_bytes")))
+      val hop = resp.where(col("http_status") === 301)
+        .select(col("doc_id"), col("target_uri").as("start_uri"),
+          col("http_location").as("redirect_to"))
+      val fin = resp.where(col("http_status") === 200)
+        .select(col("doc_id").as("fin_doc"),
+          col("target_uri").as("final_uri"), col("http_body"))
+      val hopped = hop.join(fin, col("doc_id") === col("fin_doc") &&
+          col("redirect_to") === col("final_uri"))
+        .drop("fin_doc", "final_uri")
+      val rev = recs.where(col("warc_type") === "revisit")
+        .select(col("doc_id").as("rev_doc"), col("target_uri").as("dup_uri"),
+          col("warc_refers_to"), col("payload_digest"))
+      val canon = recs.where(col("warc_type") === "response" &&
+          col("record_id").isNotNull)
+        .select(col("doc_id").as("can_doc"), col("record_id"),
+          col("target_uri").as("canonical_uri"))
+      val deduped = rev.join(canon, col("rev_doc") === col("can_doc") &&
+          col("warc_refers_to") === col("record_id"))
+        .select(col("rev_doc"), col("dup_uri"), col("canonical_uri"),
+          col("payload_digest"))
+      hopped.join(deduped, col("doc_id") === col("rev_doc")).drop("rev_doc")
+        .select(col("doc_id"), col("start_uri"), col("redirect_to"),
+          col("http_body"), col("dup_uri"), col("canonical_uri"),
+          col("payload_digest"))
+    },
+    Some("""SELECT doc_id,
+      'http://example.com/start/' || doc_id AS start_uri,
+      'http://example.com/final/' || doc_id AS redirect_to,
+      '<p>landed ' || doc_id || '</p>' AS http_body,
+      'http://example.com/dup/' || doc_id AS dup_uri,
+      'http://example.com/final/' || doc_id AS canonical_uri,
+      'sha1:D' || doc_id AS payload_digest
+      FROM documents"""))
+
   /** The flagship funnel up to curation (shared by the two packing
     * variants): WARC → conversion records → HTML → text → curate.
     */
@@ -2611,7 +2666,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRobotsRules, webRobotsGate, webSitemapIngest,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webSitemapIngest,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -20,6 +20,9 @@ object WebIngest {
     StructField("target_uri", StringType),
     StructField("content_type", StringType),
     StructField("content_length", LongType),
+    StructField("record_id", StringType),
+    StructField("warc_refers_to", StringType),
+    StructField("payload_digest", StringType),
     StructField("content_text", StringType),
     StructField("parse_error", StringType))
 
@@ -55,7 +58,9 @@ object WebIngest {
   private final case class WarcFrame(ok: Boolean, verMissing: Boolean,
       verNonEmpty: Boolean, truncated: Boolean,
       wtype: String, uri: String, ctype: String, clen: Long,
-      bodyStart: Int, nextOff: Int)
+      bodyStart: Int, nextOff: Int,
+      recordId: String = null, refersTo: String = null,
+      payloadDigest: String = null)
 
   /** Parse ONE record's framing at `start` — the kernel [[warcWalk]] loops
     * over and [[warcRecordAt]] applies to a CDX-selected slice, so the
@@ -83,6 +88,9 @@ object WebIngest {
       var uri: String = null
       var ctype: String = null
       var clen = -1L
+      var recId: String = null
+      var refersTo: String = null
+      var digest: String = null
       var headersOk = true
       var blank = false
       while (!blank && headersOk) {
@@ -101,6 +109,12 @@ object WebIngest {
               case "content-type" => ctype = v
               case "content-length" =>
                 clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              // revisit identity (ISO 28500 §5.11/§6.7.2): a revisit
+              // record names the capture it duplicates by record id
+              // and/or payload digest — the crawl-side dedup key
+              case "warc-record-id" => recId = v
+              case "warc-refers-to" => refersTo = v
+              case "warc-payload-digest" => digest = v
               case _ => ()
             }
           }
@@ -114,7 +128,8 @@ object WebIngest {
         while (skip < 4 && o < bytes.length &&
           (bytes(o) == '\r' || bytes(o) == '\n')) { o += 1; skip += 1 }
         WarcFrame(ok = true, verMissing = false, verNonEmpty = false,
-          truncated = false, wtype, uri, ctype, clen, p, o)
+          truncated = false, wtype, uri, ctype, clen, p, o,
+          recId, refersTo, digest)
       }
     }
   }
@@ -133,7 +148,8 @@ object WebIngest {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val errRow = (msg: String) =>
-          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
+          Seq(Row.fromSeq(r.toSeq ++
+            Seq(null, null, null, null, null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
           val bytes = Archives.gunzipIfNeeded(r.getAs[Array[Byte]](idx))
@@ -155,7 +171,8 @@ object WebIngest {
                   bytes, f.bodyStart, f.bodyStart + f.clen.toInt)
                 else new String(bytes, f.bodyStart, f.clen.toInt, "UTF-8")
               recs += Row.fromSeq(r.toSeq ++
-                Seq(recIdx, f.wtype, f.uri, f.ctype, f.clen, body, null))
+                Seq(recIdx, f.wtype, f.uri, f.ctype, f.clen,
+                  f.recordId, f.refersTo, f.payloadDigest, body, null))
               recIdx += 1
               o = f.nextOff
             }
@@ -164,7 +181,7 @@ object WebIngest {
           else {
             if (tailErr != null)
               recs += Row.fromSeq(r.toSeq ++
-                Seq(recIdx, null, null, null, null, null, tailErr))
+                Seq(recIdx, null, null, null, null, null, null, null, null, tailErr))
             recs.toSeq
           }
         } catch { case e: Exception =>
@@ -352,6 +369,7 @@ object WebIngest {
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
     StructField("http_charset", StringType),
+    StructField("http_location", StringType),
     StructField("http_body", StringType),
     StructField("parse_error", StringType))
 
@@ -409,7 +427,7 @@ object WebIngest {
     df.mapPartitions { rows =>
       rows.map { r =>
         def errRow(msg: String) =
-          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, msg))
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, msg))
         if (r.isNullAt(idx)) errRow("null body")
         else try {
           val b = r.getAs[Array[Byte]](idx)
@@ -449,6 +467,7 @@ object WebIngest {
                 var ctype: String = null
                 var tenc: String = null
                 var cenc: String = null
+                var location: String = null
                 lines.drop(1).foreach { h =>
                   val ci = h.indexOf(':')
                   if (ci > 0) {
@@ -458,6 +477,9 @@ object WebIngest {
                       case "content-type" => ctype = v
                       case "transfer-encoding" => tenc = v.toLowerCase
                       case "content-encoding" => cenc = v.toLowerCase
+                      // the 3xx hop target — a crawl-audit user needs the
+                      // redirect CHAIN, not just the status
+                      case "location" => location = v
                       case _ => ()
                     }
                   }
@@ -511,7 +533,8 @@ object WebIngest {
                       (java.nio.charset.StandardCharsets.UTF_8, null)
                     }
                   val body = new String(raw, cs)
-                  Row.fromSeq(r.toSeq ++ Seq(status, media, csOut, body, null))
+                  Row.fromSeq(r.toSeq ++
+                    Seq(status, media, csOut, location, body, null))
                 }
               }
             }
@@ -572,6 +595,9 @@ object WebIngest {
     StructField("target_uri", StringType),
     StructField("content_type", StringType),
     StructField("content_length", LongType),
+    StructField("record_id", StringType),
+    StructField("warc_refers_to", StringType),
+    StructField("payload_digest", StringType),
     StructField("content_bytes", BinaryType),
     StructField("parse_error", StringType))
 
@@ -598,7 +624,8 @@ object WebIngest {
     df.mapPartitions { rows =>
       rows.map { r =>
         def errRow(msg: String) =
-          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, msg))
+          Row.fromSeq(r.toSeq ++
+            Seq(null, null, null, null, null, null, null, null, msg))
         if (r.isNullAt(pIdx)) errRow("null payload")
         else if (r.isNullAt(oIdx) || r.isNullAt(lIdx)) errRow("null offset/length")
         else try {
@@ -615,6 +642,7 @@ object WebIngest {
               errRow(if (f.truncated) "truncated or malformed record"
                 else "no WARC record at offset")
             else Row.fromSeq(r.toSeq ++ Seq(f.wtype, f.uri, f.ctype, f.clen,
+              f.recordId, f.refersTo, f.payloadDigest,
               java.util.Arrays.copyOfRange(slice, f.bodyStart,
                 f.bodyStart + f.clen.toInt), null))
           }
@@ -671,6 +699,52 @@ object WebIngest {
       (segment, Seq(
         cdxLine("doc", 200, info.length.toLong, ok.length),
         cdxLine("gone", 404, (info.length + ok.length).toLong, gone.length)))
+    })
+
+  /** Synthetic crawl segment exercising the two shapes a crawl-audit user
+    * hits on file one: a 301 HOP (response at /start/<key> whose HTTP head
+    * carries `Location: …/final/<key>`), the 200 landing at /final/<key>
+    * (with a WARC-Record-ID and payload digest), and a REVISIT record at
+    * /dup/<key> naming that capture via WARC-Refers-To + the same digest
+    * (ISO 28500 §6.7.2 — the crawl-side dedup marker in every real crawl;
+    * its body is the truncated HTTP head, per the identical-payload
+    * profile). `gzipped` wraps the segment like [[syntheticWarc]].
+    */
+  val syntheticWarcRedirect: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((uriKey: Long, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      def http(head: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(head.getBytes("ISO-8859-1")); b.write(body); b.toByteArray
+      }
+      val finalUri = s"http://example.com/final/$uriKey"
+      val finalId = s"<urn:uuid:rec-$uriKey-final>"
+      val digest = s"sha1:D$uriKey"
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://example.com/start/$uriKey",
+          "WARC-Record-ID" -> s"<urn:uuid:rec-$uriKey-start>",
+          "Content-Type" -> "application/http; msgtype=response"),
+        http("HTTP/1.1 301 Moved Permanently\r\n" +
+          s"Location: $finalUri\r\n\r\n", Array.emptyByteArray))
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> finalUri,
+          "WARC-Record-ID" -> finalId,
+          "WARC-Payload-Digest" -> digest,
+          "Content-Type" -> "application/http; msgtype=response"),
+        http("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
+          s"<p>landed $uriKey</p>".getBytes("UTF-8")))
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "revisit",
+          "WARC-Target-URI" -> s"http://example.com/dup/$uriKey",
+          "WARC-Record-ID" -> s"<urn:uuid:rec-$uriKey-dup>",
+          "WARC-Refers-To" -> finalId,
+          "WARC-Payload-Digest" -> digest,
+          "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+          "Content-Type" -> "application/http; msgtype=response"),
+        http("HTTP/1.1 200 OK\r\n\r\n", Array.emptyByteArray))
+      Archives.gzipWrap(out.toByteArray, gzipped)
     })
 
   /** Synthetic WARC segment with a `response` record whose body is a

@@ -239,6 +239,43 @@ class WebIngestSpec extends AnyFunSuite {
     assert(one.getAs[String]("warc_type") == "warcinfo")
   }
 
+  test("redirects + revisits: httpResponses surfaces the 3xx Location, " +
+      "warcRecordBytes gives revisit records their WARC-Refers-To / " +
+      "digest identity — the hop and the dedup both resolve by join") {
+    val segs = Seq((5L, false), (6L, true)).toDF("doc_id", "gz")
+      .select(col("doc_id"), WebIngest.syntheticWarcRedirect(
+        col("doc_id"), col("gz")).as("payload"))
+    val recs = WebIngest.warcRecordBytes(segs)
+      .where(col("parse_error").isNull)
+      .select(col("doc_id"), col("warc_type"), col("target_uri"),
+        col("record_id"), col("warc_refers_to"), col("payload_digest"),
+        col("content_bytes"))
+    // revisit identity is first-class, not generic degradation
+    val rev = recs.where(col("warc_type") === "revisit").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rev(5L).getAs[String]("warc_refers_to") == "<urn:uuid:rec-5-final>")
+    assert(rev(5L).getAs[String]("payload_digest") == "sha1:D5")
+    assert(rev(6L).getAs[String]("target_uri") == "http://example.com/dup/6")
+    // the 301's Location surfaces through httpResponses
+    val resp = WebIngest.httpResponses(
+      recs.where(col("warc_type") === "response")
+        .select(col("doc_id"), col("target_uri"), col("content_bytes")))
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("http_status")) -> r).toMap
+    assert(resp((5L, 301)).getAs[String]("http_location") ==
+      "http://example.com/final/5")
+    assert(resp((5L, 301)).getAs[String]("target_uri") ==
+      "http://example.com/start/5")
+    assert(resp((5L, 200)).getAs[String]("http_location") == null)
+    assert(resp((6L, 200)).getAs[String]("http_body") == "<p>landed 6</p>")
+    // and the revisit resolves to its canonical capture by record id
+    val canon = recs.where(col("warc_type") === "response" &&
+        col("record_id") === rev(5L).getAs[String]("warc_refers_to"))
+      .collect()
+    assert(canon.length == 1)
+    assert(canon.head.getAs[String]("target_uri") == "http://example.com/final/5")
+  }
+
   test("extractText: custom elements whose name merely STARTS with " +
       "script/style are ordinary tags, not raw-text blocks") {
     // without the tag-name boundary check these would be swallowed whole
