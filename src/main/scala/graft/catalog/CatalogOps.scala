@@ -1365,10 +1365,14 @@ object CatalogOps {
       'sha1:D' || doc_id AS payload_digest
       FROM documents"""))
 
-  /** The flagship funnel up to curation (shared by the two packing
-    * variants): WARC → conversion records → HTML → text → curate.
+  /** The flagship's WARC segments, SYNTHESIZED from `documents` — the
+    * correctness-path fixture (every page carries its `doc_id % 397`
+    * class text, odd ids gzip-wrapped). Shared verbatim by
+    * [[graft.bench.WarcGen]], which materializes this exact frame to
+    * parquet for the decade campaigns, so the disk and inline paths
+    * cannot drift.
     */
-  private def crawlFunnelCurated(s: org.apache.spark.sql.SparkSession,
+  private[graft] def crawlSegsSynth(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
     val content = docs.select(col("doc_id").as("cls"),
@@ -1379,11 +1383,32 @@ object CatalogOps {
       .when(col("cls") % 4 === 1, lit(" {var x = 1;}"))
       .when(col("cls") % 4 === 2, lit(" Lorem ipsum dolor."))
       .otherwise(lit("."))
-    val segs = pages.select(col("doc_id"), col("cls"),
+    pages.select(col("doc_id"), col("cls"),
       graft.ops.WebIngest.syntheticWarc(col("doc_id"),
         syntheticHtml(col("cls"), concat(col("cls_text"), suffix)),
         col("doc_id") % 2 === 1).as("payload"))
-    val conv = graft.ops.WebIngest.warcRecords(segs, "payload")
+  }
+
+  /** The flagship's segment source: `$dir/warc_segments.parquet` when the
+    * campaign generator has materialized it there (a REAL ingest reads
+    * crawl files from storage and never pays synthesis — in-memory
+    * generation was the sf100 local[32] OOM, SCALE.md §18.6), else
+    * synthesized inline (the driver's SF dirs carry no such table, so
+    * correctness runs are unaffected).
+    */
+  private def crawlSegs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val onDisk = new java.io.File(s"$dir/warc_segments.parquet")
+    if (onDisk.isDirectory) s.read.parquet(onDisk.getPath)
+    else crawlSegsSynth(s, dir)
+  }
+
+  /** The flagship funnel up to curation (shared by the two packing
+    * variants): WARC → conversion records → HTML → text → curate.
+    */
+  private def crawlFunnelCurated(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val conv = graft.ops.WebIngest.warcRecords(crawlSegs(s, dir), "payload")
       .where(col("warc_type") === "conversion")
     val txt = graft.ops.WebIngest.htmlText(conv, "content_text")
       .select(col("doc_id"), col("cls"), col("html_text").as("text"))
