@@ -3,19 +3,20 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** REAL H.264 pixel decode for the I_PCM subset — the first crack in the
-  * [[Multimodal.decodeStub]] codec seam (reference: SDM-RDFizer has zero
-  * video handling; this is beyond-reference plumbing). I_PCM macroblocks
-  * (ITU-T H.264 §7.3.5 / §8.3.5) carry RAW luma+chroma samples — no
-  * entropy decoding, no prediction, no transform — and every conformant
-  * stream may contain them, so a decoder for them is true spec surface,
-  * not a toy: this op parses the SPS, the PPS, the IDR slice header, and
-  * the slice_data() macroblock walk for real (Exp-Golomb throughout,
-  * emulation-prevention un-escaping, pcm alignment), and reconstructs
-  * the full luma plane. The moment a macroblock is entropy-coded
-  * (anything but mb_type 25 in an I slice) the clip degrades with an
-  * explicit pointer at the remaining seam — CAVLC/CABAC residual decode
-  * stays behind `decodeStub`.
+/** REAL H.264 pixel decode — I_PCM macroblocks (ITU-T H.264 §7.3.5 /
+  * §8.3.5: raw samples) AND Intra_16x16 CAVLC macroblocks (entropy-coded
+  * residuals through the [[Cavlc]] layer: coeff_token / levels /
+  * total_zeros / run_before per §9.2, DC Hadamard + dequant per §8.5.10,
+  * AC dequant §8.5.12.1, inverse 4×4 transform §8.5.12.2, and all four
+  * §8.3.3 Intra_16x16 prediction modes). The reference (SDM-RDFizer) has
+  * zero video handling; this is beyond-reference plumbing. What remains
+  * behind the [[Multimodal.decodeStub]] seam refuses BY NAME per clip:
+  * CABAC entropy coding, I_4x4 prediction, inter prediction, chroma AC
+  * residuals, streams that do not disable in-loop deblocking, and the
+  * CAVLC table columns [[Cavlc]] deliberately does not carry
+  * (2 ≤ nC < 8, total_zeros beyond TotalCoeff 4) — a wrong table entry
+  * would ship a WRONG plane with decode_error null, so uncertain columns
+  * are refusals, not guesses.
   *
   * Two entry points, both narrow per-partition maps (one clip's bytes
   * plus one decoded plane in memory per task, no shuffle, per-clip/
@@ -30,10 +31,11 @@ import org.apache.spark.sql.types._
   */
 object H264Decode {
 
-  /** The PPS fields an I_PCM IDR decode needs (H.264 §7.3.2.2). */
+  /** The PPS fields an intra IDR decode needs (H.264 §7.3.2.2). */
   private[ops] final case class PpsInfo(entropyCabac: Boolean,
       numSliceGroups: Int, deblockControlPresent: Boolean,
-      redundantPicCntPresent: Boolean, bottomFieldPocPresent: Boolean)
+      redundantPicCntPresent: Boolean, bottomFieldPocPresent: Boolean,
+      picInitQp: Int = 26)
 
   private[ops] def parsePps(rbsp: Array[Byte]): PpsInfo = {
     val r = new VideoBitstream.BitReader(rbsp)
@@ -51,24 +53,113 @@ object H264Decode {
       r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
       r.u1() // weighted_pred_flag
       r.u(2) // weighted_bipred_idc
-      r.se() // pic_init_qp_minus26
+      val initQp = 26 + r.se() // pic_init_qp_minus26: the QPY base
       r.se() // pic_init_qs_minus26
       r.se() // chroma_qp_index_offset
       val deblock = r.u1() == 1
       r.u1() // constrained_intra_pred_flag
       val redundant = r.u1() == 1
-      PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc)
+      PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp)
     }
   }
+
+  /** 4×4 zigzag scan: scan index → raster index (H.264 Figure 8-8). */
+  private val Zigzag4x4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** normAdjust4x4 (Table 8-15 values by position class): class 0 =
+    * both-even positions, class 1 = both-odd, class 2 = mixed.
+    */
+  private val NormAdjust = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  /** LevelScale4x4(m, i, j) with the Flat_4x4_16 weight matrix. */
+  private def levelScale(m: Int, raster: Int): Int = {
+    val r = raster >> 2
+    val c = raster & 3
+    val cls = if ((r & 1) == 0 && (c & 1) == 0) 0
+      else if ((r & 1) == 1 && (c & 1) == 1) 1 else 2
+    16 * NormAdjust(m)(cls)
+  }
+
+  /** In-place 4×4 inverse core transform (§8.5.12.2) + (x+32)>>6 rounding;
+    * `d` is raster order.
+    */
+  private def idct4x4(d: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) { // rows
+      val o = i * 4
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = (d(o + 1) >> 1) - d(o + 3); val e3 = d(o + 1) + (d(o + 3) >> 1)
+      d(o) = e0 + e3; d(o + 1) = e1 + e2; d(o + 2) = e1 - e2; d(o + 3) = e0 - e3
+      i += 1
+    }
+    var j = 0
+    while (j < 4) { // columns
+      val e0 = d(j) + d(8 + j); val e1 = d(j) - d(8 + j)
+      val e2 = (d(4 + j) >> 1) - d(12 + j); val e3 = d(4 + j) + (d(12 + j) >> 1)
+      d(j) = (e0 + e3 + 32) >> 6; d(4 + j) = (e1 + e2 + 32) >> 6
+      d(8 + j) = (e1 - e2 + 32) >> 6; d(12 + j) = (e0 - e3 + 32) >> 6
+      j += 1
+    }
+  }
+
+  /** 4×4 inverse Hadamard (§8.5.10's f = H·c·H, pure ±1 sums), in place. */
+  private def hadamard4x4(d: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = d(o + 1) - d(o + 3); val e3 = d(o + 1) + d(o + 3)
+      d(o) = e0 + e3; d(o + 1) = e1 + e2; d(o + 2) = e1 - e2; d(o + 3) = e0 - e3
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val e0 = d(j) + d(8 + j); val e1 = d(j) - d(8 + j)
+      val e2 = d(4 + j) - d(12 + j); val e3 = d(4 + j) + d(12 + j)
+      d(j) = e0 + e3; d(4 + j) = e1 + e2; d(8 + j) = e1 - e2; d(12 + j) = e0 - e3
+      j += 1
+    }
+  }
+
+  /** Luma DC dequant (§8.5.10, 8-bit) applied after the inverse Hadamard. */
+  private def dequantDc(f: Int, qP: Int): Int = {
+    val ls = levelScale(qP % 6, 0)
+    if (qP >= 36) (f * ls) << (qP / 6 - 6)
+    else (f * ls + (1 << (5 - qP / 6))) >> (6 - qP / 6)
+  }
+
+  /** AC coefficient dequant (§8.5.12.1, 8-bit). */
+  private def dequantAc(c: Int, raster: Int, qP: Int): Int = {
+    val ls = levelScale(qP % 6, raster)
+    if (qP >= 24) (c * ls) << (qP / 6 - 4)
+    else (c * ls + (1 << (3 - qP / 6))) >> (4 - qP / 6)
+  }
+
+  private def clip1(x: Int): Byte = (if (x < 0) 0 else if (x > 255) 255 else x).toByte
+
+  /** luma4x4BlkIdx → (x4, y4) block coords within the MB (§6.4.3 scan). */
+  private val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private val Blk4x4Y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
 
   /** The slice-level decode core both entry points share: refuse
     * unsupported shapes BY NAME, parse the IDR slice header (§7.3.3,
     * incl. dec_ref_pic_marking) and the slice_data() macroblock walk,
-    * and reconstruct the luma plane from I_PCM raw samples. Chroma
-    * samples are consumed (the bit walk must advance past them) but only
-    * luma is reconstructed — gates and perceptual hashes read luma.
+    * and reconstruct the luma plane. Two macroblock classes decode for
+    * real: I_PCM (raw samples, §8.3.5) and Intra_16x16 CAVLC (coeff
+    * parse via [[Cavlc]], DC Hadamard + dequant §8.5.10, AC dequant
+    * §8.5.12.1, inverse 4×4 transform §8.5.12.2, all four §8.3.3
+    * prediction modes). I_4x4 macroblocks and the CAVLC table columns
+    * [[Cavlc]] does not carry refuse by name — never a silent wrong
+    * plane. Chroma bits are consumed (the walk must stay aligned) but
+    * only luma is reconstructed — gates and perceptual hashes read luma.
+    * Streams that do not explicitly disable the in-loop deblocking
+    * filter refuse at the first non-I_PCM macroblock (the filter is
+    * normative and this decoder does not run it; I_PCM-only slices are
+    * unaffected — their edges filter at qP 0 thresholds, which are 0).
     */
-  private[ops] def decodeIPcmSlice(sliceRbsp: Array[Byte],
+  private[ops] def decodeISlice(sliceRbsp: Array[Byte],
       sps: VideoBitstream.SpsInfo, pps: PpsInfo,
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
@@ -79,10 +170,6 @@ object H264Decode {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
-    // an I_PCM macroblock carries >= 256 raw luma bytes (+128 chroma for
-    // 4:2:0) — a slice too short to plausibly hold them can never decode,
-    // so a tiny payload must not size an allocation off the SPS claim
-    val minPcmPerMb = if (sps.chromaFormatIdc == 1) 384L else 256L
     if (pps.entropyCabac)
       Left("CABAC stream (decodeStub seam: entropy decode)")
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
@@ -90,9 +177,9 @@ object H264Decode {
     else if (sps.chromaFormatIdc > 1)
       Left("chroma format beyond 4:2:0 not supported")
     else if (sps.bitDepthLuma != 8 || sps.bitDepthChroma != 8)
-      // I_PCM samples are BitDepth bits wide (§7.3.5): a fixed-8-bit walk
-      // over a 10-bit stream mis-aligns and can return a WRONG plane with
-      // decode_error null — refuse by name like the other shapes
+      // samples are BitDepth bits wide: a fixed-8-bit walk over a 10-bit
+      // stream mis-aligns and can return a WRONG plane with decode_error
+      // null — refuse by name like the other shapes
       Left(s"bit depth ${sps.bitDepthLuma}/${sps.bitDepthChroma} " +
         "not supported (only 8-bit)")
     else if (sps.pocType == 1)
@@ -104,14 +191,13 @@ object H264Decode {
     else if (nMbs * 256L > maxPlaneBytes)
       Left(s"luma plane too large (${mbw * 16}x${mbh * 16} = " +
         s"${nMbs * 256L} bytes > $maxPlaneBytes plane cap)")
-    else if (nMbs * 256L > (1L << 20) && sliceRbsp.length < nMbs * minPcmPerMb)
-      // gated to >1 MiB claims: small planes allocate harmlessly and keep
-      // the precise per-macroblock refusals (an entropy-coded slice is
-      // ALSO shorter than nMbs I_PCM macroblocks — it should still say
-      // "entropy-coded", not "too small"); a big claim must be backed by
-      // bytes before it sizes an allocation
+    else if (nMbs * 256L > (1L << 20) && sliceRbsp.length.toLong * 8 < nMbs)
+      // gated to >1 MiB claims: every macroblock costs at least one bit
+      // (mb_type), so a payload with fewer BITS than macroblocks can
+      // never decode — a big SPS claim must be backed by bytes before it
+      // sizes an allocation
       Left(s"slice payload too small (${sliceRbsp.length} bytes) to hold " +
-        s"$nMbs I_PCM macroblocks (>= ${nMbs * minPcmPerMb} bytes)")
+        s"$nMbs macroblocks")
     else {
       val w = mbw * 16
       val h = mbh * 16
@@ -133,39 +219,202 @@ object H264Decode {
         // I slice: no ref-idx / pred-weight tables
         // nal_ref_idc != 0 on IDR ⇒ dec_ref_pic_marking (§7.3.3.3)
         rd.u1(); rd.u1() // no_output_of_prior_pics, long_term_ref
-        rd.se() // slice_qp_delta
+        val sliceQpDelta = rd.se()
+        var deblockOff = false
         if (pps.deblockControlPresent) {
-          if (rd.ue() != 1) { rd.se(); rd.se() } // deblock offsets
+          val idc = rd.ue()
+          deblockOff = idc == 1
+          if (idc != 1) { rd.se(); rd.se() } // deblock offsets
+        }
+        var qPY = pps.picInitQp + sliceQpDelta
+        // per-4x4-block TotalCoeff grid for CAVLC nC context (§9.2.1);
+        // -1 = not decoded / outside picture
+        val nCoef = Array.fill(mbw * 4 * mbh * 4)(-1)
+        def nCFor(bx: Int, by: Int): Int = {
+          val nA = if (bx > 0) nCoef(by * mbw * 4 + bx - 1) else -1
+          val nB = if (by > 0) nCoef((by - 1) * mbw * 4 + bx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA
+          else if (nB >= 0) nB
+          else 0
         }
         // slice_data (§7.3.4), CAVLC I slice: macroblock_layer per MB
         var mb = 0
-        val nMbs = mbw * mbh
         var bad: String = null
-        while (mb < nMbs && bad == null) {
-          val mbType = rd.ue()
-          if (mbType != 25) // I_PCM
-            bad = s"entropy-coded macroblock (mb_type $mbType) — " +
-              "decodeStub seam: CAVLC residual decode"
-          else {
-            rd.alignByte() // pcm_alignment_zero_bit
-            val mbx = (mb % mbw) * 16
-            val mby = (mb / mbw) * 16
-            var i = 0
-            while (i < 256) {
-              luma((mby + i / 16) * w + mbx + i % 16) = rd.u(8).toByte
-              i += 1
+        try {
+          while (mb < nMbs && bad == null) {
+            val mbx = (mb % mbw).toInt
+            val mby = (mb / mbw).toInt
+            val mbType = rd.ue()
+            if (mbType == 25) { // I_PCM
+              rd.alignByte() // pcm_alignment_zero_bit
+              val px = mbx * 16
+              val py = mby * 16
+              var i = 0
+              while (i < 256) {
+                luma((py + i / 16) * w + px + i % 16) = rd.u(8).toByte
+                i += 1
+              }
+              if (sps.chromaFormatIdc == 1) {
+                var c = 0
+                while (c < 128) { rd.u(8); c += 1 } // Cb, Cr consumed
+              }
+              // I_PCM blocks count as 16 coefficients for neighbours (§9.2.1)
+              var b = 0
+              while (b < 16) {
+                nCoef((mby * 4 + Blk4x4Y(b)) * mbw * 4 + mbx * 4 + Blk4x4X(b)) = 16
+                b += 1
+              }
+              mb += 1
+            } else if (mbType == 0) {
+              bad = "I_4x4 macroblock — decodeStub seam: Intra_4x4 prediction"
+            } else if (mbType >= 1 && mbType <= 24) { // Intra_16x16
+              if (!deblockOff)
+                bad = "in-loop deblocking not implemented " +
+                  "(stream does not disable it)"
+              else {
+                val k = mbType - 1
+                val predMode = k % 4
+                val cbpChroma = (k / 4) % 3
+                val cbpLuma = if (k >= 12) 15 else 0
+                val chromaPred = rd.ue()
+                if (chromaPred > 3) bad = "malformed intra_chroma_pred_mode"
+                else {
+                  qPY = ((qPY + rd.se() + 52 + 52) % 52)
+                  // Intra16x16DCLevel: nC from blkIdx 0's neighbours
+                  val (dcScan, _) = Cavlc.decodeResidualBlock(rd,
+                    nCFor(mbx * 4, mby * 4), 16)
+                  // un-zigzag, inverse Hadamard, DC dequant
+                  val dc = new Array[Int](16)
+                  var i = 0
+                  while (i < 16) { dc(Zigzag4x4(i)) = dcScan(i); i += 1 }
+                  hadamard4x4(dc)
+                  i = 0
+                  while (i < 16) { dc(i) = dequantDc(dc(i), qPY); i += 1 }
+                  // prediction (§8.3.3) from the reconstructed plane
+                  val px = mbx * 16
+                  val py = mby * 16
+                  val leftOk = mbx > 0
+                  val topOk = mby > 0
+                  def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
+                  val pred = new Array[Int](256)
+                  predMode match {
+                    case 0 => // Vertical
+                      if (!topOk) bad = "Intra_16x16 vertical predictor unavailable"
+                      else { var x = 0; while (x < 16) { val v = at(px + x, py - 1)
+                        var y = 0; while (y < 16) { pred(y * 16 + x) = v; y += 1 }; x += 1 } }
+                    case 1 => // Horizontal
+                      if (!leftOk) bad = "Intra_16x16 horizontal predictor unavailable"
+                      else { var y = 0; while (y < 16) { val v = at(px - 1, py + y)
+                        var x = 0; while (x < 16) { pred(y * 16 + x) = v; x += 1 }; y += 1 } }
+                    case 2 => // DC
+                      var sum = 0
+                      var n = 0
+                      if (topOk) { var x = 0; while (x < 16) { sum += at(px + x, py - 1); x += 1 }; n += 16 }
+                      if (leftOk) { var y = 0; while (y < 16) { sum += at(px - 1, py + y); y += 1 }; n += 16 }
+                      val v = if (n == 32) (sum + 16) >> 5
+                        else if (n == 16) (sum + 8) >> 4 else 128
+                      java.util.Arrays.fill(pred, v)
+                    case _ => // Plane (§8.3.3.4)
+                      if (!topOk || !leftOk) bad = "Intra_16x16 plane predictor unavailable"
+                      else {
+                        // H = Σ_{x'=0..7} (x'+1)·(p[8+x',−1] − p[6−x',−1]);
+                        // the x'=7 term reaches p[−1,−1] (and V symmetric)
+                        var hSum = 0; var vSum = 0
+                        var x = 0
+                        while (x < 7) {
+                          hSum += (x + 1) * (at(px + 8 + x, py - 1) - at(px + 6 - x, py - 1))
+                          x += 1
+                        }
+                        hSum += 8 * (at(px + 15, py - 1) - at(px - 1, py - 1))
+                        var y = 0
+                        while (y < 7) {
+                          vSum += (y + 1) * (at(px - 1, py + 8 + y) - at(px - 1, py + 6 - y))
+                          y += 1
+                        }
+                        vSum += 8 * (at(px - 1, py + 15) - at(px - 1, py - 1))
+                        val a = 16 * (at(px - 1, py + 15) + at(px + 15, py - 1))
+                        val b = (5 * hSum + 32) >> 6
+                        val c = (5 * vSum + 32) >> 6
+                        y = 0
+                        while (y < 16) {
+                          x = 0
+                          while (x < 16) {
+                            val v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5
+                            pred(y * 16 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+                            x += 1
+                          }
+                          y += 1
+                        }
+                      }
+                  }
+                  if (bad == null) {
+                    // residual per 4x4 block (AC only when cbp_luma says so)
+                    var b = 0
+                    while (b < 16 && bad == null) {
+                      val bx4 = Blk4x4X(b)
+                      val by4 = Blk4x4Y(b)
+                      val d = new Array[Int](16)
+                      var tc = 0
+                      if (cbpLuma != 0) {
+                        val (acScan, total) = Cavlc.decodeResidualBlock(rd,
+                          nCFor(mbx * 4 + bx4, mby * 4 + by4), 15)
+                        tc = total
+                        var i2 = 0
+                        while (i2 < 15) {
+                          val raster = Zigzag4x4(i2 + 1)
+                          d(raster) = dequantAc(acScan(i2), raster, qPY)
+                          i2 += 1
+                        }
+                      }
+                      nCoef((mby * 4 + by4) * mbw * 4 + mbx * 4 + bx4) = tc
+                      d(0) = dc(by4 * 4 + bx4)
+                      idct4x4(d)
+                      var yy = 0
+                      while (yy < 4) {
+                        var xx = 0
+                        while (xx < 4) {
+                          val gx = px + bx4 * 4 + xx
+                          val gy = py + by4 * 4 + yy
+                          luma(gy * w + gx) =
+                            clip1(pred((by4 * 4 + yy) * 16 + bx4 * 4 + xx) + d(yy * 4 + xx))
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      b += 1
+                    }
+                    // chroma residual: consume the bits so the walk stays
+                    // aligned (luma-only reconstruction, like I_PCM)
+                    if (bad == null && sps.chromaFormatIdc == 1 && cbpChroma >= 1) {
+                      if (cbpChroma == 2)
+                        bad = "chroma AC residual not implemented"
+                      else {
+                        Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
+                        Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
+                      }
+                    }
+                    if (bad == null) mb += 1
+                  }
+                }
+              }
+            } else {
+              bad = s"unsupported mb_type $mbType in I slice"
             }
-            if (sps.chromaFormatIdc == 1) {
-              var c = 0
-              while (c < 128) { rd.u(8); c += 1 } // Cb, Cr consumed
-            }
-            mb += 1
           }
+        } catch {
+          case e: Cavlc.Unsupported => bad = e.getMessage
         }
         if (bad != null) Left(bad) else Right(luma)
       }
     }
   }
+
+  /** Back-compat alias for the original I_PCM-era name. */
+  private[ops] def decodeIPcmSlice(sliceRbsp: Array[Byte],
+      sps: VideoBitstream.SpsInfo, pps: PpsInfo,
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): Either[String, Array[Byte]] =
+    decodeISlice(sliceRbsp, sps, pps, maxPlaneBytes)
 
   private def lumaRow(r: Row, luma: Array[Byte], w: Int, h: Int,
       prefix: Seq[Any] = Seq.empty): Row = {
@@ -368,9 +617,100 @@ object H264Decode {
     }(enc)
   }
 
+  /** PPS RBSP for the CAVLC fixtures: like [[realPpsRbsp]] but
+    * pic_init_qp 28 (minus26 = 2) and deblocking_filter_control_present
+    * set — the fixture slice disables the in-loop filter explicitly,
+    * which is what the decoder requires of CAVLC streams.
+    */
+  private[ops] def cavlcPpsRbsp: Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u(0, 1) // entropy_coding_mode_flag: CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.u(0, 1) // weighted_pred_flag
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(2) // pic_init_qp_minus26 → QP 28 (DC coeff v → residual exactly v)
+    w.se(0); w.se(0) // init_qs, chroma_qp_offset
+    w.u(1, 1) // deblocking_filter_control_present_flag
+    w.u(0, 1) // constrained_intra_pred_flag
+    w.u(0, 1) // redundant_pic_cnt_present_flag
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Scan-order coefficient array with `v` at scan position 0. */
+  private def dcOnly(maxNumCoeff: Int, v: Int): Array[Int] = {
+    val a = new Array[Int](maxNumCoeff)
+    a(0) = v
+    a
+  }
+
+  /** The Intra_16x16 CAVLC fixture slice: a 2×2-MB I frame whose four
+    * macroblocks exercise the four §8.3.3 prediction modes AND the CAVLC
+    * layer, with closed-form constant-per-MB luma at QP 28 (where a DC
+    * coefficient v dequants to residual exactly v):
+    *   - MB0: DC pred (no neighbours → 128), DC coeff `v0`, plus
+    *     cbp_chroma 1 with multi-coefficient chroma DC blocks (trailing
+    *     ones, a level, total_zeros, run placement — consumed bits whose
+    *     mis-parse would corrupt every later MB) → 128 + v0
+    *   - MB1: Horizontal pred from MB0, trailing-one DC ±1 → c0 ± 1
+    *   - MB2: Vertical pred from MB0, DC coeff `v2` → c0 + v2
+    *   - MB3: DC pred from both neighbours, zero residual → (c1+c2+1)>>1
+    */
+  private def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(0) // pic_parameter_set_id
+    w.u(0, 4) // frame_num (log2_max_frame_num = 4)
+    w.ue(0) // idr_pic_id
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
+    w.se(0) // slice_qp_delta → QPY 28
+    w.ue(1) // disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
+    // MB0: mb_type 7 = Intra_16x16 (DC pred, cbp_chroma 1, cbp_luma 0)
+    w.ue(7); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
+    Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
+    Cavlc.encodeResidualBlock(w, Array(2, 1, -1, 0), -1, 4) // Cb DC
+    Cavlc.encodeResidualBlock(w, Array(1, -1, 1, -1), -1, 4) // Cr DC
+    // MB1: mb_type 2 (Horizontal pred, no cbp)
+    w.ue(2); w.ue(0); w.se(0)
+    Cavlc.encodeResidualBlock(w, dcOnly(16, if (s1Neg) -1 else 1), 0, 16)
+    // MB2: mb_type 1 (Vertical pred, no cbp)
+    w.ue(1); w.ue(0); w.se(0)
+    Cavlc.encodeResidualBlock(w, dcOnly(16, v2), 0, 16)
+    // MB3: mb_type 3 (DC pred, no cbp), zero residual
+    w.ue(3); w.ue(0); w.se(0)
+    Cavlc.encodeResidualBlock(w, new Array[Int](16), 0, 16)
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Deterministic Intra_16x16 CAVLC clip (Annex-B): real SPS (2×2 MBs) +
+    * the QP-28 PPS + the [[i16SliceRbsp]] slice. Expected luma is four
+    * constant 16×16 quadrants: c0 = 128+v0 (top-left), c1 = c0±1
+    * (top-right), c2 = c0+v2 (bottom-left), c3 = (c1+c2+1)>>1
+    * (bottom-right) — closed-form in (v0, s1, v2).
+    */
+  val syntheticCavlcI16AnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        out.toArray
+      })
+
   /** A REAL PPS RBSP (CAVLC, no FMO, no deblock fields) shared by the
     * synthetic generators. */
-  private def realPpsRbsp: Array[Byte] = {
+  private[ops] def realPpsRbsp: Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     w.ue(0); w.ue(0) // pps id, sps id
     w.u(0, 1) // entropy_coding_mode_flag: CAVLC

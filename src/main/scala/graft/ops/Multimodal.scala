@@ -991,10 +991,12 @@ object Multimodal {
     * The seam SHRANK in r12: H.264 I_PCM macroblocks now decode for REAL
     * ([[graft.ops.H264Decode.decodeIPcmIdr]] — full SPS/PPS/slice-header/
     * slice_data parse, raw samples per §7.3.5, luma plane out, bridged
-    * into the image ops by [[grayPlanePng]]); what remains behind this
-    * stub is entropy-coded residual decode (CAVLC/CABAC + prediction +
-    * transform), and `decodeIPcmIdr`'s error rows name this seam
-    * explicitly when they hit it.
+    * into the image ops by [[grayPlanePng]]) and for Intra_16x16 CAVLC
+    * macroblocks (real entropy decode + dequant + inverse transform +
+    * prediction through [[Cavlc]], r13); what remains behind this stub
+    * is CABAC entropy coding, I_4x4/inter prediction, and the CAVLC
+    * table columns [[Cavlc]] refuses by name — `decodeIPcmIdr`'s error
+    * rows name each seam explicitly when they hit it.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>

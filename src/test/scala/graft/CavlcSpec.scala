@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CavlcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("every VLC table is prefix-free — the structural tripwire for " +
+      "transcription typos in spec tables") {
+    Cavlc.allTables.foreach { case (name, vlc) =>
+      val codes = vlc.entries.map(_._1)
+      assert(codes.distinct.size == codes.size, s"$name has duplicate codes")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: '$a' is a prefix of '$b'")
+    }
+  }
+
+  private def bitsOf(s: String): Array[Byte] = {
+    // pack bit-string + a stop '1' + padding into bytes
+    val w = new VideoBitstream.BitWriter
+    s.foreach(c => w.u(if (c == '1') 1 else 0, 1))
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  test("known-answer coeff_token decodes from the spec's worked examples") {
+    // (TrailingOnes, TotalCoeff) anchors: (0,0)=1, (1,1)=01, (2,2)=001,
+    // (3,3)=00011, (3,5)=0000100 — the entries every published CAVLC
+    // walkthrough uses
+    def tok(bits: String): (Int, Int) =
+      Cavlc.CoeffTokenNc0.decode(new VideoBitstream.BitReader(bitsOf(bits)), "t")
+    assert(tok("1") == ((0, 0)))
+    assert(tok("01") == ((1, 1)))
+    assert(tok("001") == ((2, 2)))
+    assert(tok("00011") == ((3, 3)))
+    assert(tok("0000100") == ((3, 5)))
+    // chroma DC anchors
+    def ctok(bits: String): (Int, Int) =
+      Cavlc.CoeffTokenChromaDc.decode(new VideoBitstream.BitReader(bitsOf(bits)), "t")
+    assert(ctok("1") == ((1, 1)))
+    assert(ctok("01") == ((0, 0)))
+    assert(ctok("0000000") == ((3, 4)))
+  }
+
+  test("residual block encode → decode round-trips over the supported " +
+      "table range (levels, trailing ones, total_zeros, run_before, " +
+      "suffix-length adaptation, chroma DC, FLC nC>=8)") {
+    def roundTrip(scan: Array[Int], nC: Int, maxNumCoeff: Int): Unit = {
+      val w = new VideoBitstream.BitWriter
+      Cavlc.encodeResidualBlock(w, scan, nC, maxNumCoeff)
+      w.rbspTrailing()
+      val r = new VideoBitstream.BitReader(w.bytes)
+      val (got, total) = Cavlc.decodeResidualBlock(r, nC, maxNumCoeff)
+      assert(got.toSeq == scan.toSeq, s"scan ${scan.mkString(",")} nC $nC")
+      assert(total == scan.count(_ != 0))
+    }
+    def at(maxNumCoeff: Int, pairs: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](maxNumCoeff)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    roundTrip(at(16), 0, 16) // empty
+    roundTrip(at(16, 0 -> 3), 0, 16) // single level > 1 (prefix path)
+    roundTrip(at(16, 0 -> -1), 0, 16) // single trailing one, negative
+    roundTrip(at(16, 0 -> 7, 1 -> 3, 2 -> -1, 3 -> 1), 0, 16) // adaptation
+    roundTrip(at(16, 2 -> 1, 5 -> -1, 9 -> 2), 0, 16) // runs + zeros
+    roundTrip(at(15, 0 -> 1, 3 -> 1), 0, 15) // AC block shape
+    roundTrip(at(16, 0 -> 25), 0, 16) // prefix-14 4-bit suffix escape
+    roundTrip(at(4, 0 -> 2, 1 -> 1, 2 -> -1), -1, 4) // chroma DC
+    roundTrip(at(4, 0 -> 1, 1 -> -1, 2 -> 1, 3 -> -1), -1, 4) // full chroma
+    roundTrip(at(16, 0 -> 2, 4 -> -3), 16, 16) // nC>=8: FLC coeff_token
+    // unimplemented table columns refuse BY NAME, never misdecode
+    val e1 = intercept[Cavlc.Unsupported] {
+      Cavlc.decodeResidualBlock(
+        new VideoBitstream.BitReader(bitsOf("0000000000000000")), 4, 16)
+    }
+    assert(e1.getMessage.contains("2 <= nC < 8"))
+    val w2 = new VideoBitstream.BitWriter
+    val e2 = intercept[Cavlc.Unsupported] {
+      Cavlc.encodeResidualBlock(w2, at(16, 0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 2), 0, 16)
+    }
+    assert(e2.getMessage.contains("total_zeros"))
+  }
+
+  test("Intra_16x16 CAVLC frame decodes pixel-exact: four prediction " +
+      "modes, DC Hadamard + dequant, closed-form quadrants at QP 28") {
+    // v0 = 4, s1 = negative, v2 = 3:
+    //   c0 = 128+4 = 132 (DC pred from nothing = 128, residual v0)
+    //   c1 = c0-1 = 131 (Horizontal pred + trailing-one -1)
+    //   c2 = c0+3 = 135 (Vertical pred + DC coeff 3)
+    //   c3 = (131+135+1)>>1 = 133 (DC pred from both neighbours, no residual)
+    val df = Seq((0L, 1)).toDF("doc_id", "x")
+      .select(col("doc_id"), H264Decode.syntheticCavlcI16AnnexB(
+        lit(4), lit(true), lit(3)).as("payload"))
+    val out = H264Decode.decodeIPcmIdr(df).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    assert(out.getAs[Int]("frame_width") == 32)
+    assert(out.getAs[Int]("mb_count") == 4)
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    def px(x: Int, y: Int): Int = luma(y * 32 + x) & 0xff
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(px(x, y) == 132, s"MB0 ($x,$y)")
+      assert(px(x + 16, y) == 131, s"MB1 ($x,$y)")
+      assert(px(x, y + 16) == 135, s"MB2 ($x,$y)")
+      assert(px(x + 16, y + 16) == 133, s"MB3 ($x,$y)")
+    }
+    assert(out.getAs[Double]("y_mean") == (132 + 131 + 135 + 133) / 4.0)
+  }
+
+  test("luma AC residual: a cbp_luma=15 macroblock with coefficients in " +
+      "one 4x4 block reconstructs the HAND-COMPUTED dequant+IDCT matrix " +
+      "(independent known answer for §8.5.12)") {
+    // 1×1-MB frame, mb_type 15 (DC pred, cbp_chroma 0, cbp_luma 15):
+    // block blkIdx3 (x4=1, y4=1) has +1 at AC scan 0 (raster 1) and +1 at
+    // AC scan 3 (raster 5); all other blocks empty. At QP 28 the dequant
+    // gives 320 (mixed class) and 400 (odd-odd class); the IDCT of those
+    // two coefficients is the matrix below (computed by hand from
+    // §8.5.12.1/.2 — NOT by running this decoder).
+    val expected = Array(
+      Array(11, 6, -6, -11),
+      Array(8, 4, -4, -8),
+      Array(2, 1, -1, -2),
+      Array(-1, -1, 1, 1))
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      w.ue(15); w.ue(0); w.se(0) // mb_type 15: DC pred, cbpC 0, cbpL 15
+      Cavlc.encodeResidualBlock(w, new Array[Int](16), 0, 16) // DC: empty
+      for (b <- 0 until 16) {
+        val ac = new Array[Int](15)
+        if (b == 3) { ac(0) = 1; ac(3) = 1 }
+        // nC stays < 2 for every block: neighbours carry at most 2 coeffs
+        // and always with a second zero-count neighbour available
+        Cavlc.encodeResidualBlock(w, ac, 0, 15)
+      }
+      w.rbspTrailing()
+      w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(1, 1))
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val exp =
+        if (x >= 4 && x < 8 && y >= 4 && y < 8) 128 + expected(y - 4)(x - 4)
+        else 128
+      assert((luma(y * 16 + x) & 0xff) == exp, s"pixel ($x,$y)")
+    }
+  }
+
+  test("mixed I_PCM + Intra_16x16 slice: the PCM block's 16-coefficient " +
+      "nC context pushes the neighbour into the FLC coeff_token table " +
+      "and horizontal pred copies the PCM gradient's right column") {
+    // 2×1 frame: MB0 I_PCM horizontal gradient (base 7, slope 3), MB1
+    // Intra_16x16 horizontal pred with zero DC → every MB1 pixel equals
+    // MB0's column-15 value (7 + 3*15) % 256 = 52
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      // MB0: I_PCM
+      w.ue(25)
+      w.alignByte()
+      for (i <- 0 until 256) w.u((7 + 3 * (i % 16)) % 256, 8)
+      for (_ <- 0 until 128) w.u(128, 8)
+      // MB1: mb_type 2 (Horizontal), zero DC — nC for its DC block is 16
+      // (the I_PCM neighbour), so coeff_token is the 6-bit FLC
+      w.ue(2); w.ue(0); w.se(0)
+      Cavlc.encodeResidualBlock(w, new Array[Int](16), 16, 16)
+      w.rbspTrailing()
+      w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 1))
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert((luma(y * 32 + x) & 0xff) == (7 + 3 * x) % 256, s"PCM ($x,$y)")
+      assert((luma(y * 32 + 16 + x) & 0xff) == 52, s"I16 ($x,$y)")
+    }
+  }
+
+  test("CAVLC macroblocks REFUSE by name when the stream does not " +
+      "disable in-loop deblocking (the filter is normative; skipping it " +
+      "silently would ship wrong pixels)") {
+    // same fixture slice but under a PPS with deblocking control absent
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      // no deblock idc: PPS has no control flag
+      w.ue(3); w.ue(0); w.se(0)
+      Cavlc.encodeResidualBlock(w, new Array[Int](16), 0, 16)
+      w.rbspTrailing()
+      w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(1, 1))
+      nal(3, 8, H264Decode.realPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") ==
+      "in-loop deblocking not implemented (stream does not disable it)")
+  }
+}
