@@ -42,17 +42,25 @@ object Archives {
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size() > maxBytes)
-          throw new java.io.IOException(
-            s"gzip stream exceeds $maxBytes inflated bytes (decompression bomb?)")
-        n = in.read(buf)
-      }
-      out.toByteArray
+      // close in a finally: each GZIPInputStream owns a NATIVE zlib
+      // Inflater (~tens of KB outside the JVM heap) that only close()
+      // frees eagerly — leaving it to GC leaked ~80 GB of native memory
+      // across 5M records at sf100 and got the JVM OOM-KILLED at 129 GB
+      // RSS with a 48 GB heap (the real culprit behind SCALE.md §18.6's
+      // local[32] wall; heap GC never ran because the HEAP wasn't full)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size() > maxBytes)
+            throw new java.io.IOException(
+              s"gzip stream exceeds $maxBytes inflated bytes (decompression bomb?)")
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
     } else bytes
 
   /** One row per tar member: name, size, file-absolute DATA offset
@@ -246,25 +254,29 @@ object Archives {
                           new String(bytes, dataOff, usize.toInt, "UTF-8")
                         else if (method == 8) {
                           val inf = new java.util.zip.Inflater(true)
-                          inf.setInput(bytes, dataOff, csize.toInt)
-                          val out = new Array[Byte](usize.toInt)
-                          var done = 0
-                          var stalled = false
-                          // inflate() returns 0 WITHOUT an exception when the
-                          // input is exhausted mid-stream (truncated or
-                          // csize-corrupt data) — detect the stall or this
-                          // loop never terminates
-                          while (done < usize && !inf.finished() && !stalled) {
-                            val got = inf.inflate(out, done, usize.toInt - done)
-                            if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
-                              stalled = true
-                            else done += got
-                          }
-                          inf.end()
-                          if (stalled)
-                            throw new java.util.zip.DataFormatException(
-                              "truncated deflate stream")
-                          new String(out, 0, done, "UTF-8")
+                          // end() in a finally: inflate() throws
+                          // DataFormatException on corrupt members, and the
+                          // native zlib state must not leak per bad row
+                          try {
+                            inf.setInput(bytes, dataOff, csize.toInt)
+                            val out = new Array[Byte](usize.toInt)
+                            var done = 0
+                            var stalled = false
+                            // inflate() returns 0 WITHOUT an exception when the
+                            // input is exhausted mid-stream (truncated or
+                            // csize-corrupt data) — detect the stall or this
+                            // loop never terminates
+                            while (done < usize && !inf.finished() && !stalled) {
+                              val got = inf.inflate(out, done, usize.toInt - done)
+                              if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
+                                stalled = true
+                              else done += got
+                            }
+                            if (stalled)
+                              throw new java.util.zip.DataFormatException(
+                                "truncated deflate stream")
+                            new String(out, 0, done, "UTF-8")
+                          } finally inf.end()
                         } else null // unsupported method: census row, no text
                       Row.fromSeq(r.toSeq ++
                         Seq(i, name, method, csize, usize, text, null))
