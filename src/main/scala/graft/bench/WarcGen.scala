@@ -31,7 +31,7 @@ object WarcGen {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     graft.catalog.CatalogOps.crawlSegsSynth(spark, dir)
-      .repartition(32)
+      .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/warc_segments.parquet")
     println(f"[warcgen] $dir/warc_segments.parquet written in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -730,7 +730,7 @@ object CatalogOps {
     * digits, and the two UTF-8 bytes of é each fully merge through ranked
     * steps, so per-word token counts are small known constants.
     */
-  private val bpeMerges: Seq[(String, String)] = Seq(
+  private[catalog] val bpeMerges: Seq[(String, String)] = Seq(
     ("a", "b"), ("ab", "c"), ("x", "y"), ("1", "2"), ("Ã", "©"))
 
   /** Per-doc synthetic text whose BPE token count is closed-form:
@@ -740,7 +740,7 @@ object CatalogOps {
     * the EMPTY table, count == UTF-8 byte count (the pre-tokenizer
     * partitions the text) = 7 + 3a + 3b.
     */
-  private def bpeSyntheticText: Column = concat(lit("abc"),
+  private[catalog] def bpeSyntheticText: Column = concat(lit("abc"),
     call_function("repeat", lit(" xy"), (col("doc_id") % 4).cast("int")),
     call_function("repeat", lit(" 12"), (col("doc_id") % 3).cast("int")),
     lit(" é."))

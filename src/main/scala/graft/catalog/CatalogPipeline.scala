@@ -88,18 +88,11 @@ object CatalogPipeline {
     * are value-checked.
     */
   private val packBpe = Q("pipe_pack_bpe",
-    (s, dir) => {
-      val bpeMerges = Seq(
-        ("a", "b"), ("ab", "c"), ("x", "y"), ("1", "2"), ("Ã", "©"))
-      val txt = concat(lit("abc"),
-        call_function("repeat", lit(" xy"), (col("doc_id") % 4).cast("int")),
-        call_function("repeat", lit(" 12"), (col("doc_id") % 3).cast("int")),
-        lit(" é."))
-      Packing.packSequences(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), txt.as("text")),
-        "doc_id", "source",
-        graft.ops.Bpe.tokenCount(bpeMerges)(col("text")), budget = 40L)
-    },
+    (s, dir) => Packing.packSequences(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        CatalogOps.bpeSyntheticText.as("text")),
+      "doc_id", "source",
+      graft.ops.Bpe.tokenCount(CatalogOps.bpeMerges)(col("text")), budget = 40L),
     Some("""WITH d AS (SELECT doc_id, source,
         (4 + 2*(doc_id % 4) + 2*(doc_id % 3))::BIGINT AS n_tokens
         FROM documents),

@@ -37,30 +37,98 @@ object Archives {
     */
   val MaxInflatedBytes: Long = 256L << 20
 
+  /** End offset of the gzip member header starting at `o` (RFC 1952:
+    * 10 fixed bytes, then FEXTRA/FNAME/FCOMMENT/FHCRC per FLG), or -1
+    * when the header is corrupt/truncated.
+    */
+  private def gzipHeaderEnd(bytes: Array[Byte], o: Int): Int = {
+    if (o + 10 > bytes.length) return -1
+    if (bytes(o) != 0x1f.toByte || bytes(o + 1) != 0x8b.toByte) return -1
+    if (bytes(o + 2) != 8) return -1 // CM must be deflate
+    val flg = bytes(o + 3) & 0xff
+    if ((flg & 0xe0) != 0) return -1 // reserved bits
+    var p = o + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) return -1
+      p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+      if (p > bytes.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME, NUL-terminated
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC (value not verified; CRC32 of data is)
+    if (p > bytes.length) -1 else p
+  }
+
+  /** Multi-member gunzip over an in-memory buffer — the ingest-side
+    * inflate kernel (Common Crawl concatenates one gzip member per WARC
+    * record). Hand-rolled on a directly-managed `Inflater` rather than
+    * `GZIPInputStream` because the NATIVE zlib state must be freed
+    * DETERMINISTICALLY: each inflater holds tens of KB outside the JVM
+    * heap that only `end()` releases eagerly, and leaving even the
+    * exception paths to GC leaked ~80 GB across 5M records at sf100 —
+    * the JVM was OOM-killed at 129 GB RSS with a 48 GB heap, because
+    * heap GC (the only other route to finalization) never ran while the
+    * heap stayed comfortable. `GZIPInputStream` can also throw from its
+    * CONSTRUCTOR on a corrupt header after a valid magic, leaking the
+    * inflater it already allocated (JDK-internal, unreachable) — here
+    * the header is validated before any native allocation, and `end()`
+    * sits in a finally around every inflate path. Member CRC32 and
+    * ISIZE trailers are verified like the JDK does.
+    */
   private[ops] def gunzipIfNeeded(
       bytes: Array[Byte], maxBytes: Long = MaxInflatedBytes): Array[Byte] =
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      // close in a finally: each GZIPInputStream owns a NATIVE zlib
-      // Inflater (~tens of KB outside the JVM heap) that only close()
-      // frees eagerly — leaving it to GC leaked ~80 GB of native memory
-      // across 5M records at sf100 and got the JVM OOM-KILLED at 129 GB
-      // RSS with a 48 GB heap (the real culprit behind SCALE.md §18.6's
-      // local[32] wall; heap GC never ran because the HEAP wasn't full)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) {
-          out.write(buf, 0, n)
-          if (out.size() > maxBytes)
-            throw new java.io.IOException(
-              s"gzip stream exceeds $maxBytes inflated bytes (decompression bomb?)")
-          n = in.read(buf)
-        }
-        out.toByteArray
-      } finally in.close()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var off = 0
+      while (off + 2 <= bytes.length &&
+          bytes(off) == 0x1f.toByte && bytes(off + 1) == 0x8b.toByte) {
+        val dataAt = gzipHeaderEnd(bytes, off)
+        if (dataAt < 0) throw new java.io.IOException("corrupt gzip header")
+        val inf = new java.util.zip.Inflater(true)
+        val crc = new java.util.zip.CRC32()
+        var memberLen = 0L
+        try {
+          inf.setInput(bytes, dataAt, bytes.length - dataAt)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) {
+              out.write(buf, 0, n)
+              crc.update(buf, 0, n)
+              memberLen += n
+              if (out.size() > maxBytes)
+                throw new java.io.IOException(
+                  s"gzip stream exceeds $maxBytes inflated bytes (decompression bomb?)")
+            } else if (!inf.finished() &&
+                (inf.needsInput() || inf.needsDictionary()))
+              throw new java.io.EOFException("truncated deflate stream")
+          }
+          off = bytes.length - inf.getRemaining
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new java.io.IOException(s"corrupt deflate stream: ${e.getMessage}")
+        } finally inf.end()
+        // member trailer: CRC32 + ISIZE (mod 2^32), little-endian
+        if (off + 8 > bytes.length)
+          throw new java.io.EOFException("truncated gzip trailer")
+        def le32(p: Int): Long =
+          (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+            ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+        if (le32(off) != crc.getValue)
+          throw new java.io.IOException("gzip CRC mismatch")
+        if (le32(off + 4) != (memberLen & 0xffffffffL))
+          throw new java.io.IOException("gzip ISIZE mismatch")
+        off += 8
+      }
+      out.toByteArray
     } else bytes
 
   /** One row per tar member: name, size, file-absolute DATA offset

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
@@ -28,12 +27,14 @@ import scala.collection.mutable.ArrayBuffer
   * class (same contract as [[TextAnalysis.wordNgrams]]'s sliding kernel):
   * no Catalyst expression can express a data-dependent fixpoint loop. The
   * merges table rides the closure (a full 50k-merge table is ~1 MB — task
-  * broadcast, not a shuffle) and is compiled to a pair→rank hash map ONCE
-  * PER EXECUTOR via [[RankTable.cached]], not per row.
+  * broadcast, not a shuffle) and compiles ONCE PER EXECUTOR into an
+  * open-addressed (leftId, rightId) → rank table; the per-row merge loop
+  * is integer-only — no string concatenation, no boxing, no hashing of
+  * byte strings in the hot path.
   *
-  * Bytes are represented as ISO-8859-1 strings (one char per byte, cheap
-  * hashing, human-readable for ASCII); [[bytesOf]] converts a readable
-  * UTF-8 string into that form for writing merges tables by hand.
+  * Merges tables are written as ISO-8859-1 byte strings (one char = one
+  * byte, human-readable for ASCII); [[bytesOf]] converts a readable UTF-8
+  * string into that form.
   */
 object Bpe {
 
@@ -41,55 +42,140 @@ object Bpe {
     * contractions, optionally-space-prefixed letter runs, digit runs,
     * symbol runs, then whitespace (trailing run kept whole). Its matches
     * PARTITION the text — every char lands in exactly one pre-token — so
-    * token counts cover the full input.
+    * token counts cover the full input. Compiled with
+    * UNICODE_CHARACTER_CLASS: Python's `\s`/`\S` (what GPT-2's own
+    * tokenizer uses) are Unicode-aware, and Java's default ASCII `\s`
+    * would glue NBSP and other Unicode whitespace onto symbol runs —
+    * different pre-token boundaries, hence different token counts than
+    * the model's tokenizer, on ordinary crawled HTML.
     */
   val Gpt2PretokenRe: String =
     "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
 
+  private val pretokPattern = java.util.regex.Pattern.compile(
+    Gpt2PretokenRe, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
   /** UTF-8 bytes of `s` as a latin-1 string (one char = one byte) — the
-    * form merges tables and [[encode]] operate in.
+    * form merges tables are written in.
     */
   def bytesOf(s: String): String =
     new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  /** A merges table compiled for encoding: pair → rank (merge priority,
-    * lower merges first) and token-bytes → id (byte-level convention).
+  /** Window cap for pathological pre-tokens. Natural-language pieces are
+    * word-sized; a single multi-hundred-KB whitespace/digit/symbol run
+    * (minified junk, boilerplate padding) is ONE pre-token, and the merge
+    * loop is quadratic in the piece — unbounded, that is hours on one
+    * row. Pieces beyond this cap merge in independent windows: counts
+    * stay EXACT for every piece ≤ the cap, and an oversized piece can
+    * overcount by at most one token per window seam (a merge that would
+    * have spanned the boundary), i.e. ≤ len/16384 tokens — bounded and
+    * negligible against a budget, never an undercount.
     */
-  final class RankTable(merges: IndexedSeq[(String, String)]) extends Serializable {
-    val pairRank: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.size * 2)
-      var i = 0
-      while (i < merges.size) {
-        val (a, b) = merges(i)
-        m.putIfAbsent(pairKey(a, b), Integer.valueOf(i))
-        i += 1
-      }
-      m
+  val MaxPieceBytes: Int = 16384
+
+  /** Minimal open-addressed (long → int) map: power-of-two linear
+    * probing, no boxing, for the per-pair rank probe in the merge loop.
+    * Keys are non-negative (two 31-bit token ids packed); -1 is the
+    * empty slot sentinel.
+    */
+  private final class LongIntMap(capacityHint: Int) extends Serializable {
+    private val cap = {
+      var c = 16
+      while (c < capacityHint * 2) c <<= 1
+      c
     }
-    val tokenId: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.size * 2 + 512)
-      var b = 0
-      while (b < 256) {
-        m.put(Character.toString(b.toChar), Integer.valueOf(b))
-        b += 1
+    private val mask = cap - 1
+    private val keys = Array.fill[Long](cap)(-1L)
+    private val vals = new Array[Int](cap)
+    def put(k: Long, v: Int): Unit = {
+      var i = (java.lang.Long.hashCode(k) & Int.MaxValue) & mask
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) != k) { keys(i) = k; vals(i) = v }
+      // first write wins (putIfAbsent semantics — merges earlier in the
+      // table take priority, matching the GPT-2 file format)
+    }
+    def get(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k) & Int.MaxValue) & mask
+      while (keys(i) != -1L) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
       }
-      var i = 0
-      while (i < merges.size) {
-        val (a, bb) = merges(i)
-        m.putIfAbsent(a + bb, Integer.valueOf(256 + i))
-        i += 1
-      }
-      m
+      -1
     }
   }
 
-  // length-prefixed pair key: unambiguous even when token bytes include
-  // any separator char we could pick
-  private def pairKey(a: String, b: String): String =
-    a.length.toString + ":" + a + b
+  /** A merges table compiled for encoding: (leftId, rightId) → rank, and
+    * rank → the canonical merged token id. Ids: byte b → b, merge i →
+    * 256 + i (a duplicate concatenation resolves to the FIRST mint). A
+    * merge whose side string names a token no earlier merge produces can
+    * never fire and is skipped (its id is still minted, so the
+    * convention stays positional).
+    */
+  final class RankTable(merges: IndexedSeq[(String, String)]) extends Serializable {
+    private[Bpe] val pairRank = new LongIntMap(math.max(16, merges.size))
+    private[Bpe] val mergedId = new Array[Int](merges.size)
+    locally {
+      val idOf = new java.util.HashMap[String, Integer](merges.size * 2)
+      def resolve(s: String): Int =
+        if (s.length == 1) s.charAt(0).toInt
+        else {
+          val v = idOf.get(s)
+          if (v == null) -1 else v.intValue
+        }
+      var i = 0
+      while (i < merges.size) {
+        val (a, b) = merges(i)
+        val aId = resolve(a)
+        val bId = resolve(b)
+        val concat = a + b
+        val existing = idOf.get(concat)
+        val mId = if (existing != null) existing.intValue else {
+          idOf.put(concat, Integer.valueOf(256 + i))
+          256 + i
+        }
+        mergedId(i) = mId
+        if (aId >= 0 && bId >= 0)
+          pairRank.put((aId.toLong << 32) | bId.toLong, i)
+        i += 1
+      }
+    }
+  }
 
-  private val pretokPattern = java.util.regex.Pattern.compile(Gpt2PretokenRe)
+  /** Merge one pre-token window (latin-1 byte string slice) into token
+    * ids, appended to `out`; returns the number of tokens emitted.
+    * tiktoken's algorithm shape: repeatedly merge the LOWEST-RANK
+    * adjacent pair present in the table, anywhere in the piece — greedy
+    * left-to-right is WRONG (it can pick a higher-rank pair whose merge
+    * destroys the lower-rank one; the spec tests pin this). Quadratic in
+    * the window length, integer-only (ids in a reused buffer, packed
+    * long pair probes — zero allocation per iteration).
+    */
+  private def mergeWindow(piece: CharSequence, from: Int, until: Int,
+      t: RankTable, parts: ArrayBuffer[Int], out: ArrayBuffer[Int]): Int = {
+    parts.clear()
+    var i = from
+    while (i < until) { parts += piece.charAt(i).toInt; i += 1 }
+    var done = parts.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < parts.length - 1) {
+        val r = t.pairRank.get((parts(j).toLong << 32) | parts(j + 1).toLong)
+        if (r >= 0 && r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) done = true
+      else {
+        parts(best) = t.mergedId(bestRank)
+        parts.remove(best + 1)
+        done = parts.length < 2
+      }
+    }
+    out ++= parts
+    parts.length
+  }
 
   /** Serializable kernel: ships the raw merges list in the task closure,
     * compiles the rank table LAZILY ONCE per executor (transient — never
@@ -98,57 +184,42 @@ object Bpe {
     */
   private final class Kernel(ms: IndexedSeq[(String, String)]) extends Serializable {
     @transient lazy val table: RankTable = new RankTable(ms)
-    def count(text: String): Long = {
-      if (text == null) return 0L
-      val t = table
-      var n = 0L
+    @transient private lazy val local =
+      new ThreadLocal[(ArrayBuffer[Int], ArrayBuffer[Int])] {
+        override def initialValue() = (new ArrayBuffer[Int](64), new ArrayBuffer[Int](256))
+      }
+    private def eachPiece(text: String)(f: (String, Int, Int) => Unit): Unit = {
       val m = pretokPattern.matcher(text)
-      while (m.find()) n += mergePiece(bytesOf(m.group()), t).length
-      n
+      while (m.find()) {
+        val piece = bytesOf(m.group())
+        var o = 0
+        while (o < piece.length) {
+          val end = math.min(piece.length, o + MaxPieceBytes)
+          f(piece, o, end)
+          o = end
+        }
+        if (piece.isEmpty) () // regex never yields empty matches; guard anyway
+      }
     }
     def ids(text: String): Array[Int] = {
       if (text == null || text.isEmpty) return Array.emptyIntArray
       val t = table
-      val out = new ArrayBuffer[Int](text.length / 3 + 4)
-      val m = pretokPattern.matcher(text)
-      while (m.find()) {
-        val parts = mergePiece(bytesOf(m.group()), t)
-        var i = 0
-        while (i < parts.length) { out += t.tokenId.get(parts(i)).intValue; i += 1 }
-      }
+      val (parts, out) = local.get()
+      out.clear()
+      eachPiece(text)((p, a, b) => { mergeWindow(p, a, b, t, parts, out); () })
       out.toArray
     }
-  }
-
-  /** Merge one pre-token (latin-1 byte string) to its final token list.
-    * tiktoken's algorithm shape: repeatedly merge the LOWEST-RANK adjacent
-    * pair present in the table, anywhere in the piece — greedy
-    * left-to-right is WRONG (it can pick a higher-rank pair whose merge
-    * destroys the lower-rank one; the spec tests pin this). Quadratic in
-    * the piece length, which the pre-tokenizer bounds to word-ish runs.
-    */
-  private[ops] def mergePiece(piece: String, t: RankTable): ArrayBuffer[String] = {
-    val parts = new ArrayBuffer[String](piece.length)
-    var i = 0
-    while (i < piece.length) { parts += piece.substring(i, i + 1); i += 1 }
-    var done = parts.length < 2
-    while (!done) {
-      var best = -1
-      var bestRank = Int.MaxValue
-      var j = 0
-      while (j < parts.length - 1) {
-        val r = t.pairRank.get(pairKey(parts(j), parts(j + 1)))
-        if (r != null && r.intValue < bestRank) { bestRank = r.intValue; best = j }
-        j += 1
+    def count(text: String): Long = {
+      if (text == null) return 0L
+      val t = table
+      val (parts, out) = local.get()
+      var n = 0L
+      eachPiece(text) { (p, a, b) =>
+        out.clear()
+        n += mergeWindow(p, a, b, t, parts, out)
       }
-      if (best < 0) done = true
-      else {
-        parts(best) = parts(best) + parts(best + 1)
-        parts.remove(best + 1)
-        done = parts.length < 2
-      }
+      n
     }
-    parts
   }
 
   /** Encode `text` to byte-level BPE token ids under `merges` (driver-side

@@ -33,19 +33,38 @@ private[ops] object Cavlc {
     */
   final class Unsupported(msg: String) extends RuntimeException(msg)
 
-  /** A prefix-free VLC table: entries (code-bits-as-string, a, b). */
+  /** A prefix-free VLC table: entries (code-bits-as-string, a, b). Decode
+    * probes an int-keyed per-length table — one accumulator shift and one
+    * unboxed array probe per bit, no String building in the hot loop
+    * (this sits under every coefficient of every macroblock).
+    */
   private[ops] final class Vlc(val entries: Seq[(String, Int, Int)]) {
-    private val byCode: Map[String, (Int, Int)] =
-      entries.map { case (c, a, b) => c -> ((a, b)) }.toMap
     val maxLen: Int = entries.map(_._1.length).max
+    // byLen(len) maps the accumulated code value (as an int) of a
+    // `len`-bit code to its packed (a << 16 | b); -1 = no code. Dense
+    // arrays: codes are ≤ 16 bits so the largest table is 64Ki ints.
+    private val byLen: Array[Array[Int]] = {
+      val t = Array.tabulate(maxLen + 1)(len =>
+        if (entries.exists(_._1.length == len)) Array.fill(1 << len)(-1)
+        else null)
+      entries.foreach { case (c, a, b) =>
+        t(c.length)(Integer.parseInt(c, 2)) = (a << 16) | b
+      }
+      t
+    }
     private val codeOf: Map[(Int, Int), String] =
       entries.map { case (c, a, b) => ((a, b)) -> c }.toMap
     def decode(r: VideoBitstream.BitReader, what: String): (Int, Int) = {
-      val sb = new java.lang.StringBuilder(maxLen)
-      while (sb.length < maxLen) {
-        sb.append(if (r.u1() == 1) '1' else '0')
-        val hit = byCode.get(sb.toString)
-        if (hit.isDefined) return hit.get
+      var acc = 0
+      var len = 0
+      while (len < maxLen) {
+        acc = (acc << 1) | r.u1()
+        len += 1
+        val row = byLen(len)
+        if (row != null) {
+          val v = row(acc)
+          if (v >= 0) return (v >> 16, v & 0xffff)
+        }
       }
       throw new Unsupported(s"malformed $what code")
     }

@@ -82,6 +82,36 @@ class BpeSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("nm") == 0L)
   }
 
+  test("pre-tokenizer \\s is UNICODE: NBSP is whitespace (as in Python/" +
+      "tiktoken), so it forms its own pre-token instead of gluing onto a " +
+      "symbol run — merges cannot fire across the boundary") {
+    // merge (" ", 0xC2): if "  " were ONE pre-token (Java's ASCII \s
+    // default), the space would sit next to NBSP's first UTF-8 byte and
+    // the merge would fire; under Unicode \s they are separate pieces and
+    // the ids are the raw bytes
+    val merges = Seq((" ", "Â"))
+    assert(Bpe.encode("a \u00A0b", merges).toSeq ==
+      Seq('a'.toInt, ' '.toInt, 0xC2, 0xA0, 'b'.toInt))
+    // and the partition invariant still holds on Unicode whitespace
+    assert(Bpe.encode("a \u00A0 \u00A0b", Seq.empty).length ==
+      "a \u00A0 \u00A0b".getBytes("UTF-8").length)
+  }
+
+  test("oversized pre-tokens merge in bounded windows: counts stay exact " +
+      "under the empty table and bounded-above with merges") {
+    // a single 40k-digit run is ONE pre-token; unbounded it would be an
+    // O(n^2) stall per row. Empty table: count == byte count regardless
+    // of windowing (nothing merges across seams anyway).
+    val run = "7" * 40000
+    assert(Bpe.encode(run, Seq.empty).length == 40000)
+    // with a digit-pair merge, each window halves independently; the true
+    // un-windowed count would be 20000, windowing can only ADD at most
+    // one token per seam (40000/16384 = 2 seams, and 16384 is even so
+    // here the seams align and the count is exact)
+    val merged = Bpe.encode(run, Seq(("7", "7"))).length
+    assert(merged == 20000, s"got $merged")
+  }
+
   test("tokenIds Column matches the driver-side encode, id convention " +
       "256+rank for merged tokens") {
     val merges = Seq(("l", "o"), ("lo", "w"))
