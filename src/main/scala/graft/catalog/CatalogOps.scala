@@ -765,6 +765,30 @@ object CatalogOps {
       FROM documents"""),
     bench = true)
 
+  /** BPE vocabulary LEARNING ([[graft.ops.Bpe.learnMerges]] — the
+    * Sennrich dictionary algorithm: one corpus groupBy to a capped
+    * piece-frequency dict, then the merge loop driver-side over the
+    * bounded dict). The corpus is the constant "roro rora roro" over
+    * every document row, whose merge sequence is hand-derivable (pair
+    * counts 5N/3N/2N/N; ties break to the smallest id pair), so the
+    * oracle states the learned table verbatim — invariant in N because
+    * frequencies scale uniformly.
+    */
+  private val txtBpeLearn = Q("txt_bpe_learn",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id"), lit("roro rora roro").as("text"))
+      graft.ops.Bpe.learnMerges(corpus, "text", nMerges = 5)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+    },
+    Some("""SELECT * FROM (VALUES
+      (0, 'r', 'o'), (1, ' ', 'ro'), (2, 'r', 'a'),
+      (3, 'ro', 'ro'), (4, ' ro', 'ro'))
+      AS t(merge_rank, lhs, rhs)"""))
+
   private val txtRepetition = Q("txt_repetition",
     (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("dup_line_frac"), col("dup_ngram_frac")),
@@ -1619,6 +1643,74 @@ object CatalogOps {
       CASE WHEN doc_id % 3 = 0 THEN greatest(2, 1 + doc_id % 5)::DOUBLE
         ELSE NULL END AS crawl_delay_s
       FROM documents"""))
+
+  /** The frontier SCHEDULE — [[graft.ops.Robots.politeSchedule]] after
+    * the gate: per-host fetch slots paced by the effective crawl-delay
+    * (declared / malformed-to-default / absent-to-default, the same
+    * three branches as web_robots_gate), one window exchange keyed on
+    * the host. The oracle replays slot = k (paths sort lexicographically
+    * = numerically for k ≤ 4) and fetch_at_s = k × delay closed-form.
+    */
+  private val webFrontierSchedule = Q("web_frontier_schedule",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robotsTxt = concat(
+        lit("User-agent: graftbot\nDisallow: /private\n"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("Crawl-delay: "), lit(1) + col("doc_id") % 5, lit("\n")))
+          .when(col("doc_id") % 3 === 1, lit("Crawl-delay: fast\n"))
+          .otherwise(lit("")))
+      val rules = graft.ops.Robots.parseRobots(
+          docs.select(col("doc_id"), robotsTxt.as("robots")),
+          "robots", "graftbot")
+        .select(col("doc_id"), col("directive"), col("rule_value"))
+      val urls = docs.select(col("doc_id"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("k"))
+        .select(col("doc_id"), concat(lit("/p"), col("k")).as("path"))
+      val gated = graft.ops.Robots.robotsAllowed(urls, "path", rules, Seq("doc_id"))
+        .where(col("robots_allowed"))
+      graft.ops.Robots.politeSchedule(gated, Seq("doc_id"), "path",
+          defaultDelayS = 1.0)
+        .select(col("doc_id"), col("path"), col("crawl_delay_s"),
+          col("fetch_slot"), col("fetch_at_s"))
+    },
+    Some("""SELECT doc_id, '/p' || k AS path,
+      CASE WHEN doc_id % 3 = 0 THEN (1 + doc_id % 5)::DOUBLE ELSE NULL END AS crawl_delay_s,
+      k::BIGINT AS fetch_slot,
+      (k * CASE WHEN doc_id % 3 = 0 THEN (1 + doc_id % 5)::DOUBLE ELSE 1.0 END)::DOUBLE AS fetch_at_s
+      FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(k)"""))
+
+  /** `.tar.zst` ingest — zstd is the compression newer corpus dumps ship
+    * in, and [[graft.ops.Archives.zunstdIfNeeded]] dispatches on the
+    * frame magic inside the same tar walk that handles `.tar.gz`
+    * (zstd-jni rides Spark's own classpath; the native decompression
+    * context is freed deterministically, §19.1's discipline). Same
+    * closed-form member census as arc_tar_members.
+    */
+  private val arcZstdMembers = Q("arc_zstd_members",
+    (s, dir) => {
+      val tars = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Archives.syntheticTarZstd(
+          (lit(1) + col("doc_id") % 6).cast("int"),
+          (col("doc_id") % 16).cast("int")).as("payload"))
+      graft.ops.Archives.tarMembers(tars, "payload")
+        .select(col("doc_id"), col("member_idx"), col("member_name"),
+          col("member_size"), col("data_offset"), col("type_flag"),
+          col("member_text"), col("parse_error"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, (1 + doc_id % 6)::INT AS nm, (doc_id % 16)::INT AS seed
+        FROM documents),
+      m AS (
+        SELECT doc_id, k::INT AS k, (20 + (seed + 7*k) % 40)::BIGINT AS len
+        FROM p, unnest(generate_series(0, nm - 1)) AS t(k))
+      SELECT doc_id, k AS member_idx,
+        'dir/file' || k || '.txt' AS member_name,
+        len AS member_size, (1024*k + 512)::BIGINT AS data_offset,
+        '0' AS type_flag,
+        substring(repeat('the quick brown fox jumps over the lazy dog ', 2), 1, len::INT) AS member_text,
+        NULL::VARCHAR AS parse_error
+      FROM m"""))
 
   /** NESTED archive composition — the real shape of code-dataset dumps
     * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
@@ -2716,7 +2808,7 @@ object CatalogOps {
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
-    txtLangid, txtQuality, txtTokens, txtBpe, txtFingerprint, txtRepetition,
+    txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
@@ -2726,7 +2818,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webSitemapIngest,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -37,6 +37,43 @@ object Archives {
     */
   val MaxInflatedBytes: Long = 256L << 20
 
+  /** zstd sibling of [[gunzipIfNeeded]] (magic 28 B5 2F FD — the format
+    * newer corpus dumps ship in; zstd-jni rides Spark's own classpath).
+    * Same deterministic native-memory discipline: a ZstdInputStream owns
+    * a NATIVE decompression context that only close() frees eagerly, so
+    * it sits in a finally — the gunzip leak class, §19.1.
+    */
+  private[ops] def zunstdIfNeeded(
+      bytes: Array[Byte], maxBytes: Long = MaxInflatedBytes): Array[Byte] =
+    if (bytes.length >= 4 && bytes(0) == 0x28.toByte && bytes(1) == 0xb5.toByte &&
+        bytes(2) == 0x2f.toByte && bytes(3) == 0xfd.toByte) {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size() > maxBytes)
+            throw new java.io.IOException(
+              s"zstd stream exceeds $maxBytes inflated bytes (decompression bomb?)")
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    } else bytes
+
+  /** Magic-dispatched decompression: gzip members, a zstd frame, or
+    * passthrough — the one entry ingest walks use so `.gz` and `.zst`
+    * payloads parse identically.
+    */
+  private[ops] def inflateIfCompressed(
+      bytes: Array[Byte], maxBytes: Long = MaxInflatedBytes): Array[Byte] =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      gunzipIfNeeded(bytes, maxBytes)
+    else zunstdIfNeeded(bytes, maxBytes)
+
   /** End offset of the gzip member header starting at `o` (RFC 1952:
     * 10 fixed bytes, then FEXTRA/FNAME/FCOMMENT/FHCRC per FLG), or -1
     * when the header is corrupt/truncated.
@@ -170,7 +207,7 @@ object Archives {
           Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
-          val bytes = gunzipIfNeeded(r.getAs[Array[Byte]](idx), maxInflatedBytes)
+          val bytes = inflateIfCompressed(r.getAs[Array[Byte]](idx), maxInflatedBytes)
           def cstr(o: Int, len: Int): String = {
             var e = o
             while (e < o + len && e < bytes.length && bytes(e) != 0) e += 1
@@ -408,20 +445,36 @@ object Archives {
       bos.toByteArray
     }
 
+  private[ops] def zstdWrap(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    try z.write(raw) finally z.close()
+    bos.toByteArray
+  }
+
+  private def tarBytes(nMembers: Int, seed: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val pangram = "the quick brown fox jumps over the lazy dog "
+    var k = 0
+    while (k < nMembers) {
+      val len = 20 + (seed + 7 * k) % 40
+      tarAppendEntry(out, s"dir/file$k.txt",
+        (pangram * 2).substring(0, len).getBytes("UTF-8"))
+      k += 1
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
   val syntheticTar: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((nMembers: Int, seed: Int, gzipped: Boolean) => {
-      val out = new java.io.ByteArrayOutputStream()
-      val pangram = "the quick brown fox jumps over the lazy dog "
-      var k = 0
-      while (k < nMembers) {
-        val len = 20 + (seed + 7 * k) % 40
-        tarAppendEntry(out, s"dir/file$k.txt",
-          (pangram * 2).substring(0, len).getBytes("UTF-8"))
-        k += 1
-      }
-      out.write(new Array[Byte](1024))
-      gzipWrap(out.toByteArray, gzipped)
-    })
+    udf((nMembers: Int, seed: Int, gzipped: Boolean) =>
+      gzipWrap(tarBytes(nMembers, seed), gzipped))
+
+  /** [[syntheticTar]] compressed with zstd — the `.tar.zst` shape newer
+    * corpus dumps ship in.
+    */
+  val syntheticTarZstd: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((nMembers: Int, seed: Int) => zstdWrap(tarBytes(nMembers, seed)))
 
   /** STORED-member zip bytes with caller-chosen member lengths — the
     * closed-form kernel behind [[syntheticZip]] and

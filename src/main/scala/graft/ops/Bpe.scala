@@ -248,4 +248,121 @@ object Bpe {
     val k = new Kernel(merges.toIndexedSeq)
     udf((text: String) => k.ids(text))
   }
+
+  /** Pre-token pieces of a text as latin-1 byte strings — the corpus side
+    * of [[learnMerges]]'s dictionary aggregation.
+    */
+  private[ops] val prePieces: UserDefinedFunction = udf((text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val out = ArrayBuffer.empty[String]
+      val m = pretokPattern.matcher(text)
+      while (m.find()) out += bytesOf(m.group())
+      out.toArray
+    })
+
+  /** LEARN a byte-level merges table from a corpus — the published
+    * Sennrich dictionary algorithm, Spark-shaped: ONE aggregation pass
+    * collapses the corpus to a (pre-token piece → count) dictionary
+    * capped at `dictSize` by frequency (standard practice — the tail
+    * carries negligible pair mass), and the merge loop then runs
+    * DRIVER-side over that bounded dictionary, never touching the corpus
+    * again (this is also how the original implementation works: BPE
+    * learning is a word-frequency-dict algorithm, not a corpus
+    * algorithm). Each round merges the most frequent adjacent id pair;
+    * ties break deterministically to the smallest (leftId, rightId), so
+    * the learned table is reproducible bit-for-bit anywhere. Returns the
+    * merges as [[tokenCount]]/[[tokenIds]]-ready byte-string pairs, in
+    * rank order.
+    *
+    * Scale shape: the one corpus-wide exchange is the piece groupBy
+    * (map-side combined); the driver holds ≤ dictSize pieces
+    * (bounded, default 65536) and the loop is O(nMerges × dict pieces).
+    * A 100 TB corpus learns its vocabulary from the same capped dict a
+    * 100 GB one does — the cap is the explicit recall dial.
+    */
+  def learnMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, dictSize: Int = 65536): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, count => fcount, explode, lit, sum => fsum}
+    require(nMerges >= 0 && nMerges < (1 << 16), "nMerges out of range")
+    val dictRows = df
+      .select(explode(prePieces(col(textCol))).as("piece"))
+      .groupBy(col("piece")).agg(fcount(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(dictSize)
+      .collect()
+    // driver-side dict: piece as an id array + its corpus count
+    val words: Array[Array[Int]] =
+      dictRows.map(r => r.getString(0).toCharArray.map(_.toInt))
+    val counts: Array[Long] = dictRows.map(_.getLong(1))
+    val idStr = scala.collection.mutable.HashMap.empty[Int, String]
+    def strOf(id: Int): String =
+      if (id < 256) Character.toString(id.toChar) else idStr(id)
+    val merges = ArrayBuffer.empty[(String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // pair frequencies over the dict (weighted by word counts)
+      val pairN = new java.util.HashMap[Long, java.lang.Long]()
+      var w = 0
+      while (w < words.length) {
+        val parts = words(w)
+        val c = counts(w)
+        var j = 0
+        while (j < parts.length - 1) {
+          val k = (parts(j).toLong << 32) | parts(j + 1).toLong
+          val prev = pairN.get(k)
+          pairN.put(k, java.lang.Long.valueOf(if (prev == null) c else prev.longValue + c))
+          j += 1
+        }
+        w += 1
+      }
+      if (pairN.isEmpty) exhausted = true
+      else {
+        // argmax count, ties to the smallest (leftId, rightId) — i.e. the
+        // smallest packed key, making the learned table total-order
+        // deterministic
+        var bestKey = -1L
+        var bestN = -1L
+        val it = pairN.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val n = e.getValue.longValue
+          if (n > bestN || (n == bestN &&
+              java.lang.Long.compareUnsigned(e.getKey, bestKey) < 0)) {
+            bestN = n; bestKey = e.getKey
+          }
+        }
+        val l = (bestKey >>> 32).toInt
+        val r = (bestKey & 0xffffffffL).toInt
+        val newId = 256 + rank
+        idStr(newId) = strOf(l) + strOf(r)
+        merges += ((strOf(l), strOf(r)))
+        // apply the merge to every dict word in place
+        w = 0
+        while (w < words.length) {
+          val parts = words(w)
+          var has = false
+          var j = 0
+          while (!has && j < parts.length - 1) {
+            has = parts(j) == l && parts(j + 1) == r
+            j += 1
+          }
+          if (has) {
+            val nw = new ArrayBuffer[Int](parts.length)
+            j = 0
+            while (j < parts.length) {
+              if (j < parts.length - 1 && parts(j) == l && parts(j + 1) == r) {
+                nw += newId; j += 2
+              } else { nw += parts(j); j += 1 }
+            }
+            words(w) = nw.toArray
+          }
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
 }

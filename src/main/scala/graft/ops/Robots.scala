@@ -188,4 +188,31 @@ object Robots {
       .withColumn("robots_rule", col("__w.p"))
       .drop("__rules", "__m", "__w")
   }
+
+  /** Crawl-delay-aware fetch scheduling — the frontier step AFTER
+    * [[robotsAllowed]]: within each host (the `keyCols` group), fetches
+    * take a deterministic slot in `orderCol` order and
+    * `fetch_at_s = fetch_slot × effective delay` (the host's
+    * `crawl_delay_s` where declared, `defaultDelayS` otherwise) — the
+    * pacing a polite fetcher must obey per RFC 9309's de-facto
+    * crawl-delay extension. One window exchange keyed on the host:
+    * politeness is a PER-HOST constraint, so scheduling is
+    * embarrassingly parallel across hosts at any corpus size, and a
+    * host's fan-in is its own URL count, never the corpus's. Appends
+    * `fetch_slot` (0-based long) and `fetch_at_s` (double, seconds from
+    * the host's first fetch).
+    */
+  def politeSchedule(urls: DataFrame, keyCols: Seq[String], orderCol: String,
+      delayCol: String = "crawl_delay_s",
+      defaultDelayS: Double = 1.0): DataFrame = {
+    require(keyCols.nonEmpty, "politeSchedule needs at least one key column")
+    Multimodal.requireFreshColumns(urls, "politeSchedule",
+      Seq("fetch_slot", "fetch_at_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    urls
+      .withColumn("fetch_slot", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_s",
+        col("fetch_slot") * coalesce(col(delayCol), lit(defaultDelayS)))
+  }
 }

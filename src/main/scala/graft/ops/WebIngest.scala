@@ -152,7 +152,7 @@ object WebIngest {
             Seq(null, null, null, null, null, null, null, null, null, msg)))
         if (r.isNullAt(idx)) errRow("null payload")
         else try {
-          val bytes = Archives.gunzipIfNeeded(r.getAs[Array[Byte]](idx))
+          val bytes = Archives.inflateIfCompressed(r.getAs[Array[Byte]](idx))
           val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
           var o = 0
           var recIdx = 0
@@ -635,7 +635,7 @@ object WebIngest {
           if (off < 0 || len <= 0 || off + len > payload.length)
             errRow(s"record span out of bounds ($off+$len of ${payload.length})")
           else {
-            val slice = Archives.gunzipIfNeeded(java.util.Arrays.copyOfRange(
+            val slice = Archives.inflateIfCompressed(java.util.Arrays.copyOfRange(
               payload, off.toInt, (off + len).toInt))
             val f = warcFrameAt(slice, 0)
             if (!f.ok)

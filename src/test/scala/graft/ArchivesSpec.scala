@@ -1,5 +1,44 @@
 package graft.ops
 
+class ZstdSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("zunstdIfNeeded: round-trips zstd frames, passes non-zstd through, " +
+      "caps decompression bombs, frees the native context on every path") {
+    val raw = ("zstd payload " * 100).getBytes("UTF-8")
+    val z = Archives.zstdWrap(raw)
+    assert(z(0) == 0x28.toByte && z(1) == 0xb5.toByte)
+    assert(Archives.zunstdIfNeeded(z).toSeq == raw.toSeq)
+    assert(Archives.zunstdIfNeeded(raw) eq raw) // passthrough, no copy
+    // bomb cap: a highly-compressible frame refuses beyond maxBytes
+    val bomb = Archives.zstdWrap(new Array[Byte](1 << 20))
+    val e = intercept[java.io.IOException] {
+      Archives.zunstdIfNeeded(bomb, maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains("decompression bomb"))
+    // magic dispatch: gzip goes to the gzip kernel, zstd to zstd
+    assert(Archives.inflateIfCompressed(
+      Archives.gzipWrap(raw, gzipped = true)).toSeq == raw.toSeq)
+    assert(Archives.inflateIfCompressed(z).toSeq == raw.toSeq)
+  }
+
+  test("gunzipIfNeeded: corrupt headers after a valid magic refuse " +
+      "cleanly (no native allocation), CRC/ISIZE trailers verified, " +
+      "multi-member streams concatenate") {
+    val a = Archives.gzipWrap("first ".getBytes("UTF-8"), gzipped = true)
+    val b = Archives.gzipWrap("second".getBytes("UTF-8"), gzipped = true)
+    assert(new String(Archives.gunzipIfNeeded(a ++ b), "UTF-8") == "first second")
+    // corrupt CM byte after the magic
+    val badCm = a.clone(); badCm(2) = 9
+    val e1 = intercept[java.io.IOException](Archives.gunzipIfNeeded(badCm))
+    assert(e1.getMessage == "corrupt gzip header")
+    // flipped data bit → CRC mismatch (or a deflate error), never silence
+    val flipped = a.clone(); flipped(12) = (flipped(12) ^ 0x40).toByte
+    intercept[java.io.IOException](Archives.gunzipIfNeeded(flipped))
+    // truncated trailer
+    val cut = java.util.Arrays.copyOf(a, a.length - 3)
+    intercept[java.io.IOException](Archives.gunzipIfNeeded(cut))
+  }
+}
+
 import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite

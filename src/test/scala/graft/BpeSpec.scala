@@ -123,6 +123,28 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Bpe.encode("low lo", merges).toSeq)
   }
 
+  test("learnMerges: the dictionary algorithm learns the HAND-DERIVED " +
+      "merge sequence (max pair count, ties to smallest ids) and the " +
+      "learned table round-trips through the encoder") {
+    // every doc: "roro rora roro" → pieces {roro, ' rora', ' roro'}.
+    // Pair counts: (r,o)=5N, (o,r)=3N, (sp,r)=2N, (r,a)=N →
+    //   merge0 (r,o). Then (ro,ro)=2N ties (sp,ro)=2N → smaller left
+    //   (space=32) wins → merge1 (' ',ro). Then all pairs tie at N →
+    //   smallest (left,right): merge2 (r,a), merge3 (ro,ro),
+    //   merge4 (' ro',ro) [left 257 ties, right 256 < 258].
+    val docs = (0L until 50L).map(i => (i, "roro rora roro"))
+      .toDF("doc_id", "text")
+    val learned = Bpe.learnMerges(docs, "text", nMerges = 5)
+    assert(learned == Seq(("r", "o"), (" ", "ro"), ("r", "a"),
+      ("ro", "ro"), (" ro", "ro")))
+    // encoder consistency: "roro rora" under the learned table =
+    // [roro] + [' ro'][ra] = 3 tokens
+    assert(Bpe.encode("roro rora", learned).length == 3)
+    // a corpus with nothing left to merge stops early instead of looping
+    assert(Bpe.learnMerges(
+      Seq((0L, "a b")).toDF("doc_id", "text"), "text", 50).size < 50)
+  }
+
   test("token-exact packing: packSequences on a Bpe.tokenCount column " +
       "packs by tokens, not whitespace words — the budgets DIVERGE on " +
       "merge-heavy text") {

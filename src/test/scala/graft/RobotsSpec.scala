@@ -115,4 +115,22 @@ class RobotsSpec extends AnyFunSuite {
         r.getAs[Boolean]("robots_allowed")).toMap
     assert(dec == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true))
   }
+
+  test("politeSchedule: per-host fetch slots paced by the effective " +
+      "delay — declared delay, default fallback, independent hosts") {
+    val urls = Seq(
+      (0L, "/a", Some(2.5)), (0L, "/b", Some(2.5)), (0L, "/c", Some(2.5)),
+      (1L, "/x", None), (1L, "/y", None))
+      .map { case (h, p, d) => (h, p, d.map(Double.box).orNull) }
+      .toDF("host_id", "path", "crawl_delay_s")
+    val got = Robots.politeSchedule(urls, Seq("host_id"), "path",
+      defaultDelayS = 1.0)
+      .collect().map(r => (r.getAs[Long]("host_id"), r.getAs[String]("path")) ->
+        (r.getAs[Long]("fetch_slot"), r.getAs[Double]("fetch_at_s"))).toMap
+    assert(got((0L, "/a")) == ((0L, 0.0)))
+    assert(got((0L, "/b")) == ((1L, 2.5)))
+    assert(got((0L, "/c")) == ((2L, 5.0)))
+    assert(got((1L, "/x")) == ((0L, 0.0)))
+    assert(got((1L, "/y")) == ((1L, 1.0)))
+  }
 }
