@@ -1712,6 +1712,58 @@ object CatalogOps {
         NULL::VARCHAR AS parse_error
       FROM m"""))
 
+  /** SURT urlkey generation ([[TextAnalysis.surtKey]] over
+    * [[TextAnalysis.canonicalizeUrl]]) — the CDX join key a Common Crawl
+    * consumer computes to look URLs up in the index: reversed
+    * comma-joined host (www stripped), kept non-default port, lowercased
+    * path, sorted query. The fixture plants every axis (mixed-case
+    * scheme/host/path, www, :8080, a dot segment, an unsorted query);
+    * the oracle states both the canonical URL and the urlkey closed-form.
+    */
+  private val webSurtKey = Q("web_surt_key",
+    (s, dir) => {
+      val loc = concat(lit("HTTP://WWW.Site"), col("doc_id") % 50,
+        lit(".CoM:8080/A/./b?zz=1&aa="), col("doc_id") % 7)
+      TextAnalysis.surtKey(
+        TextAnalysis.canonicalizeUrl(
+          t(s, dir, "documents").select(col("doc_id"), loc.as("loc")), "loc"),
+        "url_canonical")
+        .select(col("doc_id"), col("loc"), col("url_canonical"), col("urlkey"))
+    },
+    Some("""SELECT doc_id,
+      'HTTP://WWW.Site' || (doc_id % 50) || '.CoM:8080/A/./b?zz=1&aa=' || (doc_id % 7) AS loc,
+      'http://www.site' || (doc_id % 50) || '.com:8080/A/b?zz=1&aa=' || (doc_id % 7) AS url_canonical,
+      'com,site' || (doc_id % 50) || ':8080)/a/b?aa=' || (doc_id % 7) || '&zz=1' AS urlkey
+      FROM documents"""))
+
+  /** Magic-byte media-type sniffing ([[graft.ops.Multimodal
+    * .sniffMediaType]] — a fully codegen'd Column chain, no UDF): six
+    * payload classes per doc_id (a REAL PNG from the gradient encoder, a
+    * gzipped WARC segment, HTML bytes, a PDF header, plain text, a zstd
+    * frame), each sniffed to its closed-form media type — the
+    * declared-vs-actual Content-Type audit signal.
+    */
+  private val mmSniffMedia = Q("mm_sniff_media",
+    (s, dir) => {
+      val payload = when(col("doc_id") % 6 === 0,
+          Multimodal.syntheticPngGradient(lit(8), lit(8),
+            (col("doc_id") % 200).cast("int"), lit(3)))
+        .when(col("doc_id") % 6 === 1,
+          graft.ops.WebIngest.syntheticWarc(col("doc_id"), lit("<p>x</p>"), lit(true)))
+        .when(col("doc_id") % 6 === 2,
+          encode(concat(lit("<html><body>"), col("doc_id"), lit("</body></html>")), "UTF-8"))
+        .when(col("doc_id") % 6 === 3, encode(lit("%PDF-1.4 fake"), "UTF-8"))
+        .when(col("doc_id") % 6 === 4, encode(lit("just plain text"), "UTF-8"))
+        .otherwise(graft.ops.Archives.syntheticTarZstd(lit(1), lit(0)))
+      t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          Multimodal.sniffMediaType(col("payload")).as("sniffed_type"))
+    },
+    Some("""SELECT doc_id, (['image/png', 'application/gzip', 'text/html',
+      'application/pdf', 'application/octet-stream', 'application/zstd'])
+      [(doc_id % 6) + 1] AS sniffed_type
+      FROM documents"""))
+
   /** NESTED archive composition — the real shape of code-dataset dumps
     * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
     * walks the outer tar (odd ids gzipped) emitting each member's RAW
@@ -2818,7 +2870,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, webSurtKey, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -20,6 +20,40 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Magic-byte media-type sniff over a binary payload column — the
+    * declared-vs-actual Content-Type audit every crawl hits on file one
+    * (servers lie; a "text/html" response carrying a PDF must route to
+    * the PDF path, not the HTML extractor). ENTIRELY a codegen'd Column
+    * chain (hex-prefix compares, no UDF, no decode): PNG/JPEG/GIF/WEBP,
+    * WAV/AVI (RIFF-dispatched), PDF, ISO-BMFF (`ftyp` at offset 4),
+    * gzip/zstd/zip, MPEG audio (frame sync or ID3), HTML/XML by leading
+    * tag bytes; anything else is `application/octet-stream`, null stays
+    * null. Deliberately a FIRST-BYTES sniff, not a parse — the parse is
+    * what the typed ops downstream do, with their own degradation.
+    */
+  def sniffMediaType(payload: Column): Column = {
+    def hx(off: Int, pattern: String): Column =
+      hex(substring(payload, off, pattern.length / 2)) === pattern
+    when(payload.isNull, lit(null).cast("string"))
+      .when(hx(1, "89504E470D0A1A0A"), "image/png")
+      .when(hx(1, "FFD8FF"), "image/jpeg")
+      .when(hx(1, "474946383761") || hx(1, "474946383961"), "image/gif")
+      .when(hx(1, "52494646") && hx(9, "57454250"), "image/webp")
+      .when(hx(1, "52494646") && hx(9, "57415645"), "audio/wav")
+      .when(hx(1, "52494646") && hx(9, "41564920"), "video/x-msvideo")
+      .when(hx(1, "25504446"), "application/pdf")
+      .when(hx(5, "66747970"), "video/mp4") // size then 'ftyp'
+      .when(hx(1, "1F8B"), "application/gzip")
+      .when(hx(1, "28B52FFD"), "application/zstd")
+      .when(hx(1, "504B0304") || hx(1, "504B0506"), "application/zip")
+      .when(hx(1, "FFFB") || hx(1, "FFF3") || hx(1, "FFF2") ||
+        hx(1, "494433"), "audio/mpeg")
+      .when(hx(1, "3C21444F") || hx(1, "3C21646F") || // <!DO / <!do
+        hx(1, "3C68746D") || hx(1, "3C48544D"), "text/html") // <htm / <HTM
+      .when(hx(1, "3C3F786D"), "text/xml") // <?xm
+      .otherwise("application/octet-stream")
+  }
+
   /** ImageIO defaults to DISK-caching its image input/output streams: every
     * `read`/`write` call creates and deletes a temp file, which at bench
     * scale serialized the whole executor on filesystem traffic (measured

@@ -989,6 +989,41 @@ object TextAnalysis {
         .otherwise(canonical))
   }
 
+  /** SURT urlkey (Sort-friendly URI Reordering Transform — the key form
+    * the Common Crawl CDX index uses, composing with
+    * [[graft.ops.WebIngest.cdxjEntries]]'s `urlkey` column): host labels
+    * reversed and comma-joined, a leading `www.` stripped, non-default
+    * port kept after the reversed host, `)` then the lowercased path
+    * (`/` when empty) and the alphabetically-sorted query. Feed it a
+    * [[canonicalizeUrl]]'d URL — canonicalization already lowercased the
+    * host, resolved dot segments, and dropped default ports, so the two
+    * ops together produce the dedup/join key a crawl index lookup needs.
+    * Zero shuffle, zero UDFs: one codegen'd Column chain. Non-absolute
+    * URLs get null. Appends `urlkey`.
+    */
+  def surtKey(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val hostport = regexp_replace(auth, "^[^@]*@", "") // SURT drops userinfo
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    val hostNoWww = regexp_replace(host, "^www\\.", "")
+    val rev = array_join(reverse(split(hostNoWww, "\\.")), ",")
+    val path = lower(regexp_extract(u,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+    val q = regexp_extract(u, "\\?(.*)$", 1)
+    val qSorted = array_join(array_sort(split(lower(q), "&", -1)), "&")
+    val key = concat(rev,
+      when(port =!= "", concat(lit(":"), port)).otherwise(lit("")),
+      lit(")"),
+      when(path === "", lit("/")).otherwise(path),
+      when(q =!= "", concat(lit("?"), qSorted)).otherwise(lit("")))
+    df.withColumn("urlkey",
+      when(scheme === "" || hostNoWww === "", lit(null).cast("string"))
+        .otherwise(key))
+  }
+
   /** Domain blocklist gate: drop documents whose registered domain (per
     * [[urlSignals]]) is on the list. The blocklist broadcasts — at 100 TB
     * the corpus never shuffles; the join is a broadcast hash anti-join

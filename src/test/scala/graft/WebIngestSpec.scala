@@ -318,3 +318,48 @@ class WebIngestSpec extends AnyFunSuite {
     assert(out.getAs[Long]("html_text_chars") == 26L)
   }
 }
+
+class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("surtKey matches the CDX index's own urlkey form — the generator's " +
+      "cdxj lines and the computed key agree, www/port/query axes covered") {
+    val got = graft.ops.TextAnalysis.surtKey(
+      Seq(
+        (1L, "http://example.com/doc/7"),
+        (2L, "http://www.example.com/"),
+        (3L, "https://sub.host.org:8443/A/B?b=2&a=1"),
+        (4L, "not a url"),
+        (5L, "http://example.com"))
+        .toDF("id", "u"), "u")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("urlkey")).toMap
+    // identical to syntheticWarcCdx's planted urlkey form
+    assert(got(1L) == "com,example)/doc/7")
+    assert(got(2L) == "com,example)/")
+    assert(got(3L) == "org,host,sub:8443)/a/b?a=1&b=2")
+    assert(got(4L) == null)
+    assert(got(5L) == "com,example)/")
+  }
+
+  test("sniffMediaType: REAL generator payloads sniff to their types — " +
+      "RIFF dispatch (WAV vs AVI), MP4 ftyp, zip, and null stays null") {
+    val rows = Seq((0L, 1)).toDF("id", "x").select(
+      graft.ops.Multimodal.sniffMediaType(
+        graft.ops.Multimodal.syntheticWav(lit(8000), lit(16), lit(1000))).as("wav"),
+      graft.ops.Multimodal.sniffMediaType(
+        graft.ops.Multimodal.syntheticMjpegAvi(lit(8), lit(8), lit(2), lit(100))).as("avi"),
+      graft.ops.Multimodal.sniffMediaType(
+        graft.ops.H264Decode.syntheticIPcmMp4(lit(1), lit(1), lit(2), lit(1), lit(5), lit(1))).as("mp4"),
+      graft.ops.Multimodal.sniffMediaType(
+        graft.ops.Archives.syntheticZip(lit(2), lit(3))).as("zip"),
+      graft.ops.Multimodal.sniffMediaType(lit(null).cast("binary")).as("nul"))
+      .collect().head
+    assert(rows.getAs[String]("wav") == "audio/wav")
+    assert(rows.getAs[String]("avi") == "video/x-msvideo")
+    assert(rows.getAs[String]("mp4") == "video/mp4")
+    assert(rows.getAs[String]("zip") == "application/zip")
+    assert(rows.isNullAt(rows.fieldIndex("nul")))
+  }
+}
