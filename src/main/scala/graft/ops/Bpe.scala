@@ -249,15 +249,27 @@ object Bpe {
     udf((text: String) => k.ids(text))
   }
 
-  /** Pre-token pieces of a text as latin-1 byte strings — the corpus side
-    * of [[learnMerges]]'s dictionary aggregation.
+  /** Pre-token pieces of a text as latin-1 byte strings, WINDOWED at
+    * [[MaxPieceBytes]] like the encoder's merge loop — the corpus side of
+    * [[learnMerges]]'s dictionary aggregation. Windowing here does two
+    * jobs: the learner sees exactly the piece stream the encoder will
+    * merge (stats and encoding agree on pathological runs), and no
+    * single piece can blow the collected dictionary past
+    * dictSize × MaxPieceBytes bytes on the driver.
     */
   private[ops] val prePieces: UserDefinedFunction = udf((text: String) =>
     if (text == null) Array.empty[String]
     else {
       val out = ArrayBuffer.empty[String]
       val m = pretokPattern.matcher(text)
-      while (m.find()) out += bytesOf(m.group())
+      while (m.find()) {
+        val piece = bytesOf(m.group())
+        var o = 0
+        while (o < piece.length) {
+          out += piece.substring(o, math.min(piece.length, o + MaxPieceBytes))
+          o += MaxPieceBytes
+        }
+      }
       out.toArray
     })
 
@@ -276,14 +288,16 @@ object Bpe {
     * rank order.
     *
     * Scale shape: the one corpus-wide exchange is the piece groupBy
-    * (map-side combined); the driver holds ≤ dictSize pieces
-    * (bounded, default 65536) and the loop is O(nMerges × dict pieces).
-    * A 100 TB corpus learns its vocabulary from the same capped dict a
-    * 100 GB one does — the cap is the explicit recall dial.
+    * (map-side combined); pieces arrive windowed at [[MaxPieceBytes]]
+    * (matching the encoder, so stats and encoding agree on pathological
+    * runs), so the driver holds ≤ dictSize × MaxPieceBytes bytes and the
+    * loop is O(nMerges × dict bytes), both bounded by the two explicit
+    * dials. A 100 TB corpus learns its vocabulary from the same capped
+    * dict a 100 GB one does.
     */
   def learnMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int, dictSize: Int = 65536): Seq[(String, String)] = {
-    import org.apache.spark.sql.functions.{col, count => fcount, explode, lit, sum => fsum}
+    import org.apache.spark.sql.functions.{col, count => fcount, explode, lit}
     require(nMerges >= 0 && nMerges < (1 << 16), "nMerges out of range")
     val dictRows = df
       .select(explode(prePieces(col(textCol))).as("piece"))

@@ -954,35 +954,53 @@ object TextAnalysis {
     * get null. Zero shuffle, zero UDFs: one codegen'd Column chain
     * riding the scan.
     */
-  def canonicalizeUrl(df: DataFrame, urlCol: String,
-      sortQuery: Boolean = false): DataFrame = {
-    val u = regexp_replace(col(urlCol), "#.*$", "") // fragment never survives
+  /** Shared URL dissection for [[canonicalizeUrl]] and [[surtKey]] — one
+    * set of regexes so the two ops cannot drift on the same input (a fix
+    * to host/port splitting lands in both or neither). Fragment already
+    * dropped; scheme and host lowercased.
+    */
+  private final case class UrlParts(u: Column, scheme: Column,
+      userinfo: Column, host: Column, portStr: Column, rawPath: Column,
+      hasQuery: Column, query: Column)
+
+  private def urlParts(raw: Column): UrlParts = {
+    val u = regexp_replace(raw, "#.*$", "") // fragment never survives
     val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
     val hostport = regexp_replace(auth, "^[^@]*@", "")
+    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    UrlParts(u, scheme, userinfo, host, portStr, rawPath,
+      u.contains("?"), regexp_extract(u, "\\?(.*)$", 1))
+  }
+
+  def canonicalizeUrl(df: DataFrame, urlCol: String,
+      sortQuery: Boolean = false): DataFrame = {
+    val p = urlParts(col(urlCol))
+    val u = p.u
+    val scheme = p.scheme
+    val userinfo = p.userinfo
     // port compared NUMERICALLY and re-emitted without leading zeros:
     // ':080' is the default port and ':0443'-style spellings must not
     // produce distinct dedup keys; ':\\d*$' also strips a bare trailing
     // ':' (an empty port, seen in real crawls)
-    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
     // CaseWhen guards the cast: ANSI mode throws casting '' (no port)
-    val portNum = when(portStr =!= "", portStr.cast("int"))
-    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    val portNum = when(p.portStr =!= "", p.portStr.cast("int"))
+    val host = p.host
     val keepPort = portNum.isNotNull &&
       !(scheme === "http" && portNum === 80) &&
       !(scheme === "https" && portNum === 443)
-    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val hasQuery = u.contains("?")
-    val qNorm = percentNormalize(regexp_extract(u, "\\?(.*)$", 1))
+    val qNorm = percentNormalize(p.query)
     val qFinal =
       if (sortQuery) array_join(array_sort(split(qNorm, "&", -1)), "&")
       else qNorm
     val canonical = concat(scheme, lit("://"), userinfo, host,
       when(keepPort, concat(lit(":"), portNum.cast("string")))
         .otherwise(lit("")),
-      normalizePath(percentNormalize(rawPath)),
-      when(hasQuery && qFinal =!= "", concat(lit("?"), qFinal))
+      normalizePath(percentNormalize(p.rawPath)),
+      when(p.hasQuery && qFinal =!= "", concat(lit("?"), qFinal))
         .otherwise(lit("")))
     df.withColumn("url_canonical",
       when(scheme === "" || host === "", lit(null).cast("string"))
@@ -992,35 +1010,31 @@ object TextAnalysis {
   /** SURT urlkey (Sort-friendly URI Reordering Transform — the key form
     * the Common Crawl CDX index uses, composing with
     * [[graft.ops.WebIngest.cdxjEntries]]'s `urlkey` column): host labels
-    * reversed and comma-joined, a leading `www.` stripped, non-default
-    * port kept after the reversed host, `)` then the lowercased path
-    * (`/` when empty) and the alphabetically-sorted query. Feed it a
-    * [[canonicalizeUrl]]'d URL — canonicalization already lowercased the
-    * host, resolved dot segments, and dropped default ports, so the two
-    * ops together produce the dedup/join key a crawl index lookup needs.
-    * Zero shuffle, zero UDFs: one codegen'd Column chain. Non-absolute
-    * URLs get null. Appends `urlkey`.
+    * reversed and comma-joined, a leading `www`/`www2`-style label
+    * stripped (the index's own canonicalizer strips `www\d*.` — a plain
+    * `www.` strip would silently miss every `www2.` host on lookup),
+    * non-default port kept after the reversed host, `)` then the
+    * lowercased path (`/` when empty) and the alphabetically-sorted
+    * query; fragments never survive. Shares [[urlParts]]'s dissection
+    * with [[canonicalizeUrl]], so the two ops cannot disagree on the
+    * same input — feed it a canonicalized URL and the pair produces the
+    * dedup/join key a crawl index lookup needs. Zero shuffle, zero UDFs:
+    * one codegen'd Column chain. Non-absolute URLs get null. Appends
+    * `urlkey`.
     */
   def surtKey(df: DataFrame, urlCol: String): DataFrame = {
-    val u = col(urlCol)
-    val scheme = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
-    val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
-    val hostport = regexp_replace(auth, "^[^@]*@", "") // SURT drops userinfo
-    val port = regexp_extract(hostport, ":(\\d+)$", 1)
-    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
-    val hostNoWww = regexp_replace(host, "^www\\.", "")
+    val p = urlParts(col(urlCol)) // SURT drops userinfo; fragment dropped
+    val hostNoWww = regexp_replace(p.host, "^www\\d*\\.", "")
     val rev = array_join(reverse(split(hostNoWww, "\\.")), ",")
-    val path = lower(regexp_extract(u,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
-    val q = regexp_extract(u, "\\?(.*)$", 1)
-    val qSorted = array_join(array_sort(split(lower(q), "&", -1)), "&")
+    val path = lower(p.rawPath)
+    val qSorted = array_join(array_sort(split(lower(p.query), "&", -1)), "&")
     val key = concat(rev,
-      when(port =!= "", concat(lit(":"), port)).otherwise(lit("")),
+      when(p.portStr =!= "", concat(lit(":"), p.portStr)).otherwise(lit("")),
       lit(")"),
       when(path === "", lit("/")).otherwise(path),
-      when(q =!= "", concat(lit("?"), qSorted)).otherwise(lit("")))
+      when(p.query =!= "", concat(lit("?"), qSorted)).otherwise(lit("")))
     df.withColumn("urlkey",
-      when(scheme === "" || hostNoWww === "", lit(null).cast("string"))
+      when(p.scheme === "" || hostNoWww === "", lit(null).cast("string"))
         .otherwise(key))
   }
 

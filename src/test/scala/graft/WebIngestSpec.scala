@@ -341,6 +341,11 @@ class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(3L) == "org,host,sub:8443)/a/b?a=1&b=2")
     assert(got(4L) == null)
     assert(got(5L) == "com,example)/")
+    // wwwN strip + fragment drop (the CDX canonicalizer's rules)
+    val extra = graft.ops.TextAnalysis.surtKey(
+      Seq((1L, "http://www2.example.com/p?a=1#frag")).toDF("id", "u"), "u")
+      .collect().head.getAs[String]("urlkey")
+    assert(extra == "com,example)/p?a=1")
   }
 
   test("sniffMediaType: REAL generator payloads sniff to their types — " +
