@@ -1764,6 +1764,34 @@ object CatalogOps {
       [(doc_id % 6) + 1] AS sniffed_type
       FROM documents"""))
 
+  /** WET export round-trip — [[graft.ops.WebIngest.wetSegments]] packs
+    * documents into gzipped WARC conversion segments (16 shards), and
+    * [[graft.ops.WebIngest.warcRecords]] reads its own writer's output
+    * back record-for-record: the oracle is the ORIGINAL documents table
+    * — URI and text replayed exactly, conversion records in doc_id
+    * order. What the engine exports, the engine (and any WET consumer)
+    * re-ingests.
+    */
+  private val webWetExport = Q("web_wet_export",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 16).as("shard"),
+        concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
+        coalesce(col("text"), lit("")).as("text"))
+      val segs = graft.ops.WebIngest.wetSegments(
+        docs, "shard", "doc_id", "uri", "text", gzipped = true)
+      graft.ops.WebIngest.warcRecords(segs, "payload")
+        .where(col("warc_type") === "conversion")
+        .select(col("shard"), col("record_idx"), col("target_uri"),
+          col("content_text"), col("parse_error"))
+    },
+    Some("""SELECT doc_id % 16 AS shard,
+      (row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id))::INT AS record_idx,
+      'http://example.com/doc/' || doc_id AS target_uri,
+      coalesce(text, '') AS content_text,
+      NULL::VARCHAR AS parse_error
+      FROM documents"""))
+
   /** NESTED archive composition — the real shape of code-dataset dumps
     * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
     * walks the outer tar (odd ids gzipped) emitting each member's RAW
@@ -2870,7 +2898,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, webSurtKey, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, webSurtKey, webWetExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -701,6 +701,44 @@ object WebIngest {
         cdxLine("gone", 404, (info.length + ok.length).toLong, gone.length)))
     })
 
+  /** WET-style EXPORT — the writer side of [[warcRecords]]: pack each
+    * group's documents into one WARC segment (a `warcinfo` record, then
+    * one `conversion` record per document in `idCol` order, framed by the
+    * same [[warcFrameRecord]] kernel the synthetic generators use, so
+    * reader and writer framing cannot diverge). `gzipped` wraps the
+    * segment whole. This is the interchange shape a curation pipeline
+    * exports filtered text in — what this writer produces, [[warcRecords]]
+    * (or any WET consumer) reads back record-for-record.
+    *
+    * Scale shape: one groupBy on the segment key — per-task state is ONE
+    * segment's documents (the caller picks granularity: shard ids from
+    * [[Packing.shardLayout]], doc_id ranges, …), never the corpus.
+    * Returns (groupCol, n_records, payload).
+    */
+  def wetSegments(df: DataFrame, groupCol: String, idCol: String,
+      uriCol: String, textCol: String, gzipped: Boolean = false): DataFrame = {
+    val pack = udf((recs: Seq[Row], gz: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+        "software: graft-wet-export\r\n".getBytes("UTF-8"))
+      recs.foreach { r =>
+        warcFrameRecord(out,
+          Seq("WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> r.getString(1),
+            "Content-Type" -> "text/plain"),
+          (if (r.isNullAt(2)) "" else r.getString(2)).getBytes("UTF-8"))
+      }
+      Archives.gzipWrap(out.toByteArray, gz)
+    })
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_records"),
+        array_sort(collect_list(struct(col(idCol), col(uriCol), col(textCol))))
+          .as("__recs"))
+      .withColumn("payload", pack(col("__recs"), lit(gzipped)))
+      .drop("__recs")
+  }
+
   /** Synthetic crawl segment exercising the two shapes a crawl-audit user
     * hits on file one: a 301 HOP (response at /start/<key> whose HTTP head
     * carries `Location: …/final/<key>`), the 200 landing at /final/<key>

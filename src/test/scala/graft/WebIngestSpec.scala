@@ -368,3 +368,34 @@ class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.isNullAt(rows.fieldIndex("nul")))
   }
 }
+
+class WetExportSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("wetSegments round-trips through warcRecords — including text " +
+      "that CONTAINS 'WARC/1.0' lines and CRLFs (content-length framing, " +
+      "never scanning), null text as empty, doc order within segment") {
+    val adversarial = "line one\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\nfake body"
+    val docs = Seq(
+      (3L, 0L, "http://h/3", adversarial),
+      (1L, 0L, "http://h/1", "plain"),
+      (2L, 0L, "http://h/2", null.asInstanceOf[String]),
+      (9L, 1L, "http://h/9", "other shard"))
+      .toDF("doc_id", "shard", "uri", "text")
+    val segs = WebIngest.wetSegments(docs, "shard", "doc_id", "uri", "text")
+    val back = WebIngest.warcRecords(segs, "payload")
+      .where(col("warc_type") === "conversion")
+      .orderBy("shard", "record_idx").collect()
+    assert(back.forall(_.getAs[String]("parse_error") == null))
+    assert(back.map(r => (r.getAs[Long]("shard"), r.getAs[String]("target_uri"))).toSeq ==
+      Seq((0L, "http://h/1"), (0L, "http://h/2"), (0L, "http://h/3"),
+        (1L, "http://h/9")))
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      r.getAs[String]("content_text")).toMap
+    assert(byUri("http://h/3") == adversarial)
+    assert(byUri("http://h/2") == "")
+    assert(byUri("http://h/1") == "plain")
+  }
+}
