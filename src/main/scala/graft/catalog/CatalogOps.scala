@@ -2295,6 +2295,41 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** The MP4 keyframe route over ENTROPY-CODED keyframes: sample tables
+    * locate the sync samples and each decodes through the shared I-slice
+    * core's CAVLC path ([[graft.ops.H264Decode.syntheticCavlcMp4]] —
+    * avcC carries the QP-28 CAVLC PPS, keyframe k's quadrants are
+    * closed-form in (v0 + 3k, s1, v2)). Composition proof that
+    * fetch-and-decode-only-keyframes now covers entropy-coded frames,
+    * not just I_PCM.
+    */
+  private val mmMp4CavlcDecode = Q("mm_mp4_cavlc_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticCavlcMp4(
+          (lit(3) + col("doc_id") % 4).cast("int"), lit(2),
+          (col("doc_id") % 5).cast("int"),
+          col("doc_id") % 2 === 1,
+          (lit(2) + col("doc_id") % 3).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4KeyframesIPcm(clips, "payload")
+        .select(col("doc_id"), col("sample_idx"), col("frame_width"),
+          col("frame_height"), col("mb_count"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (3 + doc_id % 4)::INT AS ns,
+        (doc_id % 5)::INT AS v0, (doc_id % 2 = 1) AS s1,
+        (2 + doc_id % 3)::INT AS v2 FROM documents),
+      kf AS (SELECT doc_id, k::INT AS k, v0, s1, v2
+        FROM p, unnest(generate_series(0, ns - 1)) AS t(k) WHERE k % 2 = 0),
+      cc AS (SELECT doc_id, k, 128 + 1 + (v0 + 3*k) % 5 AS c0, s1, v2 FROM kf),
+      q AS (SELECT doc_id, k, c0,
+        c0 + CASE WHEN s1 THEN -1 ELSE 1 END AS c1, c0 + v2 AS c2 FROM cc)
+      SELECT doc_id, (k + 1)::INT AS sample_idx, 32::INT AS frame_width,
+        32::INT AS frame_height, 4::INT AS mb_count,
+        (c0 + c1 + c2 + ((c1 + c2 + 1) // 2))::DOUBLE / 4 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4KeyframesIPcm]] — SPS/PPS from
@@ -2895,7 +2930,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, webSurtKey, webWetExport, mmSniffMedia, arcZstdMembers,

@@ -793,26 +793,38 @@ object H264Decode {
     * [[decodeMp4KeyframesIPcm]]'s output is closed-form in
     * (mbw, mbh, base, slope, k).
     */
+  /** One MP4 sample: a 4-byte-length-prefixed NAL. */
+  private def sampleNal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val payload = VideoBitstream.escapeRbsp(rbsp)
+    val len = payload.length + 1
+    bos.write((len >> 24) & 0xff); bos.write((len >> 16) & 0xff)
+    bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+    bos.write((refIdc << 5) | tpe)
+    bos.write(payload, 0, payload.length)
+    bos.toByteArray
+  }
+
   val syntheticIPcmMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(
       (mbw: Int, mbh: Int, nSamples: Int, syncPeriod: Int, base: Int, slope: Int) => {
-        // build each sample's bytes first: stsz needs the real lengths
         val samples = Array.tabulate(nSamples) { k =>
-          val bos = new java.io.ByteArrayOutputStream()
-          def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
-            val payload = VideoBitstream.escapeRbsp(rbsp)
-            val len = payload.length + 1
-            bos.write((len >> 24) & 0xff); bos.write((len >> 16) & 0xff)
-            bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
-            bos.write((refIdc << 5) | tpe)
-            bos.write(payload, 0, payload.length)
-          }
           if (k % syncPeriod == 0)
-            nal(3, 5, ipcmSliceRbsp(mbw, mbh, (base + 11 * k) % 256, slope))
+            sampleNal(3, 5, ipcmSliceRbsp(mbw, mbh, (base + 11 * k) % 256, slope))
           else
-            nal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
-          bos.toByteArray
+            sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
         }
+        mp4AvcClip(mbw, mbh, samples, syncPeriod, realPpsRbsp)
+      })
+
+  /** The [[VideoBitstream.syntheticMp4]] layout (mdat first, one chunk,
+    * stss every `syncPeriod`-th sample, timescale 512 / delta 128) with
+    * REAL parameter sets in the avcC and caller-supplied length-prefixed
+    * samples — shared by the I_PCM and CAVLC MP4 generators.
+    */
+  private def mp4AvcClip(mbw: Int, mbh: Int, samples: Array[Array[Byte]],
+      syncPeriod: Int, ppsRbsp: Array[Byte]): Array[Byte] = {
+        val nSamples = samples.length
         val w = new VideoBitstream.BoxWriter
         w.box("ftyp") { b => b.str("isom"); b.u32(0L); b.str("avc1") }
         w.box("mdat") { b => samples.foreach(b.bytes) }
@@ -865,7 +877,7 @@ object H264Decode {
                           VideoBitstream.escapeRbsp(
                             VideoBitstream.syntheticSpsRbsp(mbw, mbh))
                         val pps = Array[Byte](0x68) ++
-                          VideoBitstream.escapeRbsp(realPpsRbsp)
+                          VideoBitstream.escapeRbsp(ppsRbsp)
                         c.u8(1); c.u8(66); c.u8(0); c.u8(30)
                         c.u8(0xff); c.u8(0xe1) // lengthSize 4, numSPS 1
                         c.u16(sps.length); c.bytes(sps)
@@ -895,5 +907,26 @@ object H264Decode {
           }
         }
         w.out.toByteArray
+  }
+
+  /** MP4 clip whose sync samples are Intra_16x16 CAVLC IDR frames — the
+    * fetch-and-decode-only-keyframes route over ENTROPY-CODED keyframes:
+    * sample tables locate the sync samples, the avcC carries the QP-28
+    * CAVLC PPS, and keyframe k decodes (through the same shared slice
+    * core as Annex-B) to the closed-form quadrants of
+    * [[i16SliceRbsp]](1 + (v0 + 3k) % 5, s1Neg, v2). 2×2 MBs (the
+    * fixture slice's SPS shape); non-sync samples carry opaque non-IDR
+    * NALs.
+    */
+  val syntheticCavlcMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (nSamples: Int, syncPeriod: Int, v0: Int, s1Neg: Boolean, v2: Int) => {
+        val samples = Array.tabulate(nSamples) { k =>
+          if (k % syncPeriod == 0)
+            sampleNal(3, 5, i16SliceRbsp(1 + (v0 + 3 * k) % 5, s1Neg, v2))
+          else
+            sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
+        }
+        mp4AvcClip(2, 2, samples, syncPeriod, cavlcPpsRbsp)
       })
 }
