@@ -939,6 +939,28 @@ object TextAnalysis {
         when(trailingDir, lit("/")).otherwise(lit(""))))
   }
 
+  /** Shared URL dissection for [[canonicalizeUrl]] and [[surtKey]] — one
+    * set of regexes so the two ops cannot drift on the same input (a fix
+    * to host/port splitting lands in both or neither). Fragment already
+    * dropped; scheme and host lowercased.
+    */
+  private final case class UrlParts(scheme: Column,
+      userinfo: Column, host: Column, portStr: Column, rawPath: Column,
+      hasQuery: Column, query: Column)
+
+  private def urlParts(raw: Column): UrlParts = {
+    val u = regexp_replace(raw, "#.*$", "") // fragment never survives
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostport = regexp_replace(auth, "^[^@]*@", "")
+    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    UrlParts(scheme, userinfo, host, portStr, rawPath,
+      u.contains("?"), regexp_extract(u, "\\?(.*)$", 1))
+  }
+
   /** Canonical URL — THE exact-dedup key of a crawl pipeline (two crawls
     * of one page disagree on case, default ports, dot segments and escape
     * spelling far more often than on content). Appends `url_canonical`:
@@ -954,32 +976,9 @@ object TextAnalysis {
     * get null. Zero shuffle, zero UDFs: one codegen'd Column chain
     * riding the scan.
     */
-  /** Shared URL dissection for [[canonicalizeUrl]] and [[surtKey]] — one
-    * set of regexes so the two ops cannot drift on the same input (a fix
-    * to host/port splitting lands in both or neither). Fragment already
-    * dropped; scheme and host lowercased.
-    */
-  private final case class UrlParts(u: Column, scheme: Column,
-      userinfo: Column, host: Column, portStr: Column, rawPath: Column,
-      hasQuery: Column, query: Column)
-
-  private def urlParts(raw: Column): UrlParts = {
-    val u = regexp_replace(raw, "#.*$", "") // fragment never survives
-    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
-    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
-    val hostport = regexp_replace(auth, "^[^@]*@", "")
-    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
-    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
-    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    UrlParts(u, scheme, userinfo, host, portStr, rawPath,
-      u.contains("?"), regexp_extract(u, "\\?(.*)$", 1))
-  }
-
   def canonicalizeUrl(df: DataFrame, urlCol: String,
       sortQuery: Boolean = false): DataFrame = {
     val p = urlParts(col(urlCol))
-    val u = p.u
     val scheme = p.scheme
     val userinfo = p.userinfo
     // port compared NUMERICALLY and re-emitted without leading zeros:

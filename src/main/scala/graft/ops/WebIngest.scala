@@ -716,17 +716,37 @@ object WebIngest {
     * Returns (groupCol, n_records, payload).
     */
   def wetSegments(df: DataFrame, groupCol: String, idCol: String,
-      uriCol: String, textCol: String, gzipped: Boolean = false): DataFrame = {
-    val pack = udf((recs: Seq[Row], gz: Boolean) => {
+      uriCol: String, textCol: String, gzipped: Boolean = false,
+      warcDate: String = "2024-01-01T00:00:00Z"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "wetSegments",
+      Seq("n_records", "payload", "__recs"))
+    val pack = udf((groupKey: String, recs: Seq[Row], gz: Boolean) => {
+      // deterministic WARC-Record-IDs (name-based UUIDs over group+index)
+      // keep the export reproducible bit-for-bit; WARC-Record-ID and
+      // WARC-Date are MANDATORY per ISO 28500 — a validating external
+      // consumer rejects records without them
+      def rid(tag: String): String = "<urn:uuid:" +
+        java.util.UUID.nameUUIDFromBytes(
+          s"graft-wet:$groupKey:$tag".getBytes("UTF-8")) + ">"
+      val base = Seq("WARC-Date" -> warcDate)
       val out = new java.io.ByteArrayOutputStream()
       warcFrameRecord(out,
-        Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+        Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid("info"),
+          "Content-Type" -> "application/warc-fields") ++ base,
         "software: graft-wet-export\r\n".getBytes("UTF-8"))
-      recs.foreach { r =>
+      recs.zipWithIndex.foreach { case (r, i) =>
+        // header values are CR/LF-sanitized (percent-encoded): a URI
+        // carrying a raw CRLF would otherwise TRUNCATE its own header and
+        // inject the remainder as a forged header line — silent
+        // corruption on read-back with parse_error null. A null URI omits
+        // the header entirely (and reads back null, not "null").
+        val uriHdr =
+          if (r.isNullAt(1)) Seq.empty
+          else Seq("WARC-Target-URI" ->
+            r.getString(1).replace("\r", "%0D").replace("\n", "%0A"))
         warcFrameRecord(out,
-          Seq("WARC-Type" -> "conversion",
-            "WARC-Target-URI" -> r.getString(1),
-            "Content-Type" -> "text/plain"),
+          Seq("WARC-Type" -> "conversion", "WARC-Record-ID" -> rid(i.toString)) ++
+            uriHdr ++ Seq("Content-Type" -> "text/plain") ++ base,
           (if (r.isNullAt(2)) "" else r.getString(2)).getBytes("UTF-8"))
       }
       Archives.gzipWrap(out.toByteArray, gz)
@@ -735,7 +755,8 @@ object WebIngest {
       .agg(count(lit(1)).as("n_records"),
         array_sort(collect_list(struct(col(idCol), col(uriCol), col(textCol))))
           .as("__recs"))
-      .withColumn("payload", pack(col("__recs"), lit(gzipped)))
+      .withColumn("payload",
+        pack(col(groupCol).cast("string"), col("__recs"), lit(gzipped)))
       .drop("__recs")
   }
 
