@@ -11,8 +11,8 @@ import org.apache.spark.sql.types._
   * §8.3.3 Intra_16x16 prediction modes). The reference (SDM-RDFizer) has
   * zero video handling; this is beyond-reference plumbing. What remains
   * behind the [[Multimodal.decodeStub]] seam refuses BY NAME per clip:
-  * CABAC entropy coding, I_4x4 prediction, inter prediction, chroma AC
-  * residuals, streams that do not disable in-loop deblocking, and the
+  * CABAC entropy coding, I_4x4 prediction, inter prediction,
+  * streams that do not disable in-loop deblocking, and the
   * CAVLC table columns [[Cavlc]] deliberately does not carry
   * (2 ≤ nC < 8, total_zeros beyond TotalCoeff 4) — a wrong table entry
   * would ship a WRONG plane with decode_error null, so uncertain columns
@@ -238,6 +238,22 @@ object H264Decode {
           else if (nB >= 0) nB
           else 0
         }
+        // chroma AC nC grids, one per component (4:2:0: 2×2 4x4 blocks
+        // per MB) — same §9.2.1 neighbour rule at chroma granularity
+        val nCoefC = Array(Array.fill(mbw * 2 * mbh * 2)(-1),
+          Array.fill(mbw * 2 * mbh * 2)(-1))
+        def nCForC(comp: Int, cx: Int, cy: Int): Int = {
+          val g = nCoefC(comp)
+          val nA = if (cx > 0) g(cy * mbw * 2 + cx - 1) else -1
+          val nB = if (cy > 0) g((cy - 1) * mbw * 2 + cx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA
+          else if (nB >= 0) nB
+          else 0
+        }
+        // chroma 4x4 blkIdx scan within the MB (raster over the 2×2)
+        val cBlkX = Array(0, 1, 0, 1)
+        val cBlkY = Array(0, 0, 1, 1)
         // slice_data (§7.3.4), CAVLC I slice: macroblock_layer per MB
         var mb = 0
         var bad: String = null
@@ -259,10 +275,17 @@ object H264Decode {
                 var c = 0
                 while (c < 128) { rd.u(8); c += 1 } // Cb, Cr consumed
               }
-              // I_PCM blocks count as 16 coefficients for neighbours (§9.2.1)
+              // I_PCM blocks count as 16 coefficients for neighbours
+              // (§9.2.1), luma AND chroma grids
               var b = 0
               while (b < 16) {
                 nCoef((mby * 4 + Blk4x4Y(b)) * mbw * 4 + mbx * 4 + Blk4x4X(b)) = 16
+                b += 1
+              }
+              b = 0
+              while (b < 4) {
+                nCoefC(0)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = 16
+                nCoefC(1)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = 16
                 b += 1
               }
               mb += 1
@@ -385,13 +408,29 @@ object H264Decode {
                       b += 1
                     }
                     // chroma residual: consume the bits so the walk stays
-                    // aligned (luma-only reconstruction, like I_PCM)
-                    if (bad == null && sps.chromaFormatIdc == 1 && cbpChroma >= 1) {
-                      if (cbpChroma == 2)
-                        bad = "chroma AC residual not implemented"
-                      else {
+                    // aligned (luma-only reconstruction, like I_PCM).
+                    // cbp_chroma 1 = DC only; 2 = DC + the 4 AC blocks per
+                    // component, whose TotalCoeffs feed the chroma nC grids
+                    if (bad == null && sps.chromaFormatIdc == 1) {
+                      if (cbpChroma >= 1) {
                         Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
                         Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
+                      }
+                      var comp = 0
+                      while (comp < 2) {
+                        var cb = 0
+                        while (cb < 4) {
+                          val cx = mbx * 2 + cBlkX(cb)
+                          val cy = mby * 2 + cBlkY(cb)
+                          val tcC =
+                            if (cbpChroma == 2)
+                              Cavlc.decodeResidualBlock(rd,
+                                nCForC(comp, cx, cy), 15)._2
+                            else 0
+                          nCoefC(comp)(cy * mbw * 2 + cx) = tcC
+                          cb += 1
+                        }
+                        comp += 1
                       }
                     }
                     if (bad == null) mb += 1

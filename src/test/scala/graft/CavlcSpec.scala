@@ -167,6 +167,56 @@ class CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("chroma AC residual (cbp_chroma = 2) parses and stays bit-aligned: " +
+      "the luma plane after the chroma bits is still pixel-exact, and the " +
+      "chroma nC grids route between components correctly") {
+    // 1×1-MB frame, mb_type 11 (k=10: DC pred, cbp_chroma 2, cbp_luma 0):
+    // chroma DC + all 8 chroma AC blocks are in the stream. Luma DC coeff
+    // 6 → constant plane 134; ANY chroma mis-parse would desync the
+    // trailing rbsp and surface as an error or wrong pixels.
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      w.ue(11); w.ue(0); w.se(0) // mb_type 11: DC pred, cbpC 2, cbpL 0
+      Cavlc.encodeResidualBlock(w, {
+        val a = new Array[Int](16); a(0) = 6; a }, 0, 16) // luma DC
+      Cavlc.encodeResidualBlock(w, Array(1, 0, -1, 0), -1, 4) // Cb DC
+      Cavlc.encodeResidualBlock(w, Array(0, 2, 0, 0), -1, 4) // Cr DC
+      // Cb AC: blk0 one coeff, blk3 two (its neighbours blk1/blk2 are
+      // empty so nC stays < 2), blk1/blk2 empty
+      val cbAc = Seq(
+        { val a = new Array[Int](15); a(2) = 1; a },
+        new Array[Int](15), new Array[Int](15),
+        { val a = new Array[Int](15); a(0) = 1; a(3) = -1; a })
+      cbAc.foreach(a => Cavlc.encodeResidualBlock(w, a, 0, 15))
+      // Cr AC: all empty — the Cr grid must not see Cb's counts
+      (0 until 4).foreach(_ =>
+        Cavlc.encodeResidualBlock(w, new Array[Int](15), 0, 15))
+      w.rbspTrailing()
+      w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(1, 1))
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIPcmIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    assert(luma.forall(b => (b & 0xff) == 134))
+  }
+
   test("mixed I_PCM + Intra_16x16 slice: the PCM block's 16-coefficient " +
       "nC context pushes the neighbour into the FLC coeff_token table " +
       "and horizontal pred copies the PCM gradient's right column") {
