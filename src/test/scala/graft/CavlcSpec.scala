@@ -72,6 +72,10 @@ class CavlcSpec extends AnyFunSuite {
     roundTrip(at(4, 0 -> 2, 1 -> 1, 2 -> -1), -1, 4) // chroma DC
     roundTrip(at(4, 0 -> 1, 1 -> -1, 2 -> 1, 3 -> -1), -1, 4) // full chroma
     roundTrip(at(16, 0 -> 2, 4 -> -3), 16, 16) // nC>=8: FLC coeff_token
+    roundTrip(at(16, 0 -> 1, 14 -> 1), 0, 16) // zerosLeft 13: run_before >6 unary
+    roundTrip(at(16, 1 -> 1, 7 -> -1, 13 -> 2), 0, 16) // mixed long runs
+    roundTrip(at(16, 0 -> 1, 5 -> 1, 11 -> -1, 15 -> 1), 0, 16) // 4 coeffs spread
+    roundTrip(at(15, 2 -> 2, 9 -> -1, 14 -> 1), 0, 15) // AC shape, long zeros
     // unimplemented table columns refuse BY NAME, never misdecode
     val e1 = intercept[Cavlc.Unsupported] {
       Cavlc.decodeResidualBlock(
