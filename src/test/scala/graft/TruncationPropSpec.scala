@@ -149,6 +149,19 @@ class TruncationPropSpec extends AnyFunSuite {
         cuts(full.length, 40)))
   }
 
+  test("h264 CAVLC decode: every truncation point degrades, never corrupts") {
+    // entropy-coded slices: a cut lands mid-VLC, mid-level, or mid-run —
+    // the decode must end in an error row (or the exact full result when
+    // the cut only removes trailing bytes), never a wrong plane with
+    // decode_error null
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      H264Decode.syntheticCavlcI16AnnexB(lit(4), lit(false), lit(3)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    checkPrefixConsistent("cavlc",
+      parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+        cuts(full.length, 40)))
+  }
+
   test("subtitles: every truncation point degrades, never corrupts") {
     // cue text has no declared length — a cut mid-text shortens the LAST
     // cue legitimately, like Annex-B's final NAL
