@@ -57,6 +57,16 @@ class TruncationPropSpec extends AnyFunSuite {
     * stream's LAST unit may legitimately be a shortened version of the
     * full parse's; every unit before it must still match exactly.
     */
+  /** Value comparison that deep-compares binary cells: `Seq[Any] ==`
+    * would compare Array[Byte] columns (luma_plane, content_bytes) by
+    * REFERENCE, so a cut that legitimately reproduces the full decode
+    * would fail the equality spuriously.
+    */
+  private def deep(r: Seq[Any]): Seq[Any] = r.map {
+    case a: Array[Byte] => a.toSeq
+    case x => x
+  }
+
   private def checkPrefixConsistent(name: String,
       byCut: Map[Long, Seq[Seq[Any]]],
       lastUnitTentative: Boolean = false): Unit = {
@@ -68,7 +78,8 @@ class TruncationPropSpec extends AnyFunSuite {
         assert(good.length <= fullRows.length,
           s"$name cut=$cut emitted MORE clean units than the full parse")
         good.zip(fullRows).zipWithIndex.foreach { case ((g, f), i) =>
-          assert(g == f, s"$name cut=$cut unit $i differs from full parse:\n$g\n$f")
+          assert(deep(g) == deep(f),
+            s"$name cut=$cut unit $i differs from full parse:\n$g\n$f")
         }
         // after the first error row nothing else may follow (the walk stopped)
         val tail = rows.dropWhile(_.last == null)
@@ -131,9 +142,12 @@ class TruncationPropSpec extends AnyFunSuite {
     val full = Seq((0, 1)).toDF("a", "b").select(
       H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    checkPrefixConsistent("ipcm",
-      parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
-        cuts(full.length, 40)))
+    val byCut = parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+      cuts(full.length, 40))
+    // the property is vacuous if the FULL clip does not decode cleanly
+    assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
+      "full I_PCM clip must decode cleanly")
+    checkPrefixConsistent("ipcm", byCut)
   }
 
   test("mp4 keyframe decode: every truncation point degrades, never corrupts") {
@@ -144,9 +158,11 @@ class TruncationPropSpec extends AnyFunSuite {
       H264Decode.syntheticIPcmMp4(lit(2), lit(1), lit(4), lit(2),
         lit(9), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    checkPrefixConsistent("mp4kf",
-      parseAll(df => H264Decode.decodeMp4KeyframesIPcm(df, "payload"), full,
-        cuts(full.length, 40)))
+    val byCut = parseAll(df => H264Decode.decodeMp4KeyframesIPcm(df, "payload"),
+      full, cuts(full.length, 40))
+    assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
+      "full MP4 clip's keyframes must decode cleanly")
+    checkPrefixConsistent("mp4kf", byCut)
   }
 
   test("h264 CAVLC decode: every truncation point degrades, never corrupts") {
@@ -157,9 +173,11 @@ class TruncationPropSpec extends AnyFunSuite {
     val full = Seq((0, 1)).toDF("a", "b").select(
       H264Decode.syntheticCavlcI16AnnexB(lit(4), lit(false), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    checkPrefixConsistent("cavlc",
-      parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
-        cuts(full.length, 40)))
+    val byCut = parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+      cuts(full.length, 40))
+    assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
+      "full CAVLC clip must decode cleanly")
+    checkPrefixConsistent("cavlc", byCut)
   }
 
   test("subtitles: every truncation point degrades, never corrupts") {
