@@ -324,3 +324,49 @@ class PlanSpec extends AnyFunSuite {
     assert(viaCorpus.count() == 64L)
   }
 }
+
+/** Round-13 plan pins: the new Column ops' zero/one-exchange claims,
+  * machine-checked instead of asserted in prose.
+  */
+class PlanSpecR13 extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Catalog.byName(name).run(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).size
+
+  test("web_surt_key: canonicalize → SURT is ZERO exchanges — a " +
+      "projection chain riding the scan (the higher-order fold in " +
+      "normalizePath is interpreted, as §14.3 prices, but nothing " +
+      "shuffles)") {
+    val p = plan("web_surt_key")
+    assert(exchanges(p) == 0, s"surt key plan shuffles:\n$p")
+    assert(p.contains("codegen id"), s"scan side not codegen'd:\n$p")
+  }
+
+  test("mm_sniff_media: the media-type sniff is ZERO exchanges") {
+    val p = plan("mm_sniff_media")
+    assert(exchanges(p) == 0, s"sniff plan shuffles:\n$p")
+    assert(p.contains("codegen id"), s"scan side not codegen'd:\n$p")
+  }
+
+  test("txt_bpe_tokens: the BPE count rides the scan — zero exchanges") {
+    val p = plan("txt_bpe_tokens")
+    assert(exchanges(p) == 0, s"bpe count plan shuffles:\n$p")
+  }
+
+  test("web_frontier_schedule: the per-host window is the plan's only " +
+      "exchange class (host-keyed), plus the tiny rules-side aggregation " +
+      "— the URL side never aggregates corpus-wide") {
+    val p = plan("web_frontier_schedule")
+    // rules collapse (host-keyed agg) + gate join + schedule window: all
+    // exchanges hash on the host key; none is a corpus-wide global
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global single-partition exchange appeared:\n$p")
+  }
+}
