@@ -18,6 +18,27 @@ class CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("every VLC table's Kraft sum is EXACTLY complete or one known " +
+      "hole short — a far tighter transcription tripwire than " +
+      "prefix-freeness (any single code-length typo breaks it)") {
+    // Σ 2^-len == 1 for a complete prefix code. Three tables carry the
+    // spec's single reserved hole: coeff_token[0<=nC<2] misses one
+    // 15-bit word (1 - 2^-15), total_zeros[1] one 9-bit word
+    // ('000000000' is unused, 1 - 2^-9), and run_before[>6]'s unary tail
+    // leaves the all-zeros word at its longest prefix (1 - 2^-11).
+    // Everything else is exactly complete.
+    val expected = Map(
+      "coeff_token[0<=nC<2]" -> (1.0 - math.pow(2, -15)),
+      "total_zeros[1]" -> (1.0 - math.pow(2, -9)),
+      "run_before[7]" -> (1.0 - math.pow(2, -11)))
+    Cavlc.allTables.foreach { case (name, vlc) =>
+      val kraft = vlc.entries.map(e => math.pow(2.0, -e._1.length)).sum
+      val want = expected.getOrElse(name, 1.0)
+      assert(math.abs(kraft - want) < 1e-12,
+        f"$name kraft=$kraft%.9f expected $want%.9f")
+    }
+  }
+
   private def bitsOf(s: String): Array[Byte] = {
     // pack bit-string + a stop '1' + padding into bytes
     val w = new VideoBitstream.BitWriter
