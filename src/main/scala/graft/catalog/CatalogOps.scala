@@ -2226,7 +2226,7 @@ object CatalogOps {
         AND f.kf_time_ms >= c.lo AND f.kf_time_ms < c.hi"""))
 
   /** REAL H.264 pixel decode, I_PCM subset ([[graft.ops.H264Decode
-    * .decodeIPcmIdr]] — SPS/PPS/slice-header/slice-data parse for real,
+    * .decodeIdr]] — SPS/PPS/slice-header/slice-data parse for real,
     * raw samples per ITU-T H.264 §7.3.5): per-doc IDR clips whose luma
     * is a horizontal gradient, decoded through the emulation-escaped
     * bitstream. Oracle predicts dims, macroblock count, and the EXACT
@@ -2241,7 +2241,7 @@ object CatalogOps {
           (lit(1) + col("doc_id") % 3).cast("int"),
           (col("doc_id") * 7 % 256).cast("int"),
           (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
-      graft.ops.H264Decode.decodeIPcmIdr(clips, "payload")
+      graft.ops.H264Decode.decodeIdr(clips, "payload")
         .select(col("doc_id"), col("frame_width"), col("frame_height"),
           col("mb_count"), col("y_mean"), col("decode_error"))
     },
@@ -2279,7 +2279,7 @@ object CatalogOps {
           (lit(1) + col("doc_id") % 5).cast("int"),
           col("doc_id") % 2 === 1,
           (lit(2) + col("doc_id") % 3).cast("int")).as("payload"))
-      graft.ops.H264Decode.decodeIPcmIdr(clips, "payload")
+      graft.ops.H264Decode.decodeIdr(clips, "payload")
         .select(col("doc_id"), col("frame_width"), col("frame_height"),
           col("mb_count"), col("y_mean"), col("decode_error"))
     },
@@ -2311,7 +2311,7 @@ object CatalogOps {
           (col("doc_id") % 5).cast("int"),
           col("doc_id") % 2 === 1,
           (lit(2) + col("doc_id") % 3).cast("int")).as("payload"))
-      graft.ops.H264Decode.decodeMp4KeyframesIPcm(clips, "payload")
+      graft.ops.H264Decode.decodeMp4Keyframes(clips, "payload")
         .select(col("doc_id"), col("sample_idx"), col("frame_width"),
           col("frame_height"), col("mb_count"), col("y_mean"),
           col("decode_error"))
@@ -2332,7 +2332,7 @@ object CatalogOps {
 
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
-    * ([[graft.ops.H264Decode.decodeMp4KeyframesIPcm]] — SPS/PPS from
+    * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
     * avcC, sync samples from stss×stsc×stco×stsz, length-prefixed NAL
     * walk, shared I_PCM slice core). Each keyframe carries its own
     * gradient (base + 11k), so the oracle predicts every decoded plane's
@@ -2348,7 +2348,7 @@ object CatalogOps {
           (lit(1) + col("doc_id") % 3).cast("int"),
           (col("doc_id") * 7 % 256).cast("int"),
           (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
-      graft.ops.H264Decode.decodeMp4KeyframesIPcm(clips, "payload")
+      graft.ops.H264Decode.decodeMp4Keyframes(clips, "payload")
         .select(col("doc_id"), col("sample_idx"), col("frame_width"),
           col("frame_height"), col("mb_count"), col("y_mean"),
           col("decode_error"))
@@ -2376,7 +2376,7 @@ object CatalogOps {
     bench = true)
 
   /** The video→image seam end-to-end: decoded IDR luma planes
-    * ([[graft.ops.H264Decode.decodeIPcmIdr]]) re-encoded as PNG
+    * ([[graft.ops.H264Decode.decodeIdr]]) re-encoded as PNG
     * ([[Multimodal.grayPlanePng]], real JDK writer) and hashed by
     * [[Multimodal.imagePerceptualHash]] — the near-dup signature a video
     * corpus dedups keyframes with, computed from REAL decoded pixels.
@@ -2392,7 +2392,7 @@ object CatalogOps {
           (lit(1) + col("doc_id") % 3).cast("int"),
           (col("doc_id") * 7 % 256).cast("int"),
           (lit(1) + col("doc_id") % 9).cast("int")).as("payload"))
-      val decoded = graft.ops.H264Decode.decodeIPcmIdr(clips, "payload")
+      val decoded = graft.ops.H264Decode.decodeIdr(clips, "payload")
         .select(col("doc_id"),
           Multimodal.grayPlanePng(col("luma_plane"), col("frame_width"),
             col("frame_height")).as("png"))

@@ -21,9 +21,9 @@ import org.apache.spark.sql.types._
   * Two entry points, both narrow per-partition maps (one clip's bytes
   * plus one decoded plane in memory per task, no shuffle, per-clip/
   * per-sample error degradation):
-  *   - [[decodeIPcmIdr]]: Annex-B streams (start-code delimited) —
+  *   - [[decodeIdr]]: Annex-B streams (start-code delimited) —
   *     decode the first IDR.
-  *   - [[decodeMp4KeyframesIPcm]]: MP4 clips — SPS/PPS from the avcC
+  *   - [[decodeMp4Keyframes]]: MP4 clips — SPS/PPS from the avcC
   *     decoder record, keyframes located by the stss/stsc/stco/stsz
   *     tables, each sync sample's length-prefixed NALs decoded. This is
   *     the promised 100 TB shape end-to-end: the byte-range table says
@@ -455,6 +455,18 @@ object H264Decode {
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): Either[String, Array[Byte]] =
     decodeISlice(sliceRbsp, sps, pps, maxPlaneBytes)
 
+  /** Back-compat aliases: the entry points decoded only I_PCM when they
+    * were named; they now decode Intra_16x16 CAVLC too, so the honest
+    * names are [[decodeIdr]] / [[decodeMp4Keyframes]].
+    */
+  def decodeIPcmIdr(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame =
+    decodeIdr(df, payloadCol, maxPlaneBytes)
+
+  def decodeMp4KeyframesIPcm(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame =
+    decodeMp4Keyframes(df, payloadCol, maxPlaneBytes)
+
   private def lumaRow(r: Row, luma: Array[Byte], w: Int, h: Int,
       prefix: Seq[Any] = Seq.empty): Row = {
     var sum = 0L
@@ -480,9 +492,9 @@ object H264Decode {
     * else degrades per clip with a message naming WHY (the message for
     * entropy-coded macroblocks names the remaining `decodeStub` seam).
     */
-  def decodeIPcmIdr(df: DataFrame, payloadCol: String = "payload",
+  def decodeIdr(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
-    Multimodal.requireFreshColumns(df, "decodeIPcmIdr", cols.map(_.name))
+    Multimodal.requireFreshColumns(df, "decodeIdr", cols.map(_.name))
     val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -541,9 +553,9 @@ object H264Decode {
     * a sample that fails decodes to its own error row, siblings survive;
     * clip-level failures (no video track, no avcC) yield one error row.
     */
-  def decodeMp4KeyframesIPcm(df: DataFrame, payloadCol: String = "payload",
+  def decodeMp4Keyframes(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
-    Multimodal.requireFreshColumns(df, "decodeMp4KeyframesIPcm", mp4Cols.map(_.name))
+    Multimodal.requireFreshColumns(df, "decodeMp4Keyframes", mp4Cols.map(_.name))
     val schema = StructType(df.schema.fields ++ mp4Cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -829,7 +841,7 @@ object H264Decode {
     * `base + 11k` (each keyframe decodes to a different plane),
     * non-sync samples hold an opaque non-IDR NAL. stsz records the
     * actual NAL byte lengths, so the whole table is self-consistent and
-    * [[decodeMp4KeyframesIPcm]]'s output is closed-form in
+    * [[decodeMp4Keyframes]]'s output is closed-form in
     * (mbw, mbh, base, slope, k).
     */
   /** One MP4 sample: a 4-byte-length-prefixed NAL. */

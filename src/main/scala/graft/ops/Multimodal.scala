@@ -317,7 +317,7 @@ object Multimodal {
 
   /** Encode a row-major 8-bit luma plane as a PNG through the real JDK
     * writer — the bridge from decoded VIDEO planes (e.g.
-    * [[graft.ops.H264Decode.decodeIPcmIdr]]'s luma) into the image ops
+    * [[graft.ops.H264Decode.decodeIdr]]'s luma) into the image ops
     * ([[imagePerceptualHash]], [[resizeImages]], the pixel gates).
     * Lossless like the gradient fixtures, so hash oracles stay
     * closed-form through the video→image seam. Null/short planes yield
@@ -1023,13 +1023,13 @@ object Multimodal {
     * [[graft.ops.AudioBitstream.mp3FrameCensus]].
     *
     * The seam SHRANK in r12: H.264 I_PCM macroblocks now decode for REAL
-    * ([[graft.ops.H264Decode.decodeIPcmIdr]] — full SPS/PPS/slice-header/
+    * ([[graft.ops.H264Decode.decodeIdr]] — full SPS/PPS/slice-header/
     * slice_data parse, raw samples per §7.3.5, luma plane out, bridged
     * into the image ops by [[grayPlanePng]]) and for Intra_16x16 CAVLC
     * macroblocks (real entropy decode + dequant + inverse transform +
     * prediction through [[Cavlc]], r13); what remains behind this stub
     * is CABAC entropy coding, I_4x4/inter prediction, and the CAVLC
-    * table columns [[Cavlc]] refuses by name — `decodeIPcmIdr`'s error
+    * table columns [[Cavlc]] refuses by name — `decodeIdr`'s error
     * rows name each seam explicitly when they hit it.
     */
   def decodeStub(df: DataFrame): DataFrame = {

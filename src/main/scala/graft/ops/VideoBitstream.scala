@@ -450,7 +450,7 @@ object VideoBitstream {
       syncs: Set[Long], hasStss: Boolean)
 
   /** First video track of an ISO-BMFF payload — the ONE moov walk
-    * [[mp4SyncSamples]] and [[graft.ops.H264Decode.decodeMp4KeyframesIPcm]]
+    * [[mp4SyncSamples]] and [[graft.ops.H264Decode.decodeMp4Keyframes]]
     * share (a duplicated walk means the next table fix lands in one and
     * not the other). The Boolean is moov-presence, so callers can tell
     * "not ISO-BMFF (no moov box)" from "no video track" — two failure

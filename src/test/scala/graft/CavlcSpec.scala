@@ -120,7 +120,7 @@ class CavlcSpec extends AnyFunSuite {
     val df = Seq((0L, 1)).toDF("doc_id", "x")
       .select(col("doc_id"), H264Decode.syntheticCavlcI16AnnexB(
         lit(4), lit(true), lit(3)).as("payload"))
-    val out = H264Decode.decodeIPcmIdr(df).collect().head
+    val out = H264Decode.decodeIdr(df).collect().head
     assert(out.getAs[String]("decode_error") == null,
       s"decode_error: ${out.getAs[String]("decode_error")}")
     assert(out.getAs[Int]("frame_width") == 32)
@@ -179,7 +179,7 @@ class CavlcSpec extends AnyFunSuite {
       nal(3, 5, slice)
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") == null,
       s"decode_error: ${out.getAs[String]("decode_error")}")
@@ -234,7 +234,7 @@ class CavlcSpec extends AnyFunSuite {
       nal(3, 5, slice)
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") == null,
       s"decode_error: ${out.getAs[String]("decode_error")}")
@@ -277,7 +277,7 @@ class CavlcSpec extends AnyFunSuite {
       nal(3, 5, slice)
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") == null,
       s"decode_error: ${out.getAs[String]("decode_error")}")
@@ -314,7 +314,7 @@ class CavlcSpec extends AnyFunSuite {
       nal(3, 5, slice)
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") ==
       "in-loop deblocking not implemented (stream does not disable it)")

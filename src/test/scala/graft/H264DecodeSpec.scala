@@ -8,7 +8,7 @@ class H264DecodeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("decodeIPcmIdr: gradient round-trips pixel-exact through the real " +
+  test("decodeIdr: gradient round-trips pixel-exact through the real " +
       "SPS/PPS/slice-header/slice-data walk (emulation bytes included)") {
     // base 0, slope 1: luma hits long 00 00 runs, so emulation-prevention
     // escaping REALLY fires in the generator and unescaping in the decoder
@@ -17,7 +17,7 @@ class H264DecodeSpec extends AnyFunSuite {
       .select(col("doc_id"), col("mbw"), col("mbh"), col("base"), col("slope"),
         H264Decode.syntheticIPcmAnnexB(col("mbw"), col("mbh"),
           col("base"), col("slope")).as("payload"))
-    val out = H264Decode.decodeIPcmIdr(df).collect()
+    val out = H264Decode.decodeIdr(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val r0 = out(0L)
     assert(r0.getAs[String]("decode_error") == null)
@@ -38,7 +38,7 @@ class H264DecodeSpec extends AnyFunSuite {
       assert((luma1(y * 48 + x) & 0xff) == (37 + 5 * x) % 256, s"pixel ($x,$y)")
   }
 
-  test("decodeIPcmIdr: degradation names the exact refusal — entropy-coded " +
+  test("decodeIdr: degradation names the exact refusal — entropy-coded " +
       "slices point at the decodeStub seam, structural gaps name themselves") {
     // the existing syntheticAnnexB emits OPAQUE slice bodies (not valid
     // slice_data): the decoder must refuse it cleanly, not crash. Its
@@ -47,7 +47,7 @@ class H264DecodeSpec extends AnyFunSuite {
     val opaque = Seq((0L, 1)).toDF("doc_id", "x")
       .select(col("doc_id"), VideoBitstream.syntheticAnnexB(
         lit(2), lit(1), lit(1), lit(1), lit(3)).as("payload"))
-    val e0 = H264Decode.decodeIPcmIdr(opaque).collect().head
+    val e0 = H264Decode.decodeIdr(opaque).collect().head
     assert(e0.getAs[String]("decode_error") != null)
     // a REAL entropy-coded mb_type (e.g. 0 = I_4x4) hits the named seam
     val handBuilt = {
@@ -76,20 +76,20 @@ class H264DecodeSpec extends AnyFunSuite {
       nal(3, 5, slice)
       out.toArray
     }
-    val e1 = H264Decode.decodeIPcmIdr(
+    val e1 = H264Decode.decodeIdr(
       Seq((0L, handBuilt)).toDF("doc_id", "payload")).collect().head
     assert(e1.getAs[String]("decode_error").contains("decodeStub seam"))
     // structural gaps
     val more = Seq(
       (1L, "not a stream".getBytes("UTF-8")),
       (2L, null: Array[Byte])).toDF("doc_id", "payload")
-    val errs = H264Decode.decodeIPcmIdr(more).collect()
+    val errs = H264Decode.decodeIdr(more).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decode_error")).toMap
     assert(errs(1L) == "no Annex-B start code")
     assert(errs(2L) == "null payload")
   }
 
-  test("decodeIPcmIdr: pic_order_cnt_type 1 is a NAMED refusal, never a " +
+  test("decodeIdr: pic_order_cnt_type 1 is a NAMED refusal, never a " +
       "silent bit-shift") {
     // poc_type-1 SPS: the slice header may carry delta_pic_order_cnt
     // fields this parse does not model — the clip must refuse by name
@@ -127,19 +127,19 @@ class H264DecodeSpec extends AnyFunSuite {
       nal(3, 5, Array[Byte](0x88.toByte)) // any slice bytes: refused before parse
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") == "pic_order_cnt_type 1 not supported")
   }
 
-  test("decodeMp4KeyframesIPcm: every sync sample decodes to its own " +
+  test("decodeMp4Keyframes: every sync sample decodes to its own " +
       "gradient plane through avcC + the sample tables; non-sync skipped") {
     // 5 samples, sync period 2 → keyframes at k = 0, 2, 4 with gradient
     // bases 10, 32, 54; non-sync samples carry opaque non-IDR NALs
     val df = Seq((0L, 1)).toDF("doc_id", "x")
       .select(col("doc_id"), H264Decode.syntheticIPcmMp4(
         lit(2), lit(1), lit(5), lit(2), lit(10), lit(3)).as("payload"))
-    val out = H264Decode.decodeMp4KeyframesIPcm(df)
+    val out = H264Decode.decodeMp4Keyframes(df)
       .orderBy("sample_idx").collect()
     assert(out.length == 3)
     assert(out.map(_.getAs[Int]("sample_idx")).toSeq == Seq(1, 3, 5))
@@ -156,19 +156,19 @@ class H264DecodeSpec extends AnyFunSuite {
     val meta = Seq((1L, 1)).toDF("doc_id", "x")
       .select(col("doc_id"), VideoBitstream.syntheticMp4(
         lit(2), lit(1), lit(3), lit(1), lit(4)).as("payload"))
-    val err = H264Decode.decodeMp4KeyframesIPcm(meta).collect()
+    val err = H264Decode.decodeMp4Keyframes(meta).collect()
     assert(err.forall(_.getAs[String]("decode_error") != null))
     // structural gaps — non-BMFF bytes are NOT "no video track" (the two
     // failure classes bucket separately in a curation pipeline)
     val more = Seq((2L, "no box here".getBytes("UTF-8")),
       (3L, null: Array[Byte])).toDF("doc_id", "payload")
-    val errs = H264Decode.decodeMp4KeyframesIPcm(more).collect()
+    val errs = H264Decode.decodeMp4Keyframes(more).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decode_error")).toMap
     assert(errs(2L) == "not ISO-BMFF (no moov box)")
     assert(errs(3L) == "null payload")
   }
 
-  test("decodeMp4KeyframesIPcm: a clip whose stss matches no sample " +
+  test("decodeMp4Keyframes: a clip whose stss matches no sample " +
       "surfaces as a named row, never silently vanishes; zero-length " +
       "avcC parameter sets refuse by name") {
     val full = Seq((0L, 1)).toDF("a", "b")
@@ -186,7 +186,7 @@ class H264DecodeSpec extends AnyFunSuite {
     val noSync = full.clone()
     val st = findBox(noSync, "stss")
     (0 until 4).foreach(k => noSync(st + 8 + k) = 0)
-    val out1 = H264Decode.decodeMp4KeyframesIPcm(
+    val out1 = H264Decode.decodeMp4Keyframes(
       Seq((0L, noSync)).toDF("doc_id", "payload")).collect()
     assert(out1.length == 1)
     assert(out1.head.getAs[String]("decode_error") == "no sync samples in clip")
@@ -195,13 +195,13 @@ class H264DecodeSpec extends AnyFunSuite {
     val zeroSps = full.clone()
     val av = findBox(zeroSps, "avcC")
     zeroSps(av + 4 + 6) = 0; zeroSps(av + 4 + 7) = 0
-    val out2 = H264Decode.decodeMp4KeyframesIPcm(
+    val out2 = H264Decode.decodeMp4Keyframes(
       Seq((0L, zeroSps)).toDF("doc_id", "payload")).collect()
     assert(out2.length == 1)
     assert(out2.head.getAs[String]("decode_error") == "no SPS in avcC record")
   }
 
-  test("decodeIPcmIdr: a crafted SPS claiming a giant frame refuses BY " +
+  test("decodeIdr: a crafted SPS claiming a giant frame refuses BY " +
       "NAME before any plane allocation — tiny payloads can never size a " +
       "multi-GB array off untrusted dims") {
     def annexB(spsRbsp: Array[Byte]): Array[Byte] = {
@@ -224,26 +224,26 @@ class H264DecodeSpec extends AnyFunSuite {
       out.toArray
     }
     // ~46000×46000 luma: the ADVICE bomb shape — refused at the plane cap
-    val bomb = H264Decode.decodeIPcmIdr(Seq(
+    val bomb = H264Decode.decodeIdr(Seq(
       (0L, annexB(VideoBitstream.syntheticSpsRbsp(2875, 2875))))
       .toDF("doc_id", "payload")).collect().head
     assert(bomb.getAs[String]("decode_error") != null)
     assert(bomb.getAs[String]("decode_error").contains("plane cap"))
     // a 4096×4096 claim fits the cap but the 1-byte slice cannot possibly
     // hold 65536 I_PCM macroblocks — refused by the plausibility check
-    val thin = H264Decode.decodeIPcmIdr(Seq(
+    val thin = H264Decode.decodeIdr(Seq(
       (0L, annexB(VideoBitstream.syntheticSpsRbsp(256, 256))))
       .toDF("doc_id", "payload")).collect().head
     assert(thin.getAs[String]("decode_error") != null)
     assert(thin.getAs[String]("decode_error").contains("too small"))
     // the override buys headroom back explicitly, same as maxInflatedBytes
-    val eased = H264Decode.decodeIPcmIdr(Seq(
+    val eased = H264Decode.decodeIdr(Seq(
       (0L, annexB(VideoBitstream.syntheticSpsRbsp(256, 256))))
       .toDF("doc_id", "payload"), maxPlaneBytes = 8L << 20).collect().head
     assert(eased.getAs[String]("decode_error").contains("plane cap"))
   }
 
-  test("decodeIPcmIdr: >8-bit High-profile streams refuse BY NAME — a " +
+  test("decodeIdr: >8-bit High-profile streams refuse BY NAME — a " +
       "fixed-8-bit PCM walk over 10-bit samples would mis-align and could " +
       "ship a WRONG plane with decode_error null") {
     val sps10bit = {
@@ -283,18 +283,18 @@ class H264DecodeSpec extends AnyFunSuite {
       nal(3, 5, Array[Byte](0x88.toByte))
       out.toArray
     }
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") ==
       "bit depth 10/8 not supported (only 8-bit)")
   }
 
-  test("decodeIPcmIdr: truncation mid-slice degrades per clip") {
+  test("decodeIdr: truncation mid-slice degrades per clip") {
     val full = Seq((0L, 1)).toDF("a", "b")
       .select(H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
     val cut = java.util.Arrays.copyOf(full, full.length / 2)
-    val out = H264Decode.decodeIPcmIdr(
+    val out = H264Decode.decodeIdr(
       Seq((0L, cut)).toDF("doc_id", "payload")).collect().head
     assert(out.getAs[String]("decode_error") != null)
   }

@@ -142,7 +142,7 @@ class TruncationPropSpec extends AnyFunSuite {
     val full = Seq((0, 1)).toDF("a", "b").select(
       H264Decode.syntheticIPcmAnnexB(lit(2), lit(2), lit(10), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    val byCut = parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+    val byCut = parseAll(df => H264Decode.decodeIdr(df, "payload"), full,
       cuts(full.length, 40))
     // the property is vacuous if the FULL clip does not decode cleanly
     assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
@@ -158,7 +158,7 @@ class TruncationPropSpec extends AnyFunSuite {
       H264Decode.syntheticIPcmMp4(lit(2), lit(1), lit(4), lit(2),
         lit(9), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    val byCut = parseAll(df => H264Decode.decodeMp4KeyframesIPcm(df, "payload"),
+    val byCut = parseAll(df => H264Decode.decodeMp4Keyframes(df, "payload"),
       full, cuts(full.length, 40))
     assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
       "full MP4 clip's keyframes must decode cleanly")
@@ -173,7 +173,7 @@ class TruncationPropSpec extends AnyFunSuite {
     val full = Seq((0, 1)).toDF("a", "b").select(
       H264Decode.syntheticCavlcI16AnnexB(lit(4), lit(false), lit(3)).as("p"))
       .collect().head.getAs[Array[Byte]]("p")
-    val byCut = parseAll(df => H264Decode.decodeIPcmIdr(df, "payload"), full,
+    val byCut = parseAll(df => H264Decode.decodeIdr(df, "payload"), full,
       cuts(full.length, 40))
     assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
       "full CAVLC clip must decode cleanly")
