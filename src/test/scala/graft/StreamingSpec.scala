@@ -300,6 +300,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head._2 == "page 0")
   }
 
+  test("streaming parity: the CDX selection chain — cdxjEntries (pure " +
+      "Columns) → warcRecordAt → httpResponses (stateless narrow maps) — " +
+      "gives stream ≡ batch") {
+    import graft.ops.WebIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_cdx").toString
+    (0L until 20L).toDF("doc_id")
+      .select(col("doc_id"), WebIngest.syntheticWarcCdx(col("doc_id"),
+        concat(lit("<p>page "), col("doc_id"), lit("</p>"))).as("g"))
+      .select(col("doc_id"), col("g._1").as("payload"),
+        explode(col("g._2")).as("cdx_line"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val sel = WebIngest.cdxjEntries(df, "cdx_line")
+        .where(col("parse_error").isNull && col("cdx_status") === 200)
+        .drop("parse_error", "cdx_line")
+      WebIngest.httpResponses(
+        WebIngest.warcRecordAt(sel)
+          .where(col("parse_error").isNull)
+          .select(col("doc_id"), col("urlkey"), col("content_bytes")))
+        .select(col("doc_id"), col("urlkey"), col("http_status"), col("http_body"))
+    }
+    val q = chain(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_cdx_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("st_cdx_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+        .sorted.toSeq
+    } finally q.stop()
+    val want = chain(spark.read.parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq
+    assert(want.length == 20 && got == want,
+      s"stream ${got.length} rows vs batch ${want.length}")
+    assert(got.head._4 == "<p>page 0</p>")
+  }
+
   test("hotKeyMasses rangeFraction: a dense uniform horizon blows the " +
       "worst-case m² budget but is admitted once the real range share is priced") {
     // 100 keys × mass 80: Σ m² = 640 000 > 64 × 8 000 = 512 000, so the
