@@ -177,6 +177,9 @@ private[ops] object Cavlc {
     val out = new Array[Int](maxNumCoeff)
     if (total == 0) return (out, 0)
     if (total > maxNumCoeff) throw new Unsupported("malformed coeff_token")
+    // the nC >= 8 FLC admits any 6-bit value, including encodings with
+    // TrailingOnes > TotalCoeff — refuse by name, don't overrun below
+    if (t1s > total) throw new Unsupported("malformed coeff_token")
     // levels, highest scan position first
     val level = new Array[Int](total)
     var suffixLength = if (total > 10 && t1s < 3) 1 else 0

@@ -161,7 +161,8 @@ object H264Decode {
     */
   private[ops] def decodeISlice(sliceRbsp: Array[Byte],
       sps: VideoBitstream.SpsInfo, pps: PpsInfo,
-      maxPlaneBytes: Long = Archives.MaxInflatedBytes): Either[String, Array[Byte]] = {
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      nalRefIdc: Int = 3): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
     // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
     // from a crafted 46000×46000 claim kills the executor JVM — the one
@@ -198,6 +199,11 @@ object H264Decode {
       // sizes an allocation
       Left(s"slice payload too small (${sliceRbsp.length} bytes) to hold " +
         s"$nMbs macroblocks")
+    else if (pps.picInitQp < 0 || pps.picInitQp > 51)
+      // spec range is 0..51; parsePps does not clamp, and a crafted
+      // out-of-range value would drive the qPY arithmetic (and the
+      // NormAdjust index) off the table — refuse by name
+      Left(s"pic_init_qp ${pps.picInitQp} out of range")
     else {
       val w = mbw * 16
       val h = mbh * 16
@@ -217,8 +223,10 @@ object H264Decode {
         if (pps.bottomFieldPocPresent && sps.pocType == 0) rd.se()
         if (pps.redundantPicCntPresent) rd.ue()
         // I slice: no ref-idx / pred-weight tables
-        // nal_ref_idc != 0 on IDR ⇒ dec_ref_pic_marking (§7.3.3.3)
-        rd.u1(); rd.u1() // no_output_of_prior_pics, long_term_ref
+        // dec_ref_pic_marking (§7.3.3.3) is present ONLY when
+        // nal_ref_idc != 0 — a ref_idc-0 IDR (non-conforming but seen
+        // from buggy muxers) must not shift the parse by two bits
+        if (nalRefIdc != 0) { rd.u1(); rd.u1() } // no_output_of_prior_pics, long_term_ref
         val sliceQpDelta = rd.se()
         var deblockOff = false
         if (pps.deblockControlPresent) {
@@ -254,6 +262,12 @@ object H264Decode {
         // chroma 4x4 blkIdx scan within the MB (raster over the 2×2)
         val cBlkX = Array(0, 1, 0, 1)
         val cBlkY = Array(0, 0, 1, 1)
+        // scratch buffers hoisted out of the macroblock loop: a max-size
+        // frame under the plane cap is ~1M macroblocks, and per-block
+        // allocations would churn ~18M short-lived arrays per task
+        val dc = new Array[Int](16)
+        val pred = new Array[Int](256)
+        val d = new Array[Int](16)
         // slice_data (§7.3.4), CAVLC I slice: macroblock_layer per MB
         var mb = 0
         var bad: String = null
@@ -300,15 +314,21 @@ object H264Decode {
                 val predMode = k % 4
                 val cbpChroma = (k / 4) % 3
                 val cbpLuma = if (k >= 12) 15 else 0
-                val chromaPred = rd.ue()
+                // intra_chroma_pred_mode is ABSENT for monochrome
+                // (§7.3.5.1 gates it on ChromaArrayType != 0) — reading
+                // it unconditionally would shift the whole slice parse
+                val chromaPred =
+                  if (sps.chromaFormatIdc == 1) rd.ue() else 0
                 if (chromaPred > 3) bad = "malformed intra_chroma_pred_mode"
                 else {
-                  qPY = ((qPY + rd.se() + 52 + 52) % 52)
+                  // floorMod: Java % goes negative for crafted deltas and
+                  // would index the dequant tables off the end
+                  qPY = Math.floorMod(qPY + rd.se() + 52, 52)
                   // Intra16x16DCLevel: nC from blkIdx 0's neighbours
                   val (dcScan, _) = Cavlc.decodeResidualBlock(rd,
                     nCFor(mbx * 4, mby * 4), 16)
-                  // un-zigzag, inverse Hadamard, DC dequant
-                  val dc = new Array[Int](16)
+                  // un-zigzag, inverse Hadamard, DC dequant (dc is fully
+                  // overwritten: Zigzag4x4 is a permutation)
                   var i = 0
                   while (i < 16) { dc(Zigzag4x4(i)) = dcScan(i); i += 1 }
                   hadamard4x4(dc)
@@ -320,7 +340,7 @@ object H264Decode {
                   val leftOk = mbx > 0
                   val topOk = mby > 0
                   def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
-                  val pred = new Array[Int](256)
+                  // pred is fully overwritten by every mode branch
                   predMode match {
                     case 0 => // Vertical
                       if (!topOk) bad = "Intra_16x16 vertical predictor unavailable"
@@ -377,7 +397,7 @@ object H264Decode {
                     while (b < 16 && bad == null) {
                       val bx4 = Blk4x4X(b)
                       val by4 = Blk4x4Y(b)
-                      val d = new Array[Int](16)
+                      java.util.Arrays.fill(d, 0)
                       var tc = 0
                       if (cbpLuma != 0) {
                         val (acScan, total) = Cavlc.decodeResidualBlock(rd,
@@ -485,12 +505,14 @@ object H264Decode {
     StructField("decode_error", StringType))
 
   /** Decode the FIRST IDR frame of an Annex-B H.264 payload, supported
-    * subset: baseline-style CAVLC streams whose IDR slice is entirely
-    * I_PCM macroblocks, frame_mbs_only, 4:2:0 or monochrome, no FMO.
+    * subset: CAVLC streams whose IDR slice is I_PCM and/or Intra_16x16
+    * macroblocks (real entropy decode + dequant + inverse transform +
+    * prediction for the latter), frame_mbs_only, 4:2:0 or monochrome,
+    * no FMO, in-loop deblocking disabled for entropy-coded slices.
     * Emits the reconstructed luma plane (row-major bytes, uncropped
     * SPS dims), its exact mean, and the macroblock count. Everything
-    * else degrades per clip with a message naming WHY (the message for
-    * entropy-coded macroblocks names the remaining `decodeStub` seam).
+    * else degrades per clip with a message naming WHY (CABAC / I_4x4 /
+    * the VLC table columns [[Cavlc]] deliberately does not carry).
     */
   def decodeIdr(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
@@ -511,6 +533,7 @@ object H264Decode {
             var sps: VideoBitstream.SpsInfo = null
             var pps: PpsInfo = null
             var idr: Array[Byte] = null
+            var idrRefIdc = 3
             nals.foreach { case (off, len) =>
               (bytes(off) & 0x1f) match {
                 case 7 if sps == null =>
@@ -521,13 +544,14 @@ object H264Decode {
                     VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
                 case 5 if idr == null =>
                   idr = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+                  idrRefIdc = (bytes(off) >> 5) & 3
                 case _ => ()
               }
             }
             if (sps == null) errRow("no SPS in stream")
             else if (pps == null) errRow("no PPS in stream")
             else if (idr == null) errRow("no IDR slice in stream")
-            else decodeIPcmSlice(idr, sps, pps, maxPlaneBytes) match {
+            else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc) match {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
@@ -549,7 +573,8 @@ object H264Decode {
     * stss×stsc×stco×stsz (the same walk as
     * [[VideoBitstream.mp4SyncSamples]]), and each sync sample's
     * length-prefixed NALs are walked for the IDR slice, decoded by the
-    * shared I_PCM core. One row per sync sample (1-based `sample_idx`);
+    * shared I-slice core (I_PCM and Intra_16x16 CAVLC macroblocks both
+    * decode to pixels). One row per sync sample (1-based `sample_idx`);
     * a sample that fails decodes to its own error row, siblings survive;
     * clip-level failures (no video track, no avcC) yield one error row.
     */
@@ -625,10 +650,22 @@ object H264Decode {
                       def sampleErr(msg: String) = Seq(Row.fromSeq(r.toSeq ++
                         Seq(k + 1, null, null, null, null, null, msg)))
                       try {
+                        // the sample RANGE must sit inside the payload
+                        // BEFORE any byte is read: crafted co64/stsz
+                        // values >= 2^32 would wrap through .toInt onto a
+                        // valid in-bounds index and decode the WRONG
+                        // bytes with decode_error null (and values in
+                        // [2^31, 2^32) would surface as an unnamed
+                        // ArrayIndexOutOfBounds instead of this refusal)
+                        if (offs(k) < 0 ||
+                            offs(k) + t.sizes(k) > bytes.length)
+                          sampleErr("sample extends past payload")
+                        else {
                         // walk the sample's length-prefixed NALs for the IDR
                         var o = offs(k)
                         val end = offs(k) + t.sizes(k)
                         var idr: Array[Byte] = null
+                        var idrRefIdc = 3
                         while (idr == null && o + lengthSize <= end) {
                           var len = 0L
                           var j = 0
@@ -639,18 +676,22 @@ object H264Decode {
                           val ns = o + lengthSize
                           if (len <= 0 || ns + len > end) o = end // corrupt: stop
                           else {
-                            if ((bytes(ns.toInt) & 0x1f) == 5)
+                            if ((bytes(ns.toInt) & 0x1f) == 5) {
                               idr = VideoBitstream.rbspBytes(
                                 bytes, ns.toInt + 1, len.toInt - 1)
+                              idrRefIdc = (bytes(ns.toInt) >> 5) & 3
+                            }
                             o = ns + len
                           }
                         }
                         if (idr == null) sampleErr("no IDR NAL in sync sample")
-                        else decodeIPcmSlice(idr, sps, pps, maxPlaneBytes) match {
+                        else decodeISlice(idr, sps, pps, maxPlaneBytes,
+                            idrRefIdc) match {
                           case Left(msg) => sampleErr(msg)
                           case Right(luma) => Seq(lumaRow(r, luma,
                             sps.widthMbs * 16, sps.heightMbs * 16,
                             prefix = Seq(k + 1)))
+                        }
                         }
                       } catch { case e: Exception =>
                         sampleErr(s"decode failed: ${e.getClass.getSimpleName}")
@@ -712,14 +753,8 @@ object H264Decode {
     */
   private def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
-    w.ue(0) // first_mb_in_slice
-    w.ue(7) // slice_type: I (all slices of the picture are I)
-    w.ue(0) // pic_parameter_set_id
-    w.u(0, 4) // frame_num (log2_max_frame_num = 4)
-    w.ue(0) // idr_pic_id
-    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
-    w.se(0) // slice_qp_delta → QPY 28
-    w.ue(1) // disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
+    // QPY 28; disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
+    writeIdrSliceHeader(w, deblockIdc = Some(1))
     // MB0: mb_type 7 = Intra_16x16 (DC pred, cbp_chroma 1, cbp_luma 0)
     w.ue(7); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
     Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
@@ -778,12 +813,16 @@ object H264Decode {
     w.bytes
   }
 
-  /** An IDR slice RBSP made entirely of I_PCM macroblocks whose luma is
-    * the horizontal gradient (base + slope·x) mod 256; chroma constant
-    * 128. Shared by both synthetic generators.
+  /** Shared fixture IDR slice header (first_mb 0, slice_type 7 "all
+    * slices I", pps 0, 4-bit frame_num 0, idr_pic_id 0,
+    * dec_ref_pic_marking, slice_qp_delta 0) — ONE writer so the I_PCM
+    * and CAVLC fixture slices cannot drift on the implicit invariants
+    * (log2_max_frame_num = 4 must match syntheticSpsRbsp).
+    * `deblockIdc` is written only when set (the CAVLC PPS carries the
+    * control flag; the plain PPS does not).
     */
-  private def ipcmSliceRbsp(mbw: Int, mbh: Int, base: Int, slope: Int): Array[Byte] = {
-    val w = new VideoBitstream.BitWriter
+  private def writeIdrSliceHeader(w: VideoBitstream.BitWriter,
+      deblockIdc: Option[Int]): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(0) // pic_parameter_set_id
@@ -791,6 +830,16 @@ object H264Decode {
     w.ue(0) // idr_pic_id
     w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
     w.se(0) // slice_qp_delta
+    deblockIdc.foreach(w.ue)
+  }
+
+  /** An IDR slice RBSP made entirely of I_PCM macroblocks whose luma is
+    * the horizontal gradient (base + slope·x) mod 256; chroma constant
+    * 128. Shared by both synthetic generators.
+    */
+  private def ipcmSliceRbsp(mbw: Int, mbh: Int, base: Int, slope: Int): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    writeIdrSliceHeader(w, deblockIdc = None)
     var mb = 0
     while (mb < mbw * mbh) {
       w.ue(25) // I_PCM

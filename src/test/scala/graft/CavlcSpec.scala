@@ -192,6 +192,64 @@ class CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("monochrome CAVLC Intra_16x16: intra_chroma_pred_mode is ABSENT " +
+      "for chroma_format_idc 0 (§7.3.5.1) — reading it would shift the " +
+      "whole parse; FLC coeff_token with TrailingOnes > TotalCoeff " +
+      "refuses by name, not an array overrun") {
+    // High-profile monochrome SPS, 1×1 MBs
+    val monoSps = {
+      val w = new VideoBitstream.BitWriter
+      w.u(100, 8); w.u(0, 8); w.u(30, 8)
+      w.ue(0) // sps id
+      w.ue(0) // chroma_format_idc 0: monochrome
+      w.ue(0); w.ue(0) // bit depths 8
+      w.u(0, 1) // qpprime
+      w.u(0, 1) // no scaling matrix
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(2) // poc type
+      w.ue(1); w.u(1, 1)
+      w.ue(0); w.ue(0) // 1×1 MBs
+      w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+      w.rbspTrailing(); w.bytes
+    }
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      w.ue(3) // mb_type 3: DC pred, cbpC 0, cbpL 0
+      // NO intra_chroma_pred_mode for monochrome
+      w.se(0) // mb_qp_delta
+      Cavlc.encodeResidualBlock(w, { val a = new Array[Int](16); a(0) = 5; a }, 0, 16)
+      w.rbspTrailing(); w.bytes
+    }
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, monoSps)
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    assert(luma.forall(b => (b & 0xff) == 133)) // 128 + 5 at QP 28
+    // FLC (nC >= 8) 6-bit value 2 = (t1s 2, total 1): must refuse by
+    // name, never write past a 1-slot level array
+    val e = intercept[Cavlc.Unsupported] {
+      Cavlc.decodeResidualBlock(
+        new VideoBitstream.BitReader(bitsOf("000010")), 16, 16)
+    }
+    assert(e.getMessage == "malformed coeff_token")
+  }
+
   test("chroma AC residual (cbp_chroma = 2) parses and stays bit-aligned: " +
       "the luma plane after the chroma bits is still pixel-exact, and the " +
       "chroma nC grids route between components correctly") {
