@@ -200,16 +200,23 @@ object Robots {
     * embarrassingly parallel across hosts at any corpus size, and a
     * host's fan-in is its own URL count, never the corpus's. Appends
     * `fetch_slot` (0-based long) and `fetch_at_s` (double, seconds from
-    * the host's first fetch).
+    * the host's first fetch). `tieBreakCols` extend the within-host sort
+    * key: when `orderCol` can repeat inside a host (duplicate paths, a
+    * constant priority), slots under a bare `orderCol` would be
+    * partitioning-dependent — pass a unique column (the URL) to keep
+    * `fetch_at_s` bit-reproducible across runs; with no tie-breakers,
+    * `orderCol` must be unique per host group.
     */
   def politeSchedule(urls: DataFrame, keyCols: Seq[String], orderCol: String,
       delayCol: String = "crawl_delay_s",
-      defaultDelayS: Double = 1.0): DataFrame = {
+      defaultDelayS: Double = 1.0,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "politeSchedule needs at least one key column")
     Multimodal.requireFreshColumns(urls, "politeSchedule",
       Seq("fetch_slot", "fetch_at_s"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((orderCol +: tieBreakCols).map(col): _*)
     urls
       .withColumn("fetch_slot", row_number().over(w).cast("long") - 1L)
       .withColumn("fetch_at_s",

@@ -1012,7 +1012,11 @@ object TextAnalysis {
     * reversed and comma-joined, a leading `www`/`www2`-style label
     * stripped (the index's own canonicalizer strips `www\d*.` — a plain
     * `www.` strip would silently miss every `www2.` host on lookup),
-    * non-default port kept after the reversed host, `)` then the
+    * non-default port kept after the reversed host (scheme-default
+    * `:80`/`:443` stripped with the SAME predicate [[canonicalizeUrl]]
+    * uses, so a non-canonicalized `http://example.com:80/` still yields
+    * the index's urlkey instead of silently missing every lookup), `)`
+    * then the
     * lowercased path (`/` when empty) and the alphabetically-sorted
     * query; fragments never survive. Shares [[urlParts]]'s dissection
     * with [[canonicalizeUrl]], so the two ops cannot disagree on the
@@ -1027,8 +1031,14 @@ object TextAnalysis {
     val rev = array_join(reverse(split(hostNoWww, "\\.")), ",")
     val path = lower(p.rawPath)
     val qSorted = array_join(array_sort(split(lower(p.query), "&", -1)), "&")
+    // CaseWhen guards the cast (ANSI mode throws casting '' when no port)
+    val portNum = when(p.portStr =!= "", p.portStr.cast("int"))
+    val keepPort = portNum.isNotNull &&
+      !(p.scheme === "http" && portNum === 80) &&
+      !(p.scheme === "https" && portNum === 443)
     val key = concat(rev,
-      when(p.portStr =!= "", concat(lit(":"), p.portStr)).otherwise(lit("")),
+      when(keepPort, concat(lit(":"), portNum.cast("string")))
+        .otherwise(lit("")),
       lit(")"),
       when(path === "", lit("/")).otherwise(path),
       when(p.query =!= "", concat(lit("?"), qSorted)).otherwise(lit("")))

@@ -557,7 +557,9 @@ object WebIngest {
     * cdx_offset, cdx_length (longs via try_cast: a malformed number
     * degrades the LINE, never the pass), cdx_status (int), cdx_mime,
     * cdx_digest, parse_error. Per-line degradation: no JSON block,
-    * unparseable JSON, and missing offset/length each name themselves.
+    * missing urlkey/timestamp head fields, unparseable JSON, and missing
+    * offset/length each name themselves — a malformed head never yields
+    * a silent-null urlkey that downstream joins would drop traceless.
     */
   def cdxjEntries(df: DataFrame, lineCol: String): DataFrame = {
     Multimodal.requireFreshColumns(df, "cdxjEntries", Seq("urlkey",
@@ -584,6 +586,7 @@ object WebIngest {
       .withColumn("parse_error",
         when(l.isNull, "null cdxj line")
           .when(jAt === 0, "no JSON block")
+          .when(size(head) < 2, "missing urlkey/timestamp")
           .when(col("__j").isNull, "malformed JSON block")
           .when(col("cdx_offset").isNull || col("cdx_length").isNull,
             "missing or non-numeric offset/length"))

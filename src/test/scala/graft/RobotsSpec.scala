@@ -133,4 +133,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(got((1L, "/x")) == ((0L, 0.0)))
     assert(got((1L, "/y")) == ((1L, 1.0)))
   }
+
+  test("politeSchedule tieBreakCols: duplicate orderCol values within a " +
+      "host get deterministic slots from the tie-breaker, not partitioning") {
+    // same priority for every URL of host 0 — a bare orderBy(priority)
+    // would leave slot assignment to partition arrival order
+    val urls = Seq(
+      (0L, 1, "http://h/c", 1.0), (0L, 1, "http://h/a", 1.0),
+      (0L, 1, "http://h/b", 1.0))
+      .toDF("host_id", "priority", "url", "crawl_delay_s")
+    val got = Robots.politeSchedule(urls.repartition(7), Seq("host_id"),
+      "priority", tieBreakCols = Seq("url"))
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Long]("fetch_slot")).toMap
+    assert(got == Map("http://h/a" -> 0L, "http://h/b" -> 1L,
+      "http://h/c" -> 2L))
+  }
 }

@@ -166,7 +166,9 @@ class WebIngestSpec extends AnyFunSuite {
       (2L, "no json block here"),
       (3L, """k 2024 {not valid json]"""),
       (4L, """k 2024 {"offset": "eight", "length": "10"}"""),
-      (5L, null.asInstanceOf[String]))
+      (5L, null.asInstanceOf[String]),
+      (6L, """{"offset": "1", "length": "2"}"""), // JSON but no head fields
+      (7L, """lonelykey {"offset": "1", "length": "2"}"""))
       .toDF("id", "line")
     val out = WebIngest.cdxjEntries(lines, "line").collect()
       .map(r => r.getAs[Long]("id") -> r).toMap
@@ -184,6 +186,9 @@ class WebIngestSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("parse_error") ==
       "missing or non-numeric offset/length")
     assert(out(5L).getAs[String]("parse_error") == "null cdxj line")
+    // a malformed head must degrade BY NAME, never a silent-null urlkey
+    assert(out(6L).getAs[String]("parse_error") == "missing urlkey/timestamp")
+    assert(out(7L).getAs[String]("parse_error") == "missing urlkey/timestamp")
   }
 
   test("CDX selection chain: cdxjEntries spans range-fetch EXACTLY one " +
@@ -346,6 +351,20 @@ class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq((1L, "http://www2.example.com/p?a=1#frag")).toDF("id", "u"), "u")
       .collect().head.getAs[String]("urlkey")
     assert(extra == "com,example)/p?a=1")
+    // scheme-default ports strip (same predicate as canonicalizeUrl) —
+    // a non-canonicalized :80/:443 input must still hit the index's key
+    val ports = graft.ops.TextAnalysis.surtKey(
+      Seq(
+        (1L, "http://example.com:80/"),
+        (2L, "https://example.com:443/p"),
+        (3L, "https://example.com:80/p"), // :80 is NOT https's default
+        (4L, "http://example.com:0080/")) // numeric compare, not textual
+        .toDF("id", "u"), "u")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("urlkey")).toMap
+    assert(ports(1L) == "com,example)/")
+    assert(ports(2L) == "com,example)/p")
+    assert(ports(3L) == "com,example:80)/p")
+    assert(ports(4L) == "com,example)/")
   }
 
   test("sniffMediaType: REAL generator payloads sniff to their types — " +
