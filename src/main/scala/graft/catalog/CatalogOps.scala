@@ -1335,12 +1335,20 @@ object CatalogOps {
       FROM documents"""))
 
   /** Redirect hops + revisit dedup — the other two shapes a crawl-audit
-    * user hits on file one: the 301's `Location` (now surfaced by
-    * [[graft.ops.WebIngest.httpResponses]]) joins the hop to its landing
-    * record, and the revisit record's WARC-Refers-To (now first-class on
-    * the record walk) joins the duplicate URL to its canonical capture.
-    * Per-doc equi-joins; the oracle states every URI/digest/body
-    * closed-form from doc_id.
+    * user hits on file one: the 301's `Location` (surfaced by
+    * [[graft.ops.WebIngest.httpResponses]]) resolves the hop to its
+    * landing record, and the revisit record's WARC-Refers-To (first-class
+    * on the record walk) resolves the duplicate URL to its canonical
+    * capture. ONE pass, ONE exchange: all record kinds ride a single
+    * `groupBy(doc_id)` with conditional `collect_list`s, then the
+    * hop→final and revisit→canonical matches are array `filter`s +
+    * explodes on the grouped row — the r13 shape (four doc-keyed frames
+    * re-joined three times) re-parsed the segment three times and paid
+    * three shuffles for what is per-doc work; exploding the filtered
+    * arrays reproduces the joins' exact multiset (inner semantics: a doc
+    * missing any piece emits nothing). Grouped state is one doc's own
+    * record list — the same per-key bound politeSchedule carries. The
+    * oracle states every URI/digest/body closed-form from doc_id.
     */
   private val webRedirectRevisit = Q("web_redirect_revisit",
     (s, dir) => {
@@ -1352,33 +1360,39 @@ object CatalogOps {
         .select(col("doc_id"), col("warc_type"), col("target_uri"),
           col("record_id"), col("warc_refers_to"), col("payload_digest"),
           col("content_bytes"))
-      val resp = graft.ops.WebIngest.httpResponses(
-        recs.where(col("warc_type") === "response")
-          .select(col("doc_id"), col("target_uri"), col("content_bytes")))
-      val hop = resp.where(col("http_status") === 301)
-        .select(col("doc_id"), col("target_uri").as("start_uri"),
-          col("http_location").as("redirect_to"))
-      val fin = resp.where(col("http_status") === 200)
-        .select(col("doc_id").as("fin_doc"),
-          col("target_uri").as("final_uri"), col("http_body"))
-      val hopped = hop.join(fin, col("doc_id") === col("fin_doc") &&
-          col("redirect_to") === col("final_uri"))
-        .drop("fin_doc", "final_uri")
-      val rev = recs.where(col("warc_type") === "revisit")
-        .select(col("doc_id").as("rev_doc"), col("target_uri").as("dup_uri"),
-          col("warc_refers_to"), col("payload_digest"))
-      val canon = recs.where(col("warc_type") === "response" &&
-          col("record_id").isNotNull)
-        .select(col("doc_id").as("can_doc"), col("record_id"),
-          col("target_uri").as("canonical_uri"))
-      val deduped = rev.join(canon, col("rev_doc") === col("can_doc") &&
-          col("warc_refers_to") === col("record_id"))
-        .select(col("rev_doc"), col("dup_uri"), col("canonical_uri"),
-          col("payload_digest"))
-      hopped.join(deduped, col("doc_id") === col("rev_doc")).drop("rev_doc")
+      // revisit rows pass through too (their non-HTTP bodies degrade by
+      // name and are never read) — one parse, no second scan of the segs
+      val parsed = graft.ops.WebIngest.httpResponses(recs)
+      val isResp = col("warc_type") === "response"
+      val agg = parsed.groupBy(col("doc_id")).agg(
+        collect_list(when(isResp && col("http_status") === 301,
+          struct(col("target_uri").as("start_uri"),
+            col("http_location")))).as("hops"),
+        collect_list(when(isResp && col("http_status") === 200,
+          struct(col("target_uri").as("final_uri"), col("record_id"),
+            col("http_body")))).as("finals"),
+        collect_list(when(col("warc_type") === "revisit",
+          struct(col("target_uri").as("dup_uri"), col("warc_refers_to"),
+            col("payload_digest")))).as("revs"))
+      agg
+        .select(col("doc_id"), explode(col("hops")).as("hop"),
+          col("finals"), col("revs"))
+        .select(col("doc_id"), col("hop.start_uri").as("start_uri"),
+          col("hop.http_location").as("redirect_to"),
+          explode(expr(
+            "filter(finals, f -> f.final_uri = hop.http_location)")).as("fin"),
+          col("finals"), col("revs"))
         .select(col("doc_id"), col("start_uri"), col("redirect_to"),
-          col("http_body"), col("dup_uri"), col("canonical_uri"),
-          col("payload_digest"))
+          col("fin.http_body").as("http_body"),
+          explode(col("revs")).as("rev"), col("finals"))
+        .select(col("doc_id"), col("start_uri"), col("redirect_to"),
+          col("http_body"), col("rev.dup_uri").as("dup_uri"),
+          explode(expr(
+            "filter(finals, f -> f.record_id = rev.warc_refers_to)")).as("can"),
+          col("rev.payload_digest").as("payload_digest"))
+        .select(col("doc_id"), col("start_uri"), col("redirect_to"),
+          col("http_body"), col("dup_uri"),
+          col("can.final_uri").as("canonical_uri"), col("payload_digest"))
     },
     Some("""SELECT doc_id,
       'http://example.com/start/' || doc_id AS start_uri,

@@ -369,4 +369,12 @@ class PlanSpecR13 extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"a global single-partition exchange appeared:\n$p")
   }
+
+  test("web_redirect_revisit: ONE doc-keyed exchange — the conditional " +
+      "aggregation replaces the r13 shape's three self-joins (and their " +
+      "three re-parses of the segment)") {
+    val p = plan("web_redirect_revisit")
+    assert(exchanges(p) == 1, s"expected exactly one exchange:\n$p")
+    assert(!p.contains("Join"), s"a join survived the one-pass rewrite:\n$p")
+  }
 }
