@@ -8,17 +8,21 @@ package graft.ops
   *
   * TABLE POLICY (the family's no-silent-wrong contract): a wrong VLC
   * table entry decodes real streams to WRONG pixels with decode_error
-  * null — the exact silent-data class this repo forbids — so only table
-  * columns with a high-confidence public source are implemented, and the
-  * rest refuse BY NAME via [[Cavlc.Unsupported]]:
-  *   - coeff_token: 0 ≤ nC < 2 (the column anchored by the spec's own
-  *     worked examples), nC ≥ 8 (a 6-bit FLC, algorithmic), and the
-  *     chroma-DC column (nC = −1). 2 ≤ nC < 8 refuses by name.
-  *   - total_zeros: 4×4 columns TotalCoeff 1–4 and the chroma-DC table;
-  *     columns 5–15 refuse by name.
-  *   - run_before: all rows (zerosLeft 1–6 and the >6 unary extension).
-  * Every table is mechanically self-checked for prefix-freeness by
-  * CavlcSpec — a structural tripwire for transcription typos.
+  * null — the exact silent-data class this repo forbids — so every
+  * transcribed column must clear the structural tripwires in CavlcSpec:
+  * prefix-freeness, an EXACT Kraft sum (complete, or complete minus the
+  * single all-zeros hole the spec reserves so the code never dead-ends
+  * on a zero run), and the shared-table encoder round-trip. ALL of Table
+  * 9-5's CAVLC columns are now carried: 0 ≤ nC < 2, 2 ≤ nC < 4,
+  * 4 ≤ nC < 8 (each Kraft-pinned: the first two leave exactly the
+  * all-zeros word unused — 2⁻¹⁵ and 2⁻¹³ — and the third leaves the
+  * lone 2⁻¹⁰ slot its len-10 near-FLC tail cannot fill), nC ≥ 8 (6-bit
+  * FLC, algorithmic), and chroma DC (nC = −1); total_zeros carries all
+  * 4×4 columns TotalCoeff 1–15 plus the chroma-DC table (every column
+  * exactly complete); run_before carries all rows (zerosLeft 1–6 and
+  * the >6 unary extension). What still refuses by name is outside these
+  * tables entirely: CABAC, I_4x4 prediction-mode me(v), High-profile
+  * deep level escapes.
   *
   * The encoder half ([[encodeResidualBlock]]) exists for the synthetic
   * fixtures only and shares the SAME table data, so the two directions
@@ -98,6 +102,55 @@ private[ops] object Cavlc {
     ("0000000000000111", 0, 15), ("0000000000001010", 1, 15), ("0000000000001001", 2, 15), ("0000000000001100", 3, 15),
     ("0000000000000100", 0, 16), ("0000000000000110", 1, 16), ("0000000000000101", 2, 16), ("0000000000001000", 3, 16)))
 
+  /** coeff_token, 2 ≤ nC < 4 (Table 9-5 second VLC column). Same tree
+    * shape as the nC<2 column one level shallower: max length 14, and
+    * the all-zeros 13-bit word is the column's single reserved hole
+    * (Kraft sum 1 − 2⁻¹³, pinned by CavlcSpec).
+    */
+  private[ops] val CoeffTokenNc2 = new Vlc(Seq(
+    ("11", 0, 0),
+    ("001011", 0, 1), ("10", 1, 1),
+    ("000111", 0, 2), ("00111", 1, 2), ("011", 2, 2),
+    ("0000111", 0, 3), ("001010", 1, 3), ("001001", 2, 3), ("0101", 3, 3),
+    ("00000111", 0, 4), ("000110", 1, 4), ("000101", 2, 4), ("0100", 3, 4),
+    ("00000100", 0, 5), ("0000110", 1, 5), ("0000101", 2, 5), ("00110", 3, 5),
+    ("000000111", 0, 6), ("00000110", 1, 6), ("00000101", 2, 6), ("001000", 3, 6),
+    ("00000001111", 0, 7), ("000000110", 1, 7), ("000000101", 2, 7), ("000100", 3, 7),
+    ("00000001011", 0, 8), ("00000001110", 1, 8), ("00000001101", 2, 8), ("0000100", 3, 8),
+    ("000000001111", 0, 9), ("00000001010", 1, 9), ("00000001001", 2, 9), ("000000100", 3, 9),
+    ("000000001011", 0, 10), ("000000001110", 1, 10), ("000000001101", 2, 10), ("00000001100", 3, 10),
+    ("000000001000", 0, 11), ("000000001010", 1, 11), ("000000001001", 2, 11), ("00000001000", 3, 11),
+    ("0000000001111", 0, 12), ("0000000001110", 1, 12), ("0000000001101", 2, 12), ("000000001100", 3, 12),
+    ("0000000001011", 0, 13), ("0000000001010", 1, 13), ("0000000001001", 2, 13), ("0000000001100", 3, 13),
+    ("0000000000111", 0, 14), ("00000000001011", 1, 14), ("0000000000110", 2, 14), ("0000000001000", 3, 14),
+    ("00000000001001", 0, 15), ("00000000001000", 1, 15), ("00000000001010", 2, 15), ("0000000000001", 3, 15),
+    ("00000000000111", 0, 16), ("00000000000110", 1, 16), ("00000000000101", 2, 16), ("00000000000100", 3, 16)))
+
+  /** coeff_token, 4 ≤ nC < 8 (Table 9-5 third VLC column) — the
+    * near-FLC design: max length 10, each length owns one subtree, and
+    * the all-zeros 10-bit word IS a code here ((1,16)); the column's
+    * single hole is the lone 10-bit slot `0000000111` (Kraft sum
+    * 1 − 2⁻¹⁰, pinned by CavlcSpec).
+    */
+  private[ops] val CoeffTokenNc4 = new Vlc(Seq(
+    ("1111", 0, 0),
+    ("001111", 0, 1), ("1110", 1, 1),
+    ("001011", 0, 2), ("01111", 1, 2), ("1101", 2, 2),
+    ("001000", 0, 3), ("01100", 1, 3), ("01110", 2, 3), ("1100", 3, 3),
+    ("0001111", 0, 4), ("01010", 1, 4), ("01011", 2, 4), ("1011", 3, 4),
+    ("0001011", 0, 5), ("01000", 1, 5), ("01001", 2, 5), ("1010", 3, 5),
+    ("0001001", 0, 6), ("001110", 1, 6), ("001101", 2, 6), ("1001", 3, 6),
+    ("0001000", 0, 7), ("001010", 1, 7), ("001001", 2, 7), ("1000", 3, 7),
+    ("00001111", 0, 8), ("0001110", 1, 8), ("0001101", 2, 8), ("01101", 3, 8),
+    ("00001011", 0, 9), ("00001110", 1, 9), ("0001010", 2, 9), ("001100", 3, 9),
+    ("000001111", 0, 10), ("00001010", 1, 10), ("00001101", 2, 10), ("0001100", 3, 10),
+    ("000001011", 0, 11), ("000001110", 1, 11), ("00001001", 2, 11), ("00001100", 3, 11),
+    ("000001000", 0, 12), ("000001010", 1, 12), ("000001101", 2, 12), ("00001000", 3, 12),
+    ("0000001101", 0, 13), ("000000111", 1, 13), ("000001001", 2, 13), ("000001100", 3, 13),
+    ("0000001001", 0, 14), ("0000001100", 1, 14), ("0000001011", 2, 14), ("0000001010", 3, 14),
+    ("0000000101", 0, 15), ("0000000100", 1, 15), ("0000000110", 2, 15), ("0000001000", 3, 15),
+    ("0000000001", 0, 16), ("0000000000", 1, 16), ("0000000010", 2, 16), ("0000000011", 3, 16)))
+
   /** coeff_token for chroma DC, 4:2:0 (nC == −1 column of Table 9-5). */
   private[ops] val CoeffTokenChromaDc = new Vlc(Seq(
     ("01", 0, 0),
@@ -106,8 +159,10 @@ private[ops] object Cavlc {
     ("000011", 0, 3), ("0000011", 1, 3), ("0000010", 2, 3), ("000101", 3, 3),
     ("000010", 0, 4), ("00000011", 1, 4), ("00000010", 2, 4), ("0000000", 3, 4)))
 
-  /** total_zeros for 4×4 blocks (Table 9-7), columns TotalCoeff 1–4:
-    * code → total_zeros. Columns 5–15 refuse by name.
+  /** total_zeros for 4×4 blocks (Table 9-7), all columns TotalCoeff
+    * 1–15: code → total_zeros. Every column is an exactly-complete
+    * prefix code except column 1 (the spec's single 9-bit hole) —
+    * CavlcSpec pins each sum.
     */
   private[ops] val TotalZeros4x4: Map[Int, Vlc] = Map(
     1 -> new Vlc(Seq(("1", 0, 0), ("011", 1, 0), ("010", 2, 0), ("0011", 3, 0),
@@ -126,7 +181,33 @@ private[ops] object Cavlc {
     4 -> new Vlc(Seq(("00011", 0, 0), ("111", 1, 0), ("0101", 2, 0), ("0100", 3, 0),
       ("110", 4, 0), ("101", 5, 0), ("100", 6, 0), ("0011", 7, 0),
       ("011", 8, 0), ("0010", 9, 0), ("00010", 10, 0), ("00001", 11, 0),
-      ("00000", 12, 0))))
+      ("00000", 12, 0))),
+    5 -> new Vlc(Seq(("0101", 0, 0), ("0100", 1, 0), ("0011", 2, 0),
+      ("111", 3, 0), ("110", 4, 0), ("101", 5, 0), ("100", 6, 0),
+      ("011", 7, 0), ("0010", 8, 0), ("00001", 9, 0), ("0001", 10, 0),
+      ("00000", 11, 0))),
+    6 -> new Vlc(Seq(("000001", 0, 0), ("00001", 1, 0), ("111", 2, 0),
+      ("110", 3, 0), ("101", 4, 0), ("100", 5, 0), ("011", 6, 0),
+      ("010", 7, 0), ("0001", 8, 0), ("001", 9, 0), ("000000", 10, 0))),
+    7 -> new Vlc(Seq(("000001", 0, 0), ("00001", 1, 0), ("101", 2, 0),
+      ("100", 3, 0), ("011", 4, 0), ("11", 5, 0), ("010", 6, 0),
+      ("0001", 7, 0), ("001", 8, 0), ("000000", 9, 0))),
+    8 -> new Vlc(Seq(("000001", 0, 0), ("0001", 1, 0), ("00001", 2, 0),
+      ("011", 3, 0), ("11", 4, 0), ("10", 5, 0), ("010", 6, 0),
+      ("001", 7, 0), ("000000", 8, 0))),
+    9 -> new Vlc(Seq(("000001", 0, 0), ("000000", 1, 0), ("0001", 2, 0),
+      ("11", 3, 0), ("10", 4, 0), ("001", 5, 0), ("01", 6, 0),
+      ("00001", 7, 0))),
+    10 -> new Vlc(Seq(("00001", 0, 0), ("00000", 1, 0), ("001", 2, 0),
+      ("11", 3, 0), ("10", 4, 0), ("01", 5, 0), ("0001", 6, 0))),
+    11 -> new Vlc(Seq(("0000", 0, 0), ("0001", 1, 0), ("001", 2, 0),
+      ("010", 3, 0), ("1", 4, 0), ("011", 5, 0))),
+    12 -> new Vlc(Seq(("0000", 0, 0), ("0001", 1, 0), ("01", 2, 0),
+      ("1", 3, 0), ("001", 4, 0))),
+    13 -> new Vlc(Seq(("000", 0, 0), ("001", 1, 0), ("1", 2, 0),
+      ("01", 3, 0))),
+    14 -> new Vlc(Seq(("00", 0, 0), ("01", 1, 0), ("1", 2, 0))),
+    15 -> new Vlc(Seq(("0", 0, 0), ("1", 1, 0))))
 
   /** total_zeros for chroma DC 2×2 blocks (Table 9-9(a)), by TotalCoeff. */
   private[ops] val TotalZerosChromaDc: Map[Int, Vlc] = Map(
@@ -156,9 +237,9 @@ private[ops] object Cavlc {
   private def coeffTokenTable(nC: Int): Vlc =
     if (nC == -1) CoeffTokenChromaDc
     else if (nC >= 0 && nC < 2) CoeffTokenNc0
-    else if (nC >= 8) null // 6-bit FLC, handled inline
-    else throw new Unsupported(
-      s"coeff_token table column for 2 <= nC < 8 not implemented (nC $nC)")
+    else if (nC < 4) CoeffTokenNc2
+    else if (nC < 8) CoeffTokenNc4
+    else null // nC >= 8: 6-bit FLC, handled inline
 
   /** Decode one residual block (§9.2): returns the coefficients in SCAN
     * order (length `maxNumCoeff`) and the TotalCoeff (the nC contribution
@@ -225,7 +306,7 @@ private[ops] object Cavlc {
           decode(r, "total_zeros")._1
       else
         TotalZeros4x4.getOrElse(total, throw new Unsupported(
-          s"total_zeros table column TotalCoeff > 4 not implemented ($total)")).
+          s"total_zeros column out of range ($total)")).
           decode(r, "total_zeros")._1
     if (total + zerosTotal > maxNumCoeff)
       throw new Unsupported("malformed total_zeros")
@@ -303,7 +384,7 @@ private[ops] object Cavlc {
       val zerosTotal = nz.last._2 + 1 - total
       if (nC == -1) TotalZerosChromaDc(total).encode(w, zerosTotal, 0, "total_zeros")
       else TotalZeros4x4.getOrElse(total, throw new Unsupported(
-        "fixture TotalCoeff > 4 needs an unimplemented total_zeros column")).
+        s"fixture total_zeros column out of range ($total)")).
         encode(w, zerosTotal, 0, "total_zeros")
       // runs, highest coefficient first
       val scans = nz.map(_._2)
@@ -322,6 +403,8 @@ private[ops] object Cavlc {
   /** All tables, for the spec's mechanical prefix-freeness check. */
   private[ops] def allTables: Seq[(String, Vlc)] =
     Seq("coeff_token[0<=nC<2]" -> CoeffTokenNc0,
+      "coeff_token[2<=nC<4]" -> CoeffTokenNc2,
+      "coeff_token[4<=nC<8]" -> CoeffTokenNc4,
       "coeff_token[chromaDC]" -> CoeffTokenChromaDc) ++
       TotalZeros4x4.map { case (k, v) => s"total_zeros[$k]" -> v } ++
       TotalZerosChromaDc.map { case (k, v) => s"total_zeros_chroma[$k]" -> v } ++

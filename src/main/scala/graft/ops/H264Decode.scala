@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * total_zeros / run_before per §9.2, DC Hadamard + dequant per §8.5.10,
   * AC dequant §8.5.12.1, inverse 4×4 transform §8.5.12.2, and all four
   * §8.3.3 Intra_16x16 prediction modes). The reference (SDM-RDFizer) has
-  * zero video handling; this is beyond-reference plumbing. What remains
-  * behind the [[Multimodal.decodeStub]] seam refuses BY NAME per clip:
-  * CABAC entropy coding, I_4x4 prediction, inter prediction,
-  * streams that do not disable in-loop deblocking, and the
-  * CAVLC table columns [[Cavlc]] deliberately does not carry
-  * (2 ≤ nC < 8, total_zeros beyond TotalCoeff 4) — a wrong table entry
-  * would ship a WRONG plane with decode_error null, so uncertain columns
-  * are refusals, not guesses.
+  * zero video handling; this is beyond-reference plumbing. The CAVLC
+  * layer carries EVERY Table 9-5/9-7/9-10 column (all coeff_token nC
+  * ranges including 2 ≤ nC < 8, all total_zeros TotalCoeff 1–15 — each
+  * pinned by CavlcSpec's Kraft-sum/prefix tripwires), so textured
+  * I-frames with real neighbour contexts decode. What remains behind
+  * the [[Multimodal.decodeStub]] seam refuses BY NAME per clip: CABAC
+  * entropy coding, I_4x4 prediction (Table 9-4 me(v) mapping), inter
+  * prediction, High-profile deep level escapes, and streams that do not
+  * disable in-loop deblocking.
   *
   * Two entry points, both narrow per-partition maps (one clip's bytes
   * plus one decoded plane in memory per task, no shuffle, per-clip/
@@ -744,9 +745,14 @@ object H264Decode {
     * layer, with closed-form constant-per-MB luma at QP 28 (where a DC
     * coefficient v dequants to residual exactly v):
     *   - MB0: DC pred (no neighbours → 128), DC coeff `v0`, plus
-    *     cbp_chroma 1 with multi-coefficient chroma DC blocks (trailing
-    *     ones, a level, total_zeros, run placement — consumed bits whose
-    *     mis-parse would corrupt every later MB) → 128 + v0
+    *     cbp_chroma 2 with multi-coefficient chroma DC blocks AND dense
+    *     chroma AC blocks that drive the full coeff_token table set:
+    *     the Cb grid's TotalCoeff-2 blocks put its later blocks in the
+    *     2 ≤ nC < 4 column, the Cr grid's TotalCoeff-6 blocks put its
+    *     later blocks in the 4 ≤ nC < 8 column and read total_zeros
+    *     column 6 — consumed bits whose mis-parse would corrupt every
+    *     later MB, so the constant-quadrant oracle also pins the new
+    *     table columns bit-exactly → 128 + v0
     *   - MB1: Horizontal pred from MB0, trailing-one DC ±1 → c0 ± 1
     *   - MB2: Vertical pred from MB0, DC coeff `v2` → c0 + v2
     *   - MB3: DC pred from both neighbours, zero residual → (c1+c2+1)>>1
@@ -755,11 +761,23 @@ object H264Decode {
     val w = new VideoBitstream.BitWriter
     // QPY 28; disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
     writeIdrSliceHeader(w, deblockIdc = Some(1))
-    // MB0: mb_type 7 = Intra_16x16 (DC pred, cbp_chroma 1, cbp_luma 0)
-    w.ue(7); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
+    // MB0: mb_type 11 = Intra_16x16 (DC pred, cbp_chroma 2, cbp_luma 0)
+    w.ue(11); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
     Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
     Cavlc.encodeResidualBlock(w, Array(2, 1, -1, 0), -1, 4) // Cb DC
     Cavlc.encodeResidualBlock(w, Array(1, -1, 1, -1), -1, 4) // Cr DC
+    // chroma AC (cbp_chroma 2): Cb blocks carry TotalCoeff 2 (+1 at
+    // scans 0 and 3) so Cb blocks after (0,0) decode through the
+    // 2<=nC<4 coeff_token column; Cr blocks carry TotalCoeff 6 so Cr
+    // blocks after (0,0) decode through the 4<=nC<8 column and every
+    // Cr block reads total_zeros column 6. Block order (0,0),(1,0),
+    // (0,1),(1,1): left/above neighbours are always encoded first, so
+    // the per-grid nC here mirrors the decoder's §9.2.1 context rule.
+    val cbAc = { val a = new Array[Int](15); a(0) = 1; a(3) = 1; a }
+    val crAc = { val a = new Array[Int](15)
+      a(0) = 1; a(1) = -1; a(2) = 2; a(4) = 2; a(5) = -1; a(8) = 1; a }
+    Seq(0, 2, 2, 2).foreach(nC => Cavlc.encodeResidualBlock(w, cbAc, nC, 15))
+    Seq(0, 6, 6, 6).foreach(nC => Cavlc.encodeResidualBlock(w, crAc, nC, 15))
     // MB1: mb_type 2 (Horizontal pred, no cbp)
     w.ue(2); w.ue(0); w.se(0)
     Cavlc.encodeResidualBlock(w, dcOnly(16, if (s1Neg) -1 else 1), 0, 16)

@@ -21,14 +21,20 @@ class CavlcSpec extends AnyFunSuite {
   test("every VLC table's Kraft sum is EXACTLY complete or one known " +
       "hole short — a far tighter transcription tripwire than " +
       "prefix-freeness (any single code-length typo breaks it)") {
-    // Σ 2^-len == 1 for a complete prefix code. Three tables carry the
-    // spec's single reserved hole: coeff_token[0<=nC<2] misses one
-    // 15-bit word (1 - 2^-15), total_zeros[1] one 9-bit word
-    // ('000000000' is unused, 1 - 2^-9), and run_before[>6]'s unary tail
-    // leaves the all-zeros word at its longest prefix (1 - 2^-11).
-    // Everything else is exactly complete.
+    // Σ 2^-len == 1 for a complete prefix code. Five tables carry the
+    // spec's single reserved hole: coeff_token[0<=nC<2] misses its
+    // all-zeros 15-bit word (1 - 2^-15), coeff_token[2<=nC<4] its
+    // all-zeros 13-bit word (1 - 2^-13) — the same never-dead-end
+    // structure one level shallower — coeff_token[4<=nC<8] the lone
+    // 10-bit slot '0000000111' its near-FLC tail cannot fill (the
+    // all-zeros word IS a code there, (1,16)), total_zeros[1] one 9-bit
+    // word ('000000000' is unused, 1 - 2^-9), and run_before[>6]'s
+    // unary tail leaves the all-zeros word at its longest prefix
+    // (1 - 2^-11). Everything else is exactly complete.
     val expected = Map(
       "coeff_token[0<=nC<2]" -> (1.0 - math.pow(2, -15)),
+      "coeff_token[2<=nC<4]" -> (1.0 - math.pow(2, -13)),
+      "coeff_token[4<=nC<8]" -> (1.0 - math.pow(2, -10)),
       "total_zeros[1]" -> (1.0 - math.pow(2, -9)),
       "run_before[7]" -> (1.0 - math.pow(2, -11)))
     Cavlc.allTables.foreach { case (name, vlc) =>
@@ -64,6 +70,32 @@ class CavlcSpec extends AnyFunSuite {
     assert(ctok("1") == ((1, 1)))
     assert(ctok("01") == ((0, 0)))
     assert(ctok("0000000") == ((3, 4)))
+    // 2<=nC<4 column anchors: short-code spine + the deep irregular tail
+    def tok2(bits: String): (Int, Int) =
+      Cavlc.CoeffTokenNc2.decode(new VideoBitstream.BitReader(bitsOf(bits)), "t")
+    assert(tok2("11") == ((0, 0)))
+    assert(tok2("10") == ((1, 1)))
+    assert(tok2("011") == ((2, 2)))
+    assert(tok2("0101") == ((3, 3)))
+    assert(tok2("00110") == ((3, 5)))
+    assert(tok2("0000000000001") == ((3, 15)))
+    assert(tok2("00000000000100") == ((3, 16)))
+    // 4<=nC<8 column anchors: the near-FLC design, including the
+    // all-zeros code (1,16)
+    def tok4(bits: String): (Int, Int) =
+      Cavlc.CoeffTokenNc4.decode(new VideoBitstream.BitReader(bitsOf(bits)), "t")
+    assert(tok4("1111") == ((0, 0)))
+    assert(tok4("1110") == ((1, 1)))
+    assert(tok4("1101") == ((2, 2)))
+    assert(tok4("1100") == ((3, 3)))
+    assert(tok4("01111") == ((1, 2)))
+    assert(tok4("0000000000") == ((1, 16)))
+    // the one reserved slot of the 4<=nC<8 column refuses as malformed
+    intercept[Cavlc.Unsupported] { tok4("0000000111") }
+    // total_zeros anchor from the published CAVLC walkthrough: the
+    // TotalCoeff-5 example encodes total_zeros 3 as '111'
+    assert(Cavlc.TotalZeros4x4(5)
+      .decode(new VideoBitstream.BitReader(bitsOf("111")), "tz")._1 == 3)
   }
 
   test("residual block encode → decode round-trips over the supported " +
@@ -97,17 +129,33 @@ class CavlcSpec extends AnyFunSuite {
     roundTrip(at(16, 1 -> 1, 7 -> -1, 13 -> 2), 0, 16) // mixed long runs
     roundTrip(at(16, 0 -> 1, 5 -> 1, 11 -> -1, 15 -> 1), 0, 16) // 4 coeffs spread
     roundTrip(at(15, 2 -> 2, 9 -> -1, 14 -> 1), 0, 15) // AC shape, long zeros
-    // unimplemented table columns refuse BY NAME, never misdecode
-    val e1 = intercept[Cavlc.Unsupported] {
-      Cavlc.decodeResidualBlock(
-        new VideoBitstream.BitReader(bitsOf("0000000000000000")), 4, 16)
+    // the 2<=nC<4 and 4<=nC<8 columns, and total_zeros columns 5-15:
+    // every (nC column × TotalCoeff) cell round-trips, including DENSE
+    // blocks (the textured-neighbour shape real I-frames are made of)
+    for (nC <- Seq(2, 3, 4, 5, 6, 7)) {
+      roundTrip(at(16), nC, 16)
+      roundTrip(at(16, 0 -> 3), nC, 16)
+      roundTrip(at(16, 0 -> 7, 1 -> 3, 2 -> -1, 3 -> 1), nC, 16)
+      roundTrip(at(15, 2 -> 2, 9 -> -1, 14 -> 1), nC, 15)
+      for (total <- 5 to 15) { // drives total_zeros columns 5-15
+        val dense = Array.tabulate(16)(i =>
+          if (i < total) (if (i % 2 == 0) 1 else -1) * (1 + i % 3) else 0)
+        roundTrip(dense, nC, 16)
+        // and with leading zeros, so total_zeros > 0 at high TotalCoeff
+        if (total <= 14) {
+          val shifted = new Array[Int](16)
+          Array.copy(dense, 0, shifted, 16 - total, total)
+          roundTrip(shifted, nC, 16)
+        }
+      }
     }
-    assert(e1.getMessage.contains("2 <= nC < 8"))
+    roundTrip(Array.tabulate(16)(i => if (i % 2 == 0) 2 else -2), 0, 16) // TC 16: no total_zeros read
+    // deep escape forms still refuse by name
     val w2 = new VideoBitstream.BitWriter
     val e2 = intercept[Cavlc.Unsupported] {
-      Cavlc.encodeResidualBlock(w2, at(16, 0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 2), 0, 16)
+      Cavlc.encodeResidualBlock(w2, at(16, 0 -> 3000), 0, 16)
     }
-    assert(e2.getMessage.contains("total_zeros"))
+    assert(e2.getMessage.contains("level"))
   }
 
   test("Intra_16x16 CAVLC frame decodes pixel-exact: four prediction " +
@@ -189,6 +237,108 @@ class CavlcSpec extends AnyFunSuite {
         if (x >= 4 && x < 8 && y >= 4 && y < 8) 128 + expected(y - 4)(x - 4)
         else 128
       assert((luma(y * 16 + x) & 0xff) == exp, s"pixel ($x,$y)")
+    }
+  }
+
+  test("TEXTURED NEIGHBOURS decode pixel-exact: a frame where every " +
+      "luma AC block has coefficients, so the §9.2.1 nC context walks " +
+      "through the 2<=nC<4 and 4<=nC<8 coeff_token columns and " +
+      "total_zeros column 6 — expected pixels HAND-COMPUTED from " +
+      "§8.5.12, not from this decoder") {
+    // 2×1 frame. MB0: mb_type 15 (DC pred, cbpL 15), all 16 AC blocks
+    // carry P2 = {+1 at AC scan 0 (raster 1), +1 at scan 3 (raster 5)}
+    // (TotalCoeff 2) — every block after (0,0) decodes with nC = 2.
+    // MB1: all 16 AC blocks carry P6 = the six-coefficient cross
+    // {scan 0,1,2,4,5,8} = {1,-1,2,2,-1,1} (TotalCoeff 6, total_zeros
+    // 3 in column 6) — its blocks see nC 2 (left edge from MB0's TC-2
+    // column), 4 (mixed 2/6 neighbours), and 6 (interior).
+    // Hand-computed residual tiles at QP 28 (d = c·LS·16, rows-then-
+    // columns integer IDCT, (r+32)>>6):
+    val p2 = Array(
+      Array(11, 6, -6, -11), Array(8, 4, -4, -8),
+      Array(2, 1, -1, -2), Array(-1, -1, 1, 1))
+    val p6 = Array(
+      Array(16, 5, -10, 11), Array(-5, -16, -31, -10),
+      Array(10, -1, -16, 5), Array(21, 10, -5, 16))
+    // MB1 DC prediction: left column = 128 + P2 col 3 = (117,120,126,
+    // 129) tiled ×4 → sum 1968 → (1968+8)>>4 = 123
+    val p2Ac = { val a = new Array[Int](15); a(0) = 1; a(3) = 1; a }
+    val p6Ac = { val a = new Array[Int](15)
+      a(0) = 1; a(1) = -1; a(2) = 2; a(4) = 2; a(5) = -1; a(8) = 1; a }
+    // the decoder's Z-order blkIdx → (x4, y4) map and §9.2.1 rule,
+    // mirrored here so the encoder writes each block under the same nC
+    // the decoder will compute
+    val bX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+    val bY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    val grid = Array.fill(8 * 4)(-1) // frame-wide 4x4 TotalCoeff grid
+    def nCFor(bx: Int, by: Int): Int = {
+      val nA = if (bx > 0) grid(by * 8 + bx - 1) else -1
+      val nB = if (by > 0) grid((by - 1) * 8 + bx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      for (mb <- 0 to 1) {
+        w.ue(15); w.ue(0); w.se(0) // mb_type 15: DC pred, cbpC 0, cbpL 15
+        // Intra16x16DCLevel: nC as for blk (mbx*4, 0), grid not updated
+        Cavlc.encodeResidualBlock(w, new Array[Int](16),
+          nCFor(mb * 4, 0), 16)
+        for (b <- 0 until 16) {
+          val (bx, by) = (mb * 4 + bX(b), bY(b))
+          val ac = if (mb == 0) p2Ac else p6Ac
+          Cavlc.encodeResidualBlock(w, ac, nCFor(bx, by), 15)
+          grid(by * 8 + bx) = ac.count(_ != 0)
+        }
+      }
+      w.rbspTrailing()
+      w.bytes
+    }
+    // pin the context walk this fixture claims to exercise
+    val gotNc = {
+      val g2 = Array.fill(8 * 4)(-1)
+      def f(bx: Int, by: Int): Int = {
+        val nA = if (bx > 0) g2(by * 8 + bx - 1) else -1
+        val nB = if (by > 0) g2((by - 1) * 8 + bx) else -1
+        if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+        else if (nA >= 0) nA else if (nB >= 0) nB else 0
+      }
+      (0 to 1).flatMap { mb =>
+        (0 until 16).map { b =>
+          val (bx, by) = (mb * 4 + bX(b), bY(b))
+          val nc = f(bx, by)
+          g2(by * 8 + bx) = if (mb == 0) 2 else 6
+          nc
+        }
+      }
+    }
+    assert(gotNc.count(nc => nc >= 2 && nc < 4) == 16) // 15 in MB0 + MB1 edge
+    assert(gotNc.count(nc => nc >= 4 && nc < 8) == 15)
+    val stream = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 1))
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    val out = H264Decode.decodeIdr(
+      Seq((0L, stream)).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert((luma(y * 32 + x) & 0xff) == 128 + p2(y % 4)(x % 4),
+        s"MB0 ($x,$y)")
+      assert((luma(y * 32 + 16 + x) & 0xff) == 123 + p6(y % 4)(x % 4),
+        s"MB1 ($x,$y)")
     }
   }
 
