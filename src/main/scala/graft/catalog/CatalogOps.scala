@@ -1694,6 +1694,112 @@ object CatalogOps {
       (k * CASE WHEN doc_id % 3 = 0 THEN (1 + doc_id % 5)::DOUBLE ELSE 1.0 END)::DOUBLE AS fetch_at_s
       FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(k)"""))
 
+  /** The CLOSED frontier loop — the one edge the family was missing:
+    * fetch-parse (WARC response → [[graft.ops.WebIngest.httpResponses]])
+    * → [[graft.ops.WebIngest.extractLinks]] (state-machine `<a href>` +
+    * `<base href>`, RFC 3986 resolution) →
+    * [[TextAnalysis.canonicalizeUrl]] → candidate `distinct` → dedup vs
+    * VISITED ([[graft.ops.Dedup.notInCorpus]], Bloom-prefiltered — the
+    * corpus never shuffles for definite misses) →
+    * [[graft.ops.Robots.robotsAllowed]] →
+    * [[graft.ops.Robots.politeSchedule]]. Each page plants six links:
+    * a self link (visited-dedup drops it — except under a `<base>` tag,
+    * where resolution honestly lands it on the base host), a relative
+    * link (robots-blocked on h-hosts: `Disallow: /p/q`), a cross-host
+    * link spelled `HTTP://…:80` (canonicalization collapses it), an
+    * entity-encoded query link, and a `javascript:`/fragment pair the
+    * extractor refuses. The oracle replays the whole funnel closed-form:
+    * link strings from doc_id, NOT EXISTS for the visited set, the
+    * robots decision as a predicate, and the politeness slots as a
+    * window — every stage's output is pinned, not just the final count.
+    */
+  private val webFrontierLoop = Q("web_frontier_loop",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val pageUrl = concat(lit("http://h"), d % 20, lit(".example.com/p/"), d)
+      val html = concat(
+        when(d % 4 === 0, concat(lit("<base href=\"http://b"), d % 5,
+          lit(".example.com/dir/\">"))).otherwise(lit("")),
+        lit("<a href=\"/p/"), d, lit("\">self</a>"),
+        lit("<a href=\"q"), (d + 1) % 1000, lit("\">rel</a>"),
+        lit("<a href=\"HTTP://H"), (d + 7) % 20, lit(".EXAMPLE.COM:80/p/"),
+        (d * 11) % 2000, lit("\">cross</a>"),
+        lit("<a href=\"/s?x="), d % 7, lit("&amp;y=2\">q</a>"),
+        lit("<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>"))
+      val segs = docs.select(d,
+        graft.ops.WebIngest.syntheticWarcPage(pageUrl, html,
+          d % 2 === 1).as("payload"))
+      val recs = graft.ops.WebIngest.warcRecordBytes(segs)
+        .where(col("parse_error").isNull && col("warc_type") === "response")
+        .select(d, col("target_uri"), col("content_bytes"))
+      val resp = graft.ops.WebIngest.httpResponses(recs)
+      val links = graft.ops.WebIngest.extractLinks(
+        resp.select(col("target_uri"), col("http_body")),
+        "http_body", "target_uri")
+        .select(explode(col("link_urls")).as("u"))
+      val cand = TextAnalysis.canonicalizeUrl(links, "u")
+        .where(col("url_canonical").isNotNull)
+        .select(col("url_canonical").as("u"))
+        .distinct()
+      val visited = docs.select(
+        concat(lit("http://h"), d % 20, lit(".example.com/p/"), d).as("u"))
+      val fresh = graft.ops.Dedup.notInCorpus(cand, visited, "u",
+        expectedItems = 1000000L)
+      val parts = fresh
+        .withColumn("host", regexp_extract(col("u"), "^http://([^/]+)", 1))
+        .withColumn("path", regexp_extract(col("u"), "^http://[^/]+(/.*)$", 1))
+      val hostRules = docs.select((d % 20).as("hn")).distinct()
+        .select(concat(lit("h"), col("hn"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: graftbot\nDisallow: /p/q\n"),
+            when(col("hn") % 2 === 0, concat(lit("Crawl-delay: "),
+              lit(1) + col("hn") % 3, lit("\n"))).otherwise(lit(""))).as("robots"))
+      val rules = graft.ops.Robots.parseRobots(hostRules, "robots", "graftbot")
+        .select(col("host"), col("directive"), col("rule_value"))
+      val gated = graft.ops.Robots.robotsAllowed(parts, "path", rules, Seq("host"))
+        .where(col("robots_allowed"))
+      graft.ops.Robots.politeSchedule(gated, Seq("host"), "u",
+          defaultDelayS = 1.0)
+        .select(col("host"), col("u").as("link_url"), col("crawl_delay_s"),
+          col("fetch_slot"), col("fetch_at_s"))
+    },
+    Some("""WITH docs AS (SELECT doc_id AS d FROM documents),
+      links0 AS (
+        SELECT CASE WHEN d % 4 = 0
+          THEN 'http://b' || (d % 5) || '.example.com/p/' || d
+          ELSE 'http://h' || (d % 20) || '.example.com/p/' || d END AS u FROM docs
+        UNION ALL
+        SELECT CASE WHEN d % 4 = 0
+          THEN 'http://b' || (d % 5) || '.example.com/dir/q' || ((d + 1) % 1000)
+          ELSE 'http://h' || (d % 20) || '.example.com/p/q' || ((d + 1) % 1000) END FROM docs
+        UNION ALL
+        SELECT 'http://h' || ((d + 7) % 20) || '.example.com/p/' || ((d * 11) % 2000) FROM docs
+        UNION ALL
+        SELECT CASE WHEN d % 4 = 0
+          THEN 'http://b' || (d % 5) || '.example.com/s?x=' || (d % 7) || '&y=2'
+          ELSE 'http://h' || (d % 20) || '.example.com/s?x=' || (d % 7) || '&y=2' END FROM docs),
+      cand AS (SELECT DISTINCT u FROM links0),
+      fresh AS (SELECT u FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM documents v
+        WHERE c.u = 'http://h' || (v.doc_id % 20) || '.example.com/p/' || v.doc_id)),
+      parts AS (SELECT u,
+        regexp_extract(u, '^http://([^/]+)', 1) AS host,
+        regexp_extract(u, '^http://[^/]+(/.*)$', 1) AS path FROM fresh),
+      gated AS (SELECT * FROM parts WHERE NOT (
+        host LIKE 'h%.example.com' AND path LIKE '/p/q%')),
+      delayed AS (SELECT u, host,
+        CASE WHEN host LIKE 'h%.example.com'
+            AND CAST(regexp_extract(host, '^h(\d+)', 1) AS INT) % 2 = 0
+          THEN (1 + CAST(regexp_extract(host, '^h(\d+)', 1) AS INT) % 3)::DOUBLE
+          ELSE NULL END AS crawl_delay_s
+        FROM gated)
+      SELECT host, u AS link_url, crawl_delay_s,
+        (row_number() OVER (PARTITION BY host ORDER BY u) - 1)::BIGINT AS fetch_slot,
+        ((row_number() OVER (PARTITION BY host ORDER BY u) - 1)
+          * coalesce(crawl_delay_s, 1.0))::DOUBLE AS fetch_at_s
+      FROM delayed"""),
+    bench = true)
+
   /** `.tar.zst` ingest — zstd is the compression newer corpus dumps ship
     * in, and [[graft.ops.Archives.zunstdIfNeeded]] dispatches on the
     * frame magic inside the same tar walk that handles `.tar.gz`
@@ -2947,7 +3053,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webSitemapIngest, webSurtKey, webWetExport, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webSitemapIngest, webSurtKey, webWetExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -329,6 +329,247 @@ object WebIngest {
         coalesce(length(col("html_text")).cast("long"), lit(0L)))
   }
 
+  /** Entity decode for attribute values (`&amp;` inside hrefs is the
+    * overwhelmingly common case). Same named set + numeric validation
+    * as [[extractText]].
+    */
+  private def decodeAttrEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          def appendNumeric(v: => Int): Boolean =
+            try {
+              val cp = v
+              if (Character.isValidCodePoint(cp) &&
+                !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); true }
+              else false
+            } catch { case _: NumberFormatException => false }
+          val consumed =
+            if (ent.startsWith("#x") || ent.startsWith("#X"))
+              appendNumeric(Integer.parseInt(ent.substring(2), 16))
+            else if (ent.startsWith("#"))
+              appendNumeric(Integer.parseInt(ent.substring(1)))
+            else NamedEntities.get(ent.toLowerCase) match {
+              case Some(ch) => sb.append(ch); true
+              case None => false
+            }
+          if (consumed) i = semi + 1 else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path. */
+  private[ops] def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "/..") {
+        in = "/"
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val e = in.indexOf('/', from)
+        val seg = if (e < 0) in else in.substring(0, e)
+        out += seg
+        in = if (e < 0) "" else in.substring(e)
+      }
+    }
+    out.mkString
+  }
+
+  /** RFC 3986 §5.2 reference resolution, specialized to the crawl
+    * frontier: returns the absolute http(s) URL a reference reaches from
+    * `base`, or null for references a fetcher cannot follow — pure
+    * fragments and empty hrefs (same-document by definition) and
+    * non-http(s) schemes (`javascript:`, `mailto:`, `data:`, …).
+    * Fragments never survive (they name a position, not a resource —
+    * the same rule [[graft.ops.TextAnalysis.surtKey]] applies).
+    */
+  private[ops] def resolveRef(base: String, ref0: String): String = {
+    if (base == null || ref0 == null) return null
+    var ref = ref0.trim
+    val hash = ref.indexOf('#')
+    if (hash >= 0) ref = ref.substring(0, hash).trim
+    if (ref.isEmpty) return null // pure fragment / empty href: same doc
+    // absolute reference: scheme-gated
+    var k = 0
+    val c0 = if (ref.nonEmpty) ref.charAt(0) else ' '
+    if ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) {
+      k = 1
+      while (k < ref.length && {
+        val ch = ref.charAt(k)
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.'
+      }) k += 1
+      if (k < ref.length && ref.charAt(k) == ':') {
+        val scheme = ref.substring(0, k).toLowerCase
+        return if (scheme == "http" || scheme == "https") ref else null
+      }
+    }
+    val sIdx = base.indexOf("://")
+    if (sIdx <= 0) return null // relative link under an unusable base
+    val scheme = base.substring(0, sIdx).toLowerCase
+    if (scheme != "http" && scheme != "https") return null
+    val rest = base.substring(sIdx + 3)
+    var slash = 0
+    while (slash < rest.length && rest.charAt(slash) != '/' &&
+      rest.charAt(slash) != '?') slash += 1
+    val auth = rest.substring(0, slash)
+    if (auth.isEmpty) return null
+    val pathAndQ = rest.substring(slash)
+    val qIdx = pathAndQ.indexOf('?')
+    val basePath = if (qIdx >= 0) pathAndQ.substring(0, qIdx) else pathAndQ
+    if (ref.startsWith("//")) scheme + ":" + ref
+    else if (ref.startsWith("/")) scheme + "://" + auth + removeDotSegments(ref)
+    else if (ref.startsWith("?"))
+      scheme + "://" + auth + (if (basePath.isEmpty) "/" else basePath) + ref
+    else {
+      val cut = basePath.lastIndexOf('/')
+      val dir = if (cut < 0) "/" else basePath.substring(0, cut + 1)
+      scheme + "://" + auth + removeDotSegments(dir + ref)
+    }
+  }
+
+  /** One-pass `<a href>` extraction (same HTML5 tokenization rules as
+    * [[extractText]]: comments and `<script>`/`<style>` raw-text blocks
+    * are skipped wholesale, a tag opens only before alpha/'/'/'!'/'?'),
+    * then every href resolves through [[resolveRef]] against the
+    * effective base — the FIRST `<base href>` (itself resolved against
+    * the document URL, and applied to every link in the document) or the
+    * document URL when absent. Entity-decoded hrefs (`&amp;` is routine
+    * in real query strings). Document order, duplicates kept — dedup is
+    * the frontier's next stage, not the extractor's job.
+    */
+  private[ops] def extractLinksFrom(html: String, docUrl: String): Seq[String] = {
+    if (html == null) return null
+    val n = html.length
+    var i = 0
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def findIgnoreCase(needle: String, from: Int): Int = {
+      var p = from
+      val last = n - needle.length
+      while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
+      if (p > last) -1 else p
+    }
+    def tagNameEndsAt(p: Int): Boolean =
+      p >= n || { val d = html.charAt(p); d == '>' || d == '/' || d.isWhitespace }
+    // attribute scan inside [from, to): returns href value or null
+    def hrefIn(from: Int, to: Int): String = {
+      var p = from
+      while (p < to) {
+        while (p < to && (html.charAt(p).isWhitespace || html.charAt(p) == '/')) p += 1
+        val ns = p
+        while (p < to && { val d = html.charAt(p)
+          d.isLetterOrDigit || d == '-' || d == '_' || d == ':' }) p += 1
+        if (p == ns) { p += 1 } // stray char: step over
+        else {
+          val name = html.substring(ns, p)
+          var q = p
+          while (q < to && html.charAt(q).isWhitespace) q += 1
+          if (q < to && html.charAt(q) == '=') {
+            q += 1
+            while (q < to && html.charAt(q).isWhitespace) q += 1
+            val (vs, ve, next) =
+              if (q < to && (html.charAt(q) == '"' || html.charAt(q) == '\'')) {
+                val quote = html.charAt(q)
+                val e = html.indexOf(quote, q + 1)
+                if (e < 0 || e > to) (q + 1, to, to) else (q + 1, e, e + 1)
+              } else {
+                var e = q
+                while (e < to && !html.charAt(e).isWhitespace) e += 1
+                (q, e, e)
+              }
+            if (name.equalsIgnoreCase("href"))
+              return decodeAttrEntities(html.substring(vs, ve))
+            p = next
+          }
+          // valueless attribute: p already past the name
+        }
+      }
+      null
+    }
+    val raw = scala.collection.mutable.ArrayBuffer.empty[String]
+    var baseHref: String = null
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '/' || d == '!' || d == '?'
+      }) {
+        if (lowerAt(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (lowerAt(i, "<script") && tagNameEndsAt(i + 7)) {
+          val e = findIgnoreCase("</script", i + 7)
+          i = if (e < 0) n else html.indexOf('>', e) match {
+            case -1 => n
+            case g => g + 1
+          }
+        } else if (lowerAt(i, "<style") && tagNameEndsAt(i + 6)) {
+          val e = findIgnoreCase("</style", i + 6)
+          i = if (e < 0) n else html.indexOf('>', e) match {
+            case -1 => n
+            case g => g + 1
+          }
+        } else {
+          val e = html.indexOf('>', i + 1)
+          if (e < 0) i = n
+          else {
+            if (lowerAt(i, "<a") && tagNameEndsAt(i + 2)) {
+              val h = hrefIn(i + 2, e)
+              if (h != null) raw += h
+            } else if (lowerAt(i, "<base") && tagNameEndsAt(i + 5) &&
+              baseHref == null) {
+              val h = hrefIn(i + 5, e)
+              if (h != null) baseHref = h
+            }
+            i = e + 1
+          }
+        }
+      } else i += 1
+    }
+    val effBase =
+      if (baseHref == null) docUrl
+      else resolveRef(docUrl, baseHref) match {
+        case null => docUrl // unusable base href: fall back to the doc URL
+        case b => b
+      }
+    raw.map(h => resolveRef(effBase, h)).filter(_ != null).toSeq
+  }
+
+  /** Column form of [[extractLinksFrom]] — the missing edge that closes
+    * the crawl frontier loop (fetch → parse → EXTRACT LINKS →
+    * canonicalize → dedup vs visited → robots gate → politeness
+    * schedule). Appends `link_urls: array<string>` (absolute fetchable
+    * http(s) URLs, document order, duplicates kept). UDF cost is the
+    * honest price — HTML needs a state machine; one pass per row inside
+    * the scan, zero shuffle at any corpus size.
+    */
+  def extractLinks(df: DataFrame, htmlCol: String, urlCol: String): DataFrame = {
+    Multimodal.requireFreshColumns(df, "extractLinks", Seq("link_urls"))
+    val f = udf((html: String, u: String) => extractLinksFrom(html, u))
+    df.withColumn("link_urls", f(col(htmlCol), col(urlCol)))
+  }
+
   /** Deterministic synthetic WARC segment: a `warcinfo` record plus a
     * `conversion` record carrying `body` for `uriKey`; `gzipped = true`
     * wraps the whole segment in one gzip member (the inflate path —
@@ -362,6 +603,27 @@ object WebIngest {
           "WARC-Target-URI" -> s"http://example.com/doc/$uriKey",
           "Content-Type" -> "text/html"),
         (if (body == null) "" else body).getBytes("UTF-8"))
+      Archives.gzipWrap(out.toByteArray, gzipped)
+    })
+
+  /** Synthetic raw-crawl page: one `response` record at an ARBITRARY
+    * target URI whose body is an HTTP 200 text/html message carrying
+    * `html` — the frontier-loop fixture shape, where the page URL must
+    * drive relative-link resolution downstream. `gzipped` wraps the
+    * segment (the inflate path).
+    */
+  val syntheticWarcPage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((pageUrl: String, html: String, gzipped: Boolean) => {
+      val out = new java.io.ByteArrayOutputStream()
+      val http = new java.io.ByteArrayOutputStream()
+      http.write(("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1"))
+      http.write((if (html == null) "" else html).getBytes("UTF-8"))
+      warcFrameRecord(out,
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> pageUrl,
+          "Content-Type" -> "application/http;msgtype=response"),
+        http.toByteArray)
       Archives.gzipWrap(out.toByteArray, gzipped)
     })
 

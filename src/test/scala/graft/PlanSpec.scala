@@ -370,6 +370,19 @@ class PlanSpecR13 extends AnyFunSuite {
       s"a global single-partition exchange appeared:\n$p")
   }
 
+  test("web_frontier_loop: the closed loop never goes corpus-wide — no " +
+      "cartesian, no single-partition exchange; the visited-set check " +
+      "and robots rules ride broadcasts, the schedule window is " +
+      "host-keyed") {
+    val p = plan("web_frontier_loop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a product join appeared in the frontier loop:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global single-partition exchange appeared:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the visited/rules joins to broadcast:\n$p")
+  }
+
   test("web_redirect_revisit: ONE doc-keyed exchange — the conditional " +
       "aggregation replaces the r13 shape's three self-joins (and their " +
       "three re-parses of the segment)") {

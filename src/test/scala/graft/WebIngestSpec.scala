@@ -324,6 +324,83 @@ class WebIngestSpec extends AnyFunSuite {
   }
 }
 
+class ExtractLinksSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("resolveRef: RFC 3986 §5.2 axes — absolute, protocol-relative, " +
+      "path-absolute, query-only, merge + dot segments; fragments and " +
+      "non-fetchable schemes are null") {
+    val base = "http://h.example.com/a/b/c?q=1"
+    def r(ref: String) = WebIngest.resolveRef(base, ref)
+    assert(r("http://other.org/x") == "http://other.org/x")
+    assert(r("HTTPS://UP.org/x") == "HTTPS://UP.org/x") // scheme gate is case-blind
+    assert(r("//cdn.example.com/j.js") == "http://cdn.example.com/j.js")
+    assert(r("/root/z") == "http://h.example.com/root/z")
+    assert(r("?p=2") == "http://h.example.com/a/b/c?p=2")
+    assert(r("d") == "http://h.example.com/a/b/d")
+    assert(r("../up") == "http://h.example.com/a/up")
+    assert(r("../../../past-root") == "http://h.example.com/past-root")
+    assert(r("./x/./y") == "http://h.example.com/a/b/x/y")
+    assert(r("/x/../y/z/..") == "http://h.example.com/y/")
+    assert(r("d#frag") == "http://h.example.com/a/b/d") // fragment stripped
+    assert(r("#top") == null) // pure fragment: same document
+    assert(r("") == null)
+    assert(r("javascript:void(0)") == null)
+    assert(r("mailto:x@y.z") == null)
+    assert(r("data:text/plain,hi") == null)
+    // host-only base: relative merges from "/"
+    assert(WebIngest.resolveRef("http://h.example.com", "p") ==
+      "http://h.example.com/p")
+    assert(WebIngest.resolveRef("not a url", "p") == null)
+  }
+
+  test("extractLinksFrom: state-machine extraction — quote forms, " +
+      "entity-decoded hrefs, comment/script exclusion, first <base href> " +
+      "governs, document order, duplicates kept") {
+    val html =
+      """<html><head><base href="/dir/"><base href="/ignored/"></head>
+        |<body>
+        |<a href="one">1</a>
+        |<A HREF='two'>2</A>
+        |<a href=three>3</a>
+        |<a href="/abs?a=1&amp;b=2">4</a>
+        |<!-- <a href="in-comment">no</a> -->
+        |<script>var s = '<a href="in-script">no</a>';</script>
+        |<a href="#frag">no</a>
+        |<a href="javascript:void(0)">no</a>
+        |<a data-href="decoy" href="one">dup kept</a>
+        |<area href="not-an-anchor">
+        |</body></html>""".stripMargin
+    val got = WebIngest.extractLinksFrom(html, "http://h.ex.com/p/page")
+    // first <base href> ("/dir/") resolves against the doc URL and
+    // governs every link
+    assert(got == Seq(
+      "http://h.ex.com/dir/one",
+      "http://h.ex.com/dir/two",
+      "http://h.ex.com/dir/three",
+      "http://h.ex.com/abs?a=1&b=2",
+      "http://h.ex.com/dir/one"))
+    // no base tag: the document URL is the base
+    assert(WebIngest.extractLinksFrom("""<a href="q">x</a>""",
+      "http://h.ex.com/p/page") == Seq("http://h.ex.com/p/q"))
+    assert(WebIngest.extractLinksFrom(null, "http://x") == null)
+  }
+
+  test("extractLinks column op: appends link_urls, null html stays null") {
+    val got = WebIngest.extractLinks(
+      Seq((1L, """<a href="/x">l</a>""", "http://h.ex.com/p"),
+        (2L, null.asInstanceOf[String], "http://h.ex.com/p"))
+        .toDF("id", "html", "url"), "html", "url")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("link_urls"))) null
+         else r.getSeq[String](r.fieldIndex("link_urls")).toList)).toMap
+    assert(got(1L) == List("http://h.ex.com/x"))
+    assert(got(2L) == null)
+  }
+}
+
 class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = graft.SparkTestSession.spark
   import spark.implicits._
