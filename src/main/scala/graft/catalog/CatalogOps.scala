@@ -3038,6 +3038,53 @@ object CatalogOps {
 
   private lazy val ClassifierWeights = TextAnalysis.hashedWeights(64, seed = 3)
 
+  /** Quality-classifier TRAINING ([[TextAnalysis.trainHashedLinear]]) —
+    * the bounded-driver GD loop that completes the fastText-style story
+    * the same way learnMerges completed BPE: full-batch logistic
+    * regression over the real 2¹⁸-dim hashed feature space, three
+    * epochs, then the trained vector round-trips into the SAME inference
+    * kernel the txt_quality_classifier row uses. The fixture keeps the
+    * math closed-form: class-pure two-token documents ("good great" /
+    * "bad awful", verified collision-free mod 2¹⁸), so within a class
+    * every row shares one logit and the oracle can unroll the three
+    * full-batch updates as scalar recurrences over the class counts —
+    * wg ← wg + lr·g·(1−σ(wg))/(2n), wb ← wb − lr·b·σ(wb)/(2n) — and
+    * state the probe scores (pure-good, pure-bad, mixed) exactly.
+    */
+  private val txtQualityTrain = Q("txt_quality_train",
+    (s, dir) => {
+      val d = col("doc_id")
+      val train = t(s, dir, "documents").select(
+        when(d % 2 === 0, "good great").otherwise("bad awful").as("text"),
+        (d % 2 === 0).cast("double").as("label"))
+      val w = TextAnalysis.trainHashedLinear(train, "text", "label",
+        dim = 1 << 18, epochs = 3, lr = 1.0)
+      val probes = s.createDataFrame(Seq(
+        (0L, "good great"), (1L, "bad awful"), (2L, "good awful")))
+        .toDF("probe_id", "text")
+      TextAnalysis.hashedLinearScoreKernel(probes, "text", w.toIndexedSeq)
+        .select(col("probe_id"), col("quality_logit"), col("quality_prob"))
+    },
+    Some("""WITH c AS (SELECT
+        (count(*) FILTER (WHERE doc_id % 2 = 0))::DOUBLE AS g,
+        (count(*) FILTER (WHERE doc_id % 2 = 1))::DOUBLE AS b,
+        count(*)::DOUBLE AS n FROM documents),
+      e1 AS (SELECT g, b, n,
+        0.5 * g / (2 * n) AS wg,
+        -0.5 * b / (2 * n) AS wb FROM c),
+      e2 AS (SELECT g, b, n,
+        wg + g * (1 - 1 / (1 + exp(-wg))) / (2 * n) AS wg,
+        wb - b * (1 / (1 + exp(-wb))) / (2 * n) AS wb FROM e1),
+      e3 AS (SELECT g, b, n,
+        wg + g * (1 - 1 / (1 + exp(-wg))) / (2 * n) AS wg,
+        wb - b * (1 / (1 + exp(-wb))) / (2 * n) AS wb FROM e2)
+      SELECT 0::BIGINT AS probe_id, round(wg, 6) AS quality_logit,
+        round(1 / (1 + exp(-wg)), 6) AS quality_prob FROM e3
+      UNION ALL SELECT 1::BIGINT, round(wb, 6),
+        round(1 / (1 + exp(-wb)), 6) FROM e3
+      UNION ALL SELECT 2::BIGINT, round((wg + wb) / 2, 6),
+        round(1 / (1 + exp(-(wg + wb) / 2)), 6) FROM e3"""))
+
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
@@ -3045,6 +3092,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
+    txtQualityTrain,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

@@ -425,6 +425,98 @@ object TextAnalysis {
     df.withColumn("quality_logit", round(logit, 6))
       .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
 
+  /** TRAINING side of [[hashedLinearScore]] — the piece that makes the
+    * fastText-style quality gate self-contained (the weights have to
+    * come from somewhere): full-batch logistic-regression gradient
+    * descent over hashed bag-of-words mean features, the SAME
+    * [[Dedup.tokenize]] + [[Dedup.h60]]/[[FeatureSeed]] featurization as
+    * inference, so trained weights feed [[hashedLinearScore]] /
+    * [[hashedLinearScoreKernel]] unchanged.
+    *
+    * Spark-shaped like [[graft.ops.Bpe.learnMerges]]: the corpus is
+    * featurized ONCE (token → index, cached — epochs never re-tokenize),
+    * then each epoch is one pass producing per-partition dense gradient
+    * partials over the FIXED `dim`-dimensional hashed weight vector,
+    * tree-combined to the driver, which applies one update. Driver and
+    * shuffle state are bounded by `dim` (2¹⁸ doubles = 2 MB) by
+    * construction — never by the vocabulary, which at 100 TB is
+    * unbounded; a hashed-feature trainer is exactly the design that
+    * makes corpus-scale training dim-bounded. Full-batch (not SGD)
+    * keeps the result row-order-independent: the only nondeterminism
+    * left is float summation order across partials, ~1 ulp, invisible
+    * at the 6-decimal score contract.
+    *
+    * `labelCol` must be 0/1 (cast to double). Rows with null text or no
+    * tokens are skipped. The bias is a fixed hyper-parameter, not
+    * trained (fastText's default has it; the mean-feature symmetry
+    * makes a trained bias redundant for balanced gates). Returns the
+    * weight vector.
+    */
+  def trainHashedLinear(df: DataFrame, textCol: String, labelCol: String,
+      dim: Int = 1 << 18, epochs: Int = 3, lr: Double = 1.0,
+      bias: Double = 0.0): Array[Double] = {
+    require(dim > 0 && epochs > 0, "dim and epochs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dim
+    val prepped = df
+      .select(col(textCol).cast("string"), col(labelCol).cast("double"))
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.flatMap { case (text, y) =>
+          // Dedup.tokenize twin (same as hashedLogitJvm): lowercase,
+          // split on non-[a-z0-9] runs
+          val lower = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString
+          val idxs = lower.split("[^a-z0-9]+").iterator
+            .filter(_.nonEmpty).map { tok =>
+              val dg = md.digest(("s" + FeatureSeed + ":" + tok).getBytes(utf8))
+              md.reset()
+              var h = 0L
+              var i = 0
+              while (i < 7) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+              h = (h << 4) | ((dg(7) & 0xf0L) >>> 4)
+              (h % d).toInt
+            }.toArray
+          if (idxs.isEmpty) None else Some((idxs, y))
+        }
+      }.cache()
+    val n = prepped.count()
+    require(n > 0, "trainHashedLinear needs at least one labeled row with tokens")
+    val w = new Array[Double](d)
+    val b = bias
+    var epoch = 0
+    while (epoch < epochs) {
+      val bw = spark.sparkContext.broadcast(w)
+      val grad = prepped.rdd.treeAggregate(new Array[Double](d))(
+        seqOp = { (g, row) =>
+          val (idxs, y) = row
+          var s = 0.0
+          var i = 0
+          while (i < idxs.length) { s += bw.value(idxs(i)); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-(b + s / idxs.length)))
+          val r = (p - y) / idxs.length
+          i = 0
+          while (i < idxs.length) { g(idxs(i)) += r; i += 1 }
+          g
+        },
+        combOp = { (g1, g2) =>
+          var i = 0
+          while (i < d) { g1(i) += g2(i); i += 1 }
+          g1
+        }, depth = 2)
+      var i = 0
+      while (i < d) { w(i) -= lr * grad(i) / n; i += 1 }
+      bw.destroy()
+      epoch += 1
+    }
+    prepped.unpersist()
+    w
+  }
+
   private[graft] def hashedLogitJvm(text: String, weights: Array[Double],
       bias: Double): java.lang.Double = {
     if (text == null) return null

@@ -667,6 +667,53 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(kernel == declared)
   }
 
+  test("trainHashedLinear: full-batch GD separates the classes, matches " +
+      "the hand-derived scalar recurrence, and the trained vector " +
+      "round-trips into BOTH inference twins") {
+    // class-pure two-token docs: within a class every row shares one
+    // logit, so the three full-batch updates collapse to the scalar
+    // recurrences wg += lr·g·(1−σ(wg))/(2n), wb −= lr·b·σ(wb)/(2n) —
+    // computed HERE independently of the trainer
+    val train = (0 until 40).map(i =>
+      (if (i % 2 == 0) "good great" else "bad awful",
+        if (i % 2 == 0) 1.0 else 0.0)) ++
+      Seq((null.asInstanceOf[String], 1.0), ("   ", 0.0)) // skipped rows
+    val df = train.toDF("text", "label")
+    val dim = 1 << 18
+    val w = TextAnalysis.trainHashedLinear(df, "text", "label",
+      dim = dim, epochs = 3, lr = 1.0)
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    var (wg, wb) = (0.0, 0.0)
+    for (_ <- 0 until 3) {
+      val ng = wg + 20.0 * (1 - sig(wg)) / (2 * 40.0)
+      val nb = wb - 20.0 * sig(wb) / (2 * 40.0)
+      wg = ng; wb = nb
+    }
+    def h(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s${TextAnalysis.FeatureSeed}:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    for (tok <- Seq("good", "great"))
+      assert(math.abs(w(h(tok)) - wg) < 1e-12, tok)
+    for (tok <- Seq("bad", "awful"))
+      assert(math.abs(w(h(tok)) - wb) < 1e-12, tok)
+    assert(wg > 0 && wb < 0) // the gate separates
+    // every untouched weight stays exactly zero
+    assert(w.count(_ != 0.0) == 4)
+    // round-trip through both inference twins
+    val probes = Seq((0L, "good great"), (1L, "bad awful")).toDF("doc_id", "text")
+    val viaDecl = TextAnalysis.hashedLinearScore(probes, "text", w.toIndexedSeq)
+      .select("doc_id", "quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaKern = TextAnalysis.hashedLinearScoreKernel(probes, "text", w.toIndexedSeq)
+      .select("doc_id", "quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDecl == viaKern)
+    assert(viaDecl(0L) > 0.5 && viaDecl(1L) < 0.5)
+  }
+
   test("bigramLogProb: seen bigrams use MLE, unseen back off, short docs drop") {
     val train = Seq((100L, "the cat sat"), (101L, "the cat ran")).toDF("doc_id", "text")
     val score = Seq(
