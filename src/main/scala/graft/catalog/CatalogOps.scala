@@ -1912,6 +1912,46 @@ object CatalogOps {
       NULL::VARCHAR AS parse_error
       FROM documents"""))
 
+  /** Full-WARC EXPORT round-trip — [[graft.ops.WebIngest.warcSegments]]
+    * writes response records in the Common Crawl layout (per-member
+    * gzip) WITH its own cdxj index, and the export proves itself through
+    * the repo's own SELECTION chain: explode the generated cdx lines →
+    * [[graft.ops.WebIngest.cdxjEntries]] → [[graft.ops.WebIngest
+    * .warcRecordAt]] range-fetches exactly the indexed spans →
+    * [[graft.ops.WebIngest.httpResponses]] recovers every document's
+    * HTTP status and body. urlkeys come from [[TextAnalysis.surtKey]]
+    * upstream of the writer (no second SURT implementation). The oracle
+    * states the fully-recovered rows closed-form from `documents` —
+    * writer, index, range-fetch, and HTTP parse all pinned at once.
+    */
+  private val webWarcExport = Q("web_warc_export",
+    (s, dir) => {
+      val docs = TextAnalysis.surtKey(
+        t(s, dir, "documents").select(col("doc_id"),
+          (col("doc_id") % 16).as("shard"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
+          coalesce(col("text"), lit("")).as("body")), "uri")
+      val segs = graft.ops.WebIngest.warcSegments(
+        docs, "shard", "doc_id", "uri", "body", "urlkey")
+      val lines = segs.select(col("shard"), col("payload"),
+        explode(col("cdx")).as("cdx_line"))
+      val entries = graft.ops.WebIngest.cdxjEntries(lines, "cdx_line")
+        .where(col("parse_error").isNull).drop("parse_error", "cdx_line")
+      val recs = graft.ops.WebIngest.warcRecordAt(entries)
+        .where(col("parse_error").isNull)
+      graft.ops.WebIngest.httpResponses(
+        recs.select(col("shard"), col("urlkey"), col("cdx_status"),
+          col("target_uri"), col("content_bytes")))
+        .select(col("shard"), col("urlkey"), col("target_uri"),
+          col("cdx_status"), col("http_status"), col("http_body"))
+    },
+    Some("""SELECT doc_id % 16 AS shard,
+      'com,example)/doc/' || doc_id AS urlkey,
+      'http://example.com/doc/' || doc_id AS target_uri,
+      200 AS cdx_status, 200 AS http_status,
+      coalesce(text, '') AS http_body
+      FROM documents"""))
+
   /** NESTED archive composition — the real shape of code-dataset dumps
     * (a tar.gz of per-repo zips): [[graft.ops.Archives.tarMemberBytes]]
     * walks the outer tar (odd ids gzipped) emitting each member's RAW
@@ -3101,7 +3141,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webSitemapIngest, webSurtKey, webWetExport, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -1025,6 +1025,101 @@ object WebIngest {
       .drop("__recs")
   }
 
+  /** Full-WARC EXPORT — the writer side of [[warcRecordAt]]: pack each
+    * group's documents into one Common-Crawl-layout segment (a `warcinfo`
+    * member, then one `response` record per document in `idCol` order,
+    * EACH gzip-wrapped as its own member and concatenated — the layout
+    * that makes CDX (offset, length) spans independently range-fetchable)
+    * PLUS the segment's own cdxj index lines with the REAL member offsets
+    * and lengths, so export produces the index its consumers select by.
+    * Framing rides the same [[warcFrameRecord]] kernel as every reader
+    * fixture (writer and reader cannot diverge); response bodies are
+    * HTTP/1.1 messages (`status`, `mime; charset=utf-8`, entity body);
+    * WARC-Record-ID is a deterministic name-based UUID and
+    * WARC-Payload-Digest the sha1 of the entity body — reproducible
+    * bit-for-bit. Header values CR/LF-sanitized like [[wetSegments]]
+    * (a URI carrying a raw CRLF would forge header lines on read-back).
+    *
+    * Scale shape: one groupBy on the segment key — per-task state is one
+    * segment's documents, never the corpus; the cdx lines travel WITH
+    * their segment row, so `explode` + [[cdxjEntries]] + [[warcRecordAt]]
+    * round-trips without a join. Returns (groupCol, n_records, payload,
+    * cdx array<string>, warc_filename).
+    */
+  def warcSegments(df: DataFrame, groupCol: String, idCol: String,
+      uriCol: String, bodyCol: String, urlkeyCol: String,
+      status: Int = 200, mime: String = "text/html",
+      gzipped: Boolean = true,
+      warcDate: String = "2024-01-01T00:00:00Z"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "warcSegments",
+      Seq("n_records", "payload", "cdx", "warc_filename", "__recs", "__p"))
+    val reason = status match {
+      case 200 => "OK"
+      case 301 => "Moved Permanently"
+      case 404 => "Not Found"
+      case _ => "Status"
+    }
+    val ts = warcDate.filter(_.isDigit).padTo(14, '0').take(14)
+    val pack = udf((groupKey: String, recs: Seq[Row], gz: Boolean) => {
+      def rid(tag: String): String = "<urn:uuid:" +
+        java.util.UUID.nameUUIDFromBytes(
+          s"graft-warc:$groupKey:$tag".getBytes("UTF-8")) + ">"
+      def sanitize(s: String): String =
+        s.replace("\r", "%0D").replace("\n", "%0A")
+      val fn = s"graft-seg-$groupKey.warc.gz"
+      val out = new java.io.ByteArrayOutputStream()
+      def member(headers: Seq[(String, String)], content: Array[Byte]): Int = {
+        val b = new java.io.ByteArrayOutputStream()
+        warcFrameRecord(b, headers, content)
+        val m = Archives.gzipWrap(b.toByteArray, gz)
+        out.write(m)
+        m.length
+      }
+      val base = Seq("WARC-Date" -> warcDate)
+      member(
+        Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid("info"),
+          "Content-Type" -> "application/warc-fields") ++ base,
+        s"software: graft-warc-export\r\nisPartOf: $fn\r\n".getBytes("UTF-8"))
+      val cdx = scala.collection.mutable.ArrayBuffer.empty[String]
+      recs.zipWithIndex.foreach { case (r, i) =>
+        val body = (if (r.isNullAt(3)) "" else r.getString(3)).getBytes("UTF-8")
+        val sha = java.security.MessageDigest.getInstance("SHA-1")
+        val digest = "sha1:" + sha.digest(body).map("%02x".format(_)).mkString
+        val http = new java.io.ByteArrayOutputStream()
+        http.write((s"HTTP/1.1 $status $reason\r\n" +
+          s"Content-Type: $mime; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1"))
+        http.write(body)
+        val uriHdr =
+          if (r.isNullAt(1)) Seq.empty
+          else Seq("WARC-Target-URI" -> sanitize(r.getString(1)))
+        val off = out.size().toLong
+        val len = member(
+          Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> rid(i.toString)) ++ uriHdr ++
+            Seq("WARC-Payload-Digest" -> digest,
+              "Content-Type" -> "application/http; msgtype=response") ++ base,
+          http.toByteArray)
+        // index line only when the record has a key to look it up by
+        if (!r.isNullAt(2)) {
+          val url = if (r.isNullAt(1)) "" else sanitize(r.getString(1))
+          cdx += s"${r.getString(2)} $ts " +
+            s"""{"url": "$url", "mime": "$mime", "status": "$status", """ +
+            s""""digest": "$digest", "length": "$len", """ +
+            s""""offset": "$off", "filename": "$fn"}"""
+        }
+      }
+      (out.toByteArray, cdx.toSeq, fn)
+    })
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_records"),
+        array_sort(collect_list(struct(col(idCol), col(uriCol),
+          col(urlkeyCol), col(bodyCol)))).as("__recs"))
+      .withColumn("__p",
+        pack(col(groupCol).cast("string"), col("__recs"), lit(gzipped)))
+      .select(col(groupCol), col("n_records"), col("__p._1").as("payload"),
+        col("__p._2").as("cdx"), col("__p._3").as("warc_filename"))
+  }
+
   /** Synthetic crawl segment exercising the two shapes a crawl-audit user
     * hits on file one: a 301 HOP (response at /start/<key> whose HTTP head
     * carries `Location: …/final/<key>`), the 200 landing at /final/<key>

@@ -494,4 +494,62 @@ class WetExportSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(byUri("http://h/2") == "")
     assert(byUri("http://h/1") == "plain")
   }
+
+  test("warcSegments: Common-Crawl layout — each cdx (offset, length) " +
+      "slices EXACTLY one gzip member, digests match the body sha1, the " +
+      "whole segment also reads as concatenated members, adversarial " +
+      "bodies and CRLF URIs survive") {
+    val adversarial = "WARC/1.0\r\nContent-Length: 9\r\n\r\nfake\r\n\r\n"
+    val docs = Seq(
+      (2L, 0L, "http://h/2\r\nInjected: x", "k2", adversarial),
+      (1L, 0L, "http://h/1", "k1", "plain body"),
+      (3L, 0L, "http://h/3", null.asInstanceOf[String], "unkeyed"), // no cdx line
+      (9L, 1L, "http://h/9", "k9", null.asInstanceOf[String]))
+      .toDF("doc_id", "shard", "uri", "urlkey", "body")
+    val segs = WebIngest.warcSegments(docs, "shard", "doc_id", "uri",
+      "body", "urlkey").collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(segs(0L).getAs[Long]("n_records") == 3)
+    assert(segs(0L).getAs[String]("warc_filename") == "graft-seg-0.warc.gz")
+    // null urlkey → record written but NOT indexed
+    assert(segs(0L).getSeq[String](segs(0L).fieldIndex("cdx")).size == 2)
+    // the whole segment reads as concatenated gzip members
+    val whole = WebIngest.warcRecords(
+      Seq((0L, segs(0L).getAs[Array[Byte]]("payload"))).toDF("id", "payload"),
+      "payload").orderBy("record_idx").collect()
+    assert(whole.forall(_.getAs[String]("parse_error") == null))
+    assert(whole.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "response", "response", "response"))
+    // CRLF in the URI was sanitized, never a forged header
+    assert(whole.map(_.getAs[String]("target_uri")).toSeq.contains(
+      "http://h/2%0D%0AInjected: x"))
+    // each cdx span range-fetches its own record and the digest matches
+    val lines = Seq((0L, segs(0L).getAs[Array[Byte]]("payload")))
+      .toDF("id", "payload")
+      .crossJoin(segs(0L).getSeq[String](segs(0L).fieldIndex("cdx"))
+        .toDF("cdx_line"))
+    val sel = WebIngest.warcRecordAt(
+      WebIngest.cdxjEntries(lines, "cdx_line").drop("parse_error"))
+      .collect().map(r => r.getAs[String]("urlkey") -> r).toMap
+    assert(sel.values.forall(_.getAs[String]("parse_error") == null))
+    val resp = WebIngest.httpResponses(
+      Seq(("k1", sel("k1").getAs[Array[Byte]]("content_bytes")),
+        ("k2", sel("k2").getAs[Array[Byte]]("content_bytes")))
+        .toDF("k", "content_bytes")).collect()
+      .map(r => r.getAs[String]("k") -> r).toMap
+    assert(resp("k1").getAs[Int]("http_status") == 200)
+    assert(resp("k1").getAs[String]("http_body") == "plain body")
+    assert(resp("k2").getAs[String]("http_body") == adversarial)
+    for (k <- Seq("k1", "k2")) {
+      val body = resp(k).getAs[String]("http_body").getBytes("UTF-8")
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+      assert(sel(k).getAs[String]("payload_digest") ==
+        "sha1:" + sha.digest(body).map("%02x".format(_)).mkString)
+    }
+    // deterministic: same input → byte-identical segment
+    val again = WebIngest.warcSegments(docs, "shard", "doc_id", "uri",
+      "body", "urlkey").collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(java.util.Arrays.equals(
+      segs(0L).getAs[Array[Byte]]("payload"),
+      again(0L).getAs[Array[Byte]]("payload")))
+  }
 }
