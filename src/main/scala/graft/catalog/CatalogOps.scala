@@ -1923,12 +1923,18 @@ object CatalogOps {
     * upstream of the writer (no second SURT implementation). The oracle
     * states the fully-recovered rows closed-form from `documents` —
     * writer, index, range-fetch, and HTTP parse all pinned at once.
+    * Sharding is `doc_id div 32` — segment SIZE is bounded and the
+    * segment COUNT grows with the corpus, the way a real exporter
+    * targets a fixed segment size (a `doc_id % 16` layout grew each
+    * segment with the corpus: one task's collect_list held 1/16th of
+    * sf10, and the round-trip explode then duplicated that whole
+    * payload per cdx line — measured super-linear before the cap).
     */
   private val webWarcExport = Q("web_warc_export",
     (s, dir) => {
       val docs = TextAnalysis.surtKey(
         t(s, dir, "documents").select(col("doc_id"),
-          (col("doc_id") % 16).as("shard"),
+          expr("doc_id div 32").as("shard"),
           concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
           coalesce(col("text"), lit("")).as("body")), "uri")
       val segs = graft.ops.WebIngest.warcSegments(
@@ -1945,7 +1951,7 @@ object CatalogOps {
         .select(col("shard"), col("urlkey"), col("target_uri"),
           col("cdx_status"), col("http_status"), col("http_body"))
     },
-    Some("""SELECT doc_id % 16 AS shard,
+    Some("""SELECT doc_id // 32 AS shard,
       'com,example)/doc/' || doc_id AS urlkey,
       'http://example.com/doc/' || doc_id AS target_uri,
       200 AS cdx_status, 200 AS http_status,
