@@ -3131,6 +3131,48 @@ object CatalogOps {
       UNION ALL SELECT 2::BIGINT, round((wg + wb) / 2, 6),
         round(1 / (1 + exp(-(wg + wb) / 2)), 6) FROM e3"""))
 
+  /** Classifier EVALUATION ([[TextAnalysis.evalBinaryClassifier]]) —
+    * train → EVAL → score, the full supervised loop: the trainer's
+    * weights score a held-out set where every `doc_id % 10 == 3` row is
+    * mislabeled (its text flipped), and the op reports threshold metrics
+    * plus EXACT tie-aware AUC. The fixture produces exactly TWO distinct
+    * scores (class-pure texts), so tie handling carries the whole AUC —
+    * closed form: all positives and the flipped negatives score high ⇒
+    * accuracy (g+b−bhi)/n, precision g/(g+bhi), recall 1, and
+    * AUC = (b−bhi + bhi/2)/b from the pair count (the oracle needs only
+    * count arithmetic; the trained weights enter only through their
+    * signs, which the GD recurrence guarantees).
+    */
+  private val txtQualityEval = Q("txt_quality_eval",
+    (s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents")
+      val train = docs.select(
+        when(d % 2 === 0, "good great").otherwise("bad awful").as("text"),
+        (d % 2 === 0).cast("double").as("label"))
+      val w = TextAnalysis.trainHashedLinear(train, "text", "label",
+        dim = 1 << 18, epochs = 3, lr = 1.0)
+      val evalSet = docs.select(
+        when((d % 2 === 0) =!= (d % 10 === 3), "good great")
+          .otherwise("bad awful").as("text"),
+        (d % 2 === 0).cast("double").as("label"))
+      val scored = TextAnalysis.hashedLinearScoreKernel(
+        evalSet, "text", w.toIndexedSeq)
+      TextAnalysis.evalBinaryClassifier(scored, "quality_prob", "label")
+    },
+    Some("""WITH c AS (SELECT
+        (count(*) FILTER (WHERE doc_id % 2 = 0))::DOUBLE AS g,
+        (count(*) FILTER (WHERE doc_id % 2 = 1))::DOUBLE AS b,
+        (count(*) FILTER (WHERE doc_id % 10 = 3))::DOUBLE AS bhi,
+        count(*)::DOUBLE AS n FROM documents)
+      SELECT n::BIGINT AS n, g::BIGINT AS n_pos,
+        round((g + b - bhi) / n, 6) AS accuracy,
+        round(g / (g + bhi), 6) AS precision,
+        round(1.0, 6) AS recall,
+        round(2 * (g / (g + bhi)) / ((g / (g + bhi)) + 1.0), 6) AS f1,
+        round((b - bhi + 0.5 * bhi) / b, 6) AS auc
+      FROM c"""))
+
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
@@ -3138,7 +3180,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain,
+    txtQualityTrain, txtQualityEval,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

@@ -425,6 +425,62 @@ object TextAnalysis {
     df.withColumn("quality_logit", round(logit, 6))
       .withColumn("quality_prob", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
 
+  /** Classifier EVALUATION — the piece between [[trainHashedLinear]]
+    * and the 100 TB scoring pass: threshold metrics (accuracy /
+    * precision / recall / F1 at `threshold`, predict-positive strictly
+    * above) and EXACT AUC via the Mann-Whitney rank statistic with
+    * average-rank tie handling — ties matter here because a hashed
+    * linear model over short documents produces few distinct scores.
+    *
+    * Scale shape: the confusion counts are one map-side-combined
+    * aggregation; AUC needs a GLOBAL ORDER, but only of the score
+    * HISTOGRAM — the corpus collapses to one row per distinct score
+    * first (map-side combine), and the single-partition window runs
+    * over that bounded frame (6-dp-rounded probabilities cap it at
+    * ≤2,000,001 rows at ANY corpus size — stated, not hoped). Returns
+    * one row: n, n_pos, accuracy, precision, recall, f1, auc (metrics
+    * rounded to 6; precision/f1 null when nothing is predicted
+    * positive, auc null when a class is empty).
+    */
+  def evalBinaryClassifier(df: DataFrame, probCol: String,
+      labelCol: String, threshold: Double = 0.5): DataFrame = {
+    val sc = df
+      .select(col(probCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+    val conf = sc.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("g"),
+      sum(when(col("s") > threshold && col("y") === 1.0, 1.0)
+        .otherwise(0.0)).as("tp"),
+      sum(when(col("s") > threshold && col("y") === 0.0, 1.0)
+        .otherwise(0.0)).as("fp"))
+    val hist = sc.groupBy(col("s"))
+      .agg(count(lit(1)).cast("double").as("c"), sum(col("y")).as("p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rankSum = hist
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0.0)))
+      .agg(sum(col("p") * (col("cum") + (col("c") + 1.0) / 2.0)).as("posrank"))
+    val j = conf.crossJoin(rankSum)
+    val g = col("g")
+    val b = col("n") - col("g")
+    val predPos = col("tp") + col("fp")
+    val prec = when(predPos > 0, col("tp") / predPos)
+    val rec = when(g > 0, col("tp") / g)
+    val auc = when(g > 0 && b > 0,
+      (col("posrank") - g * (g + 1.0) / 2.0) / (g * b))
+    j.select(
+      col("n").cast("long").as("n"),
+      col("g").cast("long").as("n_pos"),
+      round((col("tp") + (b - col("fp"))) / col("n"), 6).as("accuracy"),
+      round(prec, 6).as("precision"),
+      round(rec, 6).as("recall"),
+      round(when(prec.isNotNull && rec.isNotNull && (prec + rec) > 0,
+        lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
+      round(auc, 6).as("auc"))
+  }
+
   /** TRAINING side of [[hashedLinearScore]] — the piece that makes the
     * fastText-style quality gate self-contained (the weights have to
     * come from somewhere): full-batch logistic-regression gradient

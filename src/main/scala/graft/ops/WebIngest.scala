@@ -1101,8 +1101,15 @@ object WebIngest {
           http.toByteArray)
         // index line only when the record has a key to look it up by
         if (!r.isNullAt(2)) {
-          val url = if (r.isNullAt(1)) "" else sanitize(r.getString(1))
-          cdx += s"${r.getString(2)} $ts " +
+          // JSON-escape the url (a quote or backslash in a crawled URI
+          // would otherwise corrupt the line) and keep the urlkey
+          // single-field (cdxj head fields are space-delimited — a
+          // space inside the key would shift the timestamp on parse)
+          def jsonEsc(s: String): String =
+            s.replace("\\", "\\\\").replace("\"", "\\\"")
+          val url = if (r.isNullAt(1)) "" else jsonEsc(sanitize(r.getString(1)))
+          val key = r.getString(2).replace(" ", "%20")
+          cdx += s"$key $ts " +
             s"""{"url": "$url", "mime": "$mime", "status": "$status", """ +
             s""""digest": "$digest", "length": "$len", """ +
             s""""offset": "$off", "filename": "$fn"}"""

@@ -714,6 +714,36 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(viaDecl(0L) > 0.5 && viaDecl(1L) < 0.5)
   }
 
+  test("evalBinaryClassifier: hand-computed confusion metrics and " +
+      "tie-aware AUC; degenerate inputs go null, never divide-by-zero") {
+    // scores: 0.9 (2 pos), 0.7 (1 pos, 1 neg — a TIE), 0.2 (2 neg)
+    // ranks (avg on ties): 0.2 → 1.5, 0.7 → 3.5, 0.9 → 5.5
+    // posrank = 5.5 + 5.5 + 3.5 = 14.5; g = 3, b = 3
+    // AUC = (14.5 − 3·4/2) / 9 = 8.5/9 = 0.944444…
+    // at 0.5: tp = 3, fp = 1 → acc 5/6, prec 3/4, rec 1, f1 6/7
+    val df = Seq(
+      (0.9, 1.0), (0.9, 1.0), (0.7, 1.0), (0.7, 0.0), (0.2, 0.0), (0.2, 0.0))
+      .toDF("p", "y")
+    val m = TextAnalysis.evalBinaryClassifier(df, "p", "y").collect().head
+    assert(m.getAs[Long]("n") == 6 && m.getAs[Long]("n_pos") == 3)
+    assert(m.getAs[Double]("accuracy") == 0.833333)
+    assert(m.getAs[Double]("precision") == 0.75)
+    assert(m.getAs[Double]("recall") == 1.0)
+    assert(m.getAs[Double]("f1") == 0.857143)
+    assert(m.getAs[Double]("auc") == 0.944444)
+    // nothing predicted positive → precision/f1 null, auc still defined
+    val low = TextAnalysis.evalBinaryClassifier(
+      Seq((0.1, 1.0), (0.2, 0.0)).toDF("p", "y"), "p", "y").collect().head
+    assert(low.isNullAt(low.fieldIndex("precision")))
+    assert(low.isNullAt(low.fieldIndex("f1")))
+    assert(low.getAs[Double]("auc") == 0.0) // the positive ranks BELOW the negative
+    // one-class input → auc null
+    val oneClass = TextAnalysis.evalBinaryClassifier(
+      Seq((0.9, 1.0), (0.1, 1.0)).toDF("p", "y"), "p", "y").collect().head
+    assert(oneClass.isNullAt(oneClass.fieldIndex("auc")))
+    assert(oneClass.getAs[Double]("recall") == 0.5)
+  }
+
   test("bigramLogProb: seen bigrams use MLE, unseen back off, short docs drop") {
     val train = Seq((100L, "the cat sat"), (101L, "the cat ran")).toDF("doc_id", "text")
     val score = Seq(

@@ -552,4 +552,28 @@ class WetExportSpec extends org.scalatest.funsuite.AnyFunSuite {
       segs(0L).getAs[Array[Byte]]("payload"),
       again(0L).getAs[Array[Byte]]("payload")))
   }
+
+  test("warcSegments cdx lines survive hostile keys: quotes/backslashes " +
+      "in the URI are JSON-escaped, spaces in the urlkey percent-encode " +
+      "— the writer never emits an index line its own parser rejects") {
+    val docs = Seq(
+      (1L, 0L, """http://h/q?a="x"\y""", "com,h)/q with space", "body"))
+      .toDF("doc_id", "shard", "uri", "urlkey", "body")
+    val seg = WebIngest.warcSegments(docs, "shard", "doc_id", "uri",
+      "body", "urlkey").collect().head
+    val lines = Seq((0L, seg.getAs[Array[Byte]]("payload")))
+      .toDF("id", "payload")
+      .crossJoin(seg.getSeq[String](seg.fieldIndex("cdx")).toDF("cdx_line"))
+    val e = WebIngest.cdxjEntries(lines, "cdx_line").collect().head
+    assert(e.getAs[String]("parse_error") == null,
+      s"writer emitted a line its own parser rejects: ${e.getAs[String]("parse_error")}")
+    assert(e.getAs[String]("urlkey") == "com,h)/q%20with%20space")
+    assert(e.getAs[String]("cdx_url") == """http://h/q?a="x"\y""")
+    // and the span still fetches the record
+    val rec = WebIngest.warcRecordAt(
+      WebIngest.cdxjEntries(lines, "cdx_line").drop("parse_error"))
+      .collect().head
+    assert(rec.getAs[String]("parse_error") == null)
+    assert(rec.getAs[String]("warc_type") == "response")
+  }
 }
