@@ -1800,6 +1800,66 @@ object CatalogOps {
       FROM delayed"""),
     bench = true)
 
+  /** The frontier loop ITERATED — breadth-first crawl over a closed-form
+    * link graph, three expansion rounds through the REAL chain each
+    * round: fetch (join the frontier against the corpus's WARC pages) →
+    * [[graft.ops.WebIngest.warcRecordBytes]] →
+    * [[graft.ops.WebIngest.httpResponses]] →
+    * [[graft.ops.WebIngest.extractLinks]] → candidate `distinct` → join
+    * to fetchable pages → anti-join vs VISITED → next frontier at
+    * depth+1. Page `d` links to `/p/{(3d+1)%2000}` and `/p/{(7d+2)%2000}`;
+    * links landing outside the corpus are discovered-but-unfetchable and
+    * end there, like a real crawl's 404s. Anti-join-vs-visited gives
+    * min-depth BFS semantics by construction; the oracle is the
+    * textbook recursive-CTE closure with `min(depth)`. Rounds are
+    * inherently sequential (BFS is a loop); each round's cost is the
+    * FRONTIER's size, never the corpus — the visited side stays
+    * broadcast-small relative to the candidate side, and at real scale
+    * the anti-join is [[graft.ops.Dedup.notInCorpus]]'s Bloom shape.
+    */
+  private val webCrawlBfs = Q("web_crawl_bfs",
+    (s, dir) => {
+      val d = col("doc_id")
+      val html = concat(
+        lit("<a href=\"/p/"), (d * 3 + 1) % 2000, lit("\">a</a>"),
+        lit("<a href=\"/p/"), (d * 7 + 2) % 2000, lit("\">b</a>"))
+      val pages = t(s, dir, "documents").select(d,
+        concat(lit("http://example.com/p/"), d).as("url"),
+        graft.ops.WebIngest.syntheticWarcPage(
+          concat(lit("http://example.com/p/"), d), html,
+          d % 2 === 1).as("payload"))
+      var visited = pages.where(d < 10)
+        .select(col("doc_id"), lit(0).as("depth"))
+      var frontier = visited
+      for (round <- 1 to 3) {
+        val fetched = pages.join(frontier.select("doc_id"), "doc_id")
+        val recs = graft.ops.WebIngest.warcRecordBytes(fetched)
+          .where(col("parse_error").isNull && col("warc_type") === "response")
+          .select(col("doc_id"), col("target_uri"), col("content_bytes"))
+        val links = graft.ops.WebIngest.extractLinks(
+          graft.ops.WebIngest.httpResponses(recs)
+            .select(col("target_uri"), col("http_body")),
+          "http_body", "target_uri")
+          .select(explode(col("link_urls")).as("u")).distinct()
+        val fresh = pages.select(col("doc_id"), col("url"))
+          .join(links, col("url") === col("u"))
+          .join(visited.select(col("doc_id").as("__v")),
+            col("doc_id") === col("__v"), "left_anti")
+          .select(col("doc_id"), lit(round).as("depth"))
+        frontier = fresh
+        visited = visited.unionByName(fresh)
+      }
+      visited
+    },
+    Some("""WITH RECURSIVE reach(d, depth) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+        UNION
+        SELECT t.doc_id, r.depth + 1
+        FROM reach r JOIN documents t
+          ON t.doc_id IN ((3 * r.d + 1) % 2000, (7 * r.d + 2) % 2000)
+        WHERE r.depth < 3)
+      SELECT d AS doc_id, min(depth)::INT AS depth FROM reach GROUP BY d"""))
+
   /** `.tar.zst` ingest — zstd is the compression newer corpus dumps ship
     * in, and [[graft.ops.Archives.zunstdIfNeeded]] dispatches on the
     * frame magic inside the same tar walk that handles `.tar.gz`
@@ -3189,7 +3249,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

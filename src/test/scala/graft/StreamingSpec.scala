@@ -339,6 +339,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head._4 == "<p>page 0</p>")
   }
 
+  test("streaming parity: the frontier extraction chain — warcRecordBytes " +
+      "→ httpResponses → extractLinks (all stateless narrow maps) gives " +
+      "stream ≡ batch, so a live crawl feed can ride the same ops") {
+    import graft.ops.WebIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_links").toString
+    (0L until 20L).toDF("doc_id")
+      .select(col("doc_id"), WebIngest.syntheticWarcPage(
+        concat(lit("http://h"), col("doc_id") % 4, lit(".ex.com/p/"), col("doc_id")),
+        concat(lit("<a href=\"n"), col("doc_id") + 1,
+          lit("\">n</a><a href=\"/abs\">a</a>")),
+        col("doc_id") % 2 === 1).as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val recs = WebIngest.warcRecordBytes(df)
+        .where(col("parse_error").isNull && col("warc_type") === "response")
+        .select(col("doc_id"), col("target_uri"), col("content_bytes"))
+      WebIngest.extractLinks(
+        WebIngest.httpResponses(recs).select(col("doc_id"),
+          col("target_uri"), col("http_body")),
+        "http_body", "target_uri")
+        .select(col("doc_id"), explode(col("link_urls")).as("u"))
+    }
+    val q = chain(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_links_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("st_links_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    } finally q.stop()
+    val want = chain(spark.read.parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(want.length == 40 && got == want,
+      s"stream ${got.length} rows vs batch ${want.length}")
+    assert(want.contains((0L, "http://h0.ex.com/p/n1")))
+    assert(want.contains((0L, "http://h0.ex.com/abs")))
+  }
+
   test("hotKeyMasses rangeFraction: a dense uniform horizon blows the " +
       "worst-case m² budget but is admitted once the real range share is priced") {
     // 100 keys × mass 80: Σ m² = 640 000 > 64 × 8 000 = 512 000, so the
