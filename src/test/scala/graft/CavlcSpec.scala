@@ -158,6 +158,39 @@ class CavlcSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("level"))
   }
 
+  test("property: 600 seeded random residual blocks round-trip across " +
+      "EVERY coeff_token column (nC -1, 0..9, 16) — random densities, " +
+      "signs, magnitudes through the escape forms") {
+    val rnd = new scala.util.Random(0xCAB1C)
+    var cases = 0
+    for (_ <- 0 until 600) {
+      val nC = Seq(-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 16)(rnd.nextInt(12))
+      val maxNumCoeff = if (nC == -1) 4 else if (rnd.nextBoolean()) 16 else 15
+      val total = rnd.nextInt(maxNumCoeff + 1)
+      val scan = new Array[Int](maxNumCoeff)
+      val positions = rnd.shuffle((0 until maxNumCoeff).toList).take(total)
+      positions.foreach { p =>
+        val mag = 1 + rnd.nextInt(40) // crosses the suffix-length ladder
+        scan(p) = if (rnd.nextBoolean()) mag else -mag
+      }
+      val w = new VideoBitstream.BitWriter
+      val encoded =
+        try { Cavlc.encodeResidualBlock(w, scan, nC, maxNumCoeff); true }
+        catch { case _: Cavlc.Unsupported =>
+          false // encoder refuses only deep-escape level forms — named
+        }
+      if (encoded) {
+        cases += 1
+        w.rbspTrailing()
+        val (got, t) = Cavlc.decodeResidualBlock(
+          new VideoBitstream.BitReader(w.bytes), nC, maxNumCoeff)
+        assert(got.toSeq == scan.toSeq, s"nC $nC scan ${scan.mkString(",")}")
+        assert(t == total)
+      }
+    }
+    assert(cases > 550) // the refusal branch must stay rare
+  }
+
   test("Intra_16x16 CAVLC frame decodes pixel-exact: four prediction " +
       "modes, DC Hadamard + dequant, closed-form quadrants at QP 28") {
     // v0 = 4, s1 = negative, v2 = 3:
