@@ -436,14 +436,27 @@ object WebIngest {
     val pathAndQ = rest.substring(slash)
     val qIdx = pathAndQ.indexOf('?')
     val basePath = if (qIdx >= 0) pathAndQ.substring(0, qIdx) else pathAndQ
-    if (ref.startsWith("//")) scheme + ":" + ref
-    else if (ref.startsWith("/")) scheme + "://" + auth + removeDotSegments(ref)
+    // dot-segment removal applies to the PATH only (RFC 3986 §5.3) — a
+    // query carrying '/../' (common in redirect-target params) must
+    // survive verbatim, so split the reference's query off first
+    val rq = ref.indexOf('?')
+    val (refPath, refQuery) =
+      if (rq < 0) (ref, "") else (ref.substring(0, rq), ref.substring(rq))
+    if (ref.startsWith("//")) {
+      var pStart = 2
+      while (pStart < refPath.length && refPath.charAt(pStart) != '/') pStart += 1
+      if (pStart >= refPath.length) scheme + ":" + ref
+      else scheme + ":" + refPath.substring(0, pStart) +
+        removeDotSegments(refPath.substring(pStart)) + refQuery
+    }
+    else if (ref.startsWith("/"))
+      scheme + "://" + auth + removeDotSegments(refPath) + refQuery
     else if (ref.startsWith("?"))
       scheme + "://" + auth + (if (basePath.isEmpty) "/" else basePath) + ref
     else {
       val cut = basePath.lastIndexOf('/')
       val dir = if (cut < 0) "/" else basePath.substring(0, cut + 1)
-      scheme + "://" + auth + removeDotSegments(dir + ref)
+      scheme + "://" + auth + removeDotSegments(dir + refPath) + refQuery
     }
   }
 

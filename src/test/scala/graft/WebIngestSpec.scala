@@ -354,6 +354,12 @@ class ExtractLinksSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(WebIngest.resolveRef("http://h.example.com", "p") ==
       "http://h.example.com/p")
     assert(WebIngest.resolveRef("not a url", "p") == null)
+    // dot-segment removal applies to the PATH only — a query carrying
+    // '/../' (redirect-target params do) must survive verbatim
+    assert(r("b/../c?u=/a/../z") == "http://h.example.com/a/b/c?u=/a/../z")
+    assert(r("/x/../y?next=./here") == "http://h.example.com/y?next=./here")
+    assert(r("//cdn.ex.com/a/../j.js?v=/1/../2") ==
+      "http://cdn.ex.com/j.js?v=/1/../2")
   }
 
   test("extractLinksFrom: state-machine extraction — quote forms, " +
