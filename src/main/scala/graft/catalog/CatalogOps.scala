@@ -2521,6 +2521,33 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** Intra_4x4 pixel decode ([[graft.ops.H264Decode.syntheticI4x4AnnexB]]
+    * → decodeIdr) — the remaining intra macroblock class, now real: 16
+    * per-block prediction modes (§8.3.1.1 mode prediction + §8.3.1.2
+    * spatial predictors), Table 9-4 me(v) cbp, cbp-gated mb_qp_delta,
+    * full-16-coefficient residual blocks through mixed nC contexts (the
+    * PCM edge contributes 16). The fixture's Horizontal-mode cascade is
+    * closed form: MB0 is the (base + 3x) gradient, MB1's block column
+    * bx reconstructs to base+45+4k(bx+1), so
+    * y_mean = base + 33.75 + 5k exactly.
+    */
+  private val mmH264I4x4Decode = Q("mm_h264_i4x4_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticI4x4AnnexB(
+          (col("doc_id") % 100).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdr(clips, "payload")
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""SELECT doc_id, 32::INT AS frame_width, 16::INT AS frame_height,
+      2::INT AS mb_count,
+      ((doc_id % 100) + 33.75 + 5 * (1 + doc_id % 5))::DOUBLE AS y_mean,
+      NULL::VARCHAR AS decode_error
+      FROM documents"""),
+    bench = true)
+
   /** The MP4 keyframe route over ENTROPY-CODED keyframes: sample tables
     * locate the sync samples and each decodes through the shared I-slice
     * core's CAVLC path ([[graft.ops.H264Decode.syntheticCavlcMp4]] —
@@ -3246,7 +3273,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -32,11 +32,16 @@ import org.apache.spark.sql.types._
   */
 object H264Decode {
 
-  /** The PPS fields an intra IDR decode needs (H.264 §7.3.2.2). */
+  /** The PPS fields an intra IDR decode needs (H.264 §7.3.2.2).
+    * `transform8x8` / `scalingMatrix` come from the optional trailing
+    * extension — both change residual decode semantics this decoder
+    * does not carry, so they refuse by name downstream.
+    */
   private[ops] final case class PpsInfo(entropyCabac: Boolean,
       numSliceGroups: Int, deblockControlPresent: Boolean,
       redundantPicCntPresent: Boolean, bottomFieldPocPresent: Boolean,
-      picInitQp: Int = 26)
+      picInitQp: Int = 26, transform8x8: Boolean = false,
+      scalingMatrix: Boolean = false)
 
   private[ops] def parsePps(rbsp: Array[Byte]): PpsInfo = {
     val r = new VideoBitstream.BitReader(rbsp)
@@ -60,7 +65,13 @@ object H264Decode {
       val deblock = r.u1() == 1
       r.u1() // constrained_intra_pred_flag
       val redundant = r.u1() == 1
-      PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp)
+      // optional §7.3.2.2 extension (High profile): transform_8x8_mode,
+      // pic_scaling_matrix, second_chroma_qp_index_offset — the first
+      // two change residual semantics, so retain them for refusal
+      val (t8, scaling) =
+        if (r.moreRbspData) (r.u1() == 1, r.u1() == 1) else (false, false)
+      PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
+        transform8x8 = t8, scalingMatrix = scaling)
     }
   }
 
@@ -144,16 +155,54 @@ object H264Decode {
   private val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
   private val Blk4x4Y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
 
+  /** Z-scan index of each within-MB 4×4 raster position (by·4+bx) — the
+    * inverse of Blk4x4X/Y, for decoded-before-current checks (§6.4.12's
+    * "available and decoded" neighbour rule at block granularity).
+    */
+  private val ZOf: Array[Int] = {
+    val z = new Array[Int](16)
+    var b = 0
+    while (b < 16) { z(Blk4x4Y(b) * 4 + Blk4x4X(b)) = b; b += 1 }
+    z
+  }
+
+  /** Table 9-4 coded_block_pattern me(v) mapping, INTRA column: codeNum →
+    * cbp (low 4 bits = luma 8×8 quadrants, high 2 = chroma 0/1/2). The
+    * transcription tripwires are mechanical (CavlcSpec): the array must
+    * be an exact permutation of 0..47, and the anchors every published
+    * walkthrough states — codeNum 0 → 47 (everything coded), codeNum 3
+    * → 0 (nothing coded) — are pinned; beyond that, a wrong entry makes
+    * the residual walk parse the wrong number of blocks, which the rbsp
+    * alignment and pixel fixtures trip on.
+    */
+  private[ops] val IntraCbpFromCodeNum: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** Inverse of [[IntraCbpFromCodeNum]], for the fixture encoders (the
+    * shared-table discipline: encode and decode cannot drift). */
+  private[ops] val IntraCbpToCodeNum: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(IntraCbpFromCodeNum(i)) = i; i += 1 }
+    inv
+  }
+
   /** The slice-level decode core both entry points share: refuse
     * unsupported shapes BY NAME, parse the IDR slice header (§7.3.3,
     * incl. dec_ref_pic_marking) and the slice_data() macroblock walk,
-    * and reconstruct the luma plane. Two macroblock classes decode for
-    * real: I_PCM (raw samples, §8.3.5) and Intra_16x16 CAVLC (coeff
-    * parse via [[Cavlc]], DC Hadamard + dequant §8.5.10, AC dequant
-    * §8.5.12.1, inverse 4×4 transform §8.5.12.2, all four §8.3.3
-    * prediction modes). I_4x4 macroblocks and the CAVLC table columns
-    * [[Cavlc]] does not carry refuse by name — never a silent wrong
-    * plane. Chroma bits are consumed (the walk must stay aligned) but
+    * and reconstruct the luma plane. THREE macroblock classes decode for
+    * real: I_PCM (raw samples, §8.3.5), Intra_16x16 CAVLC (coeff parse
+    * via [[Cavlc]], DC Hadamard + dequant §8.5.10, AC dequant §8.5.12.1,
+    * inverse 4×4 transform §8.5.12.2, all four §8.3.3 prediction modes),
+    * and Intra_4x4 CAVLC (per-block mode prediction §8.3.1.1, all nine
+    * §8.3.1.2 spatial predictors with decoded-before top-right
+    * availability and the p[3,−1] substitution, Table 9-4 me(v) cbp,
+    * full-16-coefficient residual blocks). CABAC, 8×8 transforms,
+    * scaling matrices, and inter prediction refuse by name — never a
+    * silent wrong plane. Chroma bits are consumed (the walk must stay
+    * aligned) but
     * only luma is reconstructed — gates and perceptual hashes read luma.
     * Streams that do not explicitly disable the in-loop deblocking
     * filter refuse at the first non-I_PCM macroblock (the filter is
@@ -174,6 +223,10 @@ object H264Decode {
     val nMbs = mbw.toLong * mbh
     if (pps.entropyCabac)
       Left("CABAC stream (decodeStub seam: entropy decode)")
+    else if (pps.scalingMatrix)
+      // non-flat scaling lists change every dequant in the clip — a
+      // flat-matrix walk would ship a WRONG plane with decode_error null
+      Left("PPS scaling matrix not supported")
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
     else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
     else if (sps.chromaFormatIdc > 1)
@@ -269,6 +322,168 @@ object H264Decode {
         val dc = new Array[Int](16)
         val pred = new Array[Int](256)
         val d = new Array[Int](16)
+        val p4 = new Array[Int](16)
+        val tN = new Array[Int](8)
+        val lN = new Array[Int](4)
+        val mbModes = new Array[Int](16)
+        // per-4x4-block Intra_4x4 prediction mode grid (§8.3.1.1): -1 =
+        // the block's MB is not Intra_4x4-coded (or not yet decoded) —
+        // both read as mode 2 (DC) in the neighbour-mode derivation
+        val i4Mode = Array.fill(mbw * 4 * mbh * 4)(-1)
+        def predI4Mode(bx: Int, by: Int): Int = {
+          val a = if (bx > 0 && i4Mode(by * mbw * 4 + bx - 1) >= 0)
+            i4Mode(by * mbw * 4 + bx - 1) else 2
+          val b = if (by > 0 && i4Mode((by - 1) * mbw * 4 + bx) >= 0)
+            i4Mode((by - 1) * mbw * 4 + bx) else 2
+          math.min(a, b)
+        }
+        // chroma residual consumption (luma-only reconstruction; the
+        // walk must stay aligned): DC when cbpChroma >= 1, AC blocks
+        // when == 2, TotalCoeffs feeding the per-component nC grids
+        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int): Unit =
+          if (sps.chromaFormatIdc == 1) {
+            if (cbpChroma >= 1) {
+              Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
+              Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
+            }
+            var comp = 0
+            while (comp < 2) {
+              var cb = 0
+              while (cb < 4) {
+                val cx = mbx * 2 + cBlkX(cb)
+                val cy = mby * 2 + cBlkY(cb)
+                val tcC =
+                  if (cbpChroma == 2)
+                    Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)._2
+                  else 0
+                nCoefC(comp)(cy * mbw * 2 + cx) = tcC
+                cb += 1
+              }
+              comp += 1
+            }
+          }
+        // Intra_4x4 spatial prediction (§8.3.1.2.1–9) for the block at
+        // global 4x4 coords (bx, by): fills p4 (raster), or returns the
+        // refusal when the signalled mode's samples are unavailable (a
+        // conforming encoder never signals such a mode — refusing names
+        // the malformation instead of guessing pixels). t/l/c are the
+        // §8.3.1.2 p[x,−1] / p[−1,y] / p[−1,−1] arrays, with the
+        // spec's p[3,−1] substitution when p[4..7,−1] is undecoded.
+        def predict4x4(mode: Int, bx: Int, by: Int): String = {
+          val px = bx * 4
+          val py = by * 4
+          val leftOk = bx > 0
+          val topOk = by > 0
+          val tlOk = leftOk && topOk
+          def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
+          // top-right pixels p[4..7,−1] belong to block (bx+1, by−1):
+          // available iff inside the picture AND decoded before current
+          // (same MB: Z order; other MB: raster order)
+          val trOk = topOk && bx + 1 < mbw * 4 && {
+            val tmb = ((by - 1) >> 2) * mbw + ((bx + 1) >> 2)
+            val cmb = (by >> 2) * mbw + (bx >> 2)
+            tmb < cmb || (tmb == cmb &&
+              ZOf(((by - 1) & 3) * 4 + ((bx + 1) & 3)) <
+                ZOf((by & 3) * 4 + (bx & 3)))
+          }
+          if (topOk) {
+            var i = 0
+            while (i < 4) { tN(i) = at(px + i, py - 1); i += 1 }
+            while (i < 8) {
+              tN(i) = if (trOk) at(px + i, py - 1) else tN(3)
+              i += 1
+            }
+          }
+          if (leftOk) {
+            var i = 0
+            while (i < 4) { lN(i) = at(px - 1, py + i); i += 1 }
+          }
+          val c = if (tlOk) at(px - 1, py - 1) else 0
+          def tAt(i: Int): Int = if (i < 0) c else tN(i)
+          def lAt(i: Int): Int = if (i < 0) c else lN(i)
+          def fill(f: (Int, Int) => Int): Unit = {
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 4) { p4(y * 4 + x) = f(x, y); x += 1 }
+              y += 1
+            }
+          }
+          mode match {
+            case 0 => // Vertical
+              if (!topOk) return "Intra_4x4 vertical predictor unavailable"
+              fill((x, _) => tN(x))
+            case 1 => // Horizontal
+              if (!leftOk) return "Intra_4x4 horizontal predictor unavailable"
+              fill((_, y) => lN(y))
+            case 2 => // DC
+              var sum = 0
+              var n = 0
+              if (topOk) { sum += tN(0) + tN(1) + tN(2) + tN(3); n += 4 }
+              if (leftOk) { sum += lN(0) + lN(1) + lN(2) + lN(3); n += 4 }
+              val v = if (n == 8) (sum + 4) >> 3
+                else if (n == 4) (sum + 2) >> 2 else 128
+              java.util.Arrays.fill(p4, v)
+            case 3 => // Diagonal Down Left
+              if (!topOk) return "Intra_4x4 DDL predictor unavailable"
+              fill((x, y) =>
+                if (x == 3 && y == 3) (tN(6) + 3 * tN(7) + 2) >> 2
+                else (tN(x + y) + 2 * tN(x + y + 1) + tN(x + y + 2) + 2) >> 2)
+            case 4 => // Diagonal Down Right
+              if (!tlOk) return "Intra_4x4 DDR predictor unavailable"
+              fill((x, y) =>
+                if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + tAt(x - y) + 2) >> 2
+                else if (x < y) (lAt(y - x - 2) + 2 * lAt(y - x - 1) + lAt(y - x) + 2) >> 2
+                else (tN(0) + 2 * c + lN(0) + 2) >> 2)
+            case 5 => // Vertical Right
+              if (!tlOk) return "Intra_4x4 VR predictor unavailable"
+              fill { (x, y) =>
+                val z = 2 * x - y
+                if (z >= 0 && (z & 1) == 0)
+                  (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
+                else if (z >= 0)
+                  (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
+                    tAt(x - (y >> 1)) + 2) >> 2
+                else if (z == -1) (lN(0) + 2 * c + tN(0) + 2) >> 2
+                else (lAt(y - 2 * x - 1) + 2 * lAt(y - 2 * x - 2) +
+                  lAt(y - 2 * x - 3) + 2) >> 2
+              }
+            case 6 => // Horizontal Down
+              if (!tlOk) return "Intra_4x4 HD predictor unavailable"
+              fill { (x, y) =>
+                val z = 2 * y - x
+                if (z >= 0 && (z & 1) == 0)
+                  (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+                else if (z >= 0)
+                  (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
+                    lAt(y - (x >> 1)) + 2) >> 2
+                else if (z == -1) (tN(0) + 2 * c + lN(0) + 2) >> 2
+                else (tAt(x - 2 * y - 1) + 2 * tAt(x - 2 * y - 2) +
+                  tAt(x - 2 * y - 3) + 2) >> 2
+              }
+            case 7 => // Vertical Left
+              if (!topOk) return "Intra_4x4 VL predictor unavailable"
+              fill { (x, y) =>
+                if ((y & 1) == 0)
+                  (tN(x + (y >> 1)) + tN(x + (y >> 1) + 1) + 1) >> 1
+                else (tN(x + (y >> 1)) + 2 * tN(x + (y >> 1) + 1) +
+                  tN(x + (y >> 1) + 2) + 2) >> 2
+              }
+            case 8 => // Horizontal Up
+              if (!leftOk) return "Intra_4x4 HU predictor unavailable"
+              fill { (x, y) =>
+                val z = x + 2 * y
+                if (z > 5) lN(3)
+                else if (z == 5) (lN(2) + 3 * lN(3) + 2) >> 2
+                else if ((z & 1) == 0)
+                  (lN(y + (x >> 1)) + lN(y + (x >> 1) + 1) + 1) >> 1
+                else (lN(y + (x >> 1)) + 2 * lN(y + (x >> 1) + 1) +
+                  lN(y + (x >> 1) + 2) + 2) >> 2
+              }
+            case _ => return s"malformed intra_4x4 prediction mode $mode"
+          }
+          null
+        }
         // slice_data (§7.3.4), CAVLC I slice: macroblock_layer per MB
         var mb = 0
         var bad: String = null
@@ -304,8 +519,97 @@ object H264Decode {
                 b += 1
               }
               mb += 1
-            } else if (mbType == 0) {
-              bad = "I_4x4 macroblock — decodeStub seam: Intra_4x4 prediction"
+            } else if (mbType == 0) { // I_NxN → Intra_4x4
+              if (!deblockOff)
+                bad = "in-loop deblocking not implemented " +
+                  "(stream does not disable it)"
+              else if (pps.transform8x8)
+                // with the PPS flag set, I_NxN carries a
+                // transform_size_8x8_flag and 8×8 blocks need the 8×8
+                // transform + Table 9-x 8x8 machinery — refuse by name
+                bad = "transform_8x8 mode (High profile) not supported"
+              else {
+                // 16 prediction modes (§7.3.5.1): prev flag + 3-bit
+                // remainder that SKIPS the predicted mode; modes enter
+                // the grid as parsed (a block's A/B neighbours are
+                // always earlier in Z order or outside the MB)
+                var b = 0
+                while (b < 16) {
+                  val gx = mbx * 4 + Blk4x4X(b)
+                  val gy = mby * 4 + Blk4x4Y(b)
+                  val pm = predI4Mode(gx, gy)
+                  val mode =
+                    if (rd.u1() == 1) pm
+                    else { val rem = rd.u(3); if (rem < pm) rem else rem + 1 }
+                  mbModes(b) = mode
+                  i4Mode(gy * mbw * 4 + gx) = mode
+                  b += 1
+                }
+                val chromaPred =
+                  if (sps.chromaFormatIdc == 1) rd.ue() else 0
+                if (chromaPred > 3) bad = "malformed intra_chroma_pred_mode"
+                else {
+                  val cbpCode = rd.ue()
+                  if (cbpCode > 47)
+                    bad = s"malformed coded_block_pattern (codeNum $cbpCode)"
+                  else {
+                    val cbp = IntraCbpFromCodeNum(cbpCode)
+                    val cbpLuma = cbp & 15
+                    val cbpChroma = cbp >> 4
+                    // §7.3.5: mb_qp_delta (and residual) only when the
+                    // cbp says anything is coded
+                    if (cbp != 0)
+                      qPY = Math.floorMod(qPY + rd.se() + 52, 52)
+                    val px = mbx * 16
+                    val py = mby * 16
+                    // per block IN Z ORDER: residual bits, then predict
+                    // from already-reconstructed pixels, then store —
+                    // Intra_4x4 interleaves prediction with decode
+                    var b2 = 0
+                    while (b2 < 16 && bad == null) {
+                      val bx4 = Blk4x4X(b2)
+                      val by4 = Blk4x4Y(b2)
+                      val gx = mbx * 4 + bx4
+                      val gy = mby * 4 + by4
+                      java.util.Arrays.fill(d, 0)
+                      var tc = 0
+                      if ((cbpLuma & (1 << (b2 >> 2))) != 0) {
+                        // all 16 coefficients (no separate DC): §8.5.12
+                        // dequant over the full zigzag
+                        val (scan, total) =
+                          Cavlc.decodeResidualBlock(rd, nCFor(gx, gy), 16)
+                        tc = total
+                        var i = 0
+                        while (i < 16) {
+                          val raster = Zigzag4x4(i)
+                          d(raster) = dequantAc(scan(i), raster, qPY)
+                          i += 1
+                        }
+                      }
+                      nCoef(gy * mbw * 4 + gx) = tc
+                      idct4x4(d)
+                      bad = predict4x4(mbModes(b2), gx, gy)
+                      if (bad == null) {
+                        var yy = 0
+                        while (yy < 4) {
+                          var xx = 0
+                          while (xx < 4) {
+                            luma((py + by4 * 4 + yy) * w + px + bx4 * 4 + xx) =
+                              clip1(p4(yy * 4 + xx) + d(yy * 4 + xx))
+                            xx += 1
+                          }
+                          yy += 1
+                        }
+                      }
+                      b2 += 1
+                    }
+                    if (bad == null) {
+                      consumeChroma(cbpChroma, mbx, mby)
+                      mb += 1
+                    }
+                  }
+                }
+              }
             } else if (mbType >= 1 && mbType <= 24) { // Intra_16x16
               if (!deblockOff)
                 bad = "in-loop deblocking not implemented " +
@@ -428,33 +732,10 @@ object H264Decode {
                       }
                       b += 1
                     }
-                    // chroma residual: consume the bits so the walk stays
-                    // aligned (luma-only reconstruction, like I_PCM).
-                    // cbp_chroma 1 = DC only; 2 = DC + the 4 AC blocks per
-                    // component, whose TotalCoeffs feed the chroma nC grids
-                    if (bad == null && sps.chromaFormatIdc == 1) {
-                      if (cbpChroma >= 1) {
-                        Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
-                        Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
-                      }
-                      var comp = 0
-                      while (comp < 2) {
-                        var cb = 0
-                        while (cb < 4) {
-                          val cx = mbx * 2 + cBlkX(cb)
-                          val cy = mby * 2 + cBlkY(cb)
-                          val tcC =
-                            if (cbpChroma == 2)
-                              Cavlc.decodeResidualBlock(rd,
-                                nCForC(comp, cx, cy), 15)._2
-                            else 0
-                          nCoefC(comp)(cy * mbw * 2 + cx) = tcC
-                          cb += 1
-                        }
-                        comp += 1
-                      }
+                    if (bad == null) {
+                      consumeChroma(cbpChroma, mbx, mby)
+                      mb += 1
                     }
-                    if (bad == null) mb += 1
                   }
                 }
               }
@@ -809,6 +1090,82 @@ object H264Decode {
         nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
         nal(3, 8, cavlcPpsRbsp)
         nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        out.toArray
+      })
+
+  /** The Intra_4x4 fixture slice (2×1 frame): MB0 is I_PCM with the
+    * horizontal gradient (base + 3x — its right column is the constant
+    * base+45 and its blocks enter the nC grid at 16), MB1 is I_NxN with
+    * all 16 blocks in Horizontal mode carrying a DC-only residual of
+    * `k`: at QP 28 the residual dequants to exactly 4k per pixel, so
+    * block column bx reconstructs to the CLOSED FORM base+45 + 4k(bx+1)
+    * — mode prediction (first block rem-coded below its DC predictor,
+    * the rest prev-flag), Table 9-4 cbp (luma 15, codeNum 2), the
+    * cbp-gated mb_qp_delta, and real mixed nC contexts (16 from the PCM
+    * edge, 9 mid-grid, 1 interior) all ride the bits.
+    */
+  private def i4x4SliceRbsp(base: Int, k: Int): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    writeIdrSliceHeader(w, deblockIdc = Some(1))
+    // MB0: I_PCM horizontal gradient
+    w.ue(25)
+    w.alignByte()
+    var i = 0
+    while (i < 256) { w.u((base + 3 * (i % 16)) % 256, 8); i += 1 }
+    var c = 0
+    while (c < 128) { w.u(128, 8); c += 1 }
+    // MB1: I_NxN, every block Horizontal (mode 1)
+    w.ue(0)
+    // block (0,0): neighbours not Intra_4x4 → predicted mode DC(2);
+    // mode 1 < 2 → rem 1. Every later block predicts 1 → prev flag.
+    var b = 0
+    while (b < 16) {
+      if (b == 0) { w.u(0, 1); w.u(1, 3) } else w.u(1, 1)
+      b += 1
+    }
+    w.ue(0) // intra_chroma_pred_mode DC
+    w.ue(IntraCbpToCodeNum(15)) // cbp: luma 15, chroma 0
+    w.se(0) // mb_qp_delta (present: cbp != 0)
+    // residuals in Z order, nC replayed like the decoder computes it
+    // (frame grid: MB0's PCM column contributes 16)
+    val grid = Array.fill(8 * 4)(-1)
+    for (x <- 0 until 4; y <- 0 until 4) grid(y * 8 + x) = 16 // MB0 PCM
+    val scan = new Array[Int](16)
+    scan(0) = k
+    b = 0
+    while (b < 16) {
+      val gx = 4 + Blk4x4X(b)
+      val gy = Blk4x4Y(b)
+      val nA = if (gx > 0) grid(gy * 8 + gx - 1) else -1
+      val nB = if (gy > 0) grid((gy - 1) * 8 + gx) else -1
+      val nC = if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+        else if (nA >= 0) nA else if (nB >= 0) nB else 0
+      Cavlc.encodeResidualBlock(w, scan, nC, 16)
+      grid(gy * 8 + gx) = 1
+      b += 1
+    }
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Deterministic Intra_4x4 clip (Annex-B): SPS (2×1 MBs) + the QP-28
+    * PPS + [[i4x4SliceRbsp]]. Expected luma: MB0 = the (base + 3x) mod
+    * 256 gradient; MB1's block column bx = base + 45 + 4k(bx+1), so
+    * y_mean = base + 33.75 + 5k closed-form (no clipping for
+    * base ≤ 99, k ≤ 5).
+    */
+  val syntheticI4x4AnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (base: Int, k: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 1))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i4x4SliceRbsp(base, k))
         out.toArray
       })
 

@@ -84,6 +84,16 @@ object VideoBitstream {
       while (i < n) { v = (v << 1) | u1(); i += 1 }
       v
     }
+    /** more_rbsp_data() (§7.2): data remains iff the current position is
+      * before the LAST 1-bit (the rbsp_stop_one_bit). Used to detect
+      * optional trailing syntax like the PPS §7.3.2.2 extension.
+      */
+    def moreRbspData: Boolean = {
+      var last = bytes.length * 8 - 1
+      while (last >= 0 && ((bytes(last >> 3) >> (7 - (last & 7))) & 1) == 0)
+        last -= 1
+      pos < last
+    }
     def ue(): Int = {
       var zeros = 0
       while (u1() == 0) {

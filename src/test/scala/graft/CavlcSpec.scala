@@ -45,6 +45,18 @@ class CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("Table 9-4 intra cbp mapping: an exact permutation of 0..47 with " +
+      "the published anchors (codeNum 0 → 47, codeNum 3 → 0), and the " +
+      "fixture-side inverse really inverts") {
+    val m = H264Decode.IntraCbpFromCodeNum
+    assert(m.length == 48)
+    assert(m.sorted.toSeq == (0 until 48), "not a permutation of 0..47")
+    assert(m(0) == 47 && m(3) == 0)
+    assert(m(1) == 31 && m(2) == 15) // luma-full rows precede luma-partial
+    for (cbp <- 0 until 48)
+      assert(m(H264Decode.IntraCbpToCodeNum(cbp)) == cbp)
+  }
+
   private def bitsOf(s: String): Array[Byte] = {
     // pack bit-string + a stop '1' + padding into bytes
     val w = new VideoBitstream.BitWriter
@@ -527,6 +539,320 @@ class CavlcSpec extends AnyFunSuite {
       assert((luma(y * 32 + x) & 0xff) == (7 + 3 * x) % 256, s"PCM ($x,$y)")
       assert((luma(y * 32 + 16 + x) & 0xff) == 52, s"I16 ($x,$y)")
     }
+  }
+
+  private def annexB(sps: Array[Byte], pps: Array[Byte],
+      slice: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+      out += 0; out += 0; out += 0; out += 1
+      out += ((refIdc << 5) | tpe).toByte
+      out ++= VideoBitstream.escapeRbsp(rbsp)
+    }
+    nal(3, 7, sps); nal(3, 8, pps); nal(3, 5, slice)
+    out.toArray
+  }
+
+  test("I_4x4 basics: an all-DC no-residual macroblock decodes to the " +
+      "128 plane — cbp 0 means NO mb_qp_delta and NO residual bits " +
+      "(the §7.3.5 gate), so any extra read would desync the rbsp") {
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      w.ue(0) // mb_type I_NxN
+      for (_ <- 0 until 16) w.u(1, 1) // every mode = predicted = DC
+      w.ue(0) // chroma pred
+      w.ue(H264Decode.IntraCbpToCodeNum(0)) // cbp 0 → codeNum 3
+      // NOTHING else: no qp delta, no residual
+      w.rbspTrailing()
+      w.bytes
+    }
+    val out = H264Decode.decodeIdr(Seq((0L,
+      annexB(VideoBitstream.syntheticSpsRbsp(1, 1), H264Decode.cavlcPpsRbsp,
+        slice))).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    assert(out.getAs[Array[Byte]]("luma_plane").forall(b => (b & 0xff) == 128))
+  }
+
+  test("I_4x4 horizontal cascade decodes pixel-exact against the closed " +
+      "form: PCM gradient neighbour, 16 Horizontal-mode blocks with " +
+      "DC-only residuals, mixed nC contexts (16 / 9 / 1)") {
+    val out = H264Decode.decodeIdr(
+      Seq((0L, 1)).toDF("doc_id", "x")
+        .select(col("doc_id"),
+          H264Decode.syntheticI4x4AnnexB(lit(7), lit(2)).as("payload")))
+      .collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    assert(out.getAs[Int]("mb_count") == 2)
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert((luma(y * 32 + x) & 0xff) == 7 + 3 * x, s"PCM ($x,$y)")
+      // block column bx: 52 + 8·(bx+1)
+      assert((luma(y * 32 + 16 + x) & 0xff) == 52 + 8 * (x / 4 + 1),
+        s"I4x4 ($x,$y)")
+    }
+    assert(out.getAs[Double]("y_mean") == 7 + 33.75 + 5 * 2)
+  }
+
+  test("I_4x4 refusals stay NAMED: transform_8x8 PPS, scaling-matrix " +
+      "PPS, and a top-row Vertical mode (unavailable samples) each " +
+      "refuse instead of guessing pixels") {
+    def ppsWithExt(t8: Boolean, scaling: Boolean): Array[Byte] = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+      w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+      w.se(2); w.se(0); w.se(0)
+      w.u(1, 1) // deblocking control present
+      w.u(0, 1); w.u(0, 1)
+      w.u(if (t8) 1 else 0, 1) // transform_8x8_mode_flag
+      w.u(if (scaling) 1 else 0, 1) // pic_scaling_matrix_present (none follow)
+      w.se(0) // second_chroma_qp_index_offset
+      w.rbspTrailing(); w.bytes
+    }
+    def i4Slice(mode0Rem: Int): Array[Byte] = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1)
+      w.ue(0)
+      w.u(0, 1); w.u(mode0Rem, 3) // block 0: rem below predictor 2
+      for (_ <- 0 until 15) w.u(1, 1)
+      w.ue(0); w.ue(H264Decode.IntraCbpToCodeNum(0))
+      w.rbspTrailing(); w.bytes
+    }
+    val sps = VideoBitstream.syntheticSpsRbsp(1, 1)
+    val t8 = H264Decode.decodeIdr(Seq((0L,
+      annexB(sps, ppsWithExt(t8 = true, scaling = false), i4Slice(1))))
+      .toDF("doc_id", "payload")).collect().head
+    assert(t8.getAs[String]("decode_error") ==
+      "transform_8x8 mode (High profile) not supported")
+    val sm = H264Decode.decodeIdr(Seq((0L,
+      annexB(sps, ppsWithExt(t8 = false, scaling = true), i4Slice(1))))
+      .toDF("doc_id", "payload")).collect().head
+    assert(sm.getAs[String]("decode_error") ==
+      "PPS scaling matrix not supported")
+    // rem 0 under predictor 2 = Vertical at the top row: no top samples
+    val vert = H264Decode.decodeIdr(Seq((0L,
+      annexB(sps, H264Decode.cavlcPpsRbsp, i4Slice(0))))
+      .toDF("doc_id", "payload")).collect().head
+    assert(vert.getAs[String]("decode_error") ==
+      "Intra_4x4 vertical predictor unavailable")
+  }
+
+  test("I_4x4 ALL NINE §8.3.1.2 predictors cross-check against an " +
+      "INDEPENDENT unrolled per-pixel reconstruction (the published " +
+      "decoder forms), over a rich PCM-seeded 2×2 frame with real " +
+      "top-right availability and substitution") {
+    // fixture: MB0 = I_PCM with (7x+13y+5) mod 256; MB1/2/3 = I_NxN,
+    // cbp 0 (prediction only — the new logic under test), each block's
+    // mode picked deterministically from the modes its neighbours allow
+    def allowedMode(m: Int, leftOk: Boolean, topOk: Boolean): Boolean =
+      m match {
+        case 0 | 3 | 7 => topOk
+        case 1 | 8 => leftOk
+        case 2 => true
+        case _ => leftOk && topOk
+      }
+    def pickMode(b: Int, leftOk: Boolean, topOk: Boolean): Int =
+      Iterator.from(b * 7 + 3).map(_ % 9)
+        .find(m => allowedMode(m, leftOk, topOk)).get
+    val bX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+    val bY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    // ---- encoder side: slice bits with replayed mode prediction
+    val modeGrid = Array.fill(8 * 8)(-1)
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      // MB0: I_PCM
+      w.ue(25); w.alignByte()
+      for (i <- 0 until 256) w.u((7 * (i % 16) + 13 * (i / 16) + 5) % 256, 8)
+      for (_ <- 0 until 128) w.u(128, 8)
+      // MB1..MB3: I_NxN prediction-only
+      for (mbi <- 1 to 3) {
+        val (mbx, mby) = (mbi % 2, mbi / 2)
+        w.ue(0)
+        for (b <- 0 until 16) {
+          val gx = mbx * 4 + bX(b)
+          val gy = mby * 4 + bY(b)
+          val a = if (gx > 0 && modeGrid(gy * 8 + gx - 1) >= 0)
+            modeGrid(gy * 8 + gx - 1) else 2
+          val t = if (gy > 0 && modeGrid((gy - 1) * 8 + gx) >= 0)
+            modeGrid((gy - 1) * 8 + gx) else 2
+          val pm = math.min(a, t)
+          val mode = pickMode(b + 16 * mbi, gx > 0, gy > 0)
+          if (mode == pm) w.u(1, 1)
+          else { w.u(0, 1); w.u(if (mode < pm) mode else mode - 1, 3) }
+          modeGrid(gy * 8 + gx) = mode
+        }
+        w.ue(0) // chroma pred
+        w.ue(H264Decode.IntraCbpToCodeNum(0)) // cbp 0: nothing follows
+      }
+      w.rbspTrailing()
+      w.bytes
+    }
+    val out = H264Decode.decodeIdr(Seq((0L,
+      annexB(VideoBitstream.syntheticSpsRbsp(2, 2), H264Decode.cavlcPpsRbsp,
+        slice))).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val got = out.getAs[Array[Byte]]("luma_plane")
+    // ---- independent reconstruction: unrolled per-pixel forms
+    val plane = new Array[Int](32 * 32)
+    val decoded = Array.fill(8 * 8)(false)
+    for (y <- 0 until 16; x <- 0 until 16)
+      plane(y * 32 + x) = (7 * x + 13 * y + 5) % 256
+    for (by <- 0 until 4; bx <- 0 until 4) decoded(by * 8 + bx) = true
+    def unrolled(mode: Int, t: Array[Int], l: Array[Int], lt: Int): Array[Int] = {
+      val s = new Array[Int](16)
+      def put(x: Int, y: Int, v: Int): Unit = s(y * 4 + x) = v
+      mode match {
+        case 0 => for (y <- 0 until 4; x <- 0 until 4) put(x, y, t(x))
+        case 1 => for (y <- 0 until 4; x <- 0 until 4) put(x, y, l(y))
+        case 2 =>
+          val v =
+            if (t(0) < 0 && l(0) < 0) 128
+            else if (l(0) < 0) (t.take(4).sum + 2) >> 2
+            else if (t(0) < 0) (l.sum + 2) >> 2
+            else (t.take(4).sum + l.sum + 4) >> 3
+          java.util.Arrays.fill(s, v)
+        case 3 =>
+          put(0, 0, (t(0) + 2 * t(1) + t(2) + 2) >> 2)
+          put(1, 0, (t(1) + 2 * t(2) + t(3) + 2) >> 2); put(0, 1, s(1))
+          val a = (t(2) + 2 * t(3) + t(4) + 2) >> 2
+          put(2, 0, a); put(1, 1, a); put(0, 2, a)
+          val b = (t(3) + 2 * t(4) + t(5) + 2) >> 2
+          put(3, 0, b); put(2, 1, b); put(1, 2, b); put(0, 3, b)
+          val c = (t(4) + 2 * t(5) + t(6) + 2) >> 2
+          put(3, 1, c); put(2, 2, c); put(1, 3, c)
+          val d = (t(5) + 2 * t(6) + t(7) + 2) >> 2
+          put(3, 2, d); put(2, 3, d)
+          put(3, 3, (t(6) + 3 * t(7) + 2) >> 2)
+        case 4 =>
+          put(0, 3, (l(1) + 2 * l(2) + l(3) + 2) >> 2)
+          val a = (l(0) + 2 * l(1) + l(2) + 2) >> 2
+          put(0, 2, a); put(1, 3, a)
+          val b = (lt + 2 * l(0) + l(1) + 2) >> 2
+          put(0, 1, b); put(1, 2, b); put(2, 3, b)
+          val c = (t(0) + 2 * lt + l(0) + 2) >> 2
+          put(0, 0, c); put(1, 1, c); put(2, 2, c); put(3, 3, c)
+          val d = (lt + 2 * t(0) + t(1) + 2) >> 2
+          put(1, 0, d); put(2, 1, d); put(3, 2, d)
+          val e = (t(0) + 2 * t(1) + t(2) + 2) >> 2
+          put(2, 0, e); put(3, 1, e)
+          put(3, 0, (t(1) + 2 * t(2) + t(3) + 2) >> 2)
+        case 5 =>
+          put(0, 3, (l(0) + 2 * l(1) + l(2) + 2) >> 2)
+          put(0, 2, (lt + 2 * l(0) + l(1) + 2) >> 2)
+          val a = (l(0) + 2 * lt + t(0) + 2) >> 2
+          put(0, 1, a); put(1, 3, a)
+          val b = (lt + t(0) + 1) >> 1
+          put(0, 0, b); put(1, 2, b)
+          val c = (t(0) + t(1) + 1) >> 1
+          put(1, 0, c); put(2, 2, c)
+          val d = (lt + 2 * t(0) + t(1) + 2) >> 2
+          put(1, 1, d); put(2, 3, d)
+          val e = (t(1) + t(2) + 1) >> 1
+          put(2, 0, e); put(3, 2, e)
+          val f = (t(0) + 2 * t(1) + t(2) + 2) >> 2
+          put(2, 1, f); put(3, 3, f)
+          put(3, 0, (t(2) + t(3) + 1) >> 1)
+          put(3, 1, (t(1) + 2 * t(2) + t(3) + 2) >> 2)
+        case 6 =>
+          val a = (lt + l(0) + 1) >> 1
+          put(0, 0, a); put(2, 1, a)
+          val b = (l(0) + 2 * lt + t(0) + 2) >> 2
+          put(1, 0, b); put(3, 1, b)
+          put(2, 0, (lt + 2 * t(0) + t(1) + 2) >> 2)
+          put(3, 0, (t(0) + 2 * t(1) + t(2) + 2) >> 2)
+          val c = (l(0) + l(1) + 1) >> 1
+          put(0, 1, c); put(2, 2, c)
+          val d = (lt + 2 * l(0) + l(1) + 2) >> 2
+          put(1, 1, d); put(3, 2, d)
+          val e = (l(1) + l(2) + 1) >> 1
+          put(0, 2, e); put(2, 3, e)
+          val f = (l(0) + 2 * l(1) + l(2) + 2) >> 2
+          put(1, 2, f); put(3, 3, f)
+          put(0, 3, (l(2) + l(3) + 1) >> 1)
+          put(1, 3, (l(1) + 2 * l(2) + l(3) + 2) >> 2)
+        case 7 =>
+          put(0, 0, (t(0) + t(1) + 1) >> 1)
+          val a = (t(1) + t(2) + 1) >> 1
+          put(1, 0, a); put(0, 2, a)
+          val b = (t(2) + t(3) + 1) >> 1
+          put(2, 0, b); put(1, 2, b)
+          val c = (t(3) + t(4) + 1) >> 1
+          put(3, 0, c); put(2, 2, c)
+          put(3, 2, (t(4) + t(5) + 1) >> 1)
+          put(0, 1, (t(0) + 2 * t(1) + t(2) + 2) >> 2)
+          val d = (t(1) + 2 * t(2) + t(3) + 2) >> 2
+          put(1, 1, d); put(0, 3, d)
+          val e = (t(2) + 2 * t(3) + t(4) + 2) >> 2
+          put(2, 1, e); put(1, 3, e)
+          val f = (t(3) + 2 * t(4) + t(5) + 2) >> 2
+          put(3, 1, f); put(2, 3, f)
+          put(3, 3, (t(4) + 2 * t(5) + t(6) + 2) >> 2)
+        case 8 =>
+          put(0, 0, (l(0) + l(1) + 1) >> 1)
+          put(1, 0, (l(0) + 2 * l(1) + l(2) + 2) >> 2)
+          val a = (l(1) + l(2) + 1) >> 1
+          put(2, 0, a); put(0, 1, a)
+          val b = (l(1) + 2 * l(2) + l(3) + 2) >> 2
+          put(3, 0, b); put(1, 1, b)
+          val c = (l(2) + l(3) + 1) >> 1
+          put(2, 1, c); put(0, 2, c)
+          val d = (l(2) + 3 * l(3) + 2) >> 2
+          put(3, 1, d); put(1, 2, d)
+          for ((x, y) <- Seq((2, 2), (3, 2), (0, 3), (1, 3), (2, 3), (3, 3)))
+            put(x, y, l(3))
+      }
+      s
+    }
+    val modeGrid2 = Array.fill(8 * 8)(-1)
+    for (mbi <- 1 to 3) {
+      val (mbx, mby) = (mbi % 2, mbi / 2)
+      for (b <- 0 until 16) {
+        val gx = mbx * 4 + bX(b)
+        val gy = mby * 4 + bY(b)
+        val mode = pickMode(b + 16 * mbi, gx > 0, gy > 0)
+        modeGrid2(gy * 8 + gx) = mode
+        val px = gx * 4
+        val py = gy * 4
+        val t = Array.fill(8)(-1)
+        val l = Array.fill(4)(-1)
+        if (gy > 0) {
+          for (i <- 0 until 4) t(i) = plane((py - 1) * 32 + px + i)
+          val trOk = gx + 1 < 8 && decoded((gy - 1) * 8 + gx + 1)
+          for (i <- 4 until 8)
+            t(i) = if (trOk) plane((py - 1) * 32 + px + i) else t(3)
+        }
+        if (gx > 0) for (i <- 0 until 4) l(i) = plane((py + i) * 32 + px - 1)
+        val lt = if (gx > 0 && gy > 0) plane((py - 1) * 32 + px - 1) else -1
+        val s = unrolled(mode, t, l, lt)
+        for (y <- 0 until 4; x <- 0 until 4)
+          plane((py + y) * 32 + px + x) = s(y * 4 + x)
+        decoded(gy * 8 + gx) = true
+      }
+    }
+    // the two mode grids must agree (encoder and simulation share
+    // pickMode but derive prediction independently of the decoder)
+    assert(modeGrid2.count(_ >= 0) == 48)
+    assert((0 until 9).forall(m => modeGrid2.contains(m)), "all 9 modes present")
+    var mismatches = 0
+    for (y <- 0 until 32; x <- 0 until 32) {
+      if ((got(y * 32 + x) & 0xff) != plane(y * 32 + x)) {
+        if (mismatches < 5)
+          info(s"pixel ($x,$y): decoder ${got(y * 32 + x) & 0xff} vs " +
+            s"independent ${plane(y * 32 + x)} (mode ${modeGrid2((y / 4) * 8 + x / 4)})")
+        mismatches += 1
+      }
+    }
+    assert(mismatches == 0, s"$mismatches pixels differ")
   }
 
   test("CAVLC macroblocks REFUSE by name when the stream does not " +

@@ -60,7 +60,9 @@ class H264DecodeSpec extends AnyFunSuite {
       nal(3, 7, VideoBitstream.syntheticSpsRbsp(1, 1))
       val pps = {
         val w = new VideoBitstream.BitWriter
-        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+        // entropy_coding_mode_flag = 1: CABAC — the remaining entropy
+        // seam now that I_4x4 decodes for real
+        w.ue(0); w.ue(0); w.u(1, 1); w.u(0, 1); w.ue(0)
         w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
         w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
         w.rbspTrailing(); w.bytes
@@ -70,7 +72,6 @@ class H264DecodeSpec extends AnyFunSuite {
         val w = new VideoBitstream.BitWriter
         w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
         w.u(0, 1); w.u(0, 1); w.se(0)
-        w.ue(0) // mb_type 0 = I_4x4: entropy-coded, the seam
         w.rbspTrailing(); w.bytes
       }
       nal(3, 5, slice)
