@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * zero video handling; this is beyond-reference plumbing. The CAVLC
   * layer carries EVERY Table 9-5/9-7/9-10 column (all coeff_token nC
   * ranges including 2 ≤ nC < 8, all total_zeros TotalCoeff 1–15 — each
-  * pinned by CavlcSpec's Kraft-sum/prefix tripwires), so textured
-  * I-frames with real neighbour contexts decode. What remains behind
-  * the [[Multimodal.decodeStub]] seam refuses BY NAME per clip: CABAC
-  * entropy coding, I_4x4 prediction (Table 9-4 me(v) mapping), inter
-  * prediction, High-profile deep level escapes, and streams that do not
-  * disable in-loop deblocking.
+  * pinned by CavlcSpec's Kraft-sum/prefix tripwires), and ALL THREE
+  * intra macroblock classes decode for real — I_PCM, Intra_16x16, and
+  * Intra_4x4 (per-block §8.3.1 mode prediction + all nine spatial
+  * predictors, Table 9-4 me(v) cbp) — so real baseline I-frames decode.
+  * What remains behind the [[Multimodal.decodeStub]] seam refuses BY
+  * NAME per clip: CABAC entropy coding, 8×8 transforms and scaling
+  * matrices, inter prediction, High-profile deep level escapes, and
+  * streams that do not disable in-loop deblocking.
   *
   * Two entry points, both narrow per-partition maps (one clip's bytes
   * plus one decoded plane in memory per task, no shuffle, per-clip/

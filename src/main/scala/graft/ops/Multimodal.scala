@@ -1022,15 +1022,16 @@ object Multimodal {
     * real decoder would fetch) and
     * [[graft.ops.AudioBitstream.mp3FrameCensus]].
     *
-    * The seam SHRANK in r12: H.264 I_PCM macroblocks now decode for REAL
-    * ([[graft.ops.H264Decode.decodeIdr]] — full SPS/PPS/slice-header/
-    * slice_data parse, raw samples per §7.3.5, luma plane out, bridged
-    * into the image ops by [[grayPlanePng]]) and for Intra_16x16 CAVLC
-    * macroblocks (real entropy decode + dequant + inverse transform +
-    * prediction through [[Cavlc]], r13); what remains behind this stub
-    * is CABAC entropy coding, I_4x4/inter prediction, and the CAVLC
-    * table columns [[Cavlc]] refuses by name — `decodeIdr`'s error
-    * rows name each seam explicitly when they hit it.
+    * The seam has SHRUNK round over round: H.264 I_PCM macroblocks
+    * decode for REAL since r12 ([[graft.ops.H264Decode.decodeIdr]] —
+    * full SPS/PPS/slice-header/slice_data parse, raw samples per
+    * §7.3.5, luma plane out, bridged into the image ops by
+    * [[grayPlanePng]]), Intra_16x16 CAVLC since r13, and r14 completed
+    * the CAVLC table set AND Intra_4x4 (all nine spatial predictors,
+    * Table 9-4 cbp), so every baseline intra macroblock class decodes;
+    * what remains behind this stub is CABAC entropy coding, 8×8
+    * transforms/scaling matrices, and inter prediction — `decodeIdr`'s
+    * error rows name each seam explicitly when they hit it.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val feats = (0 until 8).map { i =>
