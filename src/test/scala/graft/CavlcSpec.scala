@@ -598,6 +598,38 @@ class CavlcSpec extends AnyFunSuite {
     assert(out.getAs[Double]("y_mean") == 7 + 33.75 + 5 * 2)
   }
 
+  test("mixed I_4x4 + Intra_16x16 slice: the I16 MB predicts from the " +
+      "I_4x4-reconstructed plane and its nC context reads the I_4x4 " +
+      "blocks' TotalCoeff (0), not a stale value") {
+    val slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0)
+      w.ue(1) // disable deblocking
+      // MB0: I_4x4, all modes DC via prev flag, cbp 0 → plane 128
+      w.ue(0)
+      for (_ <- 0 until 16) w.u(1, 1)
+      w.ue(0); w.ue(H264Decode.IntraCbpToCodeNum(0))
+      // MB1: Intra_16x16 Horizontal (mb_type 2), DC coeff 9 → 128 + 9;
+      // its DC block's nC = MB0's blk(3,0) TotalCoeff = 0 → the nC<2 table
+      w.ue(2); w.ue(0); w.se(0)
+      Cavlc.encodeResidualBlock(w,
+        { val a = new Array[Int](16); a(0) = 9; a }, 0, 16)
+      w.rbspTrailing()
+      w.bytes
+    }
+    val out = H264Decode.decodeIdr(Seq((0L,
+      annexB(VideoBitstream.syntheticSpsRbsp(2, 1), H264Decode.cavlcPpsRbsp,
+        slice))).toDF("doc_id", "payload")).collect().head
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert((luma(y * 32 + x) & 0xff) == 128, s"I4x4 ($x,$y)")
+      assert((luma(y * 32 + 16 + x) & 0xff) == 137, s"I16 ($x,$y)")
+    }
+  }
+
   test("I_4x4 refusals stay NAMED: transform_8x8 PPS, scaling-matrix " +
       "PPS, and a top-row Vertical mode (unavailable samples) each " +
       "refuse instead of guessing pixels") {

@@ -180,6 +180,20 @@ class TruncationPropSpec extends AnyFunSuite {
     checkPrefixConsistent("cavlc", byCut)
   }
 
+  test("h264 Intra_4x4 decode: every truncation point degrades, never corrupts") {
+    // a cut mid-mode-bits, mid-cbp, or mid-residual must end in an
+    // error row — never a plane predicted from half-parsed modes with
+    // decode_error null
+    val full = Seq((0, 1)).toDF("a", "b").select(
+      H264Decode.syntheticI4x4AnnexB(lit(7), lit(2)).as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    val byCut = parseAll(df => H264Decode.decodeIdr(df, "payload"), full,
+      cuts(full.length, 40))
+    assert(byCut(0L).nonEmpty && byCut(0L).forall(_.last == null),
+      "full I_4x4 clip must decode cleanly")
+    checkPrefixConsistent("i4x4", byCut)
+  }
+
   test("subtitles: every truncation point degrades, never corrupts") {
     // cue text has no declared length — a cut mid-text shortens the LAST
     // cue legitimately, like Annex-B's final NAL
