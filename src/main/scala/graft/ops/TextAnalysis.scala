@@ -540,37 +540,39 @@ object TextAnalysis {
           if (idxs.isEmpty) None else Some((idxs, y))
         }
       }.cache()
-    val n = prepped.count()
-    require(n > 0, "trainHashedLinear needs at least one labeled row with tokens")
-    val w = new Array[Double](d)
-    val b = bias
-    var epoch = 0
-    while (epoch < epochs) {
-      val bw = spark.sparkContext.broadcast(w)
-      val grad = prepped.rdd.treeAggregate(new Array[Double](d))(
-        seqOp = { (g, row) =>
-          val (idxs, y) = row
-          var s = 0.0
+    try {
+      val n = prepped.count()
+      require(n > 0, "trainHashedLinear needs at least one labeled row with tokens")
+      val w = new Array[Double](d)
+      val b = bias
+      var epoch = 0
+      while (epoch < epochs) {
+        val bw = spark.sparkContext.broadcast(w)
+        try {
+          val grad = prepped.rdd.treeAggregate(new Array[Double](d))(
+            seqOp = { (g, row) =>
+              val (idxs, y) = row
+              var s = 0.0
+              var i = 0
+              while (i < idxs.length) { s += bw.value(idxs(i)); i += 1 }
+              val p = 1.0 / (1.0 + math.exp(-(b + s / idxs.length)))
+              val r = (p - y) / idxs.length
+              i = 0
+              while (i < idxs.length) { g(idxs(i)) += r; i += 1 }
+              g
+            },
+            combOp = { (g1, g2) =>
+              var i = 0
+              while (i < d) { g1(i) += g2(i); i += 1 }
+              g1
+            }, depth = 2)
           var i = 0
-          while (i < idxs.length) { s += bw.value(idxs(i)); i += 1 }
-          val p = 1.0 / (1.0 + math.exp(-(b + s / idxs.length)))
-          val r = (p - y) / idxs.length
-          i = 0
-          while (i < idxs.length) { g(idxs(i)) += r; i += 1 }
-          g
-        },
-        combOp = { (g1, g2) =>
-          var i = 0
-          while (i < d) { g1(i) += g2(i); i += 1 }
-          g1
-        }, depth = 2)
-      var i = 0
-      while (i < d) { w(i) -= lr * grad(i) / n; i += 1 }
-      bw.destroy()
-      epoch += 1
-    }
-    prepped.unpersist()
-    w
+          while (i < d) { w(i) -= lr * grad(i) / n; i += 1 }
+        } finally bw.destroy()
+        epoch += 1
+      }
+      w
+    } finally prepped.unpersist()
   }
 
   private[graft] def hashedLogitJvm(text: String, weights: Array[Double],
