@@ -1744,8 +1744,14 @@ object CatalogOps {
         .distinct()
       val visited = docs.select(
         concat(lit("http://h"), d % 20, lit(".example.com/p/"), d).as("u"))
+      // the Bloom is sized for the VISITED set it holds: a fixed count
+      // at a 5M corpus drives the false-positive rate toward 1 and
+      // shoves candidates down the exact-join maybe path. A real
+      // frontier knows its visited-set size; one metadata-cheap count
+      // is the honest price. (The sf100 wall itself was elsewhere —
+      // notInCorpus re-evaluated its batch per consumer; §20.10.)
       val fresh = graft.ops.Dedup.notInCorpus(cand, visited, "u",
-        expectedItems = 1000000L)
+        expectedItems = math.max(1000L, docs.count()))
       val parts = fresh
         .withColumn("host", regexp_extract(col("u"), "^http://([^/]+)", 1))
         .withColumn("path", regexp_extract(col("u"), "^http://[^/]+(/.*)$", 1))

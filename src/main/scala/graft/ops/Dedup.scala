@@ -1656,16 +1656,26 @@ object Dedup {
     validateBloomKey(batch, corpus, valueCol)
     val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
     val mightContain = bloomProbe(batch, corpus, valueCol, bf)
+    // persisted: the flagged batch feeds BOTH the main stream and the
+    // maybe-key subtree below — unpersisted, the batch's whole upstream
+    // chain re-evaluates per consumer, which the sf100 frontier-loop
+    // probe measured at 3× the stage wall (SCALE.md §20.10). Spark's
+    // LRU owns eviction (MEMORY_AND_DISK, batch-proportional, spills).
     val flagged = batch.withColumn("__maybe", mightContain)
-    val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
-    val maybes = flagged.where(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-side broadcast semi-join: hits = distinct corpus values that
     // collide with a maybe — bounded by the maybe set, so the follow-up
     // anti-join broadcasts too
-    val maybeKeys = maybes.select(col(valueCol)).distinct()
+    val maybeKeys = flagged.where(col("__maybe"))
+      .select(col(valueCol)).distinct()
     val hits = corpus.select(col(valueCol))
       .join(broadcast(maybeKeys), Seq(valueCol), "left_semi").distinct()
-    definitelyNew.unionByName(maybes.join(broadcast(hits), Seq(valueCol), "left_anti"))
+    // ONE anti-join instead of split-and-union: a definitely-new row
+    // cannot appear in `hits` (no false negatives: present ⇒ maybe), so
+    // anti-joining the whole flagged batch against the verified hit set
+    // is value-identical and evaluates the batch in a single stream
+    flagged.join(broadcast(hits), Seq(valueCol), "left_anti")
+      .drop("__maybe")
   }
 
   /** Membership-test Column for a broadcast Bloom filter over `valueCol`,
