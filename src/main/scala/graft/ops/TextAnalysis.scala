@@ -1104,8 +1104,13 @@ object TextAnalysis {
     val auth = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
     val hostport = regexp_replace(auth, "^[^@]*@", "")
-    val portStr = regexp_extract(hostport, ":(\\d+)$", 1)
-    val host = lower(regexp_replace(hostport, ":\\d*$", ""))
+    // a port is 1..9 digits: an oversized all-digits tail (seen in
+    // crawled garbage) must NOT reach the downstream int cast — under
+    // ANSI (Spark 4's default) that cast throws JOB-level, so one bad
+    // URL would kill the whole canonicalization pass. Longer digit
+    // runs stay in the host, like the documented ':80a' case.
+    val portStr = regexp_extract(hostport, ":(\\d{1,9})$", 1)
+    val host = lower(regexp_replace(hostport, ":\\d{0,9}$", ""))
     val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     UrlParts(scheme, userinfo, host, portStr, rawPath,
       u.contains("?"), regexp_extract(u, "\\?(.*)$", 1))

@@ -450,6 +450,23 @@ class SurtSniffSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ports(4L) == "com,example)/")
   }
 
+  test("oversized all-digits port: crawled garbage must DEGRADE, not " +
+      "throw the job — under ANSI the old unbounded int cast killed the " +
+      "whole pass on one bad URL; >9-digit tails now stay in the host") {
+    val df = Seq(
+      (1L, "http://h.example.com:99999999999999/x"),
+      (2L, "http://h.example.com:999999999/x")) // 9 digits: a real port
+      .toDF("id", "u")
+    val canon = graft.ops.TextAnalysis.canonicalizeUrl(df, "u")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("url_canonical")).toMap
+    assert(canon(1L) == "http://h.example.com:99999999999999/x")
+    assert(canon(2L) == "http://h.example.com:999999999/x")
+    val surt = graft.ops.TextAnalysis.surtKey(df, "u")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("urlkey")).toMap
+    assert(surt(2L) == "com,example,h:999999999)/x")
+    assert(surt(1L) != null) // deterministic, never a thrown job
+  }
+
   test("sniffMediaType: REAL generator payloads sniff to their types — " +
       "RIFF dispatch (WAV vs AVI), MP4 ftyp, zip, and null stays null") {
     val rows = Seq((0L, 1)).toDF("id", "x").select(
