@@ -390,4 +390,17 @@ class PlanSpecR13 extends AnyFunSuite {
     assert(exchanges(p) == 1, s"expected exactly one exchange:\n$p")
     assert(!p.contains("Join"), s"a join survived the one-pass rewrite:\n$p")
   }
+
+  test("txt_quality_eval: the exact-AUC global window runs over the " +
+      "score HISTOGRAM, never the corpus — its single-partition exchange " +
+      "is fed by an aggregate") {
+    val p = plan("txt_quality_eval")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 2, // the histogram window + the final 1-row agg
+      s"unexpected single-partition exchanges ($singles):\n$p")
+    assert(p.contains("Window"), s"no window in the AUC plan:\n$p")
+    // the corpus collapses map-side first: partial+final aggregates exist
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"histogram aggregation missing before the window:\n$p")
+  }
 }
