@@ -1373,33 +1373,40 @@ object CatalogOps {
             col("http_body")))).as("finals"),
         collect_list(when(col("warc_type") === "revisit",
           struct(col("target_uri").as("dup_uri"), col("warc_refers_to"),
-            col("payload_digest")))).as("revs"))
+            col("payload_digest")))).as("revs"),
+        // revisit canonicals match ANY captured response (r13 join
+        // semantics), not just 200 finals — a revisit can point at a
+        // non-200 capture (soft-404 recrawl) and must still resolve
+        collect_list(when(isResp && col("record_id").isNotNull,
+          struct(col("target_uri").as("cap_uri"),
+            col("record_id")))).as("caps"))
       agg
         .select(col("doc_id"), explode(col("hops")).as("hop"),
-          col("finals"), col("revs"))
+          col("finals"), col("revs"), col("caps"))
         .select(col("doc_id"), col("hop.start_uri").as("start_uri"),
           col("hop.http_location").as("redirect_to"),
           explode(expr(
             "filter(finals, f -> f.final_uri = hop.http_location)")).as("fin"),
-          col("finals"), col("revs"))
+          col("revs"), col("caps"))
         .select(col("doc_id"), col("start_uri"), col("redirect_to"),
           col("fin.http_body").as("http_body"),
-          explode(col("revs")).as("rev"), col("finals"))
+          explode(col("revs")).as("rev"), col("caps"))
         .select(col("doc_id"), col("start_uri"), col("redirect_to"),
           col("http_body"), col("rev.dup_uri").as("dup_uri"),
           explode(expr(
-            "filter(finals, f -> f.record_id = rev.warc_refers_to)")).as("can"),
+            "filter(caps, c -> c.record_id = rev.warc_refers_to)")).as("can"),
           col("rev.payload_digest").as("payload_digest"))
         .select(col("doc_id"), col("start_uri"), col("redirect_to"),
           col("http_body"), col("dup_uri"),
-          col("can.final_uri").as("canonical_uri"), col("payload_digest"))
+          col("can.cap_uri").as("canonical_uri"), col("payload_digest"))
     },
     Some("""SELECT doc_id,
       'http://example.com/start/' || doc_id AS start_uri,
       'http://example.com/final/' || doc_id AS redirect_to,
       '<p>landed ' || doc_id || '</p>' AS http_body,
       'http://example.com/dup/' || doc_id AS dup_uri,
-      'http://example.com/final/' || doc_id AS canonical_uri,
+      CASE WHEN doc_id % 5 = 4 THEN 'http://example.com/start/' || doc_id
+           ELSE 'http://example.com/final/' || doc_id END AS canonical_uri,
       'sha1:D' || doc_id AS payload_digest
       FROM documents"""))
 
@@ -3198,8 +3205,12 @@ object CatalogOps {
         (d % 2 === 0).cast("double").as("label"))
       val w = TextAnalysis.trainHashedLinear(train, "text", "label",
         dim = 1 << 18, epochs = 3, lr = 1.0)
+      // probe 2 is deliberately ASYMMETRIC ("good great awful", logit
+      // (2wg+wb)/3 = wg/3 by class symmetry): a 50/50 mix has true logit
+      // exactly 0, and DuckDB's round(-2.8e-17, 6) = -0.0 while Spark
+      // emits +0.0 — byte-different under the driver's exact hash (r14).
       val probes = s.createDataFrame(Seq(
-        (0L, "good great"), (1L, "bad awful"), (2L, "good awful")))
+        (0L, "good great"), (1L, "bad awful"), (2L, "good great awful")))
         .toDF("probe_id", "text")
       TextAnalysis.hashedLinearScoreKernel(probes, "text", w.toIndexedSeq)
         .select(col("probe_id"), col("quality_logit"), col("quality_prob"))
@@ -3221,8 +3232,8 @@ object CatalogOps {
         round(1 / (1 + exp(-wg)), 6) AS quality_prob FROM e3
       UNION ALL SELECT 1::BIGINT, round(wb, 6),
         round(1 / (1 + exp(-wb)), 6) FROM e3
-      UNION ALL SELECT 2::BIGINT, round((wg + wb) / 2, 6),
-        round(1 / (1 + exp(-(wg + wb) / 2)), 6) FROM e3"""))
+      UNION ALL SELECT 2::BIGINT, round((2 * wg + wb) / 3, 6),
+        round(1 / (1 + exp(-(2 * wg + wb) / 3)), 6) FROM e3"""))
 
   /** Classifier EVALUATION ([[TextAnalysis.evalBinaryClassifier]]) —
     * train → EVAL → score, the full supervised loop: the trainer's

@@ -1652,7 +1652,20 @@ object Dedup {
     * through as new, matching `NOT EXISTS (… c.v = b.v)`.
     */
   def notInCorpus(batch: DataFrame, corpus: DataFrame, valueCol: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    notInCorpusManaged(batch, corpus, valueCol, expectedItems, fpp)._1
+
+  /** [[notInCorpus]] with an explicit cache-release hook: the returned
+    * thunk unpersists the internal flagged-batch cache (blocking = false).
+    * ITERATIVE callers — a frontier loop or BFS running membership checks
+    * round after round — MUST call it once each round's result is
+    * materialized, or every round's batch-sized cache block stays pinned
+    * for the session and eviction falls to the LRU alone. Single-shot
+    * callers can use [[notInCorpus]] and let the LRU own it.
+    */
+  def notInCorpusManaged(batch: DataFrame, corpus: DataFrame,
+      valueCol: String, expectedItems: Long,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
     validateBloomKey(batch, corpus, valueCol)
     val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
     val mightContain = bloomProbe(batch, corpus, valueCol, bf)
@@ -1660,7 +1673,8 @@ object Dedup {
     // maybe-key subtree below — unpersisted, the batch's whole upstream
     // chain re-evaluates per consumer, which the sf100 frontier-loop
     // probe measured at 3× the stage wall (SCALE.md §20.10). Spark's
-    // LRU owns eviction (MEMORY_AND_DISK, batch-proportional, spills).
+    // LRU owns eviction (MEMORY_AND_DISK, batch-proportional, spills);
+    // the release hook lets loop-shaped callers free it deterministically.
     val flagged = batch.withColumn("__maybe", mightContain)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-side broadcast semi-join: hits = distinct corpus values that
@@ -1674,8 +1688,9 @@ object Dedup {
     // cannot appear in `hits` (no false negatives: present ⇒ maybe), so
     // anti-joining the whole flagged batch against the verified hit set
     // is value-identical and evaluates the batch in a single stream
-    flagged.join(broadcast(hits), Seq(valueCol), "left_anti")
+    val out = flagged.join(broadcast(hits), Seq(valueCol), "left_anti")
       .drop("__maybe")
+    (out, () => { flagged.unpersist(blocking = false); () })
   }
 
   /** Membership-test Column for a broadcast Bloom filter over `valueCol`,

@@ -465,7 +465,8 @@ object WebIngest {
     * are skipped wholesale, a tag opens only before alpha/'/'/'!'/'?'),
     * then every href resolves through [[resolveRef]] against the
     * effective base — the FIRST `<base href>` (itself resolved against
-    * the document URL, and applied to every link in the document) or the
+    * the document URL, and applied to every SUBSEQUENT link per HTML5
+    * scoping; links before it resolve against the document URL) or the
     * document URL when absent. Entity-decoded hrefs (`&amp;` is routine
     * in real query strings). Document order, duplicates kept — dedup is
     * the frontier's next stage, not the extractor's job.
@@ -519,7 +520,11 @@ object WebIngest {
       }
       null
     }
-    val raw = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (href, seenAfterBase): HTML5 scopes <base href> to URLs of
+    // SUBSEQUENT elements only — links before the first <base> resolve
+    // against the document URL (body-positioned base tags exist in
+    // crawled garbage; retroactive application would rewrite them).
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     var baseHref: String = null
     while (i < n) {
       val c = html.charAt(i)
@@ -549,7 +554,7 @@ object WebIngest {
           else {
             if (lowerAt(i, "<a") && tagNameEndsAt(i + 2)) {
               val h = hrefIn(i + 2, e)
-              if (h != null) raw += h
+              if (h != null) raw += ((h, baseHref != null))
             } else if (lowerAt(i, "<base") && tagNameEndsAt(i + 5) &&
               baseHref == null) {
               val h = hrefIn(i + 5, e)
@@ -566,7 +571,9 @@ object WebIngest {
         case null => docUrl // unusable base href: fall back to the doc URL
         case b => b
       }
-    raw.map(h => resolveRef(effBase, h)).filter(_ != null).toSeq
+    raw.map { case (h, afterBase) =>
+      resolveRef(if (afterBase) effBase else docUrl, h)
+    }.filter(_ != null).toSeq
   }
 
   /** Column form of [[extractLinksFrom]] — the missing edge that closes
@@ -1158,11 +1165,12 @@ object WebIngest {
       }
       val finalUri = s"http://example.com/final/$uriKey"
       val finalId = s"<urn:uuid:rec-$uriKey-final>"
+      val startId = s"<urn:uuid:rec-$uriKey-start>"
       val digest = s"sha1:D$uriKey"
       warcFrameRecord(out,
         Seq("WARC-Type" -> "response",
           "WARC-Target-URI" -> s"http://example.com/start/$uriKey",
-          "WARC-Record-ID" -> s"<urn:uuid:rec-$uriKey-start>",
+          "WARC-Record-ID" -> startId,
           "Content-Type" -> "application/http; msgtype=response"),
         http("HTTP/1.1 301 Moved Permanently\r\n" +
           s"Location: $finalUri\r\n\r\n", Array.emptyByteArray))
@@ -1174,11 +1182,15 @@ object WebIngest {
           "Content-Type" -> "application/http; msgtype=response"),
         http("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
           s"<p>landed $uriKey</p>".getBytes("UTF-8")))
+      // every 5th revisit refers to the 301 capture, not the 200 final —
+      // a revisit may point at ANY prior response record (soft-404 /
+      // redirect recrawls); consumers must match all captures by
+      // record_id, not just status-200 finals
       warcFrameRecord(out,
         Seq("WARC-Type" -> "revisit",
           "WARC-Target-URI" -> s"http://example.com/dup/$uriKey",
           "WARC-Record-ID" -> s"<urn:uuid:rec-$uriKey-dup>",
-          "WARC-Refers-To" -> finalId,
+          "WARC-Refers-To" -> (if (uriKey % 5 == 4) startId else finalId),
           "WARC-Payload-Digest" -> digest,
           "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
           "Content-Type" -> "application/http; msgtype=response"),

@@ -311,6 +311,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want && got == Set(11L, 13L))
   }
 
+  test("notInCorpusManaged: release hook unpersists the internal cache " +
+      "(iterative callers free each round deterministically)") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+    val batch = Seq((10L, "beta"), (11L, "delta")).toDF("id", "v")
+    // track the SPECIFIC ids this call adds (other tests' caches and the
+    // async context cleaner make global counts racy)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Dedup.notInCorpusManaged(batch, corpus, "v", 100L)
+    assert(out.select($"id").as[Long].collect().toSet == Set(11L))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !after.contains(id)))
+  }
+
   test("notInCorpus on integral keys probes mightContainLong; exotic types rejected") {
     val corpus = Seq(1L, 2L, 3L).toDF("k")
     val batch = Seq(2L, 7L, 3L, 9L).toDF("k")

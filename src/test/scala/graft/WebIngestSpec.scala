@@ -247,7 +247,7 @@ class WebIngestSpec extends AnyFunSuite {
   test("redirects + revisits: httpResponses surfaces the 3xx Location, " +
       "warcRecordBytes gives revisit records their WARC-Refers-To / " +
       "digest identity — the hop and the dedup both resolve by join") {
-    val segs = Seq((5L, false), (6L, true)).toDF("doc_id", "gz")
+    val segs = Seq((5L, false), (6L, true), (9L, false)).toDF("doc_id", "gz")
       .select(col("doc_id"), WebIngest.syntheticWarcRedirect(
         col("doc_id"), col("gz")).as("payload"))
     val recs = WebIngest.warcRecordBytes(segs)
@@ -279,6 +279,14 @@ class WebIngestSpec extends AnyFunSuite {
       .collect()
     assert(canon.length == 1)
     assert(canon.head.getAs[String]("target_uri") == "http://example.com/final/5")
+    // doc 9 (uriKey % 5 == 4): the revisit refers to the 301 capture —
+    // a NON-200 response record must still resolve by record id
+    assert(rev(9L).getAs[String]("warc_refers_to") == "<urn:uuid:rec-9-start>")
+    val canon9 = recs.where(col("warc_type") === "response" &&
+        col("record_id") === rev(9L).getAs[String]("warc_refers_to"))
+      .collect()
+    assert(canon9.length == 1)
+    assert(canon9.head.getAs[String]("target_uri") == "http://example.com/start/9")
   }
 
   test("extractText: custom elements whose name merely STARTS with " +
@@ -381,7 +389,7 @@ class ExtractLinksSpec extends org.scalatest.funsuite.AnyFunSuite {
         |</body></html>""".stripMargin
     val got = WebIngest.extractLinksFrom(html, "http://h.ex.com/p/page")
     // first <base href> ("/dir/") resolves against the doc URL and
-    // governs every link
+    // governs every SUBSEQUENT link (here: all of them — base is in head)
     assert(got == Seq(
       "http://h.ex.com/dir/one",
       "http://h.ex.com/dir/two",
@@ -392,6 +400,23 @@ class ExtractLinksSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(WebIngest.extractLinksFrom("""<a href="q">x</a>""",
       "http://h.ex.com/p/page") == Seq("http://h.ex.com/p/q"))
     assert(WebIngest.extractLinksFrom(null, "http://x") == null)
+  }
+
+  test("extractLinksFrom: body-positioned <base href> is NOT retroactive — " +
+      "links before it resolve against the document URL (HTML5 scoping)") {
+    val html =
+      """<a href="early">1</a>
+        |<base href="http://b.ex.com/dir/">
+        |<a href="late">2</a>""".stripMargin
+    assert(WebIngest.extractLinksFrom(html, "http://h.ex.com/p/page") == Seq(
+      "http://h.ex.com/p/early",
+      "http://b.ex.com/dir/late"))
+    // unusable base href (non-http scheme): subsequent links fall back
+    // to the doc URL too
+    assert(WebIngest.extractLinksFrom(
+      """<a href="a">1</a><base href="mailto:x@y"><a href="b">2</a>""",
+      "http://h.ex.com/p/page") ==
+      Seq("http://h.ex.com/p/a", "http://h.ex.com/p/b"))
   }
 
   test("extractLinks column op: appends link_urls, null html stays null") {

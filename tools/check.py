@@ -5,7 +5,7 @@ compare row/schema/values (columns sorted by name, rows sorted).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, glob, os
+import json, sys, glob, os, struct, math
 import duckdb
 import pandas as pd
 
@@ -19,12 +19,37 @@ def load_spark(outdir, name):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize ints vs floats for compare: round floats
-    for c in df.columns:
-        if df[c].dtype.kind == 'f':
-            df[c] = df[c].round(9)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+def cell_bytes(v):
+    """Byte-exact cell representation: floats pack to IEEE-754 so -0.0 vs
+    0.0 (and any sub-tolerance drift) differ, like the driver's hash."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return b"<NaN>"
+        return struct.pack("<d", v)
+    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
+        return b"<null>"
+    return repr(v).encode()
+
+def byte_mismatches(g, e):
+    """Return list of (row, col, spark_val, oracle_val) cells whose byte
+    representations differ (floats compared as exact IEEE-754 bytes)."""
+    bad = []
+    for c in g.columns:
+        gs, es = g[c], e[c]
+        if gs.dtype.kind == 'f' or es.dtype.kind == 'f':
+            for i, (a, b) in enumerate(zip(gs, es)):
+                fa = float(a) if pd.notna(a) else float('nan')
+                fb = float(b) if pd.notna(b) else float('nan')
+                if cell_bytes(fa) != cell_bytes(fb):
+                    bad.append((i, c, a, b))
+        else:
+            neq = ~((gs == es) | (gs.isna() & es.isna()))
+            for i in neq[neq].index:
+                bad.append((i, c, gs[i], es[i]))
+    return bad
 
 def main():
     sf_dir, outdir = sys.argv[1], sys.argv[2]
@@ -57,19 +82,25 @@ def main():
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(e)}")
             n_fail += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+        # Gate is BYTE-EXACT like the driver's hash: floats compared as
+        # IEEE-754 bytes, so -0.0 vs 0.0 or 1e-12 drift FAIL here too.
+        bad = byte_mismatches(g, e)
+        if not bad:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
-        except AssertionError as ex:
-            print(f"FAIL {name}: value mismatch: {str(ex).splitlines()[-1][:200]}")
-            # show first differing rows
-            neq = (g != e) & ~(g.isna() & e.isna())
-            bad = neq.any(axis=1)
-            if bad.any():
-                i = bad.idxmax()
-                print(f"  spark : {g.loc[i].to_dict()}")
-                print(f"  oracle: {e.loc[i].to_dict()}")
+        else:
+            i, c, a, b = bad[0]
+            # diagnose: tolerance-equal but byte-different (the signed-zero
+            # / sub-tolerance class the old rtol gate used to pass)
+            tol_ok = True
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            except AssertionError:
+                tol_ok = False
+            kind = "BYTE mismatch (tolerance-equal!)" if tol_ok else "value mismatch"
+            print(f"FAIL {name}: {kind}: {len(bad)} cells, first row {i} col {c}")
+            print(f"  spark : {g.loc[i].to_dict()}")
+            print(f"  oracle: {e.loc[i].to_dict()}")
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
