@@ -1701,6 +1701,54 @@ object CatalogOps {
       (k * CASE WHEN doc_id % 3 = 0 THEN (1 + doc_id % 5)::DOUBLE ELSE 1.0 END)::DOUBLE AS fetch_at_s
       FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(k)"""))
 
+  /** Priority scheduling — [[graft.ops.Robots.politeScheduleBy]] with the
+    * real frontier sort: `priority DESC, discovered_at ASC, url ASC`
+    * within each host, so hot pages take their host's earliest slots and
+    * FIFO breaks priority ties. Same one-window-exchange shape as
+    * web_frontier_schedule (per-host constraint, embarrassingly parallel
+    * across hosts); the URL tail keeps slots bit-reproducible. The
+    * crawl-delay is a HOST property in the fixture (even hosts declare
+    * 2+hn/2 s) so every row of a host prices slots identically, like a
+    * real per-host delay ledger.
+    */
+  private val webFrontierPriority = Q("web_frontier_priority",
+    (s, dir) => {
+      val d = col("doc_id")
+      val hn = d % 8
+      val urls = t(s, dir, "documents")
+        .select(d, explode(sequence(lit(0), lit(2))).as("k"))
+        .select(
+          concat(lit("h"), hn, lit(".example.com")).as("host"),
+          concat(lit("http://h"), hn, lit(".example.com/p/"), d,
+            lit("/"), col("k")).as("url"),
+          ((d + col("k")) % 5).cast("int").as("priority"),
+          ((d * 7 + col("k") * 3) % 97).cast("long").as("discovered_at"),
+          when(hn % 2 === 0, lit(2.0) + hn / lit(2))
+            .otherwise(lit(null).cast("double")).as("crawl_delay_s"))
+      graft.ops.Robots.politeScheduleBy(urls, Seq("host"),
+          Seq(col("priority").desc, col("discovered_at").asc,
+            col("url").asc))
+        .select(col("host"), col("url"), col("priority"),
+          col("discovered_at"), col("crawl_delay_s"),
+          col("fetch_slot"), col("fetch_at_s"))
+    },
+    Some("""WITH u AS (
+        SELECT 'h' || (doc_id % 8) || '.example.com' AS host,
+          'http://h' || (doc_id % 8) || '.example.com/p/' || doc_id
+            || '/' || k AS url,
+          ((doc_id + k) % 5)::INT AS priority,
+          ((doc_id * 7 + k * 3) % 97)::BIGINT AS discovered_at,
+          CASE WHEN (doc_id % 8) % 2 = 0
+            THEN (2 + (doc_id % 8) / 2)::DOUBLE ELSE NULL END AS crawl_delay_s
+        FROM documents, unnest(generate_series(0, 2)) AS t(k))
+      SELECT host, url, priority, discovered_at, crawl_delay_s,
+        (row_number() OVER (PARTITION BY host
+          ORDER BY priority DESC, discovered_at, url) - 1)::BIGINT AS fetch_slot,
+        ((row_number() OVER (PARTITION BY host
+          ORDER BY priority DESC, discovered_at, url) - 1)
+          * coalesce(crawl_delay_s, 1.0))::DOUBLE AS fetch_at_s
+      FROM u"""))
+
   /** The CLOSED frontier loop — the one edge the family was missing:
     * fetch-parse (WARC response → [[graft.ops.WebIngest.httpResponses]])
     * → [[graft.ops.WebIngest.extractLinks]] (state-machine `<a href>` +
@@ -1741,27 +1789,8 @@ object CatalogOps {
         .where(col("parse_error").isNull && col("warc_type") === "response")
         .select(d, col("target_uri"), col("content_bytes"))
       val resp = graft.ops.WebIngest.httpResponses(recs)
-      val links = graft.ops.WebIngest.extractLinks(
-        resp.select(col("target_uri"), col("http_body")),
-        "http_body", "target_uri")
-        .select(explode(col("link_urls")).as("u"))
-      val cand = TextAnalysis.canonicalizeUrl(links, "u")
-        .where(col("url_canonical").isNotNull)
-        .select(col("url_canonical").as("u"))
-        .distinct()
       val visited = docs.select(
         concat(lit("http://h"), d % 20, lit(".example.com/p/"), d).as("u"))
-      // the Bloom is sized for the VISITED set it holds: a fixed count
-      // at a 5M corpus drives the false-positive rate toward 1 and
-      // shoves candidates down the exact-join maybe path. A real
-      // frontier knows its visited-set size; one metadata-cheap count
-      // is the honest price. (The sf100 wall itself was elsewhere —
-      // notInCorpus re-evaluated its batch per consumer; §20.10.)
-      val fresh = graft.ops.Dedup.notInCorpus(cand, visited, "u",
-        expectedItems = math.max(1000L, docs.count()))
-      val parts = fresh
-        .withColumn("host", regexp_extract(col("u"), "^http://([^/]+)", 1))
-        .withColumn("path", regexp_extract(col("u"), "^http://[^/]+(/.*)$", 1))
       val hostRules = docs.select((d % 20).as("hn")).distinct()
         .select(concat(lit("h"), col("hn"), lit(".example.com")).as("host"),
           concat(lit("User-agent: graftbot\nDisallow: /p/q\n"),
@@ -1769,12 +1798,18 @@ object CatalogOps {
               lit(1) + col("hn") % 3, lit("\n"))).otherwise(lit(""))).as("robots"))
       val rules = graft.ops.Robots.parseRobots(hostRules, "robots", "graftbot")
         .select(col("host"), col("directive"), col("rule_value"))
-      val gated = graft.ops.Robots.robotsAllowed(parts, "path", rules, Seq("host"))
-        .where(col("robots_allowed"))
-      graft.ops.Robots.politeSchedule(gated, Seq("host"), "u",
-          defaultDelayS = 1.0)
-        .select(col("host"), col("u").as("link_url"), col("crawl_delay_s"),
-          col("fetch_slot"), col("fetch_at_s"))
+      // the shared round op (extract → canonicalize → visited-dedup →
+      // robots → schedule); the streaming twin runs the SAME function per
+      // micro-batch. The Bloom is sized for the VISITED set it holds: a
+      // fixed count at a 5M corpus drives the false-positive rate toward
+      // 1 and shoves candidates down the exact-join maybe path. A real
+      // frontier knows its visited-set size; one metadata-cheap count is
+      // the honest price. (The sf100 wall itself was elsewhere —
+      // notInCorpus re-evaluated its batch per consumer; §20.10.)
+      val (out, _) = graft.ops.Frontier.frontierRound(
+        resp.select(col("target_uri"), col("http_body")), visited, rules,
+        expectedItems = math.max(1000L, docs.count()))
+      out
     },
     Some("""WITH docs AS (SELECT doc_id AS d FROM documents),
       links0 AS (
@@ -3293,7 +3328,7 @@ object CatalogOps {
     mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierLoop, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

@@ -1668,6 +1668,23 @@ object Dedup {
       fpp: Double = 0.01): (DataFrame, () => Unit) = {
     validateBloomKey(batch, corpus, valueCol)
     val bf = corpus.stat.bloomFilter(col(valueCol), expectedItems, fpp)
+    notInCorpusManagedWith(batch, corpus, valueCol, bf)
+  }
+
+  /** [[notInCorpusManaged]] against a PREBUILT Bloom filter over the
+    * corpus's `valueCol` — the loop shape: a frontier running round after
+    * round against one visited-set snapshot builds the filter once
+    * (`corpus.stat.bloomFilter`, a distributed tree-aggregate) and pays
+    * only the probe + batch-bounded verify per round, instead of
+    * re-scanning the corpus into a fresh sketch every round. The filter
+    * MUST have been built over the same snapshot passed here, or the
+    * no-false-negative property (present ⇒ maybe) that makes the single
+    * anti-join value-identical no longer holds.
+    */
+  def notInCorpusManagedWith(batch: DataFrame, corpus: DataFrame,
+      valueCol: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): (DataFrame, () => Unit) = {
+    validateBloomKey(batch, corpus, valueCol)
     val mightContain = bloomProbe(batch, corpus, valueCol, bf)
     // persisted: the flagged batch feeds BOTH the main stream and the
     // maybe-key subtree below — unpersisted, the batch's whole upstream

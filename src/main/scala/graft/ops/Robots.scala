@@ -210,13 +210,29 @@ object Robots {
   def politeSchedule(urls: DataFrame, keyCols: Seq[String], orderCol: String,
       delayCol: String = "crawl_delay_s",
       defaultDelayS: Double = 1.0,
-      tieBreakCols: Seq[String] = Nil): DataFrame = {
+      tieBreakCols: Seq[String] = Nil): DataFrame =
+    politeScheduleBy(urls, keyCols,
+      (orderCol +: tieBreakCols).map(col), delayCol, defaultDelayS)
+
+  /** [[politeSchedule]] with an arbitrary within-host sort — the shape a
+    * real frontier scheduler needs: `ORDER BY priority DESC,
+    * discovered_at ASC, url` hands hot pages their host's earliest slots
+    * while keeping `fetch_at_s` bit-reproducible. `orderBys` are Spark
+    * sort Columns (`.desc`/`.asc` respected); the full key must be
+    * unique per host group or slots become partitioning-dependent — end
+    * with a unique column (the URL).
+    */
+  def politeScheduleBy(urls: DataFrame, keyCols: Seq[String],
+      orderBys: Seq[org.apache.spark.sql.Column],
+      delayCol: String = "crawl_delay_s",
+      defaultDelayS: Double = 1.0): DataFrame = {
     require(keyCols.nonEmpty, "politeSchedule needs at least one key column")
+    require(orderBys.nonEmpty, "politeSchedule needs at least one sort column")
     Multimodal.requireFreshColumns(urls, "politeSchedule",
       Seq("fetch_slot", "fetch_at_s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy((orderCol +: tieBreakCols).map(col): _*)
+      .orderBy(orderBys: _*)
     urls
       .withColumn("fetch_slot", row_number().over(w).cast("long") - 1L)
       .withColumn("fetch_at_s",

@@ -643,4 +643,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(3L)._2 == "unsupported format")
     } finally q.stop()
   }
+
+  test("streaming parity: ONE FULL frontier-loop round — extract → " +
+      "canonicalize → visited-dedup (prebuilt bloom) → robots gate → " +
+      "politeness schedule — foreachBatch twin ≡ the batch frontierRound") {
+    import graft.ops.{Frontier, Robots}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_floop").toString
+    // 24 fetched pages; each plants an in-host link (half land on
+    // already-visited pages), a robots-blocked link, and a shouty
+    // cross-host :80 link the canonicalizer must collapse
+    (0L until 24L).toDF("doc_id")
+      .select(
+        concat(lit("http://h"), col("doc_id") % 4, lit(".ex.com/p/"),
+          col("doc_id")).as("target_uri"),
+        concat(
+          lit("<a href=\"/p/"), (col("doc_id") + 5) % 24, lit("\">x</a>"),
+          lit("<a href=\"/blocked/"), col("doc_id"), lit("\">b</a>"),
+          lit("<a href=\"HTTP://H"), (col("doc_id") + 1) % 4,
+          lit(".EX.COM:80/p/"), (col("doc_id") * 3) % 24,
+          lit("\">c</a>")).as("http_body"))
+      .write.mode("overwrite").parquet(dir)
+    val visited = (0L until 12L).toDF("d")
+      .select(concat(lit("http://h"), col("d") % 4, lit(".ex.com/p/"),
+        col("d")).as("u"))
+    val rules = Robots.parseRobots(
+        (0 until 4).toDF("hn").select(
+          concat(lit("h"), col("hn"), lit(".ex.com")).as("host"),
+          concat(lit("User-agent: graftbot\nDisallow: /blocked\n"),
+            when(col("hn") % 2 === 0, lit("Crawl-delay: 2\n"))
+              .otherwise(lit(""))).as("robots")),
+        "robots", "graftbot")
+      .select(col("host"), col("directive"), col("rule_value"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("link_url"),
+        Option(r.getAs[java.lang.Double]("crawl_delay_s")).map(_.toDouble),
+        r.getAs[Long]("fetch_slot"), r.getAs[Double]("fetch_at_s")))
+      .sorted.toSeq
+    val (batchOut, release) = Frontier.frontierRound(
+      spark.read.parquet(dir), visited, rules, expectedItems = 100L)
+    val want = try rows(batchOut) finally release()
+    val gotBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Option[Double], Long, Double)]
+    val schema = spark.read.parquet(dir).schema
+    val q = Frontier.streamFrontierRounds(
+        spark.readStream.schema(schema).parquet(dir), visited, rules,
+        expectedItems = 100L) { (out, _) =>
+      gotBuf ++= rows(out); ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(want.nonEmpty && gotBuf.sorted.toSeq == want,
+      s"stream ${gotBuf.length} rows vs batch ${want.length}")
+    // the gate really gated and the schedule really paced: no blocked
+    // path survives, even hosts price slots at 2 s
+    assert(want.forall(r => !r._2.contains("/blocked/")))
+    assert(want.exists(r => r._1 == "h0.ex.com" && r._4 > 0 &&
+      r._5 == 2.0 * r._4))
+    // visited-dedup held: no already-crawled URL is rescheduled
+    val visitedSet = visited.collect().map(_.getString(0)).toSet
+    assert(want.forall(r => !visitedSet.contains(r._2)))
+  }
 }
