@@ -1848,6 +1848,125 @@ object CatalogOps {
       FROM delayed"""),
     bench = true)
 
+  /** Zipf host rank over [1, 10000], α = 1.1 — the truncated-Pareto
+    * inverse CDF with the SAME law as [[graft.bench.ScaleGen]]'s skew
+    * generator (rank-1 share ≈ 11%), but built to be ORACLE-EXACT: at
+    * α = 1.1 the exponent 1/(1−α) is exactly −10, so the rank is
+    * floor(1/y¹⁰) with y = 1 − u·q computed by a fixed multiply chain
+    * (y² → y⁴ → (y⁴·y⁴)·y²) — plain IEEE mul/div that Spark and DuckDB
+    * round identically, where a libm `pow` could differ in the last ulp
+    * and flip a floor boundary. `u` comes from a Knuth multiplicative
+    * hash reduced mod 2³⁰ BEFORE the multiply so no input overflows a
+    * long (ANSI mode throws on overflow at job level).
+    */
+  private def zipfHostRank(x: Column): Column = {
+    val u = pmod(pmod(x, lit(1073741824L)) * lit(2654435761L),
+      lit(1073741824L)).cast("double") / lit(1073741824.0)
+    val y = lit(1.0) - u * lit(0.6018928294465028) // q = 1 − 10000^(−0.1)
+    val y2 = y * y
+    val y4 = y2 * y2
+    least(lit(10000L), greatest(lit(1L),
+      floor(lit(1.0) / ((y4 * y4) * y2))))
+  }
+
+  /** [[zipfHostRank]] as DuckDB SQL over expression `x` (non-negative) —
+    * the SAME multiply-chain association (y² → y⁴ → (y⁴·y⁴)·y²) so both
+    * sides round identically at every step.
+    */
+  private def zipfRankSql(x: String): String = {
+    val h = s"(((($x) % 1073741824) * 2654435761) % 1073741824)"
+    val y = s"(1 - ($h / 1073741824.0) * 0.6018928294465028::DOUBLE)"
+    val y2 = s"($y * $y)"
+    val y4 = s"($y2 * $y2)"
+    s"least(10000, greatest(1, floor(1.0 / (($y4 * $y4) * $y2))))::BIGINT"
+  }
+
+  /** The frontier loop under a REALISTIC host law — the r14 verdict's
+    * gap: the sf100 loop leg's politeness window was bounded by a
+    * 25-host fixture, while a real crawl has 10⁴–10⁷ hosts with zipf
+    * skew (hot-host window sorts). Same full pipeline as
+    * [[webFrontierLoop]] ([[graft.ops.Frontier.frontierRound]]: WARC
+    * fetch-parse → extract → canonicalize → visited-dedup → robots →
+    * schedule) but page hosts draw from [[zipfHostRank]] over 10,000
+    * domains at α = 1.1 — the rank-1 host carries ≈11% of ALL scheduled
+    * URLs, so the host-keyed window's biggest partition is a constant
+    * fraction of the corpus: exactly the skew a 1000-executor run must
+    * survive. Cross links draw a SECOND independent zipf rank (hot
+    * hosts also RECEIVE the most in-links, like real link graphs).
+    * Robots rules exist only for hosts that serve pages (cross-rank
+    * hosts without pages gate open with the default delay, like
+    * fetching a robots.txt nobody published). The oracle replays the
+    * zipf law exactly (see [[zipfHostRank]]'s float-path note).
+    */
+  private val webFrontierZipf = Q("web_frontier_zipf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val rp = zipfHostRank(d)
+      val rc = zipfHostRank(d * 13 + 7)
+      val pageUrl = concat(lit("http://z"), rp, lit(".example.com/p/"), d)
+      val html = concat(
+        lit("<a href=\"/p/"), d, lit("\">self</a>"),
+        lit("<a href=\"q"), (d + 1) % 1000, lit("\">rel</a>"),
+        lit("<a href=\"HTTP://Z"), rc, lit(".EXAMPLE.COM:80/p/"),
+        (d * 11) % 2000, lit("\">cross</a>"),
+        lit("<a href=\"/s?x="), d % 7, lit("&amp;y=2\">q</a>"),
+        lit("<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>"))
+      val segs = docs.select(d,
+        graft.ops.WebIngest.syntheticWarcPage(pageUrl, html,
+          d % 2 === 1).as("payload"))
+      val recs = graft.ops.WebIngest.warcRecordBytes(segs)
+        .where(col("parse_error").isNull && col("warc_type") === "response")
+        .select(d, col("target_uri"), col("content_bytes"))
+      val resp = graft.ops.WebIngest.httpResponses(recs)
+      val visited = docs.select(
+        concat(lit("http://z"), rp, lit(".example.com/p/"), d).as("u"))
+      val hostRules = docs.select(rp.as("hn")).distinct()
+        .select(concat(lit("z"), col("hn"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: graftbot\nDisallow: /p/q\n"),
+            when(col("hn") % 2 === 0, concat(lit("Crawl-delay: "),
+              lit(1) + col("hn") % 3, lit("\n"))).otherwise(lit(""))).as("robots"))
+      val rules = graft.ops.Robots.parseRobots(hostRules, "robots", "graftbot")
+        .select(col("host"), col("directive"), col("rule_value"))
+      val (out, _) = graft.ops.Frontier.frontierRound(
+        resp.select(col("target_uri"), col("http_body")), visited, rules,
+        expectedItems = math.max(1000L, docs.count()))
+      out
+    },
+    Some(s"""WITH docs AS (SELECT doc_id AS d FROM documents),
+      r AS (SELECT d,
+        ${zipfRankSql("d")} AS rp,
+        ${zipfRankSql("d * 13 + 7")} AS rc
+        FROM docs),
+      links0 AS (
+        SELECT 'http://z' || rp || '.example.com/p/' || d AS u FROM r
+        UNION ALL
+        SELECT 'http://z' || rp || '.example.com/p/q' || ((d + 1) % 1000) FROM r
+        UNION ALL
+        SELECT 'http://z' || rc || '.example.com/p/' || ((d * 11) % 2000) FROM r
+        UNION ALL
+        SELECT 'http://z' || rp || '.example.com/s?x=' || (d % 7) || '&y=2' FROM r),
+      cand AS (SELECT DISTINCT u FROM links0),
+      fresh AS (SELECT u FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM r v
+        WHERE c.u = 'http://z' || v.rp || '.example.com/p/' || v.d)),
+      parts AS (SELECT u,
+        regexp_extract(u, '^http://([^/]+)', 1) AS host,
+        regexp_extract(u, '^http://[^/]+(/.*)$$', 1) AS path,
+        CAST(regexp_extract(u, '^http://z(\\d+)', 1) AS BIGINT) AS hr
+        FROM fresh),
+      gated AS (SELECT * FROM parts WHERE NOT path LIKE '/p/q%'),
+      delayed AS (SELECT u, host,
+        CASE WHEN hr % 2 = 0 AND EXISTS (SELECT 1 FROM r v WHERE v.rp = hr)
+          THEN (1 + hr % 3)::DOUBLE ELSE NULL END AS crawl_delay_s
+        FROM gated)
+      SELECT host, u AS link_url, crawl_delay_s,
+        (row_number() OVER (PARTITION BY host ORDER BY u) - 1)::BIGINT AS fetch_slot,
+        ((row_number() OVER (PARTITION BY host ORDER BY u) - 1)
+          * coalesce(crawl_delay_s, 1.0))::DOUBLE AS fetch_at_s
+      FROM delayed"""),
+    bench = true)
+
   /** The frontier loop ITERATED — breadth-first crawl over a closed-form
     * link graph, three expansion rounds through the REAL chain each
     * round: fetch (join the frontier against the corpus's WARC pages) →
@@ -2596,6 +2715,60 @@ object CatalogOps {
       FROM documents"""),
     bench = true)
 
+  /** CABAC arithmetic-coding ENGINE integration ([[graft.ops.Cabac]]) —
+    * per doc: 20 context-coded bins (three §9.3.1.1-initialized contexts
+    * sharing state across bins), an 8-bit bypass field, a truncated-unary
+    * field and the terminate bin, ENCODED by the §9.3.4 twin and DECODED
+    * by the §9.3.3.2 engine inside one row. The decoded values are
+    * closed-form in doc_id, so the oracle pins decode∘encode = identity
+    * for every doc-varied bin pattern at every SF — the engine-level
+    * guarantee that holds for ANY injected probability table. What this
+    * row does NOT claim: conformance of the default table to Table 9-44
+    * (see [[graft.ops.Cabac]]'s table-policy scaladoc — real
+    * entropy_coding_mode_flag=1 clips still refuse by name in
+    * [[graft.ops.H264Decode]]); the bypass/terminate paths it exercises
+    * ARE table-free and conformant, anchored by CabacSpec's hand-derived
+    * byte fixture.
+    */
+  private val mmH264CabacEngine = Q("mm_h264_cabac_engine",
+    (s, dir) => {
+      val f = udf((d: Long) => {
+        val h = ((d % 1073741824L) * 2654435761L) % 1073741824L
+        val bins = (0 until 20).map(i => ((h >> i) & 1L).toInt)
+        val bypassV = (d % 256).toInt
+        val tuV = (d % 15).toInt
+        def ctxs() = Array(graft.ops.Cabac.initCtx(0, 64, 26),
+          graft.ops.Cabac.initCtx(5, 50, 26),
+          graft.ops.Cabac.initCtx(-10, 90, 26))
+        val enc = new graft.ops.Cabac.Encoder()
+        val ec = ctxs()
+        bins.zipWithIndex.foreach { case (b, i) =>
+          enc.encodeDecision(ec(i % 3), b) }
+        graft.ops.Cabac.encodeFLBypass(enc, bypassV, 8)
+        graft.ops.Cabac.encodeTU(enc, i => ec(i % 3), tuV, 15)
+        enc.encodeTerminate(1)
+        val dec = new graft.ops.Cabac.Decoder(enc.finish())
+        val dc = ctxs()
+        val value = (0 until 20).foldLeft(0L)((acc, i) =>
+          acc | (dec.decodeDecision(dc(i % 3)).toLong << i))
+        val bp = graft.ops.Cabac.decodeFLBypass(dec, 8).toLong
+        val tu = graft.ops.Cabac.decodeTU(dec, i => dc(i % 3), 15).toLong
+        val term = dec.decodeTerminate().toLong
+        (value, bp, tu, term)
+      })
+      t(s, dir, "documents").select(col("doc_id"), f(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("r._1").as("cabac_value"),
+          col("r._2").as("bypass_value"), col("r._3").as("tu_value"),
+          col("r._4").as("terminate"))
+    },
+    Some("""SELECT doc_id,
+      ((((doc_id % 1073741824) * 2654435761) % 1073741824)
+        % 1048576)::BIGINT AS cabac_value,
+      (doc_id % 256)::BIGINT AS bypass_value,
+      (doc_id % 15)::BIGINT AS tu_value,
+      1::BIGINT AS terminate
+      FROM documents"""))
+
   /** The MP4 keyframe route over ENTROPY-CODED keyframes: sample tables
     * locate the sync samples and each decodes through the shared I-slice
     * core's CAVLC path ([[graft.ops.H264Decode.syntheticCavlcMp4]] —
@@ -3325,10 +3498,10 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
-    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
+    webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
     arcTarMembers, arcZipMembers, arcNestedTarZip, webPdfCensus,
     stWindow, stHotKeyGuard)
 }

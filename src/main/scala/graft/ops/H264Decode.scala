@@ -224,7 +224,13 @@ object H264Decode {
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
     if (pps.entropyCabac)
-      Left("CABAC stream (decodeStub seam: entropy decode)")
+      // the §9.3 engine + binarizations exist ([[Cabac]], round-trip +
+      // hand-anchored); what blocks REAL streams is narrower now: the
+      // Table 9-44/9-45 probability tables and the Table 9-12..9-23
+      // context-init constants could not be conformance-anchored locally
+      // (Cabac.scala documents the derivation/recall disagreement)
+      Left("CABAC stream (probability/context-init tables not " +
+        "conformance-anchored; engine ready — Cabac.scala)")
     else if (pps.scalingMatrix)
       // non-flat scaling lists change every dequant in the clip — a
       // flat-matrix walk would ship a WRONG plane with decode_error null

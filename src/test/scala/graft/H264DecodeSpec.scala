@@ -79,7 +79,10 @@ class H264DecodeSpec extends AnyFunSuite {
     }
     val e1 = H264Decode.decodeIdr(
       Seq((0L, handBuilt)).toDF("doc_id", "payload")).collect().head
-    assert(e1.getAs[String]("decode_error").contains("decodeStub seam"))
+    // the refusal names the NARROWED gap: the §9.3 engine exists
+    // (Cabac.scala); the probability/context-init tables do not
+    assert(e1.getAs[String]("decode_error").contains("CABAC stream") &&
+      e1.getAs[String]("decode_error").contains("not conformance-anchored"))
     // structural gaps
     val more = Seq(
       (1L, "not a stream".getBytes("UTF-8")),
