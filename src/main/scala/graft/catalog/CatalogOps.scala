@@ -2769,6 +2769,57 @@ object CatalogOps {
       1::BIGINT AS terminate
       FROM documents"""))
 
+  /** FULL CABAC I-slice pixel decode
+    * ([[graft.ops.H264Decode.syntheticCabacAnnexB]] → decodeIdr with the
+    * injected [[graft.ops.Cabac.Config.derived]]) — the entire §7.3.5
+    * macroblock layer through the §9.3 entropy engine: Table 9-36
+    * mb_type trees, prev/rem Intra_4x4 modes, TU intra_chroma_pred_mode,
+    * neighbour-context coded_block_pattern, mapped-unary mb_qp_delta
+    * (a +2/−2 excursion rides the fixture), residual_block_cabac
+    * significance maps + backward level decode (one +17 level exercises
+    * the UEG0 escape, one scan-14 coefficient the implicit-last path),
+    * and a mid-frame I_PCM macroblock through the terminate → align →
+    * raw → §9.3.1.2 re-init sequence. Reconstruction shares the CAVLC
+    * path's §8.3 predictors and §8.5 transforms, so the oracle is the
+    * same closed-form quadrant algebra: c0 = 128+v0, c1 = c0±1,
+    * c2 = c0+v2, c3 = (c1+c2+1)>>1, PCM constant p, and the Intra_4x4
+    * horizontal cascade c3 + 4k(bx+1) → y_mean =
+    * (c0+c1+p+c2+2c3+10k)/6 exactly. What this row does NOT claim:
+    * conformance of the derived probability/context-init tables —
+    * real-world CABAC clips still refuse by name (CabacSliceSpec pins
+    * that refusal); the SYNTAX layer, contexts and engine are complete
+    * and the entropy-swap test proves the same plan through CAVLC and
+    * CABAC yields byte-identical planes.
+    */
+  private val mmH264CabacDecode = Q("mm_h264_cabac_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticCabacAnnexB(
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          col("doc_id") % 2 === 1,
+          (lit(2) + col("doc_id") % 3).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (lit(150) + col("doc_id") % 7).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdr(clips, "payload",
+          cabac = Some(graft.ops.Cabac.Config.derived))
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""WITH q AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 4 AS k,
+        150 + doc_id % 7 AS p
+        FROM documents)
+      SELECT doc_id, 48::INT AS frame_width, 32::INT AS frame_height,
+        6::INT AS mb_count,
+        (c0 + c1 + p + c2 + 2 * ((c1 + c2 + 1) // 2) + 10 * k)::DOUBLE / 6
+          AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""),
+    bench = true)
+
   /** The MP4 keyframe route over ENTROPY-CODED keyframes: sample tables
     * locate the sync samples and each decodes through the shared I-slice
     * core's CAVLC path ([[graft.ops.H264Decode.syntheticCavlcMp4]] —
@@ -3498,7 +3549,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

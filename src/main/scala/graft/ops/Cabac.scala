@@ -31,9 +31,12 @@ package graft.ops
   *     DERIVED-NOT-CONFORMANT default: exact for self-coded streams
   *     (encoder and decoder share it), wrong for real-world streams,
   *     which is why [[H264Decode]] still refuses
-  *     `entropy_coding_mode_flag=1` clips by name. Anchoring needs a
-  *     conformance vector or the spec text; inject verified tables via
-  *     [[Tables]] and the engine is complete.
+  *     `entropy_coding_mode_flag=1` clips by name UNLESS a [[Config]]
+  *     is injected. The full I-slice macroblock layer over this engine
+  *     lives in [[CabacSlice]] (syntax, binarizations, §9.3.3.1 context
+  *     derivations, I_PCM re-init) — anchoring needs a conformance
+  *     vector or the spec text; inject verified tables via [[Config]]
+  *     and the whole decode path runs.
   *   - The context-init constants (Tables 9-12..9-23, ~1k (m,n) pairs)
   *     are in the same category; [[initCtx]] takes (m,n) as parameters.
   *
@@ -51,7 +54,8 @@ object Cabac {
     * tables satisfy — the tripwires that CAN be checked locally.
     */
   final class Tables(val rangeLps: Array[Array[Int]],
-      val transLps: Array[Int], val transMps: Array[Int]) {
+      val transLps: Array[Int], val transMps: Array[Int])
+      extends Serializable {
     require(rangeLps.length == 64 && rangeLps.forall(_.length == 4),
       "rangeLps must be 64x4")
     require(transLps.length == 64 && transMps.length == 64,
@@ -106,6 +110,32 @@ object Cabac {
   /** One context variable: probability state 0..63 and the MPS value. */
   final class Ctx(var state: Int, var mps: Int)
 
+  /** Derived (m, n) context-init pairs for ctxIdx 0..276 — the same
+    * table policy as [[Tables.Derived]]: the spec's Tables 9-12..9-23
+    * (~1k conformance (m,n) pairs) could not be anchored locally, so
+    * this DERIVED-NOT-CONFORMANT default spreads initial states
+    * deterministically across ctxIdx (m = 0 keeps init QP-independent;
+    * n walks 40..103 so contexts start in genuinely different
+    * §9.3.1.1 states and the self-coded round-trip exercises both MPS
+    * polarities and a range of probability states). Self-coded streams
+    * (encoder twin sharing this init) are exact; real streams refuse
+    * upstream. Inject conformance pairs per slice type / cabac_init_idc
+    * here and [[CabacSlice]] decodes them unchanged.
+    */
+  lazy val derivedCtxInit: Array[Array[Int]] =
+    Array.tabulate(277)(i => Array(0, 40 + (i * 13) % 64))
+
+  /** Everything the slice-layer CABAC path needs injected: probability
+    * tables + per-ctxIdx (m, n) init pairs. [[Config.derived]] is the
+    * self-coded default (encoder twin and decoder share it — exact for
+    * streams this repo generates, NOT conformance-anchored for
+    * real-world streams, which keep refusing upstream).
+    */
+  final case class Config(tables: Tables, ctxInit: Array[Array[Int]])
+  object Config {
+    lazy val derived: Config = Config(Derived, derivedCtxInit)
+  }
+
   /** §9.3.1.1 context initialization from (m, n) at slice QP. */
   def initCtx(m: Int, n: Int, sliceQp: Int): Ctx = {
     val qp = math.max(0, math.min(51, sliceQp))
@@ -117,8 +147,9 @@ object Cabac {
     * reads past the end return 0 bits (the spec's rbsp trailing
     * behavior — a well-formed stream never depends on them).
     */
-  final class Decoder(bytes: Array[Byte], tables: Tables = Derived) {
-    private var bitPos = 0
+  final class Decoder(bytes: Array[Byte], tables: Tables = Derived,
+      startByte: Int = 0) {
+    private var bitPos = startByte * 8
     private def readBit(): Int = {
       val b =
         if ((bitPos >> 3) >= bytes.length) 0
@@ -177,6 +208,37 @@ object Cabac {
     /** Engine invariants, exposed for the property suite. */
     def rangeOk: Boolean = codIRange >= 2 && codIRange <= 510 &&
       codIOffset >= 0 && codIOffset < (1 << 10)
+
+    // ---- mid-stream raw segments (I_PCM, §9.3.1.2) ----
+    // After decodeTerminate() returns 1 the decoder has consumed EXACTLY
+    // as many bits as the encoder twin emitted through its
+    // EncodeTerminate(1) flush (the 9-bit init compensates the encoder's
+    // suppressed first PutBit; every renorm/bypass reads one bit per bit
+    // emitted; the flush's putBit+2 trailing bits are covered by the
+    // init lookahead — the identity is pinned by CabacSliceSpec's
+    // segment round-trip). So byte alignment here lands on the same
+    // boundary the encoder padded to, raw bytes read back verbatim, and
+    // [[reinit]] mirrors the encoder's fresh §9.3.4.1 segment.
+
+    /** Skip pcm_alignment bits to the next byte boundary. */
+    def alignByte(): Unit = { bitPos = (bitPos + 7) & ~7 }
+
+    /** One raw (byte-aligned) PCM byte; past-the-end reads 0 like bits. */
+    def rawByte(): Int = {
+      val i = bitPos >> 3
+      bitPos += 8
+      if (i >= bytes.length) 0 else bytes(i) & 0xff
+    }
+
+    /** §9.3.1.2: re-initialize the arithmetic engine after a raw
+      * segment (reads a fresh 9-bit codIOffset). */
+    def reinit(): Unit = {
+      codIRange = 510
+      var v = 0
+      var i = 0
+      while (i < 9) { v = (v << 1) | readBit(); i += 1 }
+      codIOffset = v
+    }
   }
 
   /** §9.3.4 arithmetic ENCODER twin — low/range with outstanding-bit
@@ -242,6 +304,31 @@ object Cabac {
         out.append('1') // rbsp stop bit rides the flush per the spec
       } else renorm()
     }
+
+    // ---- mid-stream raw segments (I_PCM) — twins of the Decoder's ----
+
+    /** pcm_alignment_zero_bit padding to the next byte boundary; call
+      * right after encodeTerminate(1)'s flush. */
+    def alignByteZero(): Unit =
+      while ((out.length & 7) != 0) out.append('0')
+
+    /** One raw byte-aligned PCM byte. */
+    def rawByte(v: Int): Unit = {
+      var i = 7
+      while (i >= 0) { out.append(if (((v >> i) & 1) == 1) '1' else '0'); i -= 1 }
+    }
+
+    /** Fresh §9.3.4.1 coding segment after a raw run (first-bit
+      * suppression included — the Decoder's reinit reads 9 bits). */
+    def reinit(): Unit = {
+      codILow = 0
+      codIRange = 510
+      firstBit = true
+      outstanding = 0
+    }
+
+    /** Bits emitted so far (diagnostic for the segment identity test). */
+    def bitLength: Int = out.length
 
     /** Bytes after EncodeTerminate(1); zero-padded to a byte boundary. */
     def finish(): Array[Byte] = {

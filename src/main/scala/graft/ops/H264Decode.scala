@@ -154,8 +154,8 @@ object H264Decode {
   private def clip1(x: Int): Byte = (if (x < 0) 0 else if (x > 255) 255 else x).toByte
 
   /** luma4x4BlkIdx → (x4, y4) block coords within the MB (§6.4.3 scan). */
-  private val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
-  private val Blk4x4Y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+  private[ops] val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private[ops] val Blk4x4Y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
 
   /** Z-scan index of each within-MB 4×4 raster position (by·4+bx) — the
     * inverse of Blk4x4X/Y, for decoded-before-current checks (§6.4.12's
@@ -191,6 +191,334 @@ object H264Decode {
     inv
   }
 
+  /** Intra_4x4 spatial prediction (§8.3.1.2.1–9) for the block at
+    * global 4x4 coords (bx, by) over the in-progress plane: fills `p4`
+    * (raster), or returns the refusal when the signalled mode's samples
+    * are unavailable (a conforming encoder never signals such a mode —
+    * refusing names the malformation instead of guessing pixels).
+    * tN/lN are caller scratch for the §8.3.1.2 p[x,−1] / p[−1,y]
+    * arrays, with the spec's p[3,−1] substitution when p[4..7,−1] is
+    * undecoded. Shared by the CAVLC and CABAC reconstruction paths.
+    */
+  private def predictIntra4x4(mode: Int, bx: Int, by: Int,
+      luma: Array[Byte], w: Int, mbw: Int, p4: Array[Int],
+      tN: Array[Int], lN: Array[Int]): String = {
+      val px = bx * 4
+      val py = by * 4
+      val leftOk = bx > 0
+      val topOk = by > 0
+      val tlOk = leftOk && topOk
+      def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
+      // top-right pixels p[4..7,−1] belong to block (bx+1, by−1):
+      // available iff inside the picture AND decoded before current
+      // (same MB: Z order; other MB: raster order)
+      val trOk = topOk && bx + 1 < mbw * 4 && {
+        val tmb = ((by - 1) >> 2) * mbw + ((bx + 1) >> 2)
+        val cmb = (by >> 2) * mbw + (bx >> 2)
+        tmb < cmb || (tmb == cmb &&
+          ZOf(((by - 1) & 3) * 4 + ((bx + 1) & 3)) <
+            ZOf((by & 3) * 4 + (bx & 3)))
+      }
+      if (topOk) {
+        var i = 0
+        while (i < 4) { tN(i) = at(px + i, py - 1); i += 1 }
+        while (i < 8) {
+          tN(i) = if (trOk) at(px + i, py - 1) else tN(3)
+          i += 1
+        }
+      }
+      if (leftOk) {
+        var i = 0
+        while (i < 4) { lN(i) = at(px - 1, py + i); i += 1 }
+      }
+      val c = if (tlOk) at(px - 1, py - 1) else 0
+      def tAt(i: Int): Int = if (i < 0) c else tN(i)
+      def lAt(i: Int): Int = if (i < 0) c else lN(i)
+      def fill(f: (Int, Int) => Int): Unit = {
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { p4(y * 4 + x) = f(x, y); x += 1 }
+          y += 1
+        }
+      }
+      mode match {
+        case 0 => // Vertical
+          if (!topOk) return "Intra_4x4 vertical predictor unavailable"
+          fill((x, _) => tN(x))
+        case 1 => // Horizontal
+          if (!leftOk) return "Intra_4x4 horizontal predictor unavailable"
+          fill((_, y) => lN(y))
+        case 2 => // DC
+          var sum = 0
+          var n = 0
+          if (topOk) { sum += tN(0) + tN(1) + tN(2) + tN(3); n += 4 }
+          if (leftOk) { sum += lN(0) + lN(1) + lN(2) + lN(3); n += 4 }
+          val v = if (n == 8) (sum + 4) >> 3
+            else if (n == 4) (sum + 2) >> 2 else 128
+          java.util.Arrays.fill(p4, v)
+        case 3 => // Diagonal Down Left
+          if (!topOk) return "Intra_4x4 DDL predictor unavailable"
+          fill((x, y) =>
+            if (x == 3 && y == 3) (tN(6) + 3 * tN(7) + 2) >> 2
+            else (tN(x + y) + 2 * tN(x + y + 1) + tN(x + y + 2) + 2) >> 2)
+        case 4 => // Diagonal Down Right
+          if (!tlOk) return "Intra_4x4 DDR predictor unavailable"
+          fill((x, y) =>
+            if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + tAt(x - y) + 2) >> 2
+            else if (x < y) (lAt(y - x - 2) + 2 * lAt(y - x - 1) + lAt(y - x) + 2) >> 2
+            else (tN(0) + 2 * c + lN(0) + 2) >> 2)
+        case 5 => // Vertical Right
+          if (!tlOk) return "Intra_4x4 VR predictor unavailable"
+          fill { (x, y) =>
+            val z = 2 * x - y
+            if (z >= 0 && (z & 1) == 0)
+              (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
+            else if (z >= 0)
+              (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
+                tAt(x - (y >> 1)) + 2) >> 2
+            else if (z == -1) (lN(0) + 2 * c + tN(0) + 2) >> 2
+            else (lAt(y - 2 * x - 1) + 2 * lAt(y - 2 * x - 2) +
+              lAt(y - 2 * x - 3) + 2) >> 2
+          }
+        case 6 => // Horizontal Down
+          if (!tlOk) return "Intra_4x4 HD predictor unavailable"
+          fill { (x, y) =>
+            val z = 2 * y - x
+            if (z >= 0 && (z & 1) == 0)
+              (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+            else if (z >= 0)
+              (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
+                lAt(y - (x >> 1)) + 2) >> 2
+            else if (z == -1) (tN(0) + 2 * c + lN(0) + 2) >> 2
+            else (tAt(x - 2 * y - 1) + 2 * tAt(x - 2 * y - 2) +
+              tAt(x - 2 * y - 3) + 2) >> 2
+          }
+        case 7 => // Vertical Left
+          if (!topOk) return "Intra_4x4 VL predictor unavailable"
+          fill { (x, y) =>
+            if ((y & 1) == 0)
+              (tN(x + (y >> 1)) + tN(x + (y >> 1) + 1) + 1) >> 1
+            else (tN(x + (y >> 1)) + 2 * tN(x + (y >> 1) + 1) +
+              tN(x + (y >> 1) + 2) + 2) >> 2
+          }
+        case 8 => // Horizontal Up
+          if (!leftOk) return "Intra_4x4 HU predictor unavailable"
+          fill { (x, y) =>
+            val z = x + 2 * y
+            if (z > 5) lN(3)
+            else if (z == 5) (lN(2) + 3 * lN(3) + 2) >> 2
+            else if ((z & 1) == 0)
+              (lN(y + (x >> 1)) + lN(y + (x >> 1) + 1) + 1) >> 1
+            else (lN(y + (x >> 1)) + 2 * lN(y + (x >> 1) + 1) +
+              lN(y + (x >> 1) + 2) + 2) >> 2
+          }
+        case _ => return s"malformed intra_4x4 prediction mode $mode"
+      }
+      null
+  }
+
+  /** Intra_16x16 prediction (§8.3.3, all four modes) from the
+    * reconstructed plane into `pred` (256-entry raster scratch, fully
+    * overwritten). Returns the named refusal when the signalled mode's
+    * neighbours are unavailable. Shared by the CAVLC and CABAC paths.
+    */
+  private def predictIntra16(predMode: Int, mbx: Int, mby: Int,
+      luma: Array[Byte], w: Int, pred: Array[Int]): String = {
+    val px = mbx * 16
+    val py = mby * 16
+    val leftOk = mbx > 0
+    val topOk = mby > 0
+    def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
+    // pred is fully overwritten by every mode branch
+    predMode match {
+      case 0 => // Vertical
+        if (!topOk) return "Intra_16x16 vertical predictor unavailable"
+        else { var x = 0; while (x < 16) { val v = at(px + x, py - 1)
+          var y = 0; while (y < 16) { pred(y * 16 + x) = v; y += 1 }; x += 1 } }
+      case 1 => // Horizontal
+        if (!leftOk) return "Intra_16x16 horizontal predictor unavailable"
+        else { var y = 0; while (y < 16) { val v = at(px - 1, py + y)
+          var x = 0; while (x < 16) { pred(y * 16 + x) = v; x += 1 }; y += 1 } }
+      case 2 => // DC
+        var sum = 0
+        var n = 0
+        if (topOk) { var x = 0; while (x < 16) { sum += at(px + x, py - 1); x += 1 }; n += 16 }
+        if (leftOk) { var y = 0; while (y < 16) { sum += at(px - 1, py + y); y += 1 }; n += 16 }
+        val v = if (n == 32) (sum + 16) >> 5
+          else if (n == 16) (sum + 8) >> 4 else 128
+        java.util.Arrays.fill(pred, v)
+      case _ => // Plane (§8.3.3.4)
+        if (!topOk || !leftOk) return "Intra_16x16 plane predictor unavailable"
+        else {
+          // H = Σ_{x'=0..7} (x'+1)·(p[8+x',−1] − p[6−x',−1]);
+          // the x'=7 term reaches p[−1,−1] (and V symmetric)
+          var hSum = 0; var vSum = 0
+          var x = 0
+          while (x < 7) {
+            hSum += (x + 1) * (at(px + 8 + x, py - 1) - at(px + 6 - x, py - 1))
+            x += 1
+          }
+          hSum += 8 * (at(px + 15, py - 1) - at(px - 1, py - 1))
+          var y = 0
+          while (y < 7) {
+            vSum += (y + 1) * (at(px - 1, py + 8 + y) - at(px - 1, py + 6 - y))
+            y += 1
+          }
+          vSum += 8 * (at(px - 1, py + 15) - at(px - 1, py - 1))
+          val a = 16 * (at(px - 1, py + 15) + at(px + 15, py - 1))
+          val b = (5 * hSum + 32) >> 6
+          val c = (5 * vSum + 32) >> 6
+          y = 0
+          while (y < 16) {
+            x = 0
+            while (x < 16) {
+              val v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5
+              pred(y * 16 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+              x += 1
+            }
+            y += 1
+          }
+        }
+    }
+    null
+  }
+
+  /** CABAC slice_data (§7.3.4 under entropy_coding_mode_flag = 1):
+    * cabac_alignment_one_bit, §9.3.1.2 engine init at the aligned byte,
+    * then per macroblock [[CabacSlice.walkMb]] (syntax + context
+    * derivations) followed by the SAME reconstruction math the CAVLC
+    * path uses (shared §8.3 predictors, §8.5 dequant/transform).
+    * Returns null or the named refusal. Only reachable with an injected
+    * [[Cabac.Config]] — real-world streams refuse upstream until the
+    * probability/context-init tables are conformance-anchored.
+    */
+  private def decodeCabacMbs(sliceRbsp: Array[Byte],
+      rd: VideoBitstream.BitReader, pps: PpsInfo, mbw: Int, mbh: Int,
+      luma: Array[Byte], w: Int, qPY0: Int, deblockOff: Boolean,
+      cfg: Cabac.Config): String = {
+    val startByte = rd.bytePos // cabac_alignment_one_bit
+    val dec = new Cabac.Decoder(sliceRbsp, cfg.tables, startByte)
+    var qPY = Math.floorMod(qPY0, 52)
+    val st = new CabacSlice.State(mbw, mbh, qPY, cfg.ctxInit)
+    val io = new CabacSlice.DecodeBins(dec, st.ctx)
+    val md = new CabacSlice.MbData
+    val nMbs = mbw * mbh
+    // scratch hoisted out of the loop, same rationale as the CAVLC path
+    val dc = new Array[Int](16)
+    val pred = new Array[Int](256)
+    val d = new Array[Int](16)
+    val p4 = new Array[Int](16)
+    val tN = new Array[Int](8)
+    val lN = new Array[Int](4)
+    var mb = 0
+    var bad: String = null
+    try {
+      while (mb < nMbs && bad == null) {
+        val mbx = mb % mbw
+        val mby = mb / mbw
+        bad = CabacSlice.walkMb(st, io, mbx, mby, md)
+        if (bad == null) {
+          val px = mbx * 16
+          val py = mby * 16
+          if (md.mbType == 25) { // I_PCM: raw samples, already parsed
+            var i = 0
+            while (i < 256) {
+              luma((py + i / 16) * w + px + i % 16) = md.pcmLuma(i).toByte
+              i += 1
+            }
+          } else if (!deblockOff) {
+            bad = "in-loop deblocking not implemented " +
+              "(stream does not disable it)"
+          } else if (md.mbType == 0 && pps.transform8x8) {
+            bad = "transform_8x8 mode (High profile) not supported"
+          } else if (md.mbType == 0) { // Intra_4x4
+            if (md.cbp != 0) qPY = Math.floorMod(qPY + md.qpDelta + 52, 52)
+            var b2 = 0
+            while (b2 < 16 && bad == null) {
+              val bx4 = Blk4x4X(b2)
+              val by4 = Blk4x4Y(b2)
+              java.util.Arrays.fill(d, 0)
+              if ((md.cbp & (1 << (b2 >> 2))) != 0) {
+                var i = 0
+                while (i < 16) {
+                  val raster = Zigzag4x4(i)
+                  d(raster) = dequantAc(md.lumaAc(b2)(i), raster, qPY)
+                  i += 1
+                }
+              }
+              idct4x4(d)
+              bad = predictIntra4x4(md.i4Modes(b2), mbx * 4 + bx4,
+                mby * 4 + by4, luma, w, mbw, p4, tN, lN)
+              if (bad == null) {
+                var yy = 0
+                while (yy < 4) {
+                  var xx = 0
+                  while (xx < 4) {
+                    luma((py + by4 * 4 + yy) * w + px + bx4 * 4 + xx) =
+                      clip1(p4(yy * 4 + xx) + d(yy * 4 + xx))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              b2 += 1
+            }
+          } else { // Intra_16x16
+            qPY = Math.floorMod(qPY + md.qpDelta + 52, 52)
+            val k = md.mbType - 1
+            val cbpLuma = if (k >= 12) 15 else 0
+            var i = 0
+            while (i < 16) { dc(Zigzag4x4(i)) = md.lumaDc(i); i += 1 }
+            hadamard4x4(dc)
+            i = 0
+            while (i < 16) { dc(i) = dequantDc(dc(i), qPY); i += 1 }
+            bad = predictIntra16(k % 4, mbx, mby, luma, w, pred)
+            if (bad == null) {
+              var b = 0
+              while (b < 16) {
+                val bx4 = Blk4x4X(b)
+                val by4 = Blk4x4Y(b)
+                java.util.Arrays.fill(d, 0)
+                if (cbpLuma != 0) {
+                  var i2 = 0
+                  while (i2 < 15) {
+                    val raster = Zigzag4x4(i2 + 1)
+                    d(raster) = dequantAc(md.lumaAc(b)(i2), raster, qPY)
+                    i2 += 1
+                  }
+                }
+                d(0) = dc(by4 * 4 + bx4)
+                idct4x4(d)
+                var yy = 0
+                while (yy < 4) {
+                  var xx = 0
+                  while (xx < 4) {
+                    luma((py + by4 * 4 + yy) * w + px + bx4 * 4 + xx) =
+                      clip1(pred((by4 * 4 + yy) * 16 + bx4 * 4 + xx) +
+                        d(yy * 4 + xx))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                b += 1
+              }
+            }
+          }
+          if (bad == null) {
+            val eos = CabacSlice.endOfSlice(io, mb == nMbs - 1)
+            if (mb < nMbs - 1 && eos == 1) bad = "premature end_of_slice_flag"
+            else if (mb == nMbs - 1 && eos == 0) bad = "missing end_of_slice_flag"
+            mb += 1
+          }
+        }
+      }
+    } catch {
+      case e: CabacSlice.Malformed => bad = e.getMessage
+    }
+    bad
+  }
+
   /** The slice-level decode core both entry points share: refuse
     * unsupported shapes BY NAME, parse the IDR slice header (§7.3.3,
     * incl. dec_ref_pic_marking) and the slice_data() macroblock walk,
@@ -201,8 +529,12 @@ object H264Decode {
     * and Intra_4x4 CAVLC (per-block mode prediction §8.3.1.1, all nine
     * §8.3.1.2 spatial predictors with decoded-before top-right
     * availability and the p[3,−1] substitution, Table 9-4 me(v) cbp,
-    * full-16-coefficient residual blocks). CABAC, 8×8 transforms,
-    * scaling matrices, and inter prediction refuse by name — never a
+    * full-16-coefficient residual blocks). The same three classes
+    * decode under CABAC when a [[Cabac.Config]] is injected
+    * ([[CabacSlice]] + [[decodeCabacMbs]]); without one — i.e. for
+    * real-world streams — CABAC refuses by name (tables not
+    * conformance-anchored), as do 8×8 transforms, scaling matrices,
+    * and inter prediction — never a
     * silent wrong plane. Chroma bits are consumed (the walk must stay
     * aligned) but
     * only luma is reconstructed — gates and perceptual hashes read luma.
@@ -214,7 +546,8 @@ object H264Decode {
   private[ops] def decodeISlice(sliceRbsp: Array[Byte],
       sps: VideoBitstream.SpsInfo, pps: PpsInfo,
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
-      nalRefIdc: Int = 3): Either[String, Array[Byte]] = {
+      nalRefIdc: Int = 3,
+      cabac: Option[Cabac.Config] = None): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
     // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
     // from a crafted 46000×46000 claim kills the executor JVM — the one
@@ -223,14 +556,20 @@ object H264Decode {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
-    if (pps.entropyCabac)
-      // the §9.3 engine + binarizations exist ([[Cabac]], round-trip +
-      // hand-anchored); what blocks REAL streams is narrower now: the
-      // Table 9-44/9-45 probability tables and the Table 9-12..9-23
-      // context-init constants could not be conformance-anchored locally
-      // (Cabac.scala documents the derivation/recall disagreement)
+    if (pps.entropyCabac && cabac.isEmpty)
+      // the §9.3 engine, binarizations AND the full I-slice macroblock
+      // layer exist ([[Cabac]] + [[CabacSlice]], round-trip-pinned);
+      // what blocks REAL streams is narrower still: the Table 9-44/9-45
+      // probability tables and the Table 9-12..9-23 context-init
+      // constants could not be conformance-anchored locally (Cabac.scala
+      // documents the derivation/recall disagreement). Inject anchored
+      // tables via the `cabac` config and the path below decodes.
       Left("CABAC stream (probability/context-init tables not " +
-        "conformance-anchored; engine ready — Cabac.scala)")
+        "conformance-anchored; mb layer ready — inject Cabac.Config)")
+    else if (pps.entropyCabac && sps.chromaFormatIdc != 1)
+      // the CABAC cbp/chroma-residual walk is written for 4:2:0; a
+      // monochrome stream drops the chroma bins and would mis-parse
+      Left("CABAC monochrome stream not supported (4:2:0 only)")
     else if (pps.scalingMatrix)
       // non-flat scaling lists change every dequant in the clip — a
       // flat-matrix walk would ship a WRONG plane with decode_error null
@@ -297,6 +636,15 @@ object H264Decode {
           if (idc != 1) { rd.se(); rd.se() } // deblock offsets
         }
         var qPY = pps.picInitQp + sliceQpDelta
+        if (pps.entropyCabac) {
+          // CABAC slice_data: cabac_alignment_one_bit then the §9.3
+          // engine over the rest of the RBSP ([[CabacSlice]] walks the
+          // syntax; reconstruction below shares the CAVLC path's
+          // prediction/transform helpers)
+          val bad = decodeCabacMbs(sliceRbsp, rd, pps, mbw, mbh, luma, w,
+            qPY, deblockOff, cabac.get)
+          return if (bad != null) Left(bad) else Right(luma)
+        }
         // per-4x4-block TotalCoeff grid for CAVLC nC context (§9.2.1);
         // -1 = not decoded / outside picture
         val nCoef = Array.fill(mbw * 4 * mbh * 4)(-1)
@@ -377,121 +725,8 @@ object H264Decode {
         // the malformation instead of guessing pixels). t/l/c are the
         // §8.3.1.2 p[x,−1] / p[−1,y] / p[−1,−1] arrays, with the
         // spec's p[3,−1] substitution when p[4..7,−1] is undecoded.
-        def predict4x4(mode: Int, bx: Int, by: Int): String = {
-          val px = bx * 4
-          val py = by * 4
-          val leftOk = bx > 0
-          val topOk = by > 0
-          val tlOk = leftOk && topOk
-          def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
-          // top-right pixels p[4..7,−1] belong to block (bx+1, by−1):
-          // available iff inside the picture AND decoded before current
-          // (same MB: Z order; other MB: raster order)
-          val trOk = topOk && bx + 1 < mbw * 4 && {
-            val tmb = ((by - 1) >> 2) * mbw + ((bx + 1) >> 2)
-            val cmb = (by >> 2) * mbw + (bx >> 2)
-            tmb < cmb || (tmb == cmb &&
-              ZOf(((by - 1) & 3) * 4 + ((bx + 1) & 3)) <
-                ZOf((by & 3) * 4 + (bx & 3)))
-          }
-          if (topOk) {
-            var i = 0
-            while (i < 4) { tN(i) = at(px + i, py - 1); i += 1 }
-            while (i < 8) {
-              tN(i) = if (trOk) at(px + i, py - 1) else tN(3)
-              i += 1
-            }
-          }
-          if (leftOk) {
-            var i = 0
-            while (i < 4) { lN(i) = at(px - 1, py + i); i += 1 }
-          }
-          val c = if (tlOk) at(px - 1, py - 1) else 0
-          def tAt(i: Int): Int = if (i < 0) c else tN(i)
-          def lAt(i: Int): Int = if (i < 0) c else lN(i)
-          def fill(f: (Int, Int) => Int): Unit = {
-            var y = 0
-            while (y < 4) {
-              var x = 0
-              while (x < 4) { p4(y * 4 + x) = f(x, y); x += 1 }
-              y += 1
-            }
-          }
-          mode match {
-            case 0 => // Vertical
-              if (!topOk) return "Intra_4x4 vertical predictor unavailable"
-              fill((x, _) => tN(x))
-            case 1 => // Horizontal
-              if (!leftOk) return "Intra_4x4 horizontal predictor unavailable"
-              fill((_, y) => lN(y))
-            case 2 => // DC
-              var sum = 0
-              var n = 0
-              if (topOk) { sum += tN(0) + tN(1) + tN(2) + tN(3); n += 4 }
-              if (leftOk) { sum += lN(0) + lN(1) + lN(2) + lN(3); n += 4 }
-              val v = if (n == 8) (sum + 4) >> 3
-                else if (n == 4) (sum + 2) >> 2 else 128
-              java.util.Arrays.fill(p4, v)
-            case 3 => // Diagonal Down Left
-              if (!topOk) return "Intra_4x4 DDL predictor unavailable"
-              fill((x, y) =>
-                if (x == 3 && y == 3) (tN(6) + 3 * tN(7) + 2) >> 2
-                else (tN(x + y) + 2 * tN(x + y + 1) + tN(x + y + 2) + 2) >> 2)
-            case 4 => // Diagonal Down Right
-              if (!tlOk) return "Intra_4x4 DDR predictor unavailable"
-              fill((x, y) =>
-                if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + tAt(x - y) + 2) >> 2
-                else if (x < y) (lAt(y - x - 2) + 2 * lAt(y - x - 1) + lAt(y - x) + 2) >> 2
-                else (tN(0) + 2 * c + lN(0) + 2) >> 2)
-            case 5 => // Vertical Right
-              if (!tlOk) return "Intra_4x4 VR predictor unavailable"
-              fill { (x, y) =>
-                val z = 2 * x - y
-                if (z >= 0 && (z & 1) == 0)
-                  (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
-                else if (z >= 0)
-                  (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
-                    tAt(x - (y >> 1)) + 2) >> 2
-                else if (z == -1) (lN(0) + 2 * c + tN(0) + 2) >> 2
-                else (lAt(y - 2 * x - 1) + 2 * lAt(y - 2 * x - 2) +
-                  lAt(y - 2 * x - 3) + 2) >> 2
-              }
-            case 6 => // Horizontal Down
-              if (!tlOk) return "Intra_4x4 HD predictor unavailable"
-              fill { (x, y) =>
-                val z = 2 * y - x
-                if (z >= 0 && (z & 1) == 0)
-                  (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
-                else if (z >= 0)
-                  (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
-                    lAt(y - (x >> 1)) + 2) >> 2
-                else if (z == -1) (tN(0) + 2 * c + lN(0) + 2) >> 2
-                else (tAt(x - 2 * y - 1) + 2 * tAt(x - 2 * y - 2) +
-                  tAt(x - 2 * y - 3) + 2) >> 2
-              }
-            case 7 => // Vertical Left
-              if (!topOk) return "Intra_4x4 VL predictor unavailable"
-              fill { (x, y) =>
-                if ((y & 1) == 0)
-                  (tN(x + (y >> 1)) + tN(x + (y >> 1) + 1) + 1) >> 1
-                else (tN(x + (y >> 1)) + 2 * tN(x + (y >> 1) + 1) +
-                  tN(x + (y >> 1) + 2) + 2) >> 2
-              }
-            case 8 => // Horizontal Up
-              if (!leftOk) return "Intra_4x4 HU predictor unavailable"
-              fill { (x, y) =>
-                val z = x + 2 * y
-                if (z > 5) lN(3)
-                else if (z == 5) (lN(2) + 3 * lN(3) + 2) >> 2
-                else if ((z & 1) == 0)
-                  (lN(y + (x >> 1)) + lN(y + (x >> 1) + 1) + 1) >> 1
-                else (lN(y + (x >> 1)) + 2 * lN(y + (x >> 1) + 1) +
-                  lN(y + (x >> 1) + 2) + 2) >> 2
-              }
-            case _ => return s"malformed intra_4x4 prediction mode $mode"
-          }
-          null
-        }
+        def predict4x4(mode: Int, bx: Int, by: Int): String =
+          predictIntra4x4(mode, bx, by, luma, w, mbw, p4, tN, lN)
         // slice_data (§7.3.4), CAVLC I slice: macroblock_layer per MB
         var mb = 0
         var bad: String = null
@@ -650,60 +885,7 @@ object H264Decode {
                   // prediction (§8.3.3) from the reconstructed plane
                   val px = mbx * 16
                   val py = mby * 16
-                  val leftOk = mbx > 0
-                  val topOk = mby > 0
-                  def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
-                  // pred is fully overwritten by every mode branch
-                  predMode match {
-                    case 0 => // Vertical
-                      if (!topOk) bad = "Intra_16x16 vertical predictor unavailable"
-                      else { var x = 0; while (x < 16) { val v = at(px + x, py - 1)
-                        var y = 0; while (y < 16) { pred(y * 16 + x) = v; y += 1 }; x += 1 } }
-                    case 1 => // Horizontal
-                      if (!leftOk) bad = "Intra_16x16 horizontal predictor unavailable"
-                      else { var y = 0; while (y < 16) { val v = at(px - 1, py + y)
-                        var x = 0; while (x < 16) { pred(y * 16 + x) = v; x += 1 }; y += 1 } }
-                    case 2 => // DC
-                      var sum = 0
-                      var n = 0
-                      if (topOk) { var x = 0; while (x < 16) { sum += at(px + x, py - 1); x += 1 }; n += 16 }
-                      if (leftOk) { var y = 0; while (y < 16) { sum += at(px - 1, py + y); y += 1 }; n += 16 }
-                      val v = if (n == 32) (sum + 16) >> 5
-                        else if (n == 16) (sum + 8) >> 4 else 128
-                      java.util.Arrays.fill(pred, v)
-                    case _ => // Plane (§8.3.3.4)
-                      if (!topOk || !leftOk) bad = "Intra_16x16 plane predictor unavailable"
-                      else {
-                        // H = Σ_{x'=0..7} (x'+1)·(p[8+x',−1] − p[6−x',−1]);
-                        // the x'=7 term reaches p[−1,−1] (and V symmetric)
-                        var hSum = 0; var vSum = 0
-                        var x = 0
-                        while (x < 7) {
-                          hSum += (x + 1) * (at(px + 8 + x, py - 1) - at(px + 6 - x, py - 1))
-                          x += 1
-                        }
-                        hSum += 8 * (at(px + 15, py - 1) - at(px - 1, py - 1))
-                        var y = 0
-                        while (y < 7) {
-                          vSum += (y + 1) * (at(px - 1, py + 8 + y) - at(px - 1, py + 6 - y))
-                          y += 1
-                        }
-                        vSum += 8 * (at(px - 1, py + 15) - at(px - 1, py - 1))
-                        val a = 16 * (at(px - 1, py + 15) + at(px + 15, py - 1))
-                        val b = (5 * hSum + 32) >> 6
-                        val c = (5 * vSum + 32) >> 6
-                        y = 0
-                        while (y < 16) {
-                          x = 0
-                          while (x < 16) {
-                            val v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5
-                            pred(y * 16 + x) = if (v < 0) 0 else if (v > 255) 255 else v
-                            x += 1
-                          }
-                          y += 1
-                        }
-                      }
-                  }
+                  bad = predictIntra16(predMode, mbx, mby, luma, w, pred)
                   if (bad == null) {
                     // residual per 4x4 block (AC only when cbp_luma says so)
                     var b = 0
@@ -795,17 +977,23 @@ object H264Decode {
     StructField("decode_error", StringType))
 
   /** Decode the FIRST IDR frame of an Annex-B H.264 payload, supported
-    * subset: CAVLC streams whose IDR slice is I_PCM and/or Intra_16x16
-    * macroblocks (real entropy decode + dequant + inverse transform +
-    * prediction for the latter), frame_mbs_only, 4:2:0 or monochrome,
-    * no FMO, in-loop deblocking disabled for entropy-coded slices.
-    * Emits the reconstructed luma plane (row-major bytes, uncropped
-    * SPS dims), its exact mean, and the macroblock count. Everything
-    * else degrades per clip with a message naming WHY (CABAC / I_4x4 /
-    * the VLC table columns [[Cavlc]] deliberately does not carry).
+    * subset: CAVLC streams whose IDR slice is I_PCM, Intra_16x16 and/or
+    * Intra_4x4 macroblocks (real entropy decode + dequant + inverse
+    * transform + prediction), frame_mbs_only, 4:2:0 or monochrome, no
+    * FMO, in-loop deblocking disabled for entropy-coded slices. CABAC
+    * streams decode through the SAME macroblock classes when a
+    * [[Cabac.Config]] is passed (the full §9.3 mb layer —
+    * [[CabacSlice]]); without one they refuse by name because the
+    * derived probability/context-init tables are not
+    * conformance-anchored. Emits the reconstructed luma plane
+    * (row-major bytes, uncropped SPS dims), its exact mean, and the
+    * macroblock count. Everything else degrades per clip with a message
+    * naming WHY (inter / 8×8 transform / scaling matrices / the VLC
+    * table columns [[Cavlc]] deliberately does not carry).
     */
   def decodeIdr(df: DataFrame, payloadCol: String = "payload",
-      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      cabac: Option[Cabac.Config] = None): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeIdr", cols.map(_.name))
     val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -841,7 +1029,8 @@ object H264Decode {
             if (sps == null) errRow("no SPS in stream")
             else if (pps == null) errRow("no PPS in stream")
             else if (idr == null) errRow("no IDR slice in stream")
-            else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc) match {
+            else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
+              cabac) match {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
@@ -1174,6 +1363,137 @@ object H264Decode {
         nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 1))
         nal(3, 8, cavlcPpsRbsp)
         nal(3, 5, i4x4SliceRbsp(base, k))
+        out.toArray
+      })
+
+  /** The CABAC twin of [[cavlcPpsRbsp]]: entropy_coding_mode_flag = 1,
+    * same QP 28 (DC coefficient v dequants to residual exactly v) and
+    * deblock-control flag. */
+  private[ops] def cabacPpsRbsp: Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u(1, 1) // entropy_coding_mode_flag: CABAC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.u(0, 1) // weighted_pred_flag
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(2) // pic_init_qp_minus26 → QP 28
+    w.se(0); w.se(0) // init_qs, chroma_qp_offset
+    w.u(1, 1) // deblocking_filter_control_present_flag
+    w.u(0, 1) // constrained_intra_pred_flag
+    w.u(0, 1) // redundant_pic_cnt_present_flag
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Drive the [[CabacSlice]] walker in ENCODE mode over a sequence of
+    * per-MB plans — the encoder twin of [[decodeCabacMbs]] (same walker,
+    * same context state, so symmetry holds by construction). Returns the
+    * CABAC-coded slice_data bytes (terminated by the end_of_slice flush,
+    * whose trailing one doubles as the rbsp stop bit).
+    */
+  private[ops] def encodeCabacSlice(mbw: Int, mbh: Int, sliceQp: Int,
+      plans: Seq[CabacSlice.MbData],
+      cfg: Cabac.Config = Cabac.Config.derived): Array[Byte] = {
+    val enc = new Cabac.Encoder(cfg.tables)
+    val st = new CabacSlice.State(mbw, mbh, sliceQp, cfg.ctxInit)
+    val io = new CabacSlice.EncodeBins(enc, st.ctx)
+    plans.zipWithIndex.foreach { case (md, i) =>
+      val bad = CabacSlice.walkMb(st, io, i % mbw, i / mbw, md)
+      require(bad == null, s"fixture plan invalid at mb $i: $bad")
+      CabacSlice.endOfSlice(io, i == plans.size - 1)
+    }
+    enc.finish()
+  }
+
+  /** The CABAC fixture slice: a 3×2-MB I frame walking every macroblock
+    * class through the §9.3 entropy layer with a CLOSED-FORM luma plane
+    * at QP 28:
+    *   - MB0: I16 DC pred (no neighbours → 128), DC coeff `v0`,
+    *     cbp_chroma 2 with chroma DC AND dense chroma AC blocks — one Cr
+    *     coefficient of +17 drives the UEG0 level escape and one at scan
+    *     14 the implicit-last significance path → constant c0 = 128+v0
+    *   - MB1: I16 Horizontal pred, trailing DC ±1 → c1 = c0 ± 1
+    *   - MB2: I_PCM, constant `p` — the mid-stream terminate → align →
+    *     raw bytes → §9.3.1.2 engine re-init path
+    *   - MB3: I16 Vertical pred from MB0, DC `v2` → c2 = c0 + v2
+    *   - MB4: I16 DC pred from MB1/MB3, zero residual, mb_qp_delta +2
+    *     (QP 30 while nothing dequants) → c3 = (c1+c2+1)>>1
+    *   - MB5: Intra_4x4, all blocks Horizontal with DC residual `k`,
+    *     mb_qp_delta −2 (back to 28) → block column bx = c3 + 4k(bx+1)
+    *  y_mean = (c0 + c1 + p + c2 + 2·c3 + 10k) / 6 exactly (no clipping
+    *  for the catalog's parameter ranges).
+    */
+  private[ops] def cabacSliceRbsp(v0: Int, s1Neg: Boolean, v2: Int,
+      k: Int, p: Int): Array[Byte] = {
+    def mb(tpe: Int)(f: CabacSlice.MbData => Unit): CabacSlice.MbData = {
+      val m = new CabacSlice.MbData
+      m.clear()
+      m.mbType = tpe
+      f(m)
+      m
+    }
+    val plans = Seq(
+      mb(11) { m => // I16 DC pred, cbpLuma 0, cbpChroma 2
+        m.lumaDc(0) = v0
+        Array(2, 1, -1, 0).copyToArray(m.chromaDc(0))
+        Array(1, -1, 1, -1).copyToArray(m.chromaDc(1))
+        var b = 0
+        while (b < 4) {
+          m.chromaAc(0)(b)(0) = 1; m.chromaAc(0)(b)(3) = 1
+          val cr = m.chromaAc(1)(b)
+          cr(0) = 1; cr(1) = -1; cr(2) = 2; cr(4) = 17; cr(5) = -1
+          cr(8) = 1; cr(14) = 3
+          b += 1
+        }
+      },
+      mb(2) { m => // I16 Horizontal pred
+        m.lumaDc(0) = if (s1Neg) -1 else 1
+        m.chromaPredMode = 1
+      },
+      mb(25) { m => // I_PCM, constant p, chroma 128
+        java.util.Arrays.fill(m.pcmLuma, p)
+        java.util.Arrays.fill(m.pcmChroma, 128)
+      },
+      mb(1) { m => // I16 Vertical pred
+        m.lumaDc(0) = v2
+        m.chromaPredMode = 3
+      },
+      mb(3) { m => // I16 DC pred, zero residual, qp excursion
+        m.qpDelta = 2
+        m.chromaPredMode = 2
+      },
+      mb(0) { m => // Intra_4x4, all Horizontal, DC residual k per block
+        m.cbp = 15
+        m.qpDelta = -2
+        var b = 0
+        while (b < 16) { m.i4Modes(b) = 1; m.lumaAc(b)(0) = k; b += 1 }
+      })
+    val w = new VideoBitstream.BitWriter
+    writeIdrSliceHeader(w, deblockIdc = Some(1))
+    w.alignByteOnes() // cabac_alignment_one_bit
+    w.bytes ++ encodeCabacSlice(3, 2, 28, plans)
+  }
+
+  /** Deterministic CABAC clip (Annex-B): SPS (3×2 MBs) + the CABAC QP-28
+    * PPS + [[cabacSliceRbsp]]. Self-coded with [[Cabac.Config.derived]]
+    * — decode with `decodeIdr(df, col, cabac = Some(Cabac.Config
+    * .derived))`. Expected y_mean is the closed form documented on the
+    * slice builder.
+    */
+  val syntheticCabacAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, k: Int, p: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(3, 2))
+        nal(3, 8, cabacPpsRbsp)
+        nal(3, 5, cabacSliceRbsp(v0, s1Neg, v2, k, p))
         out.toArray
       })
 
