@@ -2855,6 +2855,104 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM q"""))
 
+  /** The MP4 keyframe route over ARITHMETIC-CODED keyframes
+    * ([[graft.ops.H264Decode.syntheticCabacMp4]] — avcC carries the
+    * CABAC QP-28 PPS; keyframe k's six-macroblock plane is closed-form
+    * in (1+(v0+3k)%5, s1, v2, kk, p)): sample tables locate the sync
+    * samples and each decodes through the shared I-slice core's
+    * [[graft.ops.CabacSlice]] path with the injected self-coded tables.
+    * Composition proof that fetch-and-decode-only-keyframes covers
+    * CABAC streams end-to-end — container walk, avcC parameter sets,
+    * per-sample entropy decode, per-sample error isolation.
+    */
+  private val mmMp4CabacDecode = Q("mm_mp4_cabac_decode",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.H264Decode.syntheticCabacMp4(
+          (lit(3) + col("doc_id") % 4).cast("int"), lit(2),
+          (col("doc_id") % 5).cast("int"),
+          col("doc_id") % 2 === 1,
+          (lit(2) + col("doc_id") % 3).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (lit(150) + col("doc_id") % 7).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4Keyframes(clips, "payload",
+          cabac = Some(graft.ops.Cabac.Config.derived))
+        .select(col("doc_id"), col("sample_idx"), col("frame_width"),
+          col("frame_height"), col("mb_count"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (3 + doc_id % 4)::INT AS ns,
+        (doc_id % 5)::INT AS v0, (doc_id % 2 = 1) AS s1,
+        (2 + doc_id % 3)::INT AS v2, (1 + doc_id % 4)::INT AS kk,
+        (150 + doc_id % 7)::INT AS pc FROM documents),
+      kf AS (SELECT doc_id, k::INT AS k, v0, s1, v2, kk, pc
+        FROM p, unnest(generate_series(0, ns - 1)) AS t(k) WHERE k % 2 = 0),
+      cc AS (SELECT doc_id, k, 128 + 1 + (v0 + 3*k) % 5 AS c0,
+        s1, v2, kk, pc FROM kf),
+      q AS (SELECT doc_id, k, c0, pc, kk,
+        c0 + CASE WHEN s1 THEN -1 ELSE 1 END AS c1, c0 + v2 AS c2 FROM cc)
+      SELECT doc_id, (k + 1)::INT AS sample_idx, 48::INT AS frame_width,
+        32::INT AS frame_height, 6::INT AS mb_count,
+        (c0 + c1 + pc + c2 + 2 * ((c1 + c2 + 1) // 2) + 10 * kk)::DOUBLE / 6
+          AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
+  /** WebM/Matroska structure census ([[graft.ops.Ebml.webmTracks]]) —
+    * the decode-free container gate for crawled VP8/VP9/AV1 video: REAL
+    * EBML coding (RFC 8794 vints, nested masters) walked for DocType,
+    * per-track codec/dims/audio params, TimestampScale-normalized
+    * duration, and the cluster/SimpleBlock keyframe census. One row per
+    * track; every column closed-form in doc_id. Narrow flatMap — the
+    * 100 TB shape is per-clip independent, no shuffle, no decode.
+    */
+  private val mmWebmTracks = Q("mm_webm_tracks",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Ebml.syntheticWebm(
+          (col("doc_id") % 3).cast("int"),
+          (lit(320) + lit(16) * (col("doc_id") % 10)).cast("int"),
+          (lit(240) + lit(16) * (col("doc_id") % 6)).cast("int"),
+          (col("doc_id") % 2).cast("int"),
+          when(col("doc_id") % 2 === 0, 48000).otherwise(44100).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (lit(4) + col("doc_id") % 3).cast("int"),
+          (lit(2) + col("doc_id") % 2).cast("int"),
+          (lit(1000) + lit(500) * (col("doc_id") % 5)).cast("int")).as("payload"))
+      graft.ops.Ebml.webmTracks(clips, "payload")
+        .select(col("doc_id"), col("doc_type"), col("track_number"),
+          col("track_type"), col("codec_id"), col("pixel_width"),
+          col("pixel_height"), col("sampling_hz"), col("channels"),
+          col("duration_s"), col("cluster_count"), col("block_count"),
+          col("keyframe_count"), col("parse_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        (doc_id % 3)::INT AS cs, (320 + 16 * (doc_id % 10))::BIGINT AS w,
+        (240 + 16 * (doc_id % 6))::BIGINT AS h, (doc_id % 2)::INT AS asel,
+        (CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END)::DOUBLE AS hz,
+        (1 + doc_id % 3)::INT AS nc, (4 + doc_id % 3)::INT AS bp,
+        (2 + doc_id % 2)::INT AS kp,
+        (1000 + 500 * (doc_id % 5))::INT AS dur_ms FROM documents)
+      SELECT doc_id, 'webm' AS doc_type, 1::BIGINT AS track_number,
+        'video' AS track_type,
+        (CASE cs WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+          ELSE 'V_AV1' END) AS codec_id,
+        w AS pixel_width, h AS pixel_height,
+        NULL::DOUBLE AS sampling_hz, NULL::BIGINT AS channels,
+        (dur_ms / 1000.0)::DOUBLE AS duration_s,
+        nc AS cluster_count, (nc * bp)::INT AS block_count,
+        (nc * ((bp + kp - 1) // kp))::INT AS keyframe_count,
+        NULL::VARCHAR AS parse_error
+      FROM p
+      UNION ALL
+      SELECT doc_id, 'webm', 2::BIGINT, 'audio',
+        (CASE asel WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END),
+        NULL::BIGINT, NULL::BIGINT, hz, 2::BIGINT,
+        (dur_ms / 1000.0)::DOUBLE, nc, (nc * bp)::INT,
+        (nc * ((bp + kp - 1) // kp))::INT, NULL::VARCHAR
+      FROM p"""),
+    bench = true)
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -3549,7 +3647,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

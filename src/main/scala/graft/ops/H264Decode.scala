@@ -1058,7 +1058,8 @@ object H264Decode {
     * clip-level failures (no video track, no avcC) yield one error row.
     */
   def decodeMp4Keyframes(df: DataFrame, payloadCol: String = "payload",
-      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      cabac: Option[Cabac.Config] = None): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeMp4Keyframes", mp4Cols.map(_.name))
     val schema = StructType(df.schema.fields ++ mp4Cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -1165,7 +1166,7 @@ object H264Decode {
                         }
                         if (idr == null) sampleErr("no IDR NAL in sync sample")
                         else decodeISlice(idr, sps, pps, maxPlaneBytes,
-                            idrRefIdc) match {
+                            idrRefIdc, cabac) match {
                           case Left(msg) => sampleErr(msg)
                           case Right(luma) => Seq(lumaRow(r, luma,
                             sps.widthMbs * 16, sps.heightMbs * 16,
@@ -1731,5 +1732,27 @@ object H264Decode {
             sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
         }
         mp4AvcClip(2, 2, samples, syncPeriod, cavlcPpsRbsp)
+      })
+
+  /** MP4 clip whose sync samples are CABAC IDR frames — the keyframe
+    * route over ARITHMETIC-CODED keyframes: the avcC carries the CABAC
+    * QP-28 PPS, and sync sample k decodes (through the shared I-slice
+    * core's [[CabacSlice]] path, self-coded tables) to the closed-form
+    * six-macroblock plane of [[cabacSliceRbsp]](1 + (v0 + 3k) % 5,
+    * s1Neg, v2, kk, p). 3×2 MBs; non-sync samples carry opaque non-IDR
+    * NALs.
+    */
+  val syntheticCabacMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (nSamples: Int, syncPeriod: Int, v0: Int, s1Neg: Boolean, v2: Int,
+          kk: Int, p: Int) => {
+        val samples = Array.tabulate(nSamples) { k =>
+          if (k % syncPeriod == 0)
+            sampleNal(3, 5, cabacSliceRbsp(1 + (v0 + 3 * k) % 5, s1Neg,
+              v2, kk, p))
+          else
+            sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
+        }
+        mp4AvcClip(3, 2, samples, syncPeriod, cabacPpsRbsp)
       })
 }

@@ -285,6 +285,32 @@ class CabacSliceSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 keyframe route over CABAC sync samples: avcC carries the " +
+      "CABAC PPS, every keyframe decodes closed-form, non-IDR samples skip") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id")
+      .select(H264Decode.syntheticCabacMp4(lit(5), lit(2), lit(1),
+        lit(false), lit(2), lit(2), lit(160)).as("payload"))
+    val rows = H264Decode.decodeMp4Keyframes(df, "payload",
+        cabac = Some(Cabac.Config.derived))
+      .collect().sortBy(_.getAs[Int]("sample_idx"))
+    assert(rows.length == 3) // sync samples 0, 2, 4 (1-based idx 1, 3, 5)
+    for (r <- rows) {
+      assert(r.getAs[String]("decode_error") == null)
+      assert(r.getAs[Int]("mb_count") == 6)
+      val k = r.getAs[Int]("sample_idx") - 1
+      val c0 = 128 + 1 + (1 + 3 * k) % 5
+      val c1 = c0 + 1
+      val c2 = c0 + 2
+      val c3 = (c1 + c2 + 1) >> 1
+      val expMean = (c0 + c1 + 160 + c2 + 2 * c3 + 10 * 2).toDouble / 6
+      assert(r.getAs[Double]("y_mean") == expMean, s"sample $k")
+    }
+    // without the config the sync samples refuse by name, per sample
+    val ref = H264Decode.decodeMp4Keyframes(df, "payload").collect()
+    assert(ref.forall(_.getAs[String]("decode_error") != null))
+    assert(ref.head.getAs[String]("decode_error").contains("CABAC"))
+  }
+
   test("real CABAC streams still refuse by name without injected tables; " +
       "garbage slice bytes degrade per-clip, never throw") {
     val df = Seq(Tuple1(0L)).toDF("doc_id")
