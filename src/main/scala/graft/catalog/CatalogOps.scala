@@ -2953,6 +2953,251 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** HEVC/H.265 structure census ([[graft.ops.Hevc.hevcMeta]]) — the
+    * third crawled-video gate next to the H.264 walk and the WebM
+    * census: two-byte NAL headers over the same Annex-B framing, the
+    * IRAP keyframe census (types 16..23, IDR 19/20, CRA 21), and a REAL
+    * §7.3.2.2 SPS parse (12-byte general PTL, dims, chroma format, bit
+    * depth) with emulation-prevention unescape. All columns closed-form
+    * in doc_id; decode-free, narrow, per-clip degradation.
+    */
+  private val mmHevcMeta = Q("mm_hevc_meta",
+    (s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Hevc.syntheticHevcAnnexB(
+          (lit(320) + lit(16) * (col("doc_id") % 10)).cast("int"),
+          (lit(240) + lit(16) * (col("doc_id") % 6)).cast("int"),
+          (lit(1) + col("doc_id") % 2).cast("int"),
+          (lit(90) + lit(30) * (col("doc_id") % 4)).cast("int"),
+          (lit(2) * (col("doc_id") % 2)).cast("int"),
+          (lit(1) + col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 2).cast("int"),
+          (lit(2) + col("doc_id") % 4).cast("int")).as("payload"))
+      graft.ops.Hevc.hevcMeta(clips, "payload")
+        .select(col("doc_id"), col("nal_count"), col("irap_count"),
+          col("idr_count"), col("cra_count"), col("has_vps"),
+          col("has_pps"), col("width"), col("height"), col("profile_idc"),
+          col("level_idc"), col("bit_depth_luma"), col("parse_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        (1 + doc_id % 3)::INT AS ni, (doc_id % 2)::INT AS nc,
+        (2 + doc_id % 4)::INT AS nt FROM documents)
+      SELECT doc_id, (3 + ni + nc + nt)::INT AS nal_count,
+        (ni + nc)::INT AS irap_count, ni AS idr_count, nc AS cra_count,
+        TRUE AS has_vps, TRUE AS has_pps,
+        (320 + 16 * (doc_id % 10))::INT AS width,
+        (240 + 16 * (doc_id % 6))::INT AS height,
+        (1 + doc_id % 2)::INT AS profile_idc,
+        (90 + 30 * (doc_id % 4))::INT AS level_idc,
+        (8 + 2 * (doc_id % 2))::INT AS bit_depth_luma,
+        NULL::VARCHAR AS parse_error
+      FROM p"""),
+    bench = true)
+
+  /** Ogg-Opus / Ogg-Vorbis / FLAC structure census
+    * ([[graft.ops.AudioContainers.audioContainerMeta]]) — the crawled-
+    * audio gate beyond MP3/WAVE: RFC 3533 page walk with lacing, RFC
+    * 7845 OpusHead (granules at 48 kHz minus pre-skip), the Vorbis I
+    * identification header, and the FLAC metadata chain with the
+    * 64-bit-packed STREAMINFO. Fixture cycles all three containers per
+    * doc_id; every column (codec, rate, channels, pages/blocks, exact
+    * duration) closed-form. Decode-free, narrow, per-clip degradation.
+    */
+  private val mmAudioContainers = Q("mm_audio_containers",
+    (s, dir) => {
+      val d = col("doc_id")
+      val payload = when(d % 3 === 0,
+          graft.ops.AudioContainers.syntheticFlac(
+            when(d % 2 === 0, 44100).otherwise(48000).cast("int"),
+            (lit(1) + d % 2).cast("int"), lit(16),
+            (lit(100000) + lit(480) * (d % 100)).cast("long")))
+        .when(d % 3 === 1,
+          graft.ops.AudioContainers.syntheticOggOpus(
+            (lit(1) + d % 2).cast("int"), lit(312),
+            (lit(2) + d % 3).cast("int"),
+            (lit(48000) * (lit(1) + d % 5)).cast("long")))
+        .otherwise(
+          graft.ops.AudioContainers.syntheticOggVorbis(
+            lit(2), lit(44100), (lit(2) + d % 2).cast("int"),
+            (lit(44100) * (lit(1) + d % 4)).cast("long")))
+      val clips = t(s, dir, "documents").select(d, payload.as("payload"))
+      graft.ops.AudioContainers.audioContainerMeta(clips, "payload")
+        .select(col("doc_id"), col("container"), col("codec"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"),
+          col("total_samples"), col("page_count"), col("meta_blocks"),
+          col("duration_s"), col("parse_error"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'flac' ELSE 'ogg' END AS container,
+        CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
+          ELSE 'vorbis' END AS codec,
+        (CASE doc_id % 3
+          WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+          WHEN 1 THEN 48000 ELSE 44100 END)::BIGINT AS sample_rate,
+        (CASE doc_id % 3 WHEN 2 THEN 2
+          ELSE 1 + doc_id % 2 END)::INT AS channels,
+        (CASE doc_id % 3 WHEN 0 THEN 16 ELSE NULL END)::INT AS bits_per_sample,
+        (CASE doc_id % 3
+          WHEN 0 THEN 100000 + 480 * (doc_id % 100)
+          WHEN 1 THEN 48000 * (1 + doc_id % 5)
+          ELSE 44100 * (1 + doc_id % 4) END)::BIGINT AS total_samples,
+        (CASE doc_id % 3 WHEN 0 THEN NULL
+          WHEN 1 THEN 3 + doc_id % 3
+          ELSE 3 + doc_id % 2 END)::INT AS page_count,
+        (CASE doc_id % 3 WHEN 0 THEN 3 ELSE NULL END)::INT AS meta_blocks,
+        (CASE doc_id % 3
+          WHEN 0 THEN (100000 + 480 * (doc_id % 100))
+            / (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)::DOUBLE
+          WHEN 1 THEN (1 + doc_id % 5)::DOUBLE
+          ELSE (1 + doc_id % 4)::DOUBLE END) AS duration_s,
+        NULL::VARCHAR AS parse_error
+      FROM documents"""),
+    bench = true)
+
+  /** Multi-format MEDIA GATE pipeline — the composition row over the
+    * whole census family: one mixed corpus (payload kind cycles WebM /
+    * HEVC Annex-B / FLAC / Ogg-Opus / I_PCM MP4 / CABAC H.264 Annex-B
+    * by doc_id % 6), [[graft.ops.Multimodal.sniffMediaType]] routes each
+    * clip to its typed census ([[graft.ops.Ebml.webmTracks]],
+    * [[graft.ops.Hevc.hevcMeta]],
+    * [[graft.ops.AudioContainers.audioContainerMeta]],
+    * [[graft.ops.H264Decode.decodeMp4Keyframes]]/decodeIdr), and the
+    * branches union into ONE normalized gate frame with a declarative
+    * keep rule (video: width ≥ 352 and ≥ 2 keyframes; audio: duration ≥
+    * 1.5 s). This is the 100 TB curation shape: per-clip narrow census
+    * per branch, the only shuffle the mp4 branch's tiny per-doc sample
+    * rollup, the gate itself codegen'd expressions. Scale note: each
+    * branch re-filters the corpus because the fixture payloads are
+    * GENERATED — over a real object store you persist the sniffed
+    * frame once (or let the sniff column partition-prune) so the five
+    * branches share one read. The oracle recomputes every branch's
+    * closed form and the keep verdict per doc.
+    */
+  private val mmMediaGate = Q("mm_media_gate_pipeline",
+    (s, dir) => {
+      val d = col("doc_id")
+      val payload = when(d % 6 === 0,
+          graft.ops.Ebml.syntheticWebm((d % 3).cast("int"),
+            (lit(320) + lit(16) * (d % 10)).cast("int"),
+            (lit(240) + lit(16) * (d % 6)).cast("int"),
+            (d % 2).cast("int"),
+            when(d % 2 === 0, 48000).otherwise(44100).cast("int"),
+            (lit(1) + d % 3).cast("int"), (lit(4) + d % 3).cast("int"),
+            (lit(2) + d % 2).cast("int"),
+            (lit(1000) + lit(500) * (d % 5)).cast("int")))
+        .when(d % 6 === 1,
+          graft.ops.Hevc.syntheticHevcAnnexB(
+            (lit(320) + lit(16) * (d % 10)).cast("int"),
+            (lit(240) + lit(16) * (d % 6)).cast("int"),
+            (lit(1) + d % 2).cast("int"),
+            (lit(90) + lit(30) * (d % 4)).cast("int"),
+            (lit(2) * (d % 2)).cast("int"), (lit(1) + d % 3).cast("int"),
+            (d % 2).cast("int"), (lit(2) + d % 4).cast("int")))
+        .when(d % 6 === 2,
+          graft.ops.AudioContainers.syntheticFlac(
+            when(d % 2 === 0, 44100).otherwise(48000).cast("int"),
+            (lit(1) + d % 2).cast("int"), lit(16),
+            (lit(100000) + lit(480) * (d % 100)).cast("long")))
+        .when(d % 6 === 3,
+          graft.ops.AudioContainers.syntheticOggOpus(
+            (lit(1) + d % 2).cast("int"), lit(312),
+            (lit(2) + d % 3).cast("int"),
+            (lit(48000) * (lit(1) + d % 5)).cast("long")))
+        .when(d % 6 === 4,
+          graft.ops.H264Decode.syntheticIPcmMp4(
+            (lit(1) + d % 4).cast("int"), (lit(1) + d % 3).cast("int"),
+            (lit(1) + d % 7).cast("int"), (lit(1) + d % 3).cast("int"),
+            (d * 7 % 256).cast("int"), (lit(1) + d % 9).cast("int")))
+        .otherwise(
+          graft.ops.H264Decode.syntheticCabacAnnexB(
+            (lit(1) + d % 5).cast("int"), d % 2 === 1,
+            (lit(2) + d % 3).cast("int"), (lit(1) + d % 4).cast("int"),
+            (lit(150) + d % 7).cast("int")))
+      val corpus = t(s, dir, "documents")
+        .select(d, payload.as("payload"))
+        .withColumn("sniffed", graft.ops.Multimodal.sniffMediaType(col("payload")))
+      def norm(df: org.apache.spark.sql.DataFrame, kind: String,
+          w: Column, h: Column, sr: Column, dur: Column,
+          kf: Column): org.apache.spark.sql.DataFrame =
+        df.select(col("doc_id"), col("sniffed"), lit(kind).as("media_kind"),
+          w.cast("int").as("width"), h.cast("int").as("height"),
+          sr.cast("bigint").as("sample_rate"),
+          dur.cast("double").as("duration_s"), kf.cast("int").as("keyframes"))
+      val webm = norm(graft.ops.Ebml.webmTracks(
+          corpus.filter(col("sniffed") === "video/webm"), "payload")
+          .filter(col("track_type") === "video"),
+        "webm", col("pixel_width"), col("pixel_height"), lit(null),
+        col("duration_s"), col("keyframe_count"))
+      val hevc = norm(graft.ops.Hevc.hevcMeta(
+          corpus.filter((col("sniffed") === "video/annexb") && (d % 6 === 1)), "payload"),
+        "hevc", col("width"), col("height"), lit(null), lit(null),
+        col("irap_count"))
+      val audio = norm(graft.ops.AudioContainers.audioContainerMeta(
+          corpus.filter(col("sniffed").isin("audio/flac", "application/ogg")),
+          "payload"),
+        "audio", lit(null), lit(null), col("sample_rate"),
+        col("duration_s"), lit(null))
+      val mp4 = norm(graft.ops.H264Decode.decodeMp4Keyframes(
+          corpus.filter(col("sniffed") === "video/mp4"), "payload")
+          .groupBy(col("doc_id"), col("sniffed"))
+          .agg(org.apache.spark.sql.functions.min("frame_width").as("w"),
+            org.apache.spark.sql.functions.min("frame_height").as("h"),
+            count(lit(1)).as("kf")),
+        "mp4", col("w"), col("h"), lit(null), lit(null), col("kf"))
+      val h264 = norm(graft.ops.H264Decode.decodeIdr(
+          corpus.filter((col("sniffed") === "video/annexb") && (d % 6 === 5)),
+          "payload", cabac = Some(graft.ops.Cabac.Config.derived)),
+        "h264", col("frame_width"), col("frame_height"), lit(null),
+        lit(null), lit(1))
+      webm.unionByName(hevc).unionByName(audio).unionByName(mp4)
+        .unionByName(h264)
+        .withColumn("keep",
+          when(col("media_kind") === "audio", col("duration_s") >= 1.5)
+            .otherwise((col("width") >= 352) && (col("keyframes") >= 2)))
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id % 6 AS kind FROM documents)
+      SELECT doc_id,
+        CASE kind WHEN 0 THEN 'video/webm' WHEN 1 THEN 'video/annexb'
+          WHEN 2 THEN 'audio/flac' WHEN 3 THEN 'application/ogg'
+          WHEN 4 THEN 'video/mp4' ELSE 'video/annexb' END AS sniffed,
+        CASE kind WHEN 0 THEN 'webm' WHEN 1 THEN 'hevc' WHEN 2 THEN 'audio'
+          WHEN 3 THEN 'audio' WHEN 4 THEN 'mp4' ELSE 'h264' END AS media_kind,
+        (CASE kind WHEN 0 THEN 320 + 16 * (doc_id % 10)
+          WHEN 1 THEN 320 + 16 * (doc_id % 10)
+          WHEN 4 THEN 16 * (1 + doc_id % 4) WHEN 5 THEN 48 END)::INT AS width,
+        (CASE kind WHEN 0 THEN 240 + 16 * (doc_id % 6)
+          WHEN 1 THEN 240 + 16 * (doc_id % 6)
+          WHEN 4 THEN 16 * (1 + doc_id % 3) WHEN 5 THEN 32 END)::INT AS height,
+        (CASE kind WHEN 2 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+          WHEN 3 THEN 48000 END)::BIGINT AS sample_rate,
+        (CASE kind WHEN 0 THEN (1000 + 500 * (doc_id % 5)) / 1000.0
+          WHEN 2 THEN (100000 + 480 * (doc_id % 100))
+            / (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)::DOUBLE
+          WHEN 3 THEN (1 + doc_id % 5)::DOUBLE END) AS duration_s,
+        (CASE kind
+          WHEN 0 THEN (1 + doc_id % 3) *
+            ((4 + doc_id % 3 + 1 + doc_id % 2) // (2 + doc_id % 2))
+          WHEN 1 THEN 1 + doc_id % 3 + doc_id % 2
+          WHEN 4 THEN (1 + doc_id % 7 + doc_id % 3) // (1 + doc_id % 3)
+          WHEN 5 THEN 1 END)::INT AS keyframes,
+        CASE WHEN kind IN (2, 3) THEN
+            (CASE kind WHEN 2 THEN (100000 + 480 * (doc_id % 100))
+                / (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)::DOUBLE
+              ELSE (1 + doc_id % 5)::DOUBLE END) >= 1.5
+          ELSE (CASE kind WHEN 0 THEN 320 + 16 * (doc_id % 10)
+              WHEN 1 THEN 320 + 16 * (doc_id % 10)
+              WHEN 4 THEN 16 * (1 + doc_id % 4) ELSE 48 END) >= 352
+            AND (CASE kind
+              WHEN 0 THEN (1 + doc_id % 3) *
+                ((4 + doc_id % 3 + 1 + doc_id % 2) // (2 + doc_id % 2))
+              WHEN 1 THEN 1 + doc_id % 3 + doc_id % 2
+              WHEN 4 THEN (1 + doc_id % 7 + doc_id % 3) // (1 + doc_id % 3)
+              ELSE 1 END) >= 2
+        END AS keep
+      FROM p"""),
+    bench = true)
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -3647,7 +3892,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -1,0 +1,298 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Ogg (Opus/Vorbis) and FLAC STRUCTURE census — the decode-free audio
+  * gate next to the MP3 frame census and the RIFF/WAVE envelope: a
+  * crawled-audio curation pass needs sample rate / channels / duration
+  * before it decides to decode anything, and the web's non-MP3 audio is
+  * overwhelmingly Ogg-Opus, Ogg-Vorbis and FLAC.
+  *
+  * All structure here is the formats' own algorithmic framing — RFC
+  * 3533 Ogg pages (capture pattern, little-endian header, segment
+  * lacing), RFC 7845 OpusHead, the Vorbis I identification header, and
+  * the FLAC metadata-block chain with the fixed-layout STREAMINFO — no
+  * number tables, nothing for the table policy to refuse. Truncation
+  * keeps what was walked; non-audio payloads degrade per clip with a
+  * named error.
+  *
+  * Reference scope note: SDM-RDFizer has no media handling; beyond-
+  * parity multimodal surface (COVERAGE.md).
+  */
+object AudioContainers {
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64le(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+  private def ubits(b: Array[Byte], bitOff: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val p = bitOff + i
+      v = (v << 1) | ((b(p >> 3) >> (7 - (p & 7))) & 1)
+      i += 1
+    }
+    v
+  }
+
+  private[ops] final case class AudioMeta(container: String, codec: String,
+      sampleRate: Long, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, pageCount: Int, lastGranule: Long,
+      durationS: Double, metaBlocks: Int)
+
+  /** FLAC: "fLaC" + metadata-block chain; STREAMINFO (type 0, 34 bytes)
+    * is mandatory first. */
+  private def parseFlac(b: Array[Byte]): Either[String, AudioMeta] = {
+    var o = 4
+    var blocks = 0
+    var rate = -1L
+    var ch = -1
+    var bps = -1
+    var total = -1L
+    var last = false
+    while (!last && o + 4 <= b.length) {
+      val hdr = b(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7f
+      val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      if (o + 4 + len > b.length) return Left("truncated FLAC metadata block")
+      if (tpe == 0) {
+        if (len < 34) return Left("short STREAMINFO")
+        val base = (o + 4 + 10) * 8 // skip blocksize/framesize fields
+        rate = ubits(b, base, 20)
+        ch = ubits(b, base + 20, 3).toInt + 1
+        bps = ubits(b, base + 23, 5).toInt + 1
+        total = ubits(b, base + 28, 36)
+      }
+      blocks += 1
+      o += 4 + len
+    }
+    if (rate <= 0) Left("no STREAMINFO")
+    else Right(AudioMeta("flac", "flac", rate, ch, bps, total, 0, 0L,
+      total.toDouble / rate, blocks))
+  }
+
+  /** Ogg: walk every page (RFC 3533), identify the codec from the first
+    * packet (RFC 7845 OpusHead / Vorbis I header), duration from the
+    * final granule position (Opus: 48 kHz ticks minus pre-skip;
+    * Vorbis: sample ticks at the declared rate). */
+  private def parseOgg(b: Array[Byte]): Either[String, AudioMeta] = {
+    var o = 0
+    var pages = 0
+    var codec: String = null
+    var rate = -1L
+    var ch = -1
+    var preSkip = 0
+    var granule = 0L
+    while (o + 27 <= b.length && b(o) == 'O' && b(o + 1) == 'g' &&
+        b(o + 2) == 'g' && b(o + 3) == 'S') {
+      val nSeg = b(o + 26) & 0xff
+      if (o + 27 + nSeg > b.length) return Left("truncated Ogg page header")
+      var bodyLen = 0
+      var i = 0
+      while (i < nSeg) { bodyLen += b(o + 27 + i) & 0xff; i += 1 }
+      val body = o + 27 + nSeg
+      if (body + bodyLen > b.length) return Left("truncated Ogg page body")
+      val g = u64le(b, o + 6)
+      if (g != -1L) granule = g
+      if (pages == 0 && bodyLen >= 8) {
+        if (new String(b, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
+            == "OpusHead" && bodyLen >= 19) {
+          codec = "opus"
+          ch = b(body + 9) & 0xff
+          preSkip = u16le(b, body + 10)
+          rate = 48000L // Opus always times granules at 48 kHz
+        } else if (bodyLen >= 30 && (b(body) & 0xff) == 1 &&
+            new String(b, body + 1, 6,
+              java.nio.charset.StandardCharsets.ISO_8859_1) == "vorbis") {
+          codec = "vorbis"
+          ch = b(body + 11) & 0xff
+          rate = u32le(b, body + 12)
+        }
+      }
+      pages += 1
+      o = body + bodyLen
+    }
+    if (pages == 0) Left("not an Ogg stream")
+    else if (codec == null) Left("unrecognized Ogg codec (first packet)")
+    else if (rate <= 0) Left("bad declared sample rate")
+    else {
+      val ticks = math.max(0L, granule - (if (codec == "opus") preSkip else 0))
+      Right(AudioMeta("ogg", codec, rate, ch, -1, ticks, pages, granule,
+        ticks.toDouble / rate, 0))
+    }
+  }
+
+  private val cols = Seq(
+    StructField("container", StringType),
+    StructField("codec", StringType),
+    StructField("sample_rate", LongType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("total_samples", LongType),
+    StructField("page_count", IntegerType),
+    StructField("meta_blocks", IntegerType),
+    StructField("duration_s", DoubleType),
+    StructField("parse_error", StringType))
+
+  /** One census row per clip, dispatched on the magic ("fLaC" / "OggS").
+    * Narrow map, per-clip degradation, no decode.
+    */
+  def audioContainerMeta(df: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "audioContainerMeta", cols.map(_.name))
+    val schema = StructType(df.schema.fields ++ cols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) = Row.fromSeq(r.toSeq ++
+          (Seq.fill[Any](cols.length - 1)(null) :+ msg))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val b = r.getAs[Array[Byte]](idx)
+          val parsed =
+            if (b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+              b(3) == 'C') parseFlac(b)
+            else if (b.length >= 27 && b(0) == 'O' && b(1) == 'g' &&
+              b(2) == 'g' && b(3) == 'S') parseOgg(b)
+            else Left("not FLAC or Ogg (magic)")
+          parsed match {
+            case Left(msg) => errRow(msg)
+            case Right(m) => Row.fromSeq(r.toSeq ++ Seq(m.container, m.codec,
+              m.sampleRate, if (m.channels < 0) null else m.channels,
+              if (m.bitsPerSample < 0) null else m.bitsPerSample,
+              m.totalSamples,
+              if (m.container == "ogg") m.pageCount else null,
+              if (m.container == "flac") m.metaBlocks else null,
+              m.durationS, null))
+          }
+        } catch { case e: Exception =>
+          errRow(s"census failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  // ---- synthetic fixtures ----
+
+  /** Deterministic FLAC header chain: STREAMINFO (+ a VORBIS_COMMENT and
+    * a PADDING block) followed by opaque frame bytes. */
+  val syntheticFlac: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (rate: Int, channels: Int, bps: Int, totalSamples: Long) => {
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write('f'); bos.write('L'); bos.write('a'); bos.write('C')
+        // STREAMINFO
+        val si = new Array[Byte](34)
+        si(0) = 0x10; si(1) = 0x00 // min blocksize 4096
+        si(2) = 0x10; si(3) = 0x00 // max blocksize
+        // min/max framesize: 0 (unknown)
+        var acc = 0L
+        acc = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+          ((bps - 1).toLong << 36) | (totalSamples & ((1L << 36) - 1))
+        var i = 0
+        while (i < 8) { si(10 + i) = ((acc >> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+        bos.write(0x00); bos.write(0); bos.write(0); bos.write(34)
+        bos.write(si, 0, 34)
+        // VORBIS_COMMENT (type 4), minimal payload
+        val vc = "graft".getBytes("ISO-8859-1")
+        bos.write(0x04); bos.write(0); bos.write(0); bos.write(vc.length)
+        bos.write(vc, 0, vc.length)
+        // PADDING (type 1), last-flag set
+        bos.write(0x81); bos.write(0); bos.write(0); bos.write(4)
+        bos.write(Array[Byte](0, 0, 0, 0), 0, 4)
+        // opaque frame bytes
+        bos.write(Array.tabulate(16)(j => (0xF8 + j % 4).toByte), 0, 16)
+        bos.toByteArray
+      })
+
+  private def oggPage(serial: Long, seq: Long, granule: Long,
+      headerType: Int, packet: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write('O'); bos.write('g'); bos.write('g'); bos.write('S')
+    bos.write(0) // version
+    bos.write(headerType)
+    var i = 0
+    while (i < 8) { bos.write(((granule >> (8 * i)) & 0xff).toInt); i += 1 }
+    i = 0
+    while (i < 4) { bos.write(((serial >> (8 * i)) & 0xff).toInt); i += 1 }
+    i = 0
+    while (i < 4) { bos.write(((seq >> (8 * i)) & 0xff).toInt); i += 1 }
+    bos.write(Array[Byte](0, 0, 0, 0), 0, 4) // crc (not validated)
+    // lacing: 255-run + remainder
+    val full = packet.length / 255
+    bos.write(full + 1)
+    i = 0
+    while (i < full) { bos.write(255); i += 1 }
+    bos.write(packet.length % 255)
+    bos.write(packet, 0, packet.length)
+    bos.toByteArray
+  }
+
+  /** Deterministic Ogg-Opus stream: OpusHead page + `nPages` audio pages,
+    * final granule = `samples48k + preSkip`. */
+  val syntheticOggOpus: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (channels: Int, preSkip: Int, nPages: Int, samples48k: Long) => {
+        val bos = new java.io.ByteArrayOutputStream()
+        val head = new java.io.ByteArrayOutputStream()
+        head.write("OpusHead".getBytes("ISO-8859-1"), 0, 8)
+        head.write(1) // version
+        head.write(channels)
+        head.write(preSkip & 0xff); head.write((preSkip >> 8) & 0xff)
+        head.write(Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0), 0, 4) // 48000 input rate
+        head.write(0); head.write(0) // output gain
+        head.write(0) // channel mapping family
+        val headPage = oggPage(7L, 0L, 0L, 0x02, head.toByteArray)
+        bos.write(headPage, 0, headPage.length)
+        var p = 0
+        while (p < nPages) {
+          val gran = if (p == nPages - 1) preSkip + samples48k
+            else preSkip + (p + 1) * (samples48k / nPages)
+          val body = Array.tabulate(20 + p)(j => (p * 3 + j).toByte)
+          val page = oggPage(7L, p + 1L, gran, if (p == nPages - 1) 0x04 else 0x00, body)
+          bos.write(page, 0, page.length)
+          p += 1
+        }
+        bos.toByteArray
+      })
+
+  /** Deterministic Ogg-Vorbis stream: identification header page +
+    * `nPages` audio pages, final granule = `samples`. */
+  val syntheticOggVorbis: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (channels: Int, rate: Int, nPages: Int, samples: Long) => {
+        val bos = new java.io.ByteArrayOutputStream()
+        val head = new java.io.ByteArrayOutputStream()
+        head.write(1)
+        head.write("vorbis".getBytes("ISO-8859-1"), 0, 6)
+        head.write(Array[Byte](0, 0, 0, 0), 0, 4) // version 0
+        head.write(channels)
+        var i = 0
+        while (i < 4) { head.write((rate >> (8 * i)) & 0xff); i += 1 }
+        head.write(new Array[Byte](12), 0, 12) // bitrate fields
+        head.write(0xB8) // blocksizes
+        head.write(1) // framing
+        val headPage = oggPage(9L, 0L, 0L, 0x02, head.toByteArray)
+        bos.write(headPage, 0, headPage.length)
+        var p = 0
+        while (p < nPages) {
+          val gran = if (p == nPages - 1) samples else (p + 1) * (samples / nPages)
+          val body = Array.tabulate(24 + p)(j => (p * 5 + j).toByte)
+          val page = oggPage(9L, p + 1L, gran, if (p == nPages - 1) 0x04 else 0x00, body)
+          bos.write(page, 0, page.length)
+          p += 1
+        }
+        bos.toByteArray
+      })
+}

@@ -48,6 +48,10 @@ object Multimodal {
       .when(hx(1, "504B0304") || hx(1, "504B0506"), "application/zip")
       .when(hx(1, "FFFB") || hx(1, "FFF3") || hx(1, "FFF2") ||
         hx(1, "494433"), "audio/mpeg")
+      .when(hx(1, "1A45DFA3"), "video/webm") // EBML (webm/mkv; DocType decides)
+      .when(hx(1, "664C6143"), "audio/flac") // fLaC
+      .when(hx(1, "4F676753"), "application/ogg") // OggS
+      .when(hx(1, "00000001"), "video/annexb") // H.264/H.265 start code
       .when(hx(1, "3C21444F") || hx(1, "3C21646F") || // <!DO / <!do
         hx(1, "3C68746D") || hx(1, "3C48544D"), "text/html") // <htm / <HTM
       .when(hx(1, "3C3F786D"), "text/xml") // <?xm

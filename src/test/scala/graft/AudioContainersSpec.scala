@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ogg/FLAC census ([[AudioContainers]]): exact STREAMINFO unpack, page
+  * walk with lacing, granule→duration math, and degradation.
+  */
+class AudioContainersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("FLAC: STREAMINFO 64-bit pack round-trips exactly") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticFlac(lit(44100), lit(2), lit(24),
+        lit(1234567L)).as("payload"))
+    val r = AudioContainers.audioContainerMeta(df).collect()(0)
+    assert(r.getAs[String]("parse_error") == null)
+    assert(r.getAs[String]("container") == "flac")
+    assert(r.getAs[Long]("sample_rate") == 44100)
+    assert(r.getAs[Int]("channels") == 2)
+    assert(r.getAs[Int]("bits_per_sample") == 24)
+    assert(r.getAs[Long]("total_samples") == 1234567L)
+    assert(r.getAs[Int]("meta_blocks") == 3)
+    assert(r.getAs[Double]("duration_s") == 1234567.0 / 44100)
+  }
+
+  test("Ogg-Opus: pre-skip subtracted from the final 48 kHz granule") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(2), lit(312), lit(3),
+        lit(96000L)).as("payload"))
+    val r = AudioContainers.audioContainerMeta(df).collect()(0)
+    assert(r.getAs[String]("parse_error") == null)
+    assert(r.getAs[String]("codec") == "opus")
+    assert(r.getAs[Long]("sample_rate") == 48000)
+    assert(r.getAs[Int]("channels") == 2)
+    assert(r.getAs[Int]("page_count") == 4)
+    assert(r.getAs[Long]("total_samples") == 96000L)
+    assert(r.getAs[Double]("duration_s") == 2.0)
+  }
+
+  test("Ogg-Vorbis: identification header + granule duration") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggVorbis(lit(2), lit(44100), lit(2),
+        lit(88200L)).as("payload"))
+    val r = AudioContainers.audioContainerMeta(df).collect()(0)
+    assert(r.getAs[String]("parse_error") == null)
+    assert(r.getAs[String]("codec") == "vorbis")
+    assert(r.getAs[Long]("sample_rate") == 44100)
+    assert(r.getAs[Double]("duration_s") == 2.0)
+    assert(r.getAs[Int]("page_count") == 3)
+  }
+
+  test("degradation: wrong magic, truncations, fuzz — named errors, no throw") {
+    val mp3ish = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)
+    val d = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(mp3ish)).toDF("payload")).collect()(0)
+    assert(d.getAs[String]("parse_error").contains("magic"))
+    val clip = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(1), lit(0), lit(2),
+        lit(48000L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    val cuts = (4 until clip.length by 11).map(n => Tuple1(clip.take(n)))
+    val out = AudioContainers.audioContainerMeta(cuts.toDF("payload")).collect()
+    assert(out.length == cuts.length)
+    val rnd = new scala.util.Random(9)
+    val fuzz = (0 until 30).map { i =>
+      val b = Array.fill(30 + rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      if (i % 2 == 0) { b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S' }
+      else { b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C' }
+      Tuple1(b)
+    }
+    assert(AudioContainers.audioContainerMeta(fuzz.toDF("payload"))
+      .collect().length == 30)
+  }
+}

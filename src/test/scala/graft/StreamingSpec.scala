@@ -702,4 +702,54 @@ class StreamingSpec extends AnyFunSuite {
     val visitedSet = visited.collect().map(_.getString(0)).toSet
     assert(want.forall(r => !visitedSet.contains(r._2)))
   }
+
+  test("streaming parity: the r15 media-census family (WebM, HEVC, " +
+      "Ogg/FLAC, CABAC decode) — stream ≡ batch on the same payloads") {
+    // all four are stateless narrow maps, so the SAME code path serves a
+    // live crawl-ingest stream; parity is checked row-for-row per op
+    import graft.ops.{Ebml, Hevc, AudioContainers, H264Decode, Cabac}
+    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    Seq(0L, 1L, 2L).toDF("doc_id")
+      .withColumn("webm", Ebml.syntheticWebm((col("doc_id") % 3).cast("int"),
+        lit(640), lit(360), lit(0), lit(48000), lit(2), lit(5), lit(2), lit(1500)))
+      .withColumn("hevc", Hevc.syntheticHevcAnnexB(lit(1280), lit(720),
+        lit(1), lit(120), lit(0), (lit(1) + col("doc_id") % 2).cast("int"),
+        lit(1), lit(2)))
+      .withColumn("flac", AudioContainers.syntheticFlac(lit(48000), lit(2),
+        lit(16), (lit(48000) * (lit(1) + col("doc_id"))).cast("long")))
+      .withColumn("h264", H264Decode.syntheticCabacAnnexB(
+        (lit(1) + col("doc_id")).cast("int"), col("doc_id") % 2 === 1,
+        lit(2), lit(2), lit(150)))
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val schema = batch.schema
+    def runStream(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Array[org.apache.spark.sql.Row] = {
+      val st = f(spark.readStream.schema(schema).parquet(dir))
+      assert(st.isStreaming)
+      val q = st.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    def key(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map(v => if (v == null) "_" else v.toString).mkString("|")
+    def assertParity(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val want = f(batch).collect().map(key).sorted
+      val got = runStream(f, name).map(key).sorted
+      assert(got.sameElements(want), s"$name stream != batch")
+      assert(want.nonEmpty)
+    }
+    assertParity(df => Ebml.webmTracks(df.select(col("doc_id"),
+      col("webm").as("payload")), "payload"), "census_webm")
+    assertParity(df => Hevc.hevcMeta(df.select(col("doc_id"),
+      col("hevc").as("payload")), "payload"), "census_hevc")
+    assertParity(df => AudioContainers.audioContainerMeta(df.select(
+      col("doc_id"), col("flac").as("payload")), "payload"), "census_flac")
+    assertParity(df => H264Decode.decodeIdr(df.select(col("doc_id"),
+        col("h264").as("payload")), "payload",
+        cabac = Some(Cabac.Config.derived))
+      .drop("luma_plane"), "census_h264")
+  }
 }
