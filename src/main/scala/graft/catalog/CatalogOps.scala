@@ -3198,6 +3198,45 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** IVF (AV1/VP9/VP8) structure census ([[graft.ops.Ivf.ivfMeta]]) —
+    * DKIF header walk, per-frame table, REAL AV1 sequence-header OBU
+    * parse (profile/level/width/height through the width-bits coding)
+    * and the VP9/VP8 frame-tag keyframe bits. Fixture cycles all three
+    * fourccs; columns closed-form in doc_id. Decode-free, narrow.
+    */
+  private val mmIvfMeta = Q("mm_ivf_meta",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.Ivf.syntheticIvf((d % 3).cast("int"),
+          (lit(320) + lit(16) * (d % 8)).cast("int"),
+          (lit(240) + lit(16) * (d % 4)).cast("int"),
+          (lit(3) + d % 5).cast("int"), (lit(2) + d % 2).cast("int"),
+          (d % 3).cast("int"), (lit(8) + d % 5).cast("int")).as("payload"))
+      graft.ops.Ivf.ivfMeta(clips, "payload")
+        .select(col("doc_id"), col("fourcc"), col("hdr_width"),
+          col("hdr_height"), col("hdr_frames"), col("walked_frames"),
+          col("keyframes"), col("av1_profile"), col("av1_level"),
+          col("av1_width"), col("av1_height"), col("parse_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id % 3 AS fc,
+        (320 + 16 * (doc_id % 8))::INT AS w,
+        (240 + 16 * (doc_id % 4))::INT AS h,
+        (3 + doc_id % 5)::INT AS nf, (2 + doc_id % 2)::INT AS kp
+        FROM documents)
+      SELECT doc_id,
+        CASE fc WHEN 0 THEN 'AV01' WHEN 1 THEN 'VP90' ELSE 'VP80' END AS fourcc,
+        w AS hdr_width, h AS hdr_height, nf AS hdr_frames,
+        nf AS walked_frames,
+        ((nf + kp - 1) // kp)::INT AS keyframes,
+        (CASE WHEN fc = 0 THEN doc_id % 3 END)::INT AS av1_profile,
+        (CASE WHEN fc = 0 THEN 8 + doc_id % 5 END)::INT AS av1_level,
+        (CASE WHEN fc = 0 THEN w END)::INT AS av1_width,
+        (CASE WHEN fc = 0 THEN h END)::INT AS av1_height,
+        NULL::VARCHAR AS parse_error
+      FROM p"""),
+    bench = true)
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -3892,7 +3931,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,
