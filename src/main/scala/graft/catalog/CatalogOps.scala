@@ -3237,6 +3237,93 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** Shared SFT fixture: conversation JSON per doc — kinds 0-4 in the
+    * OpenAI `messages` layout (valid 2-turn / valid with system / broken
+    * alternation / no trailing assistant / blank content), kind 5 in the
+    * ShareGPT `conversations` from/value layout (valid after role
+    * normalization). Contents are fixed-width (`Q07`/`A07`/`Sys`) so the
+    * render geometry is closed-form.
+    */
+  private def sftFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    val q = format_string("Q%02d", (d % 100).cast("int"))
+    val a = format_string("A%02d", (d % 100).cast("int"))
+    def m(role: String, c: Column): Column =
+      concat(lit("{\"role\":\"" + role + "\",\"content\":\""), c, lit("\"}"))
+    def openai(ms: Column*): Column =
+      concat(lit("{\"messages\":["), concat_ws(",", ms: _*), lit("]}"))
+    val json = when(d % 6 === 0, openai(m("user", q), m("assistant", a)))
+      .when(d % 6 === 1,
+        openai(m("system", lit("Sys")), m("user", q), m("assistant", a)))
+      .when(d % 6 === 2,
+        openai(m("user", q), m("user", q), m("assistant", a)))
+      .when(d % 6 === 3,
+        openai(m("user", q), m("assistant", a), m("user", q)))
+      .when(d % 6 === 4, openai(m("user", lit("  ")), m("assistant", a)))
+      .otherwise(concat(
+        lit("{\"conversations\":[{\"from\":\"human\",\"value\":\""), q,
+        lit("\"},{\"from\":\"gpt\",\"value\":\""), a, lit("\"}]}")))
+    t(s, dir, "documents").select(d, json.as("conv_json"))
+      .withColumn("messages",
+        graft.ops.SftData.parseConversationJson(col("conv_json")))
+  }
+
+  /** SFT conversation VALIDATION ([[graft.ops.SftData]]) — schema parse
+    * of both common fine-tuning JSONL layouts, role normalization
+    * (human/gpt → user/assistant), and the structural gates: optional
+    * leading system turn, strict user/assistant alternation, trailing
+    * assistant target, non-blank contents. Pure higher-order Column
+    * algebra (`transform` with index, `forall`) — scan-side codegen, no
+    * UDF, no shuffle; the 100 TB shape is identical to the pretraining
+    * quality gates.
+    */
+  private val sftValidate = Q("sft_validate",
+    (s, dir) => graft.ops.SftData.validateConversations(sftFixture(s, dir))
+      .select(col("doc_id"), col("n_turns"), col("has_system"),
+        col("alternation_ok"), col("ends_assistant"), col("nonempty_ok"),
+        col("sft_valid")),
+    Some("""SELECT doc_id,
+        (CASE doc_id % 6 WHEN 0 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 2
+          ELSE 3 END)::INT AS n_turns,
+        (doc_id % 6 = 1) AS has_system,
+        (doc_id % 6 <> 2) AS alternation_ok,
+        (doc_id % 6 <> 3) AS ends_assistant,
+        (doc_id % 6 <> 4) AS nonempty_ok,
+        (doc_id % 6 IN (0, 1, 5)) AS sft_valid
+      FROM documents"""),
+    bench = true)
+
+  /** SFT chat-template RENDERING + loss-mask geometry
+    * ([[graft.ops.SftData.renderChatML]]) — valid conversations render
+    * to the ChatML string and the per-assistant-turn "start:len" spans a
+    * loss-masked packer consumes, plus the assistant-character density
+    * gate. The whole rendering + span arithmetic is one `aggregate`
+    * higher-order expression; the oracle rebuilds the exact string and
+    * offsets in SQL.
+    */
+  private val sftRender = Q("sft_render",
+    (s, dir) => graft.ops.SftData.renderChatML(
+      graft.ops.SftData.validateConversations(sftFixture(s, dir))
+        .filter(col("sft_valid")))
+      .select(col("doc_id"), col("rendered_text"), col("assistant_spans"),
+        col("assistant_chars")),
+    Some("""WITH p AS (SELECT doc_id,
+        'Q' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS q,
+        'A' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS a
+        FROM documents WHERE doc_id % 6 IN (0, 1, 5))
+      SELECT doc_id,
+        (CASE WHEN doc_id % 6 = 1
+          THEN '<|im_start|>system' || chr(10) || 'Sys<|im_end|>' || chr(10)
+          ELSE '' END)
+        || '<|im_start|>user' || chr(10) || q || '<|im_end|>' || chr(10)
+        || '<|im_start|>assistant' || chr(10) || a || '<|im_end|>' || chr(10)
+          AS rendered_text,
+        (CASE WHEN doc_id % 6 = 1 THEN '86:3' ELSE '53:3' END)
+          AS assistant_spans,
+        3::BIGINT AS assistant_chars
+      FROM p"""))
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -3931,7 +4018,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Instruction / SFT conversation-data preparation — the post-pretraining
+  * side of a training-data pipeline: multi-turn `messages` arrays
+  * (role/content structs, the universal fine-tuning JSONL shape) get
+  * schema-parsed, role-normalized, structurally VALIDATED, rendered to
+  * a chat-template string, and annotated with the assistant-content
+  * spans a loss-masked packer needs.
+  *
+  * Everything is pure Column algebra over higher-order array functions
+  * (`transform` with index, `forall`, `aggregate`) — codegen'd, no
+  * UDFs, no shuffle: at 100 TB these are scan-side projections exactly
+  * like the pretraining quality gates, and compose with the existing
+  * dedup/packing operators downstream (dedup on `rendered_text`,
+  * [[Packing.packSequences]] on its token count, masks from
+  * `assistant_spans`).
+  *
+  * Reference scope note: SDM-RDFizer has no LLM-data surface; this is
+  * the repo's beyond-parity training-data family (COVERAGE.md).
+  */
+object SftData {
+
+  /** The canonical messages schema: array of (role, content). */
+  val MessagesType: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** Parse a JSON conversation document. Accepts BOTH common layouts —
+    * OpenAI-style `{"messages":[{"role","content"}]}` and
+    * ShareGPT-style `{"conversations":[{"from","value"}]}` — and
+    * normalizes to the canonical schema with [[normalizeRoles]].
+    */
+  def parseConversationJson(j: Column): Column = {
+    val openai = from_json(j, StructType(Seq(
+      StructField("messages", MessagesType))))
+    val sharegpt = from_json(j, StructType(Seq(
+      StructField("conversations", ArrayType(StructType(Seq(
+        StructField("from", StringType),
+        StructField("value", StringType))))))))
+    val fromShare = transform(sharegpt.getField("conversations"),
+      m => struct(m.getField("from").as("role"),
+        m.getField("value").as("content")))
+    normalizeRoles(coalesce(openai.getField("messages"), fromShare))
+  }
+
+  /** Map the role-name zoo onto {system, user, assistant}; unknown
+    * names pass through (and then fail validation by name). */
+  def normalizeRoles(msgs: Column): Column =
+    transform(msgs, m => struct(
+      when(lower(m.getField("role")).isin("user", "human", "prompter"), "user")
+        .when(lower(m.getField("role"))
+          .isin("assistant", "gpt", "bot", "model"), "assistant")
+        .when(lower(m.getField("role")) === "system", "system")
+        .otherwise(lower(m.getField("role"))).as("role"),
+      m.getField("content").as("content")))
+
+  /** Structural validation columns:
+    *  - `n_turns`, `has_system`
+    *  - `alternation_ok`: an optional leading system turn, then strict
+    *    user/assistant alternation starting at user
+    *  - `ends_assistant`: the conversation is trainable (has a target)
+    *  - `nonempty_ok`: no blank contents
+    *  - `sft_valid`: the conjunction (≥ 1 user and 1 assistant turn
+    *    implied by alternation + ends_assistant)
+    */
+  def validateConversations(df: DataFrame,
+      msgsCol: String = "messages"): DataFrame = {
+    val msgs = col(msgsCol)
+    val hasSystem = element_at(msgs, 1).getField("role") === "system"
+    val offset = when(hasSystem, 1).otherwise(0)
+    val alternation = forall(
+      transform(msgs, (m, i) => {
+        val rel = i - offset
+        m.getField("role") === when(rel < 0, "system")
+          .when(rel % 2 === 0, "user").otherwise("assistant")
+      }), b => b)
+    val nTurns = size(msgs)
+    df.withColumn("n_turns", nTurns)
+      .withColumn("has_system", coalesce(hasSystem, lit(false)))
+      .withColumn("alternation_ok", coalesce(alternation, lit(false)))
+      .withColumn("ends_assistant", coalesce(
+        element_at(msgs, -1).getField("role") === "assistant", lit(false)))
+      .withColumn("nonempty_ok", coalesce(forall(msgs,
+        m => length(trim(m.getField("content"))) > 0), lit(false)))
+      .withColumn("sft_valid",
+        col("alternation_ok") && col("ends_assistant") &&
+          col("nonempty_ok") && nTurns >= (lit(2) + offset))
+  }
+
+  private val Begin = "<|im_start|>"
+  private val End = "<|im_end|>\n"
+
+  /** ChatML-style rendering plus the loss-mask geometry:
+    *  - `rendered_text`: `<|im_start|>role\ncontent<|im_end|>\n` per turn
+    *  - `assistant_spans`: "start:len" per assistant turn (comma-joined,
+    *    offsets into `rendered_text`) — what a loss-masked packer feeds
+    *    alongside the tokens
+    *  - `assistant_chars`: total assistant characters (a cheap target-
+    *    density gate: conversations that are all prompt train nothing)
+    */
+  def renderChatML(df: DataFrame, msgsCol: String = "messages"): DataFrame = {
+    val msgs = col(msgsCol)
+    val rendered = array_join(transform(msgs, m => concat(
+      lit(Begin), m.getField("role"), lit("\n"),
+      m.getField("content"), lit(End))), "")
+    val spans = aggregate(msgs,
+      struct(lit(0).as("pos"),
+        array().cast(ArrayType(StringType)).as("spans")),
+      (acc, m) => {
+        val start = acc.getField("pos") + lit(Begin.length) +
+          length(m.getField("role")) + lit(1)
+        val clen = length(m.getField("content"))
+        struct((start + clen + lit(End.length)).as("pos"),
+          when(m.getField("role") === "assistant",
+            concat(acc.getField("spans"), array(concat_ws(":",
+              start.cast("string"), clen.cast("string")))))
+            .otherwise(acc.getField("spans")).as("spans"))
+      },
+      acc => acc.getField("spans"))
+    df.withColumn("rendered_text", rendered)
+      .withColumn("assistant_spans", array_join(spans, ","))
+      .withColumn("assistant_chars", aggregate(msgs, lit(0L),
+        (acc, m) => acc + when(m.getField("role") === "assistant",
+          length(m.getField("content")).cast("long")).otherwise(0L)))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SFT conversation prep ([[SftData]]): both JSONL layouts, role
+  * normalization, validation gates, ChatML rendering and the span
+  * arithmetic a loss-masked packer consumes.
+  */
+class SftDataSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def parsed(js: String*) =
+    js.toSeq.toDF("conv_json").withColumn("messages",
+      SftData.parseConversationJson(col("conv_json")))
+
+  test("parse + normalize: OpenAI and ShareGPT layouts converge") {
+    val df = SftData.validateConversations(parsed(
+      """{"messages":[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]}""",
+      """{"conversations":[{"from":"human","value":"hi"},{"from":"gpt","value":"yo"}]}"""))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Boolean]("sft_valid")))
+    val roles = df.select(expr("transform(messages, m -> m.role)"))
+      .collect().map(_.getSeq[String](0))
+    assert(roles.forall(_.sameElements(Seq("user", "assistant"))))
+  }
+
+  test("validation gates: each malformation trips exactly its flag") {
+    val df = SftData.validateConversations(parsed(
+      // assistant-first
+      """{"messages":[{"role":"assistant","content":"a"},{"role":"user","content":"u"}]}""",
+      // double user
+      """{"messages":[{"role":"user","content":"u"},{"role":"user","content":"u2"},{"role":"assistant","content":"a"}]}""",
+      // ends on user
+      """{"messages":[{"role":"user","content":"u"},{"role":"assistant","content":"a"},{"role":"user","content":"u2"}]}""",
+      // blank content
+      """{"messages":[{"role":"user","content":" "},{"role":"assistant","content":"a"}]}""",
+      // unknown role
+      """{"messages":[{"role":"narrator","content":"x"},{"role":"assistant","content":"a"}]}""",
+      // unparseable
+      """not json at all""",
+      // system-only (too short)
+      """{"messages":[{"role":"system","content":"s"}]}"""))
+    val r = df.collect()
+    assert(r.forall(!_.getAs[Boolean]("sft_valid")))
+    assert(!r(0).getAs[Boolean]("alternation_ok"))
+    assert(!r(1).getAs[Boolean]("alternation_ok"))
+    assert(r(2).getAs[Boolean]("alternation_ok") &&
+      !r(2).getAs[Boolean]("ends_assistant"))
+    assert(r(3).getAs[Boolean]("alternation_ok") &&
+      !r(3).getAs[Boolean]("nonempty_ok"))
+    assert(!r(4).getAs[Boolean]("alternation_ok")) // narrator != user
+    assert(!r(5).getAs[Boolean]("sft_valid")) // null messages
+    assert(r(6).getAs[Boolean]("has_system") && !r(6).getAs[Boolean]("sft_valid"))
+  }
+
+  test("renderChatML: exact string, spans index into assistant content") {
+    val df = SftData.renderChatML(parsed(
+      """{"messages":[{"role":"system","content":"be kind"},{"role":"user","content":"hello"},{"role":"assistant","content":"world!"},{"role":"user","content":"more"},{"role":"assistant","content":"ok"}]}"""))
+    val r = df.collect()(0)
+    val text = r.getAs[String]("rendered_text")
+    assert(text ==
+      "<|im_start|>system\nbe kind<|im_end|>\n" +
+      "<|im_start|>user\nhello<|im_end|>\n" +
+      "<|im_start|>assistant\nworld!<|im_end|>\n" +
+      "<|im_start|>user\nmore<|im_end|>\n" +
+      "<|im_start|>assistant\nok<|im_end|>\n")
+    val spans = r.getAs[String]("assistant_spans").split(",")
+    assert(spans.length == 2)
+    // every span slices exactly its assistant content out of the text
+    val got = spans.map { s =>
+      val Array(st, ln) = s.split(":").map(_.toInt)
+      text.substring(st, st + ln)
+    }
+    assert(got.sameElements(Array("world!", "ok")))
+    assert(r.getAs[Long]("assistant_chars") == 8L)
+  }
+
+  test("composition: validate → filter → render → exact dedup downstream") {
+    val df = SftData.renderChatML(SftData.validateConversations(parsed(
+      """{"messages":[{"role":"user","content":"same"},{"role":"assistant","content":"thing"}]}""",
+      """{"conversations":[{"from":"human","value":"same"},{"from":"gpt","value":"thing"}]}""",
+      """{"messages":[{"role":"assistant","content":"broken"}]}"""))
+      .filter(col("sft_valid")))
+    // the two layouts render byte-identically → downstream exact dedup
+    // collapses them; the invalid row was filtered before rendering
+    val texts = df.select("rendered_text").collect().map(_.getString(0))
+    assert(texts.length == 2 && texts.distinct.length == 1)
+  }
+}
