@@ -144,7 +144,7 @@ object Ivf {
             var o = math.max(32, hdrLen)
             var walked = 0
             var keys = 0
-            var av1: Either[String, Av1Seq] = Left("not AV1")
+            var av1: Either[String, Av1Seq] = Left("no AV1 frames walked")
             var sawFirst = false
             while (o + 12 <= b.length) {
               val fsz = u32le(b, o)
@@ -185,15 +185,12 @@ object Ivf {
               case Right(s) => (s.profile, s.levelIdx, s.width, s.height)
               case Left(_) => (-1, -1, -1, -1)
             }
+            val av1Err =
+              if (fourcc == "AV01") av1.left.toOption.orNull else null
             Row.fromSeq(r.toSeq ++ Seq(fourcc, w, h, nHdr, walked, keys,
               if (ap < 0) null else ap, if (al < 0) null else al,
               if (aw < 0) null else aw, if (ah < 0) null else ah,
-              if (fourcc == "AV01" && av1.isLeft)
-                av1.left.getOrElse("") match {
-                  case "" => null
-                  case m => m
-                }
-              else null))
+              av1Err))
           }
         } catch { case e: Exception =>
           errRow(s"census failed: ${e.getClass.getSimpleName}")

@@ -733,7 +733,11 @@ class StreamingSpec extends AnyFunSuite {
       finally q.stop()
     }
     def key(r: org.apache.spark.sql.Row): String =
-      r.toSeq.map(v => if (v == null) "_" else v.toString).mkString("|")
+      r.toSeq.map {
+        case null => "_"
+        case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
+        case v => v.toString
+      }.mkString("|")
     def assertParity(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         name: String): Unit = {
       val want = f(batch).collect().map(key).sorted
