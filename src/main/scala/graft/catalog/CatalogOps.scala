@@ -3324,6 +3324,52 @@ object CatalogOps {
         3::BIGINT AS assistant_chars
       FROM p"""))
 
+  /** LOSS-MASKED SFT packing ([[graft.ops.SftData
+    * .packRenderedWithMasks]]) — the full fine-tuning prep composition:
+    * validated conversations render to ChatML, pack into 300-char
+    * budget windows per group ([[graft.ops.Packing.packSequences]]
+    * layout), and each pack emits the concatenated text plus the
+    * assistant spans SHIFTED to pack-relative offsets — the (input,
+    * mask) pair an SFT trainer consumes. The oracle replays the whole
+    * geometry in SQL: window prefix sums for the layout, min-over-pack
+    * for the in-pack offsets, ordered STRING_AGG for text and masks.
+    */
+  private val sftPackMasked = Q("sft_pack_masked",
+    (s, dir) => {
+      val rendered = graft.ops.SftData.renderChatML(
+        graft.ops.SftData.validateConversations(sftFixture(s, dir))
+          .filter(col("sft_valid")))
+        .withColumn("grp", col("doc_id") % 2)
+      graft.ops.SftData.packRenderedWithMasks(rendered, "doc_id", "grp",
+          length(col("rendered_text")).cast("long"), 300L)
+        .select(col("grp"), col("pack_id"), col("n_docs"),
+          col("packed_text"), col("mask_spans"))
+    },
+    Some("""WITH v AS (SELECT doc_id, doc_id % 2 AS grp,
+        (CASE WHEN doc_id % 6 = 1
+          THEN '<|im_start|>system' || chr(10) || 'Sys<|im_end|>' || chr(10)
+          ELSE '' END)
+        || '<|im_start|>user' || chr(10)
+        || 'Q' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        || '<|im_end|>' || chr(10)
+        || '<|im_start|>assistant' || chr(10)
+        || 'A' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        || '<|im_end|>' || chr(10) AS text,
+        (CASE WHEN doc_id % 6 = 1 THEN 86 ELSE 53 END) AS sp_start,
+        (CASE WHEN doc_id % 6 = 1 THEN 100 ELSE 67 END) AS len
+        FROM documents WHERE doc_id % 6 IN (0, 1, 5)),
+      w AS (SELECT *, COALESCE(SUM(len) OVER (PARTITION BY grp
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS cum FROM v),
+      p AS (SELECT *, cum // 300 AS pack_id FROM w),
+      q AS (SELECT *, cum - MIN(cum) OVER (PARTITION BY grp, pack_id)
+          AS off FROM p)
+      SELECT grp, pack_id, COUNT(*)::BIGINT AS n_docs,
+        STRING_AGG(text, '' ORDER BY doc_id) AS packed_text,
+        STRING_AGG(CAST(sp_start + off AS VARCHAR) || ':3', ','
+          ORDER BY doc_id) AS mask_spans
+      FROM q GROUP BY grp, pack_id"""))
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -4018,7 +4064,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, sftPackMasked, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -126,4 +126,47 @@ object SftData {
         (acc, m) => acc + when(m.getField("role") === "assistant",
           length(m.getField("content")).cast("long")).otherwise(0L)))
   }
+
+  /** LOSS-MASKED packing: lay rendered conversations into fixed-budget
+    * context windows ([[Packing.packSequences]] decides the layout) and
+    * emit, per pack, the concatenated text AND the assistant spans
+    * SHIFTED to pack-relative offsets — exactly the (input, mask) pair
+    * an SFT trainer consumes. `nTokens` is the budget unit (pass a BPE
+    * count column for token budgets, or `length(rendered_text)` for
+    * char budgets); texts are joined WITHOUT a separator so offsets stay
+    * pure prefix sums. Shape at 100 TB: one shuffle on `groupCol` (the
+    * packer's), one window per (group, pack) for the offsets, per-pack
+    * state bounded by budget + one straddling document — identical to
+    * [[Packing.concatPacked]].
+    *
+    * Returns (groupCol, pack_id, n_docs, packed_text, mask_spans).
+    */
+  def packRenderedWithMasks(df: DataFrame, idCol: String, groupCol: String,
+      nTokens: Column, budget: Long,
+      textCol: String = "rendered_text",
+      spansCol: String = "assistant_spans"): DataFrame = {
+    val packed = Packing.packSequences(df, idCol, groupCol, nTokens, budget)
+      .join(df.select(col(idCol), col(textCol), col(spansCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("pack_id")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offset = coalesce(sum(length(col(textCol)).cast("long")).over(w), lit(0L))
+    val shifted = when(col(spansCol) === "" || col(spansCol).isNull,
+      array().cast(ArrayType(StringType)))
+      .otherwise(transform(split(col(spansCol), ","), s => concat_ws(":",
+        (element_at(split(s, ":"), 1).cast("long") + col("mask_off"))
+          .cast("string"),
+        element_at(split(s, ":"), 2))))
+    packed.withColumn("mask_off", offset)
+      .withColumn("shifted_spans", shifted)
+      .groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol))).as("packed_text"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(idCol),
+            col("shifted_spans").as("sp")))),
+          s => s.getField("sp"))), ",").as("mask_spans"))
+  }
 }

@@ -79,6 +79,35 @@ class SftDataSpec extends AnyFunSuite {
     assert(r.getAs[Long]("assistant_chars") == 8L)
   }
 
+  test("packRenderedWithMasks: every pack-relative span slices an " +
+      "assistant content out of packed_text; budgets respected") {
+    val convs = (0 until 9).map { i =>
+      s"""{"messages":[{"role":"user","content":"q$i"},{"role":"assistant","content":"answer-$i"}]}"""
+    }
+    val df = SftData.renderChatML(parsed(convs: _*))
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("grp", lit("g"))
+    val packs = SftData.packRenderedWithMasks(df, "doc_id", "grp",
+      length(col("rendered_text")).cast("long"), 150L).collect()
+    assert(packs.length > 1) // the budget actually splits
+    var total = 0
+    for (p <- packs) {
+      val text = p.getAs[String]("packed_text")
+      val spans = p.getAs[String]("mask_spans").split(",")
+      assert(spans.length == p.getAs[Long]("n_docs"))
+      total += spans.length
+      for (s <- spans) {
+        val Array(st, ln) = s.split(":").map(_.toInt)
+        val sliced = text.substring(st, st + ln)
+        assert(sliced.matches("answer-\\d"), s"sliced '$sliced'")
+        // and the slice sits between the assistant header and im_end
+        assert(text.regionMatches(st - 10, "assistant\n", 0, 10))
+        assert(text.regionMatches(st + ln, "<|im_end|>", 0, 10))
+      }
+    }
+    assert(total == 9) // every conversation's mask survived packing
+  }
+
   test("composition: validate → filter → render → exact dedup downstream") {
     val df = SftData.renderChatML(SftData.validateConversations(parsed(
       """{"messages":[{"role":"user","content":"same"},{"role":"assistant","content":"thing"}]}""",
