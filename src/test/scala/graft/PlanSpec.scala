@@ -403,4 +403,29 @@ class PlanSpecR13 extends AnyFunSuite {
     assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
       s"histogram aggregation missing before the window:\n$p")
   }
+
+  test("sft validate: exchange-free scan projection (pure HOF Columns)") {
+    val p = plan("sft_validate")
+    assert(!p.contains("Exchange"), s"sft_validate shuffles:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQL UDF"),
+      s"unexpected UDF node:\n$p")
+  }
+
+  test("sft masked packing: one group exchange + windows, no join " +
+      "beyond the layout join, no cartesian") {
+    val p = plan("sft_pack_masked")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"cartesian in the pack plan:\n$p")
+    assert(p.contains("Window"), s"no offset window:\n$p")
+  }
+
+  test("census family: webm/hevc/audio/ivf census rows are single-stage " +
+      "narrow maps (no Exchange, no join)") {
+    for (q <- Seq("mm_webm_tracks", "mm_hevc_meta", "mm_audio_containers",
+        "mm_ivf_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
 }
