@@ -3123,29 +3123,39 @@ object CatalogOps {
           w.cast("int").as("width"), h.cast("int").as("height"),
           sr.cast("bigint").as("sample_rate"),
           dur.cast("double").as("duration_s"), kf.cast("int").as("keyframes"))
+      // each branch pre-filters by its fixture kind BEFORE the payload
+      // generator runs (the decade leg caught the alternative: five
+      // branches each regenerating + re-sniffing the FULL corpus made
+      // this row 6x its honest cost — the same re-evaluation class as
+      // r14's notInCorpus catch). The sniff filter stays in the plan, so
+      // a mis-sniffed clip still drops and the oracle's row count
+      // catches it; over a real object store the same shape is "persist
+      // the sniffed frame once" (see the row scaladoc).
+      def kind(k: Int) = corpus.filter(d % 6 === k)
       val webm = norm(graft.ops.Ebml.webmTracks(
-          corpus.filter(col("sniffed") === "video/webm"), "payload")
+          kind(0).filter(col("sniffed") === "video/webm"), "payload")
           .filter(col("track_type") === "video"),
         "webm", col("pixel_width"), col("pixel_height"), lit(null),
         col("duration_s"), col("keyframe_count"))
       val hevc = norm(graft.ops.Hevc.hevcMeta(
-          corpus.filter((col("sniffed") === "video/annexb") && (d % 6 === 1)), "payload"),
+          kind(1).filter(col("sniffed") === "video/annexb"), "payload"),
         "hevc", col("width"), col("height"), lit(null), lit(null),
         col("irap_count"))
       val audio = norm(graft.ops.AudioContainers.audioContainerMeta(
-          corpus.filter(col("sniffed").isin("audio/flac", "application/ogg")),
+          kind(2).unionByName(kind(3))
+            .filter(col("sniffed").isin("audio/flac", "application/ogg")),
           "payload"),
         "audio", lit(null), lit(null), col("sample_rate"),
         col("duration_s"), lit(null))
       val mp4 = norm(graft.ops.H264Decode.decodeMp4Keyframes(
-          corpus.filter(col("sniffed") === "video/mp4"), "payload")
+          kind(4).filter(col("sniffed") === "video/mp4"), "payload")
           .groupBy(col("doc_id"), col("sniffed"))
           .agg(org.apache.spark.sql.functions.min("frame_width").as("w"),
             org.apache.spark.sql.functions.min("frame_height").as("h"),
             count(lit(1)).as("kf")),
         "mp4", col("w"), col("h"), lit(null), lit(null), col("kf"))
       val h264 = norm(graft.ops.H264Decode.decodeIdr(
-          corpus.filter((col("sniffed") === "video/annexb") && (d % 6 === 5)),
+          kind(5).filter(col("sniffed") === "video/annexb"),
           "payload", cabac = Some(graft.ops.Cabac.Config.derived)),
         "h264", col("frame_width"), col("frame_height"), lit(null),
         lit(null), lit(1))
