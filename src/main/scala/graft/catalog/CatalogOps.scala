@@ -3380,6 +3380,80 @@ object CatalogOps {
           ORDER BY doc_id) AS mask_spans
       FROM q GROUP BY grp, pack_id"""))
 
+  /** DPO preference-pair prep ([[graft.ops.SftData.prepareDpoPairs]]) —
+    * prompt conversations plus chosen/rejected responses become the two
+    * fully-rendered ChatML conversations a preference trainer scores,
+    * behind the structural gates (prompt alternates and ENDS ON USER,
+    * both responses non-blank, chosen ≠ rejected). Fixture cycles a
+    * valid pair and the three malformations; the oracle rebuilds both
+    * rendered strings. Scan-side Column algebra, no shuffle.
+    */
+  private val sftDpoPairs = Q("sft_dpo_pairs",
+    (s, dir) => {
+      val d = col("doc_id")
+      val q = format_string("Q%02d", (d % 100).cast("int"))
+      val a = format_string("A%02d", (d % 100).cast("int"))
+      val b = format_string("B%02d", (d % 100).cast("int"))
+      def msg(role: String, c: Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val prompt = when(d % 4 === 1, array(msg("user", q), msg("assistant", a)))
+        .otherwise(array(msg("user", q)))
+      val rejected = when(d % 4 === 2, a)
+        .when(d % 4 === 3, lit("  ")).otherwise(b)
+      graft.ops.SftData.prepareDpoPairs(
+        t(s, dir, "documents").select(d, prompt.as("prompt_messages"),
+          a.as("chosen"), rejected.as("rejected")))
+        .select(d, col("dpo_valid"), col("chosen_text"), col("rejected_text"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        'Q' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS q,
+        'A' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS a,
+        'B' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS b
+        FROM documents)
+      SELECT doc_id, (doc_id % 4 = 0) AS dpo_valid,
+        CASE WHEN doc_id % 4 = 0 THEN
+          '<|im_start|>user' || chr(10) || q || '<|im_end|>' || chr(10)
+          || '<|im_start|>assistant' || chr(10) || a || '<|im_end|>' || chr(10)
+        END AS chosen_text,
+        CASE WHEN doc_id % 4 = 0 THEN
+          '<|im_start|>user' || chr(10) || q || '<|im_end|>' || chr(10)
+          || '<|im_start|>assistant' || chr(10) || b || '<|im_end|>' || chr(10)
+        END AS rejected_text
+      FROM p"""))
+
+  /** FIM (fill-in-the-middle) pretraining transform
+    * ([[graft.ops.Augment.fimTransform]]) — the StarCoder/DeepSeek-Coder
+    * code-pretraining rewrite: a hash-selected half of the corpus is
+    * split at two hash-chosen character points and re-laid-out
+    * prefix/suffix/middle with sentinel tokens; the rest pass through.
+    * Every random choice is the portable md5 hash, so the DuckDB oracle
+    * reproduces the EXACT output strings. Pure substring/hash Columns —
+    * scan-side codegen, zero shuffle at any scale.
+    */
+  private val txtFim = Q("txt_fim_transform",
+    (s, dir) => graft.ops.Augment.fimTransform(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", 0.5, seed = 3)
+      .select(col("doc_id"), col("fim_applied"), col("fim_text")),
+    Some("""WITH p AS (SELECT doc_id, text, length(text) AS n,
+        ('0x' || substring(md5('s3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < 500000 AS sel,
+        ('0x' || substring(md5('s3:' || CAST(doc_id AS VARCHAR) || ':u'), 1, 15))::BIGINT AS hu,
+        ('0x' || substring(md5('s3:' || CAST(doc_id AS VARCHAR) || ':v'), 1, 15))::BIGINT AS hv
+        FROM documents),
+      q AS (SELECT doc_id, text, n, hv, (sel AND n > 0) AS applied,
+        (hu % (n + 1))::INT AS u FROM p),
+      r AS (SELECT doc_id, text, n, applied, u,
+        (u + hv % (n - u + 1))::INT AS v FROM q)
+      SELECT doc_id, applied AS fim_applied,
+        CASE WHEN applied THEN
+          '<|fim_prefix|>' || substr(text, 1, u)
+          || '<|fim_suffix|>' || substr(text, v + 1, n - v)
+          || '<|fim_middle|>' || substr(text, u + 1, v - u)
+        ELSE text END AS fim_text
+      FROM r"""),
+    bench = true)
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -4074,7 +4148,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, sftPackMasked, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -93,6 +93,49 @@ object SftData {
   private val Begin = "<|im_start|>"
   private val End = "<|im_end|>\n"
 
+  /** ChatML rendering of a messages array as a single Column. */
+  private def renderedExpr(msgs: Column): Column =
+    array_join(transform(msgs, m => concat(
+      lit(Begin), m.getField("role"), lit("\n"),
+      m.getField("content"), lit(End))), "")
+
+  /** DPO / preference-pair preparation: a prompt conversation (canonical
+    * messages array, see [[parseConversationJson]]) plus `chosen` and
+    * `rejected` response strings become the two fully-rendered
+    * conversations a preference trainer scores, with the structural
+    * gates: the prompt must alternate correctly and END ON USER
+    * (awaiting the response), both responses non-blank, and chosen ≠
+    * rejected (identical pairs carry zero preference signal). Adds
+    * `dpo_valid`, `chosen_text`, `rejected_text`. Pure Column algebra —
+    * same scan-side shape as the rest of the family.
+    */
+  def prepareDpoPairs(df: DataFrame, promptCol: String = "prompt_messages",
+      chosenCol: String = "chosen",
+      rejectedCol: String = "rejected"): DataFrame = {
+    val msgs = col(promptCol)
+    val hasSystem = element_at(msgs, 1).getField("role") === "system"
+    val offset = when(hasSystem, 1).otherwise(0)
+    val alternation = forall(
+      transform(msgs, (m, i) => {
+        val rel = i - offset
+        m.getField("role") === when(rel < 0, "system")
+          .when(rel % 2 === 0, "user").otherwise("assistant")
+      }), b => b)
+    val endsUser = element_at(msgs, -1).getField("role") === "user"
+    def withResponse(r: Column): Column = concat(msgs,
+      array(struct(lit("assistant").as("role"), r.as("content"))))
+    val valid = coalesce(alternation, lit(false)) &&
+      coalesce(endsUser, lit(false)) &&
+      length(trim(col(chosenCol))) > 0 &&
+      length(trim(col(rejectedCol))) > 0 &&
+      col(chosenCol) =!= col(rejectedCol)
+    df.withColumn("dpo_valid", coalesce(valid, lit(false)))
+      .withColumn("chosen_text",
+        when(col("dpo_valid"), renderedExpr(withResponse(col(chosenCol)))))
+      .withColumn("rejected_text",
+        when(col("dpo_valid"), renderedExpr(withResponse(col(rejectedCol)))))
+  }
+
   /** ChatML-style rendering plus the loss-mask geometry:
     *  - `rendered_text`: `<|im_start|>role\ncontent<|im_end|>\n` per turn
     *  - `assistant_spans`: "start:len" per assistant turn (comma-joined,
@@ -103,9 +146,7 @@ object SftData {
     */
   def renderChatML(df: DataFrame, msgsCol: String = "messages"): DataFrame = {
     val msgs = col(msgsCol)
-    val rendered = array_join(transform(msgs, m => concat(
-      lit(Begin), m.getField("role"), lit("\n"),
-      m.getField("content"), lit(End))), "")
+    val rendered = renderedExpr(msgs)
     val spans = aggregate(msgs,
       struct(lit(0).as("pos"),
         array().cast(ArrayType(StringType)).as("spans")),

@@ -108,6 +108,33 @@ class SftDataSpec extends AnyFunSuite {
     assert(total == 9) // every conversation's mask survived packing
   }
 
+  test("prepareDpoPairs: gates and rendered pair") {
+    val rows = Seq(
+      // valid
+      (Seq(("user", "pick one")), "red", "blue"),
+      // prompt ends on assistant (nothing to respond to)
+      (Seq(("user", "q"), ("assistant", "a")), "x", "y"),
+      // identical pair: no preference signal
+      (Seq(("user", "q")), "same", "same"),
+      // blank rejected
+      (Seq(("user", "q")), "ok", "   "),
+      // broken prompt alternation
+      (Seq(("assistant", "a"), ("user", "q")), "x", "y"))
+    val df = rows.toDF("pm", "chosen", "rejected")
+      .withColumn("prompt_messages",
+        expr("transform(pm, m -> struct(m._1 as role, m._2 as content))"))
+    val out = SftData.prepareDpoPairs(df).collect()
+    assert(out(0).getAs[Boolean]("dpo_valid"))
+    assert(out(0).getAs[String]("chosen_text") ==
+      "<|im_start|>user\npick one<|im_end|>\n" +
+      "<|im_start|>assistant\nred<|im_end|>\n")
+    assert(out(0).getAs[String]("rejected_text").endsWith("blue<|im_end|>\n"))
+    for (i <- 1 until 5) {
+      assert(!out(i).getAs[Boolean]("dpo_valid"), s"row $i")
+      assert(out(i).isNullAt(out(i).fieldIndex("chosen_text")))
+    }
+  }
+
   test("composition: validate → filter → render → exact dedup downstream") {
     val df = SftData.renderChatML(SftData.validateConversations(parsed(
       """{"messages":[{"role":"user","content":"same"},{"role":"assistant","content":"thing"}]}""",
