@@ -3371,7 +3371,7 @@ object CatalogOps {
       w AS (SELECT *, COALESCE(SUM(len) OVER (PARTITION BY grp
           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
           AND 1 PRECEDING), 0) AS cum FROM v),
-      p AS (SELECT *, cum // 300 AS pack_id FROM w),
+      p AS (SELECT *, (cum // 300)::BIGINT AS pack_id FROM w),
       q AS (SELECT *, cum - MIN(cum) OVER (PARTITION BY grp, pack_id)
           AS off FROM p)
       SELECT grp, pack_id, COUNT(*)::BIGINT AS n_docs,

@@ -134,6 +134,125 @@ object Cabac {
   final case class Config(tables: Tables, ctxInit: Array[Array[Int]])
   object Config {
     lazy val derived: Config = Config(Derived, derivedCtxInit)
+
+    /** Spark conf key naming a CABAC tables file (see [[fromText]] for
+      * the format). Set it with `--conf spark.graft.cabacTables=/path`
+      * (or `spark.conf.set`) and every decode entry that was not handed
+      * an explicit [[Config]] loads, validates and uses the file — the
+      * no-rebuild path for a user who HAS the spec's conformance tables.
+      */
+    val SparkConfKey = "spark.graft.cabacTables"
+    /** Environment fallback for the same path (spark-less callers). */
+    val EnvKey = "SPARK_GRAFT_CABAC_TABLES"
+
+    /** The operational resolution the DataFrame decode entries use:
+      * explicit Config if passed, else the [[SparkConfKey]] Spark conf,
+      * else the [[EnvKey]] env var, else None (CABAC clips refuse by
+      * name). Loading happens once on the driver; the parsed Config is
+      * serialized to executors with the task closure. A path that fails
+      * to load THROWS (driver-side, with the parse error) rather than
+      * silently falling back to refusal — a user who configured tables
+      * must not get derived-or-refused behavior without noticing.
+      */
+    def resolve(explicit: Option[Config],
+        spark: org.apache.spark.sql.SparkSession): Option[Config] =
+      explicit.orElse {
+        spark.conf.getOption(SparkConfKey).orElse(sys.env.get(EnvKey))
+          .map(fromFile)
+      }
+
+    /** Load a tables file (format: [[fromText]]). */
+    def fromFile(path: String): Config = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try fromText(src.mkString)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$path: ${e.getMessage}", e)
+      } finally src.close()
+    }
+
+    /** Parse the graft CABAC tables format — the spec's number tables AS
+      * DATA, so conformance-anchored values never need a rebuild:
+      *
+      * {{{
+      * # comments with '#'; blank lines ignored; sections in any order
+      * [rangeTabLPS]   # ITU-T H.264 Table 9-44: 64 rows x 4 ints
+      * 128 176 208 240
+      * ...             # (63 more rows; row = pStateIdx, cols = qCodIRangeIdx)
+      * [transIdxLPS]   # Table 9-45 LPS column: 64 ints (whitespace/newline split)
+      * 0 0 1 2 ...
+      * [ctxInit]       # Tables 9-12..9-23 I-slice (m, n): rows "ctxIdx m n"
+      * 0 20 -15
+      * ...             # every ctxIdx 0..276 must be covered
+      * }}}
+      *
+      * transIdxMPS is NOT in the file: the spec's MPS column is exactly
+      * min(pStateIdx+1, 62) with 63 fixed, which [[Tables]] enforces, so
+      * it is constructed rather than transcribed. All structural
+      * tripwires in the [[Tables]] constructor run on the parsed values;
+      * a table that violates any spec invariant is rejected with the
+      * failing property named.
+      */
+    def fromText(text: String): Config = {
+      val sections = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ListBuffer[String]]
+      var current: String = null
+      text.linesIterator.foreach { raw =>
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.nonEmpty) {
+          if (line.startsWith("[") && line.endsWith("]")) {
+            current = line.substring(1, line.length - 1).trim.toLowerCase
+            sections.getOrElseUpdate(current, scala.collection.mutable.ListBuffer.empty)
+          } else {
+            require(current != null, s"data before any [section]: '$line'")
+            sections(current) += line
+          }
+        }
+      }
+      def ints(section: String): Array[Int] = {
+        val lines = sections.getOrElse(section,
+          throw new IllegalArgumentException(s"missing [$section] section"))
+        lines.flatMap(_.split("\\s+")).map { t =>
+          try t.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"[$section]: not an integer: '$t'")
+          }
+        }.toArray
+      }
+      val rangeFlat = ints("rangetablps")
+      require(rangeFlat.length == 256,
+        s"[rangeTabLPS] must hold 64x4 = 256 ints, got ${rangeFlat.length}")
+      val range = Array.tabulate(64, 4)((s, q) => rangeFlat(s * 4 + q))
+      val lps = ints("transidxlps")
+      require(lps.length == 64,
+        s"[transIdxLPS] must hold 64 ints, got ${lps.length}")
+      val mps = Array.tabulate(64)(s => if (s >= 62) s else s + 1)
+      val tables = new Tables(range, lps, mps) // structural tripwires run here
+      val ctxRows = ints("ctxinit")
+      require(ctxRows.length % 3 == 0,
+        s"[ctxInit] rows must be 'ctxIdx m n' triples, got ${ctxRows.length} ints")
+      val byIdx = ctxRows.grouped(3).map(t => t(0) -> Array(t(1), t(2))).toMap
+      val missing = (0 to 276).filterNot(byIdx.contains)
+      require(missing.isEmpty,
+        s"[ctxInit] must cover ctxIdx 0..276; missing ${missing.take(8).mkString(",")}" +
+          (if (missing.length > 8) s" (+${missing.length - 8} more)" else ""))
+      Config(tables, Array.tabulate(277)(byIdx))
+    }
+
+    /** Render a [[Config]] in the [[fromText]] format — the template a
+      * user fills with conformance values, and the round-trip half of
+      * the loader's test.
+      */
+    def renderTablesFile(cfg: Config): String = {
+      val sb = new StringBuilder
+      sb ++= "# graft CABAC tables file (ITU-T H.264 number tables as data)\n"
+      sb ++= "[rangeTabLPS]  # Table 9-44: 64 rows x 4 qCodIRangeIdx cols\n"
+      cfg.tables.rangeLps.foreach(r => sb ++= r.mkString(" ") += '\n')
+      sb ++= "[transIdxLPS]  # Table 9-45 LPS column: 64 values\n"
+      sb ++= cfg.tables.transLps.mkString(" ") += '\n'
+      sb ++= "[ctxInit]      # Tables 9-12..9-23 I-slice rows: ctxIdx m n\n"
+      cfg.ctxInit.zipWithIndex.foreach { case (mn, i) =>
+        sb ++= s"$i ${mn(0)} ${mn(1)}\n"
+      }
+      sb.result()
+    }
   }
 
   /** §9.3.1.1 context initialization from (m, n) at slice QP. */

@@ -565,7 +565,11 @@ object H264Decode {
       // documents the derivation/recall disagreement). Inject anchored
       // tables via the `cabac` config and the path below decodes.
       Left("CABAC stream (probability/context-init tables not " +
-        "conformance-anchored; mb layer ready — inject Cabac.Config)")
+        "conformance-anchored; mb layer ready — supply a tables file " +
+        "via --conf spark.graft.cabacTables=/path or the " +
+        "SPARK_GRAFT_CABAC_TABLES env: sections [rangeTabLPS] 64x4, " +
+        "[transIdxLPS] 64, [ctxInit] 'ctxIdx m n' rows 0..276, " +
+        "see Cabac.Config.fromText)")
     else if (pps.entropyCabac && sps.chromaFormatIdc != 1)
       // the CABAC cbp/chroma-residual walk is written for 4:2:0; a
       // monochrome stream drops the chroma bins and would mis-parse
@@ -998,6 +1002,9 @@ object H264Decode {
     val schema = StructType(df.schema.fields ++ cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
+    // operational no-rebuild path: spark.graft.cabacTables / env tables
+    // file, loaded+validated ONCE driver-side (Cabac.Config.resolve)
+    val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
     df.mapPartitions { rows =>
       rows.map { r =>
         def errRow(msg: String) = Row.fromSeq(r.toSeq ++
@@ -1030,7 +1037,7 @@ object H264Decode {
             else if (pps == null) errRow("no PPS in stream")
             else if (idr == null) errRow("no IDR slice in stream")
             else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
-              cabac) match {
+              cabacCfg) match {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
@@ -1064,6 +1071,8 @@ object H264Decode {
     val schema = StructType(df.schema.fields ++ mp4Cols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
+    // operational no-rebuild path (see decodeIdr): conf/env tables file
+    val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(msg: String) = Seq(Row.fromSeq(r.toSeq ++
@@ -1166,7 +1175,7 @@ object H264Decode {
                         }
                         if (idr == null) sampleErr("no IDR NAL in sync sample")
                         else decodeISlice(idr, sps, pps, maxPlaneBytes,
-                            idrRefIdc, cabac) match {
+                            idrRefIdc, cabacCfg) match {
                           case Left(msg) => sampleErr(msg)
                           case Right(luma) => Seq(lumaRow(r, luma,
                             sps.widthMbs * 16, sps.heightMbs * 16,

@@ -153,16 +153,15 @@ object Ivf {
               else {
                 walked += 1
                 if (fourcc == "AV01") {
-                  if (!sawFirst) {
-                    sawFirst = true
-                    av1 = findAv1Seq(java.util.Arrays.copyOfRange(
-                      b, fo, (fo + fsz).toInt))
-                  }
+                  // one OBU walk per frame: the result feeds BOTH the
+                  // first-frame sequence fields and the keyframe census
+                  val seq = findAv1Seq(java.util.Arrays.copyOfRange(
+                    b, fo, (fo + fsz).toInt))
+                  if (!sawFirst) { sawFirst = true; av1 = seq }
                   // AV1 keyframe census needs the frame header; count
                   // frames that carry a sequence header OBU instead (a
                   // keyframe-led temporal unit repeats it in practice)
-                  if (findAv1Seq(java.util.Arrays.copyOfRange(
-                    b, fo, (fo + fsz).toInt)).isRight) keys += 1
+                  if (seq.isRight) keys += 1
                 } else if (fourcc == "VP90") {
                   val t = b(fo.toInt) & 0xff
                   // frame_marker(2)=10, profile_low, profile_high,

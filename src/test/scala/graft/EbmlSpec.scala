@@ -80,6 +80,47 @@ class EbmlSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[String]("codec_id") == "V_VP8"))
   }
 
+  // hand-built EBML for crafted-input tests (sizes < 127 → 1-byte vints)
+  private def elem(id: Array[Int], payload: Array[Byte]): Array[Byte] =
+    id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+  private def minimalClip(segChildren: Array[Byte]): Array[Byte] =
+    elem(Array(0x1A, 0x45, 0xDF, 0xA3),
+      elem(Array(0x42, 0x82), "webm".getBytes)) ++
+      elem(Array(0x18, 0x53, 0x80, 0x67), segChildren)
+
+  test("SimpleBlock with 2-byte track vint in a 4-byte block at buffer " +
+      "end does not read past the block (no throw, not a keyframe)") {
+    // block payload: 41 01 (2-byte track vint) + 2 timestamp bytes; the
+    // flags byte would sit at offset 4 == block length → out of bounds
+    val sb = elem(Array(0xA3), Array[Byte](0x41, 0x01, 0x00, 0x00))
+    val clip = minimalClip(elem(Array(0x1F, 0x43, 0xB6, 0x75), sb))
+    val w = Ebml.parseWebm(clip)
+    assert(w.isRight)
+    assert(w.toOption.get.blockCount == 1)
+    assert(w.toOption.get.keyframeCount == 0)
+    // and through the Spark op (payload ends exactly at the block end)
+    val rows = Ebml.webmTracks(Seq(Tuple1(clip)).toDF("payload")).collect()
+    assert(rows.length == 1)
+  }
+
+  test("declared child size in [2^31,2^56) stops the walk instead of " +
+      "wrapping under toInt and mis-walking") {
+    // real cluster, then a crafted cluster declaring size 2^32 + 2 via a
+    // 5-byte vint (0x09 00 00 00 02 with the 1<<35 marker bit)
+    val sb = elem(Array(0xA3), Array[Byte](0x81.toByte, 0x00, 0x00, 0x80.toByte))
+    val realCluster = elem(Array(0x1F, 0x43, 0xB6, 0x75), sb)
+    val fake = Array(0x1F, 0x43, 0xB6, 0x75).map(_.toByte) ++
+      Array(0x09, 0x00, 0x00, 0x00, 0x02).map(_.toByte) ++
+      Array[Byte](0x00, 0x00) // 2 bytes present of the declared 2^32+2
+    val clip = minimalClip(realCluster ++ fake)
+    val w = Ebml.parseWebm(clip)
+    assert(w.isRight)
+    // pre-fix the wrapped size (2) passed the Int bounds check and the
+    // fake cluster was walked (clusterCount 2); the Long check stops it
+    assert(w.toOption.get.clusterCount == 1)
+    assert(w.toOption.get.keyframeCount == 1)
+  }
+
   test("degradation: non-EBML, truncated, and fuzzed payloads never throw") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)
     val d1 = Ebml.webmTracks(Seq(Tuple1(png)).toDF("payload")).collect()

@@ -33,6 +33,17 @@ def cell_bytes(v):
         return b"<null>"
     return repr(v).encode()
 
+def dtype_kind_mismatches(g, e):
+    """Columns whose pandas dtype KIND differs between Spark and oracle
+    (e.g. int64 vs float64). The driver's hash distinguishes 0 from 0.0,
+    so an int-vs-float column is a guaranteed driver hash-fail even when
+    every value compares equal after coercion — the r15 sft_pack_masked
+    escape (DuckDB HUGEINT '//' result -> pandas float64 vs Spark int64).
+    'i' and 'u' are treated as the same kind (both integer)."""
+    norm = lambda k: 'i' if k == 'u' else k
+    return [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+            if norm(g[c].dtype.kind) != norm(e[c].dtype.kind)]
+
 def byte_mismatches(g, e):
     """Return list of (row, col, spark_val, oracle_val) cells whose byte
     representations differ (floats compared as exact IEEE-754 bytes)."""
@@ -80,6 +91,16 @@ def main():
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(e)}")
+            n_fail += 1
+            continue
+        # Dtype-KIND gate first: an int-vs-float column hashes differently
+        # on the driver (0 vs 0.0) even if values coerce equal — fail it
+        # here before any value comparison can paper over it.
+        kind_bad = dtype_kind_mismatches(g, e)
+        if kind_bad:
+            c, gd, ed = kind_bad[0]
+            print(f"FAIL {name}: dtype-kind mismatch: col {c} spark={gd} oracle={ed}"
+                  + (f" (+{len(kind_bad)-1} more cols)" if len(kind_bad) > 1 else ""))
             n_fail += 1
             continue
         # Gate is BYTE-EXACT like the driver's hash: floats compared as
