@@ -3073,10 +3073,10 @@ object CatalogOps {
     * branches share one read. The oracle recomputes every branch's
     * closed form and the keep verdict per doc.
     */
-  private val mmMediaGate = Q("mm_media_gate_pipeline",
-    (s, dir) => {
-      val d = col("doc_id")
-      val payload = when(d % 6 === 0,
+  /** The media-gate fixture corpus: payload kind cycles by doc_id % 6
+    * (shared by the kind-prefilter and persist-once gate rows).
+    */
+  private def mediaGatePayload(d: Column): Column = when(d % 6 === 0,
           graft.ops.Ebml.syntheticWebm((d % 3).cast("int"),
             (lit(320) + lit(16) * (d % 10)).cast("int"),
             (lit(240) + lit(16) * (d % 6)).cast("int"),
@@ -3113,8 +3113,12 @@ object CatalogOps {
             (lit(1) + d % 5).cast("int"), d % 2 === 1,
             (lit(2) + d % 3).cast("int"), (lit(1) + d % 4).cast("int"),
             (lit(150) + d % 7).cast("int")))
+
+  private val mmMediaGate = Q("mm_media_gate_pipeline",
+    (s, dir) => {
+      val d = col("doc_id")
       val corpus = t(s, dir, "documents")
-        .select(d, payload.as("payload"))
+        .select(d, mediaGatePayload(d).as("payload"))
         .withColumn("sniffed", graft.ops.Multimodal.sniffMediaType(col("payload")))
       def norm(df: org.apache.spark.sql.DataFrame, kind: String,
           w: Column, h: Column, sr: Column, dur: Column,
@@ -3165,7 +3169,14 @@ object CatalogOps {
           when(col("media_kind") === "audio", col("duration_s") >= 1.5)
             .otherwise((col("width") >= 352) && (col("keyframes") >= 2)))
     },
-    Some("""WITH p AS (SELECT doc_id, doc_id % 6 AS kind FROM documents)
+    Some(mediaGateOracle),
+    bench = true)
+
+  /** Closed-form oracle for BOTH media-gate rows (identical output).
+    * `lazy`: referenced by `mmMediaGate` above its declaration point —
+    * a plain val would still be null during object init.
+    */
+  private lazy val mediaGateOracle = """WITH p AS (SELECT doc_id, doc_id % 6 AS kind FROM documents)
       SELECT doc_id,
         CASE kind WHEN 0 THEN 'video/webm' WHEN 1 THEN 'video/annexb'
           WHEN 2 THEN 'audio/flac' WHEN 3 THEN 'application/ogg'
@@ -3205,7 +3216,67 @@ object CatalogOps {
               WHEN 4 THEN (1 + doc_id % 7 + doc_id % 3) // (1 + doc_id % 3)
               ELSE 1 END) >= 2
         END AS keep
-      FROM p"""),
+      FROM p"""
+
+  /** The PERSIST-ONCE media gate ([[graft.ops.MediaGate.gateManaged]]) —
+    * the operator-level form of the gate row above: the sniffed corpus
+    * frame (doc_id, payload, sniffed) is materialized ONCE into the
+    * block-manager cache and all five census branches read THAT frame;
+    * no branch re-generates (over a real store: re-reads) the payloads,
+    * and no fixture-kind knowledge leaks into the routing. The two
+    * Annex-B branches split on [[graft.ops.Multimodal.annexbCodec]]
+    * (the structural H.264-odd / H.265-even lead-byte probe), exactly
+    * as a real corpus would route them. Oracle identical to the
+    * kind-prefilter row — the two compositions must agree bit-for-bit.
+    */
+  private val mmMediaGatePersist = Q("mm_media_gate_persist",
+    (s, dir) => {
+      import graft.ops.MediaGate.Branch
+      val d = col("doc_id")
+      val corpus = t(s, dir, "documents")
+        .select(d, mediaGatePayload(d).as("payload"))
+      def norm(df: org.apache.spark.sql.DataFrame, kind: String,
+          w: Column, h: Column, sr: Column, dur: Column,
+          kf: Column): org.apache.spark.sql.DataFrame =
+        df.select(col("doc_id"), col("sniffed"), lit(kind).as("media_kind"),
+          w.cast("int").as("width"), h.cast("int").as("height"),
+          sr.cast("bigint").as("sample_rate"),
+          dur.cast("double").as("duration_s"), kf.cast("int").as("keyframes"))
+      val annexb = col("sniffed") === "video/annexb"
+      val codec = graft.ops.Multimodal.annexbCodec(col("payload"))
+      val (gate, _) = graft.ops.MediaGate.gateWithKeep(corpus, Seq(
+        Branch(col("sniffed") === "video/webm", df =>
+          norm(graft.ops.Ebml.webmTracks(df, "payload")
+              .filter(col("track_type") === "video"),
+            "webm", col("pixel_width"), col("pixel_height"), lit(null),
+            col("duration_s"), col("keyframe_count"))),
+        Branch(annexb && codec === "h265", df =>
+          norm(graft.ops.Hevc.hevcMeta(df, "payload"),
+            "hevc", col("width"), col("height"), lit(null), lit(null),
+            col("irap_count"))),
+        Branch(col("sniffed").isin("audio/flac", "application/ogg"), df =>
+          norm(graft.ops.AudioContainers.audioContainerMeta(df, "payload"),
+            "audio", lit(null), lit(null), col("sample_rate"),
+            col("duration_s"), lit(null))),
+        Branch(col("sniffed") === "video/mp4", df =>
+          norm(graft.ops.H264Decode.decodeMp4Keyframes(df, "payload")
+              .groupBy(col("doc_id"), col("sniffed"))
+              .agg(org.apache.spark.sql.functions.min("frame_width").as("w"),
+                org.apache.spark.sql.functions.min("frame_height").as("h"),
+                count(lit(1)).as("kf")),
+            "mp4", col("w"), col("h"), lit(null), lit(null), col("kf"))),
+        Branch(annexb && codec === "h264", df =>
+          norm(graft.ops.H264Decode.decodeIdr(df, "payload",
+              cabac = Some(graft.ops.Cabac.Config.derived)),
+            "h264", col("frame_width"), col("frame_height"), lit(null),
+            lit(null), lit(1)))),
+        keep = when(col("media_kind") === "audio", col("duration_s") >= 1.5)
+          .otherwise((col("width") >= 352) && (col("keyframes") >= 2)))
+      // single-shot row: the LRU owns the cache block (managed callers
+      // hold the release hook; see MediaGate scaladoc)
+      gate
+    },
+    Some(mediaGateOracle),
     bench = true)
 
   /** IVF (AV1/VP9/VP8) structure census ([[graft.ops.Ivf.ivfMeta]]) —
@@ -4148,7 +4219,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -58,6 +58,25 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
+  /** Disambiguate a `video/annexb` payload's codec — the refinement the
+    * first-bytes sniff can't make (both H.264 and H.265 lead with
+    * 00000001). Structural, not a table: a conformant stream leads with
+    * a parameter-set NAL, and the byte after the 4-byte start code is
+    * ODD for H.264 (nal_unit_type sits in the LOW 5 bits: SPS 0x67,
+    * PPS 0x68 never leads) while it is always EVEN for H.265 (the
+    * 2-byte NAL header puts nal_unit_type in bits 1..6 and bit 0 is the
+    * nuh_layer_id high bit, 0 for the base layer: VPS 0x40, SPS 0x42).
+    * Returns 'h264' / 'h265' / null (not annexb-shaped). Codegen'd
+    * string/bit expressions, no UDF.
+    */
+  def annexbCodec(payload: Column): Column = {
+    val lead = conv(hex(substring(payload, 5, 1)), 16, 10).cast("int")
+    when(payload.isNull || hex(substring(payload, 1, 4)) =!= "00000001",
+        lit(null).cast("string"))
+      .when(lead % 2 === 1, "h264")
+      .otherwise("h265")
+  }
+
   /** ImageIO defaults to DISK-caching its image input/output streams: every
     * `read`/`write` call creates and deletes a temp file, which at bench
     * scale serialized the whole executor on filesystem traffic (measured

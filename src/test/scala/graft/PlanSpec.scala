@@ -419,6 +419,52 @@ class PlanSpecR13 extends AnyFunSuite {
     assert(p.contains("Window"), s"no offset window:\n$p")
   }
 
+  test("media gate (kind-prefilter row): every payload-generating " +
+      "projection sits ABOVE its kind pre-filter — the r15 6x " +
+      "branch re-evaluation fix cannot silently regress") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = Catalog.byName("mm_media_gate_pipeline").run(spark, sf)
+    val generators = df.queryExecution.optimizedPlan.collect {
+      case p: Project if p.projectList.exists(
+        _.exists(_.isInstanceOf[ScalaUDF])) => p
+    }
+    assert(generators.nonEmpty, "no payload-generating projection found")
+    generators.foreach { p =>
+      val hasKindFilter = p.child.collectFirst {
+        case f: Filter if f.condition.sql.contains("% 6") => f
+      }.isDefined
+      assert(hasKindFilter,
+        s"payload generator without a kind pre-filter below it:\n$p")
+    }
+  }
+
+  test("media gate (persist-once row): payload generation lives inside " +
+      "ONE cached relation; all five branches read the cache, none " +
+      "re-generates") {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Catalog.byName("mm_media_gate_persist").run(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    // no generator UDF outside the cache: the top-level optimized plan
+    // stops at InMemoryRelation leaves, so any ScalaUDF projection here
+    // would be a branch re-generating payloads
+    val outside = plan.collect {
+      case p: Project if p.projectList.exists(
+        _.exists(_.isInstanceOf[ScalaUDF])) => p
+    }
+    assert(outside.isEmpty,
+      s"payload generator OUTSIDE the persisted frame:\n${outside.head}")
+    val caches = plan.collect { case r: InMemoryRelation => r }
+    assert(caches.size == 5,
+      s"expected 5 branch reads of the cached frame, got ${caches.size}")
+    // ...and they are all the SAME cache build (one materialization)
+    assert(caches.map(_.cacheBuilder.cachedPlan).distinct.size == 1,
+      "branches read different cache builds — frame not shared")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("census family: webm/hevc/audio/ivf census rows are single-stage " +
       "narrow maps (no Exchange, no join)") {
     for (q <- Seq("mm_webm_tracks", "mm_hevc_meta", "mm_audio_containers",
