@@ -3451,6 +3451,67 @@ object CatalogOps {
           ORDER BY doc_id) AS mask_spans
       FROM q GROUP BY grp, pack_id"""))
 
+  /** TOKEN-SPACE loss-masked packing
+    * ([[graft.ops.SftData.tokenizeWithMasks]] →
+    * [[graft.ops.SftData.packTokenizedWithMasks]]) — the fused
+    * (input_ids, loss_mask) pair a trainer consumes: conversations are
+    * tokenized SEGMENT-WISE at assistant-span boundaries (so every
+    * token span decodes back to exactly its assistant content —
+    * property-pinned in SftDataSpec with nontrivial merges), then
+    * packed into 300-token windows with the spans shifted to
+    * pack-relative TOKEN offsets. The row runs an EMPTY merges table,
+    * where byte-level BPE ids are exactly the UTF-8 bytes — so the
+    * oracle can state the ids closed-form (ASCII fixture: per-char
+    * codes of the packed text) and token offsets coincide with char
+    * offsets; nontrivial-merge behavior is the spec's property pin.
+    * Same scale shape as sft_pack_masked: one group shuffle + one
+    * window, per-pack state budget-bounded.
+    */
+  private val sftPackTokens = Q("sft_pack_tokens",
+    (s, dir) => {
+      val rendered = graft.ops.SftData.renderChatML(
+        graft.ops.SftData.validateConversations(sftFixture(s, dir))
+          .filter(col("sft_valid")))
+        .withColumn("grp", col("doc_id") % 2)
+      val tokenized = graft.ops.SftData.tokenizeWithMasks(rendered, Nil)
+      graft.ops.SftData.packTokenizedWithMasks(tokenized, "doc_id",
+          "grp", 300L)
+        .select(col("grp"), col("pack_id"), col("n_docs"),
+          col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")),
+            ",").as("token_ids_csv"),
+          col("mask_spans"))
+    },
+    Some("""WITH v AS (SELECT doc_id, doc_id % 2 AS grp,
+        (CASE WHEN doc_id % 6 = 1
+          THEN '<|im_start|>system' || chr(10) || 'Sys<|im_end|>' || chr(10)
+          ELSE '' END)
+        || '<|im_start|>user' || chr(10)
+        || 'Q' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        || '<|im_end|>' || chr(10)
+        || '<|im_start|>assistant' || chr(10)
+        || 'A' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        || '<|im_end|>' || chr(10) AS text,
+        (CASE WHEN doc_id % 6 = 1 THEN 86 ELSE 53 END) AS sp_start,
+        (CASE WHEN doc_id % 6 = 1 THEN 100 ELSE 67 END) AS len
+        FROM documents WHERE doc_id % 6 IN (0, 1, 5)),
+      w AS (SELECT *, COALESCE(SUM(len) OVER (PARTITION BY grp
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS cum FROM v),
+      p AS (SELECT *, (cum // 300)::BIGINT AS pack_id FROM w),
+      q AS (SELECT *, cum - MIN(cum) OVER (PARTITION BY grp, pack_id)
+          AS off FROM p),
+      r AS (SELECT grp, pack_id, COUNT(*)::BIGINT AS n_docs,
+        SUM(len)::BIGINT AS n_tokens,
+        STRING_AGG(text, '' ORDER BY doc_id) AS packed_text,
+        STRING_AGG(CAST(sp_start + off AS VARCHAR) || ':3', ','
+          ORDER BY doc_id) AS mask_spans
+        FROM q GROUP BY grp, pack_id)
+      SELECT grp, pack_id, n_docs, n_tokens,
+        array_to_string(list_transform(string_split(packed_text, ''),
+          x -> ascii(x)::VARCHAR), ',') AS token_ids_csv,
+        mask_spans FROM r"""))
+
   /** DPO preference-pair prep ([[graft.ops.SftData.prepareDpoPairs]]) —
     * prompt conversations plus chosen/rejected responses become the two
     * fully-rendered ChatML conversations a preference trainer scores,
@@ -4219,7 +4280,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

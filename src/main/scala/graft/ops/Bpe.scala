@@ -228,6 +228,30 @@ object Bpe {
   def encode(text: String, merges: Seq[(String, String)]): Array[Int] =
     new Kernel(merges.toIndexedSeq).ids(text)
 
+  /** Decode byte-level BPE ids back to text: byte ids (< 256) are their
+    * byte, merge id 256+i expands to its pair's concatenated byte
+    * strings (merge pairs are already fully-expanded byte strings — see
+    * [[bytesOf]]), and the byte stream re-reads as UTF-8. Total inverse
+    * of [[encode]]: `decode(encode(t, ms), ms) == t` for any valid
+    * UTF-8 `t` (encode is byte-exhaustive, nothing is dropped). Ids
+    * outside [0, 256 + merges.size) throw — a corrupt id must not
+    * silently decode to wrong text.
+    */
+  def decode(ids: Seq[Int], merges: Seq[(String, String)]): String = {
+    val ms = merges.toIndexedSeq
+    val sb = new StringBuilder
+    ids.foreach { id =>
+      if (id < 0 || id >= 256 + ms.length)
+        throw new IllegalArgumentException(
+          s"token id $id outside vocab [0, ${256 + ms.length})")
+      if (id < 256) sb += id.toChar
+      else { val (a, b) = ms(id - 256); sb ++= a; sb ++= b }
+    }
+    new String(sb.result().getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Token COUNT under `merges` as a long Column — the packing-budget
     * input. `Packing.packSequences(df, id, group, Bpe.tokenCount(merges)(
     * col("text")), budget)` is token-exact packing. With an EMPTY merges
@@ -238,6 +262,17 @@ object Bpe {
   def tokenCount(merges: Seq[(String, String)]): UserDefinedFunction = {
     val k = new Kernel(merges.toIndexedSeq)
     udf((text: String) => k.count(text))
+  }
+
+  /** Serializable per-executor encode kernel — for sibling ops
+    * ([[SftData.tokenizeWithMasks]]) that tokenize SEGMENTS inside one
+    * UDF row and can't pay a Column-level UDF per segment. Same lazy
+    * rank-table compile as the public Column wrappers.
+    */
+  private[ops] def encoderKernel(
+      merges: Seq[(String, String)]): String => Array[Int] = {
+    val k = new Kernel(merges.toIndexedSeq)
+    (s: String) => k.ids(s)
   }
 
   /** Token IDS under `merges` as an array<int> Column (byte-level ids:

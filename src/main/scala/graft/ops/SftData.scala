@@ -182,6 +182,104 @@ object SftData {
     *
     * Returns (groupCol, pack_id, n_docs, packed_text, mask_spans).
     */
+  /** TOKEN-SPACE loss masks — the fusion of [[renderChatML]]'s span
+    * geometry with [[Bpe]] tokenization: adds `token_ids` (array<int>),
+    * `token_spans` ("start:len" in TOKEN indices, comma-joined, one per
+    * assistant turn) and `n_tokens`. Char-space spans are the
+    * intermediate; this is what a trainer actually consumes.
+    *
+    * The text is tokenized SEGMENT-WISE at span boundaries (prompt
+    * segment | assistant segment | ...), so no merge ever straddles an
+    * assistant-content boundary and the defining invariant holds
+    * EXACTLY: `Bpe.decode(token_ids.slice(start, start+len)) ==` that
+    * assistant turn's content, for every span (the property the spec
+    * pins). Segment-wise ids can differ from whole-text ids only AT the
+    * boundaries (a merge that would have crossed one) — the standard
+    * per-message tokenization every SFT pipeline does, stated not
+    * silent. One UDF per row (the merge loop is imperative by nature),
+    * scan-side, no shuffle.
+    */
+  def tokenizeWithMasks(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "rendered_text",
+      spansCol: String = "assistant_spans"): DataFrame = {
+    val kernel = Bpe.encoderKernel(merges)
+    val tok = udf { (text: String, spans: String) =>
+      if (text == null) (Array.emptyIntArray, "", 0L)
+      else {
+        val bounds = if (spans == null || spans.isEmpty) Array.empty[(Int, Int)]
+          else spans.split(",").map { s =>
+            val p = s.split(":")
+            (p(0).toInt, p(1).toInt)
+          }
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val tokSpans = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        bounds.foreach { case (start, len) =>
+          if (start > pos) ids ++= kernel(text.substring(pos, start))
+          val seg = kernel(text.substring(start, start + len))
+          tokSpans += s"${ids.length}:${seg.length}"
+          ids ++= seg
+          pos = start + len
+        }
+        if (pos < text.length) ids ++= kernel(text.substring(pos))
+        (ids.toArray, tokSpans.mkString(","), ids.length.toLong)
+      }
+    }
+    val t = tok(col(textCol), col(spansCol))
+    df.withColumn("token_ids", t.getField("_1"))
+      .withColumn("token_spans", t.getField("_2"))
+      .withColumn("n_tokens", t.getField("_3"))
+  }
+
+  /** Loss-masked packing in TOKEN space: [[tokenizeWithMasks]] output
+    * packed into fixed `budget`-token windows — per pack the
+    * concatenated `token_ids` and the assistant `mask_spans` shifted to
+    * pack-relative TOKEN offsets, i.e. the literal (input_ids,
+    * loss_mask) pair an SFT trainer consumes. Same machinery as
+    * [[packRenderedWithMasks]] with tokens as the budget unit and array
+    * concat instead of string concat: one group shuffle (the packer's),
+    * one window for the offsets, per-pack state bounded by budget + one
+    * straddling document.
+    *
+    * Returns (groupCol, pack_id, n_docs, n_tokens, token_ids,
+    * mask_spans).
+    */
+  def packTokenizedWithMasks(df: DataFrame, idCol: String,
+      groupCol: String, budget: Long,
+      idsCol: String = "token_ids", spansCol: String = "token_spans",
+      nCol: String = "n_tokens"): DataFrame = {
+    // packSequences already emits the budget column as `n_tokens`, so
+    // the join side must not bring a second copy
+    val packed = Packing.packSequences(df, idCol, groupCol,
+        col(nCol), budget)
+      .withColumnRenamed("n_tokens", nCol)
+      .join(df.select(col(idCol), col(idsCol), col(spansCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("pack_id")).orderBy(col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offset = coalesce(sum(col(nCol)).over(w), lit(0L))
+    val shifted = when(col(spansCol) === "" || col(spansCol).isNull,
+      array().cast(ArrayType(StringType)))
+      .otherwise(transform(split(col(spansCol), ","), s => concat_ws(":",
+        (element_at(split(s, ":"), 1).cast("long") + col("tok_off"))
+          .cast("string"),
+        element_at(split(s, ":"), 2))))
+    packed.withColumn("tok_off", offset)
+      .withColumn("shifted_spans", shifted)
+      .groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nCol)).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col(idCol),
+            col(idsCol).as("ids")))),
+          s => s.getField("ids"))).as("token_ids"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(idCol),
+            col("shifted_spans").as("sp")))),
+          s => s.getField("sp"))), ",").as("mask_spans"))
+  }
+
   def packRenderedWithMasks(df: DataFrame, idCol: String, groupCol: String,
       nTokens: Column, budget: Long,
       textCol: String = "rendered_text",

@@ -108,6 +108,74 @@ class SftDataSpec extends AnyFunSuite {
     assert(total == 9) // every conversation's mask survived packing
   }
 
+  // merges chosen so tokenization WOULD straddle assistant boundaries if
+  // the text were tokenized whole: "r\n" spans the header/content border
+  // ('assistant' + '\n' + content starting who-knows-where is immune, but
+  // "t\n" merges the header's final char with the newline), and "er"
+  // lands inside "answer". Segment-wise tokenization must keep every
+  // span decodable regardless.
+  private val straddleMerges = Seq(("t", "\n"), ("e", "r"), ("a", "n"))
+
+  test("tokenizeWithMasks: every token-space span DECODES back to " +
+      "exactly its assistant content (nontrivial, boundary-straddling " +
+      "merges)") {
+    val df = SftData.tokenizeWithMasks(SftData.renderChatML(parsed(
+      """{"messages":[{"role":"user","content":"hello there"},{"role":"assistant","content":"answer one\nmore"},{"role":"user","content":"again"},{"role":"assistant","content":"trailer"}]}""")),
+      straddleMerges)
+    val r = df.collect()(0)
+    val ids = r.getAs[scala.collection.Seq[Int]]("token_ids")
+    assert(r.getAs[Long]("n_tokens") == ids.length.toLong)
+    val spans = r.getAs[String]("token_spans").split(",")
+    val decoded = spans.map { s =>
+      val Array(st, ln) = s.split(":").map(_.toInt)
+      Bpe.decode(ids.slice(st, st + ln).toSeq, straddleMerges)
+    }
+    assert(decoded.sameElements(Array("answer one\nmore", "trailer")))
+    // the merges actually fired (ids are shorter than the byte count)
+    assert(ids.length < r.getAs[String]("rendered_text").length)
+    // and the whole stream decodes back to the full rendered text
+    assert(Bpe.decode(ids.toSeq, straddleMerges) ==
+      r.getAs[String]("rendered_text"))
+  }
+
+  test("packTokenizedWithMasks: pack-relative token spans decode to " +
+      "assistant contents across pack boundaries") {
+    val convs = (0 until 9).map { i =>
+      s"""{"messages":[{"role":"user","content":"q$i"},{"role":"assistant","content":"answer-$i"}]}"""
+    }
+    val df = SftData.tokenizeWithMasks(SftData.renderChatML(parsed(convs: _*)),
+        straddleMerges)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("grp", lit("g"))
+    val packs = SftData.packTokenizedWithMasks(df, "doc_id", "grp", 120L)
+      .collect()
+    assert(packs.length > 1) // the budget actually splits
+    var total = 0
+    for (p <- packs) {
+      val ids = p.getAs[scala.collection.Seq[Int]]("token_ids")
+      assert(p.getAs[Long]("n_tokens") == ids.length.toLong)
+      val spans = p.getAs[String]("mask_spans").split(",")
+      assert(spans.length == p.getAs[Long]("n_docs"))
+      total += spans.length
+      for (s <- spans) {
+        val Array(st, ln) = s.split(":").map(_.toInt)
+        val dec = Bpe.decode(ids.slice(st, st + ln).toSeq, straddleMerges)
+        assert(dec.matches("answer-\\d"), s"decoded '$dec'")
+      }
+    }
+    assert(total == 9) // every conversation's mask survived packing
+  }
+
+  test("Bpe.decode: inverse of encode; corrupt ids throw") {
+    val text = "the\tquick bröwn\nfox" // multi-byte UTF-8 survives
+    assert(Bpe.decode(Bpe.encode(text, straddleMerges).toSeq,
+      straddleMerges) == text)
+    assert(Bpe.decode(Bpe.encode(text, Nil).toSeq, Nil) == text)
+    intercept[IllegalArgumentException](
+      Bpe.decode(Seq(256 + straddleMerges.length), straddleMerges))
+    intercept[IllegalArgumentException](Bpe.decode(Seq(-1), Nil))
+  }
+
   test("prepareDpoPairs: gates and rendered pair") {
     val rows = Seq(
       // valid
