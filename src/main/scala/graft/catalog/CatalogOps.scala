@@ -2497,6 +2497,40 @@ object CatalogOps {
       ((1 + doc_id % 6 + doc_id % 3) // (1 + doc_id % 3))::INT AS idr_count,
       NULL::VARCHAR AS parse_error
       FROM documents"""))
+  /** P/B-slice GOP census ([[graft.ops.VideoBitstream.h264SliceCensus]])
+    * — the structure-first step ahead of any inter-prediction work:
+    * REAL §7.3.3 slice-header prefixes (Exp-Golomb first_mb_in_slice +
+    * slice_type) parsed per coded slice give each clip's I/P/B/IDR
+    * counts, GOP shape and the NAMED decode verdict (IDR present →
+    * keyframe decode path; IDR-less P/B stream → the inter seam by
+    * name). Fixture is GOP-shaped (IDR opens each GOP, every
+    * `bPeriod`-th in-GOP slice is B, the rest P); every count is
+    * closed-form in doc_id. Decode-free narrow map, no shuffle.
+    */
+  private val mmH264SliceCensus = Q("mm_h264_slice_census",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.VideoBitstream.syntheticGopAnnexB(
+          (lit(1) + d % 4).cast("int"), (lit(1) + d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"), (lit(3) + d % 4).cast("int"),
+          (lit(2) + d % 2).cast("int"), (d % 16).cast("int"))
+          .as("payload"))
+      graft.ops.VideoBitstream.h264SliceCensus(clips, "payload")
+        .select(col("doc_id"), col("n_slices"), col("n_i"), col("n_p"),
+          col("n_b"), col("n_idr"), col("first_slice_type"),
+          col("decode_refusal"), col("parse_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (1 + doc_id % 3)::INT AS g,
+        (3 + doc_id % 4)::INT AS L, (2 + doc_id % 2)::INT AS bp
+        FROM documents)
+      SELECT doc_id, (g * L)::INT AS n_slices, g::INT AS n_i,
+        (g * (L - 1) - g * ((L - 1) // bp))::INT AS n_p,
+        (g * ((L - 1) // bp))::INT AS n_b, g::INT AS n_idr,
+        'all-I' AS first_slice_type,
+        NULL::VARCHAR AS decode_refusal, NULL::VARCHAR AS parse_error
+      FROM p"""))
+
   /** MP4/ISO-BMFF clip metadata WITHOUT decode: synthetic per-doc MP4s
     * (one AVC track; avcC carries the same synthetic SPS as the Annex-B
     * rows; timescale 512 / delta 128 so duration_s = n/4 is float-exact)
@@ -4280,7 +4314,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

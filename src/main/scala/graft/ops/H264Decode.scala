@@ -1019,6 +1019,7 @@ object H264Decode {
             var pps: PpsInfo = null
             var idr: Array[Byte] = null
             var idrRefIdc = 3
+            var nonIdrType = -1 // first coded non-IDR slice's slice_type
             nals.foreach { case (off, len) =>
               (bytes(off) & 0x1f) match {
                 case 7 if sps == null =>
@@ -1030,12 +1031,26 @@ object H264Decode {
                 case 5 if idr == null =>
                   idr = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
                   idrRefIdc = (bytes(off) >> 5) & 3
+                case 1 if nonIdrType < 0 =>
+                  nonIdrType = try VideoBitstream.firstSliceType(
+                    VideoBitstream.rbspBytes(bytes, off + 1,
+                      math.min(len - 1, 8)))
+                  catch { case _: Exception => -1 }
                 case _ => ()
               }
             }
             if (sps == null) errRow("no SPS in stream")
             else if (pps == null) errRow("no PPS in stream")
-            else if (idr == null) errRow("no IDR slice in stream")
+            else if (idr == null)
+              // refusal narrowing: an IDR-less stream with coded P/B
+              // slices names the INTER seam, not a generic miss — the
+              // slice census (h264SliceCensus) gives the same verdict
+              // clip-wide
+              errRow(if (nonIdrType >= 0 && nonIdrType <= 9)
+                s"${VideoBitstream.sliceTypeName(nonIdrType)}-slice " +
+                  "stream: inter prediction not implemented (named " +
+                  "seam; keyframe-only curation decode takes IDR slices)"
+                else "no IDR slice in stream")
             else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
               cabacCfg) match {
               case Left(msg) => errRow(msg)

@@ -378,6 +378,154 @@ object VideoBitstream {
     out.toArray
   }
 
+  private val sliceCensusCols = Seq(
+    StructField("n_slices", IntegerType),
+    StructField("n_i", IntegerType),
+    StructField("n_p", IntegerType),
+    StructField("n_b", IntegerType),
+    StructField("n_idr", IntegerType),
+    StructField("first_slice_type", StringType),
+    StructField("decode_refusal", StringType),
+    StructField("parse_error", StringType))
+
+  /** §7.3.3 slice_type code → name. Types 5..9 assert "every slice in
+    * the picture has this type"; the census folds them onto the base
+    * type (the distinction matters to a decoder, not a GOP census).
+    */
+  private[ops] def sliceTypeName(t: Int): String = (t % 5) match {
+    case 0 => "P"
+    case 1 => "B"
+    case 2 => "I"
+    case 3 => "SP"
+    case 4 => "SI"
+  }
+
+  /** slice_type of a coded-slice RBSP prefix (§7.3.3: skips
+    * first_mb_in_slice, returns the slice_type code 0..9; garbage may
+    * return larger — callers range-check). */
+  private[ops] def firstSliceType(rbsp: Array[Byte]): Int = {
+    val r = new BitReader(rbsp)
+    r.ue() // first_mb_in_slice
+    r.ue()
+  }
+
+  /** P/B-SLICE structure census — the GOP-shape walk that precedes any
+    * decode decision (VERDICT r15 Next #7: structure FIRST, motion
+    * compensation only if curation ever needs it). For every coded
+    * slice NAL (types 1 and 5) the REAL slice-header prefix is
+    * Exp-Golomb-parsed (§7.3.3: first_mb_in_slice, slice_type — the
+    * fields that precede any SPS-dependent bit), yielding per clip the
+    * I/P/B/IDR counts and `decode_refusal`: null when the keyframe-only
+    * decoder can take the clip's IDR slices, else the NAMED inter seam
+    * ("P-slice stream: inter prediction not implemented…") — the same
+    * refusal [[H264Decode.decodeIdr]] now emits per clip instead of the
+    * generic "no IDR slice in stream". SP/SI count into n_p/n_i (their
+    * base type) and are named in first_slice_type if leading. Narrow
+    * flatMap-free map, per-clip degradation, no shuffle — census-family
+    * scale shape.
+    */
+  def h264SliceCensus(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    Multimodal.requireFreshColumns(df, "h264SliceCensus",
+      sliceCensusCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ sliceCensusCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(null, null, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val nals = findNals(bytes)
+          if (nals == null) errRow("no Annex-B start code")
+          else {
+            var (nSl, nI, nP, nB, nIdr) = (0, 0, 0, 0, 0)
+            var first: String = null
+            nals.foreach { case (off, len) =>
+              val tpe = bytes(off) & 0x1f
+              if (tpe == 1 || tpe == 5) {
+                nSl += 1
+                if (tpe == 5) nIdr += 1
+                val st = firstSliceType(rbspBytes(bytes, off + 1,
+                  math.min(len - 1, 8))) // header prefix only
+                if (st <= 9) {
+                  if (first == null)
+                    first = (if (st >= 5) "all-" else "") + sliceTypeName(st)
+                  sliceTypeName(st) match {
+                    case "I" | "SI" => nI += 1
+                    case "P" | "SP" => nP += 1
+                    case "B" => nB += 1
+                  }
+                }
+              }
+            }
+            val refusal =
+              if (nIdr > 0) null // keyframe-only decode has its entry
+              else if (nP + nB > 0)
+                s"${if (nB > 0) "B" else "P"}-slice stream: inter " +
+                  "prediction not implemented (named seam; keyframe-only " +
+                  "curation decode takes IDR slices)"
+              else "no coded slices"
+            Row.fromSeq(r.toSeq ++
+              Seq(nSl, nI, nP, nB, nIdr, first, refusal, null))
+          }
+        } catch { case e: Exception =>
+          errRow(s"slice census failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic GOP-shaped Annex-B stream for the slice census: SPS +
+    * PPS, then `nGops` GOPs of `gopLen` slices each — an IDR (slice_type
+    * 7, "all-I") opening each GOP, then non-IDR slices whose REAL §7.3.3
+    * header prefix codes slice_type B (1) on every `bPeriod`-th
+    * in-GOP position and P (0) otherwise, followed by opaque high-bit
+    * filler (length 4 + (seed + position) % 8). Closed forms:
+    * n_idr = nGops, n_slices = nGops*gopLen.
+    */
+  val syntheticGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((mbw: Int, mbh: Int, nGops: Int, gopLen: Int, bPeriod: Int,
+        seed: Int) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def startCode(four: Boolean): Unit = {
+        if (four) out += 0
+        out += 0; out += 0; out += 1
+      }
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= escapeRbsp(rbsp)
+      }
+      def sliceRbsp(sliceType: Int, fill: Int): Array[Byte] = {
+        val w = new BitWriter
+        w.ue(0) // first_mb_in_slice
+        w.ue(sliceType)
+        w.ue(0) // pic_parameter_set_id
+        w.alignByteOnes() // pad the header prefix with 1-bits (never 00)
+        w.bytes ++ Array.tabulate(fill)(j =>
+          (0x80 | ((seed * 17 + j * 5) & 0x7f)).toByte)
+      }
+      startCode(four = true)
+      nal(3, 7, syntheticSpsRbsp(mbw, mbh))
+      startCode(four = false)
+      nal(3, 8, Array[Byte](0x68, 0x70, 0x71, 0x72).map(b => (b | 0x40).toByte))
+      var g = 0
+      while (g < nGops) {
+        var k = 0
+        while (k < gopLen) {
+          startCode(four = false)
+          val fill = 4 + (seed + k) % 8
+          if (k == 0) nal(3, 5, sliceRbsp(7, fill))
+          else if (k % bPeriod == 0) nal(0, 1, sliceRbsp(1, fill))
+          else nal(2, 1, sliceRbsp(0, fill))
+          k += 1
+        }
+        g += 1
+      }
+      out.toArray
+    })
+
   /** Deterministic synthetic Annex-B H.264 stream: 4-byte start code +
     * SPS, then 3-byte start codes + PPS and `nFrames` slice NALs (IDR
     * every `idrPeriod`-th, non-IDR otherwise). Slice bodies are opaque

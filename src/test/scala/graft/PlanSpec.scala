@@ -468,7 +468,7 @@ class PlanSpecR13 extends AnyFunSuite {
   test("census family: webm/hevc/audio/ivf census rows are single-stage " +
       "narrow maps (no Exchange, no join)") {
     for (q <- Seq("mm_webm_tracks", "mm_hevc_meta", "mm_audio_containers",
-        "mm_ivf_meta")) {
+        "mm_ivf_meta", "mm_h264_slice_census")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       assert(!p.contains("Join"), s"$q joins:\n$p")

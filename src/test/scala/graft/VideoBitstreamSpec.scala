@@ -232,6 +232,71 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("parse_error") == "incomplete sample tables")
   }
 
+  // IDR-less Annex-B stream whose coded slices carry REAL §7.3.3 header
+  // prefixes of the given slice_type codes — the refusal-narrowing shape
+  private def idrlessStream(sliceTypes: Int*): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+      out += 0; out += 0; out += 0; out += 1
+      out += ((refIdc << 5) | tpe).toByte
+      out ++= VideoBitstream.escapeRbsp(rbsp)
+    }
+    nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+    nal(3, 8, Array[Byte](0x68, 0x70, 0x71, 0x72).map(b => (b | 0x40).toByte))
+    sliceTypes.foreach { st =>
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(st); w.ue(0)
+      w.alignByteOnes()
+      nal(2, 1, w.bytes ++ Array[Byte](0xAA.toByte, 0xBB.toByte))
+    }
+    out.toArray
+  }
+
+  test("h264SliceCensus: GOP fixture counts are exact; IDR streams get " +
+      "a null refusal") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      VideoBitstream.syntheticGopAnnexB(lit(2), lit(2), lit(2), lit(5),
+        lit(2), lit(3)).as("payload"))
+    val r = VideoBitstream.h264SliceCensus(df, "payload").collect()(0)
+    // 2 GOPs of 5: per GOP k=0 IDR(all-I), k=2,4 B, k=1,3 P
+    assert(r.getAs[Int]("n_slices") == 10)
+    assert(r.getAs[Int]("n_idr") == 2)
+    assert(r.getAs[Int]("n_i") == 2)
+    assert(r.getAs[Int]("n_b") == 4)
+    assert(r.getAs[Int]("n_p") == 4)
+    assert(r.getAs[String]("first_slice_type") == "all-I")
+    assert(r.getAs[String]("decode_refusal") == null)
+    assert(r.getAs[String]("parse_error") == null)
+  }
+
+  test("h264SliceCensus: IDR-less P/B streams name the inter seam; " +
+      "B outranks P in the verdict") {
+    val df = Seq((0L, idrlessStream(0, 0, 0)), (1L, idrlessStream(0, 1, 0)))
+      .toDF("doc_id", "payload")
+    val rows = VideoBitstream.h264SliceCensus(df, "payload").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows(0).getAs[String]("decode_refusal")
+      .startsWith("P-slice stream: inter prediction not implemented"))
+    assert(rows(0).getAs[String]("first_slice_type") == "P")
+    assert(rows(1).getAs[String]("decode_refusal")
+      .startsWith("B-slice stream: inter prediction not implemented"))
+    assert(rows(1).getAs[Int]("n_b") == 1)
+  }
+
+  test("decodeIdr refusal narrowing: an IDR-less P-slice stream refuses " +
+      "by the INTER seam's name, not the generic miss") {
+    val df = Seq(Tuple1(idrlessStream(0, 0))).toDF("payload")
+    val err = H264Decode.decodeIdr(df, "payload").collect()(0)
+      .getAs[String]("decode_error")
+    assert(err.startsWith("P-slice stream: inter prediction not " +
+      "implemented"), s"got: $err")
+    // a stream with no coded slices at all keeps the generic message
+    val df2 = Seq(Tuple1(idrlessStream())).toDF("payload")
+    val err2 = H264Decode.decodeIdr(df2, "payload").collect()(0)
+      .getAs[String]("decode_error")
+    assert(err2 == "no IDR slice in stream")
+  }
+
   test("degradation: null, garbage, and SPS-less payloads yield error rows") {
     val df = Seq((0L, null: Array[Byte]),
       (1L, "not a video".getBytes("UTF-8")),
