@@ -61,8 +61,16 @@ class MediaGateSpec extends AnyFunSuite {
     }
     assert(caches.size == 2 &&
       caches.map(_.cacheBuilder.cachedPlan).distinct.size == 1)
+    // targeted lookup (NOT cacheManager.isEmpty — other suites sharing
+    // the session may hold caches concurrently): the canonically-equal
+    // sniffed frame must be cached before release and gone after
+    val frame = corpus().withColumn("sniffed",
+      Multimodal.sniffMediaType(col("payload")))
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    assert(spark.sharedState.cacheManager.lookupCachedData(frame).isDefined,
+      "gate frame not found in the cache while the gate is live")
     release()
-    assert(spark.sharedState.cacheManager.isEmpty,
+    assert(spark.sharedState.cacheManager.lookupCachedData(frame).isEmpty,
       "release hook left the gate frame cached")
   }
 

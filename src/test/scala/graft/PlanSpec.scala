@@ -455,7 +455,7 @@ class PlanSpecR13 extends AnyFunSuite {
         _.exists(_.isInstanceOf[ScalaUDF])) => p
     }
     assert(outside.isEmpty,
-      s"payload generator OUTSIDE the persisted frame:\n${outside.head}")
+      s"payload generator OUTSIDE the persisted frame:\n${outside.headOption}")
     val caches = plan.collect { case r: InMemoryRelation => r }
     assert(caches.size == 5,
       s"expected 5 branch reads of the cached frame, got ${caches.size}")
