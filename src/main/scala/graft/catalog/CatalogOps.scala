@@ -2722,6 +2722,45 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** STREAM-TRANSMITTED scaling-list decode
+    * ([[graft.ops.H264Decode.syntheticScalingI16AnnexB]] → decodeIdr):
+    * the same Intra_16x16 slice bytes under a High-profile SPS whose
+    * Sl_4x4_Intra_Y arrives IN the stream — w(0,0) alternates 16 / 32
+    * by doc parity, and at QP 28 the quadrant law scales exactly by
+    * f = w00/16 (weighted §8.5.9 dequant; lists are data from the
+    * stream, only spec-DEFAULT-table fall-backs refuse, by name).
+    * Decode-refusing spec tables stay out; oracle is the scaled
+    * closed form.
+    */
+  private val mmH264ScalingDecode = Q("mm_h264_scaling_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticScalingI16AnnexB(
+          (lit(1) + d % 5).cast("int"), d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          when(d % 2 === 0, 16).otherwise(32).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdr(clips, "payload")
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) AS f,
+        (1 + doc_id % 5) AS v0,
+        (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS s1,
+        (2 + doc_id % 3) AS v2
+        FROM documents),
+      q AS (SELECT doc_id,
+        128 + f * v0 AS c0,
+        128 + f * v0 + f * s1 AS c1,
+        128 + f * v0 + f * v2 AS c2
+        FROM p)
+      SELECT doc_id, 32::INT AS frame_width, 32::INT AS frame_height,
+        4::INT AS mb_count,
+        (c0 + c1 + c2 + ((c1 + c2 + 1) // 2))::DOUBLE / 4 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
   /** Intra_4x4 pixel decode ([[graft.ops.H264Decode.syntheticI4x4AnnexB]]
     * → decodeIdr) — the remaining intra macroblock class, now real: 16
     * per-block prediction modes (§8.3.1.1 mode prediction + §8.3.1.2
@@ -4314,7 +4353,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -43,7 +43,11 @@ object H264Decode {
       numSliceGroups: Int, deblockControlPresent: Boolean,
       redundantPicCntPresent: Boolean, bottomFieldPocPresent: Boolean,
       picInitQp: Int = 26, transform8x8: Boolean = false,
-      scalingMatrix: Boolean = false)
+      scalingMatrix: Boolean = false,
+      // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, only the
+      // luma-intra 4×4 list (i = 0) is retained — luma-only decode
+      lumaIntra4x4List: Array[Int] = null,
+      lumaIntra4x4Default: Boolean = false)
 
   private[ops] def parsePps(rbsp: Array[Byte]): PpsInfo = {
     val r = new VideoBitstream.BitReader(rbsp)
@@ -68,12 +72,33 @@ object H264Decode {
       r.u1() // constrained_intra_pred_flag
       val redundant = r.u1() == 1
       // optional §7.3.2.2 extension (High profile): transform_8x8_mode,
-      // pic_scaling_matrix, second_chroma_qp_index_offset — the first
-      // two change residual semantics, so retain them for refusal
+      // pic_scaling_matrix (lists PARSED — transmitted luma-intra lists
+      // decode; only default-table demands refuse), then
+      // second_chroma_qp_index_offset (unread — luma-only decode)
       val (t8, scaling) =
         if (r.moreRbspData) (r.u1() == 1, r.u1() == 1) else (false, false)
+      var lumaList: Array[Int] = null
+      var lumaDefault = false
+      if (scaling) {
+        // ≤ 4:2:0 list count (the decoder refuses chroma_format_idc > 1
+        // upstream, so the 4:4:4 12-list layout never reaches here)
+        val lists = 6 + (if (t8) 2 else 0)
+        var i = 0
+        while (i < lists) {
+          if (r.u1() == 1) { // pic_scaling_list_present_flag[i]
+            val (list, useDefault) =
+              VideoBitstream.parseScalingList(r, if (i < 6) 16 else 64)
+            if (i == 0) { lumaList = list; lumaDefault = useDefault }
+          }
+          // absent at i = 0: both fields stay unset — fall-back rule B
+          // (SPS list if the SPS carries matrices, else the default)
+          // resolves at slice decode where the SPS is in scope
+          i += 1
+        }
+      }
       PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
-        transform8x8 = t8, scalingMatrix = scaling)
+        transform8x8 = t8, scalingMatrix = scaling,
+        lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault)
     }
   }
 
@@ -87,13 +112,37 @@ object H264Decode {
     Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
     Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
 
-  /** LevelScale4x4(m, i, j) with the Flat_4x4_16 weight matrix. */
-  private def levelScale(m: Int, raster: Int): Int = {
-    val r = raster >> 2
-    val c = raster & 3
-    val cls = if ((r & 1) == 0 && (c & 1) == 0) 0
-      else if ((r & 1) == 1 && (c & 1) == 1) 1 else 2
-    16 * NormAdjust(m)(cls)
+  /** Flat_4x4_16 (§8.5.9: weightScale when no scaling matrix applies). */
+  private[ops] val Flat4x4: Array[Int] = Array.fill(16)(16)
+
+  /** Resolve the LUMA-INTRA 4×4 weight matrix for an I-slice decode —
+    * §7.3.2.1.1.1 / §7.3.2.2 fall-back rules restricted to list 0 (the
+    * only list a luma-only intra decode consults). Transmitted lists
+    * decode (they are DATA FROM THE STREAM, not recalled spec numbers);
+    * any path that lands on the spec's Default_4x4_Intra table (Table
+    * 7-3) refuses BY NAME under the table policy. Returns raster-indexed
+    * weights ([[Flat4x4]] when no matrices are in effect).
+    */
+  private[ops] def resolveLumaIntraWeights(sps: VideoBitstream.SpsInfo,
+      pps: PpsInfo): Either[String, Array[Int]] = {
+    def refuse = Left("scaling lists demand the spec Default_4x4_Intra " +
+      "table (Table 7-3) — transmitted lists decode; default tables are " +
+      "not conformance-anchored (table policy)")
+    def raster(zigzag: Array[Int]): Array[Int] = {
+      val w = new Array[Int](16)
+      var k = 0
+      while (k < 16) { w(Zigzag4x4(k)) = zigzag(k); k += 1 }
+      w
+    }
+    val fromSps: Either[String, Array[Int]] =
+      if (!sps.scalingMatrixPresent) Right(Flat4x4)
+      else if (sps.lumaIntra4x4Default || sps.lumaIntra4x4List == null) refuse
+      else Right(raster(sps.lumaIntra4x4List))
+    if (!pps.scalingMatrix) fromSps
+    else if (pps.lumaIntra4x4Default) refuse
+    else if (pps.lumaIntra4x4List != null) Right(raster(pps.lumaIntra4x4List))
+    else if (sps.scalingMatrixPresent) fromSps // rule B: PPS absent → SPS
+    else refuse // rule B with no SPS matrices → the default table
   }
 
   /** In-place 4×4 inverse core transform (§8.5.12.2) + (x+32)>>6 rounding;
@@ -137,16 +186,30 @@ object H264Decode {
     }
   }
 
-  /** Luma DC dequant (§8.5.10, 8-bit) applied after the inverse Hadamard. */
-  private def dequantDc(f: Int, qP: Int): Int = {
-    val ls = levelScale(qP % 6, 0)
+  /** LevelScale4x4(m, i, j) = weightScale(i, j) · normAdjust(m, class)
+    * (§8.5.9); `wl` is the raster-indexed weight matrix ([[Flat4x4]] or
+    * a stream-transmitted list via [[resolveLumaIntraWeights]]).
+    */
+  private def levelScale(m: Int, raster: Int, wl: Array[Int]): Int = {
+    val r = raster >> 2
+    val c = raster & 3
+    val cls = if ((r & 1) == 0 && (c & 1) == 0) 0
+      else if ((r & 1) == 1 && (c & 1) == 1) 1 else 2
+    wl(raster) * NormAdjust(m)(cls)
+  }
+
+  /** Luma DC dequant (§8.5.10, 8-bit) applied after the inverse Hadamard.
+    * Uses LevelScale4x4(qP%6, 0, 0) — position (0,0)'s weight.
+    */
+  private def dequantDc(f: Int, qP: Int, wl: Array[Int]): Int = {
+    val ls = levelScale(qP % 6, 0, wl)
     if (qP >= 36) (f * ls) << (qP / 6 - 6)
     else (f * ls + (1 << (5 - qP / 6))) >> (6 - qP / 6)
   }
 
   /** AC coefficient dequant (§8.5.12.1, 8-bit). */
-  private def dequantAc(c: Int, raster: Int, qP: Int): Int = {
-    val ls = levelScale(qP % 6, raster)
+  private def dequantAc(c: Int, raster: Int, qP: Int, wl: Array[Int]): Int = {
+    val ls = levelScale(qP % 6, raster, wl)
     if (qP >= 24) (c * ls) << (qP / 6 - 4)
     else (c * ls + (1 << (3 - qP / 6))) >> (4 - qP / 6)
   }
@@ -396,7 +459,7 @@ object H264Decode {
   private def decodeCabacMbs(sliceRbsp: Array[Byte],
       rd: VideoBitstream.BitReader, pps: PpsInfo, mbw: Int, mbh: Int,
       luma: Array[Byte], w: Int, qPY0: Int, deblockOff: Boolean,
-      cfg: Cabac.Config): String = {
+      cfg: Cabac.Config, wl: Array[Int]): String = {
     val startByte = rd.bytePos // cabac_alignment_one_bit
     val dec = new Cabac.Decoder(sliceRbsp, cfg.tables, startByte)
     var qPY = Math.floorMod(qPY0, 52)
@@ -443,7 +506,7 @@ object H264Decode {
                 var i = 0
                 while (i < 16) {
                   val raster = Zigzag4x4(i)
-                  d(raster) = dequantAc(md.lumaAc(b2)(i), raster, qPY)
+                  d(raster) = dequantAc(md.lumaAc(b2)(i), raster, qPY, wl)
                   i += 1
                 }
               }
@@ -472,7 +535,7 @@ object H264Decode {
             while (i < 16) { dc(Zigzag4x4(i)) = md.lumaDc(i); i += 1 }
             hadamard4x4(dc)
             i = 0
-            while (i < 16) { dc(i) = dequantDc(dc(i), qPY); i += 1 }
+            while (i < 16) { dc(i) = dequantDc(dc(i), qPY, wl); i += 1 }
             bad = predictIntra16(k % 4, mbx, mby, luma, w, pred)
             if (bad == null) {
               var b = 0
@@ -484,7 +547,7 @@ object H264Decode {
                   var i2 = 0
                   while (i2 < 15) {
                     val raster = Zigzag4x4(i2 + 1)
-                    d(raster) = dequantAc(md.lumaAc(b)(i2), raster, qPY)
+                    d(raster) = dequantAc(md.lumaAc(b)(i2), raster, qPY, wl)
                     i2 += 1
                   }
                 }
@@ -574,10 +637,11 @@ object H264Decode {
       // the CABAC cbp/chroma-residual walk is written for 4:2:0; a
       // monochrome stream drops the chroma bins and would mis-parse
       Left("CABAC monochrome stream not supported (4:2:0 only)")
-    else if (pps.scalingMatrix)
-      // non-flat scaling lists change every dequant in the clip — a
-      // flat-matrix walk would ship a WRONG plane with decode_error null
-      Left("PPS scaling matrix not supported")
+    else if (resolveLumaIntraWeights(sps, pps).isLeft)
+      // scaling lists TRANSMITTED in the stream decode (resolved below);
+      // only a resolution that lands on the spec's default table refuses
+      // — a flat-matrix walk would ship a WRONG plane with null error
+      Left(resolveLumaIntraWeights(sps, pps).swap.toOption.get)
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
     else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
     else if (sps.chromaFormatIdc > 1)
@@ -640,13 +704,16 @@ object H264Decode {
           if (idc != 1) { rd.se(); rd.se() } // deblock offsets
         }
         var qPY = pps.picInitQp + sliceQpDelta
+        // luma-intra weight matrix: Flat4x4 unless the stream transmits
+        // scaling lists (gate above guarantees resolution succeeds)
+        val wl = resolveLumaIntraWeights(sps, pps).toOption.get
         if (pps.entropyCabac) {
           // CABAC slice_data: cabac_alignment_one_bit then the §9.3
           // engine over the rest of the RBSP ([[CabacSlice]] walks the
           // syntax; reconstruction below shares the CAVLC path's
           // prediction/transform helpers)
           val bad = decodeCabacMbs(sliceRbsp, rd, pps, mbw, mbh, luma, w,
-            qPY, deblockOff, cabac.get)
+            qPY, deblockOff, cabac.get, wl)
           return if (bad != null) Left(bad) else Right(luma)
         }
         // per-4x4-block TotalCoeff grid for CAVLC nC context (§9.2.1);
@@ -829,7 +896,7 @@ object H264Decode {
                         var i = 0
                         while (i < 16) {
                           val raster = Zigzag4x4(i)
-                          d(raster) = dequantAc(scan(i), raster, qPY)
+                          d(raster) = dequantAc(scan(i), raster, qPY, wl)
                           i += 1
                         }
                       }
@@ -885,7 +952,7 @@ object H264Decode {
                   while (i < 16) { dc(Zigzag4x4(i)) = dcScan(i); i += 1 }
                   hadamard4x4(dc)
                   i = 0
-                  while (i < 16) { dc(i) = dequantDc(dc(i), qPY); i += 1 }
+                  while (i < 16) { dc(i) = dequantDc(dc(i), qPY, wl); i += 1 }
                   // prediction (§8.3.3) from the reconstructed plane
                   val px = mbx * 16
                   val py = mby * 16
@@ -905,7 +972,7 @@ object H264Decode {
                         var i2 = 0
                         while (i2 < 15) {
                           val raster = Zigzag4x4(i2 + 1)
-                          d(raster) = dequantAc(acScan(i2), raster, qPY)
+                          d(raster) = dequantAc(acScan(i2), raster, qPY, wl)
                           i2 += 1
                         }
                       }
@@ -1310,6 +1377,31 @@ object H264Decode {
           out ++= VideoBitstream.escapeRbsp(rbsp)
         }
         nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        out.toArray
+      })
+
+  /** [[syntheticCavlcI16AnnexB]] under a High-profile SPS that TRANSMITS
+    * Sl_4x4_Intra_Y with w(0, 0) = `w00` (other positions 16): the same
+    * slice bytes decode under weighted dequant. At QP 28 the quadrant
+    * law scales EXACTLY by f = w00 / 16 for w00 ∈ {16, 32} (DC dequant
+    * (c·w00·16 + 2) >> 2 is 64c/128c, the DC-only IDCT offset
+    * (dq + 32) >> 6 is c/2c): c0 = 128 + f·v0, c1 = c0 ± f,
+    * c2 = c0 + f·v2, c3 = (c1 + c2 + 1) >> 1.
+    */
+  val syntheticScalingI16AnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, w00: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        val list0 = Array.fill(16)(16)
+        list0(0) = w00
+        nal(3, 7, VideoBitstream.syntheticHighSpsRbsp(2, 2, list0))
         nal(3, 8, cavlcPpsRbsp)
         nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
         out.toArray

@@ -124,7 +124,36 @@ object VideoBitstream {
       widthMbs: Int = 0, heightMbs: Int = 0,
       chromaFormatIdc: Int = 1, frameMbsOnly: Int = 1,
       log2MaxFrameNum: Int = 4, pocType: Int = 2, log2MaxPocLsb: Int = 4,
-      bitDepthLuma: Int = 8, bitDepthChroma: Int = 8)
+      bitDepthLuma: Int = 8, bitDepthChroma: Int = 8,
+      // High-profile scaling matrices (§7.3.2.1.1.1) — the decoder
+      // reconstructs LUMA only, so list 0 (Sl_4x4_Intra_Y) is retained;
+      // `lumaIntra4x4Default` marks the cases that demand the spec's
+      // Default_4x4_Intra table (absent flag under fall-back rule A, or
+      // UseDefaultScalingMatrixFlag) — those refuse by name downstream
+      scalingMatrixPresent: Boolean = false,
+      lumaIntra4x4List: Array[Int] = null,
+      lumaIntra4x4Default: Boolean = false)
+
+  /** §7.3.2.1.1.1 scaling_list parse: returns (zigzag-ordered values,
+    * useDefaultScalingMatrixFlag). Shared by the SPS and PPS parses.
+    */
+  private[ops] def parseScalingList(r: BitReader, size: Int): (Array[Int], Boolean) = {
+    val list = new Array[Int](size)
+    var lastScale = 8
+    var nextScale = 8
+    var useDefault = false
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) {
+        nextScale = (lastScale + r.se() + 256) % 256
+        if (j == 0 && nextScale == 0) useDefault = true
+      }
+      list(j) = if (nextScale == 0) lastScale else nextScale
+      lastScale = list(j)
+      j += 1
+    }
+    (list, useDefault)
+  }
 
   /** SPS parse (H.264 §7.3.2.1.1) → profile, level, luma frame dims with
     * cropping applied. High-profile chroma/bit-depth branches handled;
@@ -140,6 +169,9 @@ object VideoBitstream {
     var chromaFormatIdc = 1
     var bitDepthLuma = 8
     var bitDepthChroma = 8
+    var scalingPresent = false
+    var lumaList: Array[Int] = null
+    var lumaDefault = false
     if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
         .contains(profile)) {
       chromaFormatIdc = r.ue()
@@ -153,19 +185,19 @@ object VideoBitstream {
       bitDepthChroma = r.ue() + 8
       r.u1() // qpprime_y_zero_transform_bypass_flag
       if (r.u1() == 1) { // seq_scaling_matrix_present_flag
+        scalingPresent = true
         val lists = if (chromaFormatIdc == 3) 12 else 8
         var i = 0
         while (i < lists) {
           if (r.u1() == 1) { // seq_scaling_list_present_flag[i]
-            val size = if (i < 6) 16 else 64
-            var lastScale = 8
-            var nextScale = 8
-            var j = 0
-            while (j < size && nextScale != 0) {
-              nextScale = (lastScale + r.se() + 256) % 256
-              if (nextScale != 0) lastScale = nextScale
-              j += 1
+            val (list, useDefault) = parseScalingList(r, if (i < 6) 16 else 64)
+            if (i == 0) { // Sl_4x4_Intra_Y — the one luma decode consults
+              lumaList = list
+              lumaDefault = useDefault
             }
+          } else if (i == 0) {
+            // fall-back rule A at i = 0: the spec's Default_4x4_Intra
+            lumaDefault = true
           }
           i += 1
         }
@@ -206,7 +238,8 @@ object VideoBitstream {
     SpsInfo(profile, level, w, h,
       widthMbs, heightMapUnits * (2 - frameMbsOnly), chromaFormatIdc,
       frameMbsOnly, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      bitDepthLuma, bitDepthChroma)
+      bitDepthLuma, bitDepthChroma,
+      scalingPresent, lumaList, lumaDefault)
   }
 
   private val nalCols = Seq(
@@ -351,6 +384,52 @@ object VideoBitstream {
     w.u(0, 8) // constraint flags
     w.u(30, 8) // level_idc 3.0
     w.ue(0) // seq_parameter_set_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type
+    w.ue(1) // max_num_ref_frames
+    w.u(1, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue(mbw - 1)
+    w.ue(mbh - 1)
+    w.u(1, 1) // frame_mbs_only_flag
+    w.u(1, 1) // direct_8x8_inference_flag
+    w.u(0, 1) // frame_cropping_flag
+    w.u(0, 1) // vui_parameters_present_flag
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** High-profile (100) SPS RBSP with seq_scaling_matrix_present = 1 and
+    * `list0` (zigzag order, 16 entries in [1, 255]) transmitted as
+    * Sl_4x4_Intra_Y; lists 1..7 absent (fall-back rule A at i ≥ 1 falls
+    * back to the PREVIOUS list / is chroma or 8×8 — none consulted by
+    * the luma-only intra decode, so no default-table refusal fires).
+    * `list0 = null` writes the flag with list 0 ABSENT — the shape that
+    * demands the spec's Default_4x4_Intra and must refuse by name.
+    * Other fields match [[syntheticSpsRbsp]] (chroma 4:2:0, 8-bit).
+    */
+  private[ops] def syntheticHighSpsRbsp(mbw: Int, mbh: Int,
+      list0: Array[Int]): Array[Byte] = {
+    val w = new BitWriter
+    w.u(100, 8) // profile_idc: High
+    w.u(0, 8) // constraint flags
+    w.u(30, 8) // level_idc 3.0
+    w.ue(0) // seq_parameter_set_id
+    w.ue(1) // chroma_format_idc 4:2:0
+    w.ue(0); w.ue(0) // bit depths 8
+    w.u(0, 1) // qpprime_y_zero_transform_bypass_flag
+    w.u(1, 1) // seq_scaling_matrix_present_flag
+    if (list0 != null) {
+      w.u(1, 1) // seq_scaling_list_present_flag[0]
+      var last = 8
+      var j = 0
+      while (j < 16) { // delta_scale so nextScale walks the list exactly
+        w.se(((list0(j) - last) + 256 + 128) % 256 - 128)
+        last = list0(j)
+        j += 1
+      }
+    } else w.u(0, 1) // absent → Default_4x4_Intra demanded
+    var i = 1
+    while (i < 8) { w.u(0, 1); i += 1 } // lists 1..7 absent
     w.ue(0) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type
     w.ue(1) // max_num_ref_frames
