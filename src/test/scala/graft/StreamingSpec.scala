@@ -707,7 +707,7 @@ class StreamingSpec extends AnyFunSuite {
       "Ogg/FLAC, CABAC decode) — stream ≡ batch on the same payloads") {
     // all four are stateless narrow maps, so the SAME code path serves a
     // live crawl-ingest stream; parity is checked row-for-row per op
-    import graft.ops.{Ebml, Hevc, AudioContainers, H264Decode, Cabac}
+    import graft.ops.{Ebml, Hevc, AudioContainers, H264Decode, Cabac, VideoBitstream}
     val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
     Seq(0L, 1L, 2L).toDF("doc_id")
       .withColumn("webm", Ebml.syntheticWebm((col("doc_id") % 3).cast("int"),
@@ -755,5 +755,9 @@ class StreamingSpec extends AnyFunSuite {
         col("h264").as("payload")), "payload",
         cabac = Some(Cabac.Config.derived))
       .drop("luma_plane"), "census_h264")
+    // r16: the P/B-slice GOP census is the same stateless narrow map
+    assertParity(df => VideoBitstream.h264SliceCensus(df.select(
+      col("doc_id"), col("h264").as("payload")), "payload"),
+      "census_slices")
   }
 }
