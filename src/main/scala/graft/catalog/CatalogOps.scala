@@ -2761,6 +2761,39 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM q"""))
 
+  /** MONOCHROME CABAC decode
+    * ([[graft.ops.H264Decode.syntheticMonoCabacAnnexB]] → decodeIdr) —
+    * the r15 "CAVLC monochrome-CABAC" seam closed from the CABAC side:
+    * a chroma_format_idc-0 stream has NO chroma syntax (no
+    * intra_chroma_pred_mode, no cbp chroma suffix, no chroma residual
+    * categories, no PCM chroma bytes — §7.3.5.1/§9.3.2.6 under
+    * ChromaArrayType 0) and now decodes through the same mb classes.
+    * CAVLC monochrome I_NxN refuses by the Table 9-4 mono-column name
+    * (it previously would have decoded a WRONG cbp via the 4:2:0
+    * column — a silent-wrong-pixels bug this round's change converts
+    * to a named refusal). Oracle is the 3-MB closed form.
+    */
+  private val mmH264MonoCabac = Q("mm_h264_mono_cabac_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticMonoCabacAnnexB(
+          (lit(1) + d % 9).cast("int"), (lit(40) + d % 160).cast("int"),
+          (lit(1) + d % 3).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdr(clips, "payload",
+          cabac = Some(graft.ops.Cabac.Config.derived))
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (1 + doc_id % 9) AS c,
+        (40 + doc_id % 160) AS pcm, (1 + doc_id % 3) AS k
+        FROM documents)
+      SELECT doc_id, 48::INT AS frame_width, 16::INT AS frame_height,
+        3::INT AS mb_count,
+        (256 * (128 + c) + 512 * pcm + 2560 * k)::DOUBLE / 768 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM p"""))
+
   /** Intra_4x4 pixel decode ([[graft.ops.H264Decode.syntheticI4x4AnnexB]]
     * → decodeIdr) — the remaining intra macroblock class, now real: 16
     * per-block prediction modes (§8.3.1.1 mode prediction + §8.3.1.2
@@ -4353,7 +4386,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -165,7 +165,7 @@ object CabacSlice {
     * (inside [[walkMb]]), so the derivations can never diverge.
     */
   final class State(val mbw: Int, val mbh: Int, sliceQp: Int,
-      ctxInit: Array[Array[Int]]) {
+      ctxInit: Array[Array[Int]], val chromaFormat: Int = 1) {
     val ctx: Array[Cabac.Ctx] = Array.tabulate(TerminateCtx)(i =>
       Cabac.initCtx(ctxInit(i)(0), ctxInit(i)(1), sliceQp))
     // mb classes: 0 = unavailable/undecoded, 1 = I_NxN, 2 = I16, 3 = PCM
@@ -348,8 +348,10 @@ object CabacSlice {
       io.pcmAlign()
       var i = 0
       while (i < 256) { md.pcmLuma(i) = io.pcmByte(md.pcmLuma(i)); i += 1 }
-      i = 0
-      while (i < 128) { md.pcmChroma(i) = io.pcmByte(md.pcmChroma(i)); i += 1 }
+      if (st.chromaFormat != 0) { // §7.3.5: no chroma samples when mono
+        i = 0
+        while (i < 128) { md.pcmChroma(i) = io.pcmByte(md.pcmChroma(i)); i += 1 }
+      }
       io.pcmReinit()
       st.mbClass(mbIdx) = 3
       st.cbpLuma(mbIdx) = 15
@@ -379,6 +381,9 @@ object CabacSlice {
     if (isI16) {
       val k = md.mbType - 1
       md.cbp = (if (k >= 12) 15 else 0) | (((k / 4) % 3) << 4)
+      if (st.chromaFormat == 0 && (md.cbp >> 4) != 0)
+        // monochrome has no chroma arrays for the type's cbp to describe
+        throw new Malformed("monochrome I_16x16 mb_type carries chroma cbp")
     } else {
       // ---- Intra_4x4 prediction modes (prev flag + 3-bit FL rem) ----
       var b = 0
@@ -407,7 +412,9 @@ object CabacSlice {
     }
 
     // ---- intra_chroma_pred_mode (TU cMax 3 over ctxIdxOffset 64) ----
-    {
+    // ABSENT for monochrome (§7.3.5.1 gates on ChromaArrayType != 0)
+    if (st.chromaFormat == 0) md.chromaPredMode = 0
+    else {
       val cA = chromaPredCond(st, mbIdx - 1, mbx > 0)
       val cB = chromaPredCond(st, mbIdx - mbw, mby > 0)
       val c0 = io.decision(ChromaPredCtx + cA + cB,
@@ -441,22 +448,26 @@ object CabacSlice {
         cbpL |= bit << b
         b += 1
       }
+      // chroma TU suffix only when ChromaArrayType in {1, 2} (§9.3.2.6)
       def chromaCond(mbI: Int, avail: Boolean, two: Boolean): Int =
         if (!avail) 0
         else if (st.mbClass(mbI) == 3) 1
         else if (two) { if (st.cbpChroma(mbI) == 2) 1 else 0 }
         else { if (st.cbpChroma(mbI) != 0) 1 else 0 }
-      val inc0 = chromaCond(mbIdx - 1, mbx > 0, two = false) +
-        2 * chromaCond(mbIdx - mbw, mby > 0, two = false)
-      val cc0 = io.decision(CbpChromaCtx + inc0,
-        if ((md.cbp >> 4) != 0) 1 else 0)
       val cbpC =
-        if (cc0 == 0) 0
+        if (st.chromaFormat == 0) 0
         else {
-          val inc1 = chromaCond(mbIdx - 1, mbx > 0, two = true) +
-            2 * chromaCond(mbIdx - mbw, mby > 0, two = true)
-          1 + io.decision(CbpChromaCtx + 4 + inc1,
-            if ((md.cbp >> 4) == 2) 1 else 0)
+          val inc0 = chromaCond(mbIdx - 1, mbx > 0, two = false) +
+            2 * chromaCond(mbIdx - mbw, mby > 0, two = false)
+          val cc0 = io.decision(CbpChromaCtx + inc0,
+            if ((md.cbp >> 4) != 0) 1 else 0)
+          if (cc0 == 0) 0
+          else {
+            val inc1 = chromaCond(mbIdx - 1, mbx > 0, two = true) +
+              2 * chromaCond(mbIdx - mbw, mby > 0, two = true)
+            1 + io.decision(CbpChromaCtx + 4 + inc1,
+              if ((md.cbp >> 4) == 2) 1 else 0)
+          }
         }
       md.cbp = cbpL | (cbpC << 4)
     }
@@ -522,9 +533,10 @@ object CabacSlice {
       }
       b += 1
     }
-    // chroma DC (cat 3) then chroma AC (cat 4), per component
+    // chroma DC (cat 3) then chroma AC (cat 4), per component —
+    // no chroma arrays at all for monochrome
     var c = 0
-    while (c < 2) {
+    while (st.chromaFormat != 0 && c < 2) {
       if (cbpChroma >= 1) {
         def dcCond(mbI: Int, avail: Boolean): Int =
           if (!avail) 1
@@ -541,7 +553,7 @@ object CabacSlice {
       c += 1
     }
     c = 0
-    while (c < 2) {
+    while (st.chromaFormat != 0 && c < 2) {
       var cb = 0
       while (cb < 4) {
         val cx = mbx * 2 + (cb & 1)

@@ -459,11 +459,11 @@ object H264Decode {
   private def decodeCabacMbs(sliceRbsp: Array[Byte],
       rd: VideoBitstream.BitReader, pps: PpsInfo, mbw: Int, mbh: Int,
       luma: Array[Byte], w: Int, qPY0: Int, deblockOff: Boolean,
-      cfg: Cabac.Config, wl: Array[Int]): String = {
+      cfg: Cabac.Config, wl: Array[Int], chromaFormat: Int): String = {
     val startByte = rd.bytePos // cabac_alignment_one_bit
     val dec = new Cabac.Decoder(sliceRbsp, cfg.tables, startByte)
     var qPY = Math.floorMod(qPY0, 52)
-    val st = new CabacSlice.State(mbw, mbh, qPY, cfg.ctxInit)
+    val st = new CabacSlice.State(mbw, mbh, qPY, cfg.ctxInit, chromaFormat)
     val io = new CabacSlice.DecodeBins(dec, st.ctx)
     val md = new CabacSlice.MbData
     val nMbs = mbw * mbh
@@ -633,10 +633,11 @@ object H264Decode {
         "SPARK_GRAFT_CABAC_TABLES env: sections [rangeTabLPS] 64x4, " +
         "[transIdxLPS] 64, [ctxInit] 'ctxIdx m n' rows 0..276, " +
         "see Cabac.Config.fromText)")
-    else if (pps.entropyCabac && sps.chromaFormatIdc != 1)
-      // the CABAC cbp/chroma-residual walk is written for 4:2:0; a
-      // monochrome stream drops the chroma bins and would mis-parse
-      Left("CABAC monochrome stream not supported (4:2:0 only)")
+    else if (pps.entropyCabac && sps.chromaFormatIdc > 1)
+      // the CABAC cbp/chroma-residual walk covers 4:2:0 and monochrome
+      // (the §9.3.2.6 suffix and chroma categories gate on
+      // ChromaArrayType); 4:2:2 changes the chroma block geometry
+      Left("CABAC 4:2:2/4:4:4 stream not supported (4:2:0/monochrome only)")
     else if (resolveLumaIntraWeights(sps, pps).isLeft)
       // scaling lists TRANSMITTED in the stream decode (resolved below);
       // only a resolution that lands on the spec's default table refuses
@@ -713,7 +714,7 @@ object H264Decode {
           // syntax; reconstruction below shares the CAVLC path's
           // prediction/transform helpers)
           val bad = decodeCabacMbs(sliceRbsp, rd, pps, mbw, mbh, luma, w,
-            qPY, deblockOff, cabac.get, wl)
+            qPY, deblockOff, cabac.get, wl, sps.chromaFormatIdc)
           return if (bad != null) Left(bad) else Right(luma)
         }
         // per-4x4-block TotalCoeff grid for CAVLC nC context (§9.2.1);
@@ -842,6 +843,16 @@ object H264Decode {
                 // transform_size_8x8_flag and 8×8 blocks need the 8×8
                 // transform + Table 9-x 8x8 machinery — refuse by name
                 bad = "transform_8x8 mode (High profile) not supported"
+              else if (sps.chromaFormatIdc == 0)
+                // Table 9-4's me(v) cbp mapping has a SEPARATE column
+                // for ChromaArrayType 0/3 that this decoder does not
+                // carry (table policy: refusing beats decoding a wrong
+                // cbp silently, which is what using the 4:2:0 column
+                // here would do). Monochrome I_16x16 and I_PCM decode
+                // (no cbp syntax); monochrome CABAC I_NxN also decodes
+                // (§9.3.2.6 binarizes cbp — no table)
+                bad = "monochrome CAVLC Intra_NxN not supported " +
+                  "(Table 9-4 ChromaArrayType-0 cbp column not carried)"
               else {
                 // 16 prediction modes (§7.3.5.1): prev flag + 3-bit
                 // remainder that SKIPS the predicted mode; modes enter
@@ -1407,6 +1418,55 @@ object H264Decode {
         out.toArray
       })
 
+  /** Monochrome CABAC clip (Annex-B): High-profile chroma_format_idc-0
+    * SPS (3×1 MBs) + the CABAC QP-28 PPS + a CABAC slice with NO chroma
+    * syntax anywhere (§7.3.5.1 / §9.3.2.6 under ChromaArrayType 0):
+    * MB0 I16 DC-only `c` (pixels 128 + c), MB1 I_PCM constant `pcm`
+    * (luma samples only), MB2 Intra_4x4 all-Horizontal with DC residual
+    * `k` per block (block column bx → pcm + 4k(bx + 1)). Closed-form
+    * y_mean = (256(128 + c) + 512·pcm + 2560·k) / 768.
+    */
+  val syntheticMonoCabacAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((c: Int, pcm: Int, k: Int) => {
+      def mb(tpe: Int)(f: CabacSlice.MbData => Unit): CabacSlice.MbData = {
+        val m = new CabacSlice.MbData
+        m.clear(); m.mbType = tpe; f(m); m
+      }
+      val plans = Seq(
+        mb(3)(m => m.lumaDc(0) = c),
+        mb(25)(m => java.util.Arrays.fill(m.pcmLuma, pcm)),
+        mb(0) { m =>
+          m.cbp = 15
+          var b = 0
+          while (b < 16) { m.i4Modes(b) = 1; m.lumaAc(b)(0) = k; b += 1 }
+        })
+      val w = new VideoBitstream.BitWriter
+      writeIdrSliceHeader(w, deblockIdc = Some(1))
+      w.alignByteOnes()
+      val slice = w.bytes ++ encodeCabacSlice(3, 1, 28, plans,
+        chromaFormat = 0)
+      val sps = {
+        val sw = new VideoBitstream.BitWriter
+        sw.u(100, 8); sw.u(0, 8); sw.u(30, 8)
+        sw.ue(0); sw.ue(0) // sps id; chroma_format_idc 0
+        sw.ue(0); sw.ue(0); sw.u(0, 1); sw.u(0, 1)
+        sw.ue(0); sw.ue(2); sw.ue(1); sw.u(1, 1)
+        sw.ue(2); sw.ue(0) // 3×1 MBs
+        sw.u(1, 1); sw.u(1, 1); sw.u(0, 1); sw.u(0, 1)
+        sw.rbspTrailing(); sw.bytes
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, sps)
+      nal(3, 8, cabacPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    })
+
   /** The Intra_4x4 fixture slice (2×1 frame): MB0 is I_PCM with the
     * horizontal gradient (base + 3x — its right column is the constant
     * base+45 and its blocks enter the nC grid at 16), MB1 is I_NxN with
@@ -1512,9 +1572,10 @@ object H264Decode {
     */
   private[ops] def encodeCabacSlice(mbw: Int, mbh: Int, sliceQp: Int,
       plans: Seq[CabacSlice.MbData],
-      cfg: Cabac.Config = Cabac.Config.derived): Array[Byte] = {
+      cfg: Cabac.Config = Cabac.Config.derived,
+      chromaFormat: Int = 1): Array[Byte] = {
     val enc = new Cabac.Encoder(cfg.tables)
-    val st = new CabacSlice.State(mbw, mbh, sliceQp, cfg.ctxInit)
+    val st = new CabacSlice.State(mbw, mbh, sliceQp, cfg.ctxInit, chromaFormat)
     val io = new CabacSlice.EncodeBins(enc, st.ctx)
     plans.zipWithIndex.foreach { case (md, i) =>
       val bad = CabacSlice.walkMb(st, io, i % mbw, i / mbw, md)

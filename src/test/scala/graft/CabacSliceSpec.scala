@@ -339,4 +339,135 @@ class CabacSliceSpec extends AnyFunSuite {
       cabac = Some(Cabac.Config.derived)).collect()
     assert(decoded.length == 30) // every row survived (error or plane)
   }
+  // High-profile monochrome SPS (chroma_format_idc 0), mbw x 1 MBs
+  private def monoSpsRbsp(mbw: Int): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.u(100, 8); w.u(0, 8); w.u(30, 8)
+    w.ue(0) // sps id
+    w.ue(0) // chroma_format_idc 0: monochrome
+    w.ue(0); w.ue(0) // bit depths 8
+    w.u(0, 1) // qpprime
+    w.u(0, 1) // no scaling matrix
+    w.ue(0); w.ue(2); w.ue(1); w.u(1, 1)
+    w.ue(mbw - 1); w.ue(0) // mbw x 1 MBs
+    w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    w.rbspTrailing(); w.bytes
+  }
+
+  private def annexbOf(nals: (Int, Int, Array[Byte])*): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    nals.foreach { case (refIdc, tpe, rbsp) =>
+      out += 0; out += 0; out += 0; out += 1
+      out += ((refIdc << 5) | tpe).toByte
+      out ++= VideoBitstream.escapeRbsp(rbsp)
+    }
+    out.toArray
+  }
+
+  test("monochrome CABAC I-slice: chroma pred / cbp suffix / chroma " +
+      "residuals / PCM chroma bytes all ABSENT; pixels hit the " +
+      "hand-derived laws (I16 DC 128+c, PCM passthrough, I4x4 " +
+      "horizontal cascade +4k per block column)") {
+    def mb(tpe: Int)(f: CabacSlice.MbData => Unit): CabacSlice.MbData = {
+      val m = new CabacSlice.MbData
+      m.clear(); m.mbType = tpe; f(m); m
+    }
+    val c = 5
+    val pcm = 77
+    val k = 2
+    val plans = Seq(
+      mb(3)(m => m.lumaDc(0) = c), // I16 DC pred, cbp 0
+      mb(25)(m => java.util.Arrays.fill(m.pcmLuma, pcm)),
+      mb(0) { m => // I4x4 all-Horizontal, DC residual k per block
+        m.cbp = 15
+        var b = 0
+        while (b < 16) { m.i4Modes(b) = 1; m.lumaAc(b)(0) = k; b += 1 }
+      })
+    val w = new VideoBitstream.BitWriter
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    w.alignByteOnes()
+    val slice = w.bytes ++ H264Decode.encodeCabacSlice(3, 1, 28, plans,
+      chromaFormat = 0)
+    val stream = annexbOf((3, 7, monoSpsRbsp(3)), (3, 8, H264Decode.cabacPpsRbsp),
+      (3, 5, slice))
+    val out = H264Decode.decodeIdr(Seq(Tuple1(stream)).toDF("payload"),
+      "payload", cabac = Some(cfg)).collect()(0)
+    assert(out.getAs[String]("decode_error") == null,
+      s"decode_error: ${out.getAs[String]("decode_error")}")
+    val luma = out.getAs[Array[Byte]]("luma_plane")
+    val wpx = 48
+    for (y <- 0 until 16; x <- 0 until 48) {
+      val v = luma(y * wpx + x) & 0xff
+      val want =
+        if (x < 16) 128 + c // I16 DC over no-neighbour 128 prediction
+        else if (x < 32) pcm // I_PCM passthrough
+        else pcm + 4 * k * ((x - 32) / 4 + 1) // horizontal cascade
+      assert(v == want, s"($x,$y): got $v want $want")
+    }
+  }
+
+  test("monochrome entropy swap: the same I16+PCM plan through CAVLC " +
+      "and CABAC decodes byte-identical planes; CAVLC monochrome I_NxN " +
+      "refuses by the Table 9-4 column name") {
+    // CAVLC side: monochrome I16 DC (c) then I_PCM (no chroma bytes)
+    val c = 9
+    val pcm = 200
+    val cavlcSlice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+      w.ue(3) // mb_type 3: I16 DC, cbp 0 — NO intra_chroma_pred_mode
+      w.se(0)
+      Cavlc.encodeResidualBlock(w, { val a = new Array[Int](16); a(0) = c; a }, 0, 16)
+      w.ue(25) // I_PCM
+      w.alignByte()
+      var i = 0
+      while (i < 256) { w.u(pcm, 8); i += 1 } // luma ONLY for monochrome
+      w.rbspTrailing(); w.bytes
+    }
+    val cavlcStream = annexbOf((3, 7, monoSpsRbsp(2)),
+      (3, 8, H264Decode.cavlcPpsRbsp), (3, 5, cavlcSlice))
+    def mb(tpe: Int)(f: CabacSlice.MbData => Unit): CabacSlice.MbData = {
+      val m = new CabacSlice.MbData
+      m.clear(); m.mbType = tpe; f(m); m
+    }
+    val cabacSlice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+      w.alignByteOnes()
+      w.bytes ++ H264Decode.encodeCabacSlice(2, 1, 28, Seq(
+        mb(3)(m => m.lumaDc(0) = c),
+        mb(25)(m => java.util.Arrays.fill(m.pcmLuma, pcm))),
+        chromaFormat = 0)
+    }
+    val cabacStream = annexbOf((3, 7, monoSpsRbsp(2)),
+      (3, 8, H264Decode.cabacPpsRbsp), (3, 5, cabacSlice))
+    val rows = H264Decode.decodeIdr(
+      Seq((0L, cavlcStream), (1L, cabacStream)).toDF("doc_id", "payload"),
+      "payload", cabac = Some(cfg)).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.forall(_.getAs[String]("decode_error") == null),
+      rows.map(_.getAs[String]("decode_error")).mkString("; "))
+    assert(java.util.Arrays.equals(rows(0).getAs[Array[Byte]]("luma_plane"),
+      rows(1).getAs[Array[Byte]]("luma_plane")),
+      "monochrome entropy swap changed pixels")
+    // CAVLC monochrome I_NxN: the Table 9-4 mono column is NOT carried
+    val i4Slice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+      w.ue(0) // I_NxN
+      var b = 0
+      while (b < 16) { w.u(1, 1); b += 1 } // all prev-flag modes
+      w.ue(0) // would-be cbp codeNum — mapping differs for mono
+      w.rbspTrailing(); w.bytes
+    }
+    val err = H264Decode.decodeIdr(Seq(Tuple1(annexbOf(
+      (3, 7, monoSpsRbsp(1)), (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, i4Slice)))).toDF("payload"), "payload")
+      .collect()(0).getAs[String]("decode_error")
+    assert(err != null && err.contains("Table 9-4 ChromaArrayType-0"),
+      s"got: $err")
+  }
 }
