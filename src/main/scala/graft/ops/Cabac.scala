@@ -228,7 +228,19 @@ object Cabac {
       val ctxRows = ints("ctxinit")
       require(ctxRows.length % 3 == 0,
         s"[ctxInit] rows must be 'ctxIdx m n' triples, got ${ctxRows.length} ints")
-      val byIdx = ctxRows.grouped(3).map(t => t(0) -> Array(t(1), t(2))).toMap
+      val triples = ctxRows.grouped(3).toSeq
+      // strict: a hand-transcribed file with a duplicated or stray
+      // ctxIdx must FAIL, not silently last-win / drop — a wrong (m, n)
+      // init decodes real streams to corrupt planes with no error
+      val outOfRange = triples.map(_(0)).filter(i => i < 0 || i > 276)
+      require(outOfRange.isEmpty,
+        s"[ctxInit] ctxIdx out of range 0..276: ${outOfRange.take(8).mkString(",")}")
+      val dups = triples.map(_(0)).groupBy(identity).collect {
+        case (i, g) if g.size > 1 => i
+      }
+      require(dups.isEmpty,
+        s"[ctxInit] duplicate ctxIdx rows: ${dups.toSeq.sorted.take(8).mkString(",")}")
+      val byIdx = triples.map(t => t(0) -> Array(t(1), t(2))).toMap
       val missing = (0 to 276).filterNot(byIdx.contains)
       require(missing.isEmpty,
         s"[ctxInit] must cover ctxIdx 0..276; missing ${missing.take(8).mkString(",")}" +

@@ -1125,9 +1125,16 @@ object H264Decode {
               // slice census (h264SliceCensus) gives the same verdict
               // clip-wide
               errRow(if (nonIdrType >= 0 && nonIdrType <= 9)
-                s"${VideoBitstream.sliceTypeName(nonIdrType)}-slice " +
-                  "stream: inter prediction not implemented (named " +
-                  "seam; keyframe-only curation decode takes IDR slices)"
+                VideoBitstream.sliceTypeName(nonIdrType) match {
+                  // a non-IDR I/SI slice needs no inter prediction —
+                  // the gap there is the IDR-only keyframe entry
+                  // (open-GOP / recovery-point cuts)
+                  case "I" | "SI" => "non-IDR I-slice stream (open " +
+                    "GOP): keyframe decode requires an IDR slice"
+                  case t => s"$t-slice stream: inter prediction not " +
+                    "implemented (named seam; keyframe-only curation " +
+                    "decode takes IDR slices)"
+                }
                 else "no IDR slice in stream")
             else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
               cabacCfg) match {

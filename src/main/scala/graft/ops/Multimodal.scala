@@ -60,21 +60,49 @@ object Multimodal {
 
   /** Disambiguate a `video/annexb` payload's codec — the refinement the
     * first-bytes sniff can't make (both H.264 and H.265 lead with
-    * 00000001). Structural, not a table: a conformant stream leads with
-    * a parameter-set NAL, and the byte after the 4-byte start code is
-    * ODD for H.264 (nal_unit_type sits in the LOW 5 bits: SPS 0x67,
-    * PPS 0x68 never leads) while it is always EVEN for H.265 (the
-    * 2-byte NAL header puts nal_unit_type in bits 1..6 and bit 0 is the
-    * nuh_layer_id high bit, 0 for the base layer: VPS 0x40, SPS 0x42).
-    * Returns 'h264' / 'h265' / null (not annexb-shaped). Codegen'd
-    * string/bit expressions, no UDF.
+    * 00000001). The lead NAL-header byte is interpreted under BOTH
+    * codecs' header semantics and the stream goes to the codec whose
+    * reading is valid:
+    *
+    *   - H.264 (§7.4.1): forbidden_zero(1) + nal_ref_idc(2) +
+    *     nal_unit_type(5); type must be 1..12 for a lead NAL, and the
+    *     spec constrains ref_idc — SPS/PPS/IDR (5, 7, 8) require
+    *     ref_idc ≠ 0, SEI/AUD/EoSeq/EoStream/filler (6, 9..12) require
+    *     ref_idc = 0. SPS 0x67, SEI 0x06, AUD 0x09 all validate.
+    *   - H.265 (§7.4.2.2): forbidden_zero(1) + nal_unit_type(6) +
+    *     nuh_layer_id high bit; a base-layer lead has bit 0 clear and a
+    *     lead-plausible type (VPS 0x40, SPS 0x42, PPS 0x44, AUD 0x46,
+    *     prefix-SEI 0x4E — all fail the H.264 constraints above).
+    *
+    * When exactly one reading validates, that codec wins; if both
+    * validate (rare garbage-adjacent leads) the H.264 reading wins iff
+    * the byte is odd (an H.265 base-layer header is always even);
+    * neither → null. Returns 'h264' / 'h265' / null (not
+    * annexb-shaped or no NAL byte). Codegen'd expressions, no UDF.
     */
   def annexbCodec(payload: Column): Column = {
     val lead = conv(hex(substring(payload, 5, 1)), 16, 10).cast("int")
-    when(payload.isNull || hex(substring(payload, 1, 4)) =!= "00000001",
+    val refIdc = shiftright(lead, 5) % 4
+    val t264 = lead % 32
+    val valid264 = (lead < 128) && t264.between(1, 12) &&
+      when(t264.isin(5, 7, 8), refIdc =!= 0)
+        .when(t264 >= 6, refIdc === 0)
+        .otherwise(lit(true))
+    // lead-plausible H.265 types only: the non-VCL set (VPS 32 .. suffix
+    // SEI 40) plus the IRAP slice types a mid-stream cut can start at
+    // (BLA/IDR/CRA 16..21) — NOT arbitrary slice types, which would let
+    // an H.264 SEI lead (0x06, h265 type 3) tie-break to the wrong codec
+    val t265 = shiftright(lead, 1) % 64
+    val valid265 = (lead < 128) && (lead % 2 === 0) &&
+      (t265.between(32, 40) || t265.between(16, 21))
+    when(payload.isNull || length(payload) < 5 ||
+        hex(substring(payload, 1, 4)) =!= "00000001",
         lit(null).cast("string"))
-      .when(lead % 2 === 1, "h264")
-      .otherwise("h265")
+      .when(valid264 && !valid265, "h264")
+      .when(valid265 && !valid264, "h265")
+      .when(valid264 && valid265,
+        when(lead % 2 === 1, "h264").otherwise("h265"))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** ImageIO defaults to DISK-caching its image input/output streams: every

@@ -526,9 +526,14 @@ object VideoBitstream {
               if (tpe == 1 || tpe == 5) {
                 nSl += 1
                 if (tpe == 5) nIdr += 1
-                val st = firstSliceType(rbspBytes(bytes, off + 1,
+                // per-NAL degradation like decodeIdr's probe: one
+                // truncated header keeps the other slices' counts (the
+                // bad NAL still counts into n_slices, its type doesn't)
+                val st = try firstSliceType(rbspBytes(bytes, off + 1,
                   math.min(len - 1, 8))) // header prefix only
-                if (st <= 9) {
+                catch { case _: Exception => -1 }
+                // ue() can wrap negative on garbage: bound BOTH sides
+                if (st >= 0 && st <= 9) {
                   if (first == null)
                     first = (if (st >= 5) "all-" else "") + sliceTypeName(st)
                   sliceTypeName(st) match {
@@ -545,6 +550,12 @@ object VideoBitstream {
                 s"${if (nB > 0) "B" else "P"}-slice stream: inter " +
                   "prediction not implemented (named seam; keyframe-only " +
                   "curation decode takes IDR slices)"
+              else if (nI > 0)
+                // open-GOP / recovery-point cut: I slices that are not
+                // IDR — no inter prediction involved, the gap is the
+                // keyframe decoder's IDR-only entry
+                "non-IDR I-slice stream (open GOP): keyframe decode " +
+                  "requires an IDR slice"
               else "no coded slices"
             Row.fromSeq(r.toSeq ++
               Seq(nSl, nI, nP, nB, nIdr, first, refusal, null))

@@ -95,5 +95,13 @@ class CabacTablesFileSpec extends AnyFunSuite {
     // non-integer token
     val garbage = good.replace("[transIdxLPS]", "[transIdxLPS]\nxyz")
     intercept[IllegalArgumentException](Cabac.Config.fromText(garbage))
+    // duplicate ctxIdx (a transcription typo) must FAIL, not last-win
+    val dup = good + "\n50 3 60\n"
+    val e5 = intercept[IllegalArgumentException](Cabac.Config.fromText(dup))
+    assert(e5.getMessage.contains("duplicate") && e5.getMessage.contains("50"))
+    // stray out-of-range ctxIdx must FAIL, not be ignored
+    val stray = good + "\n300 1 2\n"
+    val e6 = intercept[IllegalArgumentException](Cabac.Config.fromText(stray))
+    assert(e6.getMessage.contains("out of range"))
   }
 }

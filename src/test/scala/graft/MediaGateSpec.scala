@@ -34,6 +34,19 @@ class MediaGateSpec extends AnyFunSuite {
     assert(m(2L) == "h264")
     assert(m(0L) == null) // webm: not annexb-shaped
     assert(m(3L) == null) // flac
+    // an H.264 stream led by SEI (0x06 — even byte) still routes h264:
+    // the probe validates both codecs' header semantics, not parity
+    val seiLed = Array[Byte](0, 0, 0, 1, 0x06, 0x05, 0x01, 0x00) ++
+      corpus().collect()(2).getAs[Array[Byte]]("payload")
+    val hevcAud = Array[Byte](0, 0, 0, 1, 0x46, 0x01, 0x50)
+    val bare = Array[Byte](0, 0, 0, 1) // start code, no NAL byte
+    val extra = Seq((10L, seiLed), (11L, hevcAud), (12L, bare))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.annexbCodec(col("payload")).as("codec"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(extra(10L) == "h264")
+    assert(extra(11L) == "h265")
+    assert(extra(12L) == null)
   }
 
   test("gateManaged: one cache build, branches union, unclaimed clips " +

@@ -283,6 +283,41 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("n_b") == 1)
   }
 
+  test("open-GOP cut (non-IDR I slices, no IDR): census and decodeIdr " +
+      "both name the IDR-entry gap, NOT the inter seam; truncated " +
+      "headers degrade per NAL, garbage slice_type never miscounts") {
+    val df = Seq(Tuple1(idrlessStream(2, 7))).toDF("payload")
+    val r = VideoBitstream.h264SliceCensus(df, "payload").collect()(0)
+    assert(r.getAs[Int]("n_i") == 2 && r.getAs[Int]("n_idr") == 0)
+    assert(r.getAs[String]("decode_refusal")
+      .startsWith("non-IDR I-slice stream (open GOP)"))
+    val err = H264Decode.decodeIdr(df, "payload").collect()(0)
+      .getAs[String]("decode_error")
+    assert(err.startsWith("non-IDR I-slice stream (open GOP)"), s"got: $err")
+    // a type-1 NAL whose header is CUT mid-ue: clip census survives,
+    // the bad NAL counts into n_slices but no type bucket
+    val cut = idrlessStream(0) ++ Array[Byte](0, 0, 1, 0x41, 0x00)
+    val r2 = VideoBitstream.h264SliceCensus(
+      Seq(Tuple1(cut)).toDF("payload"), "payload").collect()(0)
+    assert(r2.getAs[String]("parse_error") == null)
+    assert(r2.getAs[Int]("n_slices") == 2 && r2.getAs[Int]("n_p") == 1)
+    // garbage header whose ue(slice_type) wraps negative: not counted,
+    // no MatchError (st is bounded on BOTH sides)
+    val wrap = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= idrlessStream(0)
+      out ++= Array[Byte](0, 0, 1, 0x41)
+      out += 0x80.toByte // first_mb ue(0)=1-bit, then 31 zeros begin
+      out ++= Array.fill(8)(0x00.toByte)
+      out += 0x01.toByte
+      out.toArray
+    }
+    val r3 = VideoBitstream.h264SliceCensus(
+      Seq(Tuple1(wrap)).toDF("payload"), "payload").collect()(0)
+    assert(r3.getAs[String]("parse_error") == null)
+    assert(r3.getAs[Int]("n_p") == 1) // only the well-formed slice
+  }
+
   test("decodeIdr refusal narrowing: an IDR-less P-slice stream refuses " +
       "by the INTER seam's name, not the generic miss") {
     val df = Seq(Tuple1(idrlessStream(0, 0))).toDF("payload")
