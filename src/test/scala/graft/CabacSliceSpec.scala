@@ -470,4 +470,89 @@ class CabacSliceSpec extends AnyFunSuite {
     assert(err != null && err.contains("Table 9-4 ChromaArrayType-0"),
       s"got: $err")
   }
+
+  test("the engine is genuinely TABLE-PARAMETERIZED: a different valid " +
+      "probability table (distinct decay law, tripwire-clean) round-trips " +
+      "the same plan to the same pixels; decoding with the WRONG table " +
+      "does not silently yield the right plane") {
+    // alternate tables from a different design law (steeper decay,
+    // shifted quartiles) — valid by the same construction as Derived
+    val altTables = {
+      val alpha = math.pow(0.03 / 0.5, 1.0 / 63)
+      val q = Array(300.0, 360.0, 420.0, 470.0)
+      val pr = Array.tabulate(64)(st => 0.5 * math.pow(alpha, st))
+      val range = Array.tabulate(64, 4) { (st, j) =>
+        if (st == 63) 2
+        else math.max(2, math.min(if (j == 0) 128 else 240,
+          math.floor(q(j) * pr(st)).toInt))
+      }
+      val lps = Array.tabulate(64) { st =>
+        if (st == 63) 63
+        else {
+          val pNew = alpha * pr(st) + (1 - alpha)
+          math.min((0 until 64).minBy(x => math.abs(pr(x) - pNew)), st)
+        }
+      }
+      val mps = Array.tabulate(64)(st => if (st >= 62) st else st + 1)
+      new Cabac.Tables(range, lps, mps)
+    }
+    val altCtx = Array.tabulate(277)(i => Array(1, 30 + (i * 7) % 80))
+    val altCfg = Cabac.Config(altTables, altCtx)
+    def mb(tpe: Int)(f: CabacSlice.MbData => Unit): CabacSlice.MbData = {
+      val m = new CabacSlice.MbData
+      m.clear(); m.mbType = tpe; f(m); m
+    }
+    def plans() = Seq(
+      mb(11) { m =>
+        m.lumaDc(0) = 6
+        Array(2, 1, -1, 0).copyToArray(m.chromaDc(0))
+        Array(1, -1, 1, -1).copyToArray(m.chromaDc(1))
+        var b = 0
+        while (b < 4) { m.chromaAc(0)(b)(0) = 1; m.chromaAc(1)(b)(2) = 2; b += 1 }
+      },
+      mb(2)(m => m.lumaDc(0) = -1),
+      mb(25)(m => { java.util.Arrays.fill(m.pcmLuma, 99)
+        java.util.Arrays.fill(m.pcmChroma, 128) }),
+      mb(0) { m =>
+        m.cbp = 15
+        var b = 0
+        while (b < 16) { m.i4Modes(b) = 1; m.lumaAc(b)(0) = 2; b += 1 }
+      })
+    def stream(cfg: Cabac.Config): Array[Byte] = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+      w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+      w.alignByteOnes()
+      val slice = w.bytes ++ H264Decode.encodeCabacSlice(2, 2, 28, plans(), cfg)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+      nal(3, 8, H264Decode.cabacPpsRbsp)
+      nal(3, 5, slice)
+      out.toArray
+    }
+    def decode(bytes: Array[Byte], cfg: Cabac.Config) =
+      H264Decode.decodeIdr(Seq(Tuple1(bytes)).toDF("payload"), "payload",
+        cabac = Some(cfg)).collect()(0)
+    val viaAlt = decode(stream(altCfg), altCfg)
+    val viaDerived = decode(stream(cfg), cfg)
+    assert(viaAlt.getAs[String]("decode_error") == null,
+      s"alt-table round-trip failed: ${viaAlt.getAs[String]("decode_error")}")
+    // the PLAN is the ground truth: both configs must reconstruct the
+    // same pixels from their own encodes
+    assert(java.util.Arrays.equals(viaAlt.getAs[Array[Byte]]("luma_plane"),
+      viaDerived.getAs[Array[Byte]]("luma_plane")),
+      "alt tables round-trip to different pixels")
+    // wrong-table decode must NOT silently produce the right plane:
+    // either a named per-clip error or different pixels
+    val cross = decode(stream(altCfg), cfg)
+    val crossOk = cross.getAs[String]("decode_error") != null ||
+      !java.util.Arrays.equals(cross.getAs[Array[Byte]]("luma_plane"),
+        viaAlt.getAs[Array[Byte]]("luma_plane"))
+    assert(crossOk, "decoding with the wrong tables reproduced the plane")
+  }
 }
