@@ -22,27 +22,7 @@ import org.apache.spark.sql.types._
   */
 object AudioContainers {
 
-  private def u16le(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def u64le(b: Array[Byte], o: Int): Long = {
-    var v = 0L
-    var i = 7
-    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
-    v
-  }
-  private def ubits(b: Array[Byte], bitOff: Int, n: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < n) {
-      val p = bitOff + i
-      v = (v << 1) | ((b(p >> 3) >> (7 - (p & 7))) & 1)
-      i += 1
-    }
-    v
-  }
+  import LeBytes.{u16 => u16le, u32 => u32le, u64 => u64le, bits => ubits}
 
   private[ops] final case class AudioMeta(container: String, codec: String,
       sampleRate: Long, channels: Int, bitsPerSample: Int,
@@ -50,7 +30,11 @@ object AudioContainers {
       durationS: Double, metaBlocks: Int)
 
   /** FLAC: "fLaC" + metadata-block chain; STREAMINFO (type 0, 34 bytes)
-    * is mandatory first. */
+    * is mandatory first. Truncation KEEPS what was walked once the
+    * STREAMINFO is in hand (real truncation lands mid-block, not on a
+    * boundary); total_samples = 0 is the spec's UNKNOWN sentinel (a
+    * streaming encoder that could not seek back), reported as null
+    * duration — NOT a zero-length file. */
   private def parseFlac(b: Array[Byte]): Either[String, AudioMeta] = {
     var o = 4
     var blocks = 0
@@ -59,32 +43,49 @@ object AudioContainers {
     var bps = -1
     var total = -1L
     var last = false
-    while (!last && o + 4 <= b.length) {
+    var truncated = false
+    while (!last && !truncated && o + 4 <= b.length) {
       val hdr = b(o) & 0xff
-      last = (hdr & 0x80) != 0
       val tpe = hdr & 0x7f
       val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-      if (o + 4 + len > b.length) return Left("truncated FLAC metadata block")
-      if (tpe == 0) {
-        if (len < 34) return Left("short STREAMINFO")
-        val base = (o + 4 + 10) * 8 // skip blocksize/framesize fields
-        rate = ubits(b, base, 20)
-        ch = ubits(b, base + 20, 3).toInt + 1
-        bps = ubits(b, base + 23, 5).toInt + 1
-        total = ubits(b, base + 28, 36)
+      if (o + 4 + len > b.length) {
+        // mid-block cut: keep the already-walked census (contract), but
+        // a cut BEFORE STREAMINFO completes is a hard error below
+        truncated = true
+      } else {
+        last = (hdr & 0x80) != 0
+        if (tpe == 0) {
+          if (len < 34) return Left("short STREAMINFO")
+          val base = (o + 4 + 10) * 8 // skip blocksize/framesize fields
+          rate = ubits(b, base, 20)
+          ch = ubits(b, base + 20, 3).toInt + 1
+          bps = ubits(b, base + 23, 5).toInt + 1
+          total = ubits(b, base + 28, 36)
+        }
+        blocks += 1
+        o += 4 + len
       }
-      blocks += 1
-      o += 4 + len
     }
-    if (rate <= 0) Left("no STREAMINFO")
-    else Right(AudioMeta("flac", "flac", rate, ch, bps, total, 0, 0L,
-      total.toDouble / rate, blocks))
+    if (rate <= 0)
+      Left(if (truncated) "truncated FLAC metadata block" else "no STREAMINFO")
+    else {
+      val unknownTotal = total == 0L
+      Right(AudioMeta("flac", "flac", rate, ch, bps,
+        if (unknownTotal) -1L else total, 0, 0L,
+        if (unknownTotal) Double.NaN else total.toDouble / rate, blocks))
+    }
   }
 
-  /** Ogg: walk every page (RFC 3533), identify the codec from the first
+  /** Ogg: walk the pages (RFC 3533), identify the codec from the first
     * packet (RFC 7845 OpusHead / Vorbis I header), duration from the
-    * final granule position (Opus: 48 kHz ticks minus pre-skip;
-    * Vorbis: sample ticks at the declared rate). */
+    * final granule position OF THE IDENTIFIED LOGICAL STREAM (pages are
+    * serial-filtered, so a multiplexed video stream's frame-counter
+    * granule cannot masquerade as audio ticks; Opus: 48 kHz ticks minus
+    * pre-skip; Vorbis: sample ticks at the declared rate). A chained
+    * file (second BOS page, RFC 3533 §4 — concatenated streams) stops
+    * the walk: the census covers the FIRST chain, stated not silent.
+    * Truncation mid-page keeps what was walked once the codec is
+    * identified. */
   private def parseOgg(b: Array[Byte]): Either[String, AudioMeta] = {
     var o = 0
     var pages = 0
@@ -93,17 +94,33 @@ object AudioContainers {
     var ch = -1
     var preSkip = 0
     var granule = 0L
-    while (o + 27 <= b.length && b(o) == 'O' && b(o + 1) == 'g' &&
+    var serial = 0L
+    var stop = false
+    while (!stop && o + 27 <= b.length && b(o) == 'O' && b(o + 1) == 'g' &&
         b(o + 2) == 'g' && b(o + 3) == 'S') {
       val nSeg = b(o + 26) & 0xff
-      if (o + 27 + nSeg > b.length) return Left("truncated Ogg page header")
+      if (o + 27 + nSeg > b.length) {
+        if (codec != null) { stop = true } // keep what was walked
+        else return Left("truncated Ogg page header")
+      } else {
       var bodyLen = 0
       var i = 0
       while (i < nSeg) { bodyLen += b(o + 27 + i) & 0xff; i += 1 }
       val body = o + 27 + nSeg
-      if (body + bodyLen > b.length) return Left("truncated Ogg page body")
+      if (body + bodyLen > b.length) {
+        if (codec != null) { stop = true } // keep what was walked
+        else return Left("truncated Ogg page body")
+      } else {
+      val pageSerial = u32le(b, o + 14)
+      val isBos = (b(o + 5) & 0x02) != 0
+      if (pages > 0 && isBos && pageSerial != serial) {
+        // chained stream: a NEW logical stream begins — census the
+        // first chain only (its granule timebase is the declared one)
+        stop = true
+      } else {
+      if (pages == 0) serial = pageSerial
       val g = u64le(b, o + 6)
-      if (g != -1L) granule = g
+      if (g != -1L && pageSerial == serial) granule = g
       if (pages == 0 && bodyLen >= 8) {
         if (new String(b, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
             == "OpusHead" && bodyLen >= 19) {
@@ -121,6 +138,7 @@ object AudioContainers {
       }
       pages += 1
       o = body + bodyLen
+      }}}
     }
     if (pages == 0) Left("not an Ogg stream")
     else if (codec == null) Left("unrecognized Ogg codec (first packet)")
@@ -171,10 +189,10 @@ object AudioContainers {
             case Right(m) => Row.fromSeq(r.toSeq ++ Seq(m.container, m.codec,
               m.sampleRate, if (m.channels < 0) null else m.channels,
               if (m.bitsPerSample < 0) null else m.bitsPerSample,
-              m.totalSamples,
+              if (m.totalSamples < 0) null else m.totalSamples,
               if (m.container == "ogg") m.pageCount else null,
               if (m.container == "flac") m.metaBlocks else null,
-              m.durationS, null))
+              if (m.durationS.isNaN) null else m.durationS, null))
           }
         } catch { case e: Exception =>
           errRow(s"census failed: ${e.getClass.getSimpleName}")

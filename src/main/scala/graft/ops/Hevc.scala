@@ -53,9 +53,20 @@ object Hevc {
       rd.ue() // sps_seq_parameter_set_id
       val chromaFormatIdc = rd.ue()
       if (chromaFormatIdc == 3) rd.u1() // separate_colour_plane_flag
-      val w = rd.ue()
-      val h = rd.ue()
-      if (rd.u1() == 1) { rd.ue(); rd.ue(); rd.ue(); rd.ue() } // conf window
+      var w = rd.ue()
+      var h = rd.ue()
+      if (rd.u1() == 1) {
+        // conformance window (§7.4.3.2.1): offsets are in CHROMA units —
+        // SubWidthC/SubHeightC per chroma_format_idc — and must be
+        // APPLIED, or every clip whose dims aren't multiples of the
+        // coding block (854x480, 1366x768...) reports the padded coded
+        // size while the H.264 leg reports the cropped one
+        val subW = if (chromaFormatIdc == 1 || chromaFormatIdc == 2) 2 else 1
+        val subH = if (chromaFormatIdc == 1) 2 else 1
+        val (l, rr, t, b) = (rd.ue(), rd.ue(), rd.ue(), rd.ue())
+        w -= (l + rr) * subW
+        h -= (t + b) * subH
+      }
       val bdLuma = 8 + rd.ue()
       val bdChroma = 8 + rd.ue()
       if (w <= 0 || h <= 0 || w > 16888 || h > 16888)

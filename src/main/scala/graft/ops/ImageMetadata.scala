@@ -112,8 +112,13 @@ object ImageMetadata {
                               val tpe = u16t(e + 2)
                               val cnt = u32t(e + 4)
                               tag match {
-                                case 0x0112 if tpe == 3 => // SHORT: value inline
-                                  orientation = u16t(e + 8)
+                                case 0x0112 if tpe == 3 && cnt == 1 =>
+                                  // SHORT count 1: value inline; count > 1
+                                  // stores an OFFSET at e+8, whose first 16
+                                  // bits would fabricate an orientation —
+                                  // and the spec range is 1..8
+                                  val v = u16t(e + 8)
+                                  if (v >= 1 && v <= 8) orientation = v
                                 case 0x010f if tpe == 2 && cnt > 0 &&
                                     cnt <= segEnd - t => // ASCII, sane length
                                   // ≤4 bytes live inline; longer values sit
@@ -122,7 +127,11 @@ object ImageMetadata {
                                     if (cnt <= 4) (e + 8).toLong
                                     else t + u32t(e + 8)
                                   val vl = cnt.toInt
-                                  if (voL >= t && voL + vl <= segEnd) {
+                                  // offset-stored values can never live in
+                                  // the 8-byte TIFF header (same lower bound
+                                  // the IFD0 offset check enforces)
+                                  if ((cnt <= 4 || voL >= t + 8) &&
+                                      voL >= t && voL + vl <= segEnd) {
                                     val vo = voL.toInt
                                     make = new String(b, vo,
                                       // drop the terminating NUL

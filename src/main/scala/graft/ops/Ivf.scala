@@ -20,11 +20,7 @@ import org.apache.spark.sql.types._
   */
 object Ivf {
 
-  private def u16le(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  import LeBytes.{u16 => u16le, u32 => u32le}
 
   /** leb128 (AV1 §4.10.5): returns (value, width) or null. */
   private[ops] def leb128(b: Array[Byte], o: Int): (Long, Int) = {

@@ -73,4 +73,71 @@ class AudioContainersSpec extends AnyFunSuite {
     assert(AudioContainers.audioContainerMeta(fuzz.toDF("payload"))
       .collect().length == 30)
   }
+
+  test("FLAC total_samples = 0 is the UNKNOWN sentinel: null duration " +
+      "and null total, not a zero-length file") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticFlac(lit(48000), lit(2), lit(16),
+        lit(0L)).as("payload"))
+    val r = AudioContainers.audioContainerMeta(df).collect()(0)
+    assert(r.getAs[String]("parse_error") == null)
+    assert(r.getAs[Long]("sample_rate") == 48000)
+    assert(r.isNullAt(r.fieldIndex("total_samples")))
+    assert(r.isNullAt(r.fieldIndex("duration_s")))
+  }
+
+  test("mid-block/mid-page truncation KEEPS what was walked (the " +
+      "documented contract): FLAC after STREAMINFO, Ogg after the " +
+      "codec header") {
+    val flac = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticFlac(lit(44100), lit(1), lit(16),
+        lit(99999L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    // cut INSIDE the second metadata block (STREAMINFO ends at 4+4+34)
+    val cutFlac = flac.take(4 + 4 + 34 + 10)
+    val r1 = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(cutFlac)).toDF("payload")).collect()(0)
+    assert(r1.getAs[String]("parse_error") == null)
+    assert(r1.getAs[Long]("sample_rate") == 44100)
+    assert(r1.getAs[Long]("total_samples") == 99999L)
+    // ...but a cut BEFORE STREAMINFO completes stays a named error
+    val r1b = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(flac.take(20))).toDF("payload")).collect()(0)
+    assert(r1b.getAs[String]("parse_error") != null)
+    val ogg = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(2), lit(312), lit(3),
+        lit(96000L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    // cut mid final page: codec/rate survive, granule is the last FULL page
+    val cutOgg = ogg.take(ogg.length - 3)
+    val r2 = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(cutOgg)).toDF("payload")).collect()(0)
+    assert(r2.getAs[String]("parse_error") == null)
+    assert(r2.getAs[String]("codec") == "opus")
+    assert(r2.getAs[Long]("sample_rate") == 48000)
+  }
+
+  test("chained Ogg (second BOS, new serial): the census covers the " +
+      "FIRST chain, not a nonsense cross-chain granule") {
+    val one = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(2), lit(100), lit(2),
+        lit(48000L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    val two = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(1), lit(0), lit(2),
+        lit(480000L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    // second stream gets a different serial (bytes 14..17 of each page)
+    var o = 0
+    while (o + 27 <= two.length && two(o) == 'O') {
+      two(o + 14) = (two(o + 14) ^ 0x55).toByte
+      val nSeg = two(o + 26) & 0xff
+      var bl = 0
+      for (i <- 0 until nSeg) bl += two(o + 27 + i) & 0xff
+      o += 27 + nSeg + bl
+    }
+    val r = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(one ++ two)).toDF("payload")).collect()(0)
+    assert(r.getAs[String]("parse_error") == null)
+    // duration reflects chain ONE (its generator bakes preSkip into the
+    // final granule, so ticks = 48000 exactly), never chain two's 480000
+    assert(r.getAs[Long]("total_samples") == 48000L)
+  }
+
 }

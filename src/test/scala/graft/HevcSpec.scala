@@ -65,4 +65,28 @@ class HevcSpec extends AnyFunSuite {
     }
     assert(Hevc.hevcMeta(fuzz.toDF("payload")).collect().length == 40)
   }
+  test("conformance window offsets are APPLIED in chroma units: an " +
+      "854x480-class SPS reports the cropped dims, like the H.264 leg") {
+    // hand-built SPS: 856x480 coded, conf_win_right_offset = 1 (x2 for
+    // 4:2:0 SubWidthC) -> 854 wide
+    val w = new VideoBitstream.BitWriter
+    w.u(0, 4) // vps id
+    w.u(0, 3) // max_sub_layers_minus1
+    w.u(1, 1) // nesting
+    w.u(0, 2); w.u(0, 1); w.u(1, 5) // profile space/tier/idc
+    w.u(0, 32); w.u(0, 4); w.u(0, 22); w.u(0, 22)
+    w.u(93, 8) // level
+    w.ue(0) // sps id
+    w.ue(1) // chroma 4:2:0
+    w.ue(856); w.ue(480)
+    w.u(1, 1) // conformance_window_flag
+    w.ue(0); w.ue(1); w.ue(0); w.ue(0) // right offset 1 chroma unit
+    w.ue(0); w.ue(0) // bit depths 8
+    w.rbspTrailing()
+    val sps = Hevc.parseSps(w.bytes)
+    assert(sps.isRight, sps)
+    assert(sps.toOption.get.width == 854, s"got ${sps.toOption.get.width}")
+    assert(sps.toOption.get.height == 480)
+  }
+
 }

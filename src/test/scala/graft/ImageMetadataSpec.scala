@@ -108,4 +108,49 @@ class ImageMetadataSpec extends AnyFunSuite {
     assert(!out(2L).getAs[Boolean]("has_exif"))
     assert(out(3L).getAs[String]("parse_error") == "null payload")
   }
+  test("hostile IFD entries cannot fabricate metadata: an offset-stored " +
+      "orientation (count > 1) and an out-of-range value are both " +
+      "skipped; a Make value-offset pointing into the TIFF header is " +
+      "rejected") {
+    // take a valid fixture and corrupt IFD0 entries in place
+    val base = Seq(Tuple1(0L)).toDF("doc_id").select(
+      ImageMetadata.syntheticExifJpeg(lit(640), lit(480), lit(6), lit(2),
+        lit(true), lit(false)).as("payload"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    def census(b: Array[Byte]) = ImageMetadata.jpegExifCensus(
+      Seq(Tuple1(b)).toDF("payload")).collect()(0)
+    val ok = census(base)
+    assert(ok.getAs[Int]("exif_orientation") == 6)
+    // locate the orientation entry (tag 0x0112 big-endian) and corrupt
+    // its count to 3: the value field becomes an offset, which must NOT
+    // be read as an orientation
+    def findTag(b: Array[Byte], t0: Int, t1: Int): Int = {
+      var i = 0
+      while (i + 1 < b.length &&
+        !((b(i) & 0xff) == t0 && (b(i + 1) & 0xff) == t1)) i += 1
+      i
+    }
+    val cntCorrupt = base.clone()
+    val oe = findTag(cntCorrupt, 0x01, 0x12)
+    cntCorrupt(oe + 7) = 3 // count 3 (big-endian low byte)
+    val r1 = census(cntCorrupt)
+    assert(r1.isNullAt(r1.fieldIndex("exif_orientation")),
+      s"offset-stored orientation fabricated: ${r1.getAs[Int]("exif_orientation")}")
+    // out-of-range value (312) skipped
+    val rangeCorrupt = base.clone()
+    rangeCorrupt(oe + 8) = 0x01; rangeCorrupt(oe + 9) = 0x38
+    val r2 = census(rangeCorrupt)
+    assert(r2.isNullAt(r2.fieldIndex("exif_orientation")))
+    // Make (tag 0x010F, offset-stored): point the value offset at the
+    // TIFF header (0) — no TIFF value can live there
+    val makeCorrupt = base.clone()
+    val me = findTag(makeCorrupt, 0x01, 0x0F)
+    makeCorrupt(me + 8) = 0; makeCorrupt(me + 9) = 0
+    makeCorrupt(me + 10) = 0; makeCorrupt(me + 11) = 0
+    val r3 = census(makeCorrupt)
+    assert(r3.getAs[String]("exif_make") == null ||
+      !r3.getAs[String]("exif_make").startsWith("MM"),
+      s"header bytes parsed as Make: '${r3.getAs[String]("exif_make")}'")
+  }
+
 }
