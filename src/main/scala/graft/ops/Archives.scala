@@ -156,9 +156,7 @@ object Archives {
         // member trailer: CRC32 + ISIZE (mod 2^32), little-endian
         if (off + 8 > bytes.length)
           throw new java.io.EOFException("truncated gzip trailer")
-        def le32(p: Int): Long =
-          (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-            ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+        def le32(p: Int): Long = LeBytes.u32(bytes, p)
         if (le32(off) != crc.getValue)
           throw new java.io.IOException("gzip CRC mismatch")
         if (le32(off + 4) != (memberLen & 0xffffffffL))
@@ -279,11 +277,7 @@ object Archives {
     StructField("member_text", StringType),
     StructField("parse_error", StringType))
 
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  import LeBytes.{u16 => le16, u32 => le32}
 
   /** One row per zip member, walked from the central directory (the
     * authoritative index — streaming local headers misses data
@@ -345,7 +339,11 @@ object Archives {
                 } else {
                   val name = new String(bytes, o + 46, nameLen, "UTF-8")
                   val row: Row =
-                    if (usize > maxInflatedBytes)
+                    if (usize > math.min(maxInflatedBytes, Int.MaxValue.toLong))
+                      // ALSO capped at the JVM array limit: a raised
+                      // maxInflatedBytes cannot buy members > 2 GiB (the
+                      // byte array cannot exist) — report it here instead
+                      // of a NegativeArraySizeException from usize.toInt
                       // declared usize sizes the allocation below — cap it
                       // BEFORE allocating or a bomb's 4 GiB claim OOMs the JVM
                       Row.fromSeq(r.toSeq ++ Seq(i, name, method, csize, usize,
@@ -380,6 +378,19 @@ object Archives {
                             if (stalled)
                               throw new java.util.zip.DataFormatException(
                                 "truncated deflate stream")
+                            // a stream with MORE data than the declared
+                            // usize is a corrupt/crafted index: emitting
+                            // the first usize bytes would be silently
+                            // truncated text with parse_error null
+                            if (!inf.finished() &&
+                                inf.inflate(new Array[Byte](1)) > 0)
+                              throw new java.util.zip.DataFormatException(
+                                "member inflates beyond declared size")
+                            val crc = new java.util.zip.CRC32
+                            crc.update(out, 0, done)
+                            if (crc.getValue != le32(bytes, o + 16))
+                              throw new java.util.zip.DataFormatException(
+                                "member CRC mismatch")
                             new String(out, 0, done, "UTF-8")
                           } finally inf.end()
                         } else null // unsupported method: census row, no text
@@ -457,7 +468,7 @@ object Archives {
     val pangram = "the quick brown fox jumps over the lazy dog "
     var k = 0
     while (k < nMembers) {
-      val len = 20 + (seed + 7 * k) % 40
+      val len = 20 + Math.floorMod(seed + 7 * k, 40)
       tarAppendEntry(out, s"dir/file$k.txt",
         (pangram * 2).substring(0, len).getBytes("UTF-8"))
       k += 1
@@ -515,7 +526,7 @@ object Archives {
       while (z < nZips) {
         val zi = z
         tarAppendEntry(out, s"zips/part$z.zip",
-          storedZipBytes(membersPerZip, k => 20 + (seed + 5 * zi + 7 * k) % 40))
+          storedZipBytes(membersPerZip, k => 20 + Math.floorMod(seed + 5 * zi + 7 * k, 40)))
         z += 1
       }
       out.write(new Array[Byte](1024))
@@ -530,5 +541,5 @@ object Archives {
     */
   val syntheticZip: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((nMembers: Int, seed: Int) =>
-      storedZipBytes(nMembers, k => 20 + (seed + 7 * k) % 40))
+      storedZipBytes(nMembers, k => 20 + Math.floorMod(seed + 7 * k, 40)))
 }

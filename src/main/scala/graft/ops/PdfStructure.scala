@@ -19,6 +19,16 @@ import org.apache.spark.sql.types._
   */
 object PdfStructure {
 
+  // census regexes hoisted out of the per-record path (repo convention);
+  // name-boundary lookaheads keep /PageLabel, /EncryptedAttachment and
+  // friends from matching the bare names
+  private val ObjRe = "\\d+\\s+\\d+\\s+obj\\b".r
+  private val PageRe = "/Type\\s*/Page(?![A-Za-z])".r
+  private val PagesRe = "/Type\\s*/Pages(?![A-Za-z])".r
+  private val CountRe = "/Count\\s+(\\d+)".r
+  private val EncryptRe = "/Encrypt(?![A-Za-z])".r
+  private val XrefRe = "/Type\\s*/XRef\\b".r
+
   private val pdfCols = Seq(
     StructField("pdf_version", StringType),
     StructField("object_count", IntegerType),
@@ -86,11 +96,8 @@ object PdfStructure {
               }
             }
             val scan = sb.toString
-            val objCount = "\\d+\\s+\\d+\\s+obj\\b".r.findAllIn(scan).length
-            // name boundary, not just "not 's'": /PageLabel (ISO 32000
-            // page-label dicts) must not count as a physical page object
-            val pageRe = "/Type\\s*/Page(?![A-Za-z])".r
-            val pageObjects = pageRe.findAllIn(scan).length
+            val objCount = ObjRe.findAllIn(scan).length
+            val pageObjects = PageRe.findAllIn(scan).length
             // PDF dict keys are UNORDERED: /Count may precede /Type in
             // the same dict, and an unbounded forward search would bind
             // some other object's /Count — search the ENCLOSING dict
@@ -98,8 +105,7 @@ object PdfStructure {
             // a naive lastIndexOf("<<")/indexOf(">>") around the match
             // would bound a nested child dict, not the Pages dict itself —
             // track << / >> depth in both directions from the match
-            val declared = "/Type\\s*/Pages(?![A-Za-z])".r
-              .findFirstMatchIn(scan).flatMap { m =>
+            val declared = PagesRe.findFirstMatchIn(scan).flatMap { m =>
                 var dictStart = -1
                 var i = m.start - 2
                 var depth = 0
@@ -139,12 +145,16 @@ object PdfStructure {
                       j += 1
                     }
                   }
-                  "/Count\\s+(\\d+)".r.findFirstMatchIn(top.toString)
+                  CountRe.findFirstMatchIn(top.toString)
                     .map(_.group(1).toInt)
                 }
               }
-            val encrypted = scan.contains("/Encrypt")
-            val xrefStream = "/Type\\s*/XRef\\b".r.findFirstIn(scan).isDefined
+            // name boundary like PageRe: '/EncryptedAttachment' or a
+            // literal '(see /Encrypt...)' string must not flag the doc
+            // (this column gates text extraction — a false positive
+            // silently drops the document from the corpus)
+            val encrypted = EncryptRe.findFirstIn(scan).isDefined
+            val xrefStream = XrefRe.findFirstIn(scan).isDefined
             Row.fromSeq(r.toSeq ++ Seq(version, objCount, pageObjects,
               declared.map(i => i: java.lang.Integer).orNull,
               encrypted, xrefStream, null))
@@ -176,7 +186,7 @@ object PdfStructure {
         k += 1
       }
       val decoy = "/Type /Page (decoy) " +
-        (0 until 16 + seed % 16).map(j => ('a' + (seed + j) % 26).toChar).mkString
+        (0 until 16 + Math.floorMod(seed, 16)).map(j => ('a' + Math.floorMod(seed + j, 26)).toChar).mkString
       sb.append(s"${3 + nPages} 0 obj\n<< /Length ${decoy.length} >>\nstream\n")
       sb.append(decoy)
       sb.append("\nendstream\nendobj\n")

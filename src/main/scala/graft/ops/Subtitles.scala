@@ -105,10 +105,13 @@ object Subtitles {
                 arrowLi + 1 < lines.length &&
                 lines(arrowLi + 1).contains("-->")) arrowLi += 1
               if (!lines(arrowLi).contains("-->")) {
-                tailErr =
-                  if (cueIdx == 0) "no cue timing line found"
-                  else "malformed cue block"
-                done = true
+                // not a cue block (stray prose, a comment continuation
+                // after a whitespace-only line, orphaned text): SKIP it
+                // to the next blank and keep walking — one junk block
+                // must not cost every cue after it. Stated, not silent:
+                // the tail row records the skip.
+                if (tailErr == null) tailErr = "skipped non-cue block"
+                while (li < lines.length && lines(li).trim.nonEmpty) li += 1
               } else {
                 val tsLine = lines(arrowLi)
                 val arrow = tsLine.indexOf("-->")
@@ -124,16 +127,27 @@ object Subtitles {
                   done = true
                 } else {
                   var ti = arrowLi + 1
-                  val text = new StringBuilder
-                  // payload ends at a truly EMPTY line (spec): a
-                  // whitespace-only line BELONGS to the cue text —
-                  // treating it as a separator would orphan the lines
-                  // after it and kill the rest of the document
-                  while (ti < lines.length && lines(ti).nonEmpty) {
-                    if (text.nonEmpty) text.append('\n')
-                    text.append(lines(ti))
+                  val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+                  // payload ends at a truly EMPTY line (spec: a
+                  // whitespace-only line BELONGS to the cue text) OR at a
+                  // line containing "-->" — the W3C rule that cue text
+                  // cannot contain the arrow. The arrow stop is what keeps
+                  // a whitespace-only SEPARATOR (crawled-SRT reality) from
+                  // merging every following cue into this one: the next
+                  // cue's timing line ends the payload regardless.
+                  while (ti < lines.length && lines(ti).nonEmpty &&
+                      !lines(ti).contains("-->")) {
+                    parts += lines(ti)
                     ti += 1
                   }
+                  // stopped at the next cue's timing line: a trailing
+                  // digits-only payload line was that cue's SRT counter,
+                  // not our text — un-append it
+                  if (ti < lines.length && lines(ti).contains("-->") &&
+                      parts.nonEmpty &&
+                      parts.last.trim.matches("\\d+"))
+                    parts.remove(parts.length - 1)
+                  val text = new StringBuilder(parts.mkString("\n"))
                   recs += Row.fromSeq(r.toSeq ++
                     Seq(cueIdx, start, end, text.toString, null))
                   cueIdx += 1
@@ -142,7 +156,11 @@ object Subtitles {
               }
             }
           }
-          if (recs.isEmpty) errRow(if (tailErr != null) tailErr else "no cues")
+          if (recs.isEmpty)
+            errRow(if (tailErr == null) "no cues"
+              else if (tailErr == "skipped non-cue block")
+                "no cue timing line found" // nothing BUT junk blocks
+              else tailErr)
           else {
             if (tailErr != null)
               recs += Row.fromSeq(r.toSeq ++ Seq(cueIdx, null, null, null, tailErr))

@@ -254,4 +254,47 @@ class ArchivesSpec extends AnyFunSuite {
     assert(out3.length == 1)
     assert(out3.head.getAs[String]("parse_error") == "malformed central directory entry")
   }
+  test("zip member integrity: an over-inflating member and a corrupt CRC " +
+      "both become NAMED per-member errors, never silently truncated text") {
+    // build a normal deflate zip, then corrupt the central directory
+    val base = java.io.File.createTempFile("graft", ".zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(base))
+    val content = ("payload line. " * 40).getBytes("UTF-8")
+    val e = new java.util.zip.ZipEntry("a.txt")
+    zos.putNextEntry(e); zos.write(content); zos.closeEntry(); zos.close()
+    val bytes = java.nio.file.Files.readAllBytes(base.toPath)
+    def cdOff(b: Array[Byte]): Int = {
+      // EOCD: scan back for PK\x05\x06, central dir offset at +16 LE
+      var i = b.length - 22
+      while (!(b(i) == 0x50 && b(i + 1) == 0x4b && b(i + 2) == 5 && b(i + 3) == 6)) i -= 1
+      ((b(i + 16) & 0xff) | ((b(i + 17) & 0xff) << 8) |
+        ((b(i + 18) & 0xff) << 16) | ((b(i + 19) & 0xff) << 24))
+    }
+    def census(b: Array[Byte]) = Archives.zipMembers(
+      Seq(Tuple1(b)).toDF("payload")).collect()(0)
+    assert(census(bytes).getAs[String]("parse_error") == null)
+    // (a) declared usize smaller than the true inflated size
+    val small = bytes.clone()
+    val cd = cdOff(small)
+    val trueUsize = content.length
+    small(cd + 24) = 10; small(cd + 25) = 0; small(cd + 26) = 0; small(cd + 27) = 0
+    val r1 = census(small)
+    assert(r1.getAs[String]("parse_error") != null &&
+      r1.getAs[String]("parse_error").contains("extract failed"),
+      s"got: ${r1.getAs[String]("parse_error")} text=${r1.getAs[String]("member_text")}")
+    // (b) corrupt CRC with correct sizes
+    val badCrc = bytes.clone()
+    badCrc(cdOff(badCrc) + 16) = (badCrc(cdOff(badCrc) + 16) ^ 0x5a).toByte
+    val r2 = census(badCrc)
+    assert(r2.getAs[String]("parse_error") != null)
+    assert(trueUsize == content.length) // silence unused warning
+  }
+
+  test("negative fixture seeds cannot throw (floorMod lengths)") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(
+      Archives.syntheticTar(lit(3), lit(-30), lit(false)).as("payload"))
+    assert(Archives.tarMembers(df).collect().nonEmpty)
+  }
+
 }

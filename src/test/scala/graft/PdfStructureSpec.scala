@@ -118,4 +118,21 @@ class PdfStructureSpec extends AnyFunSuite {
     assert(out.getAs[Boolean]("has_xref_stream"))
     assert(out.getAs[Int]("object_count") == 1)
   }
+  test("/Encrypt detection has a name boundary: /EncryptedAttachment " +
+      "and prose mentions do not flag the document") {
+    val pdf = ("%PDF-1.6\n1 0 obj\n<< /Type /Catalog " +
+      "/EncryptedAttachment 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Note (see the /EncryptNothing entry) >>\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val r = PdfStructure.pdfCensus(
+      Seq(Tuple1(pdf)).toDF("payload")).collect()(0)
+    assert(!r.getAs[Boolean]("is_encrypted"))
+    // the real name still flags
+    val enc = ("%PDF-1.6\ntrailer\n<< /Encrypt 5 0 R /Root 1 0 R >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val r2 = PdfStructure.pdfCensus(
+      Seq(Tuple1(enc)).toDF("payload")).collect()(0)
+    assert(r2.getAs[Boolean]("is_encrypted"))
+  }
+
 }

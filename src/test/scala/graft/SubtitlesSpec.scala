@@ -73,4 +73,32 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(out(1L).head.getAs[String]("parse_error") == "no cue timing line found")
     assert(out(2L).head.getAs[String]("parse_error") == "null subtitle")
   }
+  test("whitespace-only SEPARATOR between SRT cues: the arrow stop keeps " +
+      "cue 2 alive and un-appends its counter from cue 1's text") {
+    val srt = "1\n00:00:00,000 --> 00:00:02,000\nhello\n \n" +
+      "2\n00:00:02,500 --> 00:00:04,500\nworld\n"
+    val out = Subtitles.parseCues(Seq((0L, srt)).toDF("doc_id", "subtitle"))
+      .orderBy("cue_idx").collect()
+    val cues = out.filter(_.getAs[String]("parse_error") == null)
+    assert(cues.length == 2, out.mkString("\n"))
+    assert(cues(0).getAs[String]("cue_text") == "hello\n ")
+    assert(cues(1).getAs[String]("cue_text") == "world")
+    assert(cues(1).getAs[Long]("cue_start_ms") == 2500L)
+  }
+
+  test("a junk block mid-document is SKIPPED (stated in the tail row), " +
+      "not fatal to every cue after it") {
+    val vtt = "WEBVTT\n\nNOTE first\n \nstill note\n\n" +
+      "00:00:00.000 --> 00:00:02.000\nhi\n"
+    val out = Subtitles.parseCues(Seq((0L, vtt)).toDF("doc_id", "subtitle"))
+      .orderBy("cue_idx").collect()
+    // the NOTE block's whitespace line orphans 'still note' into a junk
+    // block; the walk skips it and the REAL cue survives
+    val cues = out.filter(_.getAs[String]("parse_error") == null)
+    assert(cues.length == 1, out.mkString("\n"))
+    assert(cues(0).getAs[String]("cue_text") == "hi")
+    assert(out.exists(r => r.getAs[String]("parse_error") != null &&
+      r.getAs[String]("parse_error").contains("skipped")))
+  }
+
 }
