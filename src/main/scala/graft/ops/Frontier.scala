@@ -60,7 +60,12 @@ object Frontier {
         Dedup.notInCorpusManaged(cand, visited, "u", expectedItems)
     }
     val parts = fresh
-      .withColumn("host", regexp_extract(col("u"), "^https?://([^/]+)", 1))
+      // strip userinfo: "user@host" must key the same robots rules and
+      // politeness window as "host" (rules frames are keyed by host, and
+      // a miss here would coalesce to robots_allowed = TRUE — fetching a
+      // Disallow'd URL because of an '@' in the link)
+      .withColumn("host", regexp_extract(col("u"),
+        "^https?://(?:[^/@]*@)?([^/]+)", 1))
       .withColumn("path", regexp_extract(col("u"), "^https?://[^/]+(/.*)$", 1))
     val gated = Robots.robotsAllowed(parts, "path", rules, Seq("host"))
       .where(col("robots_allowed"))

@@ -164,6 +164,12 @@ object WebIngest {
               if (f.truncated) tailErr = "truncated or malformed record"
               else if (recIdx == 0) tailErr = "not a WARC stream (no version line)"
               else if (f.verNonEmpty) tailErr = "malformed record tail"
+              else if (f.verMissing && o < bytes.length)
+                // bytes remain but no CRLF-terminated version line could
+                // be read: the NEXT record's version line was cut at EOF
+                // — a vanishing record would be indistinguishable from a
+                // clean segment end ("the tail is reported" contract)
+                tailErr = "truncated record tail"
               done = true
             } else {
               val body: Any =
@@ -207,6 +213,88 @@ object WebIngest {
     * a newline collapse to one '\n', others to one space), ends
     * trimmed. Null-safe (null → null).
     */
+  /** Case-insensitive indexOf without lowercasing the whole document. */
+  private def findIgnoreCaseIn(html: String, needle: String, from: Int): Int = {
+    var p = from
+    val last = html.length - needle.length
+    while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
+    if (p > last) -1 else p
+  }
+
+  /** QUOTE-AWARE index of the tag-closing '>' from `from` (just past
+    * '<'): a '>' inside a quoted attribute value (onclick="if(a>b)…",
+    * data-json='{"k":">"}') does not close the tag. -1 = unterminated.
+    */
+  private[ops] def tagEnd(html: String, from: Int): Int = {
+    var p = from
+    val n = html.length
+    var quote: Char = 0
+    while (p < n) {
+      val c = html.charAt(p)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return p
+      p += 1
+    }
+    -1
+  }
+
+  /** End of a script/style RAW-TEXT block: the index AFTER the closing
+    * tag's '>'. Per HTML5 tokenization, "</name" only closes the block
+    * when followed by whitespace, '/', '>' or EOF — "</scripts>" inside
+    * JavaScript is script TEXT, and ending there would leak source code
+    * into the extracted corpus text. html.length when unterminated.
+    */
+  private[ops] def rawTextEnd(html: String, from: Int, name: String): Int = {
+    val close = "</" + name
+    val n = html.length
+    var p = from
+    while (p <= n - close.length) {
+      val e = findIgnoreCaseIn(html, close, p)
+      if (e < 0) return n
+      val after = e + close.length
+      if (after >= n || { val d = html.charAt(after)
+        d == '>' || d == '/' || d.isWhitespace }) {
+        val g = html.indexOf('>', after)
+        return if (g < 0) n else g + 1
+      }
+      p = e + 1
+    }
+    n
+  }
+
+  /** One entity at `s(i) == '&'`: appends the decoded char(s) to `sb`
+    * and returns the index after the entity, or -1 when not a valid
+    * entity (caller emits the literal '&'). ONE kernel for body text
+    * and attribute values — the two must never disagree.
+    */
+  private def decodeEntityAt(s: String, i: Int,
+      sb: java.lang.StringBuilder): Int = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi <= i || semi - i > 10) return -1
+    val ent = s.substring(i + 1, semi)
+    // numeric entities: parseInt can SUCCEED on values appendCodePoint
+    // rejects (negative, > U+10FFFF, surrogates) — validate instead of
+    // relying on exceptions, or one crawled "&#x110000;" kills the job
+    def appendNumeric(v: => Int): Boolean =
+      try {
+        val cp = v
+        if (Character.isValidCodePoint(cp) &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); true }
+        else false
+      } catch { case _: NumberFormatException => false }
+    val consumed =
+      if (ent.startsWith("#x") || ent.startsWith("#X"))
+        appendNumeric(Integer.parseInt(ent.substring(2), 16))
+      else if (ent.startsWith("#"))
+        appendNumeric(Integer.parseInt(ent.substring(1)))
+      else NamedEntities.get(ent.toLowerCase) match {
+        case Some(ch) => sb.append(ch); true
+        case None => false
+      }
+    if (consumed) semi + 1 else -1
+  }
+
   private[ops] def extractText(html: String): String = {
     if (html == null) return null
     val sb = new java.lang.StringBuilder(html.length)
@@ -243,19 +331,11 @@ object WebIngest {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else if (lowerAt(i, "<script") && tagNameEndsAt(i + 7)) {
-          val e = findIgnoreCase("</script", i + 7)
-          i = if (e < 0) n else html.indexOf('>', e) match {
-            case -1 => n
-            case g => g + 1
-          }
+          i = rawTextEnd(html, i + 7, "script")
         } else if (lowerAt(i, "<style") && tagNameEndsAt(i + 6)) {
-          val e = findIgnoreCase("</style", i + 6)
-          i = if (e < 0) n else html.indexOf('>', e) match {
-            case -1 => n
-            case g => g + 1
-          }
+          i = rawTextEnd(html, i + 6, "style")
         } else {
-          val e = html.indexOf('>', i + 1)
+          val e = tagEnd(html, i + 1)
           if (e < 0) i = n
           else {
             var ts = i + 1
@@ -268,30 +348,8 @@ object WebIngest {
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
-          val ent = html.substring(i + 1, semi)
-          // numeric entities: parseInt can SUCCEED on values appendCodePoint
-          // rejects (negative, > U+10FFFF, surrogates) — validate instead of
-          // relying on exceptions, or one crawled "&#x110000;" kills the job
-          def appendNumeric(v: => Int): Boolean =
-            try {
-              val cp = v
-              if (Character.isValidCodePoint(cp) &&
-                !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); true }
-              else false
-            } catch { case _: NumberFormatException => false }
-          val consumed =
-            if (ent.startsWith("#x") || ent.startsWith("#X"))
-              appendNumeric(Integer.parseInt(ent.substring(2), 16))
-            else if (ent.startsWith("#"))
-              appendNumeric(Integer.parseInt(ent.substring(1)))
-            else NamedEntities.get(ent.toLowerCase) match {
-              case Some(ch) => sb.append(ch); true
-              case None => false
-            }
-          if (consumed) i = semi + 1 else { sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
+        val next = decodeEntityAt(html, i, sb)
+        if (next > 0) i = next else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
     // whitespace collapse: runs with '\n' → one newline, others → one space
@@ -341,27 +399,8 @@ object WebIngest {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
-          val ent = s.substring(i + 1, semi)
-          def appendNumeric(v: => Int): Boolean =
-            try {
-              val cp = v
-              if (Character.isValidCodePoint(cp) &&
-                !(cp >= 0xD800 && cp <= 0xDFFF)) { sb.appendCodePoint(cp); true }
-              else false
-            } catch { case _: NumberFormatException => false }
-          val consumed =
-            if (ent.startsWith("#x") || ent.startsWith("#X"))
-              appendNumeric(Integer.parseInt(ent.substring(2), 16))
-            else if (ent.startsWith("#"))
-              appendNumeric(Integer.parseInt(ent.substring(1)))
-            else NamedEntities.get(ent.toLowerCase) match {
-              case Some(ch) => sb.append(ch); true
-              case None => false
-            }
-          if (consumed) i = semi + 1 else { sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
+        val next = decodeEntityAt(s, i, sb)
+        if (next > 0) i = next else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -420,7 +459,20 @@ object WebIngest {
       }) k += 1
       if (k < ref.length && ref.charAt(k) == ':') {
         val scheme = ref.substring(0, k).toLowerCase
-        return if (scheme == "http" || scheme == "https") ref else null
+        if (scheme != "http" && scheme != "https") return null
+        // §5.2.2 applies remove_dot_segments to ABSOLUTE references too:
+        // "http://h/a/../b" must equal the resolution of "/a/../b"
+        val si = ref.indexOf("://")
+        val rrest = ref.substring(si + 3)
+        var sl = 0
+        while (sl < rrest.length && rrest.charAt(sl) != '/' &&
+          rrest.charAt(sl) != '?') sl += 1
+        if (sl >= rrest.length) return ref // no path, nothing to remove
+        val rq = rrest.indexOf('?', sl)
+        val rpath = if (rq >= 0) rrest.substring(sl, rq) else rrest.substring(sl)
+        val rquery = if (rq >= 0) rrest.substring(rq) else ""
+        return ref.substring(0, si + 3) + rrest.substring(0, sl) +
+          removeDotSegments(rpath) + rquery
       }
     }
     val sIdx = base.indexOf("://")
@@ -537,19 +589,11 @@ object WebIngest {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else if (lowerAt(i, "<script") && tagNameEndsAt(i + 7)) {
-          val e = findIgnoreCase("</script", i + 7)
-          i = if (e < 0) n else html.indexOf('>', e) match {
-            case -1 => n
-            case g => g + 1
-          }
+          i = rawTextEnd(html, i + 7, "script")
         } else if (lowerAt(i, "<style") && tagNameEndsAt(i + 6)) {
-          val e = findIgnoreCase("</style", i + 6)
-          i = if (e < 0) n else html.indexOf('>', e) match {
-            case -1 => n
-            case g => g + 1
-          }
+          i = rawTextEnd(html, i + 6, "style")
         } else {
-          val e = html.indexOf('>', i + 1)
+          val e = tagEnd(html, i + 1)
           if (e < 0) i = n
           else {
             if (lowerAt(i, "<a") && tagNameEndsAt(i + 2)) {
@@ -779,8 +823,13 @@ object WebIngest {
                     cenc != "gzip" && cenc != "x-gzip"
                 if (unsupportedEnc)
                   errRow(s"unsupported content-encoding: $cenc")
-                else if (tenc != null && !tenc.contains("chunked") &&
-                    tenc != "identity")
+                else if (tenc != null && tenc.split(",").map(_.trim)
+                    .exists(t => t.nonEmpty && t != "chunked" &&
+                      t != "identity"))
+                  // "gzip, chunked" is legal HTTP (chunked applied last)
+                  // but after de-chunking the gzip TRANSFER coding would
+                  // remain and charset-decode into silent mojibake — ANY
+                  // coding beyond chunked/identity refuses by name
                   errRow(s"unsupported transfer-encoding: $tenc")
                 else if ((cenc == "gzip" || cenc == "x-gzip") &&
                     !(raw0.length >= 2 && raw0(0) == 0x1f.toByte &&
@@ -1128,7 +1177,9 @@ object WebIngest {
           def jsonEsc(s: String): String =
             s.replace("\\", "\\\\").replace("\"", "\\\"")
           val url = if (r.isNullAt(1)) "" else jsonEsc(sanitize(r.getString(1)))
-          val key = r.getString(2).replace(" ", "%20")
+          // CR/LF in the key would split the cdx LINE itself — the same
+          // injection class the uri/url sanitizers already close
+          val key = sanitize(r.getString(2)).replace(" ", "%20")
           cdx += s"$key $ts " +
             s"""{"url": "$url", "mime": "$mime", "status": "$status", """ +
             s""""digest": "$digest", "length": "$len", """ +

@@ -624,4 +624,54 @@ class WetExportSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rec.getAs[String]("parse_error") == null)
     assert(rec.getAs[String]("warc_type") == "response")
   }
+  test("quote-aware tag scan: a '>' inside a quoted attribute neither " +
+      "truncates the tag (links after it survive) nor leaks the " +
+      "attribute tail into extracted text") {
+    val html = """<html><body><a onclick="if(a>b)f()" href="/next">x</a>""" +
+      """<p>hello</p></body></html>"""
+    val links = WebIngest.extractLinksFrom(html, "http://ex.com/")
+    assert(links == Seq("http://ex.com/next"), links)
+    val text = WebIngest.extractText(html)
+    assert(!text.contains("href"), s"attr tail leaked: '$text'")
+    assert(text.contains("x") && text.contains("hello"))
+  }
+
+  test("HTML5 raw-text boundary: '</scripts>' inside JavaScript does " +
+      "not end the script block — no source leaks into text, no links " +
+      "mined from JS strings") {
+    val html = "<script>var re='</scripts>'; trackUser()</script>" +
+      "<p>Hello</p><script>var s='<a href=\"/fake\">x</a>'</script>" +
+      "<a href=\"/real\">r</a>"
+    val text = WebIngest.extractText(html)
+    assert(!text.contains("trackUser"), s"script leaked: '$text'")
+    assert(text.contains("Hello"))
+    val links = WebIngest.extractLinksFrom(html, "http://ex.com/")
+    assert(links == Seq("http://ex.com/real"), links)
+  }
+
+  test("resolveRef applies remove_dot_segments to ABSOLUTE references " +
+      "too (RFC 3986 section 5.2.2)") {
+    assert(WebIngest.resolveRef("http://b.com/",
+      "http://example.com/a/../b") == "http://example.com/b")
+    assert(WebIngest.resolveRef("http://b.com/",
+      "https://example.com") == "https://example.com")
+    assert(WebIngest.resolveRef("http://b.com/x/",
+      "/a/../b") == "http://b.com/b")
+  }
+
+  test("Transfer-Encoding 'gzip, chunked' refuses by name instead of " +
+      "charset-decoding compressed bytes into mojibake") {
+    val body = "not really chunked-gzip data"
+    val msg = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n" +
+      "Content-Type: text/html\r\n\r\n" +
+      Integer.toHexString(body.length) + "\r\n" + body + "\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val df = Seq((0L, "response", "http://ex.com/", msg))
+      .toDF("rec_idx", "warc_type", "uri", "body")
+    val r = WebIngest.httpResponses(df, "body").collect()(0)
+    assert(r.getAs[String]("parse_error") != null &&
+      r.getAs[String]("parse_error").contains("transfer-encoding"),
+      s"got: ${r.getAs[String]("parse_error")}")
+  }
+
 }
