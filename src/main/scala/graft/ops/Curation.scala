@@ -55,6 +55,8 @@ object Curation {
   def curateDecontaminated(df: DataFrame, textCol: String, idCol: String,
       probes: DataFrame, probeText: String, probeId: String,
       k: Int = 5, maxDupLineFrac: Double = 0.3): DataFrame = {
+    Multimodal.requireFreshColumns(df, "curateDecontaminated",
+      Seq("clean_text", "is_canonical", "redacted_text", "curate_keep"))
     val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
     val spans = TextAnalysis.spanContamination(
       safe, textCol, idCol, probes, probeText, probeId, k)
@@ -66,6 +68,10 @@ object Curation {
     sig.withColumn("__h", md5(col("clean_text")))
       .join(keeper, "__h")
       .withColumn("is_canonical", col(idCol) === col("__keep_id"))
+      // the sibling entry points all ship redacted_text; omitting it
+      // here would ship PII whenever a pipeline swaps curate for the
+      // decontaminated variant — redact the SHIPPED (clean) form
+      .withColumn("redacted_text", TextAnalysis.redactPii(col("clean_text")))
       .withColumn("curate_keep", coalesce(
         col("c4_keep") && col("dup_line_frac") <= maxDupLineFrac && col("is_canonical"),
         lit(false)))
@@ -93,6 +99,8 @@ object Curation {
       rowsPerBand: Int = Dedup.DefaultRowsPerBand,
       shingleLen: Int = Dedup.DefaultShingleLen,
       maxBucketSize: Option[Long] = None, pairBudget: Long = 64): DataFrame = {
+    Multimodal.requireFreshColumns(df, "curateNearDup",
+      Seq("cluster", "is_canonical", "redacted_text", "curate_keep"))
     val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
     val sig = TextAnalysis.repetitionSignals(
       TextAnalysis.c4Signals(safe, textCol), textCol)

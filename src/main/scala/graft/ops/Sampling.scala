@@ -29,9 +29,13 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, prob: Column,
       seed: Int = 1): DataFrame =
     // explicit floor: Spark's double→long cast truncates while SQL engines'
-    // ::BIGINT rounds — floor on both sides keeps the row set portable
+    // ::BIGINT rounds — floor on both sides keeps the row set portable.
+    // NULL prob → 0 (dropped): least/greatest SKIP nulls, so an unguarded
+    // null (a left-join miss, an un-scored doc) would clamp to 1.0 and
+    // keep exactly the rows that have no score, silently
     df.where(bucket(col(idCol), seed) <
-      floor(greatest(lit(0.0), least(lit(1.0), prob)) * M).cast("long"))
+      floor(greatest(lit(0.0), least(lit(1.0), coalesce(prob, lit(0.0))))
+        * M).cast("long"))
 
   /** Per-stratum rates (e.g. upsample low-resource languages, downsample
     * boilerplate-heavy sources): `fractions` maps stratum value → keep
@@ -51,7 +55,11 @@ object Sampling {
     * external SQL engine reproduces the exact row set.
     */
   def bucket(id: Column, seed: Int): Column =
-    pmod(Dedup.h60(id.cast("string"), seed), lit(M))
+    // null ids hash DETERMINISTICALLY (empty-string preimage) instead of
+    // propagating null through the `<` filter — a null comparison is
+    // never true, so null-id rows would silently vanish from EVERY
+    // sampler, even at fraction 1.0
+    pmod(Dedup.h60(coalesce(id.cast("string"), lit("")), seed), lit(M))
 
   /** Target-ratio corpus mixing: build the LARGEST corpus whose per-group
     * composition matches `shares` exactly (floored). The binding group
@@ -147,7 +155,13 @@ object Sampling {
             (a, b) => concat_ws(" ", a, b)))).as("f"): _*)
         .select(keep.map(col) :+
           pmod(Dedup.h60(col("f"), seed), lit(numBuckets.toLong)).as("b"): _*)
+    // persisted: docB feeds BOTH the bucket histogram and the per-doc
+    // rollup — unpersisted, the tokenize+bigram+hash featurization of
+    // the FULL raw corpus replays once per consumer (the multi-consumer
+    // re-scan class Dedup.dedupCorpus persists its bands against).
+    // LRU-owned (single-shot op); spills, batch-proportional.
     val docB = buckets(df, textCol, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = docB.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgtCounts = buckets(target, targetTextCol, Seq.empty)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))

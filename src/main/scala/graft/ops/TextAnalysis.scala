@@ -56,7 +56,9 @@ object TextAnalysis {
       .withColumn("punct_ratio", round(when(nChar > 0, punct / nChar).otherwise(0.0), 6))
       .withColumn("stopword_ratio", round(when(nTok > 0, stopHits / nTok).otherwise(0.0), 6))
       .withColumn("quality_score", round(
-        least(lit(1.0), nTok / 100.0) * 0.5 +
+        // the null/zero guard the other two terms carry: least() SKIPS
+        // nulls, so a null-text doc would take the full 0.5 length term
+        when(nTok > 0, least(lit(1.0), nTok / 100.0)).otherwise(0.0) * 0.5 +
           when(nTok > 0, least(lit(1.0), stopHits / nTok * 5.0)).otherwise(0.0) * 0.3 +
           when(nChar > 0, lit(1.0) - least(lit(1.0), punct / nChar * 10.0)).otherwise(0.0) * 0.2,
         6))
@@ -215,10 +217,15 @@ object TextAnalysis {
   def boilerplateSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, maxDocFreq: Long = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: docGrams feeds BOTH the document-frequency aggregate
+    // and the position semi-join — unpersisted, the per-row tokenize +
+    // sliding-window n-gram UDF (the dominant cost) replays over the
+    // whole corpus per consumer. LRU-owned; spills.
     val docGrams = docs.select(col(idCol).as("doc_id"),
       posexplode(wordNgrams(col(textCol), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency: each doc votes once per gram
     val hot = docGrams.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
@@ -632,8 +639,13 @@ object TextAnalysis {
     val nfc = udf((s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    val noCtl = regexp_replace(nfc(col(textCol)),
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    // CRLF/CR normalize to LF FIRST, or \r survives the control strip
+    // and the \n{3,} paragraph squeeze never fires on Windows corpora
+    val unixEol = regexp_replace(nfc(col(textCol)), "\\r\\n|\\r", "\n")
+    // C0 minus tab/LF, DEL, AND the C1 block (0x80-0x9F — cp1252
+    // mis-decodes leave those invisible controls behind)
+    val noCtl = regexp_replace(unixEol,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
     val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
     val onePara = regexp_replace(oneSpace, "\\n{3,}", "\n\n")
     df.withColumn("norm_text", trim(onePara))
@@ -993,7 +1005,11 @@ object TextAnalysis {
     * `url_tld`, `url_path_depth`, `url_has_query`.
     */
   def urlSignals(df: DataFrame, urlCol: String): DataFrame = {
-    val host = lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    // userinfo STRIPPED before the host capture: "http://u:p@blocked.com/"
+    // must yield url_host=blocked.com, or a crawler-controlled "@" prefix
+    // walks straight through filterBlockedDomains' anti-join
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1))
     val path = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     df.withColumn("url_host", host)
       .withColumn("url_domain",
