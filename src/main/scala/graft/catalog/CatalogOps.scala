@@ -4373,6 +4373,50 @@ object CatalogOps {
         round((b - bhi + 0.5 * bhi) / b, 6) AS auc
       FROM c"""))
 
+  /** CCNet-style bigram-LM perplexity scoring
+    * ([[graft.ops.TextAnalysis.ngramLmPerplexity]]): an add-1-smoothed
+    * bigram LM trained on every third document scores the WHOLE corpus —
+    * the unsupervised quality signal (low perplexity = prose like the
+    * reference corpus). The oracle replays the exact pipeline: tokenize →
+    * train-side (ctx, w) counts + context sums + vocab size → per-gram
+    * smoothed log-prob (rounded before the mean, the cross-engine
+    * determinism convention) → per-doc mean and exp(−mean). Training is
+    * two partial-agg groupBys; scoring is scan-side gram generation + two
+    * gram-keyed equi-joins — shuffle ∝ corpus grams, the LM stays a
+    * DataFrame (never driver state).
+    */
+  private val txtLmPerplexity = Q("txt_lm_perplexity",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramLmPerplexity(docs, "text", "doc_id",
+        docs.where(col("doc_id") % 3 === 0), "text", n = 2)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      tr AS (SELECT t FROM toks WHERE doc_id % 3 = 0),
+      trg AS (SELECT t[i] AS ctx, t[i + 1] AS w FROM
+        (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         FROM tr WHERE len(t) >= 2)),
+      gc AS (SELECT ctx, w, count(*)::DOUBLE AS c FROM trg GROUP BY 1, 2),
+      cc AS (SELECT ctx, sum(c) AS cc FROM gc GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok)::DOUBLE AS vs FROM
+        (SELECT unnest(t) AS tok FROM tr)),
+      dg AS (SELECT doc_id, t[i] AS ctx, t[i + 1] AS w FROM
+        (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         FROM toks WHERE len(t) >= 2)),
+      sc AS (SELECT doc_id,
+        round(ln((COALESCE(gc.c, 0) + 1.0) / (COALESCE(cc.cc, 0) + vs * 1.0))
+          * 1000000.0)::BIGINT AS lp6
+        FROM dg LEFT JOIN gc USING (ctx, w) LEFT JOIN cc USING (ctx) CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+        sum(lp6)::BIGINT AS logprob_sum_e6 FROM sc GROUP BY doc_id),
+      a2 AS (SELECT *, logprob_sum_e6 / (n_grams * 1000000.0) AS avg_logprob
+        FROM agg)
+      SELECT d.doc_id, COALESCE(a2.n_grams, 0)::BIGINT AS n_grams,
+        a2.logprob_sum_e6, a2.avg_logprob,
+        round(exp(-a2.avg_logprob), 6) AS perplexity
+      FROM documents d LEFT JOIN a2 USING (doc_id)"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
@@ -4380,7 +4424,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain, txtQualityEval,
+    txtQualityTrain, txtQualityEval, txtLmPerplexity,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

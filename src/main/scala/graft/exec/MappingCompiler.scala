@@ -455,7 +455,10 @@ object MappingCompiler {
     val parentTm = doc.triplesMaps.find(_.id == rom.parentTriplesMap)
       .getOrElse(throw new IllegalArgumentException(s"unknown parent TriplesMap: ${rom.parentTriplesMap}"))
 
-    val colFn: String => Column = a => childDf(a)
+    // resolveAttr, not bare childDf(a): a predicate/graph template over an
+    // XML attribute (`@code`) or nested/inline-condition ref must resolve
+    // the same way it does in every other branch
+    val colFn: String => Column = a => resolveAttr(childDf, a)
     val pred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
     val graph = pom.graph
       .map(gm => TermCompiler.rdfTerm(gm, None, base, colFn, TermType.Iri).column)
@@ -508,7 +511,7 @@ object MappingCompiler {
             .select(subj.column.as("s"), pred.column.as("p"), pSubj.column.as("o"), graph.as("g"))
         } else {
           val pdf = sharedSource(spark, parentTm, opts, parentCache, useOverride = false)
-          val pColFn: String => Column = a => pdf(a)
+          val pColFn: String => Column = a => resolveAttr(pdf, a)
           val pSubj = TermCompiler.rdfTerm(parentTm.subject.term, None,
             parentTm.baseIri.orElse(base), pColFn, TermType.Iri)
           val parents = pdf.where(pSubj.guard).select(pSubj.column.as("__parent_subject")).dropDuplicates()
@@ -540,15 +543,19 @@ object MappingCompiler {
     val poms = parent.poms.filter(_.objectMap.term.isDefined)
     if (poms.isEmpty)
       throw new IllegalArgumentException(s"quoted TM $parentId has no plain POM")
+    // the quoted TM's own rml:baseIRI governs ITS predicate/object terms,
+    // exactly as it does its subject — only absent that does the child's
+    // base apply (nested quoted TMs resolve their own base one level down)
+    val pBase = parent.baseIri.orElse(base)
     for {
       pSubj <- pSubjs
       pom <- poms
-      pPred = TermCompiler.rdfTerm(pom.predicate, None, base, colFn, TermType.Iri)
+      pPred = TermCompiler.rdfTerm(pom.predicate, None, pBase, colFn, TermType.Iri)
       pObj <- pom.objectMap.term.get.kind match {
         case TermKind.QuotedTriplesMap =>
           quotedTerms(pom.objectMap.term.get.quotedTm.get, doc, base, colFn)
         case _ =>
-          Seq(TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), base, colFn, TermType.Literal))
+          Seq(TermCompiler.rdfTerm(pom.objectMap.term.get, Some(pom.objectMap), pBase, colFn, TermType.Literal))
       }
     } yield TermCompiler.CompiledTerm(
       graft.functions.rml.quoted(pSubj.column, pPred.column, pObj.column),
@@ -707,6 +714,10 @@ object MappingCompiler {
   def tmReferencedAttrs(tm: TriplesMap): List[String] = {
     val termMaps: List[TermMap] =
       tm.subject.term :: tm.subject.graph.toList :::
+        // the P5 subject condition's function reads child columns too — a
+        // synthesized JDBC projection that omits them fails to resolve
+        tm.subject.condition.toList.map(c =>
+          TermMap(TermKind.FunctionCall, "", function = Some(c))) :::
         tm.poms.flatMap(p =>
           p.predicate :: (p.objectMap.term.toList ::: p.objectMap.datatypeMap.toList :::
             p.objectMap.languageMap.toList ::: p.graph.toList :::
@@ -714,7 +725,12 @@ object MappingCompiler {
     val joinChilds = tm.poms.flatMap(_.objectMap.refObject.toList)
       .flatMap(_.joinCondition.toList).flatMap(_.effectiveChildMaps)
       .flatMap(TermCompiler.referencedAttrs)
-    (termMaps.flatMap(TermCompiler.referencedAttrs) ::: joinChilds).distinct
+    // quoted-TM joins (RML-star J7) probe on child attrs of THIS source —
+    // subject-position and object-position quotedJoin keys both count
+    val quotedChilds = (tm.subject.term.quotedJoin.toList :::
+        tm.poms.flatMap(_.objectMap.term.toList).flatMap(_.quotedJoin.toList))
+      .flatMap(_.effectiveChildMaps).flatMap(TermCompiler.referencedAttrs)
+    (termMaps.flatMap(TermCompiler.referencedAttrs) ::: joinChilds ::: quotedChilds).distinct
   }
 
   /** P1: projection pushdown into relational sources — a JDBC source with a

@@ -182,9 +182,11 @@ object FnoRegistry {
       case "string_contains" => a(0).contains(a(1)).cast("string")
       case "string_md5" | "md5" => md5(a(0).cast("binary"))
       case "concat2" | "string_concat" =>
-        // "" if either side is null/empty-ish (fnml_functions.py:172-179)
+        // "" unless BOTH sides are truthy — Python `bool(value)`, so the
+        // empty string is falsy too (fnml_functions.py:172-179)
         val (x, y) = (a(0), a(1))
-        when(x.isNull || y.isNull, lit("")).otherwise(concat(x, y))
+        when(x.isNull || x === "" || y.isNull || y === "", lit(""))
+          .otherwise(concat(x, y))
       case "array_join" =>
         // joins with p_string_sep (fnml_functions.py:120-126); absent → ""
         val sep = if (slotBound(1)) a(1).cast("string") else lit("")

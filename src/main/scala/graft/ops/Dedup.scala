@@ -1384,9 +1384,12 @@ object Dedup {
     */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = resolveClusters(pairs)
+    // reference-qualified where/drop: name-based drop("id") would take the
+    // CALLER's id column with it when idCol == "id", and a pre-existing
+    // `cluster` column would make the bare name ambiguous
     df.join(clusters, df(idCol) === clusters("id"), "left")
-      .where(col("cluster").isNull || col("cluster") === df(idCol))
-      .drop("id", "cluster")
+      .where(clusters("cluster").isNull || clusters("cluster") === df(idCol))
+      .drop(clusters("id")).drop(clusters("cluster"))
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT: every id<id pair gets

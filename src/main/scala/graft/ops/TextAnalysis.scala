@@ -651,6 +651,92 @@ object TextAnalysis {
     df.withColumn("norm_text", trim(onePara))
   }
 
+  /** N-gram language-model PERPLEXITY scoring — the CCNet-family quality
+    * signal (Wenzek et al. 2020: documents are ranked by the perplexity of
+    * a reference-corpus LM; low-perplexity ≈ fluent prose, high ≈ gibberish
+    * and boilerplate), which the heuristic gates ([[qualitySignals]],
+    * [[c4Signals]]) and the supervised classifier ([[trainHashedLinear]])
+    * do not cover: it needs NO labels, only a reference corpus.
+    *
+    * Model: an add-k-smoothed n-gram LM over [[Dedup.tokenize]] tokens,
+    * trained on `train` —
+    * `P(w | ctx) = (c(ctx,w) + k) / (c(ctx) + k·V)` with `c(ctx)` the sum
+    * of surviving gram counts of the context and `V` the training
+    * vocabulary size; unseen grams and contexts fall to the smoothing
+    * floor (coalesce to 0 through left joins). `minCount` prunes gram
+    * rows below the threshold (CCNet prunes its LM the same way); the
+    * pruned mass lands in smoothing, stated not silent.
+    *
+    * Per document: `n_grams` scored grams, `logprob_sum_e6` (sum of
+    * per-gram natural log-probs quantized to integer MICRO-NATS —
+    * `round(ln(p)·1e6)` per gram), `avg_logprob`, and `perplexity` =
+    * exp(−avg_logprob). Documents with fewer than n tokens score null
+    * (no grams — no evidence either way).
+    *
+    * Determinism contract (the cross-engine hash lesson of the r15/r16
+    * dtype saga, learned again here empirically: a rounded `avg` of
+    * doubles flipped a 6th decimal between Spark and DuckDB on the first
+    * sf0.01 run): per-gram log-probs quantize to integer micro-nats, so
+    * the per-doc SUM is exact integer arithmetic — aggregation-order
+    * independent by construction — and `avg_logprob` derives from the
+    * exact ints by one IEEE division (correctly rounded in every
+    * engine). The only remaining engine-sensitive ops are the per-gram
+    * `ln` (1-ulp libm noise flips a micro-nat only within a ~1e-10
+    * window of a half-integer) and the display-level `exp` in
+    * `perplexity` (rounded to 6, same convention as the classifier
+    * rows).
+    *
+    * Plan shape at 100 TB: training is two hash-uniform partial-agg
+    * groupBys on gram/context strings plus one scalar vocab aggregate
+    * (broadcast); scoring is scan-side gram generation + two equi-joins
+    * keyed on the gram — shuffle proportional to corpus grams, no
+    * driver-side model state (the LM LIVES as a DataFrame, so a 10⁹-gram
+    * model is fine — contrast a broadcast hashmap). The gram join key is
+    * the dominant exchange; prune with `minCount` when the train corpus
+    * is web-scale.
+    */
+  def ngramLmPerplexity(docs: DataFrame, textCol: String, idCol: String,
+      train: DataFrame, trainTextCol: String, n: Int = 2,
+      addK: Double = 1.0, minCount: Long = 1L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(addK > 0, "addK must be positive")
+    // "a b c" → ctx "a b", word "c" (n = 1 → ctx "", a unigram LM)
+    def ctxOf(g: Column): Column = regexp_replace(g, "\\s?\\S+$", "")
+    def wordOf(g: Column): Column = regexp_extract(g, "(\\S+)$", 1)
+    val trainGrams = train
+      .select(explode(wordNgrams(col(trainTextCol), n)).as("g"))
+      .select(ctxOf(col("g")).as("__ctx"), wordOf(col("g")).as("__w"))
+    val gramCounts = trainGrams.groupBy(col("__ctx"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+    val ctxCounts = gramCounts.groupBy(col("__ctx")).agg(sum(col("__c")).as("__cc"))
+    val vocab = train
+      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+      .agg(countDistinct(col("__t")).cast("double").as("__v"))
+    val docGrams = docs.select(col(idCol).as("__id"),
+        explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(col("__id"), ctxOf(col("g")).as("__ctx"), wordOf(col("g")).as("__w"))
+    val scored = docGrams
+      .join(gramCounts, Seq("__ctx", "__w"), "left")
+      .join(ctxCounts, Seq("__ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), round(log(
+        (coalesce(col("__c"), lit(0L)).cast("double") + addK) /
+          (coalesce(col("__cc"), lit(0L)).cast("double") + col("__v") * addK))
+        * 1000000.0).cast("long").as("__lp6"))
+    val perDoc = scored.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__lp6")).as("logprob_sum_e6"))
+      .withColumn("avg_logprob",
+        col("logprob_sum_e6").cast("double") /
+          (col("n_grams").cast("double") * 1000000.0))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 6))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
+  }
+
   /** Repetition signals (the Gopher/C4-family quality filters): fraction of
     * duplicate lines and fraction of duplicate word n-grams. High values
     * indicate boilerplate / template spam — standard pretraining filters.

@@ -230,32 +230,55 @@ object SourceReader {
   /** Apply a JSONPath-subset iterator ($.a.b[*], $[*], nested [*][*]) as a
     * chain of select/explode steps — each [*] is a Spark `explode`, each name
     * step a struct field access (SURVEY S2).
+    *
+    * The walk is value-based (the current node rides in one column) so
+    * consecutive `[*][*]` steps — arrays of arrays, a shape the reference's
+    * recursive descent iterates (semantify.py:4952-4960) — explode once per
+    * `[*]` instead of looking up a literal field named `a[*]`.
     */
   def applyJsonIterator(df: DataFrame, iterator: String): DataFrame = {
     val steps = parseIteratorSteps(iterator)
+    if (steps.isEmpty) return df
     var cur = df
+    // None = still in row-of-columns context (document root)
+    var node: Option[org.apache.spark.sql.Column] = None
+    def nodeType: org.apache.spark.sql.types.DataType =
+      cur.select(node.get.as("_v")).schema.head.dataType
     steps.foreach {
       case IterStep.Field(name) =>
-        cur = cur.select(col(name + ".*"))
-      case IterStep.ExplodeField(name) =>
-        // a [*] step over a single object iterates it as one row
-        // (reference JSONPath walk tolerates both shapes)
-        val isArr = cur.schema.find(_.name == name).exists(_.dataType.isInstanceOf[ArrayType])
-        cur =
-          if (isArr) cur.select(explode(col(name)).as("_x")).select(col("_x.*"))
-          else cur.select(col(name + ".*"))
-      case IterStep.ExplodeRoot =>
-        // root is an array: spark.read.json already yields one row per element
-        ()
+        node = Some(node.map(_.getField(name)).getOrElse(col(name)))
+      case IterStep.Explode =>
+        node match {
+          case None =>
+            // root [*]: spark.read.json already yields one row per element
+            ()
+          case Some(c) =>
+            // a [*] step over a single object iterates it as one row
+            // (reference JSONPath walk tolerates both shapes)
+            if (nodeType.isInstanceOf[ArrayType]) {
+              cur = cur.select(explode(c).as("_v")); node = Some(col("_v"))
+            } else {
+              cur = cur.select(c.as("_v")); node = Some(col("_v"))
+            }
+        }
     }
-    cur
+    node match {
+      case None => cur
+      case Some(c) => nodeType match {
+        case _: org.apache.spark.sql.types.StructType =>
+          cur.select(c.as("_v")).select(col("_v.*"))
+        case _ =>
+          // scalar/array leaf rows (iterator lands on non-objects): keep
+          // the single column under a stable name instead of failing `.*`
+          cur.select(c.as("value"))
+      }
+    }
   }
 
   sealed trait IterStep
   object IterStep {
     final case class Field(name: String) extends IterStep
-    final case class ExplodeField(name: String) extends IterStep
-    case object ExplodeRoot extends IterStep
+    case object Explode extends IterStep
   }
 
   def parseIteratorSteps(iterator: String): List[IterStep] = {
@@ -263,9 +286,13 @@ object SourceReader {
     if (it.isEmpty || it == ".") return Nil
     val tokens = it.split("\\.").filter(_.nonEmpty).toList
     tokens.flatMap { tok =>
-      if (tok == "[*]") List(IterStep.ExplodeRoot)
-      else if (tok.endsWith("[*]")) List(IterStep.ExplodeField(tok.stripSuffix("[*]")))
-      else List(IterStep.Field(tok))
+      // peel trailing [*] groups: `a[*][*]` → Field(a), Explode, Explode;
+      // a bare `[*]`/`[*][*]` token is explode-only (root arrays)
+      var base = tok
+      var explodes = 0
+      while (base.endsWith("[*]")) { base = base.stripSuffix("[*]"); explodes += 1 }
+      (if (base.nonEmpty) List(IterStep.Field(base)) else Nil) :::
+        List.fill(explodes)(IterStep.Explode)
     }
   }
 }

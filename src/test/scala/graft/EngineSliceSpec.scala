@@ -164,4 +164,22 @@ class EngineSliceSpec extends AnyFunSuite {
     assert(graft.exec.MappingCompiler.synthesizeJdbcQuery(tm) ==
       Some("""SELECT DISTINCT "id", "name", "friend_id" FROM people"""))
   }
+
+  test("P1: synthesized projection covers subject-condition and quoted-join child attrs") {
+    import graft.model._
+    val cond = FunctionCall("http://ex/fn#isNull",
+      scala.collection.immutable.VectorMap("http://ex/fn#str" -> FunctionArg.Ref("status")))
+    val tm = TriplesMap("TM",
+      LogicalSource.JdbcSource("jdbc:postgresql://h/db", "postgres", None, Some("people")),
+      SubjectMap(TermMap(TermKind.Template, "http://ex/p/{id}"), condition = Some(cond)),
+      List(
+        PredicateObjectMap(TermMap(TermKind.Constant, "http://ex/said"),
+          ObjectMap(Some(TermMap(TermKind.QuotedTriplesMap, quotedTm = Some("QT"),
+            quotedJoin = Some(JoinCondition(List("quote_id"), List("qid")))))))))
+    val q = graft.exec.MappingCompiler.synthesizeJdbcQuery(tm).get
+    // the P5 condition reads `status`, the quoted join probes on `quote_id`;
+    // omitting either makes the pushed-down scan unresolvable at runtime
+    assert(q.contains("\"status\""), q)
+    assert(q.contains("\"quote_id\""), q)
+  }
 }

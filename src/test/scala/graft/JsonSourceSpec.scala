@@ -91,6 +91,26 @@ class JsonSourceSpec extends AnyFunSuite {
     assert(ts == Set(("<http://ex/book/7>", "<http://ex/title>", "\"Solo\"")))
   }
 
+  test("S2: nested [*][*] iterator explodes arrays of arrays (one row per leaf object)") {
+    val nested = writeTmp("nested.json",
+      """{"pages": [
+        |  [{"id": 1, "w": "alpha"}, {"id": 2, "w": "beta"}],
+        |  [{"id": 3, "w": "gamma"}]
+        |]}""".stripMargin)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$nested"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$.pages[*][*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/w/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:word; rr:objectMap [ rml:reference "w" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/w/1>", "<http://ex/word>", "\"alpha\""),
+      ("<http://ex/w/2>", "<http://ex/word>", "\"beta\""),
+      ("<http://ex/w/3>", "<http://ex/word>", "\"gamma\"")))
+  }
+
   private val bindings = writeTmp("bindings.srj",
     """{"head": {"vars": ["city", "pop"]},
       | "results": {"bindings": [

@@ -100,6 +100,13 @@ class OpsSpec extends AnyFunSuite {
     val kept = Dedup.dedupByPairs(corpus, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 6L, 7L)) // 6 untouched, others deduped to min
+
+    // a caller whose id column is literally named "id" keeps it (name-based
+    // drop("id") used to take the caller's column out with the join helper's)
+    val corpusId = corpus.withColumnRenamed("doc_id", "id")
+    val keptId = Dedup.dedupByPairs(corpusId, "id", pairs)
+    assert(keptId.columns.toSeq == Seq("id", "text"))
+    assert(keptId.collect().map(_.getLong(0)).toSet == Set(1L, 4L, 6L, 7L))
   }
 
   test("repetition signals: duplicate-line and duplicate-ngram fractions") {

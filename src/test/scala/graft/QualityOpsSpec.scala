@@ -27,6 +27,27 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(0L).getAs[Long]("n_sentences") == 3L)
   }
 
+  test("ngramLmPerplexity: add-1 bigram LM scores match hand-computed probabilities") {
+    // train "a b a c": bigram counts (a,b)=1 (b,a)=1 (a,c)=1; ctx sums a=2,
+    // b=1; vocab {a,b,c} → V=3
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // seen gram:   P = (1+1)/(2+3) = 0.4
+      (2L, "z z"),  // unseen all:  P = (0+1)/(0+3) = 1/3
+      (3L, "a")     // < n tokens → no grams → nulls
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmPerplexity(docs, "text", "doc_id", train, "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // (doc_id, n_grams, logprob_sum_e6, avg_logprob, perplexity)
+    assert(out(1L).getLong(1) == 1L)
+    assert(out(1L).getLong(2) == math.round(math.log(0.4) * 1e6))
+    assert(math.abs(out(1L).getDouble(3) - math.log(0.4)) < 1e-6)
+    assert(math.abs(out(1L).getDouble(4) - 2.5) < 1e-5)
+    assert(out(2L).getLong(2) == math.round(math.log(1.0 / 3) * 1e6))
+    assert(math.abs(out(2L).getDouble(4) - 3.0) < 1e-5)
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2) && out(3L).isNullAt(4))
+  }
+
   test("gopherSignals: word-count bounds and stopword evidence gate the keep flag") {
     val good = ("word " * 30 + "the cat sat on the mat with a hat and that was " +
       "quite enough of everything for one day indeed truly").trim

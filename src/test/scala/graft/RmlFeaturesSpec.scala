@@ -97,6 +97,28 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(!ts.exists(t => t._1 == "<http://ex/r/1>" && t._2 == "<http://ex/seg>"))
   }
 
+  test("rml-star: a quoted TM's own rml:baseIRI resolves its object terms, not the child's") {
+    val ts = triples(
+      s"""<QTM> a rml:NonAssertedTriplesMap;
+         |  rml:baseIRI "http://parent-base/";
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "r/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:item;
+         |    rr:objectMap [ rr:template "item/{id}" ] ].
+         |<TM> a rr:TriplesMap;
+         |  rml:baseIRI "http://child-base/";
+         |  rml:logicalSource [ rml:source "$csv"; rml:referenceFormulation ql:CSV ];
+         |  rr:subjectMap [ rr:template "http://ex/stmt/{id}" ];
+         |  rr:predicateObjectMap [
+         |    rr:predicate ex:states;
+         |    rr:objectMap [ rml:quotedTriplesMap <QTM> ]
+         |  ].""".stripMargin)
+    // both relative templates inside QTM resolve against QTM's base
+    assert(ts.contains(("<http://ex/stmt/1>", "<http://ex/states>",
+      "<< <http://parent-base/r/1> <http://ex/item> <http://parent-base/item/1> >>")),
+      ts.mkString("\n"))
+  }
+
   test("rml-star: cross-source quoted object with joinCondition, multi-POM parent") {
     val people = writeTmp("people.csv",
       """pid,pname,role
@@ -251,6 +273,18 @@ class RmlFeaturesSpec extends AnyFunSuite {
          |  ].""".stripMargin)
     // a=x1 → replace x→z → z1 → upper → Z1
     assert(ts.contains(("<http://ex/r/1>", "<http://ex/slug>", "\"Z1\"")))
+  }
+
+  test("concat2 returns empty string when either side is Python-falsy (empty), not just null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq(("a", "b"), ("", "b"), ("a", ""), ("", ""))
+      .toDF("x", "y")
+      .select(graft.functions.FnoRegistry("concat2", List(col("x"), col("y"))).as("r"))
+      .collect().map(_.getString(0)).toList
+    // reference: `if bool(value1) and bool(value2)` — "" is falsy
+    // (fnml_functions.py:172-179)
+    assert(out == List("ab", "", "", ""))
   }
 
   test("parseURL on a value without :// drops the term (reference raises)") {
