@@ -2,7 +2,7 @@ package graft.catalog
 
 import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (the beyond-parity surface the
@@ -4385,13 +4385,11 @@ object CatalogOps {
     * gram-keyed equi-joins — shuffle ∝ corpus grams, the LM stays a
     * DataFrame (never driver state).
     */
-  private val txtLmPerplexity = Q("txt_lm_perplexity",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.ngramLmPerplexity(docs, "text", "doc_id",
-        docs.where(col("doc_id") % 3 === 0), "text", n = 2)
-    },
-    Some(s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+  /** The bigram-LM CTE chain shared by the perplexity and bucket oracles
+    * (train on every third document, add-1 smoothing, micro-nat sums).
+    */
+  private val lmOracleCtes =
+    s"""toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
       tr AS (SELECT t FROM toks WHERE doc_id % 3 = 0),
       trg AS (SELECT t[i] AS ctx, t[i + 1] AS w FROM
         (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -4410,12 +4408,40 @@ object CatalogOps {
       agg AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
         sum(lp6)::BIGINT AS logprob_sum_e6 FROM sc GROUP BY doc_id),
       a2 AS (SELECT *, logprob_sum_e6 / (n_grams * 1000000.0) AS avg_logprob
-        FROM agg)
-      SELECT d.doc_id, COALESCE(a2.n_grams, 0)::BIGINT AS n_grams,
+        FROM agg),
+      lmout AS (SELECT d.doc_id, COALESCE(a2.n_grams, 0)::BIGINT AS n_grams,
         a2.logprob_sum_e6, a2.avg_logprob,
         round(exp(-a2.avg_logprob), 6) AS perplexity
-      FROM documents d LEFT JOIN a2 USING (doc_id)"""),
+        FROM documents d LEFT JOIN a2 USING (doc_id))"""
+
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.ngramLmPerplexity(docs, "text", "doc_id",
+      docs.where(col("doc_id") % 3 === 0), "text", n = 2)
+  }
+
+  private val txtLmPerplexity = Q("txt_lm_perplexity",
+    (s, dir) => lmScored(s, dir),
+    Some(s"WITH $lmOracleCtes SELECT * FROM lmout"),
     bench = true)
+
+  /** CCNet's head/middle/tail deployment of the LM signal
+    * ([[graft.ops.TextAnalysis.perplexityBuckets]]): per-language ntile
+    * thirds over ascending perplexity with an id tie-break (total order →
+    * engine-exact assignment); unscorable docs sort last into the tail.
+    */
+  private val txtLmBuckets = Q("txt_lm_buckets",
+    (s, dir) => {
+      val withLang = lmScored(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.perplexityBuckets(withLang, "perplexity", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("perplexity"), col("ppl_bucket"))
+    },
+    Some(s"""WITH $lmOracleCtes
+      SELECT o.doc_id, d.lang, o.perplexity,
+        ntile(3) OVER (PARTITION BY d.lang ORDER BY
+          (o.perplexity IS NULL)::INT, o.perplexity, o.doc_id)::INT AS ppl_bucket
+      FROM lmout o JOIN documents d USING (doc_id)"""))
 
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
@@ -4424,7 +4450,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain, txtQualityEval, txtLmPerplexity,
+    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

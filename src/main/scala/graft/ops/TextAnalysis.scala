@@ -737,6 +737,30 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** CCNet's deployment shape for the perplexity signal: split each
+    * `groupCol` stream (CCNet buckets per LANGUAGE) into `buckets`
+    * equal-size quality tiers by ascending score — bucket 1 = lowest
+    * perplexity ("head" in CCNet's head/middle/tail thirds), the slice
+    * pipelines keep or up-sample. `ntile` semantics are ANSI (remainder
+    * rows land in the leading buckets) in both Spark and DuckDB, and the
+    * order is made total with the id tie-break, so the assignment is
+    * engine-exact — no float comparison ambiguity. Null scores (docs the
+    * LM could not score) sort LAST (NULLS LAST both engines via the
+    * null-flag sort key) and so land in the tail bucket — unscorable
+    * docs must never displace scored ones from the head.
+    *
+    * One window pass partitioned by `groupCol`: embarrassingly parallel
+    * across groups, a skewed group is a sort skew (pre-bucket the group
+    * key if one language dominates — same note as Packing).
+    */
+  def perplexityBuckets(df: DataFrame, scoreCol: String, idCol: String,
+      groupCol: String, buckets: Int = 3): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).isNull.cast("int"), col(scoreCol), col(idCol))
+    df.withColumn("ppl_bucket", ntile(buckets).over(w))
+  }
+
   /** Repetition signals (the Gopher/C4-family quality filters): fraction of
     * duplicate lines and fraction of duplicate word n-grams. High values
     * indicate boilerplate / template spam — standard pretraining filters.

@@ -48,6 +48,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2) && out(3L).isNullAt(4))
   }
 
+  test("perplexityBuckets: per-group ntile thirds, nulls land in the tail") {
+    val scored = Seq(
+      (1L, "en", Some(2.0)), (2L, "en", Some(4.0)), (3L, "en", Some(8.0)),
+      (4L, "en", Some(1.0)), (5L, "en", None), (6L, "en", Some(3.0)),
+      (7L, "de", Some(9.0)), (8L, "de", Some(1.0))
+    ).toDF("doc_id", "lang", "perplexity")
+    val out = TextAnalysis.perplexityBuckets(scored, "perplexity", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // en order: 4(1.0) 1(2.0) | 6(3.0) 2(4.0) | 3(8.0) null(5) — 6 rows → 2/2/2
+    assert(out(4L) == 1 && out(1L) == 1)
+    assert(out(6L) == 2 && out(2L) == 2)
+    assert(out(3L) == 3 && out(5L) == 3) // unscored doc lands in the tail
+    // de: 2 rows over 3 buckets → leading buckets take them (ANSI ntile)
+    assert(out(8L) == 1 && out(7L) == 2)
+  }
+
   test("gopherSignals: word-count bounds and stopword evidence gate the keep flag") {
     val good = ("word " * 30 + "the cat sat on the mat with a hat and that was " +
       "quite enough of everything for one day indeed truly").trim
