@@ -754,24 +754,38 @@ object VideoBitstream {
               case _ => ()
             }
         }
-      case ("stsz", b, _) =>
+      // every variable-length table clamps its entry count by the box's
+      // PHYSICAL extent (the stts rule below, applied uniformly): a corrupt
+      // declared count would otherwise read the NEXT box's bytes as table
+      // entries — fabricated sizes/offsets/sync flags with parse_error
+      // null. Clamped tables degrade downstream through the existing
+      // under-coverage contracts (sampleOffsets' covered check, stts's
+      // null times) instead of fabricating.
+      case ("stsz", b, be) =>
         val fixed = be32(bytes, b + 4)
-        val n = be32(bytes, b + 8).toInt
-        sizes = if (fixed != 0L) Array.fill(n)(fixed)
-        else Array.tabulate(n)(i => be32(bytes, b + 12 + i * 4))
-      case ("stco", b, _) =>
-        val n = be32(bytes, b + 4).toInt
+        val declared = be32(bytes, b + 8)
+        sizes = if (fixed != 0L) Array.fill(declared.toInt)(fixed)
+        else {
+          val n = math.min(declared, math.max(0L, (be - b - 12L) / 4L)).toInt
+          Array.tabulate(n)(i => be32(bytes, b + 12 + i * 4))
+        }
+      case ("stco", b, be) =>
+        val n = math.min(be32(bytes, b + 4),
+          math.max(0L, (be - b - 8L) / 4L)).toInt
         chunks = Array.tabulate(n)(i => be32(bytes, b + 8 + i * 4))
-      case ("co64", b, _) =>
-        val n = be32(bytes, b + 4).toInt
+      case ("co64", b, be) =>
+        val n = math.min(be32(bytes, b + 4),
+          math.max(0L, (be - b - 8L) / 8L)).toInt
         chunks = Array.tabulate(n)(i => be64(bytes, b + 8 + i * 8))
-      case ("stsc", b, _) =>
-        val n = be32(bytes, b + 4).toInt
+      case ("stsc", b, be) =>
+        val n = math.min(be32(bytes, b + 4),
+          math.max(0L, (be - b - 8L) / 12L)).toInt
         runs = Array.tabulate(n)(i =>
           (be32(bytes, b + 8 + i * 12), be32(bytes, b + 12 + i * 12)))
-      case ("stss", b, _) =>
+      case ("stss", b, be) =>
         hasStss = true
-        val n = be32(bytes, b + 4).toInt
+        val n = math.min(be32(bytes, b + 4),
+          math.max(0L, (be - b - 8L) / 4L)).toInt
         syncs = (0 until n).map(i => be32(bytes, b + 8 + i * 4)).toSet
       case ("stts", b, be) =>
         // entry count clamped by the box's PHYSICAL extent: a corrupt

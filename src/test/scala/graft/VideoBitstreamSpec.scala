@@ -402,6 +402,55 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("sample_offset")).toSeq == Seq(500L, 510L))
   }
 
+  test("mp4: an stss declaring more entries than its box holds never " +
+      "fabricates sync flags from the NEXT box's bytes") {
+    // same shape as the stts clamp test, the lie moved to stss: CLAIMS 10
+    // sync entries but physically holds 1 (sample 1); stco follows, whose
+    // bytes must not be read as sync sample numbers
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(tpe: String)(body: => Unit): Unit = {
+      val mark = bos.size()
+      u32(0L); raw(tpe)
+      body
+      val arr = bos.toByteArray
+      val sz = arr.length - mark
+      arr(mark) = ((sz >> 24) & 0xff).toByte; arr(mark + 1) = ((sz >> 16) & 0xff).toByte
+      arr(mark + 2) = ((sz >> 8) & 0xff).toByte; arr(mark + 3) = (sz & 0xff).toByte
+      bos.reset(); bos.write(arr, 0, arr.length)
+    }
+    box("ftyp") { raw("isom"); u32(0L); raw("isom") }
+    box("moov") {
+      box("trak") {
+        box("mdia") {
+          box("mdhd") { u32(0L); u32(0L); u32(0L); u32(1000L); u32(200L); u16(0); u16(0) }
+          box("hdlr") { u32(0L); u32(0L); raw("vide"); u32(0L); u32(0L); u32(0L); u8(0) }
+          box("minf") {
+            box("stbl") {
+              box("stts") { u32(0L); u32(1L); u32(2L); u32(100L) }
+              box("stsz") { u32(0L); u32(0L); u32(2L); u32(10L); u32(20L) }
+              box("stsc") { u32(0L); u32(1L); u32(1L); u32(2L); u32(1L) }
+              box("stss") { u32(0L); u32(10L); u32(1L) } // LIES: 10 declared, 1 held
+              box("stco") { u32(0L); u32(1L); u32(500L) }
+            }
+          }
+        }
+      }
+    }
+    val out = VideoBitstream.mp4SyncSamples(
+      Seq((0L, bos.toByteArray)).toDF("doc_id", "payload"))
+      .orderBy("sample_idx").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("parse_error") == null))
+    // only the ONE physical entry (sample 1) is a sync sample — sample 2's
+    // flag must not be fabricated from stco's header/offset bytes
+    assert(out.map(_.getAs[Boolean]("is_sync")).toSeq == Seq(true, false))
+    assert(out.map(_.getAs[Long]("sample_offset")).toSeq == Seq(500L, 510L))
+  }
+
   test("mp4: a crafted 64-bit box size near Long.MaxValue stops the walk " +
       "(overflow-safe guard) instead of wrapping o+size negative") {
     val bos = new java.io.ByteArrayOutputStream()
