@@ -614,8 +614,9 @@ object CatalogQuality {
       stats AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
       bgtr AS (SELECT w1, w2, count(*) AS cb FROM bgd WHERE lang = 'en' GROUP BY w1, w2)
       SELECT doc_id, count(*) AS n_bigrams,
-        round(avg(ln(CASE WHEN cb IS NOT NULL THEN cb::DOUBLE / c1
-          ELSE 0.4 * (coalesce(c2, 0) + 1)::DOUBLE / (n + v) END)), 6) AS avg_logprob
+        sum(round(ln(CASE WHEN cb IS NOT NULL THEN cb::DOUBLE / c1
+          ELSE 0.4 * (coalesce(c2, 0) + 1)::DOUBLE / (n + v) END)
+          * 1000000.0)::BIGINT) / (count(*) * 1000000.0) AS avg_logprob
       FROM bgd
       LEFT JOIN bgtr USING (w1, w2)
       LEFT JOIN (SELECT tok, c AS c1 FROM uni) u1 ON bgd.w1 = u1.tok
@@ -646,8 +647,9 @@ object CatalogQuality {
       st AS (SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS nt,
                     (SELECT count(*) FROM fb) AS nr)
       SELECT doc_id, count(*) AS n_feats,
-        round(sum(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024))
-                - ln((coalesce(cr, 0) + 1)::DOUBLE / (nr + 1024))), 6) AS log_weight
+        sum(round((ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024))
+                 - ln((coalesce(cr, 0) + 1)::DOUBLE / (nr + 1024)))
+          * 1000000.0)::BIGINT) / 1000000.0 AS log_weight
       FROM fb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN st
       GROUP BY doc_id"""))
 

@@ -171,11 +171,17 @@ object Sampling {
         (col("nt") + numBuckets)) -
       log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
         (col("nr") + numBuckets))
+    // quantize-then-aggregate (SCALE §22.18): per-feature weights become
+    // integer micro-units so the per-doc sum is exact integer arithmetic
+    // (order-independent) — a rounded sum() of doubles flips last decimals
+    // between engines when the shuffled accumulation order differs
+    val w6 = round(w * 1000000.0).cast("long")
     docB
       .join(broadcast(tgtCounts), Seq("b"), "left")
       .join(broadcast(rawCounts), Seq("b"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), round(sum(w), 6).as("log_weight"))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(w6).cast("double") / 1000000.0).as("log_weight"))
   }
 }

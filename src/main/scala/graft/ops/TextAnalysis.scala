@@ -1016,13 +1016,22 @@ object TextAnalysis {
     val docBg = bigrams(df, textCol, Seq(idCol))
     // fully-unseen continuation: the same smoothed formula at c = 0
     val lpUnseen = log(lit(alpha) * lit(1).cast("double") / (col("n") + col("v")))
+    // quantize-then-aggregate (§22.18 determinism contract): per-bigram
+    // log-probs become integer micro-nats, the per-doc sum is exact
+    // integer arithmetic (aggregation-order independent), and the mean
+    // derives by one IEEE division — a rounded avg() of doubles is a
+    // cross-engine boundary lottery
+    val lp6 = round(coalesce(col("lp_seen"), col("lp_backoff"), lpUnseen)
+      * 1000000.0).cast("long")
     docBg
       .join(bgTable, Seq("w1", "w2"), "left")
       .join(backoff, Seq("w2"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(coalesce(col("lp_seen"), col("lp_backoff"), lpUnseen)), 6).as("avg_logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp6).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000.0)).as("avg_logprob"))
   }
 
   /** BM25 top-k retrieval over the corpus (Okapi BM25 with the Lucene idf

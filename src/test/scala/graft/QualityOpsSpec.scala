@@ -791,12 +791,15 @@ class QualityOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.bigramLogProb(score, "text", "doc_id", train, "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // expectations hand-computed from the stupid-backoff formula:
-    // N=6 train tokens, V=4 vocab, alpha=0.4
+    // expectations hand-computed from the stupid-backoff formula
+    // (N=6 train tokens, V=4 vocab, alpha=0.4), through the micro-nat
+    // quantization: per-bigram round(ln(p)*1e6) summed, / (n*1e6)
+    def q(ps: Double*): Double =
+      ps.map(p => math.round(math.log(p) * 1e6)).sum.toDouble / (ps.length * 1e6)
     assert(out.keySet == Set(0L, 1L, 2L))
-    assert(out(0L) == ((2L, -0.346574)))   // avg(ln 2/2, ln 1/2)
-    assert(out(1L) == ((2L, -2.872302)))   // avg(ln .4*1/10, ln .4*2/10)
-    assert(out(2L) == ((1L, -3.218876)))   // ln .4*1/10
+    assert(out(0L) == ((2L, q(1.0, 0.5))))        // avg(ln 2/2, ln 1/2)
+    assert(out(1L) == ((2L, q(0.04, 0.08))))      // avg(ln .4*1/10, ln .4*2/10)
+    assert(out(2L) == ((1L, q(0.04))))            // ln .4*1/10
   }
 
   test("importanceWeights: target-like docs outweigh off-domain; features = uni+bi") {
