@@ -419,6 +419,24 @@ class PlanSpecR13 extends AnyFunSuite {
     assert(p.contains("Window"), s"no offset window:\n$p")
   }
 
+  test("txt_lm_perplexity: gram-keyed equi-joins only — the LM never " +
+      "cartesians and the vocab scalar broadcasts") {
+    val p = plan("txt_lm_perplexity")
+    // the 1-row vocab aggregate crossJoins via broadcast — a genuine
+    // CartesianProduct would mean the scalar is being shuffled against
+    // the corpus instead
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"vocab scalar not broadcast:\n$p")
+  }
+
+  test("txt_lm_buckets: one ntile window partitioned by the group, " +
+      "no cartesian beyond the broadcast vocab scalar") {
+    val p = plan("txt_lm_buckets")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bucket plan:\n$p")
+    assert(p.contains("Window"), s"no ntile window:\n$p")
+  }
+
   test("media gate (kind-prefilter row): every payload-generating " +
       "projection sits ABOVE its kind pre-filter — the r15 6x " +
       "branch re-evaluation fix cannot silently regress") {
