@@ -3692,6 +3692,48 @@ object CatalogOps {
       FROM r"""),
     bench = true)
 
+  /** T5-style span corruption ([[graft.ops.Augment.spanCorrupt]]) — FIM's
+    * sibling transform: 3 hash-placed sentinel spans per selected doc,
+    * target = sentinel-prefixed spans + closing sentinel. The oracle
+    * replays the segment bounds (same IEEE floor), the md5-derived span
+    * geometry, and the exact string assembly — byte-exact like the FIM
+    * row. The per-k expressions are GENERATED from one Scala loop so the
+    * three spans cannot drift from each other.
+    */
+  private val txtSpanCorrupt = Q("txt_span_corrupt",
+    (s, dir) => graft.ops.Augment.spanCorrupt(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", 0.5, nSpans = 3, maxSpanLen = 8, seed = 5)
+      .select(col("doc_id"), col("span_corrupted"), col("sc_input"), col("sc_target")),
+    Some {
+      val ks = (1 to 3).map { k =>
+        val hl = h60Sql(s"CAST(doc_id AS VARCHAR) || ':l:$k'", 5)
+        val hs = h60Sql(s"CAST(doc_id AS VARCHAR) || ':s:$k'", 5)
+        s"""floor(n * ${k - 1} / 3.0)::BIGINT AS b0_$k,
+          floor(n * $k / 3.0)::BIGINT AS b1_$k,
+          least(1 + $hl % 8, b1_$k - b0_$k) AS sl_$k,
+          ($hs % (b1_$k - b0_$k - sl_$k + 1)) AS off_$k,
+          b0_$k + 1 + off_$k AS ss_$k"""
+      }.mkString(",\n        ")
+      val inputPieces = (1 to 3).map { k =>
+        s"substr(text, (b0_$k + 1)::INT, off_$k::INT) || '<|extra_${k - 1}|>' || " +
+          s"substr(text, (ss_$k + sl_$k)::INT, (b1_$k - (ss_$k + sl_$k) + 1)::INT)"
+      }.mkString(" || ")
+      val targetPieces = (1 to 3).map { k =>
+        s"'<|extra_${k - 1}|>' || substr(text, ss_$k::INT, sl_$k::INT)"
+      }.mkString(" || ")
+      s"""WITH p AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+        ${h60Sql("CAST(doc_id AS VARCHAR)", 5)} % 1000000 < 500000 AS sel
+        FROM documents),
+      q AS (SELECT doc_id, text, n, (sel AND n >= 3) AS applied,
+        $ks
+        FROM p)
+      SELECT doc_id, applied AS span_corrupted,
+        CASE WHEN applied THEN $inputPieces ELSE text END AS sc_input,
+        CASE WHEN applied THEN $targetPieces || '<|extra_3|>' ELSE '' END AS sc_target
+      FROM q"""
+    })
+
   /** The promised 100 TB video shape END-TO-END: MP4 keyframes located by
     * the structure tables and ONLY their bytes decoded
     * ([[graft.ops.H264Decode.decodeMp4Keyframes]] — SPS/PPS from
@@ -4456,7 +4498,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -35,6 +35,68 @@ object Augment {
     * Unselected documents keep `fim_text` = the original text, so the
     * output column is directly trainable either way.
     */
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020: mask contiguous spans
+    * with sentinel tokens; the model reconstructs them) — FIM's sibling,
+    * the other canonical pretraining transform. A hash-chosen fraction of
+    * documents gets `nSpans` non-overlapping character spans replaced by
+    * `<|extra_k|>` sentinels; `sc_target` is the concatenation of each
+    * sentinel + its masked span, closed by the final sentinel
+    * `<|extra_nSpans|>` (the T5 target layout).
+    *
+    * Deterministic like [[fimTransform]]: the text splits into `nSpans`
+    * equal segments (b_k = floor(len·k/nSpans)); within segment k the
+    * span length is 1 + h(id,"l",k) mod maxSpanLen (clamped to the
+    * segment) and its offset h(id,"s",k) mod (slack+1) — every choice a
+    * portable md5 hash, so the oracle reproduces exact strings and spans
+    * can never overlap (one per segment by construction). Documents
+    * shorter than `nSpans` characters (or unselected) pass through:
+    * `sc_input` = the original text, `sc_target` = "". Pure Column
+    * algebra — substrings + hashes, codegen'd, zero shuffle.
+    *
+    * Reassembly invariant (spec-pinned like FIM's): splicing each
+    * target span back over its sentinel in `sc_input` reproduces the
+    * original text byte-for-byte.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      rate: Double, nSpans: Int = 3, maxSpanLen: Int = 8,
+      seed: Int = 1): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    require(nSpans >= 1, "nSpans must be >= 1")
+    require(maxSpanLen >= 1, "maxSpanLen must be >= 1")
+    val id = col(idCol).cast("string")
+    val text = col(textCol)
+    val len = length(text).cast("long")
+    val selected = Sampling.bucket(col(idCol), seed) < (rate * M).toLong &&
+      len >= nSpans
+    // segment bounds: exact for len·k < 2^53 (double division by a small
+    // constant cannot cross an integer boundary at that magnitude — the
+    // oracle floors the same IEEE quotient)
+    def b(k: Int): Column = floor(len * k / lit(nSpans.toDouble)).cast("int")
+    val pieces = (1 to nSpans).map { k =>
+      val b0 = b(k - 1)
+      val b1 = b(k)
+      val segLen = b1 - b0
+      val spanLen = least(
+        lit(1) + pmod(Dedup.h60(concat(id, lit(s":l:$k")), seed),
+          lit(maxSpanLen.toLong)).cast("int"),
+        segLen)
+      val off = pmod(Dedup.h60(concat(id, lit(s":s:$k")), seed),
+        (segLen - spanLen + 1).cast("long")).cast("int")
+      val sStart = b0 + 1 + off // 1-based
+      val sent = lit(s"<|extra_${k - 1}|>")
+      (concat(text.substr(b0 + 1, off), sent,
+        text.substr(sStart + spanLen, b1 - (sStart + spanLen) + 1)),
+        concat(sent, text.substr(sStart, spanLen)))
+    }
+    df.withColumn("span_corrupted", coalesce(selected, lit(false)))
+      .withColumn("sc_input",
+        when(col("span_corrupted"), concat(pieces.map(_._1): _*)).otherwise(text))
+      .withColumn("sc_target",
+        when(col("span_corrupted"),
+          concat(pieces.map(_._2) :+ lit(s"<|extra_$nSpans|>"): _*))
+          .otherwise(lit("")))
+  }
+
   def fimTransform(df: DataFrame, idCol: String, textCol: String,
       rate: Double, seed: Int = 1, psm: Boolean = true,
       preTok: String = "<|fim_prefix|>", sufTok: String = "<|fim_suffix|>",

@@ -41,6 +41,48 @@ class AugmentSpec extends AnyFunSuite {
     assert(applied > 120 && applied < 280, s"rate off: $applied/400")
   }
 
+  test("spanCorrupt: splicing target spans over their sentinels " +
+      "reproduces the original; spans ordered, non-overlapping; short " +
+      "and unselected docs pass through") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i " + ("ab" * (i % 41).toInt)))
+      .toDF("doc_id", "text")
+    val out = Augment.spanCorrupt(docs, "doc_id", "text", 0.5,
+      nSpans = 3, maxSpanLen = 8, seed = 5).collect()
+    var applied = 0
+    for (r <- out) {
+      val orig = r.getAs[String]("text")
+      val in = r.getAs[String]("sc_input")
+      val tgt = r.getAs[String]("sc_target")
+      if (r.getAs[Boolean]("span_corrupted")) {
+        applied += 1
+        assert(orig.length >= 3)
+        // parse target: <|extra_0|>s0<|extra_1|>s1<|extra_2|>s2<|extra_3|>
+        val spans = (0 until 3).map { k =>
+          val a = tgt.indexOf(s"<|extra_$k|>")
+          val b = tgt.indexOf(s"<|extra_${k + 1}|>")
+          assert(a >= 0 && b > a, s"target layout broken: $tgt")
+          tgt.substring(a + s"<|extra_$k|>".length, b)
+        }
+        assert(tgt.endsWith("<|extra_3|>"))
+        assert(spans.forall(_.nonEmpty), s"empty span in $tgt")
+        // splice each span back over its sentinel in the input
+        val rebuilt = (0 until 3).foldLeft(in) { (acc, k) =>
+          acc.replace(s"<|extra_$k|>", spans(k))
+        }
+        assert(rebuilt == orig, s"reassembly failed for '$orig'")
+      } else {
+        assert(in == orig || (orig == null && in == null))
+        assert(tgt == "")
+      }
+    }
+    assert(applied > 100 && applied < 300, s"rate off: $applied of 400")
+
+    // determinism: a second run is byte-identical
+    val again = Augment.spanCorrupt(docs, "doc_id", "text", 0.5,
+      nSpans = 3, maxSpanLen = 8, seed = 5).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("SPM layout, determinism across runs, rate 0 and 1") {
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
     val spm = Augment.fimTransform(docs, "doc_id", "text", 1.0, seed = 2,
