@@ -3692,6 +3692,25 @@ object CatalogOps {
       FROM r"""),
     bench = true)
 
+  /** Overlapping document chunking
+    * ([[graft.ops.TextAnalysis.chunkDocuments]]) — the RAG/embedding
+    * long-doc splitting step: 120-char windows at 40-char overlap
+    * (stride 80). Oracle replays the stride arithmetic and substring
+    * windows exactly.
+    */
+  private val txtChunk = Q("txt_chunk_documents",
+    (s, dir) => TextAnalysis.chunkDocuments(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", "doc_id", maxChars = 120, overlapChars = 40),
+    Some("""WITH d AS (SELECT doc_id, COALESCE(text, '') AS t,
+        greatest(1, ceil((length(COALESCE(text, '')) - 40) / 80.0))::INT AS n_chunks
+        FROM documents),
+      k AS (SELECT doc_id, t, n_chunks,
+        unnest(generate_series(0, n_chunks - 1))::INT AS chunk_idx FROM d)
+      SELECT doc_id, chunk_idx, (chunk_idx * 80 + 1)::INT AS chunk_start,
+        substr(t, chunk_idx * 80 + 1, 120) AS chunk_text, n_chunks
+      FROM k"""))
+
   /** T5-style span corruption ([[graft.ops.Augment.spanCorrupt]]) — FIM's
     * sibling transform: 3 hash-placed sentinel spans per selected doc,
     * target = sentinel-prefixed spans + closing sentinel. The oracle
@@ -4498,7 +4517,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

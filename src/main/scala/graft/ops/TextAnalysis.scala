@@ -737,6 +737,43 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** Overlapping document chunking — the long-document splitting step in
+    * front of every embedding/RAG indexing pass and every fixed-window
+    * encoder: chunk k covers characters [k·s, k·s + maxChars) for stride
+    * s = maxChars − overlapChars, so consecutive chunks share
+    * `overlapChars` characters and no content is lost at a boundary.
+    * `n_chunks = max(1, ceil((len − overlap) / s))` — a document at or
+    * under the budget is one chunk; null/empty documents emit a single
+    * empty chunk (one row per input document at minimum, the family's
+    * no-silent-vanish contract).
+    *
+    * Deterministic pure-arithmetic windows (no tokenizer, no snapping):
+    * exact, engine-replayable substring math — compose with
+    * [[graft.ops.Bpe.tokenCount]] budgets downstream when token-exact
+    * windows matter. Plan shape at 100 TB: sequence + explode + substr
+    * inside the scan; the only wide op is whatever the caller does next.
+    * Returns (idCol, chunk_idx (0-based), chunk_start (1-based),
+    * chunk_text, n_chunks).
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      maxChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(maxChars > 0, "maxChars must be positive")
+    require(overlapChars >= 0 && overlapChars < maxChars,
+      "overlapChars must be in [0, maxChars)")
+    val step = maxChars - overlapChars
+    val len = length(coalesce(col(textCol), lit("")))
+    val nChunks = greatest(lit(1),
+      ceil((len - overlapChars).cast("double") / step).cast("int"))
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"),
+        nChunks.as("n_chunks"))
+      .select(col(idCol), col("__t"), col("n_chunks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * step + 1).as("chunk_start"),
+        col("__t").substr(col("chunk_idx") * step + 1, lit(maxChars)).as("chunk_text"),
+        col("n_chunks"))
+  }
+
   /** CCNet's deployment shape for the perplexity signal: split each
     * `groupCol` stream (CCNet buckets per LANGUAGE) into `buckets`
     * equal-size quality tiers by ascending score — bucket 1 = lowest

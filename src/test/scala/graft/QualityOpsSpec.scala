@@ -48,6 +48,30 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2) && out(3L).isNullAt(4))
   }
 
+  test("chunkDocuments: overlap windows cover the text exactly; short and " +
+      "empty docs emit one chunk") {
+    val docs = Seq(
+      (1L, "a" * 10),       // len 10, max 8, ov 4 → chunks at 0..8, 4..10
+      (2L, "b" * 4),        // at budget → one chunk
+      (3L, ""),             // empty → one empty chunk
+      (4L, null.asInstanceOf[String]),
+      (5L, "0123456789abc") // len 13 → 3 chunks: 0-8, 4-12, 8-13
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3), r.getInt(4))).toMap
+    assert(out((1L, 0)) == ((1, "a" * 8, 2)) && out((1L, 1)) == ((5, "a" * 6, 2)))
+    assert(out((2L, 0)) == ((1, "bbbb", 1)))
+    assert(out((3L, 0)) == ((1, "", 1)) && out((4L, 0)) == ((1, "", 1)))
+    assert(out((5L, 0))._2 == "01234567" && out((5L, 1))._2 == "456789ab" &&
+      out((5L, 2))._2 == "89abc")
+    // coverage: concatenating each chunk's NON-overlapped prefix + the last
+    // chunk reproduces the text
+    val doc5 = Seq(out((5L, 0))._2.take(4), out((5L, 1))._2.take(4),
+      out((5L, 2))._2).mkString
+    assert(doc5 == "0123456789abc")
+  }
+
   test("perplexityBuckets: per-group ntile thirds, nulls land in the tail") {
     val scored = Seq(
       (1L, "en", Some(2.0)), (2L, "en", Some(4.0)), (3L, "en", Some(8.0)),
