@@ -259,6 +259,35 @@ object CatalogPipeline {
         array_to_string(list_transform(v, x -> (round(x / norm * 127)::INT)::VARCHAR), ',') AS q_csv
       FROM n"""))
 
+  /** Chunk→document mean-pooling ([[graft.ops.Embeddings.meanPool]]):
+    * element-wise mean of each group's embedding vectors, the aggregation
+    * a RAG/embedding pipeline runs after chunk-level embedding to get one
+    * vector per parent document. Exploded to the tall (key, pos, value)
+    * layout for the compare; the oracle replays the quantize-sum-divide
+    * arithmetic exactly (round half-away-from-zero, exact integer sum,
+    * the same two IEEE divisions), so the row is byte-exact — no
+    * float-aggregation-order lottery.
+    */
+  private val embMeanPool = Q("emb_mean_pool",
+    (s, dir) => Embeddings.meanPool(
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 97).as("doc_key"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", "doc_key")
+      .select(col("doc_key"), col("n_vecs"),
+        posexplode(col("mean_vec")).as(Seq("pos", "mean_val"))),
+    Some("""WITH e AS (SELECT vec_id % 97 AS doc_key, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT doc_key, unnest(v) AS val,
+        unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
+      g AS (SELECT doc_key, pos,
+        SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS s,
+        COUNT(val) AS n FROM x GROUP BY 1, 2),
+      k AS (SELECT doc_key, MAX(n) AS n_vecs FROM g GROUP BY 1)
+      SELECT g.doc_key, k.n_vecs, g.pos::INT AS pos,
+        (s::DOUBLE / n) / 1000000.0 AS mean_val
+      FROM g JOIN k ON g.doc_key = k.doc_key
+      WHERE n > 0"""))
+
   // -------------------------------------------------------------------- OLAP
 
   private val rollup = Q("q_rollup",
@@ -419,6 +448,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, packBpe, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embPq, tfidf,
+    pack, packBpe, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embMeanPool, embPq, tfidf,
     rollup, cube, pctile, heavyHitters, profileQ, profileApproxQ)
 }

@@ -33,6 +33,45 @@ object Embeddings {
     * semantics exactly (callers pass double arrays — float inputs widen
     * losslessly), so oracle rows stay hash-identical.
     */
+  /** Mean-pool many vectors into one per `keyCol` — the chunk→document
+    * aggregation step after a long doc was split ([[graft.ops.TextAnalysis.chunkDocuments]])
+    * and each chunk embedded: doc embedding = element-wise mean of its
+    * chunk embeddings. Returns (keyCol, n_vecs, mean_vec).
+    *
+    * Determinism at scale (the §22.21 discipline): a plain per-component
+    * `avg` over doubles is partial-aggregation-order dependent, so a
+    * re-run (or an oracle in another engine) can differ in the last ulp.
+    * Each component is instead quantized to integer `units` at the scan
+    * (`round(x·units)` — half away from zero in both engines), summed
+    * EXACTLY as longs, and the mean derived by two IEEE divisions
+    * (`sum/n/units`) whose operands are identical everywhere — bitwise
+    * stable on any cluster size.
+    *
+    * Plan shape: posexplode to the tall (key, pos) layout, one hash
+    * aggregate with map-side partial combine (state = one long per
+    * (key, pos) — never a per-group vector buffer), then the per-key
+    * reassembly groupBy. Two shuffles, both on keys with bounded state;
+    * a doc with millions of chunks is a big GROUP, not a big TASK.
+    * Null vectors and null components drop out (per-component `n`
+    * counts only vectors that carry that component, so ragged inputs
+    * average over what exists); a key whose every vector is null/empty
+    * vanishes rather than emitting a fabricated zero vector.
+    */
+  def meanPool(df: DataFrame, vecCol: String, keyCol: String,
+      units: Double = 1e6): DataFrame = {
+    val q = transform(col(vecCol), x => round(x * units).cast("long"))
+    df.select(col(keyCol), q.as("__q"))
+      .select(col(keyCol), posexplode(col("__q")).as(Seq("__pos", "__qv")))
+      .groupBy(col(keyCol), col("__pos"))
+      .agg(sum(col("__qv")).as("__s"), count(col("__qv")).as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__v", col("__s").cast("double") / col("__n") / units)
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("__pos"), col("__v")))),
+          s => s.getField("__v")).as("mean_vec"))
+  }
+
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val q = udf((v: Seq[Double]) =>
       if (v == null) null

@@ -140,6 +140,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == "-127,0")
   }
 
+  test("mean pool: element-wise mean per key, ragged + null handling") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (1L, Seq[java.lang.Double](3.0, 6.0)),
+      (2L, Seq[java.lang.Double](5.0, null)), // null component drops from pos 1
+      (2L, Seq[java.lang.Double](7.0, 9.0, 11.0)), // ragged: pos 2 has n=1
+      (3L, null) // all-null key vanishes
+    ).toDF("k", "v")
+    val out = Embeddings.meanPool(df, "v", "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (2L, Seq(2.0, 4.0)))
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == Seq(6.0, 9.0, 11.0)) // pos1 mean over the one non-null
+    // determinism: re-run bitwise identical
+    val again = Embeddings.meanPool(df, "v", "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(again == out)
+  }
+
   test("target mix: composition matches shares, binding group limits size") {
     // 100 en, 10 de → with shares 0.8/0.2 the binding group is de:
     // N = min(100/0.8, 10/0.2) = 50 → keep 40 en + 10 de
