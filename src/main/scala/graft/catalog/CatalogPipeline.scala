@@ -264,9 +264,10 @@ object CatalogPipeline {
     * a RAG/embedding pipeline runs after chunk-level embedding to get one
     * vector per parent document. Exploded to the tall (key, pos, value)
     * layout for the compare; the oracle replays the quantize-sum-divide
-    * arithmetic exactly (round half-away-from-zero, exact integer sum,
-    * the same two IEEE divisions), so the row is byte-exact — no
-    * float-aggregation-order lottery.
+    * arithmetic exactly (the identical `floor(x·1e6 + 0.5)` IEEE
+    * expression, exact integer sum, the same two IEEE divisions), so
+    * the row is byte-exact — no float-aggregation-order lottery and no
+    * dependence on either engine's `round()` flavor.
     */
   private val embMeanPool = Q("emb_mean_pool",
     (s, dir) => Embeddings.meanPool(
@@ -280,7 +281,7 @@ object CatalogPipeline {
       x AS (SELECT doc_key, unnest(v) AS val,
         unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
       g AS (SELECT doc_key, pos,
-        SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS s,
+        SUM(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT)) AS s,
         COUNT(val) AS n FROM x GROUP BY 1, 2),
       k AS (SELECT doc_key, MAX(n) AS n_vecs FROM g GROUP BY 1)
       SELECT g.doc_key, k.n_vecs, g.pos::INT AS pos,

@@ -33,6 +33,44 @@ object Embeddings {
     * semantics exactly (callers pass double arrays — float inputs widen
     * losslessly), so oracle rows stay hash-identical.
     */
+  /** Element-wise exact-sum pooling buffer: per position, the running
+    * long sum of quantized components and the count of vectors that
+    * carried a non-null value there. Ragged inputs grow the buffer;
+    * the counts make ragged/null positions average over what exists.
+    * Integer sums are order-free, so partial aggregation and merge
+    * order can never change the result — the §22.21 discipline pushed
+    * INTO the aggregation buffer.
+    */
+  final class QVecPoolAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[java.lang.Long], (Array[Long], Array[Long]), (Array[Long], Array[Long])] {
+    private def grown(a: Array[Long], d: Int): Array[Long] =
+      if (a.length >= d) a else java.util.Arrays.copyOf(a, d)
+    def zero: (Array[Long], Array[Long]) =
+      (Array.emptyLongArray, Array.emptyLongArray)
+    def reduce(b: (Array[Long], Array[Long]),
+        v: Seq[java.lang.Long]): (Array[Long], Array[Long]) =
+      if (v == null) b
+      else {
+        val s = grown(b._1, v.length); val n = grown(b._2, v.length)
+        var i = 0
+        v.foreach { x => if (x != null) { s(i) += x; n(i) += 1 }; i += 1 }
+        (s, n)
+      }
+    def merge(a: (Array[Long], Array[Long]),
+        c: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
+      val s = grown(a._1, c._1.length); val n = grown(a._2, c._2.length)
+      var i = 0
+      while (i < c._1.length) { s(i) += c._1(i); n(i) += c._2(i); i += 1 }
+      (s, n)
+    }
+    def finish(b: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
+  }
+
   /** Mean-pool many vectors into one per `keyCol` — the chunk→document
     * aggregation step after a long doc was split ([[graft.ops.TextAnalysis.chunkDocuments]])
     * and each chunk embedded: doc embedding = element-wise mean of its
@@ -42,16 +80,25 @@ object Embeddings {
     * `avg` over doubles is partial-aggregation-order dependent, so a
     * re-run (or an oracle in another engine) can differ in the last ulp.
     * Each component is instead quantized to integer `units` at the scan
-    * (`round(x·units)` — half away from zero in both engines), summed
-    * EXACTLY as longs, and the mean derived by two IEEE divisions
-    * (`sum/n/units`) whose operands are identical everywhere — bitwise
-    * stable on any cluster size.
+    * as `floor(x·units + 0.5)` — pure IEEE double ops that every engine
+    * computes bit-identically, so the oracle replays the EXPRESSION, not
+    * a library's rounding flavor (Spark's `round()` would also cost a
+    * BigDecimal allocation per component: measured 228 s of a 320M-
+    * component leg before this op switched away from it, §22.26) —
+    * summed EXACTLY as longs inside the aggregation buffer, and the mean
+    * derived by two IEEE divisions (`sum/n/units`) whose operands are
+    * identical everywhere — bitwise stable on any cluster size.
     *
-    * Plan shape: posexplode to the tall (key, pos) layout, one hash
-    * aggregate with map-side partial combine (state = one long per
-    * (key, pos) — never a per-group vector buffer), then the per-key
-    * reassembly groupBy. Two shuffles, both on keys with bounded state;
-    * a doc with millions of chunks is a big GROUP, not a big TASK.
+    * Plan shape: ONE shuffle. [[QVecPoolAgg]] keeps a (sums, counts)
+    * long-array buffer per key with true map-side combine, so the
+    * exchange carries at most min(input rows, keys × partitions)
+    * buffers of d longs — NOT the N×d rows a posexplode +
+    * per-dimension groupBy would shuffle (that tall layout measured
+    * SUPERLINEAR on this op's own scale leg, 13.9 s → 320 s for 10×:
+    * with ~distinct (key, pos) keys per mapper the partial agg combines
+    * nothing and the exchange eats 64× the rows; SCALE.md §22.26, same
+    * lesson as [[Similarity.VecSumCountAgg]]). A doc with millions of
+    * chunks collapses to one buffer per partition before the exchange.
     * Null vectors and null components drop out (per-component `n`
     * counts only vectors that carry that component, so ragged inputs
     * average over what exists); a key whose every vector is null/empty
@@ -59,17 +106,18 @@ object Embeddings {
     */
   def meanPool(df: DataFrame, vecCol: String, keyCol: String,
       units: Double = 1e6): DataFrame = {
-    val q = transform(col(vecCol), x => round(x * units).cast("long"))
+    val q = transform(col(vecCol), x => floor(x * units + lit(0.5)))
+    val pool = org.apache.spark.sql.functions.udaf(new QVecPoolAgg)
     df.select(col(keyCol), q.as("__q"))
-      .select(col(keyCol), posexplode(col("__q")).as(Seq("__pos", "__qv")))
-      .groupBy(col(keyCol), col("__pos"))
-      .agg(sum(col("__qv")).as("__s"), count(col("__qv")).as("__n"))
-      .where(col("__n") > 0)
-      .withColumn("__v", col("__s").cast("double") / col("__n") / units)
       .groupBy(col(keyCol))
-      .agg(max(col("__n")).as("n_vecs"),
-        transform(array_sort(collect_list(struct(col("__pos"), col("__v")))),
-          s => s.getField("__v")).as("mean_vec"))
+      .agg(pool(col("__q")).as("__p"))
+      .select(col(keyCol), col("__p._1").as("__s"), col("__p._2").as("__n"))
+      .where(size(col("__n")) > 0 && array_max(col("__n")) > 0)
+      .select(col(keyCol),
+        array_max(col("__n")).as("n_vecs"),
+        filter(zip_with(col("__s"), col("__n"),
+            (s, n) => when(n > 0, s.cast("double") / n / units)),
+          x => x.isNotNull).as("mean_vec"))
   }
 
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
