@@ -710,7 +710,7 @@ object CatalogOps {
         round(CASE WHEN nt > 0 THEN alnum / nt ELSE 0.0 END, 4) AS mean_tok_len,
         round(CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END, 6) AS punct_ratio,
         round(CASE WHEN nt > 0 THEN stop / nt ELSE 0.0 END, 6) AS stopword_ratio,
-        round(least(1.0, nt / 100.0) * 0.5 +
+        round((CASE WHEN nt > 0 THEN least(1.0, nt / 100.0) ELSE 0.0 END) * 0.5 +
           (CASE WHEN nt > 0 THEN least(1.0, stop / nt * 5.0) ELSE 0.0 END) * 0.3 +
           (CASE WHEN nc > 0 THEN 1.0 - least(1.0, punct / nc * 10.0) ELSE 0.0 END) * 0.2,
           6) AS quality_score

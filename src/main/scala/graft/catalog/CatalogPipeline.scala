@@ -285,9 +285,9 @@ object CatalogPipeline {
         COUNT(val) AS n FROM x GROUP BY 1, 2),
       k AS (SELECT doc_key, MAX(n) AS n_vecs FROM g GROUP BY 1)
       SELECT g.doc_key, k.n_vecs, g.pos::INT AS pos,
-        (s::DOUBLE / n) / 1000000.0 AS mean_val
+        CASE WHEN n > 0 THEN (s::DOUBLE / n) / 1000000.0 END AS mean_val
       FROM g JOIN k ON g.doc_key = k.doc_key
-      WHERE n > 0"""))
+      WHERE k.n_vecs > 0"""))
 
   // -------------------------------------------------------------------- OLAP
 

@@ -81,11 +81,13 @@ object AudioContainers {
     * final granule position OF THE IDENTIFIED LOGICAL STREAM (pages are
     * serial-filtered, so a multiplexed video stream's frame-counter
     * granule cannot masquerade as audio ticks; Opus: 48 kHz ticks minus
-    * pre-skip; Vorbis: sample ticks at the declared rate). A chained
-    * file (second BOS page, RFC 3533 §4 — concatenated streams) stops
-    * the walk: the census covers the FIRST chain, stated not silent.
-    * Truncation mid-page keeps what was walked once the codec is
-    * identified. */
+    * pre-skip; Vorbis: sample ticks at the declared rate). A GROUPED
+    * (multiplexed) file — all BOS pages consecutive at the start, RFC
+    * 3533 §4 — walks past the other streams' BOS pages and censuses the
+    * first stream that sniffs as audio; a CHAINED file (a BOS page
+    * after the BOS region — concatenated streams) stops the walk: the
+    * census covers the FIRST chain, stated not silent. Truncation
+    * mid-page keeps what was walked once the codec is identified. */
   private def parseOgg(b: Array[Byte]): Either[String, AudioMeta] = {
     var o = 0
     var pages = 0
@@ -95,6 +97,7 @@ object AudioContainers {
     var preSkip = 0
     var granule = 0L
     var serial = 0L
+    var inBosRegion = true
     var stop = false
     while (!stop && o + 27 <= b.length && b(o) == 'O' && b(o + 1) == 'g' &&
         b(o + 2) == 'g' && b(o + 3) == 'S') {
@@ -113,15 +116,20 @@ object AudioContainers {
       } else {
       val pageSerial = u32le(b, o + 14)
       val isBos = (b(o + 5) & 0x02) != 0
-      if (pages > 0 && isBos && pageSerial != serial) {
-        // chained stream: a NEW logical stream begins — census the
-        // first chain only (its granule timebase is the declared one)
+      if (isBos && !inBosRegion) {
+        // chained stream: a BOS page AFTER the initial BOS region means a
+        // NEW logical stream begins (RFC 3533 §4) — census the first
+        // chain only (its granule timebase is the declared one). A
+        // GROUPED (multiplexed) file is different: all its BOS pages are
+        // consecutive at the start, and the region loop below walks past
+        // the other streams' BOS pages instead of stopping at them.
         stop = true
       } else {
-      if (pages == 0) serial = pageSerial
+      if (!isBos) inBosRegion = false
       val g = u64le(b, o + 6)
-      if (g != -1L && pageSerial == serial) granule = g
-      if (pages == 0 && bodyLen >= 8) {
+      if (codec != null && g != -1L && pageSerial == serial) granule = g
+      if (isBos && codec == null && bodyLen >= 8) {
+        serial = pageSerial
         if (new String(b, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
             == "OpusHead" && bodyLen >= 19) {
           codec = "opus"

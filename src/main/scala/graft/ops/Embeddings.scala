@@ -99,10 +99,12 @@ object Embeddings {
     * nothing and the exchange eats 64× the rows; SCALE.md §22.26, same
     * lesson as [[Similarity.VecSumCountAgg]]). A doc with millions of
     * chunks collapses to one buffer per partition before the exchange.
-    * Null vectors and null components drop out (per-component `n`
-    * counts only vectors that carry that component, so ragged inputs
-    * average over what exists); a key whose every vector is null/empty
-    * vanishes rather than emitting a fabricated zero vector.
+    * Null vectors and null components drop out of the per-component
+    * count, so ragged inputs average over what exists; a position that
+    * NO vector carried emits null IN PLACE (dimension alignment is
+    * preserved — compacting would shift later means to wrong indices);
+    * a key whose every vector is null/empty vanishes rather than
+    * emitting a fabricated zero vector.
     */
   def meanPool(df: DataFrame, vecCol: String, keyCol: String,
       units: Double = 1e6): DataFrame = {
@@ -115,9 +117,11 @@ object Embeddings {
       .where(size(col("__n")) > 0 && array_max(col("__n")) > 0)
       .select(col(keyCol),
         array_max(col("__n")).as("n_vecs"),
-        filter(zip_with(col("__s"), col("__n"),
-            (s, n) => when(n > 0, s.cast("double") / n / units)),
-          x => x.isNotNull).as("mean_vec"))
+        // a position NO vector carried stays in place as null — filtering
+        // it out would shift every later dimension's mean to the wrong
+        // index and silently corrupt any downstream dot product
+        zip_with(col("__s"), col("__n"),
+          (s, n) => when(n > 0, s.cast("double") / n / units)).as("mean_vec"))
   }
 
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {

@@ -53,8 +53,9 @@ object Subtitles {
     * multi-line payloads with '\n'; VTT cue settings after the arrow
     * (position/align/…) are dropped; SRT numeric counters are consumed
     * but the emitted `cue_idx` is positional (counters in crawled files
-    * routinely repeat or skip). A malformed cue ends the walk with a
-    * tail-error row, keeping the cues already parsed.
+    * routinely repeat or skip). A malformed cue block is skipped to the
+    * next blank line and recorded in a tail-error row — the walk keeps
+    * every parseable cue before AND after it.
     */
   def parseCues(df: DataFrame, textCol: String = "subtitle"): DataFrame = {
     Multimodal.requireFreshColumns(df, "parseCues", cueCols.map(_.name))
@@ -89,8 +90,7 @@ object Subtitles {
           val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
           var cueIdx = 0
           var tailErr: String = null
-          var done = false
-          while (!done && li < lines.length) {
+          while (li < lines.length) {
             val line = lines(li).trim
             if (line.isEmpty || (isVtt && isBlockStart(line))) {
               // blank separators; VTT comment/metadata blocks skip to the
@@ -123,8 +123,15 @@ object Subtitles {
                 val end = parseTimestamp(
                   if (sp < 0) endRaw else endRaw.substring(0, sp))
                 if (start < 0 || end < 0 || end < start) {
-                  tailErr = "malformed cue timestamps"
-                  done = true
+                  // a timing line that doesn't parse — or cue TEXT that
+                  // contains '-->' (the W3C grammar forbids it, so the
+                  // payload stop above lands us here): skip THIS block to
+                  // the next blank and keep walking, same resilience
+                  // contract as the non-cue-block path — one junk block
+                  // must not cost every cue after it
+                  if (tailErr == null) tailErr = "malformed cue timestamps"
+                  li = arrowLi
+                  while (li < lines.length && lines(li).trim.nonEmpty) li += 1
                 } else {
                   var ti = arrowLi + 1
                   val parts = scala.collection.mutable.ArrayBuffer.empty[String]

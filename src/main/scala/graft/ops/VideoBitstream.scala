@@ -764,8 +764,17 @@ object VideoBitstream {
       case ("stsz", b, be) =>
         val fixed = be32(bytes, b + 4)
         val declared = be32(bytes, b + 8)
-        sizes = if (fixed != 0L) Array.fill(declared.toInt)(fixed)
-        else {
+        // the fixed-size branch has no table bytes to clamp against, but
+        // the COUNT is still physically bounded: a file cannot hold more
+        // fixed-size samples than it has bytes. Without this, a crafted
+        // 16-byte box declaring 2^31 samples allocates a ~17 GB array —
+        // an OutOfMemoryError the per-clip catch (Exception, not Error)
+        // cannot convert to a parse_error row.
+        sizes = if (fixed != 0L) {
+          val n = math.min(declared,
+            bytes.length.toLong / math.max(1L, fixed) + 1L).toInt
+          Array.fill(n)(fixed)
+        } else {
           val n = math.min(declared, math.max(0L, (be - b - 12L) / 4L)).toInt
           Array.tabulate(n)(i => be32(bytes, b + 12 + i * 4))
         }

@@ -302,14 +302,6 @@ object WebIngest {
     var i = 0
     def lowerAt(p: Int, s: String): Boolean =
       p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
-    // case-insensitive scan without allocating a lowercased copy of the
-    // whole document per <script>/<style> block
-    def findIgnoreCase(needle: String, from: Int): Int = {
-      var p = from
-      val last = n - needle.length
-      while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
-      if (p > last) -1 else p
-    }
     // HTML5 tag names end at '>', '/', or whitespace — without this
     // boundary check, custom elements like <style-guide> would match the
     // <style> raw-text rule and their content would be dropped
@@ -529,12 +521,6 @@ object WebIngest {
     var i = 0
     def lowerAt(p: Int, s: String): Boolean =
       p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
-    def findIgnoreCase(needle: String, from: Int): Int = {
-      var p = from
-      val last = n - needle.length
-      while (p <= last && !html.regionMatches(true, p, needle, 0, needle.length)) p += 1
-      if (p > last) -1 else p
-    }
     def tagNameEndsAt(p: Int): Boolean =
       p >= n || { val d = html.charAt(p); d == '>' || d == '/' || d.isWhitespace }
     // attribute scan inside [from, to): returns href value or null

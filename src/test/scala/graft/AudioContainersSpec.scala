@@ -140,4 +140,36 @@ class AudioContainersSpec extends AnyFunSuite {
     assert(r.getAs[Long]("total_samples") == 48000L)
   }
 
+
+  test("grouped (multiplexed) Ogg: a second BOS page at the start is " +
+      "another stream's header, not a chain — the audio censuses fully") {
+    val ogg = Seq(Tuple1(0L)).toDF("doc_id").select(
+      AudioContainers.syntheticOggOpus(lit(2), lit(100), lit(2),
+        lit(48000L)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    // end of the audio BOS page (page 0)
+    val nSeg = ogg(26) & 0xff
+    var bl = 0
+    for (i <- 0 until nSeg) bl += ogg(27 + i) & 0xff
+    val p1 = 27 + nSeg + bl
+    // a foreign (video-ish) BOS page with a different serial: 27-byte
+    // header, flags=BOS, 1 segment of 8 body bytes
+    val foreign = new java.io.ByteArrayOutputStream()
+    foreign.write("OggS".getBytes("US-ASCII"))
+    foreign.write(0) // version
+    foreign.write(2) // header type: BOS
+    for (_ <- 0 until 8) foreign.write(0) // granule
+    foreign.write(Array[Byte](0x44, 0x33, 0x22, 0x11)) // serial != audio's
+    for (_ <- 0 until 8) foreign.write(0) // seq + crc
+    foreign.write(1) // one segment
+    foreign.write(8) // of 8 bytes
+    foreign.write(0x80); foreign.write("theora?".getBytes("US-ASCII"))
+    // RFC 3533 grouped layout: ALL BOS pages first, then data pages
+    val grouped = ogg.take(p1) ++ foreign.toByteArray ++ ogg.drop(p1)
+    val r = AudioContainers.audioContainerMeta(
+      Seq(Tuple1(grouped)).toDF("payload")).collect()(0)
+    assert(r.getAs[String]("parse_error") == null, r.toString)
+    assert(r.getAs[String]("codec") == "opus")
+    // the full audio stream was walked — same ticks as the plain file
+    assert(r.getAs[Long]("total_samples") == 48000L)
+  }
 }

@@ -146,14 +146,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, Seq[java.lang.Double](3.0, 6.0)),
       (2L, Seq[java.lang.Double](5.0, null)), // null component drops from pos 1
       (2L, Seq[java.lang.Double](7.0, 9.0, 11.0)), // ragged: pos 2 has n=1
-      (3L, null) // all-null key vanishes
+      (3L, null), // all-null key vanishes
+      (4L, Seq[java.lang.Double](1.0, null)),
+      (4L, Seq[java.lang.Double](3.0, null)) // pos 1 carried by NO vector
     ).toDF("k", "v")
     val out = Embeddings.meanPool(df, "v", "k")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
-    assert(out.keySet == Set(1L, 2L))
+    assert(out.keySet == Set(1L, 2L, 4L))
     assert(out(1L) == (2L, Seq(2.0, 4.0)))
     assert(out(2L)._1 == 2L)
     assert(out(2L)._2 == Seq(6.0, 9.0, 11.0)) // pos1 mean over the one non-null
+    // an all-null POSITION stays in place as null — never compacted out,
+    // which would shift later dimensions to wrong indices
+    assert(out(4L) == (2L, Seq(2.0, null)))
     // determinism: re-run bitwise identical
     val again = Embeddings.meanPool(df, "v", "k")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap

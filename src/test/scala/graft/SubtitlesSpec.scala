@@ -101,4 +101,19 @@ class SubtitlesSpec extends AnyFunSuite {
       r.getAs[String]("parse_error").contains("skipped")))
   }
 
+
+  test("cue TEXT containing '-->' mid-document: the junk block is " +
+      "skipped (stated in the tail row), cues after it survive") {
+    // 'go --> left' ends cue 1's payload (W3C: cue text cannot contain
+    // the arrow) and then fails to parse as a timing line — the walk
+    // must skip THAT block and keep parsing, not drop every later cue
+    val srt = "1\n00:00:00,000 --> 00:00:02,000\nhello\ngo --> left\n\n" +
+      "2\n00:00:03,000 --> 00:00:04,000\nworld\n"
+    val out = Subtitles.parseCues(Seq((0L, srt)).toDF("doc_id", "subtitle"))
+      .orderBy("cue_idx").collect()
+    val cues = out.filter(_.getAs[String]("parse_error") == null)
+    assert(cues.map(_.getAs[String]("cue_text")).toSeq == Seq("hello", "world"))
+    assert(cues(1).getAs[Long]("cue_start_ms") == 3000L)
+    assert(out.last.getAs[String]("parse_error") == "malformed cue timestamps")
+  }
 }

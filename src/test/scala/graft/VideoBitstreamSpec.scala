@@ -471,4 +471,50 @@ class VideoBitstreamSpec extends AnyFunSuite {
     assert(out.getAs[String]("brand") == "isom")
     assert(out.getAs[String]("parse_error") == "no video track")
   }
+
+  test("mp4: a fixed-sample-size stsz declaring 2^31-1 samples is clamped " +
+      "by physical file size, never allocated as declared (OOM-class)") {
+    // 16-byte stsz with sample_size = 10 and sample_count = 0x7FFFFFFF:
+    // unclamped, Array.fill would allocate a ~17 GB Long array and die
+    // with OutOfMemoryError (an Error the per-clip catch cannot convert
+    // to a parse_error row). The count is physically bounded by
+    // bytes.length / sample_size.
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(tpe: String)(body: => Unit): Unit = {
+      val mark = bos.size()
+      u32(0L); raw(tpe)
+      body
+      val arr = bos.toByteArray
+      val sz = arr.length - mark
+      arr(mark) = ((sz >> 24) & 0xff).toByte; arr(mark + 1) = ((sz >> 16) & 0xff).toByte
+      arr(mark + 2) = ((sz >> 8) & 0xff).toByte; arr(mark + 3) = (sz & 0xff).toByte
+      bos.reset(); bos.write(arr, 0, arr.length)
+    }
+    box("ftyp") { raw("isom"); u32(0L); raw("isom") }
+    box("moov") {
+      box("trak") {
+        box("mdia") {
+          box("mdhd") { u32(0L); u32(0L); u32(0L); u32(1000L); u32(200L); u16(0); u16(0) }
+          box("hdlr") { u32(0L); u32(0L); raw("vide"); u32(0L); u32(0L); u32(0L); u8(0) }
+          box("minf") {
+            box("stbl") {
+              box("stts") { u32(0L); u32(1L); u32(2L); u32(100L) }
+              box("stsz") { u32(0L); u32(10L); u32(0x7FFFFFFFL) } // fixed=10, count LIES
+              box("stsc") { u32(0L); u32(1L); u32(1L); u32(2L); u32(1L) }
+              box("stco") { u32(0L); u32(1L); u32(500L) }
+            }
+          }
+        }
+      }
+    }
+    // the pin is survival + boundedness: the call returns (no Error kills
+    // the task) and emits a bounded number of rows in bounded time
+    val out = VideoBitstream.mp4SyncSamples(
+      Seq((0L, bos.toByteArray)).toDF("doc_id", "payload")).collect()
+    assert(out.length < 100, s"unbounded sample table: ${out.length} rows")
+  }
 }
