@@ -289,6 +289,37 @@ object CatalogPipeline {
       FROM g JOIN k ON g.doc_key = k.doc_key
       WHERE k.n_vecs > 0"""))
 
+  /** Weighted chunk→document pooling
+    * ([[graft.ops.Embeddings.weightedMeanPool]]): the production shape —
+    * chunks weighted by token count so a short tail chunk doesn't dilute
+    * the document vector. Weight here is a closed-form function of
+    * vec_id so the oracle regenerates it; q·w products and w sums are
+    * exact longs on both sides (every SUM-derived oracle column cast
+    * ::BIGINT — the r15 HUGEINT lesson).
+    */
+  private val embMeanPoolW = Q("emb_mean_pool_weighted",
+    (s, dir) => Embeddings.weightedMeanPool(
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 97).as("doc_key"),
+          (col("vec_id") % 7 + 1).as("w"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", "w", "doc_key")
+      .select(col("doc_key"), col("w_total"),
+        posexplode(col("mean_vec")).as(Seq("pos", "mean_val"))),
+    Some("""WITH e AS (SELECT vec_id % 97 AS doc_key,
+        (vec_id % 7 + 1)::BIGINT AS w, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT doc_key, w, unnest(v) AS val,
+        unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
+      g AS (SELECT doc_key, pos,
+        SUM(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) * w)::BIGINT AS s,
+        SUM(CASE WHEN val IS NOT NULL THEN w END)::BIGINT AS n
+        FROM x GROUP BY 1, 2),
+      k AS (SELECT doc_key, MAX(n)::BIGINT AS w_total FROM g GROUP BY 1)
+      SELECT g.doc_key, k.w_total, g.pos::INT AS pos,
+        CASE WHEN n > 0 THEN (s::DOUBLE / n) / 1000000.0 END AS mean_val
+      FROM g JOIN k ON g.doc_key = k.doc_key
+      WHERE k.w_total > 0"""))
+
   // -------------------------------------------------------------------- OLAP
 
   private val rollup = Q("q_rollup",
@@ -449,6 +480,6 @@ object CatalogPipeline {
 
   val queries: Seq[Q] = Seq(
     asof, rangeJoin,
-    pack, packBpe, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embMeanPool, embPq, tfidf,
+    pack, packBpe, shardExport, sourceCap, targetMix, lineDedup, chunk, unigram, vocabOov, embQuant, embMeanPool, embMeanPoolW, embPq, tfidf,
     rollup, cube, pctile, heavyHitters, profileQ, profileApproxQ)
 }

@@ -71,6 +71,44 @@ object Embeddings {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
   }
 
+  /** [[QVecPoolAgg]]'s weighted twin: input rows are (pre-multiplied
+    * quantized vector, weight); sums accumulate q·w per position and the
+    * per-position denominator accumulates w instead of 1. Long sums stay
+    * exact, so the same order-free determinism holds. Overflow bound:
+    * |x|·units·w summed over a key's vectors must fit a long — at
+    * unit-norm embeddings (|x| ≤ 1, units = 1e6) and token-count weights
+    * (≤ 1e5) that is ≥ 9·10^7 vectors per key before saturation.
+    */
+  final class WQVecPoolAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Seq[java.lang.Long], Long), (Array[Long], Array[Long]), (Array[Long], Array[Long])] {
+    private def grown(a: Array[Long], d: Int): Array[Long] =
+      if (a.length >= d) a else java.util.Arrays.copyOf(a, d)
+    def zero: (Array[Long], Array[Long]) =
+      (Array.emptyLongArray, Array.emptyLongArray)
+    def reduce(b: (Array[Long], Array[Long]),
+        v: (Seq[java.lang.Long], Long)): (Array[Long], Array[Long]) =
+      if (v == null || v._1 == null) b
+      else {
+        val s = grown(b._1, v._1.length); val n = grown(b._2, v._1.length)
+        var i = 0
+        v._1.foreach { x => if (x != null) { s(i) += x; n(i) += v._2 }; i += 1 }
+        (s, n)
+      }
+    def merge(a: (Array[Long], Array[Long]),
+        c: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
+      val s = grown(a._1, c._1.length); val n = grown(a._2, c._2.length)
+      var i = 0
+      while (i < c._1.length) { s(i) += c._1(i); n(i) += c._2(i); i += 1 }
+      (s, n)
+    }
+    def finish(b: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
+  }
+
   /** Mean-pool many vectors into one per `keyCol` — the chunk→document
     * aggregation step after a long doc was split ([[graft.ops.TextAnalysis.chunkDocuments]])
     * and each chunk embedded: doc embedding = element-wise mean of its
@@ -120,6 +158,34 @@ object Embeddings {
         // a position NO vector carried stays in place as null — filtering
         // it out would shift every later dimension's mean to the wrong
         // index and silently corrupt any downstream dot product
+        zip_with(col("__s"), col("__n"),
+          (s, n) => when(n > 0, s.cast("double") / n / units)).as("mean_vec"))
+  }
+
+  /** [[meanPool]] weighted by a per-row long column — the production
+    * doc-embedding shape: chunks weighted by token count so a short tail
+    * chunk doesn't dilute the document vector. Identical plan (one
+    * shuffle, [[WQVecPoolAgg]] map-side combine) and identical
+    * determinism (q·w products and w sums are exact longs; mean =
+    * `Σ(q·w) / Σw / units`, two IEEE divisions). Rows with weight ≤ 0 or
+    * a null weight are dropped (a zero weight contributes nothing but
+    * would make an all-zero-weight position 0/0); returns
+    * (keyCol, w_total, mean_vec) where `w_total` is the largest
+    * per-position weight sum.
+    */
+  def weightedMeanPool(df: DataFrame, vecCol: String, weightCol: String,
+      keyCol: String, units: Double = 1e6): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val qw = transform(col(vecCol), x => floor(x * units + lit(0.5)) * w)
+    val pool = org.apache.spark.sql.functions.udaf(new WQVecPoolAgg)
+    df.where(w.isNotNull && w > 0)
+      .select(col(keyCol), qw.as("__qw"), w.as("__w"))
+      .groupBy(col(keyCol))
+      .agg(pool(col("__qw"), col("__w")).as("__p"))
+      .select(col(keyCol), col("__p._1").as("__s"), col("__p._2").as("__n"))
+      .where(size(col("__n")) > 0 && array_max(col("__n")) > 0)
+      .select(col(keyCol),
+        array_max(col("__n")).as("w_total"),
         zip_with(col("__s"), col("__n"),
           (s, n) => when(n > 0, s.cast("double") / n / units)).as("mean_vec"))
   }

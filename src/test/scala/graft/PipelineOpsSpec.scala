@@ -165,6 +165,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("weighted mean pool: token-count weighting, zero/null weights drop") {
+    val df = Seq(
+      (1L, 3L, Seq[java.lang.Double](1.0, 10.0)),
+      (1L, 1L, Seq[java.lang.Double](5.0, 2.0)),
+      (2L, 0L, Seq[java.lang.Double](9.0, 9.0)), // zero weight contributes nothing
+      (2L, 2L, Seq[java.lang.Double](4.0, 6.0))
+    ).toDF("k", "w", "v")
+    val out = Embeddings.weightedMeanPool(df, "v", "w", "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    // key 1: (3*1 + 1*5)/4 = 2.0, (3*10 + 1*2)/4 = 8.0
+    assert(out(1L) == (4L, Seq(2.0, 8.0)))
+    // key 2: only the w=2 row — the weighted mean IS that vector
+    assert(out(2L) == (2L, Seq(4.0, 6.0)))
+    // agreement with the unweighted op at w = 1 everywhere
+    val uni = Embeddings.meanPool(df.select(col("k"), col("v")), "v", "k")
+    val wOne = Embeddings.weightedMeanPool(df.withColumn("w", lit(1L)), "v", "w", "k")
+      .withColumnRenamed("w_total", "n_vecs")
+    assert(wOne.except(uni).isEmpty && uni.except(wOne).isEmpty)
+  }
+
   test("target mix: composition matches shares, binding group limits size") {
     // 100 en, 10 de → with shares 0.8/0.2 the binding group is de:
     // N = min(100/0.8, 10/0.2) = 50 → keep 40 en + 10 de

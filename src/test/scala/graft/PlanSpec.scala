@@ -493,19 +493,20 @@ class PlanSpecR13 extends AnyFunSuite {
     }
   }
 
-  test("emb_mean_pool: ONE key exchange under the vector-buffer " +
-      "aggregator — the posexplode tall layout (superlinear on the op's " +
-      "own decade leg, SCALE §22.26) must not come back, and nothing " +
-      "explodes or joins") {
-    val p = plan("emb_mean_pool")
-    // the catalog row's own posexplode (long-form output for the
-    // compare) runs ABOVE the aggregate; the pin is that no Generate
-    // sits BELOW the aggregation, i.e. pooling consumes whole vectors
-    val agg = p.indexOf("ObjectHashAggregate")
-    assert(agg >= 0, s"no object-hash aggregate in plan:\n$p")
-    assert(exchanges(p) == 1, s"mean pool must shuffle exactly once:\n$p")
-    assert(!p.contains("Join"), s"mean pool joins:\n$p")
-    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
-    assert(gens == 1, s"expected only the output-side posexplode:\n$p")
+  test("emb_mean_pool (+ weighted): ONE key exchange under the " +
+      "vector-buffer aggregator — the posexplode tall layout (superlinear " +
+      "on the op's own decade leg, SCALE §22.26) must not come back, and " +
+      "nothing explodes or joins") {
+    for (q <- Seq("emb_mean_pool", "emb_mean_pool_weighted")) {
+      val p = plan(q)
+      // the catalog row's own posexplode (long-form output for the
+      // compare) runs ABOVE the aggregate; the pin is that no Generate
+      // sits BELOW the aggregation, i.e. pooling consumes whole vectors
+      assert(p.contains("ObjectHashAggregate"), s"$q: no object-hash aggregate:\n$p")
+      assert(exchanges(p) == 1, s"$q must shuffle exactly once:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+      val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
+      assert(gens == 1, s"$q: expected only the output-side posexplode:\n$p")
+    }
   }
 }
