@@ -43,6 +43,9 @@ object H264Decode {
       numSliceGroups: Int, deblockControlPresent: Boolean,
       redundantPicCntPresent: Boolean, bottomFieldPocPresent: Boolean,
       picInitQp: Int = 26, transform8x8: Boolean = false,
+      // P-slice fields (§7.3.2.2): the default L0 reference count and
+      // the weighted-prediction flag gate the inter decode's refusals
+      numRefIdxL0Default: Int = 1, weightedPred: Boolean = false,
       scalingMatrix: Boolean = false,
       // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, only the
       // luma-intra 4×4 list (i = 0) is retained — luma-only decode
@@ -62,8 +65,8 @@ object H264Decode {
       PpsInfo(cabac, sliceGroups, deblockControlPresent = false,
         redundantPicCntPresent = false, bottomFieldPocPresent = bottomPoc)
     else {
-      r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
-      r.u1() // weighted_pred_flag
+      val numRefL0 = r.ue() + 1; r.ue() // num_ref_idx_l0/l1_default_active_minus1
+      val wPred = r.u1() == 1 // weighted_pred_flag
       r.u(2) // weighted_bipred_idc
       val initQp = 26 + r.se() // pic_init_qp_minus26: the QPY base
       r.se() // pic_init_qs_minus26
@@ -97,7 +100,8 @@ object H264Decode {
         }
       }
       PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
-        transform8x8 = t8, scalingMatrix = scaling,
+        transform8x8 = t8, numRefIdxL0Default = numRefL0,
+        weightedPred = wPred, scalingMatrix = scaling,
         lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault)
     }
   }
@@ -1149,6 +1153,129 @@ object H264Decode {
       }
     }(enc)
   }
+
+  private val gopCols =
+    StructField("frame_idx", IntegerType) +:
+      StructField("frame_type", StringType) +: cols
+
+  /** Decode a whole Annex-B GOP: the IDR keyframe through the shared
+    * I-slice core, then each following P slice through
+    * [[H264Inter.decodePSlice]] motion compensation against the
+    * previously reconstructed frame (single L0 reference — the
+    * restricted inter envelope documented there). One row per coded
+    * frame (`frame_idx` 0-based, `frame_type` I/P); a frame that
+    * refuses emits its own error row and STOPS the walk — every later
+    * P frame predicts from the failed one, so decoding past it would
+    * fabricate pixels. Frames already decoded are kept (the same
+    * per-unit degradation contract as the MP4 keyframe route).
+    */
+  def decodeGop(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      cabac: Option[Cabac.Config] = None): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeGop", gopCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ gopCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(fi, ft, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val nals = VideoBitstream.findNals(bytes)
+          if (nals == null) Seq(errRow(null, null, "no Annex-B start code"))
+          else {
+            var sps: VideoBitstream.SpsInfo = null
+            var pps: PpsInfo = null
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var ref: Array[Byte] = null
+            var frameIdx = 0
+            var stopped = false
+            nals.foreach { case (off, len) =>
+              if (!stopped) (bytes(off) & 0x1f) match {
+                case 7 if sps == null =>
+                  sps = VideoBitstream.parseSps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case 8 if pps == null =>
+                  pps = parsePps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case t @ (5 | 1) =>
+                  val refIdc = (bytes(off) >> 5) & 3
+                  val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+                  if (sps == null || pps == null) {
+                    out += errRow(frameIdx, null,
+                      "coded slice before SPS/PPS")
+                    stopped = true
+                  } else {
+                    val (ft, res) =
+                      if (t == 5)
+                        ("I", decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                          refIdc, cabacCfg))
+                      else
+                        ("P", H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                          refIdc))
+                    res match {
+                      case Left(msg) =>
+                        out += errRow(frameIdx, ft, msg)
+                        stopped = true
+                      case Right(luma) =>
+                        out += lumaRow(r, luma, sps.widthMbs * 16,
+                          sps.heightMbs * 16, prefix = Seq(frameIdx, ft))
+                        ref = luma
+                    }
+                    frameIdx += 1
+                  }
+                case _ => ()
+              }
+            }
+            if (out.isEmpty) Seq(errRow(null, null, "no coded slice in stream"))
+            else out.toSeq
+          }
+        } catch { case e: Exception =>
+          Seq(errRow(null, null, s"decode failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic 3-frame GOP clip (Annex-B): the [[i16SliceRbsp]]
+    * quadrant IDR (closed-form constants c0..c3 in (v0, s1, v2)), then
+    * a P frame whose every macroblock is P_L0_16x16 with the SAME
+    * integer motion vector (mvx, mvy) in quarter-sample units and no
+    * residual (frame 1 = frame 0 translated by (mvx/4, mvy/4) with
+    * edge clamping — closed-form for integer MVs), then an all-P_Skip
+    * frame (frame 2 = frame 1: every skip derives zero motion here —
+    * first row/column by the §8.4.1.1 edge rule, interiors because
+    * their A/B neighbours are zero-motion ref-0 MBs).
+    *
+    * The uniform MV costs exactly one non-zero mvd: MB0's prediction
+    * is (0,0) (no neighbours), every later MB predicts the uniform MV
+    * from its decoded neighbours (§8.4.1.3: A-only rule on row 0,
+    * exactly-one/median elsewhere — all yield the MV itself), so mvd
+    * is (mvx, mvy) for MB0 and (0,0) for the rest. The decoder's
+    * prediction chain is therefore load-bearing for the fixture's
+    * correctness — a wrong median ships wrong pixels, which the
+    * closed-form oracle catches.
+    */
+  val syntheticGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, mvx: Int, mvy: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 1,
+          Some((mvx, mvy)) +: Seq.fill(3)(Some((0, 0)))))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 2, Seq.fill(4)(None)))
+        out.toArray
+      })
 
   private val mp4Cols =
     StructField("sample_idx", IntegerType) +: cols

@@ -1,0 +1,359 @@
+package graft.ops
+
+/** H.264 P-slice inter prediction — the motion-compensation side of the
+  * keyframe decoder family: quarter-sample luma interpolation
+  * (ITU-T H.264 §8.4.2.2.1–2), 16×16 motion-vector prediction
+  * (§8.4.1.3) with the P_Skip derivation (§8.4.1.1), and a restricted
+  * CAVLC P-slice macroblock walk ([[decodePSlice]]).
+  *
+  * Reference shape (SDM-RDFizer has no media decode; this extends the
+  * repo's beyond-parity video family): the supported envelope is the
+  * one a curation pipeline's self-coded probes exercise — single
+  * reference frame, P_Skip + P_L0_16x16 partitions, residual-free
+  * inter macroblocks — with everything outside it refused BY NAME
+  * (sub-partitions, multiple references, weighted prediction, inter
+  * residual, CABAC P slices). The refusals follow the repo's table
+  * policy: Table 9-4's INTER coded_block_pattern column is NOT carried
+  * because it cannot be conformance-anchored in this environment —
+  * decoding through a mis-recalled table would ship wrong pixels with
+  * decode_error null, which is worse than the named refusal
+  * (same reasoning as the CABAC probability tables, Cabac.scala).
+  *
+  * Everything that IS decoded is exact: the 6-tap half-sample filter
+  * and quarter-sample averaging reproduce the spec arithmetic
+  * bit-for-bit (pinned by hand-computed kernels and by the
+  * encode∘decode round trip in H264InterSpec).
+  */
+object H264Inter {
+
+  /** Edge-clamped reference sample (§8.4.2.2.1's Clip3 on coordinates —
+    * motion vectors may point outside the picture; samples replicate
+    * from the border).
+    */
+  @inline private def at(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int = {
+    val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
+    val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
+    ref(cy * w + cx) & 0xff
+  }
+
+  @inline private def clip255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Raw (unshifted, unclipped) 6-tap horizontal intermediate at
+    * integer row `y`, half-sample column `x + 1/2` — the spec's b1.
+    */
+  @inline private def rawH(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int =
+    at(ref, w, h, x - 2, y) - 5 * at(ref, w, h, x - 1, y) +
+      20 * at(ref, w, h, x, y) + 20 * at(ref, w, h, x + 1, y) -
+      5 * at(ref, w, h, x + 2, y) + at(ref, w, h, x + 3, y)
+
+  /** Raw 6-tap vertical intermediate at integer column `x`, half-sample
+    * row `y + 1/2` — the spec's h1.
+    */
+  @inline private def rawV(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int =
+    at(ref, w, h, x, y - 2) - 5 * at(ref, w, h, x, y - 1) +
+      20 * at(ref, w, h, x, y) + 20 * at(ref, w, h, x, y + 1) -
+      5 * at(ref, w, h, x, y + 2) + at(ref, w, h, x, y + 3)
+
+  /** Half-sample value b (horizontal) / h (vertical): (raw + 16) >> 5,
+    * clipped.
+    */
+  @inline private def halfH(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int = clip255((rawH(ref, w, h, x, y) + 16) >> 5)
+  @inline private def halfV(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int = clip255((rawV(ref, w, h, x, y) + 16) >> 5)
+
+  /** Center half-sample j: 6-tap over the raw VERTICAL intermediates
+    * (equivalently over the horizontal ones — §8.4.2.2.1 requires the
+    * intermediate to stay unshifted), then (… + 512) >> 10.
+    */
+  @inline private def halfC(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int): Int = {
+    val v = rawV(ref, w, h, x - 2, y) - 5 * rawV(ref, w, h, x - 1, y) +
+      20 * rawV(ref, w, h, x, y) + 20 * rawV(ref, w, h, x + 1, y) -
+      5 * rawV(ref, w, h, x + 2, y) + rawV(ref, w, h, x + 3, y)
+    clip255((v + 512) >> 10)
+  }
+
+  /** One predicted luma sample at quarter-sample position
+    * (xInt + xFrac/4, yInt + yFrac/4), §8.4.2.2.1 Table 8-12's full
+    * a..s letter grid. xFrac/yFrac in 0..3.
+    */
+  private[ops] def lumaSample(ref: Array[Byte], w: Int, h: Int,
+      xInt: Int, yInt: Int, xFrac: Int, yFrac: Int): Int = {
+    def g = at(ref, w, h, xInt, yInt)
+    def b = halfH(ref, w, h, xInt, yInt)
+    def hh = halfV(ref, w, h, xInt, yInt)
+    def j = halfC(ref, w, h, xInt, yInt)
+    def m = halfV(ref, w, h, xInt + 1, yInt) // vertical half one column right
+    def s = halfH(ref, w, h, xInt, yInt + 1) // horizontal half one row down
+    (xFrac, yFrac) match {
+      case (0, 0) => g
+      case (1, 0) => (g + b + 1) >> 1 // a
+      case (2, 0) => b
+      case (3, 0) => (at(ref, w, h, xInt + 1, yInt) + b + 1) >> 1 // c
+      case (0, 1) => (g + hh + 1) >> 1 // d
+      case (1, 1) => (b + hh + 1) >> 1 // e
+      case (2, 1) => (b + j + 1) >> 1 // f
+      case (3, 1) => (b + m + 1) >> 1 // g
+      case (0, 2) => hh
+      case (1, 2) => (hh + j + 1) >> 1 // i
+      case (2, 2) => j
+      case (3, 2) => (j + m + 1) >> 1 // k
+      case (0, 3) => (at(ref, w, h, xInt, yInt + 1) + hh + 1) >> 1 // n
+      case (1, 3) => (hh + s + 1) >> 1 // p
+      case (2, 3) => (j + s + 1) >> 1 // q
+      case _      => (m + s + 1) >> 1 // r (3,3)
+    }
+  }
+
+  /** Motion-compensate one 16×16 luma macroblock at picture position
+    * (px, py) with quarter-sample motion vector (mvx, mvy) from `ref`
+    * into `dst` (both w×h planes).
+    */
+  private[ops] def predict16x16(ref: Array[Byte], dst: Array[Byte],
+      w: Int, h: Int, px: Int, py: Int, mvx: Int, mvy: Int): Unit = {
+    // >> 2 (arithmetic) keeps negative MVs on the integer grid the spec
+    // expects; & 3 gives the fractional phase
+    val xI = px + (mvx >> 2)
+    val yI = py + (mvy >> 2)
+    val xF = mvx & 3
+    val yF = mvy & 3
+    var yy = 0
+    while (yy < 16) {
+      var xx = 0
+      while (xx < 16) {
+        dst((py + yy) * w + px + xx) =
+          lumaSample(ref, w, h, xI + xx, yI + yy, xF, yF).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Per-MB motion state for the neighbour derivations: refIdx −1 marks
+    * intra / unavailable (outside picture), 0 marks a decoded inter MB.
+    */
+  private[ops] final class MvGrid(val mbw: Int, val mbh: Int) {
+    val mvx = new Array[Int](mbw * mbh)
+    val mvy = new Array[Int](mbw * mbh)
+    val ref = Array.fill(mbw * mbh)(-1)
+    def set(mbx: Int, mby: Int, x: Int, y: Int): Unit = {
+      mvx(mby * mbw + mbx) = x; mvy(mby * mbw + mbx) = y
+      ref(mby * mbw + mbx) = 0
+    }
+    def refAt(mbx: Int, mby: Int): Int =
+      if (mbx < 0 || mby < 0 || mbx >= mbw || mby >= mbh) -1
+      else ref(mby * mbw + mbx)
+    def mvAt(mbx: Int, mby: Int): (Int, Int) =
+      if (refAt(mbx, mby) < 0) (0, 0)
+      else (mvx(mby * mbw + mbx), mvy(mby * mbw + mbx))
+  }
+
+  /** §8.4.1.3 luma motion-vector prediction for a whole-MB (16×16)
+    * partition: neighbours A (left), B (above), C (above-right, D
+    * above-left when C is outside); exactly-one-matching-refIdx
+    * shortcut, A-only shortcut when B/C/D are all unavailable, else
+    * the component-wise median.
+    */
+  private[ops] def mvPred16x16(g: MvGrid, mbx: Int, mby: Int): (Int, Int) = {
+    val aAvail = mbx > 0
+    val bAvail = mby > 0
+    // C = above-right; outside the picture (or on row 0) → D above-left
+    val cAvail0 = mby > 0 && mbx + 1 < g.mbw
+    val (cx, cy, cAvail) =
+      if (cAvail0) (mbx + 1, mby - 1, true)
+      else (mbx - 1, mby - 1, mbx > 0 && mby > 0)
+    val refA = if (aAvail) g.refAt(mbx - 1, mby) else -1
+    val refB = if (bAvail) g.refAt(mbx, mby - 1) else -1
+    val refC = if (cAvail) g.refAt(cx, cy) else -1
+    val (ax, ay) = if (aAvail) g.mvAt(mbx - 1, mby) else (0, 0)
+    val (bx, by) = if (bAvail) g.mvAt(mbx, mby - 1) else (0, 0)
+    val (cxv, cyv) = if (cAvail) g.mvAt(cx, cy) else (0, 0)
+    // §8.4.1.3.1: B, C (and D) all unavailable and A available → mvA
+    if (!bAvail && !cAvail && aAvail) (ax, ay)
+    else {
+      val matches =
+        (if (refA == 0) 1 else 0) + (if (refB == 0) 1 else 0) +
+          (if (refC == 0) 1 else 0)
+      if (matches == 1) {
+        if (refA == 0) (ax, ay) else if (refB == 0) (bx, by) else (cxv, cyv)
+      } else {
+        def med(a: Int, b: Int, c: Int): Int =
+          math.max(math.min(a, b), math.min(math.max(a, b), c))
+        (med(ax, bx, cxv), med(ay, by, cyv))
+      }
+    }
+  }
+
+  /** §8.4.1.1 P_Skip motion derivation: zero when either edge neighbour
+    * is unavailable or is a zero-motion reference-0 block, else the
+    * §8.4.1.3 prediction.
+    */
+  private[ops] def skipMv(g: MvGrid, mbx: Int, mby: Int): (Int, Int) = {
+    val aZero = mbx > 0 && g.refAt(mbx - 1, mby) == 0 &&
+      g.mvAt(mbx - 1, mby) == (0, 0)
+    val bZero = mby > 0 && g.refAt(mbx, mby - 1) == 0 &&
+      g.mvAt(mbx, mby - 1) == (0, 0)
+    if (mbx == 0 || mby == 0 || aZero || bZero) (0, 0)
+    else mvPred16x16(g, mbx, mby)
+  }
+
+  /** Encoder twin for the P-slice walk (fixtures + round-trip pins): one
+    * CAVLC P slice over `mbs` in raster order — `None` = P_Skip,
+    * `Some((mvdX, mvdY))` = P_L0_16x16 with that MOTION VECTOR
+    * DIFFERENCE (the decoder adds its §8.4.1.3 prediction) and no
+    * residual. frame_num is the §7.3.3 field (pocType-2 SPS: no POC
+    * fields); deblocking written disabled, as the decoder requires.
+    */
+  private[ops] def pSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
+      mbs: Seq[Option[(Int, Int)]]): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(0) // slice_type: P
+    w.ue(0) // pic_parameter_set_id
+    w.u(frameNum, log2MaxFrameNum)
+    w.u(0, 1) // num_ref_idx_active_override_flag
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+    var run = 0
+    mbs.foreach {
+      case None => run += 1
+      case Some((mx, my)) =>
+        w.ue(run); run = 0
+        w.ue(0) // mb_type: P_L0_16x16
+        w.se(mx); w.se(my) // mvd_l0[0][0]
+        w.ue(0) // coded_block_pattern codeNum 0 → cbp 0 (no residual)
+    }
+    if (run > 0) w.ue(run) // trailing skips close the slice
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Decode ONE CAVLC P slice against the previously decoded luma plane
+    * `refLuma` (the single L0 reference). Returns the reconstructed
+    * luma plane, or the named refusal. The envelope (everything else
+    * refuses by name, never guesses pixels):
+    *   - P_Skip and P_L0_16x16 macroblocks, residual-free (inter
+    *     coded_block_pattern ≠ 0 refuses: Table 9-4's inter column is
+    *     not conformance-anchored here — the scaladoc's table policy)
+    *   - one L0 reference (the previous frame), no list modification,
+    *     no weighted prediction, sliding-window marking
+    *   - deblocking explicitly disabled by the stream (as the I path)
+    */
+  private[ops] def decodePSlice(sliceRbsp: Array[Byte],
+      sps: VideoBitstream.SpsInfo, pps: H264Decode.PpsInfo,
+      refLuma: Array[Byte], nalRefIdc: Int = 2): Either[String, Array[Byte]] = {
+    val mbw = sps.widthMbs
+    val mbh = sps.heightMbs
+    val nMbs = mbw.toLong * mbh
+    if (pps.entropyCabac)
+      Left("CABAC P slice not supported (inter binarizations not carried)")
+    else if (pps.weightedPred)
+      Left("weighted prediction not supported")
+    else if (pps.numSliceGroups > 1) Left("FMO not supported")
+    else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
+    else if (sps.bitDepthLuma != 8 || sps.bitDepthChroma != 8)
+      Left(s"bit depth ${sps.bitDepthLuma}/${sps.bitDepthChroma} " +
+        "not supported (only 8-bit)")
+    else if (sps.pocType == 1) Left("pic_order_cnt_type 1 not supported")
+    else if (refLuma == null || refLuma.length != mbw * 16 * mbh * 16)
+      Left("no decoded reference frame for P slice")
+    else {
+      val w = mbw * 16
+      val h = mbh * 16
+      val luma = new Array[Byte](w * h)
+      val rd = new VideoBitstream.BitReader(sliceRbsp)
+      val firstMb = rd.ue()
+      val sliceType = rd.ue()
+      if (firstMb != 0) Left("multi-slice P frame not supported")
+      else if (sliceType % 5 != 0)
+        Left(s"not a P slice (slice_type $sliceType)")
+      else {
+        rd.ue() // pic_parameter_set_id
+        rd.u(sps.log2MaxFrameNum) // frame_num
+        if (sps.pocType == 0) rd.u(sps.log2MaxPocLsb)
+        if (pps.bottomFieldPocPresent && sps.pocType == 0) rd.se()
+        if (pps.redundantPicCntPresent) rd.ue()
+        // num_ref_idx_active_override (§7.3.3): the decode carries ONE
+        // reference; more than one makes ref_idx_l0 syntax appear in
+        // every inter MB, which this walk does not parse — refuse
+        var numRefL0 = pps.numRefIdxL0Default
+        if (rd.u1() == 1) numRefL0 = rd.ue() + 1
+        if (numRefL0 != 1)
+          return Left(s"$numRefL0 L0 reference frames not supported " +
+            "(single-reference P decode)")
+        // ref_pic_list_modification (§7.3.3.1)
+        if (rd.u1() == 1)
+          return Left("ref_pic_list_modification not supported")
+        // dec_ref_pic_marking (§7.3.3.3), non-IDR: only when ref_idc != 0
+        if (nalRefIdc != 0 && rd.u1() == 1)
+          return Left("adaptive ref pic marking not supported " +
+            "(sliding window only)")
+        rd.se() // slice_qp_delta (no residual decodes, but the field is read)
+        var deblockOff = false
+        if (pps.deblockControlPresent) {
+          val idc = rd.ue()
+          deblockOff = idc == 1
+          if (idc != 1) { rd.se(); rd.se() }
+        }
+        if (!deblockOff)
+          return Left("in-loop deblocking not implemented " +
+            "(stream does not disable it)")
+        val g = new MvGrid(mbw, mbh)
+        var mb = 0
+        var bad: String = null
+        try {
+          while (mb < nMbs && bad == null) {
+            // §7.3.4 CAVLC P slice_data: mb_skip_run precedes each
+            // coded macroblock (and may consume the slice tail)
+            var skipRun = rd.ue()
+            while (skipRun > 0 && mb < nMbs) {
+              val mbx = (mb % mbw).toInt
+              val mby = (mb / mbw).toInt
+              val (mvX, mvY) = skipMv(g, mbx, mby)
+              predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16, mvX, mvY)
+              g.set(mbx, mby, mvX, mvY)
+              mb += 1
+              skipRun -= 1
+            }
+            if (skipRun > 0) bad = "mb_skip_run past the last macroblock"
+            else if (mb < nMbs) {
+              val mbx = (mb % mbw).toInt
+              val mby = (mb / mbw).toInt
+              val mbType = rd.ue()
+              if (mbType == 0) { // P_L0_16x16
+                // single reference → ref_idx_l0 absent; mvd_l0 x, y
+                val (px, py) = mvPred16x16(g, mbx, mby)
+                val mvX = px + rd.se()
+                val mvY = py + rd.se()
+                val cbpCode = rd.ue()
+                if (cbpCode != 0)
+                  bad = "inter residual not supported (Table 9-4 inter " +
+                    "cbp column not conformance-anchored; codeNum 0 = " +
+                    "no residual decodes)"
+                else {
+                  predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16,
+                    mvX, mvY)
+                  g.set(mbx, mby, mvX, mvY)
+                  mb += 1
+                }
+              } else if (mbType >= 1 && mbType <= 4)
+                bad = s"P sub-partition mb_type $mbType not supported " +
+                  "(P_L0_16x16 and P_Skip decode)"
+              else if (mbType >= 5)
+                bad = "intra macroblock in P slice not supported"
+              else bad = s"unsupported mb_type $mbType in P slice"
+            }
+          }
+        } catch { case e: Cavlc.Unsupported => bad = e.getMessage }
+        if (bad != null) Left(bad) else Right(luma)
+      }
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** P-slice inter prediction ([[H264Inter]]): the §8.4.2.2.1 quarter-pel
+  * kernel against hand-computed 6-tap values, the §8.4.1.3 / §8.4.1.1
+  * motion-vector derivations case by case, and the encode∘decode GOP
+  * round trip (motion-compensated frames pixel-exact in closed form).
+  */
+class H264InterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 6×1 plane: a slope-10 ramp — linear, so half/quarter positions are
+  // exact midpoints (the 6-tap filter reproduces linear functions)
+  private val ramp = Array[Byte](10, 20, 30, 40, 50, 60)
+
+  test("luma kernel: half-pel 6-tap, hand-computed, including the edge clamp") {
+    // interior: raw = 10-100+600+800-250+60 = 1120 → (1120+16)>>5 = 35
+    assert(H264Inter.lumaSample(ramp, 6, 1, 2, 0, 2, 0) == 35)
+    // left edge (x=0): clamped taps 10,10,10,20,30,40 → raw 450 → 14
+    assert(H264Inter.lumaSample(ramp, 6, 1, 0, 0, 2, 0) == 14)
+    // quarter a at x=2: (G + b + 1)>>1 = (30 + 35 + 1)>>1 = 33
+    assert(H264Inter.lumaSample(ramp, 6, 1, 2, 0, 1, 0) == 33)
+    // quarter c at x=2: (H + b + 1)>>1 = (40 + 35 + 1)>>1 = 38
+    assert(H264Inter.lumaSample(ramp, 6, 1, 2, 0, 3, 0) == 38)
+    // integer position is the sample itself
+    assert(H264Inter.lumaSample(ramp, 6, 1, 3, 0, 0, 0) == 40)
+  }
+
+  test("luma kernel: center j is exact on an additive ramp (interior)") {
+    // f(x, y) = 10 + 10x + 20y on an 8×8 plane: j at (x+1/2, y+1/2)
+    // should be f + 15 exactly (the 2-D 6-tap reproduces bilinear)
+    val w = 8
+    val p = Array.tabulate[Byte](w * w)(i => (10 + 10 * (i % w) + 20 * (i / w)).toByte)
+    assert(H264Inter.lumaSample(p, w, w, 3, 3, 2, 2) ==
+      (10 + 30 + 60) + 15)
+    // e / f / i quarter positions around the same point stay exact
+    assert(H264Inter.lumaSample(p, w, w, 3, 3, 1, 1) ==
+      ((10 + 30 + 60 + 5) + (10 + 30 + 60 + 10) + 1) / 2) // (b + h + 1)>>1
+  }
+
+  test("mv prediction: A-only rule, exactly-one-match, median") {
+    val g = new H264Inter.MvGrid(4, 4)
+    // row 0, col 1: B/C/D unavailable, A available → mvA verbatim
+    g.set(0, 0, 12, -8)
+    assert(H264Inter.mvPred16x16(g, 1, 0) == (12, -8))
+    // interior with exactly ONE inter neighbour (B intra, C intra) → mvA
+    g.set(0, 1, 4, 4)
+    // neighbours of (1,1): A=(0,1) inter, B=(1,0) NOT SET (intra),
+    // C=(2,0) not set → exactly one match
+    assert(H264Inter.mvPred16x16(g, 1, 1) == (4, 4))
+    // full median: make A, B, C all inter with distinct MVs
+    val g2 = new H264Inter.MvGrid(4, 4)
+    g2.set(0, 1, 10, 0) // A of (1,1)
+    g2.set(1, 0, 20, 4) // B of (1,1)
+    g2.set(2, 0, 30, 8) // C of (1,1)
+    assert(H264Inter.mvPred16x16(g2, 1, 1) == (20, 4))
+    // first MB of the picture: nothing available → (0,0)
+    assert(H264Inter.mvPred16x16(new H264Inter.MvGrid(4, 4), 0, 0) == (0, 0))
+  }
+
+  test("P_Skip derivation: zero on the picture edge and next to " +
+      "zero-motion neighbours, predicted otherwise") {
+    val g = new H264Inter.MvGrid(4, 4)
+    g.set(0, 1, 8, 8); g.set(1, 0, 8, 8); g.set(2, 0, 8, 8)
+    // edge MBs always zero
+    assert(H264Inter.skipMv(g, 0, 2) == (0, 0))
+    assert(H264Inter.skipMv(g, 2, 0) == (0, 0))
+    // interior with moving neighbours → the §8.4.1.3 prediction
+    assert(H264Inter.skipMv(g, 1, 1) == (8, 8))
+    // a zero-motion A neighbour forces zero
+    val gz = new H264Inter.MvGrid(4, 4)
+    gz.set(0, 1, 0, 0); gz.set(1, 0, 8, 8); gz.set(2, 0, 8, 8)
+    assert(H264Inter.skipMv(gz, 1, 1) == (0, 0))
+  }
+
+  test("decodeGop: IDR + uniform-MV P + all-skip P round-trips " +
+      "pixel-exact (closed-form translation with edge clamp)") {
+    // quadrants c0=128+7=135, c1=134, c2=135+3=138, c3=(134+138+1)>>1=136
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
+        lit(8), lit(4)).as("payload")) // integer MV (2, 1) in pixels
+    val out = H264Decode.decodeGop(df).orderBy("frame_idx").collect()
+    assert(out.length == 3, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    assert(out.map(_.getAs[String]("frame_type")).toSeq == Seq("I", "P", "P"))
+    val w = 32
+    val f0 = out(0).getAs[Array[Byte]]("luma_plane")
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane")
+    val f2 = out(2).getAs[Array[Byte]]("luma_plane")
+    // frame 0: the documented quadrants
+    def q(x: Int, y: Int): Int = (if (y < 16) { if (x < 16) 135 else 134 }
+      else { if (x < 16) 138 else 136 })
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert((f0(y * w + x) & 0xff) == q(x, y), s"f0 ($x,$y)")
+    // frame 1: frame 0 translated by the MV (positive MV reads
+    // DOWN-RIGHT in the reference), clamped at the borders
+    def clampI(v: Int): Int = if (v < 0) 0 else if (v > 31) 31 else v
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert((f1(y * w + x) & 0xff) == q(clampI(x + 2), clampI(y + 1)),
+        s"f1 ($x,$y)")
+    // frame 2 (all P_Skip, zero motion everywhere): identical to frame 1
+    assert(f2.toSeq == f1.toSeq)
+  }
+
+  test("decodeGop: quarter-pel motion interpolates — a half-pel MV on " +
+      "the quadrant frame averages across the vertical seam") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
+        lit(2), lit(0)).as("payload")) // MV (+1/2, 0)
+    val out = H264Decode.decodeGop(df).orderBy("frame_idx").collect()
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane")
+    // deep inside the top-left quadrant the plane is constant 135 —
+    // the 6-tap half-pel of a constant is the constant
+    assert((f1(5 * 32 + 5) & 0xff) == 135)
+    // at the seam column x=15 (half-pel between 135..135,134,134...):
+    // taps 135,135,135,134,134,134 → raw = 135-675+2700+2680-670+134
+    //    = 4304 → (4304+16)>>5 = 135
+    assert((f1(5 * 32 + 15) & 0xff) == 135)
+    // x=14: taps at 12..17 = 135,135,135,135,134,134 →
+    // raw = 135-675+2700+2700-670+134 = 4324 → (4324+16)>>5 = 135
+    assert((f1(5 * 32 + 14) & 0xff) == 135)
+    // x=16: taps at 14..19 = 135,135,134,134,134,134 →
+    // raw = 135-675+2680+2680-670+134 = 4284 → (4284+16)>>5 = 134
+    assert((f1(5 * 32 + 16) & 0xff) == 134)
+  }
+
+  test("decodeGop: refusals are NAMED and stop the walk, decoded " +
+      "frames survive") {
+    // P sub-partition (mb_type 1) refuses by name
+    val rbsp = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(0); w.ue(0) // first_mb, slice_type P, pps id
+      w.u(1, 4) // frame_num
+      w.u(0, 1); w.u(0, 1); w.u(0, 1) // overrides/modification/marking
+      w.se(0); w.ue(1) // qp_delta, deblock off
+      w.ue(0) // mb_skip_run 0
+      w.ue(1) // mb_type P_L0_L0_16x8 — unsupported
+      w.rbspTrailing()
+      w.bytes
+    }
+    val out0 = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
+        lit(0), lit(0)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+    // splice: keep SPS/PPS/IDR, replace the P frames with the bad slice
+    val idrEnd = {
+      // find the 4th start code (SPS, PPS, IDR, first P)
+      var count = 0; var i = 0; var pos = -1
+      while (i + 3 < out0.length && pos < 0) {
+        if (out0(i) == 0 && out0(i + 1) == 0 && out0(i + 2) == 0 &&
+            out0(i + 3) == 1) { count += 1; if (count == 4) pos = i }
+        i += 1
+      }
+      pos
+    }
+    val spliced = out0.take(idrEnd) ++
+      Array[Byte](0, 0, 0, 1, (2 << 5 | 1).toByte) ++
+      VideoBitstream.escapeRbsp(rbsp)
+    val rows = H264Decode.decodeGop(Seq((0L, spliced)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("decode_error") == null) // IDR kept
+    assert(rows(1).getAs[String]("decode_error")
+      .contains("sub-partition"), rows(1).toString)
+  }
+}
