@@ -2722,6 +2722,58 @@ object CatalogOps {
       FROM p"""),
     bench = true)
 
+  /** Whole-GOP decode with P-slice motion compensation
+    * ([[graft.ops.H264Decode.syntheticGopAnnexB]] →
+    * [[graft.ops.H264Decode.decodeGop]]): the quadrant IDR, then a P
+    * frame every macroblock of which is P_L0_16x16 carrying ONE
+    * uniform integer motion vector (so frame 1 is the quadrant plane
+    * translated by (dx, dy) with edge clamping — the §8.4.1.3
+    * prediction chain has to be right for every MB after the first to
+    * inherit the MV), then an all-P_Skip frame (frame 2 ≡ frame 1 by
+    * the §8.4.1.1 zero-motion derivation). The oracle replays the
+    * per-frame means in closed form: frame 1's is the clamped-window
+    * quadrant count arithmetic — (16∓dx)(16∓dy) pixels per quadrant —
+    * over 1024, exact in IEEE (power-of-two divisor).
+    */
+  private val mmH264GopDecode = Q("mm_h264_gop_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticGopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(4) * (lit(1) + d % 3)).cast("int"), // mvx: 1..3 px, quarter units
+          (lit(4) * (d % 2)).cast("int")).as("payload")) // mvy: 0..1 px
+      graft.ops.H264Decode.decodeGop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS dx,
+        doc_id % 2 AS dy
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id, dx, dy,
+        (c0 + c1 + c2 + c3)::DOUBLE / 4 AS m0,
+        ((16 - dx) * (16 - dy) * c0 + (16 + dx) * (16 - dy) * c1 +
+         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3)::DOUBLE
+          / 1024 AS m1
+        FROM q),
+      f AS (SELECT doc_id, m0, m1,
+        unnest(generate_series(0, 2)) AS fi FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        CASE WHEN fi = 0 THEN m0 ELSE m1 END AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""),
+    bench = true)
+
   /** STREAM-TRANSMITTED scaling-list decode
     * ([[graft.ops.H264Decode.syntheticScalingI16AnnexB]] → decodeIdr):
     * the same Intra_16x16 slice bytes under a High-profile SPS whose
@@ -4517,7 +4569,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -1135,9 +1135,12 @@ object H264Decode {
                   // (open-GOP / recovery-point cuts)
                   case "I" | "SI" => "non-IDR I-slice stream (open " +
                     "GOP): keyframe decode requires an IDR slice"
-                  case t => s"$t-slice stream: inter prediction not " +
-                    "implemented (named seam; keyframe-only curation " +
-                    "decode takes IDR slices)"
+                  case "B" => "B-slice stream: B inter prediction not " +
+                    "implemented (named seam; decodeGop decodes " +
+                    "IDR-led P GOPs)"
+                  case _ => "P-slice stream without an IDR: no " +
+                    "reference frame to start from (decodeGop decodes " +
+                    "IDR-led GOPs, restricted P envelope)"
                 }
                 else "no IDR slice in stream")
             else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,

@@ -496,7 +496,7 @@ object VideoBitstream {
     * fields that precede any SPS-dependent bit), yielding per clip the
     * I/P/B/IDR counts and `decode_refusal`: null when the keyframe-only
     * decoder can take the clip's IDR slices, else the NAMED inter seam
-    * ("P-slice stream: inter prediction not implemented…") — the same
+    * ("P-slice stream without an IDR…" / the named B seam) — the same
     * refusal [[H264Decode.decodeIdr]] now emits per clip instead of the
     * generic "no IDR slice in stream". SP/SI count into n_p/n_i (their
     * base type) and are named in first_slice_type if leading. Narrow
@@ -546,10 +546,13 @@ object VideoBitstream {
             }
             val refusal =
               if (nIdr > 0) null // keyframe-only decode has its entry
-              else if (nP + nB > 0)
-                s"${if (nB > 0) "B" else "P"}-slice stream: inter " +
-                  "prediction not implemented (named seam; keyframe-only " +
-                  "curation decode takes IDR slices)"
+              else if (nB > 0)
+                "B-slice stream: B inter prediction not implemented " +
+                  "(named seam; decodeGop decodes IDR-led P GOPs)"
+              else if (nP > 0)
+                "P-slice stream without an IDR: no reference frame to " +
+                  "start from (decodeGop decodes IDR-led GOPs, " +
+                  "restricted P envelope)"
               else if (nI > 0)
                 // open-GOP / recovery-point cut: I slices that are not
                 // IDR — no inter prediction involved, the gap is the

@@ -276,10 +276,10 @@ class VideoBitstreamSpec extends AnyFunSuite {
     val rows = VideoBitstream.h264SliceCensus(df, "payload").collect()
       .sortBy(_.getAs[Long]("doc_id"))
     assert(rows(0).getAs[String]("decode_refusal")
-      .startsWith("P-slice stream: inter prediction not implemented"))
+      .startsWith("P-slice stream without an IDR"))
     assert(rows(0).getAs[String]("first_slice_type") == "P")
     assert(rows(1).getAs[String]("decode_refusal")
-      .startsWith("B-slice stream: inter prediction not implemented"))
+      .startsWith("B-slice stream: B inter prediction not implemented"))
     assert(rows(1).getAs[Int]("n_b") == 1)
   }
 
@@ -323,8 +323,7 @@ class VideoBitstreamSpec extends AnyFunSuite {
     val df = Seq(Tuple1(idrlessStream(0, 0))).toDF("payload")
     val err = H264Decode.decodeIdr(df, "payload").collect()(0)
       .getAs[String]("decode_error")
-    assert(err.startsWith("P-slice stream: inter prediction not " +
-      "implemented"), s"got: $err")
+    assert(err.startsWith("P-slice stream without an IDR"), s"got: $err")
     // a stream with no coded slices at all keeps the generic message
     val df2 = Seq(Tuple1(idrlessStream())).toDF("payload")
     val err2 = H264Decode.decodeIdr(df2, "payload").collect()(0)
