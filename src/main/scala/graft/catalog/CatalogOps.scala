@@ -2744,7 +2744,8 @@ object CatalogOps {
           d % 2 === 1,
           (lit(2) + d % 3).cast("int"),
           (lit(4) * (lit(1) + d % 3)).cast("int"), // mvx: 1..3 px, quarter units
-          (lit(4) * (d % 2)).cast("int")).as("payload")) // mvy: 0..1 px
+          (lit(4) * (d % 2)).cast("int"), // mvy: 0..1 px
+          (lit(2) + d % 4).cast("int")).as("payload")) // vI: intra refresh DC
       graft.ops.H264Decode.decodeGop(clips, "payload")
         .select(d, col("frame_idx"), col("frame_type"),
           col("frame_width"), col("frame_height"), col("y_mean"),
@@ -2757,19 +2758,22 @@ object CatalogOps {
         1 + doc_id % 3 AS dx,
         doc_id % 2 AS dy
         FROM documents),
-      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
-      m AS (SELECT doc_id, dx, dy,
-        (c0 + c1 + c2 + c3)::DOUBLE / 4 AS m0,
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3, 2 + doc_id % 4 AS vi FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
         ((16 - dx) * (16 - dy) * c0 + (16 + dx) * (16 - dy) * c1 +
-         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3)::DOUBLE
-          / 1024 AS m1
+         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3) AS n1,
+        ((16 - dx) * (16 - dy) * c0 + dx * (16 - dy) * c1 +
+         (16 - dx) * dy * c2 + dx * dy * c3) AS mb0,
+        256 * (128 + vi) AS refresh
         FROM q),
-      f AS (SELECT doc_id, m0, m1,
-        unnest(generate_series(0, 2)) AS fi FROM m)
+      f AS (SELECT doc_id, n0, n1, n1 - mb0 + refresh AS n2,
+        unnest(generate_series(0, 3)) AS fi FROM m)
       SELECT doc_id, fi::INT AS frame_idx,
         CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
         32::INT AS frame_width, 32::INT AS frame_height,
-        CASE WHEN fi = 0 THEN m0 ELSE m1 END AS y_mean,
+        (CASE WHEN fi = 0 THEN n0 WHEN fi = 3 THEN n2 ELSE n1 END)::DOUBLE
+          / 1024 AS y_mean,
         NULL::VARCHAR AS decode_error
       FROM f"""),
     bench = true)

@@ -46,6 +46,7 @@ object H264Decode {
       // P-slice fields (§7.3.2.2): the default L0 reference count and
       // the weighted-prediction flag gate the inter decode's refusals
       numRefIdxL0Default: Int = 1, weightedPred: Boolean = false,
+      constrainedIntraPred: Boolean = false,
       scalingMatrix: Boolean = false,
       // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, only the
       // luma-intra 4×4 list (i = 0) is retained — luma-only decode
@@ -72,7 +73,7 @@ object H264Decode {
       r.se() // pic_init_qs_minus26
       r.se() // chroma_qp_index_offset
       val deblock = r.u1() == 1
-      r.u1() // constrained_intra_pred_flag
+      val constrained = r.u1() == 1 // constrained_intra_pred_flag
       val redundant = r.u1() == 1
       // optional §7.3.2.2 extension (High profile): transform_8x8_mode,
       // pic_scaling_matrix (lists PARSED — transmitted luma-intra lists
@@ -101,13 +102,14 @@ object H264Decode {
       }
       PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
         transform8x8 = t8, numRefIdxL0Default = numRefL0,
-        weightedPred = wPred, scalingMatrix = scaling,
+        weightedPred = wPred, constrainedIntraPred = constrained,
+        scalingMatrix = scaling,
         lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault)
     }
   }
 
   /** 4×4 zigzag scan: scan index → raster index (H.264 Figure 8-8). */
-  private val Zigzag4x4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private[ops] val Zigzag4x4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
   /** normAdjust4x4 (Table 8-15 values by position class): class 0 =
     * both-even positions, class 1 = both-odd, class 2 = mixed.
@@ -152,7 +154,7 @@ object H264Decode {
   /** In-place 4×4 inverse core transform (§8.5.12.2) + (x+32)>>6 rounding;
     * `d` is raster order.
     */
-  private def idct4x4(d: Array[Int]): Unit = {
+  private[ops] def idct4x4(d: Array[Int]): Unit = {
     var i = 0
     while (i < 4) { // rows
       val o = i * 4
@@ -172,7 +174,7 @@ object H264Decode {
   }
 
   /** 4×4 inverse Hadamard (§8.5.10's f = H·c·H, pure ±1 sums), in place. */
-  private def hadamard4x4(d: Array[Int]): Unit = {
+  private[ops] def hadamard4x4(d: Array[Int]): Unit = {
     var i = 0
     while (i < 4) {
       val o = i * 4
@@ -205,20 +207,20 @@ object H264Decode {
   /** Luma DC dequant (§8.5.10, 8-bit) applied after the inverse Hadamard.
     * Uses LevelScale4x4(qP%6, 0, 0) — position (0,0)'s weight.
     */
-  private def dequantDc(f: Int, qP: Int, wl: Array[Int]): Int = {
+  private[ops] def dequantDc(f: Int, qP: Int, wl: Array[Int]): Int = {
     val ls = levelScale(qP % 6, 0, wl)
     if (qP >= 36) (f * ls) << (qP / 6 - 6)
     else (f * ls + (1 << (5 - qP / 6))) >> (6 - qP / 6)
   }
 
   /** AC coefficient dequant (§8.5.12.1, 8-bit). */
-  private def dequantAc(c: Int, raster: Int, qP: Int, wl: Array[Int]): Int = {
+  private[ops] def dequantAc(c: Int, raster: Int, qP: Int, wl: Array[Int]): Int = {
     val ls = levelScale(qP % 6, raster, wl)
     if (qP >= 24) (c * ls) << (qP / 6 - 4)
     else (c * ls + (1 << (3 - qP / 6))) >> (4 - qP / 6)
   }
 
-  private def clip1(x: Int): Byte = (if (x < 0) 0 else if (x > 255) 255 else x).toByte
+  private[ops] def clip1(x: Int): Byte = (if (x < 0) 0 else if (x > 255) 255 else x).toByte
 
   /** luma4x4BlkIdx → (x4, y4) block coords within the MB (§6.4.3 scan). */
   private[ops] val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -390,7 +392,7 @@ object H264Decode {
     * overwritten). Returns the named refusal when the signalled mode's
     * neighbours are unavailable. Shared by the CAVLC and CABAC paths.
     */
-  private def predictIntra16(predMode: Int, mbx: Int, mby: Int,
+  private[ops] def predictIntra16(predMode: Int, mbx: Int, mby: Int,
       luma: Array[Byte], w: Int, pred: Array[Int]): String = {
     val px = mbx * 16
     val py = mby * 16
@@ -1243,7 +1245,7 @@ object H264Decode {
     }(enc)
   }
 
-  /** Deterministic 3-frame GOP clip (Annex-B): the [[i16SliceRbsp]]
+  /** Deterministic 4-frame GOP clip (Annex-B): the [[i16SliceRbsp]]
     * quadrant IDR (closed-form constants c0..c3 in (v0, s1, v2)), then
     * a P frame whose every macroblock is P_L0_16x16 with the SAME
     * integer motion vector (mvx, mvy) in quarter-sample units and no
@@ -1251,7 +1253,10 @@ object H264Decode {
     * edge clamping — closed-form for integer MVs), then an all-P_Skip
     * frame (frame 2 = frame 1: every skip derives zero motion here —
     * first row/column by the §8.4.1.1 edge rule, interiors because
-    * their A/B neighbours are zero-motion ref-0 MBs).
+    * their A/B neighbours are zero-motion ref-0 MBs), then an
+    * intra-REFRESH P frame (frame 3 = frame 2 with MB0 replaced by the
+    * constant 128 + vI: an I_16x16 DC-predicted block with no decoded
+    * neighbours above/left of MB0).
     *
     * The uniform MV costs exactly one non-zero mvd: MB0's prediction
     * is (0,0) (no neighbours), every later MB predicts the uniform MV
@@ -1264,7 +1269,7 @@ object H264Decode {
     */
   val syntheticGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(
-      (v0: Int, s1Neg: Boolean, v2: Int, mvx: Int, mvy: Int) => {
+      (v0: Int, s1Neg: Boolean, v2: Int, mvx: Int, mvy: Int, vI: Int) => {
         val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
         def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
           out += 0; out += 0; out += 0; out += 1
@@ -1275,8 +1280,15 @@ object H264Decode {
         nal(3, 8, cavlcPpsRbsp)
         nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
         nal(2, 1, H264Inter.pSliceRbsp(4, 1,
-          Some((mvx, mvy)) +: Seq.fill(3)(Some((0, 0)))))
-        nal(2, 1, H264Inter.pSliceRbsp(4, 2, Seq.fill(4)(None)))
+          H264Inter.PMb.Mv(mvx, mvy) +:
+            Seq.fill(3)(H264Inter.PMb.Mv(0, 0))))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 2,
+          Seq.fill(4)(H264Inter.PMb.Skip)))
+        // frame 3: I_16x16 intra refresh at MB0 (DC pred from no
+        // neighbours → 128 + vI constant block), skips elsewhere —
+        // the intra-in-P envelope under the same closed form
+        nal(2, 1, H264Inter.pSliceRbsp(4, 3,
+          H264Inter.PMb.I16Dc(vI) +: Seq.fill(3)(H264Inter.PMb.Skip)))
         out.toArray
       })
 

@@ -209,8 +209,22 @@ object H264Inter {
     * residual. frame_num is the §7.3.3 field (pocType-2 SPS: no POC
     * fields); deblocking written disabled, as the decoder requires.
     */
+  /** Fixture macroblock spec for [[pSliceRbsp]]. */
+  private[ops] sealed trait PMb
+  private[ops] object PMb {
+    case object Skip extends PMb
+    /** P_L0_16x16 with this motion vector DIFFERENCE, no residual. */
+    final case class Mv(mvdX: Int, mvdY: Int) extends PMb
+    /** I_16x16 intra-refresh block: DC-only luma coefficient `v` at the
+      * slice QP, prediction mode `predMode`, cbp 0. `nC` must equal the
+      * decoder's §9.2.1 context at the block's position (0 when the
+      * MB's left/above neighbours are skips or residual-free inter MBs).
+      */
+    final case class I16Dc(v: Int, predMode: Int = 2, nC: Int = 0) extends PMb
+  }
+
   private[ops] def pSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
-      mbs: Seq[Option[(Int, Int)]]): Array[Byte] = {
+      mbs: Seq[PMb]): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(0) // slice_type: P
@@ -223,12 +237,21 @@ object H264Inter {
     w.ue(1) // disable_deblocking_filter_idc = 1
     var run = 0
     mbs.foreach {
-      case None => run += 1
-      case Some((mx, my)) =>
+      case PMb.Skip => run += 1
+      case PMb.Mv(mx, my) =>
         w.ue(run); run = 0
         w.ue(0) // mb_type: P_L0_16x16
         w.se(mx); w.se(my) // mvd_l0[0][0]
         w.ue(0) // coded_block_pattern codeNum 0 → cbp 0 (no residual)
+      case PMb.I16Dc(v, predMode, nC) =>
+        w.ue(run); run = 0
+        // P-slice intra mb_type = 5 + I-slice mb_type; I_16x16 with
+        // predMode m, cbp_chroma 0, cbp_luma 0 is I type 1 + m
+        w.ue(5 + 1 + predMode)
+        w.ue(0) // intra_chroma_pred_mode: DC
+        w.se(0) // mb_qp_delta
+        val dc = new Array[Int](16); dc(0) = v
+        Cavlc.encodeResidualBlock(w, dc, nC, 16)
     }
     if (run > 0) w.ue(run) // trailing skips close the slice
     w.rbspTrailing()
@@ -242,6 +265,11 @@ object H264Inter {
     *   - P_Skip and P_L0_16x16 macroblocks, residual-free (inter
     *     coded_block_pattern ≠ 0 refuses: Table 9-4's inter column is
     *     not conformance-anchored here — the scaladoc's table policy)
+    *   - I_16x16 and I_PCM intra-REFRESH macroblocks decode fully
+    *     (their cbp comes from mb_type / is absent — no inter table
+    *     involved); Intra_NxN in P refuses by name, as does
+    *     constrained_intra_pred (its neighbour-exclusion rules are
+    *     not implemented and ignoring them fabricates pixels)
     *   - one L0 reference (the previous frame), no list modification,
     *     no weighted prediction, sliding-window marking
     *   - deblocking explicitly disabled by the stream (as the I path)
@@ -262,6 +290,12 @@ object H264Inter {
       Left(s"bit depth ${sps.bitDepthLuma}/${sps.bitDepthChroma} " +
         "not supported (only 8-bit)")
     else if (sps.pocType == 1) Left("pic_order_cnt_type 1 not supported")
+    else if (sps.chromaFormatIdc > 1)
+      Left("chroma format beyond 4:2:0 not supported")
+    else if (H264Decode.resolveLumaIntraWeights(sps, pps).isLeft)
+      Left(H264Decode.resolveLumaIntraWeights(sps, pps).swap.toOption.get)
+    else if (pps.picInitQp < 0 || pps.picInitQp > 51)
+      Left(s"pic_init_qp ${pps.picInitQp} out of range")
     else if (refLuma == null || refLuma.length != mbw * 16 * mbh * 16)
       Left("no decoded reference frame for P slice")
     else {
@@ -295,7 +329,7 @@ object H264Inter {
         if (nalRefIdc != 0 && rd.u1() == 1)
           return Left("adaptive ref pic marking not supported " +
             "(sliding window only)")
-        rd.se() // slice_qp_delta (no residual decodes, but the field is read)
+        var qPY = pps.picInitQp + rd.se() // slice_qp_delta
         var deblockOff = false
         if (pps.deblockControlPresent) {
           val idc = rd.ue()
@@ -305,7 +339,68 @@ object H264Inter {
         if (!deblockOff)
           return Left("in-loop deblocking not implemented " +
             "(stream does not disable it)")
+        val wl = H264Decode.resolveLumaIntraWeights(sps, pps).toOption.get
         val g = new MvGrid(mbw, mbh)
+        // §9.2.1 nC grids — in a P slice EVERY decoded MB defines its
+        // blocks' TotalCoeffs (0 for skips and residual-free inter MBs);
+        // -1 marks outside-picture / not-yet-decoded, as in the I path
+        val nCoef = Array.fill(mbw * 4 * mbh * 4)(-1)
+        def nCFor(bx: Int, by: Int): Int = {
+          val nA = if (bx > 0) nCoef(by * mbw * 4 + bx - 1) else -1
+          val nB = if (by > 0) nCoef((by - 1) * mbw * 4 + bx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA else if (nB >= 0) nB else 0
+        }
+        val nCoefC = Array(Array.fill(mbw * 2 * mbh * 2)(-1),
+          Array.fill(mbw * 2 * mbh * 2)(-1))
+        def nCForC(comp: Int, cx: Int, cy: Int): Int = {
+          val gr = nCoefC(comp)
+          val nA = if (cx > 0) gr(cy * mbw * 2 + cx - 1) else -1
+          val nB = if (cy > 0) gr((cy - 1) * mbw * 2 + cx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA else if (nB >= 0) nB else 0
+        }
+        val cBlkX = Array(0, 1, 0, 1)
+        val cBlkY = Array(0, 0, 1, 1)
+        def setMbNc(mbx: Int, mby: Int, v: Int): Unit = {
+          var b = 0
+          while (b < 16) {
+            nCoef((mby * 4 + H264Decode.Blk4x4Y(b)) * mbw * 4 +
+              mbx * 4 + H264Decode.Blk4x4X(b)) = v
+            b += 1
+          }
+          b = 0
+          while (b < 4) {
+            nCoefC(0)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = v
+            nCoefC(1)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = v
+            b += 1
+          }
+        }
+        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int): Unit =
+          if (sps.chromaFormatIdc == 1) {
+            if (cbpChroma >= 1) {
+              Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
+              Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
+            }
+            var comp = 0
+            while (comp < 2) {
+              var cb = 0
+              while (cb < 4) {
+                val cx = mbx * 2 + cBlkX(cb)
+                val cy = mby * 2 + cBlkY(cb)
+                val tcC =
+                  if (cbpChroma == 2)
+                    Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)._2
+                  else 0
+                nCoefC(comp)(cy * mbw * 2 + cx) = tcC
+                cb += 1
+              }
+              comp += 1
+            }
+          }
+        val dc = new Array[Int](16)
+        val d = new Array[Int](16)
+        val pred = new Array[Int](256)
         var mb = 0
         var bad: String = null
         try {
@@ -319,6 +414,7 @@ object H264Inter {
               val (mvX, mvY) = skipMv(g, mbx, mby)
               predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16, mvX, mvY)
               g.set(mbx, mby, mvX, mvY)
+              setMbNc(mbx, mby, 0)
               mb += 1
               skipRun -= 1
             }
@@ -341,14 +437,107 @@ object H264Inter {
                   predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16,
                     mvX, mvY)
                   g.set(mbx, mby, mvX, mvY)
+                  setMbNc(mbx, mby, 0)
                   mb += 1
                 }
               } else if (mbType >= 1 && mbType <= 4)
                 bad = s"P sub-partition mb_type $mbType not supported " +
                   "(P_L0_16x16 and P_Skip decode)"
-              else if (mbType >= 5)
-                bad = "intra macroblock in P slice not supported"
-              else bad = s"unsupported mb_type $mbType in P slice"
+              else if (mbType == 5)
+                bad = "Intra_NxN macroblock in P slice not supported " +
+                  "(I_16x16 and I_PCM refresh blocks decode)"
+              else if (mbType == 30) { // I_PCM (P mb_type 5 + 25)
+                rd.alignByte()
+                val px = mbx * 16
+                val py = mby * 16
+                var i = 0
+                while (i < 256) {
+                  luma((py + i / 16) * w + px + i % 16) = rd.u(8).toByte
+                  i += 1
+                }
+                if (sps.chromaFormatIdc == 1) {
+                  var c = 0
+                  while (c < 128) { rd.u(8); c += 1 }
+                }
+                setMbNc(mbx, mby, 16)
+                mb += 1
+              } else if (mbType >= 6 && mbType <= 29) {
+                // I_16x16 intra-refresh block (P mb_type 5 + I type 1+k)
+                if (pps.constrainedIntraPred)
+                  bad = "constrained_intra_pred in a P slice not " +
+                    "supported (intra prediction here reads inter " +
+                    "neighbours; decoding would fabricate pixels)"
+                else {
+                  val k = mbType - 6
+                  val predMode = k % 4
+                  val cbpChroma = (k / 4) % 3
+                  val cbpLuma = if (k >= 12) 15 else 0
+                  val chromaPred =
+                    if (sps.chromaFormatIdc == 1) rd.ue() else 0
+                  if (chromaPred > 3) bad = "malformed intra_chroma_pred_mode"
+                  else {
+                    qPY = Math.floorMod(qPY + rd.se() + 52, 52)
+                    val (dcScan, _) = Cavlc.decodeResidualBlock(rd,
+                      nCFor(mbx * 4, mby * 4), 16)
+                    var i = 0
+                    while (i < 16) {
+                      dc(H264Decode.Zigzag4x4(i)) = dcScan(i); i += 1
+                    }
+                    H264Decode.hadamard4x4(dc)
+                    i = 0
+                    while (i < 16) {
+                      dc(i) = H264Decode.dequantDc(dc(i), qPY, wl); i += 1
+                    }
+                    val px = mbx * 16
+                    val py = mby * 16
+                    bad = H264Decode.predictIntra16(predMode, mbx, mby,
+                      luma, w, pred)
+                    if (bad == null) {
+                      var b = 0
+                      while (b < 16 && bad == null) {
+                        val bx4 = H264Decode.Blk4x4X(b)
+                        val by4 = H264Decode.Blk4x4Y(b)
+                        java.util.Arrays.fill(d, 0)
+                        var tc = 0
+                        if (cbpLuma != 0) {
+                          val (acScan, total) = Cavlc.decodeResidualBlock(rd,
+                            nCFor(mbx * 4 + bx4, mby * 4 + by4), 15)
+                          tc = total
+                          var i2 = 0
+                          while (i2 < 15) {
+                            val raster = H264Decode.Zigzag4x4(i2 + 1)
+                            d(raster) =
+                              H264Decode.dequantAc(acScan(i2), raster, qPY, wl)
+                            i2 += 1
+                          }
+                        }
+                        nCoef((mby * 4 + by4) * mbw * 4 + mbx * 4 + bx4) = tc
+                        d(0) = dc(by4 * 4 + bx4)
+                        H264Decode.idct4x4(d)
+                        var yy = 0
+                        while (yy < 4) {
+                          var xx = 0
+                          while (xx < 4) {
+                            luma((py + by4 * 4 + yy) * w + px + bx4 * 4 + xx) =
+                              H264Decode.clip1(
+                                pred((by4 * 4 + yy) * 16 + bx4 * 4 + xx) +
+                                  d(yy * 4 + xx))
+                            xx += 1
+                          }
+                          yy += 1
+                        }
+                        b += 1
+                      }
+                      if (bad == null) {
+                        consumeChroma(cbpChroma, mbx, mby)
+                        // intra MB: the MvGrid keeps refIdx −1 (its
+                        // neighbours' MV predictions treat it as intra)
+                        mb += 1
+                      }
+                    }
+                  }
+                }
+              } else bad = s"unsupported mb_type $mbType in P slice"
             }
           }
         } catch { case e: Cavlc.Unsupported => bad = e.getMessage }

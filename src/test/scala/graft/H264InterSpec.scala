@@ -82,12 +82,13 @@ class H264InterSpec extends AnyFunSuite {
     // quadrants c0=128+7=135, c1=134, c2=135+3=138, c3=(134+138+1)>>1=136
     val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
       H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
-        lit(8), lit(4)).as("payload")) // integer MV (2, 1) in pixels
+        lit(8), lit(4), lit(9)).as("payload")) // integer MV (2, 1) in pixels
     val out = H264Decode.decodeGop(df).orderBy("frame_idx").collect()
-    assert(out.length == 3, out.mkString("\n"))
+    assert(out.length == 4, out.mkString("\n"))
     assert(out.forall(_.getAs[String]("decode_error") == null),
       out.map(_.getAs[String]("decode_error")).mkString(";"))
-    assert(out.map(_.getAs[String]("frame_type")).toSeq == Seq("I", "P", "P"))
+    assert(out.map(_.getAs[String]("frame_type")).toSeq ==
+      Seq("I", "P", "P", "P"))
     val w = 32
     val f0 = out(0).getAs[Array[Byte]]("luma_plane")
     val f1 = out(1).getAs[Array[Byte]]("luma_plane")
@@ -105,13 +106,20 @@ class H264InterSpec extends AnyFunSuite {
         s"f1 ($x,$y)")
     // frame 2 (all P_Skip, zero motion everywhere): identical to frame 1
     assert(f2.toSeq == f1.toSeq)
+    // frame 3 (I_16x16 intra refresh at MB0, skips elsewhere): MB0 is
+    // the constant 128 + 9, the rest is frame 2
+    val f3 = out(3).getAs[Array[Byte]]("luma_plane")
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val want = if (x < 16 && y < 16) 137 else f2(y * w + x) & 0xff
+      assert((f3(y * w + x) & 0xff) == want, s"f3 ($x,$y)")
+    }
   }
 
   test("decodeGop: quarter-pel motion interpolates — a half-pel MV on " +
       "the quadrant frame averages across the vertical seam") {
     val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
       H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
-        lit(2), lit(0)).as("payload")) // MV (+1/2, 0)
+        lit(2), lit(0), lit(9)).as("payload")) // MV (+1/2, 0)
     val out = H264Decode.decodeGop(df).orderBy("frame_idx").collect()
     assert(out.forall(_.getAs[String]("decode_error") == null),
       out.map(_.getAs[String]("decode_error")).mkString(";"))
@@ -147,7 +155,8 @@ class H264InterSpec extends AnyFunSuite {
     }
     val out0 = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
       H264Decode.syntheticGopAnnexB(lit(7), lit(true), lit(3),
-        lit(0), lit(0)).as("payload")).collect()(0).getAs[Array[Byte]]("payload")
+        lit(0), lit(0), lit(9)).as("payload")).collect()(0)
+      .getAs[Array[Byte]]("payload")
     // splice: keep SPS/PPS/IDR, replace the P frames with the bad slice
     val idrEnd = {
       // find the 4th start code (SPS, PPS, IDR, first P)
