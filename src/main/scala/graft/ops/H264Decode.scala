@@ -1214,13 +1214,22 @@ object H264Decode {
                       "coded slice before SPS/PPS")
                     stopped = true
                   } else {
+                    // per-FRAME degradation: a truncated/corrupt slice
+                    // (BitReader overruns throw) becomes that frame's
+                    // error row — frames already decoded must survive,
+                    // same contract as the MP4 keyframe route
                     val (ft, res) =
-                      if (t == 5)
-                        ("I", decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                          refIdc, cabacCfg))
-                      else
-                        ("P", H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                          refIdc))
+                      try {
+                        if (t == 5)
+                          ("I", decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                            refIdc, cabacCfg))
+                        else
+                          ("P", H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                            refIdc))
+                      } catch { case e: Exception =>
+                        (if (t == 5) "I" else "P",
+                          Left(s"decode failed: ${e.getClass.getSimpleName}"))
+                      }
                     res match {
                       case Left(msg) =>
                         out += errRow(frameIdx, ft, msg)
