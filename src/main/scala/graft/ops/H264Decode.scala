@@ -689,7 +689,9 @@ object H264Decode {
       val firstMb = rd.ue()
       val sliceType = rd.ue()
       if (firstMb != 0) Left("multi-slice IDR not supported")
-      else if (sliceType % 5 != 2)
+      else if (sliceType > 9 || sliceType % 5 != 2)
+        // §7.4.3 bounds slice_type to 0..9 — an out-of-range corrupt
+        // value must not pass on its residue class (H264Inter's guard)
         Left(s"not an I slice (slice_type $sliceType)")
       else {
         rd.ue() // pic_parameter_set_id

@@ -113,6 +113,15 @@ object H264Inter {
   /** Motion-compensate one 16×16 luma macroblock at picture position
     * (px, py) with quarter-sample motion vector (mvx, mvy) from `ref`
     * into `dst` (both w×h planes).
+    *
+    * The per-sample [[lumaSample]] recomputes shared 6-tap
+    * intermediates for every pixel (adjacent windows overlap in 5 of 6
+    * taps — up to ~36× redundant filter work at fraction (2,2)), so
+    * this block path computes each needed intermediate plane ONCE per
+    * macroblock: the G/b/h planes over the (16+1)² window and, when the
+    * center j is involved, the unshifted rawV grid it is filtered from.
+    * Per-sample equivalence with [[lumaSample]] is property-pinned in
+    * H264InterSpec.
     */
   private[ops] def predict16x16(ref: Array[Byte], dst: Array[Byte],
       w: Int, h: Int, px: Int, py: Int, mvx: Int, mvy: Int): Unit = {
@@ -122,12 +131,88 @@ object H264Inter {
     val yI = py + (mvy >> 2)
     val xF = mvx & 3
     val yF = mvy & 3
+    if (xF == 0 && yF == 0) { // integer MV (and every P_Skip copy)
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          dst((py + yy) * w + px + xx) =
+            at(ref, w, h, xI + xx, yI + yy).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      return
+    }
+    // intermediate planes over the MB's (x, y) ∈ [0, 17]² window,
+    // indexed [y * 18 + x] relative to (xI, yI); only the planes this
+    // fraction reads are filled
+    val gP = new Array[Int](18 * 18) // integer samples (G, H, M)
+    val bP = new Array[Int](18 * 18) // horizontal halves (b; s = b(y+1))
+    val hP = new Array[Int](18 * 18) // vertical halves (h; m = h(x+1))
+    val jP = if (xF != 0 && yF != 0 && (xF == 2 || yF == 2))
+      new Array[Int](18 * 18) else null
+    var y = 0
+    while (y < 18) {
+      var x = 0
+      while (x < 18) {
+        if (xF == 0 || yF == 0) gP(y * 18 + x) = at(ref, w, h, xI + x, yI + y)
+        if (xF != 0) bP(y * 18 + x) = halfH(ref, w, h, xI + x, yI + y)
+        if (yF != 0) hP(y * 18 + x) = halfV(ref, w, h, xI + x, yI + y)
+        x += 1
+      }
+      y += 1
+    }
+    if (jP != null) {
+      // j = 6-tap horizontally over the UNSHIFTED vertical
+      // intermediates: fill the rawV grid once (23 columns: x −2..+20
+      // relative to xI), then filter it — no per-cell recomputation
+      val rv = new Array[Int](23 * 18)
+      y = 0
+      while (y < 18) {
+        var x = 0
+        while (x < 23) {
+          rv(y * 23 + x) = rawV(ref, w, h, xI + x - 2, yI + y)
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < 18) {
+        var x = 0
+        while (x < 18) {
+          val o = y * 23 + x // rv column x corresponds to sample x − 2
+          val v = rv(o) - 5 * rv(o + 1) + 20 * rv(o + 2) +
+            20 * rv(o + 3) - 5 * rv(o + 4) + rv(o + 5)
+          jP(y * 18 + x) = clip255((v + 512) >> 10)
+          x += 1
+        }
+        y += 1
+      }
+    }
     var yy = 0
     while (yy < 16) {
       var xx = 0
       while (xx < 16) {
-        dst((py + yy) * w + px + xx) =
-          lumaSample(ref, w, h, xI + xx, yI + yy, xF, yF).toByte
+        val i = yy * 18 + xx
+        val v = (xF, yF) match {
+          case (1, 0) => (gP(i) + bP(i) + 1) >> 1 // a
+          case (2, 0) => bP(i)
+          case (3, 0) => (gP(i + 1) + bP(i) + 1) >> 1 // c
+          case (0, 1) => (gP(i) + hP(i) + 1) >> 1 // d
+          case (1, 1) => (bP(i) + hP(i) + 1) >> 1 // e
+          case (2, 1) => (bP(i) + jP(i) + 1) >> 1 // f
+          case (3, 1) => (bP(i) + hP(i + 1) + 1) >> 1 // g
+          case (0, 2) => hP(i)
+          case (1, 2) => (hP(i) + jP(i) + 1) >> 1 // i
+          case (2, 2) => jP(i)
+          case (3, 2) => (jP(i) + hP(i + 1) + 1) >> 1 // k
+          case (0, 3) => (gP(i + 18) + hP(i) + 1) >> 1 // n
+          case (1, 3) => (hP(i) + bP(i + 18) + 1) >> 1 // p
+          case (2, 3) => (jP(i) + bP(i + 18) + 1) >> 1 // q
+          case _      => (hP(i + 1) + bP(i + 18) + 1) >> 1 // r (3,3)
+        }
+        dst((py + yy) * w + px + xx) = v.toByte
         xx += 1
       }
       yy += 1
@@ -280,6 +365,7 @@ object H264Inter {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
+    val wlE = H264Decode.resolveLumaIntraWeights(sps, pps)
     if (pps.entropyCabac)
       Left("CABAC P slice not supported (inter binarizations not carried)")
     else if (pps.weightedPred)
@@ -292,8 +378,7 @@ object H264Inter {
     else if (sps.pocType == 1) Left("pic_order_cnt_type 1 not supported")
     else if (sps.chromaFormatIdc > 1)
       Left("chroma format beyond 4:2:0 not supported")
-    else if (H264Decode.resolveLumaIntraWeights(sps, pps).isLeft)
-      Left(H264Decode.resolveLumaIntraWeights(sps, pps).swap.toOption.get)
+    else if (wlE.isLeft) Left(wlE.swap.toOption.get)
     else if (pps.picInitQp < 0 || pps.picInitQp > 51)
       Left(s"pic_init_qp ${pps.picInitQp} out of range")
     else if (refLuma == null || refLuma.length != mbw * 16 * mbh * 16)
@@ -306,7 +391,10 @@ object H264Inter {
       val firstMb = rd.ue()
       val sliceType = rd.ue()
       if (firstMb != 0) Left("multi-slice P frame not supported")
-      else if (sliceType % 5 != 0)
+      else if (sliceType > 9 || sliceType % 5 != 0)
+        // §7.4.3 bounds slice_type to 0..9: an out-of-range value whose
+        // %5 happens to be 0 is a corrupt header, and parsing on could
+        // ship wrong pixels with decode_error null — refuse by name
         Left(s"not a P slice (slice_type $sliceType)")
       else {
         rd.ue() // pic_parameter_set_id
@@ -339,7 +427,7 @@ object H264Inter {
         if (!deblockOff)
           return Left("in-loop deblocking not implemented " +
             "(stream does not disable it)")
-        val wl = H264Decode.resolveLumaIntraWeights(sps, pps).toOption.get
+        val wl = wlE.toOption.get
         val g = new MvGrid(mbw, mbh)
         // §9.2.1 nC grids — in a P slice EVERY decoded MB defines its
         // blocks' TotalCoeffs (0 for skips and residual-free inter MBs);

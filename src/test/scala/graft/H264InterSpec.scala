@@ -42,6 +42,28 @@ class H264InterSpec extends AnyFunSuite {
       ((10 + 30 + 60 + 5) + (10 + 30 + 60 + 10) + 1) / 2) // (b + h + 1)>>1
   }
 
+  test("predict16x16 plane path equals per-sample lumaSample for every " +
+      "fraction, including off-picture windows") {
+    val rnd = new scala.util.Random(7)
+    val w = 48; val h = 48
+    val ref = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    val dst = new Array[Byte](w * h)
+    // MB at (16, 16); MVs chosen to hit every (xF, yF) phase and to
+    // push the window over the picture edge (integer part ±20 px)
+    for (xf <- 0 to 3; yf <- 0 to 3; base <- Seq(-80, 0, 80)) {
+      val mvx = base + xf
+      val mvy = base + yf
+      H264Inter.predict16x16(ref, dst, w, h, 16, 16, mvx, mvy)
+      val xI = 16 + (mvx >> 2); val yI = 16 + (mvy >> 2)
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val want = H264Inter.lumaSample(ref, w, h, xI + xx, yI + yy,
+          mvx & 3, mvy & 3)
+        assert((dst((16 + yy) * w + 16 + xx) & 0xff) == want,
+          s"frac ($xf,$yf) base $base pixel ($xx,$yy)")
+      }
+    }
+  }
+
   test("mv prediction: A-only rule, exactly-one-match, median") {
     val g = new H264Inter.MvGrid(4, 4)
     // row 0, col 1: B/C/D unavailable, A available → mvA verbatim
