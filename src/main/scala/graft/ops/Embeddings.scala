@@ -54,14 +54,21 @@ object Embeddings {
       else {
         val s = grown(b._1, v.length); val n = grown(b._2, v.length)
         var i = 0
-        v.foreach { x => if (x != null) { s(i) += x; n(i) += 1 }; i += 1 }
+        v.foreach { x =>
+          // addExact: a saturated sum must surface as an error, not wrap
+          // into a silently-wrong mean (same for the weighted twin)
+          if (x != null) { s(i) = Math.addExact(s(i), x.longValue); n(i) += 1 }
+          i += 1
+        }
         (s, n)
       }
     def merge(a: (Array[Long], Array[Long]),
         c: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
       val s = grown(a._1, c._1.length); val n = grown(a._2, c._2.length)
       var i = 0
-      while (i < c._1.length) { s(i) += c._1(i); n(i) += c._2(i); i += 1 }
+      while (i < c._1.length) {
+        s(i) = Math.addExact(s(i), c._1(i)); n(i) += c._2(i); i += 1
+      }
       (s, n)
     }
     def finish(b: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = b
@@ -71,13 +78,17 @@ object Embeddings {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
   }
 
-  /** [[QVecPoolAgg]]'s weighted twin: input rows are (pre-multiplied
-    * quantized vector, weight); sums accumulate q·w per position and the
-    * per-position denominator accumulates w instead of 1. Long sums stay
-    * exact, so the same order-free determinism holds. Overflow bound:
-    * |x|·units·w summed over a key's vectors must fit a long — at
-    * unit-norm embeddings (|x| ≤ 1, units = 1e6) and token-count weights
-    * (≤ 1e5) that is ≥ 9·10^7 vectors per key before saturation.
+  /** [[QVecPoolAgg]]'s weighted twin: input rows are (quantized vector,
+    * weight); sums accumulate q·w per position and the per-position
+    * denominator accumulates w instead of 1. Long sums stay exact, so
+    * the same order-free determinism holds. The q·w product and every
+    * accumulation run through Math.multiplyExact/addExact — a caller
+    * passing weights or magnitudes beyond the documented bound
+    * (|x|·units·w summed over a key's vectors must fit a long; at
+    * unit-norm embeddings with units = 1e6 and token-count weights
+    * ≤ 1e5 that is ≥ 9·10^7 vectors per key) gets an ArithmeticException
+    * surfaced by the job instead of silently wrapped sums and corrupt
+    * means.
     */
   final class WQVecPoolAgg
       extends org.apache.spark.sql.expressions.Aggregator[
@@ -92,14 +103,24 @@ object Embeddings {
       else {
         val s = grown(b._1, v._1.length); val n = grown(b._2, v._1.length)
         var i = 0
-        v._1.foreach { x => if (x != null) { s(i) += x; n(i) += v._2 }; i += 1 }
+        v._1.foreach { x =>
+          if (x != null) {
+            s(i) = Math.addExact(s(i), Math.multiplyExact(x.longValue, v._2))
+            n(i) = Math.addExact(n(i), v._2)
+          }
+          i += 1
+        }
         (s, n)
       }
     def merge(a: (Array[Long], Array[Long]),
         c: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
       val s = grown(a._1, c._1.length); val n = grown(a._2, c._2.length)
       var i = 0
-      while (i < c._1.length) { s(i) += c._1(i); n(i) += c._2(i); i += 1 }
+      while (i < c._1.length) {
+        s(i) = Math.addExact(s(i), c._1(i))
+        n(i) = Math.addExact(n(i), c._2(i))
+        i += 1
+      }
       (s, n)
     }
     def finish(b: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = b
@@ -176,10 +197,13 @@ object Embeddings {
   def weightedMeanPool(df: DataFrame, vecCol: String, weightCol: String,
       keyCol: String, units: Double = 1e6): DataFrame = {
     val w = col(weightCol).cast("long")
-    val qw = transform(col(vecCol), x => floor(x * units + lit(0.5)) * w)
+    // the q·w multiply happens INSIDE the aggregator (multiplyExact), so
+    // an over-bound weight surfaces as an error instead of a Column-level
+    // long wrap feeding the buffer a corrupted product
+    val q = transform(col(vecCol), x => floor(x * units + lit(0.5)))
     val pool = org.apache.spark.sql.functions.udaf(new WQVecPoolAgg)
     df.where(w.isNotNull && w > 0)
-      .select(col(keyCol), qw.as("__qw"), w.as("__w"))
+      .select(col(keyCol), q.as("__qw"), w.as("__w"))
       .groupBy(col(keyCol))
       .agg(pool(col("__qw"), col("__w")).as("__p"))
       .select(col(keyCol), col("__p._1").as("__s"), col("__p._2").as("__n"))

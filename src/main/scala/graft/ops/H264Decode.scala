@@ -616,7 +616,8 @@ object H264Decode {
       sps: VideoBitstream.SpsInfo, pps: PpsInfo,
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
       nalRefIdc: Int = 3,
-      cabac: Option[Cabac.Config] = None): Either[String, Array[Byte]] = {
+      cabac: Option[Cabac.Config] = None,
+      idr: Boolean = true): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
     // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
     // from a crafted 46000×46000 claim kills the executor JVM — the one
@@ -696,15 +697,23 @@ object H264Decode {
       else {
         rd.ue() // pic_parameter_set_id
         rd.u(sps.log2MaxFrameNum) // frame_num
-        rd.ue() // idr_pic_id
+        if (idr) rd.ue() // idr_pic_id (§7.3.3: IDR slices only)
         if (sps.pocType == 0) rd.u(sps.log2MaxPocLsb)
         if (pps.bottomFieldPocPresent && sps.pocType == 0) rd.se()
         if (pps.redundantPicCntPresent) rd.ue()
         // I slice: no ref-idx / pred-weight tables
         // dec_ref_pic_marking (§7.3.3.3) is present ONLY when
         // nal_ref_idc != 0 — a ref_idc-0 IDR (non-conforming but seen
-        // from buggy muxers) must not shift the parse by two bits
-        if (nalRefIdc != 0) { rd.u1(); rd.u1() } // no_output_of_prior_pics, long_term_ref
+        // from buggy muxers) must not shift the parse by two bits.
+        // Non-IDR I (recovery point): one adaptive-marking flag instead
+        // of the two IDR flags; adaptive MMCO ops are not parsed, so a
+        // stream using them refuses rather than mis-aligning
+        if (nalRefIdc != 0) {
+          if (idr) { rd.u1(); rd.u1() } // no_output_of_prior_pics, long_term_ref
+          else if (rd.u1() == 1)
+            return Left("adaptive ref pic marking not supported " +
+              "(sliding window only)")
+        }
         val sliceQpDelta = rd.se()
         var deblockOff = false
         if (pps.deblockControlPresent) {
@@ -1165,16 +1174,50 @@ object H264Decode {
     StructField("frame_idx", IntegerType) +:
       StructField("frame_type", StringType) +: cols
 
-  /** Decode a whole Annex-B GOP: the IDR keyframe through the shared
-    * I-slice core, then each following P slice through
+  /** Peek (first_mb_in_slice, slice_type, frame_num) from a slice RBSP
+    * without decoding — the routing/continuity prefix of §7.3.3. None
+    * when the header is too short to carry the three fields.
+    */
+  private def peekSliceHeader(rbsp: Array[Byte],
+      sps: VideoBitstream.SpsInfo): Option[(Int, Int, Int)] =
+    try {
+      val rd = new VideoBitstream.BitReader(rbsp)
+      val firstMb = rd.ue()
+      val st = rd.ue()
+      rd.ue() // pic_parameter_set_id
+      Some((firstMb, st, rd.u(sps.log2MaxFrameNum)))
+    } catch { case _: Exception => None }
+
+  /** §7.4.3 slice_type 0..9 → frame-type label (null when out of range —
+    * a corrupt header must not pass on its residue class).
+    */
+  private def sliceTypeName(st: Int): String =
+    if (st < 0 || st > 9) null
+    else Array("P", "B", "I", "SP", "SI").apply(st % 5)
+
+  /** Decode a whole Annex-B GOP: I slices (IDR keyframes AND non-IDR
+    * recovery points — open GOPs / truncated downloads whose IDR was
+    * cut) through the shared I-slice core, each P slice through
     * [[H264Inter.decodePSlice]] motion compensation against the
     * previously reconstructed frame (single L0 reference — the
-    * restricted inter envelope documented there). One row per coded
-    * frame (`frame_idx` 0-based, `frame_type` I/P); a frame that
-    * refuses emits its own error row and STOPS the walk — every later
-    * P frame predicts from the failed one, so decoding past it would
-    * fabricate pixels. Frames already decoded are kept (the same
-    * per-unit degradation contract as the MP4 keyframe route).
+    * restricted inter envelope documented there). One row per decoded
+    * or refused frame (`frame_idx` counts every coded slice NAL in
+    * stream order; `frame_type` comes from the PARSED slice_type —
+    * I/P/B/SP/SI, null when the header is corrupt).
+    *
+    * frame_num continuity (§7.4.3): a P slice whose frame_num is not
+    * prevRefFrameNum+1 mod MaxFrameNum means a reference frame was
+    * lost in flight (gaps_in_frame_num) — motion-compensating against
+    * the wrong frame would ship wrong pixels with decode_error null,
+    * so the frame refuses by name instead.
+    *
+    * Degradation: a frame that refuses emits its own error row and the
+    * walk SKIPS every later inter-coded frame (they would predict from
+    * the failed one) until the next intra frame (IDR or recovery
+    * point), which re-anchors decoding — skipped frames still advance
+    * `frame_idx`, so indices reflect stream position. Frames already
+    * decoded are kept (the same per-unit degradation contract as the
+    * MP4 keyframe route).
     */
   def decodeGop(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
@@ -1198,8 +1241,15 @@ object H264Decode {
             var pps: PpsInfo = null
             val out = scala.collection.mutable.ArrayBuffer.empty[Row]
             var ref: Array[Byte] = null
+            var prevRef = -1 // frame_num of the last decoded reference
             var frameIdx = 0
+            var seeking = false // refusal happened: skip to next intra
             var stopped = false
+            def refuse(ft: String, msg: String): Unit = {
+              out += errRow(frameIdx, ft, msg)
+              seeking = true
+              ref = null
+            }
             nals.foreach { case (off, len) =>
               if (!stopped) (bytes(off) & 0x1f) match {
                 case 7 if sps == null =>
@@ -1220,26 +1270,62 @@ object H264Decode {
                     // (BitReader overruns throw) becomes that frame's
                     // error row — frames already decoded must survive,
                     // same contract as the MP4 keyframe route
-                    val (ft, res) =
-                      try {
-                        if (t == 5)
-                          ("I", decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                            refIdc, cabacCfg))
-                        else
-                          ("P", H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                            refIdc))
-                      } catch { case e: Exception =>
-                        (if (t == 5) "I" else "P",
-                          Left(s"decode failed: ${e.getClass.getSimpleName}"))
-                      }
-                    res match {
-                      case Left(msg) =>
-                        out += errRow(frameIdx, ft, msg)
-                        stopped = true
-                      case Right(luma) =>
-                        out += lumaRow(r, luma, sps.widthMbs * 16,
-                          sps.heightMbs * 16, prefix = Seq(frameIdx, ft))
-                        ref = luma
+                    peekSliceHeader(rbsp, sps) match {
+                      case None =>
+                        if (!seeking) refuse(null, "truncated slice header")
+                      case Some((_, st, frameNum)) =>
+                        val ft = sliceTypeName(st)
+                        val isIntra = ft == "I"
+                        if (seeking && !isIntra) {
+                          // inter frame inside a broken prediction chain:
+                          // no row, wait for the next intra to re-anchor
+                          ()
+                        } else if (ft == null)
+                          refuse(null, s"corrupt slice header (slice_type $st)")
+                        else if (isIntra) {
+                          val res =
+                            try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                              refIdc, cabacCfg, idr = t == 5)
+                            catch { case e: Exception => Left(
+                              s"decode failed: ${e.getClass.getSimpleName}") }
+                          res match {
+                            case Left(msg) => refuse("I", msg)
+                            case Right(luma) =>
+                              out += lumaRow(r, luma, sps.widthMbs * 16,
+                                sps.heightMbs * 16, prefix = Seq(frameIdx, "I"))
+                              ref = luma
+                              prevRef = frameNum
+                              seeking = false
+                          }
+                        } else if (ft == "P") {
+                          val maxFrameNum = 1 << sps.log2MaxFrameNum
+                          if (prevRef >= 0 &&
+                              frameNum != (prevRef + 1) % maxFrameNum)
+                            refuse("P", s"frame_num gap (got $frameNum after " +
+                              s"$prevRef — reference frame lost in flight; " +
+                              "gaps_in_frame_num recovery not supported, " +
+                              "motion compensation would use the wrong frame)")
+                          else {
+                            val res =
+                              try H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                                refIdc)
+                              catch { case e: Exception => Left(
+                                s"decode failed: ${e.getClass.getSimpleName}") }
+                            res match {
+                              case Left(msg) => refuse("P", msg)
+                              case Right(luma) =>
+                                out += lumaRow(r, luma, sps.widthMbs * 16,
+                                  sps.heightMbs * 16,
+                                  prefix = Seq(frameIdx, "P"))
+                                ref = luma
+                                // only reference frames advance frame_num
+                                // (§7.4.3) — a disposable ref_idc-0 P does
+                                // not move the continuity anchor
+                                if (refIdc != 0) prevRef = frameNum
+                            }
+                          }
+                        } else
+                          refuse(ft, s"$ft slice not supported (I/P decode)")
                     }
                     frameIdx += 1
                   }
@@ -1498,10 +1584,12 @@ object H264Decode {
     *   - MB2: Vertical pred from MB0, DC coeff `v2` → c0 + v2
     *   - MB3: DC pred from both neighbours, zero residual → (c1+c2+1)>>1
     */
-  private def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int): Array[Byte] = {
+  private[ops] def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int,
+      idr: Boolean = true, frameNum: Int = 0): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     // QPY 28; disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
-    writeIdrSliceHeader(w, deblockIdc = Some(1))
+    writeIdrSliceHeader(w, deblockIdc = Some(1), idr = idr,
+      frameNum = frameNum)
     // MB0: mb_type 11 = Intra_16x16 (DC pred, cbp_chroma 2, cbp_luma 0)
     w.ue(11); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
     Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
@@ -1863,13 +1951,17 @@ object H264Decode {
     * control flag; the plain PPS does not).
     */
   private def writeIdrSliceHeader(w: VideoBitstream.BitWriter,
-      deblockIdc: Option[Int]): Unit = {
+      deblockIdc: Option[Int], idr: Boolean = true,
+      frameNum: Int = 0): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(0) // pic_parameter_set_id
-    w.u(0, 4) // frame_num (log2_max_frame_num = 4)
-    w.ue(0) // idr_pic_id
-    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
+    w.u(frameNum, 4) // frame_num (log2_max_frame_num = 4)
+    if (idr) {
+      w.ue(0) // idr_pic_id
+      w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
+    } else
+      w.u(0, 1) // adaptive_ref_pic_marking_mode_flag: sliding window
     w.se(0) // slice_qp_delta
     deblockIdc.foreach(w.ue)
   }

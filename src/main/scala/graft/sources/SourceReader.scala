@@ -31,8 +31,26 @@ object SourceReader {
         .csv(path)
 
     case LogicalSource.JsonSource(path, iterator, multiLine) =>
-      val raw = spark.read.option("multiLine", multiLine.toString).json(resolvePath(path))
-      applyJsonIterator(raw, iterator)
+      val p = resolvePath(path)
+      val raw = spark.read.option("multiLine", multiLine.toString).json(p)
+      val steps = parseIteratorSteps(iterator)
+      val nRoot = steps.takeWhile(_ == IterStep.Explode).length
+      if (nRoot <= 1) applyIteratorSteps(raw, steps)
+      else {
+        // ROOT `$[*][*]…`: spark.read.json flattens nested root arrays
+        // straight to the LEAF object schema but cannot parse the rows
+        // (each top-level element is an array, not an object — every
+        // field lands null). Re-parse each document with the inferred
+        // leaf schema wrapped in one ArrayType per root level, then
+        // explode level by level.
+        var tpe: org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StructType(raw.schema)
+        (0 until nRoot).foreach(_ => tpe = ArrayType(tpe))
+        var cur = spark.read.option("wholetext", multiLine.toString).text(p)
+          .select(from_json(col("value"), tpe).as("_v"))
+        (0 until nRoot).foreach(_ => cur = cur.select(explode(col("_v")).as("_v")))
+        applyIteratorSteps(cur.select(col("_v.*")), steps.drop(nRoot))
+      }
 
     case LogicalSource.XmlSource(path0, iterator, parentAxis) =>
       val path = resolvePath(path0)
@@ -236,12 +254,16 @@ object SourceReader {
     * recursive descent iterates (semantify.py:4952-4960) — explode once per
     * `[*]` instead of looking up a literal field named `a[*]`.
     */
-  def applyJsonIterator(df: DataFrame, iterator: String): DataFrame = {
-    val steps = parseIteratorSteps(iterator)
+  def applyJsonIterator(df: DataFrame, iterator: String): DataFrame =
+    applyIteratorSteps(df, parseIteratorSteps(iterator))
+
+  private def applyIteratorSteps(df: DataFrame,
+      steps: List[IterStep]): DataFrame = {
     if (steps.isEmpty) return df
     var cur = df
     // None = still in row-of-columns context (document root)
     var node: Option[org.apache.spark.sql.Column] = None
+    var rootExploded = false // first root [*] consumed by spark.read.json
     def nodeType: org.apache.spark.sql.types.DataType =
       cur.select(node.get.as("_v")).schema.head.dataType
     steps.foreach {
@@ -249,9 +271,23 @@ object SourceReader {
         node = Some(node.map(_.getField(name)).getOrElse(col(name)))
       case IterStep.Explode =>
         node match {
-          case None =>
+          case None if !rootExploded =>
             // root [*]: spark.read.json already yields one row per element
-            ()
+            rootExploded = true
+          case None =>
+            // `$[*][*]` — root array of arrays: read.json made each inner
+            // ARRAY a row; that row is a single array column, which this
+            // level explodes (previously both root [*] no-opped and the
+            // inner level was never iterated)
+            cur.schema.fields match {
+              case Array(f) if f.dataType.isInstanceOf[ArrayType] =>
+                cur = cur.select(explode(col(f.name)).as("_v"))
+                node = Some(col("_v"))
+              case _ =>
+                // row is already an object (reference walk iterates a
+                // non-array node as itself): keep row-of-columns context
+                ()
+            }
           case Some(c) =>
             // a [*] step over a single object iterates it as one row
             // (reference JSONPath walk tolerates both shapes)

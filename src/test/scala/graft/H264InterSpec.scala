@@ -200,4 +200,130 @@ class H264InterSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("decode_error")
       .contains("sub-partition"), rows(1).toString)
   }
+
+  // ---- round-17 envelope: recovery points, frame_num continuity, ----
+  // ---- parsed frame_type, skip-to-intra resumption                ----
+
+  private def annexB(units: (Int, Int, Array[Byte])*): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    units.foreach { case (refIdc, tpe, rbsp) =>
+      out += 0; out += 0; out += 0; out += 1
+      out += ((refIdc << 5) | tpe).toByte
+      out ++= VideoBitstream.escapeRbsp(rbsp)
+    }
+    out.toArray
+  }
+  private def gopRows(payload: Array[Byte]) =
+    H264Decode.decodeGop(Seq((0L, payload)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").collect()
+
+  test("decodeGop: a NON-IDR recovery-point I slice decodes an open GOP " +
+      "whose IDR was cut (truncated-download shape)") {
+    // SPS/PPS + non-IDR I (NAL type 1, frame_num 3) + all-skip P (4)
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (2, 1, H264Decode.i16SliceRbsp(7, true, 3, idr = false, frameNum = 3)),
+      (2, 1, H264Inter.pSliceRbsp(4, 4, Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    assert(out.map(_.getAs[String]("frame_type")).toSeq == Seq("I", "P"))
+    // the recovery I frame carries the documented quadrants; the
+    // all-skip P (every derived MV is zero) reproduces it exactly
+    val f0 = out(0).getAs[Array[Byte]]("luma_plane")
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane")
+    assert((f0(0) & 0xff) == 135 && (f0(5 * 32 + 20) & 0xff) == 134)
+    assert(f1.toSeq == f0.toSeq)
+  }
+
+  test("decodeGop: a frame_num gap refuses BY NAME (lost reference " +
+      "frame must not be motion-compensated through)") {
+    // IDR (frame_num 0) then a P claiming frame_num 2 — frame 1 was lost
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)),
+      (2, 1, H264Inter.pSliceRbsp(4, 2, Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("decode_error") == null)
+    val err = out(1).getAs[String]("decode_error")
+    assert(err != null && err.contains("frame_num gap"), err)
+    assert(out(1).getAs[String]("frame_type") == "P")
+  }
+
+  test("decodeGop: frame_type comes from the PARSED slice_type — a B " +
+      "slice refuses labeled B, not P") {
+    val bSlice = {
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(1) // first_mb, slice_type 1 = B
+      w.ue(0); w.u(1, 4) // pps id, frame_num 1
+      w.rbspTrailing()
+      w.bytes
+    }
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)),
+      (2, 1, bSlice))
+    val out = gopRows(payload)
+    assert(out.length == 2)
+    assert(out(1).getAs[String]("frame_type") == "B", out(1).toString)
+    assert(out(1).getAs[String]("decode_error").contains("B slice"),
+      out(1).toString)
+  }
+
+  test("decodeGop: after a refusal the walk skips inter frames and " +
+      "RESUMES at the next intra frame (frame_idx keeps stream position)") {
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)), // frame 0: IDR
+      (2, 1, { // frame 1: P with an unsupported sub-partition mb_type
+        val w = new VideoBitstream.BitWriter
+        w.ue(0); w.ue(0); w.ue(0); w.u(1, 4)
+        w.u(0, 1); w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+        w.ue(0); w.ue(1) // skip_run 0, mb_type 1 (P_L0_L0_16x8)
+        w.rbspTrailing(); w.bytes
+      }),
+      // frame 2: P inside the broken chain — must be SKIPPED (no row)
+      (2, 1, H264Inter.pSliceRbsp(4, 2, Seq.fill(4)(H264Inter.PMb.Skip))),
+      // frame 3: recovery-point I — re-anchors the walk
+      (2, 1, H264Decode.i16SliceRbsp(4, false, 6, idr = false, frameNum = 3)),
+      // frame 4: P off the recovered reference — decodes again
+      (2, 1, H264Inter.pSliceRbsp(4, 4, Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 3, 4),
+      out.mkString("\n"))
+    assert(out.map(_.getAs[String]("frame_type")).toSeq ==
+      Seq("I", "P", "I", "P"))
+    assert(out(1).getAs[String]("decode_error").contains("sub-partition"))
+    assert(out(2).getAs[String]("decode_error") == null)
+    assert(out(3).getAs[String]("decode_error") == null)
+    // frame 4 reproduces the recovery frame (all-skip, zero motion)
+    assert(out(3).getAs[Array[Byte]]("luma_plane").toSeq ==
+      out(2).getAs[Array[Byte]]("luma_plane").toSeq)
+  }
+
+  test("decodeGop: a recovery-point I slice using adaptive ref-pic " +
+      "marking refuses by name (header would mis-align)") {
+    val adaptive = {
+      // non-IDR I header with adaptive_ref_pic_marking_mode_flag = 1
+      val w = new VideoBitstream.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(3, 4)
+      w.u(1, 1) // adaptive marking — unsupported
+      w.rbspTrailing(); w.bytes
+    }
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (2, 1, adaptive))
+    val out = gopRows(payload)
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("decode_error")
+      .contains("adaptive ref pic marking"), out(0).toString)
+    assert(out(0).getAs[String]("frame_type") == "I")
+  }
 }

@@ -111,6 +111,27 @@ class JsonSourceSpec extends AnyFunSuite {
       ("<http://ex/w/3>", "<http://ex/word>", "\"gamma\"")))
   }
 
+  test("S2: ROOT-level $[*][*] iterator explodes the inner array level " +
+      "(previously both root [*] steps no-opped)") {
+    val nested = writeTmp("root_nested.json",
+      """[
+        |  [{"id": 1, "w": "alpha"}, {"id": 2, "w": "beta"}],
+        |  [{"id": 3, "w": "gamma"}]
+        |]""".stripMargin)
+    val ts = Engine.materialize(spark, prefixes +
+      s"""<TM> a rr:TriplesMap;
+         |  rml:logicalSource [ rml:source "$nested"; rml:referenceFormulation ql:JSONPath;
+         |                      rml:iterator "$$[*][*]" ];
+         |  rr:subjectMap [ rr:template "http://ex/w/{id}" ];
+         |  rr:predicateObjectMap [ rr:predicate ex:word; rr:objectMap [ rml:reference "w" ] ].
+         |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ts == Set(
+      ("<http://ex/w/1>", "<http://ex/word>", "\"alpha\""),
+      ("<http://ex/w/2>", "<http://ex/word>", "\"beta\""),
+      ("<http://ex/w/3>", "<http://ex/word>", "\"gamma\"")))
+  }
+
   private val bindings = writeTmp("bindings.srj",
     """{"head": {"vars": ["city", "pop"]},
       | "results": {"bindings": [

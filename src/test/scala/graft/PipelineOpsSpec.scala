@@ -185,6 +185,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(wOne.except(uni).isEmpty && uni.except(wOne).isEmpty)
   }
 
+  test("weighted mean pool: an over-bound weight SURFACES as an error " +
+      "instead of silently wrapping the long sums into corrupt means") {
+    // q = floor(0.9·1e6 + 0.5) = 900000; 900000 · (Long.MaxValue/1e5)
+    // overflows a long — multiplyExact must throw through the job
+    val df = Seq(
+      (1L, Long.MaxValue / 100000L, Seq[java.lang.Double](0.9, 0.9)),
+      (1L, Long.MaxValue / 100000L, Seq[java.lang.Double](0.9, 0.9))
+    ).toDF("k", "w", "v")
+    val e = intercept[Exception] {
+      Embeddings.weightedMeanPool(df, "v", "w", "k").collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      e.toString)
+  }
+
   test("target mix: composition matches shares, binding group limits size") {
     // 100 en, 10 de → with shares 0.8/0.2 the binding group is de:
     // N = min(100/0.8, 10/0.2) = 50 → keep 40 en + 10 de
