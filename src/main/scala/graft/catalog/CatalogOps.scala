@@ -2778,6 +2778,126 @@ object CatalogOps {
       FROM f"""),
     bench = true)
 
+  /** Mixed inter-partition decode
+    * ([[graft.ops.H264Decode.syntheticPartitionGopAnnexB]] → decodeGop):
+    * a P frame whose four macroblocks use 16×8 / 8×16 / 8×8(×4) /
+    * 16×16 partitions, every partition carrying ONE uniform integer MV
+    * through the block-granular §8.4.1.3 prediction chain (directional
+    * 16×8/8×16 shortcuts + median — a wrong rule ships wrong pixels),
+    * then an all-P_Skip frame. Oracle: the same clamped-translation
+    * closed form as mm_h264_gop_decode, frames 1 and 2 equal.
+    */
+  private val mmH264PPartitions = Q("mm_h264_p_partitions",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticPartitionGopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(4) * (lit(1) + d % 3)).cast("int"), // mvx: 1..3 px
+          (lit(4) * (d % 2)).cast("int")).as("payload")) // mvy: 0..1 px
+      graft.ops.H264Decode.decodeGop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS dx,
+        doc_id % 2 AS dy
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
+        ((16 - dx) * (16 - dy) * c0 + (16 + dx) * (16 - dy) * c1 +
+         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3) AS n1
+        FROM q),
+      f AS (SELECT doc_id, n0, n1, unnest(generate_series(0, 2)) AS fi
+        FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN n0 ELSE n1 END)::DOUBLE / 1024 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
+  /** Per-frame partition census
+    * ([[graft.ops.H264Decode.h264PartitionCensus]]): the structure view
+    * a curation pipeline reads before full decode — skip density,
+    * partition mix, intra-refresh cadence per frame. Over the mixed-
+    * partition GOP the counts are exact constants: the IDR counts 4
+    * intra MBs, the partition frame one of each inter shape, the skip
+    * frame 4 skips.
+    */
+  private val mmH264PartitionCensus = Q("mm_h264_partition_census",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticPartitionGopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(4) * (lit(1) + d % 3)).cast("int"),
+          (lit(4) * (d % 2)).cast("int")).as("payload"))
+      graft.ops.H264Decode.h264PartitionCensus(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"), col("n_skip"),
+          col("n_16x16"), col("n_16x8"), col("n_8x16"), col("n_8x8"),
+          col("n_intra"), col("census_error"))
+    },
+    Some("""WITH f AS (SELECT doc_id, unnest(generate_series(0, 2)) AS fi
+        FROM documents)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        (CASE WHEN fi = 2 THEN 4 ELSE 0 END)::INT AS n_skip,
+        (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_16x16,
+        (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_16x8,
+        (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_8x16,
+        (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_8x8,
+        (CASE WHEN fi = 0 THEN 4 ELSE 0 END)::INT AS n_intra,
+        NULL::VARCHAR AS census_error
+      FROM f"""))
+
+  /** Open-GOP / recovery-point decode
+    * ([[graft.ops.H264Decode.syntheticOpenGopAnnexB]] → decodeGop): a
+    * stream whose IDR was truncated away upstream — the first coded
+    * frame is a NON-IDR I slice (its header has no idr_pic_id and
+    * carries a nonzero frame_num) that decodeGop decodes as a recovery
+    * point, then an all-P_Skip frame that must reproduce it exactly
+    * (and whose frame_num continuity is checked against the recovery
+    * frame). Oracle: both frames carry the quadrant closed-form mean.
+    */
+  private val mmH264OpenGop = Q("mm_h264_open_gop",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticOpenGopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(1) + d % 13).cast("int")).as("payload")) // frame_num 1..13
+      graft.ops.H264Decode.decodeGop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2
+        FROM documents),
+      q AS (SELECT doc_id,
+        (c0 + c1 + c2 + ((c1 + c2 + 1) // 2)) AS s4 FROM p),
+      f AS (SELECT doc_id, s4, unnest(generate_series(0, 1)) AS fi FROM q)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        s4::DOUBLE / 4 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
   /** STREAM-TRANSMITTED scaling-list decode
     * ([[graft.ops.H264Decode.syntheticScalingI16AnnexB]] → decodeIdr):
     * the same Intra_16x16 slice bytes under a High-profile SPS whose
@@ -4560,6 +4680,97 @@ object CatalogOps {
           (o.perplexity IS NULL)::INT, o.perplexity, o.doc_id)::INT AS ppl_bucket
       FROM lmout o JOIN documents d USING (doc_id)"""))
 
+  /** Stupid-backoff LM oracle CTE chain, GENERATED for order `n` so the
+    * SQL stays mechanically in lock-step with
+    * [[TextAnalysis.ngramLmStupidBackoff]]: per-order gram-count tables
+    * over the train split (every third document), per-doc full n-grams
+    * with each order's suffix + its context infix, the longest-attested-
+    * suffix CASE chain (αʲ backoff, add-1 unigram floor over (N, V)),
+    * micro-nat rounding BEFORE the per-doc sum — the same determinism
+    * contract as the add-k row.
+    */
+  private def sbOracleCtes(n: Int): String = {
+    val gramTables = (1 to n).map { k =>
+      s"""g$k AS (SELECT gram, count(*)::DOUBLE AS c FROM
+        (SELECT array_to_string(t[i:i+${k - 1}], ' ') AS gram FROM
+          (SELECT t, unnest(generate_series(1, len(t) - ${k - 1})) AS i
+           FROM tr WHERE len(t) >= $k)) GROUP BY 1)"""
+    }.mkString(",\n      ")
+    val sufCols = (1 to n).map { k =>
+      val s = s"array_to_string(garr[${n - k + 1}:$n], ' ') AS s$k"
+      if (k >= 2)
+        s + s", array_to_string(garr[${n - k + 1}:${n - 1}], ' ') AS x$k"
+      else s
+    }.mkString(", ")
+    val joins = (n to 1 by -1).map { k =>
+      val num = s"LEFT JOIN g$k n$k ON dgx.s$k = n$k.gram"
+      if (k >= 2) num + s" LEFT JOIN g${k - 1} d$k ON dgx.x$k = d$k.gram"
+      else num
+    }.mkString(" ")
+    val caseChain = (n to 2 by -1).map { k =>
+      s"WHEN n$k.c IS NOT NULL THEN round((${n - k} * ln(0.4) + " +
+        s"ln(n$k.c / d$k.c)) * 1000000.0)"
+    }.mkString(" ")
+    s"""toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      tr AS (SELECT t FROM toks WHERE doc_id % 3 = 0),
+      $gramTables,
+      nv AS (SELECT count(*)::DOUBLE AS nn,
+        count(DISTINCT tok)::DOUBLE AS vv
+        FROM (SELECT unnest(t) AS tok FROM tr)),
+      dgarr AS (SELECT doc_id, t[i:i+${n - 1}] AS garr FROM
+        (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+         FROM toks WHERE len(t) >= $n)),
+      dgx AS (SELECT doc_id, $sufCols FROM dgarr),
+      sc AS (SELECT dgx.doc_id,
+        (CASE $caseChain
+         ELSE round((${n - 1} * ln(0.4) +
+           ln((COALESCE(n1.c, 0) + 1.0) / (nn + vv))) * 1000000.0)
+         END)::BIGINT AS lp6
+        FROM dgx $joins CROSS JOIN nv),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+        sum(lp6)::BIGINT AS logprob_sum_e6 FROM sc GROUP BY doc_id),
+      a2 AS (SELECT *, logprob_sum_e6 / (n_grams * 1000000.0) AS avg_logprob
+        FROM agg),
+      sbout AS (SELECT d.doc_id, COALESCE(a2.n_grams, 0)::BIGINT AS n_grams,
+        a2.logprob_sum_e6, a2.avg_logprob,
+        round(exp(-a2.avg_logprob), 6) AS perplexity
+        FROM documents d LEFT JOIN a2 USING (doc_id))"""
+  }
+
+  private def sbScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.ngramLmStupidBackoff(docs, "text", "doc_id",
+      docs.where(col("doc_id") % 3 === 0), "text", n = 5)
+  }
+
+  /** CCNet-class 5-gram stupid-backoff LM scoring
+    * ([[graft.ops.TextAnalysis.ngramLmStupidBackoff]]) — the published
+    * large-corpus smoothing (Brants et al. 2007) over the same train
+    * split as the add-1 bigram row; longest-attested-suffix scoring with
+    * α = 0.4 backoff and an add-1 unigram floor, micro-nat quantized.
+    */
+  private val txtLmStupidBackoff = Q("txt_lm_stupid_backoff",
+    (s, dir) => sbScored(s, dir),
+    Some(s"WITH ${sbOracleCtes(5)} SELECT * FROM sbout"),
+    bench = true)
+
+  /** Head/middle/tail buckets over the stupid-backoff signal — shares
+    * the generated CTE chain with txt_lm_stupid_backoff, as the add-k
+    * bucket row does with its scorer.
+    */
+  private val txtLmSbBuckets = Q("txt_lm_sb_buckets",
+    (s, dir) => {
+      val withLang = sbScored(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.perplexityBuckets(withLang, "perplexity", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("perplexity"), col("ppl_bucket"))
+    },
+    Some(s"""WITH ${sbOracleCtes(5)}
+      SELECT o.doc_id, d.lang, o.perplexity,
+        ntile(3) OVER (PARTITION BY d.lang ORDER BY
+          (o.perplexity IS NULL)::INT, o.perplexity, o.doc_id)::INT AS ppl_bucket
+      FROM sbout o JOIN documents d USING (doc_id)"""))
+
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
@@ -4567,13 +4778,13 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets,
+    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

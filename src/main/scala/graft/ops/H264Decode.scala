@@ -1389,6 +1389,202 @@ object H264Decode {
         out.toArray
       })
 
+  /** Mixed-partition GOP clip (Annex-B): the quadrant IDR, then a P
+    * frame whose four macroblocks exercise every supported inter
+    * partition shape — MB0 P_L0_L0_16x8, MB1 P_L0_L0_8x16, MB2 P_8x8
+    * (four P_L0_8x8 sub-blocks), MB3 P_L0_16x16 — all carrying the SAME
+    * uniform motion vector (mvx, mvy) in quarter-sample units, then an
+    * all-P_Skip frame. The §8.4.1.3 block-granular prediction chain
+    * makes the uniform MV cost exactly one non-zero mvd (the picture's
+    * first partition; every later partition's neighbours predict the
+    * uniform MV through the directional/median rules), so frame 1 is
+    * frame 0 translated by (mvx/4, mvy/4) with edge clamping — the same
+    * closed form as [[syntheticGopAnnexB]] — and a wrong directional
+    * rule ships wrong pixels the oracle catches.
+    */
+  val syntheticPartitionGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, mvx: Int, mvy: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        val z = (0, 0)
+        nal(2, 1, H264Inter.pSliceRbsp(4, 1, Seq(
+          H264Inter.PMb.Mv16x8((mvx, mvy), z),
+          H264Inter.PMb.Mv8x16(z, z),
+          H264Inter.PMb.Mv8x8(Seq(z, z, z, z)),
+          H264Inter.PMb.Mv(0, 0))))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 2,
+          Seq.fill(4)(H264Inter.PMb.Skip)))
+        out.toArray
+      })
+
+  private val censusCols = Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("frame_type", StringType),
+    StructField("n_skip", IntegerType),
+    StructField("n_16x16", IntegerType),
+    StructField("n_16x8", IntegerType),
+    StructField("n_8x16", IntegerType),
+    StructField("n_8x8", IntegerType),
+    StructField("n_intra", IntegerType),
+    StructField("census_error", StringType))
+
+  /** Per-frame macroblock PARTITION census over an Annex-B GOP — the
+    * structure view a curation pipeline reads before deciding whether a
+    * clip is worth full decode (motion complexity, intra-refresh
+    * cadence, skip density). Same walk, continuity checks and
+    * recovery/degradation contract as [[decodeGop]] (the P census
+    * requires the entropy decode, which requires the motion-compensated
+    * reference chain), but rows carry partition counts instead of
+    * planes: (n_skip, n_16x16, n_16x8, n_8x16, n_8x8, n_intra). An
+    * I frame counts its macroblocks as n_intra.
+    */
+  def h264PartitionCensus(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      cabac: Option[Cabac.Config] = None): DataFrame = {
+    Multimodal.requireFreshColumns(df, "h264PartitionCensus",
+      censusCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ censusCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(fi, ft, null, null, null, null, null, null, msg))
+        def countRow(fi: Int, ft: String, t: Array[Int]) =
+          Row.fromSeq(r.toSeq ++ Seq(fi, ft, t(0), t(1), t(2), t(3), t(4),
+            t(5), null))
+        if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val nals = VideoBitstream.findNals(bytes)
+          if (nals == null) Seq(errRow(null, null, "no Annex-B start code"))
+          else {
+            var sps: VideoBitstream.SpsInfo = null
+            var pps: PpsInfo = null
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var ref: Array[Byte] = null
+            var prevRef = -1
+            var frameIdx = 0
+            var seeking = false
+            var stopped = false
+            def refuse(ft: String, msg: String): Unit = {
+              out += errRow(frameIdx, ft, msg)
+              seeking = true
+              ref = null
+            }
+            nals.foreach { case (off, len) =>
+              if (!stopped) (bytes(off) & 0x1f) match {
+                case 7 if sps == null =>
+                  sps = VideoBitstream.parseSps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case 8 if pps == null =>
+                  pps = parsePps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case t @ (5 | 1) =>
+                  val refIdc = (bytes(off) >> 5) & 3
+                  val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+                  if (sps == null || pps == null) {
+                    out += errRow(frameIdx, null, "coded slice before SPS/PPS")
+                    stopped = true
+                  } else {
+                    peekSliceHeader(rbsp, sps) match {
+                      case None =>
+                        if (!seeking) refuse(null, "truncated slice header")
+                      case Some((_, st, frameNum)) =>
+                        val ft = sliceTypeName(st)
+                        val isIntra = ft == "I"
+                        if (seeking && !isIntra) ()
+                        else if (ft == null)
+                          refuse(null, s"corrupt slice header (slice_type $st)")
+                        else if (isIntra) {
+                          val res =
+                            try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                              refIdc, cabacCfg, idr = t == 5)
+                            catch { case e: Exception => Left(
+                              s"decode failed: ${e.getClass.getSimpleName}") }
+                          res match {
+                            case Left(msg) => refuse("I", msg)
+                            case Right(luma) =>
+                              val tl = new Array[Int](6)
+                              tl(5) = sps.widthMbs * sps.heightMbs
+                              out += countRow(frameIdx, "I", tl)
+                              ref = luma
+                              prevRef = frameNum
+                              seeking = false
+                          }
+                        } else if (ft == "P") {
+                          val maxFrameNum = 1 << sps.log2MaxFrameNum
+                          if (prevRef >= 0 &&
+                              frameNum != (prevRef + 1) % maxFrameNum)
+                            refuse("P", s"frame_num gap (got $frameNum " +
+                              s"after $prevRef)")
+                          else {
+                            val tl = new Array[Int](6)
+                            val res =
+                              try H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                                refIdc, tl)
+                              catch { case e: Exception => Left(
+                                s"decode failed: ${e.getClass.getSimpleName}") }
+                            res match {
+                              case Left(msg) => refuse("P", msg)
+                              case Right(luma) =>
+                                out += countRow(frameIdx, "P", tl)
+                                ref = luma
+                                if (refIdc != 0) prevRef = frameNum
+                            }
+                          }
+                        } else
+                          refuse(ft, s"$ft slice not supported (I/P decode)")
+                    }
+                    frameIdx += 1
+                  }
+                case _ => ()
+              }
+            }
+            if (out.isEmpty) Seq(errRow(null, null, "no coded slice in stream"))
+            else out.toSeq
+          }
+        } catch { case e: Exception =>
+          Seq(errRow(null, null, s"decode failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  /** Open-GOP clip (Annex-B): SPS/PPS then a NON-IDR recovery-point
+    * I slice (NAL type 1, slice_type I, frame_num `fn`) followed by an
+    * all-P_Skip frame (`fn`+1 mod 16) — the truncated-download shape
+    * whose IDR was cut upstream. Decodes through [[decodeGop]]'s
+    * recovery path: frame 0 is the [[i16SliceRbsp]] quadrant plane,
+    * frame 1 reproduces it exactly (every skip derives zero motion on
+    * a freshly-anchored frame).
+    */
+  val syntheticOpenGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, fn: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(2, 1, i16SliceRbsp(v0, s1Neg, v2, idr = false, frameNum = fn))
+        nal(2, 1, H264Inter.pSliceRbsp(4, (fn + 1) % 16,
+          Seq.fill(4)(H264Inter.PMb.Skip)))
+        out.toArray
+      })
+
   private val mp4Cols =
     StructField("sample_idx", IntegerType) +: cols
 

@@ -8,11 +8,12 @@ package graft.ops
   *
   * Reference shape (SDM-RDFizer has no media decode; this extends the
   * repo's beyond-parity video family): the supported envelope is the
-  * one a curation pipeline's self-coded probes exercise — single
-  * reference frame, P_Skip + P_L0_16x16 partitions, residual-free
-  * inter macroblocks — with everything outside it refused BY NAME
-  * (sub-partitions, multiple references, weighted prediction, inter
-  * residual, CABAC P slices). The refusals follow the repo's table
+  * one a curation pipeline's self-coded probes exercise — a single
+  * RETAINED reference frame, P_Skip + P_L0_16x16 + 16×8 + 8×16 + 8×8
+  * partitions with block-granular MV prediction, residual-free inter
+  * macroblocks — with everything outside it refused BY NAME (sub-8×8
+  * splits, ref_idx beyond the previous frame, weighted prediction,
+  * inter residual, CABAC P slices). The refusals follow the repo's table
   * policy: Table 9-4's INTER coded_block_pattern column is NOT carried
   * because it cannot be conformance-anchored in this environment —
   * decoding through a mis-recalled table would ship wrong pixels with
@@ -124,7 +125,16 @@ object H264Inter {
     * H264InterSpec.
     */
   private[ops] def predict16x16(ref: Array[Byte], dst: Array[Byte],
-      w: Int, h: Int, px: Int, py: Int, mvx: Int, mvy: Int): Unit = {
+      w: Int, h: Int, px: Int, py: Int, mvx: Int, mvy: Int): Unit =
+    predictBlock(ref, dst, w, h, px, py, 16, 16, mvx, mvy)
+
+  /** Motion-compensate one bw×bh luma partition (16×16 down to 8×8) at
+    * picture position (px, py) — the same plane-at-a-time strategy,
+    * windows sized to the partition.
+    */
+  private[ops] def predictBlock(ref: Array[Byte], dst: Array[Byte],
+      w: Int, h: Int, px: Int, py: Int, bw: Int, bh: Int,
+      mvx: Int, mvy: Int): Unit = {
     // >> 2 (arithmetic) keeps negative MVs on the integer grid the spec
     // expects; & 3 gives the fractional phase
     val xI = px + (mvx >> 2)
@@ -133,9 +143,9 @@ object H264Inter {
     val yF = mvy & 3
     if (xF == 0 && yF == 0) { // integer MV (and every P_Skip copy)
       var yy = 0
-      while (yy < 16) {
+      while (yy < bh) {
         var xx = 0
-        while (xx < 16) {
+        while (xx < bw) {
           dst((py + yy) * w + px + xx) =
             at(ref, w, h, xI + xx, yI + yy).toByte
           xx += 1
@@ -144,57 +154,60 @@ object H264Inter {
       }
       return
     }
-    // intermediate planes over the MB's (x, y) ∈ [0, 17]² window,
-    // indexed [y * 18 + x] relative to (xI, yI); only the planes this
+    // intermediate planes over the partition's (x, y) ∈ [0, bw+1]×[0, bh+1]
+    // window, stride s, relative to (xI, yI); only the planes this
     // fraction reads are filled
-    val gP = new Array[Int](18 * 18) // integer samples (G, H, M)
-    val bP = new Array[Int](18 * 18) // horizontal halves (b; s = b(y+1))
-    val hP = new Array[Int](18 * 18) // vertical halves (h; m = h(x+1))
+    val s = bw + 2
+    val rows = bh + 2
+    val gP = new Array[Int](s * rows) // integer samples (G, H, M)
+    val bP = new Array[Int](s * rows) // horizontal halves (b; s = b(y+1))
+    val hP = new Array[Int](s * rows) // vertical halves (h; m = h(x+1))
     val jP = if (xF != 0 && yF != 0 && (xF == 2 || yF == 2))
-      new Array[Int](18 * 18) else null
+      new Array[Int](s * rows) else null
     var y = 0
-    while (y < 18) {
+    while (y < rows) {
       var x = 0
-      while (x < 18) {
-        if (xF == 0 || yF == 0) gP(y * 18 + x) = at(ref, w, h, xI + x, yI + y)
-        if (xF != 0) bP(y * 18 + x) = halfH(ref, w, h, xI + x, yI + y)
-        if (yF != 0) hP(y * 18 + x) = halfV(ref, w, h, xI + x, yI + y)
+      while (x < s) {
+        if (xF == 0 || yF == 0) gP(y * s + x) = at(ref, w, h, xI + x, yI + y)
+        if (xF != 0) bP(y * s + x) = halfH(ref, w, h, xI + x, yI + y)
+        if (yF != 0) hP(y * s + x) = halfV(ref, w, h, xI + x, yI + y)
         x += 1
       }
       y += 1
     }
     if (jP != null) {
       // j = 6-tap horizontally over the UNSHIFTED vertical
-      // intermediates: fill the rawV grid once (23 columns: x −2..+20
+      // intermediates: fill the rawV grid once (columns x −2..bw+2
       // relative to xI), then filter it — no per-cell recomputation
-      val rv = new Array[Int](23 * 18)
+      val rs = s + 5
+      val rv = new Array[Int](rs * rows)
       y = 0
-      while (y < 18) {
+      while (y < rows) {
         var x = 0
-        while (x < 23) {
-          rv(y * 23 + x) = rawV(ref, w, h, xI + x - 2, yI + y)
+        while (x < rs) {
+          rv(y * rs + x) = rawV(ref, w, h, xI + x - 2, yI + y)
           x += 1
         }
         y += 1
       }
       y = 0
-      while (y < 18) {
+      while (y < rows) {
         var x = 0
-        while (x < 18) {
-          val o = y * 23 + x // rv column x corresponds to sample x − 2
+        while (x < s) {
+          val o = y * rs + x // rv column x corresponds to sample x − 2
           val v = rv(o) - 5 * rv(o + 1) + 20 * rv(o + 2) +
             20 * rv(o + 3) - 5 * rv(o + 4) + rv(o + 5)
-          jP(y * 18 + x) = clip255((v + 512) >> 10)
+          jP(y * s + x) = clip255((v + 512) >> 10)
           x += 1
         }
         y += 1
       }
     }
     var yy = 0
-    while (yy < 16) {
+    while (yy < bh) {
       var xx = 0
-      while (xx < 16) {
-        val i = yy * 18 + xx
+      while (xx < bw) {
+        val i = yy * s + xx
         val v = (xF, yF) match {
           case (1, 0) => (gP(i) + bP(i) + 1) >> 1 // a
           case (2, 0) => bP(i)
@@ -207,10 +220,10 @@ object H264Inter {
           case (1, 2) => (hP(i) + jP(i) + 1) >> 1 // i
           case (2, 2) => jP(i)
           case (3, 2) => (jP(i) + hP(i + 1) + 1) >> 1 // k
-          case (0, 3) => (gP(i + 18) + hP(i) + 1) >> 1 // n
-          case (1, 3) => (hP(i) + bP(i + 18) + 1) >> 1 // p
-          case (2, 3) => (jP(i) + bP(i + 18) + 1) >> 1 // q
-          case _      => (hP(i + 1) + bP(i + 18) + 1) >> 1 // r (3,3)
+          case (0, 3) => (gP(i + s) + hP(i) + 1) >> 1 // n
+          case (1, 3) => (hP(i) + bP(i + s) + 1) >> 1 // p
+          case (2, 3) => (jP(i) + bP(i + s) + 1) >> 1 // q
+          case _      => (hP(i + 1) + bP(i + s) + 1) >> 1 // r (3,3)
         }
         dst((py + yy) * w + px + xx) = v.toByte
         xx += 1
@@ -219,70 +232,116 @@ object H264Inter {
     }
   }
 
-  /** Per-MB motion state for the neighbour derivations: refIdx −1 marks
-    * intra / unavailable (outside picture), 0 marks a decoded inter MB.
+  /** Per-4×4-BLOCK motion state for the neighbour derivations — §8.4.1.3
+    * operates at sub-MB granularity once partitions smaller than 16×16
+    * exist. `ref` per block: −2 = not yet decoded / outside picture,
+    * −1 = decoded intra (available as a neighbour but never
+    * refIdx-matching), ≥0 = decoded inter with that reference index.
     */
   private[ops] final class MvGrid(val mbw: Int, val mbh: Int) {
-    val mvx = new Array[Int](mbw * mbh)
-    val mvy = new Array[Int](mbw * mbh)
-    val ref = Array.fill(mbw * mbh)(-1)
-    def set(mbx: Int, mby: Int, x: Int, y: Int): Unit = {
-      mvx(mby * mbw + mbx) = x; mvy(mby * mbw + mbx) = y
-      ref(mby * mbw + mbx) = 0
+    val bw = mbw * 4
+    val bh = mbh * 4
+    val mvx = new Array[Int](bw * bh)
+    val mvy = new Array[Int](bw * bh)
+    val ref = Array.fill(bw * bh)(-2)
+    /** Mark a w4×h4 block region (block coords) decoded-inter. */
+    def setBlk(bx: Int, by: Int, w4: Int, h4: Int,
+        x: Int, y: Int, r: Int = 0): Unit = {
+      var j = 0
+      while (j < h4) {
+        var i = 0
+        while (i < w4) {
+          val o = (by + j) * bw + bx + i
+          mvx(o) = x; mvy(o) = y; ref(o) = r
+          i += 1
+        }
+        j += 1
+      }
     }
-    def refAt(mbx: Int, mby: Int): Int =
-      if (mbx < 0 || mby < 0 || mbx >= mbw || mby >= mbh) -1
-      else ref(mby * mbw + mbx)
-    def mvAt(mbx: Int, mby: Int): (Int, Int) =
-      if (refAt(mbx, mby) < 0) (0, 0)
-      else (mvx(mby * mbw + mbx), mvy(mby * mbw + mbx))
+    /** Whole-MB inter setter (MB coords) — the 16×16 / P_Skip shape. */
+    def set(mbx: Int, mby: Int, x: Int, y: Int): Unit =
+      setBlk(mbx * 4, mby * 4, 4, 4, x, y)
+    /** Mark an intra MB decoded (neighbours see it, no refIdx match). */
+    def markIntra(mbx: Int, mby: Int): Unit =
+      setBlk(mbx * 4, mby * 4, 4, 4, 0, 0, r = -1)
+    def refB(bx: Int, by: Int): Int =
+      if (bx < 0 || by < 0 || bx >= bw || by >= bh) -2
+      else ref(by * bw + bx)
+    def mvB(bx: Int, by: Int): (Int, Int) =
+      if (refB(bx, by) < 0) (0, 0)
+      else (mvx(by * bw + bx), mvy(by * bw + bx))
+    /** MB-granular accessors kept for the skip/16×16 derivations. */
+    def refAt(mbx: Int, mby: Int): Int = refB(mbx * 4, mby * 4)
+    def mvAt(mbx: Int, mby: Int): (Int, Int) = mvB(mbx * 4, mby * 4)
   }
 
-  /** §8.4.1.3 luma motion-vector prediction for a whole-MB (16×16)
-    * partition: neighbours A (left), B (above), C (above-right, D
-    * above-left when C is outside); exactly-one-matching-refIdx
-    * shortcut, A-only shortcut when B/C/D are all unavailable, else
-    * the component-wise median.
+  /** Partition kinds for the §8.4.1.3 directional shortcuts. */
+  private[ops] final val PartGeneral = 0 // 16×16 and 8×8 sub-blocks
+  private[ops] final val Part16x8Top = 1 // predicts from B on refIdx match
+  private[ops] final val Part16x8Bottom = 2 // predicts from A
+  private[ops] final val Part8x16Left = 3 // predicts from A
+  private[ops] final val Part8x16Right = 4 // predicts from C
+
+  /** §8.4.1.3 luma motion-vector prediction for a partition at block
+    * coords (bx, by), size w4×h4 in 4×4 units, reference `refIdx`:
+    * neighbours A (left of top-left), B (above top-left), C (above the
+    * block right of the top-right corner; D above-left substitutes when
+    * C is outside or not yet decoded). Directional 16×8/8×16 shortcuts
+    * first (on refIdx match), then the exactly-one-matching-refIdx
+    * shortcut, the A-only rule when B/C/D are all unavailable, else the
+    * component-wise median.
     */
-  private[ops] def mvPred16x16(g: MvGrid, mbx: Int, mby: Int): (Int, Int) = {
-    val aAvail = mbx > 0
-    val bAvail = mby > 0
-    // C = above-right; outside the picture (or on row 0) → D above-left
-    val cAvail0 = mby > 0 && mbx + 1 < g.mbw
+  private[ops] def mvPredPart(g: MvGrid, bx: Int, by: Int,
+      w4: Int, h4: Int, refIdx: Int, kind: Int): (Int, Int) = {
+    val aAvail = g.refB(bx - 1, by) >= -1
+    val bAvail = g.refB(bx, by - 1) >= -1
+    // C above-right; outside picture OR not yet decoded → D above-left
     val (cx, cy, cAvail) =
-      if (cAvail0) (mbx + 1, mby - 1, true)
-      else (mbx - 1, mby - 1, mbx > 0 && mby > 0)
-    val refA = if (aAvail) g.refAt(mbx - 1, mby) else -1
-    val refB = if (bAvail) g.refAt(mbx, mby - 1) else -1
-    val refC = if (cAvail) g.refAt(cx, cy) else -1
-    val (ax, ay) = if (aAvail) g.mvAt(mbx - 1, mby) else (0, 0)
-    val (bx, by) = if (bAvail) g.mvAt(mbx, mby - 1) else (0, 0)
-    val (cxv, cyv) = if (cAvail) g.mvAt(cx, cy) else (0, 0)
+      if (g.refB(bx + w4, by - 1) >= -1) (bx + w4, by - 1, true)
+      else (bx - 1, by - 1, g.refB(bx - 1, by - 1) >= -1)
+    val refA = if (aAvail) g.refB(bx - 1, by) else -2
+    val refBn = if (bAvail) g.refB(bx, by - 1) else -2
+    val refC = if (cAvail) g.refB(cx, cy) else -2
+    val mvA = g.mvB(bx - 1, by)
+    val mvBn = g.mvB(bx, by - 1)
+    val mvC = if (cAvail) g.mvB(cx, cy) else (0, 0)
+    // §8.4.1.3 directional shortcuts (the refIdx-matching neighbour wins)
+    kind match {
+      case Part16x8Top if refBn == refIdx => return mvBn
+      case Part16x8Bottom if refA == refIdx => return mvA
+      case Part8x16Left if refA == refIdx => return mvA
+      case Part8x16Right if refC == refIdx => return mvC
+      case _ => ()
+    }
     // §8.4.1.3.1: B, C (and D) all unavailable and A available → mvA
-    if (!bAvail && !cAvail && aAvail) (ax, ay)
+    if (!bAvail && !cAvail && aAvail) mvA
     else {
       val matches =
-        (if (refA == 0) 1 else 0) + (if (refB == 0) 1 else 0) +
-          (if (refC == 0) 1 else 0)
+        (if (refA == refIdx) 1 else 0) + (if (refBn == refIdx) 1 else 0) +
+          (if (refC == refIdx) 1 else 0)
       if (matches == 1) {
-        if (refA == 0) (ax, ay) else if (refB == 0) (bx, by) else (cxv, cyv)
+        if (refA == refIdx) mvA else if (refBn == refIdx) mvBn else mvC
       } else {
         def med(a: Int, b: Int, c: Int): Int =
           math.max(math.min(a, b), math.min(math.max(a, b), c))
-        (med(ax, bx, cxv), med(ay, by, cyv))
+        (med(mvA._1, mvBn._1, mvC._1), med(mvA._2, mvBn._2, mvC._2))
       }
     }
   }
+
+  /** Whole-MB (16×16) §8.4.1.3 prediction (MB coords). */
+  private[ops] def mvPred16x16(g: MvGrid, mbx: Int, mby: Int): (Int, Int) =
+    mvPredPart(g, mbx * 4, mby * 4, 4, 4, 0, PartGeneral)
 
   /** §8.4.1.1 P_Skip motion derivation: zero when either edge neighbour
     * is unavailable or is a zero-motion reference-0 block, else the
     * §8.4.1.3 prediction.
     */
   private[ops] def skipMv(g: MvGrid, mbx: Int, mby: Int): (Int, Int) = {
-    val aZero = mbx > 0 && g.refAt(mbx - 1, mby) == 0 &&
-      g.mvAt(mbx - 1, mby) == (0, 0)
-    val bZero = mby > 0 && g.refAt(mbx, mby - 1) == 0 &&
-      g.mvAt(mbx, mby - 1) == (0, 0)
+    val bx = mbx * 4
+    val by = mby * 4
+    val aZero = g.refB(bx - 1, by) == 0 && g.mvB(bx - 1, by) == (0, 0)
+    val bZero = g.refB(bx, by - 1) == 0 && g.mvB(bx, by - 1) == (0, 0)
     if (mbx == 0 || mby == 0 || aZero || bZero) (0, 0)
     else mvPred16x16(g, mbx, mby)
   }
@@ -300,6 +359,13 @@ object H264Inter {
     case object Skip extends PMb
     /** P_L0_16x16 with this motion vector DIFFERENCE, no residual. */
     final case class Mv(mvdX: Int, mvdY: Int) extends PMb
+    /** P_L0_L0_16x8: top/bottom partition MVDs, no residual. */
+    final case class Mv16x8(top: (Int, Int), bottom: (Int, Int)) extends PMb
+    /** P_L0_L0_8x16: left/right partition MVDs, no residual. */
+    final case class Mv8x16(left: (Int, Int), right: (Int, Int)) extends PMb
+    /** P_8x8, all four sub_mb_type P_L0_8x8: one MVD per 8×8, raster
+      * order, no residual. */
+    final case class Mv8x8(mvds: Seq[(Int, Int)]) extends PMb
     /** I_16x16 intra-refresh block: DC-only luma coefficient `v` at the
       * slice QP, prediction mode `predMode`, cbp 0. `nC` must equal the
       * decoder's §9.2.1 context at the block's position (0 when the
@@ -309,25 +375,53 @@ object H264Inter {
   }
 
   private[ops] def pSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
-      mbs: Seq[PMb]): Array[Byte] = {
+      mbs: Seq[PMb], numRefL0: Int = 1): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(0) // slice_type: P
     w.ue(0) // pic_parameter_set_id
     w.u(frameNum, log2MaxFrameNum)
-    w.u(0, 1) // num_ref_idx_active_override_flag
+    if (numRefL0 == 1) w.u(0, 1) // num_ref_idx_active_override_flag
+    else { w.u(1, 1); w.ue(numRefL0 - 1) }
     w.u(0, 1) // ref_pic_list_modification_flag_l0
     w.u(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(0) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
+    // te(v) ref_idx_l0 = 0, once per partition, only when numRefL0 > 1
+    // (§9.1.1: cMax 1 → single INVERTED bit; larger → ue)
+    def refBits(n: Int): Unit = if (numRefL0 > 1) {
+      var i = 0
+      while (i < n) { if (numRefL0 == 2) w.u(1, 1) else w.ue(0); i += 1 }
+    }
     var run = 0
     mbs.foreach {
       case PMb.Skip => run += 1
       case PMb.Mv(mx, my) =>
         w.ue(run); run = 0
         w.ue(0) // mb_type: P_L0_16x16
+        refBits(1)
         w.se(mx); w.se(my) // mvd_l0[0][0]
         w.ue(0) // coded_block_pattern codeNum 0 → cbp 0 (no residual)
+      case PMb.Mv16x8(t, b) =>
+        w.ue(run); run = 0
+        w.ue(1) // mb_type: P_L0_L0_16x8
+        refBits(2)
+        w.se(t._1); w.se(t._2); w.se(b._1); w.se(b._2)
+        w.ue(0) // cbp 0
+      case PMb.Mv8x16(l, r) =>
+        w.ue(run); run = 0
+        w.ue(2) // mb_type: P_L0_L0_8x16
+        refBits(2)
+        w.se(l._1); w.se(l._2); w.se(r._1); w.se(r._2)
+        w.ue(0) // cbp 0
+      case PMb.Mv8x8(mvds) =>
+        w.ue(run); run = 0
+        w.ue(3) // mb_type: P_8x8
+        var b = 0
+        while (b < 4) { w.ue(0); b += 1 } // sub_mb_type: P_L0_8x8 ×4
+        refBits(4)
+        mvds.foreach { case (x, y) => w.se(x); w.se(y) }
+        w.ue(0) // cbp 0
       case PMb.I16Dc(v, predMode, nC) =>
         w.ue(run); run = 0
         // P-slice intra mb_type = 5 + I-slice mb_type; I_16x16 with
@@ -345,23 +439,32 @@ object H264Inter {
 
   /** Decode ONE CAVLC P slice against the previously decoded luma plane
     * `refLuma` (the single L0 reference). Returns the reconstructed
-    * luma plane, or the named refusal. The envelope (everything else
-    * refuses by name, never guesses pixels):
-    *   - P_Skip and P_L0_16x16 macroblocks, residual-free (inter
+    * luma plane, or the named refusal. `tally`, when non-null, receives
+    * the macroblock partition census (index 0 skip, 1 16×16, 2 16×8,
+    * 3 8×16, 4 8×8, 5 intra). The envelope (everything else refuses by
+    * name, never guesses pixels):
+    *   - P_Skip, P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16 and
+    *     P_8x8/P_8x8ref0 (sub_mb_type P_L0_8x8) macroblocks with
+    *     block-granular §8.4.1.3 MV prediction, residual-free (inter
     *     coded_block_pattern ≠ 0 refuses: Table 9-4's inter column is
-    *     not conformance-anchored here — the scaladoc's table policy)
+    *     not conformance-anchored here — the scaladoc's table policy;
+    *     sub-8×8 splits refuse by name)
+    *   - any num_ref_idx_l0_active (te(v) ref_idx parsed per
+    *     partition), but only the previous frame is RETAINED — a
+    *     parsed ref_idx > 0 refuses by name
     *   - I_16x16 and I_PCM intra-REFRESH macroblocks decode fully
     *     (their cbp comes from mb_type / is absent — no inter table
     *     involved); Intra_NxN in P refuses by name, as does
     *     constrained_intra_pred (its neighbour-exclusion rules are
     *     not implemented and ignoring them fabricates pixels)
-    *   - one L0 reference (the previous frame), no list modification,
-    *     no weighted prediction, sliding-window marking
+    *   - no reference list modification, no weighted prediction,
+    *     sliding-window marking
     *   - deblocking explicitly disabled by the stream (as the I path)
     */
   private[ops] def decodePSlice(sliceRbsp: Array[Byte],
       sps: VideoBitstream.SpsInfo, pps: H264Decode.PpsInfo,
-      refLuma: Array[Byte], nalRefIdc: Int = 2): Either[String, Array[Byte]] = {
+      refLuma: Array[Byte], nalRefIdc: Int = 2,
+      tally: Array[Int] = null): Either[String, Array[Byte]] = {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
@@ -402,14 +505,14 @@ object H264Inter {
         if (sps.pocType == 0) rd.u(sps.log2MaxPocLsb)
         if (pps.bottomFieldPocPresent && sps.pocType == 0) rd.se()
         if (pps.redundantPicCntPresent) rd.ue()
-        // num_ref_idx_active_override (§7.3.3): the decode carries ONE
-        // reference; more than one makes ref_idx_l0 syntax appear in
-        // every inter MB, which this walk does not parse — refuse
+        // num_ref_idx_active_override (§7.3.3): more than one active
+        // reference makes ref_idx_l0 te(v) syntax appear per partition
+        // — parsed below; only a parsed ref_idx pointing BEYOND the
+        // retained previous frame refuses (per macroblock, by name)
         var numRefL0 = pps.numRefIdxL0Default
         if (rd.u1() == 1) numRefL0 = rd.ue() + 1
-        if (numRefL0 != 1)
-          return Left(s"$numRefL0 L0 reference frames not supported " +
-            "(single-reference P decode)")
+        if (numRefL0 < 1 || numRefL0 > 16)
+          return Left(s"num_ref_idx_l0_active $numRefL0 out of range")
         // ref_pic_list_modification (§7.3.3.1)
         if (rd.u1() == 1)
           return Left("ref_pic_list_modification not supported")
@@ -503,6 +606,7 @@ object H264Inter {
               predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16, mvX, mvY)
               g.set(mbx, mby, mvX, mvY)
               setMbNc(mbx, mby, 0)
+              if (tally != null) tally(0) += 1
               mb += 1
               skipRun -= 1
             }
@@ -511,27 +615,89 @@ object H264Inter {
               val mbx = (mb % mbw).toInt
               val mby = (mb / mbw).toInt
               val mbType = rd.ue()
-              if (mbType == 0) { // P_L0_16x16
-                // single reference → ref_idx_l0 absent; mvd_l0 x, y
-                val (px, py) = mvPred16x16(g, mbx, mby)
-                val mvX = px + rd.se()
-                val mvY = py + rd.se()
-                val cbpCode = rd.ue()
-                if (cbpCode != 0)
-                  bad = "inter residual not supported (Table 9-4 inter " +
-                    "cbp column not conformance-anchored; codeNum 0 = " +
-                    "no residual decodes)"
-                else {
-                  predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16,
-                    mvX, mvY)
-                  g.set(mbx, mby, mvX, mvY)
-                  setMbNc(mbx, mby, 0)
-                  mb += 1
+              if (mbType <= 4) {
+                // inter partitions (Table 7-13): P_L0_16x16 (0),
+                // P_L0_L0_16x8 (1), P_L0_L0_8x16 (2), P_8x8 (3),
+                // P_8x8ref0 (4). §7.3.5.1/§7.3.5.2 ordering: sub_mb_type
+                // ×4 (P_8x8 family), then ALL ref_idx_l0, then ALL mvds.
+                if (mbType >= 3) {
+                  var b = 0
+                  while (b < 4 && bad == null) {
+                    val st = rd.ue()
+                    if (st != 0)
+                      // Table 7-18: 1..3 split an 8×8 into 8×4/4×8/4×4
+                      bad = s"sub_mb_type $st not supported " +
+                        "(P_L0_8x8 sub-partitions decode; smaller splits " +
+                        "do not)"
+                    b += 1
+                  }
                 }
-              } else if (mbType >= 1 && mbType <= 4)
-                bad = s"P sub-partition mb_type $mbType not supported " +
-                  "(P_L0_16x16 and P_Skip decode)"
-              else if (mbType == 5)
+                if (bad == null) {
+                  // partition geometry in 4×4-block units
+                  val (pxs, pys, pws, phs, kinds) = mbType match {
+                    case 0 => (Array(0), Array(0), Array(4), Array(4),
+                      Array(PartGeneral))
+                    case 1 => (Array(0, 0), Array(0, 2), Array(4, 4),
+                      Array(2, 2), Array(Part16x8Top, Part16x8Bottom))
+                    case 2 => (Array(0, 2), Array(0, 0), Array(2, 2),
+                      Array(4, 4), Array(Part8x16Left, Part8x16Right))
+                    case _ => (Array(0, 2, 0, 2), Array(0, 0, 2, 2),
+                      Array(2, 2, 2, 2), Array(2, 2, 2, 2),
+                      Array(PartGeneral, PartGeneral, PartGeneral,
+                        PartGeneral))
+                  }
+                  val nPart = pxs.length
+                  // ref_idx_l0 te(v) per partition — absent when one
+                  // reference is active or mb_type is P_8x8ref0 (ref 0
+                  // implicit). A parsed index > 0 names the refusal:
+                  // only the previous frame is retained.
+                  if (numRefL0 > 1 && mbType != 4) {
+                    var p = 0
+                    while (p < nPart && bad == null) {
+                      val ri = if (numRefL0 == 2) 1 - rd.u1() else rd.ue()
+                      if (ri >= numRefL0)
+                        bad = s"ref_idx_l0 $ri out of range " +
+                          s"($numRefL0 active)"
+                      else if (ri != 0)
+                        bad = s"ref_idx_l0 $ri refers beyond the previous " +
+                          "frame (single decoded-reference window)"
+                      p += 1
+                    }
+                  }
+                  if (bad == null) {
+                    val mvdX = new Array[Int](nPart)
+                    val mvdY = new Array[Int](nPart)
+                    var p = 0
+                    while (p < nPart) {
+                      mvdX(p) = rd.se(); mvdY(p) = rd.se(); p += 1
+                    }
+                    p = 0
+                    while (p < nPart) {
+                      val bx = mbx * 4 + pxs(p)
+                      val by = mby * 4 + pys(p)
+                      val (prx, pry) =
+                        mvPredPart(g, bx, by, pws(p), phs(p), 0, kinds(p))
+                      val mvX = prx + mvdX(p)
+                      val mvY = pry + mvdY(p)
+                      predictBlock(refLuma, luma, w, h, bx * 4, by * 4,
+                        pws(p) * 4, phs(p) * 4, mvX, mvY)
+                      g.setBlk(bx, by, pws(p), phs(p), mvX, mvY)
+                      p += 1
+                    }
+                    val cbpCode = rd.ue()
+                    if (cbpCode != 0)
+                      bad = "inter residual not supported (Table 9-4 inter " +
+                        "cbp column not conformance-anchored; codeNum 0 = " +
+                        "no residual decodes)"
+                    else {
+                      setMbNc(mbx, mby, 0)
+                      if (tally != null) tally(1 + (if (mbType >= 3) 3
+                        else mbType)) += 1
+                      mb += 1
+                    }
+                  }
+                }
+              } else if (mbType == 5)
                 bad = "Intra_NxN macroblock in P slice not supported " +
                   "(I_16x16 and I_PCM refresh blocks decode)"
               else if (mbType == 30) { // I_PCM (P mb_type 5 + 25)
@@ -548,6 +714,8 @@ object H264Inter {
                   while (c < 128) { rd.u(8); c += 1 }
                 }
                 setMbNc(mbx, mby, 16)
+                g.markIntra(mbx, mby)
+                if (tally != null) tally(5) += 1
                 mb += 1
               } else if (mbType >= 6 && mbType <= 29) {
                 // I_16x16 intra-refresh block (P mb_type 5 + I type 1+k)
@@ -618,8 +786,10 @@ object H264Inter {
                       }
                       if (bad == null) {
                         consumeChroma(cbpChroma, mbx, mby)
-                        // intra MB: the MvGrid keeps refIdx −1 (its
-                        // neighbours' MV predictions treat it as intra)
+                        // intra MB: neighbours see a decoded block that
+                        // never refIdx-matches (ref −1 in the grid)
+                        g.markIntra(mbx, mby)
+                        if (tally != null) tally(5) += 1
                         mb += 1
                       }
                     }

@@ -737,6 +737,93 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** Stupid-backoff n-gram LM perplexity (Brants et al. 2007, the
+    * smoothing large-scale LM pipelines actually deploy; CCNet-class
+    * deployment shape) — [[ngramLmPerplexity]]'s higher-fidelity
+    * sibling. Each full document n-gram w₁..wₙ scores at the LONGEST
+    * training-attested suffix: S = αʲ · c_k(w_{j+1}..wₙ) /
+    * c_{k−1}(w_{j+1}..w_{n−1}) after j backoff steps (k = n−j), falling
+    * all the way to an add-1-smoothed unigram floor
+    * αⁿ⁻¹·(c₁(wₙ)+1)/(N+V) — rational at every level, so the micro-nat
+    * determinism contract carries over unchanged: each gram's log-score
+    * rounds to integer micro-nats BEFORE the per-doc sum (exact long
+    * arithmetic; one IEEE division at the end), making the result
+    * independent of partial-aggregation order and engine.
+    *
+    * Plan shape at 100 TB: training is n hash-uniform partial-agg
+    * groupBys (one count table per order — the LM lives as DataFrames,
+    * never driver state; a 10⁹-gram model is a join side); scoring is
+    * scan-side gram generation + 2n−1 gram-keyed equi-joins (numerator
+    * per order, denominator per order ≥ 2) + one broadcast of the
+    * (N, V) scalar totals. `minCount` prunes order ≥ 2 tables (the
+    * standard count cutoff; unigrams stay complete so the floor sees
+    * every trained word). Output schema matches [[ngramLmPerplexity]]:
+    * (idCol, n_grams, logprob_sum_e6, avg_logprob, perplexity).
+    */
+  def ngramLmStupidBackoff(docs: DataFrame, textCol: String, idCol: String,
+      train: DataFrame, trainTextCol: String, n: Int = 5,
+      alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
+    require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val counts: Map[Int, DataFrame] = (1 to n).map { k =>
+      val c = train
+        .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
+        .groupBy(col("__g")).agg(count(lit(1)).as(s"__c$k"))
+      k -> (if (k >= 2 && minCount > 1) c.where(col(s"__c$k") >= minCount)
+        else c)
+    }.toMap
+    val totals = train
+      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+      .agg(count(lit(1)).cast("double").as("__N"),
+        countDistinct(col("__t")).cast("double").as("__V"))
+    // full doc n-grams; per gram, the suffix of each order k and its
+    // context (the suffix minus its last word — an INFIX of the gram)
+    var dg = docs
+      .select(col(idCol).as("__id"),
+        explode(wordNgrams(col(textCol), n)).as("__g"))
+      .withColumn("__arr", split(col("__g"), " "))
+    (1 to n).foreach { k =>
+      dg = dg.withColumn(s"__s$k",
+        array_join(slice(col("__arr"), n - k + 1, k), " "))
+      if (k >= 2) dg = dg.withColumn(s"__x$k",
+        array_join(slice(col("__arr"), n - k + 1, k - 1), " "))
+    }
+    var joined = dg.drop("__g", "__arr")
+    (n to 1 by -1).foreach { k =>
+      joined = joined.join(
+        counts(k).withColumnRenamed("__g", s"__s$k"), Seq(s"__s$k"), "left")
+      if (k >= 2) joined = joined.join(
+        counts(k - 1).withColumnRenamed("__g", s"__x$k")
+          .withColumnRenamed(s"__c${k - 1}", s"__d$k"), Seq(s"__x$k"), "left")
+    }
+    joined = joined.crossJoin(broadcast(totals))
+    // longest attested suffix wins; when c_k exists its context count
+    // exists too (a prefix occurs at least as often as its extension and
+    // minCount prunes only order ≥ 2 uniformly)
+    val floor = lit(n - 1) * log(lit(alpha)) +
+      log((coalesce(col("__c1"), lit(0L)).cast("double") + 1.0) /
+        (col("__N") + col("__V")))
+    val lp = (n to 2 by -1).foldRight(floor) { (k, rest) =>
+      when(col(s"__c$k").isNotNull,
+        lit(n - k) * log(lit(alpha)) +
+          log(col(s"__c$k").cast("double") / col(s"__d$k").cast("double")))
+        .otherwise(rest)
+    }
+    val scored = joined.select(col("__id"),
+      round(lp * 1000000.0).cast("long").as("__lp6"))
+    val perDoc = scored.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__lp6")).as("logprob_sum_e6"))
+      .withColumn("avg_logprob",
+        col("logprob_sum_e6").cast("double") /
+          (col("n_grams").cast("double") * 1000000.0))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 6))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
+  }
+
   /** Overlapping document chunking — the long-document splitting step in
     * front of every embedding/RAG indexing pass and every fixed-window
     * encoder: chunk k covers characters [k·s, k·s + maxChars) for stride

@@ -71,8 +71,11 @@ class H264InterSpec extends AnyFunSuite {
     assert(H264Inter.mvPred16x16(g, 1, 0) == (12, -8))
     // interior with exactly ONE inter neighbour (B intra, C intra) → mvA
     g.set(0, 1, 4, 4)
-    // neighbours of (1,1): A=(0,1) inter, B=(1,0) NOT SET (intra),
-    // C=(2,0) not set → exactly one match
+    // neighbours of (1,1): A=(0,1) inter, B=(1,0) INTRA, C=(2,0) intra
+    // → exactly one match (decoded-intra neighbours are available but
+    // never refIdx-match; the block grid distinguishes them from
+    // not-yet-decoded, which would trigger the C→D substitution)
+    g.markIntra(1, 0); g.markIntra(2, 0)
     assert(H264Inter.mvPred16x16(g, 1, 1) == (4, 4))
     // full median: make A, B, C all inter with distinct MVs
     val g2 = new H264Inter.MvGrid(4, 4)
@@ -171,7 +174,7 @@ class H264InterSpec extends AnyFunSuite {
       w.u(0, 1); w.u(0, 1); w.u(0, 1) // overrides/modification/marking
       w.se(0); w.ue(1) // qp_delta, deblock off
       w.ue(0) // mb_skip_run 0
-      w.ue(1) // mb_type P_L0_L0_16x8 — unsupported
+      w.ue(3); w.ue(1) // mb_type P_8x8, sub_mb_type 1 (8x4) — unsupported
       w.rbspTrailing()
       w.bytes
     }
@@ -198,7 +201,7 @@ class H264InterSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(0).getAs[String]("decode_error") == null) // IDR kept
     assert(rows(1).getAs[String]("decode_error")
-      .contains("sub-partition"), rows(1).toString)
+      .contains("sub_mb_type"), rows(1).toString)
   }
 
   // ---- round-17 envelope: recovery points, frame_num continuity, ----
@@ -281,11 +284,11 @@ class H264InterSpec extends AnyFunSuite {
       (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
       (3, 8, H264Decode.cavlcPpsRbsp),
       (3, 5, H264Decode.i16SliceRbsp(7, true, 3)), // frame 0: IDR
-      (2, 1, { // frame 1: P with an unsupported sub-partition mb_type
+      (2, 1, { // frame 1: P with an unsupported sub-8×8 split
         val w = new VideoBitstream.BitWriter
         w.ue(0); w.ue(0); w.ue(0); w.u(1, 4)
         w.u(0, 1); w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
-        w.ue(0); w.ue(1) // skip_run 0, mb_type 1 (P_L0_L0_16x8)
+        w.ue(0); w.ue(3); w.ue(2) // skip_run 0, P_8x8, sub_mb_type 2 (4x8)
         w.rbspTrailing(); w.bytes
       }),
       // frame 2: P inside the broken chain — must be SKIPPED (no row)
@@ -299,12 +302,118 @@ class H264InterSpec extends AnyFunSuite {
       out.mkString("\n"))
     assert(out.map(_.getAs[String]("frame_type")).toSeq ==
       Seq("I", "P", "I", "P"))
-    assert(out(1).getAs[String]("decode_error").contains("sub-partition"))
+    assert(out(1).getAs[String]("decode_error").contains("sub_mb_type"))
     assert(out(2).getAs[String]("decode_error") == null)
     assert(out(3).getAs[String]("decode_error") == null)
     // frame 4 reproduces the recovery frame (all-skip, zero motion)
     assert(out(3).getAs[Array[Byte]]("luma_plane").toSeq ==
       out(2).getAs[Array[Byte]]("luma_plane").toSeq)
+  }
+
+  // ---- round-17 partition widening: 16x8 / 8x16 / 8x8, multi-ref ----
+
+  test("partition MV prediction: directional 16x8/8x16 shortcuts fire " +
+      "on refIdx match, fall back to the general derivation otherwise") {
+    val g = new H264Inter.MvGrid(4, 4)
+    g.set(0, 0, 8, 4) // MB(0,0) inter, uniform
+    g.set(1, 0, 20, -4)
+    // 16x8 TOP partition of MB(0,1) (blocks (0,4) w4=4 h4=2): B matches
+    // → mvB verbatim (B = bottom row of MB(0,0))
+    assert(H264Inter.mvPredPart(g, 0, 4, 4, 2,
+      0, H264Inter.Part16x8Top) == (8, 4))
+    // 16x8 BOTTOM partition with A intra → directional miss → general:
+    // exactly-one-match picks B (the top partition once decoded)
+    g.setBlk(0, 4, 4, 2, 8, 4) // the decoded top partition
+    assert(H264Inter.mvPredPart(g, 0, 6, 4, 2,
+      0, H264Inter.Part16x8Bottom) == (8, 4)) // A outside → B matches
+    // 8x16 LEFT of MB(1,1): A = right column of MB(0,1) area
+    assert(H264Inter.mvPredPart(g, 4, 4, 2, 4,
+      0, H264Inter.Part8x16Left) == (8, 4))
+    // 8x16 RIGHT of MB(1,0) at blocks (6,0): C outside (above row 0)
+    // → D outside → B,C,D unavailable... B=(6,-1) outside too; A will
+    // be the left partition once set
+    g.setBlk(4, 0, 2, 4, 3, 2)
+    assert(H264Inter.mvPredPart(g, 6, 0, 2, 4,
+      0, H264Inter.Part8x16Right) == (3, 2)) // A-only rule
+  }
+
+  test("decodeGop: mixed 16x8/8x16/8x8/16x16 partitions with a uniform " +
+      "MV decode to the exact translated plane (block-granular §8.4.1.3)") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticPartitionGopAnnexB(lit(7), lit(true), lit(3),
+        lit(9), lit(6)).as("payload")) // MV (2¼, 1½) px — fractional!
+    val out = H264Decode.decodeGop(df).orderBy("frame_idx").collect()
+    assert(out.length == 3, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    val w = 32
+    val f0 = out(0).getAs[Array[Byte]]("luma_plane")
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane")
+    val f2 = out(2).getAs[Array[Byte]]("luma_plane")
+    // every partition carries MV (9,6): frame 1 must equal per-sample
+    // quarter-pel interpolation of frame 0 at (x+9/4, y+6/4) regardless
+    // of which partition covered the pixel
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val want = H264Inter.lumaSample(f0, w, w, x + 2, y + 1, 1, 2)
+      assert((f1(y * w + x) & 0xff) == want, s"f1 ($x,$y)")
+    }
+    assert(f2.toSeq == f1.toSeq) // all-skip frame reproduces
+  }
+
+  test("partition census: per-frame skip/16x16/16x8/8x16/8x8/intra " +
+      "counts, I frames all-intra") {
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticPartitionGopAnnexB(lit(7), lit(true), lit(3),
+        lit(8), lit(4)).as("payload"))
+    val out = H264Decode.h264PartitionCensus(df).orderBy("frame_idx")
+      .collect()
+    assert(out.length == 3)
+    def counts(r: org.apache.spark.sql.Row) = (
+      r.getAs[Int]("n_skip"), r.getAs[Int]("n_16x16"),
+      r.getAs[Int]("n_16x8"), r.getAs[Int]("n_8x16"),
+      r.getAs[Int]("n_8x8"), r.getAs[Int]("n_intra"))
+    assert(out(0).getAs[String]("frame_type") == "I" &&
+      counts(out(0)) == ((0, 0, 0, 0, 0, 4)))
+    assert(counts(out(1)) == ((0, 1, 1, 1, 1, 0)))
+    assert(counts(out(2)) == ((4, 0, 0, 0, 0, 0)))
+  }
+
+  test("multi-ref parse: num_ref_idx_l0_active 2 with ref_idx 0 decodes " +
+      "identically; ref_idx 1 refuses by name") {
+    // same uniform-MV P frame, but with two active references and te(v)
+    // ref_idx bits written per partition (all zero)
+    def clip(numRef: Int, refZero: Boolean): Array[Byte] = {
+      val mvMb =
+        if (refZero) H264Inter.pSliceRbsp(4, 1,
+          H264Inter.PMb.Mv(8, 4) +: Seq.fill(3)(H264Inter.PMb.Mv(0, 0)),
+          numRefL0 = numRef)
+        else {
+          // hand-write mb_type 0 with te(v) ref_idx = 1 (bit 0)
+          val w = new VideoBitstream.BitWriter
+          w.ue(0); w.ue(0); w.ue(0); w.u(1, 4)
+          w.u(1, 1); w.ue(1) // override: num_ref_idx_l0_active = 2
+          w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+          w.ue(0) // skip_run
+          w.ue(0) // P_L0_16x16
+          w.u(0, 1) // te(v) cMax 1: bit 0 → ref_idx 1
+          w.se(8); w.se(4); w.ue(0)
+          w.rbspTrailing(); w.bytes
+        }
+      annexB(
+        (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+        (3, 8, H264Decode.cavlcPpsRbsp),
+        (3, 5, H264Decode.i16SliceRbsp(7, true, 3)),
+        (2, 1, mvMb))
+    }
+    val base = gopRows(clip(1, refZero = true))
+    val two = gopRows(clip(2, refZero = true))
+    assert(two.forall(_.getAs[String]("decode_error") == null),
+      two.map(_.getAs[String]("decode_error")).mkString(";"))
+    assert(two(1).getAs[Array[Byte]]("luma_plane").toSeq ==
+      base(1).getAs[Array[Byte]]("luma_plane").toSeq)
+    val refused = gopRows(clip(2, refZero = false))
+    assert(refused(1).getAs[String]("decode_error")
+      .contains("beyond the previous frame"), refused(1).toString)
   }
 
   test("decodeGop: a recovery-point I slice using adaptive ref-pic " +

@@ -48,6 +48,47 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2) && out(3L).isNullAt(4))
   }
 
+  test("ngramLmStupidBackoff: longest attested suffix wins, backoff " +
+      "multiplies alpha per step, unigram floor is add-1") {
+    // train "a b c" ×2 + "b c d": trigrams (a b c)=2, (b c d)=1;
+    // bigrams (a b)=2, (b c)=3, (c d)=1; unigrams a=2 b=3 c=3 d=1;
+    // N=9 tokens, V=4
+    val train = Seq((0L, "a b c"), (3L, "a b c"), (6L, "b c d"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // full trigram attested: P = c3(a b c)/c2(a b) = 1
+      (2L, "z b c"), // backoff 1: α · c2(b c)/c1(b) = 0.4 · 3/3
+      (3L, "z z c"), // backoff 2: α² · (c1(c)+1)/(N+V) = 0.16 · 4/13
+      (4L, "z z q")  // OOV floor: α² · (0+1)/13
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmStupidBackoff(docs, "text", "doc_id",
+      train, "text", n = 3).collect().map(r => r.getLong(0) -> r).toMap
+    def lp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    assert(out(1L).getLong(2) == lp6(2.0 / 2.0))
+    assert(out(2L).getLong(2) ==
+      math.round((math.log(0.4) + math.log(3.0 / 3.0)) * 1e6))
+    assert(out(3L).getLong(2) ==
+      math.round((2 * math.log(0.4) + math.log(4.0 / 13.0)) * 1e6))
+    assert(out(4L).getLong(2) ==
+      math.round((2 * math.log(0.4) + math.log(1.0 / 13.0)) * 1e6))
+    // perplexity column follows the quantized mean
+    assert(math.abs(out(1L).getDouble(4) - 1.0) < 1e-5)
+  }
+
+  test("ngramLmStupidBackoff: minCount prunes high orders but never the " +
+      "unigram floor; pruned grams back off instead of scoring") {
+    val train = Seq((0L, "a b c"), (3L, "a b c"), (6L, "b c d"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "b c d")).toDF("doc_id", "text")
+    // minCount 2 prunes trigram (b c d)=1 and bigram (c d)=1 → the doc
+    // gram backs off to the unigram floor: α²·(c1(d)+1)/(N+V) = 0.16·2/13
+    val out = TextAnalysis.ngramLmStupidBackoff(docs, "text", "doc_id",
+      train, "text", n = 3, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) ==
+      math.round((2 * math.log(0.4) + math.log(2.0 / 13.0)) * 1e6))
+  }
+
   test("chunkDocuments: overlap windows cover the text exactly; short and " +
       "empty docs emit one chunk") {
     val docs = Seq(
