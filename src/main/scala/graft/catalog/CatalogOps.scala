@@ -2778,6 +2778,41 @@ object CatalogOps {
       FROM f"""),
     bench = true)
 
+  /** High-profile Intra_8x8 decode
+    * ([[graft.ops.H264Decode.syntheticI8x8AnnexB]] → decodeIdr): I_NxN
+    * with transform_size_8x8_flag — §7.3.2.2 PPS-extension parse, the
+    * four-interleaved-4×4 CAVLC residual layout (§7.4.5.3.2), §8.5.13
+    * dequant through the derivation-pinned normAdjust8x8 table, the
+    * §8.5.12.3 inverse transform and §8.3.2 filtered-reference DC
+    * prediction. At QP 28 the 8×8 DC law is residual = 2·coeff, so the
+    * four 8×8 quadrants chain in closed form (b3 averages b1/b2).
+    */
+  private val mmH264I8x8Decode = Q("mm_h264_i8x8_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticI8x8AnnexB(
+          (lit(1) + d % 5).cast("int"),
+          (d % 3).cast("int"),
+          (d % 4).cast("int"),
+          (d % 2).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdr(clips, "payload")
+        .select(col("doc_id"), col("frame_width"), col("frame_height"),
+          col("mb_count"), col("y_mean"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        1 + doc_id % 5 AS c0, doc_id % 3 AS c1,
+        doc_id % 4 AS c2, doc_id % 2 AS c3 FROM documents),
+      q AS (SELECT doc_id,
+        128 + 2 * c0 AS b0,
+        128 + 2 * c0 + 2 * c1 AS b1,
+        128 + 2 * c0 + 2 * c2 AS b2, c3 FROM p)
+      SELECT doc_id, 16::INT AS frame_width, 16::INT AS frame_height,
+        1::INT AS mb_count,
+        (b0 + b1 + b2 + ((b1 + b2 + 1) // 2 + 2 * c3))::DOUBLE / 4 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
   /** Mixed inter-partition decode
     * ([[graft.ops.H264Decode.syntheticPartitionGopAnnexB]] → decodeGop):
     * a P frame whose four macroblocks use 16×8 / 8×16 / 8×8(×4) /
@@ -4784,7 +4819,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

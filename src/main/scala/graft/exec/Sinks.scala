@@ -148,6 +148,44 @@ object Sinks {
     }
   }
 
+  /** Per-subject ADAPTIVE hub strategy: route each subject by its
+    * measured quad volume instead of a caller flag. Subjects whose raw
+    * quad count exceeds `hubFactor · maxGroup` go through the HASH
+    * strategy (no stage anywhere gathers the whole key — the shape that
+    * survives a billion-PO celebrity); everything else takes the
+    * measured-faster rank windows (SCALE.md §16.11: rank won every
+    * tested scale up to the ~5M-PO hub, so the hash path should engage
+    * only where a single key's sort would BE the job). The routing
+    * count is ONE partial-agg groupBy + an equi-join back (AQE
+    * skew-splits it — the count is the same aggregate the hash path
+    * computes anyway); each subject lands entirely in one path, and a
+    * below-cap subject emits byte-identical blocks under either
+    * strategy, so the union is the same Turtle the explicit modes
+    * produce. Raw (pre-dedup) counts over-estimate distinct POs —
+    * the safe direction: a duplicate-heavy subject can only switch to
+    * the always-correct hash path early, never stay on a rank sort it
+    * has outgrown.
+    */
+  def turtleBlocksAdaptive(quads: DataFrame,
+      prefixes: Map[String, String] = Map.empty,
+      maxGroup: Int = 10000, hubFactor: Int = 16): DataFrame = {
+    require(hubFactor > 0, "hubFactor must be positive")
+    val thr = maxGroup.toLong * hubFactor
+    // subjects over the threshold are FEW by definition (each carries
+    // > thr quads, so there are at most |quads|/thr of them): the
+    // membership side broadcasts and each branch is scan + map-side
+    // filter instead of a shuffled tag join (measured 2.3× on the k2d
+    // fixture); the broadcast exchange is shared across both branches
+    val hubs = quads.groupBy(col("s")).agg(count(lit(1)).as("__sn"))
+      .where(col("__sn") > thr)
+      .select(col("s"), lit(true).as("__hub"))
+    val tagged = quads.join(broadcast(hubs), Seq("s"), "left")
+    turtleBlocks(tagged.where(col("__hub").isNull).drop("__hub"),
+        prefixes, maxGroup, hashChunks = false)
+      .unionByName(turtleBlocks(tagged.where(col("__hub").isNotNull)
+        .drop("__hub"), prefixes, maxGroup, hashChunks = true))
+  }
+
   /** Turtle prefix header from a prefix map (reference: prefix_extraction
     * semantify.py:168-187).
     */
@@ -156,7 +194,10 @@ object Sinks {
       .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
 
   def writeTurtle(quads: DataFrame, prefixes: Map[String, String], path: String): Unit = {
-    val blocks = turtleBlocks(quads, prefixes)
+    // adaptive hub routing: small subjects produce the same bytes as the
+    // plain rank strategy (the k2 oracle shape); a planted mega-hub
+    // switches itself to the hash path without a caller flag
+    val blocks = turtleBlocksAdaptive(quads, prefixes)
     blocks.write.mode("overwrite").text(path)
     val header = turtleHeader(prefixes)
     if (header.nonEmpty) {

@@ -48,10 +48,14 @@ object H264Decode {
       numRefIdxL0Default: Int = 1, weightedPred: Boolean = false,
       constrainedIntraPred: Boolean = false,
       scalingMatrix: Boolean = false,
-      // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, only the
-      // luma-intra 4×4 list (i = 0) is retained — luma-only decode
+      // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, the luma-intra
+      // 4×4 list (i = 0) and — when transform_8x8_mode adds lists —
+      // the 8×8 intra list (i = 6) are retained; luma-only decode
       lumaIntra4x4List: Array[Int] = null,
-      lumaIntra4x4Default: Boolean = false)
+      lumaIntra4x4Default: Boolean = false,
+      lumaIntra8x8List: Array[Int] = null,
+      lumaIntra8x8Default: Boolean = false,
+      luma8x8ListPresent: Boolean = false)
 
   private[ops] def parsePps(rbsp: Array[Byte]): PpsInfo = {
     val r = new VideoBitstream.BitReader(rbsp)
@@ -83,6 +87,9 @@ object H264Decode {
         if (r.moreRbspData) (r.u1() == 1, r.u1() == 1) else (false, false)
       var lumaList: Array[Int] = null
       var lumaDefault = false
+      var luma8List: Array[Int] = null
+      var luma8Default = false
+      var luma8Present = false
       if (scaling) {
         // ≤ 4:2:0 list count (the decoder refuses chroma_format_idc > 1
         // upstream, so the 4:4:4 12-list layout never reaches here)
@@ -93,10 +100,14 @@ object H264Decode {
             val (list, useDefault) =
               VideoBitstream.parseScalingList(r, if (i < 6) 16 else 64)
             if (i == 0) { lumaList = list; lumaDefault = useDefault }
+            if (i == 6) {
+              luma8List = list; luma8Default = useDefault
+              luma8Present = true
+            }
           }
-          // absent at i = 0: both fields stay unset — fall-back rule B
-          // (SPS list if the SPS carries matrices, else the default)
-          // resolves at slice decode where the SPS is in scope
+          // absent at i = 0 (and i = 6): fields stay unset — fall-back
+          // rule B (SPS list if the SPS carries matrices, else the
+          // default) resolves at slice decode where the SPS is in scope
           i += 1
         }
       }
@@ -104,7 +115,9 @@ object H264Decode {
         transform8x8 = t8, numRefIdxL0Default = numRefL0,
         weightedPred = wPred, constrainedIntraPred = constrained,
         scalingMatrix = scaling,
-        lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault)
+        lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault,
+        lumaIntra8x8List = luma8List, lumaIntra8x8Default = luma8Default,
+        luma8x8ListPresent = luma8Present)
     }
   }
 
@@ -149,6 +162,180 @@ object H264Decode {
     else if (pps.lumaIntra4x4List != null) Right(raster(pps.lumaIntra4x4List))
     else if (sps.scalingMatrixPresent) fromSps // rule B: PPS absent → SPS
     else refuse // rule B with no SPS matrices → the default table
+  }
+
+  /** [[resolveLumaIntraWeights]]'s 8×8 twin — the Sl_8x8_Intra_Y list
+    * (index 6) under the same §7.3.2 fall-back rules; consulted only
+    * when the PPS enables transform_8x8_mode. Transmitted lists decode;
+    * any path landing on the spec's Default_8x8_Intra table refuses by
+    * name (table policy). Returns raster-indexed weights.
+    */
+  private[ops] def resolveLumaIntra8x8Weights(sps: VideoBitstream.SpsInfo,
+      pps: PpsInfo): Either[String, Array[Int]] = {
+    def refuse = Left("scaling lists demand the spec Default_8x8_Intra " +
+      "table — transmitted lists decode; default tables are not " +
+      "conformance-anchored (table policy)")
+    def raster(zigzag: Array[Int]): Array[Int] = {
+      val w = new Array[Int](64)
+      var k = 0
+      while (k < 64) { w(Zigzag8x8(k)) = zigzag(k); k += 1 }
+      w
+    }
+    val fromSps: Either[String, Array[Int]] =
+      if (!sps.scalingMatrixPresent) Right(Flat8x8)
+      else if (sps.lumaIntra8x8Default || sps.lumaIntra8x8List == null) refuse
+      else Right(raster(sps.lumaIntra8x8List))
+    if (!pps.scalingMatrix) fromSps
+    else if (pps.lumaIntra8x8Default) refuse
+    else if (pps.lumaIntra8x8List != null) Right(raster(pps.lumaIntra8x8List))
+    else if (sps.scalingMatrixPresent) fromSps // rule B: PPS absent → SPS
+    else refuse // rule B with no SPS matrices → the default table
+  }
+
+  /** Intra_8x8 spatial prediction (§8.3.2.2.2–10) for the block at
+    * global 8×8 coords (bx8, by8) over the in-progress plane, WITH the
+    * §8.3.2.2.1 reference-sample low-pass filtering the 8×8 path adds
+    * over Intra_4x4. Fills `p8` (64, raster) or returns the named
+    * refusal when the signalled mode's references are unavailable.
+    * p[8..15,−1] substitutes p[7,−1] when the above-right block is
+    * outside the picture or not yet decoded (§8.3.2.2).
+    */
+  private[ops] def predictIntra8x8(mode: Int, bx8: Int, by8: Int,
+      luma: Array[Byte], w: Int, mbw: Int, p8: Array[Int]): String = {
+    val px = bx8 * 8
+    val py = by8 * 8
+    val leftOk = bx8 > 0
+    val topOk = by8 > 0
+    val tlOk = leftOk && topOk
+    def at(x: Int, y: Int): Int = luma(y * w + x) & 0xff
+    // the 8 above-right samples belong to 8x8 block (bx8+1, by8−1):
+    // available iff inside the picture AND decoded before current
+    // (raster MBs; raster 8x8 blocks within an MB)
+    val trOk = topOk && bx8 + 1 < mbw * 2 && {
+      val tmb = ((by8 - 1) >> 1) * mbw + ((bx8 + 1) >> 1)
+      val cmb = (by8 >> 1) * mbw + (bx8 >> 1)
+      tmb < cmb || (tmb == cmb &&
+        ((by8 - 1) & 1) * 2 + ((bx8 + 1) & 1) < (by8 & 1) * 2 + (bx8 & 1))
+    }
+    val t = new Array[Int](16)
+    val l = new Array[Int](8)
+    var corner = 0
+    if (topOk) {
+      var i = 0
+      while (i < 8) { t(i) = at(px + i, py - 1); i += 1 }
+      while (i < 16) { t(i) = if (trOk) at(px + i, py - 1) else t(7); i += 1 }
+    }
+    if (leftOk) {
+      var i = 0
+      while (i < 8) { l(i) = at(px - 1, py + i); i += 1 }
+    }
+    if (tlOk) corner = at(px - 1, py - 1)
+    // §8.3.2.2.1 filtering (under frame_mbs_only without constrained
+    // intra, the corner is available exactly when left AND top are, so
+    // the one-sided corner variants cannot arise here)
+    val tf = new Array[Int](16)
+    val lf = new Array[Int](8)
+    var cf = 0
+    if (topOk) {
+      tf(0) = if (tlOk) (corner + 2 * t(0) + t(1) + 2) >> 2
+        else (3 * t(0) + t(1) + 2) >> 2
+      var i = 1
+      while (i < 15) { tf(i) = (t(i - 1) + 2 * t(i) + t(i + 1) + 2) >> 2; i += 1 }
+      tf(15) = (t(14) + 3 * t(15) + 2) >> 2
+    }
+    if (leftOk) {
+      lf(0) = if (tlOk) (corner + 2 * l(0) + l(1) + 2) >> 2
+        else (3 * l(0) + l(1) + 2) >> 2
+      var i = 1
+      while (i < 7) { lf(i) = (l(i - 1) + 2 * l(i) + l(i + 1) + 2) >> 2; i += 1 }
+      lf(7) = (l(6) + 3 * l(7) + 2) >> 2
+    }
+    if (tlOk) cf = (t(0) + 2 * corner + l(0) + 2) >> 2
+    def tAt(i: Int): Int = if (i < 0) cf else tf(i)
+    def lAt(i: Int): Int = if (i < 0) cf else lf(i)
+    def fill(f: (Int, Int) => Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { p8(y * 8 + x) = f(x, y); x += 1 }
+        y += 1
+      }
+    }
+    mode match {
+      case 0 => // Vertical
+        if (!topOk) return "Intra_8x8 vertical predictor unavailable"
+        fill((x, _) => tf(x))
+      case 1 => // Horizontal
+        if (!leftOk) return "Intra_8x8 horizontal predictor unavailable"
+        fill((_, y) => lf(y))
+      case 2 => // DC
+        var sum = 0
+        var n = 0
+        if (topOk) { var i = 0; while (i < 8) { sum += tf(i); i += 1 }; n += 8 }
+        if (leftOk) { var i = 0; while (i < 8) { sum += lf(i); i += 1 }; n += 8 }
+        val v = if (n == 16) (sum + 8) >> 4
+          else if (n == 8) (sum + 4) >> 3 else 128
+        java.util.Arrays.fill(p8, v)
+      case 3 => // Diagonal Down Left
+        if (!topOk) return "Intra_8x8 DDL predictor unavailable"
+        fill((x, y) =>
+          if (x == 7 && y == 7) (tf(14) + 3 * tf(15) + 2) >> 2
+          else (tf(x + y) + 2 * tf(x + y + 1) + tf(x + y + 2) + 2) >> 2)
+      case 4 => // Diagonal Down Right
+        if (!tlOk) return "Intra_8x8 DDR predictor unavailable"
+        fill((x, y) =>
+          if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + tAt(x - y) + 2) >> 2
+          else if (x < y)
+            (lAt(y - x - 2) + 2 * lAt(y - x - 1) + lAt(y - x) + 2) >> 2
+          else (tf(0) + 2 * cf + lf(0) + 2) >> 2)
+      case 5 => // Vertical Right
+        if (!tlOk) return "Intra_8x8 VR predictor unavailable"
+        fill { (x, y) =>
+          val z = 2 * x - y
+          if (z >= 0 && (z & 1) == 0)
+            (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
+          else if (z >= 0)
+            (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
+              tAt(x - (y >> 1)) + 2) >> 2
+          else if (z == -1) (lf(0) + 2 * cf + tf(0) + 2) >> 2
+          else (lf(y - 2 * x - 1) + 2 * lf(y - 2 * x - 2) +
+            lf(y - 2 * x - 3) + 2) >> 2
+        }
+      case 6 => // Horizontal Down
+        if (!tlOk) return "Intra_8x8 HD predictor unavailable"
+        fill { (x, y) =>
+          val z = 2 * y - x
+          if (z >= 0 && (z & 1) == 0)
+            (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+          else if (z >= 0)
+            (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
+              lAt(y - (x >> 1)) + 2) >> 2
+          else if (z == -1) (tf(0) + 2 * cf + lf(0) + 2) >> 2
+          else (tf(x - 2 * y - 1) + 2 * tf(x - 2 * y - 2) +
+            tf(x - 2 * y - 3) + 2) >> 2
+        }
+      case 7 => // Vertical Left
+        if (!topOk) return "Intra_8x8 VL predictor unavailable"
+        fill { (x, y) =>
+          if ((y & 1) == 0)
+            (tf(x + (y >> 1)) + tf(x + (y >> 1) + 1) + 1) >> 1
+          else (tf(x + (y >> 1)) + 2 * tf(x + (y >> 1) + 1) +
+            tf(x + (y >> 1) + 2) + 2) >> 2
+        }
+      case 8 => // Horizontal Up
+        if (!leftOk) return "Intra_8x8 HU predictor unavailable"
+        fill { (x, y) =>
+          val z = x + 2 * y
+          if (z > 13) lf(7)
+          else if (z == 13) (lf(6) + 3 * lf(7) + 2) >> 2
+          else if ((z & 1) == 0)
+            (lf(y + (x >> 1)) + lf(y + (x >> 1) + 1) + 1) >> 1
+          else (lf(y + (x >> 1)) + 2 * lf(y + (x >> 1) + 1) +
+            lf(y + (x >> 1) + 2) + 2) >> 2
+        }
+      case _ => return s"malformed intra_8x8 prediction mode $mode"
+    }
+    null
   }
 
   /** In-place 4×4 inverse core transform (§8.5.12.2) + (x+32)>>6 rounding;
@@ -221,6 +408,121 @@ object H264Decode {
   }
 
   private[ops] def clip1(x: Int): Byte = (if (x < 0) 0 else if (x > 255) 255 else x).toByte
+
+  // ------------------------- 8×8 transform path (High profile intra) ----
+
+  /** 8×8 zigzag scan (Figure 8-9 frame scan — the classic boustrophedon
+    * diagonal, identical to the JPEG/MPEG-2 pattern): GENERATED by the
+    * diagonal walk rather than transcribed, same discipline as
+    * [[Zigzag4x4]] (which the walk also reproduces — pinned in spec).
+    */
+  private[ops] val Zigzag8x8: Array[Int] = zigzagScan(8)
+
+  private[ops] def zigzagScan(n: Int): Array[Int] = {
+    val out = new Array[Int](n * n)
+    var x = 0
+    var y = 0
+    var up = true
+    var k = 0
+    while (k < n * n) {
+      out(k) = y * n + x
+      if (up) {
+        if (x == n - 1) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == n - 1) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** §8.5.9 normAdjust8x8 (the 8×8 dequant scale, Table 8-15's v
+    * column layout): six QP%6 rows × six position classes. The classes
+    * partition the 8×8 grid by basis-norm products of the three
+    * distinct 1-D basis magnitudes (rows {0,4} / odd rows / rows
+    * {2,6}): aa, bb, cc, ab, ac, bc — so the table satisfies the
+    * geometric-mean consistency v₃² ≈ v₀·v₁, v₄² ≈ v₀·v₂, v₅² ≈ v₁·v₂
+    * and the Qstep(m)·2^(1/6) row-ratio law, both pinned as
+    * transcription tripwires in H264ScalingSpec (same discipline as
+    * the 4×4 [[IntraCbpFromCodeNum]] anchors).
+    */
+  private val NormAdjust8 = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 45, 43))
+
+  private[ops] def normAdjust8At(m: Int, cls: Int): Int = NormAdjust8(m)(cls)
+
+  /** §8.5.9 class of 8×8 raster position (i row, j col). */
+  private[ops] def cls8(i: Int, j: Int): Int =
+    if (i % 4 == 0 && j % 4 == 0) 0
+    else if (i % 2 == 1 && j % 2 == 1) 1
+    else if (i % 4 == 2 && j % 4 == 2) 2
+    else if ((i % 4 == 0 && j % 2 == 1) || (i % 2 == 1 && j % 4 == 0)) 3
+    else if ((i % 4 == 0 && j % 4 == 2) || (i % 4 == 2 && j % 4 == 0)) 4
+    else 5
+
+  /** Flat_8x8_16 (§8.5.9 weightScale8x8 when no matrix applies). */
+  private[ops] val Flat8x8: Array[Int] = Array.fill(64)(16)
+
+  /** 8×8 coefficient dequant (§8.5.13.1, 8-bit). */
+  private[ops] def dequant8x8(c: Int, raster: Int, qP: Int,
+      w8: Array[Int]): Int = {
+    val ls = w8(raster) * NormAdjust8(qP % 6)(cls8(raster >> 3, raster & 7))
+    if (qP >= 36) (c * ls) << (qP / 6 - 6)
+    else (c * ls + (1 << (5 - qP / 6))) >> (6 - qP / 6)
+  }
+
+  /** In-place 8×8 inverse transform (§8.5.12.3's two butterfly passes) +
+    * (x+32)>>6 rounding on the column pass; `d` is raster order.
+    */
+  private[ops] def idct8x8(d: Array[Int]): Unit = {
+    val e = new Array[Int](8)
+    val f = new Array[Int](8)
+    def pass(get: Int => Int, set: (Int, Int) => Unit, finish: Boolean): Unit = {
+      val a0 = get(0); val a1 = get(1); val a2 = get(2); val a3 = get(3)
+      val a4 = get(4); val a5 = get(5); val a6 = get(6); val a7 = get(7)
+      e(0) = a0 + a4
+      e(1) = -a3 + a5 - a7 - (a7 >> 1)
+      e(2) = a0 - a4
+      e(3) = a1 + a7 - a3 - (a3 >> 1)
+      e(4) = (a2 >> 1) - a6
+      e(5) = -a1 + a7 + a5 + (a5 >> 1)
+      e(6) = a2 + (a6 >> 1)
+      e(7) = a3 + a5 + a1 + (a1 >> 1)
+      f(0) = e(0) + e(6)
+      f(1) = e(1) + (e(7) >> 2)
+      f(2) = e(2) + e(4)
+      f(3) = e(3) + (e(5) >> 2)
+      f(4) = e(2) - e(4)
+      f(5) = (e(3) >> 2) - e(5)
+      f(6) = e(0) - e(6)
+      f(7) = e(7) - (e(1) >> 2)
+      val g = Array(f(0) + f(7), f(2) + f(5), f(4) + f(3), f(6) + f(1),
+        f(6) - f(1), f(4) - f(3), f(2) - f(5), f(0) - f(7))
+      var i = 0
+      while (i < 8) {
+        set(i, if (finish) (g(i) + 32) >> 6 else g(i))
+        i += 1
+      }
+    }
+    var r = 0
+    while (r < 8) {
+      val o = r * 8
+      pass(i => d(o + i), (i, v) => d(o + i) = v, finish = false)
+      r += 1
+    }
+    var c = 0
+    while (c < 8) {
+      val cc = c
+      pass(i => d(i * 8 + cc), (i, v) => d(i * 8 + cc) = v, finish = true)
+      c += 1
+    }
+  }
 
   /** luma4x4BlkIdx → (x4, y4) block coords within the MB (§6.4.3 scan). */
   private[ops] val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -650,6 +952,10 @@ object H264Decode {
       // only a resolution that lands on the spec's default table refuses
       // — a flat-matrix walk would ship a WRONG plane with null error
       Left(resolveLumaIntraWeights(sps, pps).swap.toOption.get)
+    else if (pps.transform8x8 && resolveLumaIntra8x8Weights(sps, pps).isLeft)
+      // the 8×8 twin — consulted only when transform_8x8_mode can put
+      // Intra_8x8 macroblocks in the slice
+      Left(resolveLumaIntra8x8Weights(sps, pps).swap.toOption.get)
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
     else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
     else if (sps.chromaFormatIdc > 1)
@@ -771,6 +1077,13 @@ object H264Decode {
         val tN = new Array[Int](8)
         val lN = new Array[Int](4)
         val mbModes = new Array[Int](16)
+        // Intra_8x8 scratch (High-profile transform_8x8 path)
+        val p8 = new Array[Int](64)
+        val d8 = new Array[Int](64)
+        val lvl8 = new Array[Int](64)
+        val modes8 = new Array[Int](4)
+        val wl8 = if (pps.transform8x8)
+          resolveLumaIntra8x8Weights(sps, pps).toOption.get else Flat8x8
         // per-4x4-block Intra_4x4 prediction mode grid (§8.3.1.1): -1 =
         // the block's MB is not Intra_4x4-coded (or not yet decoded) —
         // both read as mode 2 (DC) in the neighbour-mode derivation
@@ -851,15 +1164,10 @@ object H264Decode {
                 b += 1
               }
               mb += 1
-            } else if (mbType == 0) { // I_NxN → Intra_4x4
+            } else if (mbType == 0) { // I_NxN → Intra_4x4 / Intra_8x8
               if (!deblockOff)
                 bad = "in-loop deblocking not implemented " +
                   "(stream does not disable it)"
-              else if (pps.transform8x8)
-                // with the PPS flag set, I_NxN carries a
-                // transform_size_8x8_flag and 8×8 blocks need the 8×8
-                // transform + Table 9-x 8x8 machinery — refuse by name
-                bad = "transform_8x8 mode (High profile) not supported"
               else if (sps.chromaFormatIdc == 0)
                 // Table 9-4's me(v) cbp mapping has a SEPARATE column
                 // for ChromaArrayType 0/3 that this decoder does not
@@ -870,7 +1178,112 @@ object H264Decode {
                 // (§9.3.2.6 binarizes cbp — no table)
                 bad = "monochrome CAVLC Intra_NxN not supported " +
                   "(Table 9-4 ChromaArrayType-0 cbp column not carried)"
-              else {
+              else if (pps.transform8x8 && rd.u1() == 1) {
+                // ---- Intra_8x8 (§7.3.5 transform_size_8x8_flag = 1):
+                // four 8×8 blocks, §8.3.2 filtered-reference prediction,
+                // CAVLC residual as four interleaved 4×4 blocks per 8×8
+                // (§7.4.5.3.2: levelList8x8[4k + i4] = level4x4[i4][k]),
+                // §8.5.13 dequant + the §8.5.12.3 inverse transform
+                var b8 = 0
+                while (b8 < 4) {
+                  val gx4 = mbx * 4 + (b8 & 1) * 2
+                  val gy4 = mby * 4 + (b8 >> 1) * 2
+                  // §8.3.2.1 predicted mode: min of the A/B neighbour
+                  // modes at the block's top-left 4×4 cell (an Intra_8x8
+                  // neighbour replicated its mode into its cells below)
+                  val pm = predI4Mode(gx4, gy4)
+                  val mode =
+                    if (rd.u1() == 1) pm
+                    else { val rem = rd.u(3); if (rem < pm) rem else rem + 1 }
+                  modes8(b8) = mode
+                  var cy = 0
+                  while (cy < 2) {
+                    var cx = 0
+                    while (cx < 2) {
+                      i4Mode((gy4 + cy) * mbw * 4 + gx4 + cx) = mode
+                      cx += 1
+                    }
+                    cy += 1
+                  }
+                  b8 += 1
+                }
+                val chromaPred =
+                  if (sps.chromaFormatIdc == 1) rd.ue() else 0
+                if (chromaPred > 3) bad = "malformed intra_chroma_pred_mode"
+                else {
+                  val cbpCode = rd.ue()
+                  if (cbpCode > 47)
+                    bad = s"malformed coded_block_pattern (codeNum $cbpCode)"
+                  else {
+                    val cbp = IntraCbpFromCodeNum(cbpCode)
+                    val cbpLuma = cbp & 15
+                    val cbpChroma = cbp >> 4
+                    if (cbp != 0)
+                      qPY = Math.floorMod(qPY + rd.se() + 52, 52)
+                    var i8 = 0
+                    while (i8 < 4 && bad == null) {
+                      val bx8 = mbx * 2 + (i8 & 1)
+                      val by8 = mby * 2 + (i8 >> 1)
+                      java.util.Arrays.fill(d8, 0)
+                      if ((cbpLuma & (1 << i8)) != 0) {
+                        java.util.Arrays.fill(lvl8, 0)
+                        var i4 = 0
+                        while (i4 < 4) {
+                          val blk = i8 * 4 + i4
+                          val gx = mbx * 4 + Blk4x4X(blk)
+                          val gy = mby * 4 + Blk4x4Y(blk)
+                          val (scan, total) =
+                            Cavlc.decodeResidualBlock(rd, nCFor(gx, gy), 16)
+                          nCoef(gy * mbw * 4 + gx) = total
+                          var k = 0
+                          while (k < 16) { lvl8(4 * k + i4) = scan(k); k += 1 }
+                          i4 += 1
+                        }
+                        var sp = 0
+                        while (sp < 64) {
+                          val raster = Zigzag8x8(sp)
+                          d8(raster) = dequant8x8(lvl8(sp), raster, qPY, wl8)
+                          sp += 1
+                        }
+                        idct8x8(d8)
+                      } else {
+                        var i4 = 0
+                        while (i4 < 4) {
+                          val blk = i8 * 4 + i4
+                          nCoef((mby * 4 + Blk4x4Y(blk)) * mbw * 4 +
+                            mbx * 4 + Blk4x4X(blk)) = 0
+                          i4 += 1
+                        }
+                      }
+                      // §8.3.2 prediction from reconstructed pixels,
+                      // AFTER this block's residual bits (bit order) but
+                      // BEFORE the next block parses (its refs need
+                      // these pixels)
+                      bad = predictIntra8x8(modes8(i8), bx8, by8, luma,
+                        w, mbw, p8)
+                      if (bad == null) {
+                        val px = bx8 * 8
+                        val py = by8 * 8
+                        var yy = 0
+                        while (yy < 8) {
+                          var xx = 0
+                          while (xx < 8) {
+                            luma((py + yy) * w + px + xx) =
+                              clip1(p8(yy * 8 + xx) + d8(yy * 8 + xx))
+                            xx += 1
+                          }
+                          yy += 1
+                        }
+                      }
+                      i8 += 1
+                    }
+                    if (bad == null) {
+                      consumeChroma(cbpChroma, mbx, mby)
+                      mb += 1
+                    }
+                  }
+                }
+              } else {
                 // 16 prediction modes (§7.3.5.1): prev flag + 3-bit
                 // remainder that SKIPS the predicted mode; modes enter
                 // the grid as parsed (a block's A/B neighbours are
@@ -1755,6 +2168,101 @@ object H264Decode {
     w.rbspTrailing()
     w.bytes
   }
+
+  /** [[cavlcPpsRbsp]] (QP 28, deblock control) + the §7.3.2.2 trailing
+    * extension with transform_8x8_mode_flag = 1, no PPS scaling
+    * matrices — the common High-profile PPS shape.
+    */
+  private[ops] def cavlcT8PpsRbsp: Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u(0, 1) // entropy_coding_mode_flag: CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.u(0, 1) // weighted_pred_flag
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(2) // pic_init_qp_minus26 → QP 28 (8x8 DC coeff v → residual 2v)
+    w.se(0); w.se(0) // init_qs, chroma_qp_offset
+    w.u(1, 1) // deblocking_filter_control_present_flag
+    w.u(0, 1) // constrained_intra_pred_flag
+    w.u(0, 1) // redundant_pic_cnt_present_flag
+    w.u(1, 1) // transform_8x8_mode_flag
+    w.u(0, 1) // pic_scaling_matrix_present_flag
+    w.se(0) // second_chroma_qp_index_offset
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** The Intra_8x8 fixture slice: ONE macroblock (1×1 frame), I_NxN with
+    * transform_size_8x8_flag = 1, all four 8×8 blocks DC-predicted with
+    * a lone 8×8-DC CAVLC coefficient each (interleaved sub-block 0 of
+    * the four-4×4 residual layout). At QP 28 with flat weights the 8×8
+    * dequant+transform turns DC coefficient c into a constant residual
+    * of exactly 2c (§8.5.13.1: (c·16·32+2)>>2 = 128c; DC-only inverse
+    * butterfly: (128c+32)>>6 = 2c), so the quadrants chain in closed
+    * form: b0 = 128+2c0 (no neighbours → DC 128), b1 = b0+2c1 (left
+    * refs only), b2 = b0+2c2 (top refs only), b3 = (b1+b2+1)>>1 + 2c3
+    * (both sides).
+    */
+  private[ops] def i8x8SliceRbsp(c0: Int, c1: Int, c2: Int,
+      c3: Int): Array[Byte] = {
+    val cs = Array(c0, c1, c2, c3)
+    val w = new VideoBitstream.BitWriter
+    writeIdrSliceHeader(w, deblockIdc = Some(1))
+    w.ue(0) // mb_type: I_NxN
+    w.u(1, 1) // transform_size_8x8_flag
+    var b = 0
+    while (b < 4) { w.u(1, 1); b += 1 } // all modes = predicted (DC)
+    w.ue(0) // intra_chroma_pred_mode: DC
+    w.ue(IntraCbpToCodeNum(15)) // cbp: luma 15, chroma 0
+    w.se(0) // mb_qp_delta
+    // residual: per 8×8 block, sub-block 0 carries the DC (scan 0 of
+    // the interleave), sub-blocks 1..3 are empty; nC mirrors §9.2.1
+    // over the 4×4 cell grid exactly as the decoder derives it
+    val nc = Array.fill(16)(-1)
+    def ncFor(cx: Int, cy: Int): Int = {
+      val nA = if (cx > 0) nc(cy * 4 + cx - 1) else -1
+      val nB = if (cy > 0) nc((cy - 1) * 4 + cx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+    var i8 = 0
+    while (i8 < 4) {
+      var i4 = 0
+      while (i4 < 4) {
+        val blk = i8 * 4 + i4
+        val cx = Blk4x4X(blk)
+        val cy = Blk4x4Y(blk)
+        val coeffs = if (i4 == 0) dcOnly(16, cs(i8)) else new Array[Int](16)
+        Cavlc.encodeResidualBlock(w, coeffs, ncFor(cx, cy), 16)
+        nc(cy * 4 + cx) = if (i4 == 0 && cs(i8) != 0) 1 else 0
+        i4 += 1
+      }
+      i8 += 1
+    }
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Deterministic High-profile Intra_8x8 clip (Annex-B): flat-weight
+    * High SPS (1×1 MBs) + the transform_8x8 PPS + [[i8x8SliceRbsp]].
+    * Expected luma is the four 8×8 quadrant constants documented there.
+    */
+  val syntheticI8x8AnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (c0: Int, c1: Int, c2: Int, c3: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticHighFlatSpsRbsp(1, 1))
+        nal(3, 8, cavlcT8PpsRbsp)
+        nal(3, 5, i8x8SliceRbsp(c0, c1, c2, c3))
+        out.toArray
+      })
 
   /** Scan-order coefficient array with `v` at scan position 0. */
   private def dcOnly(maxNumCoeff: Int, v: Int): Array[Int] = {

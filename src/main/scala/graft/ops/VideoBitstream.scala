@@ -132,7 +132,12 @@ object VideoBitstream {
       // UseDefaultScalingMatrixFlag) — those refuse by name downstream
       scalingMatrixPresent: Boolean = false,
       lumaIntra4x4List: Array[Int] = null,
-      lumaIntra4x4Default: Boolean = false)
+      lumaIntra4x4Default: Boolean = false,
+      // list 6 (Sl_8x8_Intra_Y) — consulted only when the PPS enables
+      // transform_8x8_mode; absent-at-6 under fall-back rule A demands
+      // the spec's Default_8x8_Intra → refuses by name downstream
+      lumaIntra8x8List: Array[Int] = null,
+      lumaIntra8x8Default: Boolean = false)
 
   /** §7.3.2.1.1.1 scaling_list parse: returns (zigzag-ordered values,
     * useDefaultScalingMatrixFlag). Shared by the SPS and PPS parses.
@@ -172,6 +177,8 @@ object VideoBitstream {
     var scalingPresent = false
     var lumaList: Array[Int] = null
     var lumaDefault = false
+    var luma8List: Array[Int] = null
+    var luma8Default = false
     if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
         .contains(profile)) {
       chromaFormatIdc = r.ue()
@@ -195,9 +202,16 @@ object VideoBitstream {
               lumaList = list
               lumaDefault = useDefault
             }
+            if (i == 6) { // Sl_8x8_Intra_Y (transform_8x8 path)
+              luma8List = list
+              luma8Default = useDefault
+            }
           } else if (i == 0) {
             // fall-back rule A at i = 0: the spec's Default_4x4_Intra
             lumaDefault = true
+          } else if (i == 6) {
+            // fall-back rule A at i = 6: the spec's Default_8x8_Intra
+            luma8Default = true
           }
           i += 1
         }
@@ -239,7 +253,7 @@ object VideoBitstream {
       widthMbs, heightMapUnits * (2 - frameMbsOnly), chromaFormatIdc,
       frameMbsOnly, log2MaxFrameNum, pocType, log2MaxPocLsb,
       bitDepthLuma, bitDepthChroma,
-      scalingPresent, lumaList, lumaDefault)
+      scalingPresent, lumaList, lumaDefault, luma8List, luma8Default)
   }
 
   private val nalCols = Seq(
@@ -430,6 +444,34 @@ object VideoBitstream {
     } else w.u(0, 1) // absent → Default_4x4_Intra demanded
     var i = 1
     while (i < 8) { w.u(0, 1); i += 1 } // lists 1..7 absent
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type
+    w.ue(1) // max_num_ref_frames
+    w.u(1, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue(mbw - 1)
+    w.ue(mbh - 1)
+    w.u(1, 1) // frame_mbs_only_flag
+    w.u(1, 1) // direct_8x8_inference_flag
+    w.u(0, 1) // frame_cropping_flag
+    w.u(0, 1) // vui_parameters_present_flag
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** High-profile (100) SPS RBSP WITHOUT scaling matrices — the common
+    * real-world High shape (flat 16 weights): the transform_8x8 fixture
+    * SPS. Other fields match [[syntheticSpsRbsp]].
+    */
+  private[ops] def syntheticHighFlatSpsRbsp(mbw: Int, mbh: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(100, 8) // profile_idc: High
+    w.u(0, 8) // constraint flags
+    w.u(30, 8) // level_idc 3.0
+    w.ue(0) // seq_parameter_set_id
+    w.ue(1) // chroma_format_idc 4:2:0
+    w.ue(0); w.ue(0) // bit depths 8
+    w.u(0, 1) // qpprime_y_zero_transform_bypass_flag
+    w.u(0, 1) // seq_scaling_matrix_present_flag: flat weights
     w.ue(0) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type
     w.ue(1) // max_num_ref_frames

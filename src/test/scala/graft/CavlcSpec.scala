@@ -630,9 +630,8 @@ class CavlcSpec extends AnyFunSuite {
     }
   }
 
-  test("I_4x4 refusals stay NAMED: transform_8x8 PPS, scaling-matrix " +
-      "PPS, and a top-row Vertical mode (unavailable samples) each " +
-      "refuse instead of guessing pixels") {
+  test("I_4x4 under a transform_8x8 PPS decodes through the flag parse; " +
+      "scaling-matrix PPS and a top-row Vertical mode refuse NAMED") {
     def ppsWithExt(t8: Boolean, scaling: Boolean): Array[Byte] = {
       val w = new VideoBitstream.BitWriter
       w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
@@ -646,23 +645,38 @@ class CavlcSpec extends AnyFunSuite {
       w.se(0) // second_chroma_qp_index_offset
       w.rbspTrailing(); w.bytes
     }
-    def i4Slice(mode0Rem: Int): Array[Byte] = {
+    def i4Slice(mode0Rem: Int, t8Flag: Option[Int] = None): Array[Byte] = {
       val w = new VideoBitstream.BitWriter
       w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
       w.u(0, 1); w.u(0, 1); w.se(0)
       w.ue(1)
       w.ue(0)
+      // §7.3.5: under a transform_8x8 PPS, I_NxN carries
+      // transform_size_8x8_flag before the prediction modes
+      t8Flag.foreach(w.u(_, 1))
       w.u(0, 1); w.u(mode0Rem, 3) // block 0: rem below predictor 2
       for (_ <- 0 until 15) w.u(1, 1)
       w.ue(0); w.ue(H264Decode.IntraCbpToCodeNum(0))
       w.rbspTrailing(); w.bytes
     }
     val sps = VideoBitstream.syntheticSpsRbsp(1, 1)
+    // transform_8x8 PPS with transform_size_8x8_flag = 0: the Intra_4x4
+    // path parses IDENTICALLY to the plain-PPS stream (round-17: the
+    // flag is parsed, not refused — Intra_8x8 itself is pinned in
+    // H264Transform8Spec). Both land on the same NAMED mode refusal
+    // (Horizontal at the left column), proving the one-bit flag kept
+    // the slice parse aligned instead of shifting it into garbage.
     val t8 = H264Decode.decodeIdr(Seq((0L,
-      annexB(sps, ppsWithExt(t8 = true, scaling = false), i4Slice(1))))
+      annexB(sps, ppsWithExt(t8 = true, scaling = false),
+        i4Slice(1, t8Flag = Some(0)))))
+      .toDF("doc_id", "payload")).collect().head
+    val plain = H264Decode.decodeIdr(Seq((0L,
+      annexB(sps, H264Decode.cavlcPpsRbsp, i4Slice(1))))
       .toDF("doc_id", "payload")).collect().head
     assert(t8.getAs[String]("decode_error") ==
-      "transform_8x8 mode (High profile) not supported")
+      "Intra_4x4 horizontal predictor unavailable", t8.toString)
+    assert(plain.getAs[String]("decode_error") ==
+      t8.getAs[String]("decode_error"))
     val sm = H264Decode.decodeIdr(Seq((0L,
       annexB(sps, ppsWithExt(t8 = false, scaling = true), i4Slice(1))))
       .toDF("doc_id", "payload")).collect().head

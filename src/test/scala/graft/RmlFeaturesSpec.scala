@@ -575,4 +575,38 @@ class RmlFeaturesSpec extends AnyFunSuite {
     assert(legacy.count(_.startsWith("<http://ex/hub>")) == 1)
     assert(legacy.count(_.startsWith("<http://ex/small>")) == 1)
   }
+
+  test("turtleBlocksAdaptive: a planted mega-hub routes itself to the " +
+      "hash path, small subjects stay on rank — no caller flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // hub: 40 objects; maxGroup 2 × hubFactor 4 → threshold 8 quads —
+    // the hub (40) crosses it, the small subject (3) does not
+    val hub = (1 to 40).map(i =>
+      ("<http://ex/hub>", "<http://ex/vocab/link>", f"<http://ex/o/$i%03d>")) ++
+      (1 to 3).map(i => ("<http://ex/small>", s"<http://ex/vocab/p$i>", "\"v\""))
+    val quads = hub.toDF("s", "p", "o").withColumn("g", lit(null).cast("string"))
+    val adaptive = graft.exec.Sinks.turtleBlocksAdaptive(quads,
+      maxGroup = 2, hubFactor = 4).collect().map(_.getString(0))
+    // the hub's blocks must be EXACTLY the hash strategy's (hash bucket
+    // arithmetic, not rank's exact caps) and the small subject's exactly
+    // the rank strategy's — a wrong switch fails one of the two set
+    // comparisons
+    val hashHub = graft.exec.Sinks.turtleBlocks(
+        quads.where(col("s") === "<http://ex/hub>"), maxGroup = 2,
+        hashChunks = true).collect().map(_.getString(0))
+    val rankSmall = graft.exec.Sinks.turtleBlocks(
+        quads.where(col("s") === "<http://ex/small>"), maxGroup = 2)
+      .collect().map(_.getString(0))
+    assert(adaptive.filter(_.startsWith("<http://ex/hub>")).sorted.toSeq ==
+      hashHub.sorted.toSeq)
+    assert(adaptive.filter(_.startsWith("<http://ex/small>")).sorted.toSeq ==
+      rankSmall.sorted.toSeq)
+    // plan pin: the adaptive plan carries BOTH strategies — the rank
+    // side's window and the hash side's h60 chunk assignment
+    val plan = graft.exec.Sinks.turtleBlocksAdaptive(quads, maxGroup = 2,
+      hubFactor = 4).queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(2000))
+    assert(plan.toLowerCase.contains("pmod"), plan.take(2000))
+  }
 }
