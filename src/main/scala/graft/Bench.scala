@@ -99,7 +99,7 @@ object Bench {
       // already exceeded the worker's own width before it started
       def contended(a: Attempt): Boolean =
         a.wall > 1.0 && ((a.user > 0 && a.sys > 0.5 * a.user) ||
-          (a.load0 > 1.5 * nCpus))
+          (math.max(a.load0, a.load1) > 1.5 * nCpus))
       var attempts = List(once(), once())
       if (attempts.forall(a => a.wall < 0 || contended(a)) &&
           attempts.exists(_.wall >= 0))

@@ -1608,6 +1608,131 @@ object H264Decode {
     if (st < 0 || st > 9) null
     else Array("P", "B", "I", "SP", "SI").apply(st % 5)
 
+  /** The Annex-B GOP state machine shared by [[decodeGop]] and
+    * [[h264PartitionCensus]] (ONE copy of the continuity/recovery
+    * logic): peeks each slice header, routes I slices (IDR and
+    * recovery-point layouts) through [[decodeISlice]] and P slices
+    * through [[H264Inter.decodePSlice]], enforces §7.4.3 frame_num
+    * continuity, and after a refusal skips inter frames until the next
+    * intra re-anchors the walk. `frame(frameIdx, type, luma, sps,
+    * tally)` fires per decoded frame (tally non-null only when
+    * `wantTally`; an I frame's tally counts its MBs as intra);
+    * `err(frameIdx, frameType, msg)` per refusal (nulls when unknown).
+    * Returns false when the stream carried no Annex-B NALs at all,
+    * null-ish payload shapes aside (callers emit their own clip-level
+    * rows); true when at least one row was emitted.
+    */
+  private def walkGop(bytes: Array[Byte], maxPlaneBytes: Long,
+      cabacCfg: Option[Cabac.Config], wantTally: Boolean,
+      frame: (Int, String, Array[Byte], VideoBitstream.SpsInfo,
+        Array[Int]) => Unit,
+      err: (Any, String, String) => Unit): Boolean = {
+    val nals = VideoBitstream.findNals(bytes)
+    if (nals == null) { err(null, null, "no Annex-B start code"); return true }
+    var sps: VideoBitstream.SpsInfo = null
+    var pps: PpsInfo = null
+    var emitted = false
+    var ref: Array[Byte] = null
+    var prevRef = -1 // frame_num of the last decoded reference
+    var frameIdx = 0
+    var seeking = false // refusal happened: skip to next intra
+    var stopped = false
+    def refuse(ft: String, msg: String): Unit = {
+      err(frameIdx, ft, msg)
+      emitted = true
+      seeking = true
+      ref = null
+    }
+    nals.foreach { case (off, len) =>
+      if (!stopped) (bytes(off) & 0x1f) match {
+        case 7 if sps == null =>
+          sps = VideoBitstream.parseSps(
+            VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+        case 8 if pps == null =>
+          pps = parsePps(
+            VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+        case t @ (5 | 1) =>
+          val refIdc = (bytes(off) >> 5) & 3
+          val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+          if (sps == null || pps == null) {
+            err(frameIdx, null, "coded slice before SPS/PPS")
+            emitted = true
+            stopped = true
+          } else {
+            // per-FRAME degradation: a truncated/corrupt slice
+            // (BitReader overruns throw) becomes that frame's error
+            // row — frames already decoded must survive, same contract
+            // as the MP4 keyframe route
+            peekSliceHeader(rbsp, sps) match {
+              case None =>
+                if (!seeking) refuse(null, "truncated slice header")
+              case Some((_, st, frameNum)) =>
+                val ft = sliceTypeName(st)
+                val isIntra = ft == "I"
+                if (seeking && !isIntra) {
+                  // inter frame inside a broken prediction chain: no
+                  // row, wait for the next intra to re-anchor
+                  ()
+                } else if (ft == null)
+                  refuse(null, s"corrupt slice header (slice_type $st)")
+                else if (isIntra) {
+                  val res =
+                    try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                      refIdc, cabacCfg, idr = t == 5)
+                    catch { case e: Exception => Left(
+                      s"decode failed: ${e.getClass.getSimpleName}") }
+                  res match {
+                    case Left(msg) => refuse("I", msg)
+                    case Right(luma) =>
+                      val tl = if (wantTally) {
+                        val a = new Array[Int](6)
+                        a(5) = sps.widthMbs * sps.heightMbs
+                        a
+                      } else null
+                      frame(frameIdx, "I", luma, sps, tl)
+                      emitted = true
+                      ref = luma
+                      prevRef = frameNum
+                      seeking = false
+                  }
+                } else if (ft == "P") {
+                  val maxFrameNum = 1 << sps.log2MaxFrameNum
+                  if (prevRef >= 0 &&
+                      frameNum != (prevRef + 1) % maxFrameNum)
+                    refuse("P", s"frame_num gap (got $frameNum after " +
+                      s"$prevRef — reference frame lost in flight; " +
+                      "gaps_in_frame_num recovery not supported, " +
+                      "motion compensation would use the wrong frame)")
+                  else {
+                    val tl = if (wantTally) new Array[Int](6) else null
+                    val res =
+                      try H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                        refIdc, tl)
+                      catch { case e: Exception => Left(
+                        s"decode failed: ${e.getClass.getSimpleName}") }
+                    res match {
+                      case Left(msg) => refuse("P", msg)
+                      case Right(luma) =>
+                        frame(frameIdx, "P", luma, sps, tl)
+                        emitted = true
+                        ref = luma
+                        // only reference frames advance frame_num
+                        // (§7.4.3) — a disposable ref_idc-0 P does not
+                        // move the continuity anchor
+                        if (refIdc != 0) prevRef = frameNum
+                    }
+                  }
+                } else
+                  refuse(ft, s"$ft slice not supported (I/P decode)")
+            }
+            frameIdx += 1
+          }
+        case _ => ()
+      }
+    }
+    emitted
+  }
+
   /** Decode a whole Annex-B GOP: I slices (IDR keyframes AND non-IDR
     * recovery points — open GOPs / truncated downloads whose IDR was
     * cut) through the shared I-slice core, each P slice through
@@ -1646,108 +1771,14 @@ object H264Decode {
           Seq(fi, ft, null, null, null, null, null, msg))
         if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
         else try {
-          val bytes = r.getAs[Array[Byte]](idx)
-          val nals = VideoBitstream.findNals(bytes)
-          if (nals == null) Seq(errRow(null, null, "no Annex-B start code"))
-          else {
-            var sps: VideoBitstream.SpsInfo = null
-            var pps: PpsInfo = null
-            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-            var ref: Array[Byte] = null
-            var prevRef = -1 // frame_num of the last decoded reference
-            var frameIdx = 0
-            var seeking = false // refusal happened: skip to next intra
-            var stopped = false
-            def refuse(ft: String, msg: String): Unit = {
-              out += errRow(frameIdx, ft, msg)
-              seeking = true
-              ref = null
-            }
-            nals.foreach { case (off, len) =>
-              if (!stopped) (bytes(off) & 0x1f) match {
-                case 7 if sps == null =>
-                  sps = VideoBitstream.parseSps(
-                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
-                case 8 if pps == null =>
-                  pps = parsePps(
-                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
-                case t @ (5 | 1) =>
-                  val refIdc = (bytes(off) >> 5) & 3
-                  val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
-                  if (sps == null || pps == null) {
-                    out += errRow(frameIdx, null,
-                      "coded slice before SPS/PPS")
-                    stopped = true
-                  } else {
-                    // per-FRAME degradation: a truncated/corrupt slice
-                    // (BitReader overruns throw) becomes that frame's
-                    // error row — frames already decoded must survive,
-                    // same contract as the MP4 keyframe route
-                    peekSliceHeader(rbsp, sps) match {
-                      case None =>
-                        if (!seeking) refuse(null, "truncated slice header")
-                      case Some((_, st, frameNum)) =>
-                        val ft = sliceTypeName(st)
-                        val isIntra = ft == "I"
-                        if (seeking && !isIntra) {
-                          // inter frame inside a broken prediction chain:
-                          // no row, wait for the next intra to re-anchor
-                          ()
-                        } else if (ft == null)
-                          refuse(null, s"corrupt slice header (slice_type $st)")
-                        else if (isIntra) {
-                          val res =
-                            try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                              refIdc, cabacCfg, idr = t == 5)
-                            catch { case e: Exception => Left(
-                              s"decode failed: ${e.getClass.getSimpleName}") }
-                          res match {
-                            case Left(msg) => refuse("I", msg)
-                            case Right(luma) =>
-                              out += lumaRow(r, luma, sps.widthMbs * 16,
-                                sps.heightMbs * 16, prefix = Seq(frameIdx, "I"))
-                              ref = luma
-                              prevRef = frameNum
-                              seeking = false
-                          }
-                        } else if (ft == "P") {
-                          val maxFrameNum = 1 << sps.log2MaxFrameNum
-                          if (prevRef >= 0 &&
-                              frameNum != (prevRef + 1) % maxFrameNum)
-                            refuse("P", s"frame_num gap (got $frameNum after " +
-                              s"$prevRef — reference frame lost in flight; " +
-                              "gaps_in_frame_num recovery not supported, " +
-                              "motion compensation would use the wrong frame)")
-                          else {
-                            val res =
-                              try H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                                refIdc)
-                              catch { case e: Exception => Left(
-                                s"decode failed: ${e.getClass.getSimpleName}") }
-                            res match {
-                              case Left(msg) => refuse("P", msg)
-                              case Right(luma) =>
-                                out += lumaRow(r, luma, sps.widthMbs * 16,
-                                  sps.heightMbs * 16,
-                                  prefix = Seq(frameIdx, "P"))
-                                ref = luma
-                                // only reference frames advance frame_num
-                                // (§7.4.3) — a disposable ref_idc-0 P does
-                                // not move the continuity anchor
-                                if (refIdc != 0) prevRef = frameNum
-                            }
-                          }
-                        } else
-                          refuse(ft, s"$ft slice not supported (I/P decode)")
-                    }
-                    frameIdx += 1
-                  }
-                case _ => ()
-              }
-            }
-            if (out.isEmpty) Seq(errRow(null, null, "no coded slice in stream"))
-            else out.toSeq
-          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg, wantTally = false,
+            (fi, ft, luma, sps, _) => out += lumaRow(r, luma,
+              sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(fi, ft)),
+            (fi, ft, msg) => out += errRow(fi, ft, msg))
+          if (!any) Seq(errRow(null, null, "no coded slice in stream"))
+          else out.toSeq
         } catch { case e: Exception =>
           Seq(errRow(null, null, s"decode failed: ${e.getClass.getSimpleName}"))
         }
@@ -1877,95 +1908,13 @@ object H264Decode {
             t(5), null))
         if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
         else try {
-          val bytes = r.getAs[Array[Byte]](idx)
-          val nals = VideoBitstream.findNals(bytes)
-          if (nals == null) Seq(errRow(null, null, "no Annex-B start code"))
-          else {
-            var sps: VideoBitstream.SpsInfo = null
-            var pps: PpsInfo = null
-            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-            var ref: Array[Byte] = null
-            var prevRef = -1
-            var frameIdx = 0
-            var seeking = false
-            var stopped = false
-            def refuse(ft: String, msg: String): Unit = {
-              out += errRow(frameIdx, ft, msg)
-              seeking = true
-              ref = null
-            }
-            nals.foreach { case (off, len) =>
-              if (!stopped) (bytes(off) & 0x1f) match {
-                case 7 if sps == null =>
-                  sps = VideoBitstream.parseSps(
-                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
-                case 8 if pps == null =>
-                  pps = parsePps(
-                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
-                case t @ (5 | 1) =>
-                  val refIdc = (bytes(off) >> 5) & 3
-                  val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
-                  if (sps == null || pps == null) {
-                    out += errRow(frameIdx, null, "coded slice before SPS/PPS")
-                    stopped = true
-                  } else {
-                    peekSliceHeader(rbsp, sps) match {
-                      case None =>
-                        if (!seeking) refuse(null, "truncated slice header")
-                      case Some((_, st, frameNum)) =>
-                        val ft = sliceTypeName(st)
-                        val isIntra = ft == "I"
-                        if (seeking && !isIntra) ()
-                        else if (ft == null)
-                          refuse(null, s"corrupt slice header (slice_type $st)")
-                        else if (isIntra) {
-                          val res =
-                            try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                              refIdc, cabacCfg, idr = t == 5)
-                            catch { case e: Exception => Left(
-                              s"decode failed: ${e.getClass.getSimpleName}") }
-                          res match {
-                            case Left(msg) => refuse("I", msg)
-                            case Right(luma) =>
-                              val tl = new Array[Int](6)
-                              tl(5) = sps.widthMbs * sps.heightMbs
-                              out += countRow(frameIdx, "I", tl)
-                              ref = luma
-                              prevRef = frameNum
-                              seeking = false
-                          }
-                        } else if (ft == "P") {
-                          val maxFrameNum = 1 << sps.log2MaxFrameNum
-                          if (prevRef >= 0 &&
-                              frameNum != (prevRef + 1) % maxFrameNum)
-                            refuse("P", s"frame_num gap (got $frameNum " +
-                              s"after $prevRef)")
-                          else {
-                            val tl = new Array[Int](6)
-                            val res =
-                              try H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                                refIdc, tl)
-                              catch { case e: Exception => Left(
-                                s"decode failed: ${e.getClass.getSimpleName}") }
-                            res match {
-                              case Left(msg) => refuse("P", msg)
-                              case Right(luma) =>
-                                out += countRow(frameIdx, "P", tl)
-                                ref = luma
-                                if (refIdc != 0) prevRef = frameNum
-                            }
-                          }
-                        } else
-                          refuse(ft, s"$ft slice not supported (I/P decode)")
-                    }
-                    frameIdx += 1
-                  }
-                case _ => ()
-              }
-            }
-            if (out.isEmpty) Seq(errRow(null, null, "no coded slice in stream"))
-            else out.toSeq
-          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg, wantTally = true,
+            (fi, ft, _, _, tl) => out += countRow(fi, ft, tl),
+            (fi, ft, msg) => out += errRow(fi, ft, msg))
+          if (!any) Seq(errRow(null, null, "no coded slice in stream"))
+          else out.toSeq
         } catch { case e: Exception =>
           Seq(errRow(null, null, s"decode failed: ${e.getClass.getSimpleName}"))
         }
