@@ -690,6 +690,37 @@ object CatalogOps {
     },
     bench = true)
 
+  /** Unicode script census ([[TextAnalysis.scriptSignals]]) — the
+    * multilingual-crawl routing axis stopword language-ID cannot give.
+    * Oracle GENERATED from the same range table (the `\x{..}` classes
+    * compile under Java regex and RE2 alike), so op and SQL cannot
+    * drift on a block boundary.
+    */
+  private val txtScriptSignals = Q("txt_script_signals",
+    (s, dir) => {
+      val names = TextAnalysis.scriptRanges.map(_._1)
+      TextAnalysis.scriptSignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id") +: names.map(n => col(s"n_$n")) :+
+          col("n_cp") :+ col("dominant_script") :+ col("script_frac"): _*)
+    },
+    Some {
+      val counts = TextAnalysis.scriptRanges.map { case (n, cls) =>
+        s"length(coalesce(text, '')) - length(regexp_replace(" +
+          s"coalesce(text, ''), '[$cls]', '', 'g')) AS n_$n"
+      }.mkString(",\n        ")
+      val names = TextAnalysis.scriptRanges.map(_._1)
+      val mx = s"greatest(${names.map(n => s"n_$n").mkString(", ")})"
+      val cases = names.map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+      s"""WITH c AS (SELECT doc_id, length(coalesce(text, '')) AS n_cp,
+        $counts FROM documents),
+      b AS (SELECT *, $mx AS mx FROM c)
+      SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")}, n_cp,
+        CASE WHEN mx = 0 THEN 'none' $cases END AS dominant_script,
+        CASE WHEN n_cp > 0 AND mx > 0 THEN mx::DOUBLE / n_cp
+          ELSE 0.0 END AS script_frac
+      FROM b"""
+    })
+
   private val txtQuality = Q("txt_quality",
     (s, dir) => TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("mean_tok_len"),
@@ -4811,7 +4842,7 @@ object CatalogOps {
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
     ddCosine, ddCosineLsh, ddClusterDedup,
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
-    txtLangid, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
+    txtLangid, txtScriptSignals, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
     txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,

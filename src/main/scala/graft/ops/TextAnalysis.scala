@@ -737,6 +737,51 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** Unicode script ranges for [[scriptSignals]] — BMP blocks written in
+    * `\x{..}` syntax so the SAME character class compiles under both
+    * Java regex (Spark) and RE2 (DuckDB oracle). Declaration order is
+    * the dominant-script tie-break order.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{C0}-\\x{24F}",
+    "cyrillic" -> "\\x{400}-\\x{4FF}",
+    "greek" -> "\\x{370}-\\x{3FF}",
+    "arabic" -> "\\x{600}-\\x{6FF}",
+    "hebrew" -> "\\x{590}-\\x{5FF}",
+    "devanagari" -> "\\x{900}-\\x{97F}",
+    "han" -> "\\x{4E00}-\\x{9FFF}",
+    "kana" -> "\\x{3040}-\\x{30FF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}")
+
+  /** Per-document Unicode SCRIPT census — the signal language-ID can't
+    * give (stopword lists only separate languages that share a script;
+    * a multilingual crawl needs the script axis first: Cyrillic vs
+    * Latin routing, CJK segmentation, mixed-script spam detection).
+    * Counts codepoints per major script block (count = length minus
+    * length after stripping the class — one regexp per script, all
+    * inside the scan, zero shuffle), plus the dominant script (first
+    * declared script reaching the max; 'none' when no script char
+    * appears) and its fraction of all codepoints. Appends
+    * (n_cp, n_latin..n_hangul, dominant_script, script_frac).
+    */
+  def scriptSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counted = scriptRanges.foldLeft(df.withColumn("n_cp", length(t))) {
+      case (acc, (n, cls)) =>
+        acc.withColumn(s"n_$n",
+          length(t) - length(regexp_replace(t, s"[$cls]", "")))
+    }
+    val mx = greatest(scriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    val dom = scriptRanges.reverse.foldLeft(lit("none")) {
+      case (acc, (n, _)) => when(col(s"n_$n") === mx, lit(n)).otherwise(acc)
+    }
+    counted
+      .withColumn("dominant_script", when(mx === 0, lit("none")).otherwise(dom))
+      .withColumn("script_frac",
+        when(col("n_cp") > 0 && mx > 0,
+          mx.cast("double") / col("n_cp").cast("double")).otherwise(lit(0.0)))
+  }
+
   /** Stupid-backoff n-gram LM perplexity (Brants et al. 2007, the
     * smoothing large-scale LM pipelines actually deploy; CCNet-class
     * deployment shape) — [[ngramLmPerplexity]]'s higher-fidelity

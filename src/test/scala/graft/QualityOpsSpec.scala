@@ -89,6 +89,31 @@ class QualityOpsSpec extends AnyFunSuite {
       math.round((2 * math.log(0.4) + math.log(2.0 / 13.0)) * 1e6))
   }
 
+  test("scriptSignals: per-script codepoint counts, dominant with " +
+      "declaration-order tie-break, none/empty handling") {
+    val docs = Seq(
+      (1L, "hello мир"), // 5 latin + 3 cyrillic + space
+      (2L, "你好世界"), // 4 han
+      (3L, "123 .,!"),                  // no script chars
+      (4L, null.asInstanceOf[String]),
+      (5L, "abбв")            // 2 latin vs 2 cyrillic: tie → latin
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptSignals(docs, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_latin") == 5 &&
+      out(1L).getAs[Int]("n_cyrillic") == 3)
+    assert(out(1L).getAs[String]("dominant_script") == "latin")
+    assert(math.abs(out(1L).getAs[Double]("script_frac") - 5.0 / 9) < 1e-12)
+    assert(out(2L).getAs[Int]("n_han") == 4 &&
+      out(2L).getAs[String]("dominant_script") == "han" &&
+      out(2L).getAs[Double]("script_frac") == 1.0)
+    assert(out(3L).getAs[String]("dominant_script") == "none" &&
+      out(3L).getAs[Double]("script_frac") == 0.0)
+    assert(out(4L).getAs[Int]("n_cp") == 0 &&
+      out(4L).getAs[String]("dominant_script") == "none")
+    assert(out(5L).getAs[String]("dominant_script") == "latin")
+  }
+
   test("chunkDocuments: overlap windows cover the text exactly; short and " +
       "empty docs emit one chunk") {
     val docs = Seq(
