@@ -2809,6 +2809,62 @@ object CatalogOps {
       FROM f"""),
     bench = true)
 
+  /** Full-COLOR keyframe decode
+    * ([[graft.ops.H264Decode.syntheticColorAnnexB]] → decodeIdrColor):
+    * Y + Cb + Cr through the CAVLC intra core with §8.3.4 chroma
+    * prediction — MB0 DC (no neighbours), MB1 horizontal, MB2 vertical,
+    * MB3 the DC corner-preference rules over DISTINCT left/top
+    * references, chroma DC through the §8.5.11 2×2 Hadamard at qPc 28
+    * (lone coefficient c → +2c across the 8×8). All three plane means
+    * are exact closed forms; a wrong corner preference or Hadamard sign
+    * shifts cb/cr_mean and hash-mismatches.
+    */
+  private val mmH264ColorDecode = Q("mm_h264_color_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticColorAnnexB(
+          (lit(1) + d % 5).cast("int"), (d % 3).cast("int"),
+          (d % 4).cast("int"), (d % 2).cast("int"),
+          (lit(1) + d % 4).cast("int"), (d % 3).cast("int"),
+          (d % 2).cast("int"),
+          (lit(1) + d % 3).cast("int"), (d % 2).cast("int"),
+          (d % 4).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeIdrColor(clips, "payload")
+        .select(d, col("frame_width"), col("frame_height"),
+          col("y_mean"), col("cb_mean"), col("cr_mean"),
+          col("chroma_energy"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        1 + doc_id % 5 AS v0, doc_id % 3 AS v1, doc_id % 4 AS v2,
+        doc_id % 2 AS v3,
+        1 + doc_id % 4 AS u0, doc_id % 3 AS u1, doc_id % 2 AS u2,
+        1 + doc_id % 3 AS w0, doc_id % 2 AS w1, doc_id % 4 AS w2
+        FROM documents),
+      q AS (SELECT doc_id,
+        128 + v0 AS c0, 128 + v0 + v1 AS c1, 128 + v0 + v2 AS c2, v3,
+        128 + 2 * u0 AS mu, 128 + 2 * u0 + 2 * u1 AS au,
+        128 + 2 * u0 + 2 * u2 AS bu,
+        128 + 2 * w0 AS mw, 128 + 2 * w0 + 2 * w1 AS aw,
+        128 + 2 * w0 + 2 * w2 AS bw
+        FROM p)
+      SELECT doc_id, 32::INT AS frame_width, 32::INT AS frame_height,
+        (c0 + c1 + c2 + ((c1 + c2 + 1) // 2 + v3))::DOUBLE / 4 AS y_mean,
+        (64 * mu + 64 * au + 64 * bu +
+         32 * ((au + bu + 1) // 2) + 16 * au + 16 * bu)::DOUBLE / 256
+          AS cb_mean,
+        (64 * mw + 64 * aw + 64 * bw +
+         32 * ((aw + bw + 1) // 2) + 16 * aw + 16 * bw)::DOUBLE / 256
+          AS cr_mean,
+        -- every fixture chroma value sits at or above 128, so the mean
+        -- absolute deviation collapses to the mean minus 128
+        ((64 * mu + 64 * au + 64 * bu + 32 * ((au + bu + 1) // 2)
+          + 16 * au + 16 * bu)::DOUBLE / 256 - 128 +
+         (64 * mw + 64 * aw + 64 * bw + 32 * ((aw + bw + 1) // 2)
+          + 16 * aw + 16 * bw)::DOUBLE / 256 - 128) / 2 AS chroma_energy,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
   /** High-profile Intra_8x8 decode
     * ([[graft.ops.H264Decode.syntheticI8x8AnnexB]] → decodeIdr): I_NxN
     * with transform_size_8x8_flag — §7.3.2.2 PPS-extension parse, the
@@ -4850,7 +4906,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -47,6 +47,7 @@ object H264Decode {
       // the weighted-prediction flag gate the inter decode's refusals
       numRefIdxL0Default: Int = 1, weightedPred: Boolean = false,
       constrainedIntraPred: Boolean = false,
+      chromaQpOffset: Int = 0,
       scalingMatrix: Boolean = false,
       // PPS §7.3.2.2 pic_scaling_matrix: like SpsInfo, the luma-intra
       // 4×4 list (i = 0) and — when transform_8x8_mode adds lists —
@@ -75,7 +76,7 @@ object H264Decode {
       r.u(2) // weighted_bipred_idc
       val initQp = 26 + r.se() // pic_init_qp_minus26: the QPY base
       r.se() // pic_init_qs_minus26
-      r.se() // chroma_qp_index_offset
+      val cqpo = r.se() // chroma_qp_index_offset (chroma reconstruction)
       val deblock = r.u1() == 1
       val constrained = r.u1() == 1 // constrained_intra_pred_flag
       val redundant = r.u1() == 1
@@ -114,6 +115,7 @@ object H264Decode {
       PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
         transform8x8 = t8, numRefIdxL0Default = numRefL0,
         weightedPred = wPred, constrainedIntraPred = constrained,
+        chromaQpOffset = cqpo,
         scalingMatrix = scaling,
         lumaIntra4x4List = lumaList, lumaIntra4x4Default = lumaDefault,
         lumaIntra8x8List = luma8List, lumaIntra8x8Default = luma8Default,
@@ -919,7 +921,11 @@ object H264Decode {
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
       nalRefIdc: Int = 3,
       cabac: Option[Cabac.Config] = None,
-      idr: Boolean = true): Either[String, Array[Byte]] = {
+      idr: Boolean = true,
+      // chroma OUTPUT planes (Array(cb, cr), each (mbw·8)·(mbh·8),
+      // caller-allocated): non-null turns the CAVLC path's chroma
+      // residual consumption into full §8.3.4 reconstruction
+      color: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
     // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
     // from a crafted 46000×46000 claim kills the executor JVM — the one
@@ -956,6 +962,16 @@ object H264Decode {
       // the 8×8 twin — consulted only when transform_8x8_mode can put
       // Intra_8x8 macroblocks in the slice
       Left(resolveLumaIntra8x8Weights(sps, pps).swap.toOption.get)
+    else if (color != null && pps.entropyCabac)
+      Left("CABAC chroma reconstruction not wired " +
+        "(luma-only CABAC decode available via decodeIdr)")
+    else if (color != null && sps.chromaFormatIdc != 1)
+      Left("chroma reconstruction requires 4:2:0 " +
+        "(monochrome streams have no chroma planes)")
+    else if (color != null &&
+        (sps.scalingMatrixPresent || pps.scalingMatrix))
+      Left("chroma reconstruction under scaling matrices not supported " +
+        "(chroma weight lists are not retained; flat weights decode)")
     else if (pps.numSliceGroups > 1) Left("FMO not supported")
     else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
     else if (sps.chromaFormatIdc > 1)
@@ -1095,31 +1111,190 @@ object H264Decode {
             i4Mode((by - 1) * mbw * 4 + bx) else 2
           math.min(a, b)
         }
-        // chroma residual consumption (luma-only reconstruction; the
-        // walk must stay aligned): DC when cbpChroma >= 1, AC blocks
-        // when == 2, TotalCoeffs feeding the per-component nC grids
-        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int): Unit =
-          if (sps.chromaFormatIdc == 1) {
-            if (cbpChroma >= 1) {
-              Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
-              Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
-            }
+        // ---- chroma stage: residual parse (the walk must stay aligned
+        // regardless) + optional full §8.3.4 reconstruction into the
+        // caller's planes. DC when cbpChroma >= 1, AC blocks when == 2,
+        // TotalCoeffs feeding the per-component nC grids. Returns the
+        // named refusal or null.
+        val cw = mbw * 8
+        val pred8c = new Array[Int](64)
+        val dcs = Array.ofDim[Int](2, 4)
+        val dC = new Array[Int](16)
+        // §8.3.4 chroma prediction (4:2:0, 8×8 per component) into
+        // pred8c: 0 = DC (per-4×4-block corner preference rules),
+        // 1 = Horizontal, 2 = Vertical, 3 = Plane
+        def predictChroma8(plane: Array[Byte], mode: Int,
+            mbx: Int, mby: Int): String = {
+          val px = mbx * 8
+          val py = mby * 8
+          val leftOk = mbx > 0
+          val topOk = mby > 0
+          def at(x: Int, y: Int): Int = plane(y * cw + x) & 0xff
+          val t = new Array[Int](8)
+          val l = new Array[Int](8)
+          if (topOk) { var i = 0; while (i < 8) { t(i) = at(px + i, py - 1); i += 1 } }
+          if (leftOk) { var i = 0; while (i < 8) { l(i) = at(px - 1, py + i); i += 1 } }
+          def s4(a: Array[Int], from: Int): Int =
+            a(from) + a(from + 1) + a(from + 2) + a(from + 3)
+          mode match {
+            case 0 => // DC: §8.3.4.1's per-block side preferences
+              val v = new Array[Int](4)
+              v(0) = if (topOk && leftOk) (s4(t, 0) + s4(l, 0) + 4) >> 3
+                else if (leftOk) (s4(l, 0) + 2) >> 2
+                else if (topOk) (s4(t, 0) + 2) >> 2 else 128
+              v(1) = if (topOk) (s4(t, 4) + 2) >> 2
+                else if (leftOk) (s4(l, 0) + 2) >> 2 else 128
+              v(2) = if (leftOk) (s4(l, 4) + 2) >> 2
+                else if (topOk) (s4(t, 0) + 2) >> 2 else 128
+              v(3) = if (topOk && leftOk) (s4(t, 4) + s4(l, 4) + 4) >> 3
+                else if (leftOk) (s4(l, 4) + 2) >> 2
+                else if (topOk) (s4(t, 4) + 2) >> 2 else 128
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  pred8c(y * 8 + x) = v((y >> 2) * 2 + (x >> 2))
+                  x += 1
+                }
+                y += 1
+              }
+            case 1 => // Horizontal
+              if (!leftOk) return "chroma horizontal predictor unavailable"
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { pred8c(y * 8 + x) = l(y); x += 1 }
+                y += 1
+              }
+            case 2 => // Vertical
+              if (!topOk) return "chroma vertical predictor unavailable"
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { pred8c(y * 8 + x) = t(x); x += 1 }
+                y += 1
+              }
+            case _ => // Plane (§8.3.4.4, C = 8)
+              if (!leftOk || !topOk)
+                return "chroma plane predictor unavailable"
+              val tl = at(px - 1, py - 1)
+              def tAt(i: Int): Int = if (i < 0) tl else t(i)
+              def lAt(i: Int): Int = if (i < 0) tl else l(i)
+              var hAcc = 0
+              var vAcc = 0
+              var i = 0
+              while (i < 4) {
+                hAcc += (i + 1) * (t(4 + i) - tAt(2 - i))
+                vAcc += (i + 1) * (l(4 + i) - lAt(2 - i))
+                i += 1
+              }
+              val a = 16 * (l(7) + t(7))
+              val b = (34 * hAcc + 32) >> 6
+              val c = (34 * vAcc + 32) >> 6
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5
+                  pred8c(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+                  x += 1
+                }
+                y += 1
+              }
+          }
+          null
+        }
+        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
+            chromaPred: Int = 0, qPYNow: Int = 0): String = {
+          if (sps.chromaFormatIdc != 1) return null
+          // qPc (§8.5.8): qPi = Clip3(0, 51, QPY + offset); the Table
+          // 8-15 compression only bends the curve from qPi 30 — below,
+          // qPc = qPi exactly, which is the decoded envelope (the
+          // table's bent region is not conformance-anchored here)
+          var qPc = 0
+          if (color != null) {
+            val qPi = math.max(0, math.min(51, qPYNow + pps.chromaQpOffset))
+            if (qPi >= 30)
+              return s"chroma QP mapping for qPi $qPi not carried " +
+                "(Table 8-15's qPc column bends from qPi 30 and is not " +
+                "conformance-anchored; qPi < 30 maps identically and " +
+                "decodes)"
+            qPc = qPi
+          }
+          if (cbpChroma >= 1) {
             var comp = 0
             while (comp < 2) {
-              var cb = 0
-              while (cb < 4) {
-                val cx = mbx * 2 + cBlkX(cb)
-                val cy = mby * 2 + cBlkY(cb)
-                val tcC =
-                  if (cbpChroma == 2)
-                    Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)._2
-                  else 0
-                nCoefC(comp)(cy * mbw * 2 + cx) = tcC
-                cb += 1
+              val (scan, _) = Cavlc.decodeResidualBlock(rd, -1, 4)
+              if (color != null) {
+                // 2×2 inverse Hadamard (§8.5.11): f = H·c·H, raster c
+                val f0 = scan(0) + scan(1) + scan(2) + scan(3)
+                val f1 = scan(0) - scan(1) + scan(2) - scan(3)
+                val f2 = scan(0) + scan(1) - scan(2) - scan(3)
+                val f3 = scan(0) - scan(1) - scan(2) + scan(3)
+                val ls = 16 * NormAdjust(qPc % 6)(0) // flat weight 16
+                dcs(comp)(0) = ((f0 * ls) << (qPc / 6)) >> 5
+                dcs(comp)(1) = ((f1 * ls) << (qPc / 6)) >> 5
+                dcs(comp)(2) = ((f2 * ls) << (qPc / 6)) >> 5
+                dcs(comp)(3) = ((f3 * ls) << (qPc / 6)) >> 5
               }
               comp += 1
             }
+          } else if (color != null) {
+            java.util.Arrays.fill(dcs(0), 0)
+            java.util.Arrays.fill(dcs(1), 0)
           }
+          var comp = 0
+          while (comp < 2) {
+            // prediction BEFORE this component's blocks are written
+            // (reads neighbouring MBs' reconstructed chroma only)
+            if (color != null) {
+              val bad = predictChroma8(color(comp), chromaPred, mbx, mby)
+              if (bad != null) return bad
+            }
+            var cb = 0
+            while (cb < 4) {
+              val cx = mbx * 2 + cBlkX(cb)
+              val cy = mby * 2 + cBlkY(cb)
+              java.util.Arrays.fill(dC, 0)
+              var tcC = 0
+              if (cbpChroma == 2) {
+                val (acScan, total) =
+                  Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)
+                tcC = total
+                if (color != null) {
+                  var i = 0
+                  while (i < 15) {
+                    val raster = Zigzag4x4(i + 1)
+                    dC(raster) = dequantAc(acScan(i), raster, qPc, Flat4x4)
+                    i += 1
+                  }
+                }
+              }
+              nCoefC(comp)(cy * mbw * 2 + cx) = tcC
+              if (color != null) {
+                dC(0) = dcs(comp)(cb)
+                idct4x4(dC)
+                val plane = color(comp)
+                val bx = mbx * 8 + cBlkX(cb) * 4
+                val by = mby * 8 + cBlkY(cb) * 4
+                var yy = 0
+                while (yy < 4) {
+                  var xx = 0
+                  while (xx < 4) {
+                    plane((by + yy) * cw + bx + xx) = clip1(
+                      pred8c((cBlkY(cb) * 4 + yy) * 8 + cBlkX(cb) * 4 + xx) +
+                        dC(yy * 4 + xx))
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              cb += 1
+            }
+            comp += 1
+          }
+          null
+        }
         // Intra_4x4 spatial prediction (§8.3.1.2.1–9) for the block at
         // global 4x4 coords (bx, by): fills p4 (raster), or returns the
         // refusal when the signalled mode's samples are unavailable (a
@@ -1147,8 +1322,17 @@ object H264Decode {
                 i += 1
               }
               if (sps.chromaFormatIdc == 1) {
+                // pcm_sample_chroma: 64 Cb then 64 Cr, raster (§7.3.5)
                 var c = 0
-                while (c < 128) { rd.u(8); c += 1 } // Cb, Cr consumed
+                while (c < 128) {
+                  val v = rd.u(8)
+                  if (color != null) {
+                    val o = c & 63
+                    color(c >> 6)((mby * 8 + o / 8) * cw + mbx * 8 + o % 8) =
+                      v.toByte
+                  }
+                  c += 1
+                }
               }
               // I_PCM blocks count as 16 coefficients for neighbours
               // (§9.2.1), luma AND chroma grids
@@ -1278,8 +1462,9 @@ object H264Decode {
                       i8 += 1
                     }
                     if (bad == null) {
-                      consumeChroma(cbpChroma, mbx, mby)
-                      mb += 1
+                      bad = consumeChroma(cbpChroma, mbx, mby,
+                        chromaPred, qPY)
+                      if (bad == null) mb += 1
                     }
                   }
                 }
@@ -1359,8 +1544,9 @@ object H264Decode {
                       b2 += 1
                     }
                     if (bad == null) {
-                      consumeChroma(cbpChroma, mbx, mby)
-                      mb += 1
+                      bad = consumeChroma(cbpChroma, mbx, mby,
+                        chromaPred, qPY)
+                      if (bad == null) mb += 1
                     }
                   }
                 }
@@ -1435,8 +1621,9 @@ object H264Decode {
                       b += 1
                     }
                     if (bad == null) {
-                      consumeChroma(cbpChroma, mbx, mby)
-                      mb += 1
+                      bad = consumeChroma(cbpChroma, mbx, mby,
+                        chromaPred, qPY)
+                      if (bad == null) mb += 1
                     }
                   }
                 }
@@ -1499,9 +1686,10 @@ object H264Decode {
     * derived probability/context-init tables are not
     * conformance-anchored. Emits the reconstructed luma plane
     * (row-major bytes, uncropped SPS dims), its exact mean, and the
-    * macroblock count. Everything else degrades per clip with a message
-    * naming WHY (inter / 8×8 transform / scaling matrices / the VLC
-    * table columns [[Cavlc]] deliberately does not carry).
+    * macroblock count. High-profile Intra_8x8 (transform_8x8_mode)
+    * and transmitted scaling lists decode; everything else degrades per
+    * clip with a message naming WHY (inter / default scaling tables /
+    * the VLC table columns [[Cavlc]] deliberately does not carry).
     */
   def decodeIdr(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
@@ -1560,7 +1748,8 @@ object H264Decode {
                   // the gap there is the IDR-only keyframe entry
                   // (open-GOP / recovery-point cuts)
                   case "I" | "SI" => "non-IDR I-slice stream (open " +
-                    "GOP): keyframe decode requires an IDR slice"
+                    "GOP): decodeIdr requires an IDR slice — decodeGop " +
+                    "decodes recovery-point I slices"
                   case "B" => "B-slice stream: B inter prediction not " +
                     "implemented (named seam; decodeGop decodes " +
                     "IDR-led P GOPs)"
@@ -1574,6 +1763,115 @@ object H264Decode {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
+            }
+          }
+        } catch { case e: Exception =>
+          errRow(s"decode failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }(enc)
+  }
+
+  private val colorCols = Seq(
+    StructField("frame_width", IntegerType),
+    StructField("frame_height", IntegerType),
+    StructField("y_mean", DoubleType),
+    StructField("cb_mean", DoubleType),
+    StructField("cr_mean", DoubleType),
+    StructField("chroma_energy", DoubleType),
+    StructField("luma_plane", BinaryType),
+    StructField("cb_plane", BinaryType),
+    StructField("cr_plane", BinaryType),
+    StructField("decode_error", StringType))
+
+  /** [[decodeIdr]]'s full-COLOR sibling: decode the first IDR frame to
+    * Y + Cb + Cr planes (4:2:0, chroma at half resolution) through the
+    * same CAVLC intra core with §8.3.4 chroma prediction (DC corner
+    * rules / horizontal / vertical / plane), the §8.5.11 2×2 DC
+    * Hadamard and chroma AC dequant at qPc. The chroma envelope on top
+    * of the luma one: CAVLC only (the CABAC path stays luma-only, by
+    * name), 4:2:0, flat weights (scaling matrices refuse), and
+    * qPi = QPY + chroma_qp_offset < 30 — §8.5.8's Table 8-15 maps
+    * qPc = qPi identically there; the bent region of the table is not
+    * conformance-anchored, so it refuses by name rather than guess.
+    * Emits per-plane means and the three planes — the shape color
+    * curation gates (grayscale detection, colorfulness, channel
+    * statistics) read.
+    */
+  def decodeIdrColor(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeIdrColor", colorCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ colorCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def errRow(msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(null, null, null, null, null, null, null, null, null, msg))
+        def mean(p: Array[Byte]): Double = {
+          var s = 0L
+          var i = 0
+          while (i < p.length) { s += p(i) & 0xff; i += 1 }
+          s.toDouble / p.length
+        }
+        if (r.isNullAt(idx)) errRow("null payload")
+        else try {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val nals = VideoBitstream.findNals(bytes)
+          if (nals == null) errRow("no Annex-B start code")
+          else {
+            var sps: VideoBitstream.SpsInfo = null
+            var pps: PpsInfo = null
+            var idr: Array[Byte] = null
+            var idrRefIdc = 3
+            nals.foreach { case (off, len) =>
+              (bytes(off) & 0x1f) match {
+                case 7 if sps == null =>
+                  sps = VideoBitstream.parseSps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case 8 if pps == null =>
+                  pps = parsePps(
+                    VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+                case 5 if idr == null =>
+                  idr = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+                  idrRefIdc = (bytes(off) >> 5) & 3
+                case _ => ()
+              }
+            }
+            if (sps == null) errRow("no SPS in stream")
+            else if (pps == null) errRow("no PPS in stream")
+            else if (idr == null) errRow("no IDR slice in stream")
+            else {
+              // Y + Cb + Cr cost 1.5× the luma plane: cap BEFORE the
+              // chroma allocation (decodeISlice re-checks the luma part)
+              val nMbs = sps.widthMbs.toLong * sps.heightMbs
+              if (nMbs <= 0 || nMbs * 384L > maxPlaneBytes)
+                errRow(s"plane budget exceeded (${nMbs * 384L} bytes " +
+                  s"YUV > $maxPlaneBytes cap)")
+              else {
+                val cSize = sps.widthMbs * 8 * sps.heightMbs * 8
+                val color = Array(new Array[Byte](cSize),
+                  new Array[Byte](cSize))
+                decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
+                  cabac = None, idr = true, color = color) match {
+                  case Left(msg) => errRow(msg)
+                  case Right(luma) =>
+                    // mean |chroma − 128| over both planes — the
+                    // grayscale gate's signal (0 for desaturated clips)
+                    var dev = 0L
+                    var i = 0
+                    while (i < cSize) {
+                      dev += math.abs((color(0)(i) & 0xff) - 128)
+                      dev += math.abs((color(1)(i) & 0xff) - 128)
+                      i += 1
+                    }
+                    Row.fromSeq(r.toSeq ++ Seq(
+                      sps.widthMbs * 16, sps.heightMbs * 16,
+                      mean(luma), mean(color(0)), mean(color(1)),
+                      dev.toDouble / (2L * cSize),
+                      luma, color(0), color(1), null))
+                }
+              }
             }
           }
         } catch { case e: Exception =>
@@ -2117,6 +2415,64 @@ object H264Decode {
     w.rbspTrailing()
     w.bytes
   }
+
+  /** The COLOR fixture slice: four Intra_16x16 DC-predicted macroblocks
+    * (2×2 frame) whose luma DC coefficients chain the quadrant closed
+    * form (c0 = 128+v0, c1 = c0+v1, c2 = c0+v2, c3 = avg(c1,c2)+v3 at
+    * QP 28) and whose CHROMA exercises all the §8.3.4 paths the color
+    * decode adds: MB0 DC-predicted chroma with a lone 2×2-DC CAVLC
+    * coefficient per component (at qPc 28 the chroma DC law is
+    * +2·coeff across the 8×8 — Hadamard spreads the lone coefficient,
+    * §8.5.11 dequant makes it 128·coeff, the DC-only idct divides by
+    * 64), MB1 HORIZONTAL chroma + its own DC residual, MB2 VERTICAL
+    * chroma + residual, MB3 DC chroma with DIFFERENT left/top
+    * references — the corner-preference rules (§8.3.4.1: block 1
+    * prefers top, block 2 prefers left, 0/3 average both) become
+    * pixel-visible: quadrants ((A+B+1)>>1, A, B, (A+B+1)>>1).
+    */
+  private[ops] def i16ColorSliceRbsp(v0: Int, v1: Int, v2: Int, v3: Int,
+      u0: Int, u1: Int, u2: Int, w0: Int, w1: Int, w2: Int): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    writeIdrSliceHeader(w, deblockIdc = Some(1))
+    def mb(cbpChroma: Int, chromaPred: Int, vLuma: Int,
+        uCb: Int, uCr: Int): Unit = {
+      // I_16x16 mb_type = 1 + predMode + 4·cbpChroma (cbpLuma 0), DC(2)
+      w.ue(1 + 2 + 4 * cbpChroma)
+      w.ue(chromaPred)
+      w.se(0) // mb_qp_delta
+      Cavlc.encodeResidualBlock(w, dcOnly(16, vLuma), 0, 16)
+      if (cbpChroma >= 1) {
+        Cavlc.encodeResidualBlock(w, dcOnly(4, uCb), -1, 4)
+        Cavlc.encodeResidualBlock(w, dcOnly(4, uCr), -1, 4)
+      }
+    }
+    mb(1, 0, v0, u0, w0) // DC chroma, no neighbours → 128 + 2u0
+    mb(1, 1, v1, u1, w1) // horizontal chroma from MB0
+    mb(1, 2, v2, u2, w2) // vertical chroma from MB0
+    mb(0, 0, v3, 0, 0) // DC chroma over distinct left/top, no residual
+    w.rbspTrailing()
+    w.bytes
+  }
+
+  /** Deterministic full-color clip (Annex-B): baseline SPS (2×2 MBs) +
+    * the QP-28 PPS + [[i16ColorSliceRbsp]] — decode with
+    * [[decodeIdrColor]]; every plane mean is in closed form.
+    */
+  val syntheticColorAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, v1: Int, v2: Int, v3: Int,
+        u0: Int, u1: Int, u2: Int, w0: Int, w1: Int, w2: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16ColorSliceRbsp(v0, v1, v2, v3, u0, u1, u2, w0, w1, w2))
+        out.toArray
+      })
 
   /** [[cavlcPpsRbsp]] (QP 28, deblock control) + the §7.3.2.2 trailing
     * extension with transform_8x8_mode_flag = 1, no PPS scaling
