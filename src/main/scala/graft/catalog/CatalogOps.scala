@@ -2865,6 +2865,69 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM q"""))
 
+  /** Full-COLOR GOP decode
+    * ([[graft.ops.H264Decode.syntheticColorGopAnnexB]] → decodeGopColor):
+    * the color IDR followed by a uniform-MV P frame (EVEN luma pixel
+    * shift → integer chroma translation through the §8.4.2.2.2 bilinear
+    * MC, whose half-pel phases are pinned in H264ColorSpec) and an
+    * all-skip frame — all three plane means in clamped-translation
+    * closed form per frame.
+    */
+  private val mmH264ColorGop = Q("mm_h264_color_gop",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticColorGopAnnexB(
+          (lit(1) + d % 5).cast("int"), (d % 3).cast("int"),
+          (d % 4).cast("int"),
+          (lit(1) + d % 4).cast("int"), (d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"), (d % 2).cast("int"),
+          (lit(1) + d % 2).cast("int"), (d % 2).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeGopColor(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"),
+          col("y_mean"), col("cb_mean"), col("cr_mean"),
+          col("chroma_energy"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        1 + doc_id % 5 AS v0, doc_id % 3 AS v1, doc_id % 4 AS v2,
+        1 + doc_id % 4 AS u0, doc_id % 3 AS u1,
+        1 + doc_id % 3 AS w0, doc_id % 2 AS w1,
+        1 + doc_id % 2 AS m, doc_id % 2 AS n
+        FROM documents),
+      q AS (SELECT doc_id, m, n,
+        128 + v0 AS c0, 128 + v0 + v1 AS c1, 128 + v0 + v2 AS c2,
+        128 + 2 * u0 AS mu, 128 + 2 * u0 + 2 * u1 AS au,
+        128 + 2 * w0 AS mw, 128 + 2 * w0 + 2 * w1 AS aw
+        FROM p),
+      q2 AS (SELECT *, ((c1 + c2 + 1) // 2 + 1) AS c3,
+        2 * m AS dx, 2 * n AS dy FROM q),
+      mm AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3)::DOUBLE / 4 AS y0,
+        (64 * mu + 192 * au)::DOUBLE / 256 AS cb0,
+        (64 * mw + 192 * aw)::DOUBLE / 256 AS cr0,
+        ((16 - dx) * (16 - dy) * c0 + (16 + dx) * (16 - dy) * c1 +
+         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3)::DOUBLE
+          / 1024 AS y1,
+        ((8 - m) * (8 - n) * mu +
+         (256 - (8 - m) * (8 - n)) * au)::DOUBLE / 256 AS cb1,
+        ((8 - m) * (8 - n) * mw +
+         (256 - (8 - m) * (8 - n)) * aw)::DOUBLE / 256 AS cr1
+        FROM q2),
+      f AS (SELECT doc_id, y0, cb0, cr0, y1, cb1, cr1,
+        unnest(generate_series(0, 2)) AS fi FROM mm)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN y0 ELSE y1 END) AS y_mean,
+        (CASE WHEN fi = 0 THEN cb0 ELSE cb1 END) AS cb_mean,
+        (CASE WHEN fi = 0 THEN cr0 ELSE cr1 END) AS cr_mean,
+        ((CASE WHEN fi = 0 THEN cb0 ELSE cb1 END) - 128 +
+         (CASE WHEN fi = 0 THEN cr0 ELSE cr1 END) - 128) / 2
+          AS chroma_energy,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
   /** High-profile Intra_8x8 decode
     * ([[graft.ops.H264Decode.syntheticI8x8AnnexB]] → decodeIdr): I_NxN
     * with transform_size_8x8_flag — §7.3.2.2 PPS-extension parse, the
@@ -4906,7 +4969,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -166,6 +166,241 @@ object H264Decode {
     else refuse // rule B with no SPS matrices → the default table
   }
 
+  /** Chroma machinery shared by the I-slice and P-slice decoders
+    * (4:2:0, 8×8 per component): residual PARSE that keeps the bit walk
+    * aligned regardless, plus — when `color` (Array(cb, cr) planes) is
+    * non-null — full reconstruction: §8.3.4 intra prediction (DC
+    * corner-preference rules / horizontal / vertical / plane), the
+    * §8.5.11 2×2 DC Hadamard + dequant at qPc (identity Table 8-15
+    * region only — the bent column refuses by name), chroma AC dequant,
+    * I_PCM passthrough, and §8.4.2.1/8.4.2.2.2 INTER chroma motion
+    * compensation (eighth-sample bilinear — pure arithmetic, no
+    * tables). One instance per slice; scratch reused across MBs.
+    */
+  private[ops] final class ChromaCtx(val color: Array[Array[Byte]],
+      mbw: Int, chromaQpOffset: Int) {
+    val cw = mbw * 8
+    private val pred8c = new Array[Int](64)
+    private val dcs = Array.ofDim[Int](2, 4)
+    private val dC = new Array[Int](16)
+    private val cBlkX = Array(0, 1, 0, 1)
+    private val cBlkY = Array(0, 0, 1, 1)
+
+    /** §8.3.4 prediction for component plane `plane` into pred8c. */
+    private def predictChroma8(plane: Array[Byte], mode: Int,
+        mbx: Int, mby: Int): String = {
+      val px = mbx * 8
+      val py = mby * 8
+      val leftOk = mbx > 0
+      val topOk = mby > 0
+      def at(x: Int, y: Int): Int = plane(y * cw + x) & 0xff
+      val t = new Array[Int](8)
+      val l = new Array[Int](8)
+      if (topOk) { var i = 0; while (i < 8) { t(i) = at(px + i, py - 1); i += 1 } }
+      if (leftOk) { var i = 0; while (i < 8) { l(i) = at(px - 1, py + i); i += 1 } }
+      def s4(a: Array[Int], from: Int): Int =
+        a(from) + a(from + 1) + a(from + 2) + a(from + 3)
+      mode match {
+        case 0 => // DC: §8.3.4.1's per-block side preferences
+          val v = new Array[Int](4)
+          v(0) = if (topOk && leftOk) (s4(t, 0) + s4(l, 0) + 4) >> 3
+            else if (leftOk) (s4(l, 0) + 2) >> 2
+            else if (topOk) (s4(t, 0) + 2) >> 2 else 128
+          v(1) = if (topOk) (s4(t, 4) + 2) >> 2
+            else if (leftOk) (s4(l, 0) + 2) >> 2 else 128
+          v(2) = if (leftOk) (s4(l, 4) + 2) >> 2
+            else if (topOk) (s4(t, 0) + 2) >> 2 else 128
+          v(3) = if (topOk && leftOk) (s4(t, 4) + s4(l, 4) + 4) >> 3
+            else if (leftOk) (s4(l, 4) + 2) >> 2
+            else if (topOk) (s4(t, 4) + 2) >> 2 else 128
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              pred8c(y * 8 + x) = v((y >> 2) * 2 + (x >> 2))
+              x += 1
+            }
+            y += 1
+          }
+        case 1 => // Horizontal
+          if (!leftOk) return "chroma horizontal predictor unavailable"
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { pred8c(y * 8 + x) = l(y); x += 1 }
+            y += 1
+          }
+        case 2 => // Vertical
+          if (!topOk) return "chroma vertical predictor unavailable"
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { pred8c(y * 8 + x) = t(x); x += 1 }
+            y += 1
+          }
+        case _ => // Plane (§8.3.4.4, C = 8)
+          if (!leftOk || !topOk)
+            return "chroma plane predictor unavailable"
+          val tl = at(px - 1, py - 1)
+          def tAt(i: Int): Int = if (i < 0) tl else t(i)
+          def lAt(i: Int): Int = if (i < 0) tl else l(i)
+          var hAcc = 0
+          var vAcc = 0
+          var i = 0
+          while (i < 4) {
+            hAcc += (i + 1) * (t(4 + i) - tAt(2 - i))
+            vAcc += (i + 1) * (l(4 + i) - lAt(2 - i))
+            i += 1
+          }
+          val a = 16 * (l(7) + t(7))
+          val b = (34 * hAcc + 32) >> 6
+          val c = (34 * vAcc + 32) >> 6
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5
+              pred8c(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+              x += 1
+            }
+            y += 1
+          }
+      }
+      null
+    }
+
+    /** Parse (and reconstruct, when planes are attached) one MB's chroma
+      * residual. `nCFor(comp, cx, cy)` / `nCSet(comp, cx, cy, tc)` bind
+      * the caller's per-component nC grids.
+      */
+    def stage(rd: VideoBitstream.BitReader, cbpChroma: Int,
+        chromaPred: Int, mbx: Int, mby: Int, qPYNow: Int,
+        nCFor: (Int, Int, Int) => Int,
+        nCSet: (Int, Int, Int, Int) => Unit): String = {
+      // qPc (§8.5.8): qPi = Clip3(0, 51, QPY + offset); the Table 8-15
+      // compression only bends the curve from qPi 30 — below, qPc = qPi
+      // exactly, which is the decoded envelope (the table's bent region
+      // is not conformance-anchored here)
+      var qPc = 0
+      if (color != null) {
+        val qPi = math.max(0, math.min(51, qPYNow + chromaQpOffset))
+        if (qPi >= 30)
+          return s"chroma QP mapping for qPi $qPi not carried " +
+            "(Table 8-15's qPc column bends from qPi 30 and is not " +
+            "conformance-anchored; qPi < 30 maps identically and decodes)"
+        qPc = qPi
+      }
+      if (cbpChroma >= 1) {
+        var comp = 0
+        while (comp < 2) {
+          val (scan, _) = Cavlc.decodeResidualBlock(rd, -1, 4)
+          if (color != null) {
+            // 2×2 inverse Hadamard (§8.5.11): f = H·c·H, raster c
+            val f0 = scan(0) + scan(1) + scan(2) + scan(3)
+            val f1 = scan(0) - scan(1) + scan(2) - scan(3)
+            val f2 = scan(0) + scan(1) - scan(2) - scan(3)
+            val f3 = scan(0) - scan(1) - scan(2) + scan(3)
+            val ls = 16 * NormAdjust(qPc % 6)(0) // flat weight 16
+            dcs(comp)(0) = ((f0 * ls) << (qPc / 6)) >> 5
+            dcs(comp)(1) = ((f1 * ls) << (qPc / 6)) >> 5
+            dcs(comp)(2) = ((f2 * ls) << (qPc / 6)) >> 5
+            dcs(comp)(3) = ((f3 * ls) << (qPc / 6)) >> 5
+          }
+          comp += 1
+        }
+      } else if (color != null) {
+        java.util.Arrays.fill(dcs(0), 0)
+        java.util.Arrays.fill(dcs(1), 0)
+      }
+      var comp = 0
+      while (comp < 2) {
+        // prediction BEFORE this component's blocks are written
+        // (reads neighbouring MBs' reconstructed chroma only)
+        if (color != null) {
+          val bad = predictChroma8(color(comp), chromaPred, mbx, mby)
+          if (bad != null) return bad
+        }
+        var cb = 0
+        while (cb < 4) {
+          val cx = mbx * 2 + cBlkX(cb)
+          val cy = mby * 2 + cBlkY(cb)
+          java.util.Arrays.fill(dC, 0)
+          var tcC = 0
+          if (cbpChroma == 2) {
+            val (acScan, total) =
+              Cavlc.decodeResidualBlock(rd, nCFor(comp, cx, cy), 15)
+            tcC = total
+            if (color != null) {
+              var i = 0
+              while (i < 15) {
+                val raster = Zigzag4x4(i + 1)
+                dC(raster) = dequantAc(acScan(i), raster, qPc, Flat4x4)
+                i += 1
+              }
+            }
+          }
+          nCSet(comp, cx, cy, tcC)
+          if (color != null) {
+            dC(0) = dcs(comp)(cb)
+            idct4x4(dC)
+            val plane = color(comp)
+            val bx = mbx * 8 + cBlkX(cb) * 4
+            val by = mby * 8 + cBlkY(cb) * 4
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                plane((by + yy) * cw + bx + xx) = clip1(
+                  pred8c((cBlkY(cb) * 4 + yy) * 8 + cBlkX(cb) * 4 + xx) +
+                    dC(yy * 4 + xx))
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          cb += 1
+        }
+        comp += 1
+      }
+      null
+    }
+
+    /** §8.4.2.2.2 INTER chroma prediction: motion-compensate one
+      * bw×bh chroma partition at CHROMA position (px, py) from `ref`
+      * with the LUMA motion vector (quarter-luma-sample units ≡
+      * eighth-chroma-sample units in 4:2:0) — bilinear over the four
+      * surrounding samples, edge-clamped. Pure arithmetic, no tables.
+      */
+    def predictInter(ref: Array[Byte], dst: Array[Byte],
+        ch: Int, px: Int, py: Int, bw: Int, bh: Int,
+        mvx: Int, mvy: Int): Unit = {
+      val xI = px + (mvx >> 3)
+      val yI = py + (mvy >> 3)
+      val xF = mvx & 7
+      val yF = mvy & 7
+      def at(x: Int, y: Int): Int = {
+        val cx = if (x < 0) 0 else if (x >= cw) cw - 1 else x
+        val cy = if (y < 0) 0 else if (y >= ch) ch - 1 else y
+        ref(cy * cw + cx) & 0xff
+      }
+      var yy = 0
+      while (yy < bh) {
+        var xx = 0
+        while (xx < bw) {
+          val a = at(xI + xx, yI + yy)
+          val b = at(xI + xx + 1, yI + yy)
+          val c = at(xI + xx, yI + yy + 1)
+          val d = at(xI + xx + 1, yI + yy + 1)
+          dst((py + yy) * cw + px + xx) =
+            (((8 - xF) * (8 - yF) * a + xF * (8 - yF) * b +
+              (8 - xF) * yF * c + xF * yF * d + 32) >> 6).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+  }
+
   /** [[resolveLumaIntraWeights]]'s 8×8 twin — the Sl_8x8_Intra_Y list
     * (index 6) under the same §7.3.2 fall-back rules; consulted only
     * when the PPS enables transform_8x8_mode. Transmitted lists decode;
@@ -1111,190 +1346,16 @@ object H264Decode {
             i4Mode((by - 1) * mbw * 4 + bx) else 2
           math.min(a, b)
         }
-        // ---- chroma stage: residual parse (the walk must stay aligned
-        // regardless) + optional full §8.3.4 reconstruction into the
-        // caller's planes. DC when cbpChroma >= 1, AC blocks when == 2,
-        // TotalCoeffs feeding the per-component nC grids. Returns the
-        // named refusal or null.
-        val cw = mbw * 8
-        val pred8c = new Array[Int](64)
-        val dcs = Array.ofDim[Int](2, 4)
-        val dC = new Array[Int](16)
-        // §8.3.4 chroma prediction (4:2:0, 8×8 per component) into
-        // pred8c: 0 = DC (per-4×4-block corner preference rules),
-        // 1 = Horizontal, 2 = Vertical, 3 = Plane
-        def predictChroma8(plane: Array[Byte], mode: Int,
-            mbx: Int, mby: Int): String = {
-          val px = mbx * 8
-          val py = mby * 8
-          val leftOk = mbx > 0
-          val topOk = mby > 0
-          def at(x: Int, y: Int): Int = plane(y * cw + x) & 0xff
-          val t = new Array[Int](8)
-          val l = new Array[Int](8)
-          if (topOk) { var i = 0; while (i < 8) { t(i) = at(px + i, py - 1); i += 1 } }
-          if (leftOk) { var i = 0; while (i < 8) { l(i) = at(px - 1, py + i); i += 1 } }
-          def s4(a: Array[Int], from: Int): Int =
-            a(from) + a(from + 1) + a(from + 2) + a(from + 3)
-          mode match {
-            case 0 => // DC: §8.3.4.1's per-block side preferences
-              val v = new Array[Int](4)
-              v(0) = if (topOk && leftOk) (s4(t, 0) + s4(l, 0) + 4) >> 3
-                else if (leftOk) (s4(l, 0) + 2) >> 2
-                else if (topOk) (s4(t, 0) + 2) >> 2 else 128
-              v(1) = if (topOk) (s4(t, 4) + 2) >> 2
-                else if (leftOk) (s4(l, 0) + 2) >> 2 else 128
-              v(2) = if (leftOk) (s4(l, 4) + 2) >> 2
-                else if (topOk) (s4(t, 0) + 2) >> 2 else 128
-              v(3) = if (topOk && leftOk) (s4(t, 4) + s4(l, 4) + 4) >> 3
-                else if (leftOk) (s4(l, 4) + 2) >> 2
-                else if (topOk) (s4(t, 4) + 2) >> 2 else 128
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  pred8c(y * 8 + x) = v((y >> 2) * 2 + (x >> 2))
-                  x += 1
-                }
-                y += 1
-              }
-            case 1 => // Horizontal
-              if (!leftOk) return "chroma horizontal predictor unavailable"
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) { pred8c(y * 8 + x) = l(y); x += 1 }
-                y += 1
-              }
-            case 2 => // Vertical
-              if (!topOk) return "chroma vertical predictor unavailable"
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) { pred8c(y * 8 + x) = t(x); x += 1 }
-                y += 1
-              }
-            case _ => // Plane (§8.3.4.4, C = 8)
-              if (!leftOk || !topOk)
-                return "chroma plane predictor unavailable"
-              val tl = at(px - 1, py - 1)
-              def tAt(i: Int): Int = if (i < 0) tl else t(i)
-              def lAt(i: Int): Int = if (i < 0) tl else l(i)
-              var hAcc = 0
-              var vAcc = 0
-              var i = 0
-              while (i < 4) {
-                hAcc += (i + 1) * (t(4 + i) - tAt(2 - i))
-                vAcc += (i + 1) * (l(4 + i) - lAt(2 - i))
-                i += 1
-              }
-              val a = 16 * (l(7) + t(7))
-              val b = (34 * hAcc + 32) >> 6
-              val c = (34 * vAcc + 32) >> 6
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  val v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5
-                  pred8c(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
-                  x += 1
-                }
-                y += 1
-              }
-          }
-          null
-        }
+        // chroma stage shared with the P path (ChromaCtx): residual
+        // parse (the walk must stay aligned regardless) + optional full
+        // §8.3.4 reconstruction into the caller's planes
+        val chromaCtx = new ChromaCtx(color, mbw, pps.chromaQpOffset)
         def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
-            chromaPred: Int = 0, qPYNow: Int = 0): String = {
-          if (sps.chromaFormatIdc != 1) return null
-          // qPc (§8.5.8): qPi = Clip3(0, 51, QPY + offset); the Table
-          // 8-15 compression only bends the curve from qPi 30 — below,
-          // qPc = qPi exactly, which is the decoded envelope (the
-          // table's bent region is not conformance-anchored here)
-          var qPc = 0
-          if (color != null) {
-            val qPi = math.max(0, math.min(51, qPYNow + pps.chromaQpOffset))
-            if (qPi >= 30)
-              return s"chroma QP mapping for qPi $qPi not carried " +
-                "(Table 8-15's qPc column bends from qPi 30 and is not " +
-                "conformance-anchored; qPi < 30 maps identically and " +
-                "decodes)"
-            qPc = qPi
-          }
-          if (cbpChroma >= 1) {
-            var comp = 0
-            while (comp < 2) {
-              val (scan, _) = Cavlc.decodeResidualBlock(rd, -1, 4)
-              if (color != null) {
-                // 2×2 inverse Hadamard (§8.5.11): f = H·c·H, raster c
-                val f0 = scan(0) + scan(1) + scan(2) + scan(3)
-                val f1 = scan(0) - scan(1) + scan(2) - scan(3)
-                val f2 = scan(0) + scan(1) - scan(2) - scan(3)
-                val f3 = scan(0) - scan(1) - scan(2) + scan(3)
-                val ls = 16 * NormAdjust(qPc % 6)(0) // flat weight 16
-                dcs(comp)(0) = ((f0 * ls) << (qPc / 6)) >> 5
-                dcs(comp)(1) = ((f1 * ls) << (qPc / 6)) >> 5
-                dcs(comp)(2) = ((f2 * ls) << (qPc / 6)) >> 5
-                dcs(comp)(3) = ((f3 * ls) << (qPc / 6)) >> 5
-              }
-              comp += 1
-            }
-          } else if (color != null) {
-            java.util.Arrays.fill(dcs(0), 0)
-            java.util.Arrays.fill(dcs(1), 0)
-          }
-          var comp = 0
-          while (comp < 2) {
-            // prediction BEFORE this component's blocks are written
-            // (reads neighbouring MBs' reconstructed chroma only)
-            if (color != null) {
-              val bad = predictChroma8(color(comp), chromaPred, mbx, mby)
-              if (bad != null) return bad
-            }
-            var cb = 0
-            while (cb < 4) {
-              val cx = mbx * 2 + cBlkX(cb)
-              val cy = mby * 2 + cBlkY(cb)
-              java.util.Arrays.fill(dC, 0)
-              var tcC = 0
-              if (cbpChroma == 2) {
-                val (acScan, total) =
-                  Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)
-                tcC = total
-                if (color != null) {
-                  var i = 0
-                  while (i < 15) {
-                    val raster = Zigzag4x4(i + 1)
-                    dC(raster) = dequantAc(acScan(i), raster, qPc, Flat4x4)
-                    i += 1
-                  }
-                }
-              }
-              nCoefC(comp)(cy * mbw * 2 + cx) = tcC
-              if (color != null) {
-                dC(0) = dcs(comp)(cb)
-                idct4x4(dC)
-                val plane = color(comp)
-                val bx = mbx * 8 + cBlkX(cb) * 4
-                val by = mby * 8 + cBlkY(cb) * 4
-                var yy = 0
-                while (yy < 4) {
-                  var xx = 0
-                  while (xx < 4) {
-                    plane((by + yy) * cw + bx + xx) = clip1(
-                      pred8c((cBlkY(cb) * 4 + yy) * 8 + cBlkX(cb) * 4 + xx) +
-                        dC(yy * 4 + xx))
-                    xx += 1
-                  }
-                  yy += 1
-                }
-              }
-              cb += 1
-            }
-            comp += 1
-          }
-          null
-        }
+            chromaPred: Int = 0, qPYNow: Int = 0): String =
+          if (sps.chromaFormatIdc != 1) null
+          else chromaCtx.stage(rd, cbpChroma, chromaPred, mbx, mby, qPYNow,
+            nCForC,
+            (comp, cx, cy, v) => nCoefC(comp)(cy * mbw * 2 + cx) = v)
         // Intra_4x4 spatial prediction (§8.3.1.2.1–9) for the block at
         // global 4x4 coords (bx, by): fills p4 (raster), or returns the
         // refusal when the signalled mode's samples are unavailable (a
@@ -1328,8 +1389,8 @@ object H264Decode {
                   val v = rd.u(8)
                   if (color != null) {
                     val o = c & 63
-                    color(c >> 6)((mby * 8 + o / 8) * cw + mbx * 8 + o % 8) =
-                      v.toByte
+                    color(c >> 6)((mby * 8 + o / 8) * (mbw * 8) +
+                      mbx * 8 + o % 8) = v.toByte
                   }
                   c += 1
                 }
@@ -1923,14 +1984,16 @@ object H264Decode {
   private def walkGop(bytes: Array[Byte], maxPlaneBytes: Long,
       cabacCfg: Option[Cabac.Config], wantTally: Boolean,
       frame: (Int, String, Array[Byte], VideoBitstream.SpsInfo,
-        Array[Int]) => Unit,
-      err: (Any, String, String) => Unit): Boolean = {
+        Array[Int], Array[Array[Byte]]) => Unit,
+      err: (Any, String, String) => Unit,
+      colorMode: Boolean = false): Boolean = {
     val nals = VideoBitstream.findNals(bytes)
     if (nals == null) { err(null, null, "no Annex-B start code"); return true }
     var sps: VideoBitstream.SpsInfo = null
     var pps: PpsInfo = null
     var emitted = false
     var ref: Array[Byte] = null
+    var refC: Array[Array[Byte]] = null // chroma reference (color mode)
     var prevRef = -1 // frame_num of the last decoded reference
     var frameIdx = 0
     var seeking = false // refusal happened: skip to next intra
@@ -1940,7 +2003,14 @@ object H264Decode {
       emitted = true
       seeking = true
       ref = null
+      refC = null
     }
+    def freshColor(sps: VideoBitstream.SpsInfo): Array[Array[Byte]] =
+      if (!colorMode) null
+      else {
+        val cSize = sps.widthMbs * 8 * sps.heightMbs * 8
+        Array(new Array[Byte](cSize), new Array[Byte](cSize))
+      }
     nals.foreach { case (off, len) =>
       if (!stopped) (bytes(off) & 0x1f) match {
         case 7 if sps == null =>
@@ -1974,10 +2044,17 @@ object H264Decode {
                 } else if (ft == null)
                   refuse(null, s"corrupt slice header (slice_type $st)")
                 else if (isIntra) {
+                  val outC = freshColor(sps)
                   val res =
-                    try decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                      refIdc, cabacCfg, idr = t == 5)
-                    catch { case e: Exception => Left(
+                    try {
+                      // Y + Cb + Cr cost 1.5x the luma plane: the color
+                      // allocation above must also sit under the cap
+                      if (colorMode && sps.widthMbs.toLong *
+                          sps.heightMbs * 384L > maxPlaneBytes)
+                        Left("plane budget exceeded (YUV > cap)")
+                      else decodeISlice(rbsp, sps, pps, maxPlaneBytes,
+                        refIdc, cabacCfg, idr = t == 5, color = outC)
+                    } catch { case e: Exception => Left(
                       s"decode failed: ${e.getClass.getSimpleName}") }
                   res match {
                     case Left(msg) => refuse("I", msg)
@@ -1987,9 +2064,10 @@ object H264Decode {
                         a(5) = sps.widthMbs * sps.heightMbs
                         a
                       } else null
-                      frame(frameIdx, "I", luma, sps, tl)
+                      frame(frameIdx, "I", luma, sps, tl, outC)
                       emitted = true
                       ref = luma
+                      refC = outC
                       prevRef = frameNum
                       seeking = false
                   }
@@ -2003,17 +2081,19 @@ object H264Decode {
                       "motion compensation would use the wrong frame)")
                   else {
                     val tl = if (wantTally) new Array[Int](6) else null
+                    val outC = freshColor(sps)
                     val res =
                       try H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                        refIdc, tl)
+                        refIdc, tl, refColor = refC, outColor = outC)
                       catch { case e: Exception => Left(
                         s"decode failed: ${e.getClass.getSimpleName}") }
                     res match {
                       case Left(msg) => refuse("P", msg)
                       case Right(luma) =>
-                        frame(frameIdx, "P", luma, sps, tl)
+                        frame(frameIdx, "P", luma, sps, tl, outC)
                         emitted = true
                         ref = luma
+                        refC = outC
                         // only reference frames advance frame_num
                         // (§7.4.3) — a disposable ref_idc-0 P does not
                         // move the continuity anchor
@@ -2072,7 +2152,7 @@ object H264Decode {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
             cabacCfg, wantTally = false,
-            (fi, ft, luma, sps, _) => out += lumaRow(r, luma,
+            (fi, ft, luma, sps, _, _) => out += lumaRow(r, luma,
               sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(fi, ft)),
             (fi, ft, msg) => out += errRow(fi, ft, msg))
           if (!any) Seq(errRow(null, null, "no coded slice in stream"))
@@ -2083,6 +2163,97 @@ object H264Decode {
       }
     }(enc)
   }
+
+  private val gopColorCols =
+    StructField("frame_idx", IntegerType) +:
+      StructField("frame_type", StringType) +: colorCols
+
+  /** [[decodeGop]]'s full-COLOR sibling: the same Annex-B state machine
+    * (continuity, recovery points, skip-to-intra) with chroma carried
+    * through every frame — §8.3.4/§8.5.11 reconstruction on intra
+    * frames, §8.4.2.2.2 eighth-sample bilinear motion compensation on
+    * inter blocks (the chroma vector IS the luma vector: quarter-luma
+    * units are eighth-chroma units in 4:2:0), I_PCM passthrough. The
+    * chroma envelope refuses by name as in [[decodeIdrColor]]. One row
+    * per frame with Y/Cb/Cr means, chroma_energy and all three planes.
+    */
+  def decodeGopColor(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeGopColor",
+      gopColorCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ gopColorCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(fi, ft, null, null, null, null, null, null, null, null, null,
+            msg))
+        def mean(p: Array[Byte]): Double = {
+          var s = 0L
+          var i = 0
+          while (i < p.length) { s += p(i) & 0xff; i += 1 }
+          s.toDouble / p.length
+        }
+        if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
+        else try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg = None, wantTally = false,
+            (fi, ft, luma, sps, _, color) => {
+              var dev = 0L
+              var i = 0
+              while (i < color(0).length) {
+                dev += math.abs((color(0)(i) & 0xff) - 128)
+                dev += math.abs((color(1)(i) & 0xff) - 128)
+                i += 1
+              }
+              out += Row.fromSeq(r.toSeq ++ Seq(fi, ft,
+                sps.widthMbs * 16, sps.heightMbs * 16,
+                mean(luma), mean(color(0)), mean(color(1)),
+                dev.toDouble / (2L * color(0).length),
+                luma, color(0), color(1), null))
+            },
+            (fi, ft, msg) => out += errRow(fi, ft, msg),
+            colorMode = true)
+          if (!any) Seq(errRow(null, null, "no coded slice in stream"))
+          else out.toSeq
+        } catch { case e: Exception =>
+          Seq(errRow(null, null, s"decode failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic full-color 3-frame GOP (Annex-B): the
+    * [[i16ColorSliceRbsp]] IDR with UNIFORM MB3 chroma (u2 = u1, so the
+    * chroma plane is M0 = 128+2u0 in the top-left 8×8 and A = M0+2u1
+    * everywhere else), then a P frame whose every partition carries the
+    * uniform luma MV (8m, 8n) — an EVEN luma pixel shift, so the chroma
+    * translation is the integer (m, n) with no bilinear phase — then an
+    * all-P_Skip frame. Frames 1 and 2 are frame 0 translated with edge
+    * clamping on ALL THREE planes; every mean is closed-form.
+    */
+  val syntheticColorGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, v1: Int, v2: Int, u0: Int, u1: Int,
+        w0: Int, w1: Int, m: Int, n: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16ColorSliceRbsp(v0, v1, v2, 1, u0, u1, u1, w0, w1, w1))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 1,
+          H264Inter.PMb.Mv(8 * m, 8 * n) +:
+            Seq.fill(3)(H264Inter.PMb.Mv(0, 0))))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 2,
+          Seq.fill(4)(H264Inter.PMb.Skip)))
+        out.toArray
+      })
 
   /** Deterministic 4-frame GOP clip (Annex-B): the [[i16SliceRbsp]]
     * quadrant IDR (closed-form constants c0..c3 in (v0, s1, v2)), then
@@ -2209,7 +2380,7 @@ object H264Decode {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
             cabacCfg, wantTally = true,
-            (fi, ft, _, _, tl) => out += countRow(fi, ft, tl),
+            (fi, ft, _, _, tl, _) => out += countRow(fi, ft, tl),
             (fi, ft, msg) => out += errRow(fi, ft, msg))
           if (!any) Seq(errRow(null, null, "no coded slice in stream"))
           else out.toSeq

@@ -464,7 +464,13 @@ object H264Inter {
   private[ops] def decodePSlice(sliceRbsp: Array[Byte],
       sps: VideoBitstream.SpsInfo, pps: H264Decode.PpsInfo,
       refLuma: Array[Byte], nalRefIdc: Int = 2,
-      tally: Array[Int] = null): Either[String, Array[Byte]] = {
+      tally: Array[Int] = null,
+      // color GOP mode: reference chroma planes (Array(cb, cr)) and
+      // caller-allocated OUTPUT planes — §8.4.2.2.2 eighth-sample
+      // bilinear MC for inter blocks, §8.3.4/§8.5.11 reconstruction for
+      // intra-refresh MBs, I_PCM passthrough
+      refColor: Array[Array[Byte]] = null,
+      outColor: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
@@ -481,6 +487,15 @@ object H264Inter {
     else if (sps.pocType == 1) Left("pic_order_cnt_type 1 not supported")
     else if (sps.chromaFormatIdc > 1)
       Left("chroma format beyond 4:2:0 not supported")
+    else if (outColor != null && sps.chromaFormatIdc != 1)
+      Left("color GOP requires 4:2:0 (monochrome has no chroma)")
+    else if (outColor != null &&
+        (sps.scalingMatrixPresent || pps.scalingMatrix))
+      Left("chroma reconstruction under scaling matrices not supported " +
+        "(chroma weight lists are not retained; flat weights decode)")
+    else if (outColor != null && (refColor == null ||
+        refColor(0).length != mbw * 8 * mbh * 8))
+      Left("no decoded reference chroma for color P slice")
     else if (wlE.isLeft) Left(wlE.swap.toOption.get)
     else if (pps.picInitQp < 0 || pps.picInitQp > 51)
       Left(s"pic_init_qp ${pps.picInitQp} out of range")
@@ -567,25 +582,25 @@ object H264Inter {
             b += 1
           }
         }
-        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int): Unit =
-          if (sps.chromaFormatIdc == 1) {
-            if (cbpChroma >= 1) {
-              Cavlc.decodeResidualBlock(rd, -1, 4) // Cb DC
-              Cavlc.decodeResidualBlock(rd, -1, 4) // Cr DC
-            }
+        // chroma stage shared with the I path ([[H264Decode.ChromaCtx]]):
+        // parse-only without planes, full reconstruction with them
+        val chromaCtx = new H264Decode.ChromaCtx(outColor, mbw,
+          pps.chromaQpOffset)
+        val chromaH = mbh * 8
+        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
+            chromaPred: Int = 0, qPYNow: Int = 0): String =
+          if (sps.chromaFormatIdc != 1) null
+          else chromaCtx.stage(rd, cbpChroma, chromaPred, mbx, mby, qPYNow,
+            nCForC,
+            (comp, cx, cy, v) => nCoefC(comp)(cy * mbw * 2 + cx) = v)
+        // inter chroma MC for one partition (luma block coords/sizes)
+        def interChroma(bx: Int, by: Int, w4: Int, h4: Int,
+            mvX: Int, mvY: Int): Unit =
+          if (outColor != null) {
             var comp = 0
             while (comp < 2) {
-              var cb = 0
-              while (cb < 4) {
-                val cx = mbx * 2 + cBlkX(cb)
-                val cy = mby * 2 + cBlkY(cb)
-                val tcC =
-                  if (cbpChroma == 2)
-                    Cavlc.decodeResidualBlock(rd, nCForC(comp, cx, cy), 15)._2
-                  else 0
-                nCoefC(comp)(cy * mbw * 2 + cx) = tcC
-                cb += 1
-              }
+              chromaCtx.predictInter(refColor(comp), outColor(comp),
+                chromaH, bx * 2, by * 2, w4 * 2, h4 * 2, mvX, mvY)
               comp += 1
             }
           }
@@ -604,6 +619,7 @@ object H264Inter {
               val mby = (mb / mbw).toInt
               val (mvX, mvY) = skipMv(g, mbx, mby)
               predict16x16(refLuma, luma, w, h, mbx * 16, mby * 16, mvX, mvY)
+              interChroma(mbx * 4, mby * 4, 4, 4, mvX, mvY)
               g.set(mbx, mby, mvX, mvY)
               setMbNc(mbx, mby, 0)
               if (tally != null) tally(0) += 1
@@ -681,6 +697,7 @@ object H264Inter {
                       val mvY = pry + mvdY(p)
                       predictBlock(refLuma, luma, w, h, bx * 4, by * 4,
                         pws(p) * 4, phs(p) * 4, mvX, mvY)
+                      interChroma(bx, by, pws(p), phs(p), mvX, mvY)
                       g.setBlk(bx, by, pws(p), phs(p), mvX, mvY)
                       p += 1
                     }
@@ -710,8 +727,17 @@ object H264Inter {
                   i += 1
                 }
                 if (sps.chromaFormatIdc == 1) {
+                  // pcm_sample_chroma: 64 Cb then 64 Cr, raster (§7.3.5)
                   var c = 0
-                  while (c < 128) { rd.u(8); c += 1 }
+                  while (c < 128) {
+                    val v = rd.u(8)
+                    if (outColor != null) {
+                      val o = c & 63
+                      outColor(c >> 6)((mby * 8 + o / 8) * (mbw * 8) +
+                        mbx * 8 + o % 8) = v.toByte
+                    }
+                    c += 1
+                  }
                 }
                 setMbNc(mbx, mby, 16)
                 g.markIntra(mbx, mby)
@@ -785,7 +811,10 @@ object H264Inter {
                         b += 1
                       }
                       if (bad == null) {
-                        consumeChroma(cbpChroma, mbx, mby)
+                        bad = consumeChroma(cbpChroma, mbx, mby,
+                          chromaPred, qPY)
+                      }
+                      if (bad == null) {
                         // intra MB: neighbours see a decoded block that
                         // never refIdx-matches (ref −1 in the grid)
                         g.markIntra(mbx, mby)
