@@ -2005,8 +2005,15 @@ object H264Decode {
       ref = null
       refC = null
     }
+    // Y + Cb + Cr cost 1.5× the luma plane, and the SPS dims are
+    // UNTRUSTED crawl bytes: the cap must be checked BEFORE the chroma
+    // allocation (the same decompression-bomb class decodeISlice guards
+    // before its luma allocation) — null = over budget, refused by the
+    // caller by name
     def freshColor(sps: VideoBitstream.SpsInfo): Array[Array[Byte]] =
       if (!colorMode) null
+      else if (sps.widthMbs.toLong * sps.heightMbs * 384L > maxPlaneBytes ||
+          sps.widthMbs.toLong * sps.heightMbs <= 0) null
       else {
         val cSize = sps.widthMbs * 8 * sps.heightMbs * 8
         Array(new Array[Byte](cSize), new Array[Byte](cSize))
@@ -2047,11 +2054,10 @@ object H264Decode {
                   val outC = freshColor(sps)
                   val res =
                     try {
-                      // Y + Cb + Cr cost 1.5x the luma plane: the color
-                      // allocation above must also sit under the cap
-                      if (colorMode && sps.widthMbs.toLong *
-                          sps.heightMbs * 384L > maxPlaneBytes)
-                        Left("plane budget exceeded (YUV > cap)")
+                      if (colorMode && outC == null)
+                        Left(s"plane budget exceeded (YUV for " +
+                          s"${sps.widthMbs * 16}x${sps.heightMbs * 16} > " +
+                          s"$maxPlaneBytes cap)")
                       else decodeISlice(rbsp, sps, pps, maxPlaneBytes,
                         refIdc, cabacCfg, idr = t == 5, color = outC)
                     } catch { case e: Exception => Left(
@@ -2083,9 +2089,12 @@ object H264Decode {
                     val tl = if (wantTally) new Array[Int](6) else null
                     val outC = freshColor(sps)
                     val res =
-                      try H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                        refIdc, tl, refColor = refC, outColor = outC)
-                      catch { case e: Exception => Left(
+                      try {
+                        if (colorMode && outC == null)
+                          Left("plane budget exceeded (YUV > cap)")
+                        else H264Inter.decodePSlice(rbsp, sps, pps, ref,
+                          refIdc, tl, refColor = refC, outColor = outC)
+                      } catch { case e: Exception => Left(
                         s"decode failed: ${e.getClass.getSimpleName}") }
                     res match {
                       case Left(msg) => refuse("P", msg)

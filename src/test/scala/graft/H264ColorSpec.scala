@@ -179,6 +179,29 @@ class H264ColorSpec extends AnyFunSuite {
     }
   }
 
+  test("color GOP: a hostile SPS claiming huge dims refuses the YUV " +
+      "plane budget BY NAME before any chroma allocation") {
+    // 2875×2875 MBs claim ≈ 3.2 GB of YUV — if the planes were
+    // allocated before the cap check this test would OOM, not refuse
+    val clip = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+        out += 0; out += 0; out += 0; out += 1
+        out += ((refIdc << 5) | tpe).toByte
+        out ++= VideoBitstream.escapeRbsp(rbsp)
+      }
+      nal(3, 7, VideoBitstream.syntheticSpsRbsp(2875, 2875))
+      nal(3, 8, H264Decode.cavlcPpsRbsp)
+      nal(3, 5, H264Decode.i16ColorSliceRbsp(5, 2, 3, 1, 4, 2, 1, 3, 1, 2))
+      out.toArray
+    }
+    val r = H264Decode.decodeGopColor(
+      Seq((0L, clip)).toDF("doc_id", "payload")).collect()(0)
+    assert(r.getAs[String]("decode_error") != null &&
+      r.getAs[String]("decode_error").contains("plane budget"),
+      r.toString)
+  }
+
   test("chroma plane-mode prediction reproduces a bilinear ramp " +
       "exactly at interior gradients") {
     // build a color clip whose MB0 fills chroma 136/134, then decode a
