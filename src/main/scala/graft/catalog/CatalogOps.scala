@@ -2928,6 +2928,50 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM f"""))
 
+  /** Full-COLOR MP4 keyframe decode
+    * ([[graft.ops.H264Decode.syntheticColorMp4]] →
+    * decodeMp4KeyframesColor): the "fetch and decode only keyframes, in
+    * color" pipeline — sync samples located by the stss×stsc×stco×stsz
+    * walk, each one's IDR decoded to Y/Cb/Cr with per-keyframe luma
+    * bases (v0 + k) and constant chroma, all means closed-form.
+    */
+  private val mmMp4ColorDecode = Q("mm_mp4_color_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticColorMp4(
+          (lit(4) + d % 3).cast("int"), (lit(1) + d % 2).cast("int"),
+          (lit(1) + d % 5).cast("int"), (d % 3).cast("int"),
+          (d % 4).cast("int"),
+          (lit(1) + d % 4).cast("int"), (d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"), (d % 2).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4KeyframesColor(clips, "payload")
+        .select(d, col("sample_idx"), col("frame_width"),
+          col("frame_height"), col("y_mean"), col("cb_mean"),
+          col("cr_mean"), col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        4 + doc_id % 3 AS ns, 1 + doc_id % 2 AS sp,
+        1 + doc_id % 5 AS v0, doc_id % 3 AS v1, doc_id % 4 AS v2,
+        1 + doc_id % 4 AS u0, doc_id % 3 AS u1,
+        1 + doc_id % 3 AS w0, doc_id % 2 AS w1
+        FROM documents),
+      k AS (SELECT p.*, unnest(generate_series(0, ns - 1)) AS kk FROM p),
+      sync AS (SELECT * FROM k WHERE kk % sp = 0),
+      q AS (SELECT doc_id, kk,
+        128 + v0 + kk AS c0, 128 + v0 + kk + v1 AS c1,
+        128 + v0 + kk + v2 AS c2,
+        128 + 2 * u0 AS mu, 128 + 2 * u0 + 2 * u1 AS au,
+        128 + 2 * w0 AS mw, 128 + 2 * w0 + 2 * w1 AS aw
+        FROM sync)
+      SELECT doc_id, (kk + 1)::INT AS sample_idx,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (c0 + c1 + c2 + ((c1 + c2 + 1) // 2 + 1))::DOUBLE / 4 AS y_mean,
+        (64 * mu + 192 * au)::DOUBLE / 256 AS cb_mean,
+        (64 * mw + 192 * aw)::DOUBLE / 256 AS cr_mean,
+        NULL::VARCHAR AS decode_error
+      FROM q"""))
+
   /** High-profile Intra_8x8 decode
     * ([[graft.ops.H264Decode.syntheticI8x8AnnexB]] → decodeIdr): I_NxN
     * with transform_size_8x8_flag — §7.3.2.2 PPS-extension parse, the
@@ -4969,7 +5013,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -2439,6 +2439,137 @@ object H264Decode {
     * a sample that fails decodes to its own error row, siblings survive;
     * clip-level failures (no video track, no avcC) yield one error row.
     */
+  /** The MP4 keyframe walk shared by [[decodeMp4Keyframes]] and
+    * [[decodeMp4KeyframesColor]] — ONE copy of the avcC parameter-set
+    * parse, stss×stsc×stco×stsz sync-sample location, per-sample
+    * length-prefixed NAL walk and per-sample degradation. `ok` fires
+    * per decoded keyframe (1-based sample idx, luma, chroma planes in
+    * color mode, sps); `err` per refusal (sample idx, or null for
+    * clip-level failures).
+    */
+  private def mp4KeyframeWalk(bytes: Array[Byte], maxPlaneBytes: Long,
+      cabacCfg: Option[Cabac.Config], colorMode: Boolean,
+      ok: (Int, Array[Byte], Array[Array[Byte]],
+        VideoBitstream.SpsInfo) => Unit,
+      err: (Any, String) => Unit): Unit = {
+    val (sawMoov, video) = VideoBitstream.firstVideoTrack(bytes)
+    video match {
+      case None =>
+        err(null, if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")
+      case Some(t) if t.avcC.isEmpty =>
+        err(null, "no avcC decoder record (not AVC, or codec unsupported)")
+      case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
+        err(null, "incomplete sample tables")
+      case Some(t) =>
+        val c = t.avcC.get
+        if (c.length < 8) err(null, "truncated avcC record")
+        else {
+          val lengthSize = (c(4) & 3) + 1
+          // avcC: 0xE0|numSPS at [5], then (len16, sps)*, u8 numPPS,
+          // then (len16, pps)* — stored sets INCLUDE the NAL header
+          var p = 6
+          var sps: VideoBitstream.SpsInfo = null
+          var pps: PpsInfo = null
+          val nSps = c(5) & 0x1f
+          var i = 0
+          while (i < nSps && p + 2 <= c.length) {
+            val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
+            // len > 0: a zero-length entry would hand rbspBytes a
+            // negative size (NegativeArraySizeException through the
+            // generic catch) instead of the named refusal below
+            if (sps == null && len > 0 && p + 2 + len <= c.length)
+              sps = VideoBitstream.parseSps(
+                VideoBitstream.rbspBytes(c, p + 3, len - 1))
+            p += 2 + len
+            i += 1
+          }
+          val nPps = if (p < c.length) c(p) & 0xff else 0
+          p += 1
+          i = 0
+          while (i < nPps && p + 2 <= c.length) {
+            val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
+            if (pps == null && len > 0 && p + 2 + len <= c.length)
+              pps = parsePps(VideoBitstream.rbspBytes(c, p + 3, len - 1))
+            p += 2 + len
+            i += 1
+          }
+          if (sps == null) err(null, "no SPS in avcC record")
+          else {
+            // a clip whose stss matches NO sample (entry count 0, or
+            // listed numbers beyond stsz) must surface as a named row,
+            // not silently vanish from the output
+            val syncIdxs = t.sizes.indices.filter(k =>
+              !t.hasStss || t.syncs.contains((k + 1).toLong))
+            if (pps == null) err(null, "no PPS in avcC record")
+            else if (syncIdxs.isEmpty) err(null, "no sync samples in clip")
+            else {
+              val (offs, covered) = VideoBitstream.sampleOffsets(t)
+              if (covered < t.sizes.length) err(null, "incomplete sample tables")
+              else syncIdxs.foreach { k =>
+                try {
+                  // the sample RANGE must sit inside the payload BEFORE
+                  // any byte is read: crafted co64/stsz values >= 2^32
+                  // would wrap through .toInt onto a valid in-bounds
+                  // index and decode the WRONG bytes with decode_error
+                  // null
+                  if (offs(k) < 0 || offs(k) + t.sizes(k) > bytes.length)
+                    err(k + 1, "sample extends past payload")
+                  else {
+                    // walk the sample's length-prefixed NALs for the IDR
+                    var o = offs(k)
+                    val end = offs(k) + t.sizes(k)
+                    var idr: Array[Byte] = null
+                    var idrRefIdc = 3
+                    while (idr == null && o + lengthSize <= end) {
+                      var len = 0L
+                      var j = 0
+                      while (j < lengthSize) {
+                        len = (len << 8) | (bytes(o.toInt + j) & 0xffL)
+                        j += 1
+                      }
+                      val ns = o + lengthSize
+                      if (len <= 0 || ns + len > end) o = end // corrupt: stop
+                      else {
+                        if ((bytes(ns.toInt) & 0x1f) == 5) {
+                          idr = VideoBitstream.rbspBytes(
+                            bytes, ns.toInt + 1, len.toInt - 1)
+                          idrRefIdc = (bytes(ns.toInt) >> 5) & 3
+                        }
+                        o = ns + len
+                      }
+                    }
+                    if (idr == null) err(k + 1, "no IDR NAL in sync sample")
+                    else {
+                      // YUV budget checked BEFORE the chroma allocation
+                      // (untrusted SPS dims — same class as walkGop)
+                      val colorP =
+                        if (!colorMode) null
+                        else if (sps.widthMbs.toLong * sps.heightMbs <= 0 ||
+                            sps.widthMbs.toLong * sps.heightMbs * 384L >
+                              maxPlaneBytes) null
+                        else {
+                          val cs = sps.widthMbs * 8 * sps.heightMbs * 8
+                          Array(new Array[Byte](cs), new Array[Byte](cs))
+                        }
+                      if (colorMode && colorP == null)
+                        err(k + 1, "plane budget exceeded (YUV > cap)")
+                      else decodeISlice(idr, sps, pps, maxPlaneBytes,
+                          idrRefIdc, cabacCfg, color = colorP) match {
+                        case Left(msg) => err(k + 1, msg)
+                        case Right(luma) => ok(k + 1, luma, colorP, sps)
+                      }
+                    }
+                  }
+                } catch { case e: Exception =>
+                  err(k + 1, s"decode failed: ${e.getClass.getSimpleName}")
+                }
+              }
+            }
+          }
+        }
+    }
+  }
+
   def decodeMp4Keyframes(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
       cabac: Option[Cabac.Config] = None): DataFrame = {
@@ -2450,124 +2581,75 @@ object H264Decode {
     val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        def errRow(msg: String) = Seq(Row.fromSeq(r.toSeq ++
-          Seq(null, null, null, null, null, null, msg)))
-        if (r.isNullAt(idx)) errRow("null payload")
+        def errRow(si: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(si, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) Seq(errRow(null, "null payload"))
         else try {
-          val bytes = r.getAs[Array[Byte]](idx)
-          val (sawMoov, video) = VideoBitstream.firstVideoTrack(bytes)
-          video match {
-            case None =>
-              errRow(if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")
-            case Some(t) if t.avcC.isEmpty =>
-              errRow("no avcC decoder record (not AVC, or codec unsupported)")
-            case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
-              errRow("incomplete sample tables")
-            case Some(t) =>
-              val c = t.avcC.get
-              if (c.length < 8) errRow("truncated avcC record")
-              else {
-                val lengthSize = (c(4) & 3) + 1
-                // avcC: 0xE0|numSPS at [5], then (len16, sps)*, u8 numPPS,
-                // then (len16, pps)* — stored sets INCLUDE the NAL header
-                var p = 6
-                var sps: VideoBitstream.SpsInfo = null
-                var pps: PpsInfo = null
-                val nSps = c(5) & 0x1f
-                var i = 0
-                while (i < nSps && p + 2 <= c.length) {
-                  val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-                  // len > 0: a zero-length entry would hand rbspBytes a
-                  // negative size (NegativeArraySizeException through the
-                  // generic catch) instead of the named refusal below
-                  if (sps == null && len > 0 && p + 2 + len <= c.length)
-                    sps = VideoBitstream.parseSps(
-                      VideoBitstream.rbspBytes(c, p + 3, len - 1))
-                  p += 2 + len
-                  i += 1
-                }
-                val nPps = if (p < c.length) c(p) & 0xff else 0
-                p += 1
-                i = 0
-                while (i < nPps && p + 2 <= c.length) {
-                  val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-                  if (pps == null && len > 0 && p + 2 + len <= c.length)
-                    pps = parsePps(VideoBitstream.rbspBytes(c, p + 3, len - 1))
-                  p += 2 + len
-                  i += 1
-                }
-                if (sps == null) errRow("no SPS in avcC record")
-                else {
-                  // a clip whose stss matches NO sample (entry count 0, or
-                  // listed numbers beyond stsz) must surface as a named
-                  // row, not silently vanish from the output — every other
-                  // failure mode here degrades by name
-                  val syncIdxs = t.sizes.indices.filter(k =>
-                    !t.hasStss || t.syncs.contains((k + 1).toLong))
-                  if (pps == null) errRow("no PPS in avcC record")
-                  else if (syncIdxs.isEmpty) errRow("no sync samples in clip")
-                  else {
-                  val (offs, covered) = VideoBitstream.sampleOffsets(t)
-                  if (covered < t.sizes.length) errRow("incomplete sample tables")
-                  else syncIdxs.flatMap { k =>
-                    {
-                      def sampleErr(msg: String) = Seq(Row.fromSeq(r.toSeq ++
-                        Seq(k + 1, null, null, null, null, null, msg)))
-                      try {
-                        // the sample RANGE must sit inside the payload
-                        // BEFORE any byte is read: crafted co64/stsz
-                        // values >= 2^32 would wrap through .toInt onto a
-                        // valid in-bounds index and decode the WRONG
-                        // bytes with decode_error null (and values in
-                        // [2^31, 2^32) would surface as an unnamed
-                        // ArrayIndexOutOfBounds instead of this refusal)
-                        if (offs(k) < 0 ||
-                            offs(k) + t.sizes(k) > bytes.length)
-                          sampleErr("sample extends past payload")
-                        else {
-                        // walk the sample's length-prefixed NALs for the IDR
-                        var o = offs(k)
-                        val end = offs(k) + t.sizes(k)
-                        var idr: Array[Byte] = null
-                        var idrRefIdc = 3
-                        while (idr == null && o + lengthSize <= end) {
-                          var len = 0L
-                          var j = 0
-                          while (j < lengthSize) {
-                            len = (len << 8) | (bytes(o.toInt + j) & 0xffL)
-                            j += 1
-                          }
-                          val ns = o + lengthSize
-                          if (len <= 0 || ns + len > end) o = end // corrupt: stop
-                          else {
-                            if ((bytes(ns.toInt) & 0x1f) == 5) {
-                              idr = VideoBitstream.rbspBytes(
-                                bytes, ns.toInt + 1, len.toInt - 1)
-                              idrRefIdc = (bytes(ns.toInt) >> 5) & 3
-                            }
-                            o = ns + len
-                          }
-                        }
-                        if (idr == null) sampleErr("no IDR NAL in sync sample")
-                        else decodeISlice(idr, sps, pps, maxPlaneBytes,
-                            idrRefIdc, cabacCfg) match {
-                          case Left(msg) => sampleErr(msg)
-                          case Right(luma) => Seq(lumaRow(r, luma,
-                            sps.widthMbs * 16, sps.heightMbs * 16,
-                            prefix = Seq(k + 1)))
-                        }
-                        }
-                      } catch { case e: Exception =>
-                        sampleErr(s"decode failed: ${e.getClass.getSimpleName}")
-                      }
-                    }
-                  }
-                  }
-                }
-              }
-          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          mp4KeyframeWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg, colorMode = false,
+            (k, luma, _, sps) => out += lumaRow(r, luma,
+              sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(k)),
+            (si, msg) => out += errRow(si, msg))
+          out.toSeq
         } catch { case e: Exception =>
-          errRow(s"container parse failed: ${e.getClass.getSimpleName}")
+          Seq(errRow(null, s"container parse failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  private val mp4ColorCols =
+    StructField("sample_idx", IntegerType) +: colorCols
+
+  /** [[decodeMp4Keyframes]]'s full-COLOR sibling — the "fetch and
+    * decode only keyframes, in color" pipeline end-to-end: the same
+    * container walk (shared [[mp4KeyframeWalk]]), each sync sample's
+    * IDR decoded to Y + Cb + Cr with the [[decodeIdrColor]] chroma
+    * envelope (CAVLC, 4:2:0, flat weights, identity Table 8-15
+    * region), per-sample degradation, per-plane means +
+    * `chroma_energy` + planes per row.
+    */
+  def decodeMp4KeyframesColor(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeMp4KeyframesColor",
+      mp4ColorCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ mp4ColorCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(si: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(si, null, null, null, null, null, null, null, null, null, msg))
+        def mean(p: Array[Byte]): Double = {
+          var s = 0L
+          var i = 0
+          while (i < p.length) { s += p(i) & 0xff; i += 1 }
+          s.toDouble / p.length
+        }
+        if (r.isNullAt(idx)) Seq(errRow(null, "null payload"))
+        else try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          mp4KeyframeWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg = None, colorMode = true,
+            (k, luma, color, sps) => {
+              var dev = 0L
+              var i = 0
+              while (i < color(0).length) {
+                dev += math.abs((color(0)(i) & 0xff) - 128)
+                dev += math.abs((color(1)(i) & 0xff) - 128)
+                i += 1
+              }
+              out += Row.fromSeq(r.toSeq ++ Seq(k,
+                sps.widthMbs * 16, sps.heightMbs * 16,
+                mean(luma), mean(color(0)), mean(color(1)),
+                dev.toDouble / (2L * color(0).length),
+                luma, color(0), color(1), null))
+            },
+            (si, msg) => out += errRow(si, msg))
+          out.toSeq
+        } catch { case e: Exception =>
+          Seq(errRow(null, s"container parse failed: ${e.getClass.getSimpleName}"))
         }
       }
     }(enc)
@@ -3237,6 +3319,26 @@ object H264Decode {
             sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
         }
         mp4AvcClip(mbw, mbh, samples, syncPeriod, realPpsRbsp)
+      })
+
+  /** Deterministic full-color MP4: each sync sample holds a REAL color
+    * IDR ([[i16ColorSliceRbsp]] with v0 + k as its luma base, uniform
+    * MB3 chroma) and the avcC carries the QP-28 PPS — so
+    * [[decodeMp4KeyframesColor]]'s per-keyframe Y/Cb/Cr means are
+    * closed-form in (v0..v2, u0, u1, w0, w1, k).
+    */
+  val syntheticColorMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (nSamples: Int, syncPeriod: Int, v0: Int, v1: Int, v2: Int,
+        u0: Int, u1: Int, w0: Int, w1: Int) => {
+        val samples = Array.tabulate(nSamples) { k =>
+          if (k % syncPeriod == 0)
+            sampleNal(3, 5, i16ColorSliceRbsp(v0 + k, v1, v2, 1,
+              u0, u1, u1, w0, w1, w1))
+          else
+            sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
+        }
+        mp4AvcClip(2, 2, samples, syncPeriod, cavlcPpsRbsp)
       })
 
   /** The [[VideoBitstream.syntheticMp4]] layout (mdat first, one chunk,

@@ -202,6 +202,40 @@ class H264ColorSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("MP4 color keyframes: the fetch-only-keyframes route decodes " +
+      "every sync sample to closed-form Y/Cb/Cr; non-sync samples are " +
+      "skipped; luma matches the luma-only route") {
+    // 5 samples, sync every 2nd → sync samples 1, 3, 5 (k = 0, 2, 4)
+    val df = Seq(Tuple1(0L)).toDF("doc_id").select(col("doc_id"),
+      H264Decode.syntheticColorMp4(lit(5), lit(2), lit(5), lit(2), lit(3),
+        lit(4), lit(2), lit(3), lit(1)).as("payload"))
+    val out = H264Decode.decodeMp4KeyframesColor(df).orderBy("sample_idx")
+      .collect()
+    assert(out.length == 3, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    assert(out.map(_.getAs[Int]("sample_idx")).toSeq == Seq(1, 3, 5))
+    // luma: c0 = 128 + 5 + k, chain (v1=2, v2=3, v3=1); chroma constant
+    // across keyframes: Cb M0=136/A=140, Cr M0=134/A=136
+    for ((r, k) <- out.zip(Seq(0, 2, 4))) {
+      val c0 = 133 + k
+      val c1 = c0 + 2
+      val c2 = c0 + 3
+      val c3 = ((c1 + c2 + 1) >> 1) + 1
+      assert(math.abs(r.getAs[Double]("y_mean") - (c0 + c1 + c2 + c3) / 4.0)
+        < 1e-9, s"k=$k")
+      assert(math.abs(r.getAs[Double]("cb_mean") -
+        (64.0 * 136 + 192.0 * 140) / 256) < 1e-9)
+      assert(math.abs(r.getAs[Double]("cr_mean") -
+        (64.0 * 134 + 192.0 * 136) / 256) < 1e-9)
+    }
+    // the shared walk must leave the luma-only route identical
+    val plain = H264Decode.decodeMp4Keyframes(df).orderBy("sample_idx")
+      .collect()
+    assert(plain.map(_.getAs[Double]("y_mean")).toSeq ==
+      out.map(_.getAs[Double]("y_mean")).toSeq)
+  }
+
   test("chroma plane-mode prediction reproduces a bilinear ramp " +
       "exactly at interior gradients") {
     // build a color clip whose MB0 fills chroma 136/134, then decode a
