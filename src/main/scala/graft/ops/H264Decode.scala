@@ -2072,10 +2072,18 @@ object H264Decode {
                       } else null
                       frame(frameIdx, "I", luma, sps, tl, outC)
                       emitted = true
-                      ref = luma
-                      refC = outC
-                      prevRef = frameNum
-                      seeking = false
+                      // §7.4.3: only a REFERENCE picture becomes the
+                      // prediction anchor or advances frame_num. A
+                      // nal_ref_idc-0 intra frame decodes standalone
+                      // but later inter frames still predict from the
+                      // last reference frame — it cannot re-anchor a
+                      // broken chain either.
+                      if (refIdc != 0) {
+                        ref = luma
+                        refC = outC
+                        prevRef = frameNum
+                        seeking = false
+                      }
                   }
                 } else if (ft == "P") {
                   val maxFrameNum = 1 << sps.log2MaxFrameNum
@@ -2085,6 +2093,10 @@ object H264Decode {
                       s"$prevRef — reference frame lost in flight; " +
                       "gaps_in_frame_num recovery not supported, " +
                       "motion compensation would use the wrong frame)")
+                  else if (ref == null)
+                    refuse("P", "no reference frame (no reference " +
+                      "intra picture decoded yet — a nal_ref_idc-0 " +
+                      "frame cannot anchor prediction)")
                   else {
                     val tl = if (wantTally) new Array[Int](6) else null
                     val outC = freshColor(sps)
@@ -2101,12 +2113,17 @@ object H264Decode {
                       case Right(luma) =>
                         frame(frameIdx, "P", luma, sps, tl, outC)
                         emitted = true
-                        ref = luma
-                        refC = outC
-                        // only reference frames advance frame_num
-                        // (§7.4.3) — a disposable ref_idc-0 P does not
-                        // move the continuity anchor
-                        if (refIdc != 0) prevRef = frameNum
+                        // §7.4.3: a disposable ref_idc-0 P neither
+                        // advances frame_num nor becomes the prediction
+                        // reference — the next reference P still
+                        // motion-compensates against the LAST REFERENCE
+                        // frame, so ref/refC must be retained, not
+                        // overwritten with the disposable frame.
+                        if (refIdc != 0) {
+                          ref = luma
+                          refC = outC
+                          prevRef = frameNum
+                        }
                     }
                   }
                 } else
@@ -2856,11 +2873,12 @@ object H264Decode {
     *   - MB3: DC pred from both neighbours, zero residual → (c1+c2+1)>>1
     */
   private[ops] def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int,
-      idr: Boolean = true, frameNum: Int = 0): Array[Byte] = {
+      idr: Boolean = true, frameNum: Int = 0,
+      nalRefIdc: Int = 3): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     // QPY 28; disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
     writeIdrSliceHeader(w, deblockIdc = Some(1), idr = idr,
-      frameNum = frameNum)
+      frameNum = frameNum, nalRefIdc = nalRefIdc)
     // MB0: mb_type 11 = Intra_16x16 (DC pred, cbp_chroma 2, cbp_luma 0)
     w.ue(11); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
     Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
@@ -3223,15 +3241,16 @@ object H264Decode {
     */
   private def writeIdrSliceHeader(w: VideoBitstream.BitWriter,
       deblockIdc: Option[Int], idr: Boolean = true,
-      frameNum: Int = 0): Unit = {
+      frameNum: Int = 0, nalRefIdc: Int = 3): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(0) // pic_parameter_set_id
     w.u(frameNum, 4) // frame_num (log2_max_frame_num = 4)
+    // dec_ref_pic_marking (§7.3.3) is present only when nal_ref_idc != 0
     if (idr) {
       w.ue(0) // idr_pic_id
       w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
-    } else
+    } else if (nalRefIdc != 0)
       w.u(0, 1) // adaptive_ref_pic_marking_mode_flag: sliding window
     w.se(0) // slice_qp_delta
     deblockIdc.foreach(w.ue)

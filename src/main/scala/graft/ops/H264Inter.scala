@@ -375,7 +375,8 @@ object H264Inter {
   }
 
   private[ops] def pSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
-      mbs: Seq[PMb], numRefL0: Int = 1): Array[Byte] = {
+      mbs: Seq[PMb], numRefL0: Int = 1,
+      nalRefIdc: Int = 2): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(0) // slice_type: P
@@ -384,7 +385,9 @@ object H264Inter {
     if (numRefL0 == 1) w.u(0, 1) // num_ref_idx_active_override_flag
     else { w.u(1, 1); w.ue(numRefL0 - 1) }
     w.u(0, 1) // ref_pic_list_modification_flag_l0
-    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    // dec_ref_pic_marking (§7.3.3) is present only when nal_ref_idc != 0
+    if (nalRefIdc != 0)
+      w.u(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(0) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
     // te(v) ref_idx_l0 = 0, once per partition, only when numRefL0 > 1

@@ -435,4 +435,77 @@ class H264InterSpec extends AnyFunSuite {
       .contains("adaptive ref pic marking"), out(0).toString)
     assert(out(0).getAs[String]("frame_type") == "I")
   }
+
+  // ---- round-18: §7.4.3 reference-picture discipline (nal_ref_idc 0) ----
+
+  test("decodeGop: a disposable (nal_ref_idc 0) P frame never becomes " +
+      "the prediction reference — the next reference P " +
+      "motion-compensates against the LAST REFERENCE frame") {
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)), // frame 0: IDR anchor
+      // frame 1: DISPOSABLE P (ref_idc 0) whose MB0 moves by (2, 1) px —
+      // its pixels differ from the anchor but must never be predicted
+      // from
+      (0, 1, H264Inter.pSliceRbsp(4, 1,
+        H264Inter.PMb.Mv(8, 4) +: Seq.fill(3)(H264Inter.PMb.Skip),
+        nalRefIdc = 0)),
+      // frame 2: reference P, all-skip (derived MV zero) — a bit-exact
+      // copy of whatever it predicts from; §8.4.2.1 list0[0] is the
+      // last REFERENCE frame, i.e. the IDR, not the disposable frame
+      (2, 1, H264Inter.pSliceRbsp(4, 1,
+        Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.length == 3, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    val f0 = out(0).getAs[Array[Byte]]("luma_plane").toSeq
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane").toSeq
+    val f2 = out(2).getAs[Array[Byte]]("luma_plane").toSeq
+    assert(f1 != f0, "disposable frame should actually have moved")
+    assert(f2 == f0, "reference P must copy the IDR, not the disposable")
+  }
+
+  test("decodeGop: a non-reference I slice neither advances frame_num " +
+      "nor becomes the anchor — the conforming reference P after it " +
+      "is NOT refused as a frame_num gap") {
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)), // frame 0: IDR, fn 0
+      // frame 1: non-reference I (ref_idc 0) with different content —
+      // decodes standalone but must not move prevRef or become ref
+      (0, 1, H264Decode.i16SliceRbsp(4, false, 6, idr = false,
+        frameNum = 1, nalRefIdc = 0)),
+      // frame 2: reference P, fn 1 = prevRef+1 relative to the IDR —
+      // conforming, and predicting from the IDR
+      (2, 1, H264Inter.pSliceRbsp(4, 1,
+        Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.length == 3, out.mkString("\n"))
+    assert(out.forall(_.getAs[String]("decode_error") == null),
+      out.map(_.getAs[String]("decode_error")).mkString(";"))
+    val f0 = out(0).getAs[Array[Byte]]("luma_plane").toSeq
+    val f1 = out(1).getAs[Array[Byte]]("luma_plane").toSeq
+    val f2 = out(2).getAs[Array[Byte]]("luma_plane").toSeq
+    assert(f1 != f0, "the non-ref I should carry different content")
+    assert(f2 == f0, "reference P must copy the IDR, not the non-ref I")
+  }
+
+  test("decodeGop: a stream anchored ONLY by a non-reference intra " +
+      "frame refuses the following P by name (no reference frame)") {
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (0, 1, H264Decode.i16SliceRbsp(7, true, 3, idr = false,
+        frameNum = 0, nalRefIdc = 0)),
+      (2, 1, H264Inter.pSliceRbsp(4, 1,
+        Seq.fill(4)(H264Inter.PMb.Skip))))
+    val out = gopRows(payload)
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out(0).getAs[String]("decode_error") == null)
+    val err = out(1).getAs[String]("decode_error")
+    assert(err != null && err.contains("no reference frame"), err)
+  }
 }
