@@ -81,6 +81,12 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val nCpus = cpus.toInt
     val loadStart = loadavg()
+    // anomalous = the kernel ate a large share of a non-trivial run
+    // (healthy Spark rows here measure sys ≪ user), or ambient load
+    // already exceeded the worker's own width before it started
+    def contendedAttempt(a: Attempt): Boolean =
+      a.wall > 1.0 && ((a.user > 0 && a.sys > 0.5 * a.user) ||
+        (math.max(a.load0, a.load1) > 1.5 * nCpus))
     val results = headline.map { q =>
       def once(): Attempt = {
         val l0 = loadavg()
@@ -94,20 +100,14 @@ object Bench {
         val (u1, s1) = procCpu()
         Attempt(wall, u1 - u0, s1 - s0, l0, loadavg())
       }
-      // anomalous = the kernel ate a large share of a non-trivial run
-      // (healthy Spark rows here measure sys ≪ user), or ambient load
-      // already exceeded the worker's own width before it started
-      def contended(a: Attempt): Boolean =
-        a.wall > 1.0 && ((a.user > 0 && a.sys > 0.5 * a.user) ||
-          (math.max(a.load0, a.load1) > 1.5 * nCpus))
       var attempts = List(once(), once())
-      if (attempts.forall(a => a.wall < 0 || contended(a)) &&
+      if (attempts.forall(a => a.wall < 0 || contendedAttempt(a)) &&
           attempts.exists(_.wall >= 0))
         attempts = once() :: attempts
       val ok = attempts.filter(_.wall >= 0)
       val best = if (ok.isEmpty) Attempt(-1.0, -1.0, -1.0, -1.0, -1.0)
         else ok.minBy(_.wall)
-      if (contended(best))
+      if (contendedAttempt(best))
         System.err.println(f"[bench] WARN ${q.name}: best attempt still " +
           f"contended (wall ${best.wall}%.2f s, user ${best.user}%.2f s, " +
           f"sys ${best.sys}%.2f s, load ${best.load0}%.1f)")
@@ -120,10 +120,28 @@ object Bench {
         f""""load0":${a.load0}%.2f,"load1":${a.load1}%.2f,"attempts":$n}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
+    // capture self-rejection (VERDICT r17 "what's wrong" #1): the
+    // headline `value` silently sums contended rows, so the ARTIFACT
+    // itself must refuse to look healthy. Rule (documented in SCALE.md):
+    // a capture is "contended" when ambient load at start exceeded
+    // 1.5× the worker's width, or when >20% of measured rows kept an
+    // anomalous kernel share / ambient load on their BEST attempt —
+    // a total from such a run must never be read as a regression
+    // without opening per-row telemetry.
+    val contendedRows = results.count { case (_, a, _) =>
+      a.wall >= 0 && contendedAttempt(a) }
+    val measured = results.count(_._2.wall >= 0)
+    val loadEnd = loadavg()
+    val captureVerdict =
+      if (loadStart > 1.5 * nCpus ||
+          (measured > 0 && contendedRows > 0.2 * measured)) "contended"
+      else "clean"
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""telemetry":$tel,"loadavg_start":$loadStart%.2f,""" +
-        f""""loadavg_end":${loadavg()}%.2f,"cpus":$nCpus,"sf":"$sfDir"}"""
+        f""""loadavg_end":$loadEnd%.2f,"cpus":$nCpus,""" +
+        f""""contended_rows":$contendedRows,"capture":"$captureVerdict",""" +
+        f""""sf":"$sfDir"}"""
     println(json)
     // the driver scrapes the sbt log for this line and log interleaving has
     // made that flaky ("parsed": null in BENCH_r08.json) — ALSO write the
