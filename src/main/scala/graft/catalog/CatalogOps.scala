@@ -4918,17 +4918,22 @@ object CatalogOps {
     * micro-nat rounding BEFORE the per-doc sum — the same determinism
     * contract as the add-k row.
     */
-  private def sbOracleCtes(n: Int): String = {
+  private def sbOracleCtes(n: Int, scoreTok: String = "t"): String = {
     val gramTables = (1 to n).map { k =>
       s"""g$k AS (SELECT gram, count(*)::DOUBLE AS c FROM
         (SELECT array_to_string(t[i:i+${k - 1}], ' ') AS gram FROM
           (SELECT t, unnest(generate_series(1, len(t) - ${k - 1})) AS i
            FROM tr WHERE len(t) >= $k)) GROUP BY 1)"""
     }.mkString(",\n      ")
+    // suffixes truncate at the gram's own order ll = len(garr) (< n for
+    // a short doc's single whole-doc gram): order k > ll has no suffix
+    // → NULL key → the LEFT JOIN misses → the CASE chain falls through
     val sufCols = (1 to n).map { k =>
-      val s = s"array_to_string(garr[${n - k + 1}:$n], ' ') AS s$k"
+      val s = s"CASE WHEN len(garr) >= $k THEN array_to_string(" +
+        s"garr[len(garr) - ${k - 1}:len(garr)], ' ') END AS s$k"
       if (k >= 2)
-        s + s", array_to_string(garr[${n - k + 1}:${n - 1}], ' ') AS x$k"
+        s + s", CASE WHEN len(garr) >= $k THEN array_to_string(" +
+          s"garr[len(garr) - ${k - 1}:len(garr) - 1], ' ') END AS x$k"
       else s
     }.mkString(", ")
     val joins = (n to 1 by -1).map { k =>
@@ -4936,8 +4941,10 @@ object CatalogOps {
       if (k >= 2) num + s" LEFT JOIN g${k - 1} d$k ON dgx.x$k = d$k.gram"
       else num
     }.mkString(" ")
+    // backoff exponents are relative to the gram's own order ll: only
+    // orders the document actually has count as backoff steps
     val caseChain = (n to 2 by -1).map { k =>
-      s"WHEN n$k.c IS NOT NULL THEN round((${n - k} * ln(0.4) + " +
+      s"WHEN n$k.c IS NOT NULL THEN round(((dgx.ll - $k) * ln(0.4) + " +
         s"ln(n$k.c / d$k.c)) * 1000000.0)"
     }.mkString(" ")
     s"""toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
@@ -4946,13 +4953,17 @@ object CatalogOps {
       nv AS (SELECT count(*)::DOUBLE AS nn,
         count(DISTINCT tok)::DOUBLE AS vv
         FROM (SELECT unnest(t) AS tok FROM tr)),
+      stoks AS (SELECT doc_id, $scoreTok AS t FROM toks),
       dgarr AS (SELECT doc_id, t[i:i+${n - 1}] AS garr FROM
         (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
-         FROM toks WHERE len(t) >= $n)),
-      dgx AS (SELECT doc_id, $sufCols FROM dgarr),
+         FROM stoks WHERE len(t) >= $n)
+        UNION ALL
+        SELECT doc_id, t AS garr FROM stoks
+         WHERE len(t) >= 1 AND len(t) < $n),
+      dgx AS (SELECT doc_id, len(garr) AS ll, $sufCols FROM dgarr),
       sc AS (SELECT dgx.doc_id,
         (CASE $caseChain
-         ELSE round((${n - 1} * ln(0.4) +
+         ELSE round(((dgx.ll - 1) * ln(0.4) +
            ln((COALESCE(n1.c, 0) + 1.0) / (nn + vv))) * 1000000.0)
          END)::BIGINT AS lp6
         FROM dgx $joins CROSS JOIN nv),
@@ -5000,6 +5011,26 @@ object CatalogOps {
           (o.perplexity IS NULL)::INT, o.perplexity, o.doc_id)::INT AS ppl_bucket
       FROM sbout o JOIN documents d USING (doc_id)"""))
 
+  /** Short-document fallback drive for the stupid-backoff LM: every doc
+    * truncated to its first doc_id % 7 tokens (orders 0..6 against
+    * n = 5) so the driver gate exercises the whole ladder — 0 tokens
+    * stays unscorable, 1..4 score at their own longest order (backoff
+    * exponents relative to the doc's order, not n), 5..6 take the
+    * full-order path. Train split unchanged (full documents) — only the
+    * SCORED side shrinks, as with real-world short crawl records.
+    */
+  private val txtLmSbShort = Q("txt_lm_sb_short",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shortDocs = docs.select(col("doc_id"),
+        array_join(slice(graft.ops.Dedup.tokenize(col("text")), lit(1),
+          (col("doc_id") % 7).cast("int")), " ").as("text"))
+      TextAnalysis.ngramLmStupidBackoff(shortDocs, "text", "doc_id",
+        docs.where(col("doc_id") % 3 === 0), "text", n = 5)
+    },
+    Some(s"WITH ${sbOracleCtes(5, "t[1:(doc_id % 7)]")} " +
+      "SELECT * FROM sbout"))
+
   val queries: Seq[Q] = Seq(
     ddExact, ddBloom, ddMinhash, ddSimhash, ddSimhashCorpus, ddJaccard, ddClusterPipeline,
     ddClusterPriority, ddJaccardCapped, ddLshVerified, ddWinnow,
@@ -5007,7 +5038,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtScriptSignals, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets,
+    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets, txtLmSbShort,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

@@ -804,6 +804,16 @@ object TextAnalysis {
     * standard count cutoff; unigrams stay complete so the floor sees
     * every trained word). Output schema matches [[ngramLmPerplexity]]:
     * (idCol, n_grams, logprob_sum_e6, avg_logprob, perplexity).
+    *
+    * Short documents (1 ≤ words < n) score at the LONGEST AVAILABLE
+    * order instead of emitting null perplexity: the whole document is
+    * its one order-m gram, the suffix chain truncates at m, and every
+    * backoff exponent is relative to m (an order that does not exist in
+    * the document is not charged as a backoff step) — so a 1-word doc
+    * scores at the add-1 unigram floor and lands in a perplexity
+    * bucket rather than falling out null-last. Only 0-word (empty or
+    * null text) documents remain unscorable (n_grams = 0, null
+    * perplexity).
     */
   def ngramLmStupidBackoff(docs: DataFrame, textCol: String, idCol: String,
       train: DataFrame, trainTextCol: String, n: Int = 5,
@@ -822,16 +832,28 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("__N"),
         countDistinct(col("__t")).cast("double").as("__V"))
     // full doc n-grams; per gram, the suffix of each order k and its
-    // context (the suffix minus its last word — an INFIX of the gram)
+    // context (the suffix minus its last word — an INFIX of the gram).
+    // A short doc (1 ≤ m < n words) contributes its single order-m
+    // gram — the longest order it HAS — so it scores instead of
+    // emitting null perplexity; __L carries the gram's own order so
+    // suffixes and backoff exponents truncate at m (full docs: __L = n,
+    // byte-identical to the fixed-order path).
+    val toks = Dedup.tokenize(col(textCol))
     var dg = docs
       .select(col(idCol).as("__id"),
-        explode(wordNgrams(col(textCol), n)).as("__g"))
+        explode(when(size(toks) >= n, wordNgrams(col(textCol), n))
+          .when(size(toks) >= 1, array(array_join(toks, " ")))
+          .otherwise(array().cast("array<string>"))).as("__g"))
       .withColumn("__arr", split(col("__g"), " "))
+      .withColumn("__L", size(col("__arr")))
     (1 to n).foreach { k =>
       dg = dg.withColumn(s"__s$k",
-        array_join(slice(col("__arr"), n - k + 1, k), " "))
+        when(col("__L") >= k,
+          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k)), " ")))
       if (k >= 2) dg = dg.withColumn(s"__x$k",
-        array_join(slice(col("__arr"), n - k + 1, k - 1), " "))
+        when(col("__L") >= k,
+          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k - 1)),
+            " ")))
     }
     var joined = dg.drop("__g", "__arr")
     (n to 1 by -1).foreach { k =>
@@ -844,13 +866,15 @@ object TextAnalysis {
     joined = joined.crossJoin(broadcast(totals))
     // longest attested suffix wins; when c_k exists its context count
     // exists too (a prefix occurs at least as often as its extension and
-    // minCount prunes only order ≥ 2 uniformly)
-    val floor = lit(n - 1) * log(lit(alpha)) +
+    // minCount prunes only order ≥ 2 uniformly). Backoff exponents are
+    // relative to the gram's OWN order __L (= n except for short docs):
+    // only orders the document actually has count as backoff steps.
+    val floor = (col("__L") - 1).cast("double") * log(lit(alpha)) +
       log((coalesce(col("__c1"), lit(0L)).cast("double") + 1.0) /
         (col("__N") + col("__V")))
     val lp = (n to 2 by -1).foldRight(floor) { (k, rest) =>
       when(col(s"__c$k").isNotNull,
-        lit(n - k) * log(lit(alpha)) +
+        (col("__L") - k).cast("double") * log(lit(alpha)) +
           log(col(s"__c$k").cast("double") / col(s"__d$k").cast("double")))
         .otherwise(rest)
     }

@@ -89,6 +89,30 @@ class QualityOpsSpec extends AnyFunSuite {
       math.round((2 * math.log(0.4) + math.log(2.0 / 13.0)) * 1e6))
   }
 
+  test("ngramLmStupidBackoff: a document shorter than n scores at its " +
+      "longest available order instead of null perplexity") {
+    // same train corpus: bigram (b c)=3, c1(b)=3, c1(c)=3, N=9, V=4
+    val train = Seq((0L, "a b c"), (3L, "a b c"), (6L, "b c d"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "b c"),  // 2 words < n=3: single bigram, attested → c2/c1,
+                    // NO α charge for the order it doesn't have
+      (2L, "z q"),  // 2 words, nothing attested → ONE backoff step to
+                    // the unigram floor: α · (0+1)/13
+      (3L, "c"),    // 1 word: straight add-1 unigram, zero backoff
+      (4L, "")      // 0 words: still unscorable (n_grams 0, null ppl)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmStupidBackoff(docs, "text", "doc_id",
+      train, "text", n = 3).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L)
+    assert(out(1L).getLong(2) == math.round(math.log(3.0 / 3.0) * 1e6))
+    assert(out(2L).getLong(2) ==
+      math.round((math.log(0.4) + math.log(1.0 / 13.0)) * 1e6))
+    assert(out(3L).getLong(2) == math.round(math.log(4.0 / 13.0) * 1e6))
+    assert(out(3L).getDouble(4) > 0)
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(4))
+  }
+
   test("scriptSignals: per-script codepoint counts, dominant with " +
       "declaration-order tie-break, none/empty handling") {
     val docs = Seq(
