@@ -3074,7 +3074,7 @@ object CatalogOps {
       graft.ops.H264Decode.h264PartitionCensus(clips, "payload")
         .select(d, col("frame_idx"), col("frame_type"), col("n_skip"),
           col("n_16x16"), col("n_16x8"), col("n_8x16"), col("n_8x8"),
-          col("n_intra"), col("census_error"))
+          col("n_sub8x8"), col("n_intra"), col("census_error"))
     },
     Some("""WITH f AS (SELECT doc_id, unnest(generate_series(0, 2)) AS fi
         FROM documents)
@@ -3085,8 +3085,56 @@ object CatalogOps {
         (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_16x8,
         (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_8x16,
         (CASE WHEN fi = 1 THEN 1 ELSE 0 END)::INT AS n_8x8,
+        0::INT AS n_sub8x8,
         (CASE WHEN fi = 0 THEN 4 ELSE 0 END)::INT AS n_intra,
         NULL::VARCHAR AS census_error
+      FROM f"""))
+
+  /** Sub-8×8 partition decode
+    * ([[graft.ops.H264Decode.syntheticSub8x8GopAnnexB]] → decodeGop):
+    * a P frame whose first macroblock splits into 8×4 / 4×8 / 4×4 /
+    * 8×8 sub-partitions (Table 7-18) with block-granular §8.4.1.3
+    * prediction — the final 8×8 moves by (dx, dy) px off a zero median,
+    * every other sub-partition derives zero. Oracle: the moved 8×8
+    * samples the quadrant corner, blending the four constants by
+    * area; frames 1 and 2 equal (all-skip copy).
+    */
+  private val mmH264Sub8x8 = Q("mm_h264_sub8x8",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticSub8x8GopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"), // dx: 1..3 px
+          (d % 2).cast("int")).as("payload")) // dy: 0..1 px
+      graft.ops.H264Decode.decodeGop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS dx,
+        doc_id % 2 AS dy
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
+        (c0 + c1 + c2 + c3) * 256 - 64 * c0 +
+          (8 - dx) * (8 - dy) * c0 + dx * (8 - dy) * c1 +
+          (8 - dx) * dy * c2 + dx * dy * c3 AS n1
+        FROM q),
+      f AS (SELECT doc_id, n0, n1, unnest(generate_series(0, 2)) AS fi
+        FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN n0 ELSE n1 END)::DOUBLE / 1024 AS y_mean,
+        NULL::VARCHAR AS decode_error
       FROM f"""))
 
   /** Open-GOP / recovery-point decode
@@ -5044,7 +5092,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264Sub8x8, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

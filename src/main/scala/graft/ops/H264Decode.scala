@@ -2066,7 +2066,7 @@ object H264Decode {
                     case Left(msg) => refuse("I", msg)
                     case Right(luma) =>
                       val tl = if (wantTally) {
-                        val a = new Array[Int](6)
+                        val a = new Array[Int](7)
                         a(5) = sps.widthMbs * sps.heightMbs
                         a
                       } else null
@@ -2098,7 +2098,7 @@ object H264Decode {
                       "intra picture decoded yet — a nal_ref_idc-0 " +
                       "frame cannot anchor prediction)")
                   else {
-                    val tl = if (wantTally) new Array[Int](6) else null
+                    val tl = if (wantTally) new Array[Int](7) else null
                     val outC = freshColor(sps)
                     val res =
                       try {
@@ -2364,6 +2364,40 @@ object H264Decode {
         out.toArray
       })
 
+  /** Sub-8×8 GOP clip (Annex-B): quadrant IDR, then a P frame whose
+    * MB0 is P_8x8 with sub_mb_types (8×4, 4×8, 4×4, 8×8) — every
+    * sub-partition's mvd zero except the final 8×8, which moves by
+    * (dx, dy) integer pixels (its §8.4.1.3 median prediction is zero:
+    * all decoded neighbours are zero-motion) — MB1..3 are zero-MV
+    * 16×16, then an all-P_Skip frame reproducing frame 1. Closed-form
+    * frame-1 mean: the moved 8×8 (pixels 8..15 square) samples the
+    * quadrant corner at (8+dx, 8+dy), blending the four constants by
+    * (8−dx)(8−dy)/dx(8−dy)/(8−dx)dy/dx·dy for 0 ≤ dx, dy ≤ 8.
+    */
+  val syntheticSub8x8GopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, dx: Int, dy: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2))
+        val z = (0, 0)
+        nal(2, 1, H264Inter.pSliceRbsp(4, 1, Seq(
+          H264Inter.PMb.Sub8x8(Seq(1, 2, 3, 0),
+            Seq(z, z, z, z, z, z, z, z, (4 * dx, 4 * dy))),
+          H264Inter.PMb.Mv(0, 0),
+          H264Inter.PMb.Mv(0, 0),
+          H264Inter.PMb.Mv(0, 0))))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 2,
+          Seq.fill(4)(H264Inter.PMb.Skip)))
+        out.toArray
+      })
+
   private val censusCols = Seq(
     StructField("frame_idx", IntegerType),
     StructField("frame_type", StringType),
@@ -2372,6 +2406,7 @@ object H264Decode {
     StructField("n_16x8", IntegerType),
     StructField("n_8x16", IntegerType),
     StructField("n_8x8", IntegerType),
+    StructField("n_sub8x8", IntegerType),
     StructField("n_intra", IntegerType),
     StructField("census_error", StringType))
 
@@ -2382,8 +2417,10 @@ object H264Decode {
     * recovery/degradation contract as [[decodeGop]] (the P census
     * requires the entropy decode, which requires the motion-compensated
     * reference chain), but rows carry partition counts instead of
-    * planes: (n_skip, n_16x16, n_16x8, n_8x16, n_8x8, n_intra). An
-    * I frame counts its macroblocks as n_intra.
+    * planes: (n_skip, n_16x16, n_16x8, n_8x16, n_8x8, n_sub8x8,
+    * n_intra) — n_sub8x8 counts the 8×8 MBs that split further (any
+    * sub_mb_type != 0; such an MB counts in BOTH n_8x8 and n_sub8x8).
+    * An I frame counts its macroblocks as n_intra.
     */
   def h264PartitionCensus(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes,
@@ -2397,10 +2434,10 @@ object H264Decode {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
-          Seq(fi, ft, null, null, null, null, null, null, msg))
+          Seq(fi, ft, null, null, null, null, null, null, null, msg))
         def countRow(fi: Int, ft: String, t: Array[Int]) =
           Row.fromSeq(r.toSeq ++ Seq(fi, ft, t(0), t(1), t(2), t(3), t(4),
-            t(5), null))
+            t(6), t(5), null))
         if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
         else try {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]

@@ -366,6 +366,11 @@ object H264Inter {
     /** P_8x8, all four sub_mb_type P_L0_8x8: one MVD per 8×8, raster
       * order, no residual. */
     final case class Mv8x8(mvds: Seq[(Int, Int)]) extends PMb
+    /** P_8x8 with per-8×8 sub_mb_type (Table 7-18: 0..3) and one MVD
+      * per SUB-partition in §7.3.5.2 order (mbPartIdx-major, raster
+      * within each 8×8), no residual. */
+    final case class Sub8x8(subTypes: Seq[Int],
+      mvds: Seq[(Int, Int)]) extends PMb
     /** I_16x16 intra-refresh block: DC-only luma coefficient `v` at the
       * slice QP, prediction mode `predMode`, cbp 0. `nC` must equal the
       * decoder's §9.2.1 context at the block's position (0 when the
@@ -424,6 +429,13 @@ object H264Inter {
         while (b < 4) { w.ue(0); b += 1 } // sub_mb_type: P_L0_8x8 ×4
         refBits(4)
         mvds.foreach { case (x, y) => w.se(x); w.se(y) }
+        w.ue(0) // cbp 0
+      case PMb.Sub8x8(subTypes, mvds) =>
+        w.ue(run); run = 0
+        w.ue(3) // mb_type: P_8x8
+        subTypes.foreach(w.ue) // Table 7-18 per-8×8 split
+        refBits(4) // one ref_idx per 8×8 partition
+        mvds.foreach { case (x, y) => w.se(x); w.se(y) } // §7.3.5.2 order
         w.ue(0) // cbp 0
       case PMb.I16Dc(v, predMode, nC) =>
         w.ue(run); run = 0
@@ -638,16 +650,24 @@ object H264Inter {
                 // inter partitions (Table 7-13): P_L0_16x16 (0),
                 // P_L0_L0_16x8 (1), P_L0_L0_8x16 (2), P_8x8 (3),
                 // P_8x8ref0 (4). §7.3.5.1/§7.3.5.2 ordering: sub_mb_type
-                // ×4 (P_8x8 family), then ALL ref_idx_l0, then ALL mvds.
+                // ×4 (P_8x8 family), then ALL ref_idx_l0 (one per 8×8
+                // partition), then ALL mvds (one per SUB-partition,
+                // mbPartIdx-major).
+                val subTypes = new Array[Int](4)
+                var anySplit = false
                 if (mbType >= 3) {
                   var b = 0
                   while (b < 4 && bad == null) {
                     val st = rd.ue()
-                    if (st != 0)
-                      // Table 7-18: 1..3 split an 8×8 into 8×4/4×8/4×4
-                      bad = s"sub_mb_type $st not supported " +
-                        "(P_L0_8x8 sub-partitions decode; smaller splits " +
-                        "do not)"
+                    // Table 7-18: 0 = P_L0_8x8, 1 = P_L0_8x4,
+                    // 2 = P_L0_4x8, 3 = P_L0_4x4
+                    if (st > 3)
+                      bad = s"malformed sub_mb_type $st " +
+                        "(Table 7-18 defines 0..3)"
+                    else {
+                      subTypes(b) = st
+                      if (st != 0) anySplit = true
+                    }
                     b += 1
                   }
                 }
@@ -660,19 +680,52 @@ object H264Inter {
                       Array(2, 2), Array(Part16x8Top, Part16x8Bottom))
                     case 2 => (Array(0, 2), Array(0, 0), Array(2, 2),
                       Array(4, 4), Array(Part8x16Left, Part8x16Right))
-                    case _ => (Array(0, 2, 0, 2), Array(0, 0, 2, 2),
-                      Array(2, 2, 2, 2), Array(2, 2, 2, 2),
-                      Array(PartGeneral, PartGeneral, PartGeneral,
-                        PartGeneral))
+                    case _ =>
+                      // P_8x8 family: Table 7-18 sub-partition geometry
+                      // per 8×8, emitted in §7.3.5.2 decode order
+                      // (mbPartIdx-major, raster within each 8×8) —
+                      // the order BOTH the mvd syntax and the §8.4.1.3
+                      // neighbour availability depend on
+                      val xs = new scala.collection.mutable.ArrayBuffer[Int](16)
+                      val ys = new scala.collection.mutable.ArrayBuffer[Int](16)
+                      val ws = new scala.collection.mutable.ArrayBuffer[Int](16)
+                      val hs = new scala.collection.mutable.ArrayBuffer[Int](16)
+                      var b = 0
+                      while (b < 4) {
+                        val ox = (b & 1) * 2
+                        val oy = (b >> 1) * 2
+                        subTypes(b) match {
+                          case 0 => // one 8×8
+                            xs += ox; ys += oy; ws += 2; hs += 2
+                          case 1 => // two 8×4 (top, bottom)
+                            xs += ox; ys += oy; ws += 2; hs += 1
+                            xs += ox; ys += oy + 1; ws += 2; hs += 1
+                          case 2 => // two 4×8 (left, right)
+                            xs += ox; ys += oy; ws += 1; hs += 2
+                            xs += ox + 1; ys += oy; ws += 1; hs += 2
+                          case _ => // four 4×4, raster
+                            var s = 0
+                            while (s < 4) {
+                              xs += ox + (s & 1); ys += oy + (s >> 1)
+                              ws += 1; hs += 1
+                              s += 1
+                            }
+                        }
+                        b += 1
+                      }
+                      (xs.toArray, ys.toArray, ws.toArray, hs.toArray,
+                        Array.fill(xs.length)(PartGeneral))
                   }
                   val nPart = pxs.length
-                  // ref_idx_l0 te(v) per partition — absent when one
-                  // reference is active or mb_type is P_8x8ref0 (ref 0
-                  // implicit). A parsed index > 0 names the refusal:
-                  // only the previous frame is retained.
+                  // ref_idx_l0 te(v) per 8×8 PARTITION (mbPartIdx — a
+                  // sub-split shares its 8×8's reference) — absent when
+                  // one reference is active or mb_type is P_8x8ref0
+                  // (ref 0 implicit). A parsed index > 0 names the
+                  // refusal: only the previous frame is retained.
                   if (numRefL0 > 1 && mbType != 4) {
+                    val nRef = if (mbType >= 3) 4 else nPart
                     var p = 0
-                    while (p < nPart && bad == null) {
+                    while (p < nRef && bad == null) {
                       val ri = if (numRefL0 == 2) 1 - rd.u1() else rd.ue()
                       if (ri >= numRefL0)
                         bad = s"ref_idx_l0 $ri out of range " +
@@ -711,8 +764,12 @@ object H264Inter {
                         "no residual decodes)"
                     else {
                       setMbNc(mbx, mby, 0)
-                      if (tally != null) tally(1 + (if (mbType >= 3) 3
-                        else mbType)) += 1
+                      if (tally != null) {
+                        tally(1 + (if (mbType >= 3) 3 else mbType)) += 1
+                        // census slot 6: 8×8 MBs that split further
+                        // (any sub_mb_type != 0)
+                        if (anySplit && tally.length > 6) tally(6) += 1
+                      }
                       mb += 1
                     }
                   }

@@ -174,7 +174,8 @@ class H264InterSpec extends AnyFunSuite {
       w.u(0, 1); w.u(0, 1); w.u(0, 1) // overrides/modification/marking
       w.se(0); w.ue(1) // qp_delta, deblock off
       w.ue(0) // mb_skip_run 0
-      w.ue(3); w.ue(1) // mb_type P_8x8, sub_mb_type 1 (8x4) — unsupported
+      w.ue(3); w.ue(4) // mb_type P_8x8, sub_mb_type 4 — malformed
+      // (Table 7-18 tops out at 3; splits themselves decode since r18)
       w.rbspTrailing()
       w.bytes
     }
@@ -284,11 +285,12 @@ class H264InterSpec extends AnyFunSuite {
       (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
       (3, 8, H264Decode.cavlcPpsRbsp),
       (3, 5, H264Decode.i16SliceRbsp(7, true, 3)), // frame 0: IDR
-      (2, 1, { // frame 1: P with an unsupported sub-8×8 split
+      (2, 1, { // frame 1: P with a MALFORMED sub_mb_type (Table 7-18
+        // tops out at 3 — split decode itself is supported since r18)
         val w = new VideoBitstream.BitWriter
         w.ue(0); w.ue(0); w.ue(0); w.u(1, 4)
         w.u(0, 1); w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
-        w.ue(0); w.ue(3); w.ue(2) // skip_run 0, P_8x8, sub_mb_type 2 (4x8)
+        w.ue(0); w.ue(3); w.ue(4) // skip_run 0, P_8x8, sub_mb_type 4
         w.rbspTrailing(); w.bytes
       }),
       // frame 2: P inside the broken chain — must be SKIPPED (no row)
@@ -434,6 +436,80 @@ class H264InterSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("decode_error")
       .contains("adaptive ref pic marking"), out(0).toString)
     assert(out(0).getAs[String]("frame_type") == "I")
+  }
+
+  // ---- round-18: sub-8×8 partition MC (P_L0_8x4 / 4x8 / 4x4) ----
+
+  test("decodePSlice: sub-8×8 splits decode with §8.4.1.3 block-granular " +
+      "prediction — byte-exact against the closed-form translation of " +
+      "every sub-partition") {
+    val sps = VideoBitstream.parseSps(VideoBitstream.syntheticSpsRbsp(2, 2))
+    val pps = H264Decode.parsePps(H264Decode.cavlcPpsRbsp)
+    val rnd = new scala.util.Random(42)
+    val ref = Array.fill[Byte](32 * 32)(rnd.nextInt(256).toByte)
+    // MB0 = P_8x8 with sub_mb_types (8×4, 4×8, 4×4, 8×8); each mvd is
+    // chosen against the hand-derived §8.4.1.3 prediction so every
+    // region's FINAL MV is a known integer-pel translation:
+    //  mbPart0 8×4 top:    nothing available → pred 0; mvd (8,0) → (2,0)px
+    //  mbPart0 8×4 bottom: B only match (8,0); mvd (-8,0) → 0
+    //  mbPart1 4×8 left:   B/C unavail, A avail → (8,0); mvd (-4,0) → (1,0)px
+    //  mbPart1 4×8 right:  A-only → (4,0); mvd 0 → (1,0)px
+    //  mbPart2 4×4 (0,2):  median 0; mvd (0,8) → (0,2)px; the other
+    //    three median back to 0 (the (0,8) outlier never wins) → mvd 0
+    //  mbPart3 8×8: median((0,0) A, (4,0) B, (0,0) D-sub) = 0;
+    //    mvd (12,4) → (3,1)px
+    // MB1 16×16: A-only → (4,0); mvd (-4,0) → 0. MB2/MB3: median 0.
+    val rbsp = H264Inter.pSliceRbsp(4, 1, Seq(
+      H264Inter.PMb.Sub8x8(Seq(1, 2, 3, 0), Seq(
+        (8, 0), (-8, 0), // 8×4 top / bottom
+        (-4, 0), (0, 0), // 4×8 left / right
+        (0, 8), (0, 0), (0, 0), (0, 0), // 4×4 ×4 raster
+        (12, 4))), // 8×8
+      H264Inter.PMb.Mv(-4, 0),
+      H264Inter.PMb.Mv(0, 0),
+      H264Inter.PMb.Mv(0, 0)))
+    val out = H264Inter.decodePSlice(rbsp, sps, pps, ref)
+      .fold(msg => fail(s"refused: $msg"), identity)
+    val regions = Seq( // (x0, y0, w, h) → final MV (dx, dy) pixels
+      ((0, 0, 8, 4), (2, 0)), ((0, 4, 8, 4), (0, 0)),
+      ((8, 0, 8, 8), (1, 0)),
+      ((0, 8, 4, 4), (0, 2)), ((4, 8, 4, 4), (0, 0)),
+      ((0, 12, 8, 4), (0, 0)),
+      ((8, 8, 8, 8), (3, 1)),
+      ((16, 0, 16, 16), (0, 0)), ((0, 16, 32, 16), (0, 0)))
+    for (((x0, y0, rw, rh), (dx, dy)) <- regions;
+         yy <- 0 until rh; xx <- 0 until rw) {
+      val x = x0 + xx; val y = y0 + yy
+      assert((out(y * 32 + x) & 0xff) ==
+        (ref((y + dy) * 32 + x + dx) & 0xff),
+        s"region ($x0,$y0,${rw}x$rh) mv ($dx,$dy) pixel ($x,$y)")
+    }
+  }
+
+  test("h264PartitionCensus: n_sub8x8 counts the MBs that split below " +
+      "8×8, alongside their n_8x8 count") {
+    val payload = annexB(
+      (3, 7, VideoBitstream.syntheticSpsRbsp(2, 2)),
+      (3, 8, H264Decode.cavlcPpsRbsp),
+      (3, 5, H264Decode.i16SliceRbsp(7, true, 3)),
+      (2, 1, H264Inter.pSliceRbsp(4, 1, Seq(
+        H264Inter.PMb.Sub8x8(Seq(1, 2, 3, 0),
+          Seq((0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0),
+            (0, 0), (0, 0))),
+        H264Inter.PMb.Mv8x8(Seq((0, 0), (0, 0), (0, 0), (0, 0))),
+        H264Inter.PMb.Mv(0, 0),
+        H264Inter.PMb.Skip))))
+    val out = H264Decode.h264PartitionCensus(
+      Seq((0L, payload)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").collect()
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out(1).getAs[String]("census_error") == null, out(1).toString)
+    assert(out(1).getAs[Int]("n_8x8") == 2) // both P_8x8 MBs
+    assert(out(1).getAs[Int]("n_sub8x8") == 1) // only the split one
+    assert(out(1).getAs[Int]("n_16x16") == 1)
+    assert(out(1).getAs[Int]("n_skip") == 1)
+    assert(out(0).getAs[Int]("n_sub8x8") == 0)
+    assert(out(0).getAs[Int]("n_intra") == 4)
   }
 
   // ---- round-18: §7.4.3 reference-picture discipline (nal_ref_idc 0) ----
