@@ -3137,6 +3137,54 @@ object CatalogOps {
         NULL::VARCHAR AS decode_error
       FROM f"""))
 
+  /** B-frame decode
+    * ([[graft.ops.H264Decode.syntheticBGopAnnexB]] → decodeGop): an
+    * I-B-P GOP in decode order I(poc 0), P(poc 4, uniform (2a, 2b) px),
+    * disposable temporal-direct B(poc 2) — the POC midpoint halves the
+    * colocated motion, so the B frame is the IDR translated by (a, b)
+    * px and all three means are closed-form translations.
+    */
+  private val mmH264BDirect = Q("mm_h264_b_direct",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticBGopAnnexB(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"), // a: B shift 1..3 px
+          (d % 2).cast("int")).as("payload")) // b: 0..1 px
+      graft.ops.H264Decode.decodeGop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS a,
+        doc_id % 2 AS b
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
+        ((16 - 2*a) * (16 - 2*b) * c0 + (16 + 2*a) * (16 - 2*b) * c1 +
+         (16 - 2*a) * (16 + 2*b) * c2 + (16 + 2*a) * (16 + 2*b) * c3) AS n1,
+        ((16 - a) * (16 - b) * c0 + (16 + a) * (16 - b) * c1 +
+         (16 - a) * (16 + b) * c2 + (16 + a) * (16 + b) * c3) AS n2
+        FROM q),
+      f AS (SELECT doc_id, n0, n1, n2, unnest(generate_series(0, 2)) AS fi
+        FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' WHEN fi = 1 THEN 'P' ELSE 'B'
+          END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN n0 WHEN fi = 1 THEN n1 ELSE n2
+          END)::DOUBLE / 1024 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
   /** Open-GOP / recovery-point decode
     * ([[graft.ops.H264Decode.syntheticOpenGopAnnexB]] → decodeGop): a
     * stream whose IDR was truncated away upstream — the first coded
@@ -5092,7 +5140,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264Sub8x8, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264Sub8x8, mmH264BDirect, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -46,6 +46,10 @@ object H264Decode {
       // P-slice fields (§7.3.2.2): the default L0 reference count and
       // the weighted-prediction flag gate the inter decode's refusals
       numRefIdxL0Default: Int = 1, weightedPred: Boolean = false,
+      // B-slice fields: list-1 default count and weighted_bipred_idc
+      // (0 = default §8.4.2.3.1 average; 1/2 = explicit/implicit WP,
+      // refused by name in the B decode)
+      numRefIdxL1Default: Int = 1, weightedBipred: Int = 0,
       constrainedIntraPred: Boolean = false,
       chromaQpOffset: Int = 0,
       scalingMatrix: Boolean = false,
@@ -71,9 +75,10 @@ object H264Decode {
       PpsInfo(cabac, sliceGroups, deblockControlPresent = false,
         redundantPicCntPresent = false, bottomFieldPocPresent = bottomPoc)
     else {
-      val numRefL0 = r.ue() + 1; r.ue() // num_ref_idx_l0/l1_default_active_minus1
+      val numRefL0 = r.ue() + 1
+      val numRefL1 = r.ue() + 1 // num_ref_idx_l1_default_active_minus1
       val wPred = r.u1() == 1 // weighted_pred_flag
-      r.u(2) // weighted_bipred_idc
+      val wBipred = r.u(2) // weighted_bipred_idc
       val initQp = 26 + r.se() // pic_init_qp_minus26: the QPY base
       r.se() // pic_init_qs_minus26
       val cqpo = r.se() // chroma_qp_index_offset (chroma reconstruction)
@@ -114,6 +119,7 @@ object H264Decode {
       }
       PpsInfo(cabac, sliceGroups, deblock, redundant, bottomPoc, initQp,
         transform8x8 = t8, numRefIdxL0Default = numRefL0,
+        numRefIdxL1Default = numRefL1, weightedBipred = wBipred,
         weightedPred = wPred, constrainedIntraPred = constrained,
         chromaQpOffset = cqpo,
         scalingMatrix = scaling,
@@ -1946,18 +1952,24 @@ object H264Decode {
     StructField("frame_idx", IntegerType) +:
       StructField("frame_type", StringType) +: cols
 
-  /** Peek (first_mb_in_slice, slice_type, frame_num) from a slice RBSP
-    * without decoding — the routing/continuity prefix of §7.3.3. None
-    * when the header is too short to carry the three fields.
+  /** Peek (first_mb_in_slice, slice_type, frame_num, pic_order_cnt_lsb)
+    * from a slice RBSP without decoding — the routing/continuity prefix
+    * of §7.3.3 (poc is 0 when the SPS carries no pocType-0 layout; idr
+    * slices put idr_pic_id before it). None when the header is too
+    * short to carry the fields.
     */
   private def peekSliceHeader(rbsp: Array[Byte],
-      sps: VideoBitstream.SpsInfo): Option[(Int, Int, Int)] =
+      sps: VideoBitstream.SpsInfo,
+      idr: Boolean = false): Option[(Int, Int, Int, Int)] =
     try {
       val rd = new VideoBitstream.BitReader(rbsp)
       val firstMb = rd.ue()
       val st = rd.ue()
       rd.ue() // pic_parameter_set_id
-      Some((firstMb, st, rd.u(sps.log2MaxFrameNum)))
+      val fn = rd.u(sps.log2MaxFrameNum)
+      if (idr) rd.ue() // idr_pic_id
+      val poc = if (sps.pocType == 0) rd.u(sps.log2MaxPocLsb) else 0
+      Some((firstMb, st, fn, poc))
     } catch { case _: Exception => None }
 
   /** §7.4.3 slice_type 0..9 → frame-type label (null when out of range —
@@ -1994,6 +2006,14 @@ object H264Decode {
     var emitted = false
     var ref: Array[Byte] = null
     var refC: Array[Array[Byte]] = null // chroma reference (color mode)
+    var refGrid: H264Inter.MvGrid = null // its motion field (I → null)
+    var refPoc = 0
+    // one reference further back — the PAST side of a B frame's
+    // bracket (ref, the most recent reference, is the FUTURE side:
+    // B frames follow both their anchors in decode order)
+    var ref2: Array[Byte] = null
+    var ref2C: Array[Array[Byte]] = null
+    var ref2Poc = 0
     var prevRef = -1 // frame_num of the last decoded reference
     var frameIdx = 0
     var seeking = false // refusal happened: skip to next intra
@@ -2004,6 +2024,15 @@ object H264Decode {
       seeking = true
       ref = null
       refC = null
+      refGrid = null
+      ref2 = null
+      ref2C = null
+    }
+    // a DISPOSABLE frame's refusal affects only itself: nothing ever
+    // predicts from it, so the walk neither seeks nor drops its anchors
+    def refuseSoft(ft: String, msg: String): Unit = {
+      err(frameIdx, ft, msg)
+      emitted = true
     }
     // Y + Cb + Cr cost 1.5× the luma plane, and the SPS dims are
     // UNTRUSTED crawl bytes: the cap must be checked BEFORE the chroma
@@ -2038,10 +2067,10 @@ object H264Decode {
             // (BitReader overruns throw) becomes that frame's error
             // row — frames already decoded must survive, same contract
             // as the MP4 keyframe route
-            peekSliceHeader(rbsp, sps) match {
+            peekSliceHeader(rbsp, sps, idr = t == 5) match {
               case None =>
                 if (!seeking) refuse(null, "truncated slice header")
-              case Some((_, st, frameNum)) =>
+              case Some((_, st, frameNum, pocLsb)) =>
                 val ft = sliceTypeName(st)
                 val isIntra = ft == "I"
                 if (seeking && !isIntra) {
@@ -2079,8 +2108,15 @@ object H264Decode {
                       // last reference frame — it cannot re-anchor a
                       // broken chain either.
                       if (refIdc != 0) {
+                        // an IDR RESETS the reference buffer (§8.2.5.1)
+                        // — nothing after it may predict across it
+                        ref2 = if (t == 5) null else ref
+                        ref2C = if (t == 5) null else refC
+                        ref2Poc = refPoc
                         ref = luma
                         refC = outC
+                        refGrid = null // intra picture: colocated intra
+                        refPoc = pocLsb
                         prevRef = frameNum
                         seeking = false
                       }
@@ -2100,12 +2136,14 @@ object H264Decode {
                   else {
                     val tl = if (wantTally) new Array[Int](7) else null
                     val outC = freshColor(sps)
+                    val gsink = new Array[H264Inter.MvGrid](1)
                     val res =
                       try {
                         if (colorMode && outC == null)
                           Left("plane budget exceeded (YUV > cap)")
                         else H264Inter.decodePSlice(rbsp, sps, pps, ref,
-                          refIdc, tl, refColor = refC, outColor = outC)
+                          refIdc, tl, refColor = refC, outColor = outC,
+                          gridSink = gsink)
                       } catch { case e: Exception => Left(
                         s"decode failed: ${e.getClass.getSimpleName}") }
                     res match {
@@ -2120,14 +2158,66 @@ object H264Decode {
                         // frame, so ref/refC must be retained, not
                         // overwritten with the disposable frame.
                         if (refIdc != 0) {
+                          ref2 = ref
+                          ref2C = refC
+                          ref2Poc = refPoc
                           ref = luma
                           refC = outC
+                          refGrid = gsink(0)
+                          refPoc = pocLsb
                           prevRef = frameNum
                         }
                     }
                   }
+                } else if (ft == "B") {
+                  // B frames predict from BOTH retained references: the
+                  // older (ref2) is the past anchor, the newer (ref) the
+                  // future one — both precede the B in decode order.
+                  // A DISPOSABLE B's refusal is its own (refuseSoft):
+                  // nothing ever predicts from it.
+                  val maxFrameNum = 1 << sps.log2MaxFrameNum
+                  if (refIdc != 0)
+                    refuse("B", "reference B frame not supported " +
+                      "(B-pyramid prediction chains need more than two " +
+                      "retained references)")
+                  else if (prevRef >= 0 &&
+                      frameNum != (prevRef + 1) % maxFrameNum)
+                    refuseSoft("B", s"frame_num gap (got $frameNum after " +
+                      s"$prevRef — reference frame lost in flight)")
+                  else if (sps.pocType != 0)
+                    refuseSoft("B", "B decode requires pic_order_cnt_type " +
+                      s"0 (type ${sps.pocType} carries no display order " +
+                      "to bracket references)")
+                  else if (ref == null || ref2 == null)
+                    refuseSoft("B", "B frame without two decoded " +
+                      "reference frames (needs a past and a future anchor)")
+                  else if (!(ref2Poc < pocLsb && pocLsb < refPoc))
+                    refuseSoft("B", s"B frame poc $pocLsb outside its " +
+                      s"reference bracket ($ref2Poc, $refPoc) — lead-in " +
+                      "or wrapped-POC B frames are not bracketed")
+                  else {
+                    val tl = if (wantTally) new Array[Int](7) else null
+                    val outC = freshColor(sps)
+                    val res =
+                      try {
+                        if (colorMode && outC == null)
+                          Left("plane budget exceeded (YUV > cap)")
+                        else H264Inter.decodeBSlice(rbsp, sps, pps,
+                          ref2, ref, pocLsb, ref2Poc, refPoc, refGrid,
+                          refIdc, tl, refColorL0 = ref2C,
+                          refColorL1 = refC, outColor = outC)
+                      } catch { case e: Exception => Left(
+                        s"decode failed: ${e.getClass.getSimpleName}") }
+                    res match {
+                      case Left(msg) => refuseSoft("B", msg)
+                      case Right(luma) =>
+                        frame(frameIdx, "B", luma, sps, tl, outC)
+                        emitted = true
+                      // disposable: no reference state changes
+                    }
+                  }
                 } else
-                  refuse(ft, s"$ft slice not supported (I/P decode)")
+                  refuse(ft, s"$ft slice not supported (I/P/B decode)")
             }
             frameIdx += 1
           }
@@ -2395,6 +2485,37 @@ object H264Decode {
           H264Inter.PMb.Mv(0, 0))))
         nal(2, 1, H264Inter.pSliceRbsp(4, 2,
           Seq.fill(4)(H264Inter.PMb.Skip)))
+        out.toArray
+      })
+
+  /** I-B-P GOP clip (Annex-B, pocType-0 SPS): quadrant IDR (poc 0), a
+    * reference P at poc 4 uniformly translated by (2a, 2b) px, then a
+    * DISPOSABLE temporal-direct B at poc 2 (one B_Direct_16x16 + three
+    * B_Skip — both derive the same §8.4.1.2.3 prediction). The POC
+    * midpoint halves the colocated motion (DistScaleFactor 128), so
+    * the B frame is the IDR translated by (a, b) px — predL0 off the
+    * IDR and predL1 off the P land on the SAME sample everywhere
+    * (constant-quadrant arithmetic absorbs the edge clamps for
+    * a, b ≤ 4), making all three frame means closed-form.
+    */
+  val syntheticBGopAnnexB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, a: Int, b: Int) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte]): Unit = {
+          out += 0; out += 0; out += 0; out += 1
+          out += ((refIdc << 5) | tpe).toByte
+          out ++= VideoBitstream.escapeRbsp(rbsp)
+        }
+        nal(3, 7, VideoBitstream.syntheticSpsRbsp(2, 2, pocType = 0))
+        nal(3, 8, cavlcPpsRbsp)
+        nal(3, 5, i16SliceRbsp(v0, s1Neg, v2, pocLsb = 0))
+        nal(2, 1, H264Inter.pSliceRbsp(4, 1,
+          H264Inter.PMb.Mv(8 * a, 8 * b) +:
+            Seq.fill(3)(H264Inter.PMb.Mv(0, 0)), pocLsb = 4))
+        nal(0, 1, H264Inter.bSliceRbsp(4, 2, poc = 2,
+          spatialDirect = false,
+          H264Inter.BMb.Direct +: Seq.fill(3)(H264Inter.BMb.Skip)))
         out.toArray
       })
 
@@ -2911,11 +3032,11 @@ object H264Decode {
     */
   private[ops] def i16SliceRbsp(v0: Int, s1Neg: Boolean, v2: Int,
       idr: Boolean = true, frameNum: Int = 0,
-      nalRefIdc: Int = 3): Array[Byte] = {
+      nalRefIdc: Int = 3, pocLsb: Int = -1): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     // QPY 28; disable_deblocking_filter_idc = 1 (filter off, REQUIRED)
     writeIdrSliceHeader(w, deblockIdc = Some(1), idr = idr,
-      frameNum = frameNum, nalRefIdc = nalRefIdc)
+      frameNum = frameNum, nalRefIdc = nalRefIdc, pocLsb = pocLsb)
     // MB0: mb_type 11 = Intra_16x16 (DC pred, cbp_chroma 2, cbp_luma 0)
     w.ue(11); w.ue(0); w.se(0) // intra_chroma_pred_mode DC, mb_qp_delta 0
     Cavlc.encodeResidualBlock(w, dcOnly(16, v0), 0, 16)
@@ -3278,14 +3399,15 @@ object H264Decode {
     */
   private def writeIdrSliceHeader(w: VideoBitstream.BitWriter,
       deblockIdc: Option[Int], idr: Boolean = true,
-      frameNum: Int = 0, nalRefIdc: Int = 3): Unit = {
+      frameNum: Int = 0, nalRefIdc: Int = 3, pocLsb: Int = -1): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(0) // pic_parameter_set_id
     w.u(frameNum, 4) // frame_num (log2_max_frame_num = 4)
+    if (idr) w.ue(0) // idr_pic_id
+    if (pocLsb >= 0) w.u(pocLsb, 6) // pic_order_cnt_lsb (pocType-0 SPS)
     // dec_ref_pic_marking (§7.3.3) is present only when nal_ref_idc != 0
     if (idr) {
-      w.ue(0) // idr_pic_id
       w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking for IDR
     } else if (nalRefIdc != 0)
       w.u(0, 1) // adaptive_ref_pic_marking_mode_flag: sliding window

@@ -381,12 +381,13 @@ object H264Inter {
 
   private[ops] def pSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
       mbs: Seq[PMb], numRefL0: Int = 1,
-      nalRefIdc: Int = 2): Array[Byte] = {
+      nalRefIdc: Int = 2, pocLsb: Int = -1): Array[Byte] = {
     val w = new VideoBitstream.BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(0) // slice_type: P
     w.ue(0) // pic_parameter_set_id
     w.u(frameNum, log2MaxFrameNum)
+    if (pocLsb >= 0) w.u(pocLsb, 6) // pic_order_cnt_lsb (pocType-0 SPS)
     if (numRefL0 == 1) w.u(0, 1) // num_ref_idx_active_override_flag
     else { w.u(1, 1); w.ue(numRefL0 - 1) }
     w.u(0, 1) // ref_pic_list_modification_flag_l0
@@ -485,7 +486,10 @@ object H264Inter {
       // bilinear MC for inter blocks, §8.3.4/§8.5.11 reconstruction for
       // intra-refresh MBs, I_PCM passthrough
       refColor: Array[Array[Byte]] = null,
-      outColor: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
+      outColor: Array[Array[Byte]] = null,
+      // length-1 holder: receives this frame's motion field (the
+      // colocated picture data a following B slice's direct modes read)
+      gridSink: Array[MvGrid] = null): Either[String, Array[Byte]] = {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
@@ -562,6 +566,7 @@ object H264Inter {
             "(stream does not disable it)")
         val wl = wlE.toOption.get
         val g = new MvGrid(mbw, mbh)
+        if (gridSink != null) gridSink(0) = g
         // §9.2.1 nC grids — in a P slice EVERY decoded MB defines its
         // blocks' TotalCoeffs (0 for skips and residual-free inter MBs);
         // -1 marks outside-picture / not-yet-decoded, as in the I path
@@ -891,5 +896,449 @@ object H264Inter {
         if (bad != null) Left(bad) else Right(luma)
       }
     }
+  }
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** B-slice motion compensation WITHOUT residual — the last slice
+    * class of the restricted inter envelope. Decodes B_Skip,
+    * B_Direct_16x16 (spatial §8.4.1.2.2 AND temporal §8.4.1.2.3 direct,
+    * colocated motion sampled per 8×8 corner under
+    * direct_8x8_inference_flag = 1, per 4×4 under 0) and the explicit
+    * 16×16 types B_L0/B_L1/B_Bi (Table 7-14 codes 1/2/3), with
+    * bi-prediction as the §8.4.2.3.1 DEFAULT average — weighted
+    * prediction (weighted_bipred_idc 1/2) refuses by name, as do
+    * two-partition B types (Table 7-14 pair rows 4..21 are a printed
+    * table kept under the no-unanchored-tables policy), B_8x8, intra
+    * macroblocks in B slices, and any residual (inter cbp codeNum != 0,
+    * the same Table 9-4 anchor refusal as the P path).
+    *
+    * References: `refL0` = the nearest PAST reference picture, `refL1`
+    * = the nearest FUTURE reference (by POC — the caller brackets);
+    * `colGrid` = the motion field of the list-1 picture (null = intra
+    * picture → colocated blocks derive mvCol 0 / refIdxCol intra).
+    * Requires pic_order_cnt_type 0 (display order is data, not decode
+    * order). In-frame prediction keeps one [[MvGrid]] PER LIST: a
+    * neighbour that does not use a list is decoded-but-never-matching
+    * there (ref −1), exactly like intra neighbours in the P path.
+    */
+  private[ops] def decodeBSlice(sliceRbsp: Array[Byte],
+      sps: VideoBitstream.SpsInfo, pps: H264Decode.PpsInfo,
+      refL0: Array[Byte], refL1: Array[Byte],
+      pocCur: Int, pocL0: Int, pocL1: Int,
+      colGrid: MvGrid, nalRefIdc: Int = 0,
+      tally: Array[Int] = null,
+      refColorL0: Array[Array[Byte]] = null,
+      refColorL1: Array[Array[Byte]] = null,
+      outColor: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
+    val mbw = sps.widthMbs
+    val mbh = sps.heightMbs
+    val nMbs = mbw.toLong * mbh
+    if (pps.entropyCabac)
+      Left("CABAC B slice not supported (inter binarizations not carried)")
+    else if (pps.weightedBipred != 0)
+      Left(s"weighted bi-prediction not supported (weighted_bipred_idc " +
+        s"${pps.weightedBipred}; only the default §8.4.2.3.1 average)")
+    else if (pps.numSliceGroups > 1) Left("FMO not supported")
+    else if (sps.frameMbsOnly != 1) Left("interlaced stream not supported")
+    else if (sps.bitDepthLuma != 8 || sps.bitDepthChroma != 8)
+      Left(s"bit depth ${sps.bitDepthLuma}/${sps.bitDepthChroma} " +
+        "not supported (only 8-bit)")
+    else if (sps.pocType != 0)
+      Left(s"B decode requires pic_order_cnt_type 0 (type ${sps.pocType} " +
+        "carries no display order to bracket references)")
+    else if (sps.chromaFormatIdc > 1)
+      Left("chroma format beyond 4:2:0 not supported")
+    else if (outColor != null && sps.chromaFormatIdc != 1)
+      Left("color GOP requires 4:2:0 (monochrome has no chroma)")
+    else if (outColor != null && (refColorL0 == null || refColorL1 == null ||
+        refColorL0(0).length != mbw * 8 * mbh * 8 ||
+        refColorL1(0).length != mbw * 8 * mbh * 8))
+      Left("no decoded reference chroma for color B slice")
+    else if (pps.picInitQp < 0 || pps.picInitQp > 51)
+      Left(s"pic_init_qp ${pps.picInitQp} out of range")
+    else if (refL0 == null || refL1 == null ||
+        refL0.length != mbw * 16 * mbh * 16 ||
+        refL1.length != mbw * 16 * mbh * 16)
+      Left("B slice without two decoded reference frames")
+    else {
+      val w = mbw * 16
+      val h = mbh * 16
+      val luma = new Array[Byte](w * h)
+      val scratch = new Array[Byte](w * h) // list-1 side of bi-prediction
+      val rd = new VideoBitstream.BitReader(sliceRbsp)
+      val firstMb = rd.ue()
+      val sliceType = rd.ue()
+      if (firstMb != 0) Left("multi-slice B frame not supported")
+      else if (sliceType > 9 || sliceType % 5 != 1)
+        Left(s"not a B slice (slice_type $sliceType)")
+      else {
+        rd.ue() // pic_parameter_set_id
+        rd.u(sps.log2MaxFrameNum) // frame_num
+        rd.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb (pocType 0 enforced)
+        if (pps.bottomFieldPocPresent) rd.se()
+        if (pps.redundantPicCntPresent) rd.ue()
+        val spatialDirect = rd.u1() == 1 // direct_spatial_mv_pred_flag
+        var numRefL0 = pps.numRefIdxL0Default
+        var numRefL1 = pps.numRefIdxL1Default
+        if (rd.u1() == 1) {
+          numRefL0 = rd.ue() + 1
+          numRefL1 = rd.ue() + 1
+        }
+        if (numRefL0 < 1 || numRefL0 > 16 || numRefL1 < 1 || numRefL1 > 16)
+          return Left(s"num_ref_idx_active $numRefL0/$numRefL1 out of range")
+        if (rd.u1() == 1) // ref_pic_list_modification_flag_l0
+          return Left("ref_pic_list_modification not supported")
+        if (rd.u1() == 1) // ref_pic_list_modification_flag_l1
+          return Left("ref_pic_list_modification not supported")
+        // dec_ref_pic_marking (§7.3.3), non-IDR: only when ref_idc != 0
+        if (nalRefIdc != 0 && rd.u1() == 1)
+          return Left("adaptive ref pic marking not supported " +
+            "(sliding window only)")
+        rd.se() // slice_qp_delta (no residual path → QP never consulted)
+        var deblockOff = false
+        if (pps.deblockControlPresent) {
+          val idc = rd.ue()
+          deblockOff = idc == 1
+          if (idc != 1) { rd.se(); rd.se() }
+        }
+        if (!deblockOff)
+          return Left("in-loop deblocking not implemented " +
+            "(stream does not disable it)")
+        val gL0 = new MvGrid(mbw, mbh)
+        val gL1 = new MvGrid(mbw, mbh)
+        // §8.4.1.2.3 temporal scaling factors (POCs are data here)
+        val tb = clip3(-128, 127, pocCur - pocL0)
+        val td = clip3(-128, 127, pocL1 - pocL0)
+        val dsf = if (td == 0) 256 else {
+          val tx = (16384 + math.abs(td / 2)) / td
+          clip3(-1024, 1023, (tb * tx + 32) >> 6)
+        }
+        val chromaH = mbh * 8
+        val chromaCtx = new H264Decode.ChromaCtx(outColor, mbw,
+          pps.chromaQpOffset)
+        val cScratch: Array[Array[Byte]] =
+          if (outColor == null) null
+          else Array(new Array[Byte](outColor(0).length),
+            new Array[Byte](outColor(0).length))
+        // MC for one partition (luma 4×4-block coords/sizes) from the
+        // used list(s); bi = §8.4.2.3.1 default average of both
+        def predict(bx: Int, by: Int, w4: Int, h4: Int,
+            use0: Boolean, mv0: (Int, Int),
+            use1: Boolean, mv1: (Int, Int)): Unit = {
+          val px = bx * 4; val py = by * 4
+          val pw = w4 * 4; val ph = h4 * 4
+          if (use0) predictBlock(refL0, luma, w, h, px, py, pw, ph,
+            mv0._1, mv0._2)
+          if (use1) predictBlock(refL1, if (use0) scratch else luma,
+            w, h, px, py, pw, ph, mv1._1, mv1._2)
+          if (use0 && use1) {
+            var yy = 0
+            while (yy < ph) {
+              var xx = 0
+              while (xx < pw) {
+                val o = (py + yy) * w + px + xx
+                luma(o) = (((luma(o) & 0xff) + (scratch(o) & 0xff) + 1)
+                  >> 1).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          if (outColor != null) {
+            var comp = 0
+            while (comp < 2) {
+              if (use0) chromaCtx.predictInter(refColorL0(comp),
+                outColor(comp), chromaH, bx * 2, by * 2, w4 * 2, h4 * 2,
+                mv0._1, mv0._2)
+              if (use1) chromaCtx.predictInter(refColorL1(comp),
+                if (use0) cScratch(comp) else outColor(comp),
+                chromaH, bx * 2, by * 2, w4 * 2, h4 * 2, mv1._1, mv1._2)
+              if (use0 && use1) {
+                val cw = mbw * 8
+                var yy = 0
+                while (yy < h4 * 2) {
+                  var xx = 0
+                  while (xx < w4 * 2) {
+                    val o = (by * 2 + yy) * cw + bx * 2 + xx
+                    outColor(comp)(o) = (((outColor(comp)(o) & 0xff) +
+                      (cScratch(comp)(o) & 0xff) + 1) >> 1).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              comp += 1
+            }
+          }
+          gL0.setBlk(bx, by, w4, h4, mv0._1, mv0._2,
+            if (use0) 0 else -1)
+          gL1.setBlk(bx, by, w4, h4, mv1._1, mv1._2,
+            if (use1) 0 else -1)
+        }
+        // colocated motion at a 4×4 block of the list-1 picture
+        // (§8.4.1.2.1): intra / no grid → refIdxCol −1, mvCol 0
+        def colAt(bx4: Int, by4: Int): (Int, Int, Int) =
+          if (colGrid == null) (-1, 0, 0)
+          else {
+            val r = colGrid.refB(bx4, by4)
+            if (r < 0) (-1, 0, 0)
+            else (r, colGrid.mvx(by4 * colGrid.bw + bx4),
+              colGrid.mvy(by4 * colGrid.bw + bx4))
+          }
+        // §8.4.1.2.2 spatial direct MB-level derivation: list refs are
+        // the min positive over neighbours A/B/C (C→D substitution),
+        // mv predictions the §8.4.1.3 medians; both lists refless →
+        // direct zero prediction (refs 0, zero vectors, no colZero)
+        def spatialMb(mbx: Int, mby: Int): (Boolean, Int, (Int, Int),
+            Int, (Int, Int)) = {
+          val bx = mbx * 4; val by = mby * 4
+          def minPos(g: MvGrid): Int = {
+            val rA = g.refB(bx - 1, by)
+            val rB = g.refB(bx, by - 1)
+            val rC = {
+              val c = g.refB(bx + 4, by - 1)
+              if (c >= -1) c else g.refB(bx - 1, by - 1)
+            }
+            var m = -1
+            if (rA >= 0) m = rA
+            if (rB >= 0 && (m < 0 || rB < m)) m = rB
+            if (rC >= 0 && (m < 0 || rC < m)) m = rC
+            m
+          }
+          val r0 = minPos(gL0)
+          val r1 = minPos(gL1)
+          if (r0 < 0 && r1 < 0) (true, 0, (0, 0), 0, (0, 0))
+          else (false, r0,
+            if (r0 >= 0) mvPredPart(gL0, bx, by, 4, 4, r0, PartGeneral)
+            else (0, 0),
+            r1,
+            if (r1 >= 0) mvPredPart(gL1, bx, by, 4, 4, r1, PartGeneral)
+            else (0, 0))
+        }
+        // direct prediction for one MB (B_Skip and B_Direct_16x16):
+        // per-8×8 colocated corner sampling under inference = 1,
+        // per-4×4 under 0. Returns a refusal or null.
+        def directMb(mbx: Int, mby: Int): String = {
+          val inf8 = sps.direct8x8Inference == 1
+          val step = if (inf8) 2 else 1
+          if (spatialDirect) {
+            val (zero, r0, mvp0, r1, mvp1) = spatialMb(mbx, mby)
+            if (r0 > 0 || r1 > 0)
+              return s"spatial direct ref_idx ${math.max(r0, r1)} beyond " +
+                "the retained reference window"
+            var qy = 0
+            while (qy < 4) {
+              var qx = 0
+              while (qx < 4) {
+                val bx = mbx * 4 + qx
+                val by = mby * 4 + qy
+                // inference = 1 samples the MB's corner 4×4s
+                val (cx, cy) =
+                  if (inf8) (mbx * 4 + (if (qx >= 2) 3 else 0),
+                    mby * 4 + (if (qy >= 2) 3 else 0))
+                  else (bx, by)
+                val (rc, mcx, mcy) = colAt(cx, cy)
+                val colZero = rc == 0 && mcx >= -1 && mcx <= 1 &&
+                  mcy >= -1 && mcy <= 1
+                val (use0, mv0) =
+                  if (zero) (true, (0, 0))
+                  else if (r0 < 0) (false, (0, 0))
+                  else (true, if (colZero) (0, 0) else mvp0)
+                val (use1, mv1) =
+                  if (zero) (true, (0, 0))
+                  else if (r1 < 0) (false, (0, 0))
+                  else (true, if (colZero) (0, 0) else mvp1)
+                predict(bx, by, step, step, use0, mv0, use1, mv1)
+                qx += step
+              }
+              qy += step
+            }
+            null
+          } else {
+            // temporal direct: scale the colocated vector by the POC
+            // distances; intra colocated → zero vector, ref 0
+            var qy = 0
+            while (qy < 4) {
+              var qx = 0
+              while (qx < 4) {
+                val bx = mbx * 4 + qx
+                val by = mby * 4 + qy
+                val (cx, cy) =
+                  if (inf8) (mbx * 4 + (if (qx >= 2) 3 else 0),
+                    mby * 4 + (if (qy >= 2) 3 else 0))
+                  else (bx, by)
+                val (rc, mcx0, mcy0) = colAt(cx, cy)
+                val (mcx, mcy) = if (rc < 0) (0, 0) else (mcx0, mcy0)
+                val l0x = (dsf * mcx + 128) >> 8
+                val l0y = (dsf * mcy + 128) >> 8
+                predict(bx, by, step, step,
+                  use0 = true, (l0x, l0y),
+                  use1 = true, (l0x - mcx, l0y - mcy))
+                qx += step
+              }
+              qy += step
+            }
+            null
+          }
+        }
+        var mb = 0
+        var bad: String = null
+        try {
+          while (mb < nMbs && bad == null) {
+            var skipRun = rd.ue() // mb_skip_run (§7.3.4)
+            while (skipRun > 0 && mb < nMbs && bad == null) {
+              // B_Skip = the direct prediction, no residual (§8.4.1.2)
+              bad = directMb((mb % mbw).toInt, (mb / mbw).toInt)
+              if (bad == null) {
+                if (tally != null) tally(0) += 1
+                mb += 1
+                skipRun -= 1
+              }
+            }
+            if (bad != null) ()
+            else if (skipRun > 0) bad = "mb_skip_run past the last macroblock"
+            else if (mb < nMbs) {
+              val mbx = (mb % mbw).toInt
+              val mby = (mb / mbw).toInt
+              val mbType = rd.ue()
+              // Table 7-14 head: 0 B_Direct_16x16, 1 B_L0_16x16,
+              // 2 B_L1_16x16, 3 B_Bi_16x16
+              if (mbType == 0) {
+                bad = directMb(mbx, mby)
+                if (bad == null) {
+                  val cbpCode = rd.ue()
+                  if (cbpCode != 0)
+                    bad = "inter residual not supported (Table 9-4 inter " +
+                      "cbp column not conformance-anchored; codeNum 0 = " +
+                      "no residual decodes)"
+                  else {
+                    if (tally != null) tally(1) += 1
+                    mb += 1
+                  }
+                }
+              } else if (mbType <= 3) {
+                val use0 = mbType == 1 || mbType == 3
+                val use1 = mbType == 2 || mbType == 3
+                // §7.3.5.1 ordering: ref_idx_l0, ref_idx_l1, mvd_l0,
+                // mvd_l1 — each present only for its used list
+                def refIdx(n: Int): Int =
+                  if (n == 1) 0 else if (n == 2) 1 - rd.u1() else rd.ue()
+                if (use0 && numRefL0 > 1) {
+                  val ri = refIdx(numRefL0)
+                  if (ri != 0)
+                    bad = s"ref_idx_l0 $ri refers beyond the retained " +
+                      "reference window"
+                }
+                if (bad == null && use1 && numRefL1 > 1) {
+                  val ri = refIdx(numRefL1)
+                  if (ri != 0)
+                    bad = s"ref_idx_l1 $ri refers beyond the retained " +
+                      "reference window"
+                }
+                if (bad == null) {
+                  var mv0 = (0, 0)
+                  var mv1 = (0, 0)
+                  if (use0) {
+                    val (px0, py0) =
+                      mvPredPart(gL0, mbx * 4, mby * 4, 4, 4, 0, PartGeneral)
+                    mv0 = (px0 + rd.se(), py0 + rd.se())
+                  }
+                  if (use1) {
+                    val (px1, py1) =
+                      mvPredPart(gL1, mbx * 4, mby * 4, 4, 4, 0, PartGeneral)
+                    mv1 = (px1 + rd.se(), py1 + rd.se())
+                  }
+                  predict(mbx * 4, mby * 4, 4, 4, use0, mv0, use1, mv1)
+                  val cbpCode = rd.ue()
+                  if (cbpCode != 0)
+                    bad = "inter residual not supported (Table 9-4 inter " +
+                      "cbp column not conformance-anchored; codeNum 0 = " +
+                      "no residual decodes)"
+                  else {
+                    if (tally != null) tally(1) += 1
+                    mb += 1
+                  }
+                }
+              } else if (mbType <= 21)
+                bad = s"two-partition B macroblock (mb_type $mbType) not " +
+                  "supported (Table 7-14 pair rows not " +
+                  "conformance-anchored)"
+              else if (mbType == 22)
+                bad = "B_8x8 macroblock not supported"
+              else
+                bad = s"intra macroblock in B slice (mb_type $mbType) " +
+                  "not supported (no B-slice residual path)"
+            }
+          }
+        } catch { case e: Cavlc.Unsupported => bad = e.getMessage }
+        if (bad != null) Left(bad) else Right(luma)
+      }
+    }
+  }
+
+  /** Fixture macroblock spec for [[bSliceRbsp]]. */
+  private[ops] sealed trait BMb
+  private[ops] object BMb {
+    case object Skip extends BMb
+    case object Direct extends BMb
+    /** B_L0_16x16 with this mvd_l0, no residual. */
+    final case class L0(mvdX: Int, mvdY: Int) extends BMb
+    /** B_L1_16x16 with this mvd_l1, no residual. */
+    final case class L1(mvdX: Int, mvdY: Int) extends BMb
+    /** B_Bi_16x16 with these mvd_l0 / mvd_l1, no residual. */
+    final case class Bi(mvd0: (Int, Int), mvd1: (Int, Int)) extends BMb
+  }
+
+  /** Encoder twin for the B-slice walk: one CAVLC B slice over `mbs` in
+    * raster order, pic_order_cnt_lsb `poc` (6 bits — the pocType-0
+    * synthetic SPS), direct mode per `spatialDirect`, deblocking
+    * disabled, single reference per list, no residual.
+    */
+  private[ops] def bSliceRbsp(log2MaxFrameNum: Int, frameNum: Int,
+      poc: Int, spatialDirect: Boolean, mbs: Seq[BMb],
+      nalRefIdc: Int = 0): Array[Byte] = {
+    val w = new VideoBitstream.BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(1) // slice_type: B
+    w.ue(0) // pic_parameter_set_id
+    w.u(frameNum, log2MaxFrameNum)
+    w.u(poc, 6) // pic_order_cnt_lsb
+    w.u(if (spatialDirect) 1 else 0, 1) // direct_spatial_mv_pred_flag
+    w.u(0, 1) // num_ref_idx_active_override_flag
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // ref_pic_list_modification_flag_l1
+    if (nalRefIdc != 0)
+      w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+    w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+    var run = 0
+    mbs.foreach {
+      case BMb.Skip => run += 1
+      case BMb.Direct =>
+        w.ue(run); run = 0
+        w.ue(0) // B_Direct_16x16
+        w.ue(0) // cbp codeNum 0 → no residual
+      case BMb.L0(mx, my) =>
+        w.ue(run); run = 0
+        w.ue(1) // B_L0_16x16
+        w.se(mx); w.se(my)
+        w.ue(0)
+      case BMb.L1(mx, my) =>
+        w.ue(run); run = 0
+        w.ue(2) // B_L1_16x16
+        w.se(mx); w.se(my)
+        w.ue(0)
+      case BMb.Bi(mvd0, mvd1) =>
+        w.ue(run); run = 0
+        w.ue(3) // B_Bi_16x16
+        w.se(mvd0._1); w.se(mvd0._2)
+        w.se(mvd1._1); w.se(mvd1._2)
+        w.ue(0)
+    }
+    if (run > 0) w.ue(run)
+    w.rbspTrailing()
+    w.bytes
   }
 }

@@ -275,8 +275,10 @@ class H264InterSpec extends AnyFunSuite {
     val out = gopRows(payload)
     assert(out.length == 2)
     assert(out(1).getAs[String]("frame_type") == "B", out(1).toString)
-    assert(out(1).getAs[String]("decode_error").contains("B slice"),
-      out(1).toString)
+    // r18: B slices DECODE when bracketed; this one carries ref_idc 2
+    // (a reference B) and refuses by the B-pyramid name
+    assert(out(1).getAs[String]("decode_error")
+      .contains("reference B frame"), out(1).toString)
   }
 
   test("decodeGop: after a refusal the walk skips inter frames and " +
