@@ -151,15 +151,22 @@ object H264Decode {
     * weights ([[Flat4x4]] when no matrices are in effect).
     */
   private[ops] def resolveLumaIntraWeights(sps: VideoBitstream.SpsInfo,
-      pps: PpsInfo): Either[String, Array[Int]] = {
-    def refuse = Left("scaling lists demand the spec Default_4x4_Intra " +
-      "table (Table 7-3) — transmitted lists decode; default tables are " +
-      "not conformance-anchored (table policy)")
+      pps: PpsInfo,
+      pack: Option[ConfPack.Pack] = None): Either[String, Array[Int]] = {
     def raster(zigzag: Array[Int]): Array[Int] = {
       val w = new Array[Int](16)
       var k = 0
       while (k < 16) { w(Zigzag4x4(k)) = zigzag(k); k += 1 }
       w
+    }
+    // a resolution landing on the spec's default table decodes when the
+    // conformance pack carries it, refuses naming the slot otherwise
+    def refuse = pack.flatMap(_.default4x4Intra) match {
+      case Some(d) => Right(raster(d))
+      case None => Left("scaling lists demand the spec " +
+        "Default_4x4_Intra table (Table 7-3) — transmitted lists " +
+        "decode; provide the table via the conformance pack " +
+        s"(${ConfPack.SparkConfKey} slot default4x4Intra) to unlock")
     }
     val fromSps: Either[String, Array[Int]] =
       if (!sps.scalingMatrixPresent) Right(Flat4x4)
@@ -184,7 +191,10 @@ object H264Decode {
     * tables). One instance per slice; scratch reused across MBs.
     */
   private[ops] final class ChromaCtx(val color: Array[Array[Byte]],
-      mbw: Int, chromaQpOffset: Int) {
+      mbw: Int, chromaQpOffset: Int,
+      // Table 8-15's bent column for qPi 30..51 (conformance-pack slot
+      // qpcBent); null = only the identity region (qPi < 30) decodes
+      qpcBent: Array[Int] = null) {
     val cw = mbw * 8
     private val pred8c = new Array[Int](64)
     private val dcs = Array.ofDim[Int](2, 4)
@@ -282,7 +292,10 @@ object H264Decode {
     def stage(rd: VideoBitstream.BitReader, cbpChroma: Int,
         chromaPred: Int, mbx: Int, mby: Int, qPYNow: Int,
         nCFor: (Int, Int, Int) => Int,
-        nCSet: (Int, Int, Int, Int) => Unit): String = {
+        nCSet: (Int, Int, Int, Int) => Unit,
+        // inter residual mode: the prediction is the already-motion-
+        // compensated plane content (no §8.3.4 intra prediction)
+        interBase: Boolean = false): String = {
       // qPc (§8.5.8): qPi = Clip3(0, 51, QPY + offset); the Table 8-15
       // compression only bends the curve from qPi 30 — below, qPc = qPi
       // exactly, which is the decoded envelope (the table's bent region
@@ -290,11 +303,13 @@ object H264Decode {
       var qPc = 0
       if (color != null) {
         val qPi = math.max(0, math.min(51, qPYNow + chromaQpOffset))
-        if (qPi >= 30)
+        if (qPi < 30) qPc = qPi // identity region of Table 8-15
+        else if (qpcBent != null) qPc = qpcBent(qPi - 30)
+        else
           return s"chroma QP mapping for qPi $qPi not carried " +
-            "(Table 8-15's qPc column bends from qPi 30 and is not " +
-            "conformance-anchored; qPi < 30 maps identically and decodes)"
-        qPc = qPi
+            "(Table 8-15's qPc column bends from qPi 30; provide it " +
+            s"via the conformance pack (${ConfPack.SparkConfKey} slot " +
+            "qpcBent) to unlock; qPi < 30 maps identically and decodes)"
       }
       if (cbpChroma >= 1) {
         var comp = 0
@@ -321,10 +336,26 @@ object H264Decode {
       var comp = 0
       while (comp < 2) {
         // prediction BEFORE this component's blocks are written
-        // (reads neighbouring MBs' reconstructed chroma only)
+        // (reads neighbouring MBs' reconstructed chroma only); in
+        // inter-residual mode the MC output already in the plane IS
+        // the prediction
         if (color != null) {
-          val bad = predictChroma8(color(comp), chromaPred, mbx, mby)
-          if (bad != null) return bad
+          if (interBase) {
+            val plane = color(comp)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                pred8c(yy * 8 + xx) =
+                  plane((mby * 8 + yy) * cw + mbx * 8 + xx) & 0xff
+                xx += 1
+              }
+              yy += 1
+            }
+          } else {
+            val bad = predictChroma8(color(comp), chromaPred, mbx, mby)
+            if (bad != null) return bad
+          }
         }
         var cb = 0
         while (cb < 4) {
@@ -414,15 +445,20 @@ object H264Decode {
     * name (table policy). Returns raster-indexed weights.
     */
   private[ops] def resolveLumaIntra8x8Weights(sps: VideoBitstream.SpsInfo,
-      pps: PpsInfo): Either[String, Array[Int]] = {
-    def refuse = Left("scaling lists demand the spec Default_8x8_Intra " +
-      "table — transmitted lists decode; default tables are not " +
-      "conformance-anchored (table policy)")
+      pps: PpsInfo,
+      pack: Option[ConfPack.Pack] = None): Either[String, Array[Int]] = {
     def raster(zigzag: Array[Int]): Array[Int] = {
       val w = new Array[Int](64)
       var k = 0
       while (k < 64) { w(Zigzag8x8(k)) = zigzag(k); k += 1 }
       w
+    }
+    def refuse = pack.flatMap(_.default8x8Intra) match {
+      case Some(d) => Right(raster(d))
+      case None => Left("scaling lists demand the spec " +
+        "Default_8x8_Intra table — transmitted lists decode; provide " +
+        "the table via the conformance pack " +
+        s"(${ConfPack.SparkConfKey} slot default8x8Intra) to unlock")
     }
     val fromSps: Either[String, Array[Int]] =
       if (!sps.scalingMatrixPresent) Right(Flat8x8)
@@ -1166,7 +1202,8 @@ object H264Decode {
       // chroma OUTPUT planes (Array(cb, cr), each (mbw·8)·(mbh·8),
       // caller-allocated): non-null turns the CAVLC path's chroma
       // residual consumption into full §8.3.4 reconstruction
-      color: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
+      color: Array[Array[Byte]] = null,
+      pack: Option[ConfPack.Pack] = None): Either[String, Array[Byte]] = {
     // every refusal below happens BEFORE the plane allocation: the SPS
     // dims and the slice payload are UNTRUSTED crawl bytes, and an OOM
     // from a crafted 46000×46000 claim kills the executor JVM — the one
@@ -1194,15 +1231,17 @@ object H264Decode {
       // (the §9.3.2.6 suffix and chroma categories gate on
       // ChromaArrayType); 4:2:2 changes the chroma block geometry
       Left("CABAC 4:2:2/4:4:4 stream not supported (4:2:0/monochrome only)")
-    else if (resolveLumaIntraWeights(sps, pps).isLeft)
+    else if (resolveLumaIntraWeights(sps, pps, pack).isLeft)
       // scaling lists TRANSMITTED in the stream decode (resolved below);
-      // only a resolution that lands on the spec's default table refuses
-      // — a flat-matrix walk would ship a WRONG plane with null error
-      Left(resolveLumaIntraWeights(sps, pps).swap.toOption.get)
-    else if (pps.transform8x8 && resolveLumaIntra8x8Weights(sps, pps).isLeft)
+      // a resolution landing on the spec's default table decodes when
+      // the conformance pack carries it, refuses naming the slot
+      // otherwise — a flat-matrix walk would ship a WRONG plane
+      Left(resolveLumaIntraWeights(sps, pps, pack).swap.toOption.get)
+    else if (pps.transform8x8 &&
+        resolveLumaIntra8x8Weights(sps, pps, pack).isLeft)
       // the 8×8 twin — consulted only when transform_8x8_mode can put
       // Intra_8x8 macroblocks in the slice
-      Left(resolveLumaIntra8x8Weights(sps, pps).swap.toOption.get)
+      Left(resolveLumaIntra8x8Weights(sps, pps, pack).swap.toOption.get)
     else if (color != null && pps.entropyCabac)
       Left("CABAC chroma reconstruction not wired " +
         "(luma-only CABAC decode available via decodeIdr)")
@@ -1287,7 +1326,7 @@ object H264Decode {
         var qPY = pps.picInitQp + sliceQpDelta
         // luma-intra weight matrix: Flat4x4 unless the stream transmits
         // scaling lists (gate above guarantees resolution succeeds)
-        val wl = resolveLumaIntraWeights(sps, pps).toOption.get
+        val wl = resolveLumaIntraWeights(sps, pps, pack).toOption.get
         if (pps.entropyCabac) {
           // CABAC slice_data: cabac_alignment_one_bit then the §9.3
           // engine over the rest of the RBSP ([[CabacSlice]] walks the
@@ -1340,7 +1379,8 @@ object H264Decode {
         val lvl8 = new Array[Int](64)
         val modes8 = new Array[Int](4)
         val wl8 = if (pps.transform8x8)
-          resolveLumaIntra8x8Weights(sps, pps).toOption.get else Flat8x8
+          resolveLumaIntra8x8Weights(sps, pps, pack).toOption.get
+          else Flat8x8
         // per-4x4-block Intra_4x4 prediction mode grid (§8.3.1.1): -1 =
         // the block's MB is not Intra_4x4-coded (or not yet decoded) —
         // both read as mode 2 (DC) in the neighbour-mode derivation
@@ -1355,7 +1395,8 @@ object H264Decode {
         // chroma stage shared with the P path (ChromaCtx): residual
         // parse (the walk must stay aligned regardless) + optional full
         // §8.3.4 reconstruction into the caller's planes
-        val chromaCtx = new ChromaCtx(color, mbw, pps.chromaQpOffset)
+        val chromaCtx = new ChromaCtx(color, mbw, pps.chromaQpOffset,
+          qpcBent = pack.flatMap(_.qpcBent).orNull)
         def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
             chromaPred: Int = 0, qPYNow: Int = 0): String =
           if (sps.chromaFormatIdc != 1) null
@@ -1768,6 +1809,7 @@ object H264Decode {
     // operational no-rebuild path: spark.graft.cabacTables / env tables
     // file, loaded+validated ONCE driver-side (Cabac.Config.resolve)
     val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     df.mapPartitions { rows =>
       rows.map { r =>
         def errRow(msg: String) = Row.fromSeq(r.toSeq ++
@@ -1817,16 +1859,16 @@ object H264Decode {
                   case "I" | "SI" => "non-IDR I-slice stream (open " +
                     "GOP): decodeIdr requires an IDR slice — decodeGop " +
                     "decodes recovery-point I slices"
-                  case "B" => "B-slice stream: B inter prediction not " +
-                    "implemented (named seam; decodeGop decodes " +
-                    "IDR-led P GOPs)"
+                  case "B" => "B-slice stream without an IDR: no " +
+                    "anchor pair to bracket from (decodeGop decodes " +
+                    "IDR-led GOPs including disposable B frames)"
                   case _ => "P-slice stream without an IDR: no " +
                     "reference frame to start from (decodeGop decodes " +
                     "IDR-led GOPs, restricted P envelope)"
                 }
                 else "no IDR slice in stream")
             else decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
-              cabacCfg) match {
+              cabacCfg, pack = packCfg) match {
               case Left(msg) => errRow(msg)
               case Right(luma) =>
                 lumaRow(r, luma, sps.widthMbs * 16, sps.heightMbs * 16)
@@ -1868,6 +1910,7 @@ object H264Decode {
   def decodeIdrColor(df: DataFrame, payloadCol: String = "payload",
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeIdrColor", colorCols.map(_.name))
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     val schema = StructType(df.schema.fields ++ colorCols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -1920,7 +1963,8 @@ object H264Decode {
                 val color = Array(new Array[Byte](cSize),
                   new Array[Byte](cSize))
                 decodeISlice(idr, sps, pps, maxPlaneBytes, idrRefIdc,
-                  cabac = None, idr = true, color = color) match {
+                  cabac = None, idr = true, color = color,
+                  pack = packCfg) match {
                   case Left(msg) => errRow(msg)
                   case Right(luma) =>
                     // mean |chroma − 128| over both planes — the
@@ -1998,7 +2042,8 @@ object H264Decode {
       frame: (Int, String, Array[Byte], VideoBitstream.SpsInfo,
         Array[Int], Array[Array[Byte]]) => Unit,
       err: (Any, String, String) => Unit,
-      colorMode: Boolean = false): Boolean = {
+      colorMode: Boolean = false,
+      pack: Option[ConfPack.Pack] = None): Boolean = {
     val nals = VideoBitstream.findNals(bytes)
     if (nals == null) { err(null, null, "no Annex-B start code"); return true }
     var sps: VideoBitstream.SpsInfo = null
@@ -2088,7 +2133,8 @@ object H264Decode {
                           s"${sps.widthMbs * 16}x${sps.heightMbs * 16} > " +
                           s"$maxPlaneBytes cap)")
                       else decodeISlice(rbsp, sps, pps, maxPlaneBytes,
-                        refIdc, cabacCfg, idr = t == 5, color = outC)
+                        refIdc, cabacCfg, idr = t == 5, color = outC,
+                        pack = pack)
                     } catch { case e: Exception => Left(
                       s"decode failed: ${e.getClass.getSimpleName}") }
                   res match {
@@ -2143,7 +2189,7 @@ object H264Decode {
                           Left("plane budget exceeded (YUV > cap)")
                         else H264Inter.decodePSlice(rbsp, sps, pps, ref,
                           refIdc, tl, refColor = refC, outColor = outC,
-                          gridSink = gsink)
+                          gridSink = gsink, pack = pack)
                       } catch { case e: Exception => Left(
                         s"decode failed: ${e.getClass.getSimpleName}") }
                     res match {
@@ -2205,7 +2251,8 @@ object H264Decode {
                         else H264Inter.decodeBSlice(rbsp, sps, pps,
                           ref2, ref, pocLsb, ref2Poc, refPoc, refGrid,
                           refIdc, tl, refColorL0 = ref2C,
-                          refColorL1 = refC, outColor = outC)
+                          refColorL1 = refC, outColor = outC,
+                          pack = pack)
                       } catch { case e: Exception => Left(
                         s"decode failed: ${e.getClass.getSimpleName}") }
                     res match {
@@ -2259,6 +2306,7 @@ object H264Decode {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
@@ -2270,7 +2318,8 @@ object H264Decode {
             cabacCfg, wantTally = false,
             (fi, ft, luma, sps, _, _) => out += lumaRow(r, luma,
               sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(fi, ft)),
-            (fi, ft, msg) => out += errRow(fi, ft, msg))
+            (fi, ft, msg) => out += errRow(fi, ft, msg),
+            pack = packCfg)
           if (!any) Seq(errRow(null, null, "no coded slice in stream"))
           else out.toSeq
         } catch { case e: Exception =>
@@ -2297,6 +2346,7 @@ object H264Decode {
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeGopColor",
       gopColorCols.map(_.name))
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     val schema = StructType(df.schema.fields ++ gopColorCols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -2331,7 +2381,7 @@ object H264Decode {
                 luma, color(0), color(1), null))
             },
             (fi, ft, msg) => out += errRow(fi, ft, msg),
-            colorMode = true)
+            colorMode = true, pack = packCfg)
           if (!any) Seq(errRow(null, null, "no coded slice in stream"))
           else out.toSeq
         } catch { case e: Exception =>
@@ -2552,6 +2602,7 @@ object H264Decode {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
@@ -2565,7 +2616,8 @@ object H264Decode {
           val any = walkGop(r.getAs[Array[Byte]](idx), maxPlaneBytes,
             cabacCfg, wantTally = true,
             (fi, ft, _, _, tl, _) => out += countRow(fi, ft, tl),
-            (fi, ft, msg) => out += errRow(fi, ft, msg))
+            (fi, ft, msg) => out += errRow(fi, ft, msg),
+            pack = packCfg)
           if (!any) Seq(errRow(null, null, "no coded slice in stream"))
           else out.toSeq
         } catch { case e: Exception =>
@@ -2624,6 +2676,7 @@ object H264Decode {
     */
   private def mp4KeyframeWalk(bytes: Array[Byte], maxPlaneBytes: Long,
       cabacCfg: Option[Cabac.Config], colorMode: Boolean,
+      pack: Option[ConfPack.Pack],
       ok: (Int, Array[Byte], Array[Array[Byte]],
         VideoBitstream.SpsInfo) => Unit,
       err: (Any, String) => Unit): Unit = {
@@ -2729,7 +2782,8 @@ object H264Decode {
                       if (colorMode && colorP == null)
                         err(k + 1, "plane budget exceeded (YUV > cap)")
                       else decodeISlice(idr, sps, pps, maxPlaneBytes,
-                          idrRefIdc, cabacCfg, color = colorP) match {
+                          idrRefIdc, cabacCfg, color = colorP,
+                          pack = pack) match {
                         case Left(msg) => err(k + 1, msg)
                         case Right(luma) => ok(k + 1, luma, colorP, sps)
                       }
@@ -2754,6 +2808,7 @@ object H264Decode {
     val idx = df.schema.fieldIndex(payloadCol)
     // operational no-rebuild path (see decodeIdr): conf/env tables file
     val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         def errRow(si: Any, msg: String) = Row.fromSeq(r.toSeq ++
@@ -2762,7 +2817,7 @@ object H264Decode {
         else try {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           mp4KeyframeWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes,
-            cabacCfg, colorMode = false,
+            cabacCfg, colorMode = false, pack = packCfg,
             (k, luma, _, sps) => out += lumaRow(r, luma,
               sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(k)),
             (si, msg) => out += errRow(si, msg))
@@ -2789,6 +2844,7 @@ object H264Decode {
       maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
     Multimodal.requireFreshColumns(df, "decodeMp4KeyframesColor",
       mp4ColorCols.map(_.name))
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
     val schema = StructType(df.schema.fields ++ mp4ColorCols)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
@@ -2806,7 +2862,7 @@ object H264Decode {
         else try {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           mp4KeyframeWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes,
-            cabacCfg = None, colorMode = true,
+            cabacCfg = None, colorMode = true, pack = packCfg,
             (k, luma, color, sps) => {
               var dev = 0L
               var i = 0

@@ -371,6 +371,12 @@ object H264Inter {
       * within each 8×8), no residual. */
     final case class Sub8x8(subTypes: Seq[Int],
       mvds: Seq[(Int, Int)]) extends PMb
+    /** P_L0_16x16 with residual: mvd, then coded_block_pattern codeNum
+      * `cbpCode`, mb_qp_delta `qpDelta` (written only when cbpCode != 0
+      * — caller aligns with its pack's mapping), then `blocks` as
+      * (coeffs, nC) pairs in §6.4.3 scan order for the coded 8×8s. */
+    final case class MvResid(mvd: (Int, Int), cbpCode: Int,
+      qpDelta: Int, blocks: Seq[(Array[Int], Int)]) extends PMb
     /** I_16x16 intra-refresh block: DC-only luma coefficient `v` at the
       * slice QP, prediction mode `predMode`, cbp 0. `nC` must equal the
       * decoder's §9.2.1 context at the block's position (0 when the
@@ -438,6 +444,15 @@ object H264Inter {
         refBits(4) // one ref_idx per 8×8 partition
         mvds.foreach { case (x, y) => w.se(x); w.se(y) } // §7.3.5.2 order
         w.ue(0) // cbp 0
+      case PMb.MvResid(mvd, cbpCode, qpDelta, blocks) =>
+        w.ue(run); run = 0
+        w.ue(0) // mb_type: P_L0_16x16
+        refBits(1)
+        w.se(mvd._1); w.se(mvd._2)
+        w.ue(cbpCode)
+        if (cbpCode != 0) w.se(qpDelta) // mb_qp_delta (cbp codes data)
+        blocks.foreach { case (coeffs, nC) =>
+          Cavlc.encodeResidualBlock(w, coeffs, nC, 16) }
       case PMb.I16Dc(v, predMode, nC) =>
         w.ue(run); run = 0
         // P-slice intra mb_type = 5 + I-slice mb_type; I_16x16 with
@@ -489,7 +504,8 @@ object H264Inter {
       outColor: Array[Array[Byte]] = null,
       // length-1 holder: receives this frame's motion field (the
       // colocated picture data a following B slice's direct modes read)
-      gridSink: Array[MvGrid] = null): Either[String, Array[Byte]] = {
+      gridSink: Array[MvGrid] = null,
+      pack: Option[ConfPack.Pack] = None): Either[String, Array[Byte]] = {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
@@ -605,14 +621,16 @@ object H264Inter {
         // chroma stage shared with the I path ([[H264Decode.ChromaCtx]]):
         // parse-only without planes, full reconstruction with them
         val chromaCtx = new H264Decode.ChromaCtx(outColor, mbw,
-          pps.chromaQpOffset)
+          pps.chromaQpOffset, qpcBent = pack.flatMap(_.qpcBent).orNull)
         val chromaH = mbh * 8
         def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
-            chromaPred: Int = 0, qPYNow: Int = 0): String =
+            chromaPred: Int = 0, qPYNow: Int = 0,
+            interBase: Boolean = false): String =
           if (sps.chromaFormatIdc != 1) null
           else chromaCtx.stage(rd, cbpChroma, chromaPred, mbx, mby, qPYNow,
             nCForC,
-            (comp, cx, cy, v) => nCoefC(comp)(cy * mbw * 2 + cx) = v)
+            (comp, cx, cy, v) => nCoefC(comp)(cy * mbw * 2 + cx) = v,
+            interBase = interBase)
         // inter chroma MC for one partition (luma block coords/sizes)
         def interChroma(bx: Int, by: Int, w4: Int, h4: Int,
             mvX: Int, mvY: Int): Unit =
@@ -763,12 +781,29 @@ object H264Inter {
                       p += 1
                     }
                     val cbpCode = rd.ue()
-                    if (cbpCode != 0)
-                      bad = "inter residual not supported (Table 9-4 inter " +
-                        "cbp column not conformance-anchored; codeNum 0 = " +
-                        "no residual decodes)"
-                    else {
-                      setMbNc(mbx, mby, 0)
+                    // codeNum 0 = cbp 0 in Table 9-4's inter column (the
+                    // one anchored row); anything else needs the full
+                    // column from the conformance pack
+                    if (cbpCode == 0) setMbNc(mbx, mby, 0)
+                    else pack.flatMap(_.interCbp) match {
+                      case None =>
+                        bad = "inter residual not supported (Table " +
+                          "9-4's inter cbp column is data — provide it " +
+                          "via the conformance pack " +
+                          s"(${ConfPack.SparkConfKey} slot interCbp) " +
+                          "to unlock; codeNum 0 = no residual decodes)"
+                      case Some(map) =>
+                        decodeInterResidual(rd, sps, pps, map, cbpCode,
+                          mbx, mby, luma, w, qPY,
+                          nCFor, (gx, gy, tc) =>
+                            nCoef(gy * mbw * 4 + gx) = tc,
+                          (cbpC, qp) => consumeChroma(cbpC, mbx, mby,
+                            qPYNow = qp, interBase = true)) match {
+                          case Left(msg) => bad = msg
+                          case Right(qp) => qPY = qp
+                        }
+                    }
+                    if (bad == null) {
                       if (tally != null) {
                         tally(1 + (if (mbType >= 3) 3 else mbType)) += 1
                         // census slot 6: 8×8 MBs that split further
@@ -898,6 +933,79 @@ object H264Inter {
     }
   }
 
+  /** One inter macroblock's CAVLC residual (§7.4.5.3) decoded ON TOP
+    * of its already-motion-compensated prediction — the seam the
+    * conformance pack's `interCbp` slot unlocks (Table 9-4's inter
+    * coded_block_pattern column maps the parsed codeNum; everything
+    * downstream is the same §8.5.12 dequant + inverse transform the
+    * intra paths run, FLAT weights — scaling-matrix streams refuse by
+    * name because the inter weight lists are not retained). Luma 4×4
+    * blocks carry all 16 coefficients; chroma goes through the shared
+    * [[H264Decode.ChromaCtx]] stage in inter-base mode (prediction =
+    * the MC output already in the planes). Returns the updated QPY
+    * (mb_qp_delta applies when the cbp codes anything) or a refusal.
+    */
+  private def decodeInterResidual(rd: VideoBitstream.BitReader,
+      sps: VideoBitstream.SpsInfo, pps: H264Decode.PpsInfo,
+      interCbp: Array[Int], cbpCode: Int,
+      mbx: Int, mby: Int,
+      luma: Array[Byte], w: Int, qPYIn: Int,
+      nCFor: (Int, Int) => Int,
+      setNc: (Int, Int, Int) => Unit,
+      stageChroma: (Int, Int) => String): Either[String, Int] = {
+    if (cbpCode > 47)
+      Left(s"malformed coded_block_pattern (codeNum $cbpCode)")
+    else if (sps.scalingMatrixPresent || pps.scalingMatrix)
+      Left("inter residual under scaling matrices not supported " +
+        "(inter weight lists are not retained; flat weights decode)")
+    else {
+      val cbp = interCbp(cbpCode)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      var qPY = qPYIn
+      if (cbp != 0) qPY = Math.floorMod(qPY + rd.se() + 52, 52)
+      val d = new Array[Int](16)
+      var b2 = 0
+      while (b2 < 16) {
+        val bx4 = H264Decode.Blk4x4X(b2)
+        val by4 = H264Decode.Blk4x4Y(b2)
+        val gx = mbx * 4 + bx4
+        val gy = mby * 4 + by4
+        var tc = 0
+        if ((cbpLuma & (1 << (b2 >> 2))) != 0) {
+          val (scan, total) =
+            Cavlc.decodeResidualBlock(rd, nCFor(gx, gy), 16)
+          tc = total
+          java.util.Arrays.fill(d, 0)
+          var i = 0
+          while (i < 16) {
+            val raster = H264Decode.Zigzag4x4(i)
+            d(raster) = H264Decode.dequantAc(scan(i), raster, qPY,
+              H264Decode.Flat4x4)
+            i += 1
+          }
+          H264Decode.idct4x4(d)
+          val px = mbx * 16 + bx4 * 4
+          val py = mby * 16 + by4 * 4
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              val o = (py + yy) * w + px + xx
+              luma(o) = H264Decode.clip1((luma(o) & 0xff) + d(yy * 4 + xx))
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        setNc(gx, gy, tc)
+        b2 += 1
+      }
+      val bad = stageChroma(cbpChroma, qPY)
+      if (bad != null) Left(bad) else Right(qPY)
+    }
+  }
+
   private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
 
@@ -931,7 +1039,8 @@ object H264Inter {
       tally: Array[Int] = null,
       refColorL0: Array[Array[Byte]] = null,
       refColorL1: Array[Array[Byte]] = null,
-      outColor: Array[Array[Byte]] = null): Either[String, Array[Byte]] = {
+      outColor: Array[Array[Byte]] = null,
+      pack: Option[ConfPack.Pack] = None): Either[String, Array[Byte]] = {
     val mbw = sps.widthMbs
     val mbh = sps.heightMbs
     val nMbs = mbw.toLong * mbh
@@ -996,7 +1105,7 @@ object H264Inter {
         if (nalRefIdc != 0 && rd.u1() == 1)
           return Left("adaptive ref pic marking not supported " +
             "(sliding window only)")
-        rd.se() // slice_qp_delta (no residual path → QP never consulted)
+        var qPY = pps.picInitQp + rd.se() // slice_qp_delta
         var deblockOff = false
         if (pps.deblockControlPresent) {
           val idc = rd.ue()
@@ -1008,6 +1117,40 @@ object H264Inter {
             "(stream does not disable it)")
         val gL0 = new MvGrid(mbw, mbh)
         val gL1 = new MvGrid(mbw, mbh)
+        // §9.2.1 nC grids (as in the P path) — needed the moment any
+        // B macroblock carries residual via the conformance pack
+        val nCoef = Array.fill(mbw * 4 * mbh * 4)(-1)
+        def nCFor(bx: Int, by: Int): Int = {
+          val nA = if (bx > 0) nCoef(by * mbw * 4 + bx - 1) else -1
+          val nB = if (by > 0) nCoef((by - 1) * mbw * 4 + bx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA else if (nB >= 0) nB else 0
+        }
+        val nCoefC = Array(Array.fill(mbw * 2 * mbh * 2)(-1),
+          Array.fill(mbw * 2 * mbh * 2)(-1))
+        def nCForC(comp: Int, cx: Int, cy: Int): Int = {
+          val gr = nCoefC(comp)
+          val nA = if (cx > 0) gr(cy * mbw * 2 + cx - 1) else -1
+          val nB = if (cy > 0) gr((cy - 1) * mbw * 2 + cx) else -1
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA else if (nB >= 0) nB else 0
+        }
+        val cBlkX = Array(0, 1, 0, 1)
+        val cBlkY = Array(0, 0, 1, 1)
+        def setMbNc(mbx: Int, mby: Int, v: Int): Unit = {
+          var b = 0
+          while (b < 16) {
+            nCoef((mby * 4 + H264Decode.Blk4x4Y(b)) * mbw * 4 +
+              mbx * 4 + H264Decode.Blk4x4X(b)) = v
+            b += 1
+          }
+          b = 0
+          while (b < 4) {
+            nCoefC(0)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = v
+            nCoefC(1)((mby * 2 + cBlkY(b)) * mbw * 2 + mbx * 2 + cBlkX(b)) = v
+            b += 1
+          }
+        }
         // §8.4.1.2.3 temporal scaling factors (POCs are data here)
         val tb = clip3(-128, 127, pocCur - pocL0)
         val td = clip3(-128, 127, pocL1 - pocL0)
@@ -1017,7 +1160,14 @@ object H264Inter {
         }
         val chromaH = mbh * 8
         val chromaCtx = new H264Decode.ChromaCtx(outColor, mbw,
-          pps.chromaQpOffset)
+          pps.chromaQpOffset, qpcBent = pack.flatMap(_.qpcBent).orNull)
+        def consumeChroma(cbpChroma: Int, mbx: Int, mby: Int,
+            qPYNow: Int): String =
+          if (sps.chromaFormatIdc != 1) null
+          else chromaCtx.stage(rd, cbpChroma, 0, mbx, mby, qPYNow,
+            nCForC,
+            (comp, cx, cy, v) => nCoefC(comp)(cy * mbw * 2 + cx) = v,
+            interBase = true)
         val cScratch: Array[Array[Byte]] =
           if (outColor == null) null
           else Array(new Array[Byte](outColor(0).length),
@@ -1185,13 +1335,39 @@ object H264Inter {
         }
         var mb = 0
         var bad: String = null
+        // the coded_block_pattern step shared by B_Direct and the
+        // explicit 16×16 types: codeNum 0 (the one anchored Table 9-4
+        // row) = no residual; anything else decodes through the
+        // conformance pack's interCbp slot or refuses naming it
+        def interCbpStep(mbx: Int, mby: Int): String = {
+          val cbpCode = rd.ue()
+          if (cbpCode == 0) { setMbNc(mbx, mby, 0); null }
+          else pack.flatMap(_.interCbp) match {
+            case None =>
+              "inter residual not supported (Table 9-4's inter cbp " +
+                "column is data — provide it via the conformance pack " +
+                s"(${ConfPack.SparkConfKey} slot interCbp) to unlock; " +
+                "codeNum 0 = no residual decodes)"
+            case Some(map) =>
+              decodeInterResidual(rd, sps, pps, map, cbpCode, mbx, mby,
+                luma, w, qPY, nCFor,
+                (gx, gy, tc) => nCoef(gy * mbw * 4 + gx) = tc,
+                (cbpC, qp) => consumeChroma(cbpC, mbx, mby, qp)) match {
+                case Left(msg) => msg
+                case Right(qp) => qPY = qp; null
+              }
+          }
+        }
         try {
           while (mb < nMbs && bad == null) {
             var skipRun = rd.ue() // mb_skip_run (§7.3.4)
             while (skipRun > 0 && mb < nMbs && bad == null) {
               // B_Skip = the direct prediction, no residual (§8.4.1.2)
-              bad = directMb((mb % mbw).toInt, (mb / mbw).toInt)
+              val sx = (mb % mbw).toInt
+              val sy = (mb / mbw).toInt
+              bad = directMb(sx, sy)
               if (bad == null) {
+                setMbNc(sx, sy, 0)
                 if (tally != null) tally(0) += 1
                 mb += 1
                 skipRun -= 1
@@ -1208,12 +1384,8 @@ object H264Inter {
               if (mbType == 0) {
                 bad = directMb(mbx, mby)
                 if (bad == null) {
-                  val cbpCode = rd.ue()
-                  if (cbpCode != 0)
-                    bad = "inter residual not supported (Table 9-4 inter " +
-                      "cbp column not conformance-anchored; codeNum 0 = " +
-                      "no residual decodes)"
-                  else {
+                  bad = interCbpStep(mbx, mby)
+                  if (bad == null) {
                     if (tally != null) tally(1) += 1
                     mb += 1
                   }
@@ -1251,12 +1423,8 @@ object H264Inter {
                     mv1 = (px1 + rd.se(), py1 + rd.se())
                   }
                   predict(mbx * 4, mby * 4, 4, 4, use0, mv0, use1, mv1)
-                  val cbpCode = rd.ue()
-                  if (cbpCode != 0)
-                    bad = "inter residual not supported (Table 9-4 inter " +
-                      "cbp column not conformance-anchored; codeNum 0 = " +
-                      "no residual decodes)"
-                  else {
+                  bad = interCbpStep(mbx, mby)
+                  if (bad == null) {
                     if (tally != null) tally(1) += 1
                     mb += 1
                   }
@@ -1289,6 +1457,10 @@ object H264Inter {
     final case class L1(mvdX: Int, mvdY: Int) extends BMb
     /** B_Bi_16x16 with these mvd_l0 / mvd_l1, no residual. */
     final case class Bi(mvd0: (Int, Int), mvd1: (Int, Int)) extends BMb
+    /** B_Direct_16x16 WITH residual: cbp codeNum, mb_qp_delta, then
+      * (coeffs, nC) luma blocks — the pack-gated B residual fixture. */
+    final case class DirectResid(cbpCode: Int, qpDelta: Int,
+      blocks: Seq[(Array[Int], Int)]) extends BMb
   }
 
   /** Encoder twin for the B-slice walk: one CAVLC B slice over `mbs` in
@@ -1320,6 +1492,13 @@ object H264Inter {
         w.ue(run); run = 0
         w.ue(0) // B_Direct_16x16
         w.ue(0) // cbp codeNum 0 → no residual
+      case BMb.DirectResid(cbpCode, qpDelta, blocks) =>
+        w.ue(run); run = 0
+        w.ue(0) // B_Direct_16x16
+        w.ue(cbpCode)
+        if (cbpCode != 0) w.se(qpDelta)
+        blocks.foreach { case (coeffs, nC) =>
+          Cavlc.encodeResidualBlock(w, coeffs, nC, 16) }
       case BMb.L0(mx, my) =>
         w.ue(run); run = 0
         w.ue(1) // B_L0_16x16

@@ -595,8 +595,9 @@ object VideoBitstream {
             val refusal =
               if (nIdr > 0) null // keyframe-only decode has its entry
               else if (nB > 0)
-                "B-slice stream: B inter prediction not implemented " +
-                  "(named seam; decodeGop decodes IDR-led P GOPs)"
+                "B-slice stream without an IDR: no anchor pair to " +
+                  "bracket from (decodeGop decodes IDR-led GOPs " +
+                  "including disposable B frames)"
               else if (nP > 0)
                 "P-slice stream without an IDR: no reference frame to " +
                   "start from (decodeGop decodes IDR-led GOPs, " +

@@ -279,7 +279,7 @@ class VideoBitstreamSpec extends AnyFunSuite {
       .startsWith("P-slice stream without an IDR"))
     assert(rows(0).getAs[String]("first_slice_type") == "P")
     assert(rows(1).getAs[String]("decode_refusal")
-      .startsWith("B-slice stream: B inter prediction not implemented"))
+      .startsWith("B-slice stream without an IDR"))
     assert(rows(1).getAs[Int]("n_b") == 1)
   }
 
