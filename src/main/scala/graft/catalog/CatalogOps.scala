@@ -2809,6 +2809,97 @@ object CatalogOps {
       FROM f"""),
     bench = true)
 
+  /** MP4-route GOP decode
+    * ([[graft.ops.H264Decode.syntheticGopMp4]] → decodeMp4Gop): every
+    * sample — sync and NON-sync — through the same container-neutral
+    * state machine as the Annex-B route (r17's keyframe route decoded
+    * only the one sync sample of this clip). Frames I/P/skip with the
+    * same translation closed forms as mm_h264_gop_decode.
+    */
+  private val mmMp4GopDecode = Q("mm_mp4_gop_decode",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticGopMp4(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(4) * (lit(1) + d % 3)).cast("int"),
+          (lit(4) * (d % 2)).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4Gop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS dx,
+        doc_id % 2 AS dy
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
+        ((16 - dx) * (16 - dy) * c0 + (16 + dx) * (16 - dy) * c1 +
+         (16 - dx) * (16 + dy) * c2 + (16 + dx) * (16 + dy) * c3) AS n1
+        FROM q),
+      f AS (SELECT doc_id, n0, n1, unnest(generate_series(0, 2)) AS fi
+        FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' ELSE 'P' END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN n0 ELSE n1 END)::DOUBLE / 1024 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
+  /** MP4-route I-B-P decode
+    * ([[graft.ops.H264Decode.syntheticBGopMp4]] → decodeMp4Gop): the
+    * disposable temporal-direct B bracketed by its avcC-fed anchors
+    * through the container route — same closed forms as
+    * mm_h264_b_direct.
+    */
+  private val mmMp4BGop = Q("mm_mp4_b_gop",
+    (s, dir) => {
+      val d = col("doc_id")
+      val clips = t(s, dir, "documents").select(d,
+        graft.ops.H264Decode.syntheticBGopMp4(
+          (lit(1) + d % 5).cast("int"),
+          d % 2 === 1,
+          (lit(2) + d % 3).cast("int"),
+          (lit(1) + d % 3).cast("int"),
+          (d % 2).cast("int")).as("payload"))
+      graft.ops.H264Decode.decodeMp4Gop(clips, "payload")
+        .select(d, col("frame_idx"), col("frame_type"),
+          col("frame_width"), col("frame_height"), col("y_mean"),
+          col("decode_error"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        128 + 1 + doc_id % 5 AS c0,
+        128 + 1 + doc_id % 5 + (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) AS c1,
+        128 + 1 + doc_id % 5 + 2 + doc_id % 3 AS c2,
+        1 + doc_id % 3 AS a,
+        doc_id % 2 AS b
+        FROM documents),
+      q AS (SELECT *, (c1 + c2 + 1) // 2 AS c3 FROM p),
+      m AS (SELECT doc_id,
+        (c0 + c1 + c2 + c3) * 256 AS n0,
+        ((16 - 2*a) * (16 - 2*b) * c0 + (16 + 2*a) * (16 - 2*b) * c1 +
+         (16 - 2*a) * (16 + 2*b) * c2 + (16 + 2*a) * (16 + 2*b) * c3) AS n1,
+        ((16 - a) * (16 - b) * c0 + (16 + a) * (16 - b) * c1 +
+         (16 - a) * (16 + b) * c2 + (16 + a) * (16 + b) * c3) AS n2
+        FROM q),
+      f AS (SELECT doc_id, n0, n1, n2, unnest(generate_series(0, 2)) AS fi
+        FROM m)
+      SELECT doc_id, fi::INT AS frame_idx,
+        CASE WHEN fi = 0 THEN 'I' WHEN fi = 1 THEN 'P' ELSE 'B'
+          END AS frame_type,
+        32::INT AS frame_width, 32::INT AS frame_height,
+        (CASE WHEN fi = 0 THEN n0 WHEN fi = 1 THEN n1 ELSE n2
+          END)::DOUBLE / 1024 AS y_mean,
+        NULL::VARCHAR AS decode_error
+      FROM f"""))
+
   /** Full-COLOR keyframe decode
     * ([[graft.ops.H264Decode.syntheticColorAnnexB]] → decodeIdrColor):
     * Y + Cb + Cr through the CAVLC intra core with §8.3.4 chroma
@@ -5140,7 +5231,7 @@ object CatalogOps {
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,
     txtUrlPsl,
     txtFuzzyContamination, txtWeightedSample,
-    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264Sub8x8, mmH264BDirect, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
+    mmMeta, mmFrames, mmDecode, mmAudio, mmResize, mmVideo, mmH264Nals, mmH264Meta, mmH264SliceCensus, mmMp4Meta, mmMp4Sync, mmMp3Census, mmSubtitleCues, mmCueKeyframes, mmH264IpcmDecode, mmH264CavlcDecode, mmH264GopDecode, mmH264OpenGop, mmH264ColorDecode, mmH264ColorGop, mmMp4ColorDecode, mmH264I8x8Decode, mmH264PPartitions, mmH264PartitionCensus, mmH264Sub8x8, mmH264BDirect, mmMp4GopDecode, mmMp4BGop, mmH264ScalingDecode, mmH264MonoCabac, mmH264I4x4Decode, mmH264CabacEngine, mmH264CabacDecode, mmH264DecodePhash, mmMp4KeyframeDecode, mmMp4CavlcDecode, mmMp4CabacDecode, mmWebmTracks, mmHevcMeta, mmAudioContainers, mmMediaGate, mmMediaGatePersist, mmIvfMeta, sftValidate, sftRender, sftPackMasked, sftPackTokens, sftDpoPairs, txtFim, txtSpanCorrupt, txtChunk, mmJpegExif,
     mmPhash, mmPhashNearDup, mmPhashCluster, mmAudioFp, mmAudioCluster, mmCurateImages,
     webWarcRecords, webHtmlText, webWarcHtmlIngest, webHttpIngest,
     webCrawlFlagship, webCrawlFlagshipTokens, webCdxSelect, webRedirectRevisit, webRobotsRules, webRobotsGate, webFrontierSchedule, webFrontierPriority, webFrontierLoop, webFrontierZipf, webCrawlBfs, webSitemapIngest, webSurtKey, webWetExport, webWarcExport, mmSniffMedia, arcZstdMembers,

@@ -2046,8 +2046,32 @@ object H264Decode {
       pack: Option[ConfPack.Pack] = None): Boolean = {
     val nals = VideoBitstream.findNals(bytes)
     if (nals == null) { err(null, null, "no Annex-B start code"); return true }
-    var sps: VideoBitstream.SpsInfo = null
-    var pps: PpsInfo = null
+    walkGopUnits(nals.iterator.map { case (off, len) =>
+      (bytes(off) & 0xff,
+        () => VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+    }, maxPlaneBytes, cabacCfg, wantTally, frame, err, colorMode, pack)
+  }
+
+  /** The CONTAINER-NEUTRAL GOP state machine the Annex-B route
+    * ([[walkGop]]) and the MP4 sample route ([[decodeMp4Gop]]) both
+    * drive — ONE copy of the continuity / recovery / reference-
+    * bracketing / disposable-refusal logic over an iterator of
+    * (nalHeaderByte, rbsp-thunk) units. MP4 clips carry SPS/PPS
+    * out-of-band in the avcC record: `sps0`/`pps0` seed the machine
+    * so sample NALs decode without in-stream parameter sets.
+    */
+  private def walkGopUnits(units: Iterator[(Int, () => Array[Byte])],
+      maxPlaneBytes: Long,
+      cabacCfg: Option[Cabac.Config], wantTally: Boolean,
+      frame: (Int, String, Array[Byte], VideoBitstream.SpsInfo,
+        Array[Int], Array[Array[Byte]]) => Unit,
+      err: (Any, String, String) => Unit,
+      colorMode: Boolean = false,
+      pack: Option[ConfPack.Pack] = None,
+      sps0: VideoBitstream.SpsInfo = null,
+      pps0: PpsInfo = null): Boolean = {
+    var sps: VideoBitstream.SpsInfo = sps0
+    var pps: PpsInfo = pps0
     var emitted = false
     var ref: Array[Byte] = null
     var refC: Array[Array[Byte]] = null // chroma reference (color mode)
@@ -2092,17 +2116,15 @@ object H264Decode {
         val cSize = sps.widthMbs * 8 * sps.heightMbs * 8
         Array(new Array[Byte](cSize), new Array[Byte](cSize))
       }
-    nals.foreach { case (off, len) =>
-      if (!stopped) (bytes(off) & 0x1f) match {
+    units.foreach { case (hdr, mkRbsp) =>
+      if (!stopped) (hdr & 0x1f) match {
         case 7 if sps == null =>
-          sps = VideoBitstream.parseSps(
-            VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+          sps = VideoBitstream.parseSps(mkRbsp())
         case 8 if pps == null =>
-          pps = parsePps(
-            VideoBitstream.rbspBytes(bytes, off + 1, len - 1))
+          pps = parsePps(mkRbsp())
         case t @ (5 | 1) =>
-          val refIdc = (bytes(off) >> 5) & 3
-          val rbsp = VideoBitstream.rbspBytes(bytes, off + 1, len - 1)
+          val refIdc = (hdr >> 5) & 3
+          val rbsp = mkRbsp()
           if (sps == null || pps == null) {
             err(frameIdx, null, "coded slice before SPS/PPS")
             emitted = true
@@ -2674,6 +2696,45 @@ object H264Decode {
     * color mode, sps); `err` per refusal (sample idx, or null for
     * clip-level failures).
     */
+  /** avcC decoder-record parse (ISO 14496-15): (nalLengthSize, SPS,
+    * PPS) or a named refusal — 0xE0|numSPS at [5], then (len16, sps)*,
+    * u8 numPPS, (len16, pps)*; stored sets INCLUDE the NAL header.
+    * len > 0 guarded: a zero-length entry would hand rbspBytes a
+    * negative size instead of the named refusal.
+    */
+  private def parseAvcC(c: Array[Byte])
+      : Either[String, (Int, VideoBitstream.SpsInfo, PpsInfo)] =
+    if (c.length < 8) Left("truncated avcC record")
+    else {
+      val lengthSize = (c(4) & 3) + 1
+      var p = 6
+      var sps: VideoBitstream.SpsInfo = null
+      var pps: PpsInfo = null
+      val nSps = c(5) & 0x1f
+      var i = 0
+      while (i < nSps && p + 2 <= c.length) {
+        val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
+        if (sps == null && len > 0 && p + 2 + len <= c.length)
+          sps = VideoBitstream.parseSps(
+            VideoBitstream.rbspBytes(c, p + 3, len - 1))
+        p += 2 + len
+        i += 1
+      }
+      val nPps = if (p < c.length) c(p) & 0xff else 0
+      p += 1
+      i = 0
+      while (i < nPps && p + 2 <= c.length) {
+        val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
+        if (pps == null && len > 0 && p + 2 + len <= c.length)
+          pps = parsePps(VideoBitstream.rbspBytes(c, p + 3, len - 1))
+        p += 2 + len
+        i += 1
+      }
+      if (sps == null) Left("no SPS in avcC record")
+      else if (pps == null) Left("no PPS in avcC record")
+      else Right((lengthSize, sps, pps))
+    }
+
   private def mp4KeyframeWalk(bytes: Array[Byte], maxPlaneBytes: Long,
       cabacCfg: Option[Cabac.Config], colorMode: Boolean,
       pack: Option[ConfPack.Pack],
@@ -2689,47 +2750,15 @@ object H264Decode {
       case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
         err(null, "incomplete sample tables")
       case Some(t) =>
-        val c = t.avcC.get
-        if (c.length < 8) err(null, "truncated avcC record")
-        else {
-          val lengthSize = (c(4) & 3) + 1
-          // avcC: 0xE0|numSPS at [5], then (len16, sps)*, u8 numPPS,
-          // then (len16, pps)* — stored sets INCLUDE the NAL header
-          var p = 6
-          var sps: VideoBitstream.SpsInfo = null
-          var pps: PpsInfo = null
-          val nSps = c(5) & 0x1f
-          var i = 0
-          while (i < nSps && p + 2 <= c.length) {
-            val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-            // len > 0: a zero-length entry would hand rbspBytes a
-            // negative size (NegativeArraySizeException through the
-            // generic catch) instead of the named refusal below
-            if (sps == null && len > 0 && p + 2 + len <= c.length)
-              sps = VideoBitstream.parseSps(
-                VideoBitstream.rbspBytes(c, p + 3, len - 1))
-            p += 2 + len
-            i += 1
-          }
-          val nPps = if (p < c.length) c(p) & 0xff else 0
-          p += 1
-          i = 0
-          while (i < nPps && p + 2 <= c.length) {
-            val len = ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
-            if (pps == null && len > 0 && p + 2 + len <= c.length)
-              pps = parsePps(VideoBitstream.rbspBytes(c, p + 3, len - 1))
-            p += 2 + len
-            i += 1
-          }
-          if (sps == null) err(null, "no SPS in avcC record")
-          else {
+        parseAvcC(t.avcC.get) match {
+          case Left(msg) => err(null, msg)
+          case Right((lengthSize, sps, pps)) =>
             // a clip whose stss matches NO sample (entry count 0, or
             // listed numbers beyond stsz) must surface as a named row,
             // not silently vanish from the output
             val syncIdxs = t.sizes.indices.filter(k =>
               !t.hasStss || t.syncs.contains((k + 1).toLong))
-            if (pps == null) err(null, "no PPS in avcC record")
-            else if (syncIdxs.isEmpty) err(null, "no sync samples in clip")
+            if (syncIdxs.isEmpty) err(null, "no sync samples in clip")
             else {
               val (offs, covered) = VideoBitstream.sampleOffsets(t)
               if (covered < t.sizes.length) err(null, "incomplete sample tables")
@@ -2794,7 +2823,6 @@ object H264Decode {
                 }
               }
             }
-          }
         }
     }
   }
@@ -2881,6 +2909,173 @@ object H264Decode {
           out.toSeq
         } catch { case e: Exception =>
           Seq(errRow(null, s"container parse failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  /** The MP4 sample route's GOP walk — [[decodeMp4Gop]]'s engine:
+    * SPS/PPS from the avcC record seed the SAME container-neutral
+    * state machine the Annex-B route drives ([[walkGopUnits]]), and
+    * every sample's length-prefixed NALs stream through it in stsz
+    * order (frame_num continuity, recovery points, B bracketing,
+    * disposable refusals, skip-to-intra — ONE copy of the logic).
+    * A sample range outside the payload stops the walk with a named
+    * row: later samples would decode the WRONG bytes (crafted
+    * co64/stsz values must not wrap onto valid indices).
+    */
+  private def mp4GopWalk(bytes: Array[Byte], maxPlaneBytes: Long,
+      cabacCfg: Option[Cabac.Config], colorMode: Boolean,
+      pack: Option[ConfPack.Pack],
+      frame: (Int, String, Array[Byte], VideoBitstream.SpsInfo,
+        Array[Int], Array[Array[Byte]]) => Unit,
+      err: (Any, String, String) => Unit): Unit = {
+    val (sawMoov, video) = VideoBitstream.firstVideoTrack(bytes)
+    video match {
+      case None =>
+        err(null, null,
+          if (sawMoov) "no video track" else "not ISO-BMFF (no moov box)")
+      case Some(t) if t.avcC.isEmpty =>
+        err(null, null, "no avcC decoder record (not AVC, or codec " +
+          "unsupported)")
+      case Some(t) if t.sizes.isEmpty || t.chunkOffsets.isEmpty =>
+        err(null, null, "incomplete sample tables")
+      case Some(t) =>
+        parseAvcC(t.avcC.get) match {
+          case Left(msg) => err(null, null, msg)
+          case Right((lengthSize, sps, pps)) =>
+            val (offs, covered) = VideoBitstream.sampleOffsets(t)
+            if (covered < t.sizes.length)
+              err(null, null, "incomplete sample tables")
+            else {
+              val units =
+                Vector.newBuilder[(Int, () => Array[Byte])]
+              var bad: String = null
+              var k = 0
+              while (k < t.sizes.length && bad == null) {
+                if (offs(k) < 0 || offs(k) + t.sizes(k) > bytes.length)
+                  bad = s"sample ${k + 1} extends past payload " +
+                    "(walk stopped — later samples would decode the " +
+                    "wrong bytes)"
+                else {
+                  var o = offs(k)
+                  val end = offs(k) + t.sizes(k)
+                  var cont = true
+                  while (cont && o + lengthSize <= end) {
+                    var len = 0L
+                    var j = 0
+                    while (j < lengthSize) {
+                      len = (len << 8) | (bytes(o.toInt + j) & 0xffL)
+                      j += 1
+                    }
+                    val ns = o + lengthSize
+                    if (len <= 0 || ns + len > end) cont = false // corrupt
+                    else {
+                      val hdrOff = ns.toInt
+                      val nalLen = len.toInt
+                      units += ((bytes(hdrOff) & 0xff,
+                        () => VideoBitstream.rbspBytes(bytes, hdrOff + 1,
+                          nalLen - 1)))
+                      o = ns + len
+                    }
+                  }
+                }
+                k += 1
+              }
+              val any = walkGopUnits(units.result().iterator,
+                maxPlaneBytes, cabacCfg, wantTally = false, frame, err,
+                colorMode, pack, sps0 = sps, pps0 = pps)
+              if (bad != null) err(null, null, bad)
+              else if (!any) err(null, null, "no coded slice in any sample")
+            }
+        }
+    }
+  }
+
+  /** Decode EVERY frame of an MP4 clip — [[decodeGop]]'s container
+    * sibling and the r17 keyframe route's GOP closure: non-sync P and
+    * disposable B samples now decode through the same state machine as
+    * the Annex-B route, so the container/Annex-B asymmetry is gone.
+    * Output schema matches [[decodeGop]] (frame_idx counts coded slice
+    * NALs in sample order; frame_type from the parsed slice_type).
+    */
+  def decodeMp4Gop(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes,
+      cabac: Option[Cabac.Config] = None): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeMp4Gop", gopCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ gopCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val cabacCfg = Cabac.Config.resolve(cabac, df.sparkSession)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(fi, ft, null, null, null, null, null, msg))
+        if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
+        else try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          mp4GopWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes, cabacCfg,
+            colorMode = false, packCfg,
+            (fi, ft, luma, sps, _, _) => out += lumaRow(r, luma,
+              sps.widthMbs * 16, sps.heightMbs * 16, prefix = Seq(fi, ft)),
+            (fi, ft, msg) => out += errRow(fi, ft, msg))
+          out.toSeq
+        } catch { case e: Exception =>
+          Seq(errRow(null, null,
+            s"decode failed: ${e.getClass.getSimpleName}"))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[decodeMp4Gop]]'s full-COLOR sibling — the container route now
+    * carries chroma through NON-SYNC samples too (the r17 color route
+    * decoded keyframes only). Output schema matches [[decodeGopColor]].
+    */
+  def decodeMp4GopColor(df: DataFrame, payloadCol: String = "payload",
+      maxPlaneBytes: Long = Archives.MaxInflatedBytes): DataFrame = {
+    Multimodal.requireFreshColumns(df, "decodeMp4GopColor",
+      gopColorCols.map(_.name))
+    val schema = StructType(df.schema.fields ++ gopColorCols)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val packCfg = ConfPack.resolve(None, df.sparkSession)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        def errRow(fi: Any, ft: Any, msg: String) = Row.fromSeq(r.toSeq ++
+          Seq(fi, ft, null, null, null, null, null, null, null, null, null,
+            msg))
+        def mean(p: Array[Byte]): Double = {
+          var s = 0L
+          var i = 0
+          while (i < p.length) { s += p(i) & 0xff; i += 1 }
+          s.toDouble / p.length
+        }
+        if (r.isNullAt(idx)) Seq(errRow(null, null, "null payload"))
+        else try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          mp4GopWalk(r.getAs[Array[Byte]](idx), maxPlaneBytes,
+            cabacCfg = None, colorMode = true, packCfg,
+            (fi, ft, luma, sps, _, color) => {
+              var dev = 0L
+              var i = 0
+              while (i < color(0).length) {
+                dev += math.abs((color(0)(i) & 0xff) - 128)
+                dev += math.abs((color(1)(i) & 0xff) - 128)
+                i += 1
+              }
+              out += Row.fromSeq(r.toSeq ++ Seq(fi, ft,
+                sps.widthMbs * 16, sps.heightMbs * 16,
+                mean(luma), mean(color(0)), mean(color(1)),
+                dev.toDouble / (2L * color(0).length),
+                luma, color(0), color(1), null))
+            },
+            (fi, ft, msg) => out += errRow(fi, ft, msg))
+          out.toSeq
+        } catch { case e: Exception =>
+          Seq(errRow(null, null,
+            s"decode failed: ${e.getClass.getSimpleName}"))
         }
       }
     }(enc)
@@ -3575,13 +3770,52 @@ object H264Decode {
         mp4AvcClip(2, 2, samples, syncPeriod, cavlcPpsRbsp)
       })
 
+  /** MP4 twin of [[syntheticGopAnnexB]]'s first three frames: samples
+    * [quadrant IDR, uniform-MV P (mvx, mvy quarter-pel), all-skip P] —
+    * only sample 1 is sync, so the r17 keyframe route decodes ONE
+    * frame while [[decodeMp4Gop]] decodes all three with the same
+    * closed forms as the Annex-B GOP row.
+    */
+  val syntheticGopMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, mvx: Int, mvy: Int) => {
+        val samples = Array(
+          sampleNal(3, 5, i16SliceRbsp(v0, s1Neg, v2)),
+          sampleNal(2, 1, H264Inter.pSliceRbsp(4, 1,
+            H264Inter.PMb.Mv(mvx, mvy) +:
+              Seq.fill(3)(H264Inter.PMb.Mv(0, 0)))),
+          sampleNal(2, 1, H264Inter.pSliceRbsp(4, 2,
+            Seq.fill(4)(H264Inter.PMb.Skip))))
+        mp4AvcClip(2, 2, samples, 3, cavlcPpsRbsp)
+      })
+
+  /** MP4 twin of [[syntheticBGopAnnexB]]: samples [IDR poc 0, P poc 4
+    * translated (2a, 2b) px, disposable temporal-direct B poc 2] over
+    * a pocType-0 avcC SPS — the container route's I-B-P closure, same
+    * closed forms.
+    */
+  val syntheticBGopMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (v0: Int, s1Neg: Boolean, v2: Int, a: Int, b: Int) => {
+        val samples = Array(
+          sampleNal(3, 5, i16SliceRbsp(v0, s1Neg, v2, pocLsb = 0)),
+          sampleNal(2, 1, H264Inter.pSliceRbsp(4, 1,
+            H264Inter.PMb.Mv(8 * a, 8 * b) +:
+              Seq.fill(3)(H264Inter.PMb.Mv(0, 0)), pocLsb = 4)),
+          sampleNal(0, 1, H264Inter.bSliceRbsp(4, 2, poc = 2,
+            spatialDirect = false,
+            H264Inter.BMb.Direct +: Seq.fill(3)(H264Inter.BMb.Skip))))
+        mp4AvcClip(2, 2, samples, 3, cavlcPpsRbsp, spsPocType = 0)
+      })
+
   /** The [[VideoBitstream.syntheticMp4]] layout (mdat first, one chunk,
     * stss every `syncPeriod`-th sample, timescale 512 / delta 128) with
     * REAL parameter sets in the avcC and caller-supplied length-prefixed
     * samples — shared by the I_PCM and CAVLC MP4 generators.
     */
   private def mp4AvcClip(mbw: Int, mbh: Int, samples: Array[Array[Byte]],
-      syncPeriod: Int, ppsRbsp: Array[Byte]): Array[Byte] = {
+      syncPeriod: Int, ppsRbsp: Array[Byte],
+      spsPocType: Int = 2): Array[Byte] = {
         val nSamples = samples.length
         val w = new VideoBitstream.BoxWriter
         w.box("ftyp") { b => b.str("isom"); b.u32(0L); b.str("avc1") }
@@ -3633,7 +3867,8 @@ object H264Decode {
                       e.box("avcC") { c =>
                         val sps = Array[Byte](0x67) ++
                           VideoBitstream.escapeRbsp(
-                            VideoBitstream.syntheticSpsRbsp(mbw, mbh))
+                            VideoBitstream.syntheticSpsRbsp(mbw, mbh,
+                              pocType = spsPocType))
                         val pps = Array[Byte](0x68) ++
                           VideoBitstream.escapeRbsp(ppsRbsp)
                         c.u8(1); c.u8(66); c.u8(0); c.u8(30)
