@@ -5164,6 +5164,127 @@ object CatalogOps {
         FROM documents d LEFT JOIN a2 USING (doc_id))"""
   }
 
+  /** Interpolated Kneser-Ney oracle CTE chain, GENERATED for order `n`
+    * so the SQL stays mechanically in lock-step with
+    * [[TextAnalysis.ngramLmKneserNey]]: distinct-gram count tables per
+    * order, continuation tables (suffix-of-(k+1)-gram row counts), the
+    * nested f + λ·p interpolation with the SAME literal discount and
+    * op order as the Scala Column expression (IEEE doubles agree
+    * bitwise), micro-nat rounding BEFORE the per-doc sum. Short docs
+    * enter the chain at their own order via `ll`, as in the
+    * stupid-backoff chain.
+    */
+  private def knOracleCtes(n: Int, d: String = "0.75"): String = {
+    val rawTables = (1 to n).map { k =>
+      s"""rc$k AS (SELECT array_to_string(t[i:i+${k - 1}], ' ') AS gram,
+        count(*) AS c FROM
+        (SELECT t, unnest(generate_series(1, len(t) - ${k - 1})) AS i
+         FROM tr WHERE len(t) >= $k) GROUP BY 1)"""
+    }.mkString(",\n      ")
+    val ccTables = (1 until n).map { k =>
+      val cc = s"""cc$k AS (SELECT array_to_string(
+        string_split(gram, ' ')[2:${k + 1}], ' ') AS gram,
+        count(*) AS c FROM rc${k + 1} GROUP BY 1)"""
+      if (k >= 2)
+        cc + s""",
+      cden$k AS (SELECT array_to_string(
+        string_split(gram, ' ')[1:${k - 1}], ' ') AS gram,
+        sum(c) AS den, count(*) AS typ FROM cc$k GROUP BY 1)"""
+      else cc
+    }.mkString(",\n      ")
+    val sufCols = (1 to n).map { k =>
+      val s = s"CASE WHEN len(garr) >= $k THEN array_to_string(" +
+        s"garr[len(garr) - ${k - 1}:len(garr)], ' ') END AS s$k"
+      if (k >= 2)
+        s + s", CASE WHEN len(garr) >= $k THEN array_to_string(" +
+          s"garr[len(garr) - ${k - 1}:len(garr) - 1], ' ') END AS x$k"
+      else s
+    }.mkString(", ")
+    val joins = (s"LEFT JOIN rc$n an ON dgx.s$n = an.gram " +
+      s"LEFT JOIN rc${n - 1} dn ON dgx.x$n = dn.gram " +
+      s"LEFT JOIN tn ON dgx.x$n = tn.gram") +:
+      (1 until n).map { k =>
+        val b = s"LEFT JOIN cc$k b$k ON dgx.s$k = b$k.gram"
+        if (k >= 2) b + s" LEFT JOIN cden$k e$k ON dgx.x$k = e$k.gram"
+        else b
+      }
+    var p = "((COALESCE(b1.c, 0) + 1.0) / (bt + vv))"
+    (2 to n).foreach { k =>
+      val (num, den, typ) =
+        if (k == n) ("an.c", "dn.c", "tn.c")
+        else (s"b$k.c", s"e$k.den", s"e$k.typ")
+      // text-end contexts: den present, no continuation types -> the
+      // level passes through (mirrors the Scala absent guard)
+      val f = s"(CASE WHEN $den IS NULL OR $typ IS NULL THEN 0.0 ELSE " +
+        s"greatest(COALESCE($num, 0) - $d, 0.0) / $den END)"
+      val lam = s"(CASE WHEN $den IS NULL OR $typ IS NULL THEN 1.0 ELSE " +
+        s"$d * $typ / $den END)"
+      p = s"(CASE WHEN dgx.ll >= $k THEN $f + $lam * $p ELSE $p END)"
+    }
+    s"""toks AS (SELECT doc_id, $tokenizeSql AS t FROM documents),
+      tr AS (SELECT t FROM toks WHERE doc_id % 3 = 0),
+      $rawTables,
+      tn AS (SELECT array_to_string(
+        string_split(gram, ' ')[1:${n - 1}], ' ') AS gram,
+        count(*) AS c FROM rc$n GROUP BY 1),
+      $ccTables,
+      nv AS (SELECT (SELECT sum(c) FROM cc1)::DOUBLE AS bt,
+        (SELECT count(DISTINCT tok)::DOUBLE FROM
+          (SELECT unnest(t) AS tok FROM tr)) AS vv),
+      dgarr AS (SELECT doc_id, t[i:i+${n - 1}] AS garr FROM
+        (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+         FROM toks WHERE len(t) >= $n)
+        UNION ALL
+        SELECT doc_id, t AS garr FROM toks
+         WHERE len(t) >= 1 AND len(t) < $n),
+      dgx AS (SELECT doc_id, len(garr) AS ll, $sufCols FROM dgarr),
+      sc AS (SELECT dgx.doc_id,
+        round(ln($p) * 1000000.0)::BIGINT AS lp6
+        FROM dgx ${joins.mkString(" ")} CROSS JOIN nv),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+        sum(lp6)::BIGINT AS logprob_sum_e6 FROM sc GROUP BY doc_id),
+      a2 AS (SELECT *, logprob_sum_e6 / (n_grams * 1000000.0) AS avg_logprob
+        FROM agg),
+      knout AS (SELECT d.doc_id, COALESCE(a2.n_grams, 0)::BIGINT AS n_grams,
+        a2.logprob_sum_e6, a2.avg_logprob,
+        round(exp(-a2.avg_logprob), 6) AS perplexity
+        FROM documents d LEFT JOIN a2 USING (doc_id))"""
+  }
+
+  private def knScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.ngramLmKneserNey(docs, "text", "doc_id",
+      docs.where(col("doc_id") % 3 === 0), "text", n = 5)
+  }
+
+  /** Interpolated Kneser-Ney 5-gram LM scoring
+    * ([[graft.ops.TextAnalysis.ngramLmKneserNey]]) — the
+    * published-CCNet-comparable smoothing next to the stupid-backoff
+    * row: raw counts at the top order, continuation counts below,
+    * fixed discount 0.75, add-1 continuation floor, micro-nat
+    * quantized. Oracle CTE GENERATED from the same order parameter.
+    */
+  private val txtLmKneserNey = Q("txt_lm_kneser_ney",
+    (s, dir) => knScored(s, dir),
+    Some(s"WITH ${knOracleCtes(5)} SELECT * FROM knout"),
+    bench = true)
+
+  /** Head/middle/tail buckets over the Kneser-Ney signal — shares the
+    * generated chain with txt_lm_kneser_ney.
+    */
+  private val txtLmKnBuckets = Q("txt_lm_kn_buckets",
+    (s, dir) => {
+      val withLang = knScored(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.perplexityBuckets(withLang, "perplexity", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("perplexity"), col("ppl_bucket"))
+    },
+    Some(s"""WITH ${knOracleCtes(5)}
+      SELECT o.doc_id, d.lang, o.perplexity,
+        ntile(3) OVER (PARTITION BY d.lang ORDER BY
+          (o.perplexity IS NULL)::INT, o.perplexity, o.doc_id)::INT AS ppl_bucket
+      FROM knout o JOIN documents d USING (doc_id)"""))
+
   private def sbScored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.ngramLmStupidBackoff(docs, "text", "doc_id",
@@ -5225,7 +5346,7 @@ object CatalogOps {
     simTopK, simIvf, simIvfPq, simRecall, kgPageRank, kgDegrees, kgDiff, kgComponents,
     txtLangid, txtScriptSignals, txtQuality, txtTokens, txtBpe, txtBpeLearn, txtFingerprint, txtRepetition,
     txtContamination, txtSpanContamination, txtExciseSpans, txtClassifier,
-    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets, txtLmSbShort,
+    txtQualityTrain, txtQualityEval, txtLmPerplexity, txtLmBuckets, txtLmStupidBackoff, txtLmSbBuckets, txtLmSbShort, txtLmKneserNey, txtLmKnBuckets,
     txtBoilerplateSpans, txtRemoveBoilerplate, txtMojibakeRepair,
     txtNormalize,
     txtSample, txtPii, txtUrlSignals, txtUrlCanonical, txtDomainBlocklist,

@@ -737,6 +737,161 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** Interpolated Kneser-Ney n-gram LM perplexity (Kneser & Ney 1995 /
+    * Chen & Goodman 1998 — the published-CCNet-comparable smoothing) —
+    * [[ngramLmStupidBackoff]]'s normalized sibling. Each document
+    * n-gram w₁..wₙ scores as the nested interpolation
+    * P = f_n + λ_n·(f_{n−1} + λ_{n−1}·(… (f_2 + λ_2·P₁)…)) with a
+    * FIXED discount D:
+    *
+    *  - top order n uses RAW counts: f_n = max(c_n − D, 0)/c_{n−1}(ctx),
+    *    λ_n = D·N1+(ctx·)/c_{n−1}(ctx) (the engine's denominator
+    *    convention is the context's own (n−1)-gram count, as in the
+    *    stupid-backoff sibling — a prefix occurs at least as often as
+    *    its extensions);
+    *  - orders 2..n−1 use CONTINUATION counts (the KN insight — how
+    *    many distinct contexts a gram completes): f_k =
+    *    max(N1+(·u·w) − D, 0)/N1+(·u··), λ_k = D·|{w: N1+(·u·w)>0}| /
+    *    N1+(·u··);
+    *  - the unigram base is add-1-floored over continuation counts:
+    *    P₁ = (N1+(·w) + 1)/(bigramTypes + V) — never zero, so OOV
+    *    words stay finite;
+    *  - an UNSEEN context at any level contributes nothing and passes
+    *    through (f = 0, λ = 1) — pure lower-order interpolation.
+    *
+    * Short documents (1 ≤ words < n) score at their longest available
+    * order m, entering the chain at level m with continuation counts
+    * (as if backing off from an unseen higher context — the document
+    * carries no order-(m+1) evidence); 0-word docs stay unscorable.
+    *
+    * Determinism contract: the nested probability is built from the
+    * SAME arithmetic expression in Spark Column algebra and the
+    * generated DuckDB CTE (literal D, same op order — IEEE doubles
+    * agree bitwise), then each gram's log rounds to integer micro-nats
+    * BEFORE the per-doc sum, exactly as the add-k and stupid-backoff
+    * rows. Plan shape at 100 TB: training is a bounded set of
+    * hash-uniform partial-agg groupBys over distinct-gram tables (the
+    * LM lives as DataFrames, never driver state); scoring is scan-side
+    * gram generation + ~3n−2 gram-keyed equi-joins + one broadcast of
+    * the scalar totals.
+    */
+  def ngramLmKneserNey(docs: DataFrame, textCol: String, idCol: String,
+      train: DataFrame, trainTextCol: String, n: Int = 5,
+      discount: Double = 0.75): DataFrame = {
+    require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val D = lit(discount)
+    // raw count tables for the top level: c_n and c_{n-1}
+    def rawCounts(k: Int, cName: String): DataFrame = train
+      .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as(cName))
+    val cn = rawCounts(n, "__cn")
+    val cd = rawCounts(n - 1, "__cd")
+    // N1+(ctx ·) for the top level: distinct continuations of each
+    // (n−1)-gram context — one groupBy over the distinct-c_n table
+    val tn = cn.select(expr(
+      s"array_join(slice(split(__g, ' '), 1, ${n - 1}), ' ')").as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__tn"))
+    // continuation tables for orders 1..n−1, each derived from the
+    // DISTINCT (k+1)-gram table: a (k+1)-gram v·u·w contributes one
+    // preceding-type to its length-k suffix u·w
+    //   cc_k(u·w) = N1+(· u w)   (rows grouped by suffix k)
+    //   ccden_k(u) = N1+(· u ·)  (sum of cc over the context u)
+    //   tcc_k(u)  = |{w : N1+(· u w) > 0}| (rows of cc_k per context)
+    val ccTables: Map[Int, (DataFrame, DataFrame, DataFrame)] =
+      (1 until n).map { k =>
+        val kp = rawCounts(k + 1, "__raw")
+        val cc = kp.select(expr(
+          s"array_join(slice(split(__g, ' '), 2, $k), ' ')").as("__g"))
+          .groupBy(col("__g")).agg(count(lit(1)).as(s"__cc$k"))
+        val (den, tcc) =
+          if (k >= 2) {
+            val byCtx = cc.select(expr(
+              s"array_join(slice(split(__g, ' '), 1, ${k - 1}), ' ')")
+              .as("__g"), col(s"__cc$k"))
+              .groupBy(col("__g"))
+              .agg(sum(col(s"__cc$k")).as(s"__ccden$k"),
+                count(lit(1)).as(s"__tcc$k"))
+            (byCtx.select(col("__g"), col(s"__ccden$k")),
+              byCtx.select(col("__g"), col(s"__tcc$k")))
+          } else (null, null)
+        k -> (cc, den, tcc)
+      }.toMap
+    // scalar totals: bigram TYPE count (= Σ_w N1+(·w)) and vocab size
+    val totals = ccTables(1)._1.agg(
+      sum(col("__cc1")).cast("double").as("__bt")).crossJoin(
+      train.select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+        .agg(countDistinct(col("__t")).cast("double").as("__V")))
+    // doc-side grams with per-order suffixes/contexts — the same
+    // short-doc machinery as the stupid-backoff sibling (__L = order)
+    val toks = Dedup.tokenize(col(textCol))
+    var dg = docs
+      .select(col(idCol).as("__id"),
+        explode(when(size(toks) >= n, wordNgrams(col(textCol), n))
+          .when(size(toks) >= 1, array(array_join(toks, " ")))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+      .withColumn("__arr", split(col("__g"), " "))
+      .withColumn("__L", size(col("__arr")))
+    (1 to n).foreach { k =>
+      dg = dg.withColumn(s"__s$k",
+        when(col("__L") >= k,
+          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k)), " ")))
+      if (k >= 2) dg = dg.withColumn(s"__x$k",
+        when(col("__L") >= k,
+          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k - 1)),
+            " ")))
+    }
+    var joined = dg.drop("__g", "__arr")
+    joined = joined
+      .join(cn.withColumnRenamed("__g", s"__s$n"), Seq(s"__s$n"), "left")
+      .join(cd.withColumnRenamed("__g", s"__x$n"), Seq(s"__x$n"), "left")
+      .join(tn.withColumnRenamed("__g", s"__x$n"), Seq(s"__x$n"), "left")
+    (1 until n).foreach { k =>
+      val (cc, den, tcc) = ccTables(k)
+      joined = joined
+        .join(cc.withColumnRenamed("__g", s"__s$k"), Seq(s"__s$k"), "left")
+      if (k >= 2) joined = joined
+        .join(den.withColumnRenamed("__g", s"__x$k"), Seq(s"__x$k"), "left")
+        .join(tcc.withColumnRenamed("__g", s"__x$k"), Seq(s"__x$k"), "left")
+    }
+    joined = joined.crossJoin(broadcast(totals))
+    // nested interpolation, built bottom-up; levels above the gram's
+    // own order __L pass through untouched
+    val p1 = (coalesce(col("__cc1"), lit(0L)).cast("double") + 1.0) /
+      (col("__bt") + col("__V"))
+    var p = p1
+    (2 to n).foreach { k =>
+      val (cNum, cDen, cTyp) =
+        if (k == n) (col("__cn"), col("__cd"), col("__tn"))
+        else (col(s"__cc$k"), col(s"__ccden$k"), col(s"__tcc$k"))
+      val denD = cDen.cast("double")
+      // a context with no continuation types (attested only at text
+      // end: the denominator count present but never extended) must
+      // PASS THROUGH like an unseen one — f = 0 with lambda = 0 would
+      // zero the whole probability
+      val absent = cDen.isNull || cTyp.isNull
+      val f = when(absent, lit(0.0)).otherwise(
+        greatest(coalesce(cNum, lit(0L)).cast("double") - D, lit(0.0)) /
+          denD)
+      val lam = when(absent, lit(1.0)).otherwise(
+        D * cTyp.cast("double") / denD)
+      p = when(col("__L") >= k, f + lam * p).otherwise(p)
+    }
+    val scored = joined.select(col("__id"),
+      round(log(p) * 1000000.0).cast("long").as("__lp6"))
+    val perDoc = scored.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__lp6")).as("logprob_sum_e6"))
+      .withColumn("avg_logprob",
+        col("logprob_sum_e6").cast("double") /
+          (col("n_grams").cast("double") * 1000000.0))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 6))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
+  }
+
   /** Unicode script ranges for [[scriptSignals]] — BMP blocks written in
     * `\x{..}` syntax so the SAME character class compiles under both
     * Java regex (Spark) and RE2 (DuckDB oracle). Declaration order is

@@ -113,6 +113,39 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(4))
   }
 
+  test("ngramLmKneserNey: interpolated KN with hand-computed raw-top, " +
+      "continuation-lower probabilities; unseen contexts pass through; " +
+      "short docs enter at their own order") {
+    // train "a b c" ×2 + "b c d" (n = 3, D = 0.75):
+    //  c3: (a b c)=2, (b c d)=1; c2: (a b)=2 (b c)=3 (c d)=1
+    //  N1+(ctx·): (a b)→1, (b c)→1
+    //  cc2 (distinct preceding types): (b c)=1, (c d)=1;
+    //    ccden2/tcc2: b→(1,1), c→(1,1)
+    //  cc1: b=1 c=1 d=1; bigramTypes=3; V=4
+    val train = Seq((0L, "a b c"), (3L, "a b c"), (6L, "b c d"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // full: 0.625 + 0.375·(0.25 + 0.75·(2/7))
+      (2L, "z b c"), // unseen top ctx → pure lower: 0.25 + 0.75·(2/7)
+      (3L, "z z q"), // everything unseen → unigram floor 1/7
+      (4L, "b c"),   // short (2 < n): enters at order 2 — same as doc 2
+      (5L, "c"),     // 1 word: P₁(c) = 2/7
+      (6L, "")       // unscorable
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmKneserNey(docs, "text", "doc_id",
+      train, "text", n = 3).collect().map(r => r.getLong(0) -> r).toMap
+    def lp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    val lower = 0.25 + 0.75 * (2.0 / 7)
+    assert(out(1L).getLong(2) == lp6(0.625 + 0.375 * lower))
+    assert(out(2L).getLong(2) == lp6(lower))
+    assert(out(3L).getLong(2) == lp6(1.0 / 7))
+    assert(out(4L).getLong(1) == 1L && out(4L).getLong(2) == lp6(lower))
+    assert(out(5L).getLong(2) == lp6(2.0 / 7))
+    assert(out(6L).getLong(1) == 0L && out(6L).isNullAt(4))
+    // perplexity follows the quantized mean
+    assert(math.abs(out(3L).getDouble(4) - 7.0) < 1e-4)
+  }
+
   test("scriptSignals: per-script codepoint counts, dominant with " +
       "declaration-order tie-break, none/empty handling") {
     val docs = Seq(
