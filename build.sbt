@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = one JVM; the container has 128 GiB — a tight heap makes
   // the dedup/join shuffles spill and GC-thrash at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
