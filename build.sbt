@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = one JVM; the container has 128 GiB — a tight heap makes
   // the dedup/join shuffles spill and GC-thrash at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Throughput GC for the batch workload: under the allocation-heavy
+  // rows (string-exploding RML/dedup plans) G1's write-barrier +
+  // safepoint machinery futex-storms this kernel — measured on
+  // rml_multi_tm: wall 9.7 s / 60 s kernel CPU under G1 vs 4.4 s /
+  // 27 s under ParallelGC, same query, same box (r18 GC A/B; G1 with
+  // a pre-sized 24 g heap was WORSE, 339 s kernel). Overridable for
+  // experiments via SPARK_DRIVER_GC.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_DRIVER_GC", "ParallelGC")}",
 ) ++ sys.env.get("SPARK_DRIVER_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -3774,50 +3774,57 @@ object CatalogOps {
   /** The media-gate fixture corpus: payload kind cycles by doc_id % 6
     * (shared by the kind-prefilter and persist-once gate rows).
     */
+  private def mediaGateGen(k: Int, d: Column): Column = k match {
+    case 0 =>
+      graft.ops.Ebml.syntheticWebm((d % 3).cast("int"),
+        (lit(320) + lit(16) * (d % 10)).cast("int"),
+        (lit(240) + lit(16) * (d % 6)).cast("int"),
+        (d % 2).cast("int"),
+        when(d % 2 === 0, 48000).otherwise(44100).cast("int"),
+        (lit(1) + d % 3).cast("int"), (lit(4) + d % 3).cast("int"),
+        (lit(2) + d % 2).cast("int"),
+        (lit(1000) + lit(500) * (d % 5)).cast("int"))
+    case 1 =>
+      graft.ops.Hevc.syntheticHevcAnnexB(
+        (lit(320) + lit(16) * (d % 10)).cast("int"),
+        (lit(240) + lit(16) * (d % 6)).cast("int"),
+        (lit(1) + d % 2).cast("int"),
+        (lit(90) + lit(30) * (d % 4)).cast("int"),
+        (lit(2) * (d % 2)).cast("int"), (lit(1) + d % 3).cast("int"),
+        (d % 2).cast("int"), (lit(2) + d % 4).cast("int"))
+    case 2 =>
+      graft.ops.AudioContainers.syntheticFlac(
+        when(d % 2 === 0, 44100).otherwise(48000).cast("int"),
+        (lit(1) + d % 2).cast("int"), lit(16),
+        (lit(100000) + lit(480) * (d % 100)).cast("long"))
+    case 3 =>
+      graft.ops.AudioContainers.syntheticOggOpus(
+        (lit(1) + d % 2).cast("int"), lit(312),
+        (lit(2) + d % 3).cast("int"),
+        (lit(48000) * (lit(1) + d % 5)).cast("long"))
+    case 4 =>
+      graft.ops.H264Decode.syntheticIPcmMp4(
+        (lit(1) + d % 4).cast("int"), (lit(1) + d % 3).cast("int"),
+        (lit(1) + d % 7).cast("int"), (lit(1) + d % 3).cast("int"),
+        (d * 7 % 256).cast("int"), (lit(1) + d % 9).cast("int"))
+    case _ =>
+      graft.ops.H264Decode.syntheticCabacAnnexB(
+        (lit(1) + d % 5).cast("int"), d % 2 === 1,
+        (lit(2) + d % 3).cast("int"), (lit(1) + d % 4).cast("int"),
+        (lit(150) + d % 7).cast("int"))
+  }
+
   private def mediaGatePayload(d: Column): Column = when(d % 6 === 0,
-          graft.ops.Ebml.syntheticWebm((d % 3).cast("int"),
-            (lit(320) + lit(16) * (d % 10)).cast("int"),
-            (lit(240) + lit(16) * (d % 6)).cast("int"),
-            (d % 2).cast("int"),
-            when(d % 2 === 0, 48000).otherwise(44100).cast("int"),
-            (lit(1) + d % 3).cast("int"), (lit(4) + d % 3).cast("int"),
-            (lit(2) + d % 2).cast("int"),
-            (lit(1000) + lit(500) * (d % 5)).cast("int")))
-        .when(d % 6 === 1,
-          graft.ops.Hevc.syntheticHevcAnnexB(
-            (lit(320) + lit(16) * (d % 10)).cast("int"),
-            (lit(240) + lit(16) * (d % 6)).cast("int"),
-            (lit(1) + d % 2).cast("int"),
-            (lit(90) + lit(30) * (d % 4)).cast("int"),
-            (lit(2) * (d % 2)).cast("int"), (lit(1) + d % 3).cast("int"),
-            (d % 2).cast("int"), (lit(2) + d % 4).cast("int")))
-        .when(d % 6 === 2,
-          graft.ops.AudioContainers.syntheticFlac(
-            when(d % 2 === 0, 44100).otherwise(48000).cast("int"),
-            (lit(1) + d % 2).cast("int"), lit(16),
-            (lit(100000) + lit(480) * (d % 100)).cast("long")))
-        .when(d % 6 === 3,
-          graft.ops.AudioContainers.syntheticOggOpus(
-            (lit(1) + d % 2).cast("int"), lit(312),
-            (lit(2) + d % 3).cast("int"),
-            (lit(48000) * (lit(1) + d % 5)).cast("long")))
-        .when(d % 6 === 4,
-          graft.ops.H264Decode.syntheticIPcmMp4(
-            (lit(1) + d % 4).cast("int"), (lit(1) + d % 3).cast("int"),
-            (lit(1) + d % 7).cast("int"), (lit(1) + d % 3).cast("int"),
-            (d * 7 % 256).cast("int"), (lit(1) + d % 9).cast("int")))
-        .otherwise(
-          graft.ops.H264Decode.syntheticCabacAnnexB(
-            (lit(1) + d % 5).cast("int"), d % 2 === 1,
-            (lit(2) + d % 3).cast("int"), (lit(1) + d % 4).cast("int"),
-            (lit(150) + d % 7).cast("int")))
+          mediaGateGen(0, d))
+        .when(d % 6 === 1, mediaGateGen(1, d))
+        .when(d % 6 === 2, mediaGateGen(2, d))
+        .when(d % 6 === 3, mediaGateGen(3, d))
+        .when(d % 6 === 4, mediaGateGen(4, d))
+        .otherwise(mediaGateGen(5, d))
 
   private val mmMediaGate = Q("mm_media_gate_pipeline",
     (s, dir) => {
       val d = col("doc_id")
-      val corpus = t(s, dir, "documents")
-        .select(d, mediaGatePayload(d).as("payload"))
-        .withColumn("sniffed", graft.ops.Multimodal.sniffMediaType(col("payload")))
       def norm(df: org.apache.spark.sql.DataFrame, kind: String,
           w: Column, h: Column, sr: Column, dur: Column,
           kf: Column): org.apache.spark.sql.DataFrame =
@@ -3833,7 +3840,23 @@ object CatalogOps {
       // a mis-sniffed clip still drops and the oracle's row count
       // catches it; over a real object store the same shape is "persist
       // the sniffed frame once" (see the row scaladoc).
-      def kind(k: Int) = corpus.filter(d % 6 === k)
+      //
+      // Under `doc_id % 6 === k` the full payload when-chain reduces to
+      // exactly its k-th generator, so each branch carries ONLY that
+      // generator: the former all-six-generators projection blew the
+      // 64 KB codegen method limit in every branch (six interpreted
+      // fallbacks logged per run) — one generator codegens. The widen
+      // exchange moves bare doc_ids BEFORE payload synthesis (the
+      // single-row-group fixture scan is otherwise one task against 32
+      // cores; at real scale the scan is already wide and widen is a
+      // no-op).
+      def kind(k: Int) = {
+        val ids = graft.util.ScanSpread.widen(
+          t(s, dir, "documents").select(d).filter(d % 6 === k))
+        ids.select(d, mediaGateGen(k, d).as("payload"))
+          .withColumn("sniffed",
+            graft.ops.Multimodal.sniffMediaType(col("payload")))
+      }
       val webm = norm(graft.ops.Ebml.webmTracks(
           kind(0).filter(col("sniffed") === "video/webm"), "payload")
           .filter(col("track_type") === "video"),

@@ -135,7 +135,57 @@ object MappingCompiler {
       }
       tm.copy(poms = poms)
     }
-    doc.copy(triplesMaps = tms)
+    doc.copy(triplesMaps = mergeSiblingTms(tms))
+  }
+
+  /** TM-merge: sibling TriplesMaps over the SAME source with the SAME
+    * subject map and base merge into one TM with concatenated POMs — one
+    * scan + one term-construction stage instead of N. This is the
+    * reference's worst benchmark axis ("15 TM × 1 POM", BASELINE.md
+    * 362 s at 1 M rows): the N-branch union never hits ReusedExchange
+    * because per-branch column pruning gives every scan a different
+    * ReadSchema, so N TMs cost N scans, N rebalance exchanges and N
+    * sorted round-robin passes of the same rows (measured: rml_multi_tm
+    * carried 11 of each).
+    *
+    * Conservative by construction: only asserted TMs that no other TM
+    * references (RefObjectMap parent / RML-star quoted), with no
+    * rdf:type classes, no subject condition and no logical targets —
+    * merging any of those could change emitted-duplicate multiplicity
+    * (dedup-off mode), routing granularity (K3) or join resolution.
+    * POMs concatenate WITHOUT cross-TM dedup so the no-dedup output
+    * multiset is bit-identical to the unmerged union.
+    */
+  private def mergeSiblingTms(tms: List[TriplesMap]): List[TriplesMap] = {
+    def quotedIds(t: TermMap): List[String] =
+      t.quotedTm.toList
+    val referenced: Set[String] = tms.flatMap { tm =>
+      tm.poms.flatMap(p =>
+        p.objectMap.refObject.map(_.parentTriplesMap).toList ++
+          quotedIds(p.predicate) ++
+          p.objectMap.term.toList.flatMap(quotedIds) ++
+          p.objectMap.datatypeMap.toList.flatMap(quotedIds) ++
+          p.objectMap.languageMap.toList.flatMap(quotedIds) ++
+          p.objectMap.gather.toList.flatMap(_.items.flatMap(quotedIds)) ++
+          p.graph.toList.flatMap(quotedIds)) ++
+        quotedIds(tm.subject.term) ++
+        tm.subject.graph.toList.flatMap(quotedIds)
+    }.toSet
+    def mergeable(tm: TriplesMap): Boolean =
+      tm.asserted && !referenced.contains(tm.id) &&
+        tm.subject.rdfClasses.isEmpty && tm.subject.condition.isEmpty &&
+        tm.subject.targets.isEmpty
+    val out = scala.collection.mutable.LinkedHashMap.empty[Any, TriplesMap]
+    tms.foreach { tm =>
+      val key: Any =
+        if (mergeable(tm)) Left((tm.source, tm.subject, tm.baseIri))
+        else Right(tm.id)
+      out.get(key) match {
+        case Some(acc) => out(key) = acc.copy(poms = acc.poms ++ tm.poms)
+        case None => out += key -> tm
+      }
+    }
+    out.values.toList
   }
 
   private def isInlinable(tm: TermMap): Boolean = tm.kind match {

@@ -61,7 +61,13 @@ object TermCompiler {
         val lex = lexical(tm, colFn, encode = true)
         val withBase = tm.kind match {
           case TermKind.Constant | TermKind.Template | TermKind.Reference =>
-            resolveBase(lex.column, base)
+            // a template whose leading literal already satisfies the
+            // absolute-IRI check makes the runtime contains+rlike branch
+            // constant-TRUE for every produced value — fold it here (it
+            // was a per-row regex, plus the template concat evaluated
+            // three times, on the bench's hottest projection)
+            if (staticallyAbsolute(tm)) lex.column
+            else resolveBase(lex.column, base)
           case _ => lex.column
         }
         CompiledTerm(rml.iri(withBase), lex.guard)
@@ -111,6 +117,24 @@ object TermCompiler {
     val b = lit(base.getOrElse("http://example.com/base/"))
     val validUrl = value.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]+")
     when(value.contains("http") && validUrl, value).otherwise(concat(b, value))
+  }
+
+  /** [[resolveBase]]'s runtime test decided at compile time: a TEMPLATE
+    * whose leading literal segment contains "http" and already matches the
+    * anchored scheme://netloc pattern passes the runtime check for every
+    * expansion (the anchored regex matched within the constant prefix
+    * keeps matching any extension of it). Only the certain-positive case
+    * folds; everything else keeps the per-row check.
+    */
+  private val AbsIriPrefix =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*://[^/]+")
+  private def staticallyAbsolute(tm: TermMap): Boolean = tm.kind match {
+    case TermKind.Template => TemplateParser.parse(tm.value) match {
+      case TemplateParser.Lit(s) :: _ =>
+        s.contains("http") && AbsIriPrefix.matcher(s).find()
+      case _ => false
+    }
+    case _ => false
   }
 
   /** Attributes a term map references (for projection pruning, SURVEY P1). */

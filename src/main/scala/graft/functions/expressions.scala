@@ -71,8 +71,57 @@ object rml {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
   private def asStr(c: Column): Column = c.cast("string")
 
-  def encodeIri(c: Column): Column = column(RmlEncode(expression(asStr(c))))
-  def ntEscape(c: Column): Column = column(NtEscape(expression(asStr(c))))
+  /** The type a column RENDERS from (peeling one to-string cast, the
+    * engine's own `asStr`), when it is already resolved against a frame.
+    * Unresolved columns (bare `col("a")`) report None and keep the
+    * general path.
+    */
+  private def renderType(c: Column): Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try {
+      expression(c) match {
+        case ct: org.apache.spark.sql.catalyst.expressions.Cast
+            if ct.dataType == org.apache.spark.sql.types.StringType =>
+          ct.child.dataType
+        case e => e.dataType
+      }
+    }.toOption
+
+  /** Types whose string rendering can never hit the textual null lattice
+    * ("", "nan", "N/A", "NULL" — double NaN renders "NaN", which the
+    * case-sensitive lattice keeps) nor contain an NT-escapable character:
+    * for them the lattice is exactly `isNotNull` and ntEscape is the
+    * identity. Measured on rml_wide_mapping: the full lattice ran a trim,
+    * an IN-list and two extra string casts per referenced attribute per
+    * row, on 11 numeric attributes.
+    */
+  private def nonTextualType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+          BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Subset of [[nonTextualType]] whose renders are also closed over the
+    * percent-encoding safe set (alnum and `_.-~:@=+%`): numerics
+    * ("1.5E-8"), dates ("2026-01-01"), booleans. Timestamps are NOT — the
+    * space separator encodes to %20.
+    */
+  private def encodeSafeType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  def encodeIri(c: Column): Column =
+    if (renderType(c).exists(encodeSafeType)) asStr(c)
+    else column(RmlEncode(expression(asStr(c))))
+  def ntEscape(c: Column): Column =
+    if (renderType(c).exists(nonTextualType)) asStr(c)
+    else column(NtEscape(expression(asStr(c))))
   def bnodeEncode(c: Column): Column = column(BlankNodeEncode(expression(asStr(c))))
   def slugify(c: Column): Column = column(Slugify(expression(asStr(c))))
   def fnv64(c: Column): Column = column(Fnv1a64(expression(asStr(c))))
@@ -80,10 +129,12 @@ object rml {
   /** The reference's null lattice as a Column predicate: value is usable iff
     * non-null, non-blank and not one of nan/N/A/NULL (functions.py:1882-1918).
     */
-  def notRmlNull(c: Column): Column = {
-    val s = asStr(c)
-    s.isNotNull && trim(s) =!= "" && !s.isin("nan", "N/A", "NULL")
-  }
+  def notRmlNull(c: Column): Column =
+    if (renderType(c).exists(nonTextualType)) c.isNotNull
+    else {
+      val s = asStr(c)
+      s.isNotNull && trim(s) =!= "" && !s.isin("nan", "N/A", "NULL")
+    }
 
   /** Wrap an absolute IRI: `<...>`. */
   def iri(c: Column): Column = concat(lit("<"), asStr(c), lit(">"))

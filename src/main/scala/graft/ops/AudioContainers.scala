@@ -240,7 +240,7 @@ object AudioContainers {
         // opaque frame bytes
         bos.write(Array.tabulate(16)(j => (0xF8 + j % 4).toByte), 0, 16)
         bos.toByteArray
-      })
+      }).asNondeterministic()
 
   private def oggPage(serial: Long, seq: Long, granule: Long,
       headerType: Int, packet: Array[Byte]): Array[Byte] = {
@@ -291,7 +291,7 @@ object AudioContainers {
           p += 1
         }
         bos.toByteArray
-      })
+      }).asNondeterministic()
 
   /** Deterministic Ogg-Vorbis stream: identification header page +
     * `nPages` audio pages, final granule = `samples`. */

@@ -431,5 +431,5 @@ object Ebml {
           }
         }
         w.out.toByteArray
-      })
+      }).asNondeterministic()
 }

@@ -3619,7 +3619,7 @@ object H264Decode {
         nal(3, 8, cabacPpsRbsp)
         nal(3, 5, cabacSliceRbsp(v0, s1Neg, v2, k, p))
         out.toArray
-      })
+      }).asNondeterministic()
 
   /** A REAL PPS RBSP (CAVLC, no FMO, no deblock fields) shared by the
     * synthetic generators. */
@@ -3748,7 +3748,7 @@ object H264Decode {
             sampleNal(2, 1, Array.tabulate(8 + k % 8)(j => (0x80 | (k + j)).toByte))
         }
         mp4AvcClip(mbw, mbh, samples, syncPeriod, realPpsRbsp)
-      })
+      }).asNondeterministic()
 
   /** Deterministic full-color MP4: each sync sample holds a REAL color
     * IDR ([[i16ColorSliceRbsp]] with v0 + k as its luma base, uniform

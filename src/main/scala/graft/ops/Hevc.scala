@@ -201,5 +201,5 @@ object Hevc {
         i = 0
         while (i < nTrail) { nal(1, Array.tabulate(9)(j => (i * 3 + j).toByte)); i += 1 }
         out.toArray
-      })
+      }).asNondeterministic()
 }

@@ -83,13 +83,31 @@ object TextAnalysis {
     * kernel (57×) — the same interpreted-HOF hot-path trap as SCALE.md
     * §14.3. Null/short texts yield an empty array.
     */
-  def wordNgrams(text: Column, k: Int): Column = {
-    val kk = k
-    val slide = udf((toks: Seq[String]) =>
-      if (toks == null || toks.size < kk) Seq.empty[String]
-      else toks.sliding(kk).map(_.mkString(" ")).toSeq)
-    slide(Dedup.tokenize(text))
-  }
+  def wordNgrams(text: Column, k: Int): Column =
+    wordNgramsOfTokens(Dedup.tokenize(text), k)
+
+  /** [[wordNgrams]] over an already-tokenized array column — lets callers
+    * that build MANY gram orders (the LM trainers) tokenize once into a
+    * persisted frame instead of re-running the tokenizer per order. The
+    * per-k UDF instances are memoized: a fresh `udf(...)` per call makes
+    * otherwise-identical subtrees canonicalize UNEQUAL, which silently
+    * disables ReuseExchange across repeated gram tables (measured: the
+    * KN-LM plan carried two full duplicate count-table subtrees).
+    */
+  def wordNgramsOfTokens(toks: Column, k: Int): Column =
+    slideUdfs.computeIfAbsent(k, slideOf)(toks)
+
+  private val slideUdfs =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private val slideOf =
+    new java.util.function.Function[Int,
+        org.apache.spark.sql.expressions.UserDefinedFunction] {
+      def apply(kk: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+        udf((toks: Seq[String]) =>
+          if (toks == null || toks.size < kk) Seq.empty[String]
+          else toks.sliding(kk).map(_.mkString(" ")).toSeq)
+    }
 
   /** Test-set decontamination: which corpus documents share ≥1 word n-gram
     * with a probe set (benchmark/eval data). The probe side's distinct
@@ -703,15 +721,21 @@ object TextAnalysis {
     // "a b c" → ctx "a b", word "c" (n = 1 → ctx "", a unigram LM)
     def ctxOf(g: Column): Column = regexp_replace(g, "\\s?\\S+$", "")
     def wordOf(g: Column): Column = regexp_extract(g, "(\\S+)$", 1)
-    val trainGrams = train
-      .select(explode(wordNgrams(col(trainTextCol), n)).as("g"))
+    // tokenize once; the pruned gram-count table persists because it
+    // feeds both the score join and the context-count rollup
+    val toksTrain = train
+      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainGrams = toksTrain
+      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("g"))
       .select(ctxOf(col("g")).as("__ctx"), wordOf(col("g")).as("__w"))
     val gramCounts = trainGrams.groupBy(col("__ctx"), col("__w"))
       .agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctxCounts = gramCounts.groupBy(col("__ctx")).agg(sum(col("__c")).as("__cc"))
-    val vocab = train
-      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+    val vocab = toksTrain
+      .select(explode(col("__toks")).as("__t"))
       .agg(countDistinct(col("__t")).cast("double").as("__v"))
     val docGrams = docs.select(col(idCol).as("__id"),
         explode(wordNgrams(col(textCol), n)).as("g"))
@@ -772,7 +796,7 @@ object TextAnalysis {
     * rows. Plan shape at 100 TB: training is a bounded set of
     * hash-uniform partial-agg groupBys over distinct-gram tables (the
     * LM lives as DataFrames, never driver state); scoring is scan-side
-    * gram generation + ~3n−2 gram-keyed equi-joins + one broadcast of
+    * gram generation + ~2n gram-keyed equi-joins + one broadcast of
     * the scalar totals.
     */
   def ngramLmKneserNey(docs: DataFrame, textCol: String, idCol: String,
@@ -781,12 +805,31 @@ object TextAnalysis {
     require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
     val D = lit(discount)
-    // raw count tables for the top level: c_n and c_{n-1}
-    def rawCounts(k: Int, cName: String): DataFrame = train
-      .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
+    // tokenize ONCE into a persisted frame: every count table (and the
+    // vocab scalar) used to re-derive the token stream from raw text —
+    // at n = 5 that was 14 scans + 14 tokenizer passes per run, and the
+    // duplicated order-n / order-(n−1) tables (cn/cd vs the continuation
+    // derivations) never hit ReuseExchange because each wordNgrams call
+    // minted a fresh UDF instance. One token frame feeds all orders; the
+    // ContextCleaner reclaims the blocks once the frames are collected.
+    val toksTrain = train
+      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rawCounts(k: Int, cName: String): DataFrame = toksTrain
+      .select(explode(wordNgramsOfTokens(col("__toks"), k)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as(cName))
-    val cn = rawCounts(n, "__cn")
-    val cd = rawCounts(n - 1, "__cd")
+    // one raw table per order, shared by every consumer; the two
+    // multi-consumer orders (n feeds the top-level join AND tn; n−1
+    // feeds cd AND the order-(n−2) continuation table) persist so the
+    // second consumer reads the aggregate instead of re-aggregating
+    val raw: Map[Int, DataFrame] = (2 to n).map { k =>
+      val r = rawCounts(k, s"__raw$k")
+      k -> (if (k >= n - 1)
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else r)
+    }.toMap
+    val cn = raw(n).withColumnRenamed(s"__raw$n", "__cn")
+    val cd = raw(n - 1).withColumnRenamed(s"__raw${n - 1}", "__cd")
     // N1+(ctx ·) for the top level: distinct continuations of each
     // (n−1)-gram context — one groupBy over the distinct-c_n table
     val tn = cn.select(expr(
@@ -798,29 +841,31 @@ object TextAnalysis {
     //   cc_k(u·w) = N1+(· u w)   (rows grouped by suffix k)
     //   ccden_k(u) = N1+(· u ·)  (sum of cc over the context u)
     //   tcc_k(u)  = |{w : N1+(· u w) > 0}| (rows of cc_k per context)
-    val ccTables: Map[Int, (DataFrame, DataFrame, DataFrame)] =
+    val ccTables: Map[Int, (DataFrame, DataFrame)] =
       (1 until n).map { k =>
-        val kp = rawCounts(k + 1, "__raw")
+        val kp = raw(k + 1)
         val cc = kp.select(expr(
           s"array_join(slice(split(__g, ' '), 2, $k), ' ')").as("__g"))
           .groupBy(col("__g")).agg(count(lit(1)).as(s"__cc$k"))
-        val (den, tcc) =
-          if (k >= 2) {
-            val byCtx = cc.select(expr(
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // den and tcc ride ONE frame (they come from the same groupBy)
+        // and join the doc side once — splitting them doubled the joins
+        val byCtx =
+          if (k >= 2)
+            cc.select(expr(
               s"array_join(slice(split(__g, ' '), 1, ${k - 1}), ' ')")
               .as("__g"), col(s"__cc$k"))
               .groupBy(col("__g"))
               .agg(sum(col(s"__cc$k")).as(s"__ccden$k"),
                 count(lit(1)).as(s"__tcc$k"))
-            (byCtx.select(col("__g"), col(s"__ccden$k")),
-              byCtx.select(col("__g"), col(s"__tcc$k")))
-          } else (null, null)
-        k -> (cc, den, tcc)
+          else null
+        k -> (cc, byCtx)
       }.toMap
     // scalar totals: bigram TYPE count (= Σ_w N1+(·w)) and vocab size
+    // (vocab from the persisted token frame, not a fresh text scan)
     val totals = ccTables(1)._1.agg(
       sum(col("__cc1")).cast("double").as("__bt")).crossJoin(
-      train.select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+      toksTrain.select(explode(col("__toks")).as("__t"))
         .agg(countDistinct(col("__t")).cast("double").as("__V")))
     // doc-side grams with per-order suffixes/contexts — the same
     // short-doc machinery as the stupid-backoff sibling (__L = order)
@@ -847,12 +892,11 @@ object TextAnalysis {
       .join(cd.withColumnRenamed("__g", s"__x$n"), Seq(s"__x$n"), "left")
       .join(tn.withColumnRenamed("__g", s"__x$n"), Seq(s"__x$n"), "left")
     (1 until n).foreach { k =>
-      val (cc, den, tcc) = ccTables(k)
+      val (cc, byCtx) = ccTables(k)
       joined = joined
         .join(cc.withColumnRenamed("__g", s"__s$k"), Seq(s"__s$k"), "left")
       if (k >= 2) joined = joined
-        .join(den.withColumnRenamed("__g", s"__x$k"), Seq(s"__x$k"), "left")
-        .join(tcc.withColumnRenamed("__g", s"__x$k"), Seq(s"__x$k"), "left")
+        .join(byCtx.withColumnRenamed("__g", s"__x$k"), Seq(s"__x$k"), "left")
     }
     joined = joined.crossJoin(broadcast(totals))
     // nested interpolation, built bottom-up; levels above the gram's
@@ -975,15 +1019,26 @@ object TextAnalysis {
       alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
     require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    // tokenize ONCE into a persisted frame (the KN sibling's lesson):
+    // n count tables + the totals scalar each re-ran the tokenizer over
+    // raw text. Orders 1..n−1 persist too — each feeds BOTH its own
+    // suffix join and order k+1's denominator join.
+    val toksTrain = train
+      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts: Map[Int, DataFrame] = (1 to n).map { k =>
-      val c = train
-        .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
+      val c = toksTrain
+        .select(explode(wordNgramsOfTokens(col("__toks"), k)).as("__g"))
         .groupBy(col("__g")).agg(count(lit(1)).as(s"__c$k"))
-      k -> (if (k >= 2 && minCount > 1) c.where(col(s"__c$k") >= minCount)
-        else c)
+      val pruned =
+        if (k >= 2 && minCount > 1) c.where(col(s"__c$k") >= minCount)
+        else c
+      k -> (if (k < n)
+        pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pruned)
     }.toMap
-    val totals = train
-      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
+    val totals = toksTrain
+      .select(explode(col("__toks")).as("__t"))
       .agg(count(lit(1)).cast("double").as("__N"),
         countDistinct(col("__t")).cast("double").as("__V"))
     // full doc n-grams; per gram, the suffix of each order k and its
