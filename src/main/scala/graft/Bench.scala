@@ -99,6 +99,15 @@ object Bench {
         (math.max(a.load0, a.load1) > 1.5 * nCpus))
     val results = headline.map { q =>
       def once(): Attempt = {
+        // measurement-honesty (r18): operators that persist() an
+        // intermediate register it in the CacheManager KEYED ON THE
+        // LOGICAL PLAN, so a second attempt of the same query would
+        // silently read the first attempt's cache and time only the
+        // post-cache tail (observed: "Asked to cache already cached
+        // data" on the LM rows' count tables). Every attempt must
+        // compute from the parquet inputs — drop all cached data
+        // before the timer starts.
+        spark.catalog.clearCache()
         val l0 = loadavg()
         val (u0, s0) = procCpu()
         val t0 = System.nanoTime()

@@ -721,21 +721,20 @@ object TextAnalysis {
     // "a b c" → ctx "a b", word "c" (n = 1 → ctx "", a unigram LM)
     def ctxOf(g: Column): Column = regexp_replace(g, "\\s?\\S+$", "")
     def wordOf(g: Column): Column = regexp_extract(g, "(\\S+)$", 1)
-    // tokenize once; the pruned gram-count table persists because it
-    // feeds both the score join and the context-count rollup
-    val toksTrain = train
-      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainGrams = toksTrain
-      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("g"))
+    // r18 note: persisting the token frame / count table here was
+    // MEASURED WORSE than recompute at bench scale (materialization
+    // passes + cache scans beat two fused aggregation pipelines);
+    // identical subtrees still dedupe via ReuseExchange because the
+    // wordNgrams UDFs are memoized per order.
+    val trainGrams = train
+      .select(explode(wordNgrams(col(trainTextCol), n)).as("g"))
       .select(ctxOf(col("g")).as("__ctx"), wordOf(col("g")).as("__w"))
     val gramCounts = trainGrams.groupBy(col("__ctx"), col("__w"))
       .agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctxCounts = gramCounts.groupBy(col("__ctx")).agg(sum(col("__c")).as("__cc"))
-    val vocab = toksTrain
-      .select(explode(col("__toks")).as("__t"))
+    val vocab = train
+      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
       .agg(countDistinct(col("__t")).cast("double").as("__v"))
     val docGrams = docs.select(col(idCol).as("__id"),
         explode(wordNgrams(col(textCol), n)).as("g"))
@@ -805,28 +804,20 @@ object TextAnalysis {
     require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
     val D = lit(discount)
-    // tokenize ONCE into a persisted frame: every count table (and the
-    // vocab scalar) used to re-derive the token stream from raw text —
-    // at n = 5 that was 14 scans + 14 tokenizer passes per run, and the
-    // duplicated order-n / order-(n−1) tables (cn/cd vs the continuation
-    // derivations) never hit ReuseExchange because each wordNgrams call
-    // minted a fresh UDF instance. One token frame feeds all orders; the
-    // ContextCleaner reclaims the blocks once the frames are collected.
-    val toksTrain = train
-      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def rawCounts(k: Int, cName: String): DataFrame = toksTrain
-      .select(explode(wordNgramsOfTokens(col("__toks"), k)).as("__g"))
+    // r18 measured decision: NO materialization in the trainer. The
+    // duplicated order-n / order-(n−1) subtrees (cn/cd vs the
+    // continuation derivations) dedupe through ReuseExchange now that
+    // wordNgrams memoizes its per-order UDFs (identical gram subtrees
+    // canonicalize equal); persisting the token frame or the count
+    // tables instead was measured WORSE at bench scale (KN 7.3 → 9.1 s
+    // honest-timed: materialization passes + cache scans lose to fused
+    // aggregation pipelines), and a single all-orders groupBy worse
+    // still (11.7 s — every consumer re-scans the combined table).
+    def rawCounts(k: Int, cName: String): DataFrame = train
+      .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as(cName))
-    // one raw table per order, shared by every consumer; the two
-    // multi-consumer orders (n feeds the top-level join AND tn; n−1
-    // feeds cd AND the order-(n−2) continuation table) persist so the
-    // second consumer reads the aggregate instead of re-aggregating
     val raw: Map[Int, DataFrame] = (2 to n).map { k =>
-      val r = rawCounts(k, s"__raw$k")
-      k -> (if (k >= n - 1)
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else r)
+      k -> rawCounts(k, s"__raw$k")
     }.toMap
     val cn = raw(n).withColumnRenamed(s"__raw$n", "__cn")
     val cd = raw(n - 1).withColumnRenamed(s"__raw${n - 1}", "__cd")
@@ -847,7 +838,6 @@ object TextAnalysis {
         val cc = kp.select(expr(
           s"array_join(slice(split(__g, ' '), 2, $k), ' ')").as("__g"))
           .groupBy(col("__g")).agg(count(lit(1)).as(s"__cc$k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // den and tcc ride ONE frame (they come from the same groupBy)
         // and join the doc side once — splitting them doubled the joins
         val byCtx =
@@ -862,10 +852,9 @@ object TextAnalysis {
         k -> (cc, byCtx)
       }.toMap
     // scalar totals: bigram TYPE count (= Σ_w N1+(·w)) and vocab size
-    // (vocab from the persisted token frame, not a fresh text scan)
     val totals = ccTables(1)._1.agg(
       sum(col("__cc1")).cast("double").as("__bt")).crossJoin(
-      toksTrain.select(explode(col("__toks")).as("__t"))
+      train.select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
         .agg(countDistinct(col("__t")).cast("double").as("__V")))
     // doc-side grams with per-order suffixes/contexts — the same
     // short-doc machinery as the stupid-backoff sibling (__L = order)
@@ -1019,26 +1008,19 @@ object TextAnalysis {
       alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
     require(n >= 2, "n must be >= 2 (use ngramLmPerplexity for unigrams)")
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
-    // tokenize ONCE into a persisted frame (the KN sibling's lesson):
-    // n count tables + the totals scalar each re-ran the tokenizer over
-    // raw text. Orders 1..n−1 persist too — each feeds BOTH its own
-    // suffix join and order k+1's denominator join.
-    val toksTrain = train
-      .select(Dedup.tokenize(col(trainTextCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r18 measured decision: no trainer materialization (see the KN
+    // sibling's note) — each order's suffix and denominator joins read
+    // the SAME count subtree, which dedupes via ReuseExchange now that
+    // the per-order gram UDFs are memoized.
     val counts: Map[Int, DataFrame] = (1 to n).map { k =>
-      val c = toksTrain
-        .select(explode(wordNgramsOfTokens(col("__toks"), k)).as("__g"))
+      val c = train
+        .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
         .groupBy(col("__g")).agg(count(lit(1)).as(s"__c$k"))
-      val pruned =
-        if (k >= 2 && minCount > 1) c.where(col(s"__c$k") >= minCount)
-        else c
-      k -> (if (k < n)
-        pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pruned)
+      k -> (if (k >= 2 && minCount > 1) c.where(col(s"__c$k") >= minCount)
+        else c)
     }.toMap
-    val totals = toksTrain
-      .select(explode(col("__toks")).as("__t"))
+    val totals = train
+      .select(explode(Dedup.tokenize(col(trainTextCol))).as("__t"))
       .agg(count(lit(1)).cast("double").as("__N"),
         countDistinct(col("__t")).cast("double").as("__V"))
     // full doc n-grams; per gram, the suffix of each order k and its
