@@ -27,6 +27,16 @@ object CatalogOps {
   private[catalog] val tokenizeSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** doc_ids of `documents`, widened before heavy per-row payload
+    * synthesis/decode ([[graft.util.ScanSpread.widen]]): the small-SF
+    * single-row-group parquet scan yields ONE task, serializing synthetic
+    * codec work onto one core; the widen exchange moves bare 8-byte ids
+    * and is a no-op whenever the scan is already core-count wide (any
+    * real-scale input).
+    */
+  private def wideDocIds(s: SparkSession, dir: String): DataFrame =
+    graft.util.ScanSpread.widen(t(s, dir, "documents").select(col("doc_id")))
+
   // ------------------------------------------------------------------ dedup
 
   private val ddExact = Q("dd_exact",
@@ -1073,7 +1083,7 @@ object CatalogOps {
     */
   private val mmDecode = Q("mm_decode_image",
     (s, dir) => {
-      val imgs = t(s, dir, "documents").select(col("doc_id"),
+      val imgs = wideDocIds(s, dir).select(col("doc_id"),
         Multimodal.syntheticPng(
           (lit(8) + col("doc_id") % 5).cast("int"),
           (lit(8) + col("doc_id") % 3).cast("int"),
@@ -4378,7 +4388,7 @@ object CatalogOps {
     */
   private val mmMp4KeyframeDecode = Q("mm_mp4_keyframe_decode",
     (s, dir) => {
-      val clips = t(s, dir, "documents").select(col("doc_id"),
+      val clips = wideDocIds(s, dir).select(col("doc_id"),
         graft.ops.H264Decode.syntheticIPcmMp4(
           (lit(1) + col("doc_id") % 4).cast("int"),
           (lit(1) + col("doc_id") % 3).cast("int"),
