@@ -71,20 +71,13 @@ object rml {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
   private def asStr(c: Column): Column = c.cast("string")
 
-  /** The type a column RENDERS from (peeling one to-string cast, the
-    * engine's own `asStr`), when it is already resolved against a frame.
-    * Unresolved columns (bare `col("a")`) report None and keep the
-    * general path.
+  /** The type a column RENDERS from (peeling to-string casts at the
+    * column-node level — see [[org.apache.spark.sql.GraftSqlBridge.renderDataType]]),
+    * when it is already resolved against a frame. Unresolved columns
+    * (bare `col("a")`) report None and keep the general path.
     */
   private def renderType(c: Column): Option[org.apache.spark.sql.types.DataType] =
-    scala.util.Try {
-      expression(c) match {
-        case ct: org.apache.spark.sql.catalyst.expressions.Cast
-            if ct.dataType == org.apache.spark.sql.types.StringType =>
-          ct.child.dataType
-        case e => e.dataType
-      }
-    }.toOption
+    org.apache.spark.sql.GraftSqlBridge.renderDataType(c)
 
   /** Types whose string rendering can never hit the textual null lattice
     * ("", "nan", "N/A", "NULL" — double NaN renders "NaN", which the

@@ -190,17 +190,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"assignment must be partial-agg, not window:\n$p")
   }
 
-  test("multi-TM mapping: source exchange is built once and reused") {
-    // AQE shows stage reuse only at runtime; disable it to assert the
-    // static ReuseExchange rewrite (the property measured in SCALE.md —
-    // N TMs over one source must not pay N scans)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = Catalog.byName("rml_multi_tm").run(spark, sf)
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"), s"no exchange reuse across TMs:\n${p.take(2000)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  test("multi-TM mapping: sibling TMs merge — one scan, no union") {
+    // r18 supersedes the ReusedExchange assertion: the TM-merge rewrite
+    // makes N sibling TMs over one source compile to ONE TriplesMap, so
+    // the plan carries a single scan and no union at all (the stronger
+    // property — reuse saved the scan, the merge saves the N-branch
+    // construction too). OptimizationR18Spec pins the formatted-plan
+    // scan count; this pins the absence of the union.
+    val df = Catalog.byName("rml_multi_tm").run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), s"multi-TM still unions branches:\n${p.take(2000)}")
   }
 
   test("salted join: physical join keys carry the salt") {
