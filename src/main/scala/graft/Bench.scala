@@ -167,17 +167,35 @@ object Bench {
     // metric JSON to a clean file so rounds are machine-diffable without
     // log archaeology. SPARK_GRAFT_BENCH_OUT overrides the path (campaign
     // scripts point it at their own result dirs).
+    //
+    // r19 (VERDICT r18 "what's wrong" #1): BENCH_LAST.json holds whichever
+    // run was LAST — when the driver's 8-core scaling leg runs after the
+    // 32-core capture, a naive reader compares a c8 total against 32-core
+    // history. Every run therefore ALSO writes a per-core-count artifact
+    // (BENCH_LAST_c<cpus>.json) so the two legs never overwrite each other
+    // and rounds are diffable per leg without log archaeology.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    def writeArtifact(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+    writeArtifact(outPath)
+    writeArtifact(outPath.replaceAll("\\.json$", "") + s"_c$nCpus.json")
     spark.stop()
     // last stdout line after Spark's shutdown chatter (which goes to
     // stderr) — gives log scrapers a clean final line too. Tagged, so a
     // scraper that sums or uniquely-matches the bare JSON pattern sees
     // exactly one untagged line; take-the-last scrapers strip the tag.
     println("graft-bench-final: " + json)
+    // ≤1 KB tagged summary (VERDICT r18 #1: the full per-query line is
+    // long enough that tail-captures truncate it mid-row — BENCH_r17/r18
+    // both carry "parsed": null). This short line survives any tail
+    // capture; the per-query map lives in the files above. Tagged, so
+    // bare-JSON scrapers still see exactly one untagged line.
+    println(f"""graft-bench-summary: {"metric":"total","value":$total%.3f,""" +
+      f""""unit":"sec","n":$measured,"cpus":$nCpus,"sf":"$sfDir",""" +
+      f""""contended_rows":$contendedRows,"capture":"$captureVerdict"}""")
     System.out.flush()
   }
 }

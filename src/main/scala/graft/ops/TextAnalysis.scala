@@ -816,7 +816,9 @@ object TextAnalysis {
     def rawCounts(k: Int, cName: String): DataFrame = train
       .select(explode(wordNgrams(col(trainTextCol), k)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as(cName))
-    val raw: Map[Int, DataFrame] = (2 to n).map { k =>
+    // order 1 is only needed when n == 2 (cd = raw(n−1) below); building
+    // it unconditionally would add a dead unigram count table to the plan
+    val raw: Map[Int, DataFrame] = (math.min(n - 1, 2) to n).map { k =>
       k -> rawCounts(k, s"__raw$k")
     }.toMap
     val cn = raw(n).withColumnRenamed(s"__raw$n", "__cn")

@@ -146,6 +146,26 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(math.abs(out(3L).getDouble(4) - 7.0) < 1e-4)
   }
 
+  test("ngramLmKneserNey: n = 2 (the documented minimum) works — the top " +
+      "level's denominator is the order-1 RAW count table (ADVICE r18: the " +
+      "shared raw-count map built over 2..n threw key-not-found: 1 here)") {
+    // train "a b c" ×2 + "b c d": c1: a=2 b=3 c=3 d=1; c2: (a b)=2 (b c)=3
+    // (c d)=1; N1+(ctx·): a→1 b→1 c→1; cc1: b=1 c=1 d=1 → bt=3, V=4
+    val train = Seq((0L, "a b c"), (3L, "a b c"), (6L, "b c d"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"), // top: (2−0.75)/2 + 0.75·1/2 · P₁(b)=2/7
+      (2L, "z q"), // unseen everywhere → unigram floor 1/7
+      (3L, "c")    // short (1 word): P₁(c) = 2/7
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmKneserNey(docs, "text", "doc_id",
+      train, "text", n = 2).collect().map(r => r.getLong(0) -> r).toMap
+    def lp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    assert(out(1L).getLong(2) == lp6(0.625 + 0.375 * (2.0 / 7)))
+    assert(out(2L).getLong(2) == lp6(1.0 / 7))
+    assert(out(3L).getLong(2) == lp6(2.0 / 7))
+  }
+
   test("scriptSignals: per-script codepoint counts, dominant with " +
       "declaration-order tie-break, none/empty handling") {
     val docs = Seq(
