@@ -760,6 +760,42 @@ object TextAnalysis {
         col("logprob_sum_e6"), col("avg_logprob"), col("perplexity"))
   }
 
+  /** A gram's order (token count), computed by counting separator spaces
+    * on the gram string itself — grams are single-space joins of
+    * non-empty, space-free [[Dedup.tokenize]] tokens, so
+    * `spaces + 1 = tokens` with no split-array allocation.
+    */
+  private def gramOrder(g: Column): Column =
+    lit(1) + length(g) - length(translate(g, " ", ""))
+
+  /** Per-order join-key columns over LM doc-side gram rows (`__g` = the
+    * gram, `__L` = its order): `__sk` = the gram's last k tokens, `__xk` =
+    * those minus the final token (the context), null when the gram is
+    * shorter than k — shared by the Kneser-Ney and stupid-backoff scorers.
+    *
+    * Built with `substring_index` intrinsics over the gram STRING: r18
+    * derived each key as `array_join(slice(split(__g), …))` — 2n−1
+    * allocating array walks per gram, the biggest remaining user-CPU block
+    * of the KN row (VERDICT r18 #5; guide §4 expression tier). Tokens are
+    * non-empty and space-free, so space-counting substring walks reassemble
+    * byte-identical keys with zero array allocations: `__sk` is the suffix
+    * after the k-th space from the right (k = __L returns the whole gram —
+    * exactly the order-__L suffix), `__xk` re-trims that suffix to its
+    * first k−1 fields.
+    */
+  private def gramSuffixKeys(dg0: DataFrame, n: Int): DataFrame = {
+    val g = col("__g")
+    var dg = dg0
+    (1 to n).foreach { k =>
+      dg = dg.withColumn(s"__s$k",
+        when(col("__L") >= k, substring_index(g, " ", -k)))
+      if (k >= 2) dg = dg.withColumn(s"__x$k",
+        when(col("__L") >= k,
+          substring_index(substring_index(g, " ", -k), " ", k - 1)))
+    }
+    dg
+  }
+
   /** Interpolated Kneser-Ney n-gram LM perplexity (Kneser & Ney 1995 /
     * Chen & Goodman 1998 — the published-CCNet-comparable smoothing) —
     * [[ngramLmStupidBackoff]]'s normalized sibling. Each document
@@ -824,9 +860,12 @@ object TextAnalysis {
     val cn = raw(n).withColumnRenamed(s"__raw$n", "__cn")
     val cd = raw(n - 1).withColumnRenamed(s"__raw${n - 1}", "__cd")
     // N1+(ctx ·) for the top level: distinct continuations of each
-    // (n−1)-gram context — one groupBy over the distinct-c_n table
-    val tn = cn.select(expr(
-      s"array_join(slice(split(__g, ' '), 1, ${n - 1}), ' ')").as("__g"))
+    // (n−1)-gram context — one groupBy over the distinct-c_n table.
+    // Context/suffix trims here and below use the substring_index
+    // intrinsic (first/last k space-separated fields) instead of
+    // array_join(slice(split(…))) — identical strings (tokens are
+    // space-free), no split-array allocation per gram (guide §4).
+    val tn = cn.select(substring_index(col("__g"), " ", n - 1).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__tn"))
     // continuation tables for orders 1..n−1, each derived from the
     // DISTINCT (k+1)-gram table: a (k+1)-gram v·u·w contributes one
@@ -837,15 +876,14 @@ object TextAnalysis {
     val ccTables: Map[Int, (DataFrame, DataFrame)] =
       (1 until n).map { k =>
         val kp = raw(k + 1)
-        val cc = kp.select(expr(
-          s"array_join(slice(split(__g, ' '), 2, $k), ' ')").as("__g"))
+        // a (k+1)-gram's length-k suffix = the fields after its first space
+        val cc = kp.select(substring_index(col("__g"), " ", -k).as("__g"))
           .groupBy(col("__g")).agg(count(lit(1)).as(s"__cc$k"))
         // den and tcc ride ONE frame (they come from the same groupBy)
         // and join the doc side once — splitting them doubled the joins
         val byCtx =
           if (k >= 2)
-            cc.select(expr(
-              s"array_join(slice(split(__g, ' '), 1, ${k - 1}), ' ')")
+            cc.select(substring_index(col("__g"), " ", k - 1)
               .as("__g"), col(s"__cc$k"))
               .groupBy(col("__g"))
               .agg(sum(col(s"__cc$k")).as(s"__ccden$k"),
@@ -866,18 +904,9 @@ object TextAnalysis {
         explode(when(size(toks) >= n, wordNgrams(col(textCol), n))
           .when(size(toks) >= 1, array(array_join(toks, " ")))
           .otherwise(array().cast("array<string>"))).as("__g"))
-      .withColumn("__arr", split(col("__g"), " "))
-      .withColumn("__L", size(col("__arr")))
-    (1 to n).foreach { k =>
-      dg = dg.withColumn(s"__s$k",
-        when(col("__L") >= k,
-          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k)), " ")))
-      if (k >= 2) dg = dg.withColumn(s"__x$k",
-        when(col("__L") >= k,
-          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k - 1)),
-            " ")))
-    }
-    var joined = dg.drop("__g", "__arr")
+      .withColumn("__L", gramOrder(col("__g")))
+    dg = gramSuffixKeys(dg, n)
+    var joined = dg.drop("__g")
     joined = joined
       .join(cn.withColumnRenamed("__g", s"__s$n"), Seq(s"__s$n"), "left")
       .join(cd.withColumnRenamed("__g", s"__x$n"), Seq(s"__x$n"), "left")
@@ -1038,18 +1067,9 @@ object TextAnalysis {
         explode(when(size(toks) >= n, wordNgrams(col(textCol), n))
           .when(size(toks) >= 1, array(array_join(toks, " ")))
           .otherwise(array().cast("array<string>"))).as("__g"))
-      .withColumn("__arr", split(col("__g"), " "))
-      .withColumn("__L", size(col("__arr")))
-    (1 to n).foreach { k =>
-      dg = dg.withColumn(s"__s$k",
-        when(col("__L") >= k,
-          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k)), " ")))
-      if (k >= 2) dg = dg.withColumn(s"__x$k",
-        when(col("__L") >= k,
-          array_join(slice(col("__arr"), col("__L") - k + 1, lit(k - 1)),
-            " ")))
-    }
-    var joined = dg.drop("__g", "__arr")
+      .withColumn("__L", gramOrder(col("__g")))
+    dg = gramSuffixKeys(dg, n)
+    var joined = dg.drop("__g")
     (n to 1 by -1).foreach { k =>
       joined = joined.join(
         counts(k).withColumnRenamed("__g", s"__s$k"), Seq(s"__s$k"), "left")
