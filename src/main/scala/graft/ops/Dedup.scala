@@ -333,40 +333,54 @@ object Dedup {
     * Returns (cap, totalBuckets, cappedBuckets, totalRows, cappedRows).
     */
   private[graft] def dyadicSizeCapWithStats(sizes: DataFrame, sizeCol: String,
-      budget: Long): (Long, Long, Long, Long, Long) = {
+      budget: Long): (Long, Long, Long, Long, Long) =
+    dyadicSizeCapWithStatsFrom(sizes, sizeCol, _ => budget)
+
+  /** [[dyadicSizeCapWithStats]] with the budget derived FROM the
+    * histogram's own total row count — r19 job fusion (VERDICT r18 #3):
+    * callers whose budget is pairs-per-row × row count previously paid a
+    * separate `count()` action over the (persisted but still re-read)
+    * band frame just to size the budget, then ran this histogram as a
+    * second action. The histogram already sums exact per-class row
+    * counts, so `budgetOf(totalRows)` folds both into ONE job. Sums
+    * aggregate as decimal(38,0) — exact like the oracle's hugeint
+    * `sum(b*b)` — so no per-row budget clamp is needed before the total
+    * is known; the 3037000499 (= ⌊√Long.MaxValue⌋) factor clamp stays,
+    * and cannot change the cap decision (a clamped weight of ~9.2e18 is
+    * over any realistic budget on its own, exactly as an unclamped one).
+    */
+  private[graft] def dyadicSizeCapWithStatsFrom(sizes: DataFrame,
+      sizeCol: String, budgetOf: Long => Long)
+      : (Long, Long, Long, Long, Long) = {
     val sz = col(sizeCol)
-    // factor clamped at floor(sqrt(Long.MaxValue)) BEFORE squaring: long
-    // multiplication wraps silently (and not always negative — 2^32 squared
-    // wraps to 0), and a bucket of ~3e9 docs is over any realistic budget
-    // regardless, so the clamp never changes the cap decision
-    val weight = least(sz, lit(3037000499L)) * least(sz, lit(3037000499L))
-    val overBudget = if (budget == Long.MaxValue) Long.MaxValue else budget + 1L
+    val weight = (least(sz, lit(3037000499L)) *
+      least(sz, lit(3037000499L))).cast("decimal(38,0)")
     val hist = sizes.select(minPowClass(sz).as("cap"),
-        least(weight, lit(overBudget)).as("w"), sz.as("b"))
+        weight.as("w"), sz.cast("decimal(38,0)").as("b"))
       .groupBy(col("cap"))
       .agg(sum(col("w")).as("w"), count(lit(1)).as("n"), sum(col("b")).as("rows"))
       .collect().map { r =>
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-          r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+        // a null decimal sum means 38-digit overflow (astronomical row
+        // counts) — saturate, the class is over any realistic budget
+        def big(i: Int): BigInt =
+          if (r.isNullAt(i)) BigInt(Long.MaxValue) * Long.MaxValue
+          else BigInt(r.getDecimal(i).toBigInteger)
+        (r.getLong(0), big(1), r.getLong(2), big(3))
       }.sortBy(_._1)
+    def lng(b: BigInt): Long =
+      if (b > Long.MaxValue) Long.MaxValue else b.toLong
+    val totalRows = lng(hist.map(_._4).sum)
+    val budget = budgetOf(totalRows)
     var cum = BigInt(0)
     var best = 0L
     hist.foreach { case (cap, w, _, _) =>
-      // a negative per-class sum means the clamped sum still wrapped
-      // (astronomical row counts) — saturate, the class is over budget
-      cum += (if (w < 0) BigInt(Long.MaxValue) else BigInt(w))
+      cum += w
       if (cum <= budget) best = cap
     }
     val cap = math.max(best, 16L)
     val over = hist.filter(_._1 > cap)
-    // row sums saturate through BigInt — per-class row counts are exact
-    // longs but a degenerate corpus could sum past Long.MaxValue
-    def rowSum(h: Seq[(Long, Long, Long, Long)]): Long = {
-      val s = h.map(e => BigInt(e._4)).sum
-      if (s > Long.MaxValue) Long.MaxValue else s.toLong
-    }
     (cap, hist.map(_._3).sum, over.map(_._3).sum,
-      rowSum(hist.toSeq), rowSum(over.toSeq))
+      totalRows, lng(over.map(_._4).sum))
   }
 
   /** Generalized form: dyadic classes over `classBy`, admitted volume
@@ -504,11 +518,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = maxBucketSize.getOrElse {
       val sizes = bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("b"))
-      // rep count from the persisted bands (exactly numBands rows per rep)
-      // — counting df itself would re-execute its whole lineage when the
-      // input is a derived frame rather than a bare scan
-      val n = bands.count() / (numHashes / rowsPerBand)
-      val (c, tb, cb, tr, cr) = dyadicSizeCapWithStats(sizes, "b", pairBudget * n)
+      // rep count from the histogram's own total band rows (exactly
+      // numBands per rep) — r19: the separate bands.count() action this
+      // used to pay is fused into the histogram job (VERDICT r18 #3)
+      val numBands = numHashes / rowsPerBand
+      val (c, tb, cb, tr, cr) = dyadicSizeCapWithStatsFrom(sizes, "b",
+        totalBandRows => pairBudget * (totalBandRows / numBands))
       onCapBind(CapBindReport("dedupCorpus", c, tb, cb, tr, cr))
       c
     }
@@ -1008,19 +1023,24 @@ object Dedup {
     val reps = base.groupBy(col("sig")).agg(min(col("id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSigs = reps.select(col("rep").as("id"), col("sig"))
-    // measured once on the persisted frame: sizes the cap budget AND
-    // decides the candidate-join strategy (ground truth, not an estimate)
-    val nReps = math.max(1L, reps.count())
-    val cap = maxBucketSize.getOrElse {
-      // dyadic sketch over exact band-key bucket sizes of the persisted
-      // reps (narrow re-read of the cache; ≤63 size classes collected)
-      val sizes = repSigs
-        .select(explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
-        .groupBy(col("key")).agg(count(lit(1)).as("b"))
-      val (c, tb, cb, tr, cr) =
-        dyadicSizeCapWithStats(sizes, "b", pairBudget * nReps)
-      onCapBind(CapBindReport("hammingDedupCorpus", c, tb, cb, tr, cr))
-      c
+    // rep count sizes the cap budget AND decides the candidate-join
+    // strategy (ground truth, not an estimate). On the auto-cap path it
+    // falls out of the histogram's own total band rows (exactly `bands`
+    // keys per rep) — r19: the separate reps.count() action is fused
+    // into the histogram job (VERDICT r18 #3); an explicit cap still
+    // pays the count, it has no histogram to ride.
+    val (cap, nReps) = maxBucketSize match {
+      case Some(c) => (c, math.max(1L, reps.count()))
+      case None =>
+        // dyadic sketch over exact band-key bucket sizes of the persisted
+        // reps (narrow re-read of the cache; ≤63 size classes collected)
+        val sizes = repSigs
+          .select(explode(hammingBandKeysCol(col("sig"), bits, bands)).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("b"))
+        val (c, tb, cb, tr, cr) = dyadicSizeCapWithStatsFrom(sizes, "b",
+          totalKeys => pairBudget * math.max(1L, totalKeys / bands))
+        onCapBind(CapBindReport("hammingDedupCorpus", c, tb, cb, tr, cr))
+        (c, math.max(1L, tr / bands))
     }
     val pairs = hammingPairs(repSigs, "id", "sig", bits, bands, maxHamming,
       Some(cap), knownDistinctSigs = Some(nReps))
@@ -1292,12 +1312,22 @@ object Dedup {
       case _ => false // string/decimal ids: star rounds are type-generic
     }
     val probeLimit = (math.min(localThreshold, Int.MaxValue - 2L) + 1L).toInt
-    if (integralIds && localThreshold > 0 &&
-        edges.limit(probeLimit).count() <= localThreshold) {
+    // probe and collect are ONE action (r19 job fusion, VERDICT r18 #3):
+    // collecting up to threshold+1 rows both answers the gate (a full
+    // result of ≤ threshold rows IS the complete edge set) and delivers
+    // the edges — the r18 shape paid a limit().count() job and then a
+    // second full collect() over the same persisted frame
+    val localRows: Array[(Long, Long)] =
+      if (integralIds && localThreshold > 0) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        edges.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(probeLimit).as[(Long, Long)].collect()
+      } else null
+    if (localRows != null && localRows.length <= localThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val rows = edges.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)].collect()
+      val rows = localRows
       edges.unpersist()
       // index-compress node ids (sorted, deduped, primitive) so the
       // union-find runs on Array[Int] parents — no boxed-key hash map
