@@ -4594,7 +4594,7 @@ object CatalogOps {
     */
   private val mmPhashCluster = Q("mm_phash_cluster",
     (s, dir) => {
-      val imgs = t(s, dir, "documents").select(col("doc_id"),
+      val imgs = wideDocIds(s, dir).select(col("doc_id"),
         Multimodal.syntheticPngGradient(lit(16), lit(8),
           (col("doc_id") % 150 * 37 % 256).cast("int"),
           (lit(16) + col("doc_id") % 150 * 13 % 96).cast("int")).as("payload"))
