@@ -35,6 +35,7 @@ object PlanDump {
     new java.io.File(outDir).mkdirs()
     val rows = Catalog.all
       .filter(q => if (only.isEmpty) q.bench else only.contains(q.name))
+    val nodeCounts = new StringBuilder("query\toperator\tnodes\n")
     rows.foreach { q =>
       val out = Paths.get(s"$outDir/${q.name}_$suffix.txt")
       try {
@@ -42,6 +43,17 @@ object PlanDump {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(out, plan.getBytes("UTF-8"))
+        // unique-node-id operator counts (VERDICT r18 #2/#8: ledger plan
+        // claims must count unique node ids, not grep lines — the tree
+        // header prints a reused node once PER REFERENCE; the details
+        // section prints each node id exactly once as "(id) Name")
+        val detail = raw"^\((\d+)\)\s+(\S+)".r
+        val seen = scala.collection.mutable.Set[String]()
+        plan.linesIterator.foreach {
+          case detail(id, name) if seen.add(id) =>
+            nodeCounts.append(s"${q.name}\t$name\t$id\n")
+          case _ => ()
+        }
         System.err.println(s"[plandump] ${q.name} -> $out")
       } catch {
         case e: Throwable =>
@@ -49,6 +61,10 @@ object PlanDump {
           System.err.println(s"[plandump] ${q.name} FAILED: ${e.getMessage}")
       }
     }
+    // one row per unique plan node; aggregate with
+    //   awk -F'\t' '{print $1, $2}' | sort | uniq -c
+    Files.write(Paths.get(s"$outDir/NODES_$suffix.tsv"),
+      nodeCounts.toString.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -100,6 +100,13 @@ object MappingCompiler {
 
   /** Per-TriplesMap quad frames (rewritten TMs) — callers that need routing
     * granularity (logical targets K3) use this; `compile` unions them.
+    *
+    * NOTE (ADVICE r18): the rewrite's TM-merge coalesces sibling TM ids —
+    * merged siblings appear here as ONE entry keyed by the FIRST sibling's
+    * id, carrying all merged POMs' quads. Logical-target routing itself is
+    * unaffected (TMs with targets never merge), but a consumer keying
+    * diagnostics or per-TM sinks on TM identity sees the coalesced id set,
+    * not the authored one.
     */
   def compilePerTm(spark: SparkSession, doc: MappingDoc,
       opts: Options = Options()): Seq[(TriplesMap, DataFrame)] = {

@@ -241,6 +241,13 @@ object AudioContainers {
         bos.write(Array.tabulate(16)(j => (0xF8 + j % 4).toByte), 0, 16)
         bos.toByteArray
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 
   private def oggPage(serial: Long, seq: Long, granule: Long,
       headerType: Int, packet: Array[Byte]): Array[Byte] = {
@@ -292,6 +299,13 @@ object AudioContainers {
         }
         bos.toByteArray
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 
   /** Deterministic Ogg-Vorbis stream: identification header page +
     * `nPages` audio pages, final granule = `samples`. */

@@ -432,4 +432,11 @@ object Ebml {
         }
         w.out.toByteArray
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 }

@@ -3620,6 +3620,13 @@ object H264Decode {
         nal(3, 5, cabacSliceRbsp(v0, s1Neg, v2, k, p))
         out.toArray
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 
   /** A REAL PPS RBSP (CAVLC, no FMO, no deblock fields) shared by the
     * synthetic generators. */
@@ -3749,6 +3756,13 @@ object H264Decode {
         }
         mp4AvcClip(mbw, mbh, samples, syncPeriod, realPpsRbsp)
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 
   /** Deterministic full-color MP4: each sync sample holds a REAL color
     * IDR ([[i16ColorSliceRbsp]] with v0 + k as its luma base, uniform

@@ -202,4 +202,11 @@ object Hevc {
         while (i < nTrail) { nal(1, Array.tabulate(9)(j => (i * 3 + j).toByte)); i += 1 }
         out.toArray
       }).asNondeterministic()
+      // ^ optimizer pin, NOT real nondeterminism — the generator is a pure
+      // function of its args (values stable; pinned by OptimizationR19Spec).
+      // Declared nondeterministic so filter pushdown cannot duplicate the
+      // heavy payload expression into every sniffer reference (guide section 4.4).
+      // Cost: the payload column is rejected wherever nondeterministic
+      // expressions are disallowed (join/group/sort keys) — callers key on
+      // doc_id, never on payload bytes.
 }

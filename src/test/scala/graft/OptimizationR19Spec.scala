@@ -41,6 +41,41 @@ class OptimizationR19Spec extends AnyFunSuite {
     assert(ScanSpread.widen(scan) eq scan)
   }
 
+  test("payload generator pin: the six synthetic-codec UDFs stay declared " +
+      "nondeterministic (the guide-4.4 anti-duplication pin) while their " +
+      "values stay pure — identical across evaluations") {
+    import graft.ops.{AudioContainers, Ebml, H264Decode, Hevc}
+    val gens = Seq(
+      AudioContainers.syntheticFlac(lit(44100), lit(2), lit(16), lit(1000L)),
+      AudioContainers.syntheticOggOpus(lit(2), lit(312), lit(3), lit(48000L)),
+      Ebml.syntheticWebm(lit(1), lit(320), lit(240), lit(1), lit(48000),
+        lit(2), lit(5), lit(3), lit(1500)),
+      H264Decode.syntheticCabacAnnexB(lit(2), lit(true), lit(3), lit(2), lit(151)),
+      H264Decode.syntheticIPcmMp4(lit(2), lit(2), lit(3), lit(2), lit(7), lit(4)),
+      Hevc.syntheticHevcAnnexB(lit(320), lit(240), lit(2), lit(120), lit(0),
+        lit(2), lit(1), lit(3)))
+    gens.foreach { g =>
+      // the pin itself: a future refactor dropping .asNondeterministic()
+      // re-opens the filter-pushdown duplication of r18's media-gate row.
+      // Checked on the ANALYZED plan — the unresolved column node reports
+      // deterministic=true before the UDF is bound.
+      val plan = spark.range(1).select(g.as("p")).queryExecution.analyzed
+      val udfs = plan.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u })
+      assert(udfs.nonEmpty && udfs.forall(!_.deterministic),
+        s"generator lost its pin: $g")
+    }
+    // purity: two independent evaluations produce identical bytes
+    val df = spark.range(1).select(gens.zipWithIndex.map {
+      case (g, i) => g.as(s"p$i") }: _*)
+    val a = df.collect()(0)
+    val b = df.collect()(0)
+    (0 until gens.size).foreach { i =>
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]](i),
+        b.getAs[Array[Byte]](i)), s"generator $i not pure")
+    }
+  }
+
   test("widen: a post-shuffle frame fails the scan-only precondition and " +
       "is returned untouched — no probe, no exchange, no eager execution") {
     val path = tmpParquet(100, 1)
