@@ -1045,7 +1045,12 @@ object CatalogOps {
       FROM documents"""))
 
   private val txtFingerprint = Q("txt_fingerprint",
-    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+    // widen: per-row md5 + rolling-hash walks off a single-row-group scan
+    // ran serial (r19 baseline: wall 1.1 s ≈ user CPU); per-row results
+    // are partitioning-independent
+    (s, dir) => graft.util.ScanSpread.widen(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
       TextAnalysis.rollingHash(col("text")).as("fp_rolling")),
     Some(s"""SELECT doc_id,
@@ -4957,8 +4962,13 @@ object CatalogOps {
     * verbatim inside the oracle as a DOUBLE[] literal.
     */
   private val txtClassifier = Q("txt_quality_classifier",
+    // widen: the scoring kernel (tokenize + md5 per token) off a
+    // single-row-group scan ran serial (r19 baseline: wall 2.0 s ≈ user
+    // CPU 2.1 s on 32 cores); scoring is per-row, partition-independent
     (s, dir) => TextAnalysis.hashedLinearScore(
-      t(s, dir, "documents"), "text", ClassifierWeights, bias = -0.1)
+      graft.util.ScanSpread.widen(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "text", ClassifierWeights, bias = -0.1)
       .select(col("doc_id"), col("quality_logit"), col("quality_prob")),
     Some {
       val wlist = ClassifierWeights.mkString(", ")
