@@ -72,9 +72,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!e.contains("CartesianProduct"), s"cartesian in excise plan:\n$e")
   }
 
-  test("quality classifier and normalization are exchange-free scan projections") {
+  test("quality classifier and normalization are scan projections — no " +
+      "keyed shuffle (r19: the classifier may carry ONE round-robin widen " +
+      "exchange on a starved small-SF scan; it is a no-op at real scale)") {
     val p = plan("txt_quality_classifier")
-    assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"classifier scoring must not shuffle by key:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"),
+      s"classifier scoring grew a wide op:\n$p")
     val n = plan("txt_normalize")
     assert(!n.contains("Exchange"), s"normalization must not shuffle:\n$n")
   }
