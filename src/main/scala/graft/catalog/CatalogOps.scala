@@ -1828,7 +1828,10 @@ object CatalogOps {
         (d * 11) % 2000, lit("\">cross</a>"),
         lit("<a href=\"/s?x="), d % 7, lit("&amp;y=2\">q</a>"),
         lit("<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>"))
-      val segs = docs.select(d,
+      // widen: WARC synthesis + record/HTTP parsing are per-row kernels
+      // that otherwise run on the one-task small-SF scan (guide §2.5/§8 —
+      // the exchange moves bare ids, payloads are built after it)
+      val segs = graft.util.ScanSpread.widen(docs.select(d)).select(d,
         graft.ops.WebIngest.syntheticWarcPage(pageUrl, html,
           d % 2 === 1).as("payload"))
       val recs = graft.ops.WebIngest.warcRecordBytes(segs)
@@ -1958,7 +1961,8 @@ object CatalogOps {
         (d * 11) % 2000, lit("\">cross</a>"),
         lit("<a href=\"/s?x="), d % 7, lit("&amp;y=2\">q</a>"),
         lit("<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>"))
-      val segs = docs.select(d,
+      // widen: same starved-scan spread as the loop row above
+      val segs = graft.util.ScanSpread.widen(docs.select(d)).select(d,
         graft.ops.WebIngest.syntheticWarcPage(pageUrl, html,
           d % 2 === 1).as("payload"))
       val recs = graft.ops.WebIngest.warcRecordBytes(segs)
